@@ -1,0 +1,220 @@
+"""DuckDB-SQL -> Spark-SQL translation.
+
+The reference's exposed query surface is the DuckDB SQL dialect
+(everything executed at reference src/query_orchestrator.py:351). Spark
+SQL overlaps heavily — joins, aggregates, windows, CTEs, ``::`` casts,
+``||`` concat, `PERCENTILE_CONT ... WITHIN GROUP`, `QUALIFY` all parse
+natively in Spark 4 — so translation is a small set of token-level
+rewrites for the known divergences (SURVEY §2.B / §7 hard-part 4):
+
+1. string-literal table names -> backtick identifiers
+   (``CREATE VIEW 'out.csv' AS ... FROM 'days.csv'`` — reference
+   tests/functional/simple/source/data/config.json:10-19)
+2. double-quoted identifiers -> backticks (DuckDB `"t4-new"` —
+   reference tests/functional/query_dependencies config.json:12-18)
+3. ``EXTRACT(DOW ...)``: DuckDB Sunday=0..6, Spark Sunday=1..7 -> emit
+   ``(EXTRACT(DOW ...) - 1)``; ISODOW -> ``weekday(x) + 1``
+4. ``date_trunc('day'|coarser, x)`` returns DATE in DuckDB, TIMESTAMP in
+   Spark -> wrap in ``CAST(... AS DATE)``
+5. ``//`` floor division -> ``DIV``
+6. function renames (regexp_matches->regexp_like, string_split->split,
+   list_*->array functions, ...)
+7. ``version()`` -> engine version literal (reference
+   tests/functional/version-1-5-2: ``SELECT version()``)
+8. ``SELECT * EXCLUDE (...)`` -> ``* EXCEPT (...)``
+
+Everything else passes through untouched and is parsed by Catalyst.
+Notable shared semantics needing no shim: int/int ``/`` yields DOUBLE in
+both; ``round`` is half-away-from-zero in both; `stddev`/`variance` are
+sample variants in both.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from .. import engine_version_string
+from ..plans.sql_tokens import Token, tokenize
+
+# keywords after which a string literal denotes a table name
+_TABLE_NAME_CONTEXT = {"FROM", "JOIN", "INTO", "TABLE", "VIEW", "UPDATE"}
+
+_DATE_PARTS = {
+    "day", "week", "month", "quarter", "year", "decade", "century", "millennium",
+}
+
+_FN_RENAMES = {
+    "regexp_matches": "regexp_like",
+    "string_split": "split",
+    "str_split": "split",
+    "string_to_array": "split",
+    "list_contains": "array_contains",
+    "array_length": "size",
+    "list_value": "array",
+    "list_pack": "array",
+    "strpos": "instr",
+    "list_distinct": "array_distinct",
+    "list_sort": "array_sort",
+    "array_to_string": "array_join",
+    "to_hex": "hex",
+    "nextafter": "nextafter",  # identity examples keep table readable
+    "editdist3": "levenshtein",
+    "jaro_winkler_similarity": "jarowinkler",  # not in Spark: kept for visibility
+}
+
+
+def _next_code(tokens: List[Token], i: int) -> int:
+    j = i + 1
+    while j < len(tokens) and tokens[j].kind in ("ws", "comment"):
+        j += 1
+    return j
+
+
+def _matching_paren(tokens: List[Token], open_idx: int) -> int:
+    depth = 0
+    for j in range(open_idx, len(tokens)):
+        t = tokens[j]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    return len(tokens) - 1
+
+
+def translate(sql: str) -> str:
+    """Translate one DuckDB-dialect statement to Spark SQL."""
+    tokens = tokenize(sql)
+    tokens = _rewrite_table_name_literals(tokens)
+    tokens = _rewrite_quoted_identifiers(tokens)
+    tokens = _rewrite_extract_dow(tokens)
+    tokens = _rewrite_date_trunc(tokens)
+    tokens = _rewrite_simple(tokens)
+    return "".join(t.text for t in tokens)
+
+
+def _rewrite_table_name_literals(tokens: List[Token]) -> List[Token]:
+    out: List[Token] = []
+    prev_code: Token | None = None
+    for tok in tokens:
+        if (
+            tok.kind == "string"
+            and prev_code is not None
+            and prev_code.kind == "word"
+            and prev_code.upper in _TABLE_NAME_CONTEXT
+        ):
+            inner = tok.text[1:-1].replace("''", "'")
+            out.append(Token("bident", f"`{inner}`"))
+            prev_code = out[-1]
+            continue
+        out.append(tok)
+        if tok.kind not in ("ws", "comment"):
+            prev_code = tok
+    return out
+
+
+def _rewrite_quoted_identifiers(tokens: List[Token]) -> List[Token]:
+    out: List[Token] = []
+    for tok in tokens:
+        if tok.kind == "qident":
+            inner = tok.text[1:-1].replace('""', '"')
+            out.append(Token("bident", f"`{inner}`"))
+        else:
+            out.append(tok)
+    return out
+
+
+def _rewrite_extract_dow(tokens: List[Token]) -> List[Token]:
+    """EXTRACT(DOW FROM x) -> (EXTRACT(DOW FROM x) - 1)
+    EXTRACT(ISODOW FROM x) -> (weekday(x) + 1)"""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.is_kw("EXTRACT"):
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].text == "(":
+                field_idx = _next_code(tokens, p_open)
+                field = tokens[field_idx].upper if field_idx < n else ""
+                if field in ("DOW", "DAYOFWEEK", "ISODOW"):
+                    close = _matching_paren(tokens, p_open)
+                    if field == "ISODOW":
+                        from_idx = _next_code(tokens, field_idx)
+                        expr = tokens[_next_code(tokens, from_idx): close]
+                        out.append(Token("word", "(weekday("))
+                        out.extend(expr)
+                        out.append(Token("word", ") + 1)"))
+                    else:
+                        out.append(Token("op", "("))
+                        out.extend(tokens[i: close + 1])
+                        out.append(Token("word", " - 1)"))
+                    i = close + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+def _rewrite_date_trunc(tokens: List[Token]) -> List[Token]:
+    """date_trunc('month', x) -> CAST(date_trunc('month', x) AS DATE) for
+    day-or-coarser parts, matching DuckDB's DATE return type."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() == "date_trunc":
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].text == "(":
+                part_idx = _next_code(tokens, p_open)
+                part_tok = tokens[part_idx] if part_idx < n else None
+                part = (
+                    part_tok.text[1:-1].lower()
+                    if part_tok is not None and part_tok.kind == "string"
+                    else None
+                )
+                if part in _DATE_PARTS:
+                    close = _matching_paren(tokens, p_open)
+                    out.append(Token("word", "CAST("))
+                    out.extend(tokens[i: close + 1])
+                    out.append(Token("word", " AS DATE)"))
+                    i = close + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+def _rewrite_simple(tokens: List[Token]) -> List[Token]:
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        # floor division
+        if tok.kind == "op" and tok.text == "//":
+            out.append(Token("word", " DIV "))
+            i += 1
+            continue
+        if tok.kind == "word":
+            low = tok.text.lower()
+            nxt = _next_code(tokens, i)
+            calls_fn = nxt < n and tokens[nxt].text == "("
+            if low == "version" and calls_fn:
+                close = _matching_paren(tokens, nxt)
+                out.append(Token("string", f"'{engine_version_string()}'"))
+                i = close + 1
+                continue
+            if low == "exclude" and calls_fn:
+                out.append(Token("word", "EXCEPT"))
+                i += 1
+                continue
+            if low in _FN_RENAMES and calls_fn:
+                out.append(Token("word", _FN_RENAMES[low]))
+                i += 1
+                continue
+        out.append(tok)
+        i += 1
+    return out

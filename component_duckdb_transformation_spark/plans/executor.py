@@ -1,0 +1,375 @@
+"""Spark statement execution: the engine half the reference delegates to
+DuckDB (``cursor.execute(sql)``, reference src/query_orchestrator.py:351).
+
+Statement routing:
+
+- ``CREATE [OR REPLACE] VIEW``  -> Spark temporary view (lazy, like the
+  reference's CSV-input views)
+- ``CREATE [OR REPLACE] TABLE`` -> materialized Parquet table in the
+  session warehouse dir + temp view over it. Materialization matches
+  DuckDB CTAS semantics (computed once, then mutable) and is the sane
+  100 TB behavior: downstream readers re-scan Parquet instead of
+  re-computing the plan.
+- ``INSERT INTO``               -> Parquet append + view refresh
+- ``UPDATE`` / ``DELETE``       -> SQL rewrite to a full-table SELECT
+  (CASE-projection / negated-predicate filter), written as a new table
+  version and re-bound — copy-on-write over plain Parquet, the same
+  model table formats use, minus manifests
+- anything else                 -> ``spark.sql`` + noop-format write
+  (executes the plan distributed, discards rows — the analogue of
+  DuckDB executing a bare SELECT)
+
+All SQL passes through functions.dialect.translate first.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+import threading
+import uuid
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..exceptions import UserException
+from ..functions.dialect import translate
+from .orchestrator import Query
+from .sql_parser import ParsedStatement, StatementType
+from .sql_tokens import Token, code_tokens, tokenize
+
+LOG = logging.getLogger(__name__)
+
+
+def _bt(name: str) -> str:
+    """Backtick-quote a (possibly dotted / dashed) logical table name."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+@dataclass
+class TableState:
+    name: str
+    version: int = 0
+    path: Optional[str] = None
+    order_by: Optional[str] = None  # terminal ORDER BY clause text, for export
+
+
+class TableStore:
+    """Materialized-table catalog over a Parquet warehouse directory.
+
+    Replaces the reference's persistent ``.duck.db`` working database
+    (reference src/component.py:58-66): every CREATE TABLE lands here,
+    versioned per mutation, always exposed as a temp view under its
+    logical name.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self.tables: Dict[str, TableState] = {}
+        self._lock = threading.Lock()
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    def _safe_dir(self, name: str) -> str:
+        slug = re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+        return os.path.join(self.warehouse_dir, slug)
+
+    def _bind_view(self, state: TableState) -> None:
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {_bt(state.name)} "
+            f"AS SELECT * FROM parquet.`{state.path}`"
+        )
+
+    def create_table(self, name: str, df: DataFrame, order_by: str | None = None) -> None:
+        with self._lock:
+            state = self.tables.get(name) or TableState(name=name)
+            state.version += 1
+            state.order_by = order_by
+            state.path = os.path.join(self._safe_dir(name), f"v{state.version}")
+            self.tables[name] = state
+        df.write.mode("overwrite").parquet(state.path)
+        self._bind_view(state)
+
+    def insert_into(self, name: str, df: DataFrame) -> None:
+        state = self.tables.get(name)
+        if state is None:
+            raise UserException(f"INSERT INTO unknown table '{name}'")
+        target = self.spark.table(_bt(name))
+        aligned = _align_by_position(df, target)
+        aligned.write.mode("append").parquet(state.path)
+        self.spark.catalog.refreshByPath(state.path)
+        self._bind_view(state)
+
+    def rewrite(self, name: str, df: DataFrame) -> None:
+        """Copy-on-write: write a new version, re-bind the view."""
+        state = self.tables.get(name)
+        if state is None:
+            raise UserException(f"UPDATE/DELETE on unknown table '{name}'")
+        with self._lock:
+            state.version += 1
+            new_path = os.path.join(self._safe_dir(name), f"v{state.version}")
+        df.write.mode("overwrite").parquet(new_path)
+        state.path = new_path
+        self._bind_view(state)
+
+    def order_by_clause(self, name: str) -> Optional[str]:
+        state = self.tables.get(name)
+        return state.order_by if state else None
+
+
+def _align_by_position(df: DataFrame, target: DataFrame) -> DataFrame:
+    """Positionally align INSERT source columns to the target schema."""
+    t_fields = target.schema.fields
+    if len(df.columns) != len(t_fields):
+        raise UserException(
+            f"INSERT column count {len(df.columns)} does not match target {len(t_fields)}"
+        )
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(src).cast(fld.dataType).alias(fld.name)
+            for src, fld in zip(df.columns, t_fields)
+        ]
+    )
+
+
+class SparkStatementExecutor:
+    """Executes parsed scripts against a SparkSession."""
+
+    def __init__(self, spark: SparkSession, store: TableStore):
+        self.spark = spark
+        self.store = store
+        # view ORDER BY clauses for export-time re-sort (SURVEY §7.2)
+        self.view_order_by: Dict[str, str] = {}
+
+    # -- public entry -----------------------------------------------------
+    def execute_query(self, query: Query) -> None:
+        """Run one script (possibly multiple statements, sequentially),
+        inside a named Spark job group so batch failure can cancel it."""
+        sc = self.spark.sparkContext
+        sc.setJobGroup(query.name, query.sql[:120], interruptOnCancel=True)
+        sc.setLocalProperty("spark.scheduler.pool", query.block_name)
+        try:
+            for st in query.statements:
+                self._execute_statement(st)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    # -- routing ----------------------------------------------------------
+    def _execute_statement(self, st: ParsedStatement) -> None:
+        stype = st.statement_type
+        if stype == StatementType.CREATE_VIEW:
+            self._create_view(st)
+        elif stype == StatementType.CREATE_TABLE:
+            self._create_table(st)
+        elif stype == StatementType.INSERT:
+            self._insert(st)
+        elif stype == StatementType.UPDATE:
+            self._update(st)
+        elif stype == StatementType.DELETE:
+            self._delete(st)
+        else:
+            df = self.spark.sql(translate(st.sql))
+            if df.columns:
+                # execute fully, discard rows — distributed, no driver collect
+                df.write.format("noop").mode("overwrite").save()
+
+    # -- CREATE -----------------------------------------------------------
+    def _create_view(self, st: ParsedStatement) -> None:
+        name = next(iter(st.outputs), None)
+        if name is None:
+            raise UserException(f"Cannot determine view name in: {st.sql[:100]}")
+        body = _body_after_as(st.sql)
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {_bt(name)} AS {translate(body)}"
+        )
+        order_clause = _terminal_order_by(body)
+        if order_clause:
+            self.view_order_by[name] = order_clause
+
+    def _create_table(self, st: ParsedStatement) -> None:
+        name = next(iter(st.outputs), None)
+        if name is None:
+            raise UserException(f"Cannot determine table name in: {st.sql[:100]}")
+        body = _body_after_as(st.sql, allow_missing=True)
+        if body is None:
+            # bare DDL: CREATE TABLE t (col type, ...) -> empty table
+            schema_sql = _ddl_column_schema(st.sql)
+            df = self.spark.sql(f"SELECT {schema_sql} WHERE 1=0")
+        else:
+            df = self.spark.sql(translate(body))
+        self.store.create_table(name, df, order_by=_terminal_order_by(body or ""))
+
+    # -- DML --------------------------------------------------------------
+    def _insert(self, st: ParsedStatement) -> None:
+        name = next(iter(st.outputs), None)
+        tail = _insert_source_sql(st.sql)
+        df = self.spark.sql(translate(tail))
+        self.store.insert_into(name, df)
+
+    def _update(self, st: ParsedStatement) -> None:
+        name = next(iter(st.outputs), None)
+        assignments, where = _parse_update(st.sql)
+        current = self.spark.table(_bt(name))
+        cols = []
+        pred = f"coalesce(({translate(where)}), false)" if where else "true"
+        assigned = {c.lower(): e for c, e in assignments}
+        for fld in current.schema.fields:
+            expr = assigned.get(fld.name.lower())
+            if expr is not None:
+                cols.append(
+                    f"CASE WHEN {pred} THEN CAST(({translate(expr)}) AS "
+                    f"{fld.dataType.simpleString()}) ELSE {_bt(fld.name)} END AS {_bt(fld.name)}"
+                )
+            else:
+                cols.append(_bt(fld.name))
+        new_df = self.spark.table(_bt(name)).selectExpr(*cols)
+        self.store.rewrite(name, new_df)
+
+    def _delete(self, st: ParsedStatement) -> None:
+        name = next(iter(st.outputs), None)
+        where = _delete_where(st.sql)
+        if where is None:
+            new_df = self.spark.table(_bt(name)).limit(0)
+        else:
+            new_df = self.spark.table(_bt(name)).filter(
+                f"NOT coalesce(({translate(where)}), false)"
+            )
+        self.store.rewrite(name, new_df)
+
+
+# -- statement-text helpers (tokenizer-based, string/comment safe) --------
+
+def _code(sql: str) -> List[tuple[int, Token]]:
+    return list(code_tokens(tokenize(sql)))
+
+
+def _body_after_as(sql: str, allow_missing: bool = False) -> Optional[str]:
+    """Text after the top-level AS in CREATE ... AS <select>.
+    Handles DuckDB's `CREATE TABLE t AS FROM x` and parenthesized bodies."""
+    tokens = tokenize(sql)
+    depth = 0
+    seen_create_name = False
+    for i, tok in enumerate(tokens):
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        elif depth == 0 and tok.is_kw("AS"):
+            body = "".join(t.text for t in tokens[i + 1:]).strip()
+            if body.startswith("(") and body.endswith(")"):
+                inner = body[1:-1].strip()
+                if inner.upper().startswith(("SELECT", "WITH", "FROM", "VALUES")):
+                    body = inner
+            # DuckDB allows `AS FROM t`
+            if body.upper().startswith("FROM"):
+                body = "SELECT * " + body
+            return body
+    if allow_missing:
+        return None
+    raise UserException(f"Missing AS <select> body in: {sql[:100]}")
+
+
+def _terminal_order_by(body: str) -> Optional[str]:
+    """Top-level 'ORDER BY ...' clause text (without LIMIT tail), if any."""
+    tokens = tokenize(body)
+    depth = 0
+    order_start = None
+    limit_start = None
+    code = list(code_tokens(tokens))
+    for pos, (idx, tok) in enumerate(code):
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        elif depth == 0 and tok.is_kw("ORDER"):
+            if pos + 1 < len(code) and code[pos + 1][1].is_kw("BY"):
+                order_start = idx
+        elif depth == 0 and tok.is_kw("LIMIT") and order_start is not None:
+            limit_start = idx
+            break
+    if order_start is None:
+        return None
+    end = limit_start if limit_start is not None else len(tokens)
+    clause = "".join(t.text for t in tokens[order_start:end]).strip()
+    # strip leading ORDER BY
+    return re.sub(r"(?is)^ORDER\s+BY\s+", "", clause)
+
+
+def _insert_source_sql(sql: str) -> str:
+    """SELECT/VALUES tail of an INSERT statement."""
+    code = _code(sql)
+    for pos, (idx, tok) in enumerate(code):
+        if tok.is_kw("SELECT", "WITH", "VALUES", "FROM") and pos >= 2:
+            tokens = tokenize(sql)
+            tail = "".join(t.text for t in tokens[idx:]).strip()
+            if tail.upper().startswith("FROM"):
+                tail = "SELECT * " + tail
+            if tail.upper().startswith("VALUES"):
+                tail = "SELECT * FROM " + tail
+            return tail
+    raise UserException(f"Unsupported INSERT form: {sql[:100]}")
+
+
+def _parse_update(sql: str) -> tuple[List[tuple[str, str]], Optional[str]]:
+    """Parse `UPDATE t SET c = expr[, ...] [WHERE pred]` into
+    ([(col, expr)], pred)."""
+    tokens = tokenize(sql)
+    set_idx = where_idx = None
+    depth = 0
+    for i, tok in enumerate(tokens):
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        elif depth == 0 and tok.is_kw("SET") and set_idx is None:
+            set_idx = i
+        elif depth == 0 and tok.is_kw("WHERE"):
+            where_idx = i
+            break
+    if set_idx is None:
+        raise UserException(f"UPDATE without SET: {sql[:100]}")
+    set_end = where_idx if where_idx is not None else len(tokens)
+    set_text_tokens = tokens[set_idx + 1: set_end]
+    assignments: List[tuple[str, str]] = []
+    # split on top-level commas
+    part: List[Token] = []
+    depth = 0
+    parts: List[List[Token]] = []
+    for tok in set_text_tokens:
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        if depth == 0 and tok.kind == "op" and tok.text == ",":
+            parts.append(part)
+            part = []
+        else:
+            part.append(tok)
+    if part:
+        parts.append(part)
+    for ptoks in parts:
+        text = "".join(t.text for t in ptoks)
+        col, _, expr = text.partition("=")
+        col_name = col.strip().strip('"`')
+        assignments.append((col_name, expr.strip()))
+    where = None
+    if where_idx is not None:
+        where = "".join(t.text for t in tokens[where_idx + 1:]).strip()
+    return assignments, where
+
+
+def _delete_where(sql: str) -> Optional[str]:
+    tokens = tokenize(sql)
+    depth = 0
+    for i, tok in enumerate(tokens):
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        elif depth == 0 and tok.is_kw("WHERE"):
+            return "".join(t.text for t in tokens[i + 1:]).strip()
+    return None

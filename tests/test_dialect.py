@@ -1,0 +1,59 @@
+"""DuckDB->Spark dialect translation (SURVEY §2.B divergences)."""
+
+from component_duckdb_transformation_spark import engine_version_string
+from component_duckdb_transformation_spark.functions.dialect import translate
+
+
+def test_string_literal_table_names():
+    out = translate("CREATE VIEW 'out.csv' AS SELECT * FROM 'days.csv'")
+    assert "`out.csv`" in out and "`days.csv`" in out
+
+
+def test_string_literals_elsewhere_untouched():
+    out = translate("SELECT 'hello' AS x FROM t WHERE name = 'days.csv'")
+    assert "'hello'" in out and "= 'days.csv'" in out
+
+
+def test_quoted_identifiers_to_backticks():
+    assert translate('SELECT "my col" FROM "my-table"') == "SELECT `my col` FROM `my-table`"
+
+
+def test_dow_shim():
+    out = translate("SELECT extract(dow FROM d) FROM t")
+    assert "(extract(dow FROM d) - 1)" in out
+
+
+def test_isodow_shim():
+    out = translate("SELECT extract(isodow FROM d) FROM t")
+    assert "weekday" in out
+
+
+def test_date_trunc_date_parts_cast():
+    out = translate("SELECT date_trunc('month', d) FROM t")
+    assert out.startswith("SELECT CAST(date_trunc('month', d) AS DATE)")
+
+
+def test_date_trunc_time_parts_untouched():
+    out = translate("SELECT date_trunc('hour', ts) FROM t")
+    assert "CAST" not in out
+
+
+def test_floor_division():
+    assert "DIV" in translate("SELECT a // 2 FROM t")
+
+
+def test_version_literal():
+    assert engine_version_string() in translate("SELECT version()")
+
+
+def test_function_renames():
+    out = translate("SELECT regexp_matches(s, 'x'), string_split(s, ' ') FROM t")
+    assert "regexp_like" in out and "split" in out
+
+
+def test_passthrough_core_sql():
+    sql = (
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem "
+        "WHERE l_shipdate >= DATE '1998-01-01' GROUP BY l_returnflag"
+    )
+    assert translate(sql) == sql

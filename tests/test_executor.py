@@ -1,0 +1,57 @@
+"""End-to-end engine execution: CTAS / views / INSERT / UPDATE / DELETE
+against a live SparkSession (the behavior DuckDB provides the reference)."""
+
+from component_duckdb_transformation_spark.configuration import Block, Code
+from component_duckdb_transformation_spark.plans.executor import SparkStatementExecutor
+from component_duckdb_transformation_spark.plans.orchestrator import BlockOrchestrator
+
+
+def run_blocks(spark, table_store, blocks):
+    ex = SparkStatementExecutor(spark, table_store)
+    orch = BlockOrchestrator(execute_script=ex.execute_query, max_workers=4)
+    orch.add_queries_from_blocks(blocks)
+    return ex, orch.execute()
+
+
+def test_full_mutation_lifecycle(spark, table_store):
+    spark.range(10).selectExpr("id", "id * 2 AS value").createOrReplaceTempView("src")
+    blocks = [Block(name="b1", codes=[Code(name="c1", script=[
+        "CREATE TABLE t1 AS SELECT * FROM src WHERE id < 8",
+        "CREATE VIEW v1 AS SELECT id, value FROM t1 WHERE id >= 2 ORDER BY id DESC",
+        "INSERT INTO t1 SELECT 100, 200",
+        "UPDATE t1 SET value = value + 1 WHERE id = 100",
+        "DELETE FROM t1 WHERE id = 3",
+    ])])]
+    run_blocks(spark, table_store, blocks)
+    rows = sorted(tuple(r) for r in spark.table("t1").collect())
+    assert (100, 201) in rows
+    assert not any(r[0] == 3 for r in rows)
+    v1 = [tuple(r) for r in spark.sql("SELECT * FROM v1").collect()]
+    assert v1 == [(100, 201), (7, 14), (6, 12), (5, 10), (4, 8), (2, 4)]
+
+
+def test_string_literal_view_names(spark, table_store):
+    spark.sql("SELECT 1 AS id, 'Monday' AS name").createOrReplaceTempView("days_src")
+    blocks = [Block(name="b", codes=[Code(name="c", script=[
+        "CREATE VIEW 'week.csv' AS SELECT * FROM days_src",
+    ])])]
+    run_blocks(spark, table_store, blocks)
+    assert spark.sql("SELECT * FROM `week.csv`").count() == 1
+
+
+def test_create_table_as_from(spark, table_store):
+    spark.range(5).createOrReplaceTempView("nums")
+    blocks = [Block(name="b", codes=[Code(name="c", script=[
+        "CREATE TABLE copy_t AS FROM nums",
+    ])])]
+    run_blocks(spark, table_store, blocks)
+    assert spark.table("copy_t").count() == 5
+
+
+def test_insert_values(spark, table_store):
+    blocks = [Block(name="b", codes=[Code(name="c", script=[
+        "CREATE TABLE kv AS SELECT 1 AS k, 'a' AS v",
+        "INSERT INTO kv VALUES (2, 'b'), (3, 'c')",
+    ])])]
+    run_blocks(spark, table_store, blocks)
+    assert spark.table("kv").count() == 3
