@@ -1,0 +1,285 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale posture (100 TB):
+
+- **exact**: one hash-aggregate shuffle on a 64-bit content hash — the
+  cheapest possible full-corpus dedup; never groups by the raw text.
+- **minhash_lsh**: the production near-dup path. Cost is
+  O(docs x num_hashes) map-side + a shuffle keyed by (band, bucket);
+  candidate verification joins only within buckets. No all-pairs stage
+  anywhere.
+- **ngram_jaccard**: exact pairwise Jaccard via a shingle-inverted-index
+  self-join. Quadratic in the hottest shingle's posting list — correct
+  as a small-scale oracle / verifier for LSH, not the 100 TB path; a
+  frequency cap on shingles (``max_shingle_freq``) bounds the blowup.
+- **simhash**: 64-bit signature via per-word-hash bit voting; near-dup
+  pairs found by banding the signature into 16-bit chunks (hamming<=3
+  guarantees an exact chunk match by pigeonhole).
+
+All operators use only built-in functions (xxhash64, higher-order array
+functions) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical texts: (keeper_id, n_copies, member ids).
+
+    Hashes text first so the shuffle key is 8 bytes, not the document.
+    """
+    hashed = df.select(
+        F.col(id_col), F.xxhash64(F.col(text_col)).alias("content_hash")
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle)."""
+    w = F.split(F.col(text_col), " ")
+    idx = F.when(F.size(w) >= k, F.sequence(F.lit(0), F.size(w) - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via inverted-index join.
+
+    (d1, d2, intersection, union, jaccard) for jaccard >= threshold.
+    ``max_shingle_freq`` drops shingles hotter than the cap (stopword
+    shingles) to bound the self-join at scale.
+    """
+    sh = shingles(df, id_col, text_col, k)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)), "shingle").drop("f")
+    sh = sh.cache()
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("intersection"))
+    )
+    c1 = card.select(F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1"))
+    c2 = card.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(c1, "d1").join(c2, "d2")
+        .withColumn("union_size", F.col("n1") + F.col("n2") - F.col("intersection"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("intersection").cast("double") / F.col("union_size"), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "intersection", "union_size", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) MinHash signatures.
+
+    h_i(s) = xxhash64(shingle, i); signature_i = min over shingles.
+
+    Implemented as explode(shingles) -> num_hashes parallel MIN
+    aggregates -> array. The shingle is materialized as a row field
+    before hashing, so each shingle string is built exactly once
+    (a nested-lambda formulation re-evaluates split(text) per lambda
+    element — Catalyst inlines collapsed projections into lambda
+    bodies, which is quadratic per row). The groupBy benefits from
+    map-side partial aggregation: shuffle volume is docs x num_hashes
+    x 8B regardless of document size — the 100 TB-safe shape.
+
+    Docs with fewer than ``k`` words have no shingles and are absent
+    from the output (they cannot be near-duplicates).
+    """
+    sh = shingles(df, id_col, text_col, k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    LSH generates candidates (any shared band bucket); candidates are
+    then verified with exact shingle Jaccard so output has no false
+    positives. Rows: (d1, d2, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast(
+                            "array<string>"
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # exact verify on the candidate set only; join keyed on (d2, shingle)
+    # so the intersection is a composite-key hash join, never a per-pair
+    # shingle cross product
+    sh = shingles(df, id_col, text_col, k)
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        candidates.join(s1, "d1")
+        .join(s2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("intersection"))
+    )
+    c1 = card.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    c2 = card.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(c1, "d1").join(c2, "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersection").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("intersection")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document via per-word-hash bit voting.
+
+    explode(distinct words) -> xxhash64 once per word -> 64 parallel
+    SUM(+-1) bit-vote aggregates -> recombine sign bits. Partial
+    (map-side) aggregation makes the shuffle docs x 64 x 8B regardless
+    of document length; the word hash is computed exactly once per word
+    (a single nested higher-order expression re-evaluates split(text)
+    per bit position). Docs with no words are absent from the output.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),
+    )
+    hashed = words.select("doc_id", F.xxhash64("word").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"_v{b}") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming, found by 16-bit-chunk
+    banding (pigeonhole: <=3 differing bits leaves >=1 of 4 chunks equal)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)")
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

@@ -1,0 +1,140 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure column expressions over built-in
+``pyspark.sql.functions`` — JVM-side, whole-stage-codegen friendly, no
+Python UDFs in the hot path — so they scale linearly with input splits
+(no shuffle at all: these are map-only).
+
+The reference has no text operators (its surface is delegated SQL);
+these extend the engine per the driver's north star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small multilingual stopword marker sets for the heuristic language id
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "nicht"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "es": ("el", "los", "las", "que", "y"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "or", "to", "in", "is", "on", "for")
+
+HASH_MOD = 1_000_000_007
+
+
+def words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def avg_word_length(text: Column) -> Column:
+    wc = word_count(text)
+    total = F.length(text) - (wc - F.lit(1))  # minus separator spaces
+    return F.when(wc > 0, total.cast("double") / wc).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    w = words(text)
+    hits = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
+    return F.when(F.size(w) > 0, hits.cast("double") / F.size(w)).otherwise(F.lit(0.0))
+
+
+def unique_word_ratio(text: Column) -> Column:
+    w = words(text)
+    return F.when(
+        F.size(w) > 0, F.size(F.array_distinct(w)).cast("double") / F.size(w)
+    ).otherwise(F.lit(0.0))
+
+
+def non_alpha_ratio(text: Column) -> Column:
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z ]", ""))
+    return F.when(
+        F.length(text) > 0,
+        (F.length(text) - alpha).cast("double") / F.length(text),
+    ).otherwise(F.lit(0.0))
+
+
+def token_count_whitespace(text: Column) -> Column:
+    return word_count(text).cast("bigint")
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """Approximate subword token count: alpha runs count ~ceil(len/4)
+    tokens each (BPE-ish), plus digit runs and symbols."""
+    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    # regexp_count's pattern arg is ColumnOrName — a bare str is a column ref
+    digit_runs = F.regexp_count(text, F.lit(r"[0-9]+"))
+    symbols = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
+    # floor, not cast-truncate: DuckDB CAST(double AS BIGINT) rounds while
+    # Spark truncates — floor() agrees in both engines
+    return (F.floor((alpha_chars + F.lit(3)) / F.lit(4)) + digit_runs + symbols).cast(
+        "bigint"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0-1 quality heuristic: long-enough, diverse, low-symbol."""
+    wc = word_count(text).cast("double")
+    length_part = F.least(wc / F.lit(50.0), F.lit(1.0))
+    diversity = unique_word_ratio(text)
+    cleanliness = F.lit(1.0) - F.least(non_alpha_ratio(text) * 5, F.lit(1.0))
+    return F.round((length_part + diversity + cleanliness) / 3, 6)
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic marker-word language id. Deterministic greatest-hits
+    vote with fixed tie order en > de > fr > es."""
+    w = words(F.lower(text))
+
+    def marker_score(markers):
+        # NB: closure, not a default-arg lambda — pyspark counts lambda
+        # params to decide (x) vs (x, i) higher-order signatures
+        return F.size(F.filter(w, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_score(markers) for lang, markers in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    result = F.lit("unknown")
+    for lang in ("es", "fr", "de", "en"):  # reversed priority: later wins ties
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best > 0, result).otherwise(F.lit("unknown"))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-sensitive 63-bit document fingerprint: polynomial rolling
+    hash over per-word codes, exact integer arithmetic (reproducible in
+    any engine: same formula is expressible in DuckDB as
+    list_reduce(list_prepend(0, list_transform(...))))."""
+    codes = F.transform(
+        words(text),
+        lambda w: (F.ascii(w) * 31 + F.length(w)).cast("bigint"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 131 + x) % HASH_MOD,
+    )
+
+
+def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full metric set as columns (map-only, no shuffle)."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        word_count(t).alias("n_words"),
+        F.round(avg_word_length(t), 6).alias("avg_word_len"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(unique_word_ratio(t), 6).alias("unique_ratio"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
+        doc_fingerprint(t).alias("fingerprint"),
+        token_count_whitespace(t).alias("n_tokens_ws"),
+        token_count_bpe_ish(t).alias("n_tokens_bpe"),
+    )

@@ -71,7 +71,11 @@ def build_spark_session(
         .config("spark.scheduler.mode", "FAIR")
         # Arrow for every pandas_udf / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Tolerate TIMESTAMP(NANOS) parquet (read as BIGINT; converted to
+        # us TIMESTAMP_NTZ by sources.parquet_io.read_parquet)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("CDTS_SPARK_UI", "false"))
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if master.startswith("local"):
         builder = builder.master(master).config("spark.driver.memory", f"{max_memory_mb}m")

@@ -1,0 +1,60 @@
+"""Parquet reading with nanosecond-timestamp tolerance.
+
+Spark's parquet reader rejects ``TIMESTAMP(NANOS)`` columns
+(PARQUET_TYPE_ILLEGAL) — files written by pandas/arrow with ns
+precision (e.g. the driver's events table) need handling. Strategy:
+
+1. inspect the footer schema with pyarrow (driver-side, metadata only),
+2. if ns timestamps exist, read with
+   ``spark.sql.legacy.parquet.nanosAsLong`` (ns arrive as BIGINT),
+3. convert ns -> us distributed (``DIV 1000`` + timestamp_micros) and
+   cast to TIMESTAMP_NTZ — microsecond truncation, matching how
+   DuckDB converts ns parquet to its us TIMESTAMP.
+
+The session factory sets the conf globally; conversion happens here.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _first_parquet_file(path: str) -> str:
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.endswith((".parquet", ".parq")) and not name.startswith("_"):
+                return os.path.join(path, name)
+    return path
+
+
+def nanos_timestamp_columns(path: str) -> List[str]:
+    """Column names with ns-precision timestamps (footer-only read)."""
+    try:
+        schema = pq.read_schema(_first_parquet_file(path))
+    except Exception:
+        return []
+    return [
+        field.name
+        for field in schema
+        if pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+    ]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with ns-timestamp fixup (distributed cast)."""
+    ns_cols = nanos_timestamp_columns(path)
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # nanosAsLong gives BIGINT nanos; integer-DIV to us (truncation,
+        # same as DuckDB's ns->us conversion), then NTZ timestamp
+        df = df.withColumn(
+            c,
+            F.timestamp_micros(F.expr(f"`{c}` DIV 1000")).cast("timestamp_ntz"),
+        )
+    return df

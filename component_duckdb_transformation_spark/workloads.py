@@ -1,0 +1,710 @@
+"""Workload registry: every operator from SURVEY.md §2 as a named query
+with a DuckDB oracle, over the driver testdata tables.
+
+Two kinds of workloads:
+
+- **shared-text SQL** — written once in DuckDB dialect; the Spark side
+  is ``functions.dialect.translate`` + ``spark.sql`` (i.e. the actual
+  engine path a user's script takes), the oracle is the original text.
+  This makes the correctness gate exercise the dialect layer itself.
+- **split** — DataFrame-native operators (dedup, similarity, as-of,
+  multimodal) with a hand-written DuckDB oracle where the computation is
+  reproducible in SQL (integer/rounded arithmetic), or no oracle for
+  hash-based ops (MinHash/SimHash/LSH — driver records rows-only).
+
+Cross-engine determinism rules used throughout (see SURVEY §2.B):
+sum(int) cast to BIGINT (DuckDB yields HUGEINT); extract()/length()/
+row_number()/rank() cast to INT (DuckDB yields BIGINT); doubles rounded;
+floats quantized to integer arithmetic where ranking depends on them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.dialect import translate
+from .operators import dedup, multimodal, similarity, text_analysis
+from .operators.asof import asof_join
+from .sources.parquet_io import read_parquet
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        read_parquet(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+@dataclass(frozen=True)
+class Workload:
+    name: str
+    make: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    description: str = ""
+
+
+WORKLOADS: Dict[str, Workload] = {}
+
+
+def _add_sql(name: str, sql: str, description: str = "", oracle: str | None = None) -> None:
+    def make(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(translate(_sql))
+
+    WORKLOADS[name] = Workload(name, make, oracle if oracle is not None else sql, description)
+
+
+def _add_df(
+    name: str,
+    builder: Callable[[SparkSession, str], DataFrame],
+    oracle: str | None,
+    description: str = "",
+) -> None:
+    def make(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return builder(spark, sf_dir)
+
+    WORKLOADS[name] = Workload(name, make, oracle, description)
+
+
+# ---------------------------------------------------------------------------
+# Core SQL surface (SURVEY §2.B) — shared-text: oracle == source text
+# ---------------------------------------------------------------------------
+
+_add_sql(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "scan+filter+groupBy agg (TPC-H Q1 shape; SURVEY §2.B aggregation)",
+)
+
+_add_sql(
+    "q02_filter_case_cast",
+    """
+    SELECT p_partkey, p_name,
+           upper(p_brand) AS brand_up,
+           p_type || '/' || p_brand AS type_brand,
+           CASE WHEN p_size BETWEEN 1 AND 15 THEN 'small'
+                WHEN p_size BETWEEN 16 AND 35 THEN 'medium'
+                ELSE 'large' END AS size_class,
+           p_size::BIGINT AS size_big,
+           round(p_retailprice * 1.1, 2) AS price_up
+    FROM part
+    WHERE p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+      AND p_retailprice BETWEEN 900 AND 1900
+    """,
+    "projection, CASE, :: cast, IN, BETWEEN, || concat (EP:13-16, EP:42-47)",
+)
+
+_add_sql(
+    "q03_left_join_agg",
+    """
+    SELECT n_name, r_name,
+           count(c_custkey) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM nation
+    LEFT JOIN region ON n_regionkey = r_regionkey
+    LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name, r_name
+    """,
+    "LEFT JOIN chain + agg (reference simple/ case: LEFT JOIN USING)",
+)
+
+_add_sql(
+    "q04_multi_join_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    "5-way join w/ broadcastable dims (TPC-H Q5 shape)",
+)
+
+_add_sql(
+    "q05_cross_join_fanout",
+    """
+    WITH multiplier AS (
+      SELECT 1 AS m UNION ALL SELECT 2 UNION ALL SELECT 3
+      UNION ALL SELECT 4 UNION ALL SELECT 5)
+    SELECT s_name, m,
+           round(s_acctbal * m, 2) AS scaled_bal,
+           s_name || '_' || CAST(m AS STRING) AS tag
+    FROM supplier CROSS JOIN multiplier
+    """,
+    "CROSS JOIN literal-multiplier fan-out (EP:19-24 'stress testing')",
+)
+
+_add_sql(
+    "q06_conditional_agg",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+           round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS avg_open_price,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    "conditional aggregation + COUNT DISTINCT (EP:30-33, EP:42-47)",
+)
+
+_add_sql(
+    "q07_stats_agg",
+    """
+    SELECT l_returnflag,
+           round(stddev(l_quantity), 6) AS std_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(var_pop(l_quantity), 6) AS varpop_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(median(l_quantity), 4) AS median_qty,
+           mode(l_linenumber) AS mode_linenumber
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "STDDEV/VARIANCE/CORR/COVAR_POP/MEDIAN/MODE (EP:36-39, EP:71-78)",
+)
+
+_add_sql(
+    "q08_percentiles",
+    """
+    SELECT l_linestatus,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25,
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p75,
+           round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90,
+           round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50_disc
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    "PERCENTILE_CONT/DISC WITHIN GROUP (EP:36-39, EP:71-78; V:130-136)",
+)
+
+_add_sql(
+    "q09_window_lag_growth",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT d, revenue,
+           lag(revenue, 1) OVER (ORDER BY d) AS prev_revenue,
+           round((revenue - lag(revenue, 1) OVER (ORDER BY d))
+                 / NULLIF(lag(revenue, 1) OVER (ORDER BY d), 0) * 100, 4) AS growth_pct
+    FROM daily
+    """,
+    "LAG over aggregate + NULLIF ratio guard (EP:36-39, EP:53-57, EP:59-63)",
+)
+
+_add_sql(
+    "q10_window_rank",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           CAST(row_number() OVER w AS INT) AS rn,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prank,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    "ROW_NUMBER/RANK/DENSE_RANK/PERCENT_RANK/NTILE (EP:64-68)",
+)
+
+_add_sql(
+    "q11_rolling_frames",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority AS prio,
+             date_trunc('day', o_orderdate) AS d,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1, 2)
+    SELECT prio, d, revenue,
+           round(avg(revenue) OVER (PARTITION BY prio ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7,
+           round(sum(revenue) OVER (PARTITION BY prio ORDER BY d
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS sum_30,
+           count(*) OVER (PARTITION BY prio ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS cnt_7
+    FROM daily
+    """,
+    "rolling ROWS BETWEEN frames 7d/30d (EP:53-57, EP:64-68)",
+)
+
+_add_sql(
+    "q12_cte_chain",
+    """
+    WITH base AS (
+      SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_size > 10),
+    mult AS (SELECT 1 AS m UNION ALL SELECT 2 UNION ALL SELECT 3),
+    fanout AS (
+      SELECT p_brand, p_retailprice * m AS price_scaled FROM base CROSS JOIN mult)
+    SELECT p_brand, count(*) AS n, round(sum(price_scaled), 2) AS total
+    FROM fanout GROUP BY p_brand
+    """,
+    "3-deep CTE chain (EP:19-24, EP:53-57, EP:64-68; SURVEY §2.C)",
+)
+
+_add_sql(
+    "q13_set_operations",
+    """
+    SELECT k FROM (
+      SELECT n_nationkey AS k FROM nation WHERE n_regionkey IN (0, 1)
+      UNION
+      SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10
+    ) u
+    EXCEPT
+    SELECT n_nationkey AS k FROM nation WHERE n_nationkey > 20
+    """,
+    "UNION / EXCEPT set ops (UNION ALL at EP:19-24; rest delegated dialect)",
+)
+
+_add_sql(
+    "q14_topk",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    "ORDER BY + LIMIT top-k, unique tie-break",
+)
+
+_add_sql(
+    "q15_datetime_buckets",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+           CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+           CAST(extract(dow FROM o_orderdate) AS INT) AS dow,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+    "date_trunc + EXTRACT incl. DOW renumbering shim (EP:13-16, EP:36-68)",
+)
+
+_add_sql(
+    "q16_exists_semi_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
+    """,
+    "EXISTS/NOT EXISTS -> semi/anti joins (Catalyst rewrite; SURVEY §2.B joins)",
+)
+
+_add_sql(
+    "q17_scalar_subquery",
+    """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p
+    WHERE p_retailprice > (SELECT avg(p2.p_retailprice)
+                           FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+    "correlated scalar subquery (Catalyst decorrelation)",
+)
+
+_add_sql(
+    "q18_rollup_grouping",
+    """
+    SELECT CAST(grouping(r_name) AS INT) AS g_region,
+           CAST(grouping(n_name) AS INT) AS g_nation,
+           r_name, n_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "ROLLUP + GROUPING() (delegated dialect; SURVEY §2.B aggregation)",
+)
+
+_add_sql(
+    "q19_string_functions",
+    """
+    SELECT p_partkey,
+           CAST(length(p_name) AS INT) AS name_len,
+           upper(p_brand) AS brand_up,
+           lower(p_type) AS type_low,
+           substr(p_name, 1, 8) AS name_prefix,
+           replace(p_type, ' ', '-') AS type_dash,
+           trim('  ' || p_brand || '  ') AS brand_trim,
+           lpad(CAST(p_size AS STRING), 4, '0') AS size_pad,
+           CAST(strpos(p_type, 'BRASS') AS INT) AS brass_pos,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS has_green
+    FROM part
+    """,
+    "string function family (EP:13-16, EP:19-24)",
+)
+
+_add_sql(
+    "q20_json_extraction",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(get_json_object(props, '$.k') AS INT)) AS BIGINT) AS total_k,
+           round(avg(CAST(get_json_object(props, '$.k') AS INT)), 4) AS avg_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    "JSON scalar extraction over events.props (SURVEY §2.B scalar families)",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS total_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+
+_add_sql(
+    "q21_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "tumbling time-bucket aggregation over the events stream table (batch)",
+)
+
+_add_sql(
+    "q22_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+    "HAVING filter over aggregates",
+)
+
+_add_sql(
+    "q23_distinct",
+    """
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    "DISTINCT projection",
+)
+
+_add_sql(
+    "q24_arithmetic_semantics",
+    """
+    SELECT CAST(7 / 2 AS DOUBLE) AS div_double,
+           CAST(7 // 2 AS BIGINT) AS div_floor,
+           CAST(7 % 3 AS INT) AS mod_val,
+           CAST(power(2, 10) AS DOUBLE) AS pow_val,
+           CAST(abs(-5) AS INT) AS abs_val,
+           round(1.0 / 3, 6) AS third
+    """,
+    "division/modulo/power dialect semantics (SURVEY §7 hard-part 4)",
+)
+
+_add_sql(
+    "q25_null_handling",
+    """
+    SELECT o_orderstatus,
+           coalesce(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status2,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    "NULLIF/COALESCE (EP:59-63)",
+)
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (driver north star): dedup / similarity /
+# text analysis / multimodal / as-of
+# ---------------------------------------------------------------------------
+
+_add_df(
+    "x01_dedup_exact",
+    lambda spark, sf: dedup.exact_duplicates(spark.table("documents")).select(
+        "keeper_id", "n_copies"
+    ),
+    oracle="""
+    SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    description="exact dedup via 64-bit content-hash groupBy (8-byte shuffle key)",
+)
+
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       generate_series(1, 200) t(i)
+  WHERE i + 2 <= len(w)),
+card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS intersection
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2,
+       CAST(intersection AS BIGINT) AS intersection,
+       CAST(c1.n + c2.n - intersection AS BIGINT) AS union_size,
+       round(CAST(intersection AS DOUBLE) / (c1.n + c2.n - intersection), 6) AS jaccard
+FROM pairs
+JOIN card c1 ON d1 = c1.doc_id
+JOIN card c2 ON d2 = c2.doc_id
+WHERE round(CAST(intersection AS DOUBLE) / (c1.n + c2.n - intersection), 6) >= 0.4
+"""
+
+_add_df(
+    "x02_dedup_ngram_jaccard",
+    lambda spark, sf: dedup.ngram_jaccard_pairs(spark.table("documents"), threshold=0.4),
+    oracle=_JACCARD_ORACLE,
+    description="exact 3-gram Jaccard near-dup pairs via shingle inverted-index join",
+)
+
+_add_df(
+    "x03_dedup_minhash_lsh",
+    lambda spark, sf: dedup.minhash_lsh_pairs(
+        spark.table("documents"), num_hashes=64, bands=16, threshold=0.4
+    ),
+    oracle=None,  # xxhash64-based: not reproducible in SQL; rows-only check
+    description="MinHash(64)+LSH(16 bands) candidates, exact-Jaccard verified (scale path)",
+)
+
+_add_df(
+    "x04_dedup_simhash",
+    lambda spark, sf: dedup.simhash_near_pairs(spark.table("documents"), max_hamming=3),
+    oracle=None,  # xxhash64-based; rows-only check
+    description="64-bit SimHash near-dup pairs, exact by pigeonhole (4x16-bit bands)",
+)
+
+
+def _text_metrics_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in text_analysis._STOPWORDS)
+    marker = {
+        lang: ", ".join(f"'{w}'" for w in ws)
+        for lang, ws in text_analysis._LANG_MARKERS.items()
+    }
+    score = {
+        lang: f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({m})))"
+        for lang, m in marker.items()
+    }
+    best = f"greatest({score['en']}, {score['de']}, {score['fr']}, {score['es']})"
+    return f"""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      round((length(text) - (len(string_split(text, ' ')) - 1))
+            / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_word_len,
+      round(len(list_filter(string_split(text, ' '), x -> x IN ({stop})))
+            / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+      round(len(list_distinct(string_split(text, ' ')))
+            / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS unique_ratio,
+      round((least(len(string_split(text, ' ')) / 50.0, 1.0)
+             + len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)
+             + 1.0 - least(((length(text) - length(regexp_replace(text, '[^A-Za-z ]', '', 'g')))
+                            / CAST(length(text) AS DOUBLE)) * 5, 1.0)) / 3, 6) AS quality,
+      CASE WHEN {best} > 0 THEN
+        CASE WHEN {score['en']} = {best} THEN 'en'
+             WHEN {score['de']} = {best} THEN 'de'
+             WHEN {score['fr']} = {best} THEN 'fr'
+             WHEN {score['es']} = {best} THEN 'es' END
+      ELSE 'unknown' END AS lang_pred,
+      list_reduce(list_prepend(0::BIGINT,
+        list_transform(string_split(text, ' '),
+                       w -> (ascii(w) * 31 + length(w))::BIGINT)),
+        (acc, x) -> (acc * 131 + x) % {text_analysis.HASH_MOD}) AS fingerprint,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+      CAST(floor((length(regexp_replace(text, '[^A-Za-z]', '', 'g')) + 3) / 4)
+           + len(regexp_extract_all(text, '[0-9]+'))
+           + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
+    FROM documents
+    """
+
+
+_add_df(
+    "x05_text_metrics",
+    lambda spark, sf: text_analysis.with_text_metrics(
+        spark.table("documents").select("doc_id", "text")
+    ).drop("text"),
+    oracle=_text_metrics_oracle(),
+    description="quality scoring, language-ID, token counts, fingerprint (map-only)",
+)
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+    list_reduce(list_prepend(0::BIGINT,
+      list_transform(list_zip(q.qe, c.embedding),
+        s -> CAST(round(s[1] * 1000) AS BIGINT) * CAST(round(s[2] * 1000) AS BIGINT))),
+      (a, x) -> a + x) AS score
+  FROM q, embeddings c)
+SELECT query_id, vec_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= 10
+"""
+
+
+def _ann_builder(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(
+        emb, queries, k=10, quantize=1000
+    ).withColumnRenamed("rank", "rnk")
+
+
+_add_df(
+    "x06_ann_brute_topk",
+    _ann_builder,
+    oracle=_ANN_ORACLE,
+    description="exact top-k neighbor search, quantized integer dot (broadcast queries)",
+)
+
+
+def _lsh_ann_builder(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_bucketed_topk(emb, queries, k=10, n_planes=6, dim=64, n_probe=3)
+
+
+_add_df(
+    "x07_ann_lsh_topk",
+    _lsh_ann_builder,
+    oracle=None,  # approximate by construction; rows-only check
+    description="hyperplane-LSH bucketed ANN (scale path: per-bucket joins)",
+)
+
+_EMB_NEARDUP_ORACLE = """
+SELECT * FROM (
+  SELECT e1.vec_id AS v1, e2.vec_id AS v2,
+    list_reduce(list_prepend(0::BIGINT,
+      list_transform(list_zip(e1.embedding, e2.embedding),
+        s -> CAST(round(s[1] * 1000) AS BIGINT) * CAST(round(s[2] * 1000) AS BIGINT))),
+      (a, x) -> a + x) AS qdot
+  FROM embeddings e1, embeddings e2
+  WHERE e1.vec_id < e2.vec_id
+) WHERE qdot >= 400000
+"""
+
+_add_df(
+    "x08_embedding_near_dup",
+    lambda spark, sf: similarity.embedding_near_duplicates(
+        spark.table("embeddings"), threshold_q=400000
+    ),
+    oracle=_EMB_NEARDUP_ORACLE,
+    description="embedding-cosine near-dup pairs (quantized integer dot >= 0.4)",
+)
+
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts,
+  (SELECT c.event_id FROM events c
+   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+   ORDER BY c.ts DESC LIMIT 1) AS click_id,
+  (SELECT c.value FROM events c
+   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+   ORDER BY c.ts DESC LIMIT 1) AS click_value
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
+def _asof_builder(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["event_id", "value"],
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("event_id_right").alias("click_id"),
+        F.col("value_right").alias("click_value"),
+    )
+
+
+_add_df(
+    "x09_asof_join",
+    _asof_builder,
+    oracle=_ASOF_ORACLE,
+    description="as-of join (latest click <= purchase ts) via union+window, single shuffle",
+)
+
+
+def _multimodal_builder(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.table("documents")
+    payload = multimodal.attach_binary_payload(docs)
+    return multimodal.extract_image_metadata(payload)
+
+
+_MULTIMODAL_ORACLE = (
+    """
+SELECT doc_id,
+       'image/fake' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+       CAST("""
+    + " + ".join(f"ascii(substr(text, {i}, 1))" for i in range(1, 17))
+    + """ AS BIGINT) AS checksum
+FROM documents
+"""
+)
+
+_add_df(
+    "x10_multimodal_metadata",
+    _multimodal_builder,
+    oracle=_MULTIMODAL_ORACLE,
+    description="binary-column plumbing + Arrow mapInPandas decode stub",
+)
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship query for the driver smoke check."""
+    return WORKLOADS["q04_multi_join_revenue"].make(spark, sf_dir)
+
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: wl.make for name, wl in WORKLOADS.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {name: wl.oracle for name, wl in WORKLOADS.items() if wl.oracle is not None}
