@@ -1,0 +1,142 @@
+"""SQL validation: parse check + heuristic lints
+(reference ``src/validators/sql_validator.py:19-145``).
+
+The reference parses with sqlglot and runs 8 heuristic checks. Here the
+parse check uses the engine's own tokenizer/classifier plus — when a
+SparkSession is supplied — Spark's real parser on the *translated* SQL
+(our extra stage: validates what will actually execute). The dialect
+advice lints are re-targeted at Spark where semantics differ.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+from pyspark.sql import SparkSession
+
+from ..actions.results import MessageType, ValidationResult
+from ..configuration import Block
+from ..functions.dialect import translate
+from ..plans.orchestrator import iterate_blocks, query_name
+from ..plans.sql_parser import parse_script
+
+LOG = logging.getLogger(__name__)
+
+
+def check_common_sql_errors(sql: str) -> list[str]:
+    """Heuristic lints (reference src/validators/sql_validator.py:104-145),
+    with the engine-specific advice adjusted for Spark SQL."""
+    errors: list[str] = []
+    sql_upper = sql.upper()
+    if "CREATE OR RE PLACE" in sql_upper:
+        errors.append("Syntax error: 'RE PLACE' should be 'REPLACE'")
+    if "CREATE OR REPLACE VIEW" in sql_upper and "AS" not in sql_upper:
+        errors.append("Syntax error: CREATE VIEW missing 'AS' keyword")
+    if "SELECT" in sql_upper and "FROM" not in sql_upper:
+        errors.append("Syntax error: SELECT statement missing 'FROM' clause")
+    where_ops = ["=", ">", "<", "!=", "LIKE", "IN", "BETWEEN", "IS"]
+    if "WHERE" in sql_upper and not any(op in sql_upper for op in where_ops):
+        errors.append("Syntax error: WHERE clause missing comparison operator")
+    if sql.count("(") != sql.count(")"):
+        errors.append("Syntax error: Unmatched parentheses")
+    if "PERCENTILE(" in sql_upper and "WITHIN GROUP" in sql_upper:
+        errors.append(
+            "Engine Error: Use PERCENTILE_CONT() or PERCENTILE_DISC() "
+            "instead of PERCENTILE()"
+        )
+    if (
+        "PERCENTILE_CONT(" in sql_upper
+        and "OVER (" in sql_upper
+        and "WITHIN GROUP" not in sql_upper
+    ):
+        errors.append(
+            "Engine Error: PERCENTILE_CONT() cannot be used as a window "
+            "function, use WITHIN GROUP instead"
+        )
+    if (
+        "CAST(" in sql_upper
+        and "AS VARCHAR" in sql_upper
+        and any(op in sql_upper for op in ["+", "-", "*", "/", ">", "<", "="])
+        and "||" not in sql_upper
+    ):
+        errors.append(
+            "Warning: Arithmetic operations on VARCHAR columns may cause "
+            "cast errors"
+        )
+    return errors
+
+
+class SQLValidator:
+    """Validate the blocks' SQL scripts; optionally against Spark's parser."""
+
+    def __init__(self, spark: Optional[SparkSession] = None):
+        self.spark = spark
+
+    def _parse_ok(self, script: str) -> Optional[str]:
+        """Returns an error string or None."""
+        try:
+            statements = parse_script(script)
+        except Exception as exc:  # tokenizer-level failure
+            return f"Syntax error: {exc}"
+        if not statements or all(not s.sql.strip() for s in statements):
+            return "Empty or invalid SQL query"
+        if self.spark is not None:
+            for st in statements:
+                try:
+                    # Spark's parser on the translated text — parse only,
+                    # no analysis/execution (sessionState is JVM-only in
+                    # the Spark 4 Python API, hence the py4j handle)
+                    jspark = self.spark._jsparkSession  # noqa: SLF001
+                    jspark.sessionState().sqlParser().parsePlan(translate(st.sql))
+                except Exception as exc:
+                    return f"Syntax error: {str(exc).splitlines()[0][:300]}"
+        return None
+
+    def validate_queries(self, blocks: Sequence[Block]) -> ValidationResult:
+        total = valid = 0
+        errors: list[str] = []
+        for block, code, script, script_index in iterate_blocks(blocks):
+            qname = query_name(code, script_index)
+            total += 1
+            parse_err = self._parse_ok(script)
+            if parse_err:
+                errors.append(f"Block '{block.name}' > Query '{qname}': {parse_err}")
+                continue
+            lints = check_common_sql_errors(script)
+            if lints:
+                errors.extend(
+                    f"Block '{block.name}' > Query '{qname}': {w}" for w in lints
+                )
+            else:
+                valid += 1
+        if total == 0:
+            return ValidationResult(
+                "No SQL queries found to validate.", MessageType.WARNING
+            )
+        if not errors:
+            return ValidationResult(
+                f"✅ All {total} SQL queries are syntactically valid.",
+                MessageType.SUCCESS,
+            )
+        summary = (
+            f"❌ Found {len(errors)} syntax errors in {total} queries "
+            f"({valid} valid, {len(errors)} invalid):\n"
+        )
+        summary += "\n".join(f"• {e}" for e in errors[:10])
+        if len(errors) > 10:
+            summary += f"\n... and {len(errors) - 10} more errors"
+        return ValidationResult(summary, MessageType.DANGER)
+
+    def validate_single_query(self, sql: str, qname: str = "query") -> ValidationResult:
+        parse_err = self._parse_ok(sql)
+        if parse_err:
+            return ValidationResult(f"❌ Query '{qname}': {parse_err}", MessageType.DANGER)
+        lints = check_common_sql_errors(sql)
+        if lints:
+            return ValidationResult(
+                f"❌ Query '{qname}': {'; '.join(lints)}", MessageType.DANGER
+            )
+        return ValidationResult(
+            f"✅ Query '{qname}': SQL is syntactically valid", MessageType.SUCCESS
+        )
