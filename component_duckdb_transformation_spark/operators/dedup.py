@@ -46,17 +46,24 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle)."""
+    """Distinct k-word shingles per document: (id, shingle).
+
+    Built by zip_with-ing k shifted slices of the word array — a
+    constant number of split() evaluations per row. (The index-based
+    formulation ``transform(sequence, i -> element_at(w, i+j))``
+    re-evaluates the split per element because Catalyst inlines
+    collapsed projections into lambda bodies — quadratic per row.)
+    """
     w = F.split(F.col(text_col), " ")
-    idx = F.when(F.size(w) >= k, F.sequence(F.lit(0), F.size(w) - k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
-    )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    n_out = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    sh = F.slice(w, 1, n_out)
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh, F.slice(w, j + 1, n_out), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
     )
 
 

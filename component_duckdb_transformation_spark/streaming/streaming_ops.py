@@ -1,0 +1,169 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is strictly batch (one process run per job, reference
+src/component.py:36-56) — streaming is a driver-mandated extension, built
+the idiomatic Spark way:
+
+- file-source ``readStream`` over the events parquet (ns timestamps
+  normalized to µs, same fixup as sources.parquet_io),
+- event-time **watermark** + tumbling ``window()`` aggregation — the
+  canonical late-data-tolerant rollup,
+- **session windows** (``session_window``, 30-min gap) — works in both
+  batch and streaming plans,
+- custom stateful op via **applyInPandasWithState** (running per-user
+  aggregates with explicit GroupState),
+- ``Trigger.AvailableNow`` + memory sink so every streaming pipeline is
+  runnable/testable as a bounded job that drains the source and stops —
+  the same code would run unbounded against a live directory/Kafka
+  source on a cluster.
+
+Scale posture: the stateful ops shuffle once on the grouping key and
+keep state per key in the state store; watermarks bound state size.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.parquet_io import nanos_timestamp_columns
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over ``events.parquet`` with the ns->µs fixup.
+
+    Event time must be TIMESTAMP_LTZ for watermarks (session timezone is
+    UTC, so values match the NTZ batch path).
+    """
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if "ts" in nanos_timestamp_columns(f"{sf_dir}/events.parquet"):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` DIV 1000")).cast("timestamp_ltz")
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return stream
+
+
+def hourly_windowed_aggregate(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windows with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based). Batch- and stream-capable.
+
+    Session semantics: an event within ``gap`` of the previous event
+    extends the session (strictly-less-than comparison on the gap).
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+_USER_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _update_user_stats(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """GroupState update function: running per-user event count/value."""
+    if state.exists:
+        n, total, last_type = state.get
+    else:
+        n, total, last_type = 0, 0.0, None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last_type = str(pdf["event_type"].iloc[-1])
+    state.update((n, round(total, 2), last_type))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "last_event_type": [last_type],
+        }
+    )
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running aggregates with
+    explicit GroupState (applyInPandasWithState). One shuffle on
+    user_id; state store holds one row per user."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=_USER_STATS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_batch(
+    df: DataFrame, output_mode: str = "complete", timeout_s: int = 300
+) -> DataFrame:
+    """Drain a streaming DataFrame with Trigger.AvailableNow into a
+    memory sink and return the result as a batch DataFrame."""
+    name = "stream_" + uuid.uuid4().hex[:12]
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    spark = df.sparkSession
+    return spark.table(name)

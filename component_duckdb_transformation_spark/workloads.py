@@ -37,9 +37,19 @@ TABLES = (
 )
 
 
+_REGISTERED: set[tuple[int, str]] = set()
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Bind the testdata tables as temp views, once per (session, dir) —
+    repeated workload calls then skip the parquet-footer inspection and
+    view rebinds (a fixed ~100 ms tax per query otherwise)."""
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED:
+        return
     for t in TABLES:
         read_parquet(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _REGISTERED.add(key)
 
 
 @dataclass(frozen=True)
@@ -694,6 +704,95 @@ _add_df(
     _multimodal_builder,
     oracle=_MULTIMODAL_ORACLE,
     description="binary-column plumbing + Arrow mapInPandas decode stub",
+)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming extensions (events stream; batch-verifiable via
+# Trigger.AvailableNow -> memory sink)
+# ---------------------------------------------------------------------------
+
+def _stream_hourly_builder(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming import streaming_ops as so
+
+    stream = so.read_events_stream(spark, sf)
+    return so.run_stream_to_batch(so.hourly_windowed_aggregate(stream))
+
+
+_STREAM_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+_add_df(
+    "x11_stream_hourly_windows",
+    _stream_hourly_builder,
+    oracle=_STREAM_HOURLY_ORACLE,
+    description="Structured Streaming tumbling 1h windows + watermark "
+    "(AvailableNow drain); equals the batch rollup",
+)
+
+
+def _session_window_builder(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming import streaming_ops as so
+
+    ev = spark.table("events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ltz")
+    )
+    return so.session_window_stats(ev, gap="30 minutes")
+
+
+# islands formulation: Spark session windows are inclusive at the gap
+# boundary (diff <= gap merges), so a new session starts only when the
+# gap is strictly greater
+_SESSION_ORACLE = """
+WITH marks AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+_add_df(
+    "x12_session_windows",
+    _session_window_builder,
+    oracle=_SESSION_ORACLE,
+    description="gap-based session windows (session_window, 30min); "
+    "oracle via gaps-and-islands SQL",
+)
+
+
+def _stateful_builder(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming import streaming_ops as so
+
+    stream = so.read_events_stream(spark, sf)
+    return so.run_stream_to_batch(
+        so.stateful_user_stats(stream), output_mode="update"
+    )
+
+
+_add_df(
+    "x13_stream_stateful_user_stats",
+    _stateful_builder,
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           (SELECT e2.event_type FROM events e2
+            WHERE e2.user_id = e.user_id
+            ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) AS last_event_type
+    FROM events e GROUP BY user_id
+    """,
+    description="applyInPandasWithState running per-user aggregates "
+    "(custom stateful operator, AvailableNow drain)",
 )
 
 

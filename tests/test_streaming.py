@@ -1,0 +1,67 @@
+"""Streaming operator tests: AvailableNow-drained pipelines must equal
+their batch equivalents (SURVEY notes the reference is batch-only;
+streaming is a driver-mandated extension)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from component_duckdb_transformation_spark.streaming import streaming_ops as so
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_hourly_equals_batch(spark):
+    stream = so.read_events_stream(spark, SF)
+    result = so.run_stream_to_batch(so.hourly_windowed_aggregate(stream))
+
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("`ts` DIV 1000")))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    assert result.count() == batch.count()
+    sr = {tuple(map(str, r)) for r in result.collect()}
+    br = {tuple(map(str, r)) for r in batch.collect()}
+    assert sr == br
+
+
+def test_session_windows_gap_semantics(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts="2024-01-01 00:00:00", value=1.0),
+            Row(user_id=1, ts="2024-01-01 00:20:00", value=2.0),  # merges (<30m)
+            Row(user_id=1, ts="2024-01-01 00:50:00", value=3.0),  # merges
+            Row(user_id=1, ts="2024-01-01 01:20:00", value=4.0),  # exactly 30m: merges
+            Row(user_id=1, ts="2024-01-01 01:50:01", value=6.0),  # 30m1s -> new
+            Row(user_id=2, ts="2024-01-01 05:00:00", value=5.0),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    out = so.session_window_stats(df, gap="30 minutes").orderBy(
+        "user_id", "session_start"
+    )
+    rows = out.collect()
+    # Spark merges at diff <= gap (inclusive boundary)
+    assert [(r.user_id, r.n_events, r.total_value) for r in rows] == [
+        (1, 4, 10.0),
+        (1, 1, 6.0),
+        (2, 1, 5.0),
+    ]
+
+
+def test_stateful_user_stats(spark):
+    stream = so.read_events_stream(spark, SF)
+    result = so.run_stream_to_batch(
+        so.stateful_user_stats(stream), output_mode="update"
+    )
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("tv"))
+    )
+    got = {(r.user_id, r.n_events, r.total_value) for r in result.collect()}
+    want = {(r.user_id, r.n_events, r.tv) for r in batch.collect()}
+    assert got == want
