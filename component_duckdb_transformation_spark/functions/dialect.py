@@ -54,6 +54,7 @@ _FN_RENAMES = {
     "list_pack": "array",
     "strpos": "instr",
     "list_distinct": "array_distinct",
+    "unnest": "explode",  # select-list generator form
     "list_sort": "array_sort",
     "array_to_string": "array_join",
     "to_hex": "hex",
@@ -90,7 +91,10 @@ def translate(sql: str) -> str:
     tokens = _rewrite_quoted_identifiers(tokens)
     tokens = _rewrite_extract_dow(tokens)
     tokens = _rewrite_date_trunc(tokens)
+    tokens = _rewrite_date_diff(tokens)
+    tokens = _rewrite_regexp_replace_flags(tokens)
     tokens = _rewrite_simple(tokens)
+    tokens = _rewrite_qualify(tokens)
     return "".join(t.text for t in tokens)
 
 
@@ -184,6 +188,173 @@ def _rewrite_date_trunc(tokens: List[Token]) -> List[Token]:
                     continue
         out.append(tok)
         i += 1
+    return out
+
+
+def _split_top_level_args(tokens: List[Token], open_idx: int, close_idx: int) -> List[List[Token]]:
+    """Argument token slices of a call between matching parens."""
+    args: List[List[Token]] = []
+    cur: List[Token] = []
+    depth = 0
+    for j in range(open_idx + 1, close_idx):
+        t = tokens[j]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        if depth == 0 and t.kind == "op" and t.text == ",":
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        args.append(cur)
+    return args
+
+
+def _rewrite_date_diff(tokens: List[Token]) -> List[Token]:
+    """DuckDB ``date_diff('day', a, b)`` / ``datediff('day', a, b)`` ->
+    Spark ``timestampdiff(DAY, a, b)`` (same start/end order; Spark's own
+    2-arg ``datediff(end, start)`` is left untouched)."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() in ("date_diff", "datediff"):
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].text == "(":
+                close = _matching_paren(tokens, p_open)
+                args = _split_top_level_args(tokens, p_open, close)
+                first_code = [t for t in args[0] if t.kind not in ("ws", "comment")] if args else []
+                if len(args) == 3 and len(first_code) == 1 and first_code[0].kind == "string":
+                    unit = first_code[0].text[1:-1].upper()
+                    out.append(Token("word", f"timestampdiff({unit},"))
+                    out.extend(args[1])
+                    out.append(Token("op", ","))
+                    out.extend(args[2])
+                    out.append(Token("op", ")"))
+                    i = close + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
+    """DuckDB ``regexp_replace(s, re, rep, 'g')`` -> Spark 3-arg form
+    (Spark always replaces all matches). The flagless DuckDB form
+    replaces only the FIRST match — a documented divergence with no
+    Spark equivalent; scripts relying on it should anchor the regex."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() == "regexp_replace":
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].text == "(":
+                close = _matching_paren(tokens, p_open)
+                args = _split_top_level_args(tokens, p_open, close)
+                last_code = (
+                    [t for t in args[-1] if t.kind not in ("ws", "comment")]
+                    if args
+                    else []
+                )
+                if (
+                    len(args) == 4
+                    and len(last_code) == 1
+                    and last_code[0].kind == "string"
+                    and last_code[0].text[1:-1].lower() == "g"
+                ):
+                    out.append(tok)
+                    out.append(Token("op", "("))
+                    for ai, arg in enumerate(args[:3]):
+                        if ai:
+                            out.append(Token("op", ","))
+                        out.extend(arg)
+                    out.append(Token("op", ")"))
+                    i = close + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+_QUALIFY_TERMINATORS = {"ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT", "OFFSET"}
+
+
+def _rewrite_qualify(tokens: List[Token]) -> List[Token]:
+    """DuckDB/Snowflake ``QUALIFY <pred>`` (window filter) has no Spark
+    equivalent -> rewrite to a wrapped subquery:
+
+        SELECT <list> FROM ... QUALIFY p [tail]
+     => SELECT * EXCEPT (__qualify__) FROM (
+          SELECT <list>, (p) AS __qualify__ FROM ...
+        ) WHERE __qualify__ [tail]
+
+    The predicate joins the select list (window functions are legal
+    there), so it may reference source columns, not just outputs.
+    Applies to top-level SELECT/WITH statements; QUALIFY inside
+    subqueries is out of scope (v1).
+    """
+    first = _next_code(tokens, -1)
+    if first >= len(tokens) or tokens[first].upper not in ("SELECT", "WITH"):
+        return tokens
+    depth = 0
+    q_idx = None
+    for i, tok in enumerate(tokens):
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        elif depth == 0 and tok.is_kw("QUALIFY"):
+            q_idx = i
+            break
+    if q_idx is None:
+        return tokens
+    # predicate extent: up to a top-level terminator or end/semicolon
+    depth = 0
+    p_end = len(tokens)
+    for j in range(q_idx + 1, len(tokens)):
+        t = tokens[j]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and (
+            (t.kind == "word" and t.upper in _QUALIFY_TERMINATORS)
+            or (t.kind == "op" and t.text == ";")
+        ):
+            p_end = j
+            break
+    pred = tokens[q_idx + 1: p_end]
+    tail = [t for t in tokens[p_end:] if not (t.kind == "op" and t.text == ";")]
+    # select-list end: first top-level FROM after the main SELECT
+    depth = 0
+    from_idx = None
+    for i, tok in enumerate(tokens[:q_idx]):
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        elif depth == 0 and tok.is_kw("FROM"):
+            from_idx = i
+            # keep scanning: the LAST top-level FROM before QUALIFY is
+            # still the main one only for simple selects; the first is
+            # correct because subquery FROMs are parenthesized
+            break
+    if from_idx is None:
+        return tokens
+    inner: List[Token] = list(tokens[:from_idx])
+    inner.append(Token("word", ", ("))
+    inner.extend(pred)
+    inner.append(Token("word", ") AS __qualify__ "))
+    inner.extend(tokens[from_idx:q_idx])
+    out: List[Token] = [Token("word", "SELECT * EXCEPT (__qualify__) FROM (")]
+    out.extend(inner)
+    out.append(Token("word", ") WHERE __qualify__ "))
+    out.extend(tail)
     return out
 
 

@@ -456,6 +456,124 @@ _add_sql(
     "NULLIF/COALESCE (EP:59-63)",
 )
 
+_add_sql(
+    "q26_array_functions",
+    """
+    SELECT doc_id,
+           CAST(array_length(string_split(text, ' ')) AS INT) AS n_words,
+           CAST(list_contains(string_split(text, ' '), 'the') AS INT) AS has_the,
+           array_to_string(list_sort(list_distinct(
+               string_split(substr(text, 1, 40), ' '))), '|') AS sorted_prefix_words
+    FROM documents
+    """,
+    "list/array function family via dialect renames (SURVEY §2.B scalar families)",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           CAST(list_contains(string_split(text, ' '), 'the') AS INT) AS has_the,
+           array_to_string(list_sort(list_distinct(
+               string_split(substr(text, 1, 40), ' '))), '|') AS sorted_prefix_words
+    FROM documents
+    """,
+)
+
+_add_sql(
+    "q27_unnest_word_freq",
+    """
+    SELECT w, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    HAVING count(*) >= 100
+    """,
+    "unnest -> explode generator + re-aggregation",
+)
+
+_add_sql(
+    "q28_intersect",
+    """
+    SELECT n_nationkey AS k FROM nation WHERE n_regionkey IN (0, 1)
+    INTERSECT
+    SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10
+    """,
+    "INTERSECT set op (delegated dialect)",
+)
+
+_add_sql(
+    "q29_cube_grouping_sets",
+    """
+    SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE + GROUPING() (delegated dialect; SURVEY §2.B aggregation)",
+)
+
+_add_sql(
+    "q30_range_frames",
+    """
+    SELECT c_custkey, c_acctbal,
+           round(sum(c_acctbal) OVER (ORDER BY c_acctbal
+                 RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW), 2) AS sum_near,
+           count(*) OVER (ORDER BY c_acctbal
+                 RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS n_near
+    FROM customer
+    """,
+    "RANGE window frames over numeric order key (SURVEY §2.B windows)",
+)
+
+_add_sql(
+    "q31_qualify",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM customer
+    QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey) <= 3
+    ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+    """,
+    "QUALIFY window filter -> wrapped-subquery rewrite (dialect shim)",
+)
+
+_add_sql(
+    "q32_datetime_arithmetic",
+    """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-08-02 00:00:00') AS BIGINT)
+               AS age_days,
+           CAST(date_diff('hour', o_orderdate, o_orderdate + INTERVAL 90 MINUTE) AS BIGINT)
+               AS diff_hours
+    FROM orders
+    WHERE o_orderkey < 100
+    """,
+    "interval arithmetic + date_diff -> timestampdiff shim",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-08-02 00:00:00') AS BIGINT)
+               AS age_days,
+           CAST(date_diff('hour', o_orderdate, o_orderdate + INTERVAL 90 MINUTE) AS BIGINT)
+               AS diff_hours
+    FROM orders
+    WHERE o_orderkey < 100
+    """,
+)
+
+_add_sql(
+    "q33_regex_functions",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(regexp_matches(p_name, 'green|red') AS INT) AS has_color
+    FROM part
+    WHERE p_partkey <= 200
+    """,
+    "regexp family incl. 'g'-flag normalization + regexp_matches rename",
+)
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (driver north star): dedup / similarity /
 # text analysis / multimodal / as-of

@@ -57,3 +57,42 @@ def test_passthrough_core_sql():
         "WHERE l_shipdate >= DATE '1998-01-01' GROUP BY l_returnflag"
     )
     assert translate(sql) == sql
+
+
+def test_date_diff_to_timestampdiff():
+    out = translate("SELECT date_diff('day', a, b) FROM t")
+    assert "timestampdiff(DAY," in out
+    # Spark's own 2-arg datediff untouched
+    assert translate("SELECT datediff(b, a) FROM t") == "SELECT datediff(b, a) FROM t"
+
+
+def test_regexp_replace_g_flag_dropped():
+    out = translate("SELECT regexp_replace(s, '[aeiou]', '_', 'g') FROM t")
+    assert "'g'" not in out
+    assert "regexp_replace(s, '[aeiou]', '_')" in out.replace(" ,", ",")
+    # 3-arg form passes through
+    out3 = translate("SELECT regexp_replace(s, 'a', 'b') FROM t")
+    assert "regexp_replace(s, 'a', 'b')" in out3
+
+
+def test_qualify_rewrite():
+    out = translate(
+        "SELECT a, b FROM t QUALIFY row_number() OVER (ORDER BY b) <= 2 ORDER BY a"
+    )
+    assert out.startswith("SELECT * EXCEPT (__qualify__) FROM (")
+    assert "AS __qualify__" in out
+    assert out.rstrip().endswith("ORDER BY a")
+    # no QUALIFY -> untouched
+    assert translate("SELECT a FROM t") == "SELECT a FROM t"
+
+
+def test_qualify_with_cte():
+    out = translate(
+        "WITH x AS (SELECT a FROM t) SELECT a FROM x "
+        "QUALIFY rank() OVER (ORDER BY a) = 1"
+    )
+    assert out.startswith("SELECT * EXCEPT (__qualify__) FROM (WITH x AS")
+
+
+def test_unnest_rename():
+    assert "explode(" in translate("SELECT unnest(string_split(s, ' ')) FROM t")
