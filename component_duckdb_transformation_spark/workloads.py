@@ -737,6 +737,22 @@ _add_df(
     description="hyperplane-LSH bucketed ANN (scale path: per-bucket joins)",
 )
 
+def _ivf_builder(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=4)
+
+
+_add_df(
+    "x14_ann_ivf_topk",
+    _ivf_builder,
+    oracle=None,  # approximate by construction; rows-only check
+    description="IVF ANN: k-means coarse quantizer cells + n_probe search, "
+    "exact cosine re-rank within cells",
+)
+
 _EMB_NEARDUP_ORACLE = """
 SELECT * FROM (
   SELECT e1.vec_id AS v1, e2.vec_id AS v2,
