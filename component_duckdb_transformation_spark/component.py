@@ -72,8 +72,12 @@ def _schema_from_manifest(manifest: dict) -> tuple[list[str], list[ColumnSchema]
         return [c.name for c in cols], cols
     names = list(manifest.get("columns", []))
     meta = manifest.get("column_metadata", {})
+    # column names come from "columns" when present, else from the
+    # metadata keys (sliced manifests may carry only column_metadata —
+    # reference tests/functional/dtypes sliced.manifest)
+    effective = names or list(meta.keys())
     schema: list[ColumnSchema] = []
-    for name in names or meta.keys():
+    for name in effective:
         base = None
         nullable = True
         for kv in meta.get(name, []):
@@ -82,8 +86,7 @@ def _schema_from_manifest(manifest: dict) -> tuple[list[str], list[ColumnSchema]
             elif kv.get("key") == "KBC.datatype.nullable":
                 nullable = bool(kv.get("value"))
         schema.append(ColumnSchema(name=name, base_type=base, nullable=nullable))
-    # column_metadata without an explicit columns list types a header CSV
-    return names, schema
+    return effective, schema
 
 
 class Component:

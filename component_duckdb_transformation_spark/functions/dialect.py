@@ -93,6 +93,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_date_trunc(tokens)
     tokens = _rewrite_date_diff(tokens)
     tokens = _rewrite_regexp_replace_flags(tokens)
+    tokens = _rewrite_bare_types(tokens)
     tokens = _rewrite_simple(tokens)
     tokens = _rewrite_qualify(tokens)
     return "".join(t.text for t in tokens)
@@ -278,6 +279,45 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                     continue
         out.append(tok)
         i += 1
+    return out
+
+
+def _rewrite_bare_types(tokens: List[Token]) -> List[Token]:
+    """Bare ``VARCHAR``/``TEXT`` type names -> ``STRING`` in cast contexts
+    only: after ``::`` or as the type of ``CAST(x AS <type>)`` (Spark
+    requires VARCHAR(n) and has no TEXT; DuckDB treats both as TEXT).
+    Restricted to cast contexts because ``text`` is a common column name.
+    """
+    out: List[Token] = []
+    cast_paren_stack: List[bool] = []
+    prev_code: Token | None = None
+    for i, tok in enumerate(tokens):
+        if tok.kind == "op" and tok.text == "(":
+            cast_paren_stack.append(
+                prev_code is not None
+                and prev_code.kind == "word"
+                and prev_code.text.lower() in ("cast", "try_cast")
+            )
+        elif tok.kind == "op" and tok.text == ")":
+            if cast_paren_stack:
+                cast_paren_stack.pop()
+        if tok.kind == "word" and tok.text.lower() in ("varchar", "text"):
+            after_colons = (
+                prev_code is not None and prev_code.kind == "op" and prev_code.text == "::"
+            )
+            after_cast_as = (
+                prev_code is not None
+                and prev_code.is_kw("AS")
+                and bool(cast_paren_stack)
+                and cast_paren_stack[-1]
+            )
+            if after_colons or after_cast_as:
+                out.append(Token("word", "STRING"))
+                prev_code = out[-1]
+                continue
+        out.append(tok)
+        if tok.kind not in ("ws", "comment"):
+            prev_code = tok
     return out
 
 

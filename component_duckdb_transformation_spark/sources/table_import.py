@@ -117,10 +117,12 @@ def _from_csv(
 ) -> CreatedTable:
     is_sliced = os.path.isdir(path)
     src = os.path.join(path, "*.csv") if is_sliced else path
-    # KBC contract: a manifest "columns" list means the file(s) carry no
-    # header row (sliced tables are always headerless)
+    # KBC datadir convention: non-sliced table files carry a header row
+    # (manifest "columns" are authoritative names, not a headerless
+    # marker — see reference tests/functional/dtypes days.csv.manifest);
+    # sliced tables are always headerless
     names = table.column_names
-    has_header = table.has_header if table.has_header is not None else not names
+    has_header = table.has_header if table.has_header is not None else not is_sliced
     reader = spark.read.options(
         sep=table.delimiter or ",",
         quote=table.enclosure or '"',

@@ -841,6 +841,67 @@ _add_df(
 )
 
 
+def _mutation_pipeline_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """Full executor path: CTAS -> INSERT -> UPDATE -> DELETE on the
+    versioned Parquet TableStore, DAG-ordered by the orchestrator."""
+    import tempfile
+
+    from .configuration import Block, Code
+    from .plans.executor import SparkStatementExecutor, TableStore
+    from .plans.orchestrator import BlockOrchestrator
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="cdts-wl-mut-"))
+    executor = SparkStatementExecutor(spark, store)
+    orch = BlockOrchestrator(execute_script=executor.execute_query, max_workers=4)
+    orch.add_queries_from_blocks(
+        [
+            Block(
+                name="mut",
+                codes=[
+                    Code(
+                        name="pipeline",
+                        script=[
+                            "CREATE TABLE mut_orders AS SELECT o_orderkey, o_orderstatus, "
+                            "o_totalprice FROM orders WHERE o_orderkey <= 1000;",
+                            "INSERT INTO mut_orders SELECT o_orderkey, o_orderstatus, "
+                            "o_totalprice FROM orders "
+                            "WHERE o_orderkey > 1000 AND o_orderkey <= 2000;",
+                            # addition, not multiplication: *1.1 can land on a
+                            # round-half boundary where engines' double
+                            # rounding diverges by 1 ulp
+                            "UPDATE mut_orders SET o_totalprice = o_totalprice + 500.0 "
+                            "WHERE o_orderstatus = 'F';",
+                            "DELETE FROM mut_orders WHERE o_totalprice < 50000;",
+                        ],
+                    )
+                ],
+            )
+        ]
+    )
+    orch.execute()
+    return spark.sql(
+        "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "
+        "FROM mut_orders"
+    )
+
+
+_add_df(
+    "x15_mutation_pipeline",
+    _mutation_pipeline_builder,
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(price2, 2) AS o_totalprice
+    FROM (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 500.0
+                  ELSE o_totalprice END AS price2
+      FROM orders WHERE o_orderkey <= 2000)
+    WHERE price2 >= 50000
+    """,
+    description="CTAS -> INSERT -> UPDATE -> DELETE through the DAG executor "
+    "and versioned Parquet TableStore (copy-on-write)",
+)
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming extensions (events stream; batch-verifiable via
 # Trigger.AvailableNow -> memory sink)
