@@ -1,0 +1,63 @@
+"""Skew-handling utilities for 100 TB-scale joins and aggregations.
+
+Spark's own mitigations come first: partial (map-side) aggregation
+absorbs aggregate skew, AQE splits skewed sort-merge-join partitions
+(``spark.sql.adaptive.skewJoin`` — enabled by the session factory), and
+broadcast joins sidestep skew entirely when one side fits. These helpers
+cover the remaining case: a shuffle join where BOTH sides are large and
+one join key is pathologically hot.
+
+- ``salted_join``: replicates the build side ``salt`` times and sprays
+  the probe side across salts, so a hot key spreads over ``salt``
+  reducers instead of one.
+- ``two_stage_count_distinct``: exact COUNT(DISTINCT x) per hot key
+  without a single-reducer bottleneck (pre-aggregate on (key, x)).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys in ``probe``.
+
+    The build side is replicated ``salt`` times (rows x salt — keep the
+    build side the smaller one); each probe row picks one salt bucket at
+    random-but-deterministically (hash of all probe columns), so a hot
+    key's rows land on ``salt`` distinct reducers.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_build = build.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    probe_salted = probe.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(salt))
+        .cast("int")
+    )
+    out = probe_salted.join(salted_build, [*keys, "__salt"], how)
+    return out.drop("__salt")
+
+
+def two_stage_count_distinct(
+    df: DataFrame, keys: Sequence[str], distinct_col: str, out_col: str = "n_distinct"
+) -> DataFrame:
+    """Exact per-key COUNT(DISTINCT distinct_col) as two partial-friendly
+    aggregations: dedupe on (keys, value) first (map-side combinable),
+    then count. Equivalent to COUNT(DISTINCT) but never funnels one hot
+    key's raw rows into a single reducer."""
+    keys = list(keys)
+    return (
+        df.select(*keys, distinct_col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count("*").alias(out_col))
+    )

@@ -1,0 +1,45 @@
+"""Skew utilities: salted join and two-stage distinct must equal their
+plain equivalents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from component_duckdb_transformation_spark.operators.skew import (
+    salted_join,
+    two_stage_count_distinct,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    build = customer.withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(build, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, build, "o_custkey", salt=8).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "zz")], ["k", "v"])
+    right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    out = salted_join(left, right, "k", salt=4, how="left").orderBy("k").collect()
+    assert len(out) == 3
+    assert out[-1].k == 99 and out[-1].w is None
+
+
+def test_two_stage_count_distinct(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plain = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_distinct")
+    )
+    staged = two_stage_count_distinct(li, ["l_returnflag"], "l_orderkey")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, staged.collect()))
