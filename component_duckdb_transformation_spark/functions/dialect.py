@@ -58,6 +58,13 @@ _FN_RENAMES = {
     "list_sort": "array_sort",
     "array_to_string": "array_join",
     "to_hex": "hex",
+    "list_reverse": "reverse",
+    "list_append": "array_append",
+    "list_prepend": "array_prepend",
+    "list_max": "array_max",
+    "list_min": "array_min",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
     "nextafter": "nextafter",  # identity examples keep table readable
     "editdist3": "levenshtein",
     "jaro_winkler_similarity": "jarowinkler",  # not in Spark: kept for visibility
@@ -93,6 +100,8 @@ def translate(sql: str) -> str:
     tokens = _rewrite_date_trunc(tokens)
     tokens = _rewrite_date_diff(tokens)
     tokens = _rewrite_regexp_replace_flags(tokens)
+    tokens = _rewrite_strftime(tokens)
+    tokens = _rewrite_epoch(tokens)
     tokens = _rewrite_bare_types(tokens)
     tokens = _rewrite_simple(tokens)
     tokens = _rewrite_qualify(tokens)
@@ -277,6 +286,89 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                     out.append(Token("op", ")"))
                     i = close + 1
                     continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+_STRFTIME_MAP = [
+    ("%%", "\x00"),  # placeholder so literal % survives
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
+    ("%p", "a"), ("%j", "DDD"), ("%a", "EEE"), ("%A", "EEEE"),
+    ("%b", "MMM"), ("%B", "MMMM"), ("%G", "YYYY"), ("%V", "ww"),
+    ("\x00", "%"),
+]
+
+
+def _convert_strftime_format(fmt: str) -> str:
+    for src, dst in _STRFTIME_MAP:
+        fmt = fmt.replace(src, dst)
+    return fmt
+
+
+def _rewrite_strftime(tokens: List[Token]) -> List[Token]:
+    """DuckDB ``strftime(x, '%Y-%m-%d')`` -> ``date_format(x, 'yyyy-MM-dd')``
+    and ``strptime(s, fmt)`` -> ``to_timestamp(s, fmt)``, converting
+    C-style %-codes to Java datetime patterns."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() in ("strftime", "strptime"):
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].text == "(":
+                close = _matching_paren(tokens, p_open)
+                args = _split_top_level_args(tokens, p_open, close)
+                if len(args) == 2:
+                    fn = "date_format" if tok.text.lower() == "strftime" else "to_timestamp"
+                    out.append(Token("word", fn))
+                    out.append(Token("op", "("))
+                    # recurse: the value arg may itself contain strftime calls
+                    out.extend(_rewrite_strftime(args[0]))
+                    out.append(Token("op", ","))
+                    for t in args[1]:
+                        if t.kind == "string":
+                            inner = t.text[1:-1]
+                            out.append(
+                                Token("string", f"'{_convert_strftime_format(inner)}'")
+                            )
+                        else:
+                            out.append(t)
+                    out.append(Token("op", ")"))
+                    i = close + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+_EPOCH_FNS = {"epoch": "unix_seconds", "epoch_ms": "unix_millis", "epoch_us": "unix_micros"}
+
+
+def _rewrite_epoch(tokens: List[Token]) -> List[Token]:
+    """DuckDB ``epoch[_ms|_us](x)`` -> ``unix_seconds|millis|micros(
+    CAST(x AS TIMESTAMP_LTZ))`` — Spark's unix_* reject TIMESTAMP_NTZ;
+    the session timezone is UTC so the cast preserves wall-clock values.
+    (DuckDB's epoch() returns DOUBLE; unix_seconds is BIGINT — cast in
+    the script if fractional seconds matter.)"""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() in _EPOCH_FNS:
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].text == "(":
+                close = _matching_paren(tokens, p_open)
+                inner = _rewrite_epoch(tokens[p_open + 1: close])
+                out.append(Token("word", _EPOCH_FNS[tok.text.lower()]))
+                out.append(Token("word", "(CAST(("))
+                out.extend(inner)
+                out.append(Token("word", ") AS TIMESTAMP_LTZ))"))
+                i = close + 1
+                continue
         out.append(tok)
         i += 1
     return out

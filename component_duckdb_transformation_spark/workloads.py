@@ -562,6 +562,21 @@ _add_sql(
 )
 
 _add_sql(
+    "q34_strftime_epoch",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS d_iso,
+           strftime(o_orderdate, '%d/%m/%Y %H:%M') AS d_eu,
+           CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')
+                AS TIMESTAMP) AS d_roundtrip,
+           CAST(epoch_ms(o_orderdate) AS BIGINT) AS ts_ms
+    FROM orders
+    WHERE o_orderkey <= 200
+    """,
+    "strftime/strptime %-code -> Java pattern conversion + epoch_ms",
+)
+
+_add_sql(
     "q33_regex_functions",
     """
     SELECT p_partkey,

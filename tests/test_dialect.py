@@ -96,3 +96,16 @@ def test_qualify_with_cte():
 
 def test_unnest_rename():
     assert "explode(" in translate("SELECT unnest(string_split(s, ' ')) FROM t")
+
+
+def test_strftime_conversion():
+    out = translate("SELECT strftime(d, '%Y-%m-%d %H:%M:%S') FROM t")
+    assert "date_format" in out and "'yyyy-MM-dd HH:mm:ss'" in out
+    nested = translate("SELECT strptime(strftime(d, '%Y-%m-%d'), '%Y-%m-%d') FROM t")
+    assert nested.count("date_format") == 1 and "to_timestamp" in nested
+
+
+def test_epoch_rewrites():
+    out = translate("SELECT epoch_ms(ts), epoch(ts) FROM t")
+    assert "unix_millis" in out and "unix_seconds" in out
+    assert "TIMESTAMP_LTZ" in out
