@@ -1,0 +1,102 @@
+"""Physical-plan quality guards: these assert the *shape* of the plans
+Catalyst produces for headline workloads, so perf regressions (lost
+pushdown, missed broadcast, disabled partial aggregation) fail fast —
+the 100 TB posture is enforced here, not just eyeballed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from component_duckdb_transformation_spark.workloads import WORKLOADS
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = WORKLOADS[name].make(spark, SF)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q01_filter_pushdown_and_partial_agg(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns reach the scan
+    assert "l_comment" not in plan
+    # partial + final hash aggregation (two HashAggregate nodes)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q04_broadcasts_all_dimensions(spark):
+    plan = _plan(spark, "q04_multi_join_revenue")
+    # 4 joins: every one must be broadcast (no shuffle/sort-merge join);
+    # formatted mode prints each node twice (tree + details)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the region IN-filter is pushed into the scan
+    assert "In(r_name, [ASIA,EUROPE])" in plan
+
+
+def test_q16_semi_anti_join_rewrite(spark):
+    plan = _plan(spark, "q16_exists_semi_anti")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_minhash_partial_aggregation(spark):
+    """Signature aggregation must be map-side combinable: partial
+    HashAggregate before the exchange, final after."""
+    from component_duckdb_transformation_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures(docs, num_hashes=8)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = sigs._jdf.queryExecution().explainString(jmode)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_text_metrics_no_shuffle(spark):
+    """Text metrics are map-only: no Exchange anywhere in the plan."""
+    from component_duckdb_transformation_spark.operators.text_analysis import (
+        with_text_metrics,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = with_text_metrics(docs)._jdf.queryExecution().explainString(jmode)
+    assert "Exchange" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of join must shuffle exactly once (on the key)."""
+    from pyspark.sql import functions as F
+
+    from component_duckdb_transformation_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+                    value_cols=["value"])
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(jmode)
+    # one exchange (for the window); no join node at all
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, exchanges
+    assert "Join" not in plan
