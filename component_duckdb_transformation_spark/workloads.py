@@ -577,6 +577,31 @@ _add_sql(
 )
 
 _add_sql(
+    "q35_unpivot",
+    """
+    SELECT o_orderkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE)
+                 AS cust_key
+          FROM orders WHERE o_orderkey <= 100)
+    UNPIVOT (val FOR metric IN (o_totalprice, cust_key))
+    """,
+    "SQL-standard UNPIVOT (wide->long), supported natively by both engines",
+)
+
+_add_sql(
+    "q36_pivot",
+    """
+    SELECT o_orderpriority,
+           round("F", 2) AS f_total, round("O", 2) AS o_total,
+           round("P", 2) AS p_total
+    FROM (
+      SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders)
+    PIVOT (sum(o_totalprice) FOR o_orderstatus IN ('F', 'O', 'P'))
+    """,
+    "PIVOT with explicit IN list (long->wide), native in both engines",
+)
+
+_add_sql(
     "q33_regex_functions",
     """
     SELECT p_partkey,
