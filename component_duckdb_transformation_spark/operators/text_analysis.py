@@ -123,6 +123,47 @@ def doc_fingerprint(text: Column) -> Column:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, term, tf, df, tfidf, rnk).
+
+    Classic corpus weighting, all shuffle-light: term frequencies are one
+    explode + partial-aggregated groupBy; document frequencies aggregate
+    the same exploded rows (docs x distinct-terms cardinality); the join
+    back is keyed on the term. ``tfidf = tf * ln(N / df)`` with exact
+    integer tf/df so the score is engine-reproducible. Ties resolve by
+    (tfidf desc, term asc).
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n_docs = df.count()  # scalar; the only driver-side value
+    words_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words_df.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    docfreq = (
+        words_df.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(docfreq, "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
 def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full metric set as columns (map-only, no shuffle)."""
     t = F.col(text_col)

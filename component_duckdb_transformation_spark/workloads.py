@@ -728,6 +728,63 @@ _add_df(
     description="quality scoring, language-ID, token counts, fingerprint (map-only)",
 )
 
+_TFIDF_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+clean AS (SELECT doc_id, term FROM words WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM clean GROUP BY 1, 2),
+docfreq AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM clean)
+  GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term, tf, df,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN docfreq ON tf.term = docfreq.term CROSS JOIN n)
+SELECT doc_id, term, tf, df, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+"""
+
+_add_df(
+    "x16_tfidf_top_terms",
+    lambda spark, sf: text_analysis.tfidf_top_terms(
+        spark.table("documents"), k=5
+    ),
+    oracle=_TFIDF_ORACLE,
+    description="top-5 TF-IDF terms per document (explode + partial aggs, "
+    "term-keyed join)",
+)
+
+_FRAME_SAMPLE_ORACLE = """
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * 64 AS INT) AS byte_offset
+FROM documents,
+     generate_series(0, CAST(floor((octet_length(encode(text)) - 1) / 64.0)
+                             AS BIGINT)) t(i)
+"""
+
+
+def _frame_sample_builder(spark: SparkSession, sf: str) -> DataFrame:
+    payload = multimodal.attach_binary_payload(spark.table("documents"))
+    out = multimodal.frame_sample_stub(payload, every_n_bytes=64)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("byte_offset").cast("int").alias("byte_offset"),
+    )
+
+
+_add_df(
+    "x17_multimodal_frame_sample",
+    _frame_sample_builder,
+    oracle=_FRAME_SAMPLE_ORACLE,
+    description="video-frame-sampling explode pattern over binary payloads",
+)
+
 _ANN_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
 scored AS (
