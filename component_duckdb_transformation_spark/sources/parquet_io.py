@@ -11,7 +11,8 @@ precision (e.g. the driver's events table) need handling. Strategy:
    cast to TIMESTAMP_NTZ — microsecond truncation, matching how
    DuckDB converts ns parquet to its us TIMESTAMP.
 
-The session factory sets the conf globally; conversion happens here.
+The conf is a runtime SQLConf; ``read_parquet`` sets it itself so any
+caller-supplied session (not just the repo's factory) can read the data.
 """
 
 from __future__ import annotations
@@ -47,8 +48,16 @@ def nanos_timestamp_columns(path: str) -> List[str]:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """spark.read.parquet with ns-timestamp fixup (distributed cast)."""
+    """spark.read.parquet with ns-timestamp fixup (distributed cast).
+
+    Works on ANY session: ``nanosAsLong`` is a runtime SQLConf, so it is
+    set here (not only in the repo's session factory) the moment an
+    ns-precision column is detected in the footer — a vanilla
+    ``SparkSession.builder.getOrCreate()`` can read pandas/arrow files.
+    """
     ns_cols = nanos_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         # nanosAsLong gives BIGINT nanos; integer-DIV to us (truncation,

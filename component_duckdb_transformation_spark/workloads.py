@@ -37,14 +37,18 @@ TABLES = (
 )
 
 
-_REGISTERED: set[tuple[int, str]] = set()
+_REGISTERED: set[tuple[str, str]] = set()
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Bind the testdata tables as temp views, once per (session, dir) —
     repeated workload calls then skip the parquet-footer inspection and
-    view rebinds (a fixed ~100 ms tax per query otherwise)."""
-    key = (id(spark), sf_dir)
+    view rebinds (a fixed ~100 ms tax per query otherwise).
+
+    Keyed on applicationId, not ``id(spark)`` — a GC'd session's id can
+    be reused by a new session object, which would silently skip
+    registration for it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _REGISTERED:
         return
     for t in TABLES:
@@ -759,12 +763,16 @@ _add_df(
 )
 
 _FRAME_SAMPLE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(floor((octet_length(encode(text)) - 1) / 64.0) AS BIGINT) AS max_i
+  FROM documents),
+idx AS (
+  SELECT doc_id, unnest(range(0, max_i + 1)) AS i FROM d)
 SELECT doc_id,
        CAST(i AS INT) AS frame_idx,
        CAST(i * 64 AS INT) AS byte_offset
-FROM documents,
-     generate_series(0, CAST(floor((octet_length(encode(text)) - 1) / 64.0)
-                             AS BIGINT)) t(i)
+FROM idx
 """
 
 
