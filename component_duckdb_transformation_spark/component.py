@@ -84,7 +84,11 @@ def _schema_from_manifest(manifest: dict) -> tuple[list[str], list[ColumnSchema]
             if kv.get("key") == "KBC.datatype.basetype":
                 base = kv.get("value")
             elif kv.get("key") == "KBC.datatype.nullable":
-                nullable = bool(kv.get("value"))
+                # KBC metadata values are strings: 'false'/'0' must not
+                # evaluate truthy via bool()
+                nullable = str(kv.get("value")).strip().lower() in (
+                    "1", "true", "yes", "t",
+                )
         schema.append(ColumnSchema(name=name, base_type=base, nullable=nullable))
     return effective, schema
 

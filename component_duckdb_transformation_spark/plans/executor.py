@@ -92,12 +92,17 @@ class TableStore:
         df.write.mode("overwrite").parquet(state.path)
         self._bind_view(state)
 
-    def insert_into(self, name: str, df: DataFrame) -> None:
+    def insert_into(
+        self, name: str, df: DataFrame, columns: Optional[List[str]] = None
+    ) -> None:
         state = self.tables.get(name)
         if state is None:
             raise UserException(f"INSERT INTO unknown table '{name}'")
         target = self.spark.table(_bt(name))
-        aligned = _align_by_position(df, target)
+        if columns:
+            aligned = _align_by_name(df, target, columns)
+        else:
+            aligned = _align_by_position(df, target)
         aligned.write.mode("append").parquet(state.path)
         self.spark.catalog.refreshByPath(state.path)
         self._bind_view(state)
@@ -128,12 +133,44 @@ def _align_by_position(df: DataFrame, target: DataFrame) -> DataFrame:
         )
     from pyspark.sql import functions as F
 
+    # backtick-quote source names: auto-generated ones like `2.5`
+    # contain dots that unquoted resolution parses as struct access
     return df.select(
         *[
-            F.col(src).cast(fld.dataType).alias(fld.name)
+            F.col(_bt(src)).cast(fld.dataType).alias(fld.name)
             for src, fld in zip(df.columns, t_fields)
         ]
     )
+
+
+def _align_by_name(df: DataFrame, target: DataFrame, columns: List[str]) -> DataFrame:
+    """Align an explicit `INSERT INTO t (b, a) ...` column list by NAME:
+    listed target columns take the source values in list order, unlisted
+    target columns are filled with NULL (DuckDB semantics; the reference
+    inherits them — reference src/query_orchestrator.py executes the
+    statement verbatim in DuckDB)."""
+    from pyspark.sql import functions as F
+
+    if len(columns) != len(df.columns):
+        raise UserException(
+            f"INSERT column list has {len(columns)} names but source "
+            f"provides {len(df.columns)} columns"
+        )
+    t_by_lower = {fld.name.lower(): fld for fld in target.schema.fields}
+    src_for = {}
+    for src, col in zip(df.columns, columns):
+        key = col.lower()
+        if key not in t_by_lower:
+            raise UserException(f"INSERT column '{col}' not in target table")
+        src_for[key] = src
+    out = []
+    for fld in target.schema.fields:
+        src = src_for.get(fld.name.lower())
+        if src is not None:
+            out.append(F.col(_bt(src)).cast(fld.dataType).alias(fld.name))
+        else:
+            out.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+    return df.select(*out)
 
 
 class SparkStatementExecutor:
@@ -198,7 +235,7 @@ class SparkStatementExecutor:
         if body is None:
             # bare DDL: CREATE TABLE t (col type, ...) -> empty table
             schema_sql = _ddl_column_schema(st.sql)
-            df = self.spark.sql(f"SELECT {schema_sql} WHERE 1=0")
+            df = self.spark.sql(f"SELECT {schema_sql} LIMIT 0")
         else:
             df = self.spark.sql(translate(body))
         self.store.create_table(name, df, order_by=_terminal_order_by(body or ""))
@@ -208,7 +245,7 @@ class SparkStatementExecutor:
         name = next(iter(st.outputs), None)
         tail = _insert_source_sql(st.sql)
         df = self.spark.sql(translate(tail))
-        self.store.insert_into(name, df)
+        self.store.insert_into(name, df, columns=_insert_column_list(st.sql))
 
     def _update(self, st: ParsedStatement) -> None:
         name = next(iter(st.outputs), None)
@@ -297,6 +334,144 @@ def _terminal_order_by(body: str) -> Optional[str]:
     clause = "".join(t.text for t in tokens[order_start:end]).strip()
     # strip leading ORDER BY
     return re.sub(r"(?is)^ORDER\s+BY\s+", "", clause)
+
+
+# column constraints that terminate the type text in a DDL column def
+_COL_CONSTRAINT_KWS = {
+    "PRIMARY", "NOT", "NULL", "DEFAULT", "UNIQUE", "REFERENCES",
+    "CHECK", "COLLATE", "GENERATED",
+}
+# table-level constraint entries to skip entirely
+_TABLE_CONSTRAINT_KWS = {"PRIMARY", "FOREIGN", "UNIQUE", "CHECK", "CONSTRAINT"}
+
+# DuckDB type names Spark lacks -> Spark cast targets. Parameterized
+# types (VARCHAR(n), DECIMAL(p,s)) pass through untouched — Spark
+# accepts those forms; only the BARE names below need mapping.
+_DDL_TYPE_MAP = {
+    "VARCHAR": "STRING", "TEXT": "STRING", "CHAR": "STRING",
+    "BPCHAR": "STRING", "JSON": "STRING", "UUID": "STRING",
+    "HUGEINT": "DECIMAL(38,0)", "UHUGEINT": "DECIMAL(38,0)",
+    "UBIGINT": "DECIMAL(20,0)", "UINTEGER": "BIGINT",
+    "USMALLINT": "INT", "UTINYINT": "SMALLINT",
+    "BLOB": "BINARY", "BYTEA": "BINARY",
+    "TIMESTAMPTZ": "TIMESTAMP", "DOUBLE_PRECISION": "DOUBLE",
+    "REAL": "FLOAT", "INT1": "TINYINT", "INT2": "SMALLINT",
+    "INT4": "INT", "INT8": "BIGINT", "SIGNED": "BIGINT",
+    "LOGICAL": "BOOLEAN", "BIT": "STRING",
+}
+
+
+def _split_top_level(tokens: List[Token]) -> List[List[Token]]:
+    """Split a token run on top-level commas."""
+    parts: List[List[Token]] = []
+    part: List[Token] = []
+    depth = 0
+    for tok in tokens:
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        if depth == 0 and tok.kind == "op" and tok.text == ",":
+            parts.append(part)
+            part = []
+        else:
+            part.append(tok)
+    if part:
+        parts.append(part)
+    return parts
+
+
+def _unquote_ident(tok: Token) -> str:
+    if tok.kind == "qident":
+        return tok.text[1:-1].replace('""', '"')
+    if tok.kind == "bident":
+        return tok.text[1:-1].replace("``", "`")
+    return tok.text
+
+
+def _column_list_span(sql: str) -> Optional[tuple[List[Token], int, int]]:
+    """(tokens, open_idx, close_idx) of the first top-level paren group,
+    provided it appears before any SELECT/WITH/VALUES/FROM keyword."""
+    tokens = tokenize(sql)
+    depth = 0
+    for i, tok in enumerate(tokens):
+        if tok.is_kw("SELECT", "WITH", "VALUES", "FROM") and depth == 0:
+            return None
+        if tok.kind == "op" and tok.text == "(":
+            # find matching close
+            d = 0
+            for j in range(i, len(tokens)):
+                t = tokens[j]
+                if t.kind == "op" and t.text == "(":
+                    d += 1
+                elif t.kind == "op" and t.text == ")":
+                    d -= 1
+                    if d == 0:
+                        return tokens, i, j
+            return None
+    return None
+
+
+def _ddl_column_schema(sql: str) -> str:
+    """Column list of a bare-DDL ``CREATE TABLE t (col type, ...)`` as
+    select-item text ``CAST(NULL AS type) AS name, ...`` (the reference
+    passes the DDL verbatim to DuckDB; here the empty typed relation is
+    materialized so a later INSERT has a schema to align against).
+    Column constraints and table-level constraints are skipped."""
+    span = _column_list_span(sql)
+    if span is None:
+        raise UserException(
+            f"CREATE TABLE without AS body or column list: {sql[:100]}"
+        )
+    tokens, open_idx, close_idx = span
+    items: List[str] = []
+    for part in _split_top_level(tokens[open_idx + 1: close_idx]):
+        code = [t for t in part if t.kind not in ("ws", "comment")]
+        if not code:
+            continue
+        first = code[0]
+        if first.kind == "word" and first.upper in _TABLE_CONSTRAINT_KWS:
+            continue  # table-level constraint entry
+        name = _unquote_ident(first)
+        type_toks: List[Token] = []
+        depth = 0
+        for tok in code[1:]:
+            if tok.kind == "op" and tok.text == "(":
+                depth += 1
+            elif tok.kind == "op" and tok.text == ")":
+                depth -= 1
+            if depth == 0 and tok.kind == "word" and tok.upper in _COL_CONSTRAINT_KWS:
+                break
+            type_toks.append(tok)
+        if not type_toks:
+            raise UserException(f"Column '{name}' has no type in: {sql[:100]}")
+        type_text = " ".join(t.text for t in type_toks)
+        upper = type_text.upper().replace(" ", "")
+        if upper == "DOUBLEPRECISION":
+            type_text = "DOUBLE"
+        elif len(type_toks) == 1 and type_toks[0].upper in _DDL_TYPE_MAP:
+            type_text = _DDL_TYPE_MAP[type_toks[0].upper]
+        items.append(f"CAST(NULL AS {type_text}) AS {_bt(name)}")
+    if not items:
+        raise UserException(f"Empty column list in: {sql[:100]}")
+    return ", ".join(items)
+
+
+def _insert_column_list(sql: str) -> Optional[List[str]]:
+    """Explicit column list of ``INSERT INTO t (c1, c2) ...``, or None.
+    The paren group must appear before the source keyword — ``INSERT
+    INTO t VALUES (...)`` has none."""
+    span = _column_list_span(sql)
+    if span is None:
+        return None
+    tokens, open_idx, close_idx = span
+    cols: List[str] = []
+    for part in _split_top_level(tokens[open_idx + 1: close_idx]):
+        code = [t for t in part if t.kind not in ("ws", "comment")]
+        if len(code) != 1 or code[0].kind not in ("word", "qident", "bident"):
+            return None  # not a plain column list
+        cols.append(_unquote_ident(code[0]))
+    return cols or None
 
 
 def _insert_source_sql(sql: str) -> str:

@@ -252,13 +252,36 @@ def _collect_outputs(code: Sequence[tuple[int, Token]], stype: StatementType) ->
     return outputs
 
 
+# SQL-standard functions whose argument list contains a FROM keyword —
+# `EXTRACT(DOW FROM ts)`, `substring(s FROM 2)` — which must NOT be
+# treated as a table-list introducer (it would yield phantom deps like
+# 'order_date' or '2' and can mis-batch or fake a circular dependency).
+_FROM_ARG_FUNCS = {"EXTRACT", "SUBSTRING", "SUBSTR", "TRIM", "POSITION", "OVERLAY"}
+
+
 def _collect_dependencies(code: Sequence[tuple[int, Token]]) -> Set[str]:
     deps: Set[str] = set()
     n = len(code)
     i = 0
+    # paren stack: True = this paren is a FROM-taking function's arg list
+    fn_paren: list[bool] = []
     while i < n:
         _, tok = code[i]
-        if tok.is_kw("FROM"):
+        if tok.kind == "op" and tok.text == "(":
+            prev = code[i - 1][1] if i > 0 else None
+            fn_paren.append(
+                prev is not None
+                and prev.kind == "word"
+                and prev.upper in _FROM_ARG_FUNCS
+            )
+            i += 1
+            continue
+        if tok.kind == "op" and tok.text == ")":
+            if fn_paren:
+                fn_paren.pop()
+            i += 1
+            continue
+        if tok.is_kw("FROM") and not (fn_paren and fn_paren[-1]):
             # DELETE FROM — target, not a read; _collect_outputs handles it
             if code and code[0][1].is_kw("DELETE"):
                 prev_idx = i - 1
@@ -296,8 +319,9 @@ def _capture_from_list(code: Sequence[tuple[int, Token]], pos: int, deps: Set[st
         tok = code[i][1]
         if tok.kind == "op" and tok.text == "(":
             # derived table / subquery: its internal FROMs are found by
-            # the outer scan loop, so just step inside
-            return i + 1
+            # the outer scan loop; return AT the paren so the outer
+            # loop's paren-stack bookkeeping stays balanced
+            return i
         name, nxt = _dotted_name(code, i)
         if name is None:
             return i

@@ -172,10 +172,13 @@ def export_table(
         # column names in the manifest
         opts = dict(_CSV_WRITE_OPTIONS, header=False)
         df_out.write.mode("overwrite").options(**opts).csv(out_path)
-        for junk in glob.glob(os.path.join(out_path, "_SUCCESS")) + glob.glob(
-            os.path.join(out_path, "*.crc")
-        ):
-            os.remove(junk)
+        # KBC treats EVERY file in a sliced dir as a data slice — remove
+        # all of Spark's bookkeeping output, including the HIDDEN local-FS
+        # checksum files (.part-*.csv.crc, ._SUCCESS.crc) that glob('*')
+        # would miss because '*' doesn't match dotfiles.
+        for entry in os.listdir(out_path):
+            if not (entry.startswith("part-") and entry.endswith(".csv")):
+                os.remove(os.path.join(out_path, entry))
         manifest["columns"] = list(df_out.columns)
     else:
         tmp = tempfile.mkdtemp(prefix="cdts-export-", dir=out_tables_dir)

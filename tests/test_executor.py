@@ -55,3 +55,44 @@ def test_insert_values(spark, table_store):
     ])])]
     run_blocks(spark, table_store, blocks)
     assert spark.table("kv").count() == 3
+
+
+def test_bare_ddl_create_then_insert(spark, table_store):
+    """DDL-only CREATE TABLE (no AS body) + INSERT — the CREATE->INSERT
+    pattern the orchestrator builds edges for (ADVICE r1, high)."""
+    blocks = [Block(name="b", codes=[Code(name="c", script=[
+        "CREATE TABLE ddl_t (id INTEGER, name VARCHAR, price DOUBLE, "
+        "created TIMESTAMP, big HUGEINT)",
+        "INSERT INTO ddl_t SELECT 1, 'x', 2.5, TIMESTAMP '2024-01-01 00:00:00', 9",
+    ])])]
+    run_blocks(spark, table_store, blocks)
+    rows = spark.table("ddl_t").collect()
+    assert len(rows) == 1
+    assert rows[0]["id"] == 1 and rows[0]["name"] == "x"
+    dt = dict(spark.table("ddl_t").dtypes)
+    assert dt["id"] == "int" and dt["name"] == "string"
+    assert dt["big"] == "decimal(38,0)"
+
+
+def test_bare_ddl_constraints_skipped(spark, table_store):
+    blocks = [Block(name="b", codes=[Code(name="c", script=[
+        "CREATE TABLE ddl_c (id INT PRIMARY KEY, v VARCHAR(10) NOT NULL, "
+        "d DECIMAL(10,2) DEFAULT 0, PRIMARY KEY (id))",
+    ])])]
+    run_blocks(spark, table_store, blocks)
+    dt = dict(spark.table("ddl_c").dtypes)
+    assert set(dt) == {"id", "v", "d"}
+    assert dt["d"] == "decimal(10,2)"
+    assert spark.table("ddl_c").count() == 0
+
+
+def test_insert_explicit_column_list(spark, table_store):
+    """INSERT INTO t (b, a) must align by NAME, not position (ADVICE r1)."""
+    blocks = [Block(name="b", codes=[Code(name="c", script=[
+        "CREATE TABLE named_t AS SELECT 1 AS a, 'one' AS b, 1.5 AS c",
+        "INSERT INTO named_t (b, a) SELECT 'two', 2",
+    ])])]
+    run_blocks(spark, table_store, blocks)
+    rows = {r["a"]: (r["b"], r["c"]) for r in spark.table("named_t").collect()}
+    assert rows[2] == ("two", None)
+    assert rows[1] == ("one", 1.5)

@@ -94,3 +94,22 @@ def test_subquery_and_derived_table_dependencies():
 def test_comma_join_dependencies():
     st = parse_statement("SELECT * FROM a, b WHERE a.id = b.id")
     assert st.dependencies == {"a", "b"}
+
+
+def test_from_inside_function_not_a_dependency():
+    """EXTRACT(DOW FROM col) / substring(s FROM 2) must not produce
+    phantom dependencies (ADVICE r1: false circular-dep risk)."""
+    st = parse_script(
+        "CREATE TABLE o AS SELECT EXTRACT(DOW FROM order_date) AS d, "
+        "substring(name FROM 2) AS s, trim(LEADING 'x' FROM name) AS t "
+        "FROM orders"
+    )[0]
+    assert st.dependencies == {"orders"}
+
+
+def test_from_arg_function_nested_in_where():
+    st = parse_script(
+        "SELECT * FROM events e WHERE EXTRACT(HOUR FROM e.ts) > 3 "
+        "AND EXISTS (SELECT 1 FROM orders o WHERE o.id = e.id)"
+    )[0]
+    assert st.dependencies == {"events", "orders"}
