@@ -22,6 +22,8 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..exceptions import UserException
+
 
 def _dot_double(a, b) -> F.Column:
     return F.aggregate(
@@ -266,6 +268,7 @@ def embedding_near_duplicates(
     quantize: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_driver_rows: int = 200_000,
 ) -> DataFrame:
     """Near-duplicate vector pairs by quantized dot >= threshold_q
     (exact integer arithmetic — oracle-reproducible).
@@ -274,11 +277,21 @@ def embedding_near_duplicates(
     broadcast quantized matrix with one numpy int64 matmul (Arrow batch
     in, vectorized compute, ~100x over per-pair interpreted array
     lambdas). Exact all-pairs inherently needs one side resident per
-    executor; when the corpus itself doesn't fit a broadcast, bucket
-    first (``lsh_bucketed_topk``) — that is the 100 TB path.
+    executor, so the corpus is size-guarded: beyond ``max_driver_rows``
+    this raises instead of OOM-ing the driver — bucket first
+    (``lsh_bucketed_topk``), that is the 100 TB path.
     """
     spark = corpus.sparkSession
     base = corpus.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("vec"))
+    n = base.count()
+    if n > max_driver_rows:
+        raise UserException(
+            f"embedding_near_duplicates broadcasts the full corpus; "
+            f"{n} rows exceeds max_driver_rows={max_driver_rows}. Use "
+            "lsh_bucketed_topk (bucketed LSH join, no driver collect) for "
+            "large corpora, or raise max_driver_rows if one executor can "
+            "hold the quantized matrix."
+        )
     pdf = base.toPandas()
     ids = pdf["v1"].to_numpy(dtype=np.int64)
     mat = _quantize_np(np.stack(pdf["vec"].to_numpy()), quantize)

@@ -636,11 +636,13 @@ _add_df(
 )
 
 _JACCARD_ORACLE = """
-WITH sh AS (
+WITH sh0 AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        generate_series(1, 200) t(i)
   WHERE i + 2 <= len(w)),
+keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
 card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS intersection
@@ -658,9 +660,12 @@ WHERE round(CAST(intersection AS DOUBLE) / (c1.n + c2.n - intersection), 6) >= 0
 
 _add_df(
     "x02_dedup_ngram_jaccard",
-    lambda spark, sf: dedup.ngram_jaccard_pairs(spark.table("documents"), threshold=0.4),
+    lambda spark, sf: dedup.ngram_jaccard_pairs(
+        spark.table("documents"), threshold=0.4, max_shingle_freq=100
+    ),
     oracle=_JACCARD_ORACLE,
-    description="exact 3-gram Jaccard near-dup pairs via shingle inverted-index join",
+    description="exact 3-gram Jaccard near-dup pairs via shingle inverted-index "
+    "join; posting lists bounded by a shingle-frequency cap (scale guard)",
 )
 
 _add_df(

@@ -1,0 +1,34 @@
+"""Scale guards flagged in VERDICT r1: x02's posting-list cap and x08's
+driver-collect bound."""
+
+import pytest
+
+from component_duckdb_transformation_spark.exceptions import UserException
+from component_duckdb_transformation_spark.operators import dedup, similarity
+
+
+def test_ngram_jaccard_shingle_cap_bounds_posting_list(spark):
+    # 8 docs all share one hot 3-gram prefix; only docs 0/1 share a full
+    # tail. With the hot shingle capped out, only the 0/1 pair survives.
+    hot = "the quick brown"
+    rows = [(i, f"{hot} tail{i} a b c d") for i in range(8)]
+    rows[1] = (1, rows[0][1])  # doc 1 duplicates doc 0's text
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.2, max_shingle_freq=2)
+    pairs = {(r["d1"], r["d2"]) for r in capped.collect()}
+    assert pairs == {(0, 1)}
+    # uncapped, the hot shingle creates cross-pairs below/above threshold
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.05)
+    assert uncapped.count() > 1
+
+
+def test_embedding_near_dup_guard_trips_on_oversized_corpus(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(UserException, match="lsh_bucketed_topk"):
+        similarity.embedding_near_duplicates(df, threshold_q=0, max_driver_rows=5)
+    # under the bound it still works
+    out = similarity.embedding_near_duplicates(df, threshold_q=0, max_driver_rows=100)
+    assert out.count() > 0
