@@ -81,16 +81,21 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` drops shingles hotter than the cap (stopword
     shingles) to bound the self-join at scale.
     """
-    sh = shingles(df, id_col, text_col, k)
+    # join on the 64-bit shingle hash, never the raw string: shuffle
+    # keys shrink from ~20-byte strings to 8 bytes and comparisons are
+    # single longs (collision odds ~n^2/2^64 — immaterial)
+    sh = shingles(df, id_col, text_col, k).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)), "shingle").drop("f")
+        freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)), "sh").drop("f")
     sh = sh.cache()
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count("*").alias("intersection"))
     )

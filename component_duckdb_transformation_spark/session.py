@@ -63,6 +63,12 @@ def build_spark_session(
         # handling, dynamic join strategy switches — the scale safety net.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce by SIZE, not by initial parallelism: small shuffles
+        # collapse to a handful of tasks (cuts fixed per-query scheduling
+        # cost ~10x at bench scale); at 100 TB the 64 MB advisory target
+        # still yields thousands of partitions, so nothing under-parallelizes
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Concurrent DAG batches (plans.orchestrator) submit jobs from
         # multiple threads; FAIR scheduling keeps one long query from

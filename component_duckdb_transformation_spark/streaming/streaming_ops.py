@@ -152,18 +152,35 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
 
 
 def run_stream_to_batch(
-    df: DataFrame, output_mode: str = "complete", timeout_s: int = 300
+    df: DataFrame,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame with Trigger.AvailableNow into a
-    memory sink and return the result as a batch DataFrame."""
-    name = "stream_" + uuid.uuid4().hex[:12]
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(timeout_s)
+    memory sink and return the result as a batch DataFrame.
+
+    ``state_partitions`` overrides ``spark.sql.shuffle.partitions`` for
+    THIS query's state store (fixed at first micro-batch; AQE doesn't
+    apply to streaming). A fresh bounded drain over modest data wants
+    far fewer state-store instances than a cluster's batch shuffle
+    default — pass a small value in benchmarks; leave None for
+    production streams sized by the session conf."""
     spark = df.sparkSession
+    name = "stream_" + uuid.uuid4().hex[:12]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_s)
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -1021,7 +1021,11 @@ def _stream_hourly_builder(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming import streaming_ops as so
 
     stream = so.read_events_stream(spark, sf)
-    return so.run_stream_to_batch(so.hourly_windowed_aggregate(stream))
+    # bounded local drain: 8 state-store instances, not the batch
+    # shuffle default (unbounded cluster streams size via session conf)
+    return so.run_stream_to_batch(
+        so.hourly_windowed_aggregate(stream), state_partitions=8
+    )
 
 
 _STREAM_HOURLY_ORACLE = """
@@ -1081,7 +1085,7 @@ def _stateful_builder(spark: SparkSession, sf: str) -> DataFrame:
 
     stream = so.read_events_stream(spark, sf)
     return so.run_stream_to_batch(
-        so.stateful_user_stats(stream), output_mode="update"
+        so.stateful_user_stats(stream), output_mode="update", state_partitions=8
     )
 
 
