@@ -36,6 +36,7 @@ from .actions import sync_actions
 from .plans.executor import SparkStatementExecutor, TableStore
 from .plans.orchestrator import BlockOrchestrator
 from .session import build_spark_session
+from .system_resources import spark_resource_stats
 from .sinks.table_export import export_file_manifests, export_table
 from .sources.table_import import create_input_view
 from .validators.sql_validator import SQLValidator
@@ -193,6 +194,25 @@ class Component:
             stats.total_execution_time,
             stats.total_batches,
         )
+        if self.params.debug:
+            # reference logs duckdb_memory()/duckdb_temporary_files()
+            # under debug (src/duckdb_client.py:34-48); this is the Spark
+            # analogue: heap, per-executor storage memory, spill scratch
+            res = spark_resource_stats(self.spark)
+            LOG.info(
+                "Engine memory: jvm_heap_used_mb=%s jvm_heap_max_mb=%s",
+                res["jvm_heap_used_mb"],
+                res["jvm_heap_max_mb"],
+            )
+            for ex in res["executors"]:
+                LOG.info(
+                    "Executor memory: %s storage_free_mb=%s storage_max_mb=%s",
+                    ex["executor"],
+                    ex["storage_free_mb"],
+                    ex["storage_max_mb"],
+                )
+            for d in res["scratch_dirs"]:
+                LOG.info("Temporary files: %s bytes=%s", d["path"], d["bytes"])
 
         self._export_tables(store)
         export_file_manifests(

@@ -47,6 +47,10 @@ class Configuration(BaseModel):
     # Replaces `duckdb_version` venv routing (reference src/launcher.py:25-30);
     # a single PySpark runtime serves all versions.
     engine_version: str = "latest"
+    # Compatibility: reference configs carry `duckdb_version` to pick a
+    # venv (reference src/versions.py:19-38). Accepted and validated so
+    # those configs load unmodified; the single runtime serves them all.
+    duckdb_version: Optional[str] = None
     # Spark-specific extras (no reference analogue):
     spark_master: Optional[str] = None
     warehouse_dir: Optional[str] = None
@@ -61,6 +65,26 @@ class Configuration(BaseModel):
                 f"Supported: {sorted(SUPPORTED_ENGINE_VERSIONS)}"
             )
         return value
+
+    @field_validator("duckdb_version")
+    @classmethod
+    def _check_duckdb_version(cls, value: Optional[str]) -> Optional[str]:
+        import re
+
+        if value is None:
+            return value
+        if value == "latest" or re.fullmatch(r"\d+\.\d+(\.\d+)?", value):
+            LOG.info(
+                "Config requests duckdb_version=%s; served by the single "
+                "PySpark runtime (engine_version semantics are identical "
+                "across requested versions)",
+                value,
+            )
+            return value
+        raise ValueError(
+            f"Unsupported duckdb_version '{value}'. Use 'latest' or a "
+            "dotted version like '1.1.3'."
+        )
 
     def model_post_init(self, __context: Any) -> None:
         # cgroup autodetect, mirroring reference src/configuration.py:54-79

@@ -104,7 +104,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_epoch(tokens)
     tokens = _rewrite_bare_types(tokens)
     tokens = _rewrite_simple(tokens)
-    tokens = _rewrite_qualify(tokens)
+    tokens = _rewrite_qualify_recursive(tokens)
     return "".join(t.text for t in tokens)
 
 
@@ -414,6 +414,28 @@ def _rewrite_bare_types(tokens: List[Token]) -> List[Token]:
 
 
 _QUALIFY_TERMINATORS = {"ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT", "OFFSET"}
+
+
+def _rewrite_qualify_recursive(tokens: List[Token]) -> List[Token]:
+    """Apply the QUALIFY rewrite inside every parenthesized group
+    (subqueries, CTE bodies, derived tables), innermost-first, then at
+    the top level."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text == "(":
+            close = _matching_paren(tokens, i)
+            if close > i:
+                out.append(tok)
+                out.extend(_rewrite_qualify_recursive(tokens[i + 1: close]))
+                out.append(tokens[close])
+                i = close + 1
+                continue
+        out.append(tok)
+        i += 1
+    return _rewrite_qualify(out)
 
 
 def _rewrite_qualify(tokens: List[Token]) -> List[Token]:

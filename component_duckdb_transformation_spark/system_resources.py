@@ -59,6 +59,56 @@ def detect_cpu_count() -> int:
     return os.cpu_count() or DEFAULT_CPU_COUNT
 
 
+def spark_resource_stats(spark) -> dict:
+    """Engine memory + spill introspection, the Spark analogue of the
+    reference's debug-mode ``duckdb_memory()`` /
+    ``duckdb_temporary_files()`` dumps (reference src/duckdb_client.py:34-48).
+
+    Returns JVM heap numbers, per-executor storage-memory status, and the
+    on-disk bytes of Spark's shuffle/spill scratch directories.
+    """
+    jvm_rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()  # noqa: SLF001
+    stats: dict = {
+        "jvm_heap_used_mb": (jvm_rt.totalMemory() - jvm_rt.freeMemory()) // (1 << 20),
+        "jvm_heap_total_mb": jvm_rt.totalMemory() // (1 << 20),
+        "jvm_heap_max_mb": jvm_rt.maxMemory() // (1 << 20),
+        "executors": [],
+        "scratch_dirs": [],
+    }
+    try:
+        mem_status = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()  # noqa: SLF001
+        it = mem_status.iterator()
+        while it.hasNext():
+            entry = it.next()
+            stats["executors"].append(
+                {
+                    "executor": str(entry._1()),
+                    "storage_max_mb": int(entry._2()._1()) // (1 << 20),
+                    "storage_free_mb": int(entry._2()._2()) // (1 << 20),
+                }
+            )
+    except Exception:  # pragma: no cover - py4j surface may change
+        pass
+    local_dirs = spark.conf.get(
+        "spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp")
+    )
+    for root in local_dirs.split(","):
+        for entry in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+            if entry.startswith(("blockmgr-", "spark-")):
+                path = os.path.join(root, entry)
+                size = 0
+                for dirpath, _dirnames, filenames in os.walk(path):
+                    for fname in filenames:
+                        try:
+                            size += os.path.getsize(os.path.join(dirpath, fname))
+                        except OSError:
+                            pass
+                stats["scratch_dirs"].append(
+                    {"path": path, "bytes": size}
+                )
+    return stats
+
+
 def detect_memory_limit_mb() -> int:
     """Memory limit in MB from cgroup v2/v1, minus the Python reserve;
     defaults to 4096 (reference src/system_resources.py:88-106)."""

@@ -17,11 +17,33 @@ from pyspark.sql import SparkSession
 
 from ..actions.results import MessageType, ValidationResult
 from ..configuration import Block
-from ..functions.dialect import translate
+from ..functions.dialect import (
+    _matching_paren,
+    _next_code,
+    _split_top_level_args,
+    translate,
+)
 from ..plans.orchestrator import iterate_blocks, query_name
 from ..plans.sql_parser import parse_script
+from ..plans.sql_tokens import tokenize
 
 LOG = logging.getLogger(__name__)
+
+
+def _three_arg_regexp_replace(sql: str) -> bool:
+    """True if any regexp_replace call has exactly 3 arguments — the
+    DuckDB form that replaces only the FIRST match, which Spark executes
+    as replace-ALL (documented divergence, COVERAGE.md)."""
+    tokens = tokenize(sql)
+    n = len(tokens)
+    for i, tok in enumerate(tokens):
+        if tok.kind == "word" and tok.text.lower() == "regexp_replace":
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].text == "(":
+                close = _matching_paren(tokens, p_open)
+                if len(_split_top_level_args(tokens, p_open, close)) == 3:
+                    return True
+    return False
 
 
 def check_common_sql_errors(sql: str) -> list[str]:
@@ -53,6 +75,13 @@ def check_common_sql_errors(sql: str) -> list[str]:
         errors.append(
             "Engine Error: PERCENTILE_CONT() cannot be used as a window "
             "function, use WITHIN GROUP instead"
+        )
+    if "REGEXP_REPLACE" in sql_upper and _three_arg_regexp_replace(sql):
+        errors.append(
+            "Warning: regexp_replace(s, pattern, replacement) replaces only "
+            "the FIRST match in DuckDB but ALL matches in this engine; add "
+            "the 'g' flag if replace-all is intended, or anchor the pattern "
+            "for replace-first semantics"
         )
     if (
         "CAST(" in sql_upper

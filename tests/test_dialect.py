@@ -109,3 +109,26 @@ def test_epoch_rewrites():
     out = translate("SELECT epoch_ms(ts), epoch(ts) FROM t")
     assert "unix_millis" in out and "unix_seconds" in out
     assert "TIMESTAMP_LTZ" in out
+
+
+def test_qualify_in_subquery():
+    # QUALIFY nested in a derived table is rewritten too (not just top level)
+    out = translate(
+        "SELECT * FROM (SELECT a, b FROM t "
+        "QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1) s "
+        "WHERE a > 0"
+    )
+    assert "QUALIFY" not in out.upper().replace("__QUALIFY__", "")
+    assert "AS __qualify__" in out
+    # outer shell untouched
+    assert out.startswith("SELECT * FROM (")
+    assert out.rstrip().endswith("WHERE a > 0")
+
+
+def test_qualify_in_cte_body():
+    out = translate(
+        "WITH ranked AS (SELECT a FROM t "
+        "QUALIFY rank() OVER (ORDER BY a) <= 3) SELECT * FROM ranked"
+    )
+    assert "QUALIFY" not in out.upper().replace("__QUALIFY__", "")
+    assert out.startswith("WITH ranked AS (")
