@@ -22,7 +22,23 @@ functions) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import hashlib
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _md5_60(col: Column) -> Column:
+    """60-bit hash from the first 15 hex chars of md5 — bit-identical
+    across engines (DuckDB: ``('0x' || substr(md5(s),1,15))::BIGINT``),
+    which makes md5-mode pipelines verifiable against a SQL oracle.
+    Always non-negative (< 2^60), so decimal rendering also matches."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_seed(i: int) -> int:
+    """Deterministic 60-bit XOR-seed for the md5 hash family; any engine
+    can reproduce it as ``('0x' || substr(md5(CAST(i AS VARCHAR)),1,15))``."""
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -119,10 +135,16 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) MinHash signatures.
 
-    h_i(s) = xxhash64(shingle, i); signature_i = min over shingles.
+    ``hash_mode="xxhash64"`` (default): h_i(s) = xxhash64(shingle, i) —
+    the fastest JVM path. ``hash_mode="md5"``: h_i(s) = md5_60(s) XOR
+    seed_i — slightly weaker min-wise independence, but bit-identical
+    across engines, so results are verifiable against a DuckDB oracle
+    (XOR is the seeding op because it cannot overflow; DuckDB raises on
+    int64 multiply overflow while Spark wraps).
 
     Implemented as explode(shingles) -> num_hashes parallel MIN
     aggregates -> array. The shingle is materialized as a row field
@@ -137,10 +159,17 @@ def minhash_signatures(
     from the output (they cannot be near-duplicates).
     """
     sh = shingles(df, id_col, text_col, k)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_m{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_mode == "md5":
+        sh = sh.select("doc_id", _md5_60(F.col("shingle")).alias("h"))
+        mins = [
+            F.min(F.col("h").bitwiseXOR(F.lit(md5_seed(i)))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
     return (
         sh.groupBy("doc_id")
         .agg(*mins)
@@ -156,21 +185,25 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
     LSH generates candidates (any shared band bucket); candidates are
     then verified with exact shingle Jaccard so output has no false
-    positives. Rows: (d1, d2, jaccard).
+    positives. Rows: (d1, d2, jaccard). ``hash_mode="md5"`` swaps every
+    hash for the engine-portable md5 family (see minhash_signatures) so
+    the full pipeline is reproducible in ANSI SQL.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    bucket_hash = F.xxhash64 if hash_mode != "md5" else _md5_60
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_mode)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: bucket_hash(
                     F.concat_ws(
                         ",",
                         F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast(
@@ -224,31 +257,38 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document via per-word-hash bit voting.
+    """SimHash per document via per-word-hash bit voting (64-bit with
+    xxhash64; 60-bit in engine-portable ``hash_mode="md5"``).
 
-    explode(distinct words) -> xxhash64 once per word -> 64 parallel
+    explode(distinct words) -> hash once per word -> n_bits parallel
     SUM(+-1) bit-vote aggregates -> recombine sign bits. Partial
-    (map-side) aggregation makes the shuffle docs x 64 x 8B regardless
-    of document length; the word hash is computed exactly once per word
-    (a single nested higher-order expression re-evaluates split(text)
-    per bit position). Docs with no words are absent from the output.
+    (map-side) aggregation makes the shuffle docs x n_bits x 8B
+    regardless of document length; the word hash is computed exactly
+    once per word (a single nested higher-order expression re-evaluates
+    split(text) per bit position). Docs with no words are absent from
+    the output.
     """
+    n_bits = 60 if hash_mode == "md5" else 64
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),
     )
-    hashed = words.select("doc_id", F.xxhash64("word").alias("h"))
+    h = _md5_60(F.col("word")) if hash_mode == "md5" else F.xxhash64("word")
+    hashed = words.select("doc_id", h.alias("h"))
     votes = [
         F.sum(
             F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
         ).alias(f"_v{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = hashed.groupBy("doc_id").agg(*votes)
     sim = None
-    for b in range(64):
+    for b in range(n_bits):
         term = F.when(
             F.col(f"_v{b}") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})")
         ).otherwise(F.lit(0).cast("bigint"))
@@ -261,15 +301,21 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """Pairs with hamming(simhash) <= max_hamming, found by 16-bit-chunk
-    banding (pigeonhole: <=3 differing bits leaves >=1 of 4 chunks equal)."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    """Pairs with hamming(simhash) <= max_hamming, found by banding the
+    signature into 4 chunks (pigeonhole: <=3 differing bits leaves >=1
+    of 4 chunks equal). Chunks are 16-bit (xxhash64) or 15-bit (md5)."""
+    chunk_bits = 15 if hash_mode == "md5" else 16
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash_signatures(df, id_col, text_col, hash_mode)
     chunks = sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
-            F.expr("transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)")
+            F.expr(
+                f"transform(sequence(0, 3), c -> shiftright(simhash, c * {chunk_bits}) & {mask})"
+            )
         ).alias("chunk_idx", "chunk"),
     )
     a = chunks.alias("a")

@@ -90,6 +90,40 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def integer_hyperplanes(dim: int, n_planes: int) -> list[list[int]]:
+    """md5-derived integer hyperplane components in [-1000, 1000].
+
+    Integer planes + quantized embeddings make bucket assignment exact
+    integer arithmetic — reproducible in any engine (no float summation
+    order issues), so LSH results can be verified against a SQL oracle.
+    """
+    import hashlib
+
+    def h(i: int, d: int) -> int:
+        v = int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:15], 16)
+        return (v % 2001) - 1000
+
+    return [[h(i, d) for d in range(dim)] for i in range(n_planes)]
+
+
+def _bucket_expr_quantized(vec, planes: list[list[int]], q: int) -> F.Column:
+    """Sign-bit bucket from integer projections: proj_i = sum(round(e*q)
+    * p_i) as bigint — bit-exact across engines."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(int(p)).cast("bigint") for p in plane]),
+                lambda x, p: F.round(x.cast("double") * q).cast("bigint") * p,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** i).cast("bigint")).otherwise(0)
+    return bucket
+
+
 def _bucket_expr(vec, planes: list[list[float]]) -> F.Column:
     """Sign-bit bucket id from hyperplane projections (JVM-side arithmetic)."""
     bucket = F.lit(0).cast("bigint")
@@ -118,20 +152,31 @@ def lsh_bucketed_topk(
     query_id_col: str = "query_id",
     n_probe: int = 1,
     seed: int = 42,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share a hyperplane sign bucket
     (plus ``n_probe-1`` single-bit-flip probes), scored by exact cosine.
-    Output: (query_id, vec_id, score, rank)."""
-    planes = random_hyperplanes(dim, n_planes, seed)
+    Output: (query_id, vec_id, score, rank).
+
+    With ``quantize=q``: md5-derived integer hyperplanes + quantized
+    integer dot scoring — every arithmetic step is int64, so bucketing
+    AND ranking are bit-identical across engines (SQL-oracle-friendly).
+    """
+    if quantize:
+        iplanes = integer_hyperplanes(dim, n_planes)
+        bucket_of = lambda v: _bucket_expr_quantized(v, iplanes, quantize)  # noqa: E731
+    else:
+        planes = random_hyperplanes(dim, n_planes, seed)
+        bucket_of = lambda v: _bucket_expr(v, planes)  # noqa: E731
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),
-        _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        bucket_of(F.col(vec_col)).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _bucket_expr(F.col(vec_col), planes).alias("q_bucket"),
+        bucket_of(F.col(vec_col)).alias("q_bucket"),
     )
     probes = [0] + [1 << b for b in range(n_probe - 1)]
     q_probed = q.withColumn(
@@ -139,9 +184,12 @@ def lsh_bucketed_topk(
         F.explode(F.array(*[F.col("q_bucket").bitwiseXOR(F.lit(p)) for p in probes])),
     )
     joined = c.join(F.broadcast(q_probed), "bucket")
-    score = _dot_double(F.col("q_vec"), F.col("c_vec")) / (
-        _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
-    )
+    if quantize:
+        score = _dot_quantized(F.col("q_vec"), F.col("c_vec"), quantize)
+    else:
+        score = _dot_double(F.col("q_vec"), F.col("c_vec")) / (
+            _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return (
         joined.withColumn("score", score)

@@ -668,20 +668,96 @@ _add_df(
     "join; posting lists bounded by a shingle-frequency cap (scale guard)",
 )
 
+def _minhash_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.4) -> str:
+    """Full MinHash+LSH replica in DuckDB SQL: the md5 hash family
+    (dedup._md5_60 / dedup.md5_seed) is bit-identical across engines,
+    so the candidate set AND the verified pairs match exactly."""
+    rpb = num_hashes // bands
+    seed_rows = ", ".join(f"({i}, {dedup.md5_seed(i)})" for i in range(num_hashes))
+    return f"""
+WITH seeds(k, c) AS (VALUES {seed_rows}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM w, generate_series(1, 200) t(i)
+  WHERE i + 2 <= len(w)),
+hs AS (SELECT doc_id, s,
+              CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+sig AS (SELECT doc_id, k, min(xor(h, c)) AS m
+        FROM hs CROSS JOIN seeds GROUP BY doc_id, k),
+sigl AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM sig GROUP BY doc_id),
+bandt AS (
+  SELECT doc_id, b,
+         CAST(('0x' || substr(md5(array_to_string(
+             sig[b*{rpb}+1 : b*{rpb}+{rpb}], ',')), 1, 15)) AS BIGINT) AS bucket
+  FROM sigl, generate_series(0, {bands - 1}) g(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+  FROM bandt a JOIN bandt b2
+    ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.d1
+  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+  GROUP BY c.d1, c.d2)
+SELECT d1, d2,
+       round(CAST(i AS DOUBLE) / (c1.n + c2.n - i), 6) AS jaccard
+FROM inter
+JOIN card c1 ON d1 = c1.doc_id
+JOIN card c2 ON d2 = c2.doc_id
+WHERE round(CAST(i AS DOUBLE) / (c1.n + c2.n - i), 6) >= {threshold}
+"""
+
+
 _add_df(
     "x03_dedup_minhash_lsh",
     lambda spark, sf: dedup.minhash_lsh_pairs(
-        spark.table("documents"), num_hashes=64, bands=16, threshold=0.4
+        spark.table("documents"), num_hashes=64, bands=16, threshold=0.4,
+        hash_mode="md5",
     ),
-    oracle=None,  # xxhash64-based: not reproducible in SQL; rows-only check
-    description="MinHash(64)+LSH(16 bands) candidates, exact-Jaccard verified (scale path)",
+    oracle=_minhash_oracle(),
+    description="MinHash(64)+LSH(16 bands) candidates, exact-Jaccard verified "
+    "(scale path); md5 hash family makes the pipeline engine-portable, so the "
+    "oracle replays it exactly",
 )
+
+
+_SIMHASH_ORACLE = """
+WITH words AS (
+  SELECT DISTINCT doc_id, w AS word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+h AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h FROM words),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, generate_series(0, 59) g(b) GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id),
+chunks AS (
+  SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS chunk
+  FROM sig, generate_series(0, 3) g(c)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
+         a.simhash AS s1, b2.simhash AS s2
+  FROM chunks a JOIN chunks b2
+    ON a.c = b2.c AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id)
+SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+"""
 
 _add_df(
     "x04_dedup_simhash",
-    lambda spark, sf: dedup.simhash_near_pairs(spark.table("documents"), max_hamming=3),
-    oracle=None,  # xxhash64-based; rows-only check
-    description="64-bit SimHash near-dup pairs, exact by pigeonhole (4x16-bit bands)",
+    lambda spark, sf: dedup.simhash_near_pairs(
+        spark.table("documents"), max_hamming=3, hash_mode="md5"
+    ),
+    oracle=_SIMHASH_ORACLE,
+    description="SimHash near-dup pairs, exact by pigeonhole (4x15-bit bands); "
+    "md5 hash family makes the bit votes engine-portable",
 )
 
 
@@ -837,14 +913,60 @@ def _lsh_ann_builder(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_bucketed_topk(emb, queries, k=10, n_planes=6, dim=64, n_probe=3)
+    return similarity.lsh_bucketed_topk(
+        emb, queries, k=10, n_planes=6, dim=64, n_probe=3, quantize=1000
+    ).withColumnRenamed("rank", "rnk")
+
+
+def _lsh_ann_oracle(n_planes: int = 6, dim: int = 64, n_probe: int = 3, k: int = 10) -> str:
+    """Replays the integer-hyperplane LSH pipeline in DuckDB: every step
+    (projection, bucket bits, probing, quantized dot, ranking) is int64
+    arithmetic, so the result matches the Spark side bit-for-bit."""
+    iplanes = similarity.integer_hyperplanes(dim, n_planes)
+    plane_rows = ", ".join(f"({i}, {iplanes[i]})" for i in range(n_planes))
+    probe_rows = ", ".join(f"({p})" for p in [0] + [1 << b for b in range(n_probe - 1)])
+    return f"""
+WITH planes(i, p) AS (VALUES {plane_rows}),
+proj AS (
+  SELECT e.vec_id, pl.i,
+    list_reduce(list_prepend(0::BIGINT,
+      list_transform(list_zip(e.embedding, pl.p),
+        s -> CAST(round(s[1] * 1000) AS BIGINT) * CAST(s[2] AS BIGINT))),
+      (a, x) -> a + x) AS proj
+  FROM embeddings e CROSS JOIN planes pl),
+bkt AS (
+  SELECT vec_id,
+         sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id),
+qp AS (
+  SELECT b.vec_id AS query_id, xor(b.bucket, pr.p) AS bucket
+  FROM bkt b, (VALUES {probe_rows}) pr(p)
+  WHERE b.vec_id < 5),
+cand AS (
+  SELECT qp.query_id, c.vec_id FROM qp JOIN bkt c ON qp.bucket = c.bucket),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+    list_reduce(list_prepend(0::BIGINT,
+      list_transform(list_zip(qe.embedding, ce.embedding),
+        s -> CAST(round(s[1] * 1000) AS BIGINT) * CAST(round(s[2] * 1000) AS BIGINT))),
+      (a, x) -> a + x) AS score
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.vec_id)
+SELECT query_id, vec_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id ASC) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= {k}
+"""
 
 
 _add_df(
     "x07_ann_lsh_topk",
     _lsh_ann_builder,
-    oracle=None,  # approximate by construction; rows-only check
-    description="hyperplane-LSH bucketed ANN (scale path: per-bucket joins)",
+    oracle=_lsh_ann_oracle(),
+    description="hyperplane-LSH bucketed ANN (scale path: per-bucket joins); "
+    "integer hyperplanes + quantized dot make every step engine-exact",
 )
 
 def _ivf_builder(spark: SparkSession, sf: str) -> DataFrame:
