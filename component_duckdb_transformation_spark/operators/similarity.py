@@ -303,6 +303,121 @@ def ivf_topk(
     )
 
 
+def _quantize_col(vec, q: int) -> F.Column:
+    """array<float> -> array<bigint>: round(x*q) half-away-from-zero —
+    the engine-portable quantization shared with the DuckDB oracles."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * q).cast("bigint"))
+
+
+def _dot_int(a, b) -> F.Column:
+    """Integer dot of two array<bigint> columns (exact, JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncating integer division (toward zero) — matches DuckDB ``//``
+    on negatives, unlike Python's flooring ``//``."""
+    return -((-s) // n) if s < 0 else s // n
+
+
+def _kmeans_assign_int(df: DataFrame, centroids: list[list[int]], n_probe: int = 1) -> DataFrame:
+    """Attach the ``n_probe`` nearest centroid ids (squared-L2, int64;
+    ties -> lowest cid) to rows carrying an ``qv array<bigint>`` column.
+    One vectorized numpy pass per Arrow batch; int64 arithmetic is exact,
+    so the assignment is bit-identical to its SQL-oracle replay."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = df.sparkSession
+    b_cent = spark.sparkContext.broadcast(np.array(centroids, dtype=np.int64))
+    out_schema = StructType(list(df.schema.fields) + [StructField("cluster", IntegerType())])
+
+    def assign(batches):
+        import pandas as pd
+
+        cent = b_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            diff = x[:, None, :] - cent[None, :, :]
+            d2 = (diff * diff).sum(axis=2)
+            # stable sort: ties resolve to the lowest centroid id, same
+            # as the oracle's ORDER BY dist, cid
+            top = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            reps = []
+            for p in range(top.shape[1]):
+                rep = pdf.copy()
+                rep["cluster"] = top[:, p].astype("int32")
+                reps.append(rep)
+            yield pd.concat(reps, ignore_index=True)
+
+    return df.mapInPandas(assign, out_schema)
+
+
+def ivf_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+    quantize: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Deterministic, fully-distributed IVF top-k (engine-exact).
+
+    The coarse quantizer is Lloyd k-means run IN Spark over quantized
+    int64 vectors: seeds are the ``n_clusters`` lowest-id vectors;
+    each iteration assigns distributed (vectorized mapInPandas, exact
+    integer L2) and recomputes centroids from per-cluster per-dimension
+    SUM/COUNT aggregates — only k x dim stats ever reach the driver, so
+    the same plan trains on a 100 TB corpus. Truncating integer means
+    keep every step reproducible in ANSI SQL, so the full pipeline
+    (training included) is verified against a DuckDB oracle.
+
+    Search: corpus rows live in their 1 nearest cell, each query probes
+    its ``n_probe`` nearest cells, exact integer-dot re-rank inside.
+    Output: (query_id, vec_id, score, rnk).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _quantize_col(F.col(vec_col), quantize).alias("qv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _quantize_col(F.col(vec_col), quantize).alias("qv"),
+    )
+    seed_rows = c.orderBy("vec_id").limit(n_clusters).collect()
+    centroids = [list(r.qv) for r in seed_rows]
+    sums = [F.sum(F.element_at("qv", d + 1)).alias(f"_s{d}") for d in range(dim)]
+    for _ in range(n_iters):
+        assigned = _kmeans_assign_int(c, centroids, n_probe=1)
+        stats = assigned.groupBy("cluster").agg(F.count("*").alias("_n"), *sums).collect()
+        by_cid = {r.cluster: r for r in stats}
+        centroids = [
+            [_trunc_div(by_cid[cid][f"_s{d}"], by_cid[cid]["_n"]) for d in range(dim)]
+            if cid in by_cid
+            else centroids[cid]  # empty cell keeps its previous centroid
+            for cid in range(len(centroids))
+        ]
+    cf = _kmeans_assign_int(c, centroids, n_probe=1).withColumnRenamed("qv", "c_qv")
+    qf = _kmeans_assign_int(q, centroids, n_probe=n_probe).withColumnRenamed("qv", "q_qv")
+    joined = cf.join(F.broadcast(qf), "cluster")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        joined.withColumn("score", _dot_int(F.col("q_qv"), F.col("c_qv")))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "score", "rnk")
+    )
+
+
 def _quantize_np(mat: "np.ndarray", q: int) -> "np.ndarray":
     """Half-away-from-zero rounding — bit-matches Spark's ROUND (HALF_UP)
     and DuckDB's round() on the same double product."""

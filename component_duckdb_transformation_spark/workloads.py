@@ -974,15 +974,82 @@ def _ivf_builder(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=4)
+    return similarity.ivf_topk_quantized(
+        emb, queries, k=10, n_clusters=16, n_probe=4, n_iters=2, dim=64
+    )
+
+
+def _ivf_oracle(
+    k: int = 10, n_clusters: int = 16, n_probe: int = 4, n_iters: int = 2, dim: int = 64
+) -> str:
+    """Replays ivf_topk_quantized end-to-end: seeded centroids, two
+    unrolled Lloyd iterations with trunc-div integer means (DuckDB //
+    truncates toward zero, matching the Spark driver's _trunc_div),
+    probed assignment, quantized-dot re-rank."""
+    dist = (
+        "list_sum(list_transform(list_zip(q.qv, {c}.cv),"
+        " s -> (s[1]-s[2])*(s[1]-s[2])))"
+    )
+    iters = []
+    prev = "c0"
+    for i in range(1, n_iters + 1):
+        iters.append(f"""
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, {prev}.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {dist.format(c=prev)}, {prev}.cid) AS rn
+    FROM q CROSS JOIN {prev}) WHERE rn = 1),
+s{i} AS (
+  SELECT a{i}.cid, g.d, CAST(sum(q.qv[g.d]) AS BIGINT) AS s, count(*) AS n
+  FROM a{i} JOIN q USING (vec_id), generate_series(1, {dim}) g(d)
+  GROUP BY a{i}.cid, g.d),
+m{i} AS (SELECT cid, list(s // n ORDER BY d) AS cv FROM s{i} GROUP BY cid),
+c{i} AS (SELECT {prev}.cid, coalesce(m{i}.cv, {prev}.cv) AS cv
+         FROM {prev} LEFT JOIN m{i} USING (cid))""")
+        prev = f"c{i}"
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
+  FROM q ORDER BY vec_id LIMIT {n_clusters}),{",".join(iters)},
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, {prev}.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {dist.format(c=prev)}, {prev}.cid) AS rn
+    FROM q CROSS JOIN {prev}) WHERE rn = 1),
+qf AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT q.vec_id, {prev}.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {dist.format(c=prev)}, {prev}.cid) AS rn
+    FROM q CROSS JOIN {prev} WHERE q.vec_id < 5) WHERE rn <= {n_probe}),
+scored AS (
+  SELECT qf.query_id, af.vec_id,
+         CAST(list_sum(list_transform(list_zip(qq.qv, cq.qv),
+              s -> s[1]*s[2])) AS BIGINT) AS score
+  FROM qf JOIN af USING (cid)
+  JOIN q qq ON qq.vec_id = qf.query_id
+  JOIN q cq ON cq.vec_id = af.vec_id)
+SELECT query_id, vec_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id ASC) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= {k}
+"""
 
 
 _add_df(
     "x14_ann_ivf_topk",
     _ivf_builder,
-    oracle=None,  # approximate by construction; rows-only check
-    description="IVF ANN: k-means coarse quantizer cells + n_probe search, "
-    "exact cosine re-rank within cells",
+    oracle=_ivf_oracle(),
+    description="IVF ANN: distributed deterministic k-means coarse quantizer "
+    "(integer Lloyd, per-cluster agg stats only to driver) + n_probe search, "
+    "quantized-dot re-rank; full pipeline incl. training replayed by the oracle",
 )
 
 _EMB_NEARDUP_ORACLE = """

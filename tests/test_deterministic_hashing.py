@@ -48,6 +48,52 @@ def test_simhash_md5_mode_is_60_bit(spark):
     assert all(r.hamming == 0 for r in out)
 
 
+def test_trunc_div_matches_duckdb_semantics():
+    assert similarity._trunc_div(-7, 2) == -3  # DuckDB // truncates
+    assert similarity._trunc_div(7, 2) == 3
+    assert similarity._trunc_div(0, 5) == 0
+
+
+def test_ivf_quantized_self_is_top1(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 8)).astype("float32") * 0.4
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk_quantized(
+        df, queries, k=5, n_clusters=4, n_probe=2, n_iters=2, dim=8
+    ).collect()
+
+    # independent numpy replica of the deterministic pipeline
+    scaled = vecs.astype(np.float64) * 1000
+    qv = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+    cent = qv[:4].copy()
+    for _ in range(2):
+        d2 = ((qv[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argsort(d2, axis=1, kind="stable")[:, 0]
+        for c in range(4):
+            m = qv[assign == c]
+            if len(m):
+                s = m.sum(axis=0)
+                cent[c] = np.where(s < 0, -((-s) // len(m)), s // len(m))
+    d2 = ((qv[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    cell = np.argsort(d2, axis=1, kind="stable")[:, 0]
+    expected = set()
+    for qid in range(3):
+        probes = np.argsort(d2[qid], kind="stable")[:2]
+        cand = [v for v in range(40) if cell[v] in probes]
+        ranked = sorted(cand, key=lambda v: (-int(qv[qid] @ qv[v]), v))[:5]
+        for r, v in enumerate(ranked, 1):
+            expected.add((qid, v, int(qv[qid] @ qv[v]), r))
+    assert {(r.query_id, r.vec_id, r.score, r.rnk) for r in out} == expected
+
+
 def test_lsh_quantized_self_is_top1(spark):
     emb = spark.table if False else None  # noqa: F841 - keep flake quiet
     df = spark.createDataFrame(
