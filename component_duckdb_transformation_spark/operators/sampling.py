@@ -1,0 +1,113 @@
+"""Deterministic sampling/splitting for training-data pipelines.
+
+A 100 TB corpus cannot be split with ``df.randomSplit`` (seed-stable
+only for a fixed partitioning — any upstream change reshuffles the
+split) or sampled with per-row RNG (not reproducible across engines or
+re-runs). Every operator here derives its decision from a portable
+md5 hash of a stable row key, so:
+
+- the split/sample is a pure function of the data (re-runs, engine
+  swaps, and incremental re-processing all agree),
+- adding rows never moves existing rows between splits,
+- results are verifiable against an ANSI-SQL oracle bit-for-bit.
+
+All map-only column expressions — zero shuffle, trivially scalable.
+The hash is the same 60-bit md5 family as ``operators.dedup._md5_60``
+(DuckDB: ``('0x' || substr(md5(s),1,15))::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..exceptions import UserException
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, 10000): 60-bit md5 of ``salt:key``
+    mod 10000. Non-negative in every engine (the 60-bit value fits
+    int64), so ``%`` semantics cannot diverge."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (h % _BUCKETS).cast("int")
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: Mapping[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a stable split label (e.g. train/val/test).
+
+    ``weights`` maps label -> fraction (must sum to ~1); boundaries are
+    cumulative-fraction bucket thresholds, so a row's label depends only
+    on its own id — never on the rest of the dataset.
+    """
+    weights = dict(weights or {"train": 0.8, "val": 0.1, "test": 0.1})
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise UserException(f"split weights must sum to 1, got {weights}")
+    bucket = hash_bucket(F.col(id_col), salt)
+    expr: Column | None = None
+    cum = 0.0
+    labels = list(weights)
+    for label in labels[:-1]:
+        cum += weights[label]
+        cond = bucket < int(round(cum * _BUCKETS))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    out = labels[-1] if expr is None else expr.otherwise(labels[-1])
+    return df.withColumn(out_col, out)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a stable ``fraction`` of rows: hash_bucket(id) < f*10000.
+    Nested samples compose: a 1% sample is a subset of a 10% sample
+    under the same salt."""
+    return df.filter(hash_bucket(F.col(id_col), salt) < int(round(fraction * _BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalance languages).
+
+    ``fractions`` maps stratum value -> keep fraction; strata not listed
+    keep ``default_fraction``. Map-only: the threshold is a CASE over
+    the stratum column, the decision is the row's own hash bucket.
+    """
+    thr: Column = F.lit(int(round(default_fraction * _BUCKETS)))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value, int(round(frac * _BUCKETS))).otherwise(thr)
+    return df.filter(hash_bucket(F.col(id_col), salt) < thr)
+
+
+def split_oracle_case(id_expr: str, weights: Sequence[tuple[str, float]], salt: str = "split") -> str:
+    """The DuckDB CASE expression equivalent of deterministic_split —
+    exposed so workload oracles replay the exact boundary arithmetic."""
+    bucket = (
+        f"CAST(('0x' || substr(md5('{salt}:' || CAST({id_expr} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {_BUCKETS}"
+    )
+    parts, cum = [], 0.0
+    for label, frac in weights[:-1]:
+        cum += frac
+        parts.append(f"WHEN {bucket} < {int(round(cum * _BUCKETS))} THEN '{label}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{weights[-1][0]}' END"

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.dialect import translate
-from .operators import dedup, multimodal, similarity, text_analysis
+from .operators import dedup, multimodal, sampling, similarity, temporal, text_analysis
 from .operators.asof import asof_join
 from .sources.parquet_io import read_parquet
 
@@ -1291,6 +1291,138 @@ _add_df(
     """,
     description="applyInPandasWithState running per-user aggregates "
     "(custom stateful operator, AvailableNow drain)",
+)
+
+
+def _split_builder(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.table("documents")
+    split = sampling.deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    flagged = split.withColumn(
+        "in_sample", sampling.hash_bucket(F.col("doc_id"), "sample") < 2500
+    )
+    return flagged.groupBy("lang", "split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("in_sample").cast("int")).cast("bigint").alias("n_sampled"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+def _split_oracle() -> str:
+    case = sampling.split_oracle_case(
+        "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    bucket = (
+        "CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+        "AS BIGINT) % 10000"
+    )
+    return f"""
+WITH s AS (
+  SELECT lang, n_chars, {case} AS split,
+         CASE WHEN {bucket} < 2500 THEN 1 ELSE 0 END AS in_sample
+  FROM documents)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(in_sample) AS BIGINT) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY lang, split
+"""
+
+
+_add_df(
+    "x18_deterministic_split",
+    _split_builder,
+    oracle=_split_oracle(),
+    description="hash-stable train/val/test split + nested deterministic "
+    "sample flag (map-only, re-run/engine/append stable), per (lang, split) "
+    "summary",
+)
+
+
+def _range_join_builder(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.table("events")
+    intervals = ev.filter(F.col("event_id") % 211 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOUR")).alias("end_ts"),
+    )
+    return temporal.range_join(
+        ev.select("event_id", "ts", "value"),
+        intervals,
+        "ts",
+        "start_ts",
+        "end_ts",
+        bucket_seconds=4 * 3600,
+    ).select("interval_id", "event_id", "ts", "value")
+
+
+_add_df(
+    "x19_range_join",
+    _range_join_builder,
+    oracle="""
+    SELECT i.interval_id, e.event_id, e.ts, e.value
+    FROM events e
+    JOIN (SELECT event_id AS interval_id, ts AS start_ts,
+                 ts + INTERVAL 4 HOUR AS end_ts
+          FROM events WHERE event_id % 211 = 0) i
+      ON e.ts >= i.start_ts AND e.ts < i.end_ts
+    """,
+    description="interval (range) join via bucket-explode equi-join + exact "
+    "filter — no nested-loop, one hash shuffle (oracle is the plain "
+    "inequality join)",
+)
+
+
+def _gapfill_builder(spark: SparkSession, sf: str) -> DataFrame:
+    return temporal.time_bucket_gapfill(
+        spark.table("events"),
+        ["event_type"],
+        "ts",
+        "hour",
+        aggs=[
+            # integer-cents mean: per-row quantization is engine-exact and
+            # the int64 sum is order-independent, unlike avg(double) whose
+            # partial-agg order makes round(.,2) flip at .005 midpoints
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+                / F.count("*")
+                / 100
+            ).alias("avg_value"),
+            F.count("*").cast("bigint").alias("n"),
+        ],
+        locf_cols=["avg_value"],
+    )
+
+
+_add_df(
+    "x20_time_bucket_gapfill",
+    _gapfill_builder,
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100 AS avg_value,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi FROM events),
+    dense AS (
+      SELECT t.event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM (SELECT DISTINCT event_type FROM events) t, bounds),
+    j AS (
+      SELECT d.event_type, d.bucket, b.avg_value, b.n
+      FROM dense d LEFT JOIN b USING (event_type, bucket))
+    SELECT event_type, bucket,
+           last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+           n
+    FROM j
+    """,
+    description="time_bucket gap-fill + LOCF (TimescaleDB analogue): dense "
+    "per-group hourly series generated distributed, ignore-nulls window fill",
 )
 
 
