@@ -418,6 +418,55 @@ def ivf_topk_quantized(
     )
 
 
+def embedding_near_duplicates_blocked(
+    corpus: DataFrame,
+    threshold_q: int,
+    n_blocks: int = 8,
+    quantize: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs near-dup WITHOUT any driver collect or broadcast
+    of the corpus — the 100 TB path for exact (non-LSH) matching.
+
+    Triangle block join: rows are hashed into ``n_blocks`` blocks; the
+    tiny (bi <= bj) block-pair table fans each side out so every
+    unordered row pair meets in exactly one block pair. Per-side shuffle
+    volume is ~N * n_blocks / 2 rows; per-reducer work is the inherent
+    N^2 / n_blocks^2 pair scoring, done JVM-side with exact integer
+    dots (same arithmetic as the SQL oracle). Pick n_blocks so one
+    block fits a reducer; the plan never materializes a full corpus
+    copy per executor (contrast ``embedding_near_duplicates``).
+
+    Output: (v1, v2, qdot) with v1 < v2 — identical to
+    ``embedding_near_duplicates``.
+    """
+    spark = corpus.sparkSession
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    )
+    qv = _quantize_col(F.col(vec_col), quantize)
+    block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    l = corpus.select(F.col(id_col).alias("a1"), qv.alias("qv1"), block.alias("bi"))
+    r = corpus.select(F.col(id_col).alias("a2"), qv.alias("qv2"), block.alias("bj"))
+    cand = (
+        l.join(F.broadcast(pairs), "bi")
+        .join(r, "bj")
+        # one meeting per unordered pair: distinct blocks meet once by
+        # construction (bi<bj), same-block pairs dedupe on id order
+        .filter((F.col("bi") < F.col("bj")) | (F.col("a1") < F.col("a2")))
+    )
+    return (
+        cand.withColumn("qdot", _dot_int(F.col("qv1"), F.col("qv2")))
+        .filter(F.col("qdot") >= threshold_q)
+        .select(
+            F.least("a1", "a2").alias("v1"),
+            F.greatest("a1", "a2").alias("v2"),
+            "qdot",
+        )
+    )
+
+
 def _quantize_np(mat: "np.ndarray", q: int) -> "np.ndarray":
     """Half-away-from-zero rounding — bit-matches Spark's ROUND (HALF_UP)
     and DuckDB's round() on the same double product."""

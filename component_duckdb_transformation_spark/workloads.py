@@ -1073,6 +1073,17 @@ _add_df(
     description="embedding-cosine near-dup pairs (quantized integer dot >= 0.4)",
 )
 
+_add_df(
+    "x21_embedding_near_dup_blocked",
+    lambda spark, sf: similarity.embedding_near_duplicates_blocked(
+        spark.table("embeddings"), threshold_q=400000, n_blocks=8
+    ),
+    oracle=_EMB_NEARDUP_ORACLE,
+    description="exact all-pairs embedding near-dup via triangle block join "
+    "(no driver collect/broadcast of the corpus -- the 100 TB exact path); "
+    "same result as x08",
+)
+
 _ASOF_ORACLE = """
 SELECT p.event_id, p.user_id, p.ts,
   (SELECT c.event_id FROM events c

@@ -32,3 +32,38 @@ def test_embedding_near_dup_guard_trips_on_oversized_corpus(spark):
     # under the bound it still works
     out = similarity.embedding_near_duplicates(df, threshold_q=0, max_driver_rows=100)
     assert out.count() > 0
+
+
+def test_blocked_near_dup_matches_broadcast_variant(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((30, 8)).astype("float32") * 0.3
+    vecs[7] = vecs[2] * 1.01  # a genuine near-dup pair
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    broadcasted = {
+        (r.v1, r.v2, r.qdot)
+        for r in similarity.embedding_near_duplicates(df, threshold_q=100).collect()
+    }
+    blocked = {
+        (r.v1, r.v2, r.qdot)
+        for r in similarity.embedding_near_duplicates_blocked(
+            df, threshold_q=100, n_blocks=4
+        ).collect()
+    }
+    assert blocked == broadcasted
+    assert (2, 7) in {(a, b) for a, b, _ in blocked}
+
+
+def test_blocked_near_dup_has_no_cartesian_plan(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.embedding_near_duplicates_blocked(df, threshold_q=0, n_blocks=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
