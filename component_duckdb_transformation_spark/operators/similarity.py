@@ -388,21 +388,52 @@ def ivf_topk_quantized(
     """
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _quantize_col(F.col(vec_col), quantize).alias("qv")
-    )
+    ).persist()
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _quantize_col(F.col(vec_col), quantize).alias("qv"),
     )
+    spark = corpus.sparkSession
     seed_rows = c.orderBy("vec_id").limit(n_clusters).collect()
     centroids = [list(r.qv) for r in seed_rows]
-    sums = [F.sum(F.element_at("qv", d + 1)).alias(f"_s{d}") for d in range(dim)]
     for _ in range(n_iters):
-        assigned = _kmeans_assign_int(c, centroids, n_probe=1)
-        stats = assigned.groupBy("cluster").agg(F.count("*").alias("_n"), *sums).collect()
-        by_cid = {r.cluster: r for r in stats}
+        # fused assign + partial stats: ONE pass emits per-task
+        # (cluster, count, sum-vector) partials — k x tasks tiny rows to
+        # the driver, never per-row assignments
+        b_cent = spark.sparkContext.broadcast(np.array(centroids, dtype=np.int64))
+
+        def partials(batches):
+            import pandas as pd
+
+            cent = b_cent.value
+            acc_n = np.zeros(len(cent), dtype=np.int64)
+            acc_s = np.zeros_like(cent)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+                diff = x[:, None, :] - cent[None, :, :]
+                # argmin takes the first occurrence on ties — same rule
+                # as the oracle's ORDER BY dist, cid
+                assign = np.argmin((diff * diff).sum(axis=2), axis=1)
+                np.add.at(acc_n, assign, 1)
+                np.add.at(acc_s, assign, x)
+            hit = np.nonzero(acc_n)[0]
+            yield pd.DataFrame(
+                {"cluster": hit, "n": acc_n[hit], "s": list(acc_s[hit])}
+            )
+
+        stats = c.mapInPandas(
+            partials, schema="cluster int, n bigint, s array<bigint>"
+        ).collect()
+        n_tot = np.zeros(len(centroids), dtype=np.int64)
+        s_tot = np.array(centroids, dtype=np.int64) * 0
+        for r in stats:
+            n_tot[r.cluster] += r.n
+            s_tot[r.cluster] += np.array(r.s, dtype=np.int64)
         centroids = [
-            [_trunc_div(by_cid[cid][f"_s{d}"], by_cid[cid]["_n"]) for d in range(dim)]
-            if cid in by_cid
+            [_trunc_div(int(s_tot[cid][d]), int(n_tot[cid])) for d in range(dim)]
+            if n_tot[cid]
             else centroids[cid]  # empty cell keeps its previous centroid
             for cid in range(len(centroids))
         ]
@@ -429,41 +460,57 @@ def embedding_near_duplicates_blocked(
     """Exact all-pairs near-dup WITHOUT any driver collect or broadcast
     of the corpus — the 100 TB path for exact (non-LSH) matching.
 
-    Triangle block join: rows are hashed into ``n_blocks`` blocks; the
-    tiny (bi <= bj) block-pair table fans each side out so every
-    unordered row pair meets in exactly one block pair. Per-side shuffle
-    volume is ~N * n_blocks / 2 rows; per-reducer work is the inherent
-    N^2 / n_blocks^2 pair scoring, done JVM-side with exact integer
-    dots (same arithmetic as the SQL oracle). Pick n_blocks so one
-    block fits a reducer; the plan never materializes a full corpus
-    copy per executor (contrast ``embedding_near_duplicates``).
+    Triangle block cogroup: rows are hashed into ``n_blocks`` blocks and
+    fanned out so every unordered row pair meets in exactly one
+    (bx <= by) block-pair group. Per-side shuffle volume is
+    ~N * n_blocks / 2 rows; each group scores its A x B slice with ONE
+    numpy int64 matmul (Arrow in, vectorized, same quantized arithmetic
+    as the SQL oracle) and emits only surviving pairs — the N^2
+    candidate set is never materialized as rows. Pick n_blocks so one
+    block's matrix fits a task; no executor ever holds a full corpus
+    copy (contrast ``embedding_near_duplicates``).
 
     Output: (v1, v2, qdot) with v1 < v2 — identical to
     ``embedding_near_duplicates``.
     """
-    spark = corpus.sparkSession
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    base = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    block = F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).cast("int")
+    # a row with block b is the A-side of pairs (b, j>=b) and the B-side
+    # of pairs (i<=b, b); each unordered row pair meets in exactly one
+    # (bx, by) group (same-block pairs dedupe on id inside the matmul)
+    a_side = base.withColumn("bx", block).withColumn(
+        "by", F.explode(F.expr(f"sequence(bx, {n_blocks - 1})"))
     )
-    qv = _quantize_col(F.col(vec_col), quantize)
-    block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
-    l = corpus.select(F.col(id_col).alias("a1"), qv.alias("qv1"), block.alias("bi"))
-    r = corpus.select(F.col(id_col).alias("a2"), qv.alias("qv2"), block.alias("bj"))
-    cand = (
-        l.join(F.broadcast(pairs), "bi")
-        .join(r, "bj")
-        # one meeting per unordered pair: distinct blocks meet once by
-        # construction (bi<bj), same-block pairs dedupe on id order
-        .filter((F.col("bi") < F.col("bj")) | (F.col("a1") < F.col("a2")))
+    b_side = base.withColumn("by", block).withColumn(
+        "bx", F.explode(F.expr("sequence(0, by)"))
     )
+    q = quantize
+
+    def score(key, left, right):
+        import pandas as pd
+
+        if not len(left) or not len(right):
+            return pd.DataFrame({"v1": [], "v2": [], "qdot": []}).astype(
+                {"v1": "int64", "v2": "int64", "qdot": "int64"}
+            )
+        same = key[0] == key[1]
+        ida = left["vid"].to_numpy(dtype=np.int64)
+        idb = right["vid"].to_numpy(dtype=np.int64)
+        qa = _quantize_np(np.stack(left["vec"].to_numpy()), q)
+        qb = _quantize_np(np.stack(right["vec"].to_numpy()), q)
+        scores = qa @ qb.T
+        keep = scores >= threshold_q
+        if same:
+            keep &= ida[:, None] < idb[None, :]
+        i, j = np.nonzero(keep)
+        v1, v2 = ida[i], idb[j]
+        lo, hi = np.minimum(v1, v2), np.maximum(v1, v2)
+        return pd.DataFrame({"v1": lo, "v2": hi, "qdot": scores[i, j]})
+
     return (
-        cand.withColumn("qdot", _dot_int(F.col("qv1"), F.col("qv2")))
-        .filter(F.col("qdot") >= threshold_q)
-        .select(
-            F.least("a1", "a2").alias("v1"),
-            F.greatest("a1", "a2").alias("v2"),
-            "qdot",
-        )
+        a_side.groupBy("bx", "by")
+        .cogroup(b_side.groupBy("bx", "by"))
+        .applyInPandas(score, schema="v1 bigint, v2 bigint, qdot bigint")
     )
 
 
