@@ -151,6 +151,51 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_attribution_join(
+    events: DataFrame,
+    lookback: str = "1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding ``lookback`` (ad-attribution shape).
+
+    Both sides carry watermarks and the join predicate bounds click.ts
+    within [purchase.ts - lookback, purchase.ts], so Spark can evict
+    click state older than the watermark + lookback — state stays
+    bounded no matter how long the stream runs. The join key is
+    user_id, so the shuffle is the same one the aggregate would need.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            c_user = user_id AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {lookback}
+            """
+        ),
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "purchase_value")
+
+
 def run_stream_to_batch(
     df: DataFrame,
     output_mode: str = "complete",

@@ -1243,6 +1243,35 @@ _add_df(
 )
 
 
+def _stream_join_builder(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming import streaming_ops as so
+
+    stream = so.read_events_stream(spark, sf)
+    return so.run_stream_to_batch(
+        so.stream_stream_attribution_join(stream),
+        output_mode="append",
+        state_partitions=8,
+    )
+
+
+_add_df(
+    "x22_stream_stream_join",
+    _stream_join_builder,
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           p.ts AS purchase_ts, p.value AS purchase_value
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    description="stream-stream inner join (purchase-to-click attribution) "
+    "with watermark-bounded state on both sides; equals the batch "
+    "inequality join",
+)
+
+
 def _session_window_builder(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming import streaming_ops as so
 

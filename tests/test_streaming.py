@@ -65,3 +65,20 @@ def test_stateful_user_stats(spark):
     got = {(r.user_id, r.n_events, r.total_value) for r in result.collect()}
     want = {(r.user_id, r.n_events, r.tv) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_attribution_join(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, event_type="click", ts="2024-01-01 10:00:00", value=0.0),
+            Row(event_id=2, user_id=1, event_type="purchase", ts="2024-01-01 10:30:00", value=9.0),
+            Row(event_id=3, user_id=1, event_type="click", ts="2024-01-01 09:20:00", value=0.0),  # >1h before
+            Row(event_id=4, user_id=2, event_type="click", ts="2024-01-01 10:10:00", value=0.0),  # other user
+            Row(event_id=5, user_id=1, event_type="click", ts="2024-01-01 10:40:00", value=0.0),  # after purchase
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    out = so.stream_stream_attribution_join(df)
+    got = {(r.purchase_id, r.click_id) for r in out.collect()}
+    assert got == {(2, 1)}
