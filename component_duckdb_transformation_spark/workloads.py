@@ -51,6 +51,11 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _REGISTERED:
         return
+    # runtime conf, set here so a harness-built vanilla session gets the
+    # same wall-clock semantics as the repo's factory: LTZ casts in the
+    # streaming workloads (watermarks need LTZ) round-trip through UTC,
+    # matching the timezone-naive DuckDB oracles in any host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in TABLES:
         read_parquet(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     _REGISTERED.add(key)

@@ -65,3 +65,36 @@ def test_sequential_sessions_both_get_views():
     assert s2.catalog.tableExists("lineitem")
     assert s2.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"] > 0
     s2.stop()
+
+
+def test_vanilla_session_nonutc_timezone_streaming_and_python_paths():
+    """A harness session in a non-UTC timezone must still match the
+    timezone-naive oracles: register_tables pins the session timezone on
+    first registration, and the Python-boundary ops (mapInPandas /
+    cogroup) need no repo confs."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("vanilla-nonutc")
+        .config("spark.sql.session.timeZone", "Asia/Kolkata")
+        .getOrCreate()
+    )
+    try:
+        register_tables(spark, SF_DIR)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        hourly = WORKLOADS["x11_stream_hourly_windows"].make(spark, SF_DIR)
+        batch = spark.sql(
+            "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n "
+            "FROM events GROUP BY 1, 2"
+        )
+        got = {
+            (r.hour, r.event_type, r.n)
+            for r in hourly.select("hour", "event_type", "n").collect()
+        }
+        want = {(r.hour, r.event_type, r.n) for r in batch.collect()}
+        assert got == want
+        assert WORKLOADS["x14_ann_ivf_topk"].make(spark, SF_DIR).count() > 0
+    finally:
+        spark.stop()
