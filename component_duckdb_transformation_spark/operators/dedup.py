@@ -104,8 +104,16 @@ def ngram_jaccard_pairs(
         "doc_id", F.xxhash64("shingle").alias("sh")
     )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)), "sh").drop("f")
+        # window count, not a join against a broadcast frequency table:
+        # one shuffle by sh (which the self-join needs anyway), and no
+        # driver-side hashmap proportional to the distinct-shingle count
+        from pyspark.sql.window import Window
+
+        sh = (
+            sh.withColumn("_f", F.count("*").over(Window.partitionBy("sh")))
+            .filter(F.col("_f") <= max_shingle_freq)
+            .drop("_f")
+        )
     sh = sh.cache()
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
@@ -158,7 +166,16 @@ def minhash_signatures(
     Docs with fewer than ``k`` words have no shingles and are absent
     from the output (they cannot be near-duplicates).
     """
-    sh = shingles(df, id_col, text_col, k)
+    return _signatures_from_shingles(
+        shingles(df, id_col, text_col, k), num_hashes, hash_mode
+    )
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, num_hashes: int, hash_mode: str
+) -> DataFrame:
+    """Signature aggregation over a prebuilt (doc_id, shingle) frame —
+    lets callers share (cache) one shingle explode across stages."""
     if hash_mode == "md5":
         sh = sh.select("doc_id", _md5_60(F.col("shingle")).alias("h"))
         mins = [
@@ -197,7 +214,10 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     bucket_hash = F.xxhash64 if hash_mode != "md5" else _md5_60
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_mode)
+    # one shingle explode shared by the signature and verify stages
+    # (uncached it would be computed 4x: signatures, card, s1, s2)
+    sh = shingles(df, id_col, text_col, k).cache()
+    sigs = _signatures_from_shingles(sh, num_hashes, hash_mode)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -228,8 +248,7 @@ def minhash_lsh_pairs(
     )
     # exact verify on the candidate set only; join keyed on (d2, shingle)
     # so the intersection is a composite-key hash join, never a per-pair
-    # shingle cross product
-    sh = shingles(df, id_col, text_col, k)
+    # shingle cross product (sh is the cached explode from above)
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
     s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
@@ -308,7 +327,9 @@ def simhash_near_pairs(
     of 4 chunks equal). Chunks are 16-bit (xxhash64) or 15-bit (md5)."""
     chunk_bits = 15 if hash_mode == "md5" else 16
     mask = (1 << chunk_bits) - 1
-    sigs = simhash_signatures(df, id_col, text_col, hash_mode)
+    # cached: the self-join below would otherwise run the word explode
+    # and the 60+ bit-vote aggregates once per side
+    sigs = simhash_signatures(df, id_col, text_col, hash_mode).cache()
     chunks = sigs.select(
         "doc_id",
         "simhash",

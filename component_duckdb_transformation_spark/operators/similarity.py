@@ -481,8 +481,13 @@ def embedding_near_duplicates_blocked(
     a_side = base.withColumn("bx", block).withColumn(
         "by", F.explode(F.expr(f"sequence(bx, {n_blocks - 1})"))
     )
-    b_side = base.withColumn("by", block).withColumn(
-        "bx", F.explode(F.expr("sequence(0, by)"))
+    # fresh aliases on the B side: both sides derive from the same plan,
+    # and same-exprId attributes across a self-cogroup get deduplicated
+    # by the analyzer (the right side would arrive column-pruned)
+    b_side = (
+        base.select(F.col("vid").alias("vid_r"), F.col("vec").alias("vec_r"))
+        .withColumn("by", F.pmod(F.xxhash64(F.col("vid_r")), F.lit(n_blocks)).cast("int"))
+        .withColumn("bx", F.explode(F.expr("sequence(0, by)")))
     )
     q = quantize
 
@@ -495,9 +500,9 @@ def embedding_near_duplicates_blocked(
             )
         same = key[0] == key[1]
         ida = left["vid"].to_numpy(dtype=np.int64)
-        idb = right["vid"].to_numpy(dtype=np.int64)
+        idb = right["vid_r"].to_numpy(dtype=np.int64)
         qa = _quantize_np(np.stack(left["vec"].to_numpy()), q)
-        qb = _quantize_np(np.stack(right["vec"].to_numpy()), q)
+        qb = _quantize_np(np.stack(right["vec_r"].to_numpy()), q)
         scores = qa @ qb.T
         keep = scores >= threshold_q
         if same:
