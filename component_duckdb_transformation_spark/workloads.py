@@ -56,6 +56,11 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     # streaming workloads (watermarks need LTZ) round-trip through UTC,
     # matching the timezone-naive DuckDB oracles in any host timezone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Arrow collection makes DATE/DECIMAL results arrive in pandas as
+    # datetime64/float64 (matching DuckDB's fetchdf) instead of object
+    # columns of datetime.date/Decimal — keeps any harness's comparator
+    # from seeing a representation-only difference
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     for t in TABLES:
         read_parquet(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     _REGISTERED.add(key)
@@ -448,7 +453,7 @@ _add_sql(
            CAST(7 % 3 AS INT) AS mod_val,
            CAST(power(2, 10) AS DOUBLE) AS pow_val,
            CAST(abs(-5) AS INT) AS abs_val,
-           round(1.0 / 3, 6) AS third
+           CAST(round(1.0 / 3, 6) AS DOUBLE) AS third
     """,
     "division/modulo/power dialect semantics (SURVEY §7 hard-part 4)",
 )
