@@ -37,7 +37,39 @@ __version__ = "0.1.0"
 ENGINE_NAME = "component-duckdb-transformation-spark"
 
 
+# Engine-compat version table, mirroring reference src/versions.py:19-38
+# (SUPPORTED_VERSIONS / DEFAULT_VERSION / the "latest" UI alias). The
+# reference routes the selection to a whole interpreter (venv os.execv,
+# src/launcher.py:25-30) so it is process-global there; here one PySpark
+# runtime serves every version and the selection only changes what
+# ``version()`` reports.
+SUPPORTED_COMPAT_VERSIONS: set = {"1.5.2", "1.4.4"}
+DEFAULT_COMPAT_VERSION = "1.5.2"  # semantically highest
+LATEST_ALIAS = "latest"
+
+_REQUESTED_ENGINE_VERSION: "str | None" = None
+
+
+def set_requested_engine_version(version: "str | None") -> None:
+    """Record the config-pinned engine version (``duckdb_version``)."""
+    global _REQUESTED_ENGINE_VERSION
+    _REQUESTED_ENGINE_VERSION = version
+
+
+def resolve_compat_version(version: "str | None" = None) -> str:
+    """'latest'/None -> DEFAULT_COMPAT_VERSION; real versions pass through
+    (reference src/versions.py::resolve_version)."""
+    if version is None or version == LATEST_ALIAS:
+        return DEFAULT_COMPAT_VERSION
+    return version
+
+
 def engine_version_string() -> str:
-    """Engine identification, the analogue of DuckDB's ``version()``
-    (reference tests/functional/version-1-5-2: ``SELECT version()``)."""
-    return f"{ENGINE_NAME} {__version__}"
+    """What ``version()`` reports — the analogue of DuckDB's version().
+
+    Matches the reference goldens exactly: a config pinning
+    ``duckdb_version: 1.4.4`` sees ``v1.4.4``
+    (tests/functional/version-1-4-4); an unpinned config sees the
+    default runtime ``v1.5.2`` (tests/functional/version-1-5-2).
+    """
+    return f"v{resolve_compat_version(_REQUESTED_ENGINE_VERSION)}"

@@ -29,6 +29,7 @@ from typing import Optional
 
 from pyspark.sql import SparkSession
 
+from . import set_requested_engine_version
 from .configuration import Block, ColumnSchema, Configuration, InputTable, OutputTable
 from .exceptions import UserException
 from .actions.results import ValidationResult
@@ -110,6 +111,7 @@ class Component:
             raw = json.load(fh)
         self.raw_config = raw
         self.params = Configuration(**raw.get("parameters", {}))
+        set_requested_engine_version(self.params.duckdb_version)
         storage = raw.get("storage", {})
         self.input_mapping = storage.get("input", {}).get("tables", [])
         self.output_mapping = [
@@ -145,7 +147,9 @@ class Component:
         }
         tables: list[InputTable] = []
         for entry in sorted(os.listdir(in_dir)):
-            if entry.endswith(".manifest"):
+            # skip manifests and hidden/placeholder files (.gitkeep in the
+            # reference's own functional fixtures)
+            if entry.endswith(".manifest") or entry.startswith("."):
                 continue
             full = os.path.join(in_dir, entry)
             manifest = _load_manifest(full + ".manifest")

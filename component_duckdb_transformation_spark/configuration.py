@@ -69,21 +69,21 @@ class Configuration(BaseModel):
     @field_validator("duckdb_version")
     @classmethod
     def _check_duckdb_version(cls, value: Optional[str]) -> Optional[str]:
-        import re
+        from . import LATEST_ALIAS, SUPPORTED_COMPAT_VERSIONS
 
         if value is None:
             return value
-        if value == "latest" or re.fullmatch(r"\d+\.\d+(\.\d+)?", value):
+        if value == LATEST_ALIAS or value in SUPPORTED_COMPAT_VERSIONS:
             LOG.info(
                 "Config requests duckdb_version=%s; served by the single "
-                "PySpark runtime (engine_version semantics are identical "
-                "across requested versions)",
+                "PySpark runtime (version() reports the requested version)",
                 value,
             )
             return value
+        # same contract as reference src/configuration.py:34-38
         raise ValueError(
-            f"Unsupported duckdb_version '{value}'. Use 'latest' or a "
-            "dotted version like '1.1.3'."
+            "duckdb_version must be one of: "
+            f"{sorted(SUPPORTED_COMPAT_VERSIONS | {LATEST_ALIAS})}"
         )
 
     def model_post_init(self, __context: Any) -> None:

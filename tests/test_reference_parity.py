@@ -77,7 +77,15 @@ def test_reference_simple_case_parity(spark, ref_datadir):
 
 
 @pytest.mark.parametrize(
-    "case", ["dtypes", "simple_parquet", "query_dependencies", "sync_action_execution_plan"]
+    "case",
+    [
+        "dtypes",
+        "simple_parquet",
+        "query_dependencies",
+        "sync_action_execution_plan",
+        "version-1-4-4",
+        "version-1-5-2",
+    ],
 )
 def test_reference_case_parity(spark, tmp_path, case):
     """Generic golden comparison: every expected out-table must match as a
