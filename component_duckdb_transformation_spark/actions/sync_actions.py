@@ -38,10 +38,16 @@ def expected_input_tables(
     against the actual input mapping (suffix-stripped)."""
     all_deps: set[str] = set()
     all_outputs: set[str] = set()
-    for _, _, script, _ in iterate_blocks(blocks):
-        deps, outs = _script_deps_outputs(script)
-        all_deps |= deps
-        all_outputs |= outs
+    try:
+        for _, _, script, _ in iterate_blocks(blocks):
+            deps, outs = _script_deps_outputs(script)
+            all_deps |= deps
+            all_outputs |= outs
+    except Exception as exc:  # analysis failure -> DANGER, never a crash
+        # (reference src/actions/expected_input_tables.py error contract)
+        return ValidationResult(
+            f"Error analyzing expected input tables: {exc}", MessageType.DANGER
+        )
     external = all_deps - all_outputs
 
     if available_tables is None:
@@ -100,17 +106,22 @@ def expected_input_tables(
 def lineage_visualization(blocks: Sequence[Block]) -> ValidationResult:
     """Per-table read-by / created-by markdown report."""
     queries = []
-    for block, code, script, script_index in iterate_blocks(blocks):
-        deps, outs = _script_deps_outputs(script)
-        queries.append(
-            {
-                "name": query_name(code, script_index),
-                "block": block.name,
-                "code": code.name,
-                "dependencies": deps,
-                "outputs": outs,
-                "sql": script,
-            }
+    try:
+        for block, code, script, script_index in iterate_blocks(blocks):
+            deps, outs = _script_deps_outputs(script)
+            queries.append(
+                {
+                    "name": query_name(code, script_index),
+                    "block": block.name,
+                    "code": code.name,
+                    "dependencies": deps,
+                    "outputs": outs,
+                    "sql": script,
+                }
+            )
+    except Exception as exc:  # analysis failure -> DANGER, never a crash
+        return ValidationResult(
+            f"Error generating lineage visualization: {exc}", MessageType.DANGER
         )
     md = "# 📊 Data Lineage Visualization\n\n"
     all_tables: set[str] = set()

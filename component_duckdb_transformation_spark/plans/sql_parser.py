@@ -116,10 +116,20 @@ def _classify(code: Sequence[tuple[int, Token]]) -> StatementType:
     if first == "DELETE":
         return StatementType.DELETE
     if first in ("SELECT", "WITH"):
-        # WITH ... INSERT is possible in some dialects; check for INSERT
+        # WITH ... INSERT / WITH ... CREATE TABLE|VIEW are valid in
+        # DuckDB (the reference's sqlglot classifies them by the inner
+        # statement; its own unit fixtures use the CREATE form)
         for w in words:
             if w.is_kw("INSERT"):
                 return StatementType.INSERT
+        if first == "WITH":
+            for j, w in enumerate(words):
+                if w.is_kw("CREATE"):
+                    uppers = [x.upper for x in words[j + 1 : j + 8]]
+                    if "VIEW" in uppers:
+                        return StatementType.CREATE_VIEW
+                    if "TABLE" in uppers:
+                        return StatementType.CREATE_TABLE
         return StatementType.SELECT
     return StatementType.OTHER
 
