@@ -104,16 +104,17 @@ def ngram_jaccard_pairs(
         "doc_id", F.xxhash64("shingle").alias("sh")
     )
     if max_shingle_freq is not None:
-        # window count, not a join against a broadcast frequency table:
-        # one shuffle by sh (which the self-join needs anyway), and no
-        # driver-side hashmap proportional to the distinct-shingle count
-        from pyspark.sql.window import Window
-
-        sh = (
-            sh.withColumn("_f", F.count("*").over(Window.partitionBy("sh")))
-            .filter(F.col("_f") <= max_shingle_freq)
-            .drop("_f")
+        # broadcast ANTI join against only the HOT shingles: the
+        # partial-agg shuffle is docs-distinct counts, and the broadcast
+        # is just the over-cap keys (a handful of stopword shingles by
+        # construction), never the full frequency table
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_f"))
+            .filter(F.col("_f") > max_shingle_freq)
+            .select("sh")
         )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sh = sh.cache()
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")

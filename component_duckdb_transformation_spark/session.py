@@ -64,11 +64,19 @@ def build_spark_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # coalesce by SIZE, not by initial parallelism: small shuffles
-        # collapse to a handful of tasks (cuts fixed per-query scheduling
-        # cost ~10x at bench scale); at 100 TB the 64 MB advisory target
-        # still yields thousands of partitions, so nothing under-parallelizes
+        # collapse to few tasks (cuts fixed per-query scheduling cost).
+        # The advisory target is deliberately small: coalescing only
+        # MERGES sub-advisory partitions (it never splits large ones), so
+        # on a cluster where stages shuffle far more than 4 MB/partition
+        # it is inert, while locally it keeps mid-size joins from being
+        # squashed to 1 task (measured 3-4x on the dedup self-joins).
+        # Override via SPARK_GRAFT_ADVISORY_PARTITION for deployments
+        # that want larger skew-split chunks.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "4m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Concurrent DAG batches (plans.orchestrator) submit jobs from
         # multiple threads; FAIR scheduling keeps one long query from
