@@ -22,6 +22,18 @@ rewrites for the known divergences (SURVEY §2.B / §7 hard-part 4):
 7. ``version()`` -> engine version literal (reference
    tests/functional/version-1-5-2: ``SELECT version()``)
 8. ``SELECT * EXCLUDE (...)`` -> ``* EXCEPT (...)``
+9. bracket syntax: ``[a,b]`` literals -> ``array(a,b)``; 1-based (and
+   negative) indexing ``l[i]`` -> ``try_element_at``; inclusive slices
+   ``l[a:b]`` -> ``slice``
+10. raw string literals: DuckDB treats backslash literally, Spark
+    escapes it -> backslashes doubled (regex patterns survive intact)
+11. in-aggregate ORDER BY: ``string_agg(x, s ORDER BY y)`` ->
+    ``listagg .. WITHIN GROUP``; ``array_agg(x ORDER BY x)`` ->
+    ``sort_array(collect_list(x))``
+12. call shims: 2-arg ``regexp_extract`` (group 0), ``date_add`` with
+    INTERVAL, ``dayname``/``monthname``/``isodow``/``week``,
+    ``list_unique``, ``to_base``, ``regexp_full_match``,
+    ``like_escape``, fractional ``epoch()``
 
 Everything else passes through untouched and is parsed by Catalyst.
 Notable shared semantics needing no shim: int/int ``/`` yields DOUBLE in
@@ -65,6 +77,12 @@ _FN_RENAMES = {
     "list_min": "array_min",
     "starts_with": "startswith",
     "ends_with": "endswith",
+    "week": "weekofyear",
+    "weekofyear": "weekofyear",
+    "str_split_regex": "split",
+    "regexp_split_to_array": "split",
+    "list_concat": "concat",
+    "list_cat": "concat",
     "nextafter": "nextafter",  # identity examples keep table readable
     "editdist3": "levenshtein",
     "jaro_winkler_similarity": "jarowinkler",  # not in Spark: kept for visibility
@@ -95,7 +113,9 @@ def translate(sql: str) -> str:
     """Translate one DuckDB-dialect statement to Spark SQL."""
     tokens = tokenize(sql)
     tokens = _rewrite_table_name_literals(tokens)
+    tokens = _rewrite_string_escapes(tokens)
     tokens = _rewrite_quoted_identifiers(tokens)
+    tokens = _rewrite_brackets(tokens)
     tokens = _rewrite_extract_dow(tokens)
     tokens = _rewrite_date_trunc(tokens)
     tokens = _rewrite_date_diff(tokens)
@@ -103,6 +123,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_strftime(tokens)
     tokens = _rewrite_epoch(tokens)
     tokens = _rewrite_bare_types(tokens)
+    tokens = _rewrite_call_shims(tokens)
     tokens = _rewrite_simple(tokens)
     tokens = _rewrite_qualify_recursive(tokens)
     return "".join(t.text for t in tokens)
@@ -363,10 +384,16 @@ def _rewrite_epoch(tokens: List[Token]) -> List[Token]:
             if p_open < n and tokens[p_open].text == "(":
                 close = _matching_paren(tokens, p_open)
                 inner = _rewrite_epoch(tokens[p_open + 1: close])
-                out.append(Token("word", _EPOCH_FNS[tok.text.lower()]))
-                out.append(Token("word", "(CAST(("))
-                out.extend(inner)
-                out.append(Token("word", ") AS TIMESTAMP_LTZ))"))
+                if tok.text.lower() == "epoch":
+                    # DuckDB epoch() is DOUBLE with fractional seconds
+                    out.append(Token("word", "(CAST(unix_micros(CAST(("))
+                    out.extend(inner)
+                    out.append(Token("word", ") AS TIMESTAMP_LTZ)) AS DOUBLE) / 1000000)"))
+                else:
+                    out.append(Token("word", _EPOCH_FNS[tok.text.lower()]))
+                    out.append(Token("word", "(CAST(("))
+                    out.extend(inner)
+                    out.append(Token("word", ") AS TIMESTAMP_LTZ))"))
                 i = close + 1
                 continue
         out.append(tok)
@@ -509,6 +536,336 @@ def _rewrite_qualify(tokens: List[Token]) -> List[Token]:
     out.extend(inner)
     out.append(Token("word", ") WHERE __qualify__ "))
     out.extend(tail)
+    return out
+
+
+def _toks(fragment: str) -> List[Token]:
+    """Tokenize a synthetic SQL fragment so emitted rewrites stay
+    well-formed for later passes (compound word tokens that embed
+    parens would corrupt their bracket matching)."""
+    return [t for t in tokenize(fragment)]
+
+
+def _rewrite_string_escapes(tokens: List[Token]) -> List[Token]:
+    """DuckDB string literals are raw (backslash is a normal character);
+    Spark processes backslash escapes. Double them so ``'\\d+'`` reaches
+    Spark's regex engine intact instead of silently becoming ``'d+'``."""
+    out: List[Token] = []
+    for tok in tokens:
+        if tok.kind == "string" and "\\" in tok.text:
+            inner = tok.text[1:-1].replace("\\", "\\\\")
+            out.append(Token("string", f"'{inner}'"))
+        else:
+            out.append(tok)
+    return out
+
+
+def _matching_bracket(tokens: List[Token], open_idx: int) -> int:
+    depth = 0
+    for j in range(open_idx, len(tokens)):
+        t = tokens[j]
+        if t.kind == "op" and t.text in ("[", "("):
+            depth += 1
+        elif t.kind == "op" and t.text in ("]", ")"):
+            depth -= 1
+            if depth == 0:
+                return j
+    return len(tokens) - 1
+
+
+def _top_level_positions(tokens: List[Token], lo: int, hi: int, match) -> List[int]:
+    """Indices in (lo, hi) where ``match(token)`` holds at bracket depth 0."""
+    depth = 0
+    hits: List[int] = []
+    for j in range(lo, hi):
+        t = tokens[j]
+        if t.kind == "op" and t.text in ("(", "["):
+            depth += 1
+        elif t.kind == "op" and t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and match(t):
+            hits.append(j)
+    return hits
+
+
+def _capture_primary_backward(out: List[Token]) -> List[Token]:
+    """Pop the trailing primary expression (dotted name / call / nested
+    index) from ``out`` and return its tokens."""
+    end = len(out)
+    i = end
+    while i > 0:
+        prev = out[i - 1]
+        if prev.kind in ("ws", "comment"):
+            i -= 1
+            continue
+        break
+    j = i
+    if j == 0:
+        return []
+    last = out[j - 1]
+    if last.kind == "op" and last.text in (")", "]"):
+        # walk back to the matching opener, then keep absorbing the
+        # name/chain before it
+        depth = 0
+        k = j - 1
+        while k >= 0:
+            t = out[k]
+            if t.kind == "op" and t.text in (")", "]"):
+                depth += 1
+            elif t.kind == "op" and t.text in ("(", "["):
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        # include a preceding word (function name / array name)
+        m = k
+        while m > 0 and out[m - 1].kind in ("ws", "comment"):
+            m -= 1
+        if m > 0 and (
+            out[m - 1].kind in ("bident", "qident")
+            or (
+                out[m - 1].kind == "word"
+                and out[m - 1].upper not in _NOT_VALUE_WORDS
+            )
+        ):
+            k = m - 1
+        captured = out[k:j]
+        del out[k:]
+        return captured
+    if last.kind in ("word", "bident", "qident"):
+        k = j - 1
+        # absorb dotted chains: a.b.c
+        while k >= 2 and out[k - 1].kind == "op" and out[k - 1].text == "." and out[
+            k - 2
+        ].kind in ("word", "bident", "qident"):
+            k -= 2
+        captured = out[k:j]
+        del out[k:]
+        return captured
+    return []
+
+
+def _rewrite_brackets(tokens: List[Token]) -> List[Token]:
+    """DuckDB bracket syntax -> Spark:
+
+    - list literal ``[a, b]``           -> ``array(a, b)``
+    - 1-based index ``l[i]``            -> ``element_at(l, i)`` (supports
+      DuckDB's negative from-the-end indexing too)
+    - inclusive slice ``l[a:b]``        -> ``slice(l, a, (b)-(a)+1)``;
+      open ends default to 1 / size(l)
+
+    Literal vs. index is decided by the preceding code token (a value-
+    producing token means indexing). Map access via brackets shares the
+    element_at path, which is also Spark's map accessor.
+    """
+    out: List[Token] = []
+    prev_code: Token | None = None
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text == "[":
+            close = _matching_bracket(tokens, i)
+            inner = _rewrite_brackets(tokens[i + 1 : close])
+            is_index = prev_code is not None and (
+                prev_code.kind in ("word", "bident", "qident")
+                and prev_code.upper not in _NOT_VALUE_WORDS
+                or (prev_code.kind == "op" and prev_code.text in (")", "]"))
+            )
+            if not is_index:
+                out.extend(_toks("array("))
+                out.extend(inner)
+                out.append(Token("op", ")"))
+            else:
+                colons = _top_level_positions(
+                    inner, 0, len(inner), lambda t: t.kind == "op" and t.text == ":"
+                )
+                base = _capture_primary_backward(out)
+                if not colons:
+                    # try_element_at: DuckDB yields NULL (not an ANSI
+                    # error) for out-of-bounds; negative = from the end
+                    # in both engines
+                    out.extend(_toks("try_element_at("))
+                    out.extend(base)
+                    out.append(Token("op", ","))
+                    out.extend(inner)
+                    out.append(Token("op", ")"))
+                else:
+                    c = colons[0]
+                    lo_t, hi_t = inner[:c], inner[c + 1 :]
+                    base_sql = "".join(t.text for t in base)
+                    lo_sql = "".join(t.text for t in lo_t).strip() or "1"
+                    hi_sql = (
+                        "".join(t.text for t in hi_t).strip()
+                        or f"size({base_sql})"
+                    )
+                    out.extend(
+                        _toks(
+                            f"slice({base_sql}, {lo_sql}, ({hi_sql}) - ({lo_sql}) + 1)"
+                        )
+                    )
+            prev_code = out[-1]
+            i = close + 1
+            continue
+        out.append(tok)
+        if tok.kind not in ("ws", "comment"):
+            prev_code = tok
+        i += 1
+    return out
+
+
+# words that can directly precede '[' without producing a value
+# (so a bracket after them is a LITERAL, not an index)
+_NOT_VALUE_WORDS = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "IN", "ON", "WHEN", "THEN", "ELSE",
+    "BY", "AS", "CASE", "RETURN", "VALUES", "SET", "HAVING", "LIMIT", "OFFSET",
+    "UNION", "ALL", "DISTINCT", "FROM", "JOIN", "BETWEEN", "LIKE", "IS",
+}
+
+
+def _split_top_commas(tokens: List[Token], lo: int, hi: int) -> List[tuple[int, int]]:
+    """(start, end) spans of top-level comma-separated args in (lo, hi)."""
+    commas = _top_level_positions(
+        tokens, lo, hi, lambda t: t.kind == "op" and t.text == ","
+    )
+    spans = []
+    start = lo
+    for c in commas:
+        spans.append((start, c))
+        start = c + 1
+    spans.append((start, hi))
+    return spans
+
+
+def _sql(tokens: List[Token], lo: int, hi: int) -> str:
+    return "".join(t.text for t in tokens[lo:hi]).strip()
+
+
+def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
+    """Argument-aware function shims (beyond plain renames):
+
+    - ``string_agg(x, sep ORDER BY y)`` -> ``listagg(x, sep) WITHIN GROUP
+      (ORDER BY y)`` (Spark 4 supports listagg WITHIN GROUP)
+    - ``array_agg(x ORDER BY x)`` / ``list(x ORDER BY x)`` (same expr)
+      -> ``sort_array(collect_list(x))`` (DESC -> descending sort)
+    - 2-arg ``regexp_extract(s, p)`` -> group 0 (DuckDB returns the full
+      match; Spark's default group 1 silently returns '')
+    - ``date_add(d, INTERVAL ...)`` -> ``(d + INTERVAL ...)``
+    - ``dayname``/``monthname`` -> date_format EEEE/MMMM
+    - ``isodow(x)`` -> ``(weekday(x) + 1)``
+    - ``list_unique(x)`` -> ``size(array_distinct(x))``
+    - ``to_base(n, b)`` -> ``conv(n, 10, b)``
+    - ``regexp_full_match(s, p)`` -> ``(regexp_extract(s, p, 0) = s)``
+    """
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word":
+            low = tok.text.lower()
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].kind == "op" and tokens[p_open].text == "(":
+                close = _matching_paren(tokens, p_open)
+                inner = _rewrite_call_shims(tokens[p_open + 1 : close])
+                ilo, ihi = 0, len(inner)
+
+                def order_split():
+                    pos = _top_level_positions(
+                        inner, ilo, ihi, lambda t: t.is_kw("ORDER")
+                    )
+                    return pos[0] if pos else None
+
+                if low in ("string_agg", "array_agg", "list", "collect_list"):
+                    ob = order_split()
+                    if ob is not None:
+                        head = _sql(inner, 0, ob)
+                        tail = _sql(inner, ob, ihi)  # "ORDER BY ..."
+                        if low == "string_agg":
+                            out.extend(
+                                _toks(f"listagg({head}) WITHIN GROUP ({tail})")
+                            )
+                            i = close + 1
+                            continue
+                        # array_agg/list: only the sort-by-self form maps
+                        order_expr = tail[len("ORDER") :].strip()
+                        assert order_expr.upper().startswith("BY")
+                        order_expr = order_expr[2:].strip()
+                        desc = order_expr.upper().endswith(" DESC")
+                        core = (
+                            order_expr[:-5].strip()
+                            if desc
+                            else (
+                                order_expr[:-4].strip()
+                                if order_expr.upper().endswith(" ASC")
+                                else order_expr
+                            )
+                        )
+                        if core.replace(" ", "") == head.replace(" ", ""):
+                            flag = ", false" if desc else ""
+                            out.extend(
+                                _toks(f"sort_array(collect_list({head}){flag})")
+                            )
+                            i = close + 1
+                            continue
+                args = _split_top_commas(inner, ilo, ihi)
+                if low == "regexp_extract" and len(args) == 2:
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    out.extend(_toks(f"regexp_extract({a}, {b}, 0)"))
+                    i = close + 1
+                    continue
+                if low == "date_add" and len(args) == 2:
+                    second = _sql(inner, *args[1])
+                    if second.upper().startswith("INTERVAL"):
+                        first = _sql(inner, *args[0])
+                        out.extend(_toks(f"CAST((({first}) + {second}) AS TIMESTAMP)"))
+                        i = close + 1
+                        continue
+                if low in ("dayname", "monthname") and len(args) == 1:
+                    fmt = "EEEE" if low == "dayname" else "MMMM"
+                    out.extend(
+                        _toks(f"date_format({_sql(inner, *args[0])}, '{fmt}')")
+                    )
+                    i = close + 1
+                    continue
+                if low == "isodow" and len(args) == 1:
+                    out.extend(
+                        _toks(f"(weekday({_sql(inner, *args[0])}) + 1)")
+                    )
+                    i = close + 1
+                    continue
+                if low == "list_unique" and len(args) == 1:
+                    out.extend(
+                        _toks(f"size(array_distinct({_sql(inner, *args[0])}))")
+                    )
+                    i = close + 1
+                    continue
+                if low == "to_base" and len(args) == 2:
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    out.extend(_toks(f"conv({a}, 10, {b})"))
+                    i = close + 1
+                    continue
+                if low in ("like_escape", "ilike_escape") and len(args) == 3:
+                    a, b, c = (_sql(inner, s, e) for s, e in args)
+                    if low == "ilike_escape":
+                        a, b = f"lower({a})", f"lower({b})"
+                    out.extend(_toks(f"({a} LIKE {b} ESCAPE {c})"))
+                    i = close + 1
+                    continue
+                if low == "regexp_full_match" and len(args) == 2:
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    out.extend(_toks(f"(regexp_extract({a}, {b}, 0) = {a})"))
+                    i = close + 1
+                    continue
+                # no shim matched: emit name + rewritten call body
+                out.append(tok)
+                out.extend(tokens[i + 1 : p_open + 1])
+                out.extend(inner)
+                out.append(tokens[close])
+                i = close + 1
+                continue
+        out.append(tok)
+        i += 1
     return out
 
 

@@ -107,7 +107,9 @@ def test_strftime_conversion():
 
 def test_epoch_rewrites():
     out = translate("SELECT epoch_ms(ts), epoch(ts) FROM t")
-    assert "unix_millis" in out and "unix_seconds" in out
+    assert "unix_millis" in out
+    # epoch() is DOUBLE with fractional seconds in DuckDB
+    assert "unix_micros" in out and "AS DOUBLE" in out
     assert "TIMESTAMP_LTZ" in out
 
 
@@ -132,3 +134,65 @@ def test_qualify_in_cte_body():
     )
     assert "QUALIFY" not in out.upper().replace("__QUALIFY__", "")
     assert out.startswith("WITH ranked AS (")
+
+
+def test_bracket_list_literal():
+    assert translate("SELECT [1, 2, 3]") == "SELECT array(1, 2, 3)"
+    # nested literals
+    assert translate("SELECT [[1],[2]]") == "SELECT array(array(1),array(2))"
+
+
+def test_bracket_index_is_one_based_element_at():
+    out = translate("SELECT l[2] FROM t")
+    assert "try_element_at(l,2)" in out.replace(" ", "")
+    # chained/parenthesized bases
+    out2 = translate("SELECT ([10,20])[2]")
+    assert "try_element_at((array(10,20)),2)" in out2.replace(" ", "")
+    # dotted base
+    out3 = translate("SELECT s.arr[1] FROM t")
+    assert "try_element_at(s.arr,1)" in out3.replace(" ", "")
+
+
+def test_bracket_slice_inclusive():
+    out = translate("SELECT l[2:4] FROM t").replace(" ", "")
+    assert "slice(l,2,(4)-(2)+1)" in out
+    out2 = translate("SELECT l[:2] FROM t").replace(" ", "")
+    assert "slice(l,1,(2)-(1)+1)" in out2
+    out3 = translate("SELECT l[3:] FROM t").replace(" ", "")
+    assert "slice(l,3,(size(l))-(3)+1)" in out3
+
+
+def test_string_escape_doubling():
+    out = translate(r"SELECT regexp_extract(s, '\d+') FROM t")
+    assert r"'\\d+'" in out
+    assert ", 0)" in out  # 2-arg regexp_extract gets DuckDB's group 0
+    # strings without backslashes untouched
+    assert translate("SELECT 'it''s'") == "SELECT 'it''s'"
+
+
+def test_agg_order_by_rewrites():
+    out = translate("SELECT string_agg(x, ',' ORDER BY y) FROM t")
+    assert "listagg" in out and "WITHIN GROUP" in out and "ORDER BY y" in out
+    out2 = translate("SELECT array_agg(x ORDER BY x) FROM t").replace(" ", "")
+    assert "sort_array(collect_list(x))" in out2
+    out3 = translate("SELECT array_agg(x ORDER BY x DESC) FROM t").replace(" ", "")
+    assert "sort_array(collect_list(x),false)" in out3
+
+
+def test_datetime_name_shims():
+    out = translate("SELECT dayname(d), monthname(d), isodow(d), week(d) FROM t")
+    assert "date_format(d, 'EEEE')" in out
+    assert "date_format(d, 'MMMM')" in out
+    assert "(weekday(d) + 1)" in out
+    assert "weekofyear(d)" in out
+
+
+def test_misc_call_shims():
+    assert "conv(n, 10, 2)" in translate("SELECT to_base(n, 2) FROM t")
+    assert "size(array_distinct(l))" in translate("SELECT list_unique(l) FROM t")
+    out = translate("SELECT regexp_full_match(s, 'a.c') FROM t")
+    assert "regexp_extract(s, 'a.c', 0) = s" in out
+    out2 = translate("SELECT like_escape(a, b, '!') FROM t")
+    assert "a LIKE b ESCAPE '!'" in out2
+    out3 = translate("SELECT date_add(d, INTERVAL 3 DAY) FROM t")
+    assert "CAST(((d) + INTERVAL 3 DAY) AS TIMESTAMP)" in out3
