@@ -628,6 +628,51 @@ _add_sql(
     "regexp family incl. 'g'-flag normalization + regexp_matches rename",
 )
 
+_add_sql(
+    "q37_list_syntax",
+    """
+    SELECT n_nationkey,
+           ([n_nationkey, n_regionkey, 99])[2] AS second_elem,
+           ([n_nationkey, n_regionkey, 99])[-1] AS last_elem,
+           ([10, 20, 30, 40])[2:3] AS mid_slice,
+           CAST(list_unique([n_regionkey, n_regionkey, 0]) AS BIGINT) AS uniq_n,
+           CAST(list_contains([0, 1, 2], n_regionkey) AS INT) AS in_small
+    FROM nation
+    WHERE n_nationkey < 15
+    """,
+    "bracket syntax family: list literals, 1-based/negative indexing, "
+    "inclusive slices, list_unique/list_contains",
+)
+
+_add_sql(
+    "q38_string_agg_regex_raw",
+    """
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS members,
+           CAST(count(*) AS BIGINT) AS n,
+           regexp_extract(min(n.n_name), '[A-Z]+') AS first_caps,
+           CAST(max(regexp_full_match(n.n_name, '[A-Z ]+\\d*')) AS INT) AS any_full
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    "listagg WITHIN GROUP rewrite, raw-backslash regex survival, 2-arg "
+    "regexp_extract group-0, regexp_full_match",
+)
+
+_add_sql(
+    "q39_datetime_name_functions",
+    """
+    SELECT dayname(o_orderdate) AS dn,
+           monthname(o_orderdate) AS mn,
+           CAST(isodow(o_orderdate) AS INT) AS idw,
+           CAST(week(o_orderdate) AS INT) AS wk,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+    "dayname/monthname/isodow/week shims over a real date column",
+)
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (driver north star): dedup / similarity /
 # text analysis / multimodal / as-of
