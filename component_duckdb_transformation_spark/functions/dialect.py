@@ -80,9 +80,21 @@ _FN_RENAMES = {
     "week": "weekofyear",
     "weekofyear": "weekofyear",
     "str_split_regex": "split",
+    "string_split_regex": "split",
     "regexp_split_to_array": "split",
     "list_concat": "concat",
     "list_cat": "concat",
+    "list_transform": "transform",
+    "list_filter": "filter",
+    "list_zip": "arrays_zip",
+    "list_has_any": "arrays_overlap",
+    "list_intersect": "array_intersect",
+    "generate_series": "sequence",  # scalar position; both ends inclusive
+    "list_element": "try_element_at",
+    "list_extract": "try_element_at",
+    "array_extract": "try_element_at",
+    "list_position": "array_position",
+    "list_indexof": "array_position",
     "nextafter": "nextafter",  # identity examples keep table readable
     "editdist3": "levenshtein",
     "jaro_winkler_similarity": "jarowinkler",  # not in Spark: kept for visibility
@@ -115,7 +127,9 @@ def translate(sql: str) -> str:
     tokens = _rewrite_table_name_literals(tokens)
     tokens = _rewrite_string_escapes(tokens)
     tokens = _rewrite_quoted_identifiers(tokens)
+    tokens = _rewrite_brace_literals(tokens)
     tokens = _rewrite_brackets(tokens)
+    tokens = _rewrite_similar_to(tokens)
     tokens = _rewrite_extract_dow(tokens)
     tokens = _rewrite_date_trunc(tokens)
     tokens = _rewrite_date_diff(tokens)
@@ -125,6 +139,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_bare_types(tokens)
     tokens = _rewrite_call_shims(tokens)
     tokens = _rewrite_simple(tokens)
+    tokens = _rewrite_distinct_on_recursive(tokens)
     tokens = _rewrite_qualify_recursive(tokens)
     return "".join(t.text for t in tokens)
 
@@ -441,6 +456,96 @@ def _rewrite_bare_types(tokens: List[Token]) -> List[Token]:
 
 
 _QUALIFY_TERMINATORS = {"ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT", "OFFSET"}
+
+
+def _rewrite_distinct_on_recursive(tokens: List[Token]) -> List[Token]:
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text == "(":
+            close = _matching_paren(tokens, i)
+            if close > i:
+                out.append(tok)
+                out.extend(_rewrite_distinct_on_recursive(tokens[i + 1 : close]))
+                out.append(tokens[close])
+                i = close + 1
+                continue
+        out.append(tok)
+        i += 1
+    return _rewrite_distinct_on(out)
+
+
+def _rewrite_distinct_on(tokens: List[Token]) -> List[Token]:
+    """Postgres/DuckDB ``SELECT DISTINCT ON (k) list ... ORDER BY o`` ->
+    first row per k group:
+
+        SELECT * EXCEPT (__don__) FROM (
+          SELECT list, row_number() OVER (
+            PARTITION BY k ORDER BY o|k) AS __don__ FROM ...
+        ) WHERE __don__ = 1 [ORDER BY o]
+
+    Ordering inside the window uses the statement's ORDER BY when
+    present (DuckDB's pick-first semantics), else the ON keys.
+    """
+    first = _next_code(tokens, -1)
+    if first >= len(tokens) or tokens[first].upper != "SELECT":
+        return tokens
+    d_idx = _next_code(tokens, first)
+    if d_idx >= len(tokens) or tokens[d_idx].upper != "DISTINCT":
+        return tokens
+    on_idx = _next_code(tokens, d_idx)
+    if on_idx >= len(tokens) or tokens[on_idx].upper != "ON":
+        return tokens
+    p_open = _next_code(tokens, on_idx)
+    if p_open >= len(tokens) or tokens[p_open].text != "(":
+        return tokens
+    p_close = _matching_paren(tokens, p_open)
+    on_sql = "".join(t.text for t in tokens[p_open + 1 : p_close]).strip()
+
+    n = len(tokens)
+    depth = 0
+    from_idx = order_idx = limit_idx = None
+    for j in range(p_close + 1, n):
+        t = tokens[j]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "word":
+            u = t.upper
+            if u == "FROM" and from_idx is None:
+                from_idx = j
+            elif u == "ORDER" and order_idx is None:
+                order_idx = j
+            elif u == "LIMIT" and limit_idx is None:
+                limit_idx = j
+    if from_idx is None:
+        return tokens
+    tail_start = min(x for x in (order_idx, limit_idx, n) if x is not None)
+    select_list = "".join(t.text for t in tokens[p_close + 1 : from_idx]).strip()
+    body = "".join(t.text for t in tokens[from_idx:tail_start]).strip()
+    if order_idx is not None:
+        order_end = limit_idx if limit_idx is not None and limit_idx > order_idx else n
+        win_order = "".join(t.text for t in tokens[order_idx:order_end]).strip()
+    else:
+        win_order = f"ORDER BY {on_sql}"
+    rewritten = (
+        f"SELECT * EXCEPT (__don__) FROM ("
+        f"SELECT {select_list}, row_number() OVER ("
+        f"PARTITION BY {on_sql} {win_order}) AS __don__ {body}"
+        f") WHERE __don__ = 1"
+    )
+    if order_idx is not None:
+        # output rows are unique per ON key, so ordering by the ON keys
+        # equals the statement's ORDER BY (whose later terms are only
+        # tie-breakers) — and unlike it, never references columns the
+        # projection dropped
+        rewritten += f" ORDER BY {on_sql}"
+    if limit_idx is not None:
+        rewritten += " " + "".join(t.text for t in tokens[limit_idx:]).strip()
+    return _toks(rewritten)
 
 
 def _rewrite_qualify_recursive(tokens: List[Token]) -> List[Token]:
@@ -845,6 +950,66 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     out.extend(_toks(f"conv({a}, 10, {b})"))
                     i = close + 1
                     continue
+                if low == "list_reduce" and len(args) == 2:
+                    # DuckDB has no init arg: seed with the first element
+                    l, lam = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(
+                            f"reduce(slice(({l}), 2, size(({l})) - 1), "
+                            f"try_element_at(({l}), 1), {lam})"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low in ("list_slice", "array_slice") and len(args) == 3:
+                    l, a, b = (_sql(inner, s, e) for s, e in args)
+                    out.extend(_toks(f"slice(({l}), {a}, ({b}) - ({a}) + 1)"))
+                    i = close + 1
+                    continue
+                if low == "list_has_all" and len(args) == 2:
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    out.extend(_toks(f"(size(array_except({b}, {a})) = 0)"))
+                    i = close + 1
+                    continue
+                if low in ("list_sum", "list_avg") and len(args) == 1:
+                    # DOUBLE accumulator: element types (int/decimal/
+                    # float) all widen cleanly; ANSI rejects a
+                    # type-growing decimal accumulator otherwise
+                    l = _sql(inner, *args[0])
+                    agg = (
+                        f"aggregate(transform(({l}), v -> CAST(v AS DOUBLE)), "
+                        "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+                    )
+                    if low == "list_avg":
+                        agg = f"({agg} / size(({l})))"
+                    out.extend(_toks(agg))
+                    i = close + 1
+                    continue
+                if low == "struct_pack":
+                    fields = []
+                    for s, e in args:
+                        seg = inner[s:e]
+                        # ':=' arrives as two op tokens ':' '='
+                        colons = _top_level_positions(
+                            seg, 0, len(seg),
+                            lambda t: t.kind == "op" and t.text == ":",
+                        )
+                        w = None
+                        for c in colons:
+                            nc = _next_code(seg, c)
+                            if nc < len(seg) and seg[nc].text == "=":
+                                w = (c, nc)
+                                break
+                        if w is None:
+                            fields = None
+                            break
+                        name = _sql(seg, 0, w[0])
+                        val = _sql(seg, w[1] + 1, len(seg))
+                        fields.append(f"'{name}', {val}")
+                    if fields is not None:
+                        out.extend(_toks(f"named_struct({', '.join(fields)})"))
+                        i = close + 1
+                        continue
                 if low in ("like_escape", "ilike_escape") and len(args) == 3:
                     a, b, c = (_sql(inner, s, e) for s, e in args)
                     if low == "ilike_escape":
@@ -864,6 +1029,86 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                 out.append(tokens[close])
                 i = close + 1
                 continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+def _rewrite_similar_to(tokens: List[Token]) -> List[Token]:
+    """``x [NOT] SIMILAR TO '<pat>'`` -> ``x [NOT] RLIKE '^(?:<pat>)$'``
+    (full-match anchoring; literal patterns only)."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.upper == "SIMILAR":
+            j = _next_code(tokens, i)
+            if j < n and tokens[j].kind == "word" and tokens[j].upper == "TO":
+                k = _next_code(tokens, j)
+                if k < n and tokens[k].kind == "string":
+                    pat = tokens[k].text[1:-1]
+                    out.append(Token("word", "RLIKE"))
+                    out.append(Token("ws", " "))
+                    out.append(Token("string", f"'^(?:{pat})$'"))
+                    i = k + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+def _rewrite_brace_literals(tokens: List[Token]) -> List[Token]:
+    """DuckDB struct/map literals:
+    ``{'a': 1, 'b': x}``      -> ``named_struct('a', 1, 'b', x)``
+    ``map {'k': v, ...}``     -> ``map('k', v, ...)``
+    """
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text == "{":
+            close = None
+            depth = 0
+            for j in range(i, n):
+                t = tokens[j]
+                if t.kind == "op" and t.text in ("{", "(", "["):
+                    depth += 1
+                elif t.kind == "op" and t.text in ("}", ")", "]"):
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+            if close is not None:
+                inner = _rewrite_brace_literals(tokens[i + 1 : close])
+                # was this preceded by the word `map`?
+                is_map = False
+                for k in range(len(out) - 1, -1, -1):
+                    if out[k].kind in ("ws", "comment"):
+                        continue
+                    is_map = out[k].kind == "word" and out[k].text.lower() == "map"
+                    if is_map:
+                        del out[k:]
+                    break
+                parts = []
+                for s, e in _split_top_commas(inner, 0, len(inner)):
+                    colons = _top_level_positions(
+                        inner, s, e, lambda t: t.kind == "op" and t.text == ":"
+                    )
+                    if not colons:
+                        parts = None
+                        break
+                    c = colons[0]
+                    parts.append(f"{_sql(inner, s, c)}, {_sql(inner, c + 1, e)}")
+                if parts is not None:
+                    fn = "map" if is_map else "named_struct"
+                    out.extend(_toks(f"{fn}({', '.join(parts)})"))
+                    i = close + 1
+                    continue
+                # not a literal we understand: fall through untouched
+                if is_map:
+                    out.append(Token("word", "map"))
         out.append(tok)
         i += 1
     return out

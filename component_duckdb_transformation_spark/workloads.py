@@ -673,6 +673,19 @@ _add_sql(
     "dayname/monthname/isodow/week shims over a real date column",
 )
 
+_add_sql(
+    "q40_distinct_on_lambdas",
+    """
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice,
+           list_transform([1, 2, 3], x -> x * o_custkey) AS scaled,
+           CAST(list_sum([o_custkey, 1]) AS DOUBLE) AS ls
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    "DISTINCT ON pick-first rewrite + lambda list functions + list_sum",
+)
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (driver north star): dedup / similarity /
 # text analysis / multimodal / as-of

