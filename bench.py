@@ -74,6 +74,9 @@ def main() -> int:
     ]
     concurrent = [item for item in selected if item[0] not in SERIAL]
     serial = [item for item in selected if item[0] in SERIAL]
+    # NOTE: registry order interleaves light SQL queries with the heavy
+    # dedup/ANN jobs; measured better than longest-first scheduling,
+    # which makes the heavy jobs contend for the same cores
 
     def run_serial_chain() -> None:
         # the streaming drains mutate the shuffle-partition conf, so they
