@@ -93,7 +93,36 @@ def check_common_sql_errors(sql: str) -> list[str]:
             "Warning: Arithmetic operations on VARCHAR columns may cause "
             "cast errors"
         )
+    unsupported = _untranslatable_functions(sql)
+    if unsupported:
+        errors.append(
+            "Warning: no Spark equivalent for DuckDB function(s) "
+            f"{', '.join(sorted(unsupported))} — the query will fail at "
+            "execution; see COVERAGE.md non-goals"
+        )
     return errors
+
+
+# DuckDB functions with no Spark builtin and no dialect shim; calling
+# them fails at execution, so surface it at validation time instead
+_UNSUPPORTED_FUNCTIONS = {
+    "jaccard", "damerau_levenshtein", "hamming", "mismatches",
+    "format", "bar", "list_aggregate", "list_aggr", "histogram",
+    "regexp_split_to_table", "icu_sort_key", "to_base64_url",
+    "jaro_similarity", "fuzzy_match",
+}
+
+
+def _untranslatable_functions(sql: str) -> set[str]:
+    tokens = tokenize(sql)
+    n = len(tokens)
+    found: set[str] = set()
+    for i, tok in enumerate(tokens):
+        if tok.kind == "word" and tok.text.lower() in _UNSUPPORTED_FUNCTIONS:
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].text == "(":
+                found.add(tok.text.lower())
+    return found
 
 
 class SQLValidator:

@@ -37,3 +37,22 @@ def test_regexp_replace_nested_args_counted_top_level():
         "SELECT regexp_replace(concat(a, b), 'x', 'y') FROM t"
     )
     assert any("FIRST match" in m for m in msgs3)
+
+
+def test_unsupported_function_lint():
+    from component_duckdb_transformation_spark.validators.sql_validator import (
+        check_common_sql_errors,
+    )
+
+    errs = check_common_sql_errors("SELECT jaccard(a, b) FROM t")
+    assert any("jaccard" in e and "no Spark equivalent" in e for e in errs)
+    # a column named jaccard (no call parens) does not trigger
+    assert not any(
+        "no Spark equivalent" in e
+        for e in check_common_sql_errors("SELECT jaccard FROM t")
+    )
+    # shimmed functions do not trigger
+    assert not any(
+        "no Spark equivalent" in e
+        for e in check_common_sql_errors("SELECT list_transform(l, x -> x) FROM t")
+    )
