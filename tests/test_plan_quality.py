@@ -100,3 +100,31 @@ def test_asof_join_single_shuffle(spark):
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, exchanges
     assert "Join" not in plan
+
+
+def test_x18_split_is_map_only_single_agg(spark):
+    plan = _plan(spark, "x18_deterministic_split")
+    # one partial+final aggregation; no joins of any kind
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_x19_range_join_is_equi_join(spark):
+    plan = _plan(spark, "x19_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x21_blocked_near_dup_no_cartesian(spark):
+    plan = _plan(spark, "x21_embedding_near_dup_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair scoring happens inside the cogroup, not as a row join
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_x14_ivf_search_broadcasts_probes(spark):
+    plan = _plan(spark, "x14_ann_ivf_topk")
+    # the probed query side is broadcast into the cell join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
