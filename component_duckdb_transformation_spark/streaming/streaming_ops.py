@@ -196,6 +196,36 @@ def stream_stream_attribution_join(
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "purchase_value")
 
 
+def stream_ingest_to_store(
+    df: DataFrame,
+    store,
+    table_name: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+) -> None:
+    """Drain a stream into a ``plans.executor.TableStore`` table via
+    ``foreachBatch`` — the production sink path: each micro-batch is
+    appended transactionally (copy-on-write versioned Parquet), the
+    checkpoint gives exactly-once across restarts, and the ingested
+    table is immediately queryable by the SQL executor under
+    ``table_name``. First batch creates the table.
+    """
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if table_name in store.tables:
+            store.insert_into(table_name, batch_df)
+        else:
+            store.create_table(table_name, batch_df)
+
+    query = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+
+
 def run_stream_to_batch(
     df: DataFrame,
     output_mode: str = "complete",

@@ -1340,6 +1340,43 @@ _add_df(
 )
 
 
+def _stream_ingest_builder(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from .plans.executor import TableStore
+    from .streaming import streaming_ops as so
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="cdts_ingest_wh_"))
+    stream = so.read_events_stream(spark, sf).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    so.stream_ingest_to_store(
+        stream, store, "ingested_events", tempfile.mkdtemp(prefix="cdts_ingest_ck_")
+    )
+    return (
+        spark.table("ingested_events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+
+
+_add_df(
+    "x23_stream_ingest_tablestore",
+    _stream_ingest_builder,
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+    """,
+    description="streaming ingest into the versioned-Parquet TableStore via "
+    "foreachBatch (exactly-once with checkpoint); ingested table equals the "
+    "batch source",
+)
+
+
 def _session_window_builder(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming import streaming_ops as so
 

@@ -82,3 +82,17 @@ def test_stream_stream_attribution_join(spark):
     out = so.stream_stream_attribution_join(df)
     got = {(r.purchase_id, r.click_id) for r in out.collect()}
     assert got == {(2, 1)}
+
+
+def test_stream_ingest_to_store_exactly_once(spark, tmp_path):
+    from component_duckdb_transformation_spark.plans.executor import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ck = str(tmp_path / "ck")
+    stream = so.read_events_stream(spark, SF).select("event_id", "event_type")
+    so.stream_ingest_to_store(stream, store, "ing", ck)
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert spark.table("ing").count() == n_events
+    # re-drain with the same checkpoint: no new data -> no duplicates
+    so.stream_ingest_to_store(stream, store, "ing", ck)
+    assert spark.table("ing").count() == n_events
