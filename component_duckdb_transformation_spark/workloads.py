@@ -1485,6 +1485,49 @@ _add_df(
 )
 
 
+def _curation_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus curation: exact dedup (keep lowest id) ->
+    quality floor -> stable split -> per-(split, lang) stats. The
+    composition every training-data pipeline runs, with each stage one
+    of this repo's operators."""
+    docs = spark.table("documents")
+    keepers = dedup.exact_duplicates(docs).select(F.col("keeper_id").alias("doc_id"))
+    deduped = docs.join(keepers, "doc_id")
+    filtered = deduped.filter(text_analysis.word_count(F.col("text")) >= 5)
+    split = sampling.deterministic_split(filtered, "doc_id")
+    return split.groupBy("split", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+def _curation_oracle() -> str:
+    case = sampling.split_oracle_case(
+        "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    return f"""
+WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+dd AS (SELECT d.* FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
+filt AS (SELECT * FROM dd WHERE len(string_split(text, ' ')) >= 5),
+s AS (SELECT *, {case} AS split FROM filt)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc
+FROM s GROUP BY split, lang
+"""
+
+
+_add_df(
+    "x24_corpus_curation_pipeline",
+    _curation_builder,
+    oracle=_curation_oracle(),
+    description="composed curation pipeline: exact dedup -> quality floor -> "
+    "deterministic split -> per-(split, lang) stats (each stage a repo "
+    "operator; end-to-end oracle)",
+)
+
+
 def _range_join_builder(spark: SparkSession, sf: str) -> DataFrame:
     ev = spark.table("events")
     intervals = ev.filter(F.col("event_id") % 211 == 0).select(
