@@ -129,6 +129,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_quoted_identifiers(tokens)
     tokens = _rewrite_brace_literals(tokens)
     tokens = _rewrite_brackets(tokens)
+    tokens = _rewrite_star_replace(tokens)
     tokens = _rewrite_similar_to(tokens)
     tokens = _rewrite_extract_dow(tokens)
     tokens = _rewrite_date_trunc(tokens)
@@ -1030,6 +1031,54 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                 i = close + 1
                 continue
         out.append(tok)
+        i += 1
+    return out
+
+
+def _rewrite_star_replace(tokens: List[Token]) -> List[Token]:
+    """DuckDB ``SELECT * REPLACE (expr AS col, ...)`` ->
+    ``* EXCEPT (col, ...), expr AS col, ...`` (replaced columns move to
+    the end of the projection; the column SET is identical)."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    prev_code: Token | None = None
+    while i < n:
+        tok = tokens[i]
+        if (
+            tok.kind == "word"
+            and tok.upper == "REPLACE"
+            and prev_code is not None
+            and prev_code.kind == "op"
+            and prev_code.text == "*"
+        ):
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].text == "(":
+                close = _matching_paren(tokens, p_open)
+                inner = tokens[p_open + 1 : close]
+                names: List[str] = []
+                items: List[str] = []
+                ok = True
+                for s, e in _split_top_commas(inner, 0, len(inner)):
+                    as_pos = _top_level_positions(
+                        inner, s, e, lambda t: t.is_kw("AS")
+                    )
+                    if not as_pos:
+                        ok = False
+                        break
+                    a = as_pos[-1]
+                    items.append(_sql(inner, s, e))
+                    names.append(_sql(inner, a + 1, e))
+                if ok and names:
+                    out.extend(
+                        _toks(f"EXCEPT ({', '.join(names)}), {', '.join(items)}")
+                    )
+                    i = close + 1
+                    prev_code = out[-1]
+                    continue
+        out.append(tok)
+        if tok.kind not in ("ws", "comment"):
+            prev_code = tok
         i += 1
     return out
 

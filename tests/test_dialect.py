@@ -249,3 +249,12 @@ def test_distinct_on_rewrite():
 def test_distinct_on_in_subquery():
     out = translate("SELECT * FROM (SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, b) s")
     assert "__don__" in out and out.startswith("SELECT * FROM (")
+
+
+def test_star_replace_rewrite():
+    out = translate("SELECT * REPLACE (a * 2 AS a) FROM t").replace("  ", " ")
+    assert "EXCEPT (a)" in out and "a * 2 AS a" in out
+    out2 = translate("SELECT * REPLACE (x + 1 AS x, lower(y) AS y) FROM t")
+    assert "EXCEPT (x, y)" in out2
+    # plain REPLACE function call untouched
+    assert translate("SELECT replace(s, 'a', 'b') FROM t") == "SELECT replace(s, 'a', 'b') FROM t"
