@@ -38,7 +38,7 @@ from ..exceptions import UserException
 from ..functions.dialect import translate
 from .orchestrator import Query
 from .sql_parser import ParsedStatement, StatementType
-from .sql_tokens import Token, code_tokens, tokenize
+from .sql_tokens import Token, code_tokens, tokenize, unquote_name
 
 LOG = logging.getLogger(__name__)
 
@@ -208,11 +208,26 @@ class SparkStatementExecutor:
             self._update(st)
         elif stype == StatementType.DELETE:
             self._delete(st)
+        elif stype == StatementType.DROP:
+            drop = _parse_drop(st.sql)
+            if drop is None:
+                raise UserException(f"Unsupported DROP form: {st.sql[:100]}")
+            self._drop(*drop)
         else:
             df = self.spark.sql(translate(st.sql))
             if df.columns:
                 # execute fully, discard rows — distributed, no driver collect
                 df.write.format("noop").mode("overwrite").save()
+
+    def _drop(self, name: str, if_exists: bool) -> None:
+        """DROP TABLE/VIEW: both kinds live as temp views here (store
+        tables are parquet-backed temp views), so Spark's strict
+        DROP TABLE-vs-VIEW distinction must not leak through."""
+        existed = self.spark.catalog.dropTempView(name)
+        self.store.tables.pop(name, None)
+        self.view_order_by.pop(name, None)
+        if not existed and not if_exists:
+            raise UserException(f"DROP: table or view '{name}' does not exist")
 
     # -- CREATE -----------------------------------------------------------
     def _create_view(self, st: ParsedStatement) -> None:
@@ -535,6 +550,32 @@ def _parse_update(sql: str) -> tuple[List[tuple[str, str]], Optional[str]]:
     if where_idx is not None:
         where = "".join(t.text for t in tokens[where_idx + 1:]).strip()
     return assignments, where
+
+
+def _parse_drop(sql: str) -> Optional[tuple[str, bool]]:
+    """(name, if_exists) for ``DROP TABLE|VIEW [IF EXISTS] name``, else
+    None."""
+    code = _code(sql)
+    if not code or code[0][1].upper != "DROP":
+        return None
+    i = 1
+    if i < len(code) and code[i][1].upper in ("TABLE", "VIEW"):
+        i += 1
+    else:
+        return None
+    if_exists = False
+    if (
+        i + 1 < len(code)
+        and code[i][1].upper == "IF"
+        and code[i + 1][1].upper == "EXISTS"
+    ):
+        if_exists = True
+        i += 2
+    if i >= len(code):
+        return None
+    tok = code[i][1]
+    name = unquote_name(tok) if tok.kind != "string" else tok.text[1:-1]
+    return name, if_exists
 
 
 def _delete_where(sql: str) -> Optional[str]:

@@ -229,6 +229,12 @@ def _batches_for_block(block_queries: List[Query], producers: dict[str, Query]) 
                 if creator is not None and creator.name != q.name:
                     add_edge(creator.name, q.name)
         for dep in q.dependencies:
+            if q.statement_type.mutates and dep in q.outputs:
+                # own-target dependency of UPDATE/DELETE/DROP: the writer
+                # chain above already orders it after the table's previous
+                # writer in config order; a producer edge here would point
+                # at the LAST writer and cycle on DROP-then-recreate
+                continue
             producer = producers.get(dep)
             if producer is not None and producer.name in remaining and producer.name != q.name:
                 add_edge(producer.name, q.name)

@@ -40,6 +40,7 @@ class StatementType(str, Enum):
     INSERT = "INSERT"
     UPDATE = "UPDATE"
     DELETE = "DELETE"
+    DROP = "DROP"
     SELECT = "SELECT"
     OTHER = "OTHER"
 
@@ -49,7 +50,12 @@ class StatementType(str, Enum):
 
     @property
     def mutates(self) -> bool:
-        return self in (StatementType.INSERT, StatementType.UPDATE, StatementType.DELETE)
+        return self in (
+            StatementType.INSERT,
+            StatementType.UPDATE,
+            StatementType.DELETE,
+            StatementType.DROP,
+        )
 
 
 @dataclass
@@ -84,7 +90,8 @@ def parse_statement(sql: str) -> ParsedStatement:
     # the scheduler orders them after the table's producer.
     if stype.is_create or stype == StatementType.INSERT:
         deps -= outputs
-    elif stype in (StatementType.UPDATE, StatementType.DELETE):
+    elif stype in (StatementType.UPDATE, StatementType.DELETE, StatementType.DROP):
+        # the target must exist first: order after its producer
         deps |= outputs
     has_order = _has_top_level_order_by(code)
     return ParsedStatement(
@@ -115,6 +122,8 @@ def _classify(code: Sequence[tuple[int, Token]]) -> StatementType:
         return StatementType.UPDATE
     if first == "DELETE":
         return StatementType.DELETE
+    if first == "DROP":
+        return StatementType.DROP
     if first in ("SELECT", "WITH"):
         # WITH ... INSERT / WITH ... CREATE TABLE|VIEW are valid in
         # DuckDB (the reference's sqlglot classifies them by the inner
@@ -250,6 +259,16 @@ def _collect_outputs(code: Sequence[tuple[int, Token]], stype: StatementType) ->
                 break
     elif stype == StatementType.UPDATE:
         name, _ = _dotted_name(code, 1)
+        if name:
+            outputs.add(name)
+    elif stype == StatementType.DROP:
+        # DROP TABLE|VIEW [IF EXISTS] name
+        i = 1
+        while i < n and code[i][1].is_kw("TABLE", "VIEW", "IF", "EXISTS"):
+            i += 1
+        name, _ = _dotted_name(code, i)
+        if name is None and i < n and code[i][1].kind in _NAME_KINDS:
+            name = unquote_name(code[i][1])
         if name:
             outputs.add(name)
     elif stype == StatementType.DELETE:

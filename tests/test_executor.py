@@ -96,3 +96,48 @@ def test_insert_explicit_column_list(spark, table_store):
     rows = {r["a"]: (r["b"], r["c"]) for r in spark.table("named_t").collect()}
     assert rows[2] == ("two", None)
     assert rows[1] == ("one", 1.5)
+
+
+def test_drop_table_and_recreate(spark, table_store):
+    from component_duckdb_transformation_spark.configuration import Block, Code
+    from component_duckdb_transformation_spark.plans.executor import SparkStatementExecutor
+    from component_duckdb_transformation_spark.plans.orchestrator import BlockOrchestrator
+
+    ex = SparkStatementExecutor(spark, table_store)
+    orch = BlockOrchestrator(execute_script=ex.execute_query, max_workers=4)
+    orch.add_queries_from_blocks(
+        [
+            Block(
+                name="b",
+                codes=[
+                    Code(
+                        name="c",
+                        script=[
+                            "CREATE TABLE dt AS SELECT 1 AS x",
+                            "DROP TABLE dt",
+                            "CREATE TABLE dt AS SELECT 2 AS x",
+                            "CREATE VIEW dv AS SELECT 9 AS y",
+                            "DROP VIEW dv",
+                            "DROP VIEW IF EXISTS dv_nothere",
+                        ],
+                    )
+                ],
+            )
+        ]
+    )
+    orch.execute()
+    assert [r.x for r in spark.table("dt").collect()] == [2]
+    assert not spark.catalog.tableExists("dv")
+    assert "dt" in table_store.tables and "dv" not in table_store.tables
+
+
+def test_drop_missing_without_if_exists_raises(spark, table_store):
+    import pytest
+
+    from component_duckdb_transformation_spark.exceptions import UserException
+    from component_duckdb_transformation_spark.plans.executor import SparkStatementExecutor
+    from component_duckdb_transformation_spark.plans.sql_parser import parse_statement
+
+    ex = SparkStatementExecutor(spark, table_store)
+    with pytest.raises(UserException, match="does not exist"):
+        ex._execute_statement(parse_statement("DROP TABLE definitely_not_here"))
