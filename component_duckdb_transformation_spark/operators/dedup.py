@@ -100,9 +100,17 @@ def ngram_jaccard_pairs(
     # join on the 64-bit shingle hash, never the raw string: shuffle
     # keys shrink from ~20-byte strings to 8 bytes and comparisons are
     # single longs (collision odds ~n^2/2^64 — immaterial)
-    sh = shingles(df, id_col, text_col, k).select(
-        "doc_id", F.xxhash64("shingle").alias("sh")
+    # cache the ONE shingle explode; everything below (hot-shingle scan,
+    # both self-join sides, cardinalities) re-reads the cache instead of
+    # re-running the explode. Materialized EAGERLY: lazy cache fill races
+    # when one action's DAG fans out over the uncached node (concurrent
+    # stages each recompute unfilled partitions)
+    sh = (
+        shingles(df, id_col, text_col, k)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .cache()
     )
+    sh.count()
     if max_shingle_freq is not None:
         # broadcast ANTI join against only the HOT shingles: the
         # partial-agg shuffle is docs-distinct counts, and the broadcast
@@ -115,7 +123,6 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sh = sh.cache()
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -215,10 +222,32 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     bucket_hash = F.xxhash64 if hash_mode != "md5" else _md5_60
-    # one shingle explode shared by the signature and verify stages
-    # (uncached it would be computed 4x: signatures, card, s1, s2)
-    sh = shingles(df, id_col, text_col, k).cache()
-    sigs = _signatures_from_shingles(sh, num_hashes, hash_mode)
+    # One shingle explode shared by the signature and verify stages
+    # (uncached it would be computed 4x: signatures, card, s1, s2).
+    # Cached as (doc_id, 8-byte hash), never the raw strings — in md5
+    # mode every consumer (XOR-seeded mins, intersection join key,
+    # cardinalities) needs only the hash, making the cache ~3x smaller
+    # and the verify-join key fixed-width. Eager fill — see
+    # ngram_jaccard_pairs.
+    raw = shingles(df, id_col, text_col, k)
+    if hash_mode == "md5":
+        sh = raw.select("doc_id", _md5_60(F.col("shingle")).alias("shingle")).cache()
+        sh.count()
+        mins = [
+            F.min(F.col("shingle").bitwiseXOR(F.lit(md5_seed(i)))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+        sigs = (
+            sh.groupBy("doc_id")
+            .agg(*mins)
+            .select(
+                "doc_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
+            )
+        )
+    else:
+        sh = raw.cache()
+        sh.count()
+        sigs = _signatures_from_shingles(sh, num_hashes, hash_mode)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -329,8 +358,10 @@ def simhash_near_pairs(
     chunk_bits = 15 if hash_mode == "md5" else 16
     mask = (1 << chunk_bits) - 1
     # cached: the self-join below would otherwise run the word explode
-    # and the 60+ bit-vote aggregates once per side
+    # and the 60+ bit-vote aggregates once per side; eager fill — see
+    # ngram_jaccard_pairs
     sigs = simhash_signatures(df, id_col, text_col, hash_mode).cache()
+    sigs.count()
     chunks = sigs.select(
         "doc_id",
         "simhash",
