@@ -1018,6 +1018,42 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     out.extend(_toks(f"({a} LIKE {b} ESCAPE {c})"))
                     i = close + 1
                     continue
+                if low == "quantile_cont" and len(args) == 2:
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    out.extend(_toks(f"percentile({a}, {b})"))
+                    i = close + 1
+                    continue
+                if low == "quantile_disc" and len(args) == 2:
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(f"percentile_disc({b}) WITHIN GROUP (ORDER BY {a})")
+                    )
+                    i = close + 1
+                    continue
+                if low == "skewness" and len(args) == 1:
+                    # DuckDB reports the SAMPLE (bias-corrected) statistic,
+                    # Spark the population one: g1 * sqrt(n(n-1)) / (n-2)
+                    a = _sql(inner, *args[0])
+                    out.extend(
+                        _toks(
+                            f"(skewness({a}) * sqrt(CAST(count({a}) AS DOUBLE)"
+                            f" * (count({a}) - 1)) / (count({a}) - 2))"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "kurtosis" and len(args) == 1:
+                    # sample excess kurtosis from Spark's population value
+                    a = _sql(inner, *args[0])
+                    n_ = f"CAST(count({a}) AS DOUBLE)"
+                    out.extend(
+                        _toks(
+                            f"((({n_} - 1) / (({n_} - 2) * ({n_} - 3)))"
+                            f" * (({n_} + 1) * kurtosis({a}) + 6))"
+                        )
+                    )
+                    i = close + 1
+                    continue
                 if low == "regexp_full_match" and len(args) == 2:
                     a, b = (_sql(inner, s, e) for s, e in args)
                     out.extend(_toks(f"(regexp_extract({a}, {b}, 0) = {a})"))

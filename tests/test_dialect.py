@@ -258,3 +258,14 @@ def test_star_replace_rewrite():
     assert "EXCEPT (x, y)" in out2
     # plain REPLACE function call untouched
     assert translate("SELECT replace(s, 'a', 'b') FROM t") == "SELECT replace(s, 'a', 'b') FROM t"
+
+
+def test_quantile_and_sample_moment_shims():
+    assert "percentile(x, 0.5)" in translate("SELECT quantile_cont(x, 0.5) FROM t")
+    out = translate("SELECT quantile_disc(x, 0.5) FROM t")
+    assert "percentile_disc(0.5) WITHIN GROUP (ORDER BY x)" in out
+    # sample corrections wrap Spark's population statistics
+    s = translate("SELECT skewness(v) FROM t")
+    assert "sqrt" in s and "count(v)" in s
+    k = translate("SELECT kurtosis(v) FROM t")
+    assert "kurtosis(v) + 6" in k.replace("  ", " ").replace("* kurtosis", "* kurtosis")
