@@ -674,6 +674,20 @@ _add_sql(
 )
 
 _add_sql(
+    "q41_sample_moments",
+    """
+    SELECT l_returnflag,
+           round(skewness(l_extendedprice), 6) AS skew_price,
+           round(kurtosis(l_extendedprice), 6) AS kurt_price,
+           round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+           round(quantile_disc(l_quantity, 0.25), 6) AS q1_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "sample skewness/kurtosis corrections + quantile_cont/disc shims",
+)
+
+_add_sql(
     "q40_distinct_on_lambdas",
     """
     SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice,
