@@ -2,8 +2,12 @@
 
 Delegates to ``component_duckdb_transformation_spark.workloads`` — the
 single registry of every implemented operator/query from SURVEY.md §2
-(core SQL surface q01-q25) plus the LLM-pipeline extensions (dedup,
-similarity, text analysis, as-of, multimodal: x01-x10).
+(core SQL + dialect surface q01-q41) plus the LLM-pipeline extensions
+(dedup, similarity, sampling, temporal, text analysis, multimodal,
+streaming: x01-x24). Every workload carries a DuckDB oracle — the
+hash/ANN pipelines use engine-portable md5/integer arithmetic so even
+MinHash-LSH, SimHash, hyperplane-LSH, and IVF (k-means training
+included) are replayed exactly in SQL.
 """
 
 from __future__ import annotations
@@ -30,5 +34,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query (omitted for hash-based ops)."""
+    """DuckDB-runnable oracle SQL per query (all 65 workloads)."""
     return workloads.oracle_sql()
