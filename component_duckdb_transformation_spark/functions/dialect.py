@@ -268,7 +268,7 @@ def _rewrite_date_diff(tokens: List[Token]) -> List[Token]:
     n = len(tokens)
     while i < n:
         tok = tokens[i]
-        if tok.kind == "word" and tok.text.lower() in ("date_diff", "datediff"):
+        if tok.kind == "word" and tok.text.lower() in ("date_diff", "datediff", "date_sub"):
             p_open = _next_code(tokens, i)
             if p_open < n and tokens[p_open].text == "(":
                 close = _matching_paren(tokens, p_open)
@@ -1016,6 +1016,63 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     if low == "ilike_escape":
                         a, b = f"lower({a})", f"lower({b})"
                     out.extend(_toks(f"({a} LIKE {b} ESCAPE {c})"))
+                    i = close + 1
+                    continue
+                if low == "time_bucket" and len(args) == 2:
+                    first = _sql(inner, *args[0]).upper().split()
+                    ts = _sql(inner, *args[1])
+                    # literal INTERVAL n UNIT only
+                    if len(first) == 3 and first[0] == "INTERVAL" and first[1].isdigit():
+                        n_units, unit = int(first[1]), first[2].rstrip("S")
+                        secs = {
+                            "SECOND": 1, "MINUTE": 60, "HOUR": 3600,
+                            "DAY": 86400, "WEEK": 604800,
+                        }.get(unit)
+                        if secs is not None:
+                            w = n_units * secs
+                            o = 946857600  # 2000-01-03 UTC, the
+                            # TimescaleDB/DuckDB bucket origin (Monday)
+                            out.extend(
+                                _toks(
+                                    "CAST(timestamp_seconds(CAST(floor("
+                                    f"(unix_timestamp(CAST(({ts}) AS TIMESTAMP)) - {o})"
+                                    f" / {w}) AS BIGINT) * {w} + {o}) AS TIMESTAMP_NTZ)"
+                                )
+                            )
+                            i = close + 1
+                            continue
+                        if n_units == 1 and unit in ("MONTH", "YEAR"):
+                            out.extend(
+                                _toks(
+                                    f"CAST(date_trunc('{unit}', {ts}) "
+                                    "AS TIMESTAMP_NTZ)"
+                                )
+                            )
+                            i = close + 1
+                            continue
+                if low in (
+                    "to_days", "to_hours", "to_minutes", "to_seconds",
+                    "to_months", "to_years", "to_weeks",
+                ) and len(args) == 1:
+                    a = _sql(inner, *args[0])
+                    pos = {
+                        "to_years": 0, "to_months": 1, "to_weeks": 2,
+                        "to_days": 3, "to_hours": 4, "to_minutes": 5,
+                        "to_seconds": 6,
+                    }[low]
+                    mk = ["0"] * 7
+                    mk[pos] = f"({a})"
+                    out.extend(_toks(f"make_interval({', '.join(mk)})"))
+                    i = close + 1
+                    continue
+                if low == "yearweek" and len(args) == 1:
+                    a = _sql(inner, *args[0])
+                    out.extend(
+                        _toks(
+                            f"CAST(extract(YEAROFWEEK FROM ({a})) * 100 "
+                            f"+ weekofyear({a}) AS BIGINT)"
+                        )
+                    )
                     i = close + 1
                     continue
                 if low == "quantile_cont" and len(args) == 2:

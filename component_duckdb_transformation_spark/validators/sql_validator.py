@@ -112,6 +112,7 @@ _UNSUPPORTED_FUNCTIONS = {
     "jaro_similarity", "fuzzy_match",
     "columns",  # COLUMNS() dynamic projection needs schema at parse time
     "product", "entropy",  # no Spark aggregate equivalents
+    "age", "timezone", "current_setting",  # interval/engine-state semantics
 }
 
 

@@ -269,3 +269,21 @@ def test_quantile_and_sample_moment_shims():
     assert "sqrt" in s and "count(v)" in s
     k = translate("SELECT kurtosis(v) FROM t")
     assert "kurtosis(v) + 6" in k.replace("  ", " ").replace("* kurtosis", "* kurtosis")
+
+
+def test_time_bucket_shims():
+    out = translate("SELECT time_bucket(INTERVAL 15 MINUTE, ts) FROM t")
+    assert "946857600" in out and "% " not in out and "900" in out
+    month = translate("SELECT time_bucket(INTERVAL 1 MONTH, ts) FROM t")
+    assert "date_trunc('MONTH', ts)" in month
+
+
+def test_interval_constructor_shims():
+    assert "make_interval(0, 0, 0, (3), 0, 0, 0)" in translate("SELECT d + to_days(3) FROM t")
+    assert "make_interval(0, 0, 0, 0, (h), 0, 0)" in translate("SELECT d + to_hours(h) FROM t")
+
+
+def test_yearweek_and_date_sub():
+    out = translate("SELECT yearweek(d) FROM t")
+    assert "YEAROFWEEK" in out and "weekofyear(d)" in out
+    assert "timestampdiff(DAY," in translate("SELECT date_sub('day', a, b) FROM t")
