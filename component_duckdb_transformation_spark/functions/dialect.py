@@ -1018,6 +1018,26 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     out.extend(_toks(f"({a} LIKE {b} ESCAPE {c})"))
                     i = close + 1
                     continue
+                # DuckDB puts IGNORE/RESPECT NULLS inside the call parens;
+                # Spark wants it after them: fn(x IGNORE NULLS) -> fn(x) IGNORE NULLS
+                if len(inner) >= 2:
+                    tail_codes = [
+                        j for j in range(len(inner))
+                        if inner[j].kind not in ("ws", "comment")
+                    ]
+                    if (
+                        len(tail_codes) >= 2
+                        and inner[tail_codes[-1]].is_kw("NULLS")
+                        and inner[tail_codes[-2]].is_kw("IGNORE", "RESPECT")
+                    ):
+                        kw = inner[tail_codes[-2]].upper
+                        head = inner[: tail_codes[-2]]
+                        out.append(tok)
+                        out.extend(tokens[i + 1 : p_open + 1])
+                        out.extend(head)
+                        out.extend(_toks(f") {kw} NULLS"))
+                        i = close + 1
+                        continue
                 if low == "time_bucket" and len(args) == 2:
                     first = _sql(inner, *args[0]).upper().split()
                     ts = _sql(inner, *args[1])

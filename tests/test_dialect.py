@@ -287,3 +287,12 @@ def test_yearweek_and_date_sub():
     out = translate("SELECT yearweek(d) FROM t")
     assert "YEAROFWEEK" in out and "weekofyear(d)" in out
     assert "timestampdiff(DAY," in translate("SELECT date_sub('day', a, b) FROM t")
+
+
+def test_ignore_nulls_moves_outside_call():
+    out = translate("SELECT lag(x IGNORE NULLS) OVER (ORDER BY i) FROM t")
+    assert "lag(x)IGNORENULLSOVER" in out.replace(" ", "")
+    out2 = translate("SELECT first_value(x RESPECT NULLS) OVER (ORDER BY i) FROM t")
+    assert "first_value(x)RESPECTNULLS" in out2.replace(" ", "")
+    # a column literally named nulls is untouched
+    assert translate("SELECT f(a, nulls) FROM t") == "SELECT f(a, nulls) FROM t"
