@@ -634,7 +634,7 @@ _add_sql(
     SELECT n_nationkey,
            ([n_nationkey, n_regionkey, 99])[2] AS second_elem,
            ([n_nationkey, n_regionkey, 99])[-1] AS last_elem,
-           ([10, 20, 30, 40])[2:3] AS mid_slice,
+           array_to_string(([10, 20, 30, 40])[2:3], ',') AS mid_slice,
            CAST(list_unique([n_regionkey, n_regionkey, 0]) AS BIGINT) AS uniq_n,
            CAST(list_contains([0, 1, 2], n_regionkey) AS INT) AS in_small
     FROM nation
@@ -691,7 +691,7 @@ _add_sql(
     "q40_distinct_on_lambdas",
     """
     SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice,
-           list_transform([1, 2, 3], x -> x * o_custkey) AS scaled,
+           array_to_string(list_transform([1, 2, 3], x -> x * o_custkey), ',') AS scaled,
            CAST(list_sum([o_custkey, 1]) AS DOUBLE) AS ls
     FROM orders
     WHERE o_custkey < 200
