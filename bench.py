@@ -9,10 +9,13 @@ reference src/query_orchestrator.py:83-101, 322-333) AND its execution
 model: the reference runs independent queries of a batch in parallel
 worker threads (src/query_orchestrator.py:343-353), so the suite here is
 driven through a thread pool (FAIR scheduler shares the local cluster).
-Suite wall time is therefore a throughput number; per-query timings are
-elapsed-under-concurrency. The two streaming drains override the
-session's shuffle-partition conf for their state stores, so they run
-serially after the pool.
+Suite wall time is therefore a throughput number; per-query timings in
+``queries`` are elapsed-under-concurrency. Because pool contention makes
+those numbers noisy round-over-round, a second SEQUENTIAL pass re-times
+the most expensive queries one at a time (``queries_sequential``) — use
+those for regression comparisons. Workloads flagged ``serial`` in the
+registry (streaming drains that override the session shuffle-partition
+conf for their state stores) are chained, never pooled.
 """
 
 from __future__ import annotations
@@ -31,8 +34,11 @@ from component_duckdb_transformation_spark.workloads import (  # noqa: E402
     register_tables,
 )
 
-# conf-mutating streaming drains: execute after the concurrent pool
-SERIAL = {"x11_stream_hourly_windows", "x13_stream_stateful_user_stats"}
+# conf-mutating workloads (flagged in the registry): chained, not pooled
+SERIAL = {name for name, wl in WORKLOADS.items() if wl.serial}
+
+# how many of the slowest queries get a sequential re-time pass
+SEQUENTIAL_TOP_N = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_TOP_N", "10"))
 
 
 def main() -> int:
@@ -92,11 +98,29 @@ def main() -> int:
         list(pool.map(lambda fn: fn(), tasks))
     total = round(time.perf_counter() - t_all, 4)
 
+    # Sequential re-time of the slowest queries: contention-free numbers
+    # for round-over-round regression tracking (headline `value` stays
+    # the concurrent suite wall — the throughput number).
+    seq_names = [
+        n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])
+    ][:SEQUENTIAL_TOP_N]
+    by_name = dict(selected)
+    seq_timings: dict[str, float] = {}
+    for n in seq_names:
+        t0 = time.perf_counter()
+        try:
+            by_name[n].make(spark, sf_dir).count()
+            seq_timings[n] = round(time.perf_counter() - t0, 4)
+            print(f"# seq {n}: {seq_timings[n]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# seq {n}: FAILED {str(exc)[:200]}", file=sys.stderr)
+
     result = {
         "metric": "workload_suite_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_sequential": seq_timings,
         "sf": sf,
         "n_queries": len(timings),
         "failures": failures,

@@ -72,6 +72,11 @@ class Workload:
     make: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]
     description: str = ""
+    # True for workloads whose execution temporarily mutates session-global
+    # conf (the streaming drains override spark.sql.shuffle.partitions for
+    # their state stores): these must not run concurrently with anything
+    # else — bench.py chains them instead of pooling them.
+    serial: bool = False
 
 
 WORKLOADS: Dict[str, Workload] = {}
@@ -90,12 +95,13 @@ def _add_df(
     builder: Callable[[SparkSession, str], DataFrame],
     oracle: str | None,
     description: str = "",
+    serial: bool = False,
 ) -> None:
     def make(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_tables(spark, sf_dir)
         return builder(spark, sf_dir)
 
-    WORKLOADS[name] = Workload(name, make, oracle, description)
+    WORKLOADS[name] = Workload(name, make, oracle, description, serial)
 
 
 # ---------------------------------------------------------------------------
@@ -1322,6 +1328,7 @@ _add_df(
     oracle=_STREAM_HOURLY_ORACLE,
     description="Structured Streaming tumbling 1h windows + watermark "
     "(AvailableNow drain); equals the batch rollup",
+    serial=True,
 )
 
 
@@ -1351,6 +1358,7 @@ _add_df(
     description="stream-stream inner join (purchase-to-click attribution) "
     "with watermark-bounded state on both sides; equals the batch "
     "inequality join",
+    serial=True,
 )
 
 
@@ -1450,6 +1458,7 @@ _add_df(
     """,
     description="applyInPandasWithState running per-user aggregates "
     "(custom stateful operator, AvailableNow drain)",
+    serial=True,
 )
 
 
