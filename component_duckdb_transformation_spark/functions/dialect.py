@@ -288,11 +288,63 @@ def _rewrite_date_diff(tokens: List[Token]) -> List[Token]:
     return out
 
 
+def replace_first_composition(pat: str, rep: str) -> tuple[str, str] | None:
+    """Compose a replace-ALL (pattern, replacement) pair equivalent to
+    DuckDB's flagless replace-FIRST ``regexp_replace(s, pat, rep)``.
+
+    The trick: anchor a non-greedy prefix capture — ``^((?s:.*?))(?:pat)``
+    can match at most once (``^`` only matches at position 0), and the
+    lazy prefix makes ``pat`` match at its earliest position, i.e. exactly
+    the first match. Replacement keeps the prefix via ``$1``.
+
+    Returns None (caller falls back to the validator lint) when the
+    composition would change meaning: ``pat`` contains an anchor outside
+    a character class (composition with ``^`` breaks) or a backreference
+    (group numbers shift), or ``rep`` contains a backslash (DuckDB
+    ``\\1``-style backrefs / escapes don't map 1:1 to Java's)."""
+    in_class = False
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            if i + 1 < len(pat) and pat[i + 1].isdigit():
+                return None  # backreference: wrapper shifts group numbers
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        else:
+            if c == "[":
+                in_class = True
+            elif c in "^$":
+                return None  # anchors don't compose with the ^-prefix
+        i += 1
+    if "\\" in rep:
+        return None
+    # $ is literal in DuckDB replacements but a group ref in Java's
+    return "^((?s:.*?))(?:" + pat + ")", "$1" + rep.replace("$", "\\$")
+
+
+def _decode_spark_string(tok: Token) -> str:
+    """Actual value of a single-quoted literal AFTER the escape pass
+    (backslashes arrive doubled)."""
+    return tok.text[1:-1].replace("\\\\", "\\").replace("''", "'")
+
+
+def _encode_spark_string(value: str) -> Token:
+    inner = value.replace("\\", "\\\\").replace("'", "''")
+    return Token("string", f"'{inner}'")
+
+
 def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
     """DuckDB ``regexp_replace(s, re, rep, 'g')`` -> Spark 3-arg form
     (Spark always replaces all matches). The flagless DuckDB form
-    replaces only the FIRST match — a documented divergence with no
-    Spark equivalent; scripts relying on it should anchor the regex."""
+    replaces only the FIRST match: when pattern and replacement are
+    string literals amenable to ``replace_first_composition`` the call is
+    rewritten to an equivalent anchored replace-all; otherwise it is left
+    as-is (replace-all, with the validator's DANGER lint pointing at the
+    divergence)."""
     out: List[Token] = []
     i = 0
     n = len(tokens)
@@ -323,6 +375,34 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                     out.append(Token("op", ")"))
                     i = close + 1
                     continue
+                if len(args) == 3:
+                    pat_code = [
+                        t for t in args[1] if t.kind not in ("ws", "comment")
+                    ]
+                    rep_code = [
+                        t for t in args[2] if t.kind not in ("ws", "comment")
+                    ]
+                    if (
+                        len(pat_code) == 1
+                        and pat_code[0].kind == "string"
+                        and len(rep_code) == 1
+                        and rep_code[0].kind == "string"
+                    ):
+                        composed = replace_first_composition(
+                            _decode_spark_string(pat_code[0]),
+                            _decode_spark_string(rep_code[0]),
+                        )
+                        if composed is not None:
+                            out.append(tok)
+                            out.append(Token("op", "("))
+                            out.extend(args[0])
+                            out.append(Token("op", ","))
+                            out.append(_encode_spark_string(composed[0]))
+                            out.append(Token("op", ","))
+                            out.append(_encode_spark_string(composed[1]))
+                            out.append(Token("op", ")"))
+                            i = close + 1
+                            continue
         out.append(tok)
         i += 1
     return out

@@ -21,6 +21,7 @@ from ..functions.dialect import (
     _matching_paren,
     _next_code,
     _split_top_level_args,
+    replace_first_composition,
     translate,
 )
 from ..plans.orchestrator import iterate_blocks, query_name
@@ -31,9 +32,13 @@ LOG = logging.getLogger(__name__)
 
 
 def _three_arg_regexp_replace(sql: str) -> bool:
-    """True if any regexp_replace call has exactly 3 arguments — the
-    DuckDB form that replaces only the FIRST match, which Spark executes
-    as replace-ALL (documented divergence, COVERAGE.md)."""
+    """True if any regexp_replace call has exactly 3 arguments that the
+    dialect layer can NOT rewrite to replace-first semantics — DuckDB's
+    flagless form replaces only the FIRST match; the translator composes
+    an equivalent anchored replace-all for literal patterns without
+    anchors/backrefs (``dialect.replace_first_composition``), so only the
+    remaining calls execute as replace-ALL (documented divergence,
+    COVERAGE.md)."""
     tokens = tokenize(sql)
     n = len(tokens)
     for i, tok in enumerate(tokens):
@@ -41,8 +46,24 @@ def _three_arg_regexp_replace(sql: str) -> bool:
             p_open = _next_code(tokens, i)
             if p_open < n and tokens[p_open].text == "(":
                 close = _matching_paren(tokens, p_open)
-                if len(_split_top_level_args(tokens, p_open, close)) == 3:
-                    return True
+                args = _split_top_level_args(tokens, p_open, close)
+                if len(args) != 3:
+                    continue
+                pat_code = [t for t in args[1] if t.kind not in ("ws", "comment")]
+                rep_code = [t for t in args[2] if t.kind not in ("ws", "comment")]
+                if (
+                    len(pat_code) == 1
+                    and pat_code[0].kind == "string"
+                    and len(rep_code) == 1
+                    and rep_code[0].kind == "string"
+                ):
+                    # validator sees RAW DuckDB text: only '' quote
+                    # escaping applies, backslashes are literal
+                    pat = pat_code[0].text[1:-1].replace("''", "'")
+                    rep = rep_code[0].text[1:-1].replace("''", "'")
+                    if replace_first_composition(pat, rep) is not None:
+                        continue  # translator handles it faithfully
+                return True
     return False
 
 
@@ -79,9 +100,10 @@ def check_common_sql_errors(sql: str) -> list[str]:
     if "REGEXP_REPLACE" in sql_upper and _three_arg_regexp_replace(sql):
         errors.append(
             "Warning: regexp_replace(s, pattern, replacement) replaces only "
-            "the FIRST match in DuckDB but ALL matches in this engine; add "
-            "the 'g' flag if replace-all is intended, or anchor the pattern "
-            "for replace-first semantics"
+            "the FIRST match in DuckDB but ALL matches in this engine, and "
+            "this pattern/replacement (anchors, backreferences, or a "
+            "non-literal argument) cannot be auto-rewritten to "
+            "replace-first; add the 'g' flag if replace-all is intended"
         )
     if (
         "CAST(" in sql_upper

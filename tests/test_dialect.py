@@ -70,9 +70,28 @@ def test_regexp_replace_g_flag_dropped():
     out = translate("SELECT regexp_replace(s, '[aeiou]', '_', 'g') FROM t")
     assert "'g'" not in out
     assert "regexp_replace(s, '[aeiou]', '_')" in out.replace(" ,", ",")
-    # 3-arg form passes through
+
+
+def test_regexp_replace_first_composition():
+    # 3-arg (DuckDB replace-FIRST) with literal args -> anchored
+    # lazy-prefix replace-all; behavior verified against DuckDB in
+    # test_replace_first_semantics below
     out3 = translate("SELECT regexp_replace(s, 'a', 'b') FROM t")
-    assert "regexp_replace(s, 'a', 'b')" in out3
+    assert "'^((?s:.*?))(?:a)'" in out3
+    assert "'$1b'" in out3
+    # $ in the replacement is literal in DuckDB -> escaped for Java
+    outd = translate("SELECT regexp_replace(s, 'a', '$') FROM t")
+    assert "'$1\\\\$'" in outd
+    # anchors / backrefs / non-literal args: left as replace-all
+    for sql in (
+        "SELECT regexp_replace(s, '^a', 'b') FROM t",
+        "SELECT regexp_replace(s, 'a$', 'b') FROM t",
+        "SELECT regexp_replace(s, '(a)\\1', 'b') FROM t",
+        "SELECT regexp_replace(s, 'a', '\\1') FROM t",
+        "SELECT regexp_replace(s, p, 'b') FROM t",
+    ):
+        out = translate(sql)
+        assert "(?s:" not in out, sql
 
 
 def test_qualify_rewrite():
@@ -296,3 +315,26 @@ def test_ignore_nulls_moves_outside_call():
     assert "first_value(x)RESPECTNULLS" in out2.replace(" ", "")
     # a column literally named nulls is untouched
     assert translate("SELECT f(a, nulls) FROM t") == "SELECT f(a, nulls) FROM t"
+
+
+def test_replace_first_semantics(spark):
+    """Differential: the 3-arg shim's output on Spark equals DuckDB's
+    replace-FIRST on the same inputs (incl. empty-match, $-replacement,
+    alternation, char-class-^ cases)."""
+    import duckdb
+
+    cases = [
+        "regexp_replace('aaa', 'a', 'X')",
+        "regexp_replace('banana', 'an', '-')",
+        "regexp_replace('abc123def456', '\\d+', '#')",
+        "regexp_replace('abc', 'b', '$')",
+        "regexp_replace('xyz', 'q', '#')",
+        "regexp_replace('yyy', 'x*', '-')",
+        "regexp_replace('foo bar foo', 'foo|bar', 'Z')",
+        "regexp_replace('[^a] test', '[^a]+', '_')",
+    ]
+    for c in cases:
+        sql = f"SELECT {c} AS r"
+        expected = duckdb.sql(sql).fetchone()[0]
+        got = spark.sql(translate(sql)).collect()[0][0]
+        assert got == expected, (c, got, expected)

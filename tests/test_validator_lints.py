@@ -13,11 +13,24 @@ from component_duckdb_transformation_spark.validators.sql_validator import (
 )
 
 
-def test_three_arg_regexp_replace_warns():
+def test_three_arg_regexp_replace_literal_args_clean():
+    # literal pattern/replacement without anchors/backrefs: the dialect
+    # layer rewrites to faithful replace-first, so no warning
     msgs = check_common_sql_errors(
         "SELECT regexp_replace(s, '[aeiou]', '_') FROM t"
     )
-    assert any("FIRST match" in m for m in msgs)
+    assert not any("FIRST match" in m for m in msgs)
+
+
+def test_three_arg_regexp_replace_unshimable_warns():
+    for sql in (
+        "SELECT regexp_replace(s, '^a', 'b') FROM t",       # anchor
+        "SELECT regexp_replace(s, '(a)\\1', 'b') FROM t",   # backref
+        "SELECT regexp_replace(s, 'a', '\\1') FROM t",      # rep backref
+        "SELECT regexp_replace(s, p, 'b') FROM t",          # non-literal
+    ):
+        msgs = check_common_sql_errors(sql)
+        assert any("FIRST match" in m for m in msgs), sql
 
 
 def test_four_arg_regexp_replace_clean():
@@ -33,10 +46,11 @@ def test_regexp_replace_nested_args_counted_top_level():
         "SELECT regexp_replace(concat(a, b), 'x', 'y', 'g') FROM t"
     )
     assert not any("FIRST match" in m for m in msgs)
+    # first arg non-literal is fine — only pattern/replacement matter
     msgs3 = check_common_sql_errors(
         "SELECT regexp_replace(concat(a, b), 'x', 'y') FROM t"
     )
-    assert any("FIRST match" in m for m in msgs3)
+    assert not any("FIRST match" in m for m in msgs3)
 
 
 def test_unsupported_function_lint():
