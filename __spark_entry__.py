@@ -34,5 +34,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query (all 65 workloads)."""
+    """DuckDB-runnable oracle SQL per query (all 67 workloads)."""
     return workloads.oracle_sql()

@@ -142,6 +142,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_simple(tokens)
     tokens = _rewrite_distinct_on_recursive(tokens)
     tokens = _rewrite_qualify_recursive(tokens)
+    tokens = _rewrite_product_entropy(tokens)
     return "".join(t.text for t in tokens)
 
 
@@ -335,6 +336,81 @@ def _decode_spark_string(tok: Token) -> str:
 def _encode_spark_string(value: str) -> Token:
     inner = value.replace("\\", "\\\\").replace("'", "''")
     return Token("string", f"'{inner}'")
+
+
+# product(): DuckDB multiplies directly; no Spark product aggregate, so
+# compose sign-tracking + exp-sum-ln: zero short-circuit, parity of the
+# negative count for the sign, log-space magnitude (stable partial
+# aggregation — each piece is an ordinary map-side-combinable agg).
+_PRODUCT_TEMPLATE = (
+    "(CASE WHEN max(CASE WHEN __E0 = 0 THEN 1 ELSE 0 END) = 1"
+    " THEN CAST(0 AS DOUBLE)"
+    " ELSE CAST(1 - 2 * (sum(CASE WHEN __E0 < 0 THEN 1 ELSE 0 END) % 2)"
+    " AS DOUBLE)"
+    " * exp(sum(ln(abs(CAST(nullif(__E0, 0) AS DOUBLE))))) END)"
+)
+
+# entropy(): base-2 Shannon entropy of the VALUE FREQUENCIES in the
+# group (DuckDB semantics; nulls skipped, empty group -> 0.0). A single
+# SQL level can't nest "count per distinct value" inside an arbitrary
+# GROUP BY, so the group's values are gathered with collect_list and the
+# frequency sum runs as higher-order array ops; transform(array(...))
+# binds the collected array to one lambda variable so the aggregate is
+# evaluated once. O(distinct * n) per group and O(n) group memory —
+# fine for categorical columns; for high-cardinality-per-group entropy
+# restructure as a two-level grouped subquery instead.
+_ENTROPY_TEMPLATE = (
+    "(element_at(transform(array(collect_list(__E0)), __arr ->"
+    " aggregate(array_distinct(__arr), CAST(0 AS DOUBLE),"
+    " (__acc, __v) -> __acc"
+    " - (size(filter(__arr, __e -> __e = __v)) / CAST(size(__arr) AS DOUBLE))"
+    " * log2(size(filter(__arr, __e -> __e = __v)) / CAST(size(__arr) AS DOUBLE))"
+    ")), 1))"
+)
+
+
+def _splice_template(template: str, args: dict) -> List[Token]:
+    """Tokenize a pure-Spark template, replacing placeholder words with
+    (parenthesized) caller-argument token runs."""
+    out: List[Token] = []
+    for tok in tokenize(template):
+        if tok.kind == "word" and tok.text in args:
+            out.append(Token("op", "("))
+            out.extend(args[tok.text])
+            out.append(Token("op", ")"))
+        else:
+            out.append(tok)
+    return out
+
+
+def _rewrite_product_entropy(tokens: List[Token]) -> List[Token]:
+    """DuckDB ``product(x)`` / ``entropy(x)`` aggregates -> Spark
+    compositions (templates above). Runs LAST in the pipeline: the
+    emitted tokens are pure Spark SQL and must not pass through the
+    DuckDB-oriented rewrites (e.g. bracket or rename passes)."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() in ("product", "entropy"):
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].text == "(":
+                close = _matching_paren(tokens, p_open)
+                args = _split_top_level_args(tokens, p_open, close)
+                if len(args) == 1:
+                    arg = _rewrite_product_entropy(args[0])
+                    tmpl = (
+                        _PRODUCT_TEMPLATE
+                        if tok.text.lower() == "product"
+                        else _ENTROPY_TEMPLATE
+                    )
+                    out.extend(_splice_template(tmpl, {"__E0": arg}))
+                    i = close + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
 
 
 def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:

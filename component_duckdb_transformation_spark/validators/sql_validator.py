@@ -133,7 +133,6 @@ _UNSUPPORTED_FUNCTIONS = {
     "regexp_split_to_table", "icu_sort_key", "to_base64_url",
     "jaro_similarity", "fuzzy_match",
     "columns",  # COLUMNS() dynamic projection needs schema at parse time
-    "product", "entropy",  # no Spark aggregate equivalents
     "age", "timezone", "current_setting",  # interval/engine-state semantics
 }
 

@@ -694,6 +694,39 @@ _add_sql(
 )
 
 _add_sql(
+    "q42_product_aggregate",
+    """
+    SELECT l_returnflag,
+           round(product(1.0 + l_discount), 6) AS disc_factor,
+           round(product(CASE WHEN l_quantity > 45 THEN 0.0
+                              WHEN l_linenumber % 2 = 0 THEN -1.01
+                              ELSE 0.99 END), 6) AS signed_mix,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_orderkey < 100
+    GROUP BY l_returnflag
+    """,
+    "product() aggregate rewrite: sign-tracked exp-sum-ln with zero "
+    "short-circuit (exercises positive, negative-parity and zero paths)",
+)
+
+_add_sql(
+    "q43_entropy_aggregate",
+    """
+    SELECT o_orderpriority,
+           round(entropy(o_orderstatus), 6) AS status_entropy,
+           round(entropy(year(o_orderdate)), 6) AS year_entropy,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderkey < 20000
+    GROUP BY o_orderpriority
+    """,
+    "entropy() aggregate rewrite: base-2 Shannon entropy of value "
+    "frequencies via collect_list + higher-order frequency sum "
+    "(over a varchar and an int-typed expression)",
+)
+
+_add_sql(
     "q40_distinct_on_lambdas",
     """
     SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice,

@@ -338,3 +338,32 @@ def test_replace_first_semantics(spark):
         expected = duckdb.sql(sql).fetchone()[0]
         got = spark.sql(translate(sql)).collect()[0][0]
         assert got == expected, (c, got, expected)
+
+
+def test_product_entropy_rewrites():
+    out = translate("SELECT g, product(x) FROM t GROUP BY g")
+    assert "exp(sum(ln(abs(" in out and "product" not in out
+    out2 = translate("SELECT entropy(x) FROM t")
+    assert "collect_list" in out2 and "array_distinct" in out2
+    assert "entropy" not in out2
+    # composes with other rewrites (arg already translated when spliced)
+    out3 = translate("SELECT product(l[1]) FROM t")
+    assert "try_element_at" in out3 and "product" not in out3
+
+
+def test_product_entropy_semantics(spark):
+    import duckdb
+
+    cases = [
+        "SELECT product(x) AS r FROM (VALUES (2.0),(0.0),(3.0)) t(x)",
+        "SELECT product(x) AS r FROM (VALUES (2),(3)) t(x)",
+        "SELECT product(x) AS r FROM (VALUES (-2.0),(-3.0),(-1.0)) t(x)",
+        "SELECT product(x) AS r FROM (VALUES (CAST(NULL AS DOUBLE))) t(x)",
+        "SELECT round(entropy(x), 9) AS r FROM (VALUES ('a'),('a'),('b'),('c')) t(x)",
+        "SELECT entropy(x) AS r FROM (VALUES (CAST(NULL AS VARCHAR))) t(x)",
+        "SELECT round(entropy(x), 9) AS r FROM (VALUES (1),(1),(2),(3),(3),(3)) t(x)",
+    ]
+    for c in cases:
+        expected = duckdb.sql(c).fetchall()
+        got = [tuple(r) for r in spark.sql(translate(c)).collect()]
+        assert got == expected, (c, got, expected)
