@@ -634,6 +634,93 @@ def _rewrite_distinct_on_recursive(tokens: List[Token]) -> List[Token]:
     return _rewrite_distinct_on(out)
 
 
+def _split_csv_text(text: str) -> List[str]:
+    """Split SQL text on top-level commas."""
+    parts: List[str] = []
+    cur: List[Token] = []
+    depth = 0
+    for t in tokenize(text):
+        if t.kind == "op" and t.text in ("(", "["):
+            depth += 1
+        elif t.kind == "op" and t.text in (")", "]"):
+            depth -= 1
+        if t.kind == "op" and t.text == "," and depth == 0:
+            parts.append("".join(x.text for x in cur).strip())
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        parts.append("".join(x.text for x in cur).strip())
+    return [p for p in parts if p]
+
+
+def _plain_identifier_name(text: str) -> str | None:
+    """Final segment of a bare (possibly dotted) identifier, else None."""
+    code = [t for t in tokenize(text) if t.kind not in ("ws", "comment")]
+    if not code:
+        return None
+    if len(code) % 2 == 0:
+        return None
+    for j, t in enumerate(code):
+        if j % 2 == 0:
+            if t.kind not in ("word", "bident", "qident"):
+                return None
+        elif not (t.kind == "op" and t.text == "."):
+            return None
+    last = code[-1]
+    return last.text.strip('`"').lower() if last.kind != "word" else last.text.lower()
+
+
+def _order_terms_survive(win_order: str, select_list: str) -> bool:
+    """True when every ORDER BY term is a plain column the select list
+    exposes (by output name/alias, or via a ``*`` wildcard item)."""
+    exposed: set[str] = set()
+    wildcard = False
+    for item in _split_csv_text(select_list):
+        stripped = item.strip()
+        if stripped == "*" or stripped.endswith(".*"):
+            wildcard = True
+            continue
+        code = [t for t in tokenize(item) if t.kind not in ("ws", "comment")]
+        alias = None
+        depth = 0
+        for j, t in enumerate(code):
+            if t.kind == "op" and t.text in ("(", "["):
+                depth += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.is_kw("AS") and j + 1 < len(code):
+                alias = code[j + 1]
+        if alias is not None:
+            exposed.add(alias.text.strip('`"').lower())
+        else:
+            name = _plain_identifier_name(item)
+            if name is not None:
+                exposed.add(name)
+    body = win_order.strip()
+    if body.upper().startswith("ORDER"):
+        body = body[5:].strip()
+        if body.upper().startswith("BY"):
+            body = body[2:].strip()
+    for term in _split_csv_text(body):
+        words = term.split()
+        while words and words[-1].upper() in ("ASC", "DESC", "FIRST", "LAST"):
+            if words[-1].upper() in ("FIRST", "LAST"):
+                words = words[:-1]
+                if words and words[-1].upper() == "NULLS":
+                    words = words[:-1]
+            else:
+                words = words[:-1]
+        expr = " ".join(words)
+        name = _plain_identifier_name(expr)
+        # unqualified only: the outer scope has no table qualifiers
+        if name is None or "." in expr:
+            return False
+        if not wildcard and name not in exposed:
+            return False
+    return True
+
+
 def _rewrite_distinct_on(tokens: List[Token]) -> List[Token]:
     """Postgres/DuckDB ``SELECT DISTINCT ON (k) list ... ORDER BY o`` ->
     first row per k group:
@@ -695,11 +782,15 @@ def _rewrite_distinct_on(tokens: List[Token]) -> List[Token]:
         f") WHERE __don__ = 1"
     )
     if order_idx is not None:
-        # output rows are unique per ON key, so ordering by the ON keys
-        # equals the statement's ORDER BY (whose later terms are only
-        # tie-breakers) — and unlike it, never references columns the
-        # projection dropped
-        rewritten += f" ORDER BY {on_sql}"
+        # DuckDB orders the (unique-per-key) output by the statement's
+        # ORDER BY, which need not lead with the ON keys. Keep it when
+        # every term is a plain column the projection exposes; fall back
+        # to ON-key ordering when a term references a dropped column
+        # (there the later terms were pick-first tie-breakers only).
+        if _order_terms_survive(win_order, select_list):
+            rewritten += f" {win_order}"
+        else:
+            rewritten += f" ORDER BY {on_sql}"
     if limit_idx is not None:
         rewritten += " " + "".join(t.text for t in tokens[limit_idx:]).strip()
     return _toks(rewritten)
@@ -904,7 +995,29 @@ def _capture_primary_backward(out: List[Token]) -> List[Token]:
         captured = out[k:j]
         del out[k:]
         return captured
+    if last.kind == "string":
+        captured = out[j - 1 : j]
+        del out[j - 1 :]
+        return captured
     return []
+
+
+def _negative_int_literal(tokens: List[Token]) -> bool:
+    """True when a token run is exactly a negative integer literal."""
+    code = [t for t in tokens if t.kind not in ("ws", "comment")]
+    if len(code) == 2:
+        return (
+            code[0].kind == "op"
+            and code[0].text == "-"
+            and code[1].kind == "word"
+            and code[1].text.isdigit()
+        )
+    return (
+        len(code) == 1
+        and code[0].kind == "word"
+        and code[0].text.startswith("-")
+        and code[0].text[1:].isdigit()
+    )
 
 
 def _rewrite_brackets(tokens: List[Token]) -> List[Token]:
@@ -914,11 +1027,18 @@ def _rewrite_brackets(tokens: List[Token]) -> List[Token]:
     - 1-based index ``l[i]``            -> ``element_at(l, i)`` (supports
       DuckDB's negative from-the-end indexing too)
     - inclusive slice ``l[a:b]``        -> ``slice(l, a, (b)-(a)+1)``;
-      open ends default to 1 / size(l)
+      open ends default to 1 / size(l); a NEGATIVE-LITERAL bound counts
+      from the end (DuckDB: ``l[2:-1]`` reaches the last element) ->
+      rewritten to ``size(l) + b + 1``. Negative bounds that are
+      runtime expressions (not literals) are not detected.
+    - string-literal bases use DuckDB's 1-based string indexing:
+      ``'abc'[2]`` -> ``substring('abc', 2, 1)``, slices likewise with
+      ``length()`` standing in for ``size()``.
 
     Literal vs. index is decided by the preceding code token (a value-
-    producing token means indexing). Map access via brackets shares the
-    element_at path, which is also Spark's map accessor.
+    producing token means indexing — including a string literal). Map
+    access via brackets shares the element_at path, which is also
+    Spark's map accessor.
     """
     out: List[Token] = []
     prev_code: Token | None = None
@@ -933,6 +1053,7 @@ def _rewrite_brackets(tokens: List[Token]) -> List[Token]:
                 prev_code.kind in ("word", "bident", "qident")
                 and prev_code.upper not in _NOT_VALUE_WORDS
                 or (prev_code.kind == "op" and prev_code.text in (")", "]"))
+                or prev_code.kind == "string"
             )
             if not is_index:
                 out.extend(_toks("array("))
@@ -943,27 +1064,46 @@ def _rewrite_brackets(tokens: List[Token]) -> List[Token]:
                     inner, 0, len(inner), lambda t: t.kind == "op" and t.text == ":"
                 )
                 base = _capture_primary_backward(out)
+                is_str = len(base) == 1 and base[0].kind == "string"
                 if not colons:
-                    # try_element_at: DuckDB yields NULL (not an ANSI
-                    # error) for out-of-bounds; negative = from the end
-                    # in both engines
-                    out.extend(_toks("try_element_at("))
-                    out.extend(base)
-                    out.append(Token("op", ","))
-                    out.extend(inner)
-                    out.append(Token("op", ")"))
+                    if is_str:
+                        # DuckDB 1-based string indexing; substring's
+                        # native negative start covers from-the-end
+                        out.extend(_toks("substring("))
+                        out.extend(base)
+                        out.append(Token("op", ","))
+                        out.extend(inner)
+                        out.extend(_toks(", 1)"))
+                    else:
+                        # try_element_at: DuckDB yields NULL (not an ANSI
+                        # error) for out-of-bounds; negative = from the
+                        # end in both engines
+                        out.extend(_toks("try_element_at("))
+                        out.extend(base)
+                        out.append(Token("op", ","))
+                        out.extend(inner)
+                        out.append(Token("op", ")"))
                 else:
                     c = colons[0]
                     lo_t, hi_t = inner[:c], inner[c + 1 :]
                     base_sql = "".join(t.text for t in base)
+                    size_fn = "length" if is_str else "size"
                     lo_sql = "".join(t.text for t in lo_t).strip() or "1"
                     hi_sql = (
                         "".join(t.text for t in hi_t).strip()
-                        or f"size({base_sql})"
+                        or f"{size_fn}({base_sql})"
                     )
+                    # DuckDB negative bounds count from the end
+                    # (inclusive): effective position = size + b + 1
+                    if lo_t and _negative_int_literal(lo_t):
+                        lo_sql = f"{size_fn}({base_sql}) + ({lo_sql}) + 1"
+                    if hi_t and _negative_int_literal(hi_t):
+                        hi_sql = f"{size_fn}({base_sql}) + ({hi_sql}) + 1"
+                    slice_fn = "substring" if is_str else "slice"
                     out.extend(
                         _toks(
-                            f"slice({base_sql}, {lo_sql}, ({hi_sql}) - ({lo_sql}) + 1)"
+                            f"{slice_fn}({base_sql}, {lo_sql}, "
+                            f"({hi_sql}) - ({lo_sql}) + 1)"
                         )
                     )
             prev_code = out[-1]

@@ -254,9 +254,9 @@ def test_distinct_on_rewrite():
     out = translate("SELECT DISTINCT ON (x) x, y FROM t ORDER BY x, y")
     assert "row_number() OVER" in out and "PARTITION BY x" in out
     assert "__don__ = 1" in out
-    # outer ordering by the ON keys (rows unique per key; later ORDER BY
-    # terms are only first-row tie-breakers inside the window)
-    assert out.rstrip().endswith("ORDER BY x")
+    # outer ordering keeps the statement's ORDER BY (all its columns
+    # survive the projection, matching DuckDB's output order exactly)
+    assert out.rstrip().endswith("ORDER BY x, y")
     assert "OVER (PARTITION BY x ORDER BY x, y)" in out
     # without ORDER BY: window orders by the ON keys
     out2 = translate("SELECT DISTINCT ON (k) k, v FROM t")
@@ -367,3 +367,40 @@ def test_product_entropy_semantics(spark):
         expected = duckdb.sql(c).fetchall()
         got = [tuple(r) for r in spark.sql(translate(c)).collect()]
         assert got == expected, (c, got, expected)
+
+
+def test_bracket_string_literal_base():
+    out = translate("SELECT 'abcdef'[2]").replace(" ", "")
+    assert "substring('abcdef',2,1)" in out
+    out2 = translate("SELECT 'abcdef'[2:4]").replace(" ", "")
+    assert "substring('abcdef',2," in out2
+    # string base slices use length(), not size()
+    out3 = translate("SELECT 'abcdef'[2:-2]")
+    assert "length('abcdef')" in out3 and "size" not in out3
+
+
+def test_bracket_negative_slice_bounds():
+    out = translate("SELECT l[2:-1] FROM t").replace(" ", "")
+    assert "slice(l,2,(size(l)+(-1)+1)-(2)+1)" in out
+    out2 = translate("SELECT l[-2:] FROM t").replace(" ", "")
+    assert "slice(l,size(l)+(-2)+1," in out2
+    # non-literal bounds untouched
+    out3 = translate("SELECT l[a:b] FROM t").replace(" ", "")
+    assert "slice(l,a,(b)-(a)+1)" in out3
+
+
+def test_distinct_on_keeps_surviving_order_by():
+    out = translate(
+        "SELECT DISTINCT ON (k) k, v FROM t ORDER BY v DESC"
+    )
+    assert out.rstrip().endswith("ORDER BY v DESC")
+    # dropped-column ordering falls back to ON keys
+    out2 = translate(
+        "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, hidden"
+    )
+    assert out2.rstrip().endswith("ORDER BY k")
+    # qualified terms are not liftable to the outer scope
+    out3 = translate(
+        "SELECT DISTINCT ON (k) k, t.v FROM t ORDER BY t.v"
+    )
+    assert out3.rstrip().endswith("ORDER BY k")
