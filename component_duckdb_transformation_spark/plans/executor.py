@@ -54,6 +54,14 @@ class TableState:
     version: int = 0
     path: Optional[str] = None
     order_by: Optional[str] = None  # terminal ORDER BY clause text, for export
+    # True for tables fed by streaming ingest: data lives in
+    # ingest_batch=<id> partition dirs (idempotent micro-batch commits)
+    stream: bool = False
+
+
+# partition-style directory key for streaming micro-batch commits;
+# projected away by the table view
+_BATCH_COL = "ingest_batch"
 
 
 class TableStore:
@@ -70,16 +78,32 @@ class TableStore:
         self.warehouse_dir = warehouse_dir
         self.tables: Dict[str, TableState] = {}
         self._lock = threading.Lock()
+        # per-table write locks: concurrent appends to ONE directory can
+        # race on the FileOutputCommitter _temporary staging dir (one
+        # job's commit cleanup deletes the other's in-flight files), so
+        # same-table writers serialize here; different tables still
+        # write fully in parallel
+        self._write_locks: Dict[str, threading.Lock] = {}
         os.makedirs(warehouse_dir, exist_ok=True)
+
+    def _write_lock(self, name: str) -> threading.Lock:
+        with self._lock:
+            lock = self._write_locks.get(name)
+            if lock is None:
+                lock = self._write_locks[name] = threading.Lock()
+            return lock
 
     def _safe_dir(self, name: str) -> str:
         slug = re.sub(r"[^A-Za-z0-9_.-]", "_", name)
         return os.path.join(self.warehouse_dir, slug)
 
     def _bind_view(self, state: TableState) -> None:
+        projection = (
+            f"* EXCEPT ({_BATCH_COL})" if state.stream else "*"
+        )
         self.spark.sql(
             f"CREATE OR REPLACE TEMPORARY VIEW {_bt(state.name)} "
-            f"AS SELECT * FROM parquet.`{state.path}`"
+            f"AS SELECT {projection} FROM parquet.`{state.path}`"
         )
 
     def create_table(self, name: str, df: DataFrame, order_by: str | None = None) -> None:
@@ -103,7 +127,41 @@ class TableStore:
             aligned = _align_by_name(df, target, columns)
         else:
             aligned = _align_by_position(df, target)
-        aligned.write.mode("append").parquet(state.path)
+        if state.stream:
+            # batch-partitioned layout can't take root-level appends
+            # (conflicting directory structures): fold the insert in via
+            # copy-on-write, converting to a plain versioned table
+            state.stream = False
+            self.rewrite(name, target.unionAll(aligned))
+            return
+        with self._write_lock(name):
+            aligned.write.mode("append").parquet(state.path)
+            self.spark.catalog.refreshByPath(state.path)
+            self._bind_view(state)
+
+    def commit_stream_batch(self, name: str, df: DataFrame, batch_id: int) -> None:
+        """Idempotent micro-batch commit for streaming ingest: batch
+        ``b`` always lands at ``<table>/ingest_batch=b`` with overwrite
+        semantics, so a ``foreachBatch`` replay after a crash between
+        the data write and the checkpoint commit overwrites the same
+        directory instead of appending duplicates — exactly-once at the
+        data layout level (the checkpoint and the table directory share
+        one lifecycle: reuse both or neither). First batch creates the
+        table."""
+        with self._lock:
+            state = self.tables.get(name)
+            created = state is None
+            if created:
+                state = TableState(name=name, version=1, stream=True)
+                state.path = os.path.join(self._safe_dir(name), "stream_v1")
+                self.tables[name] = state
+            elif not state.stream:
+                raise UserException(
+                    f"stream ingest into non-stream table '{name}'"
+                )
+        df.write.mode("overwrite").parquet(
+            os.path.join(state.path, f"{_BATCH_COL}={int(batch_id)}")
+        )
         self.spark.catalog.refreshByPath(state.path)
         self._bind_view(state)
 

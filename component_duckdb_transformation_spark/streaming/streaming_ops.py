@@ -204,18 +204,19 @@ def stream_ingest_to_store(
     timeout_s: int = 300,
 ) -> None:
     """Drain a stream into a ``plans.executor.TableStore`` table via
-    ``foreachBatch`` — the production sink path: each micro-batch is
-    appended transactionally (copy-on-write versioned Parquet), the
-    checkpoint gives exactly-once across restarts, and the ingested
-    table is immediately queryable by the SQL executor under
-    ``table_name``. First batch creates the table.
+    ``foreachBatch`` — the production sink path. ``foreachBatch`` alone
+    is only at-least-once (a crash between the sink write and the
+    checkpoint commit replays the micro-batch), so the sink routes
+    through ``TableStore.commit_stream_batch``: batch ``b`` always
+    lands at the deterministic ``ingest_batch=b`` directory with
+    overwrite semantics, making replays idempotent — exactly-once end
+    to end as long as the checkpoint dir and the table dir are reused
+    (or discarded) together. The ingested table is immediately
+    queryable by the SQL executor under ``table_name``.
     """
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
-        if table_name in store.tables:
-            store.insert_into(table_name, batch_df)
-        else:
-            store.create_table(table_name, batch_df)
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        store.commit_stream_batch(table_name, batch_df, batch_id)
 
     query = (
         df.writeStream.foreachBatch(sink)

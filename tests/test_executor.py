@@ -141,3 +141,27 @@ def test_drop_missing_without_if_exists_raises(spark, table_store):
     ex = SparkStatementExecutor(spark, table_store)
     with pytest.raises(UserException, match="does not exist"):
         ex._execute_statement(parse_statement("DROP TABLE definitely_not_here"))
+
+
+def test_concurrent_inserts_single_table(spark, table_store):
+    """Same-table INSERTs from parallel threads must all land (the
+    per-table write lock serializes the directory append; without it,
+    concurrent FileOutputCommitter jobs can delete each other's
+    staging files)."""
+    import threading
+
+    table_store.create_table("conc", spark.range(0).withColumnRenamed("id", "v"))
+
+    def do_insert(lo):
+        table_store.insert_into(
+            "conc", spark.range(lo, lo + 100).withColumnRenamed("id", "v")
+        )
+
+    threads = [threading.Thread(target=do_insert, args=(i * 100,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    rows = spark.table("conc").collect()
+    assert len(rows) == 600
+    assert {r.v for r in rows} == set(range(600))

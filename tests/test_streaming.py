@@ -96,3 +96,32 @@ def test_stream_ingest_to_store_exactly_once(spark, tmp_path):
     # re-drain with the same checkpoint: no new data -> no duplicates
     so.stream_ingest_to_store(stream, store, "ing", ck)
     assert spark.table("ing").count() == n_events
+
+
+def test_commit_stream_batch_replay_idempotent(spark, tmp_path):
+    """A foreachBatch replay (same batch_id) must overwrite, not append
+    — the crash-between-write-and-checkpoint-commit scenario."""
+    from component_duckdb_transformation_spark.plans.executor import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    batch = spark.range(10).withColumnRenamed("id", "v")
+    store.commit_stream_batch("t", batch, 0)
+    store.commit_stream_batch("t", batch, 0)  # replay
+    assert spark.table("t").count() == 10
+    store.commit_stream_batch("t", batch, 1)
+    assert spark.table("t").count() == 20
+    # the batch partition key never leaks into the table schema
+    assert spark.table("t").columns == ["v"]
+
+
+def test_insert_into_stream_table_converts(spark, tmp_path):
+    from component_duckdb_transformation_spark.plans.executor import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.commit_stream_batch("t2", spark.range(5).withColumnRenamed("id", "v"), 0)
+    store.insert_into("t2", spark.range(3).withColumnRenamed("id", "v"))
+    assert spark.table("t2").count() == 8
+    assert spark.table("t2").columns == ["v"]
+    # further inserts take the plain append path
+    store.insert_into("t2", spark.range(2).withColumnRenamed("id", "v"))
+    assert spark.table("t2").count() == 10
