@@ -1445,49 +1445,65 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
 
 
 def _rewrite_star_replace(tokens: List[Token]) -> List[Token]:
-    """DuckDB ``SELECT * REPLACE (expr AS col, ...)`` ->
-    ``* EXCEPT (col, ...), expr AS col, ...`` (replaced columns move to
-    the end of the projection; the column SET is identical)."""
+    """DuckDB ``SELECT * [EXCLUDE (cols)] REPLACE (expr AS col, ...)`` ->
+    ``* EXCEPT (cols..., col...), expr AS col, ...`` (replaced columns
+    move to the end of the projection; the column SET is identical).
+    An EXCLUDE without REPLACE is left for the plain EXCLUDE->EXCEPT
+    rename. A ``* REPLACE(s, 'a', 'b')`` string-function call never
+    matches: the rewrite requires every REPLACE item to carry a
+    top-level AS."""
     out: List[Token] = []
     i = 0
     n = len(tokens)
-    prev_code: Token | None = None
     while i < n:
         tok = tokens[i]
-        if (
-            tok.kind == "word"
-            and tok.upper == "REPLACE"
-            and prev_code is not None
-            and prev_code.kind == "op"
-            and prev_code.text == "*"
-        ):
-            p_open = _next_code(tokens, i)
-            if p_open < n and tokens[p_open].text == "(":
-                close = _matching_paren(tokens, p_open)
-                inner = tokens[p_open + 1 : close]
-                names: List[str] = []
-                items: List[str] = []
-                ok = True
-                for s, e in _split_top_commas(inner, 0, len(inner)):
-                    as_pos = _top_level_positions(
-                        inner, s, e, lambda t: t.is_kw("AS")
-                    )
-                    if not as_pos:
-                        ok = False
-                        break
-                    a = as_pos[-1]
-                    items.append(_sql(inner, s, e))
-                    names.append(_sql(inner, a + 1, e))
-                if ok and names:
-                    out.extend(
-                        _toks(f"EXCEPT ({', '.join(names)}), {', '.join(items)}")
-                    )
-                    i = close + 1
-                    prev_code = out[-1]
-                    continue
+        if tok.kind == "op" and tok.text == "*":
+            excl_cols: List[str] = []
+            k = _next_code(tokens, i)
+            if (
+                k < n
+                and tokens[k].kind == "word"
+                and tokens[k].upper in ("EXCLUDE", "EXCEPT")
+            ):
+                p = _next_code(tokens, k)
+                if p < n and tokens[p].text == "(":
+                    c = _matching_paren(tokens, p)
+                    excl_inner = tokens[p + 1 : c]
+                    excl_cols = [
+                        _sql(excl_inner, s, e)
+                        for s, e in _split_top_commas(
+                            excl_inner, 0, len(excl_inner)
+                        )
+                    ]
+                    k = _next_code(tokens, c)
+            if k < n and tokens[k].kind == "word" and tokens[k].upper == "REPLACE":
+                p_open = _next_code(tokens, k)
+                if p_open < n and tokens[p_open].text == "(":
+                    close = _matching_paren(tokens, p_open)
+                    inner = tokens[p_open + 1 : close]
+                    names: List[str] = []
+                    items: List[str] = []
+                    ok = True
+                    for s, e in _split_top_commas(inner, 0, len(inner)):
+                        as_pos = _top_level_positions(
+                            inner, s, e, lambda t: t.is_kw("AS")
+                        )
+                        if not as_pos:
+                            ok = False
+                            break
+                        a = as_pos[-1]
+                        items.append(_sql(inner, s, e))
+                        names.append(_sql(inner, a + 1, e))
+                    if ok and names:
+                        out.extend(
+                            _toks(
+                                f"* EXCEPT ({', '.join(excl_cols + names)}), "
+                                f"{', '.join(items)}"
+                            )
+                        )
+                        i = close + 1
+                        continue
         out.append(tok)
-        if tok.kind not in ("ws", "comment"):
-            prev_code = tok
         i += 1
     return out
 

@@ -47,7 +47,13 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
 
     Keyed on applicationId, not ``id(spark)`` — a GC'd session's id can
     be reused by a new session object, which would silently skip
-    registration for it."""
+    registration for it.
+
+    NOTE: sets session timezone (UTC) and Arrow collection on the
+    CALLER's session as a side effect — required by the driver
+    contract (timezone-naive DuckDB oracles, pandas-comparable
+    collection). An embedding application that needs different conf
+    should register views itself instead of calling this."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _REGISTERED:
         return

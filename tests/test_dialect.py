@@ -404,3 +404,26 @@ def test_distinct_on_keeps_surviving_order_by():
         "SELECT DISTINCT ON (k) k, t.v FROM t ORDER BY t.v"
     )
     assert out3.rstrip().endswith("ORDER BY k")
+
+
+def test_exclude_replace_qualify_composition(spark):
+    """DuckDB * EXCLUDE ... REPLACE ... under QUALIFY inside a CTE —
+    the three rewrites must compose (EXCLUDE folds into the REPLACE
+    EXCEPT list; QUALIFY wraps the result)."""
+    import duckdb
+
+    sql = (
+        "WITH base AS (SELECT * FROM (VALUES (1, 10, 'x'), (1, 20, 'y'), "
+        "(2, 30, 'z'), (2, 5, 'w')) t(k, v, s)) "
+        "SELECT * EXCLUDE (s) REPLACE (v * 2 AS v) FROM base "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1 "
+        "ORDER BY k"
+    )
+    expected = duckdb.sql(sql).fetchall()
+    got = [tuple(r) for r in spark.sql(translate(sql)).collect()]
+    assert got == expected == [(1, 40), (2, 60)]
+
+
+def test_star_replace_function_call_untouched():
+    out = translate("SELECT k * 2, replace(s, 'a', 'b') AS r FROM t")
+    assert "replace(s, 'a', 'b')" in out and "EXCEPT" not in out
