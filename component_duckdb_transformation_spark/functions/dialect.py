@@ -1444,6 +1444,153 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
     return out
 
 
+def expand_columns_macro(sql: str, schema_lookup) -> str:
+    """Expand DuckDB's ``COLUMNS(...)`` dynamic projection using the
+    actual table schema, BEFORE translation (the translator itself is
+    schema-free, so this takes a ``schema_lookup(table) -> [col] | None``
+    callback — the executor passes one backed by the live session).
+
+    Matches DuckDB semantics: ``COLUMNS('regex')`` keeps columns whose
+    name CONTAINS a regex match (``re.search``), ``COLUMNS(*)`` keeps
+    all; an enclosing expression is replicated once per matched column
+    and the result keeps the plain column name (``min(COLUMNS('x'))``
+    yields columns named after the inputs). Supported shape: select
+    items over a single-table FROM; anything else is returned unchanged
+    (multi-table FROM, aliased COLUMNS items, unknown tables)."""
+    if "columns" not in sql.lower():
+        return sql
+    tokens = _expand_columns_tokens(tokenize(sql), schema_lookup)
+    return "".join(t.text for t in tokens)
+
+
+def _expand_columns_tokens(tokens: List[Token], lookup) -> List[Token]:
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text == "(":
+            close = _matching_paren(tokens, i)
+            if close > i:
+                out.append(tok)
+                out.extend(_expand_columns_tokens(tokens[i + 1 : close], lookup))
+                out.append(tokens[close])
+                i = close + 1
+                continue
+        out.append(tok)
+        i += 1
+    return _expand_columns_scope(out, lookup)
+
+
+def _expand_columns_scope(tokens: List[Token], lookup) -> List[Token]:
+    import re as _re
+
+    n = len(tokens)
+    # first depth-0 SELECT: handles bare SELECT and CREATE ... AS SELECT
+    first = None
+    depth = 0
+    for j in range(n):
+        t = tokens[j]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.is_kw("SELECT"):
+            first = j
+            break
+    if first is None:
+        return tokens
+    depth = 0
+    from_idx = None
+    for j in range(first + 1, n):
+        t = tokens[j]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.is_kw("FROM") and from_idx is None:
+            from_idx = j
+    if from_idx is None:
+        return tokens
+    # single-table FROM only
+    t_idx = _next_code(tokens, from_idx)
+    if t_idx >= n or tokens[t_idx].kind not in ("word", "bident", "qident"):
+        return tokens
+    table = tokens[t_idx].text.strip('`"')
+    after = _next_code(tokens, t_idx)
+    if after < n and (
+        (tokens[after].kind == "op" and tokens[after].text == ",")
+        or tokens[after].is_kw("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS")
+    ):
+        return tokens
+    sel_start = _next_code(tokens, first)
+    if sel_start < n and tokens[sel_start].is_kw("DISTINCT"):
+        sel_start = _next_code(tokens, sel_start)
+    items = _split_top_commas(tokens, sel_start, from_idx)
+    if not any(
+        t.kind == "word" and t.text.lower() == "columns"
+        for s, e in items
+        for t in tokens[s:e]
+    ):
+        return tokens
+    cols_of_table = lookup(table)
+    if not cols_of_table:
+        return tokens
+
+    new_items: List[str] = []
+    for s, e in items:
+        item = tokens[s:e]
+        call = _find_columns_call(item)
+        if call is None:
+            new_items.append(_sql(tokens, s, e))
+            continue
+        c_start, c_end, arg = call
+        if _top_level_positions(item, 0, len(item), lambda t: t.is_kw("AS")):
+            return tokens  # aliased COLUMNS item: unsupported, bail out
+        if arg == "*":
+            matched = list(cols_of_table)
+        else:
+            try:
+                rx = _re.compile(arg)
+            except _re.error:
+                return tokens
+            matched = [c for c in cols_of_table if rx.search(c)]
+        if not matched:
+            return tokens
+        call_text = "".join(t.text for t in item[c_start:c_end])
+        item_text = "".join(t.text for t in item).strip()
+        standalone = item_text == call_text.strip()
+        for col in matched:
+            if standalone:
+                new_items.append(col)
+            else:
+                new_items.append(item_text.replace(call_text, col) + f" AS {col}")
+    head = "".join(t.text for t in tokens[:sel_start])
+    tail = "".join(t.text for t in tokens[from_idx:])
+    return _toks(head + ", ".join(new_items) + " " + tail)
+
+
+def _find_columns_call(item: List[Token]):
+    """(start, end_exclusive, arg) of the first COLUMNS(...) call in a
+    select item; arg is the regex text or '*'. None when absent or not
+    a supported argument shape."""
+    for j, t in enumerate(item):
+        if t.kind == "word" and t.text.lower() == "columns":
+            p = _next_code(item, j)
+            if p < len(item) and item[p].text == "(":
+                close = _matching_paren(item, p)
+                inner = [
+                    x for x in item[p + 1 : close]
+                    if x.kind not in ("ws", "comment")
+                ]
+                if len(inner) == 1 and inner[0].kind == "string":
+                    return j, close + 1, inner[0].text[1:-1].replace("''", "'")
+                if len(inner) == 1 and inner[0].kind == "op" and inner[0].text == "*":
+                    return j, close + 1, "*"
+                return None
+    return None
+
+
 def _rewrite_star_replace(tokens: List[Token]) -> List[Token]:
     """DuckDB ``SELECT * [EXCLUDE (cols)] REPLACE (expr AS col, ...)`` ->
     ``* EXCEPT (cols..., col...), expr AS col, ...`` (replaced columns

@@ -24,6 +24,7 @@ All SQL passes through functions.dialect.translate first.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 import re
@@ -35,7 +36,7 @@ from typing import Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from ..exceptions import UserException
-from ..functions.dialect import translate
+from ..functions.dialect import expand_columns_macro, translate
 from .orchestrator import Query
 from .sql_parser import ParsedStatement, StatementType
 from .sql_tokens import Token, code_tokens, tokenize, unquote_name
@@ -181,6 +182,17 @@ class TableStore:
         state = self.tables.get(name)
         return state.order_by if state else None
 
+    def rename_table(self, old: str, new: str) -> None:
+        """Metadata-only rename: same parquet files, new view name."""
+        with self._lock:
+            state = self.tables.pop(old, None)
+            if state is None:
+                raise UserException(f"RENAME: unknown table '{old}'")
+            state.name = new
+            self.tables[new] = state
+        self.spark.catalog.dropTempView(old)
+        self._bind_view(state)
+
 
 def _align_by_position(df: DataFrame, target: DataFrame) -> DataFrame:
     """Positionally align INSERT source columns to the target schema."""
@@ -240,6 +252,13 @@ class SparkStatementExecutor:
         # view ORDER BY clauses for export-time re-sort (SURVEY §7.2)
         self.view_order_by: Dict[str, str] = {}
 
+    def _table_columns(self, name: str) -> Optional[List[str]]:
+        """Schema lookup for COLUMNS() expansion; None when unknown."""
+        try:
+            return self.spark.table(_bt(name)).columns
+        except Exception:  # noqa: BLE001 — unknown table: leave unexpanded
+            return None
+
     # -- public entry -----------------------------------------------------
     def execute_query(self, query: Query) -> None:
         """Run one script (possibly multiple statements, sequentially),
@@ -255,7 +274,15 @@ class SparkStatementExecutor:
 
     # -- routing ----------------------------------------------------------
     def _execute_statement(self, st: ParsedStatement) -> None:
+        if "columns" in st.sql.lower():
+            # schema-aware COLUMNS() expansion: upstream tables exist by
+            # the time the statement runs, so the live session resolves
+            # the projection the schema-free translator can't
+            expanded = expand_columns_macro(st.sql, self._table_columns)
+            if expanded != st.sql:
+                st = dataclasses.replace(st, sql=expanded)
         stype = st.statement_type
+
         if stype == StatementType.CREATE_VIEW:
             self._create_view(st)
         elif stype == StatementType.CREATE_TABLE:
@@ -271,11 +298,77 @@ class SparkStatementExecutor:
             if drop is None:
                 raise UserException(f"Unsupported DROP form: {st.sql[:100]}")
             self._drop(*drop)
+        elif stype == StatementType.ALTER:
+            self._alter(st)
         else:
             df = self.spark.sql(translate(st.sql))
             if df.columns:
                 # execute fully, discard rows — distributed, no driver collect
                 df.write.format("noop").mode("overwrite").save()
+
+    def _alter(self, st: ParsedStatement) -> None:
+        """ALTER TABLE (DuckDB supports it on its working database;
+        reference scripts use it for light schema evolution):
+
+        - ``ADD [COLUMN] [IF NOT EXISTS] c type [DEFAULT expr]``
+        - ``DROP [COLUMN] [IF EXISTS] c``
+        - ``RENAME [COLUMN] a TO b``
+        - ``RENAME TO new_name``
+        - ``ALTER [COLUMN] c [SET DATA] TYPE type``
+
+        Column changes are copy-on-write rewrites (a new Parquet version
+        with the projected schema). RENAME TO is metadata-only. At lake
+        scale a format with schema evolution (Delta/Iceberg) would make
+        the column ops metadata-only too; plain Parquet versioning keeps
+        the engine dependency-free."""
+        parsed = _parse_alter(st.sql)
+        if parsed is None:
+            raise UserException(f"Unsupported ALTER form: {st.sql[:120]}")
+        name, if_exists, action, args = parsed
+        if name not in self.store.tables:
+            if if_exists:
+                return
+            raise UserException(f"ALTER TABLE: unknown table '{name}'")
+        from pyspark.sql import functions as F
+
+        if action == "rename_table":
+            self.store.rename_table(name, args["to"])
+            return
+        current = self.spark.table(_bt(name))
+        have = {c.lower() for c in current.columns}
+        if action == "add_column":
+            col, type_text, default = args["col"], args["type"], args["default"]
+            if col.lower() in have:
+                if args["if_not_exists"]:
+                    return
+                raise UserException(f"ALTER TABLE: column '{col}' exists")
+            value = F.expr(
+                translate(f"CAST(({default or 'NULL'}) AS {type_text})")
+            )
+            new_df = current.withColumn(col, value)
+        elif action == "drop_column":
+            col = args["col"]
+            if col.lower() not in have:
+                if args["if_exists"]:
+                    return
+                raise UserException(f"ALTER TABLE: unknown column '{col}'")
+            new_df = current.drop(col)
+        elif action == "rename_column":
+            col, to = args["col"], args["to"]
+            if col.lower() not in have:
+                raise UserException(f"ALTER TABLE: unknown column '{col}'")
+            new_df = current.withColumnRenamed(col, to)
+        elif action == "set_type":
+            col, type_text = args["col"], args["type"]
+            if col.lower() not in have:
+                raise UserException(f"ALTER TABLE: unknown column '{col}'")
+            new_df = current.withColumn(
+                col,
+                F.expr(translate(f"CAST({_bt(col)} AS {type_text})")),
+            )
+        else:  # pragma: no cover
+            raise UserException(f"Unsupported ALTER action: {action}")
+        self.store.rewrite(name, new_df)
 
     def _drop(self, name: str, if_exists: bool) -> None:
         """DROP TABLE/VIEW: both kinds live as temp views here (store
@@ -322,7 +415,10 @@ class SparkStatementExecutor:
 
     def _update(self, st: ParsedStatement) -> None:
         name = next(iter(st.outputs), None)
-        assignments, where = _parse_update(st.sql)
+        assignments, from_text, where = _parse_update(st.sql)
+        if from_text is not None:
+            self._update_from(name, assignments, from_text, where)
+            return
         current = self.spark.table(_bt(name))
         cols = []
         pred = f"coalesce(({translate(where)}), false)" if where else "true"
@@ -338,6 +434,73 @@ class SparkStatementExecutor:
                 cols.append(_bt(fld.name))
         new_df = self.spark.table(_bt(name)).selectExpr(*cols)
         self.store.rewrite(name, new_df)
+
+    def _update_from(
+        self,
+        name: str,
+        assignments: List[tuple[str, str]],
+        from_text: str,
+        where: Optional[str],
+    ) -> None:
+        """``UPDATE t SET c = expr FROM src [WHERE pred]`` — Postgres/
+        DuckDB join-update (reference scripts use it for dimension
+        backfills). Spark plan: tag the target with a synthetic row id,
+        evaluate the assignment expressions in the (target x FROM
+        sources) join that WHERE filters, keep one match per row id
+        (multi-match picks an arbitrary winner, matching
+        Postgres/DuckDB), then stitch the matches back with a LEFT
+        join — one shuffle on the row id, copy-on-write rewrite like
+        every other mutation."""
+        from pyspark.sql import functions as F
+
+        current = self.spark.table(_bt(name))
+        fields = {f.name.lower(): f for f in current.schema.fields}
+        for col, _ in assignments:
+            if col.lower() not in fields:
+                raise UserException(f"UPDATE: unknown column '{col}'")
+        tagged_view = f"__upd_{uuid.uuid4().hex[:10]}"
+        # persist: the tagged subtree appears twice in the final plan
+        # (match probe + stitch base); materializing it once pins the
+        # synthetic row ids so both sides agree
+        tagged = current.withColumn("__rid", F.monotonically_increasing_id())
+        tagged.persist()
+        tagged.createOrReplaceTempView(tagged_view)
+        try:
+            set_exprs = ", ".join(
+                f"({translate(expr)}) AS __set_{i}"
+                for i, (_, expr) in enumerate(assignments)
+            )
+            pred = f"WHERE {translate(where)}" if where else ""
+            matches = self.spark.sql(
+                f"SELECT * FROM ("
+                f"SELECT {_bt(name)}.__rid AS __rid, {set_exprs}, "
+                f"row_number() OVER (PARTITION BY {_bt(name)}.__rid "
+                f"ORDER BY 1) AS __mn "
+                f"FROM {_bt(tagged_view)} AS {_bt(name)}, {translate(from_text)} "
+                f"{pred}) WHERE __mn = 1"
+            ).drop("__mn")
+            joined = self.spark.table(_bt(tagged_view)).alias("t").join(
+                matches.alias("m"), on="__rid", how="left"
+            )
+            cols = []
+            set_idx = {c.lower(): i for i, (c, _) in enumerate(assignments)}
+            for fld in current.schema.fields:
+                i = set_idx.get(fld.name.lower())
+                if i is not None:
+                    cols.append(
+                        F.when(
+                            F.col("m.__rid").isNotNull(),
+                            F.col(f"m.__set_{i}").cast(fld.dataType),
+                        )
+                        .otherwise(F.col(f"t.{_bt(fld.name)}"))
+                        .alias(fld.name)
+                    )
+                else:
+                    cols.append(F.col(f"t.{_bt(fld.name)}"))
+            self.store.rewrite(name, joined.select(*cols))
+        finally:
+            self.spark.catalog.dropTempView(tagged_view)
+            tagged.unpersist()
 
     def _delete(self, st: ParsedStatement) -> None:
         name = next(iter(st.outputs), None)
@@ -562,11 +725,13 @@ def _insert_source_sql(sql: str) -> str:
     raise UserException(f"Unsupported INSERT form: {sql[:100]}")
 
 
-def _parse_update(sql: str) -> tuple[List[tuple[str, str]], Optional[str]]:
-    """Parse `UPDATE t SET c = expr[, ...] [WHERE pred]` into
-    ([(col, expr)], pred)."""
+def _parse_update(
+    sql: str,
+) -> tuple[List[tuple[str, str]], Optional[str], Optional[str]]:
+    """Parse `UPDATE t SET c = expr[, ...] [FROM sources] [WHERE pred]`
+    into ([(col, expr)], from_text, pred)."""
     tokens = tokenize(sql)
-    set_idx = where_idx = None
+    set_idx = from_idx = where_idx = None
     depth = 0
     for i, tok in enumerate(tokens):
         if tok.kind == "op" and tok.text == "(":
@@ -575,12 +740,16 @@ def _parse_update(sql: str) -> tuple[List[tuple[str, str]], Optional[str]]:
             depth -= 1
         elif depth == 0 and tok.is_kw("SET") and set_idx is None:
             set_idx = i
+        elif depth == 0 and tok.is_kw("FROM") and set_idx is not None and from_idx is None:
+            from_idx = i
         elif depth == 0 and tok.is_kw("WHERE"):
             where_idx = i
             break
     if set_idx is None:
         raise UserException(f"UPDATE without SET: {sql[:100]}")
-    set_end = where_idx if where_idx is not None else len(tokens)
+    set_end = min(
+        x for x in (from_idx, where_idx, len(tokens)) if x is not None
+    )
     set_text_tokens = tokens[set_idx + 1: set_end]
     assignments: List[tuple[str, str]] = []
     # split on top-level commas
@@ -604,10 +773,127 @@ def _parse_update(sql: str) -> tuple[List[tuple[str, str]], Optional[str]]:
         col, _, expr = text.partition("=")
         col_name = col.strip().strip('"`')
         assignments.append((col_name, expr.strip()))
+    from_text = None
+    if from_idx is not None:
+        from_end = where_idx if where_idx is not None else len(tokens)
+        from_text = "".join(t.text for t in tokens[from_idx + 1: from_end]).strip()
     where = None
     if where_idx is not None:
         where = "".join(t.text for t in tokens[where_idx + 1:]).strip()
-    return assignments, where
+    return assignments, from_text, where
+
+
+def _parse_alter(sql: str):
+    """Parse supported ALTER TABLE forms into
+    ``(table, if_exists, action, args)``; None for unsupported forms."""
+    code = _code(sql)
+    n = len(code)
+    if n < 3 or code[0][1].upper != "ALTER" or code[1][1].upper != "TABLE":
+        return None
+    i = 2
+    if_exists = False
+    if i + 1 < n and code[i][1].is_kw("IF") and code[i + 1][1].is_kw("EXISTS"):
+        if_exists = True
+        i += 2
+    if i >= n or code[i][1].kind not in ("word", "bident", "qident"):
+        return None
+    name = unquote_name(code[i][1])
+    i += 1
+    if i >= n:
+        return None
+    verb = code[i][1].upper
+
+    def _name_at(j):
+        return unquote_name(code[j][1]) if j < n else None
+
+    if verb == "RENAME":
+        i += 1
+        if i < n and code[i][1].is_kw("TO"):
+            return name, if_exists, "rename_table", {"to": _name_at(i + 1)}
+        if i < n and code[i][1].is_kw("COLUMN"):
+            i += 1
+        col = _name_at(i)
+        if col and i + 1 < n and code[i + 1][1].is_kw("TO"):
+            return name, if_exists, "rename_column", {
+                "col": col, "to": _name_at(i + 2),
+            }
+        return None
+    if verb == "ADD":
+        i += 1
+        if i < n and code[i][1].is_kw("COLUMN"):
+            i += 1
+        if_not = False
+        if (
+            i + 2 < n
+            and code[i][1].is_kw("IF")
+            and code[i + 1][1].is_kw("NOT")
+            and code[i + 2][1].is_kw("EXISTS")
+        ):
+            if_not = True
+            i += 3
+        col = _name_at(i)
+        if col is None or i + 1 >= n:
+            return None
+        # remaining text = type [DEFAULT expr]
+        start = code[i + 1][0]
+        tokens = tokenize(sql)
+        rest = tokens[start:]
+        default = None
+        depth = 0
+        for j, t in enumerate(rest):
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                depth -= 1
+            elif depth == 0 and t.is_kw("DEFAULT"):
+                default = "".join(x.text for x in rest[j + 1:]).strip()
+                rest = rest[:j]
+                break
+        type_text = "".join(t.text for t in rest).strip().rstrip(";").strip()
+        if not type_text:
+            return None
+        return name, if_exists, "add_column", {
+            "col": col, "type": type_text, "default": default,
+            "if_not_exists": if_not,
+        }
+    if verb == "DROP":
+        i += 1
+        if i < n and code[i][1].is_kw("COLUMN"):
+            i += 1
+        col_if_exists = False
+        if i + 1 < n and code[i][1].is_kw("IF") and code[i + 1][1].is_kw("EXISTS"):
+            col_if_exists = True
+            i += 2
+        col = _name_at(i)
+        if col is None:
+            return None
+        return name, if_exists, "drop_column", {
+            "col": col, "if_exists": col_if_exists,
+        }
+    if verb == "ALTER":
+        i += 1
+        if i < n and code[i][1].is_kw("COLUMN"):
+            i += 1
+        col = _name_at(i)
+        if col is None:
+            return None
+        i += 1
+        # [SET DATA] TYPE <type>
+        if i + 1 < n and code[i][1].is_kw("SET") and code[i + 1][1].is_kw("DATA"):
+            i += 2
+        if i >= n or not code[i][1].is_kw("TYPE"):
+            return None
+        if i + 1 >= n:
+            return None
+        start = code[i + 1][0]
+        tokens = tokenize(sql)
+        type_text = (
+            "".join(t.text for t in tokens[start:]).strip().rstrip(";").strip()
+        )
+        if not type_text:
+            return None
+        return name, if_exists, "set_type", {"col": col, "type": type_text}
+    return None
 
 
 def _parse_drop(sql: str) -> Optional[tuple[str, bool]]:

@@ -41,6 +41,7 @@ class StatementType(str, Enum):
     UPDATE = "UPDATE"
     DELETE = "DELETE"
     DROP = "DROP"
+    ALTER = "ALTER"
     SELECT = "SELECT"
     OTHER = "OTHER"
 
@@ -55,6 +56,7 @@ class StatementType(str, Enum):
             StatementType.UPDATE,
             StatementType.DELETE,
             StatementType.DROP,
+            StatementType.ALTER,
         )
 
 
@@ -90,7 +92,12 @@ def parse_statement(sql: str) -> ParsedStatement:
     # the scheduler orders them after the table's producer.
     if stype.is_create or stype == StatementType.INSERT:
         deps -= outputs
-    elif stype in (StatementType.UPDATE, StatementType.DELETE, StatementType.DROP):
+    elif stype in (
+        StatementType.UPDATE,
+        StatementType.DELETE,
+        StatementType.DROP,
+        StatementType.ALTER,
+    ):
         # the target must exist first: order after its producer
         deps |= outputs
     has_order = _has_top_level_order_by(code)
@@ -124,6 +131,8 @@ def _classify(code: Sequence[tuple[int, Token]]) -> StatementType:
         return StatementType.DELETE
     if first == "DROP":
         return StatementType.DROP
+    if first == "ALTER":
+        return StatementType.ALTER
     if first in ("SELECT", "WITH"):
         # WITH ... INSERT / WITH ... CREATE TABLE|VIEW are valid in
         # DuckDB (the reference's sqlglot classifies them by the inner
@@ -261,6 +270,23 @@ def _collect_outputs(code: Sequence[tuple[int, Token]], stype: StatementType) ->
         name, _ = _dotted_name(code, 1)
         if name:
             outputs.add(name)
+    elif stype == StatementType.ALTER:
+        # ALTER TABLE name <action>; RENAME TO also writes the new name
+        i = 1
+        while i < n and code[i][1].is_kw("TABLE", "IF", "EXISTS"):
+            i += 1
+        name, after = _dotted_name(code, i)
+        if name:
+            outputs.add(name)
+            if (
+                after + 1 < n
+                and code[after][1].is_kw("RENAME")
+                and code[after + 1][1].is_kw("TO")
+                and after + 2 < n
+            ):
+                new_name, _ = _dotted_name(code, after + 2)
+                if new_name:
+                    outputs.add(new_name)
     elif stype == StatementType.DROP:
         # DROP TABLE|VIEW [IF EXISTS] name
         i = 1

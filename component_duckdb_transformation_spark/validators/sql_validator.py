@@ -132,7 +132,6 @@ _UNSUPPORTED_FUNCTIONS = {
     "format", "bar", "list_aggregate", "list_aggr", "histogram",
     "regexp_split_to_table", "icu_sort_key", "to_base64_url",
     "jaro_similarity", "fuzzy_match",
-    "columns",  # COLUMNS() dynamic projection needs schema at parse time
     "age", "timezone", "current_setting",  # interval/engine-state semantics
 }
 

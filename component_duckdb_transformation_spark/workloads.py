@@ -1685,5 +1685,33 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: wl.make for name, wl in WORKLOADS.items()}
 
 
+_COLUMNS_MACRO_SQL = """
+    SELECT n_regionkey,
+           min(COLUMNS('n_n.*')),
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation
+    GROUP BY n_regionkey
+"""
+
+
+def _columns_macro_builder(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.dialect import expand_columns_macro
+
+    expanded = expand_columns_macro(
+        _COLUMNS_MACRO_SQL, lambda t: spark.table(t).columns
+    )
+    return spark.sql(translate(expanded))
+
+
+_add_df(
+    "q44_columns_macro",
+    _columns_macro_builder,
+    oracle=_COLUMNS_MACRO_SQL,
+    description="COLUMNS('regex') dynamic projection: schema-aware "
+    "expansion replicates the enclosing aggregate per matched column "
+    "with DuckDB's plain-column-name output naming",
+)
+
+
 def oracle_sql() -> Dict[str, str]:
     return {name: wl.oracle for name, wl in WORKLOADS.items() if wl.oracle is not None}

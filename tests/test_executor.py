@@ -165,3 +165,65 @@ def test_concurrent_inserts_single_table(spark, table_store):
     rows = spark.table("conc").collect()
     assert len(rows) == 600
     assert {r.v for r in rows} == set(range(600))
+
+
+def _run(ex, sql):
+    from component_duckdb_transformation_spark.plans.sql_parser import parse_script
+
+    for st in parse_script(sql):
+        ex._execute_statement(st)
+
+
+def test_update_from_join_update(spark, table_store):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE uft AS SELECT id, CAST(amt AS DOUBLE) AS amt "
+             "FROM (VALUES (1, 10.0), (2, 20.0), (3, 30.0)) v(id, amt)")
+    _run(ex, "CREATE TABLE ufd AS SELECT id, CAST(boost AS DOUBLE) AS boost "
+             "FROM (VALUES (1, 100.0), (3, 300.0)) v(id, boost)")
+    _run(ex, "UPDATE uft SET amt = ufd.boost FROM ufd WHERE uft.id = ufd.id")
+    got = {(r.id, r.amt) for r in spark.table("uft").collect()}
+    assert got == {(1, 100.0), (2, 20.0), (3, 300.0)}
+
+
+def test_alter_table_forms(spark, table_store):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+    import pytest
+    from component_duckdb_transformation_spark.exceptions import UserException
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE alt AS SELECT * FROM (VALUES (1), (2)) v(id)")
+    _run(ex, "ALTER TABLE alt ADD COLUMN tag VARCHAR DEFAULT 'x'")
+    assert spark.table("alt").columns == ["id", "tag"]
+    _run(ex, "ALTER TABLE alt ADD COLUMN IF NOT EXISTS tag VARCHAR")
+    _run(ex, "ALTER TABLE alt RENAME COLUMN tag TO label")
+    _run(ex, "ALTER TABLE alt ALTER COLUMN id TYPE BIGINT")
+    assert [f.dataType.simpleString() for f in spark.table("alt").schema.fields] == [
+        "bigint", "string"
+    ]
+    _run(ex, "ALTER TABLE alt DROP COLUMN label")
+    _run(ex, "ALTER TABLE alt RENAME TO alt2")
+    assert {r.id for r in spark.table("alt2").collect()} == {1, 2}
+    _run(ex, "ALTER TABLE IF EXISTS ghost ADD COLUMN x INT")  # noop
+    with pytest.raises(UserException):
+        _run(ex, "ALTER TABLE ghost ADD COLUMN x INT")
+
+
+def test_columns_macro_in_executor(spark, table_store):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE cm AS SELECT * FROM "
+             "(VALUES (1, 2, 'a'), (3, 4, 'b')) v(k_one, k_two, s)")
+    _run(ex, "CREATE TABLE cm_out AS SELECT COLUMNS('k_.*') FROM cm")
+    assert spark.table("cm_out").columns == ["k_one", "k_two"]
+    _run(ex, "CREATE TABLE cm_agg AS SELECT max(COLUMNS('k_.*')) FROM cm")
+    assert spark.table("cm_agg").columns == ["k_one", "k_two"]
+    assert spark.table("cm_agg").collect()[0].asDict() == {"k_one": 3, "k_two": 4}
