@@ -1184,12 +1184,17 @@ SELECT * FROM (
   SELECT e1.vec_id AS v1, e2.vec_id AS v2,
     list_reduce(list_prepend(0::BIGINT,
       list_transform(list_zip(e1.embedding, e2.embedding),
-        s -> CAST(round(s[1] * 1000) AS BIGINT) * CAST(round(s[2] * 1000) AS BIGINT))),
+        s -> CAST(round(CAST(s[1] AS DOUBLE) * 1000) AS BIGINT)
+           * CAST(round(CAST(s[2] AS DOUBLE) * 1000) AS BIGINT))),
       (a, x) -> a + x) AS qdot
   FROM embeddings e1, embeddings e2
   WHERE e1.vec_id < e2.vec_id
 ) WHERE qdot >= 400000
 """
+# NOTE the CAST-to-DOUBLE before the *1000: the parquet embeddings are
+# float32, and DuckDB would otherwise multiply in FLOAT — boundary
+# elements then round differently than the engine's float64 math
+# (first observed at sf0.1; sf0.01 has no boundary-straddling element).
 
 _add_df(
     "x08_embedding_near_dup",

@@ -2,7 +2,11 @@
 Spark AND its DuckDB oracle over the same parquet dir; compare row count,
 column names/dtypes, and order-insensitive values.
 
-Usage: python tools/diff_check.py [sf_dir] [query ...]
+Usage: python tools/diff_check.py [sf_dir | --sf 0.01] [query ...]
+
+Run at --sf 0.1 periodically: partial-aggregation numeric drift (e.g.
+sample-moment corrections) only shows up with more rows per group than
+the sf0.01 gate exercises.
 """
 
 from __future__ import annotations
@@ -63,8 +67,16 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    sf_dir = "/root/testdata/sf0.001"
+    # --sf 0.1 selects /root/testdata/sf<val>; a positional dir still works
+    if "--sf" in args:
+        k = args.index("--sf")
+        sf_dir = f"/root/testdata/sf{args[k + 1]}"
+        del args[k : k + 2]
+    elif args and "/" in args[0]:
+        sf_dir = args.pop(0)
+    only = set(args)
     sys.path.insert(0, "/root/repo")
     from component_duckdb_transformation_spark.session import build_spark_session
     from component_duckdb_transformation_spark.workloads import TABLES, WORKLOADS
