@@ -1258,6 +1258,100 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     )
                     i = close + 1
                     continue
+                if low == "jaccard" and len(args) == 2:
+                    # DuckDB: Jaccard similarity of the character SETS
+                    # (case-sensitive, duplicates ignored)
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    ca = f"array_distinct(split(({a}), ''))"
+                    cb = f"array_distinct(split(({b}), ''))"
+                    out.extend(
+                        _toks(
+                            f"(CAST(size(array_intersect({ca}, {cb})) AS DOUBLE)"
+                            f" / CAST(size(array_union({ca}, {cb})) AS DOUBLE))"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low in ("hamming", "mismatches") and len(args) == 2:
+                    # positional mismatch count; equal length enforced
+                    # like DuckDB's Invalid Input error
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN length({a}) <> length({b}) THEN "
+                            f"CAST(raise_error('{low}: strings must be of "
+                            f"equal length') AS BIGINT) ELSE "
+                            f"CAST(size(filter(zip_with(split(({a}), ''), "
+                            f"split(({b}), ''), (__x, __y) -> __x <> __y), "
+                            f"__z -> __z)) AS BIGINT) END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "regexp_split_to_table" and len(args) == 2:
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    out.extend(_toks(f"explode(split(({a}), ({b})))"))
+                    i = close + 1
+                    continue
+                if low in ("list_aggregate", "list_aggr") and len(args) >= 2:
+                    l = _sql(inner, *args[0])
+                    fname_code = [
+                        t for t in inner[args[1][0]: args[1][1]]
+                        if t.kind not in ("ws", "comment")
+                    ]
+                    if len(fname_code) == 1 and fname_code[0].kind == "string":
+                        fname = fname_code[0].text[1:-1].lower()
+                        repl = None
+                        if fname == "sum":
+                            repl = (
+                                f"aggregate(transform(({l}), v -> CAST(v AS "
+                                f"DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+                            )
+                        elif fname in ("avg", "mean"):
+                            repl = (
+                                f"(aggregate(transform(({l}), v -> CAST(v AS "
+                                f"DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+                                f" / size(({l})))"
+                            )
+                        elif fname == "min":
+                            repl = f"array_min(({l}))"
+                        elif fname == "max":
+                            repl = f"array_max(({l}))"
+                        elif fname == "count":
+                            repl = (
+                                f"CAST(size(filter(({l}), "
+                                f"v -> v IS NOT NULL)) AS BIGINT)"
+                            )
+                        elif fname == "first":
+                            repl = f"try_element_at(({l}), 1)"
+                        elif fname == "last":
+                            repl = f"try_element_at(({l}), -1)"
+                        elif fname == "string_agg" and len(args) == 3:
+                            sep = _sql(inner, *args[2])
+                            repl = f"array_join(({l}), ({sep}))"
+                        if repl is not None:
+                            out.extend(_toks(repl))
+                            i = close + 1
+                            continue
+                if low == "format" and len(args) >= 1:
+                    fmt_code = [
+                        t for t in inner[args[0][0]: args[0][1]]
+                        if t.kind not in ("ws", "comment")
+                    ]
+                    if len(fmt_code) == 1 and fmt_code[0].kind == "string":
+                        fmt = fmt_code[0].text[1:-1]
+                        # plain {} placeholders only (no {:spec}/{n})
+                        if "{" not in fmt.replace("{}", "") and "}" not in fmt.replace("{}", ""):
+                            spark_fmt = fmt.replace("%", "%%").replace("{}", "%s")
+                            rest = ", ".join(
+                                _sql(inner, s, e) for s, e in args[1:]
+                            )
+                            tail = f", {rest}" if rest else ""
+                            out.extend(
+                                _toks(f"format_string('{spark_fmt}'{tail})")
+                            )
+                            i = close + 1
+                            continue
                 if low in ("list_slice", "array_slice") and len(args) == 3:
                     l, a, b = (_sql(inner, s, e) for s, e in args)
                     out.extend(_toks(f"slice(({l}), {a}, ({b}) - ({a}) + 1)"))

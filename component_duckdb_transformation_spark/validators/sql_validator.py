@@ -128,11 +128,15 @@ def check_common_sql_errors(sql: str) -> list[str]:
 # DuckDB functions with no Spark builtin and no dialect shim; calling
 # them fails at execution, so surface it at validation time instead
 _UNSUPPORTED_FUNCTIONS = {
-    "jaccard", "damerau_levenshtein", "hamming", "mismatches",
-    "format", "bar", "list_aggregate", "list_aggr", "histogram",
-    "regexp_split_to_table", "icu_sort_key", "to_base64_url",
+    "damerau_levenshtein", "bar", "histogram",
+    "icu_sort_key", "to_base64_url",
     "jaro_similarity", "fuzzy_match",
     "age", "timezone", "current_setting",  # interval/engine-state semantics
+}
+
+# shimmed only for specific argument shapes: lint the rest
+_LIST_AGGR_SUPPORTED = {
+    "sum", "avg", "mean", "min", "max", "count", "first", "last", "string_agg",
 }
 
 
@@ -141,10 +145,32 @@ def _untranslatable_functions(sql: str) -> set[str]:
     n = len(tokens)
     found: set[str] = set()
     for i, tok in enumerate(tokens):
-        if tok.kind == "word" and tok.text.lower() in _UNSUPPORTED_FUNCTIONS:
-            p_open = _next_code(tokens, i)
-            if p_open < n and tokens[p_open].text == "(":
-                found.add(tok.text.lower())
+        low = tok.text.lower() if tok.kind == "word" else ""
+        if not low:
+            continue
+        p_open = _next_code(tokens, i)
+        is_call = p_open < n and tokens[p_open].text == "("
+        if not is_call:
+            continue
+        if low in _UNSUPPORTED_FUNCTIONS:
+            found.add(low)
+        elif low in ("list_aggregate", "list_aggr", "format"):
+            close = _matching_paren(tokens, p_open)
+            args = _split_top_level_args(tokens, p_open, close)
+            lit_idx = 1 if low != "format" else 0
+            lit = (
+                [t for t in args[lit_idx] if t.kind not in ("ws", "comment")]
+                if len(args) > lit_idx
+                else []
+            )
+            if len(lit) != 1 or lit[0].kind != "string":
+                found.add(low)
+            elif low == "format":
+                fmt = lit[0].text[1:-1]
+                if "{" in fmt.replace("{}", "") or "}" in fmt.replace("{}", ""):
+                    found.add(low)  # {:spec}/{n} forms not shimmed
+            elif lit[0].text[1:-1].lower() not in _LIST_AGGR_SUPPORTED:
+                found.add(low)
     return found
 
 

@@ -733,6 +733,35 @@ _add_sql(
 )
 
 _add_sql(
+    "q45_string_similarity_functions",
+    """
+    SELECT p_partkey,
+           round(jaccard(p_name, p_type), 6) AS jac,
+           CAST(mismatches(substr(p_name, 1, 5), substr(p_type, 1, 5))
+                AS BIGINT) AS mism,
+           list_aggregate([p_partkey % 7, p_partkey % 5, 3], 'max') AS la_max,
+           CAST(list_aggregate([p_partkey % 7, p_partkey % 5], 'sum')
+                AS BIGINT) AS la_sum,
+           format('{}-{}', p_partkey % 10, p_size) AS fmt
+    FROM part
+    WHERE p_partkey <= 300
+    """,
+    "jaccard char-set similarity, hamming/mismatches, list_aggregate "
+    "name dispatch, format {} placeholders",
+)
+
+_add_sql(
+    "q46_regexp_split_to_table",
+    """
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT regexp_split_to_table(p_type, '[ ]+') AS w FROM part) t
+    WHERE w <> ''
+    GROUP BY w
+    """,
+    "regexp_split_to_table -> explode(split) set-returning function",
+)
+
+_add_sql(
     "q40_distinct_on_lambdas",
     """
     SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice,
@@ -1341,6 +1370,61 @@ _add_df(
     """,
     description="CTAS -> INSERT -> UPDATE -> DELETE through the DAG executor "
     "and versioned Parquet TableStore (copy-on-write)",
+)
+
+
+def _update_from_alter_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """Executor path for the round-3 surface: ALTER TABLE schema
+    evolution + UPDATE ... FROM join-update, DAG-ordered."""
+    import tempfile
+
+    from .configuration import Block, Code
+    from .plans.executor import SparkStatementExecutor, TableStore
+    from .plans.orchestrator import BlockOrchestrator
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="cdts-wl-alt-"))
+    executor = SparkStatementExecutor(spark, store)
+    orch = BlockOrchestrator(execute_script=executor.execute_query, max_workers=4)
+    orch.add_queries_from_blocks(
+        [
+            Block(
+                name="alt",
+                codes=[
+                    Code(
+                        name="pipeline",
+                        script=[
+                            "CREATE TABLE cust2 AS SELECT c_custkey, c_nationkey, "
+                            "c_acctbal FROM customer WHERE c_custkey <= 500;",
+                            "ALTER TABLE cust2 ADD COLUMN nation_name VARCHAR "
+                            "DEFAULT '?';",
+                            "UPDATE cust2 SET nation_name = n.n_name FROM nation n "
+                            "WHERE cust2.c_nationkey = n.n_nationkey;",
+                            "ALTER TABLE cust2 RENAME COLUMN c_acctbal TO balance;",
+                            "ALTER TABLE cust2 DROP COLUMN c_nationkey;",
+                        ],
+                    )
+                ],
+            )
+        ]
+    )
+    orch.execute()
+    return spark.sql(
+        "SELECT c_custkey, nation_name, round(balance, 2) AS balance FROM cust2"
+    )
+
+
+_add_df(
+    "x25_update_from_alter_pipeline",
+    _update_from_alter_builder,
+    oracle="""
+    SELECT c.c_custkey, n.n_name AS nation_name,
+           round(c.c_acctbal, 2) AS balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey <= 500
+    """,
+    description="ALTER TABLE (add/rename/drop column) + UPDATE..FROM "
+    "join-update through the DAG executor; oracle expresses the final "
+    "table state",
 )
 
 

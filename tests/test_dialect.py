@@ -427,3 +427,40 @@ def test_exclude_replace_qualify_composition(spark):
 def test_star_replace_function_call_untouched():
     out = translate("SELECT k * 2, replace(s, 'a', 'b') AS r FROM t")
     assert "replace(s, 'a', 'b')" in out and "EXCEPT" not in out
+
+
+def test_similarity_and_list_aggregate_shims(spark):
+    import duckdb
+
+    cases = [
+        "SELECT jaccard('hello', 'world') AS r",
+        "SELECT jaccard('aab', 'ab') AS r",  # set semantics, not multiset
+        "SELECT CAST(hamming('karolin', 'kathrin') AS BIGINT) AS r",
+        "SELECT CAST(mismatches('abc', 'abd') AS BIGINT) AS r",
+        "SELECT CAST(list_aggregate([1,2,3], 'sum') AS DOUBLE) AS r",
+        "SELECT list_aggr([1,2,3], 'min') AS r",
+        "SELECT list_aggregate(['a','b'], 'string_agg', '-') AS r",
+        "SELECT CAST(list_aggregate([1,NULL,3], 'count') AS BIGINT) AS r",
+        "SELECT format('{} x {} 100%', 1, 'b') AS r",
+        "SELECT s FROM (SELECT regexp_split_to_table('a,b;c', '[,;]') AS s)",
+    ]
+    for c in cases:
+        expected = duckdb.sql(c).fetchall()
+        got = [tuple(r) for r in spark.sql(translate(c)).collect()]
+        assert got == expected, (c, got, expected)
+
+
+def test_unsupported_lint_narrowed():
+    from component_duckdb_transformation_spark.validators.sql_validator import (
+        _untranslatable_functions,
+    )
+
+    # shimmed shapes no longer lint
+    assert not _untranslatable_functions(
+        "SELECT jaccard(a, b), list_aggregate(l, 'sum'), format('{}', x) FROM t"
+    )
+    # unshimmable shapes still do
+    assert _untranslatable_functions("SELECT list_aggregate(l, 'median') FROM t")
+    assert _untranslatable_functions("SELECT format('{:d}', x) FROM t")
+    assert _untranslatable_functions("SELECT format(f, x) FROM t")
+    assert _untranslatable_functions("SELECT histogram(x) FROM t")

@@ -58,12 +58,14 @@ def test_unsupported_function_lint():
         check_common_sql_errors,
     )
 
-    errs = check_common_sql_errors("SELECT jaccard(a, b) FROM t")
-    assert any("jaccard" in e and "no Spark equivalent" in e for e in errs)
-    # a column named jaccard (no call parens) does not trigger
+    errs = check_common_sql_errors("SELECT damerau_levenshtein(a, b) FROM t")
+    assert any(
+        "damerau_levenshtein" in e and "no Spark equivalent" in e for e in errs
+    )
+    # a column named like an unsupported fn (no call parens) does not trigger
     assert not any(
         "no Spark equivalent" in e
-        for e in check_common_sql_errors("SELECT jaccard FROM t")
+        for e in check_common_sql_errors("SELECT damerau_levenshtein FROM t")
     )
     # shimmed functions do not trigger
     assert not any(
