@@ -1002,6 +1002,23 @@ def _capture_primary_backward(out: List[Token]) -> List[Token]:
     return []
 
 
+def _int_literal_value(tokens: List[Token]) -> int | None:
+    """Integer value of a (possibly negated) literal token run, else
+    None."""
+    code = [t for t in tokens if t.kind not in ("ws", "comment")]
+    neg = False
+    if len(code) == 2 and code[0].kind == "op" and code[0].text == "-":
+        neg = True
+        code = code[1:]
+    if len(code) == 1 and code[0].kind == "word":
+        text = code[0].text
+        if text.startswith("-"):
+            neg, text = True, text[1:]
+        if text.isdigit():
+            return -int(text) if neg else int(text)
+    return None
+
+
 def _negative_int_literal(tokens: List[Token]) -> bool:
     """True when a token run is exactly a negative integer literal."""
     code = [t for t in tokens if t.kind not in ("ws", "comment")]
@@ -1075,14 +1092,32 @@ def _rewrite_brackets(tokens: List[Token]) -> List[Token]:
                         out.extend(inner)
                         out.extend(_toks(", 1)"))
                     else:
-                        # try_element_at: DuckDB yields NULL (not an ANSI
-                        # error) for out-of-bounds; negative = from the
-                        # end in both engines
-                        out.extend(_toks("try_element_at("))
-                        out.extend(base)
-                        out.append(Token("op", ","))
-                        out.extend(inner)
-                        out.append(Token("op", ")"))
+                        idx_lit = _int_literal_value(inner)
+                        if idx_lit is not None:
+                            # integer-literal index: definitely an array
+                            # access -> 0-based get(), which is NULL-on-
+                            # out-of-bounds like DuckDB AND whole-stage-
+                            # codegen-compilable (try_element_at's codegen
+                            # is broken in Spark 4.1: "isNull_N is not an
+                            # rvalue" forces interpreted fallback)
+                            base_sql = "".join(t.text for t in base)
+                            if idx_lit > 0:
+                                pos = str(idx_lit - 1)
+                            elif idx_lit < 0:
+                                pos = f"size({base_sql}) + ({idx_lit})"
+                            else:  # [0] is out of range in 1-based DuckDB
+                                pos = "-1"
+                            out.extend(_toks(f"get({base_sql}, {pos})"))
+                        else:
+                            # try_element_at: DuckDB yields NULL (not an
+                            # ANSI error) for out-of-bounds; negative =
+                            # from the end in both engines; also the map
+                            # accessor
+                            out.extend(_toks("try_element_at("))
+                            out.extend(base)
+                            out.append(Token("op", ","))
+                            out.extend(inner)
+                            out.append(Token("op", ")"))
                 else:
                     c = colons[0]
                     lo_t, hi_t = inner[:c], inner[c + 1 :]
@@ -1253,7 +1288,7 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     out.extend(
                         _toks(
                             f"reduce(slice(({l}), 2, size(({l})) - 1), "
-                            f"try_element_at(({l}), 1), {lam})"
+                            f"get(({l}), 0), {lam})"
                         )
                     )
                     i = close + 1
@@ -1323,9 +1358,9 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                                 f"v -> v IS NOT NULL)) AS BIGINT)"
                             )
                         elif fname == "first":
-                            repl = f"try_element_at(({l}), 1)"
+                            repl = f"get(({l}), 0)"
                         elif fname == "last":
-                            repl = f"try_element_at(({l}), -1)"
+                            repl = f"get(({l}), size(({l})) - 1)"
                         elif fname == "string_agg" and len(args) == 3:
                             sep = _sql(inner, *args[2])
                             repl = f"array_join(({l}), ({sep}))"

@@ -162,14 +162,21 @@ def test_bracket_list_literal():
 
 
 def test_bracket_index_is_one_based_element_at():
+    # integer-literal indexes emit 0-based get(): NULL-on-out-of-bounds
+    # like DuckDB, and codegen-compilable (try_element_at is not)
     out = translate("SELECT l[2] FROM t")
-    assert "try_element_at(l,2)" in out.replace(" ", "")
+    assert "get(l,1)" in out.replace(" ", "")
     # chained/parenthesized bases
     out2 = translate("SELECT ([10,20])[2]")
-    assert "try_element_at((array(10,20)),2)" in out2.replace(" ", "")
+    assert "get((array(10,20)),1)" in out2.replace(" ", "")
     # dotted base
     out3 = translate("SELECT s.arr[1] FROM t")
-    assert "try_element_at(s.arr,1)" in out3.replace(" ", "")
+    assert "get(s.arr,0)" in out3.replace(" ", "")
+    # negative literal counts from the end; zero is out of range
+    assert "get(l,size(l)+(-1))" in translate("SELECT l[-1] FROM t").replace(" ", "")
+    assert "get(l,-1)" in translate("SELECT l[0] FROM t").replace(" ", "")
+    # non-literal index keeps try_element_at (also the map accessor)
+    assert "try_element_at(l,i)" in translate("SELECT l[i] FROM t").replace(" ", "")
 
 
 def test_bracket_slice_inclusive():
@@ -225,7 +232,7 @@ def test_lambda_function_renames():
 
 def test_list_reduce_seeds_first_element():
     out = translate("SELECT list_reduce(l, (a, b) -> a + b) FROM t").replace(" ", "")
-    assert "reduce(slice((l),2,size((l))-1),try_element_at((l),1),(a,b)->a+b)" in out
+    assert "reduce(slice((l),2,size((l))-1),get((l),0),(a,b)->a+b)" in out
 
 
 def test_list_sum_avg_double_accumulator():
@@ -348,7 +355,7 @@ def test_product_entropy_rewrites():
     assert "entropy" not in out2
     # composes with other rewrites (arg already translated when spliced)
     out3 = translate("SELECT product(l[1]) FROM t")
-    assert "try_element_at" in out3 and "product" not in out3
+    assert "get(l, 0)" in out3 and "product" not in out3
 
 
 def test_product_entropy_semantics(spark):
