@@ -128,3 +128,21 @@ def test_x14_ivf_search_broadcasts_probes(spark):
     # the probed query side is broadcast into the cell join
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q42_product_rewrite_partial_agg(spark):
+    plan = _plan(spark, "q42_product_aggregate")
+    # the product() composition must stay an ordinary two-phase hash
+    # aggregate (map-side combinable) with the key filter pushed down
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey" in plan
+    assert "Generate" not in plan  # no explode/UDF detour
+
+
+def test_q44_columns_expansion_prunes_scan(spark):
+    plan = _plan(spark, "q44_columns_macro")
+    # COLUMNS('n_n.*') expansion must not force a full-schema scan
+    assert "n_regionkey" in plan
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "n_comment" not in read_schema
