@@ -131,6 +131,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_brackets(tokens)
     tokens = _rewrite_star_replace(tokens)
     tokens = _rewrite_similar_to(tokens)
+    tokens = _rewrite_using_sample(tokens)
     tokens = _rewrite_extract_dow(tokens)
     tokens = _rewrite_date_trunc(tokens)
     tokens = _rewrite_date_diff(tokens)
@@ -1779,6 +1780,91 @@ def _rewrite_star_replace(tokens: List[Token]) -> List[Token]:
                         )
                         i = close + 1
                         continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+def _rewrite_using_sample(tokens: List[Token]) -> List[Token]:
+    """DuckDB ``USING SAMPLE n% | n [ROWS] | method(n%)`` (optionally
+    ``REPEATABLE (seed)``) -> Spark ``TABLESAMPLE (n PERCENT|ROWS)
+    [REPEATABLE (seed)]``. DuckDB's sampling METHOD names (bernoulli /
+    system / reservoir) are dropped: Spark has one sampler per unit.
+    Sampling is inherently engine-specific — rewrites preserve the
+    sample-size contract, not the row selection."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.upper == "USING":
+            j = _next_code(tokens, i)
+            if j < n and tokens[j].is_kw("SAMPLE"):
+                k = _next_code(tokens, j)
+                num = unit = None
+                end = k
+                if k < n and tokens[k].kind == "word":
+                    word = tokens[k].text
+                    if word.replace(".", "", 1).isdigit():
+                        num = word
+                        m = _next_code(tokens, k)
+                        if m < n and tokens[m].kind == "op" and tokens[m].text == "%":
+                            unit, end = "PERCENT", m
+                        elif m < n and tokens[m].is_kw("PERCENT"):
+                            unit, end = "PERCENT", m
+                        elif m < n and tokens[m].is_kw("ROWS"):
+                            unit, end = "ROWS", m
+                        else:
+                            unit, end = "ROWS", k
+                        # drop a trailing (method) group
+                        m2 = _next_code(tokens, end)
+                        if m2 < n and tokens[m2].text == "(":
+                            inner = [
+                                t for t in tokens[m2 + 1 : _matching_paren(tokens, m2)]
+                                if t.kind == "word"
+                            ]
+                            if len(inner) == 1 and inner[0].text.lower() in (
+                                "bernoulli", "system", "reservoir"
+                            ):
+                                end = _matching_paren(tokens, m2)
+                    else:
+                        # method(n% | n ROWS) form
+                        if word.lower() in ("bernoulli", "system", "reservoir"):
+                            p = _next_code(tokens, k)
+                            if p < n and tokens[p].text == "(":
+                                close = _matching_paren(tokens, p)
+                                inner = [
+                                    t for t in tokens[p + 1 : close]
+                                    if t.kind not in ("ws", "comment")
+                                ]
+                                if inner and inner[0].kind == "word" and inner[
+                                    0
+                                ].text.replace(".", "", 1).isdigit():
+                                    num = inner[0].text
+                                    rest = inner[1:]
+                                    if rest and (
+                                        rest[0].text == "%" or rest[0].is_kw("PERCENT")
+                                    ):
+                                        unit = "PERCENT"
+                                    else:
+                                        unit = "ROWS"
+                                    end = close
+                if num is not None:
+                    frag = f"TABLESAMPLE ({num} {unit})"
+                    # keep REPEATABLE (seed)
+                    r = _next_code(tokens, end)
+                    if r < n and tokens[r].is_kw("REPEATABLE"):
+                        p = _next_code(tokens, r)
+                        if p < n and tokens[p].text == "(":
+                            close = _matching_paren(tokens, p)
+                            seed = "".join(
+                                t.text for t in tokens[p + 1 : close]
+                            ).strip()
+                            frag += f" REPEATABLE ({seed})"
+                            end = close
+                    out.extend(_toks(frag))
+                    i = end + 1
+                    continue
         out.append(tok)
         i += 1
     return out

@@ -36,7 +36,7 @@ from typing import Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from ..exceptions import UserException
-from ..functions.dialect import expand_columns_macro, translate
+from ..functions.dialect import _matching_paren, expand_columns_macro, translate
 from .orchestrator import Query
 from .sql_parser import ParsedStatement, StatementType
 from .sql_tokens import Token, code_tokens, tokenize, unquote_name
@@ -300,11 +300,129 @@ class SparkStatementExecutor:
             self._drop(*drop)
         elif stype == StatementType.ALTER:
             self._alter(st)
+        elif stype == StatementType.MERGE:
+            self._merge(st)
         else:
             df = self.spark.sql(translate(st.sql))
             if df.columns:
                 # execute fully, discard rows — distributed, no driver collect
                 df.write.format("noop").mode("overwrite").save()
+
+    def _merge(self, st: ParsedStatement) -> None:
+        """``MERGE INTO target USING source ON cond WHEN MATCHED [AND c]
+        THEN UPDATE SET ...|DELETE WHEN NOT MATCHED [AND c] THEN INSERT
+        ...`` (DuckDB 1.4+). Spark plan: one (target x source) join
+        evaluates every clause condition and SET expression, a LEFT join
+        stitches the winners back onto the row-id-tagged target
+        (first-matching clause wins, rows chosen by a DELETE clause drop
+        out), and a LEFT ANTI join computes the INSERT rows — then one
+        copy-on-write rewrite. A target row matching multiple source
+        rows raises, per the SQL standard (checked inside the plan with
+        a window count, no extra pass). WHEN NOT MATCHED BY SOURCE is
+        not supported."""
+        from pyspark.sql import functions as F
+
+        parsed = _parse_merge(st.sql)
+        if parsed is None:
+            raise UserException(f"Unsupported MERGE form: {st.sql[:140]}")
+        name = parsed["target"]
+        if name not in self.store.tables:
+            raise UserException(f"MERGE INTO unknown table '{name}'")
+        current = self.spark.table(_bt(name))
+        fields = current.schema.fields
+        t_alias = parsed["target_alias"] or name
+        src = translate(parsed["source"])
+        on = translate(parsed["on"])
+        matched = [c for c in parsed["clauses"] if c["kind"] in ("update", "delete")]
+        inserts = [c for c in parsed["clauses"] if c["kind"] == "insert"]
+
+        tagged_view = f"__mrg_{uuid.uuid4().hex[:10]}"
+        tagged = current.withColumn("__rid", F.monotonically_increasing_id())
+        tagged.persist()
+        tagged.createOrReplaceTempView(tagged_view)
+        try:
+            kept = self.spark.table(_bt(tagged_view)).alias("t")
+            if matched:
+                sel = [
+                    f"{_bt(t_alias)}.__rid AS __rid",
+                    f"count(*) OVER (PARTITION BY {_bt(t_alias)}.__rid) AS __nm",
+                ]
+                for ci, cl in enumerate(matched):
+                    cond = translate(cl["cond"]) if cl["cond"] else "true"
+                    sel.append(f"({cond}) AS __c{ci}")
+                    for j, (_, expr) in enumerate(cl.get("sets", [])):
+                        sel.append(f"({translate(expr)}) AS __s{ci}_{j}")
+                matches = self.spark.sql(
+                    f"SELECT {', '.join(sel)} "
+                    f"FROM {_bt(tagged_view)} AS {_bt(t_alias)} JOIN {src} ON {on}"
+                )
+                joined = kept.join(matches.alias("m"), on="__rid", how="left")
+                joined = joined.filter(
+                    F.when(
+                        F.col("m.__nm") > 1,
+                        F.expr(
+                            "raise_error('MERGE: a target row matched "
+                            "multiple source rows') IS NULL"
+                        ),
+                    ).otherwise(F.lit(True))
+                )
+                # first applicable clause per row (standard first-match-wins)
+                clause_idx = F.lit(None).cast("int")
+                for ci in reversed(range(len(matched))):
+                    clause_idx = F.when(
+                        F.col("m.__rid").isNotNull() & F.col(f"m.__c{ci}"),
+                        F.lit(ci),
+                    ).otherwise(clause_idx)
+                joined = joined.withColumn("__clause", clause_idx)
+                for ci, cl in enumerate(matched):
+                    if cl["kind"] == "delete":
+                        joined = joined.filter(
+                            F.col("__clause").isNull() | (F.col("__clause") != ci)
+                        )
+                cols = []
+                for fi, fld in enumerate(fields):
+                    value = F.col(f"t.{_bt(fld.name)}")
+                    for ci, cl in enumerate(matched):
+                        if cl["kind"] != "update":
+                            continue
+                        set_map = {
+                            c.lower(): j for j, (c, _) in enumerate(cl["sets"])
+                        }
+                        j = set_map.get(fld.name.lower())
+                        if j is not None:
+                            value = F.when(
+                                F.col("__clause") == ci,
+                                F.col(f"m.__s{ci}_{j}").cast(fld.dataType),
+                            ).otherwise(value)
+                    cols.append(value.alias(fld.name))
+                result = joined.select(*cols)
+            else:
+                result = kept.select(
+                    *[F.col(f"t.{_bt(f.name)}").alias(f.name) for f in fields]
+                )
+
+            earlier_conds: List[str] = []
+            for cl in inserts:
+                # first-match-wins across NOT MATCHED clauses: exclude
+                # rows already taken by an earlier clause's condition
+                preds = [f"NOT ({c})" for c in earlier_conds]
+                if cl["cond"]:
+                    this = translate(cl["cond"])
+                    preds.append(f"({this})")
+                    earlier_conds.append(this)
+                else:
+                    earlier_conds.append("true")
+                cond = f" WHERE {' AND '.join(preds)}" if preds else ""
+                proj = _merge_insert_projection(cl, fields)
+                ins = self.spark.sql(
+                    f"SELECT {proj} FROM {src} LEFT ANTI JOIN "
+                    f"{_bt(tagged_view)} AS {_bt(t_alias)} ON {on}{cond}"
+                )
+                result = result.unionAll(ins)
+            self.store.rewrite(name, result)
+        finally:
+            self.spark.catalog.dropTempView(tagged_view)
+            tagged.unpersist()
 
     def _alter(self, st: ParsedStatement) -> None:
         """ALTER TABLE (DuckDB supports it on its working database;
@@ -894,6 +1012,233 @@ def _parse_alter(sql: str):
             return None
         return name, if_exists, "set_type", {"col": col, "type": type_text}
     return None
+
+
+def _split_assignment_tokens(toks: List[Token]) -> List[tuple[str, str]]:
+    """Split `c = expr[, ...]` token runs into [(col, expr)]."""
+    parts: List[List[Token]] = []
+    part: List[Token] = []
+    depth = 0
+    for tok in toks:
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        if depth == 0 and tok.kind == "op" and tok.text == ",":
+            parts.append(part)
+            part = []
+        else:
+            part.append(tok)
+    if part:
+        parts.append(part)
+    out: List[tuple[str, str]] = []
+    for ptoks in parts:
+        text = "".join(t.text for t in ptoks)
+        col, _, expr = text.partition("=")
+        out.append((col.strip().strip('"`'), expr.strip()))
+    return out
+
+
+def _parse_merge(sql: str):
+    """Parse supported MERGE INTO forms; None for unsupported shapes.
+
+    Returns {target, target_alias, source, on, clauses:[{kind, cond,
+    sets | cols/values}]}. kind in update/delete/insert."""
+    tokens = tokenize(sql)
+    code = _code(sql)
+    n = len(code)
+    if n < 4 or code[0][1].upper != "MERGE" or code[1][1].upper != "INTO":
+        return None
+    i = 2
+    target = unquote_name(code[i][1])
+    i += 1
+    target_alias = None
+    if i < n and code[i][1].is_kw("AS"):
+        i += 1
+    if i < n and code[i][1].kind in ("word", "bident", "qident") and not code[i][
+        1
+    ].is_kw("USING"):
+        target_alias = unquote_name(code[i][1])
+        i += 1
+    if i >= n or not code[i][1].is_kw("USING"):
+        return None
+    # spans in RAW token indices, tracked at depth 0
+    using_start = code[i][0] + 1
+
+    def _find_kw(kw: str, from_code_idx: int) -> Optional[int]:
+        depth = 0
+        for j in range(from_code_idx, n):
+            t = code[j][1]
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                depth -= 1
+            elif depth == 0 and t.is_kw(kw):
+                return j
+        return None
+
+    on_ci = _find_kw("ON", i + 1)
+    if on_ci is None:
+        return None
+    first_when_ci = _find_kw("WHEN", on_ci + 1)
+    if first_when_ci is None:
+        return None
+    source = "".join(
+        t.text for t in tokens[using_start: code[on_ci][0]]
+    ).strip()
+    on = "".join(
+        t.text for t in tokens[code[on_ci][0] + 1: code[first_when_ci][0]]
+    ).strip()
+
+    # WHEN-clause spans
+    when_cis = []
+    ci = first_when_ci
+    while ci is not None:
+        when_cis.append(ci)
+        ci = _find_kw("WHEN", ci + 1)
+    clauses = []
+    for k, wci in enumerate(when_cis):
+        end_ci = when_cis[k + 1] if k + 1 < len(when_cis) else n
+        j = wci + 1
+        negated = False
+        if j < end_ci and code[j][1].is_kw("NOT"):
+            negated = True
+            j += 1
+        if j >= end_ci or not code[j][1].is_kw("MATCHED"):
+            return None
+        j += 1
+        if j < end_ci and code[j][1].is_kw("BY"):
+            return None  # BY SOURCE/TARGET not supported
+        cond = None
+        if j < end_ci and code[j][1].is_kw("AND"):
+            then_ci = _find_kw("THEN", j)
+            if then_ci is None or then_ci >= end_ci:
+                return None
+            cond = "".join(
+                t.text for t in tokens[code[j][0] + 1: code[then_ci][0]]
+            ).strip()
+            j = then_ci
+        if j >= end_ci or not code[j][1].is_kw("THEN"):
+            return None
+        j += 1
+        if j >= end_ci:
+            return None
+        action = code[j][1].upper
+        end_raw = code[end_ci][0] if end_ci < n else len(tokens)
+        if action == "DELETE":
+            if negated:
+                return None
+            clauses.append({"kind": "delete", "cond": cond})
+        elif action == "UPDATE":
+            if negated:
+                return None
+            j += 1
+            if j >= end_ci or not code[j][1].is_kw("SET"):
+                return None
+            set_toks = tokens[code[j][0] + 1: end_raw]
+            clauses.append(
+                {
+                    "kind": "update",
+                    "cond": cond,
+                    "sets": _split_assignment_tokens(set_toks),
+                }
+            )
+        elif action == "INSERT":
+            if not negated:
+                return None
+            j += 1
+            cols = None
+            values = None
+            star = False
+            if j < end_ci and code[j][1].kind == "op" and code[j][1].text == "*":
+                star = True
+            elif j < end_ci:
+                if code[j][1].kind == "op" and code[j][1].text == "(":
+                    close_raw = _matching_paren(tokens, code[j][0])
+                    cols = [
+                        p.strip().strip('"`')
+                        for p in "".join(
+                            t.text for t in tokens[code[j][0] + 1: close_raw]
+                        ).split(",")
+                    ]
+                    while j < end_ci and code[j][0] <= close_raw:
+                        j += 1
+                if j < end_ci and code[j][1].is_kw("VALUES"):
+                    jj = j + 1
+                    if jj >= end_ci or code[jj][1].text != "(":
+                        return None
+                    close_raw = _matching_paren(tokens, code[jj][0])
+                    values = _split_csv_tokens(
+                        tokens[code[jj][0] + 1: close_raw]
+                    )
+                else:
+                    return None
+            clauses.append(
+                {
+                    "kind": "insert",
+                    "cond": cond,
+                    "cols": cols,
+                    "values": values,
+                    "star": star,
+                }
+            )
+        else:
+            return None
+    return {
+        "target": target,
+        "target_alias": target_alias,
+        "source": source,
+        "on": on,
+        "clauses": clauses,
+    }
+
+
+def _split_csv_tokens(toks: List[Token]) -> List[str]:
+    parts: List[str] = []
+    cur: List[Token] = []
+    depth = 0
+    for tok in toks:
+        if tok.kind == "op" and tok.text in ("(", "["):
+            depth += 1
+        elif tok.kind == "op" and tok.text in (")", "]"):
+            depth -= 1
+        if depth == 0 and tok.kind == "op" and tok.text == ",":
+            parts.append("".join(t.text for t in cur).strip())
+            cur = []
+        else:
+            cur.append(tok)
+    if cur:
+        parts.append("".join(t.text for t in cur).strip())
+    return [p for p in parts if p]
+
+
+def _merge_insert_projection(clause, fields) -> str:
+    """SELECT list (target column order, typed) for a WHEN NOT MATCHED
+    INSERT clause."""
+    if clause["star"]:
+        return ", ".join(
+            f"CAST({_bt(f.name)} AS {f.dataType.simpleString()}) AS {_bt(f.name)}"
+            for f in fields
+        )
+    values = [translate(v) for v in (clause["values"] or [])]
+    if clause["cols"] is None:
+        if len(values) != len(fields):
+            raise UserException(
+                f"MERGE INSERT values count {len(values)} does not match "
+                f"target column count {len(fields)}"
+            )
+        by_name = dict(zip([f.name.lower() for f in fields], values))
+    else:
+        if len(values) != len(clause["cols"]):
+            raise UserException("MERGE INSERT column/value count mismatch")
+        by_name = {c.lower(): v for c, v in zip(clause["cols"], values)}
+    out = []
+    for f in fields:
+        expr = by_name.get(f.name.lower(), "NULL")
+        out.append(
+            f"CAST(({expr}) AS {f.dataType.simpleString()}) AS {_bt(f.name)}"
+        )
+    return ", ".join(out)
 
 
 def _parse_drop(sql: str) -> Optional[tuple[str, bool]]:

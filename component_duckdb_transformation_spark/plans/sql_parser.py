@@ -42,6 +42,7 @@ class StatementType(str, Enum):
     DELETE = "DELETE"
     DROP = "DROP"
     ALTER = "ALTER"
+    MERGE = "MERGE"
     SELECT = "SELECT"
     OTHER = "OTHER"
 
@@ -57,6 +58,7 @@ class StatementType(str, Enum):
             StatementType.DELETE,
             StatementType.DROP,
             StatementType.ALTER,
+            StatementType.MERGE,
         )
 
 
@@ -97,6 +99,7 @@ def parse_statement(sql: str) -> ParsedStatement:
         StatementType.DELETE,
         StatementType.DROP,
         StatementType.ALTER,
+        StatementType.MERGE,
     ):
         # the target must exist first: order after its producer
         deps |= outputs
@@ -133,6 +136,8 @@ def _classify(code: Sequence[tuple[int, Token]]) -> StatementType:
         return StatementType.DROP
     if first == "ALTER":
         return StatementType.ALTER
+    if first == "MERGE":
+        return StatementType.MERGE
     if first in ("SELECT", "WITH"):
         # WITH ... INSERT / WITH ... CREATE TABLE|VIEW are valid in
         # DuckDB (the reference's sqlglot classifies them by the inner
@@ -270,6 +275,13 @@ def _collect_outputs(code: Sequence[tuple[int, Token]], stype: StatementType) ->
         name, _ = _dotted_name(code, 1)
         if name:
             outputs.add(name)
+    elif stype == StatementType.MERGE:
+        for i, (_, tok) in enumerate(code):
+            if tok.is_kw("INTO") and i + 1 < n:
+                name, _ = _dotted_name(code, i + 1)
+                if name:
+                    outputs.add(name)
+                break
     elif stype == StatementType.ALTER:
         # ALTER TABLE name <action>; RENAME TO also writes the new name
         i = 1

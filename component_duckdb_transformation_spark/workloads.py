@@ -762,6 +762,41 @@ _add_sql(
 )
 
 _add_sql(
+    "q47_group_order_by_all",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(sum(l_quantity) AS BIGINT) AS qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_orderkey < 5000
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    "DuckDB GROUP BY ALL / ORDER BY ALL idioms (native in Spark 4 — "
+    "locked in by the oracle gate)",
+)
+
+_add_sql(
+    "q48_recursive_cte",
+    """
+    WITH RECURSIVE seq(n) AS (
+        SELECT 1
+        UNION ALL
+        SELECT n + 1 FROM seq WHERE n < 25
+    )
+    SELECT r_name, n AS tier,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM region r
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN seq ON n <= n_nationkey + 1
+    GROUP BY r_name, n
+    """,
+    "WITH RECURSIVE iterative CTE (Spark 4 recursion) joined against "
+    "base tables",
+)
+
+_add_sql(
     "q40_distinct_on_lambdas",
     """
     SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice,
@@ -1411,6 +1446,85 @@ def _update_from_alter_builder(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(
         "SELECT c_custkey, nation_name, round(balance, 2) AS balance FROM cust2"
     )
+
+
+def _merge_pipeline_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO (DuckDB 1.4+ syntax) through the executor: matched
+    DELETE + matched UPDATE + not-matched INSERT in one statement. The
+    oracle replays the same semantics in plain SQL (the comparator's
+    DuckDB predates MERGE)."""
+    import tempfile
+
+    from .configuration import Block, Code
+    from .plans.executor import SparkStatementExecutor, TableStore
+    from .plans.orchestrator import BlockOrchestrator
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="cdts-wl-mrg-"))
+    executor = SparkStatementExecutor(spark, store)
+    orch = BlockOrchestrator(execute_script=executor.execute_query, max_workers=4)
+    orch.add_queries_from_blocks(
+        [
+            Block(
+                name="mrg",
+                codes=[
+                    Code(
+                        name="pipeline",
+                        script=[
+                            "CREATE TABLE m_ord AS SELECT o_orderkey, o_orderstatus, "
+                            "o_totalprice FROM orders WHERE o_orderkey <= 1000;",
+                            "CREATE TABLE m_src AS SELECT o_orderkey, "
+                            "o_totalprice + 1000.0 AS new_price FROM orders "
+                            "WHERE o_orderkey > 500 AND o_orderkey <= 1500;",
+                            "MERGE INTO m_ord USING m_src "
+                            "ON m_ord.o_orderkey = m_src.o_orderkey "
+                            "WHEN MATCHED AND m_src.new_price < 50000 THEN DELETE "
+                            "WHEN MATCHED THEN UPDATE SET o_totalprice = m_src.new_price "
+                            "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, "
+                            "o_totalprice) VALUES (m_src.o_orderkey, 'N', m_src.new_price);",
+                        ],
+                    )
+                ],
+            )
+        ]
+    )
+    orch.execute()
+    return spark.sql(
+        "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "
+        "FROM m_ord"
+    )
+
+
+_add_df(
+    "x26_merge_pipeline",
+    _merge_pipeline_builder,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 1000),
+    src AS (
+      SELECT o_orderkey, o_totalprice + 1000.0 AS new_price
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500),
+    merged AS (
+      SELECT b.o_orderkey, b.o_orderstatus,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+                  ELSE b.o_totalprice END AS o_totalprice,
+             CASE WHEN s.o_orderkey IS NOT NULL AND s.new_price < 50000
+                  THEN 1 ELSE 0 END AS del
+      FROM base b LEFT JOIN src s USING (o_orderkey)),
+    inserted AS (
+      SELECT s.o_orderkey, 'N' AS o_orderstatus, s.new_price AS o_totalprice
+      FROM src s LEFT JOIN base b USING (o_orderkey)
+      WHERE b.o_orderkey IS NULL)
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM merged WHERE del = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM inserted
+    """,
+    description="MERGE INTO (matched DELETE + matched UPDATE + not-matched "
+    "INSERT) through the DAG executor; oracle replays the semantics in "
+    "pre-MERGE SQL",
+)
 
 
 _add_df(

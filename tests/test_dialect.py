@@ -471,3 +471,21 @@ def test_unsupported_lint_narrowed():
     assert _untranslatable_functions("SELECT format('{:d}', x) FROM t")
     assert _untranslatable_functions("SELECT format(f, x) FROM t")
     assert _untranslatable_functions("SELECT histogram(x) FROM t")
+
+
+def test_using_sample_rewrite():
+    out = translate("SELECT * FROM t USING SAMPLE 10%")
+    assert "TABLESAMPLE (10 PERCENT)" in out and "USING" not in out
+    out2 = translate("SELECT * FROM t USING SAMPLE 50 ROWS")
+    assert "TABLESAMPLE (50 ROWS)" in out2
+    out3 = translate("SELECT * FROM t USING SAMPLE 100")
+    assert "TABLESAMPLE (100 ROWS)" in out3
+    out4 = translate("SELECT * FROM t USING SAMPLE reservoir(20 ROWS)")
+    assert "TABLESAMPLE (20 ROWS)" in out4
+    out5 = translate("SELECT * FROM t USING SAMPLE 10 PERCENT (bernoulli)")
+    assert "TABLESAMPLE (10 PERCENT)" in out5 and "bernoulli" not in out5
+    out6 = translate("SELECT * FROM t USING SAMPLE 10% REPEATABLE (42)")
+    assert "TABLESAMPLE (10 PERCENT) REPEATABLE (42)" in out6
+    # JOIN ... USING (col) untouched
+    keep = "SELECT * FROM a JOIN b USING (k)"
+    assert translate(keep) == keep

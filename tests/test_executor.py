@@ -227,3 +227,43 @@ def test_columns_macro_in_executor(spark, table_store):
     _run(ex, "CREATE TABLE cm_agg AS SELECT max(COLUMNS('k_.*')) FROM cm")
     assert spark.table("cm_agg").columns == ["k_one", "k_two"]
     assert spark.table("cm_agg").collect()[0].asDict() == {"k_one": 3, "k_two": 4}
+
+
+def test_merge_into_all_clause_kinds(spark, table_store):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE mt AS SELECT id, CAST(v AS DOUBLE) AS v, s FROM "
+             "(VALUES (1, 10.0, 'keep'), (2, 20.0, 'upd'), (3, 30.0, 'del'), "
+             "(4, 40.0, 'keep')) x(id, v, s)")
+    _run(ex, "CREATE TABLE ms AS SELECT id, CAST(nv AS DOUBLE) AS nv FROM "
+             "(VALUES (2, 200.0), (3, -1.0), (5, 50.0), (6, 60.0)) x(id, nv)")
+    _run(ex, """
+        MERGE INTO mt USING ms ON mt.id = ms.id
+        WHEN MATCHED AND ms.nv < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = ms.nv, s = 'merged'
+        WHEN NOT MATCHED AND ms.nv >= 60 THEN INSERT (id, v, s)
+             VALUES (ms.id, ms.nv, 'big')
+        WHEN NOT MATCHED THEN INSERT (id, v, s) VALUES (ms.id, ms.nv, 'new')
+    """)
+    got = {(r.id, r.v, r.s) for r in spark.table("mt").collect()}
+    assert got == {
+        (1, 10.0, "keep"), (2, 200.0, "merged"), (4, 40.0, "keep"),
+        (5, 50.0, "new"), (6, 60.0, "big"),
+    }
+
+
+def test_merge_multi_match_errors(spark, table_store):
+    import pytest
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE mm AS SELECT * FROM (VALUES (1, 10)) x(id, v)")
+    _run(ex, "CREATE TABLE mms AS SELECT * FROM (VALUES (1, 1), (1, 2)) x(id, nv)")
+    with pytest.raises(Exception, match="matched multiple"):
+        _run(ex, "MERGE INTO mm USING mms ON mm.id = mms.id "
+                 "WHEN MATCHED THEN UPDATE SET v = mms.nv")
