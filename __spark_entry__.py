@@ -2,12 +2,16 @@
 
 Delegates to ``component_duckdb_transformation_spark.workloads`` — the
 single registry of every implemented operator/query from SURVEY.md §2
-(core SQL + dialect surface q01-q41) plus the LLM-pipeline extensions
-(dedup, similarity, sampling, temporal, text analysis, multimodal,
-streaming: x01-x24). Every workload carries a DuckDB oracle — the
-hash/ANN pipelines use engine-portable md5/integer arithmetic so even
+(core SQL + dialect surface q01-q48, incl. product/entropy rewrites,
+COLUMNS() expansion, GROUP/ORDER BY ALL, recursive CTEs) plus the
+LLM-pipeline extensions (dedup, similarity, sampling, temporal, text
+analysis, multimodal, streaming: x01-x24) and the executor mutation
+pipelines (x15 CTAS/INSERT/UPDATE/DELETE, x25 ALTER + UPDATE..FROM,
+x26 MERGE INTO). Every workload carries a DuckDB oracle — the hash/ANN
+pipelines use engine-portable md5/integer arithmetic so even
 MinHash-LSH, SimHash, hyperplane-LSH, and IVF (k-means training
-included) are replayed exactly in SQL.
+included) are replayed exactly in SQL; the post-MERGE-era statements
+are replayed by equivalent pre-MERGE SQL.
 """
 
 from __future__ import annotations
@@ -34,5 +38,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query (all 67 workloads)."""
+    """DuckDB-runnable oracle SQL per query (all 74 workloads)."""
     return workloads.oracle_sql()
