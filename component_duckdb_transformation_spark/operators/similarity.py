@@ -108,20 +108,45 @@ def integer_hyperplanes(dim: int, n_planes: int) -> list[list[int]]:
 
 def _bucket_expr_quantized(vec, planes: list[list[int]], q: int) -> F.Column:
     """Sign-bit bucket from integer projections: proj_i = sum(round(e*q)
-    * p_i) as bigint — bit-exact across engines."""
-    bucket = F.lit(0).cast("bigint")
-    for i, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(int(p)).cast("bigint") for p in plane]),
-                lambda x, p: F.round(x.cast("double") * q).cast("bigint") * p,
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
+    * p_i) as bigint — bit-exact across engines.
+
+    One pass over the vector: all n_planes projections accumulate in an
+    array accumulator, with the quantized element and intermediate
+    arrays LET-BOUND via single-element transform() lambdas — without
+    the binding, Catalyst's projection collapse inlines the rounding
+    into every per-plane use and the old per-plane-aggregate shape
+    evaluated round(e*q) planes x dim times per row (~8x slower at
+    n_planes=8; this was 80% of the LSH workload's runtime)."""
+    n_planes = len(planes)
+    dim = len(planes[0])
+    # transposed coefficients: per-dimension array of per-plane weights
+    planes_t = F.array(*[
+        F.array(*[F.lit(int(planes[i][d])).cast("bigint") for i in range(n_planes)])
+        for d in range(dim)
+    ])
+    qv = F.transform(vec, lambda x: F.round(x.cast("double") * q).cast("bigint"))
+
+    def bucket_of(qv_b):
+        per_elem = F.zip_with(
+            qv_b, planes_t, lambda qx, coefs: F.transform(coefs, lambda p: qx * p)
         )
-        bucket = bucket + F.when(proj > 0, F.lit(2 ** i).cast("bigint")).otherwise(0)
-    return bucket
+        projs = F.aggregate(
+            per_elem,
+            F.array_repeat(F.lit(0).cast("bigint"), n_planes),
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        )
+
+        def bits(pr):
+            bucket = F.lit(0).cast("bigint")
+            for i in range(n_planes):
+                bucket = bucket + F.when(
+                    F.element_at(pr, i + 1) > 0, F.lit(2 ** i).cast("bigint")
+                ).otherwise(0)
+            return bucket
+
+        return F.element_at(F.transform(F.array(projs), bits), 1)
+
+    return F.element_at(F.transform(F.array(qv), bucket_of), 1)
 
 
 def _bucket_expr(vec, planes: list[list[float]]) -> F.Column:
@@ -139,6 +164,38 @@ def _bucket_expr(vec, planes: list[list[float]]) -> F.Column:
         )
         bucket = bucket + F.when(proj > 0, F.lit(2 ** i).cast("bigint")).otherwise(0)
     return bucket
+
+
+def _with_quantized_bucket(
+    df: DataFrame, vec_col: str, planes: list[list[int]], q: int
+) -> DataFrame:
+    """Append a ``bucket`` column = sign-bit hyperplane bucket of the
+    quantized vector. Same arithmetic as ``_bucket_expr_quantized``
+    (verified equal by test_lsh_bucket_vectorized_matches_expr) but
+    computed as ONE numpy int64 matmul per Arrow batch — Spark's
+    higher-order lambdas are interpreted per element, and at
+    n_planes x dim = 512 interpreted ops/row the Column-expression
+    form was 80% of the LSH workload's runtime."""
+    import pandas as pd  # noqa: F401
+
+    fields = df.schema.fields
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in fields
+    ) + ", bucket bigint"
+    planes_t = np.array(planes, dtype=np.int64).T  # dim x n_planes
+    bits = 1 << np.arange(len(planes), dtype=np.int64)
+
+    def add_bucket(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()), q)
+            signs = (mat @ planes_t) > 0
+            pdf = pdf.copy()
+            pdf["bucket"] = signs.astype(np.int64) @ bits
+            yield pdf
+
+    return df.mapInPandas(add_bucket, schema=out_schema)
 
 
 def lsh_bucketed_topk(
@@ -164,20 +221,32 @@ def lsh_bucketed_topk(
     """
     if quantize:
         iplanes = integer_hyperplanes(dim, n_planes)
-        bucket_of = lambda v: _bucket_expr_quantized(v, iplanes, quantize)  # noqa: E731
+        c = _with_quantized_bucket(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+            ),
+            "c_vec", iplanes, quantize,
+        )
+        q = _with_quantized_bucket(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"),
+            ),
+            "q_vec", iplanes, quantize,
+        ).withColumnRenamed("bucket", "q_bucket")
     else:
         planes = random_hyperplanes(dim, n_planes, seed)
         bucket_of = lambda v: _bucket_expr(v, planes)  # noqa: E731
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("c_vec"),
-        bucket_of(F.col(vec_col)).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        bucket_of(F.col(vec_col)).alias("q_bucket"),
-    )
+        c = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("c_vec"),
+            bucket_of(F.col(vec_col)).alias("bucket"),
+        )
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            bucket_of(F.col(vec_col)).alias("q_bucket"),
+        )
     probes = [0] + [1 << b for b in range(n_probe - 1)]
     q_probed = q.withColumn(
         "bucket",

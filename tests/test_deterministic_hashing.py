@@ -109,3 +109,29 @@ def test_lsh_quantized_self_is_top1(spark):
     top1 = {r.query_id: r.vec_id for r in out.filter(F.col("rank") == 1).collect()}
     # each query's own vector shares its bucket and has the max dot
     assert top1 == {0: 0, 1: 1}
+
+
+def test_lsh_bucket_vectorized_matches_expr(spark):
+    """The numpy mapInPandas bucketizer must be bit-identical to the
+    Column-expression form (same quantization, same sign bits) — the
+    oracle replays the latter's arithmetic in SQL."""
+    from pyspark.sql import functions as F
+
+    from component_duckdb_transformation_spark.operators import similarity
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(500)
+    planes = similarity.integer_hyperplanes(64, 8)
+    expr_rows = emb.select(
+        "vec_id",
+        similarity._bucket_expr_quantized(
+            F.col("embedding"), planes, 1000
+        ).alias("bucket"),
+    ).collect()
+    vec_rows = similarity._with_quantized_bucket(
+        emb.select("vec_id", "embedding"), "embedding", planes, 1000
+    ).select("vec_id", "bucket").collect()
+    assert {(r.vec_id, r.bucket) for r in expr_rows} == {
+        (r.vec_id, r.bucket) for r in vec_rows
+    }
