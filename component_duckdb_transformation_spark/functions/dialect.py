@@ -1294,6 +1294,21 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     )
                     i = close + 1
                     continue
+                if low == "read_parquet" and len(args) == 1:
+                    # table function over one literal path -> Spark's
+                    # direct-file query (reference in_tables_creator.py
+                    # uses the same DuckDB form internally)
+                    path_code = [
+                        t for t in inner[args[0][0]: args[0][1]]
+                        if t.kind not in ("ws", "comment")
+                    ]
+                    if len(path_code) == 1 and path_code[0].kind == "string":
+                        path = path_code[0].text[1:-1].replace("''", "'")
+                        out.extend(
+                            _toks("parquet.`" + path.replace("`", "``") + "`")
+                        )
+                        i = close + 1
+                        continue
                 if low == "jaccard" and len(args) == 2:
                     # DuckDB: Jaccard similarity of the character SETS
                     # (case-sensitive, duplicates ignored)

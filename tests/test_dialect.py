@@ -489,3 +489,11 @@ def test_using_sample_rewrite():
     # JOIN ... USING (col) untouched
     keep = "SELECT * FROM a JOIN b USING (k)"
     assert translate(keep) == keep
+
+
+def test_read_parquet_table_function(spark):
+    sql = ("SELECT count(*) AS n FROM "
+           "read_parquet('/root/testdata/sf0.001/orders.parquet')")
+    out = translate(sql)
+    assert "parquet.`/root/testdata/sf0.001/orders.parquet`" in out
+    assert spark.sql(out).collect()[0].n == 1500
