@@ -290,7 +290,9 @@ def _rewrite_date_diff(tokens: List[Token]) -> List[Token]:
     return out
 
 
-def replace_first_composition(pat: str, rep: str) -> tuple[str, str] | None:
+def replace_first_composition(
+    pat: str, rep: str, case_insensitive: bool = False
+) -> tuple[str, str] | None:
     """Compose a replace-ALL (pattern, replacement) pair equivalent to
     DuckDB's flagless replace-FIRST ``regexp_replace(s, pat, rep)``.
 
@@ -324,6 +326,8 @@ def replace_first_composition(pat: str, rep: str) -> tuple[str, str] | None:
         i += 1
     if "\\" in rep:
         return None
+    if case_insensitive:
+        pat = "(?i:" + pat + ")"
     # $ is literal in DuckDB replacements but a group ref in Java's
     return "^((?s:.*?))(?:" + pat + ")", "$1" + rep.replace("$", "\\$")
 
@@ -437,18 +441,90 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                     if args
                     else []
                 )
-                if (
-                    len(args) == 4
+                flags = (
+                    last_code[0].text[1:-1].lower()
+                    if len(args) == 4
                     and len(last_code) == 1
                     and last_code[0].kind == "string"
-                    and last_code[0].text[1:-1].lower() == "g"
-                ):
+                    else None
+                )
+                if flags is not None and set(flags) <= {"g", "i"}:
+                    pat_code = [
+                        t for t in args[1] if t.kind not in ("ws", "comment")
+                    ]
+                    pat_is_lit = (
+                        len(pat_code) == 1 and pat_code[0].kind == "string"
+                    )
+                    if "g" in flags:
+                        # replace-ALL (Spark's native behavior); 'i' adds
+                        # a case-insensitivity scope to the pattern
+                        out.append(tok)
+                        out.append(Token("op", "("))
+                        out.extend(args[0])
+                        out.append(Token("op", ","))
+                        if "i" not in flags:
+                            out.extend(args[1])
+                        elif pat_is_lit:
+                            out.append(
+                                _encode_spark_string(
+                                    "(?i:"
+                                    + _decode_spark_string(pat_code[0])
+                                    + ")"
+                                )
+                            )
+                        else:
+                            out.extend(_toks("concat('(?i:', "))
+                            out.extend(args[1])
+                            out.extend(_toks(", ')')"))
+                        out.append(Token("op", ","))
+                        out.extend(args[2])
+                        out.append(Token("op", ")"))
+                        i = close + 1
+                        continue
+                    # flags 'i' or '': DuckDB replace-FIRST. Compose
+                    # when possible; otherwise emit a flagless 3-arg
+                    # call (replace-all divergence, lint-covered) with
+                    # the case scope preserved — never a 4-arg call
+                    # (Spark's 4th arg is a position integer).
+                    rep_code = [
+                        t for t in args[2] if t.kind not in ("ws", "comment")
+                    ]
+                    composed = None
+                    if (
+                        pat_is_lit
+                        and len(rep_code) == 1
+                        and rep_code[0].kind == "string"
+                    ):
+                        composed = replace_first_composition(
+                            _decode_spark_string(pat_code[0]),
+                            _decode_spark_string(rep_code[0]),
+                            case_insensitive="i" in flags,
+                        )
                     out.append(tok)
                     out.append(Token("op", "("))
-                    for ai, arg in enumerate(args[:3]):
-                        if ai:
-                            out.append(Token("op", ","))
-                        out.extend(arg)
+                    out.extend(args[0])
+                    out.append(Token("op", ","))
+                    if composed is not None:
+                        out.append(_encode_spark_string(composed[0]))
+                        out.append(Token("op", ","))
+                        out.append(_encode_spark_string(composed[1]))
+                    else:
+                        if "i" not in flags:
+                            out.extend(args[1])
+                        elif pat_is_lit:
+                            out.append(
+                                _encode_spark_string(
+                                    "(?i:"
+                                    + _decode_spark_string(pat_code[0])
+                                    + ")"
+                                )
+                            )
+                        else:
+                            out.extend(_toks("concat('(?i:', "))
+                            out.extend(args[1])
+                            out.extend(_toks(", ')')"))
+                        out.append(Token("op", ","))
+                        out.extend(args[2])
                     out.append(Token("op", ")"))
                     i = close + 1
                     continue

@@ -497,3 +497,21 @@ def test_read_parquet_table_function(spark):
     out = translate(sql)
     assert "parquet.`/root/testdata/sf0.001/orders.parquet`" in out
     assert spark.sql(out).collect()[0].n == 1500
+
+
+def test_regexp_replace_flag_combos(spark):
+    import duckdb
+
+    cases = [
+        "SELECT regexp_replace('ABab', 'a', '_', 'gi') AS r",
+        "SELECT regexp_replace('ABab', 'a', '_', 'i') AS r",
+        "SELECT regexp_replace('ABab', 'a', '_', '') AS r",
+        "SELECT regexp_replace('xAByabz', 'AB', '-', 'i') AS r",
+    ]
+    for c in cases:
+        expected = duckdb.sql(c).fetchall()
+        got = [tuple(r) for r in spark.sql(translate(c)).collect()]
+        assert got == expected, (c, got, expected)
+    # unsafe pattern with 'i': flag stripped, case scope kept, 3-arg out
+    out = translate("SELECT regexp_replace(s, '^a', 'b', 'i') FROM t")
+    assert "'(?i:^a)'" in out and "'i'" not in out
