@@ -318,8 +318,9 @@ class SparkStatementExecutor:
         out), and a LEFT ANTI join computes the INSERT rows — then one
         copy-on-write rewrite. A target row matching multiple source
         rows raises, per the SQL standard (checked inside the plan with
-        a window count, no extra pass). WHEN NOT MATCHED BY SOURCE is
-        not supported."""
+        a window count, no extra pass). ``WHEN NOT MATCHED BY SOURCE
+        THEN UPDATE|DELETE`` applies to target rows without a match,
+        evaluated in the stitch phase over target columns."""
         from pyspark.sql import functions as F
 
         parsed = _parse_merge(st.sql)
@@ -333,7 +334,11 @@ class SparkStatementExecutor:
         t_alias = parsed["target_alias"] or name
         src = translate(parsed["source"])
         on = translate(parsed["on"])
-        matched = [c for c in parsed["clauses"] if c["kind"] in ("update", "delete")]
+        join_cl = [
+            c for c in parsed["clauses"]
+            if c["kind"] in ("update", "delete") and not c.get("by_source")
+        ]
+        bs_cl = [c for c in parsed["clauses"] if c.get("by_source")]
         inserts = [c for c in parsed["clauses"] if c["kind"] == "insert"]
 
         tagged_view = f"__mrg_{uuid.uuid4().hex[:10]}"
@@ -341,13 +346,20 @@ class SparkStatementExecutor:
         tagged.persist()
         tagged.createOrReplaceTempView(tagged_view)
         try:
-            kept = self.spark.table(_bt(tagged_view)).alias("t")
-            if matched:
+            # the stitch frame carries the statement's target alias, so
+            # BY SOURCE conditions/SET expressions (target-column scope,
+            # possibly alias-qualified) resolve directly
+            kept = self.spark.table(_bt(tagged_view)).alias(t_alias)
+
+            def tcol(fname: str) -> F.Column:
+                return F.col(f"{t_alias}.{_bt(fname)}")
+
+            if join_cl or bs_cl:
                 sel = [
                     f"{_bt(t_alias)}.__rid AS __rid",
                     f"count(*) OVER (PARTITION BY {_bt(t_alias)}.__rid) AS __nm",
                 ]
-                for ci, cl in enumerate(matched):
+                for ci, cl in enumerate(join_cl):
                     cond = translate(cl["cond"]) if cl["cond"] else "true"
                     sel.append(f"({cond}) AS __c{ci}")
                     for j, (_, expr) in enumerate(cl.get("sets", [])):
@@ -356,33 +368,56 @@ class SparkStatementExecutor:
                     f"SELECT {', '.join(sel)} "
                     f"FROM {_bt(tagged_view)} AS {_bt(t_alias)} JOIN {src} ON {on}"
                 )
-                joined = kept.join(matches.alias("m"), on="__rid", how="left")
-                joined = joined.filter(
-                    F.when(
-                        F.col("m.__nm") > 1,
-                        F.expr(
-                            "raise_error('MERGE: a target row matched "
-                            "multiple source rows') IS NULL"
-                        ),
-                    ).otherwise(F.lit(True))
-                )
-                # first applicable clause per row (standard first-match-wins)
+                if not join_cl:
+                    # only matched-ness is needed; dedupe so multi-match
+                    # rows aren't duplicated by the stitch join
+                    matches = matches.select("__rid").distinct()
+                joined = kept.join(matches.alias("__m"), on="__rid", how="left")
+                if join_cl:
+                    joined = joined.filter(
+                        F.when(
+                            F.col("__m.__nm") > 1,
+                            F.expr(
+                                "raise_error('MERGE: a target row matched "
+                                "multiple source rows') IS NULL"
+                            ),
+                        ).otherwise(F.lit(True))
+                    )
+                # first applicable clause per row, separately for the
+                # matched (join) and unmatched (BY SOURCE) populations
                 clause_idx = F.lit(None).cast("int")
-                for ci in reversed(range(len(matched))):
+                for ci in reversed(range(len(join_cl))):
                     clause_idx = F.when(
-                        F.col("m.__rid").isNotNull() & F.col(f"m.__c{ci}"),
+                        F.col("__m.__rid").isNotNull() & F.col(f"__m.__c{ci}"),
                         F.lit(ci),
                     ).otherwise(clause_idx)
-                joined = joined.withColumn("__clause", clause_idx)
-                for ci, cl in enumerate(matched):
+                bs_idx = F.lit(None).cast("int")
+                for ci in reversed(range(len(bs_cl))):
+                    cond = (
+                        F.expr(translate(bs_cl[ci]["cond"]))
+                        if bs_cl[ci]["cond"]
+                        else F.lit(True)
+                    )
+                    bs_idx = F.when(
+                        F.col("__m.__rid").isNull() & cond, F.lit(ci)
+                    ).otherwise(bs_idx)
+                joined = joined.withColumn("__clause", clause_idx).withColumn(
+                    "__bs", bs_idx
+                )
+                for ci, cl in enumerate(join_cl):
                     if cl["kind"] == "delete":
                         joined = joined.filter(
                             F.col("__clause").isNull() | (F.col("__clause") != ci)
                         )
+                for ci, cl in enumerate(bs_cl):
+                    if cl["kind"] == "delete":
+                        joined = joined.filter(
+                            F.col("__bs").isNull() | (F.col("__bs") != ci)
+                        )
                 cols = []
-                for fi, fld in enumerate(fields):
-                    value = F.col(f"t.{_bt(fld.name)}")
-                    for ci, cl in enumerate(matched):
+                for fld in fields:
+                    value = tcol(fld.name)
+                    for ci, cl in enumerate(join_cl):
                         if cl["kind"] != "update":
                             continue
                         set_map = {
@@ -392,13 +427,26 @@ class SparkStatementExecutor:
                         if j is not None:
                             value = F.when(
                                 F.col("__clause") == ci,
-                                F.col(f"m.__s{ci}_{j}").cast(fld.dataType),
+                                F.col(f"__m.__s{ci}_{j}").cast(fld.dataType),
+                            ).otherwise(value)
+                    for ci, cl in enumerate(bs_cl):
+                        if cl["kind"] != "update":
+                            continue
+                        set_map = {
+                            c.lower(): (c, e)
+                            for c, e in cl["sets"]
+                        }
+                        hit = set_map.get(fld.name.lower())
+                        if hit is not None:
+                            value = F.when(
+                                F.col("__bs") == ci,
+                                F.expr(translate(hit[1])).cast(fld.dataType),
                             ).otherwise(value)
                     cols.append(value.alias(fld.name))
                 result = joined.select(*cols)
             else:
                 result = kept.select(
-                    *[F.col(f"t.{_bt(f.name)}").alias(f.name) for f in fields]
+                    *[tcol(f.name).alias(f.name) for f in fields]
                 )
 
             earlier_conds: List[str] = []
@@ -1107,8 +1155,15 @@ def _parse_merge(sql: str):
         if j >= end_ci or not code[j][1].is_kw("MATCHED"):
             return None
         j += 1
+        by_source = False
         if j < end_ci and code[j][1].is_kw("BY"):
-            return None  # BY SOURCE/TARGET not supported
+            if j + 1 < end_ci and code[j + 1][1].is_kw("SOURCE") and negated:
+                by_source = True
+                j += 2
+            elif j + 1 < end_ci and code[j + 1][1].is_kw("TARGET") and negated:
+                j += 2  # NOT MATCHED BY TARGET == plain NOT MATCHED
+            else:
+                return None
         cond = None
         if j < end_ci and code[j][1].is_kw("AND"):
             then_ci = _find_kw("THEN", j)
@@ -1126,11 +1181,13 @@ def _parse_merge(sql: str):
         action = code[j][1].upper
         end_raw = code[end_ci][0] if end_ci < n else len(tokens)
         if action == "DELETE":
-            if negated:
+            if negated and not by_source:
                 return None
-            clauses.append({"kind": "delete", "cond": cond})
+            clauses.append(
+                {"kind": "delete", "cond": cond, "by_source": by_source}
+            )
         elif action == "UPDATE":
-            if negated:
+            if negated and not by_source:
                 return None
             j += 1
             if j >= end_ci or not code[j][1].is_kw("SET"):
@@ -1141,10 +1198,11 @@ def _parse_merge(sql: str):
                     "kind": "update",
                     "cond": cond,
                     "sets": _split_assignment_tokens(set_toks),
+                    "by_source": by_source,
                 }
             )
         elif action == "INSERT":
-            if not negated:
+            if not negated or by_source:
                 return None
             j += 1
             cols = None

@@ -267,3 +267,22 @@ def test_merge_multi_match_errors(spark, table_store):
     with pytest.raises(Exception, match="matched multiple"):
         _run(ex, "MERGE INTO mm USING mms ON mm.id = mms.id "
                  "WHEN MATCHED THEN UPDATE SET v = mms.nv")
+
+
+def test_merge_not_matched_by_source(spark, table_store):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE bst AS SELECT * FROM "
+             "(VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')) x(id, s)")
+    _run(ex, "CREATE TABLE bss AS SELECT * FROM (VALUES (1), (2)) x(id)")
+    _run(ex, """
+        MERGE INTO bst USING bss ON bst.id = bss.id
+        WHEN MATCHED THEN UPDATE SET s = 'hit'
+        WHEN NOT MATCHED BY SOURCE AND bst.id = 3 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET s = 'stale'
+    """)
+    got = {(r.id, r.s) for r in spark.table("bst").collect()}
+    assert got == {(1, "hit"), (2, "hit"), (4, "stale")}
