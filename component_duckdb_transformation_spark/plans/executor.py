@@ -252,6 +252,109 @@ class SparkStatementExecutor:
         # view ORDER BY clauses for export-time re-sort (SURVEY §7.2)
         self.view_order_by: Dict[str, str] = {}
 
+    def _expand_dynamic_pivot(self, sql: str, max_values: int = 200) -> str:
+        """DuckDB statement-level dynamic pivot — ``PIVOT tbl ON col
+        USING agg(x) GROUP BY keys [ORDER BY ...]`` — discovers the
+        pivot values at plan time, like DuckDB does. Expanded to
+        conditional aggregation (``agg FILTER (WHERE col = v) AS v``,
+        values sorted ascending, NULLs excluded — DuckDB's column set)
+        rather than Spark's PIVOT operator, so the USING expression
+        passes through whole. Supports the explicit-GROUP BY form with
+        one ON column and one USING aggregate; other shapes are left
+        untouched (Spark-style ``PIVOT (... FOR ... IN ...)`` already
+        parses natively). Value discovery caps at ``max_values`` —
+        beyond that a pivot is almost certainly a mistake."""
+        tokens = tokenize(sql)
+        code = list(code_tokens(tokens))
+        n = len(code)
+        p_ci = None
+        depth = 0
+        for ci, (_, tok) in enumerate(code):
+            if tok.kind == "op" and tok.text == "(":
+                depth += 1
+            elif tok.kind == "op" and tok.text == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and tok.is_kw("PIVOT")
+                and ci + 1 < n
+                and code[ci + 1][1].kind in ("word", "bident", "qident")
+            ):
+                p_ci = ci
+                break
+        if p_ci is None:
+            return sql
+        name = unquote_name(code[p_ci + 1][1])
+
+        def _find(kw: str, from_ci: int) -> Optional[int]:
+            d = 0
+            for j in range(from_ci, n):
+                t = code[j][1]
+                if t.kind == "op" and t.text == "(":
+                    d += 1
+                elif t.kind == "op" and t.text == ")":
+                    d -= 1
+                elif d == 0 and t.is_kw(kw):
+                    return j
+            return None
+
+        on_ci = _find("ON", p_ci + 2)
+        using_ci = _find("USING", p_ci + 2)
+        group_ci = _find("GROUP", p_ci + 2)
+        if on_ci is None or using_ci is None or group_ci is None:
+            return sql
+        order_ci = _find("ORDER", group_ci + 1)
+        limit_ci = _find("LIMIT", group_ci + 1)
+        tail_ci = min(x for x in (order_ci, limit_ci, n) if x is not None)
+
+        raw = lambda ci: code[ci][0]  # noqa: E731
+        on_expr = "".join(
+            t.text for t in tokens[raw(on_ci) + 1: raw(using_ci)]
+        ).strip()
+        agg_expr = "".join(
+            t.text for t in tokens[raw(using_ci) + 1: raw(group_ci)]
+        ).strip()
+        by_ci = group_ci + 1
+        if by_ci < n and code[by_ci][1].is_kw("BY"):
+            by_ci += 1
+        keys = "".join(
+            t.text
+            for t in tokens[raw(by_ci): raw(tail_ci) if tail_ci < n else len(tokens)]
+        ).strip()
+        tail = (
+            "".join(t.text for t in tokens[raw(tail_ci):]) if tail_ci < n else ""
+        )
+        if not on_expr or not agg_expr or not keys:
+            return sql
+        vals = [
+            r[0]
+            for r in self.spark.sql(
+                f"SELECT DISTINCT {translate(on_expr)} AS v FROM {_bt(name)} "
+                f"WHERE ({translate(on_expr)}) IS NOT NULL ORDER BY 1 "
+                f"LIMIT {max_values + 1}"
+            ).collect()
+        ]
+        if len(vals) > max_values:
+            raise UserException(
+                f"PIVOT ON {on_expr}: more than {max_values} distinct values"
+            )
+        cols = []
+        for v in vals:
+            lit = (
+                "'" + str(v).replace("'", "''") + "'"
+                if isinstance(v, str)
+                else str(v)
+            )
+            cname = str(v).replace("`", "``")
+            cols.append(
+                f"{agg_expr} FILTER (WHERE ({on_expr}) = {lit}) AS `{cname}`"
+            )
+        head = "".join(t.text for t in tokens[: raw(p_ci)])
+        return (
+            f"{head}SELECT {keys}, {', '.join(cols)} FROM {_bt(name)} "
+            f"GROUP BY {keys} {tail}"
+        )
+
     def _table_columns(self, name: str) -> Optional[List[str]]:
         """Schema lookup for COLUMNS() expansion; None when unknown."""
         try:
@@ -279,6 +382,10 @@ class SparkStatementExecutor:
             # the time the statement runs, so the live session resolves
             # the projection the schema-free translator can't
             expanded = expand_columns_macro(st.sql, self._table_columns)
+            if expanded != st.sql:
+                st = dataclasses.replace(st, sql=expanded)
+        if "pivot" in st.sql.lower():
+            expanded = self._expand_dynamic_pivot(st.sql)
             if expanded != st.sql:
                 st = dataclasses.replace(st, sql=expanded)
         stype = st.statement_type

@@ -363,6 +363,14 @@ def _collect_dependencies(code: Sequence[tuple[int, Token]]) -> Set[str]:
                 i = nxt
             else:
                 i += 1
+        elif tok.is_kw("PIVOT") and i + 1 < n and code[i + 1][1].kind in _NAME_KINDS:
+            # DuckDB statement-level `PIVOT tbl ON ...`: tbl is read
+            name, nxt = _dotted_name(code, i + 1)
+            if name:
+                deps.add(name)
+                i = nxt
+            else:
+                i += 1
         elif tok.is_kw("USING") and i + 1 < n and code[i + 1][1].kind in _NAME_KINDS:
             # `MERGE ... USING src` / duckdb `FROM x USING SAMPLE` — only
             # capture for MERGE-style (name after USING, not '(')

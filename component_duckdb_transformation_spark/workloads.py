@@ -1527,6 +1527,58 @@ _add_df(
 )
 
 
+def _dynamic_pivot_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """DuckDB statement-level dynamic PIVOT (no IN list — values
+    discovered at plan time) through the executor; the oracle runs
+    DuckDB's native PIVOT."""
+    import tempfile
+
+    from .configuration import Block, Code
+    from .plans.executor import SparkStatementExecutor, TableStore
+    from .plans.orchestrator import BlockOrchestrator
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="cdts-wl-piv-"))
+    executor = SparkStatementExecutor(spark, store)
+    orch = BlockOrchestrator(execute_script=executor.execute_query, max_workers=4)
+    orch.add_queries_from_blocks(
+        [
+            Block(
+                name="piv",
+                codes=[
+                    Code(
+                        name="pipeline",
+                        script=[
+                            "CREATE TABLE piv_out AS PIVOT orders "
+                            "ON o_orderstatus USING sum(o_totalprice) "
+                            "GROUP BY o_orderpriority;",
+                        ],
+                    )
+                ],
+            )
+        ]
+    )
+    orch.execute()
+    return spark.sql(
+        "SELECT o_orderpriority, round(F, 2) AS F, round(O, 2) AS O, "
+        "round(P, 2) AS P FROM piv_out"
+    )
+
+
+_add_df(
+    "x27_dynamic_pivot",
+    _dynamic_pivot_builder,
+    oracle="""
+    SELECT o_orderpriority, round(F, 2) AS F, round(O, 2) AS O,
+           round(P, 2) AS P
+    FROM (PIVOT orders ON o_orderstatus USING sum(o_totalprice)
+          GROUP BY o_orderpriority)
+    """,
+    description="dynamic PIVOT (value discovery at plan time) expanded to "
+    "FILTER-style conditional aggregation; oracle runs DuckDB's native "
+    "PIVOT",
+)
+
+
 _add_df(
     "x25_update_from_alter_pipeline",
     _update_from_alter_builder,

@@ -286,3 +286,18 @@ def test_merge_not_matched_by_source(spark, table_store):
     """)
     got = {(r.id, r.s) for r in spark.table("bst").collect()}
     assert got == {(1, "hit"), (2, "hit"), (4, "stale")}
+
+
+def test_dynamic_pivot_expansion(spark, table_store):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE dp AS SELECT * FROM (VALUES "
+             "('a', 'x', 1), ('a', 'y', 2), ('b', 'x', 3), ('b', 'x', 4)"
+             ") v(k, p, val)")
+    _run(ex, "CREATE TABLE dp_out AS PIVOT dp ON p USING sum(val) GROUP BY k")
+    assert spark.table("dp_out").columns == ["k", "x", "y"]
+    got = {(r.k, r.x, r.y) for r in spark.table("dp_out").collect()}
+    assert got == {("a", 1, 2), ("b", 7, None)}
