@@ -132,6 +132,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_star_replace(tokens)
     tokens = _rewrite_similar_to(tokens)
     tokens = _rewrite_using_sample(tokens)
+    tokens = _rewrite_statement_unpivot(tokens)
     tokens = _rewrite_extract_dow(tokens)
     tokens = _rewrite_date_trunc(tokens)
     tokens = _rewrite_date_diff(tokens)
@@ -1874,6 +1875,66 @@ def _rewrite_star_replace(tokens: List[Token]) -> List[Token]:
         out.append(tok)
         i += 1
     return out
+
+
+def _rewrite_statement_unpivot(tokens: List[Token]) -> List[Token]:
+    """DuckDB statement-level ``UNPIVOT tbl ON c1, c2 INTO NAME n VALUE
+    v`` -> ``SELECT * FROM tbl UNPIVOT (v FOR n IN (c1, c2))`` (Spark's
+    relational form; both engines exclude NULL values by default and
+    order columns as remaining + name + value). Only the single-VALUE
+    explicit-column form; others pass through."""
+    # locate depth-0 UNPIVOT followed by a table ref then ON
+    n = len(tokens)
+    depth = 0
+    for i in range(n):
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        elif depth == 0 and tok.is_kw("UNPIVOT"):
+            t_idx = _next_code(tokens, i)
+            if t_idx >= n or tokens[t_idx].kind not in ("word", "bident", "qident"):
+                return tokens
+            on_idx = _next_code(tokens, t_idx)
+            if on_idx >= n or not tokens[on_idx].is_kw("ON"):
+                return tokens
+            into_idx = None
+            d = 0
+            for j in range(on_idx + 1, n):
+                t = tokens[j]
+                if t.kind == "op" and t.text == "(":
+                    d += 1
+                elif t.kind == "op" and t.text == ")":
+                    d -= 1
+                elif d == 0 and t.is_kw("INTO"):
+                    into_idx = j
+                    break
+            if into_idx is None:
+                return tokens
+            name_kw = _next_code(tokens, into_idx)
+            if name_kw >= n or not tokens[name_kw].is_kw("NAME"):
+                return tokens
+            name_idx = _next_code(tokens, name_kw)
+            value_kw = _next_code(tokens, name_idx)
+            if value_kw >= n or not tokens[value_kw].is_kw("VALUE"):
+                return tokens
+            value_idx = _next_code(tokens, value_kw)
+            if value_idx >= n:
+                return tokens
+            table = tokens[t_idx].text
+            on_cols = "".join(
+                t.text for t in tokens[on_idx + 1: into_idx]
+            ).strip()
+            name_col = tokens[name_idx].text
+            value_col = tokens[value_idx].text
+            head = "".join(t.text for t in tokens[:i])
+            tail = "".join(t.text for t in tokens[value_idx + 1:])
+            return _toks(
+                f"{head}SELECT * FROM {table} UNPIVOT ({value_col} "
+                f"FOR {name_col} IN ({on_cols})){tail}"
+            )
+    return tokens
 
 
 def _rewrite_using_sample(tokens: List[Token]) -> List[Token]:

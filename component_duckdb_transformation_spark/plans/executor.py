@@ -684,7 +684,12 @@ class SparkStatementExecutor:
         name = next(iter(st.outputs), None)
         tail = _insert_source_sql(st.sql)
         df = self.spark.sql(translate(tail))
-        self.store.insert_into(name, df, columns=_insert_column_list(st.sql))
+        cols = _insert_column_list(st.sql)
+        if cols is None and _insert_is_by_name(st.sql):
+            # DuckDB `INSERT INTO t BY NAME select`: the SELECT's output
+            # names pick the target columns; missing ones get NULL
+            cols = df.columns
+        self.store.insert_into(name, df, columns=cols)
 
     def _update(self, st: ParsedStatement) -> None:
         name = next(iter(st.outputs), None)
@@ -981,6 +986,18 @@ def _insert_column_list(sql: str) -> Optional[List[str]]:
             return None  # not a plain column list
         cols.append(_unquote_ident(code[0]))
     return cols or None
+
+
+def _insert_is_by_name(sql: str) -> bool:
+    """True for ``INSERT INTO t BY NAME <source>``."""
+    code = _code(sql)
+    for pos in range(2, min(len(code) - 1, 8)):
+        tok = code[pos][1]
+        if tok.is_kw("SELECT", "WITH", "VALUES", "FROM"):
+            return False
+        if tok.is_kw("BY") and code[pos + 1][1].is_kw("NAME"):
+            return True
+    return False
 
 
 def _insert_source_sql(sql: str) -> str:

@@ -515,3 +515,11 @@ def test_regexp_replace_flag_combos(spark):
     # unsafe pattern with 'i': flag stripped, case scope kept, 3-arg out
     out = translate("SELECT regexp_replace(s, '^a', 'b', 'i') FROM t")
     assert "'(?i:^a)'" in out and "'i'" not in out
+
+
+def test_statement_level_unpivot():
+    out = translate("UNPIVOT t ON a, b INTO NAME metric VALUE val")
+    assert out == "SELECT * FROM t UNPIVOT (val FOR metric IN (a, b))"
+    # relational (Spark-style) UNPIVOT untouched
+    keep = "SELECT * FROM t UNPIVOT (v FOR k IN (a, b))"
+    assert translate(keep) == keep

@@ -301,3 +301,18 @@ def test_dynamic_pivot_expansion(spark, table_store):
     assert spark.table("dp_out").columns == ["k", "x", "y"]
     got = {(r.k, r.x, r.y) for r in spark.table("dp_out").collect()}
     assert got == {("a", 1, 2), ("b", 7, None)}
+
+
+def test_insert_by_name(spark, table_store):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE bn (x INT, y VARCHAR)")
+    _run(ex, "INSERT INTO bn BY NAME SELECT 'hello' AS y, 42 AS x")
+    assert [tuple(r) for r in spark.table("bn").collect()] == [(42, "hello")]
+    # missing column -> NULL (DuckDB semantics)
+    _run(ex, "INSERT INTO bn BY NAME SELECT 7 AS x")
+    got = {tuple(r) for r in spark.table("bn").collect()}
+    assert got == {(42, "hello"), (7, None)}
