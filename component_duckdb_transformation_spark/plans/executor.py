@@ -410,6 +410,29 @@ class SparkStatementExecutor:
         elif stype == StatementType.MERGE:
             self._merge(st)
         else:
+            first = st.sql.lstrip().split(None, 1)
+            head = first[0].upper().rstrip(";") if first else ""
+            if head in ("PRAGMA", "CHECKPOINT", "VACUUM", "ANALYZE"):
+                # DuckDB engine-maintenance/resource statements: no
+                # Spark equivalent at statement level (session sizing
+                # comes from session.py); scripts keep running
+                LOG.warning(
+                    "Ignoring DuckDB engine statement (no-op here): %s",
+                    st.sql[:80],
+                )
+                return
+            if head == "SET":
+                # DuckDB SET configures the engine (memory_limit,
+                # threads, TimeZone...). Try Spark's own SET (harmless
+                # for spark.* keys); ignore unknown engine knobs.
+                try:
+                    self.spark.sql(st.sql)
+                except Exception:  # noqa: BLE001
+                    LOG.warning(
+                        "Ignoring engine SET (no Spark equivalent): %s",
+                        st.sql[:80],
+                    )
+                return
             df = self.spark.sql(translate(st.sql))
             if df.columns:
                 # execute fully, discard rows — distributed, no driver collect

@@ -316,3 +316,18 @@ def test_insert_by_name(spark, table_store):
     _run(ex, "INSERT INTO bn BY NAME SELECT 7 AS x")
     got = {tuple(r) for r in spark.table("bn").collect()}
     assert got == {(42, "hello"), (7, None)}
+
+
+def test_engine_statements_are_noops(spark, table_store):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    # none of these may raise; scripts containing them keep running
+    _run(ex, "PRAGMA memory_limit='2GB'")
+    _run(ex, "CHECKPOINT")
+    _run(ex, "SET memory_limit='2GB'")
+    _run(ex, "VACUUM")
+    _run(ex, "CREATE TABLE noop_ok AS SELECT 1 AS x")
+    assert spark.table("noop_ok").count() == 1
