@@ -797,6 +797,21 @@ _add_sql(
 )
 
 _add_sql(
+    "q49_struct_map_literals",
+    """
+    SELECT n_nationkey,
+           ({'name': n_name, 'region': n_regionkey}).region AS sregion,
+           struct_pack(a := n_nationkey, b := n_name).b AS sb,
+           CAST(cardinality(map {'k1': n_nationkey, 'k2': 99}) AS BIGINT)
+               AS mcard,
+           array_to_string(map_keys(map {'k1': 1, 'k2': 2}), ',') AS mkeys
+    FROM nation
+    """,
+    "struct literals + struct_pack field access, map literals, "
+    "cardinality/map_keys (insertion order preserved in both engines)",
+)
+
+_add_sql(
     "q40_distinct_on_lambdas",
     """
     SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice,
