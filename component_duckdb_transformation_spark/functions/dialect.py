@@ -124,6 +124,7 @@ def _matching_paren(tokens: List[Token], open_idx: int) -> int:
 def translate(sql: str) -> str:
     """Translate one DuckDB-dialect statement to Spark SQL."""
     tokens = tokenize(sql)
+    tokens = _from_first_scope(_rewrite_from_first(tokens))
     tokens = _rewrite_table_name_literals(tokens)
     tokens = _rewrite_string_escapes(tokens)
     tokens = _rewrite_quoted_identifiers(tokens)
@@ -148,15 +149,126 @@ def translate(sql: str) -> str:
     return "".join(t.text for t in tokens)
 
 
+_FROM_FIRST_CLAUSES = {
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "QUALIFY",
+    "UNION", "EXCEPT", "INTERSECT", "OFFSET", "WINDOW",
+}
+
+# keywords that can precede a parenthesized subquery (so the group is a
+# query scope, not a function-call argument list)
+_PAREN_KEYWORDS = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "IN", "ON", "WHEN", "THEN",
+    "ELSE", "BY", "AS", "CASE", "VALUES", "SET", "HAVING", "LIMIT",
+    "OFFSET", "UNION", "ALL", "DISTINCT", "FROM", "JOIN", "BETWEEN",
+    "LIKE", "IS", "EXISTS", "USING", "INTERSECT", "EXCEPT", "MINUS",
+}
+
+
+def _rewrite_from_first(tokens: List[Token]) -> List[Token]:
+    """Recurse into parenthesized groups applying the FROM-first
+    transform to every non-call group (subqueries like ``(FROM t WHERE
+    ...)``); call argument lists are skipped so ``trim(FROM s)`` /
+    ``extract(DOW FROM d)`` stay intact."""
+    out: List[Token] = []
+    prev_code: Token | None = None
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text == "(":
+            close = _matching_paren(tokens, i)
+            inner = _rewrite_from_first(tokens[i + 1 : close])
+            # a '(' after a non-keyword identifier is a call argument
+            # list; after a keyword (FROM/IN/EXISTS/...) it's a group
+            # that may hold a subquery
+            is_call = (
+                prev_code is not None
+                and prev_code.kind in ("word", "bident", "qident")
+                and prev_code.upper not in _PAREN_KEYWORDS
+            )
+            if not is_call:
+                inner = _from_first_scope(inner)
+            out.append(tok)
+            out.extend(inner)
+            out.append(tokens[close])
+            prev_code = tokens[close]
+            i = close + 1
+            continue
+        out.append(tok)
+        if tok.kind not in ("ws", "comment"):
+            prev_code = tok
+        i += 1
+    return out
+
+
+def _from_first_scope(tokens: List[Token]) -> List[Token]:
+    """DuckDB FROM-first queries: ``FROM t [SELECT list] ...`` ->
+    ``SELECT list|* FROM t ...`` (the SELECT clause, wherever it
+    appears at depth 0, moves to the front; absent SELECT means
+    ``SELECT *``)."""
+    first = _next_code(tokens, -1)
+    n = len(tokens)
+    if first >= n or not tokens[first].is_kw("FROM"):
+        return tokens
+    depth = 0
+    sel = None
+    for j in range(first + 1, n):
+        t = tokens[j]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.is_kw("SELECT"):
+            sel = j
+            break
+    if sel is None:
+        return tokens[:first] + _toks("SELECT * ") + tokens[first:]
+    end = n
+    depth = 0
+    for j in range(sel + 1, n):
+        t = tokens[j]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and t.upper in _FROM_FIRST_CLAUSES:
+            end = j
+            break
+    return (
+        tokens[:first]
+        + tokens[sel:end]
+        + [Token("ws", " ")]
+        + tokens[first:sel]
+        + tokens[end:]
+    )
+
+
+# SQL-standard functions whose argument list uses FROM as a separator
+# (trim(BOTH ' ' FROM s), extract(DOW FROM d), substring(s FROM 2)...):
+# a string after THAT kind of FROM is data, not a table name
+_FROM_ARG_CALLS = {"TRIM", "EXTRACT", "SUBSTRING", "SUBSTR", "POSITION", "OVERLAY"}
+
+
 def _rewrite_table_name_literals(tokens: List[Token]) -> List[Token]:
     out: List[Token] = []
     prev_code: Token | None = None
-    for tok in tokens:
+    fn_paren: List[bool] = []
+    for i, tok in enumerate(tokens):
+        if tok.kind == "op" and tok.text == "(":
+            fn_paren.append(
+                prev_code is not None
+                and prev_code.kind == "word"
+                and prev_code.upper in _FROM_ARG_CALLS
+            )
+        elif tok.kind == "op" and tok.text == ")":
+            if fn_paren:
+                fn_paren.pop()
         if (
             tok.kind == "string"
             and prev_code is not None
             and prev_code.kind == "word"
             and prev_code.upper in _TABLE_NAME_CONTEXT
+            and not (fn_paren and fn_paren[-1])
         ):
             inner = tok.text[1:-1].replace("''", "'")
             out.append(Token("bident", f"`{inner}`"))

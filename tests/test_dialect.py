@@ -523,3 +523,36 @@ def test_statement_level_unpivot():
     # relational (Spark-style) UNPIVOT untouched
     keep = "SELECT * FROM t UNPIVOT (v FOR k IN (a, b))"
     assert translate(keep) == keep
+
+
+def test_from_first_queries(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fft AS SELECT * FROM "
+                "(VALUES (1,'a'),(2,'b'),(3,'c')) v(id, s)")
+    spark.sql("SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c')) v(id, s)"
+              ).createOrReplaceTempView("fft")
+    cases = [
+        "FROM fft",
+        "FROM fft WHERE id > 1",
+        "FROM fft SELECT s WHERE id > 1",
+        "FROM fft SELECT id * 2 AS d ORDER BY id",
+        "SELECT * FROM (FROM fft WHERE id = 2)",
+        "WITH c AS (FROM fft WHERE id >= 2) SELECT count(*) AS n FROM c",
+        "SELECT id FROM fft WHERE EXISTS (FROM fft f2 WHERE f2.id = fft.id + 1)",
+    ]
+    for c in cases:
+        expected = sorted(con.execute(c).fetchall())
+        got = sorted(tuple(r) for r in spark.sql(translate(c)).collect())
+        assert got == expected, (c, got, expected)
+
+
+def test_from_arg_functions_keep_string_args():
+    # a string after trim/extract-style FROM is data, not a table name
+    out = translate("SELECT trim(BOTH ' ' FROM '  x  ')")
+    assert "'  x  '" in out and "`" not in out
+    out2 = translate("SELECT substring('hello' FROM 2 FOR 3)")
+    assert "'hello'" in out2
+    # real FROM-table string literals still become backticked names
+    assert "`days.csv`" in translate("SELECT * FROM 'days.csv'")
