@@ -812,6 +812,20 @@ _add_sql(
 )
 
 _add_sql(
+    "q50_from_first",
+    """
+    FROM lineitem
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) AS BIGINT) AS qty,
+           CAST(count(*) AS BIGINT) AS n
+    WHERE l_orderkey < 5000
+    GROUP BY l_returnflag
+    """,
+    "DuckDB FROM-first query form (SELECT clause relocated by the "
+    "dialect layer)",
+)
+
+_add_sql(
     "q40_distinct_on_lambdas",
     """
     SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice,
