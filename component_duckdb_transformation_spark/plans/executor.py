@@ -412,6 +412,9 @@ class SparkStatementExecutor:
         else:
             first = st.sql.lstrip().split(None, 1)
             head = first[0].upper().rstrip(";") if first else ""
+            if head == "COPY":
+                self._copy(st)
+                return
             if head in ("PRAGMA", "CHECKPOINT", "VACUUM", "ANALYZE"):
                 # DuckDB engine-maintenance/resource statements: no
                 # Spark equivalent at statement level (session sizing
@@ -601,6 +604,50 @@ class SparkStatementExecutor:
         finally:
             self.spark.catalog.dropTempView(tagged_view)
             tagged.unpersist()
+
+    def _copy(self, st: ParsedStatement) -> None:
+        """User-script ``COPY <table|(query)> TO 'path' [(options)]``
+        (the reference executes these verbatim in DuckDB). CSV (HEADER /
+        DELIMITER / FORCE_QUOTE *) and PARQUET formats; DuckDB writes
+        ONE file, so the write coalesces to a single part streamed into
+        the target path — the component-level export path
+        (sinks/table_export) stays the scale route for sliced output."""
+        import glob
+        import shutil
+        import tempfile
+
+        parsed = _parse_copy(st.sql)
+        if parsed is None:
+            raise UserException(f"Unsupported COPY form: {st.sql[:120]}")
+        source, path, opts = parsed
+        if source.lstrip().startswith("("):
+            df = self.spark.sql(translate(source.strip()[1:-1]))
+        else:
+            df = self.spark.table(_bt(source))
+        fmt = opts.get("format")
+        if fmt is None:
+            fmt = "parquet" if path.lower().endswith(".parquet") else "csv"
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="cdts-copy-")
+        try:
+            if fmt == "parquet":
+                df.coalesce(1).write.mode("overwrite").parquet(tmp)
+                parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
+            else:
+                writer = df.coalesce(1).write.mode("overwrite").options(
+                    header=opts.get("header", True),
+                    sep=opts.get("delimiter", ","),
+                    quoteAll=opts.get("force_quote_all", False),
+                    nullValue="",
+                    emptyValue='""',
+                )
+                writer.csv(tmp)
+                parts = sorted(glob.glob(os.path.join(tmp, "part-*.csv")))
+            if not parts:
+                raise UserException(f"COPY to {path} produced no data file")
+            shutil.move(parts[0], path)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def _alter(self, st: ParsedStatement) -> None:
         """ALTER TABLE (DuckDB supports it on its working database;
@@ -1444,6 +1491,61 @@ def _merge_insert_projection(clause, fields) -> str:
             f"CAST(({expr}) AS {f.dataType.simpleString()}) AS {_bt(f.name)}"
         )
     return ", ".join(out)
+
+
+def _parse_copy(sql: str):
+    """(source_text, path, options) for ``COPY src TO 'path' [(opts)]``;
+    None for unsupported shapes (COPY FROM import is not supported —
+    inputs arrive via the data-dir mapping)."""
+    tokens = tokenize(sql)
+    code = _code(sql)
+    n = len(code)
+    if n < 4 or code[0][1].upper != "COPY":
+        return None
+    i = 1
+    if code[i][1].kind == "op" and code[i][1].text == "(":
+        close_raw = _matching_paren(tokens, code[i][0])
+        source = "".join(
+            t.text for t in tokens[code[i][0]: close_raw + 1]
+        )
+        while i < n and code[i][0] <= close_raw:
+            i += 1
+    elif code[i][1].kind in ("word", "bident", "qident", "string"):
+        tok = code[i][1]
+        source = tok.text[1:-1] if tok.kind == "string" else unquote_name(tok)
+        i += 1
+    else:
+        return None
+    if i >= n or not code[i][1].is_kw("TO"):
+        return None
+    i += 1
+    if i >= n or code[i][1].kind != "string":
+        return None
+    path = code[i][1].text[1:-1].replace("''", "'")
+    i += 1
+    opts: dict = {}
+    if i < n and code[i][1].kind == "op" and code[i][1].text == "(":
+        close_raw = _matching_paren(tokens, code[i][0])
+        inner = [
+            (j, t) for j, t in code[i + 1:]
+            if j < close_raw
+        ]
+        words = [t for _, t in inner]
+        for k, t in enumerate(words):
+            u = t.upper if t.kind == "word" else ""
+            if u == "FORMAT" and k + 1 < len(words):
+                opts["format"] = words[k + 1].text.strip("'").lower()
+            elif u == "HEADER":
+                val = True
+                if k + 1 < len(words) and words[k + 1].upper in ("FALSE", "0"):
+                    val = False
+                opts["header"] = val
+            elif u == "DELIMITER" and k + 1 < len(words):
+                if words[k + 1].kind == "string":
+                    opts["delimiter"] = words[k + 1].text[1:-1]
+            elif u == "FORCE_QUOTE":
+                opts["force_quote_all"] = True
+    return source, path, opts
 
 
 def _parse_drop(sql: str) -> Optional[tuple[str, bool]]:

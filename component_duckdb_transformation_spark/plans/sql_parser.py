@@ -363,6 +363,16 @@ def _collect_dependencies(code: Sequence[tuple[int, Token]]) -> Set[str]:
                 i = nxt
             else:
                 i += 1
+        elif tok.is_kw("COPY") and i == 0 and i + 1 < n:
+            # COPY <table> TO 'path': the table is read
+            name, nxt = _dotted_name(code, 1)
+            if name is None and code[1][1].kind == "string":
+                name, nxt = code[1][1].text[1:-1], 2
+            if name:
+                deps.add(name)
+                i = nxt
+            else:
+                i += 1
         elif tok.is_kw("PIVOT") and i + 1 < n and code[i + 1][1].kind in _NAME_KINDS:
             # DuckDB statement-level `PIVOT tbl ON ...`: tbl is read
             name, nxt = _dotted_name(code, i + 1)

@@ -331,3 +331,22 @@ def test_engine_statements_are_noops(spark, table_store):
     _run(ex, "VACUUM")
     _run(ex, "CREATE TABLE noop_ok AS SELECT 1 AS x")
     assert spark.table("noop_ok").count() == 1
+
+
+def test_copy_to_csv_and_parquet(spark, table_store, tmp_path):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE cpy AS SELECT * FROM "
+             "(VALUES (1, 'a,x'), (2, 'b')) v(id, s)")
+    csv_path = str(tmp_path / "out.csv")
+    _run(ex, f"COPY cpy TO '{csv_path}' (HEADER, DELIMITER ',')")
+    lines = open(csv_path).read().splitlines()
+    assert lines[0] == "id,s"
+    assert sorted(lines[1:]) == ['1,"a,x"', "2,b"]
+    pq_path = str(tmp_path / "out.parquet")
+    _run(ex, f"COPY (SELECT id * 10 AS d FROM cpy) TO '{pq_path}' "
+             "(FORMAT PARQUET)")
+    assert sorted(r.d for r in spark.read.parquet(pq_path).collect()) == [10, 20]
