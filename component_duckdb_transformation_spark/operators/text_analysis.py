@@ -164,6 +164,45 @@ def tfidf_top_terms(
     )
 
 
+def token_entropy(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group base-2 Shannon entropy of the TOKEN distribution:
+    (group, n_tokens, n_distinct, entropy) — vocabulary-concentration
+    measure for corpus slices (low entropy flags templated/spammy text).
+
+    The 100 TB-safe entropy shape (contrast with the dialect layer's
+    ``entropy()`` rewrite, which gathers a group's values into one
+    array): two chained partial-aggregated groupBys — token counts per
+    (group, token), then per-group ``log2(N) - sum(c*log2(c))/N`` —
+    every stage map-side combinable, state per key is one counter, no
+    per-group array materialization at any cardinality.
+    """
+    tokens = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = tokens.groupBy("grp", "tok").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clgc"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.round(
+                F.log2("n_tokens") - F.col("_clgc") / F.col("n_tokens"), 6
+            ).alias("entropy"),
+        )
+    )
+
+
 def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full metric set as columns (map-only, no shuffle)."""
     t = F.col(text_col)

@@ -1063,6 +1063,28 @@ _add_df(
     "term-keyed join)",
 )
 
+_add_df(
+    "x28_token_entropy",
+    lambda spark, sf: text_analysis.token_entropy(spark.table("documents")),
+    oracle="""
+    WITH counts AS (
+      SELECT lang AS grp, tok, count(*) AS c
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+      GROUP BY lang, tok)
+    SELECT grp AS lang,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+    FROM counts GROUP BY grp
+    """,
+    description="per-language token-distribution entropy via two chained "
+    "partial aggs (the any-cardinality entropy shape; no per-group array)",
+)
+
+
 _FRAME_SAMPLE_ORACLE = """
 WITH d AS (
   SELECT doc_id,
