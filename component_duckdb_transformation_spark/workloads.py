@@ -826,6 +826,21 @@ _add_sql(
 )
 
 _add_sql(
+    "q51_lateral_join",
+    """
+    SELECT r_name, top_key, top_orders.n AS n_top
+    FROM region,
+         LATERAL (SELECT max(n_nationkey) AS top_key FROM nation
+                  WHERE n_regionkey = r_regionkey) l,
+         LATERAL (SELECT CAST(count(*) AS BIGINT) AS n FROM nation
+                  WHERE n_regionkey = r_regionkey
+                    AND n_nationkey >= top_key - 5) top_orders
+    """,
+    "correlated LATERAL subqueries (chained, second referencing the "
+    "first's output; native in both engines)",
+)
+
+_add_sql(
     "q40_distinct_on_lambdas",
     """
     SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice,

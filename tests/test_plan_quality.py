@@ -146,3 +146,11 @@ def test_q44_columns_expansion_prunes_scan(spark):
     assert "ReadSchema" in plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "n_comment" not in read_schema
+
+
+def test_x28_entropy_two_phase_aggregation(spark):
+    plan = _plan(spark, "x28_token_entropy")
+    # the scale-path entropy must be chained hash aggregates with
+    # map-side combine — never a per-group array materialization
+    assert plan.count("HashAggregate") >= 4  # 2 per groupBy (partial+final)
+    assert "collect_list" not in plan
