@@ -64,7 +64,42 @@ def shingles(
 ) -> DataFrame:
     """Distinct k-word shingles per document: (id, shingle).
 
-    Built by zip_with-ing k shifted slices of the word array — a
+    Arrow ``mapInPandas``: plain Python slicing + a set per document.
+    Spark's higher-order functions are interpreted per element — the
+    zip_with/array_distinct formulation (kept in
+    ``shingles_column_expr`` as the oracle-documented semantics) spent
+    ~1.3 s on a 3k-doc/260k-shingle corpus purely in lambda dispatch,
+    ~5x this implementation. Identical output set: split on a literal
+    space (empty words kept, like ``string_split``), set-dedup ==
+    array_distinct.
+    """
+    import pandas as pd  # noqa: F401
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"doc_id {id_type}, shingle string"
+
+    def gen(batches):
+        for pdf in batches:
+            oid, osh = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(t, str):
+                    continue
+                w = t.split(" ")
+                if len(w) < k:
+                    continue
+                uniq = {" ".join(w[j: j + k]) for j in range(len(w) - k + 1)}
+                oid.extend([i] * len(uniq))
+                osh.extend(uniq)
+            yield pd.DataFrame({"doc_id": oid, "shingle": osh})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def shingles_column_expr(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Column-expression shingles (reference semantics the SQL oracles
+    replay): zip_with-ing k shifted slices of the word array — a
     constant number of split() evaluations per row. (The index-based
     formulation ``transform(sequence, i -> element_at(w, i+j))``
     re-evaluates the split per element because Catalyst inlines
