@@ -59,7 +59,7 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def shingles(
+def shingles_pandas(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """Distinct k-word shingles per document: (id, shingle).
@@ -93,6 +93,16 @@ def shingles(
             yield pd.DataFrame({"doc_id": oid, "shingle": osh})
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct k-word shingles per document — see ``shingles_pandas``
+    (the default, Arrow-vectorized) and ``shingles_column_expr`` (the
+    pure-JVM form whose semantics the SQL oracles replay; measured
+    slower end-to-end because higher-order lambdas are interpreted)."""
+    return shingles_pandas(df, id_col, text_col, k)
 
 
 def shingles_column_expr(
