@@ -16,8 +16,11 @@ Scale posture (100 TB):
   pairs found by banding the signature into 16-bit chunks (hamming<=3
   guarantees an exact chunk match by pigeonhole).
 
-All operators use only built-in functions (xxhash64, higher-order array
-functions) — no Python in the hot path.
+Hashing/aggregation/joins are built-in JVM functions throughout; the
+only Python boundary is the Arrow-batched shingle generator
+(``shingles_pandas``) — measured faster than the higher-order-function
+form because Spark interprets lambdas per element. No row-at-a-time
+Python UDFs anywhere.
 """
 
 from __future__ import annotations
