@@ -346,9 +346,14 @@ class SparkStatementExecutor:
                 else str(v)
             )
             cname = str(v).replace("`", "``")
-            cols.append(
-                f"{agg_expr} FILTER (WHERE ({on_expr}) = {lit}) AS `{cname}`"
+            filtered = _attach_agg_filter(
+                agg_expr, f"FILTER (WHERE ({on_expr}) = {lit})"
             )
+            if filtered is None:
+                raise UserException(
+                    f"PIVOT USING expression has no aggregate call: {agg_expr}"
+                )
+            cols.append(f"{filtered} AS `{cname}`")
         head = "".join(t.text for t in tokens[: raw(p_ci)])
         return (
             f"{head}SELECT {keys}, {', '.join(cols)} FROM {_bt(name)} "
@@ -885,9 +890,8 @@ def _body_after_as(sql: str, allow_missing: bool = False) -> Optional[str]:
                 inner = body[1:-1].strip()
                 if inner.upper().startswith(("SELECT", "WITH", "FROM", "VALUES")):
                     body = inner
-            # DuckDB allows `AS FROM t`
-            if body.upper().startswith("FROM"):
-                body = "SELECT * " + body
+            # DuckDB `AS FROM t [SELECT ...]` bodies are handled by the
+            # dialect layer's FROM-first rewrite at translate() time
             return body
     if allow_missing:
         return None
@@ -1491,6 +1495,47 @@ def _merge_insert_projection(clause, fields) -> str:
             f"CAST(({expr}) AS {f.dataType.simpleString()}) AS {_bt(f.name)}"
         )
     return ", ".join(out)
+
+
+_AGG_FN_NAMES = {
+    "sum", "count", "avg", "mean", "min", "max", "median", "mode",
+    "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp",
+    "var_pop", "corr", "covar_pop", "covar_samp", "first", "last",
+    "string_agg", "listagg", "array_agg", "collect_list", "collect_set",
+    "approx_count_distinct", "percentile", "percentile_cont",
+    "percentile_disc", "bool_and", "bool_or", "any_value",
+}
+
+
+def _attach_agg_filter(expr: str, filter_text: str) -> Optional[str]:
+    """Insert ``FILTER (...)`` after every aggregate call inside an
+    expression (``CAST(count(*) AS INT)`` ->
+    ``CAST(count(*) FILTER (...) AS INT)``); None when no aggregate is
+    found."""
+    tokens = tokenize(expr)
+    n = len(tokens)
+    out: List[Token] = []
+    found = False
+    i = 0
+    while i < n:
+        tok = tokens[i]
+        out.append(tok)
+        if tok.kind == "word" and tok.text.lower() in _AGG_FN_NAMES:
+            j = i + 1
+            while j < n and tokens[j].kind in ("ws", "comment"):
+                j += 1
+            if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                close = _matching_paren(tokens, j)
+                out.extend(tokens[i + 1: close + 1])
+                out.append(Token("ws", " "))
+                out.extend(tokenize(filter_text))
+                found = True
+                i = close + 1
+                continue
+        i += 1
+    if not found:
+        return None
+    return "".join(t.text for t in out)
 
 
 def _parse_copy(sql: str):

@@ -314,3 +314,76 @@ def test_syntax_check_danger(spark, tmp_path):
 def test_missing_config_raises(tmp_path):
     with pytest.raises(UserException):
         Component(data_dir=str(tmp_path / "nope"))
+
+
+def test_round3_surface_datadir(spark, tmp_path):
+    """Full component path over the round-3 statement surface: MERGE,
+    ALTER TABLE, UPDATE..FROM, dynamic PIVOT, engine no-ops, and a
+    FROM-first view — one config, golden assertions on the export."""
+    data = tmp_path / "data"
+    in_tables = data / "in" / "tables"
+    _write(str(in_tables / "days.csv"), DAYS_CSV)
+    _write(
+        str(in_tables / "days.csv.manifest"),
+        json.dumps({"id": "in.c-app.days", "incremental": False}),
+    )
+    config = {
+        "parameters": {
+            "blocks": [
+                {
+                    "name": "b",
+                    "codes": [
+                        {
+                            "name": "mutations",
+                            "script": [
+                                "PRAGMA memory_limit='1GB';",
+                                "CREATE TABLE wk AS SELECT id::INT AS id, name, "
+                                "0::INT AS seen FROM 'days.csv';",
+                                "CREATE TABLE weekend AS SELECT * FROM "
+                                "(VALUES (6), (7)) v(id);",
+                                "ALTER TABLE wk ADD COLUMN kind VARCHAR DEFAULT 'weekday';",
+                                "UPDATE wk SET kind = 'weekend' FROM weekend "
+                                "WHERE wk.id = weekend.id;",
+                                "MERGE INTO wk USING weekend ON wk.id = weekend.id "
+                                "WHEN MATCHED THEN UPDATE SET seen = 1;",
+                                "CREATE VIEW 'wk.csv' AS FROM wk SELECT id, name, "
+                                "kind, seen WHERE id <= 7 ORDER BY id;",
+                                "CREATE TABLE pv AS PIVOT wk ON kind USING "
+                                "CAST(count(*) AS INT) GROUP BY seen;",
+                                "CREATE VIEW 'pv.csv' AS SELECT * FROM pv ORDER BY seen;",
+                            ],
+                        }
+                    ],
+                }
+            ]
+        },
+        "storage": {
+            "input": {
+                "tables": [
+                    {"source": "in.c-app.days", "destination": "days.csv"}
+                ]
+            },
+            "output": {
+                "tables": [
+                    {"source": "wk.csv", "destination": "out.c-out.wk"},
+                    {"source": "pv.csv", "destination": "out.c-out.pv"},
+                ]
+            },
+        },
+    }
+    _write(str(data / "config.json"), json.dumps(config))
+    Component(data_dir=str(data), spark=spark).run()
+    out = os.path.join(str(data), "out", "tables")
+
+    wk = _read_rows(os.path.join(out, "wk.csv"))
+    assert wk[0] == ["id", "name", "kind", "seen"]
+    assert wk[6] == ["6", "Saturday", "weekend", "1"]
+    assert wk[7] == ["7", "Sunday", "weekend", "1"]
+    assert wk[1] == ["1", "Monday", "weekday", "0"]
+
+    pv = _read_rows(os.path.join(out, "pv.csv"))
+    assert pv[0] == ["seen", "weekday", "weekend"]
+    # count over the absent combination is 0 (count never yields NULL),
+    # matching DuckDB's native PIVOT
+    assert pv[1] == ["0", "5", "0"]
+    assert pv[2] == ["1", "0", "2"]
