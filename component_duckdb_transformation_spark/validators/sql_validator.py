@@ -11,6 +11,7 @@ advice lints are re-targeted at Spark where semantics differ.
 from __future__ import annotations
 
 import logging
+import re as _re
 from typing import Optional, Sequence
 
 from pyspark.sql import SparkSession
@@ -29,6 +30,13 @@ from ..plans.sql_parser import parse_script
 from ..plans.sql_tokens import tokenize
 
 LOG = logging.getLogger(__name__)
+
+# statement heads the EXECUTOR handles without Spark parsing the raw
+# text: schema-aware expansions (PIVOT value discovery, COLUMNS),
+# engine no-ops, and the COPY sink
+_EXECUTOR_HANDLED_HEADS = {
+    "PIVOT", "COPY", "PRAGMA", "CHECKPOINT", "VACUUM", "ANALYZE", "SET",
+}
 
 
 def _three_arg_regexp_replace(sql: str) -> bool:
@@ -190,6 +198,16 @@ class SQLValidator:
             return "Empty or invalid SQL query"
         if self.spark is not None:
             for st in statements:
+                head = st.sql.lstrip().split(None, 1)
+                first = head[0].upper().rstrip(";") if head else ""
+                if first in _EXECUTOR_HANDLED_HEADS or _re.search(
+                    r"\bPIVOT\s+[^\s(]", st.sql, _re.IGNORECASE
+                ):
+                    # statement shapes the executor interprets itself
+                    # (schema-aware expansion / native handling; incl.
+                    # CREATE ... AS PIVOT tbl ON ...) — the raw text is
+                    # not Spark-parseable by design
+                    continue
                 try:
                     # Spark's parser on the translated text — parse only,
                     # no analysis/execution (sessionState is JVM-only in

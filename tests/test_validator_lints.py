@@ -72,3 +72,20 @@ def test_unsupported_function_lint():
         "no Spark equivalent" in e
         for e in check_common_sql_errors("SELECT list_transform(l, x -> x) FROM t")
     )
+
+
+def test_validator_accepts_executor_handled_statements(spark):
+    from component_duckdb_transformation_spark.configuration import Block, Code
+    from component_duckdb_transformation_spark.validators.sql_validator import (
+        SQLValidator,
+    )
+
+    v = SQLValidator(spark)
+    blocks = [Block(name="b", codes=[Code(name="c", script=[
+        "PRAGMA memory_limit='1GB';",
+        "CREATE TABLE p AS PIVOT src ON k USING count(*) GROUP BY g;",
+        "COPY p TO '/tmp/x.csv' (HEADER);",
+        "MERGE INTO p USING s ON p.id = s.id WHEN MATCHED THEN DELETE;",
+    ])])]
+    res = v.validate_queries(blocks)
+    assert "Syntax error" not in res.message, res.message
