@@ -326,34 +326,54 @@ class SparkStatementExecutor:
         )
         if not on_expr or not agg_expr or not keys:
             return sql
-        vals = [
-            r[0]
-            for r in self.spark.sql(
-                f"SELECT DISTINCT {translate(on_expr)} AS v FROM {_bt(name)} "
-                f"WHERE ({translate(on_expr)}) IS NOT NULL ORDER BY 1 "
-                f"LIMIT {max_values + 1}"
-            ).collect()
-        ]
-        if len(vals) > max_values:
-            raise UserException(
-                f"PIVOT ON {on_expr}: more than {max_values} distinct values"
-            )
-        cols = []
-        for v in vals:
-            lit = (
-                "'" + str(v).replace("'", "''") + "'"
-                if isinstance(v, str)
-                else str(v)
-            )
-            cname = str(v).replace("`", "``")
-            filtered = _attach_agg_filter(
-                agg_expr, f"FILTER (WHERE ({on_expr}) = {lit})"
-            )
-            if filtered is None:
+        # ON col IN (v1, v2, ...): explicit value list, no discovery
+        on_expr, in_values = _split_pivot_in_list(on_expr)
+        if in_values is not None:
+            values = in_values  # [(literal_sql, column_name)] as listed
+        else:
+            discovered = [
+                r[0]
+                for r in self.spark.sql(
+                    f"SELECT DISTINCT {translate(on_expr)} AS v "
+                    f"FROM {_bt(name)} "
+                    f"WHERE ({translate(on_expr)}) IS NOT NULL ORDER BY 1 "
+                    f"LIMIT {max_values + 1}"
+                ).collect()
+            ]
+            if len(discovered) > max_values:
                 raise UserException(
-                    f"PIVOT USING expression has no aggregate call: {agg_expr}"
+                    f"PIVOT ON {on_expr}: more than {max_values} "
+                    "distinct values"
                 )
-            cols.append(f"{filtered} AS `{cname}`")
+            values = [
+                (
+                    "'" + str(v).replace("'", "''") + "'"
+                    if isinstance(v, str)
+                    else str(v),
+                    str(v),
+                )
+                for v in discovered
+            ]
+        aggs = _split_pivot_aggs(agg_expr)
+        cols = []
+        for lit, vname in values:
+            for expr, alias in aggs:
+                if alias is None and len(aggs) > 1:
+                    raise UserException(
+                        "PIVOT with multiple USING aggregates requires "
+                        "AS aliases (DuckDB's column-naming rule)"
+                    )
+                cname = (
+                    vname if alias is None else f"{vname}_{alias}"
+                ).replace("`", "``")
+                filtered = _attach_agg_filter(
+                    expr, f"FILTER (WHERE ({on_expr}) = {lit})"
+                )
+                if filtered is None:
+                    raise UserException(
+                        f"PIVOT USING expression has no aggregate call: {expr}"
+                    )
+                cols.append(f"{filtered} AS `{cname}`")
         head = "".join(t.text for t in tokens[: raw(p_ci)])
         return (
             f"{head}SELECT {keys}, {', '.join(cols)} FROM {_bt(name)} "
@@ -1505,6 +1525,66 @@ _AGG_FN_NAMES = {
     "approx_count_distinct", "percentile", "percentile_cont",
     "percentile_disc", "bool_and", "bool_or", "any_value",
 }
+
+
+def _split_pivot_in_list(on_expr: str):
+    """Split ``col IN (v1, v2)`` -> (``col``, [(lit_sql, name), ...]);
+    (on_expr, None) when there is no top-level IN list."""
+    tokens = tokenize(on_expr)
+    n = len(tokens)
+    depth = 0
+    for i, tok in enumerate(tokens):
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        elif depth == 0 and tok.is_kw("IN"):
+            j = i + 1
+            while j < n and tokens[j].kind in ("ws", "comment"):
+                j += 1
+            if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                close = _matching_paren(tokens, j)
+                vals = []
+                for part in _split_csv_tokens(tokens[j + 1: close]):
+                    text = part.strip()
+                    name = (
+                        text[1:-1].replace("''", "'")
+                        if text.startswith("'") and text.endswith("'")
+                        else text
+                    )
+                    vals.append((text, name))
+                col = "".join(t.text for t in tokens[:i]).strip()
+                return col, vals
+    return on_expr, None
+
+
+def _split_pivot_aggs(agg_expr: str):
+    """Split a USING clause on top-level commas into
+    [(expr, alias|None)] pairs (``sum(x) AS s, count(*) AS c``)."""
+    tokens = tokenize(agg_expr)
+    out = []
+    for part_text in _split_csv_tokens(tokens):
+        ptoks = tokenize(part_text)
+        as_pos = _top_level_as(ptoks)
+        if as_pos is None:
+            out.append((part_text.strip(), None))
+        else:
+            expr = "".join(t.text for t in ptoks[:as_pos]).strip()
+            alias = "".join(t.text for t in ptoks[as_pos + 1:]).strip().strip('"`')
+            out.append((expr, alias))
+    return out
+
+
+def _top_level_as(tokens: List[Token]) -> Optional[int]:
+    depth = 0
+    for i, tok in enumerate(tokens):
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        elif depth == 0 and tok.is_kw("AS"):
+            return i
+    return None
 
 
 def _attach_agg_filter(expr: str, filter_text: str) -> Optional[str]:

@@ -350,3 +350,27 @@ def test_copy_to_csv_and_parquet(spark, table_store, tmp_path):
     _run(ex, f"COPY (SELECT id * 10 AS d FROM cpy) TO '{pq_path}' "
              "(FORMAT PARQUET)")
     assert sorted(r.d for r in spark.read.parquet(pq_path).collect()) == [10, 20]
+
+
+def test_dynamic_pivot_in_list_and_multi_agg(spark, table_store):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE dpx AS SELECT * FROM (VALUES "
+             "('a', 'x', 1), ('a', 'y', 2), ('b', 'x', 3), ('b', 'z', 9)"
+             ") v(k, p, val)")
+    # IN list restricts + orders the value columns as listed
+    _run(ex, "CREATE TABLE dpx1 AS PIVOT dpx ON p IN ('y', 'x') "
+             "USING sum(val) GROUP BY k")
+    assert spark.table("dpx1").columns == ["k", "y", "x"]
+    # multiple aliased aggregates -> value_alias column pairs
+    _run(ex, "CREATE TABLE dpx2 AS PIVOT dpx ON p "
+             "USING count(*) AS n, max(val) AS mx GROUP BY k")
+    assert spark.table("dpx2").columns == [
+        "k", "x_n", "x_mx", "y_n", "y_mx", "z_n", "z_mx"
+    ]
+    got = {tuple(r) for r in spark.table("dpx2").collect()}
+    assert ("a", 1, 1, 1, 2, 0, None) in got
+    assert ("b", 1, 3, 0, None, 1, 9) in got
