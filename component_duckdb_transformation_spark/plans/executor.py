@@ -251,6 +251,8 @@ class SparkStatementExecutor:
         self.store = store
         # view ORDER BY clauses for export-time re-sort (SURVEY §7.2)
         self.view_order_by: Dict[str, str] = {}
+        # scalar macros: name -> (params, body text), inlined at use
+        self._macros: Dict[str, tuple[List[str], str]] = {}
 
     def _expand_dynamic_pivot(self, sql: str, max_values: int = 200) -> str:
         """DuckDB statement-level dynamic pivot — ``PIVOT tbl ON col
@@ -380,6 +382,66 @@ class SparkStatementExecutor:
             f"GROUP BY {keys} {tail}"
         )
 
+    def _create_macro(self, st: ParsedStatement) -> None:
+        """``CREATE [OR REPLACE] MACRO name(params) AS expr`` — DuckDB
+        scalar macros, kept as (params, body-token) templates and
+        inlined into later statements at the call site (Spark SQL
+        temporary functions can't be defined from SQL text without a
+        JVM class, so expansion-at-use is the faithful equivalent;
+        DuckDB macros are also inlined by its binder). Macros defined
+        in one script are visible to subsequent statements; table
+        macros and default parameters are not supported."""
+        parsed = _parse_macro(st.sql)
+        if parsed is None:
+            raise UserException(f"Unsupported MACRO form: {st.sql[:120]}")
+        name, params, body = parsed
+        self._macros[name.lower()] = (params, body)
+
+    def _expand_macros(self, sql: str, depth: int = 0) -> str:
+        """Inline every known-macro call; recurses for macros calling
+        macros (depth-capped)."""
+        if depth > 5:
+            raise UserException("Macro expansion too deep (cycle?)")
+        tokens = tokenize(sql)
+        out: List[Token] = []
+        changed = False
+        i = 0
+        n = len(tokens)
+        while i < n:
+            tok = tokens[i]
+            if (
+                tok.kind == "word"
+                and tok.text.lower() in self._macros
+            ):
+                j = i + 1
+                while j < n and tokens[j].kind in ("ws", "comment"):
+                    j += 1
+                if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                    close = _matching_paren(tokens, j)
+                    params, body = self._macros[tok.text.lower()]
+                    args = [
+                        a.strip()
+                        for a in _split_csv_tokens(tokens[j + 1: close])
+                    ]
+                    if len(args) == len(params):
+                        sub = {p.lower(): a for p, a in zip(params, args)}
+                        out.append(Token("op", "("))
+                        for bt in tokenize(body):
+                            if bt.kind == "word" and bt.text.lower() in sub:
+                                out.append(
+                                    Token("word", f"({sub[bt.text.lower()]})")
+                                )
+                            else:
+                                out.append(bt)
+                        out.append(Token("op", ")"))
+                        changed = True
+                        i = close + 1
+                        continue
+            out.append(tok)
+            i += 1
+        expanded = "".join(t.text for t in out)
+        return self._expand_macros(expanded, depth + 1) if changed else expanded
+
     def _table_columns(self, name: str) -> Optional[List[str]]:
         """Schema lookup for COLUMNS() expansion; None when unknown."""
         try:
@@ -402,6 +464,21 @@ class SparkStatementExecutor:
 
     # -- routing ----------------------------------------------------------
     def _execute_statement(self, st: ParsedStatement) -> None:
+        upper = st.sql.upper()
+        if "MACRO" in upper:
+            head = st.sql.lstrip().split(None, 1)
+            first = head[0].upper() if head else ""
+            if first == "CREATE" and re.search(r"\bMACRO\b", upper):
+                self._create_macro(st)
+                return
+            if first == "DROP" and re.search(r"\bMACRO\b", upper):
+                name = st.sql.split()[-1].rstrip(";").strip('`"').lower()
+                self._macros.pop(name, None)
+                return
+        if self._macros:
+            expanded = self._expand_macros(st.sql)
+            if expanded != st.sql:
+                st = dataclasses.replace(st, sql=expanded)
         if "columns" in st.sql.lower():
             # schema-aware COLUMNS() expansion: upstream tables exist by
             # the time the statement runs, so the live session resolves
@@ -1525,6 +1602,42 @@ _AGG_FN_NAMES = {
     "approx_count_distinct", "percentile", "percentile_cont",
     "percentile_disc", "bool_and", "bool_or", "any_value",
 }
+
+
+def _parse_macro(sql: str):
+    """(name, [params], body_text) for ``CREATE [OR REPLACE] MACRO
+    name(p1, p2) AS expr``; None otherwise."""
+    tokens = tokenize(sql)
+    code = _code(sql)
+    n = len(code)
+    i = 0
+    if i >= n or code[i][1].upper != "CREATE":
+        return None
+    i += 1
+    if i + 1 < n and code[i][1].is_kw("OR") and code[i + 1][1].is_kw("REPLACE"):
+        i += 2
+    if i >= n or not code[i][1].is_kw("MACRO", "FUNCTION"):
+        return None
+    i += 1
+    if i >= n or code[i][1].kind not in ("word", "bident", "qident"):
+        return None
+    name = unquote_name(code[i][1])
+    i += 1
+    if i >= n or code[i][1].text != "(":
+        return None
+    close_raw = _matching_paren(tokens, code[i][0])
+    params = [
+        p.strip().strip('`"')
+        for p in _split_csv_tokens(tokens[code[i][0] + 1: close_raw])
+    ]
+    while i < n and code[i][0] <= close_raw:
+        i += 1
+    if i >= n or not code[i][1].is_kw("AS"):
+        return None
+    body = "".join(t.text for t in tokens[code[i][0] + 1:]).strip().rstrip(";")
+    if not body:
+        return None
+    return name, params, body
 
 
 def _split_pivot_in_list(on_expr: str):

@@ -374,3 +374,24 @@ def test_dynamic_pivot_in_list_and_multi_agg(spark, table_store):
     got = {tuple(r) for r in spark.table("dpx2").collect()}
     assert ("a", 1, 1, 1, 2, 0, None) in got
     assert ("b", 1, 3, 0, None, 1, 9) in got
+
+
+def test_scalar_macros(spark, table_store):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE MACRO add_tax(p, r) AS p * (1 + r)")
+    _run(ex, "CREATE MACRO taxed_twice(p) AS add_tax(add_tax(p, 0.1), 0.1)")
+    _run(ex, "CREATE TABLE mac AS SELECT CAST(add_tax(100.0, 0.2) AS DOUBLE) "
+             "AS a, round(CAST(taxed_twice(100.0) AS DOUBLE), 2) AS b")
+    assert [tuple(r) for r in spark.table("mac").collect()] == [(120.0, 121.0)]
+    # OR REPLACE redefines; DROP removes
+    _run(ex, "CREATE OR REPLACE MACRO add_tax(p, r) AS p")
+    _run(ex, "CREATE TABLE mac2 AS SELECT CAST(add_tax(7.0, 0.9) AS DOUBLE) AS a")
+    assert spark.table("mac2").collect()[0].a == 7.0
+    _run(ex, "DROP MACRO add_tax")
+    # a column merely NAMED like a macro is untouched after drop
+    _run(ex, "CREATE TABLE mac3 AS SELECT 1 AS add_tax")
+    assert spark.table("mac3").columns == ["add_tax"]
