@@ -382,6 +382,69 @@ class SparkStatementExecutor:
             f"GROUP BY {keys} {tail}"
         )
 
+    def _summarize(self, name: str) -> DataFrame:
+        """DuckDB ``SUMMARIZE t`` — per-column profile with DuckDB's
+        column set (column_name, column_type, min, max, approx_unique,
+        avg, std, q25/q50/q75, count, null_percentage). ONE distributed
+        aggregation pass over the table (all columns' metrics in a
+        single agg row); only that one row reaches the driver, where it
+        pivots into the per-column result. Numeric-only metrics are
+        NULL for other types, like DuckDB."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        name = name.strip().strip('`"')
+        df = self.spark.table(_bt(name))
+        numeric = (T.IntegralType, T.FractionalType, T.DecimalType)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, fld in enumerate(df.schema.fields):
+            c = F.col(_bt(fld.name))
+            aggs += [
+                F.min(c).cast("string").alias(f"min_{i}"),
+                F.max(c).cast("string").alias(f"max_{i}"),
+                F.approx_count_distinct(c).alias(f"au_{i}"),
+                F.count(c).alias(f"cnt_{i}"),
+            ]
+            if isinstance(fld.dataType, numeric):
+                d = c.cast("double")
+                aggs += [
+                    F.avg(d).alias(f"avg_{i}"),
+                    F.stddev(d).alias(f"std_{i}"),
+                    F.expr(
+                        f"percentile_approx({_bt(fld.name)}, "
+                        "array(0.25, 0.5, 0.75))"
+                    ).alias(f"q_{i}"),
+                ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        n = row["__n"]
+        out = []
+        for i, fld in enumerate(df.schema.fields):
+            is_num = isinstance(fld.dataType, numeric)
+            q = row.get(f"q_{i}") or [None, None, None]
+            out.append(
+                (
+                    fld.name,
+                    fld.dataType.simpleString().upper(),
+                    row[f"min_{i}"],
+                    row[f"max_{i}"],
+                    int(row[f"au_{i}"]),
+                    float(row[f"avg_{i}"]) if is_num and row.get(f"avg_{i}") is not None else None,
+                    float(row[f"std_{i}"]) if is_num and row.get(f"std_{i}") is not None else None,
+                    str(q[0]) if q[0] is not None else None,
+                    str(q[1]) if q[1] is not None else None,
+                    str(q[2]) if q[2] is not None else None,
+                    int(n),
+                    round(100.0 * (n - row[f"cnt_{i}"]) / n, 2) if n else 0.0,
+                )
+            )
+        return self.spark.createDataFrame(
+            out,
+            "column_name string, column_type string, min string, "
+            "max string, approx_unique bigint, avg double, std double, "
+            "q25 string, q50 string, q75 string, count bigint, "
+            "null_percentage double",
+        )
+
     def _create_macro(self, st: ParsedStatement) -> None:
         """``CREATE [OR REPLACE] MACRO name(params) AS expr`` — DuckDB
         scalar macros, kept as (params, body-token) templates and
@@ -516,6 +579,15 @@ class SparkStatementExecutor:
             head = first[0].upper().rstrip(";") if first else ""
             if head == "COPY":
                 self._copy(st)
+                return
+            if head == "SUMMARIZE":
+                # DuckDB profiling statement; result registered as the
+                # summarize view so scripts can SELECT from it
+                rest = first[1].strip().rstrip(";") if len(first) > 1 else ""
+                if rest:
+                    self._summarize(rest).createOrReplaceTempView(
+                        "summarize"
+                    )
                 return
             if head in ("PRAGMA", "CHECKPOINT", "VACUUM", "ANALYZE"):
                 # DuckDB engine-maintenance/resource statements: no

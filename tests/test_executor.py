@@ -395,3 +395,25 @@ def test_scalar_macros(spark, table_store):
     # a column merely NAMED like a macro is untouched after drop
     _run(ex, "CREATE TABLE mac3 AS SELECT 1 AS add_tax")
     assert spark.table("mac3").columns == ["add_tax"]
+
+
+def test_summarize_statement(spark, table_store):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE sz AS SELECT * FROM (VALUES "
+             "(1, 'a', CAST(1.5 AS DOUBLE)), (2, 'b', NULL), "
+             "(3, NULL, CAST(2.5 AS DOUBLE))) v(id, s, x)")
+    _run(ex, "SUMMARIZE sz")
+    rows = {r.column_name: r for r in spark.table("summarize").collect()}
+    assert set(rows) == {"id", "s", "x"}
+    assert rows["id"].min == "1" and rows["id"].max == "3"
+    assert rows["id"]["count"] == 3 and rows["id"].null_percentage == 0.0
+    assert rows["s"].null_percentage == 33.33 and rows["s"].avg is None
+    assert rows["x"].avg == 2.0 and rows["x"].approx_unique == 2
+    # scripts can consume the registered view
+    _run(ex, "CREATE TABLE sz_out AS SELECT column_name FROM summarize "
+             "WHERE null_percentage > 0")
+    assert {r.column_name for r in spark.table("sz_out").collect()} == {"s", "x"}
