@@ -36,6 +36,7 @@ LOG = logging.getLogger(__name__)
 # engine no-ops, and the COPY sink
 _EXECUTOR_HANDLED_HEADS = {
     "PIVOT", "COPY", "PRAGMA", "CHECKPOINT", "VACUUM", "ANALYZE", "SET",
+    "SUMMARIZE",
 }
 
 
@@ -201,7 +202,7 @@ class SQLValidator:
                 head = st.sql.lstrip().split(None, 1)
                 first = head[0].upper().rstrip(";") if head else ""
                 if first in _EXECUTOR_HANDLED_HEADS or _re.search(
-                    r"\bPIVOT\s+[^\s(]", st.sql, _re.IGNORECASE
+                    r"\bPIVOT\s+[^\s(]|\bMACRO\b", st.sql, _re.IGNORECASE
                 ):
                     # statement shapes the executor interprets itself
                     # (schema-aware expansion / native handling; incl.
