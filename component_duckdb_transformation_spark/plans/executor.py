@@ -1707,6 +1707,11 @@ def _parse_macro(sql: str):
     if i >= n or not code[i][1].is_kw("AS"):
         return None
     body = "".join(t.text for t in tokens[code[i][0] + 1:]).strip().rstrip(";")
+    # table macro: AS TABLE <select> — the inline expansion already
+    # parenthesizes, and a parenthesized SELECT is a valid derived
+    # table, so only the TABLE keyword needs stripping
+    if body.upper().startswith("TABLE"):
+        body = body[5:].strip()
     if not body:
         return None
     return name, params, body

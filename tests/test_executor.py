@@ -417,3 +417,16 @@ def test_summarize_statement(spark, table_store):
     _run(ex, "CREATE TABLE sz_out AS SELECT column_name FROM summarize "
              "WHERE null_percentage > 0")
     assert {r.column_name for r in spark.table("sz_out").collect()} == {"s", "x"}
+
+
+def test_table_macro(spark, table_store):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE tm AS SELECT * FROM (VALUES (1, 'a'), (2, 'b'), "
+             "(3, 'c')) v(id, s)")
+    _run(ex, "CREATE MACRO top_ids(k) AS TABLE SELECT id FROM tm WHERE id <= k")
+    _run(ex, "CREATE TABLE tm_out AS SELECT * FROM top_ids(2)")
+    assert sorted(r.id for r in spark.table("tm_out").collect()) == [1, 2]
