@@ -43,7 +43,7 @@ sample variants in both.
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from .. import engine_version_string
 from ..plans.sql_tokens import Token, tokenize
@@ -460,13 +460,23 @@ def _encode_spark_string(value: str) -> Token:
 # compose sign-tracking + exp-sum-ln: zero short-circuit, parity of the
 # negative count for the sign, log-space magnitude (stable partial
 # aggregation — each piece is an ordinary map-side-combinable agg).
-_PRODUCT_TEMPLATE = (
+# The result is SIGN * MAGNITUDE (not a signed CASE) so a zero product
+# carries the IEEE sign DuckDB's direct multiplication produces
+# (0.0 * -1.01 = -0.0 when the negative count is odd).
+_PRODUCT_SIGN_SQL = (
+    "CAST(1 - 2 * (sum(CASE WHEN __E0 < 0 THEN 1 ELSE 0 END) % 2) AS DOUBLE)"
+)
+_PRODUCT_ABS_SQL = (
     "(CASE WHEN max(CASE WHEN __E0 = 0 THEN 1 ELSE 0 END) = 1"
     " THEN CAST(0 AS DOUBLE)"
-    " ELSE CAST(1 - 2 * (sum(CASE WHEN __E0 < 0 THEN 1 ELSE 0 END) % 2)"
-    " AS DOUBLE)"
-    " * exp(sum(ln(abs(CAST(nullif(__E0, 0) AS DOUBLE))))) END)"
+    " ELSE exp(sum(ln(abs(CAST(nullif(__E0, 0) AS DOUBLE))))) END)"
 )
+_PRODUCT_TEMPLATE = f"({_PRODUCT_SIGN_SQL} * {_PRODUCT_ABS_SQL})"
+# round(product(x), n): Spark's round() goes through BigDecimal, which
+# has no signed zero, so round(-0.0, n) = +0.0 while DuckDB preserves
+# the sign. Round the magnitude only and multiply the sign back OUTSIDE
+# the round (HALF_UP is symmetric, so sign*round(|p|) = round(p)).
+_ROUND_PRODUCT_TEMPLATE = f"({_PRODUCT_SIGN_SQL} * round({_PRODUCT_ABS_SQL}, __N0))"
 
 # entropy(): base-2 Shannon entropy of the VALUE FREQUENCIES in the
 # group (DuckDB semantics; nulls skipped, empty group -> 0.0). A single
@@ -501,6 +511,27 @@ def _splice_template(template: str, args: dict) -> List[Token]:
     return out
 
 
+def _strip_product_call(arg: List[Token]) -> Optional[List[Token]]:
+    """If ``arg``'s code tokens are exactly ``product(<single-arg>)``,
+    return the inner argument tokens; else None."""
+    code = [j for j, t in enumerate(arg) if t.kind not in ("ws", "comment")]
+    if not code:
+        return None
+    j0 = code[0]
+    if not (arg[j0].kind == "word" and arg[j0].text.lower() == "product"):
+        return None
+    p_open = _next_code(arg, j0)
+    if p_open >= len(arg) or arg[p_open].text != "(":
+        return None
+    close = _matching_paren(arg, p_open)
+    if close != code[-1]:
+        return None
+    inner_args = _split_top_level_args(arg, p_open, close)
+    if len(inner_args) != 1:
+        return None
+    return inner_args[0]
+
+
 def _rewrite_product_entropy(tokens: List[Token]) -> List[Token]:
     """DuckDB ``product(x)`` / ``entropy(x)`` aggregates -> Spark
     compositions (templates above). Runs LAST in the pipeline: the
@@ -511,6 +542,25 @@ def _rewrite_product_entropy(tokens: List[Token]) -> List[Token]:
     n = len(tokens)
     while i < n:
         tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() == "round":
+            # round(product(x), n) needs the sign applied OUTSIDE the
+            # round (see _ROUND_PRODUCT_TEMPLATE).
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].text == "(":
+                close = _matching_paren(tokens, p_open)
+                args = _split_top_level_args(tokens, p_open, close)
+                inner = _strip_product_call(args[0]) if len(args) == 2 else None
+                if inner is not None:
+                    arg = _rewrite_product_entropy(inner)
+                    scale = _rewrite_product_entropy(args[1])
+                    out.extend(
+                        _splice_template(
+                            _ROUND_PRODUCT_TEMPLATE,
+                            {"__E0": arg, "__N0": scale},
+                        )
+                    )
+                    i = close + 1
+                    continue
         if tok.kind == "word" and tok.text.lower() in ("product", "entropy"):
             p_open = _next_code(tokens, i)
             if p_open < n and tokens[p_open].text == "(":

@@ -376,6 +376,33 @@ def test_product_entropy_semantics(spark):
         assert got == expected, (c, got, expected)
 
 
+def test_product_negative_zero_sign(spark):
+    """DuckDB multiplies directly, so a zero factor with an odd count of
+    negative factors yields IEEE -0.0 — the rewrite must carry the sign
+    (0.0 == -0.0 compares equal, so check the sign bit via copysign)."""
+    import math
+
+    import duckdb
+
+    cases = [
+        ("SELECT product(x) AS r FROM (VALUES (0.0),(-1.01),(2.0)) t(x)", -1.0),
+        ("SELECT product(x) AS r FROM (VALUES (0.0),(-1.0),(-2.0)) t(x)", 1.0),
+        ("SELECT product(x) AS r FROM (VALUES (0.0),(3.0)) t(x)", 1.0),
+        # round() preserves the zero sign in both engines
+        (
+            "SELECT round(product(x), 6) AS r"
+            " FROM (VALUES (0.0),(-5.0),(1.5)) t(x)",
+            -1.0,
+        ),
+    ]
+    for c, want_sign in cases:
+        expected = duckdb.sql(c).fetchone()[0]
+        got = spark.sql(translate(c)).collect()[0][0]
+        assert got == 0.0 and expected == 0.0, (c, got, expected)
+        assert math.copysign(1.0, expected) == want_sign, (c, expected)
+        assert math.copysign(1.0, got) == want_sign, (c, got)
+
+
 def test_bracket_string_literal_base():
     out = translate("SELECT 'abcdef'[2]").replace(" ", "")
     assert "substring('abcdef',2,1)" in out
