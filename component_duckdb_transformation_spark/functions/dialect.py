@@ -145,6 +145,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_simple(tokens)
     tokens = _rewrite_distinct_on_recursive(tokens)
     tokens = _rewrite_qualify_recursive(tokens)
+    tokens = _rewrite_entropy_groupby_recursive(tokens)
     tokens = _rewrite_product_entropy(tokens)
     return "".join(t.text for t in tokens)
 
@@ -579,6 +580,416 @@ def _rewrite_product_entropy(tokens: List[Token]) -> List[Token]:
         out.append(tok)
         i += 1
     return out
+
+
+# Aggregate/window call names that, when they ENCLOSE an entropy() call,
+# make the scale-safe restructure inapplicable (nested-aggregate shapes
+# keep the collect_list template instead).
+_ENTROPY_AGG_CONTEXT = {
+    "sum", "count", "avg", "mean", "min", "max", "first", "last",
+    "any_value", "stddev", "stddev_samp", "stddev_pop", "variance",
+    "var_samp", "var_pop", "corr", "covar_samp", "covar_pop", "median",
+    "mode", "percentile", "percentile_cont", "percentile_disc",
+    "percentile_approx", "approx_count_distinct", "collect_list",
+    "collect_set", "array_agg", "listagg", "string_agg", "product",
+    "entropy", "skewness", "kurtosis", "bool_and", "bool_or", "over",
+}
+
+# Shannon entropy from per-value counts via the identity
+# H = log2(n) - sum(c*log2(c))/n  (n = sum(c)) — every piece is an
+# ordinary map-side-combinable aggregate, so the whole computation is
+# two chained hash aggregates with bounded per-group state (the x28
+# token-entropy shape), instead of collect_list's O(group) array.
+_ENTROPY_H_SQL = (
+    "log2(CAST(sum(__ec) AS DOUBLE))"
+    " - sum(__ec * log2(CAST(__ec AS DOUBLE))) / CAST(sum(__ec) AS DOUBLE)"
+)
+
+
+def _entropy_calls_in_item(item: List[Token]):
+    """Spans of scalar-context ``entropy(arg)`` calls in one select item.
+
+    Returns a list of ``(word_idx, open_idx, close_idx)``, or None when
+    some entropy call is nested inside another aggregate or a window
+    (the statement-level restructure must fall back to the template).
+    Parenthesized subqueries are treated as opaque (handled by the
+    recursive pass on their own scope).
+    """
+    calls = []
+    stack: List[str] = []
+    i, n = 0, len(item)
+    while i < n:
+        t = item[i]
+        if t.kind == "op" and t.text == "(":
+            fc = _next_code(item, i)
+            if fc < n and item[fc].kind == "word" and item[fc].upper in (
+                "SELECT",
+                "WITH",
+            ):
+                i = _matching_paren(item, i) + 1
+                continue
+            stack.append("(")
+            i += 1
+            continue
+        if t.kind == "op" and t.text == ")":
+            if stack:
+                stack.pop()
+            i += 1
+            continue
+        if t.kind == "word":
+            nxt = _next_code(item, i)
+            if nxt < n and item[nxt].text == "(":
+                low = t.text.lower()
+                close = _matching_paren(item, nxt)
+                if low == "entropy":
+                    if any(fn in _ENTROPY_AGG_CONTEXT for fn in stack):
+                        return None
+                    args = _split_top_level_args(item, nxt, close)
+                    if len(args) != 1:
+                        return None
+                    calls.append((i, nxt, close))
+                    i = close + 1
+                    continue
+                stack.append(low)
+                i = nxt + 1
+                continue
+        i += 1
+    return calls
+
+
+def _entropy_outer_name(item: List[Token]) -> Optional[str]:
+    """How the outer query re-references a base select item: its AS
+    alias, or the final segment of a bare (dotted) column; None for an
+    unaliased expression (output name would change — fall back)."""
+    alias = None
+    depth = 0
+    code = [j for j, t in enumerate(item) if t.kind not in ("ws", "comment")]
+    for pos, j in enumerate(code):
+        t = item[j]
+        if t.kind == "op" and t.text in ("(", "["):
+            depth += 1
+        elif t.kind == "op" and t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and t.upper == "AS":
+            if pos + 1 < len(code):
+                alias = item[code[pos + 1]].text
+    if alias is not None:
+        return alias
+    text = "".join(t.text for t in item).strip()
+    if _plain_identifier_name(text) is None:
+        return None
+    return item[code[-1]].text if code else None
+
+
+def _entropy_order_tail_ok(tokens: List[Token], order_idx: int, end: int) -> bool:
+    """ORDER BY terms must be plain identifiers or ordinals so they
+    still resolve in the restructured outer query."""
+    by = _next_code(tokens, order_idx)
+    body = _sql(tokens, by + 1, end)
+    for term in _split_csv_text(body):
+        words = term.split()
+        while words and words[-1].upper() in ("ASC", "DESC", "FIRST", "LAST"):
+            if words[-1].upper() in ("FIRST", "LAST"):
+                words = words[:-1]
+                if words and words[-1].upper() == "NULLS":
+                    words = words[:-1]
+            else:
+                words = words[:-1]
+        expr = " ".join(words)
+        if expr.isdigit():
+            continue
+        if _plain_identifier_name(expr) is None or "." in expr:
+            return False
+    return True
+
+
+def _rewrite_entropy_groupby(tokens: List[Token]) -> List[Token]:
+    """Scale-safe ``entropy()``: when entropy appears only as a
+    scalar-context aggregate in the select list of a plain GROUP BY (or
+    global-aggregate) SELECT, restructure the statement so each entropy
+    argument is computed by two chained hash aggregates joined back on
+    the group keys — no per-group collect_list, bounded executor memory
+    at any group cardinality. Shapes the restructure can't express
+    (entropy in HAVING/ORDER BY, nested in another aggregate or window,
+    grouping by non-column expressions, DISTINCT, ...) keep the
+    _ENTROPY_TEMPLATE fallback applied later in the pipeline."""
+    n = len(tokens)
+    first = _next_code(tokens, -1)
+    if first >= n or tokens[first].kind != "word":
+        return tokens
+    if not any(
+        t.kind == "word" and t.text.lower() == "entropy" for t in tokens
+    ):
+        return tokens
+    if tokens[first].upper == "WITH":
+        depth = 0
+        for j in range(first + 1, n):
+            t = tokens[j]
+            if t.kind == "op" and t.text in ("(", "["):
+                depth += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.kind == "word" and t.upper == "SELECT":
+                return tokens[:j] + _rewrite_entropy_groupby(tokens[j:])
+        return tokens
+    if tokens[first].upper != "SELECT":
+        return tokens
+
+    # set operations: each branch restructures independently
+    depth = 0
+    for j in range(first + 1, n):
+        t = tokens[j]
+        if t.kind == "op" and t.text in ("(", "["):
+            depth += 1
+        elif t.kind == "op" and t.text in (")", "]"):
+            depth -= 1
+        elif (
+            depth == 0
+            and t.kind == "word"
+            and t.upper in ("UNION", "EXCEPT", "INTERSECT")
+        ):
+            k = _next_code(tokens, j)
+            if k < n and tokens[k].upper in ("ALL", "DISTINCT"):
+                k = _next_code(tokens, k)
+            return (
+                _rewrite_entropy_groupby(tokens[:j])
+                + tokens[j:k]
+                + _rewrite_entropy_groupby(tokens[k:])
+            )
+
+    clause_idx: dict = {}
+    depth = 0
+    for j in range(first + 1, n):
+        t = tokens[j]
+        if t.kind == "op" and t.text in ("(", "["):
+            depth += 1
+        elif t.kind == "op" and t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.kind == "word":
+            u = t.upper
+            if u == "GROUP":
+                # not the clause when part of "WITHIN GROUP (...)"
+                prev = [
+                    p
+                    for p in range(j - 1, -1, -1)
+                    if tokens[p].kind not in ("ws", "comment")
+                ]
+                if prev and tokens[prev[0]].kind == "word" and tokens[
+                    prev[0]
+                ].upper == "WITHIN":
+                    continue
+            if u in (
+                "FROM",
+                "WHERE",
+                "GROUP",
+                "HAVING",
+                "ORDER",
+                "LIMIT",
+                "OFFSET",
+                "WINDOW",
+                "QUALIFY",
+            ) and u not in clause_idx:
+                clause_idx[u] = j
+    if "FROM" not in clause_idx or "WINDOW" in clause_idx or "QUALIFY" in clause_idx:
+        return tokens
+    boundaries = sorted(clause_idx.values()) + [n]
+
+    def clause_end(idx: int) -> int:
+        return min(b for b in boundaries if b > idx)
+
+    from_idx = clause_idx["FROM"]
+    sel_lo = _next_code(tokens, first)
+    if sel_lo < n and tokens[sel_lo].upper in ("DISTINCT", "ALL"):
+        return tokens
+
+    # group keys: plain column identifiers only
+    keys: List[str] = []
+    if "GROUP" in clause_idx:
+        g_idx = clause_idx["GROUP"]
+        by = _next_code(tokens, g_idx)
+        if by >= n or tokens[by].upper != "BY":
+            return tokens
+        g_end = clause_end(g_idx)
+        for term in _split_csv_text(_sql(tokens, by + 1, g_end)):
+            if term.upper() == "ALL" or _plain_identifier_name(term) is None:
+                return tokens
+            keys.append(term)
+
+    # entropy must not appear outside the select list
+    for cl in ("WHERE", "GROUP", "HAVING", "ORDER"):
+        if cl in clause_idx:
+            lo = clause_idx[cl]
+            for t in tokens[lo : clause_end(lo)]:
+                if t.kind == "word" and t.text.lower() == "entropy":
+                    return tokens
+    if "ORDER" in clause_idx and not _entropy_order_tail_ok(
+        tokens, clause_idx["ORDER"], clause_end(clause_idx["ORDER"])
+    ):
+        return tokens
+
+    items = _split_top_commas(tokens, sel_lo, from_idx)
+    ent_args: List[str] = []  # distinct argument SQL, in first-seen order
+    arg_ids: dict = {}
+    outer_items: List[str] = []
+    base_items: List[str] = []
+    alias_names: set = set()
+    any_entropy = False
+    for lo, hi in items:
+        item = tokens[lo:hi]
+        calls = _entropy_calls_in_item(item)
+        if calls is None:
+            return tokens
+        if not calls:
+            name = _entropy_outer_name(item)
+            if name is None:
+                return tokens
+            alias_names.add(name.strip('`"').lower())
+            base_items.append(_sql(tokens, lo, hi))
+            outer_items.append(f"__b.{name}")
+            continue
+        any_entropy = True
+        # no OTHER aggregate may share the item (outer scope is unaggregated)
+        spans = [(w, c) for w, _o, c in calls]
+
+        def in_span(j: int) -> bool:
+            return any(w <= j <= c for w, c in spans)
+
+        for j, t in enumerate(item):
+            if in_span(j) or t.kind != "word":
+                continue
+            nxt = _next_code(item, j)
+            if (
+                nxt < len(item)
+                and item[nxt].text == "("
+                and t.text.lower() in _ENTROPY_AGG_CONTEXT
+            ):
+                return tokens
+        parts: List[str] = []
+        pos = 0
+        for w, o, c in calls:
+            parts.append("".join(t.text for t in item[pos:w]))
+            arg_sql = _sql(item, o + 1, c)
+            key = " ".join(arg_sql.split())
+            if key not in arg_ids:
+                arg_ids[key] = len(ent_args)
+                ent_args.append(arg_sql)
+            parts.append(
+                f"coalesce(__e{arg_ids[key]}.__ev_{arg_ids[key]},"
+                f" CAST(0 AS DOUBLE))"
+            )
+            pos = c + 1
+        parts.append("".join(t.text for t in item[pos:]))
+        outer_items.append("".join(parts).strip())
+    if not any_entropy:
+        return tokens
+    # a group key that is really a select-list alias (of some other
+    # expression) wouldn't exist in the entropy subqueries' FROM scope —
+    # fall back; a key that is itself a selected bare column is fine
+    for k in keys:
+        if k.strip('`"').lower() in alias_names and k not in base_items:
+            return tokens
+
+    from_text = _sql(tokens, from_idx, clause_end(from_idx))
+    where_body = ""
+    if "WHERE" in clause_idx:
+        w = clause_idx["WHERE"]
+        where_body = _sql(tokens, w + 1, clause_end(w))
+    group_text = (
+        _sql(tokens, clause_idx["GROUP"], clause_end(clause_idx["GROUP"]))
+        if "GROUP" in clause_idx
+        else ""
+    )
+    having_text = (
+        _sql(tokens, clause_idx["HAVING"], clause_end(clause_idx["HAVING"]))
+        if "HAVING" in clause_idx
+        else ""
+    )
+    tail_lo = min(
+        (clause_idx[c] for c in ("ORDER", "LIMIT", "OFFSET") if c in clause_idx),
+        default=n,
+    )
+    tail_text = _sql(tokens, tail_lo, n) if tail_lo < n else ""
+
+    m = len(keys)
+    base_cols = base_items + [f"{k} AS __egk_{i}" for i, k in enumerate(keys)]
+    if not base_cols:
+        base_cols = ["count(*) AS __ebn"]
+    base_sql = "SELECT " + ", ".join(base_cols) + " " + from_text
+    if where_body:
+        base_sql += " WHERE " + where_body
+    if group_text:
+        base_sql += " " + group_text
+    if having_text:
+        base_sql += " " + having_text
+
+    sql = "SELECT " + ", ".join(outer_items) + " FROM (" + base_sql + ") __b"
+    for j, arg in enumerate(ent_args):
+        inner_cols = [f"{k} AS __egk_{i}" for i, k in enumerate(keys)]
+        inner_cols += [f"({arg}) AS __evv", "count(*) AS __ec"]
+        inner_where = f"({arg}) IS NOT NULL"
+        if where_body:
+            inner_where = f"({where_body}) AND " + inner_where
+        inner_group = ", ".join(str(i) for i in range(1, m + 2))
+        inner_sql = (
+            "SELECT "
+            + ", ".join(inner_cols)
+            + " "
+            + from_text
+            + " WHERE "
+            + inner_where
+            + " GROUP BY "
+            + inner_group
+        )
+        outer_cols = [f"__egk_{i}" for i in range(m)]
+        outer_group = (
+            " GROUP BY " + ", ".join(str(i) for i in range(1, m + 1))
+            if m
+            else ""
+        )
+        sub_sql = (
+            "SELECT "
+            + ", ".join(outer_cols + [f"{_ENTROPY_H_SQL} AS __ev_{j}"])
+            + " FROM ("
+            + inner_sql
+            + ") __ef"
+            + outer_group
+        )
+        if m:
+            cond = " AND ".join(
+                f"__b.__egk_{i} <=> __e{j}.__egk_{i}" for i in range(m)
+            )
+            sql += f" LEFT JOIN ({sub_sql}) __e{j} ON {cond}"
+        else:
+            # LEFT JOIN ON true (not CROSS): an empty source makes the
+            # grouped subquery return zero rows, but the global
+            # aggregate still returns one row — keep it (H -> 0.0)
+            sql += f" LEFT JOIN ({sub_sql}) __e{j} ON true"
+    if tail_text:
+        sql += " " + tail_text
+    return _toks(sql)
+
+
+def _rewrite_entropy_groupby_recursive(tokens: List[Token]) -> List[Token]:
+    """Apply the scale-safe entropy restructure inside every
+    parenthesized scope, innermost-first, then at the top level."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text == "(":
+            close = _matching_paren(tokens, i)
+            if close > i:
+                out.append(tok)
+                out.extend(
+                    _rewrite_entropy_groupby_recursive(tokens[i + 1 : close])
+                )
+                out.append(tokens[close])
+                i = close + 1
+                continue
+        out.append(tok)
+        i += 1
+    return _rewrite_entropy_groupby(out)
 
 
 def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:

@@ -350,7 +350,9 @@ def test_replace_first_semantics(spark):
 def test_product_entropy_rewrites():
     out = translate("SELECT g, product(x) FROM t GROUP BY g")
     assert "exp(sum(ln(abs(" in out and "product" not in out
-    out2 = translate("SELECT entropy(x) FROM t")
+    # nested-in-aggregate entropy keeps the collect_list template (the
+    # scale-safe restructure only applies to top-level scalar contexts)
+    out2 = translate("SELECT max(entropy(x)) FROM t")
     assert "collect_list" in out2 and "array_distinct" in out2
     assert "entropy" not in out2
     # composes with other rewrites (arg already translated when spliced)
@@ -369,6 +371,60 @@ def test_product_entropy_semantics(spark):
         "SELECT round(entropy(x), 9) AS r FROM (VALUES ('a'),('a'),('b'),('c')) t(x)",
         "SELECT entropy(x) AS r FROM (VALUES (CAST(NULL AS VARCHAR))) t(x)",
         "SELECT round(entropy(x), 9) AS r FROM (VALUES (1),(1),(2),(3),(3),(3)) t(x)",
+    ]
+    for c in cases:
+        expected = duckdb.sql(c).fetchall()
+        got = [tuple(r) for r in spark.sql(translate(c)).collect()]
+        assert got == expected, (c, got, expected)
+
+
+def test_entropy_groupby_scale_safe_plan(spark):
+    """Top-level entropy() in a plain GROUP BY (or global aggregate)
+    restructures to two chained hash aggregates — no per-group
+    collect_list anywhere in the translated SQL or the physical plan."""
+    for sql in [
+        "SELECT g, entropy(v) AS h FROM t GROUP BY g",
+        "SELECT entropy(v) AS h FROM t",
+        "SELECT g, round(entropy(v), 6) AS h, count(*) AS n FROM t GROUP BY g",
+    ]:
+        out = translate(sql)
+        assert "collect_list" not in out, (sql, out)
+    # shapes the restructure can't express keep the template fallback
+    for sql in [
+        "SELECT g, sum(entropy(v)) AS h FROM t GROUP BY g",
+        "SELECT g, entropy(v) AS h FROM t GROUP BY g ORDER BY count(*)",
+        "SELECT g + 1, entropy(v) AS h FROM t GROUP BY g + 1",
+    ]:
+        out = translate(sql)
+        assert "collect_list" in out, (sql, out)
+    spark.range(0, 100).selectExpr(
+        "id % 5 AS g", "CAST(id % 7 AS STRING) AS v"
+    ).createOrReplaceTempView("t")
+    plan = spark.sql(
+        translate("SELECT g, entropy(v) AS h FROM t GROUP BY g")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+
+
+def test_entropy_groupby_semantics(spark):
+    import duckdb
+
+    vals = "(VALUES " + ",".join(f"({i})" for i in range(50)) + ") t(x)"
+    cases = [
+        # grouped, varchar values, with a sibling aggregate
+        "SELECT x % 3 AS g, round(entropy(CAST(x % 7 AS VARCHAR)), 9) AS h,"
+        f" CAST(count(*) AS BIGINT) AS n FROM {vals} GROUP BY g ORDER BY g",
+        # grouped with WHERE + an all-null group collapsing to 0.0
+        "SELECT x % 2 AS g,"
+        " round(entropy(CASE WHEN x % 2 = 0 THEN NULL ELSE x % 4 END), 9) AS h"
+        f" FROM {vals} WHERE x < 30 GROUP BY g ORDER BY g",
+        # global (no GROUP BY)
+        f"SELECT round(entropy(x % 5), 9) AS h FROM {vals}",
+        # global over empty source
+        f"SELECT entropy(x) AS h FROM {vals} WHERE x < 0",
+        # two entropy args in one select
+        "SELECT x % 2 AS g, round(entropy(x % 3), 9) AS h1,"
+        f" round(entropy(x % 5), 9) AS h2 FROM {vals} GROUP BY g ORDER BY g",
     ]
     for c in cases:
         expected = duckdb.sql(c).fetchall()
