@@ -347,15 +347,7 @@ class SparkStatementExecutor:
                     f"PIVOT ON {on_expr}: more than {max_values} "
                     "distinct values"
                 )
-            values = [
-                (
-                    "'" + str(v).replace("'", "''") + "'"
-                    if isinstance(v, str)
-                    else str(v),
-                    str(v),
-                )
-                for v in discovered
-            ]
+            values = [(_pivot_value_literal(v), str(v)) for v in discovered]
         aggs = _split_pivot_aggs(agg_expr)
         cols = []
         for lit, vname in values:
@@ -1717,6 +1709,29 @@ def _parse_macro(sql: str):
     return name, params, body
 
 
+def _pivot_value_literal(v) -> str:
+    """Typed SQL literal for a discovered PIVOT ON value: a bare
+    ``str(date)`` would reach Spark as integer subtraction
+    (``(col) = 1998-01-02``)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    raise UserException(
+        f"PIVOT ON column has unsupported value type "
+        f"{type(v).__name__}: {v!r}"
+    )
+
+
 def _split_pivot_in_list(on_expr: str):
     """Split ``col IN (v1, v2)`` -> (``col``, [(lit_sql, name), ...]);
     (on_expr, None) when there is no top-level IN list."""
@@ -1777,31 +1792,82 @@ def _top_level_as(tokens: List[Token]) -> Optional[int]:
     return None
 
 
-def _attach_agg_filter(expr: str, filter_text: str) -> Optional[str]:
-    """Insert ``FILTER (...)`` after every aggregate call inside an
-    expression (``CAST(count(*) AS INT)`` ->
-    ``CAST(count(*) FILTER (...) AS INT)``); None when no aggregate is
-    found."""
+# aggregates whose dialect rewrite replaces the call with a composite
+# expression that can't carry a trailing FILTER clause — the pivot
+# predicate goes into the ARGUMENT instead (both skip nulls, so
+# CASE WHEN pred THEN arg END is equivalent to FILTER)
+_ARG_WRAPPED_AGGS = {"product", "entropy"}
+
+
+def _attach_agg_filter(expr: str, predicate: str) -> Optional[str]:
+    """Apply a pivot-cell predicate to every aggregate call inside an
+    expression: ``FILTER (WHERE pred)`` after the call
+    (``CAST(count(*) AS INT)`` -> ``CAST(count(*) FILTER (...) AS
+    INT)``), AND-merged into an existing FILTER clause rather than
+    doubled; product/entropy get a CASE-wrapped argument instead.
+    Returns None when no aggregate call is found."""
     tokens = tokenize(expr)
     n = len(tokens)
     out: List[Token] = []
     found = False
+
+    def _next(k: int) -> int:
+        while k < n and tokens[k].kind in ("ws", "comment"):
+            k += 1
+        return k
+
+    def _existing_filter(k: int):
+        """(filter_close, body) when tokens[k:] start with a FILTER
+        clause; else None."""
+        k = _next(k)
+        if k < n and tokens[k].kind == "word" and tokens[k].upper == "FILTER":
+            p = _next(k + 1)
+            if p < n and tokens[p].kind == "op" and tokens[p].text == "(":
+                fclose = _matching_paren(tokens, p)
+                body = "".join(t.text for t in tokens[p + 1 : fclose]).strip()
+                if body.upper().startswith("WHERE"):
+                    body = body[5:].strip()
+                return fclose, body
+        return None
+
     i = 0
     while i < n:
         tok = tokens[i]
-        out.append(tok)
-        if tok.kind == "word" and tok.text.lower() in _AGG_FN_NAMES:
-            j = i + 1
-            while j < n and tokens[j].kind in ("ws", "comment"):
-                j += 1
+        low = tok.text.lower() if tok.kind == "word" else ""
+        if low in _AGG_FN_NAMES or low in _ARG_WRAPPED_AGGS:
+            j = _next(i + 1)
             if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
                 close = _matching_paren(tokens, j)
-                out.extend(tokens[i + 1: close + 1])
-                out.append(Token("ws", " "))
-                out.extend(tokenize(filter_text))
                 found = True
-                i = close + 1
+                existing = _existing_filter(close + 1)
+                if low in _ARG_WRAPPED_AGGS:
+                    arg = "".join(
+                        t.text for t in tokens[j + 1 : close]
+                    ).strip()
+                    pred = predicate
+                    if existing is not None:
+                        pred = f"({existing[1]}) AND {predicate}"
+                    out.append(tok)
+                    out.extend(
+                        tokenize(f"(CASE WHEN {pred} THEN {arg} END)")
+                    )
+                    i = (existing[0] if existing is not None else close) + 1
+                    continue
+                out.append(tok)
+                out.extend(tokens[i + 1 : close + 1])
+                out.append(Token("ws", " "))
+                if existing is not None:
+                    out.extend(
+                        tokenize(
+                            f"FILTER (WHERE ({existing[1]}) AND {predicate})"
+                        )
+                    )
+                    i = existing[0] + 1
+                else:
+                    out.extend(tokenize(f"FILTER (WHERE {predicate})"))
+                    i = close + 1
                 continue
+        out.append(tok)
         i += 1
     if not found:
         return None

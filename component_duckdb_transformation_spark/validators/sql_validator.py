@@ -202,7 +202,15 @@ class SQLValidator:
                 head = st.sql.lstrip().split(None, 1)
                 first = head[0].upper().rstrip(";") if head else ""
                 if first in _EXECUTOR_HANDLED_HEADS or _re.search(
-                    r"\bPIVOT\s+[^\s(]|\bMACRO\b", st.sql, _re.IGNORECASE
+                    # statement-head anchored (like the executor's own
+                    # routing): the word MACRO in a literal or comment
+                    # must not suppress parse validation
+                    r"\bPIVOT\s+[^\s(]"
+                    r"|^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP\w*\s+)?"
+                    r"(MACRO|FUNCTION)\b"
+                    r"|^\s*DROP\s+(MACRO|FUNCTION)\b",
+                    st.sql,
+                    _re.IGNORECASE,
                 ):
                     # statement shapes the executor interprets itself
                     # (schema-aware expansion / native handling; incl.
