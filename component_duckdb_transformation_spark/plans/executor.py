@@ -361,7 +361,7 @@ class SparkStatementExecutor:
                     vname if alias is None else f"{vname}_{alias}"
                 ).replace("`", "``")
                 filtered = _attach_agg_filter(
-                    expr, f"FILTER (WHERE ({on_expr}) = {lit})"
+                    expr, f"({on_expr}) = {lit}"
                 )
                 if filtered is None:
                     raise UserException(

@@ -15,9 +15,10 @@ def test_stream_hourly_equals_batch(spark):
     stream = so.read_events_stream(spark, SF)
     result = so.run_stream_to_batch(so.hourly_windowed_aggregate(stream))
 
+    from component_duckdb_transformation_spark.sources.parquet_io import read_parquet
+
     batch = (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("`ts` DIV 1000")))
+        read_parquet(spark, f"{SF}/events.parquet")
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
