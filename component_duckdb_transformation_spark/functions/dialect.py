@@ -404,6 +404,32 @@ def _rewrite_date_diff(tokens: List[Token]) -> List[Token]:
     return out
 
 
+def _pattern_composable(pat: str) -> bool:
+    """True when ``pat`` is safe to embed in the anchored replace-first
+    wrapper: no anchor outside a character class (``^`` composition
+    breaks) and no backreference (the wrapper's prefix group shifts
+    group numbers)."""
+    in_class = False
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            if i + 1 < len(pat) and pat[i + 1].isdigit():
+                return False
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        else:
+            if c == "[":
+                in_class = True
+            elif c in "^$":
+                return False
+        i += 1
+    return True
+
+
 def replace_first_composition(
     pat: str, rep: str, case_insensitive: bool = False
 ) -> tuple[str, str] | None:
@@ -420,24 +446,8 @@ def replace_first_composition(
     a character class (composition with ``^`` breaks) or a backreference
     (group numbers shift), or ``rep`` contains a backslash (DuckDB
     ``\\1``-style backrefs / escapes don't map 1:1 to Java's)."""
-    in_class = False
-    i = 0
-    while i < len(pat):
-        c = pat[i]
-        if c == "\\":
-            if i + 1 < len(pat) and pat[i + 1].isdigit():
-                return None  # backreference: wrapper shifts group numbers
-            i += 2
-            continue
-        if in_class:
-            if c == "]":
-                in_class = False
-        else:
-            if c == "[":
-                in_class = True
-            elif c in "^$":
-                return None  # anchors don't compose with the ^-prefix
-        i += 1
+    if not _pattern_composable(pat):
+        return None
     if "\\" in rep:
         return None
     if case_insensitive:
@@ -455,6 +465,126 @@ def _decode_spark_string(tok: Token) -> str:
 def _encode_spark_string(value: str) -> Token:
     inner = value.replace("\\", "\\\\").replace("'", "''")
     return Token("string", f"'{inner}'")
+
+
+# Runtime guard for dynamic replace-first patterns: any anchor character
+# or backslash-digit backreference in the PATTERN VALUE makes the
+# anchored composition unsound, so those values fall back to plain
+# replace-all at runtime (same divergence the static path lints on).
+_UNCOMPOSABLE_PAT_RE = "[$^]|\\\\[0-9]"
+
+
+def _replace_first_dynamic(
+    subj: List[Token],
+    pat: List[Token],
+    rep: List[Token],
+    pat_lit: Optional[str],
+    rep_lit: Optional[str],
+    case_insensitive: bool = False,
+) -> Optional[List[Token]]:
+    """Replace-FIRST composition when pattern and/or replacement are
+    runtime expressions, not string literals.
+
+    Same anchored-prefix trick as ``replace_first_composition``, built
+    with ``concat`` so the pattern can be any expression. Literal parts
+    are validated statically (anchors/backrefs -> None, caller keeps the
+    lint-covered replace-all); a runtime pattern gets a CASE guard that
+    falls back to replace-all only for values matching
+    ``_UNCOMPOSABLE_PAT_RE``. A runtime replacement is escaped at
+    runtime (backslash, then ``$``) so its value is inserted literally —
+    faithful to DuckDB for every value without a backslash (``$`` is
+    literal in RE2 rewrites; the escape preserves that). Backslashes in
+    a *runtime* replacement value diverge: DuckDB applies RE2 rewrite
+    syntax (``\\\\``=one backslash, ``\\1``=backref, invalid
+    escape=no-op) which has no cheap runtime translation to Java's, so
+    the literal insert is the documented behavior (COVERAGE.md)."""
+    if pat_lit is not None and not _pattern_composable(pat_lit):
+        return None
+    if rep_lit is not None and "\\" in rep_lit:
+        return None
+
+    def _pat_composed() -> List[Token]:
+        prefix = "^((?s:.*?))(?:" + ("(?i:" if case_insensitive else "")
+        suffix = ")" * (2 if case_insensitive else 1)
+        if pat_lit is not None:
+            return [_encode_spark_string(prefix + pat_lit + suffix)]
+        return (
+            _toks("concat(")
+            + [_encode_spark_string(prefix), Token("op", ",")]
+            + list(pat)
+            + [Token("op", ","), _encode_spark_string(suffix), Token("op", ")")]
+        )
+
+    def _rep_escaped() -> List[Token]:
+        return (
+            _toks("replace(replace(")
+            + list(rep)
+            + [Token("op", ","), _encode_spark_string("\\"), Token("op", ",")]
+            + [_encode_spark_string("\\\\"), Token("op", ")"), Token("op", ",")]
+            + [_encode_spark_string("$"), Token("op", ",")]
+            + [_encode_spark_string("\\$")]
+            + _toks(")")
+        )
+
+    def _rep_composed() -> List[Token]:
+        if rep_lit is not None:
+            return [_encode_spark_string("$1" + rep_lit.replace("$", "\\$"))]
+        return (
+            _toks("concat(")
+            + [_encode_spark_string("$1"), Token("op", ",")]
+            + _rep_escaped()
+            + [Token("op", ")")]
+        )
+
+    def _call(pattern: List[Token], replacement: List[Token]) -> List[Token]:
+        return (
+            _toks("regexp_replace(")
+            + list(subj)
+            + [Token("op", ",")]
+            + pattern
+            + [Token("op", ",")]
+            + replacement
+            + [Token("op", ")")]
+        )
+
+    composed = _call(_pat_composed(), _rep_composed())
+    if pat_lit is not None:
+        return composed
+    guard = (
+        [Token("op", "(")]
+        + list(pat)
+        + [Token("op", ")")]
+        + _toks(" RLIKE ")
+        + [_encode_spark_string(_UNCOMPOSABLE_PAT_RE)]
+    )
+    # fallback branch: plain replace-all, case scope preserved
+    if case_insensitive:
+        if pat_lit is not None:
+            fb_pat = [_encode_spark_string("(?i:" + pat_lit + ")")]
+        else:
+            fb_pat = (
+                _toks("concat(")
+                + [_encode_spark_string("(?i:"), Token("op", ",")]
+                + list(pat)
+                + [Token("op", ","), _encode_spark_string(")"), Token("op", ")")]
+            )
+    else:
+        fb_pat = list(pat)
+    fb_rep = (
+        [_encode_spark_string(rep_lit.replace("\\", "\\\\").replace("$", "\\$"))]
+        if rep_lit is not None
+        else _rep_escaped()
+    )
+    fallback = _call(fb_pat, fb_rep)
+    return (
+        _toks("(CASE WHEN ")
+        + guard
+        + _toks(" THEN ")
+        + fallback
+        + _toks(" ELSE ")
+        + composed
+        + _toks(" END)")
+    )
 
 
 # product(): DuckDB multiplies directly; no Spark product aggregate, so
@@ -1063,17 +1193,33 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                     rep_code = [
                         t for t in args[2] if t.kind not in ("ws", "comment")
                     ]
+                    rep_is_lit = (
+                        len(rep_code) == 1 and rep_code[0].kind == "string"
+                    )
                     composed = None
-                    if (
-                        pat_is_lit
-                        and len(rep_code) == 1
-                        and rep_code[0].kind == "string"
-                    ):
+                    if pat_is_lit and rep_is_lit:
                         composed = replace_first_composition(
                             _decode_spark_string(pat_code[0]),
                             _decode_spark_string(rep_code[0]),
                             case_insensitive="i" in flags,
                         )
+                    elif not (pat_is_lit and rep_is_lit):
+                        dyn = _replace_first_dynamic(
+                            args[0],
+                            args[1],
+                            args[2],
+                            _decode_spark_string(pat_code[0])
+                            if pat_is_lit
+                            else None,
+                            _decode_spark_string(rep_code[0])
+                            if rep_is_lit
+                            else None,
+                            case_insensitive="i" in flags,
+                        )
+                        if dyn is not None:
+                            out.extend(dyn)
+                            i = close + 1
+                            continue
                     out.append(tok)
                     out.append(Token("op", "("))
                     out.extend(args[0])
@@ -1109,12 +1255,13 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                     rep_code = [
                         t for t in args[2] if t.kind not in ("ws", "comment")
                     ]
-                    if (
-                        len(pat_code) == 1
-                        and pat_code[0].kind == "string"
-                        and len(rep_code) == 1
-                        and rep_code[0].kind == "string"
-                    ):
+                    pat_is_lit = (
+                        len(pat_code) == 1 and pat_code[0].kind == "string"
+                    )
+                    rep_is_lit = (
+                        len(rep_code) == 1 and rep_code[0].kind == "string"
+                    )
+                    if pat_is_lit and rep_is_lit:
                         composed = replace_first_composition(
                             _decode_spark_string(pat_code[0]),
                             _decode_spark_string(rep_code[0]),
@@ -1128,6 +1275,22 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                             out.append(Token("op", ","))
                             out.append(_encode_spark_string(composed[1]))
                             out.append(Token("op", ")"))
+                            i = close + 1
+                            continue
+                    else:
+                        dyn = _replace_first_dynamic(
+                            args[0],
+                            args[1],
+                            args[2],
+                            _decode_spark_string(pat_code[0])
+                            if pat_is_lit
+                            else None,
+                            _decode_spark_string(rep_code[0])
+                            if rep_is_lit
+                            else None,
+                        )
+                        if dyn is not None:
+                            out.extend(dyn)
                             i = close + 1
                             continue
         out.append(tok)

@@ -21,6 +21,7 @@ from ..configuration import Block
 from ..functions.dialect import (
     _matching_paren,
     _next_code,
+    _pattern_composable,
     _split_top_level_args,
     replace_first_composition,
     translate,
@@ -60,19 +61,31 @@ def _three_arg_regexp_replace(sql: str) -> bool:
                     continue
                 pat_code = [t for t in args[1] if t.kind not in ("ws", "comment")]
                 rep_code = [t for t in args[2] if t.kind not in ("ws", "comment")]
-                if (
-                    len(pat_code) == 1
-                    and pat_code[0].kind == "string"
-                    and len(rep_code) == 1
-                    and rep_code[0].kind == "string"
-                ):
-                    # validator sees RAW DuckDB text: only '' quote
-                    # escaping applies, backslashes are literal
-                    pat = pat_code[0].text[1:-1].replace("''", "'")
-                    rep = rep_code[0].text[1:-1].replace("''", "'")
+                # validator sees RAW DuckDB text: only '' quote escaping
+                # applies, backslashes are literal
+                pat = (
+                    pat_code[0].text[1:-1].replace("''", "'")
+                    if len(pat_code) == 1 and pat_code[0].kind == "string"
+                    else None
+                )
+                rep = (
+                    rep_code[0].text[1:-1].replace("''", "'")
+                    if len(rep_code) == 1 and rep_code[0].kind == "string"
+                    else None
+                )
+                if pat is not None and rep is not None:
                     if replace_first_composition(pat, rep) is not None:
                         continue  # translator handles it faithfully
-                return True
+                    return True
+                # dynamic pattern/replacement: translator composes a
+                # runtime-guarded replace-first (anchor/backref VALUES
+                # fall back to replace-all at runtime) unless a literal
+                # part is statically uncomposable
+                if pat is not None and not _pattern_composable(pat):
+                    return True
+                if rep is not None and "\\" in rep:
+                    return True
+                continue
     return False
 
 

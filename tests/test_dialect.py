@@ -82,13 +82,30 @@ def test_regexp_replace_first_composition():
     # $ in the replacement is literal in DuckDB -> escaped for Java
     outd = translate("SELECT regexp_replace(s, 'a', '$') FROM t")
     assert "'$1\\\\$'" in outd
-    # anchors / backrefs / non-literal args: left as replace-all
+    # literal anchors / backrefs: left as replace-all (lint-covered)
     for sql in (
         "SELECT regexp_replace(s, '^a', 'b') FROM t",
         "SELECT regexp_replace(s, 'a$', 'b') FROM t",
         "SELECT regexp_replace(s, '(a)\\1', 'b') FROM t",
         "SELECT regexp_replace(s, 'a', '\\1') FROM t",
-        "SELECT regexp_replace(s, p, 'b') FROM t",
+    ):
+        out = translate(sql)
+        assert "(?s:" not in out, sql
+
+
+def test_regexp_replace_first_dynamic_composition():
+    # non-literal pattern -> runtime-guarded anchored composition
+    out = translate("SELECT regexp_replace(s, p, 'b') FROM t")
+    assert "CASE WHEN" in out and "(?s:" in out and "RLIKE" in out
+    # non-literal replacement with a clean literal pattern -> composed
+    # statically, replacement escaped at runtime (no guard needed)
+    out = translate("SELECT regexp_replace(s, 'a', r) FROM t")
+    assert "CASE WHEN" not in out and "'^((?s:.*?))(?:a)'" in out
+    assert "replace(replace(" in out
+    # uncomposable literal part wins even when the other arg is dynamic
+    for sql in (
+        "SELECT regexp_replace(s, '^a', r) FROM t",
+        "SELECT regexp_replace(s, p, '\\1') FROM t",
     ):
         out = translate(sql)
         assert "(?s:" not in out, sql
@@ -345,6 +362,51 @@ def test_replace_first_semantics(spark):
         expected = duckdb.sql(sql).fetchone()[0]
         got = spark.sql(translate(sql)).collect()[0][0]
         assert got == expected, (c, got, expected)
+
+
+def test_replace_first_dynamic_semantics(spark):
+    """Differential: dynamic-argument replace-first (runtime-guarded
+    composition) equals DuckDB on column-driven patterns/replacements,
+    including anchor values that take the runtime fallback."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        ("hello world hello", "l", "_"),
+        ("aaa bbb aaa", "a+", "X"),
+        ("foo.bar.baz", "[.]", "-"),
+        ("no match here", "zzz", "Q"),
+        ("dollar $ sign", "[$]", "USD"),
+        ("price is 5", "i.", "$d "),  # $ in a runtime replacement value
+        ("anchored", "^anch", "A"),  # anchor value -> runtime fallback
+        ("repeat repeat", "(re)peat", "X"),
+        ("Hello HELLO x", "hel+o", "y"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR, p VARCHAR, r VARCHAR)")
+    for row in rows:
+        con.execute("INSERT INTO t VALUES (?, ?, ?)", list(row))
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["s", "p", "r"])
+    ).createOrReplaceTempView("rfd_t")
+    for body in (
+        "regexp_replace(s, p, 'X')",
+        "regexp_replace(s, 'l+', r)",
+        "regexp_replace(s, p, r)",
+        "regexp_replace(s, p, 'X', 'i')",
+        "regexp_replace(s, p, r, 'i')",
+        "regexp_replace(s, p || p, 'X')",
+    ):
+        expected = [
+            x[0] for x in con.execute(f"SELECT {body} FROM t").fetchall()
+        ]
+        got = [
+            x[0]
+            for x in spark.sql(
+                translate(f"SELECT {body} FROM rfd_t")
+            ).collect()
+        ]
+        assert got == expected, (body, got, expected)
 
 
 def test_product_entropy_rewrites():

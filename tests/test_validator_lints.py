@@ -27,10 +27,23 @@ def test_three_arg_regexp_replace_unshimable_warns():
         "SELECT regexp_replace(s, '^a', 'b') FROM t",       # anchor
         "SELECT regexp_replace(s, '(a)\\1', 'b') FROM t",   # backref
         "SELECT regexp_replace(s, 'a', '\\1') FROM t",      # rep backref
-        "SELECT regexp_replace(s, p, 'b') FROM t",          # non-literal
+        "SELECT regexp_replace(s, '^a', r) FROM t",         # anchor + dyn rep
+        "SELECT regexp_replace(s, p, '\\1') FROM t",        # dyn pat + backref
     ):
         msgs = check_common_sql_errors(sql)
         assert any("FIRST match" in m for m in msgs), sql
+
+
+def test_three_arg_regexp_replace_dynamic_args_composed_clean():
+    # dynamic pattern/replacement now compose to a runtime-guarded
+    # replace-first — no warning unless a literal part is uncomposable
+    for sql in (
+        "SELECT regexp_replace(s, p, 'b') FROM t",
+        "SELECT regexp_replace(s, 'a', r) FROM t",
+        "SELECT regexp_replace(s, p, r) FROM t",
+    ):
+        msgs = check_common_sql_errors(sql)
+        assert not any("FIRST match" in m for m in msgs), sql
 
 
 def test_four_arg_regexp_replace_clean():
