@@ -141,6 +141,8 @@ def translate(sql: str) -> str:
     tokens = _rewrite_strftime(tokens)
     tokens = _rewrite_epoch(tokens)
     tokens = _rewrite_bare_types(tokens)
+    tokens = _rewrite_integral_casts(tokens)
+    tokens = _rewrite_division_double(tokens)
     tokens = _rewrite_call_shims(tokens)
     tokens = _rewrite_simple(tokens)
     tokens = _rewrite_distinct_on_recursive(tokens)
@@ -310,13 +312,13 @@ def _rewrite_extract_dow(tokens: List[Token]) -> List[Token]:
                     if field == "ISODOW":
                         from_idx = _next_code(tokens, field_idx)
                         expr = tokens[_next_code(tokens, from_idx): close]
-                        out.append(Token("word", "(weekday("))
+                        out.extend(_toks("(weekday("))
                         out.extend(expr)
-                        out.append(Token("word", ") + 1)"))
+                        out.extend(_toks(") + 1)"))
                     else:
                         out.append(Token("op", "("))
                         out.extend(tokens[i: close + 1])
-                        out.append(Token("word", " - 1)"))
+                        out.extend(_toks(" - 1)"))
                     i = close + 1
                     continue
         out.append(tok)
@@ -344,9 +346,9 @@ def _rewrite_date_trunc(tokens: List[Token]) -> List[Token]:
                 )
                 if part in _DATE_PARTS:
                     close = _matching_paren(tokens, p_open)
-                    out.append(Token("word", "CAST("))
+                    out.extend(_toks("CAST("))
                     out.extend(tokens[i: close + 1])
-                    out.append(Token("word", " AS DATE)"))
+                    out.extend(_toks(" AS DATE)"))
                     i = close + 1
                     continue
         out.append(tok)
@@ -1372,19 +1374,221 @@ def _rewrite_epoch(tokens: List[Token]) -> List[Token]:
                 inner = _rewrite_epoch(tokens[p_open + 1: close])
                 if tok.text.lower() == "epoch":
                     # DuckDB epoch() is DOUBLE with fractional seconds
-                    out.append(Token("word", "(CAST(unix_micros(CAST(("))
+                    out.extend(_toks("(CAST(unix_micros(CAST(("))
                     out.extend(inner)
-                    out.append(Token("word", ") AS TIMESTAMP_LTZ)) AS DOUBLE) / 1000000)"))
+                    out.extend(_toks(") AS TIMESTAMP_LTZ)) AS DOUBLE) / 1000000)"))
                 else:
                     out.append(Token("word", _EPOCH_FNS[tok.text.lower()]))
-                    out.append(Token("word", "(CAST(("))
+                    out.extend(_toks("(CAST(("))
                     out.extend(inner)
-                    out.append(Token("word", ") AS TIMESTAMP_LTZ))"))
+                    out.extend(_toks(") AS TIMESTAMP_LTZ))"))
                 i = close + 1
                 continue
         out.append(tok)
         i += 1
     return out
+
+
+# Spark-valid integral cast targets (DuckDB rounds on numeric->integral
+# casts; Spark truncates — see _rewrite_integral_casts)
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "short", "long"}
+
+
+def _capture_operand(tokens: List[Token], i: int) -> int:
+    """End index (exclusive) of the tightest-binding operand starting at
+    code index ``i``: optional unary signs, one primary (literal,
+    identifier, call, or parenthesized group), then postfix pieces that
+    bind tighter than ``/`` — ``.field``, ``[idx]``, ``::type``, and the
+    aggregate/window tails (FILTER/WITHIN GROUP/IGNORE|RESPECT
+    NULLS/OVER)."""
+    n = len(tokens)
+    j = i
+    while j < n and tokens[j].kind == "op" and tokens[j].text in ("+", "-"):
+        j = _next_code(tokens, j)
+    if j >= n:
+        return j
+    t = tokens[j]
+    if t.kind == "op" and t.text == "(":
+        j = _matching_paren(tokens, j) + 1
+    elif t.kind in ("word", "bident", "qident", "number", "string"):
+        nxt = _next_code(tokens, j)
+        if (
+            t.kind in ("word", "bident", "qident")
+            and nxt < n
+            and tokens[nxt].kind == "op"
+            and tokens[nxt].text == "("
+        ):
+            j = _matching_paren(tokens, nxt) + 1
+        else:
+            j += 1
+    else:
+        return j + 1
+    # postfix pieces
+    while True:
+        k = _next_code(tokens, j - 1)
+        if k >= n:
+            return j
+        t = tokens[k]
+        if t.kind == "op" and t.text == ".":
+            m = _next_code(tokens, k)
+            if m < n and tokens[m].kind in ("word", "bident", "qident"):
+                j = m + 1
+                continue
+            return j
+        if t.kind == "op" and t.text == "[":
+            j = _matching_paren(tokens, k) + 1
+            continue
+        if t.kind == "op" and t.text == "::":
+            m = _next_code(tokens, k)
+            if m < n and tokens[m].kind == "word":
+                p = _next_code(tokens, m)
+                if p < n and tokens[p].kind == "op" and tokens[p].text == "(":
+                    j = _matching_paren(tokens, p) + 1
+                else:
+                    j = m + 1
+                continue
+            return j
+        if t.kind == "word" and t.upper in ("FILTER", "OVER"):
+            m = _next_code(tokens, k)
+            if m < n and tokens[m].kind == "op" and tokens[m].text == "(":
+                j = _matching_paren(tokens, m) + 1
+                continue
+            if t.upper == "OVER" and m < n and tokens[m].kind == "word":
+                j = m + 1  # named window
+                continue
+            return j
+        if t.kind == "word" and t.upper == "WITHIN":
+            m = _next_code(tokens, k)
+            if m < n and tokens[m].is_kw("GROUP"):
+                p = _next_code(tokens, m)
+                if p < n and tokens[p].kind == "op" and tokens[p].text == "(":
+                    j = _matching_paren(tokens, p) + 1
+                    continue
+            return j
+        if t.kind == "word" and t.upper in ("IGNORE", "RESPECT"):
+            m = _next_code(tokens, k)
+            if m < n and tokens[m].is_kw("NULLS"):
+                j = m + 1
+                continue
+            return j
+        return j
+
+
+def _rewrite_division_double(tokens: List[Token]) -> List[Token]:
+    """DuckDB division/modulo semantics for ``/``, ``%``, ``//``.
+
+    ``/`` ALWAYS produces DOUBLE in DuckDB (integer/integer and
+    decimal/decimal included); Spark keeps DECIMAL division with a
+    capped result scale (e.g. ``100 / 7.5579`` -> decimal(13,6), six
+    significant decimals of drift). Casting the DIVISOR to DOUBLE forces
+    Spark's division to double for every numeric operand combination
+    while leaving interval-numerator division intact.
+
+    All three operators return NULL on a zero divisor in DuckDB, where
+    Spark's ANSI mode raises DIVIDE_BY_ZERO — a ``nullif`` on the
+    divisor reproduces the NULL (type-preserving for ``%``/``//``).
+    ``//`` becomes Spark's ``DIV`` here (superseding the plain swap in
+    ``_rewrite_simple``) so its divisor gets the same guard."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text in ("/", "%", "//"):
+            j = _next_code(tokens, i)
+            if j < n:
+                end = _capture_operand(tokens, j)
+                divisor = _rewrite_division_double(tokens[j:end])
+                if tok.text == "/":
+                    out.append(tok)
+                    out.extend(_toks(" nullif(CAST("))
+                    out.extend(divisor)
+                    out.extend(_toks(" AS DOUBLE), CAST(0 AS DOUBLE))"))
+                else:
+                    out.append(
+                        Token("word", " DIV ") if tok.text == "//" else tok
+                    )
+                    out.extend(_toks(" nullif("))
+                    out.extend(divisor)
+                    out.extend(_toks(", 0)"))
+                i = end
+                continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+def _rewrite_integral_casts(tokens: List[Token]) -> List[Token]:
+    """DuckDB ROUNDS on numeric->integral casts (half away from zero for
+    DECIMAL, half to even for DOUBLE); Spark TRUNCATES. Routing through
+    ``DECIMAL(38,0)`` (whose Spark cast rounds HALF_UP) reproduces
+    DuckDB for every input except a DOUBLE landing exactly on .5 —
+    half-away vs half-even, documented in COVERAGE.md. Handles
+    ``CAST/TRY_CAST(x AS <integral>)`` and ``x::<integral>``; TRY_CAST
+    keeps try semantics on the inner hop."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() in ("cast", "try_cast"):
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].kind == "op" and tokens[p_open].text == "(":
+                close = _matching_paren(tokens, p_open)
+                as_i = _top_level_as(tokens, p_open, close)
+                if as_i is not None:
+                    ty = _next_code(tokens, as_i)
+                    ty_end = _next_code(tokens, ty)
+                    if (
+                        ty < n
+                        and tokens[ty].kind == "word"
+                        and tokens[ty].text.lower() in _INTEGRAL_TYPES
+                        and ty_end == close
+                    ):
+                        inner = _rewrite_integral_casts(tokens[p_open + 1 : as_i])
+                        fn = tok.text
+                        out.extend(_toks(f"{fn}({fn}("))
+                        out.extend(inner)
+                        out.extend(_toks(" AS DECIMAL(38,0)) AS "))
+                        out.append(tokens[ty])
+                        out.append(Token("op", ")"))
+                        i = close + 1
+                        continue
+        elif tok.kind == "op" and tok.text == "::":
+            ty = _next_code(tokens, i)
+            ty_end = _next_code(tokens, ty) if ty < n else n
+            if (
+                ty < n
+                and tokens[ty].kind == "word"
+                and tokens[ty].text.lower() in _INTEGRAL_TYPES
+                and not (
+                    ty_end < n
+                    and tokens[ty_end].kind == "op"
+                    and tokens[ty_end].text == "("
+                )
+            ):
+                out.append(tok)
+                out.extend(_toks("DECIMAL(38,0)::"))
+                out.append(tokens[ty])
+                i = ty + 1
+                continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+def _top_level_as(tokens: List[Token], open_idx: int, close_idx: int):
+    """Index of the depth-1 AS keyword inside a CAST's parens."""
+    depth = 0
+    for j in range(open_idx, close_idx):
+        t = tokens[j]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 1 and t.is_kw("AS"):
+            return j
+    return None
 
 
 def _rewrite_bare_types(tokens: List[Token]) -> List[Token]:
@@ -1695,13 +1899,13 @@ def _rewrite_qualify(tokens: List[Token]) -> List[Token]:
     if from_idx is None:
         return tokens
     inner: List[Token] = list(tokens[:from_idx])
-    inner.append(Token("word", ", ("))
+    inner.extend(_toks(", ("))
     inner.extend(pred)
-    inner.append(Token("word", ") AS __qualify__ "))
+    inner.extend(_toks(") AS __qualify__ "))
     inner.extend(tokens[from_idx:q_idx])
-    out: List[Token] = [Token("word", "SELECT * EXCEPT (__qualify__) FROM (")]
+    out: List[Token] = _toks("SELECT * EXCEPT (__qualify__) FROM (")
     out.extend(inner)
-    out.append(Token("word", ") WHERE __qualify__ "))
+    out.extend(_toks(") WHERE __qualify__ "))
     out.extend(tail)
     return out
 

@@ -409,6 +409,35 @@ def test_replace_first_dynamic_semantics(spark):
         assert got == expected, (body, got, expected)
 
 
+def test_division_double_semantics(spark):
+    """DuckDB `/` is always DOUBLE and zero divisors give NULL (`%` and
+    `//` too); integral casts round instead of truncating."""
+    import duckdb
+
+    cases = [
+        "SELECT 100 / 7.5579 AS r",
+        "SELECT 1 / 3 AS r",
+        "SELECT 7 // 2 AS r",
+        "SELECT -7 // 2 AS r",
+        "SELECT 1 / 0 AS r",
+        "SELECT 7 % 0 AS r",
+        "SELECT 7 // 0 AS r",
+        "SELECT 7.5 % 2 AS r",
+        "SELECT CAST(2.7 AS BIGINT) AS r",
+        "SELECT CAST(-2.7 AS BIGINT) AS r",
+        "SELECT 2.5::INT AS r",
+        "SELECT CAST('12' AS INT) AS r",
+        # nested: division inside a divisor must also become double
+        "SELECT 1 / (1 + (100 / 7.5579)) AS r",
+    ]
+    for c in cases:
+        expected = duckdb.sql(c).fetchall()
+        got = [tuple(r) for r in spark.sql(translate(c)).collect()]
+        assert [tuple(map(float, r)) if r[0] is not None else r for r in got] == [
+            tuple(map(float, r)) if r[0] is not None else r for r in expected
+        ], (c, got, expected)
+
+
 def test_product_entropy_rewrites():
     out = translate("SELECT g, product(x) FROM t GROUP BY g")
     assert "exp(sum(ln(abs(" in out and "product" not in out

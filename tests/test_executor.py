@@ -288,7 +288,49 @@ def test_merge_not_matched_by_source(spark, table_store):
     assert got == {(1, "hit"), (2, "hit"), (4, "stale")}
 
 
-def test_dynamic_pivot_expansion(spark, table_store):
+def test_same_batch_merges_serialize(spark, table_store):
+    """Two MERGEs into one target in the same parallel batch: merge is
+    read-modify-write over the copy-on-write store, so the orchestrator's
+    writer-serialization edges are what keeps the second merge from
+    clobbering the first. Both must land."""
+    from component_duckdb_transformation_spark.configuration import Block, Code
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+    from component_duckdb_transformation_spark.plans.orchestrator import (
+        BlockOrchestrator,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    orch = BlockOrchestrator(execute_script=ex.execute_query, max_workers=4)
+    orch.add_queries_from_blocks([
+        Block(name="b", codes=[
+            Code(name="setup", script=[
+                "CREATE TABLE cmt AS SELECT * FROM (VALUES "
+                "(1, 0), (2, 0), (3, 0), (4, 0)) v(id, hits)",
+                "CREATE TABLE cms1 AS SELECT * FROM (VALUES (1), (2), (5)) v(id)",
+                "CREATE TABLE cms2 AS SELECT * FROM (VALUES (2), (3), (6)) v(id)",
+            ]),
+            Code(name="m1", script=[
+                "MERGE INTO cmt USING cms1 ON cmt.id = cms1.id "
+                "WHEN MATCHED THEN UPDATE SET hits = cmt.hits + 1 "
+                "WHEN NOT MATCHED THEN INSERT VALUES (cms1.id, 1)",
+            ]),
+            Code(name="m2", script=[
+                "MERGE INTO cmt USING cms2 ON cmt.id = cms2.id "
+                "WHEN MATCHED THEN UPDATE SET hits = cmt.hits + 1 "
+                "WHEN NOT MATCHED THEN INSERT VALUES (cms2.id, 1)",
+            ]),
+        ])
+    ])
+    orch.execute()
+    got = {(r.id, r.hits) for r in spark.table("cmt").collect()}
+    assert got == {(1, 1), (2, 2), (3, 1), (4, 0), (5, 1), (6, 1)}
+    # the two merges must not share a batch (writer-serialization edge)
+    for block in orch.build_block_execution_plan():
+        for batch in block.batches:
+            names = {q.name for q in batch}
+            assert not {"m1", "m2"} <= names, names
     from component_duckdb_transformation_spark.plans.executor import (
         SparkStatementExecutor,
     )

@@ -1,0 +1,256 @@
+"""Adversarial dialect fuzzer: random scalar/aggregate expressions over
+``lineitem``, executed on Spark (through ``dialect.translate``) AND on
+DuckDB, values compared with float tolerance.
+
+The q42 ``product()`` sign bug was exactly this class of defect — a
+dialect corner no hand-written workload exercised. The generator sticks
+to constructs both engines define identically (no numeric->string
+implicit casts, no zero denominators, no int overflow, 1-based substr)
+so every mismatch is a real translator bug, not a known engine
+divergence; the known divergences are documented in COVERAGE.md.
+
+Usage: python tools/fuzz_diff.py [--n 300] [--seed 20260813] [--sf 0.001]
+
+Deterministic for a given (seed, n). Exit code = number of mismatched
+expressions. Batches BATCH expressions per Spark job so a full run is
+~n/BATCH jobs, with per-expression isolation only on a failing batch.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from typing import List
+
+import duckdb
+import numpy as np
+
+BATCH = 20
+
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+TS_COL = "l_shipdate"
+
+EXTRACT_PARTS = ["year", "month", "day", "quarter", "dow", "doy", "week"]
+TRUNC_PARTS = ["year", "month", "day", "hour"]
+STRFTIME_FMTS = ["%Y-%m-%d", "%d/%m/%Y", "%Y%m", "%H:%M:%S"]
+
+
+def num_expr(g: random.Random, depth: int = 0) -> str:
+    if depth >= 3 or g.random() < 0.3:
+        r = g.random()
+        if r < 0.4:
+            return g.choice(INT_COLS + NUM_COLS)
+        if r < 0.7:
+            return str(g.randint(-20, 100))
+        return f"{g.uniform(-5, 20):.4f}"
+    a = num_expr(g, depth + 1)
+    b = num_expr(g, depth + 1)
+    choice = g.randrange(12)
+    if choice == 0:
+        return f"({a} + {b})"
+    if choice == 1:
+        return f"({a} - {b})"
+    if choice == 2:
+        # bound one side so products can't overflow int64
+        return f"({a} * ({b} % 97))" if g.random() < 0.5 else f"({a} * {g.randint(-9, 9)})"
+    if choice == 3:
+        return f"({a} / (abs({b}) + 1.5))"
+    if choice == 4:
+        return f"({a} % (abs(cast({b} AS BIGINT)) + 7))"
+    if choice == 5:
+        return f"round({a}, {g.randint(0, 3)})"
+    if choice == 6:
+        return g.choice(["abs", "floor", "ceil"]) + f"({a})"
+    if choice == 7:
+        return f"ln(abs({a}) + 1.0)" if g.random() < 0.5 else f"sqrt(abs({a}))"
+    if choice == 8:
+        return f"(CASE WHEN {bool_expr(g, depth + 1)} THEN {a} ELSE {b} END)"
+    if choice == 9:
+        return f"coalesce(nullif({a}, {g.randint(0, 5)}), {b})"
+    if choice == 10:
+        return f"length({str_expr(g, depth + 1)})"
+    return f"extract({g.choice(EXTRACT_PARTS)} FROM {ts_expr(g)})"
+
+
+def str_expr(g: random.Random, depth: int = 0) -> str:
+    if depth >= 3 or g.random() < 0.35:
+        if g.random() < 0.6:
+            return g.choice(STR_COLS)
+        return "'" + g.choice(["Ax", "N", "zz9", "R F", ""]) + "'"
+    a = str_expr(g, depth + 1)
+    choice = g.randrange(8)
+    if choice == 0:
+        return f"upper({a})" if g.random() < 0.5 else f"lower({a})"
+    if choice == 1:
+        return f"substr({a}, {g.randint(1, 3)}, {g.randint(1, 4)})"
+    if choice == 2:
+        b = str_expr(g, depth + 1)
+        return f"concat({a}, {b})" if g.random() < 0.5 else f"({a} || {b})"
+    if choice == 3:
+        return f"trim({a})"
+    if choice == 4:
+        return f"reverse({a})"
+    if choice == 5:
+        return f"lpad({a}, {g.randint(1, 6)}, '{g.choice(['*', '0'])}')"
+    if choice == 6:
+        return f"replace({a}, '{g.choice(['A', 'N', 'z'])}', '{g.choice(['', '_x'])}')"
+    return (
+        f"(CASE WHEN {bool_expr(g, depth + 1)} THEN {a} "
+        f"ELSE {str_expr(g, depth + 1)} END)"
+    )
+
+
+def ts_expr(g: random.Random) -> str:
+    if g.random() < 0.5:
+        return TS_COL
+    return f"date_trunc('{g.choice(TRUNC_PARTS)}', {TS_COL})"
+
+
+def bool_expr(g: random.Random, depth: int = 0) -> str:
+    choice = g.randrange(6)
+    if choice == 0:
+        op = g.choice(["<", ">", "<=", ">=", "=", "<>"])
+        return f"({num_expr(g, depth + 1)} {op} {num_expr(g, depth + 1)})"
+    if choice == 1:
+        return f"({str_expr(g, depth + 1)} = {str_expr(g, depth + 1)})"
+    if choice == 2:
+        return f"({g.choice(STR_COLS)} LIKE '{g.choice(['A%', '%F', '_'])}')"
+    if choice == 3:
+        lo = g.randint(0, 20)
+        return f"({g.choice(INT_COLS + NUM_COLS)} BETWEEN {lo} AND {lo + g.randint(1, 30)})"
+    if choice == 4:
+        vals = ", ".join(f"'{v}'" for v in g.sample(["A", "N", "R", "F", "O"], 3))
+        return f"({g.choice(STR_COLS)} IN ({vals}))"
+    if depth >= 2:
+        return f"({g.choice(INT_COLS)} % 2 = 0)"
+    joiner = g.choice(["AND", "OR"])
+    return f"({bool_expr(g, depth + 1)} {joiner} {bool_expr(g, depth + 1)})"
+
+
+def scalar_item(g: random.Random) -> str:
+    r = g.random()
+    if r < 0.55:
+        return num_expr(g)
+    if r < 0.8:
+        return str_expr(g)
+    if r < 0.9:
+        return f"CAST(extract({g.choice(EXTRACT_PARTS)} FROM {ts_expr(g)}) AS VARCHAR)"
+    return f"strftime({ts_expr(g)}, '{g.choice(STRFTIME_FMTS)}')"
+
+
+def agg_item(g: random.Random) -> str:
+    fn = g.choice(["sum", "avg", "min", "max", "count"])
+    inner = num_expr(g, depth=1)
+    if g.random() < 0.4:
+        inner = f"CASE WHEN {bool_expr(g, 1)} THEN {inner} END"
+    return f"{fn}({inner})"
+
+
+def compare_cols(sa: np.ndarray, oa: np.ndarray) -> bool:
+    """Order-aligned column compare with float tolerance."""
+    try:
+        a = sa.astype(float)
+        b = oa.astype(float)
+        nan = np.isnan(a) & np.isnan(b)
+        return bool(np.all(np.isclose(a, b, rtol=1e-9, atol=1e-12) | nan))
+    except (ValueError, TypeError):
+        return bool(np.all(sa.astype(str) == oa.astype(str)))
+
+
+def run_batch(spark, con, translate, items: List[str], agg: bool):
+    """Returns indices of mismatched items (into ``items``)."""
+    if agg:
+        sel = ", ".join(f"{e} AS e{i}" for i, e in enumerate(items))
+        sql = (
+            f"SELECT l_returnflag, {sel} FROM lineitem "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        )
+    else:
+        sel = ", ".join(f"{e} AS e{i}" for i, e in enumerate(items))
+        sql = (
+            f"SELECT l_orderkey, l_linenumber, {sel} FROM lineitem "
+            "ORDER BY l_orderkey, l_linenumber"
+        )
+    odf = con.execute(sql).fetchdf()
+    sdf = spark.sql(translate(sql)).toPandas()
+    if len(odf) != len(sdf):
+        return list(range(len(items)))
+    bad = []
+    for i in range(len(items)):
+        if not compare_cols(sdf[f"e{i}"].to_numpy(), odf[f"e{i}"].to_numpy()):
+            bad.append(i)
+    return bad
+
+
+def main() -> int:
+    args = sys.argv[1:]
+
+    def opt(name, default):
+        return args[args.index(name) + 1] if name in args else default
+
+    n = int(opt("--n", "300"))
+    seed = int(opt("--seed", "20260813"))
+    sf = opt("--sf", "0.001")
+    sf_dir = f"/root/testdata/sf{sf}"
+
+    sys.path.insert(0, "/root/repo")
+    from component_duckdb_transformation_spark.functions.dialect import translate
+    from component_duckdb_transformation_spark.session import build_spark_session
+    from component_duckdb_transformation_spark.sources.parquet_io import read_parquet
+
+    spark = build_spark_session(app_name="fuzz-diff", threads=8, shuffle_partitions=8)
+    read_parquet(spark, f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+
+    g = random.Random(seed)
+    scalar_n = n * 4 // 5
+    items = [(scalar_item(g), False) for _ in range(scalar_n)]
+    items += [(agg_item(g), True) for _ in range(n - scalar_n)]
+
+    mismatches = 0
+    for agg in (False, True):
+        pool = [e for e, a in items if a == agg]
+        for off in range(0, len(pool), BATCH):
+            batch = pool[off : off + BATCH]
+            try:
+                bad = run_batch(spark, con, translate, batch, agg)
+            except Exception as exc:  # isolate the erroring expression
+                bad = []
+                for j, e in enumerate(batch):
+                    try:
+                        bad_j = run_batch(spark, con, translate, [e], agg)
+                        if bad_j:
+                            bad.append(j)
+                    except Exception as exc2:  # noqa: BLE001
+                        print(f"ERROR {e!r}: {str(exc2)[:200]}")
+                        bad.append(j)
+                _ = exc
+            for j in bad:
+                # re-verify in isolation (a batch-level length error
+                # flags everything; single runs narrow it down)
+                try:
+                    if run_batch(spark, con, translate, [batch[j]], agg):
+                        print(f"MISMATCH {'agg ' if agg else ''}{batch[j]!r}")
+                        mismatches += 1
+                except Exception as exc3:  # noqa: BLE001
+                    print(f"ERROR {batch[j]!r}: {str(exc3)[:200]}")
+                    mismatches += 1
+            done = min(off + BATCH, len(pool))
+            print(
+                f"# {'agg' if agg else 'scalar'} {done}/{len(pool)}"
+                f" mismatches={mismatches}",
+                file=sys.stderr,
+            )
+    print(f"\n{mismatches} mismatches over {n} expressions (seed {seed})")
+    return 1 if mismatches else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
