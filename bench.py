@@ -41,6 +41,46 @@ SERIAL = {name for name, wl in WORKLOADS.items() if wl.serial}
 SEQUENTIAL_TOP_N = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_TOP_N", "10"))
 
 
+def _active_times(spark) -> dict[str, float]:
+    """Per-workload executor-side job time: sum of (completion -
+    submission) over the workload's jobs, read from the UI REST API
+    (jobs are keyed by the job group set in ``run_one``). Unlike the
+    elapsed timings this excludes Python-side planning/translation and
+    thread-pool queueing, so round-over-round deltas isolate plan cost
+    from harness contention. Streaming micro-batch jobs run on their own
+    threads without the group tag and are not attributed."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app_id}/jobs?status=succeeded"
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            jobs = json.loads(resp.read())
+    except Exception as exc:  # noqa: BLE001
+        print(f"# active-time collection failed: {exc}", file=sys.stderr)
+        return {}
+    from datetime import datetime
+
+    def _ts(s: str) -> float:
+        # e.g. "2026-08-13T21:05:42.123GMT"
+        return datetime.strptime(
+            s.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+        ).timestamp()
+
+    active: dict[str, float] = {}
+    for job in jobs:
+        group = job.get("jobGroup")
+        sub, comp = job.get("submissionTime"), job.get("completionTime")
+        if not group or group not in WORKLOADS or not sub or not comp:
+            continue
+        try:
+            active[group] = active.get(group, 0.0) + (_ts(comp) - _ts(sub))
+        except ValueError:
+            continue
+    return {k: round(v, 4) for k, v in sorted(active.items())}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
@@ -51,7 +91,13 @@ def main() -> int:
     except ValueError:
         sf = None
 
-    spark = build_spark_session(app_name="cdts-bench", threads=cpus)
+    # UI on: the REST status API is where per-job submission/completion
+    # times come from (queries_active below)
+    spark = build_spark_session(
+        app_name="cdts-bench",
+        threads=cpus,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     # Warm the JVM + register views once; per-query timing then measures the
     # query, not session bootstrap (registration is also what a resident
     # engine would amortize).
@@ -65,6 +111,9 @@ def main() -> int:
         name, wl = item
         t0 = time.perf_counter()
         try:
+            # job-group tag (thread-local) keys the REST job log so
+            # executor-side active time can be summed per workload
+            spark.sparkContext.setJobGroup(name, name)
             df = wl.make(spark, sf_dir)
             n = df.count()
             timings[name] = round(time.perf_counter() - t0, 4)
@@ -115,12 +164,15 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"# seq {n}: FAILED {str(exc)[:200]}", file=sys.stderr)
 
+    active = _active_times(spark)
+
     result = {
         "metric": "workload_suite_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_sequential": seq_timings,
+        "queries_active": active,
         "sf": sf,
         "n_queries": len(timings),
         "failures": failures,
