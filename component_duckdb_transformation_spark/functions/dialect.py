@@ -97,7 +97,8 @@ _FN_RENAMES = {
     "list_indexof": "array_position",
     "nextafter": "nextafter",  # identity examples keep table readable
     "editdist3": "levenshtein",
-    "jaro_winkler_similarity": "jarowinkler",  # not in Spark: kept for visibility
+    # jaro_winkler_similarity resolves to the registered pandas UDF
+    # (functions/text_udfs.py) — no rename
 }
 
 
@@ -629,6 +630,19 @@ _ENTROPY_TEMPLATE = (
     ")), 1))"
 )
 
+# histogram(): DuckDB's per-group value->count MAP, keys ascending.
+# Same collect_list binding trick as entropy: the group's values are
+# gathered once, distinct keys sorted, counts via filter/size. O(distinct
+# * n) per group and O(n) group memory — the same documented bound as
+# the entropy template; restructure to a two-level GROUP BY upstream for
+# high-cardinality groups.
+_HISTOGRAM_TEMPLATE = (
+    "(element_at(transform(array(collect_list(__E0)), __harr ->"
+    " map_from_entries(transform(array_sort(array_distinct(__harr)),"
+    " __hv -> struct(__hv, CAST(size(filter(__harr, __he -> __he = __hv))"
+    " AS BIGINT))))), 1))"
+)
+
 
 def _splice_template(template: str, args: dict) -> List[Token]:
     """Tokenize a pure-Spark template, replacing placeholder words with
@@ -694,18 +708,22 @@ def _rewrite_product_entropy(tokens: List[Token]) -> List[Token]:
                     )
                     i = close + 1
                     continue
-        if tok.kind == "word" and tok.text.lower() in ("product", "entropy"):
+        if tok.kind == "word" and tok.text.lower() in (
+            "product",
+            "entropy",
+            "histogram",
+        ):
             p_open = _next_code(tokens, i)
             if p_open < n and tokens[p_open].text == "(":
                 close = _matching_paren(tokens, p_open)
                 args = _split_top_level_args(tokens, p_open, close)
                 if len(args) == 1:
                     arg = _rewrite_product_entropy(args[0])
-                    tmpl = (
-                        _PRODUCT_TEMPLATE
-                        if tok.text.lower() == "product"
-                        else _ENTROPY_TEMPLATE
-                    )
+                    tmpl = {
+                        "product": _PRODUCT_TEMPLATE,
+                        "entropy": _ENTROPY_TEMPLATE,
+                        "histogram": _HISTOGRAM_TEMPLATE,
+                    }[tok.text.lower()]
                     out.extend(_splice_template(tmpl, {"__E0": arg}))
                     i = close + 1
                     continue
@@ -724,7 +742,8 @@ _ENTROPY_AGG_CONTEXT = {
     "mode", "percentile", "percentile_cont", "percentile_disc",
     "percentile_approx", "approx_count_distinct", "collect_list",
     "collect_set", "array_agg", "listagg", "string_agg", "product",
-    "entropy", "skewness", "kurtosis", "bool_and", "bool_or", "over",
+    "entropy", "histogram", "skewness", "kurtosis", "bool_and",
+    "bool_or", "over",
 }
 
 # Shannon entropy from per-value counts via the identity
@@ -2267,6 +2286,42 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                 if low == "regexp_extract" and len(args) == 2:
                     a, b = (_sql(inner, s, e) for s, e in args)
                     out.extend(_toks(f"regexp_extract({a}, {b}, 0)"))
+                    i = close + 1
+                    continue
+                if low == "timezone" and len(args) == 2:
+                    # timezone(tz, ts): interpret the (naive) timestamp
+                    # as tz-local and give the UTC instant — DuckDB's
+                    # TIMESTAMPTZ rendered in this engine's UTC session
+                    tz, ts = (_sql(inner, s, e) for s, e in args)
+                    out.extend(_toks(f"to_utc_timestamp({ts}, {tz})"))
+                    i = close + 1
+                    continue
+                if low == "bar" and len(args) in (3, 4):
+                    # DuckDB bar(): full blocks + floor-to-eighth partial,
+                    # then right-pad with spaces to `width` BYTES (each
+                    # block char is 3 bytes of UTF-8 — reproducing
+                    # DuckDB's byte-based padding exactly)
+                    x, lo_a, hi_a = (_sql(inner, s, e) for s, e in args[:3])
+                    width = _sql(inner, *args[3]) if len(args) == 4 else "80"
+                    units = (
+                        f"(least(greatest((CAST(({x}) AS DOUBLE) - "
+                        f"CAST(({lo_a}) AS DOUBLE)) / (CAST(({hi_a}) AS DOUBLE)"
+                        f" - CAST(({lo_a}) AS DOUBLE)), CAST(0 AS DOUBLE)), "
+                        f"CAST(1 AS DOUBLE)) * ({width}))"
+                    )
+                    full = f"CAST(floor({units}) AS INT)"
+                    rem8 = f"CAST(floor(({units} - floor({units})) * 8) AS INT)"
+                    nchars = f"({full} + (CASE WHEN {rem8} >= 1 THEN 1 ELSE 0 END))"
+                    out.extend(
+                        _toks(
+                            f"concat(repeat('█', {full}), "
+                            f"CASE WHEN {rem8} BETWEEN 1 AND 7 THEN "
+                            "element_at(array('▏','▎','▍','▌','▋','▊','▉'), "
+                            f"{rem8}) ELSE '' END, "
+                            f"repeat(' ', greatest(0, CAST(({width}) AS INT)"
+                            f" - 3 * {nchars})))"
+                        )
+                    )
                     i = close + 1
                     continue
                 if low == "date_add" and len(args) == 2:

@@ -1,0 +1,142 @@
+"""String-similarity functions DuckDB ships natively but Spark lacks:
+``jaro_similarity``, ``jaro_winkler_similarity``, ``damerau_levenshtein``
+(reference exposes them through DuckDB's function library; e.g. DuckDB
+docs list them under text functions).
+
+No Spark builtin exists, and the algorithms are per-pair dynamic
+programming — not expressible in vectorized SQL. They are registered as
+Arrow-batched pandas UDFs: batches cross the Python boundary via Arrow,
+the DP runs per row in Python. That makes them the ONLY per-row Python
+compute in the engine; they are documented as such (COVERAGE.md) and
+cost ~1-5 us/pair, fine for match/dedup workloads, and they distribute
+like any other UDF (no driver collect, no shuffle of their own).
+
+Semantics verified differentially against DuckDB in
+tests/test_text_udfs.py, including the full (unrestricted)
+Damerau-Levenshtein — DuckDB's ``damerau_levenshtein('ca','abc') = 2``
+rules out the cheaper OSA variant.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+
+def jaro(s1: str, s2: str) -> float:
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0  # DuckDB: empty input is 0, even for ('','')
+    if s1 == s2:
+        return 1.0
+    match_dist = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - match_dist)
+        hi = min(l2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1, threshold: float = 0.7) -> float:
+    j = jaro(s1, s2)
+    if j <= threshold:
+        return j
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * p * (1.0 - j)
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Full (unrestricted) Damerau-Levenshtein — transpositions may have
+    intervening edits, matching DuckDB."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxdist = la + lb
+    da: dict[str, int] = {}
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxdist
+    for i in range(la + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - 1 - k) + 1 + (j - 1 - l),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def _pairwise(fn, a: pd.Series, b: pd.Series, null):
+    # DuckDB runs these over UTF-8 BYTES, not codepoints ('résumé' vs
+    # 'resume' gives the 8-vs-6-length jaro) — encode before the DP
+    return pd.Series(
+        [
+            null
+            if x is None or y is None
+            else fn(x.encode("utf-8"), y.encode("utf-8"))
+            for x, y in zip(a, b)
+        ],
+        dtype="object",
+    )
+
+
+def register_text_udfs(spark: SparkSession) -> None:
+    """Idempotent per-session registration (called from the session
+    factory so every engine session resolves the names in plain SQL)."""
+
+    @pandas_udf("double")
+    def _jaro_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return _pairwise(jaro, a, b, None).astype("float64")
+
+    @pandas_udf("double")
+    def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return _pairwise(jaro_winkler, a, b, None).astype("float64")
+
+    @pandas_udf("long")
+    def _dl_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return _pairwise(damerau_levenshtein, a, b, None).astype("Int64")
+
+    spark.udf.register("jaro_similarity", _jaro_udf)
+    spark.udf.register("jaro_winkler_similarity", _jw_udf)
+    spark.udf.register("damerau_levenshtein", _dl_udf)

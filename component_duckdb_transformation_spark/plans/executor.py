@@ -1796,7 +1796,7 @@ def _top_level_as(tokens: List[Token]) -> Optional[int]:
 # expression that can't carry a trailing FILTER clause — the pivot
 # predicate goes into the ARGUMENT instead (both skip nulls, so
 # CASE WHEN pred THEN arg END is equivalent to FILTER)
-_ARG_WRAPPED_AGGS = {"product", "entropy"}
+_ARG_WRAPPED_AGGS = {"product", "entropy", "histogram"}
 
 
 def _attach_agg_filter(expr: str, predicate: str) -> Optional[str]:

@@ -101,6 +101,11 @@ def build_spark_session(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # string-similarity functions DuckDB ships natively (Python-boundary
+    # pandas UDFs; see functions/text_udfs.py)
+    from .functions.text_udfs import register_text_udfs
+
+    register_text_udfs(spark)
     return spark
 
 

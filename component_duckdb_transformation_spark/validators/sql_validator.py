@@ -148,12 +148,14 @@ def check_common_sql_errors(sql: str) -> list[str]:
 
 
 # DuckDB functions with no Spark builtin and no dialect shim; calling
-# them fails at execution, so surface it at validation time instead
+# them fails at execution, so surface it at validation time instead.
+# (jaro_similarity/jaro_winkler_similarity/damerau_levenshtein are
+# registered pandas UDFs, functions/text_udfs.py; bar/timezone are
+# dialect shims; histogram is an aggregate template — all verified
+# against DuckDB in tests.)
 _UNSUPPORTED_FUNCTIONS = {
-    "damerau_levenshtein", "bar", "histogram",
-    "icu_sort_key", "to_base64_url",
-    "jaro_similarity", "fuzzy_match",
-    "age", "timezone", "current_setting",  # interval/engine-state semantics
+    "icu_sort_key", "to_base64_url", "fuzzy_match",
+    "age", "current_setting",  # interval/engine-state semantics
 }
 
 # shimmed only for specific argument shapes: lint the rest

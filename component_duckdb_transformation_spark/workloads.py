@@ -69,6 +69,11 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     for t in TABLES:
         read_parquet(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    # similarity UDFs (jaro/damerau) must resolve on a harness-built
+    # vanilla session too, not only the repo's factory sessions
+    from .functions.text_udfs import register_text_udfs
+
+    register_text_udfs(spark)
     _REGISTERED.add(key)
 
 
@@ -748,6 +753,28 @@ _add_sql(
     """,
     "jaccard char-set similarity, hamming/mismatches, list_aggregate "
     "name dispatch, format {} placeholders",
+)
+
+_add_sql(
+    "q52_similarity_bar_timezone",
+    """
+    SELECT p_partkey,
+           round(jaro_similarity(p_name, p_type), 6) AS jaro,
+           round(jaro_winkler_similarity(p_name, reverse(p_name)), 6) AS jw,
+           CAST(damerau_levenshtein(substr(p_name, 1, 8), substr(p_type, 1, 8))
+                AS BIGINT) AS dl,
+           bar(p_partkey % 10, 0, 10, 12) AS bar_chart,
+           strftime(timezone(CASE WHEN p_partkey % 2 = 0
+                                  THEN 'Asia/Tokyo'
+                                  ELSE 'America/New_York' END,
+                             TIMESTAMP '2024-06-01 12:00:00'),
+                    '%Y-%m-%d %H:%M:%S') AS tz_utc
+    FROM part
+    WHERE p_partkey <= 200
+    """,
+    "jaro/jaro-winkler/damerau-levenshtein (Arrow pandas UDFs, "
+    "byte-level like DuckDB), bar() block chart with byte-padding, "
+    "timezone() -> to_utc_timestamp",
 )
 
 _add_sql(

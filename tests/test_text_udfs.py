@@ -1,0 +1,111 @@
+"""Differential tests for the named-function gap closers: the
+string-similarity pandas UDFs (functions/text_udfs.py) and the
+bar/timezone/histogram dialect shims — every case compared against
+DuckDB's native implementation."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from component_duckdb_transformation_spark.functions.dialect import translate
+
+PAIRS = [
+    ("martha", "marhta"),
+    ("dixon", "dicksonx"),
+    ("jellyfish", "smellyfish"),
+    ("", ""),
+    ("", "abc"),
+    ("abc", ""),
+    ("equal", "equal"),
+    ("ca", "abc"),
+    ("a cat", "an abct"),
+    ("abcd", "acbd"),
+    ("kitten", "sitting"),
+    ("résumé", "resume"),
+    ("x", "y"),
+]
+
+
+@pytest.mark.parametrize(
+    "fn", ["jaro_similarity", "jaro_winkler_similarity", "damerau_levenshtein"]
+)
+def test_similarity_functions_match_duckdb(spark, fn):
+    con = duckdb.connect()
+    for a, b in PAIRS:
+        expected = con.execute(f"SELECT {fn}(?, ?)", [a, b]).fetchone()[0]
+        got = spark.sql(
+            "SELECT {fn}('{a}', '{b}') AS r".format(
+                fn=fn, a=a.replace("'", "''"), b=b.replace("'", "''")
+            )
+        ).collect()[0][0]
+        if isinstance(expected, float):
+            assert got == pytest.approx(expected, abs=1e-12), (fn, a, b)
+        else:
+            assert got == expected, (fn, a, b)
+
+
+def test_similarity_null_propagation(spark):
+    row = spark.sql(
+        "SELECT jaro_similarity(CAST(NULL AS STRING), 'x') AS a, "
+        "damerau_levenshtein('x', CAST(NULL AS STRING)) AS b"
+    ).collect()[0]
+    assert row.a is None and row.b is None
+
+
+def test_bar_matches_duckdb(spark):
+    con = duckdb.connect()
+    cases = [
+        "bar(3, 0, 10, 8)",
+        "bar(3.3, 0, 10)",
+        "bar(0, 0, 10, 12)",
+        "bar(10, 0, 10, 12)",
+        "bar(15, 0, 10, 12)",  # clamp above
+        "bar(-2, 0, 10, 12)",  # clamp below
+        "bar(7, 2, 12, 5)",
+        "bar(1, 0, 3, 40)",
+    ]
+    for c in cases:
+        expected = con.execute(f"SELECT {c}").fetchone()[0]
+        got = spark.sql(translate(f"SELECT {c} AS r")).collect()[0][0]
+        assert got == expected, (c, got, expected)
+
+
+def test_timezone_matches_duckdb(spark):
+    con = duckdb.connect()
+    con.execute("SET timezone = 'UTC'")
+    for tz, ts in [
+        ("America/New_York", "2024-06-01 12:00:00"),
+        ("America/New_York", "2024-01-15 12:00:00"),  # not DST
+        ("Asia/Tokyo", "2024-06-01 00:30:00"),
+        ("UTC", "2024-06-01 00:30:00"),
+    ]:
+        expected = con.execute(
+            f"SELECT timezone('{tz}', TIMESTAMP '{ts}')"
+        ).fetchone()[0]
+        got = spark.sql(
+            translate(f"SELECT timezone('{tz}', TIMESTAMP '{ts}') AS r")
+        ).collect()[0][0]
+        assert got.replace(tzinfo=None) == expected.replace(tzinfo=None), (tz, ts)
+
+
+def test_histogram_matches_duckdb(spark):
+    con = duckdb.connect()
+    sql = (
+        "SELECT g, histogram(v) AS h FROM (VALUES "
+        "('x', 'a'), ('x', 'b'), ('x', 'a'), ('x', NULL), "
+        "('y', 'c'), ('y', 'c'), ('y', 'c')) t(g, v) GROUP BY g ORDER BY g"
+    )
+    expected = {
+        r[0]: dict(zip(r[1]["key"], r[1]["value"]))
+        for r in con.execute(sql).fetchall()
+    }
+    got = {r.g: dict(r.h) for r in spark.sql(translate(sql)).collect()}
+    assert got == expected
+    # integer keys too
+    sql2 = (
+        "SELECT histogram(v) AS h FROM (VALUES (1), (2), (1), (3)) t(v)"
+    )
+    exp2 = con.execute(sql2).fetchone()[0]
+    got2 = spark.sql(translate(sql2)).collect()[0][0]
+    assert dict(got2) == dict(zip(exp2["key"], exp2["value"]))

@@ -71,14 +71,22 @@ def test_unsupported_function_lint():
         check_common_sql_errors,
     )
 
-    errs = check_common_sql_errors("SELECT damerau_levenshtein(a, b) FROM t")
+    errs = check_common_sql_errors("SELECT age(a, b) FROM t")
     assert any(
-        "damerau_levenshtein" in e and "no Spark equivalent" in e for e in errs
+        "age" in e and "no Spark equivalent" in e for e in errs
+    )
+    # implemented similarity UDFs no longer lint
+    assert not any(
+        "no Spark equivalent" in e
+        for e in check_common_sql_errors(
+            "SELECT damerau_levenshtein(a, b), jaro_similarity(a, b), "
+            "histogram(a), bar(a, 0, 10), timezone(tz, ts) FROM t"
+        )
     )
     # a column named like an unsupported fn (no call parens) does not trigger
     assert not any(
         "no Spark equivalent" in e
-        for e in check_common_sql_errors("SELECT damerau_levenshtein FROM t")
+        for e in check_common_sql_errors("SELECT age FROM t")
     )
     # shimmed functions do not trigger
     assert not any(
