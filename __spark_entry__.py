@@ -38,5 +38,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query (all 74 workloads)."""
+    """DuckDB-runnable oracle SQL per query (every registered workload)."""
     return workloads.oracle_sql()
