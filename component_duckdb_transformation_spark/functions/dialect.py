@@ -130,6 +130,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_string_escapes(tokens)
     tokens = _rewrite_quoted_identifiers(tokens)
     tokens = _rewrite_brace_literals(tokens)
+    tokens = _rewrite_substr_window(tokens)
     tokens = _rewrite_brackets(tokens)
     tokens = _rewrite_star_replace(tokens)
     tokens = _rewrite_similar_to(tokens)
@@ -295,6 +296,64 @@ def _rewrite_quoted_identifiers(tokens: List[Token]) -> List[Token]:
     return out
 
 
+def _nonneg_int_literal(arg: List[Token], minimum: int = 0) -> bool:
+    """True when the argument is a bare integer literal >= ``minimum``."""
+    code = [t for t in arg if t.kind not in ("ws", "comment")]
+    return (
+        len(code) == 1
+        and code[0].kind == "number"
+        and code[0].text.isdigit()
+        and int(code[0].text) >= minimum
+    )
+
+
+def _rewrite_substr_window(tokens: List[Token]) -> List[Token]:
+    """3-arg ``substr``/``substring`` with DuckDB's extended-window
+    semantics: the window is [start, start+len) in 1-based coordinates
+    (negative start counts from the end first), INTERSECTED with the
+    string — so ``substr(s, 0, 3)`` keeps 2 chars and a NEGATIVE length
+    takes the |len| characters BEFORE start (``substr('hello', 3, -1)``
+    = 'e'), where Spark clips to '' and counts full length from
+    position 1. The common literal shape (start >= 1, len >= 0) is
+    left untouched. Runs BEFORE the bracket pass, which generates its
+    own Spark-semantics ``substring`` calls that must not be re-mapped.
+    """
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() in ("substr", "substring"):
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].kind == "op" and tokens[p_open].text == "(":
+                close = _matching_paren(tokens, p_open)
+                args = _split_top_level_args(tokens, p_open, close)
+                if len(args) == 3 and not (
+                    _nonneg_int_literal(args[1], 1)
+                    and _nonneg_int_literal(args[2], 0)
+                ):
+                    s, p, l = (
+                        "".join(
+                            t.text for t in _rewrite_substr_window(a)
+                        ).strip()
+                        for a in args
+                    )
+                    p0 = (
+                        f"(CASE WHEN ({p}) < 0 THEN length({s}) + ({p}) + 1 "
+                        f"ELSE ({p}) END)"
+                    )
+                    a_ = f"({p0} + least(({l}), 0))"
+                    b_ = f"({p0} + greatest(({l}), 0))"
+                    st = f"greatest({a_}, 1)"
+                    ln = f"greatest(least({b_}, length({s}) + 1) - {st}, 0)"
+                    out.extend(_toks(f"substring(({s}), {st}, {ln})"))
+                    i = close + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
+
+
 def _rewrite_extract_dow(tokens: List[Token]) -> List[Token]:
     """EXTRACT(DOW FROM x) -> (EXTRACT(DOW FROM x) - 1)
     EXTRACT(ISODOW FROM x) -> (weekday(x) + 1)"""
@@ -378,10 +437,55 @@ def _split_top_level_args(tokens: List[Token], open_idx: int, close_idx: int) ->
     return args
 
 
+def _boundary_diff_sql(unit: str, a: str, b: str) -> str:
+    """DuckDB ``date_diff`` counts PART BOUNDARIES CROSSED between the
+    two instants (``date_diff('month', Jan31 23:00, Feb1 01:00)`` = 1),
+    not complete elapsed periods like Spark's ``timestampdiff``. Each
+    unit maps to a boundary-index difference; sub-hour units fall back
+    to timestampdiff over unit-truncated operands."""
+    if unit == "YEAR":
+        return f"CAST(year({b}) - year({a}) AS BIGINT)"
+    if unit == "DECADE":
+        return f"CAST(year({b}) DIV 10 - year({a}) DIV 10 AS BIGINT)"
+    if unit == "CENTURY":
+        return f"CAST((year({b}) + 99) DIV 100 - (year({a}) + 99) DIV 100 AS BIGINT)"
+    if unit == "MILLENNIUM":
+        return (
+            f"CAST((year({b}) + 999) DIV 1000 - (year({a}) + 999) DIV 1000"
+            " AS BIGINT)"
+        )
+    if unit == "QUARTER":
+        return (
+            f"CAST((year({b}) * 4 + quarter({b}))"
+            f" - (year({a}) * 4 + quarter({a})) AS BIGINT)"
+        )
+    if unit == "MONTH":
+        return (
+            f"CAST((year({b}) * 12 + month({b}))"
+            f" - (year({a}) * 12 + month({a})) AS BIGINT)"
+        )
+    if unit == "WEEK":
+        return (
+            f"CAST(datediff(CAST(date_trunc('week', {b}) AS DATE), "
+            f"CAST(date_trunc('week', {a}) AS DATE)) DIV 7 AS BIGINT)"
+        )
+    if unit == "DAY":
+        return f"CAST(datediff(CAST(({b}) AS DATE), CAST(({a}) AS DATE)) AS BIGINT)"
+    if unit in ("HOUR", "MINUTE", "SECOND"):
+        low = unit.lower()
+        return (
+            f"timestampdiff({unit}, date_trunc('{low}', {a}), "
+            f"date_trunc('{low}', {b}))"
+        )
+    return f"timestampdiff({unit}, {a}, {b})"
+
+
 def _rewrite_date_diff(tokens: List[Token]) -> List[Token]:
-    """DuckDB ``date_diff('day', a, b)`` / ``datediff('day', a, b)`` ->
-    Spark ``timestampdiff(DAY, a, b)`` (same start/end order; Spark's own
-    2-arg ``datediff(end, start)`` is left untouched)."""
+    """DuckDB ``date_diff('unit', a, b)`` / ``datediff(...)`` ->
+    boundary-crossing composition (see ``_boundary_diff_sql``);
+    ``date_sub('unit', a, b)`` -> ``timestampdiff`` (DuckDB's date_sub
+    IS the complete-periods variant). Spark's own 2-arg
+    ``datediff(end, start)`` is left untouched."""
     out: List[Token] = []
     i = 0
     n = len(tokens)
@@ -394,12 +498,17 @@ def _rewrite_date_diff(tokens: List[Token]) -> List[Token]:
                 args = _split_top_level_args(tokens, p_open, close)
                 first_code = [t for t in args[0] if t.kind not in ("ws", "comment")] if args else []
                 if len(args) == 3 and len(first_code) == 1 and first_code[0].kind == "string":
-                    unit = first_code[0].text[1:-1].upper()
-                    out.append(Token("word", f"timestampdiff({unit},"))
-                    out.extend(args[1])
-                    out.append(Token("op", ","))
-                    out.extend(args[2])
-                    out.append(Token("op", ")"))
+                    unit = first_code[0].text[1:-1].upper().rstrip("S")
+                    a = "".join(
+                        t.text for t in _rewrite_date_diff(args[1])
+                    ).strip()
+                    b = "".join(
+                        t.text for t in _rewrite_date_diff(args[2])
+                    ).strip()
+                    if tok.text.lower() == "date_sub":
+                        out.extend(_toks(f"timestampdiff({unit}, {a}, {b})"))
+                    else:
+                        out.extend(_toks(_boundary_diff_sql(unit, a, b)))
                     i = close + 1
                     continue
         out.append(tok)
@@ -2056,6 +2165,26 @@ def _int_literal_value(tokens: List[Token]) -> int | None:
     return None
 
 
+def _slice_expr(base_sql: str, lo_sql: str, hi_sql: str, is_str: bool) -> str:
+    """DuckDB inclusive-slice semantics (``l[a:b]`` / ``list_slice``):
+    negative bounds count from the end (position size+b+1), bounds clamp
+    to [1, size], and an inverted window is empty. One expression works
+    for lists (slice) and strings (substring): the length argument is
+    clamped >= 0 so Spark never sees a negative length."""
+    size_fn = "length" if is_str else "size"
+    fn = "substring" if is_str else "slice"
+    sz = f"{size_fn}({base_sql})"
+    s2 = (
+        f"(CASE WHEN ({lo_sql}) < 0 THEN greatest({sz} + ({lo_sql}) + 1, 1) "
+        f"ELSE greatest(({lo_sql}), 1) END)"
+    )
+    e2 = (
+        f"(CASE WHEN ({hi_sql}) < 0 THEN {sz} + ({hi_sql}) + 1 "
+        f"ELSE least(({hi_sql}), {sz}) END)"
+    )
+    return f"{fn}({base_sql}, {s2}, greatest({e2} - {s2} + 1, 0))"
+
+
 def _negative_int_literal(tokens: List[Token]) -> bool:
     """True when a token run is exactly a negative integer literal."""
     code = [t for t in tokens if t.kind not in ("ws", "comment")]
@@ -2165,18 +2294,8 @@ def _rewrite_brackets(tokens: List[Token]) -> List[Token]:
                         "".join(t.text for t in hi_t).strip()
                         or f"{size_fn}({base_sql})"
                     )
-                    # DuckDB negative bounds count from the end
-                    # (inclusive): effective position = size + b + 1
-                    if lo_t and _negative_int_literal(lo_t):
-                        lo_sql = f"{size_fn}({base_sql}) + ({lo_sql}) + 1"
-                    if hi_t and _negative_int_literal(hi_t):
-                        hi_sql = f"{size_fn}({base_sql}) + ({hi_sql}) + 1"
-                    slice_fn = "substring" if is_str else "slice"
                     out.extend(
-                        _toks(
-                            f"{slice_fn}({base_sql}, {lo_sql}, "
-                            f"({hi_sql}) - ({lo_sql}) + 1)"
-                        )
+                        _toks(_slice_expr(base_sql, lo_sql, hi_sql, is_str))
                     )
             prev_code = out[-1]
             i = close + 1
@@ -2475,9 +2594,69 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                             )
                             i = close + 1
                             continue
+                if low in ("avg", "mean") and len(args) == 1:
+                    # DuckDB avg() is ALWAYS DOUBLE; Spark's decimal avg
+                    # keeps scale+4 and truncates. Cast the argument
+                    # (after DISTINCT, if any) unless it is an interval.
+                    arg_sql = _sql(inner, *args[0]).strip()
+                    distinct = ""
+                    if arg_sql.upper().startswith("DISTINCT "):
+                        distinct, arg_sql = "DISTINCT ", arg_sql[9:]
+                    if "interval" not in arg_sql.lower():
+                        out.extend(
+                            _toks(
+                                f"avg({distinct}CAST(({arg_sql}) AS DOUBLE))"
+                            )
+                        )
+                        i = close + 1
+                        continue
+                if (
+                    low in ("left", "right")
+                    and len(args) == 2
+                    and not _nonneg_int_literal(inner[args[1][0]: args[1][1]])
+                ):
+                    # DuckDB: negative n drops |n| chars from the other
+                    # end; Spark returns ''
+                    s, cnt = (_sql(inner, st, e) for st, e in args)
+                    if low == "left":
+                        out.extend(
+                            _toks(
+                                f"substring(({s}), 1, CASE WHEN ({cnt}) < 0 "
+                                f"THEN greatest(length({s}) + ({cnt}), 0) "
+                                f"ELSE ({cnt}) END)"
+                            )
+                        )
+                    else:
+                        out.extend(
+                            _toks(
+                                f"(CASE WHEN ({cnt}) < 0 THEN "
+                                f"substring(({s}), -({cnt}) + 1) "
+                                f"ELSE substring(({s}), "
+                                f"greatest(length({s}) - ({cnt}) + 1, 1)) END)"
+                            )
+                        )
+                    i = close + 1
+                    continue
+                if (
+                    low == "split_part"
+                    and len(args) == 3
+                    and not _nonneg_int_literal(
+                        inner[args[2][0]: args[2][1]], 1
+                    )
+                ):
+                    # DuckDB: index 0 gives ''; Spark raises
+                    s, d, ix = (_sql(inner, st, e) for st, e in args)
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN ({ix}) = 0 THEN '' "
+                            f"ELSE split_part(({s}), ({d}), ({ix})) END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
                 if low in ("list_slice", "array_slice") and len(args) == 3:
                     l, a, b = (_sql(inner, s, e) for s, e in args)
-                    out.extend(_toks(f"slice(({l}), {a}, ({b}) - ({a}) + 1)"))
+                    out.extend(_toks(_slice_expr(f"({l})", a, b, False)))
                     i = close + 1
                     continue
                 if low == "list_has_all" and len(args) == 2:

@@ -80,7 +80,16 @@ def str_expr(g: random.Random, depth: int = 0) -> str:
             return g.choice(STR_COLS)
         return "'" + g.choice(["Ax", "N", "zz9", "R F", ""]) + "'"
     a = str_expr(g, depth + 1)
-    choice = g.randrange(8)
+    choice = g.randrange(11)
+    if choice == 8:
+        # DuckDB extended-window substr: negative/zero start, negative len
+        return f"substr({a}, {g.randint(-4, 4)}, {g.randint(-3, 5)})"
+    if choice == 9:
+        fn = g.choice(["left", "right"])
+        return f"{fn}({a}, {g.randint(-4, 5)})"
+    if choice == 10:
+        ix = g.choice([-2, -1, 0, 1, 2, 5])
+        return f"split_part({a}, '{g.choice([' ', 'a', ','])}', {ix})"
     if choice == 0:
         return f"upper({a})" if g.random() < 0.5 else f"lower({a})"
     if choice == 1:
@@ -131,13 +140,59 @@ def bool_expr(g: random.Random, depth: int = 0) -> str:
 
 def scalar_item(g: random.Random) -> str:
     r = g.random()
-    if r < 0.55:
+    if r < 0.5:
         return num_expr(g)
-    if r < 0.8:
+    if r < 0.75:
         return str_expr(g)
-    if r < 0.9:
+    if r < 0.85:
         return f"CAST(extract({g.choice(EXTRACT_PARTS)} FROM {ts_expr(g)}) AS VARCHAR)"
-    return f"strftime({ts_expr(g)}, '{g.choice(STRFTIME_FMTS)}')"
+    if r < 0.93:
+        return f"strftime({ts_expr(g)}, '{g.choice(STRFTIME_FMTS)}')"
+    unit = g.choice(["day", "hour", "month", "week"])
+    k = g.randint(1, 90)
+    iu = g.choice(["DAY", "HOUR"])
+    return (
+        f"date_diff('{unit}', {ts_expr(g)}, "
+        f"{TS_COL} + INTERVAL {k} {iu})"
+    )
+
+
+WIN_ORDER = (
+    "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice"
+)
+
+
+def win_item(g: random.Random) -> str:
+    """Deterministic window expression: the ORDER BY is a unique total
+    order, so every ranking/offset/frame function is reproducible."""
+    part = g.choice(["", "PARTITION BY l_returnflag ", "PARTITION BY l_linestatus "])
+    choice = g.randrange(5)
+    if choice == 0:
+        fn = g.choice(["row_number()", "rank()", "dense_rank()", "ntile(7)"])
+        return f"{fn} OVER ({part}{WIN_ORDER})"
+    if choice == 1:
+        col = g.choice(NUM_COLS + INT_COLS)
+        off = g.randint(1, 3)
+        fn = g.choice(["lag", "lead"])
+        return f"{fn}({col}, {off}) OVER ({part}{WIN_ORDER})"
+    if choice == 2:
+        col = g.choice(NUM_COLS)
+        k = g.randint(1, 5)
+        agg = g.choice(["sum", "min", "max", "avg", "count"])
+        return (
+            f"round({agg}({col}) OVER ({part}{WIN_ORDER} "
+            f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW), 4)"
+        )
+    if choice == 3:
+        col = g.choice(INT_COLS)
+        return (
+            f"first_value({col}) OVER ({part}{WIN_ORDER} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    return (
+        f"round(sum({num_expr(g, 2)}) OVER ({part}{WIN_ORDER} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)"
+    )
 
 
 def agg_item(g: random.Random) -> str:
@@ -159,24 +214,37 @@ def compare_cols(sa: np.ndarray, oa: np.ndarray) -> bool:
         return bool(np.all(sa.astype(str) == oa.astype(str)))
 
 
+def _sort_frame(df):
+    """Multiset ordering: (l_orderkey, l_linenumber) is NOT unique in
+    the synthetic data, so rows are ordered by every column (floats
+    rounded so a sub-tolerance engine difference can't flip the sort)."""
+    import pandas as pd
+
+    keys = {}
+    for c in df.columns:
+        col = df[c]
+        try:
+            keys[c] = col.astype(float).round(6)
+        except (ValueError, TypeError):
+            keys[c] = col.astype(str)
+    return df.loc[pd.DataFrame(keys).sort_values(list(df.columns)).index]
+
+
 def run_batch(spark, con, translate, items: List[str], agg: bool):
     """Returns indices of mismatched items (into ``items``)."""
+    sel = ", ".join(f"{e} AS e{i}" for i, e in enumerate(items))
     if agg:
-        sel = ", ".join(f"{e} AS e{i}" for i, e in enumerate(items))
         sql = (
             f"SELECT l_returnflag, {sel} FROM lineitem "
-            "GROUP BY l_returnflag ORDER BY l_returnflag"
+            "GROUP BY l_returnflag"
         )
     else:
-        sel = ", ".join(f"{e} AS e{i}" for i, e in enumerate(items))
-        sql = (
-            f"SELECT l_orderkey, l_linenumber, {sel} FROM lineitem "
-            "ORDER BY l_orderkey, l_linenumber"
-        )
+        sql = f"SELECT l_orderkey, l_linenumber, {sel} FROM lineitem"
     odf = con.execute(sql).fetchdf()
     sdf = spark.sql(translate(sql)).toPandas()
     if len(odf) != len(sdf):
         return list(range(len(items)))
+    odf, sdf = _sort_frame(odf), _sort_frame(sdf)
     bad = []
     for i in range(len(items)):
         if not compare_cols(sdf[f"e{i}"].to_numpy(), odf[f"e{i}"].to_numpy()):
@@ -210,9 +278,11 @@ def main() -> int:
     )
 
     g = random.Random(seed)
-    scalar_n = n * 4 // 5
+    scalar_n = n * 3 // 5
+    win_n = n // 5
     items = [(scalar_item(g), False) for _ in range(scalar_n)]
-    items += [(agg_item(g), True) for _ in range(n - scalar_n)]
+    items += [(win_item(g), False) for _ in range(win_n)]
+    items += [(agg_item(g), True) for _ in range(n - scalar_n - win_n)]
 
     mismatches = 0
     for agg in (False, True):
