@@ -93,10 +93,11 @@ def main() -> int:
 
     # UI on: the REST status API is where per-job submission/completion
     # times come from (queries_active below)
+    ui_on = os.environ.get("SPARK_GRAFT_BENCH_ACTIVE", "1") != "0"
     spark = build_spark_session(
         app_name="cdts-bench",
         threads=cpus,
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={"spark.ui.enabled": "true"} if ui_on else None,
     )
     # Warm the JVM + register views once; per-query timing then measures the
     # query, not session bootstrap (registration is also what a resident
@@ -164,7 +165,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"# seq {n}: FAILED {str(exc)[:200]}", file=sys.stderr)
 
-    active = _active_times(spark)
+    active = _active_times(spark) if ui_on else {}
 
     result = {
         "metric": "workload_suite_wall_time",

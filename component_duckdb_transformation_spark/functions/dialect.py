@@ -149,6 +149,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_simple(tokens)
     tokens = _rewrite_distinct_on_recursive(tokens)
     tokens = _rewrite_qualify_recursive(tokens)
+    tokens = _rewrite_order_null_ordering(tokens)
     tokens = _rewrite_entropy_groupby_recursive(tokens)
     tokens = _rewrite_product_entropy(tokens)
     return "".join(t.text for t in tokens)
@@ -751,6 +752,85 @@ _HISTOGRAM_TEMPLATE = (
     " __hv -> struct(__hv, CAST(size(filter(__harr, __he -> __he = __hv))"
     " AS BIGINT))))), 1))"
 )
+
+
+# keywords that end an ORDER BY sort-item list at top level
+_ORDER_LIST_TERMINATORS = {
+    "LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE", "GROUPS",
+    "UNION", "EXCEPT", "INTERSECT", "HAVING", "WINDOW", "QUALIFY",
+    "USING",
+}
+
+
+def _rewrite_order_null_ordering(tokens: List[Token]) -> List[Token]:
+    """DuckDB sorts NULLS LAST by default on ASC keys; Spark defaults to
+    NULLS FIRST (DESC agrees: both NULLS LAST). Every ascending sort
+    item without an explicit NULLS clause gets ``NULLS LAST`` appended —
+    statement ORDER BY, window OVER ordering, and WITHIN GROUP alike
+    (the difference changes row SETS under LIMIT and window frames, not
+    just presentation order). ``ORDER BY ALL`` is left untouched (Spark
+    accepts no NULLS clause there; documented divergence)."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.is_kw("ORDER"):
+            by_i = _next_code(tokens, i)
+            if by_i < n and tokens[by_i].is_kw("BY"):
+                out.extend(tokens[i: by_i + 1])
+                j = by_i + 1
+                item: List[Token] = []
+                depth = 0
+
+                def flush(item: List[Token]) -> None:
+                    code = [t for t in item if t.kind not in ("ws", "comment")]
+                    # top-level NULLS only (a nested OVER's NULLS clause
+                    # must not mask the outer item's default)
+                    d = 0
+                    has_nulls = False
+                    for t in item:
+                        if t.kind == "op" and t.text == "(":
+                            d += 1
+                        elif t.kind == "op" and t.text == ")":
+                            d -= 1
+                        elif d == 0 and t.is_kw("NULLS"):
+                            has_nulls = True
+                    is_all = len(code) == 1 and code[0].is_kw("ALL")
+                    desc = bool(code) and code[-1].is_kw("DESC")
+                    # recurse: subqueries / window calls inside the item
+                    out.extend(_rewrite_order_null_ordering(item))
+                    if code and not has_nulls and not is_all and not desc:
+                        out.extend(_toks(" NULLS LAST "))
+
+                while j < n:
+                    t = tokens[j]
+                    if t.kind == "op" and t.text == "(":
+                        depth += 1
+                    elif t.kind == "op" and t.text == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif depth == 0 and t.kind == "op" and t.text == ",":
+                        flush(item)
+                        item = []
+                        out.append(t)
+                        j += 1
+                        continue
+                    elif (
+                        depth == 0
+                        and t.kind == "word"
+                        and t.upper in _ORDER_LIST_TERMINATORS
+                    ):
+                        break
+                    item.append(t)
+                    j += 1
+                flush(item)
+                i = j
+                continue
+        out.append(tok)
+        i += 1
+    return out
 
 
 def _splice_template(template: str, args: dict) -> List[Token]:

@@ -125,7 +125,7 @@ def test_qualify_rewrite():
     )
     assert out.startswith("SELECT * EXCEPT (__qualify__) FROM (")
     assert "AS __qualify__" in out
-    assert out.rstrip().endswith("ORDER BY a")
+    assert out.rstrip().rstrip("NULLS LAST ").endswith("ORDER BY a")
     # no QUALIFY -> untouched
     assert translate("SELECT a FROM t") == "SELECT a FROM t"
 
@@ -289,8 +289,8 @@ def test_distinct_on_rewrite():
     assert "__don__ = 1" in out
     # outer ordering keeps the statement's ORDER BY (all its columns
     # survive the projection, matching DuckDB's output order exactly)
-    assert out.rstrip().endswith("ORDER BY x, y")
-    assert "OVER (PARTITION BY x ORDER BY x, y)" in out
+    assert "ORDER BY x NULLS LAST , y NULLS LAST" in out
+    assert "OVER (PARTITION BY x ORDER BY x NULLS LAST , y NULLS LAST )" in out
     # without ORDER BY: window orders by the ON keys
     out2 = translate("SELECT DISTINCT ON (k) k, v FROM t")
     assert "PARTITION BY k ORDER BY k" in out2
@@ -315,7 +315,7 @@ def test_star_replace_rewrite():
 def test_quantile_and_sample_moment_shims():
     assert "percentile(x, 0.5)" in translate("SELECT quantile_cont(x, 0.5) FROM t")
     out = translate("SELECT quantile_disc(x, 0.5) FROM t")
-    assert "percentile_disc(0.5) WITHIN GROUP (ORDER BY x)" in out
+    assert "percentile_disc(0.5) WITHIN GROUP (ORDER BY x NULLS LAST )" in out
     # sample corrections wrap Spark's population statistics
     s = translate("SELECT skewness(v) FROM t")
     assert "sqrt" in s and "count(v)" in s
@@ -416,6 +416,29 @@ def test_replace_first_dynamic_semantics(spark):
             ).collect()
         ]
         assert got == expected, (body, got, expected)
+
+
+def test_order_by_nulls_last_default(spark):
+    """DuckDB sorts ASC NULLS LAST by default; Spark NULLS FIRST. The
+    rewrite appends NULLS LAST to default-ordered sort items everywhere
+    (statement ORDER BY incl. LIMIT row-sets, window OVER, frames)."""
+    import duckdb
+
+    out = translate("SELECT x FROM t ORDER BY x LIMIT 2")
+    assert "NULLS LAST" in out and "LIMIT" in out
+    # DESC and explicit NULLS are untouched
+    assert "NULLS LAST" not in translate("SELECT x FROM t ORDER BY x DESC")
+    assert "NULLS FIRST" in translate("SELECT x FROM t ORDER BY x NULLS FIRST")
+    for q in (
+        "SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x LIMIT 2",
+        "SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND "
+        "CURRENT ROW) AS s FROM (VALUES (1),(NULL),(2)) t(x)",
+        "SELECT x, row_number() OVER (ORDER BY x) AS rn "
+        "FROM (VALUES (1),(NULL),(2)) t(x)",
+    ):
+        expected = sorted(map(str, duckdb.sql(q).fetchall()))
+        got = sorted(str(tuple(r)) for r in spark.sql(translate(q)).collect())
+        assert got == expected, q
 
 
 def test_division_double_semantics(spark):
@@ -588,17 +611,17 @@ def test_distinct_on_keeps_surviving_order_by():
     out = translate(
         "SELECT DISTINCT ON (k) k, v FROM t ORDER BY v DESC"
     )
-    assert out.rstrip().endswith("ORDER BY v DESC")
+    assert out.rstrip().endswith("ORDER BY v DESC")  # DESC untouched
     # dropped-column ordering falls back to ON keys
     out2 = translate(
         "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, hidden"
     )
-    assert out2.rstrip().endswith("ORDER BY k")
+    assert out2.rstrip().rstrip("NULLS LAST ").endswith("ORDER BY k")
     # qualified terms are not liftable to the outer scope
     out3 = translate(
         "SELECT DISTINCT ON (k) k, t.v FROM t ORDER BY t.v"
     )
-    assert out3.rstrip().endswith("ORDER BY k")
+    assert out3.rstrip().rstrip("NULLS LAST ").endswith("ORDER BY k")
 
 
 def test_exclude_replace_qualify_composition(spark):
