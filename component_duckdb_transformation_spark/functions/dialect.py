@@ -130,6 +130,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_string_escapes(tokens)
     tokens = _rewrite_quoted_identifiers(tokens)
     tokens = _rewrite_brace_literals(tokens)
+    tokens = _rewrite_concat_null_skipping(tokens)
     tokens = _rewrite_substr_window(tokens)
     tokens = _rewrite_brackets(tokens)
     tokens = _rewrite_star_replace(tokens)
@@ -306,6 +307,36 @@ def _nonneg_int_literal(arg: List[Token], minimum: int = 0) -> bool:
         and code[0].text.isdigit()
         and int(code[0].text) >= minimum
     )
+
+
+def _rewrite_concat_null_skipping(tokens: List[Token]) -> List[Token]:
+    """DuckDB ``concat()`` SKIPS NULL arguments (Postgres semantics);
+    Spark's returns NULL if any argument is NULL. ``concat_ws('')``
+    has exactly DuckDB's behavior (and the same implicit casts). Runs
+    EARLY, before passes that emit their own ``concat`` calls whose
+    NULL-propagation is intentional (the regexp replace-first
+    composition must go NULL for a NULL runtime pattern)."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() == "concat":
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].kind == "op" and tokens[p_open].text == "(":
+                close = _matching_paren(tokens, p_open)
+                if close > p_open + 1:  # at least one argument
+                    inner = _rewrite_concat_null_skipping(
+                        tokens[p_open + 1: close]
+                    )
+                    out.extend(_toks("concat_ws('', "))
+                    out.extend(inner)
+                    out.append(Token("op", ")"))
+                    i = close + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
 
 
 def _rewrite_substr_window(tokens: List[Token]) -> List[Token]:
@@ -2674,6 +2705,34 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                             )
                             i = close + 1
                             continue
+                if low == "log" and len(args) == 1:
+                    # DuckDB single-arg log() is BASE-10; Spark's is ln
+                    a = _sql(inner, *args[0])
+                    out.extend(_toks(f"log10({a})"))
+                    i = close + 1
+                    continue
+                if low in ("trim", "ltrim", "rtrim") and len(args) == 2:
+                    # DuckDB: (source, trim_chars); Spark's 2-arg
+                    # ltrim/rtrim take (trim_chars, source) and 2-arg
+                    # trim does too — btrim has DuckDB's order
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    if low == "trim":
+                        out.extend(_toks(f"btrim({a}, {b})"))
+                    else:
+                        out.extend(_toks(f"{low}({b}, {a})"))
+                    i = close + 1
+                    continue
+                if low == "list_reverse_sort" and len(args) == 1:
+                    a = _sql(inner, *args[0])
+                    out.extend(_toks(f"sort_array({a}, false)"))
+                    i = close + 1
+                    continue
+                if low == "sign" and len(args) == 1:
+                    # DuckDB sign() is TINYINT; Spark returns double
+                    a = _sql(inner, *args[0])
+                    out.extend(_toks(f"CAST(sign({a}) AS TINYINT)"))
+                    i = close + 1
+                    continue
                 if low in ("avg", "mean") and len(args) == 1:
                     # DuckDB avg() is ALWAYS DOUBLE; Spark's decimal avg
                     # keeps scale+4 and truncates. Cast the argument

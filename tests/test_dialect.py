@@ -418,6 +418,30 @@ def test_replace_first_dynamic_semantics(spark):
         assert got == expected, (body, got, expected)
 
 
+def test_function_semantic_shims(spark):
+    """concat NULL-skipping, base-10 log, trim-family arg order,
+    list_reverse_sort, tinyint sign — all differential vs DuckDB."""
+    import duckdb
+
+    cases = [
+        "concat('a', NULL, 'b')",
+        "concat(1, NULL, 2)",
+        "log(100)",
+        "log(2, 8)",
+        "trim('xxaxx', 'x')",
+        "ltrim('xxaxx', 'x')",
+        "rtrim('xxaxx', 'x')",
+        "trim('  a  ')",
+        "list_reverse_sort([3, 1, NULL])",
+        "sign(-2.5)",
+    ]
+    for c in cases:
+        expected = duckdb.sql(f"SELECT {c} AS r").fetchone()[0]
+        got = spark.sql(translate(f"SELECT {c} AS r")).collect()[0][0]
+        got = list(got) if isinstance(expected, list) else got
+        assert str(got) == str(expected), (c, got, expected)
+
+
 def test_order_by_nulls_last_default(spark):
     """DuckDB sorts ASC NULLS LAST by default; Spark NULLS FIRST. The
     rewrite appends NULLS LAST to default-ordered sort items everywhere
