@@ -96,7 +96,10 @@ _FN_RENAMES = {
     "list_position": "array_position",
     "list_indexof": "array_position",
     "nextafter": "nextafter",  # identity examples keep table readable
-    "editdist3": "levenshtein",
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "argmax": "max_by",
+    "argmin": "min_by",
     # jaro_winkler_similarity resolves to the registered pandas UDF
     # (functions/text_udfs.py) — no rename
 }
@@ -2705,6 +2708,79 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                             )
                             i = close + 1
                             continue
+                if low == "sha256" and len(args) == 1:
+                    a = _sql(inner, *args[0])
+                    out.extend(_toks(f"sha2({a}, 256)"))
+                    i = close + 1
+                    continue
+                if low == "list_prepend" and len(args) == 2:
+                    # DuckDB: (element, list); Spark array_prepend:
+                    # (list, element)
+                    e_, l_ = (_sql(inner, s, e) for s, e in args)
+                    out.extend(_toks(f"array_prepend({l_}, {e_})"))
+                    i = close + 1
+                    continue
+                if (
+                    low in ("levenshtein", "editdist3")
+                    and len(args) == 2
+                ):
+                    # DuckDB levenshtein runs over UTF-8 BYTES; Spark's
+                    # builtin is codepoint-based. Identical for ASCII, so
+                    # dispatch: builtin when both sides are pure ASCII
+                    # (octet length == char length), byte-level pandas
+                    # UDF otherwise.
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN octet_length({a}) = length({a}) "
+                            f"AND octet_length({b}) = length({b}) "
+                            f"THEN CAST(levenshtein({a}, {b}) AS BIGINT) "
+                            f"ELSE levenshtein_bytes({a}, {b}) END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                prev_code_tok = next(
+                    (
+                        t
+                        for t in reversed(out)
+                        if t.kind not in ("ws", "comment")
+                    ),
+                    None,
+                )
+                if (
+                    low == "range"
+                    and len(args) in (1, 2, 3)
+                    # table-function position (FROM range(...)) keeps
+                    # its name for the table-function handling
+                    and not (
+                        prev_code_tok is not None
+                        and prev_code_tok.kind == "word"
+                        and prev_code_tok.upper in ("FROM", "JOIN")
+                    )
+                ):
+                    # scalar range(): EXCLUSIVE end (generate_series is
+                    # the inclusive one); empty when the window is empty
+                    # instead of Spark sequence()'s auto-negative step
+                    vals = [_sql(inner, s, e) for s, e in args]
+                    if len(vals) == 1:
+                        a, b, s_ = "0", vals[0], "1"
+                    elif len(vals) == 2:
+                        (a, b), s_ = vals, "1"
+                    else:
+                        a, b, s_ = vals
+                    empty = f"slice(sequence(({a}), ({a})), 1, 0)"
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN ({s_}) > 0 AND ({b}) > ({a}) "
+                            f"THEN sequence(({a}), ({b}) - 1, ({s_})) "
+                            f"WHEN ({s_}) < 0 AND ({b}) < ({a}) "
+                            f"THEN sequence(({a}), ({b}) + 1, ({s_})) "
+                            f"ELSE {empty} END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
                 if low == "log" and len(args) == 1:
                     # DuckDB single-arg log() is BASE-10; Spark's is ln
                     a = _sql(inner, *args[0])

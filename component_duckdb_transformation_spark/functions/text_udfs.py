@@ -107,6 +107,29 @@ def damerau_levenshtein(a: str, b: str) -> int:
     return d[la + 1][lb + 1]
 
 
+def levenshtein(a: bytes, b: bytes) -> int:
+    """Plain Levenshtein over bytes (no transpositions) — the non-ASCII
+    fallback for DuckDB's byte-based builtin; the dialect layer
+    dispatches ASCII pairs to Spark's JVM builtin."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ai != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
+
+
 def _pairwise(fn, a: pd.Series, b: pd.Series, null):
     # DuckDB runs these over UTF-8 BYTES, not codepoints ('résumé' vs
     # 'resume' gives the 8-vs-6-length jaro) — encode before the DP
@@ -137,6 +160,11 @@ def register_text_udfs(spark: SparkSession) -> None:
     def _dl_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         return _pairwise(damerau_levenshtein, a, b, None).astype("Int64")
 
+    @pandas_udf("long")
+    def _lev_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return _pairwise(levenshtein, a, b, None).astype("Int64")
+
     spark.udf.register("jaro_similarity", _jaro_udf)
     spark.udf.register("jaro_winkler_similarity", _jw_udf)
     spark.udf.register("damerau_levenshtein", _dl_udf)
+    spark.udf.register("levenshtein_bytes", _lev_udf)

@@ -442,6 +442,34 @@ def test_function_semantic_shims(spark):
         assert str(got) == str(expected), (c, got, expected)
 
 
+def test_battery2_semantic_shims(spark):
+    """arg_max/min renames, byte-level levenshtein dispatch, sha256,
+    list_prepend arg order, exclusive-end scalar range()."""
+    import duckdb
+
+    cases = [
+        "levenshtein('résumé', 'resume')",  # byte-based in DuckDB: 4
+        "levenshtein('kitten', 'sitting')",
+        "list_prepend(0, [1])",
+        "sha256('abc')",
+        "range(1, 4)",
+        "range(4)",
+        "range(5, 1, -1)",
+        "range(1, 1)",
+        "range(2, 10, 3)",
+        "range(10, 2)",
+    ]
+    for c in cases:
+        expected = duckdb.sql(f"SELECT {c} AS r").fetchone()[0]
+        got = spark.sql(translate(f"SELECT {c} AS r")).collect()[0][0]
+        got = list(got) if isinstance(expected, list) else got
+        assert str(got) == str(expected), (c, got, expected)
+    agg = "SELECT arg_max(x, y) AS a, arg_min(x, y) AS b FROM (VALUES (1, 10), (2, 20)) t(x, y)"
+    assert tuple(spark.sql(translate(agg)).collect()[0]) == tuple(
+        duckdb.sql(agg).fetchone()
+    )
+
+
 def test_order_by_nulls_last_default(spark):
     """DuckDB sorts ASC NULLS LAST by default; Spark NULLS FIRST. The
     rewrite appends NULLS LAST to default-ordered sort items everywhere
