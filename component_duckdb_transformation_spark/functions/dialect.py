@@ -96,6 +96,7 @@ _FN_RENAMES = {
     "list_position": "array_position",
     "list_indexof": "array_position",
     "nextafter": "nextafter",  # identity examples keep table readable
+    "from_hex": "unhex",
     "arg_max": "max_by",
     "arg_min": "min_by",
     "argmax": "max_by",
@@ -148,6 +149,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_epoch(tokens)
     tokens = _rewrite_bare_types(tokens)
     tokens = _rewrite_integral_casts(tokens)
+    tokens = _rewrite_power_and_regex_ops(tokens)
     tokens = _rewrite_division_double(tokens)
     tokens = _rewrite_call_shims(tokens)
     tokens = _rewrite_simple(tokens)
@@ -1716,6 +1718,148 @@ def _capture_operand(tokens: List[Token], i: int) -> int:
         return j
 
 
+# keywords that can directly precede a parenthesized expression without
+# being a function name (so a trailing-operand pop must not swallow them)
+_NOT_FUNCTION_WORDS = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE", "END",
+    "BY", "ON", "IN", "AS", "FROM", "JOIN", "HAVING", "SET", "VALUES",
+    "RETURNING", "LIKE", "RLIKE", "ILIKE", "BETWEEN", "CASE", "ALL",
+    "ANY", "SOME", "EXISTS", "DISTINCT", "UNION", "EXCEPT", "INTERSECT",
+    "LIMIT", "OFFSET", "OVER", "FILTER", "GROUP", "ORDER", "PARTITION",
+}
+
+
+def _pop_operand(out: List[Token]) -> List[Token]:
+    """Remove and return the trailing operand from ``out``: a primary
+    (literal, identifier, call, parenthesized group, bracket index) plus
+    any tighter-binding ``.field``/``::type`` chain before it. Unary
+    signs are NOT included (DuckDB's ``^`` binds tighter than unary
+    minus, like Postgres)."""
+    j = len(out) - 1
+    while j >= 0 and out[j].kind in ("ws", "comment"):
+        j -= 1
+    if j < 0:
+        return []
+    end = j + 1
+
+    def _rev_match(close_idx: int, open_t: str, close_t: str) -> int:
+        depth = 0
+        for k in range(close_idx, -1, -1):
+            t = out[k]
+            if t.kind == "op" and t.text == close_t:
+                depth += 1
+            elif t.kind == "op" and t.text == open_t:
+                depth -= 1
+                if depth == 0:
+                    return k
+        return close_idx
+
+    while True:
+        t = out[j]
+        if t.kind == "op" and t.text == ")":
+            j = _rev_match(j, "(", ")")
+            k = j - 1
+            while k >= 0 and out[k].kind in ("ws", "comment"):
+                k -= 1
+            if (
+                k >= 0
+                and out[k].kind in ("word", "bident", "qident")
+                and out[k].upper not in _NOT_FUNCTION_WORDS
+            ):
+                j = k  # function call: include the name
+        elif t.kind == "op" and t.text == "]":
+            j = _rev_match(j, "[", "]")
+            k = j - 1
+            while k >= 0 and out[k].kind in ("ws", "comment"):
+                k -= 1
+            if k >= 0:
+                j = k
+                continue  # keep popping the indexed base
+        elif t.kind not in ("word", "bident", "qident", "number", "string"):
+            j += 1
+            break
+        # tighter-binding prefix chain: a.b / a::T
+        k = j - 1
+        while k >= 0 and out[k].kind in ("ws", "comment"):
+            k -= 1
+        if k >= 0 and out[k].kind == "op" and out[k].text in (".", "::"):
+            m = k - 1
+            while m >= 0 and out[m].kind in ("ws", "comment"):
+                m -= 1
+            if m >= 0:
+                j = m
+                continue
+        break
+    operand = out[j:end]
+    del out[j:end]
+    return operand
+
+
+def _rewrite_power_and_regex_ops(tokens: List[Token]) -> List[Token]:
+    """DuckDB operator semantics Spark parses differently (or not at
+    all): infix ``^`` and ``**`` are POWER in DuckDB (``^`` is XOR in
+    Spark — silently wrong results); Postgres-style regex/LIKE operators
+    ``~`` ``!~`` ``~~`` ``!~~`` become RLIKE/LIKE forms. A PREFIX ``~``
+    (bitwise NOT) is untouched. Runs before the division pass so the
+    emitted power() calls participate in divisor capture."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+
+    def _prev_is_operand() -> bool:
+        for t in reversed(out):
+            if t.kind in ("ws", "comment"):
+                continue
+            if t.kind in ("number", "string", "bident", "qident"):
+                return True
+            if t.kind == "word":
+                return not t.upper in (
+                    "AND", "OR", "NOT", "WHERE", "WHEN", "THEN", "ELSE",
+                    "SELECT", "BY", "ON", "LIKE", "IN", "CASE", "RETURN",
+                )
+            return t.kind == "op" and t.text in (")", "]")
+        return False
+
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text in ("^", "**"):
+            left = _pop_operand(out)
+            j = i + 1
+            while j < n and tokens[j].kind in ("ws", "comment"):
+                j += 1
+            end = _capture_operand(tokens, j)
+            right = _rewrite_power_and_regex_ops(tokens[j:end])
+            out.extend(_toks(" power("))
+            out.extend(left if left else [Token("number", "0")])
+            out.append(Token("op", ","))
+            out.extend(right)
+            out.append(Token("op", ")"))
+            i = end
+            continue
+        if tok.kind == "op" and tok.text == "~" and _prev_is_operand():
+            j = i + 1
+            dbl = j < n and tokens[j].kind == "op" and tokens[j].text == "~"
+            out.extend(_toks(" LIKE " if dbl else " RLIKE "))
+            i = j + 1 if dbl else i + 1
+            continue
+        if (
+            tok.kind == "op"
+            and tok.text == "!"
+            and i + 1 < n
+            and tokens[i + 1].kind == "op"
+            and tokens[i + 1].text == "~"
+            and _prev_is_operand()
+        ):
+            j = i + 2
+            dbl = j < n and tokens[j].kind == "op" and tokens[j].text == "~"
+            out.extend(_toks(" NOT LIKE " if dbl else " NOT RLIKE "))
+            i = j + 1 if dbl else j
+            continue
+        out.append(tok)
+        i += 1
+    return out
+
+
 def _rewrite_division_double(tokens: List[Token]) -> List[Token]:
     """DuckDB division/modulo semantics for ``/``, ``%``, ``//``.
 
@@ -2708,6 +2852,44 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                             )
                             i = close + 1
                             continue
+                if low == "xor" and len(args) == 2:
+                    # DuckDB xor() function (its ^ is power); Spark ^ IS
+                    # xor — safe here because the power pass already ran
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    out.extend(_toks(f"(({a}) ^ ({b}))"))
+                    i = close + 1
+                    continue
+                if low == "even" and len(args) == 1:
+                    # round away from zero to the next even number
+                    a = _sql(inner, *args[0])
+                    out.extend(
+                        _toks(
+                            f"(sign(CAST(({a}) AS DOUBLE)) * "
+                            f"ceil(abs(CAST(({a}) AS DOUBLE)) / 2) * 2)"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low in ("isnan", "isinf", "isfinite") and len(args) == 1:
+                    # DuckDB returns NULL for NULL input (Spark isnan
+                    # gives false); isinf/isfinite have no Spark builtin
+                    a = _sql(inner, *args[0])
+                    d = f"CAST(({a}) AS DOUBLE)"
+                    inf = "CAST('Infinity' AS DOUBLE)"
+                    if low == "isnan":
+                        body = f"isnan({d})"
+                    elif low == "isinf":
+                        body = f"abs({d}) = {inf}"
+                    else:
+                        body = f"(NOT isnan({d}) AND abs({d}) <> {inf})"
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN ({a}) IS NULL "
+                            f"THEN CAST(NULL AS BOOLEAN) ELSE {body} END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
                 if low == "sha256" and len(args) == 1:
                     a = _sql(inner, *args[0])
                     out.extend(_toks(f"sha2({a}, 256)"))

@@ -164,7 +164,44 @@ def register_text_udfs(spark: SparkSession) -> None:
     def _lev_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         return _pairwise(levenshtein, a, b, None).astype("Int64")
 
+    import math
+
+    def _num_pairwise(fn, a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if x is None or y is None else fn(int(x), int(y))
+                for x, y in zip(a, b)
+            ],
+            dtype="object",
+        )
+
+    @pandas_udf("long")
+    def _gcd_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return _num_pairwise(math.gcd, a, b).astype("Int64")
+
+    @pandas_udf("long")
+    def _lcm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return _num_pairwise(math.lcm, a, b).astype("Int64")
+
+    @pandas_udf("double")
+    def _gamma_udf(x: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else math.gamma(v) for v in x],
+            dtype="object",
+        ).astype("float64")
+
+    @pandas_udf("double")
+    def _lgamma_udf(x: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else math.lgamma(v) for v in x],
+            dtype="object",
+        ).astype("float64")
+
     spark.udf.register("jaro_similarity", _jaro_udf)
     spark.udf.register("jaro_winkler_similarity", _jw_udf)
     spark.udf.register("damerau_levenshtein", _dl_udf)
     spark.udf.register("levenshtein_bytes", _lev_udf)
+    spark.udf.register("gcd", _gcd_udf)
+    spark.udf.register("lcm", _lcm_udf)
+    spark.udf.register("gamma", _gamma_udf)
+    spark.udf.register("lgamma", _lgamma_udf)

@@ -470,6 +470,33 @@ def test_battery2_semantic_shims(spark):
     )
 
 
+def test_battery3_operator_shims(spark):
+    """^ / ** are POWER in DuckDB (Spark ^ is XOR — silent wrong
+    answers); ~ / !~ / ~~ / !~~ regex-LIKE operators; xor(); even();
+    isnan/isinf/isfinite NULL semantics; gcd/lcm/gamma UDFs."""
+    import math
+
+    import duckdb
+
+    cases = [
+        "2 ^ 3", "2 ** 3", "(-2) ^ 2", "2 ^ -1", "2 ^ 0.5",
+        "2 ^ 3 ^ 2", "3 * 2 ^ 2", "1 / 2 ^ 2",
+        "'abc' ~ 'a.c'", "'abc' !~ 'x'", "'abc' ~~ 'a%'", "'abc' !~~ 'z%'",
+        "xor(5, 3)", "even(2.5)", "even(-2.5)", "even(2)",
+        "isnan(CAST(NULL AS DOUBLE))", "isinf(CAST('inf' AS DOUBLE))",
+        "isfinite(1.0)", "isfinite(CAST('nan' AS DOUBLE))",
+        "gcd(12, 18)", "gcd(-12, 18)", "lcm(4, 6)", "gamma(5)",
+        "from_hex('616263')",
+    ]
+    for c in cases:
+        expected = duckdb.sql(f"SELECT {c} AS r").fetchone()[0]
+        got = spark.sql(translate(f"SELECT {c} AS r")).collect()[0][0]
+        if isinstance(expected, float) and isinstance(got, float):
+            assert math.isclose(got, expected, rel_tol=1e-12), (c, got, expected)
+        else:
+            assert str(got) == str(expected), (c, got, expected)
+
+
 def test_order_by_nulls_last_default(spark):
     """DuckDB sorts ASC NULLS LAST by default; Spark NULLS FIRST. The
     rewrite appends NULLS LAST to default-ordered sort items everywhere

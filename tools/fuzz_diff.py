@@ -64,7 +64,13 @@ def num_expr(g: random.Random, depth: int = 0) -> str:
     if choice == 6:
         return g.choice(["abs", "floor", "ceil"]) + f"({a})"
     if choice == 7:
-        return f"ln(abs({a}) + 1.0)" if g.random() < 0.5 else f"sqrt(abs({a}))"
+        r = g.random()
+        if r < 0.33:
+            return f"ln(abs({a}) + 1.0)"
+        if r < 0.66:
+            return f"sqrt(abs({a}))"
+        # DuckDB ^ is POWER; keep the base bounded so results stay finite
+        return f"((abs({a}) % 50) ^ {g.choice([2, 3, 0.5])})"
     if choice == 8:
         return f"(CASE WHEN {bool_expr(g, depth + 1)} THEN {a} ELSE {b} END)"
     if choice == 9:
