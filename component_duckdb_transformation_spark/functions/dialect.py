@@ -46,7 +46,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 from .. import engine_version_string
-from ..plans.sql_tokens import Token, tokenize
+from ..plans.sql_tokens import Token, tokenize, unquote_name
 
 # keywords after which a string literal denotes a table name
 _TABLE_NAME_CONTEXT = {"FROM", "JOIN", "INTO", "TABLE", "VIEW", "UPDATE"}
@@ -139,6 +139,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_brackets(tokens)
     tokens = _rewrite_star_replace(tokens)
     tokens = _rewrite_similar_to(tokens)
+    tokens = _rewrite_asof_join(tokens)
     tokens = _rewrite_using_sample(tokens)
     tokens = _rewrite_statement_unpivot(tokens)
     tokens = _rewrite_extract_dow(tokens)
@@ -312,6 +313,222 @@ def _nonneg_int_literal(arg: List[Token], minimum: int = 0) -> bool:
         and code[0].text.isdigit()
         and int(code[0].text) >= minimum
     )
+
+
+_ASOF_COND_END = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "HAVING", "WINDOW",
+    "QUALIFY", "UNION", "EXCEPT", "INTERSECT", "JOIN", "LEFT", "RIGHT",
+    "INNER", "CROSS", "FULL", "ASOF", "USING", "ON",
+}
+
+
+def _dotted_ref(tokens_: List[Token]):
+    """(qualifier, column) for a plain ``a.b`` / ``b`` column ref; None
+    for anything more complex."""
+    code = [t for t in tokens_ if t.kind not in ("ws", "comment")]
+    if len(code) == 1 and code[0].kind in ("word", "bident", "qident"):
+        return None, unquote_name(code[0])
+    if (
+        len(code) == 3
+        and code[0].kind in ("word", "bident", "qident")
+        and code[1].kind == "op"
+        and code[1].text == "."
+        and code[2].kind in ("word", "bident", "qident")
+    ):
+        return unquote_name(code[0]), unquote_name(code[2])
+    return None
+
+
+def _rewrite_asof_join(tokens: List[Token]) -> List[Token]:
+    """DuckDB ``ASOF [LEFT] JOIN r ON eq-conds AND l.ts >= r.ts`` ->
+    standard join against a windowed right side: each right row gets the
+    next event time per key (``lead`` over the equality columns), so the
+    inequality plus an interval guard matches EXACTLY the one right row
+    DuckDB's asof join picks (largest r.ts <= l.ts for ``>=``/``>``,
+    smallest r.ts >= l.ts for ``<=``/``<``). Single shuffle on the
+    window, no range-join blowup — the plan shape of operators/asof.py.
+
+    Supported shape: right side is a table name or parenthesized
+    subquery (with optional alias), ON is a conjunction of simple
+    column-ref comparisons with exactly one inequality, and the right
+    side of each comparison is alias-qualified. Anything else is left
+    untouched (the Spark parser will reject ASOF, surfacing the
+    limitation explicitly). NOTE ``SELECT *`` over the rewritten join
+    exposes the helper ``__asof_end`` column (documented, COVERAGE.md).
+    """
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if not tok.is_kw("ASOF"):
+            out.append(tok)
+            i += 1
+            continue
+        # --- join type
+        j = _next_code(tokens, i)
+        left_join = j < n and tokens[j].is_kw("LEFT")
+        if j < n and (tokens[j].is_kw("LEFT") or tokens[j].is_kw("INNER")):
+            j = _next_code(tokens, j)
+        if not (j < n and tokens[j].is_kw("JOIN")):
+            out.append(tok)
+            i += 1
+            continue
+        # --- right ref
+        r0 = _next_code(tokens, j)
+        if r0 >= n:
+            out.append(tok)
+            i += 1
+            continue
+        if tokens[r0].kind == "op" and tokens[r0].text == "(":
+            r_end = _matching_paren(tokens, r0) + 1
+        elif tokens[r0].kind in ("word", "bident", "qident"):
+            r_end = r0 + 1
+            k = _next_code(tokens, r0)
+            while (
+                k < n
+                and tokens[k].kind == "op"
+                and tokens[k].text == "."
+            ):
+                k = _next_code(tokens, k)
+                r_end = k + 1
+                k = _next_code(tokens, k)
+        else:
+            out.append(tok)
+            i += 1
+            continue
+        rsource = tokens[r0:r_end]
+        # --- alias
+        a0 = _next_code(tokens, r_end - 1)
+        ralias = None
+        alias_end = r_end
+        if a0 < n and tokens[a0].is_kw("AS"):
+            a1 = _next_code(tokens, a0)
+            if a1 < n and tokens[a1].kind in ("word", "bident", "qident"):
+                ralias = unquote_name(tokens[a1])
+                alias_end = a1 + 1
+        elif (
+            a0 < n
+            and tokens[a0].kind in ("word", "bident", "qident")
+            and tokens[a0].upper not in _ASOF_COND_END
+        ):
+            ralias = unquote_name(tokens[a0])
+            alias_end = a0 + 1
+        if ralias is None:
+            code = [t for t in rsource if t.kind not in ("ws", "comment")]
+            if len(code) == 1 and code[0].kind in ("word", "bident", "qident"):
+                ralias = unquote_name(code[0])
+        # --- ON condition
+        on0 = _next_code(tokens, alias_end - 1)
+        if not (ralias and on0 < n and tokens[on0].is_kw("ON")):
+            out.append(tok)
+            i += 1
+            continue
+        c0 = on0 + 1
+        depth = 0
+        c_end = c0
+        while c_end < n:
+            t = tokens[c_end]
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif (
+                depth == 0
+                and t.kind == "word"
+                and t.upper in _ASOF_COND_END
+            ):
+                break
+            c_end += 1
+        cond = tokens[c0:c_end]
+        # split on top-level AND
+        conjuncts: List[List[Token]] = [[]]
+        depth = 0
+        for t in cond:
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                depth -= 1
+            if depth == 0 and t.is_kw("AND"):
+                conjuncts.append([])
+            else:
+                conjuncts[-1].append(t)
+        eqs = []
+        ineq = None
+        ok = True
+        for cj in conjuncts:
+            op_i = None
+            depth = 0
+            for ci, t in enumerate(cj):
+                if t.kind == "op" and t.text == "(":
+                    depth += 1
+                elif t.kind == "op" and t.text == ")":
+                    depth -= 1
+                elif depth == 0 and t.kind == "op" and t.text in (
+                    "=", ">=", ">", "<=", "<"
+                ):
+                    op_i = ci
+                    break
+            if op_i is None:
+                ok = False
+                break
+            lhs, rhs = cj[:op_i], cj[op_i + 1:]
+            lref, rref = _dotted_ref(lhs), _dotted_ref(rhs)
+            if lref is None or rref is None:
+                ok = False
+                break
+            op = cj[op_i].text
+            # orient so the r-side is second
+            if lref[0] is not None and lref[0].lower() == ralias.lower():
+                lref, rref = rref, lref
+                op = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}.get(op, op)
+            if not (rref[0] is not None and rref[0].lower() == ralias.lower()):
+                ok = False
+                break
+            if op == "=":
+                eqs.append((lref, rref))
+            elif ineq is None:
+                ineq = (lref, rref, op)
+            else:
+                ok = False
+                break
+        if not ok or ineq is None:
+            out.append(tok)
+            i += 1
+            continue
+        # --- build the replacement
+        lref, rref, op = ineq
+        ts_col = rref[1]
+        part_cols = ", ".join(f"`{rq[1]}`" for _, rq in eqs)
+        over = (
+            f"PARTITION BY {part_cols} ORDER BY `{ts_col}`"
+            if eqs
+            else f"ORDER BY `{ts_col}`"
+        )
+        win_fn = "lead" if op in (">=", ">") else "lag"
+        rsrc_sql = "".join(t.text for t in rsource)
+        sub = (
+            f"(SELECT *, {win_fn}(`{ts_col}`) OVER ({over}) AS __asof_end "
+            f"FROM {rsrc_sql})"
+        )
+        lts = (f"{lref[0]}." if lref[0] else "") + f"`{lref[1]}`"
+        guard_op = {"<": ">=", "<=": ">", ">": "<=", ">=": "<"}[op]
+        guard = (
+            f"({ralias}.__asof_end IS NULL OR {lts} {guard_op} "
+            f"{ralias}.__asof_end)"
+        )
+        cond_sql = "".join(t.text for t in cond).strip()
+        out.extend(
+            _toks(
+                f"{'LEFT ' if left_join else ''}JOIN {sub} AS {ralias} "
+                f"ON ({cond_sql}) AND {guard}"
+            )
+        )
+        i = c_end
+        continue
+    return out
 
 
 def _rewrite_concat_null_skipping(tokens: List[Token]) -> List[Token]:

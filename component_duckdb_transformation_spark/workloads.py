@@ -778,6 +778,21 @@ _add_sql(
 )
 
 _add_sql(
+    "q53_asof_join_sql",
+    """
+    SELECT e.user_id, e.ts, round(p.value, 2) AS last_purchase_value,
+           p.ts AS purchase_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') e
+    ASOF JOIN (SELECT user_id, ts, max(value) AS value FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    "statement-level ASOF JOIN rewritten to a windowed interval join "
+    "(lead-per-key right side, single shuffle, no range blowup); oracle "
+    "runs DuckDB's native ASOF JOIN",
+)
+
+_add_sql(
     "q46_regexp_split_to_table",
     """
     SELECT w AS word, CAST(count(*) AS BIGINT) AS n

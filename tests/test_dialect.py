@@ -470,6 +470,58 @@ def test_battery2_semantic_shims(spark):
     )
 
 
+def test_asof_join_rewrite(spark):
+    """ASOF [LEFT] JOIN in all four inequality directions, flipped
+    operand order, aliases, and subquery right sides — differential vs
+    DuckDB's native asof join."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tr(k VARCHAR, ts INT, px INT)")
+    con.execute("INSERT INTO tr VALUES ('a',1,10),('a',5,50),('a',9,90),('b',3,30)")
+    con.execute("CREATE TABLE ev(k VARCHAR, ts INT)")
+    con.execute(
+        "INSERT INTO ev VALUES ('a',0),('a',1),('a',6),('a',11),('b',3),('b',2),('c',5)"
+    )
+    spark.createDataFrame(
+        pd.DataFrame(
+            [("a", 1, 10), ("a", 5, 50), ("a", 9, 90), ("b", 3, 30)],
+            columns=["k", "ts", "px"],
+        )
+    ).createOrReplaceTempView("asof_tr")
+    spark.createDataFrame(
+        pd.DataFrame(
+            [("a", 0), ("a", 1), ("a", 6), ("a", 11), ("b", 3), ("b", 2), ("c", 5)],
+            columns=["k", "ts"],
+        )
+    ).createOrReplaceTempView("asof_ev")
+    shapes = [
+        "FROM ev ASOF JOIN tr ON ev.k = tr.k AND ev.ts >= tr.ts",
+        "FROM ev ASOF LEFT JOIN tr ON ev.k = tr.k AND ev.ts >= tr.ts",
+        "FROM ev ASOF JOIN tr ON ev.k = tr.k AND ev.ts > tr.ts",
+        "FROM ev ASOF JOIN tr ON ev.k = tr.k AND ev.ts <= tr.ts",
+        "FROM ev ASOF JOIN tr ON ev.k = tr.k AND ev.ts < tr.ts",
+        "FROM ev ASOF JOIN tr ON tr.ts <= ev.ts AND tr.k = ev.k",
+        "FROM ev ASOF JOIN (SELECT * FROM tr WHERE px > 10) tr "
+        "ON ev.k = tr.k AND ev.ts >= tr.ts",
+    ]
+    for shape in shapes:
+        q = f"SELECT ev.k, ev.ts, tr.px {shape} ORDER BY ev.k, ev.ts"
+        expected = con.execute(q).fetchall()
+        sq = translate(
+            q.replace("FROM ev", "FROM asof_ev ev").replace(
+                "JOIN tr", "JOIN asof_tr tr"
+            )
+            if "(SELECT" not in shape
+            else q.replace("FROM ev", "FROM asof_ev ev").replace(
+                "FROM tr", "FROM asof_tr"
+            )
+        )
+        got = [tuple(r) for r in spark.sql(sq).collect()]
+        assert got == expected, (shape, got, expected)
+
+
 def test_battery3_operator_shims(spark):
     """^ / ** are POWER in DuckDB (Spark ^ is XOR — silent wrong
     answers); ~ / !~ / ~~ / !~~ regex-LIKE operators; xor(); even();
