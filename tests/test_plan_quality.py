@@ -154,3 +154,14 @@ def test_x28_entropy_two_phase_aggregation(spark):
     # map-side combine — never a per-group array materialization
     assert plan.count("HashAggregate") >= 4  # 2 per groupBy (partial+final)
     assert "collect_list" not in plan
+
+
+def test_q53_asof_sql_no_range_blowup(spark):
+    plan = _plan(spark, "q53_asof_join_sql")
+    # the ASOF rewrite must yield a hash join + one window, never a
+    # nested-loop range join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # event_type filters reach the scans
+    assert "PushedFilters" in plan and "event_type" in plan
