@@ -97,6 +97,7 @@ _FN_RENAMES = {
     "list_indexof": "array_position",
     "nextafter": "nextafter",  # identity examples keep table readable
     "from_hex": "unhex",
+    "approx_quantile": "approx_percentile",
     "arg_max": "max_by",
     "arg_min": "min_by",
     "argmax": "max_by",
@@ -153,6 +154,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_power_and_regex_ops(tokens)
     tokens = _rewrite_division_double(tokens)
     tokens = _rewrite_call_shims(tokens)
+    tokens = _rewrite_filter_shorthand(tokens)
     tokens = _rewrite_simple(tokens)
     tokens = _rewrite_distinct_on_recursive(tokens)
     tokens = _rewrite_qualify_recursive(tokens)
@@ -1013,6 +1015,46 @@ _ORDER_LIST_TERMINATORS = {
     "UNION", "EXCEPT", "INTERSECT", "HAVING", "WINDOW", "QUALIFY",
     "USING",
 }
+
+
+def _rewrite_filter_shorthand(tokens: List[Token]) -> List[Token]:
+    """DuckDB allows ``agg(...) FILTER (cond)`` without WHERE; Spark
+    requires ``FILTER (WHERE cond)``. Only the clause form (FILTER
+    directly after a closing paren) is touched — ``filter(list,
+    lambda)`` calls are untouched."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.upper == "FILTER":
+            prev = next(
+                (
+                    t
+                    for t in reversed(out)
+                    if t.kind not in ("ws", "comment")
+                ),
+                None,
+            )
+            p_open = _next_code(tokens, i)
+            if (
+                prev is not None
+                and prev.kind == "op"
+                and prev.text == ")"
+                and p_open < n
+                and tokens[p_open].kind == "op"
+                and tokens[p_open].text == "("
+            ):
+                first = _next_code(tokens, p_open)
+                if first < n and not tokens[first].is_kw("WHERE"):
+                    out.append(tok)
+                    out.extend(tokens[i + 1: p_open + 1])
+                    out.extend(_toks("WHERE "))
+                    i = p_open + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
 
 
 def _rewrite_order_null_ordering(tokens: List[Token]) -> List[Token]:
@@ -2121,12 +2163,25 @@ def _rewrite_division_double(tokens: List[Token]) -> List[Token]:
     return out
 
 
+def _integral_cast_sql(x: str, ty: str, fn: str) -> str:
+    """DuckDB-rounding numeric->integral cast: DOUBLE/FLOAT inputs round
+    half-to-even (``bround``), everything else routes through
+    DECIMAL(38,0) whose Spark cast rounds half-away — ``typeof()``
+    dispatches WITHOUT evaluating its child (verified: ``typeof(1/0)``
+    does not raise), so the branch choice is free and exact for every
+    input type including booleans, strings, and full-range BIGINTs."""
+    inner_fn = "CAST" if fn.upper() == "CAST" else "TRY_CAST"
+    return (
+        f"(CASE WHEN typeof({x}) IN ('double', 'float') "
+        f"THEN {inner_fn}(bround(CAST(({x}) AS DOUBLE)) AS {ty}) "
+        f"ELSE {inner_fn}({inner_fn}(({x}) AS DECIMAL(38,0)) AS {ty}) END)"
+    )
+
+
 def _rewrite_integral_casts(tokens: List[Token]) -> List[Token]:
     """DuckDB ROUNDS on numeric->integral casts (half away from zero for
-    DECIMAL, half to even for DOUBLE); Spark TRUNCATES. Routing through
-    ``DECIMAL(38,0)`` (whose Spark cast rounds HALF_UP) reproduces
-    DuckDB for every input except a DOUBLE landing exactly on .5 —
-    half-away vs half-even, documented in COVERAGE.md. Handles
+    DECIMAL, half to even for DOUBLE); Spark TRUNCATES. See
+    ``_integral_cast_sql`` for the exact dispatch. Handles
     ``CAST/TRY_CAST(x AS <integral>)`` and ``x::<integral>``; TRY_CAST
     keeps try semantics on the inner hop."""
     out: List[Token] = []
@@ -2149,12 +2204,14 @@ def _rewrite_integral_casts(tokens: List[Token]) -> List[Token]:
                         and ty_end == close
                     ):
                         inner = _rewrite_integral_casts(tokens[p_open + 1 : as_i])
-                        fn = tok.text
-                        out.extend(_toks(f"{fn}({fn}("))
-                        out.extend(inner)
-                        out.extend(_toks(" AS DECIMAL(38,0)) AS "))
-                        out.append(tokens[ty])
-                        out.append(Token("op", ")"))
+                        x = "".join(t.text for t in inner).strip()
+                        out.extend(
+                            _toks(
+                                _integral_cast_sql(
+                                    x, tokens[ty].text, tok.text
+                                )
+                            )
+                        )
                         i = close + 1
                         continue
         elif tok.kind == "op" and tok.text == "::":
@@ -2170,6 +2227,14 @@ def _rewrite_integral_casts(tokens: List[Token]) -> List[Token]:
                     and tokens[ty_end].text == "("
                 )
             ):
+                operand = _pop_operand(out)
+                if operand:
+                    x = "".join(t.text for t in operand).strip()
+                    out.extend(
+                        _toks(_integral_cast_sql(x, tokens[ty].text, "CAST"))
+                    )
+                    i = ty + 1
+                    continue
                 out.append(tok)
                 out.extend(_toks("DECIMAL(38,0)::"))
                 out.append(tokens[ty])
@@ -2844,6 +2909,50 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     )
                     return pos[0] if pos else None
 
+                if low in ("first", "last") and order_split() is not None:
+                    # ordered first/last ARE min_by/max_by
+                    ob = order_split()
+                    head = _sql(inner, 0, ob)
+                    order_expr = _sql(inner, ob, ihi)[len("ORDER"):].strip()
+                    if order_expr.upper().startswith("BY"):
+                        order_expr = order_expr[2:].strip()
+                        desc = order_expr.upper().endswith(" DESC")
+                        key = (
+                            order_expr[:-5].strip()
+                            if desc
+                            else (
+                                order_expr[:-4].strip()
+                                if order_expr.upper().endswith(" ASC")
+                                else order_expr
+                            )
+                        )
+                        if "," not in key:
+                            lo_first = low == "first"
+                            fn = (
+                                "min_by"
+                                if lo_first != desc
+                                else "max_by"
+                            )
+                            out.extend(_toks(f"{fn}({head}, {key})"))
+                            i = close + 1
+                            continue
+                if low in (
+                    "sum", "avg", "mean", "min", "max", "count",
+                    "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor",
+                    "stddev", "stddev_samp", "stddev_pop", "variance",
+                    "var_samp", "var_pop", "median", "product", "entropy",
+                ):
+                    # order-insensitive aggregates: DuckDB tolerates an
+                    # in-aggregate ORDER BY; drop it
+                    ob = order_split()
+                    if ob is not None:
+                        head = _sql(inner, 0, ob)
+                        out.append(Token("word", low))
+                        out.append(Token("op", "("))
+                        out.extend(_toks(head))
+                        out.append(Token("op", ")"))
+                        i = close + 1
+                        continue
                 if low in ("string_agg", "array_agg", "list", "collect_list"):
                     ob = order_split()
                     if ob is not None:

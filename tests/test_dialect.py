@@ -470,6 +470,28 @@ def test_battery2_semantic_shims(spark):
     )
 
 
+def test_battery4_aggregate_modifier_shims(spark):
+    """FILTER without WHERE, ordered first/last -> min_by/max_by,
+    ORDER BY stripped from order-insensitive aggregates."""
+    import duckdb
+
+    cases = [
+        "count(*) FILTER (x > 1) FROM (VALUES (1),(2),(3)) t(x)",
+        "first(x ORDER BY y DESC) FROM (VALUES (1, 10),(2, 20)) t(x, y)",
+        "first(x ORDER BY y) FROM (VALUES (1, 10),(2, 20)) t(x, y)",
+        "last(x ORDER BY y) FROM (VALUES (1, 10),(2, 20)) t(x, y)",
+        "last(x ORDER BY y DESC) FROM (VALUES (1, 10),(2, 20)) t(x, y)",
+        "sum(x ORDER BY x) FROM (VALUES (1),(2)) t(x)",
+        "count(x ORDER BY x) FROM (VALUES (1),(2)) t(x)",
+    ]
+    for c in cases:
+        expected = duckdb.sql(f"SELECT {c}").fetchone()[0]
+        got = spark.sql(translate(f"SELECT {c}")).collect()[0][0]
+        assert str(got) == str(expected), (c, got, expected)
+    # list filter() calls are not clause-rewritten
+    assert "WHERE" not in translate("SELECT filter([1,2], x -> x > 1)")
+
+
 def test_asof_join_rewrite(spark):
     """ASOF [LEFT] JOIN in all four inequality directions, flipped
     operand order, aliases, and subquery right sides — differential vs
@@ -590,6 +612,10 @@ def test_division_double_semantics(spark):
         "SELECT CAST(-2.7 AS BIGINT) AS r",
         "SELECT 2.5::INT AS r",
         "SELECT CAST('12' AS INT) AS r",
+        # DOUBLE rounds half-to-even like DuckDB (typeof dispatch)
+        "SELECT CAST(CAST(17.5 AS DOUBLE) AS BIGINT) AS r",
+        "SELECT CAST(CAST(18.5 AS DOUBLE) AS BIGINT) AS r",
+        "SELECT CAST(CAST(-17.5 AS DOUBLE) AS BIGINT) AS r",
         # nested: division inside a divisor must also become double
         "SELECT 1 / (1 + (100 / 7.5579)) AS r",
     ]
