@@ -131,7 +131,11 @@ def bool_expr(g: random.Random, depth: int = 0) -> str:
     if choice == 1:
         return f"({str_expr(g, depth + 1)} = {str_expr(g, depth + 1)})"
     if choice == 2:
-        return f"({g.choice(STR_COLS)} LIKE '{g.choice(['A%', '%F', '_'])}')"
+        if g.random() < 0.5:
+            return f"({g.choice(STR_COLS)} LIKE '{g.choice(['A%', '%F', '_'])}')"
+        op = g.choice(["~", "!~", "~~", "!~~"])
+        pat = "'[AF]'" if "~~" not in op else "'_'"
+        return f"({g.choice(STR_COLS)} {op} {pat})"
     if choice == 3:
         lo = g.randint(0, 20)
         return f"({g.choice(INT_COLS + NUM_COLS)} BETWEEN {lo} AND {lo + g.randint(1, 30)})"
@@ -204,9 +208,13 @@ def win_item(g: random.Random) -> str:
 def agg_item(g: random.Random) -> str:
     fn = g.choice(["sum", "avg", "min", "max", "count"])
     inner = num_expr(g, depth=1)
-    if g.random() < 0.4:
+    if g.random() < 0.3:
         inner = f"CASE WHEN {bool_expr(g, 1)} THEN {inner} END"
-    return f"{fn}({inner})"
+    call = f"{fn}({inner})"
+    if g.random() < 0.25:
+        # DuckDB FILTER shorthand (no WHERE keyword)
+        call += f" FILTER ({bool_expr(g, 1)})"
+    return call
 
 
 def compare_cols(sa: np.ndarray, oa: np.ndarray) -> bool:
