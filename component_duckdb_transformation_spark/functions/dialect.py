@@ -152,6 +152,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_bare_types(tokens)
     tokens = _rewrite_integral_casts(tokens)
     tokens = _rewrite_power_and_regex_ops(tokens)
+    tokens = _rewrite_json_arrows(tokens)
     tokens = _rewrite_division_double(tokens)
     tokens = _rewrite_call_shims(tokens)
     tokens = _rewrite_filter_shorthand(tokens)
@@ -2119,6 +2120,79 @@ def _rewrite_power_and_regex_ops(tokens: List[Token]) -> List[Token]:
     return out
 
 
+# higher-order functions whose direct arguments may be lambdas — an
+# arrow directly under one of these calls is a lambda, not a JSON op
+_LAMBDA_FNS = {
+    "list_transform", "list_filter", "list_reduce", "array_transform",
+    "array_filter", "array_reduce", "transform", "filter", "aggregate",
+    "reduce", "exists", "forall", "zip_with", "map_filter",
+    "transform_keys", "transform_values", "list_sort", "array_sort",
+    "list_aggregate", "fold",
+}
+
+
+def _json_path_literal(v: str) -> str:
+    """Normalize a DuckDB JSON path value to Spark's $-style."""
+    if v.startswith("$"):
+        return v
+    if v.startswith("/"):
+        return "$." + ".".join(p for p in v.split("/") if p)
+    return f"$.{v}"
+
+
+def _rewrite_json_arrows(tokens: List[Token]) -> List[Token]:
+    """DuckDB JSON extraction operators ``->`` (JSON) and ``->>``
+    (text) -> ``get_json_object``; integer right operands become
+    ``$[n]`` array paths. Lambda arrows (a direct argument of a
+    higher-order function) are untouched. The ``->`` variant's one
+    divergence: a STRING leaf comes back unquoted (Spark has no JSON
+    type) — documented in COVERAGE.md."""
+    out: List[Token] = []
+    stack: List[str] = []
+    i = 0
+    n = len(tokens)
+    prev_code: Optional[Token] = None
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text == "(":
+            owner = (
+                prev_code.text.lower()
+                if prev_code is not None and prev_code.kind == "word"
+                else ""
+            )
+            stack.append(owner)
+        elif tok.kind == "op" and tok.text == ")":
+            if stack:
+                stack.pop()
+        elif tok.kind == "op" and tok.text in ("->", "->>"):
+            if not (stack and stack[-1] in _LAMBDA_FNS):
+                j = _next_code(tokens, i)
+                if j < n and tokens[j].kind in ("string", "number", "word"):
+                    rt = tokens[j]
+                    path = None
+                    if rt.kind == "string":
+                        path = _json_path_literal(_decode_spark_string(rt))
+                    elif rt.kind == "number" or (
+                        rt.kind == "word" and rt.text.isdigit()
+                    ):
+                        path = f"$[{rt.text}]"
+                    if path is not None:
+                        left = _pop_operand(out)
+                        out.extend(_toks(" get_json_object("))
+                        out.extend(left)
+                        out.append(Token("op", ","))
+                        out.append(_encode_spark_string(path))
+                        out.append(Token("op", ")"))
+                        prev_code = out[-1]
+                        i = j + 1
+                        continue
+        out.append(tok)
+        if tok.kind not in ("ws", "comment"):
+            prev_code = tok
+        i += 1
+    return out
+
+
 def _rewrite_division_double(tokens: List[Token]) -> List[Token]:
     """DuckDB division/modulo semantics for ``/``, ``%``, ``//``.
 
@@ -2278,7 +2352,7 @@ def _rewrite_bare_types(tokens: List[Token]) -> List[Token]:
         elif tok.kind == "op" and tok.text == ")":
             if cast_paren_stack:
                 cast_paren_stack.pop()
-        if tok.kind == "word" and tok.text.lower() in ("varchar", "text"):
+        if tok.kind == "word" and tok.text.lower() in ("varchar", "text", "json"):
             after_colons = (
                 prev_code is not None and prev_code.kind == "op" and prev_code.text == "::"
             )
@@ -3178,6 +3252,45 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                             )
                             i = close + 1
                             continue
+                if (
+                    low
+                    in (
+                        "json_extract",
+                        "json_extract_path",
+                        "json_extract_string",
+                        "json_extract_path_text",
+                    )
+                    and len(args) == 2
+                ):
+                    # all map to get_json_object; the JSON-returning
+                    # variants' string-leaf quoting divergence is
+                    # documented (Spark has no JSON type)
+                    s_, p_ = (_sql(inner, st, e) for st, e in args)
+                    p_code = [
+                        t
+                        for t in inner[args[1][0]: args[1][1]]
+                        if t.kind not in ("ws", "comment")
+                    ]
+                    if len(p_code) == 1 and p_code[0].kind == "string":
+                        p_ = _encode_spark_string(
+                            _json_path_literal(
+                                _decode_spark_string(p_code[0])
+                            )
+                        ).text
+                    out.extend(_toks(f"get_json_object({s_}, {p_})"))
+                    i = close + 1
+                    continue
+                if low == "unicode" and len(args) == 1:
+                    # codepoint of the first char; '' is -1 in DuckDB
+                    a = _sql(inner, *args[0])
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN ({a}) = '' THEN -1 "
+                            f"ELSE ascii({a}) END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
                 if low == "xor" and len(args) == 2:
                     # DuckDB xor() function (its ^ is power); Spark ^ IS
                     # xor — safe here because the power pass already ran

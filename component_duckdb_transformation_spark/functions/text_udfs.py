@@ -197,6 +197,25 @@ def register_text_udfs(spark: SparkSession) -> None:
             dtype="object",
         ).astype("float64")
 
+    import unicodedata
+
+    @pandas_udf("string")
+    def _strip_accents_udf(x: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if v is None
+                else "".join(
+                    c
+                    for c in unicodedata.normalize("NFD", v)
+                    if not unicodedata.combining(c)
+                )
+                for v in x
+            ],
+            dtype="object",
+        )
+
+    spark.udf.register("strip_accents", _strip_accents_udf)
     spark.udf.register("jaro_similarity", _jaro_udf)
     spark.udf.register("jaro_winkler_similarity", _jw_udf)
     spark.udf.register("damerau_levenshtein", _dl_udf)

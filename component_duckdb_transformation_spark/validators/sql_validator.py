@@ -156,6 +156,7 @@ def check_common_sql_errors(sql: str) -> list[str]:
 _UNSUPPORTED_FUNCTIONS = {
     "icu_sort_key", "to_base64_url", "fuzzy_match",
     "age", "current_setting",  # interval/engine-state semantics
+    "format_bytes", "bitstring", "nfc_normalize",
 }
 
 # shimmed only for specific argument shapes: lint the rest

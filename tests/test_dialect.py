@@ -470,6 +470,32 @@ def test_battery2_semantic_shims(spark):
     )
 
 
+def test_json_arrows_and_misc_shims(spark):
+    """JSON -> / ->> operators (lambda arrows untouched), json_extract
+    family with path normalization, strip_accents, unicode()."""
+    import duckdb
+
+    cases = [
+        "('{\"a\": 1}'::JSON) ->> 'a'",
+        "('[5,6]'::JSON) -> 0",
+        "('[5,6]'::JSON) ->> 1",
+        "('{\"a\": {\"b\": 7}}'::JSON) -> 'a' ->> 'b'",
+        "json_extract_string('{\"a\": \"x\"}', '$.a')",
+        "json_extract_string('{\"a\": {\"b\": 2}}', '/a/b')",
+        "json_extract('{\"a\": {\"b\": 2}}', 'a')",
+        "list_transform([1,2], x -> x + 1)",
+        "list_filter([1,2,3], x -> x > 1)",
+        "strip_accents('héllo wörld')",
+        "unicode('é')",
+        "unicode('')",
+    ]
+    for c in cases:
+        expected = duckdb.sql(f"SELECT {c} AS r").fetchone()[0]
+        got = spark.sql(translate(f"SELECT {c} AS r")).collect()[0][0]
+        got = list(got) if isinstance(expected, list) else got
+        assert str(got) == str(expected), (c, got, expected)
+
+
 def test_battery4_aggregate_modifier_shims(spark):
     """FILTER without WHERE, ordered first/last -> min_by/max_by,
     ORDER BY stripped from order-insensitive aggregates."""
