@@ -1914,6 +1914,21 @@ def _capture_operand(tokens: List[Token], i: int) -> int:
     t = tokens[j]
     if t.kind == "op" and t.text == "(":
         j = _matching_paren(tokens, j) + 1
+    elif t.is_kw("CASE"):
+        # CASE ... END is a primary: scan to the matching END (CASE
+        # nests inside WHEN/THEN branches)
+        depth = 0
+        k = j
+        while k < n:
+            tk = tokens[k]
+            if tk.is_kw("CASE"):
+                depth += 1
+            elif tk.is_kw("END"):
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        j = min(k + 1, n)
     elif t.kind in ("word", "bident", "qident", "number", "string"):
         nxt = _next_code(tokens, j)
         if (
@@ -2016,6 +2031,28 @@ def _pop_operand(out: List[Token]) -> List[Token]:
 
     while True:
         t = out[j]
+        if t.is_kw("END"):
+            # trailing CASE ... END: pop the whole CASE expression
+            # (scan back to the matching CASE, tracking nesting)
+            depth = 0
+            k = j
+            start = None
+            while k >= 0:
+                tk = out[k]
+                if tk.is_kw("END"):
+                    depth += 1
+                elif tk.is_kw("CASE"):
+                    depth -= 1
+                    if depth == 0:
+                        start = k
+                        break
+                k -= 1
+            if start is None:
+                return []  # unmatched END — not an operand; pop nothing
+            j = start
+            break
+        if t.kind == "word" and t.upper in _NOT_FUNCTION_WORDS:
+            return []  # bare keyword is not an operand; pop nothing
         if t.kind == "op" and t.text == ")":
             j = _rev_match(j, "(", ")")
             k = j - 1

@@ -952,3 +952,34 @@ def test_from_arg_functions_keep_string_args():
     assert "'hello'" in out2
     # real FROM-table string literals still become backticked names
     assert "`days.csv`" in translate("SELECT * FROM 'days.csv'")
+
+
+def test_case_operand_capture(spark):
+    """CASE ... END is a valid operand of /, %, //, ^, ** and ::cast —
+    the divisor-capture and operand-pop passes must treat it as one
+    primary (ADVICE r5: div-by-CASE guards are a common pattern)."""
+    import duckdb
+
+    cases = [
+        "SELECT 10 / CASE WHEN 1 = 2 THEN 0 ELSE 4 END AS r",
+        "SELECT 10 / CASE WHEN 1 = 1 THEN 0 ELSE 4 END AS r",
+        "SELECT 10 % CASE WHEN 1 = 1 THEN 3 ELSE 4 END AS r",
+        "SELECT 10 // CASE WHEN 1 = 1 THEN 3 ELSE 4 END AS r",
+        "SELECT CASE WHEN 1 = 1 THEN 3 ELSE 4 END ^ 2 AS r",
+        "SELECT 2 ** CASE WHEN 1 = 1 THEN 3 ELSE 4 END AS r",
+        "SELECT CASE WHEN 1 = 1 THEN 2.7 ELSE 0 END::BIGINT AS r",
+        # nested CASE in the divisor
+        "SELECT 12 / CASE WHEN 1 = 1 THEN CASE WHEN 2 = 2 THEN 4 ELSE 6 END"
+        " ELSE 1 END AS r",
+        # simple (valued) CASE form
+        "SELECT 10 / CASE 2 WHEN 2 THEN 5 ELSE 1 END AS r",
+        # CASE containing a division of its own
+        "SELECT 1 + CASE WHEN 1 = 1 THEN 10 / 4 ELSE 0 END AS r",
+    ]
+    for c in cases:
+        expected = duckdb.sql(c).fetchall()
+        got = [tuple(r) for r in spark.sql(translate(c)).collect()]
+        norm = lambda rows: [
+            tuple(float(v) if v is not None else None for v in r) for r in rows
+        ]
+        assert norm(got) == norm(expected), (c, got, expected)
