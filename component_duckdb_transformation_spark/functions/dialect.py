@@ -551,11 +551,16 @@ def _rewrite_concat_null_skipping(tokens: List[Token]) -> List[Token]:
             if p_open < n and tokens[p_open].kind == "op" and tokens[p_open].text == "(":
                 close = _matching_paren(tokens, p_open)
                 if close > p_open + 1:  # at least one argument
-                    inner = _rewrite_concat_null_skipping(
-                        tokens[p_open + 1: close]
-                    )
-                    out.extend(_toks("concat_ws('', "))
-                    out.extend(inner)
+                    # DuckDB casts EACH argument to VARCHAR before
+                    # joining; without the per-arg cast Spark's
+                    # concat_ws would flatten array arguments and join
+                    # their elements instead (silent wrong results)
+                    args = _split_top_level_args(tokens, p_open, close)
+                    out.extend(_toks("concat_ws(''"))
+                    for arg in args:
+                        out.extend(_toks(", CAST(("))
+                        out.extend(_rewrite_concat_null_skipping(arg))
+                        out.extend(_toks(") AS STRING)"))
                     out.append(Token("op", ")"))
                     i = close + 1
                     continue
@@ -680,9 +685,9 @@ def _split_top_level_args(tokens: List[Token], open_idx: int, close_idx: int) ->
     depth = 0
     for j in range(open_idx + 1, close_idx):
         t = tokens[j]
-        if t.kind == "op" and t.text == "(":
+        if t.kind == "op" and t.text in ("(", "[", "{"):
             depth += 1
-        elif t.kind == "op" and t.text == ")":
+        elif t.kind == "op" and t.text in (")", "]", "}"):
             depth -= 1
         if depth == 0 and t.kind == "op" and t.text == ",":
             args.append(cur)
@@ -705,12 +710,11 @@ def _boundary_diff_sql(unit: str, a: str, b: str) -> str:
     if unit == "DECADE":
         return f"CAST(year({b}) DIV 10 - year({a}) DIV 10 AS BIGINT)"
     if unit == "CENTURY":
-        return f"CAST((year({b}) + 99) DIV 100 - (year({a}) + 99) DIV 100 AS BIGINT)"
+        # date_diff crosses at year DIV 100 (1999->2000 counts), unlike
+        # the ISO-convention century() extraction function — probed
+        return f"CAST(year({b}) DIV 100 - year({a}) DIV 100 AS BIGINT)"
     if unit == "MILLENNIUM":
-        return (
-            f"CAST((year({b}) + 999) DIV 1000 - (year({a}) + 999) DIV 1000"
-            " AS BIGINT)"
-        )
+        return f"CAST(year({b}) DIV 1000 - year({a}) DIV 1000 AS BIGINT)"
     if unit == "QUARTER":
         return (
             f"CAST((year({b}) * 4 + quarter({b}))"
@@ -728,12 +732,50 @@ def _boundary_diff_sql(unit: str, a: str, b: str) -> str:
         )
     if unit == "DAY":
         return f"CAST(datediff(CAST(({b}) AS DATE), CAST(({a}) AS DATE)) AS BIGINT)"
-    if unit in ("HOUR", "MINUTE", "SECOND"):
+    if unit in ("HOUR", "MINUTE", "SECOND", "MILLISECOND"):
         low = unit.lower()
         return (
             f"timestampdiff({unit}, date_trunc('{low}', {a}), "
             f"date_trunc('{low}', {b}))"
         )
+    return f"timestampdiff({unit}, {a}, {b})"
+
+
+# DuckDB datepart alias -> canonical unit, probed against DuckDB 1.x
+# (rstrip-based normalization mangled the short forms: 's' -> '',
+# 'us' -> 'U', 'ms' -> 'M'). dow/isodow/weekday/doy all diff as DAY.
+_DATE_PART_ALIASES = {
+    "YEAR": ("Y", "YR", "YRS", "YEAR", "YEARS"),
+    "QUARTER": ("QUARTER", "QUARTERS"),
+    "MONTH": ("MON", "MONS", "MONTH", "MONTHS"),
+    "WEEK": ("W", "WEEK", "WEEKS", "WEEKOFYEAR"),
+    "DAY": ("D", "DAY", "DAYS", "DAYOFMONTH", "DOY", "DAYOFYEAR",
+            "DOW", "ISODOW", "WEEKDAY"),
+    "HOUR": ("H", "HR", "HRS", "HOUR", "HOURS"),
+    "MINUTE": ("M", "MIN", "MINS", "MINUTE", "MINUTES"),
+    "SECOND": ("S", "SEC", "SECS", "SECOND", "SECONDS"),
+    "MILLISECOND": ("MS", "MSEC", "MSECS", "MSECOND", "MSECONDS",
+                    "MILLISECOND", "MILLISECONDS"),
+    "MICROSECOND": ("US", "USEC", "USECS", "USECOND", "USECONDS",
+                    "MICROSECOND", "MICROSECONDS"),
+    "DECADE": ("DEC", "DECS", "DECADE", "DECADES"),
+    "CENTURY": ("C", "CENT", "CENTURY", "CENTURIES"),
+    "MILLENNIUM": ("MIL", "MILS", "MILLENNIUM", "MILLENNIA", "MILLENIUM"),
+}
+_DATE_PART_UNIT = {a: u for u, als in _DATE_PART_ALIASES.items() for a in als}
+
+
+def _complete_periods_sql(unit: str, a: str, b: str) -> str:
+    """DuckDB ``date_sub`` counts COMPLETE elapsed periods — Spark's
+    ``timestampdiff`` semantics. DECADE/CENTURY/MILLENNIUM (which Spark
+    lacks) compose from complete years; integer division truncates
+    toward zero in both engines, matching DuckDB's sign behavior."""
+    if unit == "DECADE":
+        return f"CAST(timestampdiff(YEAR, {a}, {b}) DIV 10 AS BIGINT)"
+    if unit == "CENTURY":
+        return f"CAST(timestampdiff(YEAR, {a}, {b}) DIV 100 AS BIGINT)"
+    if unit == "MILLENNIUM":
+        return f"CAST(timestampdiff(YEAR, {a}, {b}) DIV 1000 AS BIGINT)"
     return f"timestampdiff({unit}, {a}, {b})"
 
 
@@ -755,7 +797,13 @@ def _rewrite_date_diff(tokens: List[Token]) -> List[Token]:
                 args = _split_top_level_args(tokens, p_open, close)
                 first_code = [t for t in args[0] if t.kind not in ("ws", "comment")] if args else []
                 if len(args) == 3 and len(first_code) == 1 and first_code[0].kind == "string":
-                    unit = first_code[0].text[1:-1].upper().rstrip("S")
+                    unit = _DATE_PART_UNIT.get(first_code[0].text[1:-1].upper())
+                    if unit is None:
+                        # unknown datepart: leave untouched (DuckDB
+                        # errors on it too — let Spark raise)
+                        out.append(tok)
+                        i += 1
+                        continue
                     a = "".join(
                         t.text for t in _rewrite_date_diff(args[1])
                     ).strip()
@@ -763,7 +811,7 @@ def _rewrite_date_diff(tokens: List[Token]) -> List[Token]:
                         t.text for t in _rewrite_date_diff(args[2])
                     ).strip()
                     if tok.text.lower() == "date_sub":
-                        out.extend(_toks(f"timestampdiff({unit}, {a}, {b})"))
+                        out.extend(_toks(_complete_periods_sql(unit, a, b)))
                     else:
                         out.extend(_toks(_boundary_diff_sql(unit, a, b)))
                     i = close + 1

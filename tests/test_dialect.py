@@ -983,3 +983,53 @@ def test_case_operand_capture(spark):
             tuple(float(v) if v is not None else None for v in r) for r in rows
         ]
         assert norm(got) == norm(expected), (c, got, expected)
+
+
+def test_date_diff_unit_aliases(spark):
+    """Every DuckDB datepart alias (s/ms/us/mon/w/...) maps to the
+    right Spark unit; the old rstrip('S') normalization emitted empty
+    or invalid units for the short forms (ADVICE r5)."""
+    import duckdb
+
+    pairs = [
+        ("TIMESTAMP '2020-01-31 22:59:58.123455'",
+         "TIMESTAMP '2021-03-02 01:01:01.987654'"),
+        ("TIMESTAMP '2021-03-02 01:01:01.987654'",
+         "TIMESTAMP '2020-01-31 22:59:58.123455'"),
+        ("TIMESTAMP '1999-12-31 23:59:59.999999'",
+         "TIMESTAMP '2000-01-01 00:00:00.000001'"),
+    ]
+    units = ["y", "yr", "years", "quarter", "mon", "months", "w", "week",
+             "weekofyear", "d", "days", "doy", "dow", "h", "hr", "hours",
+             "m", "min", "minutes", "s", "sec", "seconds", "ms", "msec",
+             "milliseconds", "us", "usec", "microseconds", "dec", "decade",
+             "c", "century", "mil", "millennium"]
+    for a, b in pairs:
+        for u in units:
+            for fn in ("date_diff", "date_sub"):
+                c = f"SELECT {fn}('{u}', {a}, {b}) AS r"
+                expected = duckdb.sql(c).fetchall()
+                got = [tuple(r) for r in spark.sql(translate(c)).collect()]
+                assert got == expected, (c, got, expected)
+
+
+def test_concat_per_arg_varchar_cast(spark):
+    """DuckDB concat() casts each argument to VARCHAR; Spark concat_ws
+    would otherwise flatten ARRAY arguments and join their elements
+    ('123' instead of '[1, 2][3]') — ADVICE r5."""
+    import duckdb
+
+    cases = [
+        "SELECT concat([1,2],[3]) AS r",
+        "SELECT concat(['a','b'],'x') AS r",
+        "SELECT concat(TRUE, DATE '2020-01-02') AS r",
+        "SELECT concat(NULL, 'x', NULL, 'y') AS r",
+        "SELECT concat('a', 'b', 'c') AS r",
+        "SELECT concat(1, 2.5, 'z') AS r",
+        # nested concat
+        "SELECT concat('a', concat([1], 'b')) AS r",
+    ]
+    for c in cases:
+        expected = duckdb.sql(c).fetchall()
+        got = [tuple(r) for r in spark.sql(translate(c)).collect()]
+        assert got == expected, (c, got, expected)
