@@ -342,6 +342,91 @@ def _dotted_ref(tokens_: List[Token]):
     return None
 
 
+def _patch_enclosing_star_for_asof(out: List[Token], ralias: str) -> None:
+    """Exclude the ASOF helper column from star projections of the
+    query block whose FROM clause got the rewritten join: ``SELECT *``
+    (and ``<ralias>.*``) would otherwise expose ``__asof_end`` — a
+    schema divergence from DuckDB. Walks back from the join (already
+    emitted into ``out``) to the owning SELECT at the same paren depth,
+    then appends ``EXCEPT (<ralias>.__asof_end)`` to covering stars,
+    merging into an EXCEPT list a prior pass (or a second ASOF join in
+    the same scope) already placed."""
+    depth = 0
+    sel = None
+    from_idx = None
+    for k in range(len(out) - 1, -1, -1):
+        t = out[k]
+        if t.kind == "op" and t.text == ")":
+            depth += 1
+        elif t.kind == "op" and t.text == "(":
+            if depth == 0:
+                return  # crossed our scope's opening paren: no SELECT
+            depth -= 1
+        elif depth == 0 and t.is_kw("FROM") and from_idx is None:
+            from_idx = k
+        elif depth == 0 and t.is_kw("SELECT"):
+            sel = k
+            break
+    if sel is None or from_idx is None or from_idx < sel:
+        return
+    k = sel + 1
+    depth = 0
+    while k < from_idx:
+        t = out[k]
+        if t.kind == "op" and t.text in ("(", "["):
+            depth += 1
+        elif t.kind == "op" and t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.kind == "op" and t.text == "*":
+            # qualifier, if any
+            p = k - 1
+            while p > sel and out[p].kind in ("ws", "comment"):
+                p -= 1
+            qual = None
+            if p > sel and out[p].kind == "op" and out[p].text == ".":
+                q = p - 1
+                while q > sel and out[q].kind in ("ws", "comment"):
+                    q -= 1
+                if q > sel and out[q].kind in ("word", "bident", "qident"):
+                    qual = unquote_name(out[q])
+            if qual is not None and qual.lower() != ralias.lower():
+                k += 1
+                continue
+            # a bare `*` is a projection star only right after SELECT /
+            # DISTINCT / ALL / a list comma — anything else (identifier,
+            # literal, `)`) makes it multiplication
+            if qual is None and not (
+                out[p].is_kw("SELECT", "DISTINCT", "ALL")
+                or (out[p].kind == "op" and out[p].text == ",")
+            ):
+                k += 1
+                continue
+            nxt = _next_code(out, k)
+            entry = _toks(f"{ralias}.__asof_end")
+            # merge into an existing exclusion list (EXCLUDE is the
+            # DuckDB spelling — a later pass converts it to EXCEPT)
+            if (
+                nxt < from_idx
+                and out[nxt].is_kw("EXCEPT", "EXCLUDE")
+            ):
+                p_open = _next_code(out, nxt)
+                if (
+                    p_open < from_idx
+                    and out[p_open].kind == "op"
+                    and out[p_open].text == "("
+                ):
+                    ins = entry + [Token("op", ","), Token("ws", " ")]
+                    out[p_open + 1: p_open + 1] = ins
+                    from_idx += len(ins)
+                    k = p_open + len(ins)
+                    continue
+            ins = _toks(" EXCEPT (") + entry + [Token("op", ")")]
+            out[k + 1: k + 1] = ins
+            from_idx += len(ins)
+            k += len(ins)
+        k += 1
+
+
 def _rewrite_asof_join(tokens: List[Token]) -> List[Token]:
     """DuckDB ``ASOF [LEFT] JOIN r ON eq-conds AND l.ts >= r.ts`` ->
     standard join against a windowed right side: each right row gets the
@@ -356,8 +441,9 @@ def _rewrite_asof_join(tokens: List[Token]) -> List[Token]:
     column-ref comparisons with exactly one inequality, and the right
     side of each comparison is alias-qualified. Anything else is left
     untouched (the Spark parser will reject ASOF, surfacing the
-    limitation explicitly). NOTE ``SELECT *`` over the rewritten join
-    exposes the helper ``__asof_end`` column (documented, COVERAGE.md).
+    limitation explicitly). Star projections over the rewritten join
+    are patched with ``EXCEPT (__asof_end)`` so the helper column never
+    reaches the result schema (``_patch_enclosing_star_for_asof``).
     """
     out: List[Token] = []
     i = 0
@@ -529,6 +615,7 @@ def _rewrite_asof_join(tokens: List[Token]) -> List[Token]:
                 f"ON ({cond_sql}) AND {guard}"
             )
         )
+        _patch_enclosing_star_for_asof(out, ralias)
         i = c_end
         continue
     return out

@@ -793,6 +793,21 @@ _add_sql(
 )
 
 _add_sql(
+    "q54_asof_select_star",
+    """
+    SELECT *
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') e
+    ASOF JOIN (SELECT user_id AS p_user, ts AS p_ts, max(value) AS p_value
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id, ts) p
+      ON e.user_id = p.p_user AND e.ts >= p.p_ts
+    """,
+    "SELECT * over a rewritten ASOF JOIN: the star projection is "
+    "patched with EXCEPT(__asof_end) so the helper column never leaks "
+    "into the result schema (VERDICT r5 #1)",
+)
+
+_add_sql(
     "q46_regexp_split_to_table",
     """
     SELECT w AS word, CAST(count(*) AS BIGINT) AS n

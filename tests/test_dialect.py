@@ -1033,3 +1033,47 @@ def test_concat_per_arg_varchar_cast(spark):
         expected = duckdb.sql(c).fetchall()
         got = [tuple(r) for r in spark.sql(translate(c)).collect()]
         assert got == expected, (c, got, expected)
+
+
+def test_asof_join_select_star_schema(spark):
+    """SELECT * / alias.* over a rewritten ASOF JOIN must NOT expose
+    the __asof_end helper column (VERDICT r5 #1) — columns and values
+    diff against DuckDB's native asof join."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tr(k VARCHAR, ts INT, px INT)")
+    con.execute("INSERT INTO tr VALUES ('a',1,10),('a',5,50),('a',9,90),('b',3,30)")
+    con.execute("CREATE TABLE ev(k VARCHAR, ts INT)")
+    con.execute("INSERT INTO ev VALUES ('a',0),('a',1),('a',6),('b',3),('c',5)")
+    spark.createDataFrame(
+        pd.DataFrame([("a", 1, 10), ("a", 5, 50), ("a", 9, 90), ("b", 3, 30)],
+                     columns=["k", "ts", "px"])
+    ).createOrReplaceTempView("tr")
+    spark.createDataFrame(
+        pd.DataFrame([("a", 0), ("a", 1), ("a", 6), ("b", 3), ("c", 5)],
+                     columns=["k", "ts"])
+    ).createOrReplaceTempView("ev")
+    shapes = [
+        "SELECT * FROM ev ASOF JOIN tr ON ev.k = tr.k AND ev.ts >= tr.ts"
+        " ORDER BY ev.k, ev.ts",
+        "SELECT * FROM ev ASOF LEFT JOIN tr ON ev.k = tr.k AND ev.ts >= tr.ts"
+        " ORDER BY ev.k, ev.ts",
+        "SELECT ev.*, tr.* FROM ev ASOF JOIN tr ON ev.k = tr.k AND"
+        " ev.ts >= tr.ts ORDER BY ev.k, ev.ts",
+        "SELECT tr.* FROM ev ASOF JOIN tr ON ev.k = tr.k AND ev.ts >= tr.ts"
+        " ORDER BY ev.k, ev.ts",
+        "SELECT * EXCLUDE (px) FROM ev ASOF JOIN tr ON ev.k = tr.k AND"
+        " ev.ts >= tr.ts ORDER BY ev.k, ev.ts",
+        "WITH c AS (SELECT * FROM ev ASOF JOIN tr ON ev.k = tr.k AND"
+        " ev.ts >= tr.ts) SELECT count(*) AS n FROM c",
+    ]
+    for q in shapes:
+        cur = con.execute(q)
+        exp_cols = [d[0] for d in cur.description]
+        expected = cur.fetchall()
+        sdf = spark.sql(translate(q))
+        assert sdf.columns == exp_cols, (q, sdf.columns, exp_cols)
+        got = [tuple(r) for r in sdf.collect()]
+        assert got == expected, (q, got, expected)
