@@ -3995,6 +3995,240 @@ def _find_columns_call(item: List[Token]):
     return None
 
 
+class _UbnUnresolvable(Exception):
+    """A UNION BY NAME branch whose schema could not be resolved."""
+
+
+def expand_union_by_name(sql: str, resolve_columns) -> str:
+    """Expand DuckDB ``UNION [ALL] BY NAME`` into a column-aligned
+    plain ``UNION [ALL]``, BEFORE translation (Spark has no BY NAME
+    set-op syntax; unionByName is DataFrame-only). Alignment needs the
+    branch schemas, so this takes a ``resolve_columns(duckdb_sql) ->
+    [col] | None`` callback — the executor passes one backed by the
+    live session (lazy analysis, no job). Semantics match DuckDB:
+    result columns are the union of branch columns in first-appearance
+    order (case-insensitive matching, first spelling wins), missing
+    columns fill NULL, plain UNION still deduplicates after alignment,
+    chains fold left-associatively, a trailing ORDER BY/LIMIT applies
+    to the whole union, and WITH clauses stay visible to every branch.
+    Unresolvable branches (or BY NAME mixed with INTERSECT, whose
+    tighter precedence the textual fold can't honor) leave the
+    statement unchanged — it then fails loudly at parse."""
+    import re as _re
+
+    if not _re.search(r"\bUNION\b[\s\S]*?\bBY\s+NAME\b", sql, _re.I):
+        return sql
+    try:
+        tokens = _expand_ubn_scope(tokenize(sql), resolve_columns, [], False)
+    except _UbnUnresolvable:
+        return sql
+    return "".join(t.text for t in tokens)
+
+
+def _ubn_bt(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _ubn_wrap(ctes: List[str], recursive: bool, text: str) -> str:
+    if not ctes:
+        return text
+    kw = "WITH RECURSIVE " if recursive else "WITH "
+    return kw + ", ".join(ctes) + " " + text
+
+
+def _expand_ubn_scope(
+    tokens: List[Token], resolve, ctes: List[str], recursive: bool
+) -> List[Token]:
+    """Recursively expand BY NAME unions in one query scope. ``ctes``
+    carries enclosing WITH definitions (as ``name AS (body)`` texts) so
+    branch schemas resolve with their CTEs in scope."""
+    n = len(tokens)
+    # --- split off this scope's statement + WITH prefix (if any)
+    with_defs: List[str] = []
+    local_recursive = False
+    body_start = 0
+    sel = None
+    depth = 0
+    for j in range(n):
+        t = tokens[j]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.is_kw("WITH", "SELECT"):
+            sel = j
+            break
+    first = _next_code(tokens, -1)
+    from_first = first < n and tokens[first].is_kw("FROM")
+    if sel is not None and tokens[sel].is_kw("SELECT") and not from_first:
+        # statement prefix (CREATE ... AS / INSERT INTO t) stays outside
+        # the set-op fold and outside branch schema resolution
+        body_start = sel
+    if sel is not None and tokens[sel].is_kw("WITH"):
+        body_start = sel  # statement prefix before WITH, if any
+        j = _next_code(tokens, sel)
+        if j < n and tokens[j].is_kw("RECURSIVE"):
+            local_recursive = True
+            j = _next_code(tokens, j)
+        # CTE list: name [(cols)] AS ( body ) [, ...]
+        while j < n:
+            def_start = j
+            if tokens[j].kind not in ("word", "bident", "qident"):
+                break
+            j = _next_code(tokens, j)
+            if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                j = _next_code(tokens, _matching_paren(tokens, j))
+            if not (j < n and tokens[j].is_kw("AS")):
+                break
+            j = _next_code(tokens, j)
+            if not (j < n and tokens[j].kind == "op" and tokens[j].text == "("):
+                break
+            body_close = _matching_paren(tokens, j)
+            inner = _expand_ubn_scope(
+                tokens[j + 1 : body_close],
+                resolve,
+                ctes + with_defs,
+                recursive or local_recursive,
+            )
+            def_text = (
+                "".join(t.text for t in tokens[def_start : j + 1])
+                + "".join(t.text for t in inner)
+                + ")"
+            )
+            with_defs.append(def_text.strip())
+            j = _next_code(tokens, body_close)
+            body_start = body_close + 1
+            if j < n and tokens[j].kind == "op" and tokens[j].text == ",":
+                j = _next_code(tokens, j)
+                continue
+            body_start = j if j < n else n
+            break
+    scope_ctes = ctes + with_defs
+    scope_recursive = recursive or local_recursive
+    # output prefix: statement head plus the (expanded) WITH clause
+    if with_defs:
+        prefix_toks = tokens[:sel] + _toks(
+            ("WITH RECURSIVE " if local_recursive else "WITH ")
+            + ", ".join(with_defs)
+            + " "
+        )
+    else:
+        prefix_toks = tokens[:body_start]
+    body = tokens[body_start:]
+    # --- recurse into paren groups of the body
+    out: List[Token] = []
+    i = 0
+    nb = len(body)
+    while i < nb:
+        t = body[i]
+        if t.kind == "op" and t.text == "(":
+            close = _matching_paren(body, i)
+            if close > i:
+                out.append(t)
+                out.extend(
+                    _expand_ubn_scope(
+                        body[i + 1 : close], resolve, scope_ctes, scope_recursive
+                    )
+                )
+                out.append(body[close])
+                i = close + 1
+                continue
+        out.append(t)
+        i += 1
+    # --- top-level set-op scan
+    ops = []  # (start, end_exclusive, kind, all_flag, by_name)
+    depth = 0
+    k = 0
+    no = len(out)
+    while k < no:
+        t = out[k]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.is_kw("UNION", "EXCEPT", "INTERSECT", "MINUS"):
+            kind = t.upper
+            end = k + 1
+            all_flag = False
+            by_name = False
+            m = _next_code(out, k)
+            if m < no and out[m].is_kw("ALL", "DISTINCT"):
+                all_flag = out[m].is_kw("ALL")
+                end = m + 1
+                m = _next_code(out, m)
+            if (
+                kind == "UNION"
+                and m < no
+                and out[m].is_kw("BY")
+            ):
+                m2 = _next_code(out, m)
+                if m2 < no and out[m2].is_kw("NAME"):
+                    by_name = True
+                    end = m2 + 1
+            ops.append((k, end, kind, all_flag, by_name))
+            k = end
+            continue
+        k += 1
+    if not any(op[4] for op in ops):
+        return prefix_toks + out
+    if any(op[2] in ("INTERSECT", "MINUS") for op in ops):
+        raise _UbnUnresolvable()  # precedence-unsafe mix
+
+    def _res(text: str) -> List[str]:
+        cols = resolve(_ubn_wrap(scope_ctes, scope_recursive, text))
+        if cols is None:
+            raise _UbnUnresolvable()
+        return list(cols)
+
+    # --- branch texts and trailing ORDER BY/LIMIT/OFFSET
+    bounds = [0] + [b for op in ops for b in (op[0], op[1])] + [no]
+    branches = []
+    for bi in range(0, len(bounds) - 1, 2):
+        branches.append(out[bounds[bi] : bounds[bi + 1]])
+    last = branches[-1]
+    tail: List[Token] = []
+    depth = 0
+    for j, t in enumerate(last):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.is_kw("ORDER", "LIMIT", "OFFSET"):
+            tail = last[j:]
+            branches[-1] = last[:j]
+            break
+    texts = ["".join(t.text for t in b).strip() for b in branches]
+    # --- left-associative fold
+    cur = texts[0]
+    for oi, (start, end, kind, all_flag, by_name) in enumerate(ops):
+        nxt = texts[oi + 1]
+        if not by_name:
+            op_text = "".join(t.text for t in out[start:end])
+            cur = f"{cur} {op_text} {nxt}"
+            continue
+        cl, cr = _res(cur), _res(nxt)
+        low_l = [c.lower() for c in cl]
+        merged = list(cl) + [c for c in cr if c.lower() not in low_l]
+        low_r = {c.lower(): c for c in cr}
+        proj_l = ", ".join(
+            f"{_ubn_bt(c)}" if c in cl else f"NULL AS {_ubn_bt(c)}"
+            for c in merged
+        )
+        proj_r = ", ".join(
+            f"{_ubn_bt(low_r[c.lower()])} AS {_ubn_bt(c)}"
+            if c.lower() in low_r
+            else f"NULL AS {_ubn_bt(c)}"
+            for c in merged
+        )
+        op_sql = "UNION ALL" if all_flag else "UNION"
+        cur = (
+            f"SELECT {proj_l} FROM ({cur}) AS __ubn_l {op_sql} "
+            f"SELECT {proj_r} FROM ({nxt}) AS __ubn_r"
+        )
+    tail_text = "".join(t.text for t in tail)
+    return prefix_toks + _toks(cur + (" " + tail_text if tail_text else ""))
+
+
 def _rewrite_star_replace(tokens: List[Token]) -> List[Token]:
     """DuckDB ``SELECT * [EXCLUDE (cols)] REPLACE (expr AS col, ...)`` ->
     ``* EXCEPT (cols..., col...), expr AS col, ...`` (replaced columns

@@ -36,7 +36,12 @@ from typing import Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from ..exceptions import UserException
-from ..functions.dialect import _matching_paren, expand_columns_macro, translate
+from ..functions.dialect import (
+    _matching_paren,
+    expand_columns_macro,
+    expand_union_by_name,
+    translate,
+)
 from .orchestrator import Query
 from .sql_parser import ParsedStatement, StatementType
 from .sql_tokens import Token, code_tokens, tokenize, unquote_name
@@ -504,6 +509,14 @@ class SparkStatementExecutor:
         except Exception:  # noqa: BLE001 — unknown table: leave unexpanded
             return None
 
+    def _resolve_query_columns(self, sql: str) -> Optional[List[str]]:
+        """Column names of a DuckDB-dialect query for UNION BY NAME
+        alignment — lazy analysis only, no job runs."""
+        try:
+            return self.spark.sql(translate(sql)).columns
+        except Exception:  # noqa: BLE001 — unresolvable: leave unexpanded
+            return None
+
     # -- public entry -----------------------------------------------------
     def execute_query(self, query: Query) -> None:
         """Run one script (possibly multiple statements, sequentially),
@@ -539,6 +552,12 @@ class SparkStatementExecutor:
             # the time the statement runs, so the live session resolves
             # the projection the schema-free translator can't
             expanded = expand_columns_macro(st.sql, self._table_columns)
+            if expanded != st.sql:
+                st = dataclasses.replace(st, sql=expanded)
+        if "union" in st.sql.lower():
+            # schema-aware UNION BY NAME expansion (same live-session
+            # resolution as COLUMNS(); the translator is schema-free)
+            expanded = expand_union_by_name(st.sql, self._resolve_query_columns)
             if expanded != st.sql:
                 st = dataclasses.replace(st, sql=expanded)
         if "pivot" in st.sql.lower():

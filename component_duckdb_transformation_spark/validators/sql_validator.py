@@ -224,7 +224,9 @@ class SQLValidator:
                     r"\bPIVOT\s+[^\s(]"
                     r"|^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP\w*\s+)?"
                     r"(MACRO|FUNCTION)\b"
-                    r"|^\s*DROP\s+(MACRO|FUNCTION)\b",
+                    r"|^\s*DROP\s+(MACRO|FUNCTION)\b"
+                    # UNION BY NAME: executor expands schema-aware
+                    r"|\bUNION\s+(ALL\s+|DISTINCT\s+)?BY\s+NAME\b",
                     st.sql,
                     _re.IGNORECASE,
                 ):

@@ -26,7 +26,7 @@ from typing import Callable, Dict, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.dialect import translate
+from .functions.dialect import expand_union_by_name, translate
 from .operators import dedup, multimodal, sampling, similarity, temporal, text_analysis
 from .operators.asof import asof_join
 from .sources.parquet_io import read_parquet
@@ -805,6 +805,40 @@ _add_sql(
     "SELECT * over a rewritten ASOF JOIN: the star projection is "
     "patched with EXCEPT(__asof_end) so the helper column never leaks "
     "into the result schema (VERDICT r5 #1)",
+)
+
+_UBN_SQL = """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS clicks
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+    UNION ALL BY NAME
+    SELECT user_id, round(sum(value), 2) AS purchase_total
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    UNION ALL BY NAME
+    SELECT user_id, CAST(count(*) AS BIGINT) AS views
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+"""
+
+
+def _union_by_name_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL BY NAME: schema-aware alignment (NULL fills, first-
+    appearance column order) via live-session resolution — the same
+    path the statement executor uses."""
+
+    def _resolve(q: str):
+        try:
+            return spark.sql(translate(q)).columns
+        except Exception:  # noqa: BLE001
+            return None
+
+    return spark.sql(translate(expand_union_by_name(_UBN_SQL, _resolve)))
+
+
+_add_df(
+    "q55_union_by_name",
+    _union_by_name_builder,
+    _UBN_SQL,
+    "UNION ALL BY NAME expanded schema-aware (executor path); oracle "
+    "runs DuckDB's native BY NAME union",
 )
 
 _add_sql(

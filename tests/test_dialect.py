@@ -1077,3 +1077,49 @@ def test_asof_join_select_star_schema(spark):
         assert sdf.columns == exp_cols, (q, sdf.columns, exp_cols)
         got = [tuple(r) for r in sdf.collect()]
         assert got == expected, (q, got, expected)
+
+
+def test_union_by_name_expansion(spark):
+    """expand_union_by_name differential battery vs DuckDB: chained,
+    case-insensitive merge, nested subquery, mixed positional+BY NAME,
+    trailing ORDER/LIMIT, WITH scoping."""
+    import duckdb
+
+    from component_duckdb_transformation_spark.functions.dialect import (
+        expand_union_by_name,
+    )
+
+    con = duckdb.connect()
+
+    def res(s):
+        try:
+            return spark.sql(translate(s)).columns
+        except Exception:  # noqa: BLE001
+            return None
+
+    key = lambda rows: sorted(
+        rows, key=lambda r: tuple((v is None, str(v)) for v in r)
+    )
+    cases = [
+        "SELECT 1 a, 2 b UNION ALL BY NAME SELECT 3 b, 4 c",
+        "SELECT 1 a, 2 b UNION BY NAME SELECT 2 b, 1 a",
+        "SELECT 1 a UNION BY NAME SELECT 1 a UNION BY NAME SELECT 2 b",
+        "SELECT 1 a, 2 b UNION ALL BY NAME SELECT 3 b, 4 c ORDER BY b DESC",
+        "WITH c AS (SELECT 5 x) SELECT x, 1 AS a FROM c "
+        "UNION BY NAME SELECT x AS y FROM c",
+        "SELECT 1 a UNION ALL SELECT 2 UNION ALL BY NAME SELECT 3 b",
+        "SELECT * FROM (SELECT 1 a UNION BY NAME SELECT 2 b) ORDER BY a",
+        "SELECT 10 A, 2 b UNION ALL BY NAME SELECT 3 B, 4 a "
+        "ORDER BY a NULLS FIRST, b",
+        "SELECT 1 a, 2 b UNION ALL BY NAME SELECT 3 b, 4 c LIMIT 2",
+    ]
+    for c in cases:
+        exp = expand_union_by_name(c, res)
+        assert exp != c, c  # expansion must trigger
+        sdf = spark.sql(translate(exp))
+        cur = con.execute(c)
+        assert sdf.columns == [d[0] for d in cur.description], c
+        assert key(tuple(r) for r in sdf.collect()) == key(cur.fetchall()), c
+    # no BY NAME -> untouched
+    plain = "SELECT 1 a UNION ALL SELECT 2"
+    assert expand_union_by_name(plain, res) == plain

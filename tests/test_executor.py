@@ -472,3 +472,45 @@ def test_table_macro(spark, table_store):
     _run(ex, "CREATE MACRO top_ids(k) AS TABLE SELECT id FROM tm WHERE id <= k")
     _run(ex, "CREATE TABLE tm_out AS SELECT * FROM top_ids(2)")
     assert sorted(r.id for r in spark.table("tm_out").collect()) == [1, 2]
+
+
+def test_union_by_name(spark, table_store):
+    """UNION [ALL] BY NAME expands schema-aware in the executor:
+    NULL fills, first-appearance column order, distinct-after-align,
+    CTE-scoped branches (DuckDB semantics, diffed below)."""
+    import duckdb
+
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE ubn_a AS SELECT 1 AS a, 2 AS b")
+    _run(ex, "CREATE TABLE ubn_b AS SELECT 30 AS b, 40 AS c")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ubn_a AS SELECT 1 AS a, 2 AS b")
+    con.execute("CREATE TABLE ubn_b AS SELECT 30 AS b, 40 AS c")
+    key = lambda rows: sorted(
+        rows, key=lambda r: tuple((v is None, str(v)) for v in r)
+    )
+    shapes = [
+        "SELECT * FROM ubn_a UNION ALL BY NAME SELECT * FROM ubn_b",
+        "SELECT * FROM ubn_a UNION BY NAME SELECT b, a FROM ubn_a",
+        "SELECT a FROM ubn_a UNION BY NAME SELECT b FROM ubn_b "
+        "UNION ALL BY NAME SELECT c FROM ubn_b ORDER BY a NULLS FIRST",
+        "WITH x AS (SELECT a * 10 AS a10 FROM ubn_a) "
+        "SELECT a10 FROM x UNION ALL BY NAME SELECT b AS bb FROM ubn_b",
+    ]
+    for i, q in enumerate(shapes):
+        _run(ex, f"CREATE TABLE ubn_out{i} AS {q}")
+        sdf = spark.table(f"ubn_out{i}")
+        cur = con.execute(q)
+        exp_cols = [d[0] for d in cur.description]
+        assert sdf.columns == exp_cols, (q, sdf.columns, exp_cols)
+        assert key(tuple(r) for r in sdf.collect()) == key(cur.fetchall()), q
+    # unresolvable branch (unknown table) leaves the statement to fail
+    import pytest
+
+    with pytest.raises(Exception):
+        _run(ex, "CREATE TABLE ubn_bad AS SELECT 1 AS a "
+                 "UNION BY NAME SELECT z FROM no_such_table")
