@@ -3287,6 +3287,30 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     )
                     i = close + 1
                     continue
+                if low == "age":
+                    # 1-arg age(x) = age(current_date::TIMESTAMP, x);
+                    # both args cast so DATE columns reach the UDF as
+                    # timestamps (the 2-arg UDF is session-registered)
+                    if len(args) == 1:
+                        out.extend(
+                            _toks(
+                                "age(CAST(current_date() AS TIMESTAMP), "
+                                f"CAST(({_sql(inner, *args[0])}) AS TIMESTAMP))"
+                            )
+                        )
+                    elif len(args) == 2:
+                        out.extend(
+                            _toks(
+                                f"age(CAST(({_sql(inner, *args[0])}) AS "
+                                "TIMESTAMP), "
+                                f"CAST(({_sql(inner, *args[1])}) AS "
+                                "TIMESTAMP))"
+                            )
+                        )
+                    else:
+                        out.extend(tokens[i : close + 1])
+                    i = close + 1
+                    continue
                 if low == "isodow" and len(args) == 1:
                     out.extend(
                         _toks(f"(weekday({_sql(inner, *args[0])}) + 1)")

@@ -144,6 +144,56 @@ def _pairwise(fn, a: pd.Series, b: pd.Series, null):
     )
 
 
+def age_interval(dt1, dt2) -> str:
+    """Postgres/DuckDB ``age(dt1, dt2)``: field-wise calendar difference
+    with unit borrowing (days borrow days-in-month of the EARLIER
+    operand's month), rendered as DuckDB's INTERVAL->VARCHAR text
+    ('43 years 9 months 27 days', '-1 month -22:44:45.123456',
+    '00:00:00' for equal inputs). Verified differentially against
+    DuckDB in tests/test_text_udfs.py."""
+    import calendar
+
+    neg = dt1 < dt2
+    a, b = (dt2, dt1) if neg else (dt1, dt2)
+    us = a.microsecond - b.microsecond
+    s = a.second - b.second
+    mi = a.minute - b.minute
+    h = a.hour - b.hour
+    d = a.day - b.day
+    mo = a.month - b.month
+    y = a.year - b.year
+    if us < 0:
+        us += 1_000_000
+        s -= 1
+    if s < 0:
+        s += 60
+        mi -= 1
+    if mi < 0:
+        mi += 60
+        h -= 1
+    if h < 0:
+        h += 24
+        d -= 1
+    while d < 0:
+        d += calendar.monthrange(b.year, b.month)[1]
+        mo -= 1
+    while mo < 0:
+        mo += 12
+        y -= 1
+    sign = "-" if neg else ""
+    parts = []
+    if y:
+        parts.append(f"{sign}{y} year" + ("s" if y != 1 else ""))
+    if mo:
+        parts.append(f"{sign}{mo} month" + ("s" if mo != 1 else ""))
+    if d:
+        parts.append(f"{sign}{d} day" + ("s" if d != 1 else ""))
+    if h or mi or s or us or not parts:
+        frac = f".{us:06d}".rstrip("0") if us else ""
+        parts.append(f"{sign}{h:02d}:{mi:02d}:{s:02d}{frac}")
+    return " ".join(parts)
+
+
 def register_text_udfs(spark: SparkSession) -> None:
     """Idempotent per-session registration (called from the session
     factory so every engine session resolves the names in plain SQL)."""
@@ -215,6 +265,45 @@ def register_text_udfs(spark: SparkSession) -> None:
             dtype="object",
         )
 
+    @pandas_udf("string")
+    def _age_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        # DATE inputs arrive as datetime.date objects; normalize so the
+        # field algorithm sees uniform timestamp-like values
+        def _norm(v):
+            if v is None or v is pd.NaT:
+                return None
+            return pd.Timestamp(v)
+
+        return pd.Series(
+            [
+                None
+                if (x := _norm(x0)) is None or (y := _norm(y0)) is None
+                else age_interval(x, y)
+                for x0, y0 in zip(a, b)
+            ],
+            dtype="object",
+        )
+
+    # engine settings surfaced through DuckDB's current_setting();
+    # values reflect THIS engine's live session, captured at registration
+    _settings = {
+        "timezone": spark.conf.get("spark.sql.session.timeZone", "UTC"),
+        "calendar": "gregorian",
+        "threads": str(spark.sparkContext.defaultParallelism),
+    }
+
+    @pandas_udf("string")
+    def _current_setting_udf(name: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if v is None else _settings.get(str(v).lower())
+                for v in name
+            ],
+            dtype="object",
+        )
+
+    spark.udf.register("age", _age_udf)
+    spark.udf.register("current_setting", _current_setting_udf)
     spark.udf.register("strip_accents", _strip_accents_udf)
     spark.udf.register("jaro_similarity", _jaro_udf)
     spark.udf.register("jaro_winkler_similarity", _jw_udf)

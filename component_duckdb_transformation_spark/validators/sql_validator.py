@@ -155,7 +155,6 @@ def check_common_sql_errors(sql: str) -> list[str]:
 # against DuckDB in tests.)
 _UNSUPPORTED_FUNCTIONS = {
     "icu_sort_key", "to_base64_url", "fuzzy_match",
-    "age", "current_setting",  # interval/engine-state semantics
     "format_bytes", "bitstring", "nfc_normalize",
 }
 

@@ -864,7 +864,9 @@ def test_unsupported_lint_narrowed():
     assert _untranslatable_functions("SELECT list_aggregate(l, 'median') FROM t")
     assert _untranslatable_functions("SELECT format('{:d}', x) FROM t")
     assert _untranslatable_functions("SELECT format(f, x) FROM t")
-    assert _untranslatable_functions("SELECT age(x) FROM t")
+    assert _untranslatable_functions("SELECT fuzzy_match(x, y) FROM t")
+    # age is a registered UDF + dialect shim now (r6)
+    assert not _untranslatable_functions("SELECT age(x) FROM t")
     # histogram is now an aggregate template (COVERAGE.md)
     assert not _untranslatable_functions("SELECT histogram(x) FROM t")
 

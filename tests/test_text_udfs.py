@@ -109,3 +109,55 @@ def test_histogram_matches_duckdb(spark):
     exp2 = con.execute(sql2).fetchone()[0]
     got2 = spark.sql(translate(sql2)).collect()[0][0]
     assert dict(got2) == dict(zip(exp2["key"], exp2["value"]))
+
+
+def test_age_interval_differential(spark):
+    """age(a, b) matches DuckDB's INTERVAL->VARCHAR rendering exactly
+    (Postgres field algorithm: day borrow uses the earlier operand's
+    month length)."""
+    import duckdb
+
+    from component_duckdb_transformation_spark.functions.dialect import translate
+
+    pairs = [
+        ("2001-04-10 00:00:00", "1957-06-13 00:00:00"),
+        ("1957-06-13 00:00:00", "2001-04-10 00:00:00"),
+        ("2001-04-10 12:30:15.123456", "2001-03-09 13:45:30"),
+        ("2001-03-09 13:45:30", "2001-04-10 12:30:15.123456"),
+        ("2020-03-31 00:00:00", "2020-01-31 00:00:00"),
+        ("2020-03-30 00:00:00", "2020-01-31 00:00:00"),
+        ("2020-02-29 00:00:00", "2019-02-28 00:00:00"),
+        ("2020-01-01 00:00:00.5", "2020-01-01 00:00:00"),
+        ("2020-01-01 00:00:00", "2020-01-01 00:00:00.5"),
+        ("2020-01-01 00:00:00", "2020-01-01 00:00:00"),
+        ("2021-01-01 05:00:00", "2020-01-01 00:00:00"),
+        ("2020-03-01 00:00:00", "2020-02-29 12:00:00"),
+        ("2020-01-02 00:00:00", "2020-01-01 23:59:59.999999"),
+    ]
+    for a, b in pairs:
+        q = f"SELECT (age(TIMESTAMP '{a}', TIMESTAMP '{b}'))::VARCHAR AS r"
+        expected = duckdb.sql(q).fetchone()[0]
+        got = spark.sql(translate(f"SELECT age(TIMESTAMP '{a}', TIMESTAMP '{b}') AS r")).collect()[0][0]
+        assert got == expected, (a, b, got, expected)
+    # DATE inputs and the 1-arg form execute (1-arg is current_date-
+    # relative; only shape-checked to avoid midnight flake)
+    q = "SELECT age(DATE '2001-04-10', DATE '1957-06-13') AS r"
+    assert spark.sql(translate(q)).collect()[0][0] == "43 years 9 months 27 days"
+    one = spark.sql(translate("SELECT age(TIMESTAMP '2020-01-01') AS r")).collect()[0][0]
+    assert "year" in one
+
+
+def test_current_setting(spark):
+    from component_duckdb_transformation_spark.functions.dialect import translate
+
+    got = spark.sql(translate("SELECT current_setting('TimeZone') AS tz")).collect()[0][0]
+    assert got == "UTC"
+    assert (
+        spark.sql(translate("SELECT current_setting('calendar') AS c")).collect()[0][0]
+        == "gregorian"
+    )
+    # unknown setting -> NULL (engine has no such state)
+    assert (
+        spark.sql(translate("SELECT current_setting('nope') AS x")).collect()[0][0]
+        is None
+    )

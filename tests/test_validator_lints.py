@@ -71,9 +71,16 @@ def test_unsupported_function_lint():
         check_common_sql_errors,
     )
 
-    errs = check_common_sql_errors("SELECT age(a, b) FROM t")
+    errs = check_common_sql_errors("SELECT icu_sort_key(a) FROM t")
     assert any(
-        "age" in e and "no Spark equivalent" in e for e in errs
+        "icu_sort_key" in e and "no Spark equivalent" in e for e in errs
+    )
+    # age/current_setting are implemented now (r6) — no lint
+    assert not any(
+        "no Spark equivalent" in e
+        for e in check_common_sql_errors(
+            "SELECT age(a, b), current_setting('timezone') FROM t"
+        )
     )
     # implemented similarity UDFs no longer lint
     assert not any(
