@@ -72,6 +72,10 @@ def _active_times(spark) -> dict[str, float]:
     for job in jobs:
         group = job.get("jobGroup")
         sub, comp = job.get("submissionTime"), job.get("completionTime")
+        if group and group not in WORKLOADS:
+            # pipeline-internal groups are nested "<workload>/<query>"
+            # (plans/executor.py::execute_query) — attribute to parent
+            group = group.split("/", 1)[0]
         if not group or group not in WORKLOADS or not sub or not comp:
             continue
         try:

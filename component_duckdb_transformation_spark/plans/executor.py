@@ -258,6 +258,18 @@ class SparkStatementExecutor:
         self.view_order_by: Dict[str, str] = {}
         # scalar macros: name -> (params, body text), inlined at use
         self._macros: Dict[str, tuple[List[str], str]] = {}
+        # Ambient job group at construction time (job groups are
+        # thread-local and the orchestrator fans queries out to pool
+        # threads, which would otherwise lose the caller's tag): nest
+        # per-query groups under it as "<parent>/<query>" so harnesses
+        # keyed on the parent group (bench.py::_active_times) can still
+        # attribute the pipeline's jobs.
+        try:
+            self._parent_job_group = spark.sparkContext.getLocalProperty(
+                "spark.jobGroup.id"
+            )
+        except Exception:  # noqa: BLE001 — attribution is best-effort
+            self._parent_job_group = None
 
     def _expand_dynamic_pivot(self, sql: str, max_values: int = 200) -> str:
         """DuckDB statement-level dynamic pivot — ``PIVOT tbl ON col
@@ -522,7 +534,12 @@ class SparkStatementExecutor:
         """Run one script (possibly multiple statements, sequentially),
         inside a named Spark job group so batch failure can cancel it."""
         sc = self.spark.sparkContext
-        sc.setJobGroup(query.name, query.sql[:120], interruptOnCancel=True)
+        group = (
+            f"{self._parent_job_group}/{query.name}"
+            if self._parent_job_group
+            else query.name
+        )
+        sc.setJobGroup(group, query.sql[:120], interruptOnCancel=True)
         sc.setLocalProperty("spark.scheduler.pool", query.block_name)
         try:
             for st in query.statements:
