@@ -56,6 +56,11 @@ def set_requested_engine_version(version: "str | None") -> None:
     _REQUESTED_ENGINE_VERSION = version
 
 
+def requested_engine_version() -> "str | None":
+    """The raw config-pinned ``duckdb_version`` (None when unpinned)."""
+    return _REQUESTED_ENGINE_VERSION
+
+
 def resolve_compat_version(version: "str | None" = None) -> str:
     """'latest'/None -> DEFAULT_COMPAT_VERSION; real versions pass through
     (reference src/versions.py::resolve_version)."""

