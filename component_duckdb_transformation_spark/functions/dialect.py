@@ -3429,6 +3429,56 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     )
                     i = close + 1
                     continue
+                if low in ("encode", "decode") and len(args) == 1:
+                    # DuckDB 1-arg encode(VARCHAR)->BLOB / decode(BLOB)
+                    # ->VARCHAR; Spark's are 2-arg with a charset
+                    a = _sql(inner, *args[0])
+                    out.extend(_toks(f"{low}(({a}), 'UTF-8')"))
+                    i = close + 1
+                    continue
+                if low == "format_bytes" and len(args) == 1:
+                    # DuckDB: binary units with ONE half-even decimal
+                    # ('1.25 KiB' -> '1.2'); <1024 prints 'N byte[s]';
+                    # beyond PiB stays PiB ('1024.0 PiB'). bround's
+                    # HALF_EVEN matches DuckDB's printf %.1f tie
+                    # behavior (format_bytes(1280) = '1.2 KiB',
+                    # verified); CAST-to-STRING of the 1-decimal double
+                    # renders shortest form 'x.y'.
+                    x = _sql(inner, *args[0])
+                    xd = f"CAST(({x}) AS DOUBLE)"
+                    k = f"least(CAST(floor(log2(abs({xd})) / 10) AS INT), 5)"
+                    q = f"bround({xd} / power(CAST(1024 AS DOUBLE), {k}), 1)"
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN ({x}) IS NULL THEN "
+                            f"CAST(NULL AS STRING) "
+                            f"WHEN abs(({x})) < 1024 THEN "
+                            f"concat(CAST(({x}) AS STRING), "
+                            f"CASE WHEN abs(({x})) = 1 THEN ' byte' "
+                            f"ELSE ' bytes' END) "
+                            f"ELSE concat(CAST({q} AS STRING), "
+                            f"element_at(array(' KiB', ' MiB', ' GiB', "
+                            f"' TiB', ' PiB'), {k})) END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "bitstring" and len(args) == 2:
+                    # DuckDB bitstring(s, len) zero-pads left to len
+                    # (BIT type; string-compatible — '0...' compare is
+                    # TRUE in DuckDB); shorter len errors, as there
+                    s_, l_ = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN ({l_}) < length({s_}) THEN "
+                            f"CAST(raise_error('bitstring: Length must "
+                            f"be equal or larger than input string') "
+                            f"AS STRING) "
+                            f"ELSE lpad(({s_}), ({l_}), '0') END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
                 if low == "date_add" and len(args) == 2:
                     second = _sql(inner, *args[1])
                     if second.upper().startswith("INTERVAL"):

@@ -266,6 +266,17 @@ def register_text_udfs(spark: SparkSession) -> None:
         )
 
     @pandas_udf("string")
+    def _nfc_normalize_udf(x: pd.Series) -> pd.Series:
+        # DuckDB nfc_normalize(): Unicode NFC composition
+        return pd.Series(
+            [
+                None if v is None else unicodedata.normalize("NFC", v)
+                for v in x
+            ],
+            dtype="object",
+        )
+
+    @pandas_udf("string")
     def _age_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         # DATE inputs arrive as datetime.date objects; normalize so the
         # field algorithm sees uniform timestamp-like values
@@ -305,6 +316,7 @@ def register_text_udfs(spark: SparkSession) -> None:
     spark.udf.register("age", _age_udf)
     spark.udf.register("current_setting", _current_setting_udf)
     spark.udf.register("strip_accents", _strip_accents_udf)
+    spark.udf.register("nfc_normalize", _nfc_normalize_udf)
     spark.udf.register("jaro_similarity", _jaro_udf)
     spark.udf.register("jaro_winkler_similarity", _jw_udf)
     spark.udf.register("damerau_levenshtein", _dl_udf)

@@ -149,13 +149,14 @@ def check_common_sql_errors(sql: str) -> list[str]:
 
 # DuckDB functions with no Spark builtin and no dialect shim; calling
 # them fails at execution, so surface it at validation time instead.
-# (jaro_similarity/jaro_winkler_similarity/damerau_levenshtein are
-# registered pandas UDFs, functions/text_udfs.py; bar/timezone are
-# dialect shims; histogram is an aggregate template — all verified
-# against DuckDB in tests.)
+# (jaro_similarity/jaro_winkler_similarity/damerau_levenshtein/
+# nfc_normalize are registered pandas UDFs, functions/text_udfs.py;
+# bar/timezone/format_bytes/bitstring are dialect shims; histogram is
+# an aggregate template — all verified against DuckDB in tests.)
+# icu_sort_key needs ICU collation tables (not in this environment);
+# it is the one DuckDB core function left unimplemented.
 _UNSUPPORTED_FUNCTIONS = {
-    "icu_sort_key", "to_base64_url", "fuzzy_match",
-    "format_bytes", "bitstring", "nfc_normalize",
+    "icu_sort_key",
 }
 
 # shimmed only for specific argument shapes: lint the rest

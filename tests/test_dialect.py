@@ -864,9 +864,13 @@ def test_unsupported_lint_narrowed():
     assert _untranslatable_functions("SELECT list_aggregate(l, 'median') FROM t")
     assert _untranslatable_functions("SELECT format('{:d}', x) FROM t")
     assert _untranslatable_functions("SELECT format(f, x) FROM t")
-    assert _untranslatable_functions("SELECT fuzzy_match(x, y) FROM t")
+    assert _untranslatable_functions("SELECT icu_sort_key(x, 'de') FROM t")
     # age is a registered UDF + dialect shim now (r6)
     assert not _untranslatable_functions("SELECT age(x) FROM t")
+    # format_bytes/bitstring are shims, nfc_normalize a UDF (r6)
+    assert not _untranslatable_functions(
+        "SELECT format_bytes(n), bitstring(b, 12), nfc_normalize(s) FROM t"
+    )
     # histogram is now an aggregate template (COVERAGE.md)
     assert not _untranslatable_functions("SELECT histogram(x) FROM t")
 
@@ -1235,3 +1239,44 @@ def test_round_double_matches_duckdb_exactly(spark):
     wn = con.execute("SELECT round(CAST('nan' AS DOUBLE), 2)").fetchone()[0]
     gn = spark.sql(translate("SELECT round(CAST('nan' AS DOUBLE), 2) AS v")).collect()[0][0]
     assert math.isnan(wn) and math.isnan(gn)
+
+
+def test_format_bytes_bitstring_nfc_normalize(spark):
+    """format_bytes/bitstring/nfc_normalize match DuckDB (shims + UDF;
+    moved off the validator's unsupported list in round 6)."""
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [
+        "SELECT format_bytes(0) AS v",
+        "SELECT format_bytes(1) AS v",
+        "SELECT format_bytes(-1) AS v",
+        "SELECT format_bytes(1000) AS v",
+        "SELECT format_bytes(1023) AS v",
+        "SELECT format_bytes(1024) AS v",
+        "SELECT format_bytes(1280) AS v",   # 1.25 -> half-even '1.2'
+        "SELECT format_bytes(-2048) AS v",
+        "SELECT format_bytes(123456789) AS v",
+        "SELECT format_bytes(1024*1024) AS v",
+        "SELECT format_bytes(1073741824) AS v",
+        "SELECT format_bytes(1125899906842624) AS v",
+        "SELECT format_bytes(1152921504606846976) AS v",  # 1024.0 PiB
+        "SELECT format_bytes(10188) AS v",
+        "SELECT format_bytes(NULL) AS v",
+        "SELECT bitstring('0101011', 12) AS v",
+        "SELECT nfc_normalize('é') AS v",  # NFD input -> NFC
+        "SELECT nfc_normalize(NULL) AS v",
+    ]
+    for c in cases:
+        want = con.execute(c).fetchone()[0]
+        got = spark.sql(translate(c)).collect()[0][0]
+        assert str(got) == str(want) or (got is None and want is None), (
+            c, got, want,
+        )
+    # bitstring with too-small length raises in both engines
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        con.execute("SELECT bitstring('0101011', 3)").fetchone()
+    with _pytest.raises(Exception):
+        spark.sql(translate("SELECT bitstring('0101011', 3) AS v")).collect()
