@@ -2504,27 +2504,31 @@ def _round_double_sql(x: str, k: int) -> str:
     half-away; INTEGER: the union type makes the result DOUBLE, which
     is also DuckDB's integer-round type)."""
     xd = f"CAST(({x}) AS DOUBLE)"
-    s = f"{xd} * 1e{k}"
+    # negative scale divides first and multiplies back (DuckDB:
+    # round(125.0, -1) = 130.0, half away on value/10^|k|)
+    p = f"1e{abs(k)}"
+    s = f"{xd} * {p}" if k >= 0 else f"{xd} / {p}"
+    unscale = f"/ {p}" if k >= 0 else f"* {p}"
     # negative branch = -round(-s): keeps IEEE -0.0 when a negative
     # value rounds to zero (std::round(-0.4) is -0.0; floor's BIGINT
     # would drop the sign bit). -0.0 itself compares >= 0, so the sign
     # bit is read via the string cast ('-0.0').
-    neg = f"-(CAST(floor(-({s}) + 0.5D) AS DOUBLE)) / 1e{k}"
+    neg = f"-(CAST(floor(-({s}) + 0.5D) AS DOUBLE)) {unscale}"
     return (
         f"(CASE WHEN typeof({x}) IN ('double', 'float') THEN "
         f"(CASE WHEN isnan({xd}) OR abs({s}) >= 9.007199254740992e15 "
         f"THEN {xd} "
         f"WHEN {xd} < 0 OR startswith(CAST({xd} AS STRING), '-') "
         f"THEN {neg} "
-        f"ELSE floor({s} + 0.5D) / 1e{k} END) "
+        f"ELSE floor({s} + 0.5D) {unscale} END) "
         f"ELSE round(({x}), {k}) END)"
     )
 
 
 def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
-    """``round(x)`` / ``round(x, k)`` with a literal non-negative k —
-    see ``_round_double_sql``. Dynamic or negative k keeps Spark round
-    (rare; documented)."""
+    """``round(x)`` / ``round(x, k)`` with a literal k in [-15, 15] —
+    see ``_round_double_sql``. Dynamic or out-of-range k keeps Spark
+    round (rare; documented)."""
     out: List[Token] = []
     i = 0
     n = len(tokens)
@@ -2546,13 +2550,21 @@ def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
                     k_code = [
                         t for t in args[1] if t.kind not in ("ws", "comment")
                     ]
+                    sign = 1
+                    if (
+                        len(k_code) == 2
+                        and k_code[0].kind == "op"
+                        and k_code[0].text == "-"
+                    ):
+                        sign = -1
+                        k_code = k_code[1:]
                     if (
                         len(k_code) == 1
                         and k_code[0].kind in ("number", "word")
                         and k_code[0].text.isdigit()
                         and int(k_code[0].text) <= 15
                     ):
-                        k = int(k_code[0].text)
+                        k = sign * int(k_code[0].text)
                 if k is not None:
                     x = "".join(
                         t.text for t in _rewrite_round_double(args[0])

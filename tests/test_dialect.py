@@ -1280,3 +1280,25 @@ def test_format_bytes_bitstring_nfc_normalize(spark):
         con.execute("SELECT bitstring('0101011', 3)").fetchone()
     with _pytest.raises(Exception):
         spark.sql(translate("SELECT bitstring('0101011', 3) AS v")).collect()
+
+
+def test_round_double_negative_scale(spark):
+    """Negative literal scales divide-then-multiply like DuckDB
+    (round(125.0, -1) = 130.0 — half away on value/10^|k|)."""
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [
+        "SELECT round(CAST(123.456 AS DOUBLE), -1) AS v",
+        "SELECT round(CAST(125.0 AS DOUBLE), -1) AS v",
+        "SELECT round(CAST(-125.0 AS DOUBLE), -1) AS v",
+        "SELECT round(CAST(1250.0 AS DOUBLE), -2) AS v",
+        "SELECT round(CAST(123456.0 AS DOUBLE), -3) AS v",
+        "SELECT round(CAST(5.0 AS DOUBLE), -1) AS v",
+        "SELECT round(CAST(4.9 AS DOUBLE), -1) AS v",
+        "SELECT round(CAST(1e300 AS DOUBLE), -5) AS v",
+    ]
+    for c in cases:
+        want = con.execute(c).fetchone()[0]
+        got = spark.sql(translate(c)).collect()[0][0]
+        assert float(got) == float(want), (c, got, want)
