@@ -95,13 +95,33 @@ _FN_RENAMES = {
     "array_extract": "try_element_at",
     "list_position": "array_position",
     "list_indexof": "array_position",
-    "nextafter": "nextafter",  # identity examples keep table readable
+    # nextafter is a registered pandas UDF (functions/text_udfs.py)
+    "array_cat": "concat",
+    "array_concat": "concat",
+    "array_has": "array_contains",
+    "list_has": "array_contains",
+    "array_indexof": "array_position",
+    "strlen": "octet_length",  # DuckDB strlen counts BYTES
+    "ord": "ascii",  # code point of the first character in both
+    "to_base64": "base64",
+    "to_binary": "bin",
+    "favg": "avg",  # Kahan-accumulating variants: plain agg is the
+    "fsum": "sum",  # closest (values agree within float tolerance)
+    "kahan_sum": "sum",
+    "sumkahan": "sum",
+    "greatest_common_divisor": "gcd",  # gcd/lcm are registered UDFs
+    "least_common_multiple": "lcm",
+    "prefix": "startswith",
+    "suffix": "endswith",
+    "arbitrary": "any_value",
+    "list": "collect_list",  # DuckDB list() aggregate = array_agg
+    "kurtosis_pop": "kurtosis",  # Spark kurtosis IS the population stat
     "from_hex": "unhex",
     "approx_quantile": "approx_percentile",
-    "arg_max": "max_by",
-    "arg_min": "min_by",
-    "argmax": "max_by",
-    "argmin": "min_by",
+    # arg_max/arg_min: shimmed in _rewrite_call_shims (DuckDB SKIPS rows
+    # whose value arg is NULL; Spark max_by would return them)
+    "arg_max_null": "max_by",
+    "arg_min_null": "min_by",
     # jaro_winkler_similarity resolves to the registered pandas UDF
     # (functions/text_udfs.py) — no rename
 }
@@ -138,6 +158,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_concat_null_skipping(tokens)
     tokens = _rewrite_substr_window(tokens)
     tokens = _rewrite_brackets(tokens)
+    tokens = _rewrite_operator_fn_aliases(tokens)
     tokens = _rewrite_polymorphic_len(tokens)
     tokens = _rewrite_star_replace(tokens)
     tokens = _rewrite_similar_to(tokens)
@@ -707,7 +728,13 @@ def _rewrite_substr_window(tokens: List[Token]) -> List[Token]:
 
 def _rewrite_extract_dow(tokens: List[Token]) -> List[Token]:
     """EXTRACT(DOW FROM x) -> (EXTRACT(DOW FROM x) - 1)
-    EXTRACT(ISODOW FROM x) -> (weekday(x) + 1)"""
+    EXTRACT(ISODOW FROM x) -> (((extract(DAYOFWEEK FROM x) + 5) % 7) + 1).
+
+    ISODOW must NOT be emitted via the ``weekday()``/``dayofweek()``
+    FUNCTION forms: this pass runs before ``_rewrite_call_shims``, which
+    rewrites both calls to the DuckDB Sunday=0 convention. The EXTRACT
+    keyword form is untouched by the call shims (and this pass never
+    re-scans its own output)."""
     out: List[Token] = []
     i = 0
     n = len(tokens)
@@ -723,9 +750,9 @@ def _rewrite_extract_dow(tokens: List[Token]) -> List[Token]:
                     if field == "ISODOW":
                         from_idx = _next_code(tokens, field_idx)
                         expr = tokens[_next_code(tokens, from_idx): close]
-                        out.extend(_toks("(weekday("))
+                        out.extend(_toks("(((extract(DAYOFWEEK FROM "))
                         out.extend(expr)
-                        out.extend(_toks(") + 1)"))
+                        out.extend(_toks(") + 5) % 7) + 1)"))
                     else:
                         out.append(Token("op", "("))
                         out.extend(tokens[i: close + 1])
@@ -1963,20 +1990,65 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
     return out
 
 
-_STRFTIME_MAP = [
-    ("%%", "\x00"),  # placeholder so literal % survives
-    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
-    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
-    ("%p", "a"), ("%j", "DDD"), ("%a", "EEE"), ("%A", "EEEE"),
-    ("%b", "MMM"), ("%B", "MMMM"), ("%G", "YYYY"), ("%V", "ww"),
-    ("\x00", "%"),
-]
+_STRFTIME_DIRECTIVES = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd",
+    "H": "HH", "I": "hh", "M": "mm", "S": "ss",
+    "p": "a", "j": "DDD", "a": "EEE", "A": "EEEE",
+    "b": "MMM", "B": "MMMM", "G": "YYYY", "V": "ww",
+    "f": "SSSSSS",  # DuckDB %f = microseconds
+    "g": "SSS",     # DuckDB %g = milliseconds
+}
+# %-d etc.: no-padding variants -> single-letter Java patterns
+_STRFTIME_NOPAD = {
+    "d": "d", "m": "M", "H": "H", "I": "h", "M": "m", "S": "s", "j": "D",
+}
 
 
 def _convert_strftime_format(fmt: str) -> str:
-    for src, dst in _STRFTIME_MAP:
-        fmt = fmt.replace(src, dst)
-    return fmt
+    """C-style %-format -> Java datetime pattern. Literal text runs are
+    single-quoted (Java treats EVERY bare letter as a pattern char, so
+    '%Y-%m-%dT%H' must become yyyy-MM-dd'T'HH, not ...ddTHH)."""
+    out: List[str] = []
+    lit: List[str] = []
+
+    def flush() -> None:
+        if not lit:
+            return
+        s = "".join(lit)
+        lit.clear()
+        if any(c.isalpha() for c in s) or "'" in s:
+            out.append("'" + s.replace("'", "''") + "'")
+        else:
+            out.append(s)
+
+    i = 0
+    n = len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c == "%" and i + 1 < n:
+            d = fmt[i + 1]
+            if d == "%":
+                lit.append("%")
+                i += 2
+                continue
+            if (
+                d == "-"
+                and i + 2 < n
+                and fmt[i + 2] in _STRFTIME_NOPAD
+            ):
+                flush()
+                out.append(_STRFTIME_NOPAD[fmt[i + 2]])
+                i += 3
+                continue
+            if d in _STRFTIME_DIRECTIVES:
+                flush()
+                out.append(_STRFTIME_DIRECTIVES[d])
+                i += 2
+                continue
+        lit.append(c)
+        i += 1
+    flush()
+    return "".join(out)
 
 
 def _rewrite_strftime(tokens: List[Token]) -> List[Token]:
@@ -1988,13 +2060,13 @@ def _rewrite_strftime(tokens: List[Token]) -> List[Token]:
     n = len(tokens)
     while i < n:
         tok = tokens[i]
-        if tok.kind == "word" and tok.text.lower() in ("strftime", "strptime"):
+        if tok.kind == "word" and tok.text.lower() in ("strftime", "strptime", "try_strptime"):
             p_open = _next_code(tokens, i)
             if p_open < n and tokens[p_open].text == "(":
                 close = _matching_paren(tokens, p_open)
                 args = _split_top_level_args(tokens, p_open, close)
                 if len(args) == 2:
-                    fn = "date_format" if tok.text.lower() == "strftime" else "to_timestamp"
+                    fn = {"strftime": "date_format", "strptime": "to_timestamp", "try_strptime": "try_to_timestamp"}[tok.text.lower()]
                     out.append(Token("word", fn))
                     out.append(Token("op", "("))
                     # recurse: the value arg may itself contain strftime calls
@@ -2002,9 +2074,16 @@ def _rewrite_strftime(tokens: List[Token]) -> List[Token]:
                     out.append(Token("op", ","))
                     for t in args[1]:
                         if t.kind == "string":
-                            inner = t.text[1:-1]
+                            # decode the SQL literal, convert, re-encode:
+                            # the Java pattern may itself contain quote
+                            # characters ('T' literals, '' escapes)
+                            inner = t.text[1:-1].replace("''", "'")
+                            conv = _convert_strftime_format(inner)
                             out.append(
-                                Token("string", f"'{_convert_strftime_format(inner)}'")
+                                Token(
+                                    "string",
+                                    "'" + conv.replace("'", "''") + "'",
+                                )
                             )
                         else:
                             out.append(t)
@@ -2325,6 +2404,53 @@ _LAMBDA_FNS = {
     "transform_keys", "transform_values", "list_sort", "array_sort",
     "list_aggregate", "fold",
 }
+
+
+_OPERATOR_FN_ALIASES = {"add": "+", "subtract": "-", "multiply": "*", "divide": "//"}
+
+
+def _rewrite_operator_fn_aliases(tokens: List[Token]) -> List[Token]:
+    """DuckDB's operator-function aliases: ``add(a, b)`` = a + b,
+    ``divide`` = ``//`` (INTEGER division, verified divide(7,2)=3),
+    1-arg ``subtract(x)`` = -x, 1-arg ``add(x)`` = x. Runs EARLY so the
+    emitted operators flow through the later division/rounding passes
+    like hand-written ones."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() in _OPERATOR_FN_ALIASES:
+            p = _next_code(tokens, i)
+            if p < n and tokens[p].kind == "op" and tokens[p].text == "(":
+                close = _matching_paren(tokens, p)
+                args = _split_top_level_args(tokens, p, close)
+                op = _OPERATOR_FN_ALIASES[tok.text.lower()]
+                rendered = [
+                    "".join(
+                        t.text
+                        for t in _rewrite_operator_fn_aliases(a)
+                    ).strip()
+                    for a in args
+                ]
+                if len(rendered) == 2 and all(rendered):
+                    out.extend(
+                        _toks(f"(({rendered[0]}) {op} ({rendered[1]}))")
+                    )
+                    i = close + 1
+                    continue
+                if (
+                    len(rendered) == 1
+                    and rendered[0]
+                    and tok.text.lower() in ("add", "subtract")
+                ):
+                    sign = "-" if tok.text.lower() == "subtract" else ""
+                    out.extend(_toks(f"({sign}({rendered[0]}))"))
+                    i = close + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
 
 
 # list-producing functions (DuckDB spellings; renames to Spark names run
@@ -3367,12 +3493,19 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                         out.append(Token("op", ")"))
                         i = close + 1
                         continue
-                if low in ("string_agg", "array_agg", "list", "collect_list"):
+                if low in (
+                    "string_agg", "group_concat", "array_agg", "list",
+                    "collect_list",
+                ):
                     ob = order_split()
                     if ob is not None:
                         head = _sql(inner, 0, ob)
                         tail = _sql(inner, ob, ihi)  # "ORDER BY ..."
-                        if low == "string_agg":
+                        if low in ("string_agg", "group_concat"):
+                            # DuckDB's default separator is ',' (Spark
+                            # listagg defaults to '')
+                            if len(_split_top_commas(inner, 0, ob)) == 1:
+                                head = f"{head}, ','"
                             out.extend(
                                 _toks(f"listagg({head}) WITHIN GROUP ({tail})")
                             )
@@ -3420,10 +3553,20 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     # DuckDB's byte-based padding exactly)
                     x, lo_a, hi_a = (_sql(inner, s, e) for s, e in args[:3])
                     width = _sql(inner, *args[3]) if len(args) == 4 else "80"
+                    # zero-width range: DuckDB renders full for x > max,
+                    # empty otherwise (verified) — the nullif'd division
+                    # would raise DIVIDE_BY_ZERO under ANSI
+                    frac = (
+                        f"coalesce((CAST(({x}) AS DOUBLE) - "
+                        f"CAST(({lo_a}) AS DOUBLE)) / "
+                        f"nullif(CAST(({hi_a}) AS DOUBLE) - "
+                        f"CAST(({lo_a}) AS DOUBLE), 0), "
+                        f"CASE WHEN CAST(({x}) AS DOUBLE) > "
+                        f"CAST(({lo_a}) AS DOUBLE) THEN CAST(1 AS DOUBLE) "
+                        f"ELSE CAST(0 AS DOUBLE) END)"
+                    )
                     units = (
-                        f"(least(greatest((CAST(({x}) AS DOUBLE) - "
-                        f"CAST(({lo_a}) AS DOUBLE)) / (CAST(({hi_a}) AS DOUBLE)"
-                        f" - CAST(({lo_a}) AS DOUBLE)), CAST(0 AS DOUBLE)), "
+                        f"(least(greatest({frac}, CAST(0 AS DOUBLE)), "
                         f"CAST(1 AS DOUBLE)) * ({width}))"
                     )
                     full = f"CAST(floor({units}) AS INT)"
@@ -3441,6 +3584,405 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     )
                     i = close + 1
                     continue
+                if low in (
+                    "arg_max", "arg_min", "argmax", "argmin",
+                ) and len(args) == 2:
+                    # DuckDB skips rows whose VALUE argument is NULL
+                    # (verified: arg_max over ('a',1),(NULL,5) = 'a');
+                    # Spark max_by returns the NULL — mask the ordering
+                    # key so those rows never win
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    fn2 = "max_by" if "max" in low else "min_by"
+                    out.extend(
+                        _toks(
+                            f"{fn2}(({a}), CASE WHEN ({a}) IS NOT NULL "
+                            f"THEN ({b}) END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "generate_series" and len(args) == 1:
+                    # 1-arg form: 0..n inclusive
+                    a = _sql(inner, *args[0])
+                    out.extend(_toks(f"sequence(0, ({a}))"))
+                    i = close + 1
+                    continue
+                if low in ("greatest", "least") and len(args) == 1:
+                    # 1-arg identity (Spark requires >= 2 args)
+                    a = _sql(inner, *args[0])
+                    out.extend(_toks(f"(({a}))"))
+                    i = close + 1
+                    continue
+                if low == "array_reverse_sort" and len(args) == 1:
+                    a = _sql(inner, *args[0])
+                    out.extend(_toks(f"sort_array(({a}), false)"))
+                    i = close + 1
+                    continue
+                if low == "regexp_escape" and len(args) == 1:
+                    # DuckDB uses RE2 QuoteMeta: backslash before every
+                    # non-[A-Za-z0-9_] character
+                    a = _sql(inner, *args[0])
+                    out.extend(
+                        _toks(
+                            f"regexp_replace(({a}), "
+                            f"'([^A-Za-z0-9_])', '\\\\\\\\$1')"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low in (
+                    "parse_filename", "parse_dirpath", "parse_dirname",
+                ) and len(args) in (1, 2):
+                    p_ = _sql(inner, *args[0])
+                    sep = "[/\\\\\\\\]"  # SQL literal -> regex [/\\]
+                    if low == "parse_dirpath":
+                        repl = (
+                            f"regexp_extract(({p_}), '^(.*){sep}', 1)"
+                        )
+                    elif low == "parse_dirname":
+                        repl = (
+                            f"regexp_extract(({p_}), "
+                            f"'^([^/\\\\\\\\]*){sep}', 1)"
+                        )
+                    else:
+                        plain = (
+                            f"regexp_extract(({p_}), "
+                            f"'([^/\\\\\\\\]*)$', 1)"
+                        )
+                        if len(args) == 2:
+                            trim = (
+                                f"regexp_extract(({p_}), "
+                                f"'([^/\\\\\\\\.]*)(\\\\.[^/\\\\\\\\]*)?$'"
+                                f", 1)"
+                            )
+                            b = _sql(inner, *args[1])
+                            repl = (
+                                f"(CASE WHEN ({b}) THEN {trim} "
+                                f"ELSE {plain} END)"
+                            )
+                        else:
+                            repl = plain
+                    out.extend(_toks(repl))
+                    i = close + 1
+                    continue
+                if low in (
+                    "md5_number_lower", "md5_number_upper"
+                ) and len(args) == 1:
+                    # little-endian uint64 of md5 bytes 8..15 (lower) /
+                    # 0..7 (upper), verified against DuckDB
+                    a = _sql(inner, *args[0])
+                    h = f"md5(({a}))"
+                    start = 17 if low == "md5_number_lower" else 1
+                    pairs = ", ".join(
+                        f"substr({h}, {start + 2 * i}, 2)"
+                        for i in reversed(range(8))
+                    )
+                    out.extend(
+                        _toks(
+                            f"CAST(conv(concat({pairs}), 16, 10) "
+                            f"AS DECIMAL(20, 0))"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low in ("count", "count_star") and ihi == ilo:
+                    # DuckDB count() / count_star() = count(*)
+                    out.extend(_toks("count(*)"))
+                    i = close + 1
+                    continue
+                if low in ("dayofweek", "weekday") and len(args) == 1:
+                    # DuckDB: Sunday=0..Saturday=6 (both are aliases);
+                    # Spark dayofweek: Sunday=1
+                    a = _sql(inner, *args[0])
+                    out.extend(_toks(f"(dayofweek(({a})) - 1)"))
+                    i = close + 1
+                    continue
+                if low in (
+                    "century", "decade", "millennium", "era", "isoyear",
+                    "julian", "microsecond", "millisecond",
+                    "timezone_hour", "timezone_minute", "epoch_ns",
+                ) and len(args) == 1:
+                    a = _sql(inner, *args[0])
+                    part_shims = {
+                        "century": f"CAST(ceil(year(({a})) / 100.0) AS BIGINT)",
+                        "decade": f"CAST(floor(year(({a})) / 10.0) AS BIGINT)",
+                        "millennium": (
+                            f"CAST(ceil(year(({a})) / 1000.0) AS BIGINT)"
+                        ),
+                        "era": (
+                            f"(CASE WHEN year(({a})) > 0 THEN 1 ELSE 0 END)"
+                        ),
+                        # the Thursday of x's ISO week determines the year
+                        "isoyear": (
+                            f"CAST(year(date_add(CAST(({a}) AS DATE), "
+                            f"3 - weekday(({a})))) AS BIGINT)"
+                        ),
+                        # verified: julian(DATE '2024-03-05') = 2460375.0
+                        # = unix_days + 2440588
+                        "julian": (
+                            f"(CAST(CAST(({a}) AS TIMESTAMP_LTZ) AS DOUBLE) "
+                            f"/ 86400.0D + 2440588.0D)"
+                        ),
+                        # DuckDB: sub-MINUTE micro/milliseconds (incl.
+                        # the seconds), e.g. 15123456 for :15.123456
+                        "microsecond": (
+                            f"CAST(unix_micros(CAST(({a}) AS TIMESTAMP_LTZ))"
+                            f" % 60000000 AS BIGINT)"
+                        ),
+                        "millisecond": (
+                            f"CAST(unix_micros(CAST(({a}) AS TIMESTAMP_LTZ))"
+                            f" % 60000000 DIV 1000 AS BIGINT)"
+                        ),
+                        # session timezone is UTC by engine design
+                        "timezone_hour": "CAST(0 AS BIGINT)",
+                        "timezone_minute": "CAST(0 AS BIGINT)",
+                        "epoch_ns": (
+                            f"(unix_micros(CAST(({a}) AS TIMESTAMP_LTZ)) * 1000)"
+                        ),
+                    }
+                    out.extend(_toks(part_shims[low]))
+                    i = close + 1
+                    continue
+                if (
+                    low in ("make_timestamp", "make_timestamptz")
+                    and len(args) == 1
+                ):
+                    # 1-arg form: microseconds since epoch
+                    a = _sql(inner, *args[0])
+                    out.extend(
+                        _toks(f"timestamp_micros(CAST(({a}) AS BIGINT))")
+                    )
+                    i = close + 1
+                    continue
+                if low == "to_timestamp" and len(args) == 1:
+                    # DuckDB to_timestamp(DOUBLE): seconds since epoch
+                    a = _sql(inner, *args[0])
+                    out.extend(
+                        _toks(f"timestamp_seconds(CAST(({a}) AS DOUBLE))")
+                    )
+                    i = close + 1
+                    continue
+                if low == "trunc" and len(args) == 1:
+                    # 1-arg numeric trunc-toward-zero (Spark trunc is
+                    # date-only); DOUBLE keeps DOUBLE type like DuckDB
+                    a = _sql(inner, *args[0])
+                    core = (
+                        f"(CASE WHEN ({a}) >= 0 THEN floor(({a})) "
+                        f"ELSE ceiling(({a})) END)"
+                    )
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN typeof({a}) IN ('double', 'float')"
+                            f" THEN CAST({core} AS DOUBLE) "
+                            f"ELSE {core} END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "sem" and len(args) == 1:
+                    # standard error of the mean; DuckDB uses the
+                    # POPULATION stddev over sqrt(n) (verified)
+                    a = _sql(inner, *args[0])
+                    out.extend(
+                        _toks(
+                            f"(stddev_pop(({a})) / "
+                            f"nullif(sqrt(CAST(count(({a})) AS DOUBLE)), 0))"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "signbit" and len(args) == 1:
+                    # DuckDB signbit(-0.0) is false (verified), so a
+                    # plain comparison is exact
+                    a = _sql(inner, *args[0])
+                    out.extend(_toks(f"(({a}) < 0)"))
+                    i = close + 1
+                    continue
+                if low == "regexp_extract_all" and len(args) == 2:
+                    # DuckDB's 2-arg form returns full matches (group 0);
+                    # Spark requires the index
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    out.extend(_toks(f"regexp_extract_all(({a}), ({b}), 0)"))
+                    i = close + 1
+                    continue
+                if low == "json_valid" and len(args) == 1:
+                    a = _sql(inner, *args[0])
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN ({a}) IS NULL THEN "
+                            f"CAST(NULL AS BOOLEAN) "
+                            f"ELSE get_json_object(({a}), '$') IS NOT NULL "
+                            f"END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "json_array_length" and len(args) == 1:
+                    # DuckDB returns 0 for non-array JSON; Spark NULL
+                    a = _sql(inner, *args[0])
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN ({a}) IS NULL THEN "
+                            f"CAST(NULL AS BIGINT) ELSE "
+                            f"CAST(coalesce(json_array_length(({a})), 0) "
+                            f"AS BIGINT) END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "json_array":
+                    # constructor: compact rendering matches DuckDB for
+                    # uniform element types (mixed types unify in Spark
+                    # arrays — documented)
+                    if ihi == ilo:
+                        out.extend(_toks("'[]'"))
+                    else:
+                        rendered = ", ".join(
+                            _sql(inner, s, e) for s, e in args
+                        )
+                        out.extend(_toks(f"to_json(array({rendered}))"))
+                    i = close + 1
+                    continue
+                if low == "json_object":
+                    if ihi == ilo:
+                        out.extend(_toks("'{}'"))
+                    else:
+                        rendered = ", ".join(
+                            _sql(inner, s, e) for s, e in args
+                        )
+                        out.extend(_toks(f"to_json(map({rendered}))"))
+                    i = close + 1
+                    continue
+                if low in (
+                    "list_dot_product", "list_inner_product",
+                    "list_negative_dot_product", "list_negative_inner_product",
+                    "list_cosine_similarity", "list_cosine_distance",
+                    "list_distance",
+                ) and len(args) == 2:
+                    a, b = (_sql(inner, s, e) for s, e in args)
+
+                    def _dot(u: str, v: str) -> str:
+                        return (
+                            f"aggregate(zip_with(({u}), ({v}), "
+                            f"(xx, yy) -> CAST(xx AS DOUBLE) * yy), "
+                            f"CAST(0 AS DOUBLE), (acc, vv) -> acc + vv)"
+                        )
+
+                    if low in ("list_dot_product", "list_inner_product"):
+                        repl = _dot(a, b)
+                    elif low in (
+                        "list_negative_dot_product",
+                        "list_negative_inner_product",
+                    ):
+                        repl = f"-({_dot(a, b)})"
+                    elif low == "list_distance":
+                        repl = (
+                            f"sqrt(aggregate(zip_with(({a}), ({b}), "
+                            f"(xx, yy) -> (CAST(xx AS DOUBLE) - yy) * "
+                            f"(CAST(xx AS DOUBLE) - yy)), "
+                            f"CAST(0 AS DOUBLE), (acc, vv) -> acc + vv))"
+                        )
+                    else:
+                        cos = (
+                            f"({_dot(a, b)} / nullif(sqrt({_dot(a, a)}) * "
+                            f"sqrt({_dot(b, b)}), 0))"
+                        )
+                        repl = (
+                            cos
+                            if low == "list_cosine_similarity"
+                            else f"(1.0D - {cos})"
+                        )
+                    out.extend(_toks(repl))
+                    i = close + 1
+                    continue
+                if low in ("list_select", "array_select") and len(args) == 2:
+                    # 1-based index list selection
+                    l_, idx = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(
+                            f"transform(({idx}), ii -> "
+                            f"element_at(({l_}), CAST(ii AS INT)))"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low in (
+                    "grade_up", "list_grade_up", "array_grade_up"
+                ) and len(args) == 1:
+                    # 1-based indexes that would sort the list ascending
+                    # (verified: grade_up([30,10,20]) = [2,3,1]); stable
+                    # by original position via the (value, index) sort
+                    a = _sql(inner, *args[0])
+                    out.extend(
+                        _toks(
+                            f"transform(array_sort(zip_with(({a}), "
+                            f"sequence(1, size(({a}))), "
+                            f"(vv, ii) -> named_struct('v', vv, 'i', ii))), "
+                            f"ss -> ss.i)"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "get_bit" and len(args) == 2:
+                    # STRING-typed bitstrings (no BIT type in Spark);
+                    # DuckDB indexes bits 0-based from the left
+                    b_, ix = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(
+                            f"CAST(substr(({b_}), CAST(({ix}) AS INT) + 1, 1)"
+                            f" AS INT)"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "set_bit" and len(args) == 3:
+                    b_, ix, v_ = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(
+                            f"concat(substr(({b_}), 1, CAST(({ix}) AS INT)), "
+                            f"CAST(({v_}) AS STRING), "
+                            f"substr(({b_}), CAST(({ix}) AS INT) + 2))"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "bit_position" and len(args) == 2:
+                    # bit_position(needle, haystack): 1-based, 0 if absent
+                    sub, b_ = (_sql(inner, s, e) for s, e in args)
+                    out.extend(_toks(f"instr(({b_}), ({sub}))"))
+                    i = close + 1
+                    continue
+                if low in (
+                    "to_years", "to_months", "to_quarters", "to_decades",
+                    "to_centuries", "to_millennia", "to_weeks", "to_days",
+                    "to_hours", "to_minutes", "to_seconds",
+                    "to_milliseconds", "to_microseconds",
+                ) and len(args) == 1:
+                    a = _sql(inner, *args[0])
+                    ai = f"CAST(({a}) AS INT)"
+                    ad = f"CAST(({a}) AS DOUBLE)"
+                    iv = {
+                        "to_years": f"make_ym_interval({ai}, 0)",
+                        "to_months": f"make_ym_interval(0, {ai})",
+                        "to_quarters": f"make_ym_interval(0, {ai} * 3)",
+                        "to_decades": f"make_ym_interval({ai} * 10, 0)",
+                        "to_centuries": f"make_ym_interval({ai} * 100, 0)",
+                        "to_millennia": f"make_ym_interval({ai} * 1000, 0)",
+                        "to_weeks": f"make_dt_interval({ai} * 7)",
+                        "to_days": f"make_dt_interval({ai})",
+                        "to_hours": f"make_dt_interval(0, {ai})",
+                        "to_minutes": f"make_dt_interval(0, 0, {ai})",
+                        "to_seconds": f"make_dt_interval(0, 0, 0, {ad})",
+                        "to_milliseconds": (
+                            f"make_dt_interval(0, 0, 0, {ad} / 1000.0D)"
+                        ),
+                        "to_microseconds": (
+                            f"make_dt_interval(0, 0, 0, {ad} / 1000000.0D)"
+                        ),
+                    }
+                    out.extend(_toks(iv[low]))
+                    i = close + 1
+                    continue
                 if low in ("encode", "decode") and len(args) == 1:
                     # DuckDB 1-arg encode(VARCHAR)->BLOB / decode(BLOB)
                     # ->VARCHAR; Spark's are 2-arg with a charset
@@ -3448,29 +3990,45 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     out.extend(_toks(f"{low}(({a}), 'UTF-8')"))
                     i = close + 1
                     continue
-                if low == "format_bytes" and len(args) == 1:
-                    # DuckDB: binary units with ONE half-even decimal
-                    # ('1.25 KiB' -> '1.2'); <1024 prints 'N byte[s]';
-                    # beyond PiB stays PiB ('1024.0 PiB'). bround's
-                    # HALF_EVEN matches DuckDB's printf %.1f tie
-                    # behavior (format_bytes(1280) = '1.2 KiB',
-                    # verified); CAST-to-STRING of the 1-decimal double
-                    # renders shortest form 'x.y'.
+                if low in (
+                    "format_bytes", "formatreadablesize",
+                    "formatreadabledecimalsize",
+                ) and len(args) == 1:
+                    # DuckDB: size units with ONE decimal TRUNCATED
+                    # toward zero (format_bytes(1997) = '1.9 KiB',
+                    # verified — 1.9502 does NOT round up); below one
+                    # unit prints 'N byte[s]'; beyond the last unit
+                    # stays there ('1024.0 PiB'). CAST-to-STRING of the
+                    # 1-decimal double renders shortest form 'x.y'.
+                    # formatReadableSize is the binary (KiB) alias;
+                    # formatReadableDecimalSize is 1000-based kB/MB/...
                     x = _sql(inner, *args[0])
                     xd = f"CAST(({x}) AS DOUBLE)"
-                    k = f"least(CAST(floor(log2(abs({xd})) / 10) AS INT), 5)"
-                    q = f"bround({xd} / power(CAST(1024 AS DOUBLE), {k}), 1)"
+                    if low == "formatreadabledecimalsize":
+                        base, logk = "1000", f"log10(abs({xd})) / 3"
+                        units = "' kB', ' MB', ' GB', ' TB', ' PB'"
+                    else:
+                        base, logk = "1024", f"log2(abs({xd})) / 10"
+                        units = "' KiB', ' MiB', ' GiB', ' TiB', ' PiB'"
+                    k = f"least(CAST(floor({logk}) AS INT), 5)"
+                    scaled = (
+                        f"{xd} / power(CAST({base} AS DOUBLE), {k}) * 10"
+                    )
+                    q = (
+                        f"(CAST((CASE WHEN {xd} >= 0 "
+                        f"THEN floor({scaled}) "
+                        f"ELSE ceiling({scaled}) END) AS DOUBLE) / 10)"
+                    )
                     out.extend(
                         _toks(
                             f"(CASE WHEN ({x}) IS NULL THEN "
                             f"CAST(NULL AS STRING) "
-                            f"WHEN abs(({x})) < 1024 THEN "
+                            f"WHEN abs(({x})) < {base} THEN "
                             f"concat(CAST(({x}) AS STRING), "
                             f"CASE WHEN abs(({x})) = 1 THEN ' byte' "
                             f"ELSE ' bytes' END) "
                             f"ELSE concat(CAST({q} AS STRING), "
-                            f"element_at(array(' KiB', ' MiB', ' GiB', "
-                            f"' TiB', ' PiB'), {k})) END)"
+                            f"element_at(array({units}), {k})) END)"
                         )
                     )
                     i = close + 1
@@ -3535,7 +4093,7 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     )
                     i = close + 1
                     continue
-                if low == "list_unique" and len(args) == 1:
+                if low in ("list_unique", "array_unique") and len(args) == 1:
                     out.extend(
                         _toks(f"size(array_distinct({_sql(inner, *args[0])}))")
                     )
@@ -3605,6 +4163,20 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                 if low == "regexp_split_to_table" and len(args) == 2:
                     a, b = (_sql(inner, s, e) for s, e in args)
                     out.extend(_toks(f"explode(split(({a}), ({b})))"))
+                    i = close + 1
+                    continue
+                if (
+                    low in ("string_agg", "listagg", "group_concat")
+                    and order_split() is None
+                    and len(args) in (1, 2)
+                    and args[0][1] > args[0][0]
+                ):
+                    # DuckDB string_agg/group_concat default to ','
+                    # (Spark listagg defaults to ''); group_concat is
+                    # a plain alias
+                    rendered = [_sql(inner, s, e) for s, e in args]
+                    sep = rendered[1] if len(rendered) == 2 else "','"
+                    out.extend(_toks(f"listagg({rendered[0]}, {sep})"))
                     i = close + 1
                     continue
                 if low in ("list_aggregate", "list_aggr") and len(args) >= 2:
@@ -3703,6 +4275,24 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                                 _decode_spark_string(p_code[0])
                             )
                         ).text
+                    elif (
+                        p_code
+                        and p_code[0].kind == "word"
+                        and p_code[0].text.lower() == "array"
+                    ):
+                        # DuckDB list-of-paths form: one extraction per
+                        # path, returned as a list (paths normalized to
+                        # $-style at runtime)
+                        out.extend(
+                            _toks(
+                                f"transform(({p_}), pp -> "
+                                f"get_json_object(({s_}), "
+                                f"CASE WHEN substr(pp, 1, 1) = '$' "
+                                f"THEN pp ELSE concat('$.', pp) END))"
+                            )
+                        )
+                        i = close + 1
+                        continue
                     out.extend(_toks(f"get_json_object({s_}, {p_})"))
                     i = close + 1
                     continue
@@ -4024,21 +4614,9 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                             )
                             i = close + 1
                             continue
-                if low in (
-                    "to_days", "to_hours", "to_minutes", "to_seconds",
-                    "to_months", "to_years", "to_weeks",
-                ) and len(args) == 1:
-                    a = _sql(inner, *args[0])
-                    pos = {
-                        "to_years": 0, "to_months": 1, "to_weeks": 2,
-                        "to_days": 3, "to_hours": 4, "to_minutes": 5,
-                        "to_seconds": 6,
-                    }[low]
-                    mk = ["0"] * 7
-                    mk[pos] = f"({a})"
-                    out.extend(_toks(f"make_interval({', '.join(mk)})"))
-                    i = close + 1
-                    continue
+                # (to_days/to_hours/... are handled earlier via
+                # make_dt_interval/make_ym_interval — PySpark-fetchable
+                # interval types, unlike make_interval's CalendarInterval)
                 if low == "yearweek" and len(args) == 1:
                     a = _sql(inner, *args[0])
                     out.extend(
@@ -4063,24 +4641,46 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     continue
                 if low == "skewness" and len(args) == 1:
                     # DuckDB reports the SAMPLE (bias-corrected) statistic,
-                    # Spark the population one: g1 * sqrt(n(n-1)) / (n-2)
+                    # Spark the population one: g1 * sqrt(n(n-1)) / (n-2).
+                    # nullif: n=2 gives a 0 denominator — DuckDB returns
+                    # NULL there; without it Spark's ANSI mode raises
+                    # DIVIDE_BY_ZERO when g1 is non-NULL (n=2, distinct
+                    # values -> g1 = 0.0)
                     a = _sql(inner, *args[0])
                     out.extend(
                         _toks(
                             f"(skewness({a}) * sqrt(CAST(count({a}) AS DOUBLE)"
-                            f" * (count({a}) - 1)) / (count({a}) - 2))"
+                            f" * (count({a}) - 1)) / nullif(count({a}) - 2, 0))"
                         )
                     )
                     i = close + 1
                     continue
                 if low == "kurtosis" and len(args) == 1:
-                    # sample excess kurtosis from Spark's population value
+                    # sample excess kurtosis from Spark's population
+                    # value; nullif: n<=3 zeroes the denominator where
+                    # DuckDB returns NULL (ANSI would raise)
                     a = _sql(inner, *args[0])
                     n_ = f"CAST(count({a}) AS DOUBLE)"
                     out.extend(
                         _toks(
-                            f"((({n_} - 1) / (({n_} - 2) * ({n_} - 3)))"
-                            f" * (({n_} + 1) * kurtosis({a}) + 6))"
+                            f"((({n_} - 1) / nullif(({n_} - 2) * ({n_} - 3)"
+                            f", 0)) * (({n_} + 1) * kurtosis({a}) + 6))"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "corr" and len(args) == 2:
+                    # Spark's corr raises DIVIDE_BY_ZERO (ANSI) when
+                    # either side has zero variance; DuckDB returns NULL.
+                    # A CASE can't guard an aggregate (aggregates are
+                    # computed before the projection), so corr is
+                    # recomposed from moments with a nullif'd ratio —
+                    # the same covar_pop / (σx σy) DuckDB evaluates.
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(
+                            f"(covar_pop({a}, {b}) / "
+                            f"nullif(stddev_pop({a}) * stddev_pop({b}), 0))"
                         )
                     )
                     i = close + 1

@@ -265,6 +265,17 @@ def register_text_udfs(spark: SparkSession) -> None:
             dtype="object",
         )
 
+    @pandas_udf("double")
+    def _nextafter_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        # IEEE next representable double toward b (DuckDB nextafter)
+        return pd.Series(
+            [
+                None if (x is None or y is None) else math.nextafter(x, y)
+                for x, y in zip(a, b)
+            ],
+            dtype="object",
+        ).astype("float64")
+
     @pandas_udf("string")
     def _nfc_normalize_udf(x: pd.Series) -> pd.Series:
         # DuckDB nfc_normalize(): Unicode NFC composition
@@ -317,6 +328,7 @@ def register_text_udfs(spark: SparkSession) -> None:
     spark.udf.register("current_setting", _current_setting_udf)
     spark.udf.register("strip_accents", _strip_accents_udf)
     spark.udf.register("nfc_normalize", _nfc_normalize_udf)
+    spark.udf.register("nextafter", _nextafter_udf)
     spark.udf.register("jaro_similarity", _jaro_udf)
     spark.udf.register("jaro_winkler_similarity", _jw_udf)
     spark.udf.register("damerau_levenshtein", _dl_udf)

@@ -153,10 +153,18 @@ def check_common_sql_errors(sql: str) -> list[str]:
 # nfc_normalize are registered pandas UDFs, functions/text_udfs.py;
 # bar/timezone/format_bytes/bitstring are dialect shims; histogram is
 # an aggregate template — all verified against DuckDB in tests.)
-# icu_sort_key needs ICU collation tables (not in this environment);
-# it is the one DuckDB core function left unimplemented.
+# The round-6 catalog sweep (tools/fn_parity_sweep.py) shimmed or
+# renamed everything else; what remains is structurally out of reach:
+# icu_sort_key + the grapheme-cluster family need ICU segmentation;
+# make_time needs a TIME type Spark doesn't have; mad needs nested
+# median aggregates (two passes); bitstring_agg needs a BIT type;
+# array_resize/list_resize need typed NULL padding; parse_path and
+# unpivot_list return engine-internal list shapes.
 _UNSUPPORTED_FUNCTIONS = {
-    "icu_sort_key",
+    "icu_sort_key", "left_grapheme", "right_grapheme",
+    "length_grapheme", "substring_grapheme", "make_time", "mad",
+    "bitstring_agg", "array_resize", "list_resize", "parse_path",
+    "unpivot_list",
 }
 
 # shimmed only for specific argument shapes: lint the rest

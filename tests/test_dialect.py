@@ -24,8 +24,10 @@ def test_dow_shim():
 
 
 def test_isodow_shim():
+    # the EXTRACT keyword form is used so the weekday()/dayofweek()
+    # call shims (DuckDB Sunday=0) can't re-rewrite it
     out = translate("SELECT extract(isodow FROM d) FROM t")
-    assert "weekday" in out
+    assert "extract(DAYOFWEEK FROM d" in out and "+ 5" in out
 
 
 def test_date_trunc_date_parts_cast():
@@ -331,8 +333,10 @@ def test_time_bucket_shims():
 
 
 def test_interval_constructor_shims():
-    assert "make_interval(0, 0, 0, (3), 0, 0, 0)" in translate("SELECT d + to_days(3) FROM t")
-    assert "make_interval(0, 0, 0, 0, (h), 0, 0)" in translate("SELECT d + to_hours(h) FROM t")
+    # make_dt/ym_interval (PySpark-fetchable), not CalendarInterval
+    assert "make_dt_interval(CAST((3) AS INT))" in translate("SELECT d + to_days(3) FROM t")
+    assert "make_dt_interval(0, CAST((h) AS INT))" in translate("SELECT d + to_hours(h) FROM t")
+    assert "make_ym_interval(CAST((2) AS INT), 0)" in translate("SELECT d + to_years(2) FROM t")
 
 
 def test_yearweek_and_date_sub():

@@ -1,0 +1,185 @@
+"""Function-catalog parity sweep: walk DuckDB's own function catalog
+(``duckdb_functions()``), synthesize one call per function from its
+declared parameter types with canned arguments, evaluate it on DuckDB,
+and replay the translated form on Spark.
+
+Classification per function:
+  OK         — both engines run it and the values agree (float-tolerant)
+  VALUE_DIFF — both run, values differ (translator or semantics gap)
+  SPARK_ERR  — DuckDB runs it, the translated form fails on Spark (gap)
+  SKIP       — DuckDB itself can't run the canned call, or the function
+               is nondeterministic/environmental (excluded list)
+
+This is a COVERAGE RADAR, not a correctness gate: canned arguments
+exercise one happy path per function. Gaps it reports feed the dialect
+worklist; the oracle-diff and fuzz gates remain the correctness story.
+
+Usage: python tools/fn_parity_sweep.py [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+# values per DuckDB type; chosen to be deterministic and within every
+# function's domain where possible
+CANNED = {
+    "VARCHAR": "'abc'",
+    "BOOLEAN": "TRUE",
+    "TINYINT": "3",
+    "SMALLINT": "3",
+    "INTEGER": "7",
+    "BIGINT": "7",
+    "HUGEINT": "7",
+    "UTINYINT": "3",
+    "USMALLINT": "3",
+    "UINTEGER": "7",
+    "UBIGINT": "7",
+    "UHUGEINT": "7",
+    "FLOAT": "1.5",
+    "DOUBLE": "1.5",
+    "DECIMAL": "1.5",
+    "DATE": "DATE '2024-03-05'",
+    "TIMESTAMP": "TIMESTAMP '2024-03-05 10:30:00'",
+    "TIMESTAMP WITH TIME ZONE": "TIMESTAMP '2024-03-05 10:30:00'",
+    "TIME": "TIME '10:30:00'",
+    "INTERVAL": "INTERVAL 3 DAY",
+    "BLOB": "encode('abc')",
+    "BIT": "bitstring('0101', 8)",
+    "UUID": "'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11'",
+    "JSON": "'{\"a\": 1, \"b\": [1, 2]}'",
+    "VARCHAR[]": "['a', 'b', 'c']",
+    "BIGINT[]": "[1, 2, 3]",
+    "INTEGER[]": "[1, 2, 3]",
+    "DOUBLE[]": "[1.5, 2.5]",
+    "ANY": "7",
+    "ANY[]": "[1, 2, 3]",
+    "T": "7",
+    "T[]": "[1, 2, 3]",
+    "V": "7",
+    "K": "'k'",
+}
+
+# nondeterministic / environment / side-effectful / typed beyond the
+# engine's surface: not meaningful to diff
+EXCLUDE = {
+    "random", "uuid", "uuidv4", "uuidv7", "gen_random_uuid",
+    "now", "today", "get_current_time", "get_current_timestamp",
+    "current_date", "current_localtime", "current_localtimestamp",
+    "transaction_timestamp", "current_catalog", "current_database",
+    "current_query", "current_schema", "current_schemas", "current_user",
+    "current_role", "session_user", "user", "version", "pg_typeof",
+    "txid_current", "uuid_extract_timestamp", "uuid_extract_version",
+    "checkpoint", "force_checkpoint", "database_size", "read_text",
+    "read_blob", "glob", "getenv", "ignore_nulls", "respect_nulls",
+    "create_sort_key", "icu_sort_key", "icu_collate_stub",
+    "current_setting",  # engine-specific values by design (COVERAGE.md)
+    "typeof",  # engine type NAMES differ by design
+    "can_cast_implicitly", "enum_code", "enum_first", "enum_last",
+    "enum_range", "enum_range_boundary", "is_histogram_other_bin",
+    "alias", "hash", "stats", "vector_type", "constant_or_null",
+    "count_if", "error", "get_block_size", "in_search_path",
+    "map_to_pg_oid", "nextval", "currval", "combine", "finalize",
+    "parquet_kv_metadata", "parquet_schema", "parquet_metadata",
+    "parquet_file_metadata", "parquet_bloom_probe", "variant_typeof",
+    # hash/checksum families whose values are engine-internal
+    "md5_number", "sha1", "sha256", "sha384", "sha512",
+}
+
+
+def canned_call(name: str, ptypes: list) -> str | None:
+    args = []
+    for t in ptypes or []:
+        t = (t or "ANY").upper()
+        if t.startswith("DECIMAL"):
+            t = "DECIMAL"
+        if t.endswith("[]") and t not in CANNED:
+            t = "ANY[]"
+        if t not in CANNED:
+            return None
+        args.append(CANNED[t])
+    return f"{name}({', '.join(args)})"
+
+
+def main() -> int:
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+
+    sys.path.insert(0, "/root/repo")
+    from component_duckdb_transformation_spark.functions.dialect import translate
+    from component_duckdb_transformation_spark.session import build_spark_session
+
+    spark = build_spark_session(
+        app_name="fn-parity", threads=4, shuffle_partitions=4
+    )
+    con = duckdb.connect()
+    fns = con.execute(
+        """
+        SELECT function_name, parameter_types, function_type
+        FROM duckdb_functions()
+        WHERE function_type IN ('scalar', 'aggregate')
+        ORDER BY function_name, len(parameter_types)
+        """
+    ).fetchall()
+
+    seen = set()
+    results = {"OK": [], "VALUE_DIFF": [], "SPARK_ERR": [], "SKIP": []}
+    for name, ptypes, ftype in fns:
+        if name in seen or name in EXCLUDE or name.startswith(
+            ("pg_", "icu_", "st_", "json_serialize", "array_to_json",
+             "row_to_json", "from_json", "json_execute")
+        ):
+            continue
+        if only and name not in only:
+            continue
+        call = canned_call(name, list(ptypes or []))
+        if call is None:
+            continue
+        seen.add(name)
+        sql = (
+            f"SELECT {call} AS v"
+            if ftype == "scalar"
+            else f"SELECT {call} AS v FROM (VALUES (1), (2)) t(i)"
+        )
+        try:
+            want = con.execute(sql).fetchone()[0]
+        except Exception:
+            results["SKIP"].append(name)
+            continue
+        try:
+            got = spark.sql(translate(sql)).collect()[0][0]
+        except Exception as exc:  # noqa: BLE001
+            results["SPARK_ERR"].append((name, call, str(exc)[:120]))
+            continue
+        same = str(got) == str(want)
+        if not same:
+            try:
+                same = (
+                    want is not None
+                    and got is not None
+                    and math.isclose(
+                        float(want), float(got), rel_tol=1e-9, abs_tol=1e-12
+                    )
+                )
+            except (TypeError, ValueError):
+                same = False
+        (results["OK"] if same else results["VALUE_DIFF"]).append(
+            (name, call, repr(want)[:60], repr(got)[:60])
+        )
+
+    print(f"OK: {len(results['OK'])}  VALUE_DIFF: {len(results['VALUE_DIFF'])}"
+          f"  SPARK_ERR: {len(results['SPARK_ERR'])}  SKIP(duck-err): "
+          f"{len(results['SKIP'])}")
+    for name, call, want, got in results["VALUE_DIFF"]:
+        print(f"DIFF {name}: {call} duck={want} spark={got}")
+    for name, call, err in results["SPARK_ERR"]:
+        print(f"ERR  {name}: {call} :: {err}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
