@@ -842,6 +842,37 @@ _add_df(
 )
 
 _add_sql(
+    "q56_fn_parity_battery",
+    """
+    SELECT l_returnflag,
+           arg_max(l_linestatus, l_orderkey * 8 + l_linenumber) AS last_status,
+           string_agg(DISTINCT l_linestatus ORDER BY l_linestatus) AS statuses,
+           round(sem(l_extendedprice), 4) AS sem_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+           format_bytes(CAST(sum(l_quantity) AS BIGINT)) AS qty_bytes,
+           formatReadableDecimalSize(CAST(sum(l_quantity) AS BIGINT)) AS qty_dec,
+           strftime(max(l_shipdate), '%Y-%m-%dT%H') AS max_ship_iso,
+           CAST(isoyear(max(l_shipdate)) AS BIGINT) AS iso_y,
+           CAST(century(max(l_shipdate)) AS BIGINT) AS cent,
+           CAST(dayofweek(max(l_shipdate)) AS BIGINT) AS dow,
+           julian(min(l_shipdate)) AS jd,
+           round(list_dot_product([1.0, 2.0],
+                                  [avg(l_tax), avg(l_discount)]), 6) AS dp,
+           CAST(md5_number_lower(l_returnflag) AS VARCHAR) AS md5lo,
+           CAST(divide(CAST(sum(l_orderkey) AS BIGINT), 7) AS BIGINT) AS div7,
+           trunc(avg(l_extendedprice)) AS trunc_avg
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="round-6 function-parity battery: arg_max NULL-skip "
+    "semantics, string_agg default separator, sem/corr degenerate "
+    "guards, size formatting (truncation), strftime literal quoting, "
+    "isoyear/century/dayofweek/julian date parts, vector dot product, "
+    "md5_number, operator-fn aliases, numeric trunc — one driver-"
+    "verified row for the tools/fn_parity_sweep.py surface",
+)
+
+_add_sql(
     "q46_regexp_split_to_table",
     """
     SELECT w AS word, CAST(count(*) AS BIGINT) AS n
