@@ -43,6 +43,7 @@ sample variants in both.
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional
 
 from .. import engine_version_string
@@ -2947,6 +2948,30 @@ def _order_terms_survive(win_order: str, select_list: str) -> bool:
     return True
 
 
+def _rebind_on_terms_to_output(on_sql: str, select_list: str) -> Optional[str]:
+    """Map DISTINCT ON terms to the names the projection exposes
+    (`expr AS alias` exposes `alias`); None when a term isn't exposed at
+    all (the outer ORDER BY is then skipped — output is unique per key,
+    so it was cosmetic)."""
+    exposed: dict = {}
+    for item in _split_csv_text(select_list):
+        item = item.strip()
+        m = re.match(
+            r"(?is)^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", item
+        )
+        if m:
+            exposed[m.group(1).replace(" ", "").lower()] = m.group(2)
+        else:
+            exposed[item.replace(" ", "").lower()] = item
+    terms = []
+    for term in _split_csv_text(on_sql):
+        name = exposed.get(term.strip().replace(" ", "").lower())
+        if name is None:
+            return None
+        terms.append(name)
+    return ", ".join(terms)
+
+
 def _rewrite_distinct_on(tokens: List[Token]) -> List[Token]:
     """Postgres/DuckDB ``SELECT DISTINCT ON (k) list ... ORDER BY o`` ->
     first row per k group:
@@ -3013,10 +3038,14 @@ def _rewrite_distinct_on(tokens: List[Token]) -> List[Token]:
         # every term is a plain column the projection exposes; fall back
         # to ON-key ordering when a term references a dropped column
         # (there the later terms were pick-first tie-breakers only).
+        # The fallback must use the OUTPUT names: `DISTINCT ON (c) c AS
+        # alias ...` exposes `alias`, not `c`, above the subquery.
         if _order_terms_survive(win_order, select_list):
             rewritten += f" {win_order}"
         else:
-            rewritten += f" ORDER BY {on_sql}"
+            rebound = _rebind_on_terms_to_output(on_sql, select_list)
+            if rebound:
+                rewritten += f" ORDER BY {rebound}"
     if limit_idx is not None:
         rewritten += " " + "".join(t.text for t in tokens[limit_idx:]).strip()
     return _toks(rewritten)

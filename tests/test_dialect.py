@@ -1306,3 +1306,33 @@ def test_round_double_negative_scale(spark):
         want = con.execute(c).fetchone()[0]
         got = spark.sql(translate(c)).collect()[0][0]
         assert float(got) == float(want), (c, got, want)
+
+
+def test_distinct_on_aliased_key_with_hidden_order_columns(spark):
+    """DISTINCT ON (c) with `c AS alias` in the projection and ORDER BY
+    columns the projection drops: the rewrite's outer ORDER BY must use
+    the OUTPUT name (round-6 fuzz find — previously emitted the inner
+    column name and failed resolution)."""
+    import duckdb
+
+    q = (
+        "SELECT DISTINCT ON (l_returnflag) l_returnflag AS grp, "
+        "l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "ORDER BY l_returnflag, l_orderkey, l_linenumber, l_partkey, "
+        "l_suppkey, l_extendedprice"
+    )
+    sf = "/root/testdata/sf0.001"
+    from component_duckdb_transformation_spark.sources.parquet_io import (
+        read_parquet,
+    )
+
+    read_parquet(spark, f"{sf}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS FROM read_parquet('{sf}/lineitem.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(q).fetchall())
+    got = sorted(tuple(r) for r in spark.sql(translate(q)).collect())
+    assert got == want

@@ -318,6 +318,60 @@ def asof_stmt(g: random.Random) -> str:
     )
 
 
+def groupby_stmt(g: random.Random) -> str:
+    """Random GROUP BY statement: optional orders join, random WHERE,
+    1-2 grouping keys, a handful of aggregate items, optional HAVING,
+    optional DISTINCT wrapper. Compared as whole sorted frames, so
+    clause interactions (join+filter+agg+having) are certified, not
+    just scalar expressions."""
+    join = g.random() < 0.4
+    keys = ["l_returnflag"]
+    if g.random() < 0.5:
+        keys.append(g.choice(["l_linestatus", "(l_orderkey % 7)"]))
+    if join and g.random() < 0.5:
+        keys.append("o_orderstatus")
+    aggs = [agg_item(g) for _ in range(g.randint(1, 3))]
+    if join and g.random() < 0.5:
+        aggs.append(
+            f"round({g.choice(['sum', 'avg', 'min', 'max'])}"
+            f"(o_totalprice), 2)"
+        )
+    sel_keys = ", ".join(
+        f"{k} AS k{i}" for i, k in enumerate(keys)
+    )
+    sel_aggs = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+    sql = f"SELECT {sel_keys}, {sel_aggs}, count(*) AS n FROM lineitem"
+    if join:
+        sql += " JOIN orders ON l_orderkey = o_orderkey"
+    if g.random() < 0.6:
+        sql += f" WHERE {bool_expr(g, 1)}"
+    sql += " GROUP BY " + ", ".join(keys)
+    if g.random() < 0.4:
+        sql += f" HAVING count(*) > {g.randint(0, 50)}"
+    return sql
+
+
+def qualify_stmt(g: random.Random) -> str:
+    """QUALIFY / DISTINCT ON statements — the recursive window-subquery
+    rewriters. A unique total order makes every pick deterministic."""
+    if g.random() < 0.5:
+        part = g.choice(["l_returnflag", "l_linestatus"])
+        fn = g.choice(["row_number()", "rank()", "dense_rank()"])
+        k = g.randint(1, 5)
+        return (
+            f"SELECT l_orderkey, l_linenumber, {part} AS grp, "
+            f"l_extendedprice FROM lineitem "
+            f"QUALIFY {fn} OVER (PARTITION BY {part} "
+            f"ORDER BY {WIN_ORDER[len('ORDER BY '):]}) <= {k}"
+        )
+    part = g.choice(["l_returnflag", "l_linestatus", "(l_orderkey % 5)"])
+    return (
+        f"SELECT DISTINCT ON ({part}) {part} AS grp, l_orderkey, "
+        f"l_linenumber, l_quantity FROM lineitem "
+        f"ORDER BY {part}, {WIN_ORDER[len('ORDER BY '):]}"
+    )
+
+
 def run_stmt(spark, con, translate, sql: str) -> bool:
     """Full-statement compare (sorted frames, per-column tolerance)."""
     odf = con.execute(sql).fetchdf()
@@ -398,13 +452,15 @@ def main() -> int:
     from component_duckdb_transformation_spark.sources.parquet_io import read_parquet
 
     spark = build_spark_session(app_name="fuzz-diff", threads=8, shuffle_partitions=8)
-    read_parquet(spark, f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
-        "lineitem"
-    )
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS FROM read_parquet('{sf_dir}/lineitem.parquet')"
-    )
+    for table in ("lineitem", "orders"):
+        read_parquet(
+            spark, f"{sf_dir}/{table}.parquet"
+        ).createOrReplaceTempView(table)
+        con.execute(
+            f"CREATE VIEW {table} AS "
+            f"FROM read_parquet('{sf_dir}/{table}.parquet')"
+        )
 
     g = random.Random(seed)
     scalar_n = n * 3 // 5
@@ -448,19 +504,25 @@ def main() -> int:
                 file=sys.stderr,
             )
 
-    # statement-level ASOF fuzz (ties): one Spark job each, so a small
-    # fixed count per run
+    # statement-level fuzz (ASOF ties + join/group/having statements):
+    # one Spark job each, so small fixed counts per run
     asof_n = int(opt("--asof", str(max(4, n // 30))))
-    for j in range(asof_n):
-        stmt = asof_stmt(g)
+    stmt_n = int(opt("--stmts", str(max(6, n // 20))))
+    stmts = [("asof", asof_stmt(g)) for _ in range(asof_n)]
+    stmts += [("groupby", groupby_stmt(g)) for _ in range(stmt_n)]
+    stmts += [("qualify", qualify_stmt(g)) for _ in range(max(4, n // 40))]
+    for j, (kind, stmt) in enumerate(stmts):
         try:
             if not run_stmt(spark, con, translate, stmt):
-                print(f"MISMATCH asof {stmt!r}")
+                print(f"MISMATCH {kind} {stmt!r}")
                 mismatches += 1
         except Exception as exc:  # noqa: BLE001
-            print(f"ERROR asof {stmt!r}: {str(exc)[:200]}")
+            print(f"ERROR {kind} {stmt!r}: {str(exc)[:200]}")
             mismatches += 1
-        print(f"# asof {j + 1}/{asof_n} mismatches={mismatches}", file=sys.stderr)
+        print(
+            f"# stmt {j + 1}/{len(stmts)} mismatches={mismatches}",
+            file=sys.stderr,
+        )
 
     print(f"\n{mismatches} mismatches over {n} expressions (seed {seed})")
     return 1 if mismatches else 0
