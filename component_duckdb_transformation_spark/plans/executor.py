@@ -973,6 +973,15 @@ class SparkStatementExecutor:
         cols = []
         pred = f"coalesce(({translate(where)}), false)" if where else "true"
         assigned = {c.lower(): e for c, e in assignments}
+        # a stale column (e.g. renamed away) must fail like DuckDB's
+        # binder, not silently no-op (round-6 mutation-fuzz find)
+        field_names = {f.name.lower() for f in current.schema.fields}
+        for col, _ in assignments:
+            if col.lower() not in field_names:
+                raise UserException(
+                    f"UPDATE: referenced update column '{col}' not found "
+                    f"in table '{name}'"
+                )
         for fld in current.schema.fields:
             expr = assigned.get(fld.name.lower())
             if expr is not None:

@@ -63,6 +63,18 @@ def gen_ops(g: random.Random, n_ops: int) -> list:
                 "FROM t1 WHERE k % 2 = 0"
             )
             has_t2 = True
+            if g.random() < 0.5:
+                # schema evolution on the copy: ALTER + backfill
+                ops.append("ALTER TABLE t2 ADD COLUMN extra BIGINT")
+                ops.append(
+                    f"UPDATE t2 SET extra = k * {g.randint(2, 9)} "
+                    f"WHERE k % 3 = 0"
+                )
+            elif g.random() < 0.5:
+                ops.append("ALTER TABLE t2 RENAME COLUMN p TO price")
+                ops.append(
+                    f"DELETE FROM t2 WHERE price < {g.randint(1000, 90000)}"
+                )
         elif c == 5 and has_t2:
             # (no MERGE here: this environment's DuckDB has no MERGE
             # statement to diff against — x26 +
@@ -81,37 +93,55 @@ def gen_ops(g: random.Random, n_ops: int) -> list:
     return ops
 
 
+def _sorted_frame(df):
+    """Order rows by every column (floats rounded so sub-tolerance
+    engine noise can't flip the sort); NaN/None normalized for keys."""
+    import pandas as pd
+
+    keys = {}
+    for c in df.columns:
+        col = df[c]
+        try:
+            keys[c] = col.astype(float).round(6)
+        except (ValueError, TypeError):
+            keys[c] = col.astype(str)
+    order = pd.DataFrame(keys).sort_values(list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+
 def compare_tables(spark, con, tables) -> list:
+    """Schema-aware compare: column SETS must match (ALTER ops change
+    them mid-sequence), then values column-by-column with float
+    tolerance."""
     bad = []
     for t in tables:
         try:
-            s = (
-                spark.table(t)
-                .toPandas()
-                .sort_values(["k", "s", "p"])
-                .reset_index(drop=True)
-            )
-            o = (
-                con.execute(f"SELECT * FROM {t}")
-                .fetchdf()
-                .sort_values(["k", "s", "p"])
-                .reset_index(drop=True)
-            )
+            s = spark.table(t).toPandas()
+            o = con.execute(f"SELECT * FROM {t}").fetchdf()
         except Exception as exc:  # noqa: BLE001
             bad.append(f"{t}: read error {str(exc)[:120]}")
+            continue
+        if sorted(s.columns) != sorted(o.columns):
+            bad.append(
+                f"{t}: columns spark={sorted(s.columns)} "
+                f"duck={sorted(o.columns)}"
+            )
             continue
         if len(s) != len(o):
             bad.append(f"{t}: rows spark={len(s)} duck={len(o)}")
             continue
-        for col in ("k", "s", "p"):
+        s = _sorted_frame(s[sorted(s.columns)])
+        o = _sorted_frame(o[sorted(o.columns)])
+        for col in s.columns:
             sv, ov = s[col].to_numpy(), o[col].to_numpy()
-            if col == "p":
-                if not np.allclose(
-                    sv.astype(float), ov.astype(float), rtol=1e-9
-                ):
+            try:
+                svf, ovf = sv.astype(float), ov.astype(float)
+                nan = np.isnan(svf) & np.isnan(ovf)
+                if not np.all(np.isclose(svf, ovf, rtol=1e-9) | nan):
                     bad.append(f"{t}.{col}: value mismatch")
-            elif not (sv.astype(str) == ov.astype(str)).all():
-                bad.append(f"{t}.{col}: value mismatch")
+            except (ValueError, TypeError):
+                if not (sv.astype(str) == ov.astype(str)).all():
+                    bad.append(f"{t}.{col}: value mismatch")
     return bad
 
 
@@ -164,16 +194,23 @@ def main() -> int:
         )
         err = None
         for op in ops:
+            serr = derr = None
             try:
                 for st in parse_script(op):
                     ex._execute_statement(st)
             except Exception as exc:  # noqa: BLE001
-                err = f"spark: {op!r}: {str(exc)[:160]}"
-                break
+                serr = str(exc)[:160]
             try:
                 con.execute(op)
             except Exception as exc:  # noqa: BLE001
-                err = f"duck: {op!r}: {str(exc)[:160]}"
+                derr = str(exc)[:160]
+            # error PARITY is the contract: both engines rejecting a
+            # statement (e.g. UPDATE on a renamed-away column) is a
+            # pass; only one side erroring is a divergence. Mutations
+            # are copy-on-write/atomic on the Spark side, so an errored
+            # statement left no partial state on either engine.
+            if (serr is None) != (derr is None):
+                err = f"error divergence on {op!r}: spark={serr!r} duck={derr!r}"
                 break
         if err:
             print(f"SEQ {i} ERROR {err}")
