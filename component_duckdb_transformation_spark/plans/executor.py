@@ -1063,8 +1063,18 @@ class SparkStatementExecutor:
 
     def _delete(self, st: ParsedStatement) -> None:
         name = next(iter(st.outputs), None)
-        where = _delete_where(st.sql)
-        if where is None:
+        using, where = _delete_using_where(st.sql)
+        if using is not None:
+            # DELETE FROM t USING src WHERE pred: delete target rows
+            # with ANY qualifying source match — an anti-join (NOT
+            # EXISTS), the plan Catalyst turns into a hash LeftAnti
+            pred = translate(where) if where else "true"
+            new_df = self.spark.sql(
+                f"SELECT {_bt(name)}.* FROM {_bt(name)} "
+                f"WHERE NOT EXISTS (SELECT 1 FROM {translate(using)} "
+                f"WHERE coalesce(({pred}), false))"
+            )
+        elif where is None:
             new_df = self.spark.table(_bt(name)).limit(0)
         else:
             new_df = self.spark.table(_bt(name)).filter(
@@ -2001,13 +2011,32 @@ def _parse_drop(sql: str) -> Optional[tuple[str, bool]]:
 
 
 def _delete_where(sql: str) -> Optional[str]:
+    return _delete_using_where(sql)[1]
+
+
+def _delete_using_where(sql: str) -> tuple[Optional[str], Optional[str]]:
+    """Split ``DELETE FROM t [USING sources] [WHERE pred]`` into
+    (using_text, where_text)."""
     tokens = tokenize(sql)
     depth = 0
+    using_idx = where_idx = None
     for i, tok in enumerate(tokens):
         if tok.kind == "op" and tok.text == "(":
             depth += 1
         elif tok.kind == "op" and tok.text == ")":
             depth -= 1
+        elif depth == 0 and tok.is_kw("USING") and using_idx is None:
+            using_idx = i
         elif depth == 0 and tok.is_kw("WHERE"):
-            return "".join(t.text for t in tokens[i + 1:]).strip()
-    return None
+            where_idx = i
+            break
+    where = (
+        "".join(t.text for t in tokens[where_idx + 1:]).strip()
+        if where_idx is not None
+        else None
+    )
+    using = None
+    if using_idx is not None:
+        end = where_idx if where_idx is not None else len(tokens)
+        using = "".join(t.text for t in tokens[using_idx + 1: end]).strip()
+    return using, where

@@ -514,3 +514,22 @@ def test_union_by_name(spark, table_store):
     with pytest.raises(Exception):
         _run(ex, "CREATE TABLE ubn_bad AS SELECT 1 AS a "
                  "UNION BY NAME SELECT z FROM no_such_table")
+
+
+def test_delete_using(spark, table_store):
+    """DELETE FROM t USING src WHERE pred — anti-join delete (DuckDB/
+    Postgres form), added in round 6."""
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE del_t AS SELECT * FROM "
+             "(VALUES (1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)) v(k, p)")
+    _run(ex, "CREATE TABLE del_s AS SELECT * FROM (VALUES (1), (3)) v(k)")
+    _run(ex, "DELETE FROM del_t USING del_s WHERE del_t.k = del_s.k")
+    rows = sorted(tuple(r) for r in spark.table("del_t").collect())
+    assert [r[0] for r in rows] == [2, 4]
+    # no matches deletes nothing
+    _run(ex, "DELETE FROM del_t USING del_s WHERE del_t.k = del_s.k + 100")
+    assert spark.table("del_t").count() == 2

@@ -85,6 +85,12 @@ def gen_ops(g: random.Random, n_ops: int) -> list:
                 f"UPDATE t2 SET p = round(p * 1.0{delta}, 2) "
                 f"WHERE k IN (SELECT k FROM t1 WHERE k % 4 = 0)"
             )
+        elif c == 6 and has_t2:
+            mod = g.choice([5, 7, 11])
+            ops.append(
+                f"DELETE FROM t1 USING t2 "
+                f"WHERE t1.k = t2.k AND t2.k % {mod} = 0"
+            )
         else:
             a = g.randint(1, 1500)
             ops.append(
