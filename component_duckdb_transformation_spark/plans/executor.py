@@ -608,6 +608,19 @@ class SparkStatementExecutor:
             if head == "COPY":
                 self._copy(st)
                 return
+            if head == "TRUNCATE":
+                # TRUNCATE [TABLE] t = DELETE FROM t (empty rewrite)
+                rest = first[1].strip().rstrip(";") if len(first) > 1 else ""
+                parts = rest.split()
+                if parts and parts[0].upper() == "TABLE":
+                    parts = parts[1:]
+                if not parts:
+                    raise UserException(f"TRUNCATE without table: {st.sql[:80]}")
+                tname = parts[0].strip('`"')
+                self.store.rewrite(
+                    tname, self.spark.table(_bt(tname)).limit(0)
+                )
+                return
             if head == "SUMMARIZE":
                 # DuckDB profiling statement; result registered as the
                 # summarize view so scripts can SELECT from it
@@ -942,6 +955,12 @@ class SparkStatementExecutor:
         name = next(iter(st.outputs), None)
         if name is None:
             raise UserException(f"Cannot determine table name in: {st.sql[:100]}")
+        if re.search(r"(?i)\bIF\s+NOT\s+EXISTS\b", st.sql):
+            try:
+                self.spark.table(_bt(name))
+                return  # exists: IF NOT EXISTS is a no-op, not a replace
+            except Exception:  # noqa: BLE001 — not there: create below
+                pass
         body = _body_after_as(st.sql, allow_missing=True)
         if body is None:
             # bare DDL: CREATE TABLE t (col type, ...) -> empty table

@@ -533,3 +533,28 @@ def test_delete_using(spark, table_store):
     # no matches deletes nothing
     _run(ex, "DELETE FROM del_t USING del_s WHERE del_t.k = del_s.k + 100")
     assert spark.table("del_t").count() == 2
+
+
+def test_truncate_and_create_if_not_exists(spark, table_store):
+    """TRUNCATE [TABLE] empties in place; CREATE TABLE IF NOT EXISTS on
+    an existing table is a no-op, not a silent replace (round-6 probes)."""
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE tr_t (k INTEGER, name VARCHAR, p DOUBLE)")
+    _run(ex, "INSERT INTO tr_t VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    # existing table: schema must NOT change to the 1-column form
+    _run(ex, "CREATE TABLE IF NOT EXISTS tr_t (k INTEGER)")
+    assert spark.table("tr_t").columns == ["k", "name", "p"]
+    assert spark.table("tr_t").count() == 2
+    _run(ex, "TRUNCATE tr_t")
+    assert spark.table("tr_t").count() == 0
+    assert spark.table("tr_t").columns == ["k", "name", "p"]
+    _run(ex, "INSERT INTO tr_t VALUES (9, 'z', 9.9)")
+    _run(ex, "TRUNCATE TABLE tr_t")
+    assert spark.table("tr_t").count() == 0
+    # IF NOT EXISTS on a missing table creates it
+    _run(ex, "CREATE TABLE IF NOT EXISTS tr_new AS SELECT 5 AS x")
+    assert spark.table("tr_new").count() == 1
