@@ -159,6 +159,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_concat_null_skipping(tokens)
     tokens = _rewrite_substr_window(tokens)
     tokens = _rewrite_brackets(tokens)
+    tokens = _rewrite_series_table_fns(tokens)
     tokens = _rewrite_operator_fn_aliases(tokens)
     tokens = _rewrite_polymorphic_len(tokens)
     tokens = _rewrite_star_replace(tokens)
@@ -2405,6 +2406,87 @@ _LAMBDA_FNS = {
     "transform_keys", "transform_values", "list_sort", "array_sort",
     "list_aggregate", "fold",
 }
+
+
+def _rewrite_series_table_fns(tokens: List[Token]) -> List[Token]:
+    """FROM-position series table functions. ``FROM generate_series(a,
+    b[, s])`` (inclusive) becomes an exploded sequence subquery whose
+    column keeps DuckDB's name ``generate_series``; ``FROM range(...)``
+    maps to Spark's native range TVF (same exclusive-end semantics) with
+    its ``id`` column renamed to DuckDB's ``range``. Scalar positions
+    are untouched (both are list-returning there; handled elsewhere)."""
+    out: List[Token] = []
+    prev_code: Optional[Token] = None
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if (
+            tok.kind == "word"
+            and tok.text.lower() in ("generate_series", "range")
+            and prev_code is not None
+            and prev_code.kind == "word"
+            and prev_code.upper in ("FROM", "JOIN")
+        ):
+            p = _next_code(tokens, i)
+            if p < n and tokens[p].kind == "op" and tokens[p].text == "(":
+                close = _matching_paren(tokens, p)
+                inner = _rewrite_series_table_fns(tokens[i + 1 : close + 1])
+                temporal = any(
+                    t.kind == "word"
+                    and t.upper in ("DATE", "TIMESTAMP", "INTERVAL")
+                    for t in tokens[p : close + 1]
+                )
+                rargs = _split_top_level_args(tokens, p, close)
+                rendered = [
+                    "".join(x.text for x in arg).strip() for arg in rargs
+                ]
+                if temporal and len(rendered) == 3:
+                    # temporal series: DuckDB yields TIMESTAMPs (DATE
+                    # endpoints widen); Spark's range TVF is BIGINT-only
+                    # so both go through an exploded sequence —
+                    # inclusive for generate_series, with DuckDB's
+                    # EXCLUSIVE end re-applied for range (positive step)
+                    a_t, b_t, s_t = rendered
+                    colname = (
+                        "generate_series"
+                        if tok.text.lower() == "generate_series"
+                        else "`range`"
+                    )
+                    seq = (
+                        f"sequence(CAST(({a_t}) AS TIMESTAMP), "
+                        f"CAST(({b_t}) AS TIMESTAMP), {s_t})"
+                    )
+                    if tok.text.lower() == "generate_series":
+                        out.extend(
+                            _toks(
+                                f"(SELECT explode({seq}) AS {colname})"
+                            )
+                        )
+                    else:
+                        out.extend(
+                            _toks(
+                                f"(SELECT * FROM (SELECT explode({seq}) "
+                                f"AS {colname}) WHERE {colname} < "
+                                f"CAST(({b_t}) AS TIMESTAMP))"
+                            )
+                        )
+                elif tok.text.lower() == "generate_series":
+                    out.extend(_toks("(SELECT explode(sequence"))
+                    out.extend(inner)
+                    out.extend(_toks(") AS generate_series)"))
+                else:
+                    out.extend(_toks("(SELECT id AS `range` FROM range"))
+                    out.extend(inner)
+                    out.extend(_toks(")"))
+                prev_code = out[-1]
+                i = close + 1
+                continue
+        out.append(tok)
+        if tok.kind not in ("ws", "comment"):
+            prev_code = tok
+        i += 1
+    return out
 
 
 _OPERATOR_FN_ALIASES = {"add": "+", "subtract": "-", "multiply": "*", "divide": "//"}

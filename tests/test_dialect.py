@@ -1336,3 +1336,44 @@ def test_distinct_on_aliased_key_with_hidden_order_columns(spark):
     want = sorted(tuple(r) for r in con.execute(q).fetchall())
     got = sorted(tuple(r) for r in spark.sql(translate(q)).collect())
     assert got == want
+
+
+def test_series_table_functions(spark):
+    """FROM-position generate_series (inclusive, column named
+    generate_series) and range (exclusive, column named range),
+    integer and temporal forms — diffed vs DuckDB (round 6)."""
+    import datetime
+
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [
+        "SELECT * FROM generate_series(1, 4)",
+        "SELECT * FROM generate_series(0, 10, 2)",
+        "SELECT g.generate_series AS v FROM generate_series(1, 3) g",
+        "SELECT r.range AS v FROM range(3) r",
+        "SELECT * FROM range(2, 8, 3)",
+        "SELECT d.range AS v FROM range(DATE '2024-01-01', "
+        "DATE '2024-01-04', INTERVAL 1 DAY) d",
+        "SELECT g.generate_series AS v FROM generate_series("
+        "DATE '2024-01-01', DATE '2024-01-03', INTERVAL 1 DAY) g",
+        "SELECT count(*) AS n FROM range(3) r JOIN generate_series(0, 2) g "
+        "ON r.range = g.generate_series",
+        "SELECT generate_series(1, 3) AS v",  # scalar position: a LIST
+    ]
+
+    def norm(rows):
+        return [
+            tuple(
+                v.replace(tzinfo=None)
+                if isinstance(v, datetime.datetime)
+                else v
+                for v in r
+            )
+            for r in rows
+        ]
+
+    for q in cases:
+        want = norm(con.execute(q).fetchall())
+        got = norm(tuple(r) for r in spark.sql(translate(q)).collect())
+        assert str(want) == str(got), (q, want[:4], got[:4])
