@@ -2068,12 +2068,37 @@ def _rewrite_strftime(tokens: List[Token]) -> List[Token]:
                 close = _matching_paren(tokens, p_open)
                 args = _split_top_level_args(tokens, p_open, close)
                 if len(args) == 2:
-                    fn = {"strftime": "date_format", "strptime": "to_timestamp", "try_strptime": "try_to_timestamp"}[tok.text.lower()]
-                    out.append(Token("word", fn))
-                    out.append(Token("op", "("))
+                    low_fn = tok.text.lower()
+                    fn = {
+                        "strftime": "date_format",
+                        "strptime": "to_timestamp",
+                        "try_strptime": "try_to_timestamp",
+                    }[low_fn]
+                    # parse-side year adjustments (strptime family):
+                    # - no year directive at all: DuckDB's base year is
+                    #   1900, Spark's 1970 -> shift back 70 years
+                    # - %y two-digit year: C pivots 69-99 into the
+                    #   1900s, Java 'yy' always parses 20yy -> shift
+                    #   back a century when the parsed year lands >= x69
+                    adjust = None
+                    if low_fn in ("strptime", "try_strptime"):
+                        fmt_all = "".join(
+                            t.text for t in args[1] if t.kind == "string"
+                        )
+                        if fmt_all and not re.search(
+                            r"%[-]?[yYG]", fmt_all
+                        ):
+                            adjust = "base1900"
+                        elif re.search(r"%[-]?y", fmt_all) and not re.search(
+                            r"%[-]?[YG]", fmt_all
+                        ):
+                            adjust = "c_pivot"
+                    call: List[Token] = [
+                        Token("word", fn), Token("op", "(")
+                    ]
                     # recurse: the value arg may itself contain strftime calls
-                    out.extend(_rewrite_strftime(args[0]))
-                    out.append(Token("op", ","))
+                    call.extend(_rewrite_strftime(args[0]))
+                    call.append(Token("op", ","))
                     for t in args[1]:
                         if t.kind == "string":
                             # decode the SQL literal, convert, re-encode:
@@ -2081,15 +2106,30 @@ def _rewrite_strftime(tokens: List[Token]) -> List[Token]:
                             # characters ('T' literals, '' escapes)
                             inner = t.text[1:-1].replace("''", "'")
                             conv = _convert_strftime_format(inner)
-                            out.append(
+                            call.append(
                                 Token(
                                     "string",
                                     "'" + conv.replace("'", "''") + "'",
                                 )
                             )
                         else:
-                            out.append(t)
-                    out.append(Token("op", ")"))
+                            call.append(t)
+                    call.append(Token("op", ")"))
+                    call_sql = "".join(t.text for t in call)
+                    if adjust == "base1900":
+                        out.extend(
+                            _toks(f"({call_sql} - make_ym_interval(70, 0))")
+                        )
+                    elif adjust == "c_pivot":
+                        out.extend(
+                            _toks(
+                                f"(CASE WHEN year({call_sql}) % 100 >= 69 "
+                                f"THEN {call_sql} - make_ym_interval(100, 0) "
+                                f"ELSE {call_sql} END)"
+                            )
+                        )
+                    else:
+                        out.extend(call)
                     i = close + 1
                     continue
         out.append(tok)

@@ -227,3 +227,19 @@ def test_bar_degenerate_range(spark, con):
         "SELECT bar(1.0, 1.5, 1.5, 10) AS v",
         "SELECT bar(3.0, 0.0, 4.0, 12) AS v",
     ])
+
+
+def test_strptime_year_defaults(spark, con):
+    """strptime parse-side year semantics: no year directive -> base
+    1900 (not Spark's 1970); %y pivots 69-99 into the 1900s like C
+    (not Java's always-20yy)."""
+    _check(spark, con, [
+        "SELECT strptime('05/03', '%d/%m') AS v",
+        "SELECT strptime('10:30', '%H:%M') AS v",
+        "SELECT strptime('99', '%y') AS v",
+        "SELECT strptime('68', '%y') AS v",
+        "SELECT strptime('69', '%y') AS v",
+        "SELECT strptime('05/03/99', '%d/%m/%y') AS v",
+        "SELECT strptime('2024-03-05', '%Y-%m-%d') AS v",
+        "SELECT try_strptime('xx', '%y') AS v",
+    ])
