@@ -3836,6 +3836,30 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     )
                     i = close + 1
                     continue
+                if low == "struct_extract" and len(args) == 2:
+                    # literal field name -> dot access (Spark has no
+                    # struct_extract function)
+                    s_, f_code = _sql(inner, *args[0]), [
+                        t
+                        for t in inner[args[1][0]: args[1][1]]
+                        if t.kind not in ("ws", "comment")
+                    ]
+                    if len(f_code) == 1 and f_code[0].kind == "string":
+                        fname2 = f_code[0].text[1:-1]
+                        out.extend(_toks(f"(({s_}).`{fname2}`)"))
+                        i = close + 1
+                        continue
+                if low == "map_extract" and len(args) == 2:
+                    # DuckDB returns a LIST: [value] on hit, [] on miss
+                    m_, k_ = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(
+                            f"filter(array(try_element_at(({m_}), ({k_}))), "
+                            f"xx -> xx IS NOT NULL)"
+                        )
+                    )
+                    i = close + 1
+                    continue
                 if low in ("count", "count_star") and ihi == ilo:
                     # DuckDB count() / count_star() = count(*)
                     out.extend(_toks("count(*)"))

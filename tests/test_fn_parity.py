@@ -243,3 +243,15 @@ def test_strptime_year_defaults(spark, con):
         "SELECT strptime('2024-03-05', '%Y-%m-%d') AS v",
         "SELECT try_strptime('xx', '%y') AS v",
     ])
+
+
+def test_struct_map_shims(spark, con):
+    _check(spark, con, [
+        "SELECT struct_extract({'a': 1, 'b': 'x'}, 'b') AS v",
+        "SELECT map_extract(MAP {'k': 5}, 'k') AS v",
+        "SELECT map_extract(MAP {'k': 5}, 'nope') AS v",
+        "SELECT map_keys(MAP {'k': 5}) AS v",
+        "SELECT map_values(MAP {'k': 5}) AS v",
+        "SELECT cardinality(MAP {'k': 5, 'j': 6}) AS v",
+        "SELECT ({'a': 1}).a AS v",
+    ])
