@@ -247,7 +247,28 @@ def win_item(g: random.Random) -> str:
     """Deterministic window expression: the ORDER BY is a unique total
     order, so every ranking/offset/frame function is reproducible."""
     part = g.choice(["", "PARTITION BY l_returnflag ", "PARTITION BY l_linestatus "])
-    choice = g.randrange(5)
+    choice = g.randrange(8)
+    if choice == 5:
+        col = g.choice(INT_COLS)
+        k = g.randint(1, 4)
+        return (
+            f"nth_value({col}, {k}) OVER ({part}{WIN_ORDER} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    if choice == 6:
+        # lead/lag with an explicit default
+        col = g.choice(INT_COLS)
+        fn = g.choice(["lag", "lead"])
+        return (
+            f"{fn}({col}, {g.randint(1, 3)}, {g.randint(-5, 5)}) "
+            f"OVER ({part}{WIN_ORDER})"
+        )
+    if choice == 7:
+        col = g.choice(INT_COLS)
+        return (
+            f"last_value({col}) OVER ({part}{WIN_ORDER} "
+            f"ROWS BETWEEN {g.randint(1, 4)} PRECEDING AND CURRENT ROW)"
+        )
     if choice == 0:
         fn = g.choice(["row_number()", "rank()", "dense_rank()", "ntile(7)"])
         return f"{fn} OVER ({part}{WIN_ORDER})"
