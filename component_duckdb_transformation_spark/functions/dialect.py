@@ -153,6 +153,8 @@ def translate(sql: str) -> str:
     tokens = tokenize(sql)
     tokens = _from_first_scope(_rewrite_from_first(tokens))
     tokens = _rewrite_table_name_literals(tokens)
+    # e'...' decoding must precede the raw-string backslash doubling
+    tokens = _rewrite_escape_strings(tokens)
     tokens = _rewrite_string_escapes(tokens)
     tokens = _rewrite_quoted_identifiers(tokens)
     tokens = _rewrite_brace_literals(tokens)
@@ -2446,6 +2448,60 @@ _LAMBDA_FNS = {
     "transform_keys", "transform_values", "list_sort", "array_sort",
     "list_aggregate", "fold",
 }
+
+
+_ESCAPE_MAP = {
+    "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+    "\\": "\\", "'": "'", '"': '"', "0": "\0",
+}
+
+
+def _rewrite_escape_strings(tokens: List[Token]) -> List[Token]:
+    """DuckDB escape strings ``e'a\\tb'`` / ``E'...'``: interpret the
+    backslash escapes and emit a plain literal (runs before the
+    raw-string backslash doubling, which would otherwise preserve the
+    backslashes verbatim)."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if (
+            tok.kind == "word"
+            and tok.text.lower() == "e"
+            and i + 1 < n
+            and tokens[i + 1].kind == "string"
+        ):
+            raw = tokens[i + 1].text[1:-1].replace("''", "'")
+            decoded: List[str] = []
+            k = 0
+            while k < len(raw):
+                c = raw[k]
+                if c == "\\" and k + 1 < len(raw):
+                    nxt = raw[k + 1]
+                    if nxt in _ESCAPE_MAP:
+                        decoded.append(_ESCAPE_MAP[nxt])
+                        k += 2
+                        continue
+                    if nxt in ("x", "u") :
+                        width = 2 if nxt == "x" else 4
+                        hexs = raw[k + 2 : k + 2 + width]
+                        if len(hexs) == width and all(
+                            h in "0123456789abcdefABCDEF" for h in hexs
+                        ):
+                            decoded.append(chr(int(hexs, 16)))
+                            k += 2 + width
+                            continue
+                decoded.append(c)
+                k += 1
+            out.append(
+                Token("string", "'" + "".join(decoded).replace("'", "''") + "'")
+            )
+            i += 2
+            continue
+        out.append(tok)
+        i += 1
+    return out
 
 
 def _rewrite_series_table_fns(tokens: List[Token]) -> List[Token]:

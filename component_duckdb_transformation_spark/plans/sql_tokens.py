@@ -39,8 +39,28 @@ class Token:
         return self.kind == "word" and self.text.upper() in kws
 
 
+def _dollar_quote_end(sql: str, i: int):
+    """At a '$': if this opens a DuckDB dollar-quoted string ($$ or
+    $tag$), return (index after the opening delimiter, index of the
+    closing delimiter); else None."""
+    n = len(sql)
+    j = i + 1
+    while j < n and (sql[j].isalnum() or sql[j] == "_"):
+        j += 1
+    if j >= n or sql[j] != "$":
+        return None
+    delim = sql[i : j + 1]
+    close = sql.find(delim, j + 1)
+    if close < 0:
+        return None
+    return (j + 1, close)
+
+
 def tokenize(sql: str) -> List[Token]:
-    """Tokenize, preserving every character (join of token texts == sql)."""
+    """Tokenize, preserving every character (join of token texts == sql;
+    the two exceptions are dollar-quoted strings, normalized to standard
+    single-quoted literals, and numeric underscore separators, which are
+    stripped)."""
     tokens: List[Token] = []
     i, n = 0, len(sql)
     while i < n:
@@ -90,18 +110,36 @@ def tokenize(sql: str) -> List[Token]:
             j = n if j < 0 else j + 1
             tokens.append(Token("bident", sql[i:j]))
             i = j
+        elif ch == "$" and _dollar_quote_end(sql, i) is not None:
+            # DuckDB dollar-quoted string: $tag$ ... $tag$ — normalized
+            # to a standard single-quoted literal (the one place join of
+            # token texts != input; every consumer sees plain strings)
+            tag_end, close = _dollar_quote_end(sql, i)
+            content = sql[tag_end:close]
+            tokens.append(Token("string", "'" + content.replace("'", "''") + "'"))
+            i = close + (tag_end - i)  # skip the closing delimiter
         elif ch.isalnum() or ch == "_":
             j = i
             while j < n and (sql[j].isalnum() or sql[j] in "_$"):
                 j += 1
-            # keep floats like 1.5 / 1e-3 as one word token
-            if j < n and sql[j] == "." and sql[i:j].isdigit():
+            head = sql[i:j]
+            digits_only = head.replace("_", "").isdigit() and head[0].isdigit()
+            # keep floats like 1.5 / 1e-3 / 1_000.5 as one word token
+            if j < n and sql[j] == "." and digits_only:
                 k = j + 1
-                while k < n and (sql[k].isalnum() or sql[k] in "+-" and sql[k - 1] in "eE"):
+                while k < n and (sql[k].isalnum() or sql[k] in "_" or (sql[k] in "+-" and sql[k - 1] in "eE")):
                     k += 1
                 if k > j + 1:
                     j = k
-            tokens.append(Token("word", sql[i:j]))
+            text = sql[i:j]
+            if (
+                "_" in text
+                and text[0].isdigit()
+                and text.replace("_", "").replace(".", "", 1).isdigit()
+            ):
+                # DuckDB numeric underscore separators: 1_000_000
+                text = text.replace("_", "")
+            tokens.append(Token("word", text))
             i = j
         else:
             matched = False

@@ -255,3 +255,19 @@ def test_struct_map_shims(spark, con):
         "SELECT cardinality(MAP {'k': 5, 'j': 6}) AS v",
         "SELECT ({'a': 1}).a AS v",
     ])
+
+
+def test_lexical_forms(spark, con):
+    """Numeric underscore separators, dollar-quoted strings ($$ and
+    $tag$), and e'...' escape strings (round-6 lexical parity)."""
+    _check(spark, con, [
+        "SELECT 1_000_000 AS v",
+        "SELECT 1_000.5 AS v",
+        "SELECT 1_000_000 + 2_000 AS v",
+        "SELECT $$he's 'quoted'$$ AS v",
+        "SELECT $tag$nested $$ inner$tag$ AS v",
+        "SELECT e'a\\tb' AS v",
+        "SELECT E'line1\\nline2' AS v",
+        "SELECT e'back\\\\slash' AS v",
+        "SELECT length($$x;y$$) AS v",
+    ])
