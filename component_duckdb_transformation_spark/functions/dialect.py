@@ -164,6 +164,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_series_table_fns(tokens)
     tokens = _rewrite_operator_fn_aliases(tokens)
     tokens = _rewrite_polymorphic_len(tokens)
+    tokens = _rewrite_collations(tokens)
     tokens = _rewrite_star_replace(tokens)
     tokens = _rewrite_similar_to(tokens)
     tokens = _rewrite_asof_join(tokens)
@@ -2581,6 +2582,41 @@ def _rewrite_series_table_fns(tokens: List[Token]) -> List[Token]:
         out.append(tok)
         if tok.kind not in ("ws", "comment"):
             prev_code = tok
+        i += 1
+    return out
+
+
+# DuckDB collation names -> Spark 4 collation names
+_COLLATION_MAP = {"nocase": "UTF8_LCASE"}
+
+
+def _rewrite_collations(tokens: List[Token]) -> List[Token]:
+    """``COLLATE NOCASE`` -> Spark's ``COLLATE UTF8_LCASE``
+    (case-insensitive compare and ordering, verified equivalent).
+    Unmapped collations (NOACCENT and ICU locales need ICU tables) pass
+    through and fail loudly at parse."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        out.append(tok)
+        if tok.is_kw("COLLATE"):
+            j = _next_code(tokens, i)
+            if (
+                j < n
+                and tokens[j].kind in ("word", "qident", "string")
+                and tokens[j].text.strip("\"'").lower() in _COLLATION_MAP
+            ):
+                out.extend(tokens[i + 1 : j])
+                out.append(
+                    Token(
+                        "word",
+                        _COLLATION_MAP[tokens[j].text.strip("\"'").lower()],
+                    )
+                )
+                i = j + 1
+                continue
         i += 1
     return out
 

@@ -584,6 +584,13 @@ class SparkStatementExecutor:
         stype = st.statement_type
 
         if stype == StatementType.CREATE_VIEW:
+            if re.search(r"(?i)\bIF\s+NOT\s+EXISTS\b", st.sql):
+                name = next(iter(st.outputs), None)
+                try:
+                    self.spark.table(_bt(name))
+                    return  # exists: no-op, not a replace
+                except Exception:  # noqa: BLE001 — create below
+                    pass
             self._create_view(st)
         elif stype == StatementType.CREATE_TABLE:
             self._create_table(st)

@@ -558,3 +558,15 @@ def test_truncate_and_create_if_not_exists(spark, table_store):
     # IF NOT EXISTS on a missing table creates it
     _run(ex, "CREATE TABLE IF NOT EXISTS tr_new AS SELECT 5 AS x")
     assert spark.table("tr_new").count() == 1
+
+
+def test_create_view_if_not_exists_is_noop(spark, table_store):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE vine_t AS SELECT 1 AS x")
+    _run(ex, "CREATE VIEW vine_v AS SELECT x + 1 AS y FROM vine_t")
+    _run(ex, "CREATE VIEW IF NOT EXISTS vine_v AS SELECT 99 AS y")
+    assert [r.y for r in spark.table("vine_v").collect()] == [2]

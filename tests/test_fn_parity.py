@@ -271,3 +271,10 @@ def test_lexical_forms(spark, con):
         "SELECT e'back\\\\slash' AS v",
         "SELECT length($$x;y$$) AS v",
     ])
+
+
+def test_collate_nocase(spark, con):
+    _check(spark, con, [
+        "SELECT 'B' COLLATE NOCASE = 'b' AS v",
+        "SELECT min(x COLLATE NOCASE) AS v FROM (VALUES ('b'), ('A')) t(x)",
+    ])
