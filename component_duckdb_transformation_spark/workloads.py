@@ -873,6 +873,24 @@ _add_sql(
 )
 
 _add_sql(
+    "q57_lexical_and_series",
+    """
+    SELECT CAST(g.generate_series AS BIGINT) AS n,
+           CAST(1_000 + g.generate_series AS BIGINT) AS plus_k,
+           e'tab\\tsep' AS esc,
+           $$dollar 'quoted'$$ AS dq,
+           'B' COLLATE NOCASE = 'b' AS ci,
+           strptime('05/03', '%d/%m') AS base1900
+    FROM generate_series(1, 5) g
+    ORDER BY n
+    """,
+    description="round-6 lexical/series surface: FROM-position "
+    "generate_series, numeric underscores, e-string escapes, dollar "
+    "quotes, COLLATE NOCASE, strptime 1900 base — identical SQL runs "
+    "on both engines",
+)
+
+_add_sql(
     "q46_regexp_split_to_table",
     """
     SELECT w AS word, CAST(count(*) AS BIGINT) AS n
