@@ -167,6 +167,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_collations(tokens)
     tokens = _rewrite_star_replace(tokens)
     tokens = _rewrite_similar_to(tokens)
+    tokens = _rewrite_glob(tokens)
     tokens = _rewrite_asof_join(tokens)
     tokens = _rewrite_using_sample(tokens)
     tokens = _rewrite_statement_unpivot(tokens)
@@ -2582,6 +2583,56 @@ def _rewrite_series_table_fns(tokens: List[Token]) -> List[Token]:
         out.append(tok)
         if tok.kind not in ("ws", "comment"):
             prev_code = tok
+        i += 1
+    return out
+
+
+def _glob_to_regex(pat: str) -> str:
+    """Glob pattern -> anchored regex body: * -> .*, ? -> ., [...]
+    classes kept, other regex metachars escaped."""
+    out: List[str] = []
+    i = 0
+    n = len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = pat.find("]", i + 1)
+            if j > i:
+                out.append(pat[i : j + 1])
+                i = j + 1
+                continue
+            out.append("\\[")
+        elif c in ".^$+(){}|\\":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_glob(tokens: List[Token]) -> List[Token]:
+    """DuckDB ``x GLOB 'pat'`` (and NOT GLOB) with a literal pattern ->
+    anchored RLIKE. Dynamic patterns pass through and fail loudly."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.is_kw("GLOB"):
+            j = _next_code(tokens, i)
+            if j < n and tokens[j].kind == "string":
+                # a preceding NOT composes naturally (x NOT RLIKE p)
+                pat = _decode_spark_string(tokens[j])
+                regex = "^(?:" + _glob_to_regex(pat) + ")$"
+                out.extend(_toks(" RLIKE "))
+                out.append(_encode_spark_string(regex))
+                i = j + 1
+                continue
+        out.append(tok)
         i += 1
     return out
 

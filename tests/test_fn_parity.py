@@ -278,3 +278,14 @@ def test_collate_nocase(spark, con):
         "SELECT 'B' COLLATE NOCASE = 'b' AS v",
         "SELECT min(x COLLATE NOCASE) AS v FROM (VALUES ('b'), ('A')) t(x)",
     ])
+
+
+def test_glob_operator(spark, con):
+    _check(spark, con, [
+        "SELECT 'file.txt' GLOB '*.txt' AS v",
+        "SELECT 'file.txt' GLOB 'f?le.*' AS v",
+        "SELECT 'a1' GLOB 'a[0-9]' AS v",
+        "SELECT 'a.b' GLOB 'a.b' AS v",
+        "SELECT 'axb' GLOB 'a.b' AS v",
+        "SELECT NOT ('file.txt' GLOB '*.csv') AS v",
+    ])
