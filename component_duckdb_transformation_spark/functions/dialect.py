@@ -118,6 +118,9 @@ _FN_RENAMES = {
     "list": "collect_list",  # DuckDB list() aggregate = array_agg
     "kurtosis_pop": "kurtosis",  # Spark kurtosis IS the population stat
     "from_hex": "unhex",
+    "from_base64": "unbase64",
+    "json_keys": "json_object_keys",
+    "sum_no_overflow": "sum",
     "approx_quantile": "approx_percentile",
     # arg_max/arg_min: shimmed in _rewrite_call_shims (DuckDB SKIPS rows
     # whose value arg is NULL; Spark max_by would return them)
@@ -4873,11 +4876,15 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                         out.extend(_toks(f"named_struct({', '.join(fields)})"))
                         i = close + 1
                         continue
-                if low in ("like_escape", "ilike_escape") and len(args) == 3:
+                if low in (
+                    "like_escape", "ilike_escape",
+                    "not_like_escape", "not_ilike_escape",
+                ) and len(args) == 3:
                     a, b, c = (_sql(inner, s, e) for s, e in args)
-                    if low == "ilike_escape":
+                    if "ilike" in low:
                         a, b = f"lower({a})", f"lower({b})"
-                    out.extend(_toks(f"({a} LIKE {b} ESCAPE {c})"))
+                    neg = "NOT " if low.startswith("not_") else ""
+                    out.extend(_toks(f"({neg}{a} LIKE {b} ESCAPE {c})"))
                     i = close + 1
                     continue
                 # DuckDB puts IGNORE/RESPECT NULLS inside the call parens;

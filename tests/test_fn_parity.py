@@ -289,3 +289,15 @@ def test_glob_operator(spark, con):
         "SELECT 'axb' GLOB 'a.b' AS v",
         "SELECT NOT ('file.txt' GLOB '*.csv') AS v",
     ])
+
+
+def test_like_escape_family_and_json_keys(spark, con):
+    _check(spark, con, [
+        "SELECT not_like_escape('A_C', 'a!_c', '!') AS v",
+        "SELECT not_ilike_escape('A_C', 'a!_c', '!') AS v",
+        "SELECT ilike_escape('AbC', 'a!_c', '!') AS v",
+        "SELECT json_keys('{\"a\":1,\"b\":2}') AS v",
+        "SELECT decode(from_base64('YWJj')) AS v",
+        "SELECT sum_no_overflow(x) AS v FROM (VALUES (1), (2)) t(x)",
+        "SELECT position('b' IN 'abc') AS v",
+    ])
