@@ -120,7 +120,6 @@ _FN_RENAMES = {
     "from_hex": "unhex",
     "from_base64": "unbase64",
     "json_keys": "json_object_keys",
-    "sum_no_overflow": "sum",
     "approx_quantile": "approx_percentile",
     # arg_max/arg_min: shimmed in _rewrite_call_shims (DuckDB SKIPS rows
     # whose value arg is NULL; Spark max_by would return them)

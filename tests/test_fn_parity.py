@@ -298,6 +298,5 @@ def test_like_escape_family_and_json_keys(spark, con):
         "SELECT ilike_escape('AbC', 'a!_c', '!') AS v",
         "SELECT json_keys('{\"a\":1,\"b\":2}') AS v",
         "SELECT decode(from_base64('YWJj')) AS v",
-        "SELECT sum_no_overflow(x) AS v FROM (VALUES (1), (2)) t(x)",
         "SELECT position('b' IN 'abc') AS v",
     ])
