@@ -155,6 +155,7 @@ def translate(sql: str) -> str:
     tokens = tokenize(sql)
     tokens = _from_first_scope(_rewrite_from_first(tokens))
     tokens = _rewrite_table_name_literals(tokens)
+    tokens = _rewrite_numeric_underscores(tokens)
     # e'...' decoding must precede the raw-string backslash doubling
     tokens = _rewrite_escape_strings(tokens)
     tokens = _rewrite_string_escapes(tokens)
@@ -2452,6 +2453,30 @@ _LAMBDA_FNS = {
     "transform_keys", "transform_values", "list_sort", "array_sort",
     "list_aggregate", "fold",
 }
+
+
+_NUMERIC_UNDERSCORE_RE = re.compile(
+    r"^\d+(_\d+)*(\.\d+(_\d+)*)?([eE][+-]?\d+)?$"
+)
+
+
+def _rewrite_numeric_underscores(tokens: List[Token]) -> List[Token]:
+    """DuckDB numeric underscore separators (1_000_000, 1_000.5):
+    stripped when the token is a well-formed underscored numeric —
+    underscores only BETWEEN digits (a trailing/leading/doubled
+    underscore keeps the token verbatim)."""
+    out: List[Token] = []
+    for tok in tokens:
+        if (
+            tok.kind == "word"
+            and "_" in tok.text
+            and tok.text[0].isdigit()
+            and _NUMERIC_UNDERSCORE_RE.match(tok.text)
+        ):
+            out.append(Token("word", tok.text.replace("_", "")))
+        else:
+            out.append(tok)
+    return out
 
 
 _ESCAPE_MAP = {

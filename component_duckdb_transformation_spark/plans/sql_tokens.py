@@ -58,9 +58,8 @@ def _dollar_quote_end(sql: str, i: int):
 
 def tokenize(sql: str) -> List[Token]:
     """Tokenize, preserving every character (join of token texts == sql;
-    the two exceptions are dollar-quoted strings, normalized to standard
-    single-quoted literals, and numeric underscore separators, which are
-    stripped)."""
+    the one exception is dollar-quoted strings, normalized to standard
+    single-quoted literals)."""
     tokens: List[Token] = []
     i, n = 0, len(sql)
     while i < n:
@@ -131,15 +130,10 @@ def tokenize(sql: str) -> List[Token]:
                     k += 1
                 if k > j + 1:
                     j = k
-            text = sql[i:j]
-            if (
-                "_" in text
-                and text[0].isdigit()
-                and text.replace("_", "").replace(".", "", 1).isdigit()
-            ):
-                # DuckDB numeric underscore separators: 1_000_000
-                text = text.replace("_", "")
-            tokens.append(Token("word", text))
+            # (numeric underscore separators like 1_000_000 stay in the
+            # token here — the dialect strips them, keeping this
+            # tokenizer lossless for arbitrary input)
+            tokens.append(Token("word", sql[i:j]))
             i = j
         else:
             matched = False

@@ -43,3 +43,12 @@ def test_split_statements_respects_strings_and_comments(stmts):
     parts = split_statements(script)
     # a ';' inside a string literal or comment never splits a statement
     assert len(parts) == len([s for s in stmts])
+
+
+def test_dollar_quotes_normalize_to_standard_strings():
+    # the ONE intended losslessness exception: $tag$...$tag$ becomes a
+    # standard single-quoted literal (content preserved, quotes doubled)
+    toks = [t for t in tokenize("SELECT $$a'b$$, $t$x$t$") if t.kind == "string"]
+    assert [t.text for t in toks] == ["'a''b'", "'x'"]
+    # a bare $ that opens nothing stays verbatim
+    assert "".join(t.text for t in tokenize("SELECT $1 + 2")) == "SELECT $1 + 2"
