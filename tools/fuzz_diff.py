@@ -345,10 +345,19 @@ def groupby_stmt(g: random.Random) -> str:
     optional DISTINCT wrapper. Compared as whole sorted frames, so
     clause interactions (join+filter+agg+having) are certified, not
     just scalar expressions."""
-    join = g.random() < 0.4
+    join = g.choice([None, "JOIN", "LEFT JOIN"]) if g.random() < 0.6 else None
     keys = ["l_returnflag"]
     if g.random() < 0.5:
-        keys.append(g.choice(["l_linestatus", "(l_orderkey % 7)"]))
+        keys.append(
+            g.choice(
+                [
+                    "l_linestatus",
+                    "(l_orderkey % 7)",
+                    "date_trunc('month', l_shipdate)",
+                    "year(l_shipdate)",
+                ]
+            )
+        )
     if join and g.random() < 0.5:
         keys.append("o_orderstatus")
     aggs = [agg_item(g) for _ in range(g.randint(1, 3))]
@@ -363,7 +372,11 @@ def groupby_stmt(g: random.Random) -> str:
     sel_aggs = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
     sql = f"SELECT {sel_keys}, {sel_aggs}, count(*) AS n FROM lineitem"
     if join:
-        sql += " JOIN orders ON l_orderkey = o_orderkey"
+        sql += f" {join} orders ON l_orderkey = o_orderkey"
+        if join == "LEFT JOIN" and g.random() < 0.7:
+            # every l_orderkey matches, so narrow the join to make the
+            # LEFT actually null-extend rows
+            sql += f" AND o_totalprice > {g.randint(50000, 300000)}"
     if g.random() < 0.6:
         sql += f" WHERE {bool_expr(g, 1)}"
     sql += " GROUP BY " + ", ".join(keys)
@@ -407,15 +420,44 @@ def run_stmt(spark, con, translate, sql: str) -> bool:
     )
 
 
+def _dt_like(arr: np.ndarray) -> bool:
+    import datetime as _dt
+
+    if str(getattr(arr, "dtype", "")).startswith("datetime64"):
+        return True
+    return len(arr) > 0 and isinstance(arr[0], (_dt.date, _dt.datetime))
+
+
 def compare_cols(sa: np.ndarray, oa: np.ndarray) -> bool:
-    """Order-aligned column compare with float tolerance."""
+    """Order-aligned column compare with float tolerance; DATE vs
+    datetime64 fetch representations normalize through pandas (Spark
+    fetches DATE as python dates, DuckDB as datetime64 — same instants
+    stringify differently)."""
     try:
         a = sa.astype(float)
         b = oa.astype(float)
         nan = np.isnan(a) & np.isnan(b)
         return bool(np.all(np.isclose(a, b, rtol=1e-9, atol=1e-12) | nan))
     except (ValueError, TypeError):
-        return bool(np.all(sa.astype(str) == oa.astype(str)))
+        pass
+    if _dt_like(sa) or _dt_like(oa):
+        import pandas as pd
+
+        try:
+            da = pd.to_datetime(pd.Series(sa)).dt.tz_localize(None)
+        except TypeError:
+            da = pd.to_datetime(pd.Series(sa))
+        try:
+            db = pd.to_datetime(pd.Series(oa)).dt.tz_localize(None)
+        except TypeError:
+            db = pd.to_datetime(pd.Series(oa))
+        # values, not Series.equals: that is dtype-sensitive and
+        # datetime64[us] vs [ns] units differ between fetch paths
+        va = da.values.astype("datetime64[us]")
+        vb = db.values.astype("datetime64[us]")
+        both_nat = pd.isna(va) & pd.isna(vb)
+        return bool(np.all((va == vb) | both_nat))
+    return bool(np.all(sa.astype(str) == oa.astype(str)))
 
 
 def _sort_frame(df):
