@@ -385,6 +385,46 @@ def groupby_stmt(g: random.Random) -> str:
     return sql
 
 
+def setop_stmt(g: random.Random) -> str:
+    """Set operations between two filtered projections (duplicate
+    semantics of UNION vs UNION ALL vs INTERSECT vs EXCEPT)."""
+    op = g.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    cols = "l_returnflag, l_linestatus, (l_orderkey % 10) AS b"
+    p1, p2 = bool_expr(g, 1), bool_expr(g, 1)
+    return (
+        f"SELECT {cols} FROM lineitem WHERE {p1} "
+        f"{op} "
+        f"SELECT {cols} FROM lineitem WHERE {p2}"
+    )
+
+
+def subquery_stmt(g: random.Random) -> str:
+    """IN / NOT IN / EXISTS / NOT EXISTS subqueries against orders —
+    semi/anti rewrites plus NULL-aware NOT IN semantics."""
+    kind = g.randrange(3)
+    thr = g.randint(1, 200000)
+    if kind == 0:
+        neg = g.choice(["", "NOT "])
+        sub = f"SELECT o_orderkey FROM orders WHERE o_totalprice > {thr}"
+        where = f"l_orderkey {neg}IN ({sub})"
+    elif kind == 1:
+        neg = g.choice(["", "NOT "])
+        where = (
+            f"{neg}EXISTS (SELECT 1 FROM orders WHERE "
+            f"o_orderkey = l_orderkey AND o_totalprice > {thr})"
+        )
+    else:
+        where = (
+            f"l_extendedprice > (SELECT avg(o_totalprice) / "
+            f"{g.randint(2, 9)} FROM orders)"
+        )
+    return (
+        f"SELECT l_returnflag AS k, count(*) AS n, "
+        f"round(sum(l_quantity), 2) AS q "
+        f"FROM lineitem WHERE {where} GROUP BY l_returnflag"
+    )
+
+
 def qualify_stmt(g: random.Random) -> str:
     """QUALIFY / DISTINCT ON statements — the recursive window-subquery
     rewriters. A unique total order makes every pick deterministic."""
@@ -574,6 +614,8 @@ def main() -> int:
     stmts = [("asof", asof_stmt(g)) for _ in range(asof_n)]
     stmts += [("groupby", groupby_stmt(g)) for _ in range(stmt_n)]
     stmts += [("qualify", qualify_stmt(g)) for _ in range(max(4, n // 40))]
+    stmts += [("setop", setop_stmt(g)) for _ in range(max(4, n // 40))]
+    stmts += [("subquery", subquery_stmt(g)) for _ in range(max(4, n // 40))]
     for j, (kind, stmt) in enumerate(stmts):
         try:
             if not run_stmt(spark, con, translate, stmt):
