@@ -3867,6 +3867,38 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     out.extend(_toks(f"to_utc_timestamp({ts}, {tz})"))
                     i = close + 1
                     continue
+                if low == "timezone" and len(args) == 1:
+                    # 1-arg form: the session's UTC offset in seconds
+                    # (this engine's session timezone is UTC by design)
+                    out.extend(_toks("CAST(0 AS BIGINT)"))
+                    i = close + 1
+                    continue
+                if low == "json_type" and len(args) == 1:
+                    # leaf/container type names, matching DuckDB's set
+                    # (verified: OBJECT/ARRAY/VARCHAR/BOOLEAN/NULL/
+                    # BIGINT for -n, UBIGINT for +n, DOUBLE otherwise)
+                    a = _sql(inner, *args[0])
+                    t = f"trim(({a}))"
+                    num = r"'^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$'"
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN ({a}) IS NULL THEN "
+                            f"CAST(NULL AS STRING) "
+                            f"WHEN {t} LIKE '{{%' THEN 'OBJECT' "
+                            f"WHEN {t} LIKE '[%' THEN 'ARRAY' "
+                            f"WHEN {t} LIKE '\"%' THEN 'VARCHAR' "
+                            f"WHEN {t} IN ('true', 'false') THEN 'BOOLEAN' "
+                            f"WHEN {t} = 'null' THEN 'NULL' "
+                            f"WHEN {t} RLIKE '^-[0-9]+$' THEN 'BIGINT' "
+                            f"WHEN {t} RLIKE '^[0-9]+$' THEN 'UBIGINT' "
+                            f"WHEN {t} RLIKE {num} THEN 'DOUBLE' "
+                            f"ELSE CAST(raise_error(concat("
+                            f"'json_type: malformed JSON: ', {t})) "
+                            f"AS STRING) END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
                 if low == "bar" and len(args) in (3, 4):
                     # DuckDB bar(): full blocks + floor-to-eighth partial,
                     # then right-pad with spaces to `width` BYTES (each
@@ -4620,6 +4652,13 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                                 _decode_spark_string(p_code[0])
                             )
                         ).text
+                    elif (
+                        len(p_code) == 1
+                        and p_code[0].kind in ("number", "word")
+                        and p_code[0].text.isdigit()
+                    ):
+                        # integer path = array index
+                        p_ = f"'$[{p_code[0].text}]'"
                     elif (
                         p_code
                         and p_code[0].kind == "word"

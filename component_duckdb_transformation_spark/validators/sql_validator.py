@@ -164,7 +164,7 @@ _UNSUPPORTED_FUNCTIONS = {
     "icu_sort_key", "left_grapheme", "right_grapheme",
     "length_grapheme", "substring_grapheme", "make_time", "mad",
     "bitstring_agg", "array_resize", "list_resize", "parse_path",
-    "unpivot_list", "struct_insert",
+    "unpivot_list", "struct_insert", "json_contains", "json_structure",
 }
 
 # shimmed only for specific argument shapes: lint the rest

@@ -300,3 +300,19 @@ def test_like_escape_family_and_json_keys(spark, con):
         "SELECT decode(from_base64('YWJj')) AS v",
         "SELECT position('b' IN 'abc') AS v",
     ])
+
+
+def test_json_type_and_integer_paths(spark, con):
+    _check(spark, con, [
+        "SELECT json_type('{\"a\":1}') AS v",
+        "SELECT json_type('[1]') AS v",
+        "SELECT json_type('42') AS v",
+        "SELECT json_type('-42') AS v",
+        "SELECT json_type('-4.2') AS v",
+        "SELECT json_type('\"s\"') AS v",
+        "SELECT json_type('true') AS v",
+        "SELECT json_type('null') AS v",
+        "SELECT timezone(TIMESTAMP '2024-03-05 10:30:00') AS v",
+        "SELECT json_extract_path('[10, 20, 30]', 1) AS v",
+        "SELECT json_extract_path_text('[10, 20, 30]', 2) AS v",
+    ])

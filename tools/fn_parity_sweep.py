@@ -126,29 +126,42 @@ def main() -> int:
         """
     ).fetchall()
 
-    seen = set()
-    results = {"OK": [], "VALUE_DIFF": [], "SPARK_ERR": [], "SKIP": []}
+    # group overloads per function: several signatures may be canned-
+    # callable but only some run on DuckDB — try them in arity order
+    by_name: dict = {}
     for name, ptypes, ftype in fns:
-        if name in seen or name in EXCLUDE or name.startswith(
+        if name in EXCLUDE or name.startswith(
             ("pg_", "icu_", "st_", "json_serialize", "array_to_json",
              "row_to_json", "from_json", "json_execute")
         ):
             continue
         if only and name not in only:
             continue
-        call = canned_call(name, list(ptypes or []))
-        if call is None:
-            continue
-        seen.add(name)
-        sql = (
-            f"SELECT {call} AS v"
-            if ftype == "scalar"
-            else f"SELECT {call} AS v FROM (VALUES (1), (2)) t(i)"
-        )
-        try:
-            want = con.execute(sql).fetchone()[0]
-        except Exception:
-            results["SKIP"].append(name)
+        by_name.setdefault((name, ftype), []).append(list(ptypes or []))
+
+    results = {"OK": [], "VALUE_DIFF": [], "SPARK_ERR": [], "SKIP": []}
+    for (name, ftype), overloads in by_name.items():
+        sql = want = None
+        callable_any = False
+        for ptypes in overloads:
+            call = canned_call(name, ptypes)
+            if call is None:
+                continue
+            callable_any = True
+            cand = (
+                f"SELECT {call} AS v"
+                if ftype == "scalar"
+                else f"SELECT {call} AS v FROM (VALUES (1), (2)) t(i)"
+            )
+            try:
+                want = con.execute(cand).fetchone()[0]
+                sql = cand
+                break
+            except Exception:
+                continue
+        if sql is None:
+            if callable_any:
+                results["SKIP"].append(name)
             continue
         try:
             got = spark.sql(translate(sql)).collect()[0][0]
