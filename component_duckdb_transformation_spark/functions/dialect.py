@@ -121,6 +121,7 @@ _FN_RENAMES = {
     "from_base64": "unbase64",
     "json_keys": "json_object_keys",
     "approx_quantile": "approx_percentile",
+    "unpivot_list": "array",  # DuckDB's variadic list-builder helper
     # arg_max/arg_min: shimmed in _rewrite_call_shims (DuckDB SKIPS rows
     # whose value arg is NULL; Spark max_by would return them)
     "arg_max_null": "max_by",
@@ -160,9 +161,11 @@ def translate(sql: str) -> str:
     tokens = _rewrite_escape_strings(tokens)
     tokens = _rewrite_string_escapes(tokens)
     tokens = _rewrite_quoted_identifiers(tokens)
+    tokens = _rewrite_time_literals(tokens)
     tokens = _rewrite_brace_literals(tokens)
     tokens = _rewrite_concat_null_skipping(tokens)
     tokens = _rewrite_substr_window(tokens)
+    tokens = _rewrite_array_type_suffix(tokens)
     tokens = _rewrite_brackets(tokens)
     tokens = _rewrite_series_table_fns(tokens)
     tokens = _rewrite_operator_fn_aliases(tokens)
@@ -337,6 +340,157 @@ def _rewrite_quoted_identifiers(tokens: List[Token]) -> List[Token]:
         else:
             out.append(tok)
     return out
+
+
+_ARRAY_ELEM_TYPE_MAP = {
+    "varchar": "STRING", "text": "STRING", "char": "STRING",
+    "bpchar": "STRING", "json": "STRING", "uuid": "STRING",
+    "int": "INT", "integer": "INT", "int4": "INT", "signed": "INT",
+    "tinyint": "TINYINT", "int1": "TINYINT",
+    "smallint": "SMALLINT", "int2": "SMALLINT", "short": "SMALLINT",
+    "bigint": "BIGINT", "int8": "BIGINT", "long": "BIGINT",
+    # unsigned/oversized integrals take the narrowest lossless Spark
+    # type (ubigint/hugeint saturate at BIGINT — documented)
+    "hugeint": "BIGINT", "uhugeint": "BIGINT", "ubigint": "BIGINT",
+    "utinyint": "SMALLINT", "usmallint": "INT", "uinteger": "BIGINT",
+    "float": "FLOAT", "float4": "FLOAT", "real": "FLOAT",
+    "double": "DOUBLE", "float8": "DOUBLE",
+    "boolean": "BOOLEAN", "bool": "BOOLEAN", "logical": "BOOLEAN",
+    "date": "DATE", "timestamp": "TIMESTAMP", "datetime": "TIMESTAMP",
+    "timestamptz": "TIMESTAMP", "time": "TIMESTAMP",
+    "blob": "BINARY", "bytea": "BINARY",
+    # DuckDB's bare DECIMAL/NUMERIC default precision
+    "numeric": "DECIMAL(18,3)", "decimal": "DECIMAL(18,3)",
+}
+
+
+def _rewrite_array_type_suffix(tokens: List[Token]) -> List[Token]:
+    """DuckDB array-type suffix ``TYPE[]`` -> Spark ``ARRAY<TYPE>`` (in
+    ``::INT[]`` and ``CAST(x AS INT[])``). Runs BEFORE the bracket
+    rewrite, which would otherwise read ``[]`` as an (empty) subscript.
+    Handles scalar element types, parenthesized ones
+    (``DECIMAL(10,2)[]``), and nesting (``INT[][]``) — a ``[]`` whose
+    preceding token is not a type shape is left for the bracket pass."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text == "[":
+            j = _next_code(tokens, i)
+            if j < n and tokens[j].kind == "op" and tokens[j].text == "]":
+                k = len(out) - 1
+                while k >= 0 and out[k].kind in ("ws", "comment"):
+                    k -= 1
+                span = None
+                if (
+                    k >= 0
+                    and out[k].kind == "word"
+                    and out[k].text.lower() in _ARRAY_ELEM_TYPE_MAP
+                ):
+                    span = k
+                elif k >= 0 and out[k].kind == "op" and out[k].text in (")", ">"):
+                    open_t = "(" if out[k].text == ")" else "<"
+                    close_t = out[k].text
+                    depth = 0
+                    m = k
+                    while m >= 0:
+                        t = out[m]
+                        if t.kind == "op" and t.text == close_t:
+                            depth += 1
+                        elif t.kind == "op" and t.text == open_t:
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        m -= 1
+                    w = m - 1
+                    while w >= 0 and out[w].kind in ("ws", "comment"):
+                        w -= 1
+                    heads = (
+                        ("decimal", "numeric", "varchar", "char", "struct")
+                        if close_t == ")"
+                        else ("array", "map", "struct")
+                    )
+                    if (
+                        m >= 0
+                        and w >= 0
+                        and out[w].kind == "word"
+                        and out[w].text.lower() in heads
+                    ):
+                        span = w
+                if span is not None:
+                    inner = out[span:]
+                    code = [t for t in inner if t.kind not in ("ws", "comment")]
+                    if len(code) == 1 and code[0].kind == "word":
+                        inner = [
+                            Token(
+                                "word",
+                                _ARRAY_ELEM_TYPE_MAP[code[0].text.lower()],
+                            )
+                        ]
+                    del out[span:]
+                    out.append(Token("word", "ARRAY"))
+                    out.append(Token("op", "<"))
+                    out.extend(inner)
+                    out.append(Token("op", ">"))
+                    i = j + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+def _rewrite_time_literals(tokens: List[Token]) -> List[Token]:
+    """DuckDB ``TIME 'HH:MM:SS[.f]'`` -> ``TIMESTAMP '1970-01-01 ...'``.
+    Spark has no runnable TIME type; the engine represents times as
+    epoch-day timestamps so hour/minute/second/extract, comparisons and
+    interval arithmetic keep DuckDB's values (``make_time`` follows the
+    same representation). Documented divergence (COVERAGE.md):
+    arithmetic crossing midnight lands on the next epoch day instead of
+    wrapping, and results render as timestamps."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.is_kw("TIME"):
+            j = _next_code(tokens, i)
+            if j < n and tokens[j].kind == "string":
+                t = _decode_spark_string(tokens[j])
+                out.append(Token("word", "TIMESTAMP"))
+                out.append(Token("ws", " "))
+                out.append(_encode_spark_string(f"1970-01-01 {t}"))
+                i = j + 1
+                continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+_TEMPORAL_PREFIX_RE = re.compile(
+    r"^\s*(?:DATE|TIMESTAMP(?:TZ|_NTZ|_LTZ)?)\s*'"
+    r"|^\s*(?:current_date|today|now|get_current_timestamp"
+    r"|current_timestamp|make_date|make_timestamp|make_timestamptz"
+    r"|to_date|to_timestamp|strptime|date_trunc|last_day)\s*\(",
+    re.IGNORECASE,
+)
+_TEMPORAL_CAST_RE = re.compile(
+    r"(?:AS\s+(?:DATE|TIMESTAMP(?:_NTZ|_LTZ)?)\s*\)"
+    r"|::\s*(?:DATE|TIMESTAMP(?:_NTZ|_LTZ)?))\s*$",
+    re.IGNORECASE,
+)
+
+
+def _static_temporal_sql(expr_sql: str) -> bool:
+    """Lexical check that an expression is DATE/TIMESTAMP-valued: a
+    typed literal, a cast to a temporal type, or a call to a
+    temporal-producing builtin. Used where DuckDB overloads a numeric
+    function over temporals (isfinite/isinf) — Spark analysis would
+    reject the numeric form outright, so the dispatch must be static."""
+    s = expr_sql.strip()
+    return bool(_TEMPORAL_PREFIX_RE.search(s)) or bool(
+        _TEMPORAL_CAST_RE.search(s)
+    )
 
 
 def _nonneg_int_literal(arg: List[Token], minimum: int = 0) -> bool:
@@ -3859,6 +4013,207 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     out.extend(_toks(f"regexp_extract({a}, {b}, 0)"))
                     i = close + 1
                     continue
+                if low in ("list_resize", "array_resize") and len(args) in (2, 3):
+                    # pad with NULL (2-arg) or the given value (3-arg)
+                    # BEYOND the original length; existing NULL elements
+                    # survive (DuckDB: list_resize([1,NULL,3],5,9) =
+                    # [1,NULL,3,9,9])
+                    x_, n_ = (_sql(inner, s, e) for s, e in args[:2])
+                    pad_ = _sql(inner, *args[2]) if len(args) == 3 else "NULL"
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN ({x_}) IS NULL THEN NULL "
+                            # DuckDB: NULL size behaves as 0 (verified)
+                            f"WHEN ({n_}) IS NULL OR ({n_}) <= 0 "
+                            f"THEN slice(({x_}), 1, 0) "
+                            f"ELSE transform(sequence(1, CAST(({n_}) AS INT)), "
+                            f"__i -> IF(__i <= size(({x_})), "
+                            f"try_element_at(({x_}), __i), ({pad_}))) END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "parse_path" and len(args) in (1, 2):
+                    # components list; a leading separator is its own
+                    # root element (DuckDB: parse_path('/a/b') =
+                    # ['/', 'a', 'b']). 'system' = '/' on this engine
+                    # (POSIX containers)
+                    p_ = _sql(inner, *args[0])
+                    if len(args) == 2:
+                        sep_ = _sql(inner, *args[1])
+                        cls = (
+                            f"(CASE WHEN lower(({sep_})) IN "
+                            f"('forward_slash', 'system') THEN '[/]' "
+                            f"WHEN lower(({sep_})) = 'backslash' "
+                            r"THEN '[\\\\]' "
+                            r"ELSE '[/\\\\]' END)"
+                        )
+                    else:
+                        cls = r"'[/\\\\]'"
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN ({p_}) IS NULL THEN NULL ELSE "
+                            f"concat(IF(substr(({p_}), 1, 1) RLIKE "
+                            f"concat('^', {cls}, '$'), "
+                            f"array(substr(({p_}), 1, 1)), "
+                            f"CAST(array() AS ARRAY<STRING>)), "
+                            f"filter(split(({p_}), {cls}), "
+                            f"__x -> __x <> '')) END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if (
+                    low in ("array_extract", "list_element", "list_extract")
+                    and len(args) == 2
+                ):
+                    # DuckDB overloads these over VARCHAR: 1-based char
+                    # pick, negative from the end, 0/out-of-bounds ''.
+                    # Spark's element_at rejects strings at ANALYSIS, so
+                    # the dispatch is static: string-literal subjects
+                    # take the substr path; everything else stays on the
+                    # list path (try_element_at via _FN_RENAMES)
+                    c0 = [
+                        t
+                        for t in inner[args[0][0]: args[0][1]]
+                        if t.kind not in ("ws", "comment")
+                    ]
+                    if len(c0) == 1 and c0[0].kind == "string":
+                        s_, ix = (_sql(inner, s, e) for s, e in args)
+                        out.extend(
+                            _toks(
+                                f"(CASE WHEN CAST(({ix}) AS BIGINT) = 0 "
+                                f"THEN '' ELSE substr(({s_}), "
+                                f"CAST(({ix}) AS INT), 1) END)"
+                            )
+                        )
+                        i = close + 1
+                        continue
+                if low == "octet_length" and len(args) == 1:
+                    # BIT values are '0'/'1' strings in this engine;
+                    # octet_length over a syntactically-known bitstring
+                    # is its byte count, ceil(bits/8). Detection reads
+                    # the PRE-rewrite tokens (the bitstring call itself
+                    # is already expanded inside ``inner``)
+                    c0 = [
+                        t
+                        for t in tokens[p_open + 1: close]
+                        if t.kind not in ("ws", "comment")
+                    ]
+                    if (
+                        c0
+                        and c0[0].kind == "word"
+                        and c0[0].text.lower() in ("bitstring", "bitstring_agg")
+                    ):
+                        a = _sql(inner, *args[0])
+                        out.extend(
+                            _toks(
+                                f"CAST(ceil(length({a}) / 8.0) AS BIGINT)"
+                            )
+                        )
+                        i = close + 1
+                        continue
+                if low == "make_time" and len(args) == 3:
+                    # TIME is represented as an epoch-day timestamp
+                    # (see _rewrite_time_literals)
+                    h_, m_, s_ = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(
+                            f"make_timestamp(1970, 1, 1, "
+                            f"CAST(({h_}) AS INT), CAST(({m_}) AS INT), "
+                            f"({s_}))"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "bitstring_agg" and len(args) in (1, 3):
+                    # bit per position over [min, max] (leftmost = min);
+                    # the 1-arg form derives the bounds from the same
+                    # aggregation (DuckDB needs column stats there).
+                    # Divergence: values outside explicit bounds error
+                    # in DuckDB, here they are ignored
+                    x_ = _sql(inner, *args[0])
+                    if len(args) == 3:
+                        mn = f"CAST(({_sql(inner, *args[1])}) AS BIGINT)"
+                        mx = f"CAST(({_sql(inner, *args[2])}) AS BIGINT)"
+                    else:
+                        mn = f"min(CAST(({x_}) AS BIGINT))"
+                        mx = f"max(CAST(({x_}) AS BIGINT))"
+                    out.extend(
+                        _toks(
+                            f"array_join(transform(sequence({mn}, {mx}), "
+                            f"__p -> CASE WHEN array_contains("
+                            f"collect_set(CAST(({x_}) AS BIGINT)), __p) "
+                            f"THEN '1' ELSE '0' END), '')"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if low == "mad" and len(args) == 1:
+                    # median absolute deviation (grouped-agg pandas UDF,
+                    # double-typed): numerics cast to DOUBLE; temporals
+                    # route through epoch micros and come back as a
+                    # day-time interval (DuckDB returns INTERVAL there)
+                    a = _sql(inner, *args[0])
+                    if _static_temporal_sql(a):
+                        out.extend(
+                            _toks(
+                                f"make_dt_interval(0, 0, 0, "
+                                f"mad(CAST(unix_micros(CAST(({a}) AS "
+                                f"TIMESTAMP_LTZ)) AS DOUBLE)) / 1000000.0D)"
+                            )
+                        )
+                    else:
+                        out.extend(_toks(f"mad(CAST(({a}) AS DOUBLE))"))
+                    i = close + 1
+                    continue
+                if low == "substring_grapheme" and len(args) == 2:
+                    # default length = to end of string (UDF is 3-arg)
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(
+                            f"substring_grapheme({a}, {b}, 2147483647)"
+                        )
+                    )
+                    i = close + 1
+                    continue
+                if (
+                    low in ("decade", "century", "millennium")
+                    and len(args) == 1
+                ):
+                    # interval overload: years-derived bucket of a
+                    # literal INTERVAL n UNIT (day-time units hold no
+                    # years: decade(INTERVAL 3 DAY) = 0)
+                    c0 = [
+                        t
+                        for t in inner[args[0][0]: args[0][1]]
+                        if t.kind not in ("ws", "comment")
+                    ]
+                    if (
+                        len(c0) == 3
+                        and c0[0].is_kw("INTERVAL")
+                        and c0[1].kind in ("number", "word")
+                        and c0[1].text.isdigit()
+                        and c0[2].kind == "word"
+                    ):
+                        months_per = {
+                            "year": 12, "years": 12,
+                            "month": 1, "months": 1,
+                            "quarter": 3, "quarters": 3,
+                            "decade": 120, "decades": 120,
+                            "century": 1200, "centuries": 1200,
+                            "millennium": 12000, "millennia": 12000,
+                        }.get(c0[2].text.lower(), 0)
+                        years = (int(c0[1].text) * months_per) // 12
+                        div = {
+                            "decade": 10, "century": 100,
+                            "millennium": 1000,
+                        }[low]
+                        out.extend(
+                            _toks(f"CAST({years // div} AS BIGINT)")
+                        )
+                        i = close + 1
+                        continue
                 if low == "timezone" and len(args) == 2:
                     # timezone(tz, ts): interpret the (naive) timestamp
                     # as tz-local and give the UTC instant — DuckDB's
@@ -4713,6 +5068,20 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     # DuckDB returns NULL for NULL input (Spark isnan
                     # gives false); isinf/isfinite have no Spark builtin
                     a = _sql(inner, *args[0])
+                    if low != "isnan" and _static_temporal_sql(a):
+                        # temporal overload: Spark has no infinite
+                        # dates/timestamps, so every non-NULL value is
+                        # finite (static dispatch — the numeric CAST
+                        # below would fail Spark analysis on temporals)
+                        lit = "TRUE" if low == "isfinite" else "FALSE"
+                        out.extend(
+                            _toks(
+                                f"(CASE WHEN ({a}) IS NULL THEN "
+                                f"CAST(NULL AS BOOLEAN) ELSE {lit} END)"
+                            )
+                        )
+                        i = close + 1
+                        continue
                     d = f"CAST(({a}) AS DOUBLE)"
                     inf = "CAST('Infinity' AS DOUBLE)"
                     if low == "isnan":
@@ -5771,6 +6140,13 @@ def _rewrite_simple(tokens: List[Token]) -> List[Token]:
             out.append(Token("word", " DIV "))
             i += 1
             continue
+        # DuckDB's @ absolute-value operator, call form @(x)
+        if tok.kind == "op" and tok.text == "@":
+            nxt = _next_code(tokens, i)
+            if nxt < n and tokens[nxt].kind == "op" and tokens[nxt].text == "(":
+                out.append(Token("word", "abs"))
+                i += 1
+                continue
         if tok.kind == "word":
             low = tok.text.lower()
             nxt = _next_code(tokens, i)

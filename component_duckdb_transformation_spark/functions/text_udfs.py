@@ -194,6 +194,158 @@ def age_interval(dt1, dt2) -> str:
     return " ".join(parts)
 
 
+def grapheme_split(s: str) -> list:
+    """Split into extended grapheme clusters (simplified UAX #29: CRLF,
+    combining marks Mn/Mc/Me, ZWJ sequences, variation selectors, and
+    regional-indicator pairs — the segments DuckDB's utf8proc-backed
+    ``*_grapheme`` functions produce for real-world text). Verified
+    differentially against DuckDB in tests/test_text_udfs.py."""
+    import unicodedata
+
+    clusters = []
+    i = 0
+    n = len(s)
+    while i < n:
+        j = i + 1
+        if s[i] == "\r" and j < n and s[j] == "\n":
+            j += 1
+        elif (
+            0x1F1E6 <= ord(s[i]) <= 0x1F1FF
+            and j < n
+            and 0x1F1E6 <= ord(s[j]) <= 0x1F1FF
+        ):
+            j += 1  # regional-indicator pair (flag)
+        while j < n:
+            c = s[j]
+            if (
+                unicodedata.category(c) in ("Mn", "Mc", "Me")
+                or c == "\u200d"
+                or 0xFE00 <= ord(c) <= 0xFE0F
+            ):
+                j += 1
+                if c == "\u200d" and j < n:
+                    j += 1  # emoji ZWJ sequence: attach the joined char
+                continue
+            break
+        clusters.append(s[i:j])
+        i = j
+    return clusters
+
+
+def substring_units(units: list, start: int, length: int) -> str:
+    """DuckDB ``substring_grapheme`` axis semantics over a pre-split
+    unit list: 0-based begin = start-1 for start >= 0 (so start 0
+    consumes one unit of length), and for negative start counts from
+    the end CLAMPED to the front keeping the full length —
+    substring_grapheme('abcdef', -10, 4) = 'abcd' while plain
+    substring gives '' (both verified)."""
+    n = len(units)
+    begin = start - 1 if start >= 0 else max(n + start, 0)
+    end = begin + max(length, 0)
+    return "".join(units[max(begin, 0): max(end, 0)])
+
+
+def json_contains(haystack, needle) -> bool:
+    """DuckDB (yyjson) ``json_contains``: MySQL-style containment at any
+    depth of the haystack. Node-level rules: a needle array is contained
+    in an array whose elements match each needle element; a scalar/object
+    is contained in an array if some element contains it; a needle object
+    is contained in an object carrying all its keys with contained
+    values; scalars compare type-strictly (1.0 does not contain 1).
+    Verified differentially against DuckDB in tests/test_text_udfs.py."""
+
+    def match(h, n):
+        if isinstance(n, list):
+            if not isinstance(h, list):
+                return False
+            return all(any(match(x, e) for x in h) for e in n)
+        if isinstance(h, list):
+            return any(match(x, n) for x in h)
+        if isinstance(n, dict):
+            if not isinstance(h, dict):
+                return False
+            return all(k in h and match(h[k], n[k]) for k in n)
+        # scalars are type-strict: 1.0 does not contain 1 (verified)
+        return type(h) is type(n) and h == n
+
+    def walk(h, n):
+        if match(h, n):
+            return True
+        if isinstance(h, dict):
+            return any(walk(v, n) for v in h.values())
+        if isinstance(h, list):
+            return any(walk(e, n) for e in h)
+        return False
+
+    return walk(haystack, needle)
+
+
+_U64_MAX = 2**64 - 1
+_I64_MIN = -(2**63)
+
+
+def json_structure(value) -> object:
+    """DuckDB ``json_structure`` (as a Python structure; the UDF dumps
+    it compact): scalars map to type-name strings (non-negative int
+    UBIGINT, negative BIGINT, out-of-64-bit-range or float DOUBLE, bool
+    BOOLEAN, str VARCHAR, null NULL); arrays merge element structures
+    (numeric widening UBIGINT<BIGINT<DOUBLE, NULL yields to anything,
+    objects merge key-wise, anything inconsistent collapses to "JSON");
+    an empty object is "JSON", an empty array ["NULL"]. Verified
+    differentially against DuckDB in tests/test_text_udfs.py."""
+
+    def merge(a, b):
+        if a == b:
+            return a
+        if a == "NULL":
+            return b
+        if b == "NULL":
+            return a
+        order = {"UBIGINT": 0, "BIGINT": 1, "DOUBLE": 2}
+        if isinstance(a, str) and isinstance(b, str):
+            if a in order and b in order:
+                return a if order[a] >= order[b] else b
+            return "JSON"
+        if isinstance(a, dict) and isinstance(b, dict):
+            out = dict(a)
+            for k, v in b.items():
+                out[k] = merge(out[k], v) if k in out else v
+            return out
+        if isinstance(a, list) and isinstance(b, list):
+            return [merge(a[0], b[0])]
+        return "JSON"
+
+    def structure(v):
+        if isinstance(v, bool):
+            return "BOOLEAN"
+        if isinstance(v, int):
+            if 0 <= v <= _U64_MAX:
+                return "UBIGINT"
+            if _I64_MIN <= v < 0:
+                return "BIGINT"
+            return "DOUBLE"
+        if isinstance(v, float):
+            return "DOUBLE"
+        if isinstance(v, str):
+            return "VARCHAR"
+        if v is None:
+            return "NULL"
+        if isinstance(v, list):
+            if not v:
+                return ["NULL"]
+            acc = structure(v[0])
+            for e in v[1:]:
+                acc = merge(acc, structure(e))
+            return [acc]
+        if isinstance(v, dict):
+            if not v:
+                return "JSON"
+            return {k: structure(x) for k, x in v.items()}
+        return "JSON"
+
+    return structure(value)
+
+
 def register_text_udfs(spark: SparkSession) -> None:
     """Idempotent per-session registration (called from the session
     factory so every engine session resolves the names in plain SQL)."""
@@ -324,8 +476,109 @@ def register_text_udfs(spark: SparkSession) -> None:
             dtype="object",
         )
 
+    @pandas_udf("long")
+    def _length_grapheme_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else len(grapheme_split(v)) for v in s],
+            dtype="object",
+        )
+
+    def _sided_grapheme(side: str, s: pd.Series, n: pd.Series) -> pd.Series:
+        # DuckDB left/right negative-count semantics: left(s, -k) drops
+        # the last k clusters, right(s, -k) drops the first k
+        def one(v, k):
+            if v is None or k is None:
+                return None
+            u = grapheme_split(v)
+            k = int(k)
+            if side == "left":
+                end = k if k >= 0 else max(len(u) + k, 0)
+                return "".join(u[:end])
+            start = max(len(u) - k, 0) if k >= 0 else min(-k, len(u))
+            return "".join(u[start:])
+
+        return pd.Series(
+            [one(v, k) for v, k in zip(s, n)], dtype="object"
+        )
+
+    @pandas_udf("string")
+    def _left_grapheme_udf(s: pd.Series, n: pd.Series) -> pd.Series:
+        return _sided_grapheme("left", s, n)
+
+    @pandas_udf("string")
+    def _right_grapheme_udf(s: pd.Series, n: pd.Series) -> pd.Series:
+        return _sided_grapheme("right", s, n)
+
+    @pandas_udf("string")
+    def _substring_grapheme_udf(
+        s: pd.Series, start: pd.Series, length: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if v is None or b is None or l is None
+                else substring_units(grapheme_split(v), int(b), int(l))
+                for v, b, l in zip(s, start, length)
+            ],
+            dtype="object",
+        )
+
+    @pandas_udf("boolean")
+    def _json_contains_udf(h: pd.Series, n: pd.Series) -> pd.Series:
+        import json
+
+        def one(hv, nv):
+            if hv is None or nv is None:
+                return None
+            try:
+                return json_contains(json.loads(hv), json.loads(nv))
+            except ValueError as exc:  # mirror DuckDB's invalid-input error
+                raise ValueError(f"json_contains: malformed JSON: {exc}")
+
+        return pd.Series(
+            [one(hv, nv) for hv, nv in zip(h, n)], dtype="object"
+        )
+
+    @pandas_udf("string")
+    def _json_structure_udf(j: pd.Series) -> pd.Series:
+        import json
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                parsed = json.loads(v)
+            except ValueError as exc:
+                raise ValueError(f"json_structure: malformed JSON: {exc}")
+            return json.dumps(
+                json_structure(parsed), separators=(",", ":")
+            )
+
+        return pd.Series([one(v) for v in j], dtype="object")
+
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _mad_udf(v: pd.Series) -> float:
+        # median absolute deviation: median(|x - median(x)|). Two passes
+        # over the group's values — not expressible as a single built-in
+        # aggregate, so a grouped-agg pandas UDF (Arrow-batched; state
+        # is one group's column, bounded like any percentile)
+        v = v.dropna()
+        if v.empty:
+            return None
+        m = v.median()
+        return float((v - m).abs().median())
+
     spark.udf.register("age", _age_udf)
     spark.udf.register("current_setting", _current_setting_udf)
+    spark.udf.register("mad", _mad_udf)
+    spark.udf.register("length_grapheme", _length_grapheme_udf)
+    spark.udf.register("left_grapheme", _left_grapheme_udf)
+    spark.udf.register("right_grapheme", _right_grapheme_udf)
+    spark.udf.register("substring_grapheme", _substring_grapheme_udf)
+    spark.udf.register("json_contains", _json_contains_udf)
+    spark.udf.register("json_structure", _json_structure_udf)
     spark.udf.register("strip_accents", _strip_accents_udf)
     spark.udf.register("nfc_normalize", _nfc_normalize_udf)
     spark.udf.register("nextafter", _nextafter_udf)

@@ -77,6 +77,9 @@ EXCLUDE = {
     "read_blob", "glob", "getenv", "ignore_nulls", "respect_nulls",
     "create_sort_key", "icu_sort_key", "icu_collate_stub",
     "current_setting",  # engine-specific values by design (COVERAGE.md)
+    # 1-arg age() is wall-clock-relative (DuckDB: transaction time);
+    # the deterministic 2-arg form is diffed in tests/test_text_udfs.py
+    "age",
     "typeof",  # engine type NAMES differ by design
     "can_cast_implicitly", "enum_code", "enum_first", "enum_last",
     "enum_range", "enum_range_boundary", "is_histogram_other_bin",
@@ -88,6 +91,82 @@ EXCLUDE = {
     # hash/checksum families whose values are engine-internal
     "md5_number", "sha1", "sha256", "sha384", "sha512",
 }
+
+
+# functions whose list result has no guaranteed order in DuckDB (its
+# hash-set iteration order differs from Spark's first-seen order)
+ORDER_INSENSITIVE = {"array_distinct", "list_distinct", "map_keys", "map_values"}
+
+_YM_INTERVAL_RE = None  # lazy; see _parse_ym_interval
+
+
+def _parse_ym_interval(s: str):
+    """Spark ``CAST(ym-interval AS STRING)`` -> timedelta on DuckDB's
+    30-day-month rendering convention (duckdb-python converts INTERVAL
+    to timedelta the same way), so engine-correct year-month intervals
+    compare even though PySpark cannot collect the native type."""
+    global _YM_INTERVAL_RE
+    import re as _re
+
+    if _YM_INTERVAL_RE is None:
+        _YM_INTERVAL_RE = _re.compile(
+            r"^INTERVAL '(-?)(\d+)-(\d+)' YEAR TO MONTH$"
+        )
+    m = _YM_INTERVAL_RE.match(s.strip())
+    if not m:
+        return None
+    import datetime
+
+    months = int(m.group(2)) * 12 + int(m.group(3))
+    if m.group(1) == "-":
+        months = -months
+    return datetime.timedelta(days=30 * months)
+
+
+def norm(v):
+    """Collapse representation differences that carry no semantic
+    content: tz-aware vs naive datetimes (session tz is UTC on both
+    engines), duckdb's {'key': [...], 'value': [...]} MAP rendering vs
+    Spark dicts, TIME vs this engine's epoch-day timestamps, Decimal vs
+    float, nested containers recursively."""
+    import datetime
+    import decimal
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v
+    if isinstance(v, datetime.time):
+        return datetime.datetime(
+            1970, 1, 1, v.hour, v.minute, v.second, v.microsecond
+        )
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, dict):
+
+        def key(k):
+            # duckdb renders DECIMAL map keys as strings; canonicalize
+            # numeric-looking keys so '1.5' and Decimal('1.5') compare
+            nk = norm(k)
+            if isinstance(nk, str):
+                try:
+                    return repr(float(nk))
+                except ValueError:
+                    return repr(nk)
+            if isinstance(nk, (int, float)):
+                return repr(float(nk))
+            return repr(nk)
+
+        if (
+            set(v.keys()) == {"key", "value"}
+            and isinstance(v.get("key"), list)
+            and isinstance(v.get("value"), list)
+        ):
+            return {key(k): norm(x) for k, x in zip(v["key"], v["value"])}
+        return {key(k): norm(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [norm(x) for x in v]
+    return v
 
 
 def canned_call(name: str, ptypes: list) -> str | None:
@@ -155,6 +234,11 @@ def main() -> int:
             )
             try:
                 want = con.execute(cand).fetchone()[0]
+                # nondeterminism check: a second evaluation that differs
+                # (wall-clock-derived results like 1-arg age) is not
+                # meaningfully diffable — try the next overload
+                if con.execute(cand).fetchone()[0] != want:
+                    continue
                 sql = cand
                 break
             except Exception:
@@ -166,9 +250,31 @@ def main() -> int:
         try:
             got = spark.sql(translate(sql)).collect()[0][0]
         except Exception as exc:  # noqa: BLE001
-            results["SPARK_ERR"].append((name, call, str(exc)[:120]))
-            continue
-        same = str(got) == str(want)
+            if "fromInternal" in str(exc):
+                # engine-correct year-month interval; PySpark can't
+                # collect the type — compare its string form instead
+                try:
+                    cast_sql = sql.replace(
+                        f"{call} AS v", f"CAST({call} AS VARCHAR) AS v", 1
+                    )
+                    s = spark.sql(translate(cast_sql)).collect()[0][0]
+                    parsed = _parse_ym_interval(s) if s is not None else None
+                    if parsed is not None or s is None:
+                        got = parsed
+                    else:
+                        results["SPARK_ERR"].append((name, call, str(exc)[:120]))
+                        continue
+                except Exception as exc2:  # noqa: BLE001
+                    results["SPARK_ERR"].append((name, call, str(exc2)[:120]))
+                    continue
+            else:
+                results["SPARK_ERR"].append((name, call, str(exc)[:120]))
+                continue
+        nw, ng = norm(want), norm(got)
+        if name in ORDER_INSENSITIVE and isinstance(nw, list):
+            nw = sorted(nw, key=repr)
+            ng = sorted(ng, key=repr) if isinstance(ng, list) else ng
+        same = str(ng) == str(nw)
         if not same:
             try:
                 same = (
