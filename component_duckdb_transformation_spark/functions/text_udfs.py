@@ -556,9 +556,7 @@ def register_text_udfs(spark: SparkSession) -> None:
 
         return pd.Series([one(v) for v in j], dtype="object")
 
-    from pyspark.sql.functions import PandasUDFType
-
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    @pandas_udf("double")
     def _mad_udf(v: pd.Series) -> float:
         # median absolute deviation: median(|x - median(x)|). Two passes
         # over the group's values — not expressible as a single built-in

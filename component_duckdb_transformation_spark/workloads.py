@@ -891,6 +891,45 @@ _add_sql(
 )
 
 _add_sql(
+    "q58_grapheme_json_path",
+    """
+    WITH m AS (
+        SELECT round(CAST(mad(p_retailprice) AS DOUBLE), 4) AS mad_price
+        FROM part
+    ),
+    j AS (
+        SELECT CAST(sum(CASE WHEN json_contains(props, '{"k": 29}')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k29,
+               min(json_structure(props)) AS jstruct,
+               bool_and(isfinite(CAST(ts AS TIMESTAMP))) AS ts_finite,
+               CAST(second(make_time(10, 30, 45.0)) AS BIGINT) AS mt_sec
+        FROM events
+    )
+    SELECT p_brand,
+           CAST(sum(length_grapheme(p_name)) AS BIGINT) AS graphemes,
+           left_grapheme(min(p_name), 3) AS head3,
+           right_grapheme(max(p_name), 4) AS tail4,
+           substring_grapheme(min(p_type), 2, 5) AS mid5,
+           parse_path(concat('/', min(p_brand), '/', min(p_type)),
+                      'forward_slash') AS path_parts,
+           list_resize(split(min(p_type), ' '), 3) AS words3,
+           CAST(bitstring_agg(p_size % 8, 0, 7) AS VARCHAR) AS size_bits,
+           round(@(avg(p_retailprice) - 1000), 4) AS absdev,
+           CAST(decade(INTERVAL 25 YEAR) AS BIGINT) AS dec25,
+           m.mad_price, j.k29, j.jstruct, j.ts_finite, j.mt_sec
+    FROM part CROSS JOIN m CROSS JOIN j
+    GROUP BY p_brand, m.mad_price, j.k29, j.jstruct, j.ts_finite, j.mt_sec
+    """,
+    description="round-6 closing surface in one driver row: grapheme "
+    "family (UAX #29 clusters), json_contains/json_structure (yyjson "
+    "semantics), parse_path, list_resize NULL-padding, bitstring_agg "
+    "explicit bounds, the @ abs operator, mad (grouped-agg pandas UDF "
+    "in its own CTE — cannot mix with built-in aggregates), temporal "
+    "isfinite, TIME-as-epoch-day make_time, interval decade — "
+    "identical SQL runs on both engines",
+)
+
+_add_sql(
     "q46_regexp_split_to_table",
     """
     SELECT w AS word, CAST(count(*) AS BIGINT) AS n
