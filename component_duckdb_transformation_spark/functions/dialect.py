@@ -2235,6 +2235,72 @@ def _rewrite_strftime(tokens: List[Token]) -> List[Token]:
                         "strptime": "to_timestamp",
                         "try_strptime": "try_to_timestamp",
                     }[low_fn]
+                    # %V/%G (ISO week / ISO week-year): Spark's
+                    # formatter removed week-based patterns, so compose
+                    # those directives from weekofyear()/the ISO-year
+                    # expression and date_format the rest
+                    fmt_code = [
+                        t for t in args[1] if t.kind not in ("ws", "comment")
+                    ]
+                    if (
+                        low_fn == "strftime"
+                        and len(fmt_code) == 1
+                        and fmt_code[0].kind == "string"
+                        and re.search(
+                            r"%[VG]",
+                            _decode_spark_string(fmt_code[0]).replace("%%", ""),
+                        )
+                    ):
+                        fmt_s = _decode_spark_string(fmt_code[0])
+                        ra = _rewrite_strftime(args[0])
+                        x = _sql(ra, 0, len(ra))
+                        iso_year = (
+                            f"CAST(year(date_add(CAST(({x}) AS DATE), "
+                            f"3 - weekday(({x})))) AS STRING)"
+                        )
+                        iso_week = (
+                            f"lpad(CAST(weekofyear(({x})) AS STRING), "
+                            f"2, '0')"
+                        )
+                        parts: List[str] = []
+                        chunk: List[str] = []
+                        k = 0
+                        while k < len(fmt_s):
+                            if fmt_s[k] == "%" and k + 1 < len(fmt_s):
+                                d = fmt_s[k + 1]
+                                if d in ("V", "G"):
+                                    if chunk:
+                                        conv = _convert_strftime_format(
+                                            "".join(chunk)
+                                        ).replace("'", "''")
+                                        parts.append(
+                                            f"date_format(({x}), '{conv}')"
+                                        )
+                                        chunk = []
+                                    parts.append(
+                                        iso_week if d == "V" else iso_year
+                                    )
+                                    k += 2
+                                    continue
+                                chunk.append(fmt_s[k])
+                                chunk.append(d)
+                                k += 2
+                                continue
+                            chunk.append(fmt_s[k])
+                            k += 1
+                        if chunk:
+                            conv = _convert_strftime_format(
+                                "".join(chunk)
+                            ).replace("'", "''")
+                            parts.append(f"date_format(({x}), '{conv}')")
+                        body = (
+                            parts[0]
+                            if len(parts) == 1
+                            else "concat(" + ", ".join(parts) + ")"
+                        )
+                        out.extend(_toks(body))
+                        i = close + 1
+                        continue
                     # parse-side year adjustments (strptime family):
                     # - no year directive at all: DuckDB's base year is
                     #   1900, Spark's 1970 -> shift back 70 years

@@ -257,6 +257,21 @@ def test_array_type_suffix_casts(spark):
     assert_matches_duckdb(spark, "SELECT [1,2,3][2] AS a")
 
 
+def test_strftime_iso_week_directives(spark):
+    # %V/%G compose via weekofyear()/ISO-year (Spark's formatter has no
+    # week-based patterns); includes the year-boundary weeks, %% escape
+    # and NULL propagation
+    assert_matches_duckdb(
+        spark,
+        "SELECT strftime(DATE '2021-01-01', 'wk %V of %G') AS a, "
+        "strftime(DATE '2020-12-28', '%V/%G') AS b, "
+        "strftime(TIMESTAMP '2024-03-05 10:30:00', '%G-W%V-%Y %H:%M') AS c, "
+        "strftime(DATE '2024-03-05', '%V') AS d, "
+        "strftime(DATE '2026-01-01', '100%% %V') AS e, "
+        "strftime(NULL::TIMESTAMP, '%G %V x') AS f",
+    )
+
+
 def test_ym_interval_compose(spark):
     # to_years/to_months produce year-month intervals that compose in
     # timestamp arithmetic (PySpark cannot COLLECT the bare type; the
