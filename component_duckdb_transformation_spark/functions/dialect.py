@@ -2254,9 +2254,14 @@ def _rewrite_strftime(tokens: List[Token]) -> List[Token]:
                         fmt_s = _decode_spark_string(fmt_code[0])
                         ra = _rewrite_strftime(args[0])
                         x = _sql(ra, 0, len(ra))
+                        # Thursday of x's ISO week. This emission is
+                        # re-processed by the call-shim pass, which
+                        # rewrites ``weekday`` to DuckDB's Sunday=0
+                        # form (dayofweek - 1); (weekday + 6) % 7 then
+                        # lands on Monday=0, the ISO day number
                         iso_year = (
                             f"CAST(year(date_add(CAST(({x}) AS DATE), "
-                            f"3 - weekday(({x})))) AS STRING)"
+                            f"3 - ((weekday(({x})) + 6) % 7))) AS STRING)"
                         )
                         iso_week = (
                             f"lpad(CAST(weekofyear(({x})) AS STRING), "
@@ -2977,6 +2982,7 @@ _LIST_VALUED_FNS = {
     "generate_series", "sequence", "array", "flatten",
     "array_distinct", "array_sort", "transform", "filter", "slice",
     "array_slice", "array_append", "array_prepend", "array_intersect",
+    "list_resize", "array_resize", "parse_path", "unpivot_list",
 }
 
 
@@ -3899,11 +3905,37 @@ def _rewrite_brackets(tokens: List[Token]) -> List[Token]:
                             # try_element_at: DuckDB yields NULL (not an
                             # ANSI error) for out-of-bounds; negative =
                             # from the end in both engines; also the map
-                            # accessor
+                            # accessor. Spark's array element_at demands
+                            # an INT index (no BIGINT coercion), so a
+                            # syntactically-numeric index (arithmetic /
+                            # numbers, no strings — can't be a string
+                            # map key) gets the cast; map keys coerce
+                            # through INT fine
+                            icode = [
+                                t
+                                for t in inner
+                                if t.kind not in ("ws", "comment")
+                            ]
+                            numericish = not any(
+                                t.kind == "string" for t in icode
+                            ) and any(
+                                (
+                                    t.kind == "op"
+                                    and t.text in ("+", "-", "*", "/", "%")
+                                )
+                                or t.kind == "number"
+                                or (t.kind == "word" and t.text.isdigit())
+                                for t in icode
+                            )
                             out.extend(_toks("try_element_at("))
                             out.extend(base)
                             out.append(Token("op", ","))
-                            out.extend(inner)
+                            if numericish:
+                                out.extend(_toks("CAST(("))
+                                out.extend(inner)
+                                out.extend(_toks(") AS INT)"))
+                            else:
+                                out.extend(inner)
                             out.append(Token("op", ")"))
                 else:
                     c = colons[0]
@@ -4155,6 +4187,18 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                         )
                         i = close + 1
                         continue
+                    # list path: Spark's element_at requires an INT
+                    # index for arrays (no BIGINT coercion); these are
+                    # DuckDB's LIST accessors, so the cast is always
+                    # safe (maps go through map_extract / brackets)
+                    s_, ix = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(
+                            f"try_element_at(({s_}), CAST(({ix}) AS INT))"
+                        )
+                    )
+                    i = close + 1
+                    continue
                 if low == "octet_length" and len(args) == 1:
                     # BIT values are '0'/'1' strings in this engine;
                     # octet_length over a syntactically-known bitstring
@@ -4510,7 +4554,11 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                         "era": (
                             f"(CASE WHEN year(({a})) > 0 THEN 1 ELSE 0 END)"
                         ),
-                        # the Thursday of x's ISO week determines the year
+                        # the Thursday of x's ISO week determines the
+                        # year. This emission is FINAL Spark SQL (call
+                        # shims do not reprocess their own output), so
+                        # ``weekday`` is Spark's Monday=0 builtin and
+                        # 3 - weekday is the Thursday offset directly
                         "isoyear": (
                             f"CAST(year(date_add(CAST(({a}) AS DATE), "
                             f"3 - weekday(({a})))) AS BIGINT)"

@@ -154,17 +154,14 @@ def check_common_sql_errors(sql: str) -> list[str]:
 # bar/timezone/format_bytes/bitstring are dialect shims; histogram is
 # an aggregate template — all verified against DuckDB in tests.)
 # The round-6 catalog sweep (tools/fn_parity_sweep.py) shimmed or
-# renamed everything else; what remains is structurally out of reach:
-# icu_sort_key + the grapheme-cluster family need ICU segmentation;
-# make_time needs a TIME type Spark doesn't have; mad needs nested
-# median aggregates (two passes); bitstring_agg needs a BIT type;
-# array_resize/list_resize need typed NULL padding; parse_path and
-# unpivot_list return engine-internal list shapes.
+# renamed everything else — the closing batch implemented the grapheme
+# family, make_time, mad, bitstring_agg, list_resize/array_resize,
+# parse_path, unpivot_list, and json_contains/json_structure (see
+# COVERAGE.md). What remains needs ICU collation tailoring
+# (icu_sort_key) or DuckDB's name := value struct syntax
+# (struct_insert).
 _UNSUPPORTED_FUNCTIONS = {
-    "icu_sort_key", "left_grapheme", "right_grapheme",
-    "length_grapheme", "substring_grapheme", "make_time", "mad",
-    "bitstring_agg", "array_resize", "list_resize", "parse_path",
-    "unpivot_list", "struct_insert", "json_contains", "json_structure",
+    "icu_sort_key", "struct_insert",
 }
 
 # shimmed only for specific argument shapes: lint the rest

@@ -257,6 +257,31 @@ def test_array_type_suffix_casts(spark):
     assert_matches_duckdb(spark, "SELECT [1,2,3][2] AS a")
 
 
+def test_bigint_list_index(spark):
+    # Spark's array element_at demands an INT index with no BIGINT
+    # coercion; DuckDB subscripts take any integral. The accessors and
+    # numeric bracket indexes cast — found by the fuzz gate
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW bi AS "
+        "SELECT CAST(2 AS BIGINT) AS k, map('a', 5) AS m"
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE bi AS SELECT CAST(2 AS BIGINT) AS k")
+    for sql in (
+        "SELECT list_extract([10,20,30], k) AS v FROM bi",
+        "SELECT list_element([10,20,30], k + 1) AS v FROM bi",
+        "SELECT array_extract([10,20,30], k - 5) AS v FROM bi",
+        "SELECT ([10,20,30])[k % 2 + 1] AS v FROM bi",
+    ):
+        want = con.execute(sql).fetchone()[0]
+        got = spark.sql(translate(sql)).collect()[0][0]
+        assert got == want, (sql, want, got)
+    # string-keyed map brackets keep the uncast key
+    assert spark.sql(translate("SELECT m['a'] AS v FROM bi")).collect()[0][
+        0
+    ] == 5
+
+
 def test_strftime_iso_week_directives(spark):
     # %V/%G compose via weekofyear()/ISO-year (Spark's formatter has no
     # week-based patterns); includes the year-boundary weeks, %% escape

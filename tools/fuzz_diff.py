@@ -34,7 +34,11 @@ TS_COL = "l_shipdate"
 
 EXTRACT_PARTS = ["year", "month", "day", "quarter", "dow", "doy", "week"]
 TRUNC_PARTS = ["year", "month", "day", "hour"]
-STRFTIME_FMTS = ["%Y-%m-%d", "%d/%m/%Y", "%Y%m", "%H:%M:%S"]
+STRFTIME_FMTS = [
+    "%Y-%m-%d", "%d/%m/%Y", "%Y%m", "%H:%M:%S",
+    # ISO week directives (composed via weekofyear/ISO-year)
+    "%G-W%V", "wk %V of %G", "%V", "%Y vs %G",
+]
 
 
 def num_expr(g: random.Random, depth: int = 0) -> str:
@@ -215,14 +219,76 @@ def lambda_item(g: random.Random) -> str:
     return f"len(list_filter({ilst}, x -> x % 2 = 0))"
 
 
+def round6_item(g: random.Random) -> str:
+    """Round-6 surface: grapheme functions over arbitrary string
+    expressions, json_contains/json_structure over column-built JSON,
+    list_resize reduced to scalars, parse_path re-joined, temporal
+    isfinite, VARCHAR-subscript array_extract."""
+    c = g.randrange(8)
+    if c == 0:
+        a = str_expr(g)
+        fn = g.choice(["length_grapheme", "left_grapheme", "right_grapheme"])
+        if fn == "length_grapheme":
+            return f"length_grapheme({a})"
+        return f"{fn}({a}, {g.randint(-4, 5)})"
+    if c == 1:
+        return (
+            f"substring_grapheme({str_expr(g)}, "
+            f"{g.randint(-5, 5)}, {g.randint(0, 5)})"
+        )
+    if c == 2:
+        jb = (
+            "('{\"id\": ' || " + g.choice(INT_COLS)
+            + " || ', \"arr\": [' || " + g.choice(INT_COLS)
+            + " || ', 7]}')"
+        )
+        needle = g.choice(
+            ["'7'", "'{\"id\": 1}'", "'[7]'",
+             "('{\"id\": ' || " + g.choice(INT_COLS) + " || '}')"]
+        )
+        return f"json_contains({jb}, {needle})"
+    if c == 3:
+        jb = (
+            "('{\"a\": ' || " + g.choice(INT_COLS)
+            + " || ', \"b\": [' || " + g.choice(INT_COLS)
+            + " || ', ' || " + g.choice(NUM_COLS) + " || ']}')"
+        )
+        return f"json_structure({jb})"
+    if c == 4:
+        lst = f"[{g.choice(INT_COLS)} % 7, {g.choice(INT_COLS)} % 5]"
+        n = g.randint(0, 5)
+        if g.random() < 0.5:
+            return f"len(list_resize({lst}, {n}))"
+        # 3-arg pad over a LITERAL list only: DuckDB 1.0.0 aborts with
+        # std::bad_array_new_length on 3-arg list_resize of column data
+        lit = f"[{g.randint(0, 9)}, {g.randint(0, 9)}]"
+        return (
+            f"coalesce(list_extract(list_resize({lit}, {n}, "
+            f"{g.randint(0, 9)}), ({g.choice(INT_COLS)} % 4) + 1), -1)"
+        )
+    if c == 5:
+        p = (
+            "('/' || " + g.choice(STR_COLS) + " || '/x_' || "
+            + g.choice(INT_COLS) + " || '.txt')"
+        )
+        return f"array_to_string(parse_path({p}), '|')"
+    if c == 6:
+        return f"isfinite(CAST({ts_expr(g)} AS TIMESTAMP))"
+    return (
+        f"array_extract('abcdef', {g.choice(INT_COLS)} % 9 - 4)"
+    )
+
+
 def scalar_item(g: random.Random) -> str:
     r = g.random()
-    if r < 0.42:
+    if r < 0.38:
         return num_expr(g)
-    if r < 0.62:
+    if r < 0.56:
         return str_expr(g)
-    if r < 0.72:
+    if r < 0.66:
         return json_item(g)
+    if r < 0.72:
+        return round6_item(g)
     if r < 0.80:
         return lambda_item(g)
     if r < 0.86:
