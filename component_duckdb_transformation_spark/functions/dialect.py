@@ -122,6 +122,10 @@ _FN_RENAMES = {
     "json_keys": "json_object_keys",
     "approx_quantile": "approx_percentile",
     "unpivot_list": "array",  # DuckDB's variadic list-builder helper
+    "array_value": "array",
+    # both engines' reservoir/KLL approximations agree exactly on
+    # small inputs; approximate by contract at scale
+    "reservoir_quantile": "approx_percentile",
     # arg_max/arg_min: shimmed in _rewrite_call_shims (DuckDB SKIPS rows
     # whose value arg is NULL; Spark max_by would return them)
     "arg_max_null": "max_by",
@@ -4259,6 +4263,22 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     )
                     i = close + 1
                     continue
+                if low in ("list_where", "array_where") and len(args) == 2:
+                    # mask selection keeping NULL ELEMENTS where the
+                    # mask is true (list_where([1,NULL,3],[t,t,f]) =
+                    # [1,NULL]) — a struct zip so NULL values survive
+                    # the filter; zip_with pads a shorter mask with
+                    # NULL = drop (DuckDB errors on length mismatch)
+                    l_, m_ = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(
+                            f"transform(filter(zip_with(({l_}), ({m_}), "
+                            f"(__x, __m) -> struct(__x AS v, __m AS keep)), "
+                            f"__s -> __s.keep), __s -> __s.v)"
+                        )
+                    )
+                    i = close + 1
+                    continue
                 if low == "mad" and len(args) == 1:
                     # median absolute deviation (grouped-agg pandas UDF,
                     # double-typed): numerics cast to DOUBLE; temporals
@@ -5025,7 +5045,10 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     out.extend(_toks(f"listagg({rendered[0]}, {sep})"))
                     i = close + 1
                     continue
-                if low in ("list_aggregate", "list_aggr") and len(args) >= 2:
+                if low in (
+                    "list_aggregate", "list_aggr",
+                    "aggregate", "array_aggregate", "array_aggr",
+                ) and len(args) >= 2:
                     l = _sql(inner, *args[0])
                     fname_code = [
                         t for t in inner[args[1][0]: args[1][1]]
@@ -5503,7 +5526,7 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     out.extend(_toks(f"percentile({a}, {b})"))
                     i = close + 1
                     continue
-                if low == "quantile_disc" and len(args) == 2:
+                if low in ("quantile_disc", "quantile") and len(args) == 2:
                     a, b = (_sql(inner, s, e) for s, e in args)
                     out.extend(
                         _toks(f"percentile_disc({b}) WITHIN GROUP (ORDER BY {a})")

@@ -257,6 +257,31 @@ def test_array_type_suffix_casts(spark):
     assert_matches_duckdb(spark, "SELECT [1,2,3][2] AS a")
 
 
+def test_list_where_and_aggregate_aliases(spark):
+    assert_matches_duckdb(
+        spark,
+        "SELECT list_where([1, 2, 3], [TRUE, FALSE, TRUE]) AS a, "
+        "list_where([1, NULL, 3], [TRUE, TRUE, FALSE]) AS b, "
+        "array_where([5, 6], [FALSE, FALSE]) AS c, "
+        "aggregate([1, 2, 3], 'sum') AS d, "
+        "array_aggregate([1.5, 2.5], 'avg') AS e, "
+        "array_value(1, 2) AS f, "
+        "quantile([1, 2, 3, 4][2], 0.5) AS g",
+    )
+
+
+def test_map_function_family(spark):
+    # DuckDB maps have no key order guarantee; reduce to sorted scalars
+    assert_matches_duckdb(
+        spark,
+        "SELECT list_sort(map_keys(MAP {'k': 7, 'j': 9})) AS a, "
+        "list_sort(map_values(MAP {'k': 7, 'j': 9})) AS b, "
+        "map_extract(MAP {'k': 7}, 'k') AS c, "
+        "map_extract(map_concat(MAP {'a': 1}, MAP {'b': 2}), 'b') AS d, "
+        "map_extract(map_from_entries([{'k': 'a', 'v': 1}]), 'a') AS e",
+    )
+
+
 def test_bigint_list_index(spark):
     # Spark's array element_at demands an INT index with no BIGINT
     # coercion; DuckDB subscripts take any integral. The accessors and
