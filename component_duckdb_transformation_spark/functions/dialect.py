@@ -4263,6 +4263,70 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     )
                     i = close + 1
                     continue
+                if low in ("struct_pack", "struct_insert") and args:
+                    # name := value struct constructors -> named_struct.
+                    # struct_insert needs a named_struct-shaped base
+                    # (brace literals / struct_pack are already
+                    # rewritten by this point); a dynamic struct column
+                    # base needs the schema and falls through to a loud
+                    # Spark error (COVERAGE.md)
+                    def _named_pairs(arg_spans):
+                        pairs = []
+                        for s_, e_ in arg_spans:
+                            code = [
+                                (j, t)
+                                for j, t in enumerate(inner[s_:e_])
+                                if t.kind not in ("ws", "comment")
+                            ]
+                            if (
+                                len(code) >= 3
+                                and code[0][1].kind
+                                in ("word", "bident", "qident")
+                                and code[1][1].kind == "op"
+                                and code[1][1].text == ":"
+                                and code[2][1].kind == "op"
+                                and code[2][1].text == "="
+                            ):
+                                name = unquote_name(code[0][1])
+                                val = _sql(
+                                    inner, s_ + code[2][0] + 1, e_
+                                )
+                                pairs.append((name, val))
+                            else:
+                                return None
+                        return pairs
+                    if low == "struct_pack":
+                        pairs = _named_pairs(args)
+                        if pairs:
+                            body = ", ".join(
+                                f"'{n}', ({v})" for n, v in pairs
+                            )
+                            out.extend(_toks(f"named_struct({body})"))
+                            i = close + 1
+                            continue
+                    else:
+                        base_sql = _sql(inner, *args[0]).strip()
+                        pairs = _named_pairs(args[1:])
+                        if (
+                            pairs
+                            and base_sql.startswith("named_struct(")
+                            and base_sql.endswith(")")
+                        ):
+                            base_inner = base_sql[
+                                len("named_struct("):-1
+                            ]
+                            added = ", ".join(
+                                f"'{n}', ({v})" for n, v in pairs
+                            )
+                            sep = ", " if base_inner.strip() else ""
+                            out.extend(
+                                _toks(
+                                    f"named_struct({base_inner}{sep}"
+                                    f"{added})"
+                                )
+                            )
+                            i = close + 1
+                            continue
                 if low in ("list_where", "array_where") and len(args) == 2:
                     # mask selection keeping NULL ELEMENTS where the
                     # mask is true (list_where([1,NULL,3],[t,t,f]) =

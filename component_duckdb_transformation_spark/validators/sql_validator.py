@@ -156,12 +156,12 @@ def check_common_sql_errors(sql: str) -> list[str]:
 # The round-6 catalog sweep (tools/fn_parity_sweep.py) shimmed or
 # renamed everything else — the closing batch implemented the grapheme
 # family, make_time, mad, bitstring_agg, list_resize/array_resize,
-# parse_path, unpivot_list, and json_contains/json_structure (see
-# COVERAGE.md). What remains needs ICU collation tailoring
-# (icu_sort_key) or DuckDB's name := value struct syntax
-# (struct_insert).
+# parse_path, unpivot_list, json_contains/json_structure, list_where,
+# and the name := value struct constructors (struct_pack everywhere;
+# struct_insert on literal-shaped bases — see COVERAGE.md). Only
+# icu_sort_key remains: it needs ICU collation tailoring.
 _UNSUPPORTED_FUNCTIONS = {
-    "icu_sort_key", "struct_insert",
+    "icu_sort_key",
 }
 
 # shimmed only for specific argument shapes: lint the rest

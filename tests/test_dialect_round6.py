@@ -270,6 +270,15 @@ def test_list_where_and_aggregate_aliases(spark):
     )
 
 
+def test_struct_pack_and_insert(spark):
+    assert_matches_duckdb(
+        spark,
+        "SELECT struct_pack(a := 1, b := 'x').a AS a, "
+        "struct_insert({'a': 1}, b := 2).b AS b, "
+        "struct_insert(struct_pack(x := 5), y := 6, z := 7).z AS c",
+    )
+
+
 def test_map_function_family(spark):
     # DuckDB maps have no key order guarantee; reduce to sorted scalars
     assert_matches_duckdb(

@@ -133,6 +133,8 @@ ARG_OVERRIDES = {
     "not_ilike_escape": "not_ilike_escape('abc', 'A%', '|')",
     "position": "position('b' IN 'abc')",
     "to_json": "to_json([1, 2])",
+    "struct_pack": "struct_pack(a := 1, b := 'x')",
+    "struct_insert": "struct_insert({'a': 1}, b := 2)",
 }
 
 _YM_INTERVAL_RE = None  # lazy; see _parse_ym_interval
