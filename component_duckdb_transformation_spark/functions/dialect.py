@@ -4263,13 +4263,12 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     )
                     i = close + 1
                     continue
-                if low in ("struct_pack", "struct_insert") and args:
-                    # name := value struct constructors -> named_struct.
-                    # struct_insert needs a named_struct-shaped base
-                    # (brace literals / struct_pack are already
-                    # rewritten by this point); a dynamic struct column
-                    # base needs the schema and falls through to a loud
-                    # Spark error (COVERAGE.md)
+                if low == "struct_insert" and len(args) >= 2:
+                    # name := value field append -> named_struct splice.
+                    # Needs a named_struct-shaped base (brace literals /
+                    # struct_pack are already rewritten by this point);
+                    # a dynamic struct column base needs the schema and
+                    # falls through to a loud Spark error (COVERAGE.md)
                     def _named_pairs(arg_spans):
                         pairs = []
                         for s_, e_ in arg_spans:
@@ -4295,38 +4294,26 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                             else:
                                 return None
                         return pairs
-                    if low == "struct_pack":
-                        pairs = _named_pairs(args)
-                        if pairs:
-                            body = ", ".join(
-                                f"'{n}', ({v})" for n, v in pairs
+                    base_sql = _sql(inner, *args[0]).strip()
+                    pairs = _named_pairs(args[1:])
+                    if (
+                        pairs
+                        and base_sql.startswith("named_struct(")
+                        and base_sql.endswith(")")
+                    ):
+                        base_inner = base_sql[len("named_struct("):-1]
+                        added = ", ".join(
+                            f"'{n}', ({v})" for n, v in pairs
+                        )
+                        sep = ", " if base_inner.strip() else ""
+                        out.extend(
+                            _toks(
+                                f"named_struct({base_inner}{sep}"
+                                f"{added})"
                             )
-                            out.extend(_toks(f"named_struct({body})"))
-                            i = close + 1
-                            continue
-                    else:
-                        base_sql = _sql(inner, *args[0]).strip()
-                        pairs = _named_pairs(args[1:])
-                        if (
-                            pairs
-                            and base_sql.startswith("named_struct(")
-                            and base_sql.endswith(")")
-                        ):
-                            base_inner = base_sql[
-                                len("named_struct("):-1
-                            ]
-                            added = ", ".join(
-                                f"'{n}', ({v})" for n, v in pairs
-                            )
-                            sep = ", " if base_inner.strip() else ""
-                            out.extend(
-                                _toks(
-                                    f"named_struct({base_inner}{sep}"
-                                    f"{added})"
-                                )
-                            )
-                            i = close + 1
-                            continue
+                        )
+                        i = close + 1
+                        continue
                 if low in ("list_where", "array_where") and len(args) == 2:
                     # mask selection keeping NULL ELEMENTS where the
                     # mask is true (list_where([1,NULL,3],[t,t,f]) =
