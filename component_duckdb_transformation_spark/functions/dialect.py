@@ -3870,9 +3870,44 @@ def _rewrite_brackets(tokens: List[Token]) -> List[Token]:
                 or prev_code.kind == "string"
             )
             if not is_index:
-                out.extend(_toks("array("))
-                out.extend(inner)
-                out.append(Token("op", ")"))
+                # list comprehension [expr FOR var IN list [IF cond]]
+                # -> transform(filter(list, var -> cond), var -> expr)
+                fors = _top_level_positions(
+                    inner, 0, len(inner), lambda t: t.is_kw("FOR")
+                )
+                comp = None
+                if len(fors) == 1:
+                    f = fors[0]
+                    v = _next_code(inner, f)
+                    inkw = _next_code(inner, v) if v < len(inner) else len(inner)
+                    if (
+                        v < len(inner)
+                        and inner[v].kind in ("word", "bident", "qident")
+                        and inkw < len(inner)
+                        and inner[inkw].is_kw("IN")
+                    ):
+                        var = unquote_name(inner[v])
+                        ifs = _top_level_positions(
+                            inner, inkw + 1, len(inner),
+                            lambda t: t.is_kw("IF"),
+                        )
+                        expr = _sql(inner, 0, f)
+                        if ifs:
+                            lst = _sql(inner, inkw + 1, ifs[0])
+                            cond = _sql(inner, ifs[0] + 1, len(inner))
+                            comp = (
+                                f"transform(filter({lst}, "
+                                f"{var} -> {cond}), {var} -> {expr})"
+                            )
+                        else:
+                            lst = _sql(inner, inkw + 1, len(inner))
+                            comp = f"transform({lst}, {var} -> {expr})"
+                if comp is not None:
+                    out.extend(_toks(comp))
+                else:
+                    out.extend(_toks("array("))
+                    out.extend(inner)
+                    out.append(Token("op", ")"))
             else:
                 colons = _top_level_positions(
                     inner, 0, len(inner), lambda t: t.kind == "op" and t.text == ":"

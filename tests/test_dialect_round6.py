@@ -270,6 +270,17 @@ def test_list_where_and_aggregate_aliases(spark):
     )
 
 
+def test_list_comprehensions(spark):
+    assert_matches_duckdb(
+        spark,
+        "SELECT [x + 1 FOR x IN [1,2,3]] AS a, "
+        "[x FOR x IN [1,2,3,4] IF x % 2 = 0] AS b, "
+        "[upper(s) FOR s IN ['a','b']] AS c, "
+        "[y * 2 FOR y IN [v FOR v IN [1,2,3] IF v > 1]] AS d, "
+        "len([x FOR x IN [1,2,3] IF x > 5]) AS e",
+    )
+
+
 def test_struct_pack_and_insert(spark):
     assert_matches_duckdb(
         spark,

@@ -192,7 +192,12 @@ def lambda_item(g: random.Random) -> str:
         f"[{g.choice(INT_COLS)} % 7, {g.choice(INT_COLS)} % 5, {g.randint(0, 4)}]"
     )
     k = g.randint(0, 3)
-    c = g.randrange(6)
+    c = g.randrange(7)
+    if c == 6:
+        # list comprehension form of transform+filter
+        return (
+            f"len([x * 2 FOR x IN {ilst} IF x > {k}])"
+        )
     if c == 0:
         return (
             f"round(list_aggregate(list_transform({lst}, x -> x + {k}), "
@@ -219,6 +224,24 @@ def lambda_item(g: random.Random) -> str:
     return f"len(list_filter({ilst}, x -> x % 2 = 0))"
 
 
+def _grapheme_subject(g: random.Random) -> str:
+    """String subjects for grapheme functions: column expressions plus
+    literals with combining marks, a precomposed accent, and a
+    regional-indicator (flag) pair — the cluster shapes the simplified
+    UAX #29 splitter claims."""
+    if g.random() < 0.5:
+        return str_expr(g)
+    lit = g.choice(
+        [
+            "e\u0301x",  # decomposed: e + combining acute
+            "\u00e9x",  # precomposed e-acute
+            "a\u0308b\u0301c",  # two marked clusters
+            "\U0001F1EB\U0001F1F7x",  # regional-indicator pair + x
+        ]
+    )
+    return "'" + lit + "'"
+
+
 def round6_item(g: random.Random) -> str:
     """Round-6 surface: grapheme functions over arbitrary string
     expressions, json_contains/json_structure over column-built JSON,
@@ -226,14 +249,14 @@ def round6_item(g: random.Random) -> str:
     isfinite, VARCHAR-subscript array_extract."""
     c = g.randrange(8)
     if c == 0:
-        a = str_expr(g)
+        a = _grapheme_subject(g)
         fn = g.choice(["length_grapheme", "left_grapheme", "right_grapheme"])
         if fn == "length_grapheme":
             return f"length_grapheme({a})"
         return f"{fn}({a}, {g.randint(-4, 5)})"
     if c == 1:
         return (
-            f"substring_grapheme({str_expr(g)}, "
+            f"substring_grapheme({_grapheme_subject(g)}, "
             f"{g.randint(-5, 5)}, {g.randint(0, 5)})"
         )
     if c == 2:
