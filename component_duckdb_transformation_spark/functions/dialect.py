@@ -179,6 +179,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_similar_to(tokens)
     tokens = _rewrite_glob(tokens)
     tokens = _rewrite_asof_join(tokens)
+    tokens = _rewrite_positional_join(tokens)
     tokens = _rewrite_using_sample(tokens)
     tokens = _rewrite_statement_unpivot(tokens)
     tokens = _rewrite_extract_dow(tokens)
@@ -532,15 +533,19 @@ def _dotted_ref(tokens_: List[Token]):
     return None
 
 
-def _patch_enclosing_star_for_asof(out: List[Token], ralias: str) -> None:
-    """Exclude the ASOF helper column from star projections of the
+def _patch_enclosing_star_for_asof(
+    out: List[Token], ralias: str, col: str = "__asof_end"
+) -> None:
+    """Exclude a rewrite-helper column from star projections of the
     query block whose FROM clause got the rewritten join: ``SELECT *``
-    (and ``<ralias>.*``) would otherwise expose ``__asof_end`` — a
-    schema divergence from DuckDB. Walks back from the join (already
-    emitted into ``out``) to the owning SELECT at the same paren depth,
-    then appends ``EXCEPT (<ralias>.__asof_end)`` to covering stars,
-    merging into an EXCEPT list a prior pass (or a second ASOF join in
-    the same scope) already placed."""
+    (and ``<ralias>.*``) would otherwise expose it — a schema
+    divergence from DuckDB. Used by the ASOF rewrite (``__asof_end``)
+    and the POSITIONAL JOIN rewrite (``__pos``, once per side). Walks
+    back from the join (already emitted into ``out``) to the owning
+    SELECT at the same paren depth, then appends
+    ``EXCEPT (<ralias>.<col>)`` to covering stars, merging into an
+    EXCEPT list a prior pass (or a second rewritten join in the same
+    scope) already placed."""
     depth = 0
     sel = None
     from_idx = None
@@ -592,7 +597,7 @@ def _patch_enclosing_star_for_asof(out: List[Token], ralias: str) -> None:
                 k += 1
                 continue
             nxt = _next_code(out, k)
-            entry = _toks(f"{ralias}.__asof_end")
+            entry = _toks(f"{ralias}.{col}")
             # merge into an existing exclusion list (EXCLUDE is the
             # DuckDB spelling — a later pass converts it to EXCEPT)
             if (
@@ -615,6 +620,168 @@ def _patch_enclosing_star_for_asof(out: List[Token], ralias: str) -> None:
             from_idx += len(ins)
             k += len(ins)
         k += 1
+
+
+def _table_primary_backward(out: List[Token]):
+    """Index in ``out`` where the trailing FROM-clause table primary
+    starts: scan back to the nearest clause boundary (FROM / JOIN /
+    comma / opening paren) at depth 0. Returns None when the shape is
+    not a plain primary (e.g. a preceding join chain)."""
+    depth = 0
+    j = len(out) - 1
+    while j >= 0:
+        t = out[j]
+        if t.kind == "op" and t.text == ")":
+            depth += 1
+        elif t.kind == "op" and t.text == "(":
+            if depth == 0:
+                return j + 1
+            depth -= 1
+        elif depth == 0 and (
+            t.is_kw("FROM") or t.is_kw("JOIN") or (t.kind == "op" and t.text == ",")
+        ):
+            return j + 1
+        j -= 1
+    return None
+
+
+def _parse_table_primary(toks: List[Token]):
+    """(source_sql, alias) of ``name [AS alias]`` / ``(subq) [AS] a``;
+    None when it isn't one primary. Source text keeps the original
+    whitespace (a stripped subquery would concatenate its words)."""
+    first = 0
+    n_ = len(toks)
+    while first < n_ and toks[first].kind in ("ws", "comment"):
+        first += 1
+    if first >= n_:
+        return None
+    if toks[first].kind == "op" and toks[first].text == "(":
+        close = _matching_paren(toks, first)
+        if close < 0:
+            return None
+        src = "".join(t.text for t in toks[first: close + 1])
+        rest = [
+            t
+            for t in toks[close + 1:]
+            if t.kind not in ("ws", "comment")
+        ]
+    else:
+        if toks[first].kind not in ("word", "bident", "qident"):
+            return None
+        k = first
+        j = _next_code(toks, k)
+        while j < n_ and toks[j].kind == "op" and toks[j].text == ".":
+            j = _next_code(toks, j)
+            if j >= n_:
+                return None
+            k = j
+            j = _next_code(toks, j)
+        src = "".join(t.text for t in toks[first: k + 1])
+        rest = [
+            t for t in toks[k + 1:] if t.kind not in ("ws", "comment")
+        ]
+    alias = None
+    if rest and rest[0].is_kw("AS"):
+        rest = rest[1:]
+    if len(rest) == 1 and rest[0].kind in ("word", "bident", "qident"):
+        alias = unquote_name(rest[0])
+    elif rest:
+        return None
+    if alias is None:
+        # bare table name: the name itself keeps qualified refs working
+        if "(" in src:
+            return None  # subquery without alias (DuckDB requires one)
+        alias = unquote_name(Token("word", src.split(".")[-1]))
+    return src, alias
+
+
+_POSITIONAL_WRAP = (
+    "(SELECT *, row_number() OVER "
+    "(ORDER BY monotonically_increasing_id()) AS __pos FROM {src}) {al}"
+)
+
+
+def _rewrite_positional_join(tokens: List[Token]) -> List[Token]:
+    """DuckDB ``l POSITIONAL JOIN r``: pair rows by position, padding
+    the shorter side with NULLs. Both sides get a scan-order row number
+    (``row_number() OVER (ORDER BY monotonically_increasing_id())`` —
+    partition-concatenation order, i.e. file order on this engine's
+    Parquet TableStore) and FULL-join on it; star projections are
+    patched to exclude the helper (COVERAGE.md documents the ordering
+    caveat after COW mutations). Supported shape: both sides plain
+    table primaries (name or aliased subquery); anything else is left
+    for Spark's parser to reject loudly."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if not tok.is_kw("POSITIONAL"):
+            out.append(tok)
+            i += 1
+            continue
+        j = _next_code(tokens, i)
+        if not (j < n and tokens[j].is_kw("JOIN")):
+            out.append(tok)
+            i += 1
+            continue
+        # right primary: name/dotted or parenthesized + optional alias
+        r0 = _next_code(tokens, j)
+        if r0 >= n:
+            out.append(tok)
+            i += 1
+            continue
+        if tokens[r0].kind == "op" and tokens[r0].text == "(":
+            r_end = _matching_paren(tokens, r0) + 1
+        elif tokens[r0].kind in ("word", "bident", "qident"):
+            r_end = r0 + 1
+            k = _next_code(tokens, r0)
+            while k < n and tokens[k].kind == "op" and tokens[k].text == ".":
+                k = _next_code(tokens, k)
+                r_end = k + 1
+                k = _next_code(tokens, k)
+        else:
+            out.append(tok)
+            i += 1
+            continue
+        alias_end = r_end
+        a0 = _next_code(tokens, r_end - 1)
+        if a0 < n and tokens[a0].is_kw("AS"):
+            a1 = _next_code(tokens, a0)
+            if a1 < n and tokens[a1].kind in ("word", "bident", "qident"):
+                alias_end = a1 + 1
+        elif (
+            a0 < n
+            and tokens[a0].kind in ("word", "bident", "qident")
+            and tokens[a0].upper not in _ASOF_COND_END
+            and not tokens[a0].is_kw("POSITIONAL")
+        ):
+            alias_end = a0 + 1
+        right = _parse_table_primary(tokens[r0:alias_end])
+        lstart = _table_primary_backward(out)
+        left = (
+            _parse_table_primary(out[lstart:])
+            if lstart is not None
+            else None
+        )
+        if right is None or left is None:
+            out.append(tok)
+            i += 1
+            continue
+        (lsrc, lal), (rsrc, ral) = left, right
+        del out[lstart:]
+        out.extend(
+            _toks(
+                _POSITIONAL_WRAP.format(src=lsrc, al=f"`{lal}`")
+                + " FULL JOIN "
+                + _POSITIONAL_WRAP.format(src=rsrc, al=f"`{ral}`")
+                + f" ON `{lal}`.__pos = `{ral}`.__pos"
+            )
+        )
+        _patch_enclosing_star_for_asof(out, lal, "__pos")
+        _patch_enclosing_star_for_asof(out, ral, "__pos")
+        i = alias_end
+    return out
 
 
 def _rewrite_asof_join(tokens: List[Token]) -> List[Token]:

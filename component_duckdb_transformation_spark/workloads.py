@@ -930,6 +930,21 @@ _add_sql(
 )
 
 _add_sql(
+    "q59_positional_join_comprehension",
+    """
+    SELECT n_name,
+           r_name,
+           [length(w) FOR w IN split(n_name, ' ') IF w <> ''] AS word_lens
+    FROM nation POSITIONAL JOIN (SELECT r_name FROM region) r
+    ORDER BY n_name NULLS LAST
+    """,
+    description="POSITIONAL JOIN (scan-order row pairing, NULL-padded "
+    "shorter side via FULL join on a scan-order row number) and a list "
+    "comprehension lowered to transform/filter — identical SQL runs on "
+    "both engines",
+)
+
+_add_sql(
     "q46_regexp_split_to_table",
     """
     SELECT w AS word, CAST(count(*) AS BIGINT) AS n

@@ -270,6 +270,33 @@ def test_list_where_and_aggregate_aliases(spark):
     )
 
 
+def test_positional_join(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pa AS SELECT * FROM (VALUES (1,'x'),(2,'y'),(3,'z')) t(id, s)"
+    )
+    con.execute("CREATE TABLE pb AS SELECT * FROM (VALUES (10),(20)) t(v)")
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pa AS "
+        "SELECT * FROM VALUES (1,'x'),(2,'y'),(3,'z') t(id, s)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pb AS SELECT * FROM VALUES (10),(20) t(v)"
+    )
+    for sql in (
+        "SELECT * FROM pa POSITIONAL JOIN pb",  # star must not leak __pos
+        "SELECT id, v FROM pa POSITIONAL JOIN pb",
+        "SELECT pa.*, pb.v FROM pa POSITIONAL JOIN pb",
+        "SELECT x.id, y.v FROM pa AS x POSITIONAL JOIN pb y",
+        "SELECT * FROM (SELECT id FROM pa WHERE id > 1) l POSITIONAL JOIN pb",
+    ):
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        got = sorted(
+            tuple(r) for r in spark.sql(translate(sql)).collect()
+        )
+        assert got == want, (sql, want, got)
+
+
 def test_list_comprehensions(spark):
     assert_matches_duckdb(
         spark,
