@@ -256,6 +256,11 @@ class SparkStatementExecutor:
         self.store = store
         # view ORDER BY clauses for export-time re-sort (SURVEY §7.2)
         self.view_order_by: Dict[str, str] = {}
+        # PRIMARY KEY / UNIQUE columns from bare-DDL CREATE TABLE,
+        # lowercase table name -> lowercase key columns. Drives DuckDB
+        # constraint semantics on INSERT (duplicate-key errors,
+        # OR REPLACE / OR IGNORE / ON CONFLICT)
+        self.primary_keys: Dict[str, List[str]] = {}
         # scalar macros: name -> (params, body text), inlined at use
         self._macros: Dict[str, tuple[List[str], str]] = {}
         # Ambient job group at construction time (job groups are
@@ -898,6 +903,9 @@ class SparkStatementExecutor:
 
         if action == "rename_table":
             self.store.rename_table(name, args["to"])
+            keys = self.primary_keys.pop(name.lower(), None)
+            if keys:
+                self.primary_keys[args["to"].lower()] = keys
             return
         current = self.spark.table(_bt(name))
         have = {c.lower() for c in current.columns}
@@ -942,6 +950,7 @@ class SparkStatementExecutor:
         existed = self.spark.catalog.dropTempView(name)
         self.store.tables.pop(name, None)
         self.view_order_by.pop(name, None)
+        self.primary_keys.pop(name.lower(), None)
         if not existed and not if_exists:
             raise UserException(f"DROP: table or view '{name}' does not exist")
 
@@ -973,21 +982,146 @@ class SparkStatementExecutor:
             # bare DDL: CREATE TABLE t (col type, ...) -> empty table
             schema_sql = _ddl_column_schema(st.sql)
             df = self.spark.sql(f"SELECT {schema_sql} LIMIT 0")
+            keys = _ddl_primary_key(st.sql)
+            if keys:
+                self.primary_keys[name.lower()] = keys
+            else:
+                self.primary_keys.pop(name.lower(), None)
         else:
             df = self.spark.sql(translate(body))
+            self.primary_keys.pop(name.lower(), None)
         self.store.create_table(name, df, order_by=_terminal_order_by(body or ""))
 
     # -- DML --------------------------------------------------------------
     def _insert(self, st: ParsedStatement) -> None:
         name = next(iter(st.outputs), None)
-        tail = _insert_source_sql(st.sql)
+        sql = st.sql
+        # DuckDB constraint-aware forms: OR REPLACE / OR IGNORE
+        # modifiers and a trailing ON CONFLICT upsert clause
+        mode: object = None
+        m = re.match(r"\s*INSERT\s+OR\s+(REPLACE|IGNORE)\s+", sql, re.IGNORECASE)
+        if m:
+            mode = m.group(1).lower()
+            sql = re.sub(
+                r"(?i)^\s*INSERT\s+OR\s+(REPLACE|IGNORE)\s+",
+                "INSERT ", sql, count=1,
+            )
+        sql, conflict = _split_on_conflict(sql)
+        if conflict is not None:
+            mode = (
+                "ignore"
+                if conflict["action"] == "nothing"
+                else ("update", conflict["sets"], conflict["where"])
+            )
+        tail = _insert_source_sql(sql)
         df = self.spark.sql(translate(tail))
-        cols = _insert_column_list(st.sql)
-        if cols is None and _insert_is_by_name(st.sql):
+        cols = _insert_column_list(sql)
+        if cols is None and _insert_is_by_name(sql):
             # DuckDB `INSERT INTO t BY NAME select`: the SELECT's output
             # names pick the target columns; missing ones get NULL
             cols = df.columns
-        self.store.insert_into(name, df, columns=cols)
+        keys = (
+            (conflict or {}).get("cols")
+            or self.primary_keys.get((name or "").lower())
+        )
+        if mode is not None and not keys:
+            # exactly DuckDB's binder complaint
+            raise UserException(
+                "There are no UNIQUE/PRIMARY KEY Indexes that refer to "
+                f"this table, ON CONFLICT is a no-op for '{name}'"
+            )
+        if mode is None and not keys:
+            self.store.insert_into(name, df, columns=cols)
+            return
+        self._keyed_insert(name, df, cols, keys, mode)
+
+    def _keyed_insert(self, name, df, cols, keys, mode) -> None:
+        """INSERT into a PRIMARY KEY/UNIQUE table with DuckDB
+        constraint semantics: duplicate keys (within the batch, or vs
+        the table for plain INSERT) raise; OR REPLACE copy-on-writes
+        matching rows out; OR IGNORE / ON CONFLICT DO NOTHING anti-joins
+        the incoming side; ON CONFLICT DO UPDATE lowers onto the MERGE
+        executor with the source aliased ``excluded``. All paths are
+        joins on the key columns — no collects beyond a LIMIT-1
+        duplicate probe."""
+        if name not in self.store.tables:
+            raise UserException(f"INSERT INTO unknown table '{name}'")
+        current = self.spark.table(_bt(name))
+        aligned = (
+            _align_by_name(df, current, cols)
+            if cols
+            else _align_by_position(df, current)
+        )
+        by_lower = {f.name.lower(): f.name for f in current.schema.fields}
+        try:
+            key_cols = [by_lower[k] for k in keys]
+        except KeyError as exc:
+            raise UserException(
+                f"ON CONFLICT key column {exc} not in table '{name}'"
+            )
+        dup = (
+            aligned.groupBy(*[_bt(k) for k in key_cols])
+            .count()
+            .where("count > 1")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_txt = ", ".join(str(v) for v in list(dup[0])[:-1])
+            raise UserException(
+                "Constraint Error: PRIMARY KEY or UNIQUE constraint "
+                f'violated: duplicate key "{key_txt}"'
+            )
+        if mode is None:
+            clash = (
+                aligned.join(current, on=key_cols, how="left_semi")
+                .limit(1)
+                .collect()
+            )
+            if clash:
+                raise UserException(
+                    "Constraint Error: Duplicate key violates primary "
+                    f"key constraint on '{name}'"
+                )
+            self.store.insert_into(name, aligned)
+            return
+        if mode == "replace":
+            survivors = current.join(
+                aligned.select(*key_cols), on=key_cols, how="left_anti"
+            )
+            self.store.rewrite(name, survivors.unionByName(aligned))
+            return
+        if mode == "ignore":
+            fresh = aligned.join(
+                current.select(*key_cols), on=key_cols, how="left_anti"
+            )
+            self.store.rewrite(name, current.unionByName(fresh))
+            return
+        # ON CONFLICT DO UPDATE SET ... [WHERE c] -> MERGE (source
+        # aliased `excluded`, matching DuckDB's pseudo-table)
+        _, sets, where = mode
+        src_view = f"__ins_src_{uuid.uuid4().hex[:10]}"
+        aligned.createOrReplaceTempView(src_view)
+        try:
+            on = " AND ".join(
+                f"{_bt(name)}.{_bt(k)} = excluded.{_bt(k)}"
+                for k in key_cols
+            )
+            guard = f"AND ({where}) " if where else ""
+            merge_sql = (
+                f"MERGE INTO {_bt(name)} USING {src_view} AS excluded "
+                f"ON {on} WHEN MATCHED {guard}THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED THEN INSERT *"
+            )
+            self._merge(
+                ParsedStatement(
+                    sql=merge_sql,
+                    statement_type=StatementType.OTHER,
+                    outputs={name},
+                )
+            )
+        finally:
+            self.spark.catalog.dropTempView(src_view)
 
     def _update(self, st: ParsedStatement) -> None:
         name = next(iter(st.outputs), None)
@@ -1285,6 +1419,138 @@ def _ddl_column_schema(sql: str) -> str:
     if not items:
         raise UserException(f"Empty column list in: {sql[:100]}")
     return ", ".join(items)
+
+
+def _ddl_primary_key(sql: str) -> Optional[List[str]]:
+    """PRIMARY KEY (or, failing that, UNIQUE) columns of a bare-DDL
+    ``CREATE TABLE``, lowercase: column-level ``a INT PRIMARY KEY`` and
+    table-level ``PRIMARY KEY (a, b)`` / ``CONSTRAINT n PRIMARY KEY
+    (...)`` forms. None when the DDL declares neither."""
+    span = _column_list_span(sql)
+    if span is None:
+        return None
+    tokens, open_idx, close_idx = span
+    pk: List[str] = []
+    unique: List[str] = []
+    for part in _split_top_level(tokens[open_idx + 1: close_idx]):
+        code = [t for t in part if t.kind not in ("ws", "comment")]
+        if not code:
+            continue
+        first = code[0]
+        uppers = [t.upper if t.kind == "word" else t.text for t in code]
+        if first.kind == "word" and first.upper in _TABLE_CONSTRAINT_KWS:
+            # table-level: find the parenthesized column list
+            kind = None
+            for k, u in enumerate(uppers):
+                if u == "PRIMARY" and k + 1 < len(uppers) and uppers[k + 1] == "KEY":
+                    kind = "pk"
+                elif u == "UNIQUE":
+                    kind = kind or "unique"
+            try:
+                p = next(
+                    k for k, t in enumerate(code)
+                    if t.kind == "op" and t.text == "("
+                )
+            except StopIteration:
+                continue
+            cols = [
+                _unquote_ident(t).lower()
+                for t in code[p + 1:]
+                if t.kind in ("word", "bident", "qident")
+            ]
+            if kind == "pk" and cols:
+                pk = cols
+            elif kind == "unique" and cols and not unique:
+                unique = cols
+            continue
+        # column-level constraint on this column
+        name = _unquote_ident(first).lower()
+        for k, u in enumerate(uppers[1:], start=1):
+            if u == "PRIMARY" and k + 1 < len(uppers) and uppers[k + 1] == "KEY":
+                pk = pk or [name]
+            elif u == "UNIQUE":
+                unique = unique or [name]
+    return pk or unique or None
+
+
+def _split_on_conflict(sql: str):
+    """(sql_without_clause, conflict) — conflict is None or a dict
+    {cols: Optional[list], action: 'nothing'|'update', sets: str,
+    where: Optional[str]} for a trailing DuckDB upsert clause
+    ``ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET ... [WHERE c]``.
+    """
+    tokens = tokenize(sql)
+    n = len(tokens)
+    depth = 0
+    at = None
+    for i, t in enumerate(tokens):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.is_kw("ON"):
+            j = _next_code_idx(tokens, i)
+            if j < n and tokens[j].is_kw("CONFLICT"):
+                at = (i, j)
+                break
+    if at is None:
+        return sql, None
+    pre = "".join(t.text for t in tokens[: at[0]])
+    k = _next_code_idx(tokens, at[1])
+    cols = None
+    if k < n and tokens[k].kind == "op" and tokens[k].text == "(":
+        close = k
+        d = 0
+        while close < n:
+            t = tokens[close]
+            if t.kind == "op" and t.text == "(":
+                d += 1
+            elif t.kind == "op" and t.text == ")":
+                d -= 1
+                if d == 0:
+                    break
+            close += 1
+        cols = [
+            _unquote_ident(t).lower()
+            for t in tokens[k + 1: close]
+            if t.kind in ("word", "bident", "qident")
+        ]
+        k = _next_code_idx(tokens, close)
+    if not (k < n and tokens[k].is_kw("DO")):
+        raise UserException(f"Unsupported ON CONFLICT form: {sql[:120]}")
+    k = _next_code_idx(tokens, k)
+    if k < n and tokens[k].is_kw("NOTHING"):
+        return pre, {"cols": cols, "action": "nothing", "sets": "", "where": None}
+    if not (
+        k < n
+        and tokens[k].is_kw("UPDATE")
+        and _next_code_idx(tokens, k) < n
+        and tokens[_next_code_idx(tokens, k)].is_kw("SET")
+    ):
+        raise UserException(f"Unsupported ON CONFLICT form: {sql[:120]}")
+    k = _next_code_idx(tokens, k)  # SET
+    rest = tokens[k + 1:]
+    # split a trailing top-level WHERE off the SET list
+    d = 0
+    where = None
+    for i, t in enumerate(rest):
+        if t.kind == "op" and t.text == "(":
+            d += 1
+        elif t.kind == "op" and t.text == ")":
+            d -= 1
+        elif d == 0 and t.is_kw("WHERE"):
+            where = "".join(x.text for x in rest[i + 1:]).strip()
+            rest = rest[:i]
+            break
+    sets = "".join(t.text for t in rest).strip()
+    return pre, {"cols": cols, "action": "update", "sets": sets, "where": where}
+
+
+def _next_code_idx(tokens: List[Token], i: int) -> int:
+    j = i + 1
+    while j < len(tokens) and tokens[j].kind in ("ws", "comment"):
+        j += 1
+    return j
 
 
 def _insert_column_list(sql: str) -> Optional[List[str]]:

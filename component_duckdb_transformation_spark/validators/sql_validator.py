@@ -231,7 +231,11 @@ class SQLValidator:
                     r"(MACRO|FUNCTION)\b"
                     r"|^\s*DROP\s+(MACRO|FUNCTION)\b"
                     # UNION BY NAME: executor expands schema-aware
-                    r"|\bUNION\s+(ALL\s+|DISTINCT\s+)?BY\s+NAME\b",
+                    r"|\bUNION\s+(ALL\s+|DISTINCT\s+)?BY\s+NAME\b"
+                    # constraint-aware INSERT forms: the executor lowers
+                    # these onto key joins / MERGE itself
+                    r"|^\s*INSERT\s+OR\s+(REPLACE|IGNORE)\b"
+                    r"|\bON\s+CONFLICT\b",
                     st.sql,
                     _re.IGNORECASE,
                 ):

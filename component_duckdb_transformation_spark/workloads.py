@@ -1651,6 +1651,97 @@ def _mutation_pipeline_builder(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _upsert_pipeline_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint-aware INSERT surface through the executor: a PRIMARY
+    KEY table fed by INSERT, OR REPLACE, OR IGNORE, and ON CONFLICT DO
+    UPDATE (the MERGE lowering) — DuckDB runs the identical statements
+    as the oracle."""
+    import tempfile
+
+    from .configuration import Block, Code
+    from .plans.executor import SparkStatementExecutor, TableStore
+    from .plans.orchestrator import BlockOrchestrator
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="cdts-wl-ups-"))
+    executor = SparkStatementExecutor(spark, store)
+    orch = BlockOrchestrator(execute_script=executor.execute_query, max_workers=4)
+    orch.add_queries_from_blocks(
+        [
+            Block(
+                name="ups",
+                codes=[
+                    Code(
+                        name="pipeline",
+                        script=list(_UPSERT_SCRIPT),
+                    )
+                ],
+            )
+        ]
+    )
+    orch.execute()
+    return spark.sql(_UPSERT_RESULT_SQL)
+
+
+_UPSERT_SCRIPT = (
+    "CREATE TABLE cust_pk (k BIGINT PRIMARY KEY, bal DOUBLE, src VARCHAR);",
+    "INSERT INTO cust_pk SELECT c_custkey, c_acctbal, 'base' FROM customer "
+    "WHERE c_custkey <= 600;",
+    "INSERT OR REPLACE INTO cust_pk SELECT c_custkey, c_acctbal + 100.0, "
+    "'repl' FROM customer WHERE c_custkey > 400 AND c_custkey <= 800;",
+    "INSERT OR IGNORE INTO cust_pk SELECT c_custkey, 0.0, 'ign' "
+    "FROM customer WHERE c_custkey > 700 AND c_custkey <= 900;",
+    "INSERT INTO cust_pk SELECT c_custkey, c_acctbal, 'conf' FROM customer "
+    "WHERE c_custkey > 500 AND c_custkey <= 1000 "
+    "ON CONFLICT (k) DO UPDATE SET bal = excluded.bal + cust_pk.bal, "
+    "src = 'upd';",
+)
+
+_UPSERT_RESULT_SQL = (
+    "SELECT src, CAST(count(*) AS BIGINT) AS n, "
+    "round(sum(bal), 2) AS total_bal, CAST(min(k) AS BIGINT) AS min_k, "
+    "CAST(max(k) AS BIGINT) AS max_k "
+    "FROM cust_pk GROUP BY src"
+)
+
+
+# The oracle derives the end state independently: per key range, which
+# statement last touched the row and what balance it left —
+#   k<=400 base; 400<k<=500 replaced (+100); 500<k<=800 replaced then
+#   conflict-updated (acctbal + (acctbal+100)); 800<k<=900 ignored-
+#   inserted 0.0 then conflict-updated (acctbal + 0); 900<k<=1000
+#   conflict-inserted. A semantic re-derivation, not a replay, so it
+#   cross-checks the executor's join lowering.
+_UPSERT_ORACLE_SQL = """
+SELECT src, CAST(count(*) AS BIGINT) AS n,
+       round(sum(bal), 2) AS total_bal, CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey <= 400 THEN c_acctbal
+              WHEN c_custkey <= 500 THEN c_acctbal + 100.0
+              WHEN c_custkey <= 800 THEN c_acctbal + c_acctbal + 100.0
+              WHEN c_custkey <= 900 THEN c_acctbal
+              ELSE c_acctbal END AS bal,
+         CASE WHEN c_custkey <= 400 THEN 'base'
+              WHEN c_custkey <= 500 THEN 'repl'
+              WHEN c_custkey <= 900 THEN 'upd'
+              ELSE 'conf' END AS src
+  FROM customer WHERE c_custkey <= 1000) s
+GROUP BY src
+"""
+
+
+_add_df(
+    "x29_upsert_pipeline",
+    _upsert_pipeline_builder,
+    oracle=_UPSERT_ORACLE_SQL,
+    description="PRIMARY KEY constraint surface: INSERT OR REPLACE / "
+    "OR IGNORE / ON CONFLICT DO UPDATE (MERGE lowering) on the COW "
+    "TableStore — the oracle re-derives the end state per key range "
+    "instead of replaying the script",
+)
+
+
 _add_df(
     "x15_mutation_pipeline",
     _mutation_pipeline_builder,

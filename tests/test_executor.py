@@ -570,3 +570,55 @@ def test_create_view_if_not_exists_is_noop(spark, table_store):
     _run(ex, "CREATE VIEW vine_v AS SELECT x + 1 AS y FROM vine_t")
     _run(ex, "CREATE VIEW IF NOT EXISTS vine_v AS SELECT 99 AS y")
     assert [r.y for r in spark.table("vine_v").collect()] == [2]
+
+
+def test_primary_key_constraint_inserts(spark, table_store):
+    """DuckDB constraint semantics on PK tables (all outcomes verified
+    against DuckDB 1.0: duplicate-key errors, OR REPLACE upsert,
+    OR IGNORE skip, ON CONFLICT DO NOTHING/DO UPDATE with excluded)."""
+    import pytest as _pytest
+
+    from component_duckdb_transformation_spark.exceptions import UserException
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE pkt (a INTEGER PRIMARY KEY, b VARCHAR)")
+    _run(ex, "INSERT INTO pkt VALUES (1, 'x'), (2, 'y')")
+    with _pytest.raises(UserException, match="primary key"):
+        _run(ex, "INSERT INTO pkt VALUES (1, 'z')")
+    _run(ex, "INSERT OR REPLACE INTO pkt VALUES (1, 'z'), (3, 'w')")
+    assert sorted(tuple(r) for r in spark.table("pkt").collect()) == [
+        (1, "z"), (2, "y"), (3, "w"),
+    ]
+    _run(ex, "INSERT OR IGNORE INTO pkt VALUES (1, 'q'), (4, 'v')")
+    assert sorted(tuple(r) for r in spark.table("pkt").collect()) == [
+        (1, "z"), (2, "y"), (3, "w"), (4, "v"),
+    ]
+    # duplicate key WITHIN the batch errors, even for OR REPLACE
+    with _pytest.raises(UserException, match="duplicate key"):
+        _run(ex, "INSERT OR REPLACE INTO pkt VALUES (9, 'a'), (9, 'b')")
+    _run(
+        ex,
+        "INSERT INTO pkt VALUES (1, 'u'), (5, 'n') "
+        "ON CONFLICT (a) DO UPDATE SET b = excluded.b || '!'",
+    )
+    assert sorted(tuple(r) for r in spark.table("pkt").collect()) == [
+        (1, "u!"), (2, "y"), (3, "w"), (4, "v"), (5, "n"),
+    ]
+    _run(
+        ex,
+        "INSERT INTO pkt VALUES (2, 'skip'), (6, 'm') ON CONFLICT DO NOTHING",
+    )
+    assert (2, "y") in {tuple(r) for r in spark.table("pkt").collect()}
+    # a table without declared keys rejects the constraint forms
+    _run(ex, "CREATE TABLE nokey (x INT)")
+    with _pytest.raises(UserException, match="no UNIQUE/PRIMARY KEY"):
+        _run(ex, "INSERT OR REPLACE INTO nokey VALUES (1)")
+    # composite table-level key
+    _run(ex, "CREATE TABLE ck (a INT, b INT, c INT, PRIMARY KEY (a, b))")
+    _run(ex, "INSERT INTO ck VALUES (1, 1, 9)")
+    _run(ex, "INSERT INTO ck VALUES (1, 2, 9)")
+    with _pytest.raises(UserException, match="primary key"):
+        _run(ex, "INSERT INTO ck VALUES (1, 1, 5)")
