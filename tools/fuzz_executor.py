@@ -26,15 +26,52 @@ import numpy as np
 
 
 def gen_ops(g: random.Random, n_ops: int) -> list:
-    """A statement sequence over tables t1/t2 seeded from orders."""
+    """A statement sequence over tables t1/t2/t3 seeded from orders
+    (t3 carries a PRIMARY KEY for the constraint-insert surface)."""
     lo = g.randint(1, 400)
     ops = [
         f"CREATE TABLE t1 AS SELECT o_orderkey AS k, o_orderstatus AS s, "
         f"o_totalprice AS p FROM orders WHERE o_orderkey <= {lo + 400}",
     ]
     has_t2 = False
+    has_t3 = False
     for _ in range(n_ops):
-        c = g.randrange(7)
+        c = g.randrange(9)
+        if c == 7:
+            if not has_t3:
+                ops.append(
+                    "CREATE TABLE t3 (k BIGINT PRIMARY KEY, p DOUBLE)"
+                )
+                a = g.randint(1, 400)
+                ops.append(
+                    f"INSERT INTO t3 SELECT o_orderkey, o_totalprice "
+                    f"FROM orders WHERE o_orderkey <= {a}"
+                )
+                has_t3 = True
+            else:
+                a, b = sorted((g.randint(1, 900), g.randint(1, 900)))
+                mode = g.choice(["OR REPLACE ", "OR IGNORE "])
+                ops.append(
+                    f"INSERT {mode}INTO t3 SELECT o_orderkey, "
+                    f"o_totalprice + {g.randint(0, 50)} FROM orders "
+                    f"WHERE o_orderkey BETWEEN {a} AND {b}"
+                )
+            continue
+        if c == 8:
+            if has_t3:
+                a, b = sorted((g.randint(1, 900), g.randint(1, 900)))
+                act = g.choice(
+                    [
+                        "DO NOTHING",
+                        f"DO UPDATE SET p = excluded.p + {g.randint(1, 9)}",
+                    ]
+                )
+                ops.append(
+                    f"INSERT INTO t3 SELECT o_orderkey, o_totalprice "
+                    f"FROM orders WHERE o_orderkey BETWEEN {a} AND {b} "
+                    f"ON CONFLICT (k) {act}"
+                )
+            continue
         if c == 0:
             a, b = sorted((g.randint(1, 2000), g.randint(1, 2000)))
             ops.append(
@@ -224,6 +261,8 @@ def main() -> int:
             continue
         tables = ["t1"] + (
             ["t2"] if any("CREATE TABLE t2" in o for o in ops) else []
+        ) + (
+            ["t3"] if any("CREATE TABLE t3" in o for o in ops) else []
         )
         bad = compare_tables(spark, con, tables)
         if bad:
