@@ -261,6 +261,11 @@ class SparkStatementExecutor:
         # constraint semantics on INSERT (duplicate-key errors,
         # OR REPLACE / OR IGNORE / ON CONFLICT)
         self.primary_keys: Dict[str, List[str]] = {}
+        # NOT NULL columns and CHECK expressions (bare-DDL tables);
+        # enforced at INSERT time like DuckDB (UPDATE-time enforcement
+        # is a documented non-goal — COVERAGE.md)
+        self.not_null: Dict[str, List[str]] = {}
+        self.checks: Dict[str, List[str]] = {}
         # scalar macros: name -> (params, body text), inlined at use
         self._macros: Dict[str, tuple[List[str], str]] = {}
         # Ambient job group at construction time (job groups are
@@ -903,9 +908,10 @@ class SparkStatementExecutor:
 
         if action == "rename_table":
             self.store.rename_table(name, args["to"])
-            keys = self.primary_keys.pop(name.lower(), None)
-            if keys:
-                self.primary_keys[args["to"].lower()] = keys
+            for reg in (self.primary_keys, self.not_null, self.checks):
+                v = reg.pop(name.lower(), None)
+                if v:
+                    reg[args["to"].lower()] = v
             return
         current = self.spark.table(_bt(name))
         have = {c.lower() for c in current.columns}
@@ -951,6 +957,8 @@ class SparkStatementExecutor:
         self.store.tables.pop(name, None)
         self.view_order_by.pop(name, None)
         self.primary_keys.pop(name.lower(), None)
+        self.not_null.pop(name.lower(), None)
+        self.checks.pop(name.lower(), None)
         if not existed and not if_exists:
             raise UserException(f"DROP: table or view '{name}' does not exist")
 
@@ -987,9 +995,21 @@ class SparkStatementExecutor:
                 self.primary_keys[name.lower()] = keys
             else:
                 self.primary_keys.pop(name.lower(), None)
+            nn = _ddl_not_null(st.sql)
+            if nn:
+                self.not_null[name.lower()] = nn
+            else:
+                self.not_null.pop(name.lower(), None)
+            chk = _ddl_checks(st.sql)
+            if chk:
+                self.checks[name.lower()] = chk
+            else:
+                self.checks.pop(name.lower(), None)
         else:
             df = self.spark.sql(translate(body))
             self.primary_keys.pop(name.lower(), None)
+            self.not_null.pop(name.lower(), None)
+            self.checks.pop(name.lower(), None)
         self.store.create_table(name, df, order_by=_terminal_order_by(body or ""))
 
     # -- DML --------------------------------------------------------------
@@ -1030,12 +1050,16 @@ class SparkStatementExecutor:
                 "There are no UNIQUE/PRIMARY KEY Indexes that refer to "
                 f"this table, ON CONFLICT is a no-op for '{name}'"
             )
-        if mode is None and not keys:
+        nn = self.not_null.get((name or "").lower())
+        chk = self.checks.get((name or "").lower())
+        if mode is None and not keys and not nn and not chk:
             self.store.insert_into(name, df, columns=cols)
             return
-        self._keyed_insert(name, df, cols, keys, mode)
+        self._keyed_insert(name, df, cols, keys, mode, nn, chk)
 
-    def _keyed_insert(self, name, df, cols, keys, mode) -> None:
+    def _keyed_insert(
+        self, name, df, cols, keys, mode, nn=None, chk=None
+    ) -> None:
         """INSERT into a PRIMARY KEY/UNIQUE table with DuckDB
         constraint semantics: duplicate keys (within the batch, or vs
         the table for plain INSERT) raise; OR REPLACE copy-on-writes
@@ -1053,6 +1077,30 @@ class SparkStatementExecutor:
             else _align_by_position(df, current)
         )
         by_lower = {f.name.lower(): f.name for f in current.schema.fields}
+        for col in nn or []:
+            actual = by_lower.get(col)
+            if actual is None:
+                continue
+            if aligned.where(f"{_bt(actual)} IS NULL").limit(1).collect():
+                raise UserException(
+                    f'Constraint Error: NOT NULL constraint failed: '
+                    f'{name}.{actual}'
+                )
+        for expr in chk or []:
+            # DuckDB: a CHECK violates only when the predicate is FALSE
+            # (NULL passes)
+            if (
+                aligned.where(f"({translate(expr)}) = FALSE")
+                .limit(1)
+                .collect()
+            ):
+                raise UserException(
+                    f"Constraint Error: CHECK constraint failed on "
+                    f"table {name}: ({expr})"
+                )
+        if not keys:
+            self.store.insert_into(name, aligned)
+            return
         try:
             key_cols = [by_lower[k] for k in keys]
         except KeyError as exc:
@@ -1471,6 +1519,72 @@ def _ddl_primary_key(sql: str) -> Optional[List[str]]:
             elif u == "UNIQUE":
                 unique = unique or [name]
     return pk or unique or None
+
+
+def _ddl_not_null(sql: str) -> List[str]:
+    """Columns declared NOT NULL (or PRIMARY KEY, which implies it) in
+    a bare-DDL CREATE TABLE, lowercase."""
+    span = _column_list_span(sql)
+    if span is None:
+        return []
+    tokens, open_idx, close_idx = span
+    out: List[str] = []
+    for part in _split_top_level(tokens[open_idx + 1: close_idx]):
+        code = [t for t in part if t.kind not in ("ws", "comment")]
+        if not code:
+            continue
+        first = code[0]
+        if first.kind == "word" and first.upper in _TABLE_CONSTRAINT_KWS:
+            continue
+        uppers = [t.upper if t.kind == "word" else "" for t in code]
+        name = _unquote_ident(first).lower()
+        for k in range(1, len(uppers)):
+            if uppers[k] == "NOT" and k + 1 < len(uppers) and uppers[k + 1] == "NULL":
+                out.append(name)
+                break
+            if uppers[k] == "PRIMARY" and k + 1 < len(uppers) and uppers[k + 1] == "KEY":
+                out.append(name)
+                break
+    pk = _ddl_primary_key(sql) or []
+    for c in pk:
+        if c not in out:
+            out.append(c)
+    return out
+
+
+def _ddl_checks(sql: str) -> List[str]:
+    """CHECK (...) expressions (column- and table-level) of a bare-DDL
+    CREATE TABLE, as raw DuckDB-dialect expression text."""
+    span = _column_list_span(sql)
+    if span is None:
+        return []
+    tokens, open_idx, close_idx = span
+    out: List[str] = []
+    for part in _split_top_level(tokens[open_idx + 1: close_idx]):
+        j = 0
+        while j < len(part):
+            t = part[j]
+            if t.kind == "word" and t.upper == "CHECK":
+                k = j + 1
+                while k < len(part) and part[k].kind in ("ws", "comment"):
+                    k += 1
+                if k < len(part) and part[k].kind == "op" and part[k].text == "(":
+                    depth = 0
+                    m = k
+                    while m < len(part):
+                        if part[m].kind == "op" and part[m].text == "(":
+                            depth += 1
+                        elif part[m].kind == "op" and part[m].text == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        m += 1
+                    out.append(
+                        "".join(x.text for x in part[k + 1: m]).strip()
+                    )
+                    j = m
+            j += 1
+    return out
 
 
 def _split_on_conflict(sql: str):

@@ -622,3 +622,30 @@ def test_primary_key_constraint_inserts(spark, table_store):
     _run(ex, "INSERT INTO ck VALUES (1, 2, 9)")
     with _pytest.raises(UserException, match="primary key"):
         _run(ex, "INSERT INTO ck VALUES (1, 1, 5)")
+
+
+def test_not_null_and_check_constraints(spark, table_store):
+    """INSERT-time NOT NULL / CHECK enforcement (DuckDB-verified: a
+    NULL passes a CHECK, violates NOT NULL)."""
+    import pytest as _pytest
+
+    from component_duckdb_transformation_spark.exceptions import UserException
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE nn (a INT NOT NULL, b INT)")
+    with _pytest.raises(UserException, match="NOT NULL constraint"):
+        _run(ex, "INSERT INTO nn VALUES (NULL, 2)")
+    _run(ex, "INSERT INTO nn VALUES (1, NULL)")
+    assert spark.table("nn").count() == 1
+    _run(ex, "CREATE TABLE ch (a INT CHECK (a > 0), b INT, CHECK (a < b))")
+    with _pytest.raises(UserException, match="CHECK constraint"):
+        _run(ex, "INSERT INTO ch VALUES (-1, 2)")
+    with _pytest.raises(UserException, match="CHECK constraint"):
+        _run(ex, "INSERT INTO ch VALUES (9, 2)")
+    # NULL passes a CHECK (DuckDB semantics) but the whole batch fails
+    # atomically when any row violates
+    _run(ex, "INSERT INTO ch VALUES (5, 7), (NULL, 1)")
+    assert spark.table("ch").count() == 2
