@@ -202,6 +202,11 @@ def grapheme_split(s: str) -> list:
     differentially against DuckDB in tests/test_text_udfs.py."""
     import unicodedata
 
+    if s.isascii() and "\r" not in s:
+        # ASCII fast path: no combining marks, ZWJ, or flag pairs
+        # possible; each char is its own cluster (CR LF is the one
+        # ASCII multi-char cluster, checked above)
+        return list(s)
     clusters = []
     i = 0
     n = len(s)
