@@ -4143,6 +4143,38 @@ def _rewrite_brackets(tokens: List[Token]) -> List[Token]:
                             else:
                                 out.extend(inner)
                             out.append(Token("op", ")"))
+                elif len(colons) == 2 and not is_str:
+                    # step slice l[lo:hi:step]: positions lo, lo+step,
+                    # ... up to hi (hi -1 reaches the end, DuckDB
+                    # convention); strings fall through (DuckDB itself
+                    # raises Not implemented there)
+                    c1, c2 = colons
+                    base_sql = "".join(t.text for t in base)
+                    lo_sql = "".join(t.text for t in inner[:c1]).strip() or "1"
+                    hi_sql = (
+                        "".join(t.text for t in inner[c1 + 1: c2]).strip()
+                        or f"size({base_sql})"
+                    )
+                    step_sql = (
+                        "".join(t.text for t in inner[c2 + 1:]).strip() or "1"
+                    )
+                    lo_e = f"greatest(CAST(({lo_sql}) AS INT), 1)"
+                    hi_e = (
+                        f"least(CASE WHEN ({hi_sql}) < 0 THEN "
+                        f"size({base_sql}) + ({hi_sql}) + 1 "
+                        f"ELSE CAST(({hi_sql}) AS INT) END, "
+                        f"size({base_sql}))"
+                    )
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN {hi_e} < {lo_e} THEN "
+                            f"slice({base_sql}, 1, 0) ELSE "
+                            f"transform(sequence({lo_e}, {hi_e}, "
+                            f"CAST(({step_sql}) AS INT)), "
+                            f"__i -> try_element_at({base_sql}, __i)) "
+                            f"END)"
+                        )
+                    )
                 else:
                     c = colons[0]
                     lo_t, hi_t = inner[:c], inner[c + 1 :]
@@ -5992,6 +6024,27 @@ def _find_columns_call(item: List[Token]):
                     return j, close + 1, inner[0].text[1:-1].replace("''", "'")
                 if len(inner) == 1 and inner[0].kind == "op" and inner[0].text == "*":
                     return j, close + 1, "*"
+                # lambda form COLUMNS(x -> x [I]LIKE 'pat'): lower the
+                # LIKE pattern onto the existing regex path
+                if (
+                    len(inner) == 5
+                    and inner[0].kind == "word"
+                    and inner[1].kind == "op"
+                    and inner[1].text == "->"
+                    and inner[2].kind == "word"
+                    and inner[2].text == inner[0].text
+                    and (inner[3].is_kw("LIKE") or inner[3].is_kw("ILIKE"))
+                    and inner[4].kind == "string"
+                ):
+                    pat = inner[4].text[1:-1].replace("''", "'")
+                    rx = "^" + "".join(
+                        ".*" if ch == "%" else "." if ch == "_"
+                        else re.escape(ch)
+                        for ch in pat
+                    ) + "$"
+                    if inner[3].is_kw("ILIKE"):
+                        rx = "(?i)" + rx
+                    return j, close + 1, rx
                 return None
     return None
 
@@ -6530,6 +6583,23 @@ def _rewrite_simple(tokens: List[Token]) -> List[Token]:
             out.append(Token("word", " DIV "))
             i += 1
             continue
+        # IN (VALUES ...): DuckDB treats the VALUES list as a subquery;
+        # Spark needs an explicit SELECT wrapper
+        if tok.is_kw("IN"):
+            p = _next_code(tokens, i)
+            v = _next_code(tokens, p) if p < n else n
+            if (
+                p < n
+                and tokens[p].kind == "op"
+                and tokens[p].text == "("
+                and v < n
+                and tokens[v].is_kw("VALUES")
+            ):
+                out.append(tok)
+                out.append(Token("op", "("))
+                out.extend(_toks("SELECT * FROM "))
+                i = v
+                continue
         # DuckDB's @ absolute-value operator, call form @(x)
         if tok.kind == "op" and tok.text == "@":
             nxt = _next_code(tokens, i)

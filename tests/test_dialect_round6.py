@@ -270,6 +270,38 @@ def test_list_where_and_aggregate_aliases(spark):
     )
 
 
+def test_step_slices_and_in_values(spark):
+    assert_matches_duckdb(
+        spark,
+        "SELECT [1,2,3,4,5][1:5:2] AS a, [1,2,3,4,5][2:5:2] AS b, "
+        "[1,2,3,4,5][1:4:3] AS c, [1,2,3,4,5][1:-1:2] AS d, "
+        "[10,20][2:1:1] AS e",
+    )
+    assert_matches_duckdb(
+        spark,
+        "SELECT a FROM (SELECT 2 AS a) t WHERE a IN (VALUES (1), (2))",
+    )
+
+
+def test_columns_lambda_like(spark):
+    # lambda COLUMNS filter lowers onto the regex path (expansion is
+    # schema-aware in the executor; here via expand_columns_macro)
+    from component_duckdb_transformation_spark.functions.dialect import (
+        expand_columns_macro,
+    )
+
+    out = expand_columns_macro(
+        "SELECT columns(x -> x LIKE 'l%') FROM src",
+        lambda name: ["lx", "ly", "m"] if name == "src" else None,
+    )
+    assert "lx" in out and "ly" in out and " m" not in out
+    out_i = expand_columns_macro(
+        "SELECT columns(x -> x ILIKE 'L%') FROM src",
+        lambda name: ["lx", "ly", "m"] if name == "src" else None,
+    )
+    assert "lx" in out_i and "ly" in out_i
+
+
 def test_positional_join(spark):
     con = duckdb.connect()
     con.execute(
