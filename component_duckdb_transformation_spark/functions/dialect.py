@@ -191,6 +191,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_bare_types(tokens)
     tokens = _rewrite_integral_casts(tokens)
     tokens = _rewrite_power_and_regex_ops(tokens)
+    tokens = _rewrite_any_all(tokens)
     tokens = _rewrite_json_arrows(tokens)
     tokens = _rewrite_division_double(tokens)
     tokens = _rewrite_round_double(tokens)
@@ -699,6 +700,83 @@ _POSITIONAL_WRAP = (
     "(SELECT *, row_number() OVER "
     "(ORDER BY monotonically_increasing_id()) AS __pos FROM {src}) {al}"
 )
+
+
+_ANY_ALL_CMP_OPS = {"=", "==", "<", ">", "<=", ">=", "<>"}
+
+
+def _rewrite_any_all(tokens: List[Token]) -> List[Token]:
+    """DuckDB quantified comparisons:
+
+    - over a LIST value: ``x op ANY(list)`` -> ``exists(list, e -> x op
+      e)``, ``x op ALL(list)`` -> ``forall(...)`` (both keep SQL
+      three-valued NULL semantics, like Spark's higher-order functions)
+    - over a subquery: ``= ANY(sub)`` -> ``IN (sub)``, ``<> ALL(sub)``
+      -> ``NOT IN (sub)``; other op+quantifier subquery combinations
+      are left for Spark's parser to reject loudly.
+
+    ``GROUP/ORDER BY ALL``, ``UNION ALL`` etc. never match — the token
+    before the quantifier must be a comparison operator."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.is_kw("ANY") or tok.is_kw("ALL"):
+            p = _next_code(tokens, i)
+            if p < n and tokens[p].kind == "op" and tokens[p].text == "(":
+                k = len(out) - 1
+                while k >= 0 and out[k].kind in ("ws", "comment"):
+                    k -= 1
+                if (
+                    k >= 0
+                    and out[k].kind == "op"
+                    and out[k].text in _ANY_ALL_CMP_OPS
+                ):
+                    close = _matching_paren(tokens, p)
+                    inner = _rewrite_any_all(tokens[p + 1: close])
+                    icode = [
+                        t for t in inner if t.kind not in ("ws", "comment")
+                    ]
+                    is_sub = bool(icode) and (
+                        icode[0].is_kw("SELECT")
+                        or icode[0].is_kw("FROM")
+                        or icode[0].is_kw("WITH")
+                        or icode[0].is_kw("VALUES")
+                    )
+                    op = out[k].text
+                    is_any = tok.is_kw("ANY")
+                    if (not is_sub) or (
+                        is_sub
+                        and (
+                            (is_any and op in ("=", "=="))
+                            or (not is_any and op == "<>")
+                        )
+                    ):
+                        del out[k:]
+                        left = _pop_operand(out)
+                        left_sql = "".join(t.text for t in left).strip()
+                        inner_sql = "".join(t.text for t in inner)
+                        if is_sub:
+                            neg = "" if is_any else "NOT "
+                            out.extend(
+                                _toks(
+                                    f"({left_sql}) {neg}IN ({inner_sql})"
+                                )
+                            )
+                        else:
+                            fn = "exists" if is_any else "forall"
+                            out.extend(
+                                _toks(
+                                    f"{fn}(({inner_sql}), "
+                                    f"__x -> ({left_sql}) {op} __x)"
+                                )
+                            )
+                        i = close + 1
+                        continue
+        out.append(tok)
+        i += 1
+    return out
 
 
 def _rewrite_positional_join(tokens: List[Token]) -> List[Token]:
@@ -4548,6 +4626,20 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                         )
                         i = close + 1
                         continue
+                if low == "array_length" and len(args) == 2:
+                    # 2-arg form takes a dimension; lists have exactly
+                    # one (DuckDB errors on any other value)
+                    a, d_ = (_sql(inner, s, e) for s, e in args)
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN ({d_}) = 1 THEN size(({a})) "
+                            f"ELSE CAST(raise_error('array_length: "
+                            f"list has exactly one dimension') AS INT) "
+                            f"END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
                 if low in ("list_where", "array_where") and len(args) == 2:
                     # mask selection keeping NULL ELEMENTS where the
                     # mask is true (list_where([1,NULL,3],[t,t,f]) =

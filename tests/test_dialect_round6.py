@@ -283,6 +283,34 @@ def test_step_slices_and_in_values(spark):
     )
 
 
+def test_any_all_quantifiers(spark):
+    assert_matches_duckdb(
+        spark,
+        "SELECT 1 = ANY([1,2,3]) AS a, 5 > ALL([1,2,3]) AS b, "
+        "2 >= ALL([1,2,3]) AS c, "
+        # SQL three-valued NULL semantics survive the exists/forall map
+        "NULL = ANY([1,2]) AS n1, 1 = ANY([NULL, 1]) AS n2, "
+        "9 = ANY([NULL, 1]) AS n3, 1 <= ALL([NULL, 2]) AS n4, "
+        "array_length([1,2], 1) AS al",
+    )
+    assert_matches_duckdb(
+        spark,
+        "SELECT x FROM (VALUES (1),(5)) t(x) "
+        "WHERE x = ANY(SELECT 1 UNION ALL SELECT 2) ORDER BY x",
+    )
+    assert_matches_duckdb(
+        spark,
+        "SELECT x FROM (VALUES (1),(5)) t(x) "
+        "WHERE x <> ALL(SELECT 1 UNION ALL SELECT 2) ORDER BY x",
+    )
+    # GROUP BY ALL / UNION ALL never match the quantifier rewrite
+    assert_matches_duckdb(
+        spark,
+        "SELECT x, count(*) AS n FROM (VALUES (1),(2)) t(x) "
+        "GROUP BY ALL ORDER BY x",
+    )
+
+
 def test_columns_lambda_like(spark):
     # lambda COLUMNS filter lowers onto the regex path (expansion is
     # schema-aware in the executor; here via expand_columns_macro)
