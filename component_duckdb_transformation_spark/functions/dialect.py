@@ -165,6 +165,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_escape_strings(tokens)
     tokens = _rewrite_string_escapes(tokens)
     tokens = _rewrite_quoted_identifiers(tokens)
+    tokens = _rewrite_trailing_commas(tokens)
     tokens = _rewrite_time_literals(tokens)
     tokens = _rewrite_brace_literals(tokens)
     tokens = _rewrite_concat_null_skipping(tokens)
@@ -443,6 +444,35 @@ def _rewrite_array_type_suffix(tokens: List[Token]) -> List[Token]:
                     continue
         out.append(tok)
         i += 1
+    return out
+
+
+_TRAILING_COMMA_CLAUSES = {
+    "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET",
+    "WINDOW", "QUALIFY", "UNION", "EXCEPT", "INTERSECT",
+}
+
+
+def _rewrite_trailing_commas(tokens: List[Token]) -> List[Token]:
+    """DuckDB tolerates trailing commas in SELECT lists, list literals
+    and struct literals (``SELECT 1, 2, FROM t``, ``[1, 2,]`` — both
+    verified; function calls and row expressions do NOT accept them,
+    matching the contexts this pass drops: before a clause keyword,
+    ``]``, ``}``, or end of statement — never before ``)``)."""
+    out: List[Token] = []
+    n = len(tokens)
+    for i, tok in enumerate(tokens):
+        if tok.kind == "op" and tok.text == ",":
+            j = _next_code(tokens, i)
+            if j >= n:
+                continue
+            nxt = tokens[j]
+            if (nxt.kind == "op" and nxt.text in ("]", "}")) or (
+                nxt.kind == "word"
+                and nxt.upper in _TRAILING_COMMA_CLAUSES
+            ):
+                continue
+        out.append(tok)
     return out
 
 

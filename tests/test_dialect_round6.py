@@ -283,6 +283,18 @@ def test_step_slices_and_in_values(spark):
     )
 
 
+def test_trailing_commas(spark):
+    assert_matches_duckdb(
+        spark, "SELECT 1 AS a, 2 AS b, FROM (SELECT 1) t"
+    )
+    row = spark.sql(
+        translate("SELECT [1, 2,] AS l, {'a': 1,} AS s")
+    ).collect()[0]
+    assert row.l == [1, 2] and row.s.a == 1
+    # function calls must NOT get the fix-up (DuckDB rejects them too)
+    assert "abs(1,)" in translate("SELECT abs(1,)")
+
+
 def test_any_all_quantifiers(spark):
     assert_matches_duckdb(
         spark,
