@@ -128,7 +128,16 @@ def ts_expr(g: random.Random) -> str:
 
 
 def bool_expr(g: random.Random, depth: int = 0) -> str:
-    choice = g.randrange(6)
+    choice = g.randrange(7)
+    if choice == 6:
+        # quantified comparison over a list value
+        op = g.choice(["=", "<", ">", "<=", ">="])
+        quant = g.choice(["ANY", "ALL"])
+        lst = (
+            f"[{g.choice(INT_COLS)} % 7, {g.choice(INT_COLS)} % 5, "
+            f"{g.randint(0, 6)}]"
+        )
+        return f"(({g.choice(INT_COLS)} % 9) {op} {quant}({lst}))"
     if choice == 0:
         op = g.choice(["<", ">", "<=", ">=", "=", "<>"])
         return f"({num_expr(g, depth + 1)} {op} {num_expr(g, depth + 1)})"
@@ -194,9 +203,11 @@ def lambda_item(g: random.Random) -> str:
     k = g.randint(0, 3)
     c = g.randrange(7)
     if c == 6:
-        # list comprehension form of transform+filter
+        # list comprehension form of transform+filter, or a step slice
+        if g.random() < 0.5:
+            return f"len([x * 2 FOR x IN {ilst} IF x > {k}])"
         return (
-            f"len([x * 2 FOR x IN {ilst} IF x > {k}])"
+            f"list_aggregate(({ilst})[1:3:{g.randint(1, 2)}], 'sum')"
         )
     if c == 0:
         return (
