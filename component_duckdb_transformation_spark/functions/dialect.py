@@ -190,6 +190,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_strftime(tokens)
     tokens = _rewrite_epoch(tokens)
     tokens = _rewrite_bare_types(tokens)
+    tokens = _rewrite_bit_count_width(tokens)
     tokens = _rewrite_integral_casts(tokens)
     tokens = _rewrite_power_and_regex_ops(tokens)
     tokens = _rewrite_any_all(tokens)
@@ -473,6 +474,63 @@ def _rewrite_trailing_commas(tokens: List[Token]) -> List[Token]:
             ):
                 continue
         out.append(tok)
+    return out
+
+
+_BIT_COUNT_WIDTHS = {
+    "TINYINT": 0xFF, "INT1": 0xFF, "UTINYINT": 0xFF,
+    "SMALLINT": 0xFFFF, "INT2": 0xFFFF, "SHORT": 0xFFFF,
+    "USMALLINT": 0xFFFF,
+    "INTEGER": 0xFFFFFFFF, "INT4": 0xFFFFFFFF, "INT": 0xFFFFFFFF,
+}
+
+
+def _rewrite_bit_count_width(tokens: List[Token]) -> List[Token]:
+    """DuckDB ``bit_count`` counts bits within the value's TYPE width
+    (bit_count(-1::TINYINT) = 8); Spark widens to 64 bits. When the
+    argument visibly ends in a narrow cast, mask to that width BEFORE
+    the integral-cast pass rewrites the cast shape away."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() == "bit_count":
+            p = _next_code(tokens, i)
+            if p < n and tokens[p].kind == "op" and tokens[p].text == "(":
+                close = _matching_paren(tokens, p)
+                raw = [
+                    t
+                    for t in tokens[p + 1: close]
+                    if t.kind not in ("ws", "comment")
+                ]
+                width = None
+                if (
+                    len(raw) >= 2
+                    and raw[-1].kind == "word"
+                    and raw[-1].upper in _BIT_COUNT_WIDTHS
+                    and raw[-2].kind == "op"
+                    and raw[-2].text == "::"
+                ):
+                    width = _BIT_COUNT_WIDTHS[raw[-1].upper]
+                elif (
+                    len(raw) >= 3
+                    and raw[-1].kind == "op"
+                    and raw[-1].text == ")"
+                    and raw[-2].kind == "word"
+                    and raw[-2].upper in _BIT_COUNT_WIDTHS
+                    and raw[-3].is_kw("AS")
+                ):
+                    width = _BIT_COUNT_WIDTHS[raw[-2].upper]
+                if width is not None:
+                    out.append(tok)
+                    out.extend(_toks("(("))
+                    out.extend(tokens[p + 1: close])
+                    out.extend(_toks(f") & {width})"))
+                    i = close + 1
+                    continue
+        out.append(tok)
+        i += 1
     return out
 
 
@@ -4656,6 +4714,72 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                         )
                         i = close + 1
                         continue
+                if low in ("count", "sum", "avg", "median") or low == "bit_count":
+                    # window-context rewrites that must consume the
+                    # trailing OVER clause
+                    after = _next_code(tokens, close)
+                    has_over = (
+                        after < n and tokens[after].is_kw("OVER")
+                    )
+                    over_close = None
+                    if has_over:
+                        op_ = _next_code(tokens, after)
+                        if (
+                            op_ < n
+                            and tokens[op_].kind == "op"
+                            and tokens[op_].text == "("
+                        ):
+                            over_close = _matching_paren(tokens, op_)
+                    if has_over and over_close is not None:
+                        over_sql = "".join(
+                            t.text
+                            for t in tokens[after: over_close + 1]
+                        )
+                        icode = [
+                            t
+                            for t in inner
+                            if t.kind not in ("ws", "comment")
+                        ]
+                        if (
+                            low == "count"
+                            and icode
+                            and icode[0].is_kw("DISTINCT")
+                        ):
+                            # Spark has no DISTINCT window aggregates;
+                            # a windowed collect_set IS the distinct
+                            # multiset (NULLs excluded, like COUNT)
+                            e = _sql(inner, 0, ihi).strip()
+                            if e.upper().startswith("DISTINCT"):
+                                e = e[len("DISTINCT"):].strip()
+                            out.extend(
+                                _toks(
+                                    f"size(collect_set({e}) {over_sql})"
+                                )
+                            )
+                            i = over_close + 1
+                            continue
+                        if low == "median" and re.search(
+                            r"(?i)\b(ORDER|ROWS|RANGE)\b", over_sql
+                        ):
+                            # Spark's percentile rejects ordered/framed
+                            # windows; compose the exact median from a
+                            # windowed collect_list (identical window
+                            # expressions share one Window operator)
+                            e = _sql(inner, 0, ihi)
+                            lst = (
+                                f"sort_array(filter(collect_list({e}) "
+                                f"{over_sql}, __v -> __v IS NOT NULL))"
+                            )
+                            out.extend(
+                                _toks(
+                                    f"(CASE WHEN size({lst}) = 0 THEN "
+                                    f"CAST(NULL AS DOUBLE) ELSE "
+                                    f"(CAST(get({lst}, CAST((size({lst}) - 1) / 2 AS INT)) AS DOUBLE) + "
+                                    f"CAST(get({lst}, CAST(size({lst}) / 2 AS INT)) AS DOUBLE)) / 2 END)"
+                                )
+                            )
+                            i = over_close + 1
+                            continue
                 if low == "array_length" and len(args) == 2:
                     # 2-arg form takes a dimension; lists have exactly
                     # one (DuckDB errors on any other value)

@@ -283,6 +283,34 @@ def test_step_slices_and_in_values(spark):
     )
 
 
+def test_windowed_distinct_count_and_median(spark):
+    assert_matches_duckdb(
+        spark,
+        "SELECT x, count(DISTINCT x) OVER () AS c "
+        "FROM (VALUES (1),(1),(2)) t(x) ORDER BY x",
+    )
+    assert_matches_duckdb(
+        spark,
+        "SELECT x, y, count(DISTINCT x) OVER (PARTITION BY y) AS c "
+        "FROM (VALUES (1,'a'),(1,'a'),(2,'b')) t(x,y) ORDER BY x, y",
+    )
+    assert_matches_duckdb(
+        spark,
+        "SELECT x, median(x) OVER (ORDER BY x ROWS BETWEEN 2 PRECEDING "
+        "AND CURRENT ROW) AS m FROM (VALUES (1),(3),(5),(9)) t(x) "
+        "ORDER BY x",
+    )
+
+
+def test_bit_count_type_width(spark):
+    assert_matches_duckdb(
+        spark,
+        "SELECT bit_count(7) AS b, bit_count(-1::TINYINT) AS b2, "
+        "bit_count(CAST(-1 AS SMALLINT)) AS b3, "
+        "bit_count(-1::INTEGER) AS b4, bit_count(-1::BIGINT) AS b5",
+    )
+
+
 def test_trailing_commas(spark):
     assert_matches_duckdb(
         spark, "SELECT 1 AS a, 2 AS b, FROM (SELECT 1) t"
