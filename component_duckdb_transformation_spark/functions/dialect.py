@@ -197,6 +197,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_json_arrows(tokens)
     tokens = _rewrite_division_double(tokens)
     tokens = _rewrite_round_double(tokens)
+    tokens = _rewrite_window_exclude(tokens)
     tokens = _rewrite_call_shims(tokens)
     tokens = _rewrite_filter_shorthand(tokens)
     tokens = _rewrite_simple(tokens)
@@ -1698,7 +1699,7 @@ _HISTOGRAM_TEMPLATE = (
 
 # keywords that end an ORDER BY sort-item list at top level
 _ORDER_LIST_TERMINATORS = {
-    "LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE", "GROUPS",
+    "LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE", "GROUPS", "EXCLUDE",
     "UNION", "EXCEPT", "INTERSECT", "HAVING", "WINDOW", "QUALIFY",
     "USING",
 }
@@ -6871,5 +6872,331 @@ def _rewrite_simple(tokens: List[Token]) -> List[Token]:
                 i += 1
                 continue
         out.append(tok)
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Window frame EXCLUDE (SQL:2011; DuckDB executes it natively via the
+# reference's cursor.execute path, reference src/query_orchestrator.py:351).
+# Spark has no frame-exclusion syntax, so the frame is materialized and
+# the excluded rows are dropped by composition.
+# ---------------------------------------------------------------------------
+
+_EXCLUDE_FRAME_AGGS = {"SUM", "COUNT", "AVG", "MIN", "MAX"}
+
+
+def _bound_includes_current(code: List[Token], lo_side: bool):
+    """Static check: does this frame bound keep the current row inside
+    the frame? ``code`` is the bound's code tokens (e.g. ``[5,
+    PRECEDING]``); ``lo_side`` says which end of BETWEEN it is. Returns
+    True/False, or None when the bound is not a literal we can analyze
+    (expression offsets)."""
+    if not code:
+        return None
+    if code[-1].is_kw("ROW") and len(code) >= 2 and code[-2].is_kw("CURRENT"):
+        return True
+    if code[-1].kind != "word":
+        return None
+    direction = code[-1].upper
+    if direction not in ("PRECEDING", "FOLLOWING"):
+        return None
+    val = code[:-1]
+    if len(val) == 1 and val[0].is_kw("UNBOUNDED"):
+        # UNBOUNDED PRECEDING lo / UNBOUNDED FOLLOWING hi include the
+        # current row (the opposite combinations are illegal SQL)
+        return True
+    if len(val) == 1 and val[0].kind == "word":
+        try:
+            num = float(val[0].text)
+        except ValueError:
+            return None
+        if lo_side:
+            return True if direction == "PRECEDING" else num == 0
+        return True if direction == "FOLLOWING" else num == 0
+    # INTERVAL literal bounds (RANGE over temporal keys): a non-negative
+    # interval PRECEDING-lo / FOLLOWING-hi includes the current row; the
+    # zero-interval edge of the other two shapes is not decided here
+    if val and val[0].is_kw("INTERVAL"):
+        negative = any(
+            (t.kind == "op" and t.text == "-")
+            or (t.kind == "string" and t.text[1:].lstrip().startswith("-"))
+            for t in val
+        )
+        if negative:
+            return None
+        if lo_side and direction == "PRECEDING":
+            return True
+        if not lo_side and direction == "FOLLOWING":
+            return True
+    return None
+
+
+def _frame_includes_current(frame_code: List[Token]):
+    """True/False when the frame clause statically contains / omits the
+    current row; None when undecidable. ``frame_code`` is the frame's
+    code tokens starting at ROWS/RANGE/GROUPS ([] = default frame,
+    which always contains the current row)."""
+    if not frame_code:
+        return True
+    if frame_code[0].upper == "GROUPS":
+        return None
+    rest = frame_code[1:]
+    if rest and rest[0].is_kw("BETWEEN"):
+        and_idx = None
+        for k, t in enumerate(rest):
+            if t.is_kw("AND"):
+                and_idx = k
+                break
+        if and_idx is None:
+            return None
+        lo = _bound_includes_current(rest[1:and_idx], True)
+        hi = _bound_includes_current(rest[and_idx + 1:], False)
+        if lo is None or hi is None:
+            return None
+        return lo and hi
+    # single-bound form: BETWEEN <bound> AND CURRENT ROW
+    return _bound_includes_current(rest, True)
+
+
+def _trailing_call(out: List[Token]):
+    """Locate a function call ``name ( ... )`` at the end of ``out``
+    (skipping trailing ws/comments). Returns (name_idx, open_idx,
+    close_idx) or None."""
+    j = len(out) - 1
+    while j >= 0 and out[j].kind in ("ws", "comment"):
+        j -= 1
+    if j < 0 or not (out[j].kind == "op" and out[j].text == ")"):
+        return None
+    depth = 0
+    k = j
+    while k >= 0:
+        t = out[k]
+        if t.kind == "op" and t.text == ")":
+            depth += 1
+        elif t.kind == "op" and t.text == "(":
+            depth -= 1
+            if depth == 0:
+                break
+        k -= 1
+    if k < 0:
+        return None
+    m = k - 1
+    while m >= 0 and out[m].kind in ("ws", "comment"):
+        m -= 1
+    if m < 0 or out[m].kind != "word":
+        return None
+    return (m, k, j)
+
+
+def _try_exclude_rewrite(out: List[Token], tokens: List[Token],
+                         open_idx: int, close_idx: int):
+    """Attempt the EXCLUDE composition for one ``<call> OVER ( body )``
+    whose body carries a top-level EXCLUDE clause. On success the call
+    tokens are popped off ``out`` (for modes that need the rewrite) and
+    the replacement token run is returned; on any unsupported shape
+    returns None and the statement passes through to fail loudly at
+    Spark parse."""
+    body = tokens[open_idx + 1: close_idx]
+    # locate top-level clause positions inside the OVER body
+    depth = 0
+    excl_idx = order_idx = frame_idx = None
+    for k, t in enumerate(body):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "word":
+            u = t.upper
+            if u == "EXCLUDE" and excl_idx is None:
+                excl_idx = k
+            elif u == "ORDER" and order_idx is None and excl_idx is None:
+                order_idx = k
+            elif u in ("ROWS", "RANGE", "GROUPS") and frame_idx is None \
+                    and excl_idx is None:
+                frame_idx = k
+    if excl_idx is None:
+        return None
+    # parse the EXCLUDE mode (must be the final clause)
+    mode_code = [t for t in body[excl_idx + 1:] if t.kind not in ("ws", "comment")]
+    mode_words = tuple(t.upper for t in mode_code)
+    if mode_words == ("CURRENT", "ROW"):
+        mode = "CURRENT ROW"
+    elif mode_words == ("GROUP",):
+        mode = "GROUP"
+    elif mode_words == ("TIES",):
+        mode = "TIES"
+    elif mode_words == ("NO", "OTHERS"):
+        mode = "NO OTHERS"
+    else:
+        return None
+    w_text = "".join(t.text for t in body[:excl_idx]).strip()
+    over_repl = tokenize("OVER (" + w_text + ")")
+    if mode == "NO OTHERS":
+        return over_repl
+    frame_code = []
+    if frame_idx is not None:
+        frame_code = [
+            t for t in body[frame_idx:excl_idx] if t.kind not in ("ws", "comment")
+        ]
+    cif = _frame_includes_current(frame_code)
+    if cif is None:
+        return None
+    if mode == "CURRENT ROW" and not cif:
+        # frame does not contain the current row: removing it is a no-op.
+        # (DuckDB 1.0.0 exhibits a frame-expansion artifact for RANGE
+        # frames in this shape; not replicated — COVERAGE.md.)
+        return over_repl
+    # order-by key expressions (for peer comparison)
+    key_exprs: List[str] = []
+    if order_idx is not None:
+        stop = frame_idx if frame_idx is not None else excl_idx
+        section = body[order_idx:stop]
+        by_i = _next_code(section, 0)
+        if by_i >= len(section) or not section[by_i].is_kw("BY"):
+            return None
+        items: List[List[Token]] = [[]]
+        d = 0
+        for t in section[by_i + 1:]:
+            if t.kind == "op" and t.text == "(":
+                d += 1
+            elif t.kind == "op" and t.text == ")":
+                d -= 1
+            if d == 0 and t.kind == "op" and t.text == ",":
+                items.append([])
+            else:
+                items[-1].append(t)
+        for item in items:
+            code = [t for t in item if t.kind not in ("ws", "comment")]
+            while code and (
+                code[-1].is_kw("ASC", "DESC", "FIRST", "LAST", "NULLS")
+            ):
+                code.pop()
+            if not code:
+                return None
+            key_exprs.append("".join(t.text for t in code))
+    # the aggregate call preceding OVER (already emitted into ``out``)
+    call = _trailing_call(out)
+    if call is None:
+        return None
+    name_idx, args_open, args_close = call
+    agg = out[name_idx].upper
+    if agg not in _EXCLUDE_FRAME_AGGS:
+        return None
+    before = name_idx - 1
+    while before >= 0 and out[before].kind in ("ws", "comment"):
+        before -= 1
+    if before >= 0 and out[before].kind == "op" and out[before].text == ".":
+        return None
+    arg_toks = out[args_open + 1: args_close]
+    arg_code = [t for t in arg_toks if t.kind not in ("ws", "comment")]
+    if not arg_code:
+        return None
+    if arg_code[0].is_kw("DISTINCT"):
+        return None
+    d = 0
+    for t in arg_toks:
+        if t.kind == "op" and t.text == "(":
+            d += 1
+        elif t.kind == "op" and t.text == ")":
+            d -= 1
+        elif d == 0 and t.kind == "op" and t.text == ",":
+            return None  # multi-argument aggregate
+    count_star = (
+        agg == "COUNT" and len(arg_code) == 1
+        and arg_code[0].kind == "op" and arg_code[0].text == "*"
+    )
+    x = "1" if count_star else "".join(t.text for t in arg_toks).strip()
+    if not key_exprs:
+        key_exprs = ["1"]
+    k_struct = "named_struct(" + ", ".join(
+        f"'k{idx}', ({e})" for idx, e in enumerate(key_exprs)
+    ) + ")"
+    peer = " AND ".join(
+        f"(__xw_s.k.k{idx} <=> ({e}))" for idx, e in enumerate(key_exprs)
+    )
+    frame_list = (
+        f"collect_list(named_struct('k', {k_struct}, 'v', ({x})))"
+        f" OVER ({w_text})"
+    )
+    if mode == "GROUP":
+        lx = f"filter({frame_list}, __xw_s -> NOT ({peer}))"
+    elif mode == "TIES":
+        # DuckDB semantics: frame minus all peers, plus the current row
+        # added back UNCONDITIONALLY (even when outside the frame)
+        lx = (
+            f"array_append(filter({frame_list}, __xw_s -> NOT ({peer})),"
+            f" named_struct('k', {k_struct}, 'v', ({x})))"
+        )
+    else:  # CURRENT ROW, current row statically inside the frame
+        # aggregation is multiset-invariant: removing ANY one struct
+        # with the current row's (key, value) equals removing self
+        li = (
+            f"transform({frame_list}, (__xw_s, __xw_i) ->"
+            f" named_struct('k', __xw_s.k, 'v', __xw_s.v, 'i', __xw_i))"
+        )
+        ridx = (
+            f"array_min(transform(filter({li}, __xw_s -> ({peer})"
+            f" AND (__xw_s.v <=> ({x}))), __xw_s -> __xw_s.i))"
+        )
+        lx = f"filter({li}, __xw_s -> NOT (__xw_s.i <=> ({ridx})))"
+    vals = f"transform({lx}, __xw_s -> __xw_s.v)"
+    nn = f"filter({vals}, __xw_v -> __xw_v IS NOT NULL)"
+    if count_star:
+        expr = f"size({lx})"
+    elif agg == "COUNT":
+        expr = f"size({nn})"
+    elif agg == "MIN":
+        expr = f"array_min({vals})"
+    elif agg == "MAX":
+        expr = f"array_max({vals})"
+    elif agg == "SUM":
+        # typed zero: first element minus itself keeps the input type,
+        # + BIGINT 0 widens integral inputs to BIGINT (matching Spark's
+        # own sum); empty frame -> NULL like DuckDB
+        expr = (
+            f"(CASE WHEN size({nn}) = 0 THEN NULL ELSE aggregate({nn},"
+            f" (element_at({nn}, 1) - element_at({nn}, 1)) + CAST(0 AS BIGINT),"
+            f" (__xw_a, __xw_v) -> __xw_a + __xw_v) END)"
+        )
+    else:  # AVG
+        expr = (
+            f"(CASE WHEN size({nn}) = 0 THEN NULL ELSE aggregate({nn},"
+            f" CAST(0 AS DOUBLE), (__xw_a, __xw_v) -> __xw_a +"
+            f" CAST(__xw_v AS DOUBLE)) / size({nn}) END)"
+        )
+    del out[name_idx:]
+    return tokenize(expr)
+
+
+def _rewrite_window_exclude(tokens: List[Token]) -> List[Token]:
+    """SQL:2011 window frame exclusion, ``agg(x) OVER (... EXCLUDE
+    CURRENT ROW|GROUP|TIES|NO OTHERS)``. Supported for
+    SUM/COUNT/AVG/MIN/MAX (no DISTINCT, no FILTER clause, no GROUPS
+    frames, literal frame bounds); anything else passes through
+    unchanged and fails loudly at Spark parse. Implementation:
+    materialize the frame as a list of (order-key, value) structs via
+    ``collect_list`` over the identical window, drop excluded rows with
+    ``filter`` (peers by null-safe key comparison; the current row by
+    deleting one occurrence of its (key, value) pair — multiset-
+    equivalent to deleting self), then fold the survivors. EXCLUDE TIES
+    follows DuckDB: the current row is re-added unconditionally.
+    Scale note: each output row materializes its frame, so cost is
+    O(frame size) per row — bounded frames are cheap; UNBOUNDED frames
+    carry the whole partition per row and should stay small."""
+    out: List[Token] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.is_kw("OVER"):
+            p = _next_code(tokens, i)
+            if p < n and tokens[p].kind == "op" and tokens[p].text == "(":
+                close = _matching_paren(tokens, p)
+                repl = _try_exclude_rewrite(out, tokens, p, close)
+                if repl is not None:
+                    out.extend(repl)
+                    i = close + 1
+                    continue
+        out.append(t)
         i += 1
     return out

@@ -945,6 +945,45 @@ _add_sql(
 )
 
 _add_sql(
+    "q60_window_frame_exclude",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           sum(l_quantity) OVER (
+               PARTITION BY l_suppkey ORDER BY l_linenumber
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               EXCLUDE CURRENT ROW) AS s_cur,
+           CAST(count(*) OVER (
+               PARTITION BY l_suppkey ORDER BY l_linenumber
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               EXCLUDE GROUP) AS BIGINT) AS c_grp,
+           round(avg(l_quantity) OVER (
+               PARTITION BY l_suppkey ORDER BY l_linenumber
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               EXCLUDE TIES), 4) AS a_ties,
+           min(l_quantity) OVER (
+               PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+               EXCLUDE CURRENT ROW) AS mn_cur,
+           max(l_quantity) OVER (
+               PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+               EXCLUDE TIES) AS mx_ties,
+           min(l_quantity) OVER (
+               PARTITION BY l_suppkey ORDER BY l_linenumber
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               EXCLUDE NO OTHERS) AS mn_no
+    FROM lineitem
+    WHERE l_suppkey % 50 = 0
+    """,
+    description="SQL:2011 window frame EXCLUDE (CURRENT ROW / GROUP / "
+    "TIES / NO OTHERS) over ROWS and RANGE frames — lowered to a "
+    "collect_list frame materialization with multiset filtering "
+    "(functions/dialect.py::_rewrite_window_exclude); DuckDB's "
+    "unconditional TIES add-back covered by the frame-not-containing-"
+    "current mx_ties column — identical SQL runs on both engines",
+)
+
+_add_sql(
     "q46_regexp_split_to_table",
     """
     SELECT w AS word, CAST(count(*) AS BIGINT) AS n

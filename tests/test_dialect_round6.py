@@ -479,3 +479,106 @@ def test_ym_interval_compose(spark):
         # DuckDB types DATE + INTERVAL as TIMESTAMP; pin it for compare
         "CAST(DATE '2020-01-31' + to_months(1) AS TIMESTAMP) AS b",
     )
+
+
+# ---------------------------------------------------------------------------
+# Window frame EXCLUDE (SQL:2011) — _rewrite_window_exclude
+# ---------------------------------------------------------------------------
+
+_XW_VIEW = (
+    "CREATE OR REPLACE TEMP VIEW xw AS SELECT * FROM (VALUES "
+    "(1, 1, CAST(10 AS DOUBLE)), (1, 2, NULL), (1, 2, CAST(20 AS DOUBLE)), "
+    "(1, 2, CAST(20 AS DOUBLE)), (1, 3, CAST(30 AS DOUBLE)), (1, 4, NULL), "
+    "(2, 1, CAST(5 AS DOUBLE)), (2, 1, CAST(5 AS DOUBLE)), "
+    "(2, 2, CAST(7 AS DOUBLE))) v(p, o, x)"
+)
+
+_XW_FRAMES = [
+    # RANGE frames are key-determined, so results are deterministic even
+    # with duplicate order keys (all modes are multiset-invariant)
+    "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+]
+_XW_AGGS = ["sum(x)", "count(*)", "count(x)", "min(x)", "max(x)", "avg(x)"]
+_XW_MODES = ["CURRENT ROW", "GROUP", "TIES", "NO OTHERS"]
+
+
+@pytest.mark.parametrize("frame", _XW_FRAMES)
+@pytest.mark.parametrize("mode", _XW_MODES)
+def test_window_exclude_vs_duckdb(spark, frame, mode):
+    spark.sql(_XW_VIEW)
+    con = duckdb.connect()
+    con.execute(_XW_VIEW.replace("CREATE OR REPLACE TEMP VIEW", "CREATE VIEW"))
+    sel = ", ".join(
+        f"{agg} OVER (PARTITION BY p ORDER BY o {frame} EXCLUDE {mode}) "
+        f"AS r{i}"
+        for i, agg in enumerate(_XW_AGGS)
+    )
+    sql = f"SELECT p, o, x, {sel} FROM xw"
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    want = sorted([tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()], key=key)
+    got = sorted([tuple(_norm(v) for v in r) for r in spark.sql(translate(sql)).collect()], key=key)
+    assert got == want, f"{frame} EXCLUDE {mode}\n want {want}\n got  {got}"
+
+
+def test_window_exclude_rows_frames_unique_keys(spark):
+    # ROWS frames need unique order keys for determinism; covers the
+    # frame-omits-current no-op (CURRENT ROW) and DuckDB's unconditional
+    # TIES add-back even when the frame does not contain the current row
+    view = (
+        "CREATE OR REPLACE TEMP VIEW xwu AS SELECT * FROM (VALUES "
+        "(1, 1, CAST(10 AS DOUBLE)), (1, 2, NULL), (1, 3, CAST(20 AS DOUBLE)), "
+        "(1, 4, CAST(20 AS DOUBLE)), (1, 5, CAST(30 AS DOUBLE)), "
+        "(2, 1, CAST(5 AS DOUBLE)), (2, 2, NULL)) v(p, o, x)"
+    )
+    spark.sql(view)
+    con = duckdb.connect()
+    con.execute(view.replace("CREATE OR REPLACE TEMP VIEW", "CREATE VIEW"))
+    for frame, mode in [
+        ("ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING", "CURRENT ROW"),
+        ("ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING", "CURRENT ROW"),
+        ("ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING", "TIES"),
+        ("ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING", "GROUP"),
+        ("ROWS 2 PRECEDING", "CURRENT ROW"),
+    ]:
+        sel = ", ".join(
+            f"{agg} OVER (PARTITION BY p ORDER BY o {frame} EXCLUDE {mode}) "
+            f"AS r{i}"
+            for i, agg in enumerate(_XW_AGGS)
+        )
+        sql = f"SELECT p, o, x, {sel} FROM xwu"
+        key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+        want = sorted([tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()], key=key)
+        got = sorted([tuple(_norm(v) for v in r) for r in spark.sql(translate(sql)).collect()], key=key)
+        assert got == want, f"{frame} EXCLUDE {mode}\n want {want}\n got  {got}"
+
+
+def test_window_exclude_sum_stays_integral(spark):
+    # the typed-zero fold keeps BIGINT sums BIGINT
+    spark.sql(_XW_VIEW)
+    df = spark.sql(translate(
+        "SELECT sum(o) OVER (PARTITION BY p ORDER BY o "
+        "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS s "
+        "FROM xw"
+    ))
+    assert df.schema["s"].dataType.simpleString() == "bigint"
+
+
+def test_window_exclude_unsupported_passthrough():
+    # unsupported shapes keep the EXCLUDE clause so Spark fails loudly
+    out = translate(
+        "SELECT sum(DISTINCT x) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE GROUP) FROM t"
+    )
+    assert "EXCLUDE GROUP" in out
+    out = translate(
+        "SELECT sum(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 "
+        "FOLLOWING EXCLUDE TIES) FROM t"
+    )
+    assert "EXCLUDE TIES" in out
+    # NO OTHERS is a no-op for ANY aggregate (only the clause is dropped)
+    out = translate(
+        "SELECT median(x) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 "
+        "FOLLOWING EXCLUDE NO OTHERS) FROM t"
+    )
+    assert "EXCLUDE" not in out.upper()
