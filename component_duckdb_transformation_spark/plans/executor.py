@@ -49,6 +49,37 @@ from .sql_tokens import Token, code_tokens, tokenize, unquote_name
 LOG = logging.getLogger(__name__)
 
 
+_DUCK_TYPE_NAMES = {
+    "string": "VARCHAR",
+    "int": "INTEGER",
+    "binary": "BLOB",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def _duck_type_name(dt) -> str:
+    """Spark type -> DuckDB's DESCRIBE type spelling (VARCHAR, BLOB,
+    ``T[]`` arrays, MAP(K, V), STRUCT(name T, ...))."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return _duck_type_name(dt.elementType) + "[]"
+    if isinstance(dt, T.MapType):
+        return (
+            f"MAP({_duck_type_name(dt.keyType)}, "
+            f"{_duck_type_name(dt.valueType)})"
+        )
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {_duck_type_name(f.dataType)}" for f in dt.fields
+        )
+        return f"STRUCT({inner})"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    s = dt.simpleString()
+    return _DUCK_TYPE_NAMES.get(s, s.upper())
+
+
 def _bt(name: str) -> str:
     """Backtick-quote a (possibly dotted / dashed) logical table name."""
     return "`" + name.replace("`", "``") + "`"
@@ -464,6 +495,36 @@ class SparkStatementExecutor:
             "null_percentage double",
         )
 
+    def _describe(self, rest: str) -> DataFrame:
+        """DuckDB ``DESCRIBE t`` / ``DESCRIBE SELECT ...`` — schema
+        report with DuckDB's column set (column_name, column_type,
+        null, key, default, extra). Metadata-only: a DESCRIBE'd query
+        is analyzed (Catalyst schema), never executed. Types render
+        with DuckDB's names (VARCHAR, BLOB, ``T[]`` arrays,
+        STRUCT(...))."""
+        rest = rest.strip()
+        head = rest.split(None, 1)[0].upper() if rest else ""
+        if head in ("SELECT", "WITH", "FROM", "VALUES", "TABLE"):
+            schema = self.spark.sql(translate(rest)).schema
+        else:
+            schema = self.spark.table(_bt(rest.strip().strip('`"'))).schema
+        rows = [
+            (
+                f.name,
+                _duck_type_name(f.dataType),
+                "YES" if f.nullable else "NO",
+                None,
+                None,
+                None,
+            )
+            for f in schema.fields
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "column_name string, column_type string, null string, "
+            "key string, default string, extra string",
+        )
+
     def _create_macro(self, st: ParsedStatement) -> None:
         """``CREATE [OR REPLACE] MACRO name(params) AS expr`` — DuckDB
         scalar macros, kept as (params, body-token) templates and
@@ -645,6 +706,31 @@ class SparkStatementExecutor:
                 if rest:
                     self._summarize(rest).createOrReplaceTempView(
                         "summarize"
+                    )
+                return
+            if head == "DESCRIBE":
+                # DuckDB schema statement; result registered as the
+                # describe view so scripts can SELECT from it
+                rest = first[1].strip().rstrip(";") if len(first) > 1 else ""
+                if rest:
+                    self._describe(rest).createOrReplaceTempView(
+                        "describe"
+                    )
+                return
+            if head == "SHOW":
+                # DuckDB: SHOW TABLES lists relations (single `name`
+                # column); SHOW <t> is DESCRIBE <t>
+                rest = first[1].strip().rstrip(";") if len(first) > 1 else ""
+                if rest.upper() == "TABLES":
+                    names = sorted(
+                        t.name for t in self.spark.catalog.listTables()
+                    )
+                    self.spark.createDataFrame(
+                        [(n,) for n in names], "name string"
+                    ).createOrReplaceTempView("show_tables")
+                elif rest:
+                    self._describe(rest).createOrReplaceTempView(
+                        "describe"
                     )
                 return
             if head in ("PRAGMA", "CHECKPOINT", "VACUUM", "ANALYZE"):

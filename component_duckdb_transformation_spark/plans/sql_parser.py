@@ -103,6 +103,18 @@ def parse_statement(sql: str) -> ParsedStatement:
     ):
         # the target must exist first: order after its producer
         deps |= outputs
+    elif stype == StatementType.OTHER and code:
+        # SUMMARIZE/DESCRIBE/SHOW read their subject table: order after
+        # its producer (the subject is not FROM-introduced, so the
+        # generic dependency scan misses it)
+        head = code[0][1].upper
+        if head in ("SUMMARIZE", "DESCRIBE", "SHOW") and len(code) > 1:
+            if not code[1][1].is_kw(
+                "TABLES", "SELECT", "WITH", "FROM", "VALUES", "TABLE"
+            ):
+                name, _ = _dotted_name(code, 1)
+                if name:
+                    deps.add(name)
     has_order = _has_top_level_order_by(code)
     return ParsedStatement(
         sql=sql,
@@ -316,6 +328,19 @@ def _collect_outputs(code: Sequence[tuple[int, Token]], stype: StatementType) ->
                 if name:
                     outputs.add(name)
                 break
+    elif stype == StatementType.OTHER and n:
+        # schema/profile statements register result views the scheduler
+        # must sequence like any other producer (executor registers
+        # them: SUMMARIZE -> `summarize`, DESCRIBE / SHOW t ->
+        # `describe`, SHOW TABLES -> `show_tables`)
+        head = code[0][1].upper
+        if head == "SUMMARIZE":
+            outputs.add("summarize")
+        elif head == "DESCRIBE":
+            outputs.add("describe")
+        elif head == "SHOW":
+            nxt = code[1][1].upper if n > 1 else ""
+            outputs.add("show_tables" if nxt == "TABLES" else "describe")
     return outputs
 
 

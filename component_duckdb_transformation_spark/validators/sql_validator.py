@@ -37,7 +37,7 @@ LOG = logging.getLogger(__name__)
 # engine no-ops, and the COPY sink
 _EXECUTOR_HANDLED_HEADS = {
     "PIVOT", "COPY", "PRAGMA", "CHECKPOINT", "VACUUM", "ANALYZE", "SET",
-    "SUMMARIZE",
+    "SUMMARIZE", "DESCRIBE", "SHOW",
 }
 
 

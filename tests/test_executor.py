@@ -649,3 +649,37 @@ def test_not_null_and_check_constraints(spark, table_store):
     # atomically when any row violates
     _run(ex, "INSERT INTO ch VALUES (5, 7), (NULL, 1)")
     assert spark.table("ch").count() == 2
+
+
+def test_describe_and_show_statements(spark, table_store):
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE dsc AS SELECT * FROM (VALUES "
+             "(1, 'a', CAST(1.5 AS DOUBLE), array(1, 2)))"
+             " v(id, s, x, arr)")
+    _run(ex, "DESCRIBE dsc")
+    rows = {r.column_name: r for r in spark.table("describe").collect()}
+    assert list(rows) == ["id", "s", "x", "arr"]
+    assert rows["s"].column_type == "VARCHAR"
+    assert rows["x"].column_type == "DOUBLE"
+    assert rows["arr"].column_type == "INTEGER[]"
+    assert rows["id"].null in ("YES", "NO")
+    # DESCRIBE SELECT analyzes without executing
+    _run(ex, "DESCRIBE SELECT id + 1 AS n, s FROM dsc")
+    rows = [r.column_name for r in spark.table("describe").collect()]
+    assert rows == ["n", "s"]
+    # SHOW <t> == DESCRIBE <t>; SHOW TABLES lists relations
+    _run(ex, "SHOW dsc")
+    assert [r.column_name for r in spark.table("describe").collect()] == [
+        "id", "s", "x", "arr"
+    ]
+    _run(ex, "SHOW TABLES")
+    names = {r.name for r in spark.table("show_tables").collect()}
+    assert "dsc" in names
+    # scripts can consume the registered view
+    _run(ex, "CREATE TABLE dsc_cols AS SELECT column_name FROM describe "
+             "WHERE column_type = 'VARCHAR'")
+    assert [r.column_name for r in spark.table("dsc_cols").collect()] == ["s"]

@@ -347,7 +347,25 @@ def win_item(g: random.Random) -> str:
     """Deterministic window expression: the ORDER BY is a unique total
     order, so every ranking/offset/frame function is reproducible."""
     part = g.choice(["", "PARTITION BY l_returnflag ", "PARTITION BY l_linestatus "])
-    choice = g.randrange(8)
+    choice = g.randrange(9)
+    if choice == 8:
+        # window frame EXCLUDE (dialect _rewrite_window_exclude): the
+        # unique total order makes ROWS frames deterministic; the
+        # k..1 PRECEDING shape covers frame-omits-current (CURRENT ROW
+        # no-op, TIES unconditional add-back)
+        col = g.choice(INT_COLS)
+        agg = g.choice(["sum", "min", "max", "avg", "count"])
+        mode = g.choice(["CURRENT ROW", "GROUP", "TIES", "NO OTHERS"])
+        if g.random() < 0.3:
+            frame = f"ROWS BETWEEN {g.randint(2, 4)} PRECEDING AND 1 PRECEDING"
+        else:
+            frame = (
+                f"ROWS BETWEEN {g.randint(1, 3)} PRECEDING "
+                f"AND {g.choice(['CURRENT ROW', '1 FOLLOWING', '2 FOLLOWING'])}"
+            )
+        return (
+            f"{agg}({col}) OVER ({part}{WIN_ORDER} {frame} EXCLUDE {mode})"
+        )
     if choice == 5:
         col = g.choice(INT_COLS)
         k = g.randint(1, 4)
