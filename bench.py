@@ -15,7 +15,9 @@ those numbers noisy round-over-round, a second SEQUENTIAL pass re-times
 the most expensive queries one at a time (``queries_sequential``) — use
 those for regression comparisons. Workloads flagged ``serial`` in the
 registry (streaming drains that override the session shuffle-partition
-conf for their state stores) are chained, never pooled.
+conf for their state stores) run pooled like everything else, but each
+on an isolated ``newSession()`` clone (own SQLConf + temp views) so the
+override cannot leak — chaining them was the suite's wall-clock pole.
 """
 
 from __future__ import annotations
@@ -119,7 +121,16 @@ def main() -> int:
             # job-group tag (thread-local) keys the REST job log so
             # executor-side active time can be summed per workload
             spark.sparkContext.setJobGroup(name, name)
-            df = wl.make(spark, sf_dir)
+            session = spark
+            if name in SERIAL:
+                # conf-mutating workloads (streaming state-store
+                # partition overrides) get an isolated newSession()
+                # clone — separate SQLConf + temp-view catalog — so
+                # they run CONCURRENTLY instead of chained; the chain
+                # was the suite's wall-clock pole
+                session = spark.newSession()
+                register_tables(session, sf_dir)
+            df = wl.make(session, sf_dir)
             n = df.count()
             timings[name] = round(time.perf_counter() - t0, 4)
             print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
@@ -132,21 +143,13 @@ def main() -> int:
         for name, wl in WORKLOADS.items()
         if not only or name in only
     ]
-    concurrent = [item for item in selected if item[0] not in SERIAL]
-    serial = [item for item in selected if item[0] in SERIAL]
     # NOTE: registry order interleaves light SQL queries with the heavy
     # dedup/ANN jobs; measured better than longest-first scheduling,
-    # which makes the heavy jobs contend for the same cores
-
-    def run_serial_chain() -> None:
-        # the streaming drains mutate the shuffle-partition conf, so they
-        # run sequentially WITH EACH OTHER, as the pool's first task
-        for item in serial:
-            run_one(item)
-
-    tasks = ([run_serial_chain] if serial else []) + [
-        (lambda item=item: run_one(item)) for item in concurrent
-    ]
+    # which makes the heavy jobs contend for the same cores. SERIAL
+    # (conf-mutating streaming) workloads join the pool too — run_one
+    # gives each an isolated newSession() clone, so their shuffle-
+    # partition overrides can't leak into pooled siblings.
+    tasks = [(lambda item=item: run_one(item)) for item in selected]
     t_all = time.perf_counter()
     with ThreadPoolExecutor(max_workers=pool_size) as pool:
         list(pool.map(lambda fn: fn(), tasks))

@@ -20,6 +20,7 @@ floats quantized to integer arithmetic where ranking depends on them.
 
 from __future__ import annotations
 
+import weakref
 from dataclasses import dataclass
 from typing import Callable, Dict, Optional
 
@@ -37,7 +38,12 @@ TABLES = (
 )
 
 
-_REGISTERED: set[tuple[str, str]] = set()
+# (applicationId, sf_dir) -> live session objects already registered.
+# Membership is per SESSION, not per application: ``newSession()``
+# clones share an applicationId but have their own temp-view catalog,
+# so each clone needs its own registration. WeakSet keeps GC'd
+# sessions from pinning memory or aliasing a reused id().
+_REGISTERED: dict[tuple[str, str], "weakref.WeakSet"] = {}
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
@@ -45,9 +51,10 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     repeated workload calls then skip the parquet-footer inspection and
     view rebinds (a fixed ~100 ms tax per query otherwise).
 
-    Keyed on applicationId, not ``id(spark)`` — a GC'd session's id can
-    be reused by a new session object, which would silently skip
-    registration for it.
+    Keyed per live session object (WeakSet) under the
+    (applicationId, dir) bucket: ``newSession()`` clones share the
+    applicationId but have separate temp-view catalogs, and a GC'd
+    session's id() can be reused — weak identity avoids both traps.
 
     NOTE: sets session timezone (UTC) and Arrow collection on the
     CALLER's session as a side effect — required by the driver
@@ -55,7 +62,8 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     collection). An embedding application that needs different conf
     should register views itself instead of calling this."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _REGISTERED:
+    registered = _REGISTERED.setdefault(key, weakref.WeakSet())
+    if spark in registered:
         return
     # runtime conf, set here so a harness-built vanilla session gets the
     # same wall-clock semantics as the repo's factory: LTZ casts in the
@@ -74,7 +82,7 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     from .functions.text_udfs import register_text_udfs
 
     register_text_udfs(spark)
-    _REGISTERED.add(key)
+    registered.add(spark)
 
 
 @dataclass(frozen=True)
