@@ -90,7 +90,9 @@ def _active_times(spark) -> dict[str, float]:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
-    pool_size = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "8"))
+    # 10 measured best on 32 cores once the streaming chain was pooled
+    # (8: ~18s, 10: ~16s, 12: 15-19s noisy, 16: oversubscribed ~21s)
+    pool_size = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "10"))
     only = set(sys.argv[1:])
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
