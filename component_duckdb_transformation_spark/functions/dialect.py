@@ -794,6 +794,45 @@ _POSITIONAL_WRAP = (
 _ANY_ALL_CMP_OPS = {"=", "==", "<", ">", "<=", ">=", "<>"}
 
 
+def _literal_array_elements(inner: List[Token]):
+    """If ``inner`` is exactly one ``array( e1, e2, ... )`` call (the
+    form bracket list literals take after ``_rewrite_brackets``),
+    return the element SQL strings; else None."""
+    code_idx = [
+        k for k, t in enumerate(inner) if t.kind not in ("ws", "comment")
+    ]
+    if len(code_idx) < 3:
+        return None
+    first = inner[code_idx[0]]
+    second = inner[code_idx[1]]
+    if not (first.kind == "word" and first.text.lower() == "array"):
+        return None
+    if not (second.kind == "op" and second.text == "("):
+        return None
+    close = _matching_paren(inner, code_idx[1])
+    if close != code_idx[-1]:
+        return None
+    elems: List[str] = []
+    depth = 0
+    cur: List[str] = []
+    for t in inner[code_idx[1] + 1: close]:
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        if depth == 0 and t.kind == "op" and t.text == ",":
+            elems.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(t.text)
+    tail = "".join(cur).strip()
+    if tail:
+        elems.append(tail)
+    elif elems:
+        return None  # trailing comma — not a clean literal
+    return elems
+
+
 def _rewrite_any_all(tokens: List[Token]) -> List[Token]:
     """DuckDB quantified comparisons:
 
@@ -854,13 +893,35 @@ def _rewrite_any_all(tokens: List[Token]) -> List[Token]:
                                 )
                             )
                         else:
-                            fn = "exists" if is_any else "forall"
-                            out.extend(
-                                _toks(
-                                    f"{fn}(({inner_sql}), "
-                                    f"__x -> ({left_sql}) {op} __x)"
+                            elems = _literal_array_elements(inner)
+                            if elems is not None and len(elems) <= 20:
+                                # literal-list quantifier: expand to a
+                                # plain OR/AND chain — identical three-
+                                # valued semantics to exists/forall, no
+                                # lambda (works around a Spark 4.x
+                                # Catalyst bug mis-pushing join-mixed
+                                # lambda predicates through joins —
+                                # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND),
+                                # and each conjunct can push down to
+                                # the scan
+                                if not elems:
+                                    out.extend(
+                                        _toks("false" if is_any else "true")
+                                    )
+                                else:
+                                    joiner = " OR " if is_any else " AND "
+                                    out.extend(_toks("(" + joiner.join(
+                                        f"(({left_sql}) {op} ({e}))"
+                                        for e in elems
+                                    ) + ")"))
+                            else:
+                                fn = "exists" if is_any else "forall"
+                                out.extend(
+                                    _toks(
+                                        f"{fn}(({inner_sql}), "
+                                        f"__x -> ({left_sql}) {op} __x)"
+                                    )
                                 )
-                            )
                         i = close + 1
                         continue
         out.append(tok)

@@ -582,3 +582,35 @@ def test_window_exclude_unsupported_passthrough():
         "FOLLOWING EXCLUDE NO OTHERS) FROM t"
     )
     assert "EXCLUDE" not in out.upper()
+
+
+def test_quantified_literal_list_join_mixed(spark):
+    # literal-list quantifiers expand to AND/OR chains instead of
+    # exists/forall lambdas: Spark 4.x mis-pushes a join-mixed lambda
+    # predicate through the join (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND);
+    # the expansion also lets each conjunct push down to the scan
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW qa AS SELECT * FROM (VALUES "
+        "(1, 4), (2, 9), (3, 1)) v(id, a)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW qb AS SELECT * FROM (VALUES "
+        "(1, 2), (2, 8), (3, 5)) v(id, b)"
+    )
+    con = duckdb.connect()
+    con.execute("CREATE VIEW qa AS SELECT * FROM (VALUES "
+                "(1, 4), (2, 9), (3, 1)) v(id, a)")
+    con.execute("CREATE VIEW qb AS SELECT * FROM (VALUES "
+                "(1, 2), (2, 8), (3, 5)) v(id, b)")
+    sql = ("SELECT qa.id AS id FROM qa JOIN qb ON qa.id = qb.id "
+           "WHERE (a % 9) <= ALL([b % 7, b % 5, 2]) ORDER BY id")
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    got = [r[0] for r in spark.sql(translate(sql)).collect()]
+    assert got == want
+    # empty-list identities and NULL three-valued semantics survive
+    assert_matches_duckdb(
+        spark,
+        "SELECT 5 = ANY([]) AS a, 5 = ALL([]) AS b, "
+        "NULL = ANY([1, 2]) AS c, 1 = ANY([1, NULL]) AS d, "
+        "3 = ALL([3, NULL]) AS e, 9 <> ALL([1, NULL]) AS f",
+    )
