@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..exceptions import UserException
 from ..functions.dialect import (
     _matching_paren,
+    _split_top_level_args,
     expand_columns_macro,
     expand_union_by_name,
     translate,
@@ -299,6 +300,8 @@ class SparkStatementExecutor:
         self.checks: Dict[str, List[str]] = {}
         # scalar macros: name -> (params, body text), inlined at use
         self._macros: Dict[str, tuple[List[str], str]] = {}
+        # temp views already bound for file-reading table functions
+        self._file_read_views: set[str] = set()
         # Ambient job group at construction time (job groups are
         # thread-local and the orchestrator fans queries out to pool
         # threads, which would otherwise lose the caller's tag): nest
@@ -525,6 +528,121 @@ class SparkStatementExecutor:
             "key string, default string, extra string",
         )
 
+    _FILE_READ_FNS = {
+        "read_csv", "read_csv_auto", "read_json", "read_json_auto",
+        "read_ndjson", "read_ndjson_auto",
+    }
+
+    def _bind_file_reads(self, sql: str) -> str:
+        """DuckDB file-reading table functions over literal paths
+        (reference: user scripts read staged ``in/files`` data with
+        ``read_csv_auto(...)`` etc. through the same cursor as any
+        query). Each call is bound to a deterministic temp view on the
+        live session (``spark.read.csv/json`` — header + schema
+        inference approximate DuckDB's sniffer) and the call text is
+        replaced by the view name. Supported named options: header,
+        delim/sep, all_varchar, format='newline_delimited'|'array'
+        (json), compression/sample_size/ignore_errors are accepted and
+        ignored; anything else raises (loud, no silent divergence).
+        ``read_parquet`` stays in the dialect layer (direct
+        ``parquet.`path``` scan needs no options)."""
+        import hashlib
+
+        tokens = tokenize(sql)
+        out: List[Token] = []
+        i = 0
+        n = len(tokens)
+        changed = False
+        while i < n:
+            tok = tokens[i]
+            nxt = i + 1
+            while nxt < n and tokens[nxt].kind in ("ws", "comment"):
+                nxt += 1
+            if (
+                tok.kind == "word"
+                and tok.text.lower() in self._FILE_READ_FNS
+                and nxt < n
+                and tokens[nxt].kind == "op"
+                and tokens[nxt].text == "("
+            ):
+                close = _matching_paren(tokens, nxt)
+                args = [
+                    [t for t in arg if t.kind not in ("ws", "comment")]
+                    for arg in _split_top_level_args(tokens, nxt, close)
+                ]
+                view = self._register_file_read(
+                    tok.text.lower(), args, hashlib
+                )
+                out.append(Token("word", view))
+                i = close + 1
+                changed = True
+                continue
+            out.append(tok)
+            i += 1
+        return "".join(t.text for t in out) if changed else sql
+
+    def _register_file_read(self, fn: str, args, hashlib) -> str:
+        if not args or not args[0] or args[0][0].kind != "string":
+            raise UserException(
+                f"{fn}: only a literal path argument is supported"
+            )
+        path = args[0][0].text[1:-1].replace("''", "'")
+        opts: Dict[str, str] = {}
+        for arg in args[1:]:
+            # named argument: name = value | name := value
+            if (
+                len(arg) >= 3
+                and arg[0].kind == "word"
+                and arg[1].kind == "op"
+                and arg[1].text in ("=", ":=")
+            ) or (
+                len(arg) >= 4
+                and arg[0].kind == "word"
+                and arg[1].kind == "op" and arg[1].text == ":"
+                and arg[2].kind == "op" and arg[2].text == "="
+            ):
+                name = arg[0].text.lower()
+                val = "".join(
+                    t.text for t in (arg[2:] if arg[1].text in ("=", ":=")
+                                     else arg[3:])
+                ).strip().strip("'")
+                opts[name] = val
+            else:
+                raise UserException(
+                    f"{fn}: unsupported argument form "
+                    f"{''.join(t.text for t in arg)!r}"
+                )
+        ignored = {"compression", "sample_size", "ignore_errors",
+                   "auto_detect", "filename", "union_by_name"}
+        known = {"header", "delim", "sep", "all_varchar", "format"}
+        unknown = set(opts) - known - ignored
+        if unknown:
+            raise UserException(
+                f"{fn}: unsupported options {sorted(unknown)} "
+                "(supported: header, delim/sep, all_varchar, format)"
+            )
+        key = f"{fn}|{path}|{sorted(opts.items())}"
+        view = "__file_read_" + hashlib.md5(key.encode()).hexdigest()[:10]
+        if view in self._file_read_views:
+            return view
+        if fn.startswith("read_csv"):
+            header = opts.get("header", "true").lower() != "false"
+            reader = (
+                self.spark.read.option("header", header)
+                .option("inferSchema", opts.get("all_varchar", "").lower()
+                        not in ("true", "1"))
+                .option("sep", opts.get("delim", opts.get("sep", ",")))
+            )
+            df = reader.csv(path)
+        else:
+            reader = self.spark.read
+            if opts.get("format") == "array":
+                reader = reader.option("multiLine", True)
+            df = reader.json(path)
+        df.createOrReplaceTempView(view)
+        self._file_read_views.add(view)
+        return view
+
     def _create_macro(self, st: ParsedStatement) -> None:
         """``CREATE [OR REPLACE] MACRO name(params) AS expr`` — DuckDB
         scalar macros, kept as (params, body-token) templates and
@@ -646,6 +764,13 @@ class SparkStatementExecutor:
             # schema-aware UNION BY NAME expansion (same live-session
             # resolution as COLUMNS(); the translator is schema-free)
             expanded = expand_union_by_name(st.sql, self._resolve_query_columns)
+            if expanded != st.sql:
+                st = dataclasses.replace(st, sql=expanded)
+        if "read_" in st.sql.lower():
+            # file-reading table functions (read_csv/read_json...):
+            # bind each literal-path call to a temp view on the live
+            # session, then substitute the view name
+            expanded = self._bind_file_reads(st.sql)
             if expanded != st.sql:
                 st = dataclasses.replace(st, sql=expanded)
         if "pivot" in st.sql.lower():

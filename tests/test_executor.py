@@ -683,3 +683,59 @@ def test_describe_and_show_statements(spark, table_store):
     _run(ex, "CREATE TABLE dsc_cols AS SELECT column_name FROM describe "
              "WHERE column_type = 'VARCHAR'")
     assert [r.column_name for r in spark.table("dsc_cols").collect()] == ["s"]
+
+
+def test_read_csv_auto_and_read_json(spark, table_store, tmp_path):
+    import duckdb
+
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    # DuckDB writes the files (its own sniffer is the reference)
+    con = duckdb.connect()
+    csv_path = str(tmp_path / "people.csv")
+    json_path = str(tmp_path / "people.json")
+    con.execute(
+        "COPY (SELECT * FROM (VALUES (1, 'ann', 1.5), (2, 'bob', NULL), "
+        "(3, 'c,d', 2.25)) v(id, name, score)) TO '%s' (HEADER)" % csv_path
+    )
+    con.execute(
+        "COPY (SELECT * FROM (VALUES (1, 'ann'), (2, 'bob')) v(id, name)) "
+        "TO '%s' (FORMAT JSON)" % json_path
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE from_csv AS SELECT * FROM read_csv_auto('%s') "
+             "ORDER BY id" % csv_path)
+    want = con.execute(
+        "SELECT * FROM read_csv_auto('%s') ORDER BY id" % csv_path
+    ).fetchall()
+    got = [tuple(r) for r in spark.table("from_csv").orderBy("id").collect()]
+    assert got == [tuple(r) for r in want]
+
+    _run(ex, "CREATE TABLE from_json AS SELECT id, name "
+             "FROM read_json_auto('%s') ORDER BY id" % json_path)
+    got = [tuple(r) for r in spark.table("from_json").orderBy("id").collect()]
+    assert got == [(1, "ann"), (2, "bob")]
+
+    # named options: header + delim
+    psv_path = str(tmp_path / "pipe.csv")
+    con.execute(
+        "COPY (SELECT * FROM (VALUES (1, 'x'), (2, 'y')) v(a, b)) "
+        "TO '%s' (HEADER, DELIMITER '|')" % psv_path
+    )
+    _run(ex, "CREATE TABLE from_psv AS SELECT * FROM "
+             "read_csv('%s', header=true, delim='|') ORDER BY a" % psv_path)
+    got = [tuple(r) for r in spark.table("from_psv").orderBy("a").collect()]
+    assert got == [(1, "x"), (2, "y")]
+
+    # unsupported option fails loudly, no silent divergence
+    import pytest as _pytest
+
+    from component_duckdb_transformation_spark.exceptions import (
+        UserException,
+    )
+    with _pytest.raises(UserException, match="unsupported options"):
+        _run(ex, "CREATE TABLE nope AS SELECT * FROM "
+                 "read_csv('%s', quote='~')" % csv_path)
