@@ -44,7 +44,7 @@ from ..functions.dialect import (
     translate,
 )
 from .orchestrator import Query
-from .sql_parser import ParsedStatement, StatementType
+from .sql_parser import ParsedStatement, StatementType, parse_statement
 from .sql_tokens import Token, code_tokens, tokenize, unquote_name
 
 LOG = logging.getLogger(__name__)
@@ -302,6 +302,8 @@ class SparkStatementExecutor:
         self._macros: Dict[str, tuple[List[str], str]] = {}
         # temp views already bound for file-reading table functions
         self._file_read_views: set[str] = set()
+        # sequences: name -> {next, curr, inc, minv, maxv, cycle, used}
+        self._sequences: Dict[str, dict] = {}
         # Ambient job group at construction time (job groups are
         # thread-local and the orchestrator fans queries out to pool
         # threads, which would otherwise lose the caller's tag): nest
@@ -527,6 +529,195 @@ class SparkStatementExecutor:
             "column_name string, column_type string, null string, "
             "key string, default string, extra string",
         )
+
+    # ------------------------------------------------------------------
+    # sequences (DuckDB CREATE SEQUENCE / nextval / currval)
+    # ------------------------------------------------------------------
+
+    def _sequence_step(self, st: ParsedStatement) -> bool:
+        """Handle sequence DDL and nextval/currval statements. Returns
+        True when the statement was fully handled here.
+
+        ``nextval('s')`` values are assigned in scan order via
+        ``row_number() OVER (ORDER BY monotonically_increasing_id())``
+        — the same physical-order contract as POSITIONAL JOIN
+        (COVERAGE.md); a sequence is inherently a serialization point,
+        so the single-task window is the honest cost. Supported where
+        surrogate keys are actually minted: CREATE TABLE AS / INSERT /
+        plain SELECT, one nextval call per statement; the sequence
+        advances by the statement's row count after it runs (a bounds
+        violation therefore surfaces after execution, not mid-scan
+        like DuckDB — documented). currval inlines the last value and
+        errors if the sequence was never advanced, like DuckDB."""
+        head = st.sql.lstrip().split(None, 1)
+        first = head[0].upper() if head else ""
+        upper = st.sql.upper()
+        if first == "CREATE" and re.search(r"\bSEQUENCE\b", upper):
+            self._create_sequence(st.sql)
+            return True
+        if first == "DROP" and re.search(r"\bSEQUENCE\b", upper):
+            m = re.search(
+                r"(?is)\bSEQUENCE\s+(IF\s+EXISTS\s+)?([\w`\"\.]+)", st.sql
+            )
+            if not m:
+                raise UserException(f"Unsupported DROP form: {st.sql[:80]}")
+            name = m.group(2).strip('`"').lower()
+            if name not in self._sequences and not m.group(1):
+                raise UserException(
+                    f"Catalog Error: Sequence with name {name} does not exist!"
+                )
+            self._sequences.pop(name, None)
+            return True
+        if not re.search(r"(?i)\b(nextval|currval)\s*\(", st.sql):
+            return False
+        sql = self._inline_currval(st.sql)
+        calls = re.findall(r"(?is)\bnextval\s*\(\s*'([^']+)'\s*\)", sql)
+        if not calls:
+            if sql != st.sql:
+                self._execute_statement(parse_statement(sql))
+                return True
+            return False
+        if len(calls) > 1:
+            raise UserException(
+                "nextval: one call per statement is supported "
+                "(row-order value assignment cannot model several "
+                "independent advances per row)"
+            )
+        if re.search(r"(?i)\bnextval\s*\(\s*[^')]", sql):
+            raise UserException(
+                "nextval: only a literal sequence name is supported"
+            )
+        name = calls[0].strip('`"').lower()
+        seq = self._sequences.get(name)
+        if seq is None:
+            raise UserException(
+                f"Catalog Error: Sequence with name {name} does not exist!"
+            )
+        base, inc = seq["next"], seq["inc"]
+        if seq["cycle"]:
+            span = seq["maxv"] - seq["minv"] + 1
+            expr = (
+                f"(pmod(CAST({base - seq['minv']} AS BIGINT) + "
+                f"(row_number() OVER (ORDER BY "
+                f"monotonically_increasing_id()) - 1) * "
+                f"CAST({inc} AS BIGINT), CAST({span} AS BIGINT)) + "
+                f"CAST({seq['minv']} AS BIGINT))"
+            )
+        else:
+            expr = (
+                f"(CAST({base} AS BIGINT) + (row_number() OVER (ORDER BY "
+                f"monotonically_increasing_id()) - 1) * "
+                f"CAST({inc} AS BIGINT))"
+            )
+        new_sql = re.sub(
+            r"(?is)\bnextval\s*\(\s*'[^']+'\s*\)", expr.replace("\\", "\\\\"),
+            sql, count=1,
+        )
+        new_st = parse_statement(new_sql)
+        stype = new_st.statement_type
+        target = next(iter(new_st.outputs), None)
+        if stype in (StatementType.CREATE_TABLE, StatementType.CREATE_VIEW):
+            self._execute_statement(new_st)
+            n = self.spark.table(_bt(target)).count()
+        elif stype == StatementType.INSERT:
+            before = self.spark.table(_bt(target)).count()
+            self._execute_statement(new_st)
+            n = self.spark.table(_bt(target)).count() - before
+        elif stype == StatementType.SELECT:
+            n = self.spark.sql(translate(new_sql)).count()
+        else:
+            raise UserException(
+                "nextval is supported in CREATE TABLE AS / INSERT / "
+                f"SELECT statements, not: {st.sql[:80]}"
+            )
+        if n > 0:
+            last = base + (n - 1) * inc
+            if not seq["cycle"]:
+                if inc > 0 and last > seq["maxv"]:
+                    raise UserException(
+                        f'nextval: reached maximum value of sequence '
+                        f'"{name}" ({seq["maxv"]})'
+                    )
+                if inc < 0 and last < seq["minv"]:
+                    raise UserException(
+                        f'nextval: reached minimum value of sequence '
+                        f'"{name}" ({seq["minv"]})'
+                    )
+                seq["curr"] = last
+                seq["next"] = last + inc
+            else:
+                span = seq["maxv"] - seq["minv"] + 1
+                seq["curr"] = (last - seq["minv"]) % span + seq["minv"]
+                seq["next"] = (last + inc - seq["minv"]) % span + seq["minv"]
+            seq["used"] = True
+        return True
+
+    def _inline_currval(self, sql: str) -> str:
+        def repl(m) -> str:
+            name = m.group(1).strip('`"').lower()
+            seq = self._sequences.get(name)
+            if seq is None:
+                raise UserException(
+                    f"Catalog Error: Sequence with name {name} "
+                    "does not exist!"
+                )
+            if not seq["used"]:
+                raise UserException(
+                    "currval: sequence is not yet defined in this session"
+                )
+            return f"CAST({seq['curr']} AS BIGINT)"
+
+        return re.sub(r"(?is)\bcurrval\s*\(\s*'([^']+)'\s*\)", repl, sql)
+
+    def _create_sequence(self, sql: str) -> None:
+        m = re.match(
+            r"(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP\w*\s+)?SEQUENCE\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?([\w`\"\.]+)\s*(.*?);?\s*$",
+            sql,
+        )
+        if not m:
+            raise UserException(f"Unsupported CREATE SEQUENCE: {sql[:80]}")
+        replace, if_not_exists = bool(m.group(1)), bool(m.group(2))
+        name = m.group(3).strip('`"').lower()
+        rest = m.group(4) or ""
+        if name in self._sequences:
+            if if_not_exists:
+                return
+            if not replace:
+                raise UserException(
+                    f'Sequence "{name}" already exists (use OR REPLACE)'
+                )
+        def num(pat, default):
+            mm = re.search(pat, rest, re.I)
+            return int(mm.group(1)) if mm else default
+
+        inc = num(r"\bINCREMENT\s+(?:BY\s+)?(-?\d+)", 1)
+        if inc == 0:
+            raise UserException("CREATE SEQUENCE: increment cannot be 0")
+        # DuckDB defaults: ascending 1..huge starting 1; descending
+        # -huge..-1 starting -1
+        minv = num(r"\bMINVALUE\s+(-?\d+)",
+                   1 if inc > 0 else -(2 ** 62))
+        maxv = num(r"\bMAXVALUE\s+(-?\d+)",
+                   2 ** 62 if inc > 0 else -1)
+        start = num(r"\bSTART\s+(?:WITH\s+)?(-?\d+)",
+                    minv if inc > 0 else maxv)
+        cycle = bool(re.search(r"(?i)(?<!NO\s)\bCYCLE\b", rest))
+        if re.search(r"(?i)\bNO\s+CYCLE\b", rest):
+            cycle = False
+        leftover = re.sub(
+            r"(?is)\b(INCREMENT\s+(BY\s+)?-?\d+|MINVALUE\s+-?\d+|"
+            r"MAXVALUE\s+-?\d+|START\s+(WITH\s+)?-?\d+|NO\s+MINVALUE|"
+            r"NO\s+MAXVALUE|NO\s+CYCLE|CYCLE)\b", "", rest,
+        ).strip()
+        if leftover:
+            raise UserException(
+                f"Unsupported CREATE SEQUENCE options: {leftover[:60]}"
+            )
+        self._sequences[name] = {
+            "next": start, "curr": None, "inc": inc, "minv": minv,
+            "maxv": maxv, "cycle": cycle, "used": False,
+        }
 
     _FILE_READ_FNS = {
         "read_csv", "read_csv_auto", "read_json", "read_json_auto",
@@ -777,6 +968,10 @@ class SparkStatementExecutor:
             expanded = self._expand_dynamic_pivot(st.sql)
             if expanded != st.sql:
                 st = dataclasses.replace(st, sql=expanded)
+        low = st.sql.lower()
+        if "sequence" in low or "nextval" in low or "currval" in low:
+            if self._sequence_step(st):
+                return
         stype = st.statement_type
 
         if stype == StatementType.CREATE_VIEW:

@@ -20,6 +20,7 @@ names keep case.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from enum import Enum
 from typing import List, Optional, Sequence, Set
@@ -115,6 +116,26 @@ def parse_statement(sql: str) -> ParsedStatement:
                 name, _ = _dotted_name(code, 1)
                 if name:
                     deps.add(name)
+    # sequence statements: CREATE/DROP SEQUENCE writes the sequence
+    # name; nextval advances it (read-modify-write), so it is an output
+    # too — writer-serialization edges then order concurrent users
+    seq_m = re.match(
+        r"(?is)\s*(CREATE|DROP)\s+(?:OR\s+REPLACE\s+)?(?:TEMP\w*\s+)?"
+        r"SEQUENCE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?([\w`\"\.]+)", sql
+    )
+    if seq_m:
+        outputs = {seq_m.group(2).strip('`"').lower()}
+        deps = set()
+        stype = StatementType.OTHER
+    else:
+        for seq_name in re.findall(
+            r"(?is)\bnextval\s*\(\s*'([^']+)'\s*\)", sql
+        ):
+            outputs.add(seq_name.strip('`"').lower())
+        for seq_name in re.findall(
+            r"(?is)\bcurrval\s*\(\s*'([^']+)'\s*\)", sql
+        ):
+            deps.add(seq_name.strip('`"').lower())
     has_order = _has_top_level_order_by(code)
     return ParsedStatement(
         sql=sql,

@@ -739,3 +739,73 @@ def test_read_csv_auto_and_read_json(spark, table_store, tmp_path):
     with _pytest.raises(UserException, match="unsupported options"):
         _run(ex, "CREATE TABLE nope AS SELECT * FROM "
                  "read_csv('%s', quote='~')" % csv_path)
+
+
+def test_sequences(spark, table_store):
+    import duckdb
+
+    from component_duckdb_transformation_spark.exceptions import (
+        UserException,
+    )
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    con = duckdb.connect()
+    script = [
+        "CREATE SEQUENCE ids START 10 INCREMENT 2",
+        "CREATE TABLE seq_src AS SELECT * FROM (VALUES ('a'), ('b'), "
+        "('c')) v(x)",
+        "CREATE TABLE seq_out AS SELECT nextval('ids') AS id, x "
+        "FROM seq_src",
+        "INSERT INTO seq_out SELECT nextval('ids') AS id, 'd' AS x",
+        "CREATE TABLE seq_cur AS SELECT currval('ids') AS c",
+    ]
+    for s in script:
+        _run(ex, s)
+        con.execute(s)
+    # the id SET and currval match DuckDB exactly; the id<->row pairing
+    # follows scan order (physical-order contract, like POSITIONAL
+    # JOIN — a parquet round-trip does not preserve insertion order)
+    want_ids = sorted(r[0] for r in con.execute(
+        "SELECT id FROM seq_out").fetchall())
+    got_ids = sorted(r.id for r in spark.table("seq_out").collect())
+    assert got_ids == want_ids == [10, 12, 14, 16]
+    assert sorted(r.x for r in spark.table("seq_out").collect()) == [
+        "a", "b", "c", "d"
+    ]
+    assert [tuple(r) for r in spark.table("seq_cur").collect()] == [
+        tuple(r) for r in con.execute("SELECT * FROM seq_cur").fetchall()
+    ]
+
+    # CYCLE wraps like DuckDB
+    for s in ["CREATE SEQUENCE cyc MAXVALUE 2 CYCLE",
+              "CREATE TABLE cyc_out AS SELECT nextval('cyc') AS n "
+              "FROM seq_src"]:
+        _run(ex, s)
+        con.execute(s)
+    want = sorted(r[0] for r in con.execute("SELECT n FROM cyc_out").fetchall())
+    got = sorted(r.n for r in spark.table("cyc_out").collect())
+    assert got == want == [1, 1, 2]
+
+    import pytest
+
+    # bounded sequence errors once exhausted
+    _run(ex, "CREATE SEQUENCE cap MAXVALUE 2")
+    _run(ex, "CREATE TABLE cap_ok AS SELECT nextval('cap') AS n "
+             "FROM (VALUES (1), (2)) v(i)")
+    with pytest.raises(UserException, match="maximum value"):
+        _run(ex, "CREATE TABLE cap_no AS SELECT nextval('cap') AS n "
+                 "FROM seq_src")
+
+    # currval before any nextval / unknown sequence / drop semantics
+    _run(ex, "CREATE SEQUENCE fresh")
+    with pytest.raises(UserException, match="not yet defined"):
+        _run(ex, "CREATE TABLE nope1 AS SELECT currval('fresh') AS c")
+    with pytest.raises(UserException, match="does not exist"):
+        _run(ex, "CREATE TABLE nope2 AS SELECT nextval('missing') AS c")
+    _run(ex, "DROP SEQUENCE fresh")
+    with pytest.raises(UserException, match="does not exist"):
+        _run(ex, "DROP SEQUENCE fresh")
+    _run(ex, "DROP SEQUENCE IF EXISTS fresh")
