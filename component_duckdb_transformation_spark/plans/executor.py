@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..exceptions import UserException
 from ..functions.dialect import (
     _matching_paren,
+    _pop_operand,
     _split_top_level_args,
     expand_columns_macro,
     expand_union_by_name,
@@ -304,6 +305,8 @@ class SparkStatementExecutor:
         self._file_read_views: set[str] = set()
         # sequences: name -> {next, curr, inc, minv, maxv, cycle, used}
         self._sequences: Dict[str, dict] = {}
+        # ENUM types: lowercase name -> ordered value list
+        self._enum_types: Dict[str, List[str]] = {}
         # Ambient job group at construction time (job groups are
         # thread-local and the orchestrator fans queries out to pool
         # threads, which would otherwise lose the caller's tag): nest
@@ -529,6 +532,152 @@ class SparkStatementExecutor:
             "column_name string, column_type string, null string, "
             "key string, default string, extra string",
         )
+
+    # ------------------------------------------------------------------
+    # ENUM types (DuckDB CREATE TYPE ... AS ENUM)
+    # ------------------------------------------------------------------
+
+    def _type_ddl(self, sql: str) -> None:
+        """``CREATE TYPE name AS ENUM ('a', ...)`` / ``DROP TYPE``.
+        ENUM columns map to STRING plus an insert-time CHECK on the
+        value set; casts validate via ``_bind_enum_casts``. Divergence
+        (documented, COVERAGE.md): comparisons and ORDER BY on an ENUM
+        column are lexical (VARCHAR), not positional. Non-ENUM CREATE
+        TYPE (aliases, structs) is unsupported and raises."""
+        m = re.match(
+            r"(?is)\s*CREATE\s+TYPE\s+([\w`\"]+)\s+AS\s+ENUM\s*\(", sql
+        )
+        if m:
+            name = m.group(1).strip('`"').lower()
+            tokens = tokenize(sql)
+            open_idx = next(
+                i for i, t in enumerate(tokens)
+                if t.kind == "op" and t.text == "("
+            )
+            close = _matching_paren(tokens, open_idx)
+            vals: List[str] = []
+            for arg in _split_top_level_args(tokens, open_idx, close):
+                code = [t for t in arg if t.kind not in ("ws", "comment")]
+                if len(code) != 1 or code[0].kind != "string":
+                    raise UserException(
+                        "CREATE TYPE AS ENUM: values must be string "
+                        f"literals: {sql[:80]}"
+                    )
+                vals.append(code[0].text[1:-1].replace("''", "'"))
+            if name in self._enum_types:
+                raise UserException(f'Type "{name}" already exists')
+            self._enum_types[name] = vals
+            return
+        m = re.match(
+            r"(?is)\s*DROP\s+TYPE\s+(IF\s+EXISTS\s+)?([\w`\"]+)", sql
+        )
+        if m:
+            name = m.group(2).strip('`"').lower()
+            if name not in self._enum_types and not m.group(1):
+                raise UserException(
+                    f"Catalog Error: Type with name {name} does not exist!"
+                )
+            self._enum_types.pop(name, None)
+            return
+        raise UserException(
+            f"Only CREATE TYPE ... AS ENUM is supported: {sql[:80]}"
+        )
+
+    def _enum_check_expr(self, ename: str, operand: str) -> str:
+        vals = ", ".join(
+            "'" + v.replace("'", "''") + "'" for v in self._enum_types[ename]
+        )
+        return (
+            f"(CASE WHEN ({operand}) IS NULL OR ({operand}) IN ({vals}) "
+            f"THEN CAST(({operand}) AS STRING) ELSE "
+            f"CAST(raise_error(concat('Conversion Error: Could not "
+            f"convert string ''', CAST(({operand}) AS STRING), "
+            f"''' to ENUM {ename}')) AS STRING) END)"
+        )
+
+    def _bind_enum_casts(self, sql: str) -> str:
+        """Rewrite ``enum_range(NULL::name)`` to the value-array
+        literal, and ``x::name`` / ``CAST(x AS name)`` to a validating
+        STRING expression, for every registered ENUM name."""
+        low = sql.lower()
+        if not any(n in low for n in self._enum_types):
+            return sql
+        tokens = tokenize(sql)
+        out: List[Token] = []
+        i = 0
+        n = len(tokens)
+        changed = False
+        while i < n:
+            tok = tokens[i]
+            nxt = _next_code_idx(tokens, i)
+            # enum_range(NULL::name) — before the :: pass eats the name
+            if (
+                tok.kind == "word"
+                and tok.text.lower() == "enum_range"
+                and nxt < n
+                and tokens[nxt].kind == "op" and tokens[nxt].text == "("
+            ):
+                close = _matching_paren(tokens, nxt)
+                inner = [
+                    t for t in tokens[nxt + 1: close]
+                    if t.kind not in ("ws", "comment")
+                ]
+                ename = (
+                    inner[-1].text.lower()
+                    if inner and inner[-1].kind == "word" else None
+                )
+                if ename in self._enum_types:
+                    vals = ", ".join(
+                        "'" + v.replace("'", "''") + "'"
+                        for v in self._enum_types[ename]
+                    )
+                    out.extend(tokenize(f"array({vals})"))
+                    i = close + 1
+                    changed = True
+                    continue
+            if (
+                tok.kind == "op" and tok.text == "::"
+                and nxt < n and tokens[nxt].kind == "word"
+                and tokens[nxt].text.lower() in self._enum_types
+            ):
+                operand = "".join(t.text for t in _pop_operand(out)).strip()
+                expr = self._enum_check_expr(
+                    tokens[nxt].text.lower(), operand
+                )
+                out.extend(tokenize(expr))
+                i = nxt + 1
+                changed = True
+                continue
+            if (
+                tok.kind == "word" and tok.upper == "CAST"
+                and nxt < n and tokens[nxt].kind == "op"
+                and tokens[nxt].text == "("
+            ):
+                close = _matching_paren(tokens, nxt)
+                body = tokens[nxt + 1: close]
+                code = [
+                    (k, t) for k, t in enumerate(body)
+                    if t.kind not in ("ws", "comment")
+                ]
+                if (
+                    len(code) >= 3
+                    and code[-2][1].is_kw("AS")
+                    and code[-1][1].kind == "word"
+                    and code[-1][1].text.lower() in self._enum_types
+                ):
+                    operand = "".join(
+                        t.text for t in body[: code[-2][0]]
+                    ).strip()
+                    expr = self._enum_check_expr(
+                        code[-1][1].text.lower(), operand
+                    )
+                    out.extend(tokenize(expr))
+                    i = close + 1
+                    changed = True
+                    continue
+            out.append(tok)
+            i += 1
+        return "".join(t.text for t in out) if changed else sql
 
     # ------------------------------------------------------------------
     # sequences (DuckDB CREATE SEQUENCE / nextval / currval)
@@ -972,6 +1121,13 @@ class SparkStatementExecutor:
         if "sequence" in low or "nextval" in low or "currval" in low:
             if self._sequence_step(st):
                 return
+        if re.match(r"(?is)\s*(CREATE|DROP)\s+TYPE\b", st.sql):
+            self._type_ddl(st.sql)
+            return
+        if self._enum_types:
+            expanded = self._bind_enum_casts(st.sql)
+            if expanded != st.sql:
+                st = dataclasses.replace(st, sql=expanded)
         stype = st.statement_type
 
         if stype == StatementType.CREATE_VIEW:
@@ -1394,7 +1550,10 @@ class SparkStatementExecutor:
         body = _body_after_as(st.sql, allow_missing=True)
         if body is None:
             # bare DDL: CREATE TABLE t (col type, ...) -> empty table
-            schema_sql = _ddl_column_schema(st.sql)
+            enum_cols: Dict[str, str] = {}
+            schema_sql = _ddl_column_schema(
+                st.sql, self._enum_types, enum_cols
+            )
             df = self.spark.sql(f"SELECT {schema_sql} LIMIT 0")
             keys = _ddl_primary_key(st.sql)
             if keys:
@@ -1407,6 +1566,12 @@ class SparkStatementExecutor:
             else:
                 self.not_null.pop(name.lower(), None)
             chk = _ddl_checks(st.sql)
+            for col, ename in enum_cols.items():
+                vals = ", ".join(
+                    "'" + v.replace("'", "''") + "'"
+                    for v in self._enum_types[ename]
+                )
+                chk.append(f"{_bt(col)} IS NULL OR {_bt(col)} IN ({vals})")
             if chk:
                 self.checks[name.lower()] = chk
             else:
@@ -1830,12 +1995,15 @@ def _column_list_span(sql: str) -> Optional[tuple[List[Token], int, int]]:
     return None
 
 
-def _ddl_column_schema(sql: str) -> str:
+def _ddl_column_schema(sql: str, enum_types=None, enum_cols=None) -> str:
     """Column list of a bare-DDL ``CREATE TABLE t (col type, ...)`` as
     select-item text ``CAST(NULL AS type) AS name, ...`` (the reference
     passes the DDL verbatim to DuckDB; here the empty typed relation is
     materialized so a later INSERT has a schema to align against).
-    Column constraints and table-level constraints are skipped."""
+    Column constraints and table-level constraints are skipped. A
+    column typed with a registered ENUM (``enum_types`` name -> values)
+    maps to STRING and lands in ``enum_cols`` (name -> enum name) for
+    the caller's insert-time CHECK."""
     span = _column_list_span(sql)
     if span is None:
         raise UserException(
@@ -1867,6 +2035,14 @@ def _ddl_column_schema(sql: str) -> str:
         upper = type_text.upper().replace(" ", "")
         if upper == "DOUBLEPRECISION":
             type_text = "DOUBLE"
+        elif (
+            enum_types
+            and len(type_toks) == 1
+            and type_toks[0].text.lower() in enum_types
+        ):
+            if enum_cols is not None:
+                enum_cols[name] = type_toks[0].text.lower()
+            type_text = "STRING"
         elif len(type_toks) == 1 and type_toks[0].upper in _DDL_TYPE_MAP:
             type_text = _DDL_TYPE_MAP[type_toks[0].upper]
         items.append(f"CAST(NULL AS {type_text}) AS {_bt(name)}")

@@ -809,3 +809,43 @@ def test_sequences(spark, table_store):
     with pytest.raises(UserException, match="does not exist"):
         _run(ex, "DROP SEQUENCE fresh")
     _run(ex, "DROP SEQUENCE IF EXISTS fresh")
+
+
+def test_enum_types(spark, table_store):
+    import pytest
+
+    from component_duckdb_transformation_spark.exceptions import (
+        UserException,
+    )
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    _run(ex, "CREATE TABLE person (name VARCHAR, m mood)")
+    _run(ex, "INSERT INTO person VALUES ('a', 'happy'), ('b', 'sad')")
+    got = sorted(tuple(r) for r in spark.table("person").collect())
+    assert got == [("a", "happy"), ("b", "sad")]
+    # invalid value rejected at INSERT like DuckDB's conversion error
+    with pytest.raises(Exception, match="(?i)check|convert"):
+        _run(ex, "INSERT INTO person VALUES ('c', 'angry')")
+    # casts validate; enum_range expands to the value list
+    _run(ex, "CREATE TABLE mr AS SELECT 'ok'::mood AS m, "
+             "enum_range(NULL::mood) AS vals")
+    row = spark.table("mr").collect()[0]
+    assert row.m == "ok" and row.vals == ["sad", "ok", "happy"]
+    with pytest.raises(Exception, match="Could not convert string"):
+        _run(ex, "CREATE TABLE bad AS SELECT CAST('angry' AS mood) AS m")
+    # NULL passes through the cast
+    _run(ex, "CREATE TABLE mn AS SELECT NULL::mood AS m")
+    assert spark.table("mn").collect()[0].m is None
+    # type catalog semantics
+    with pytest.raises(UserException, match="already exists"):
+        _run(ex, "CREATE TYPE mood AS ENUM ('x')")
+    _run(ex, "DROP TYPE mood")
+    with pytest.raises(UserException, match="does not exist"):
+        _run(ex, "DROP TYPE mood")
+    _run(ex, "DROP TYPE IF EXISTS mood")
+    with pytest.raises(UserException, match="AS ENUM"):
+        _run(ex, "CREATE TYPE pair AS STRUCT(a INT, b INT)")
