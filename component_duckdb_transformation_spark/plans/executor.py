@@ -764,8 +764,8 @@ class SparkStatementExecutor:
         )
         new_st = parse_statement(new_sql)
         stype = new_st.statement_type
-        target = next(iter(new_st.outputs), None)
-        if stype in (StatementType.CREATE_TABLE, StatementType.CREATE_VIEW):
+        target = self._target_table(new_st)
+        if stype == StatementType.CREATE_TABLE:
             self._execute_statement(new_st)
             n = self.spark.table(_bt(target)).count()
         elif stype == StatementType.INSERT:
@@ -1537,8 +1537,20 @@ class SparkStatementExecutor:
         if order_clause:
             self.view_order_by[name] = order_clause
 
+    def _target_table(self, st: ParsedStatement):
+        """The statement's target TABLE from its outputs set, skipping
+        bookkeeping outputs the parser adds for scheduling (the
+        `returning` view, sequence names advanced by nextval)."""
+        cands = [
+            o for o in st.outputs
+            if o != "returning" and o not in self._sequences
+        ]
+        if cands:
+            return cands[0]
+        return next(iter(st.outputs), None)
+
     def _create_table(self, st: ParsedStatement) -> None:
-        name = next(iter(st.outputs), None)
+        name = self._target_table(st)
         if name is None:
             raise UserException(f"Cannot determine table name in: {st.sql[:100]}")
         if re.search(r"(?i)\bIF\s+NOT\s+EXISTS\b", st.sql):
@@ -1585,8 +1597,9 @@ class SparkStatementExecutor:
 
     # -- DML --------------------------------------------------------------
     def _insert(self, st: ParsedStatement) -> None:
-        name = next(iter(st.outputs), None)
+        name = self._target_table(st)
         sql = st.sql
+        sql, returning = _split_returning(sql)
         # DuckDB constraint-aware forms: OR REPLACE / OR IGNORE
         # modifiers and a trailing ON CONFLICT upsert clause
         mode: object = None
@@ -1623,8 +1636,26 @@ class SparkStatementExecutor:
             )
         nn = self.not_null.get((name or "").lower())
         chk = self.checks.get((name or "").lower())
+        if returning is not None and (mode is not None or keys or nn or chk):
+            raise UserException(
+                "INSERT ... RETURNING is not supported together with "
+                "constraint handling (ON CONFLICT / keyed tables)"
+            )
         if mode is None and not keys and not nn and not chk:
             self.store.insert_into(name, df, columns=cols)
+            if returning is not None:
+                # DuckDB returns the inserted rows (target-aligned);
+                # registered as the `returning` view, like SUMMARIZE
+                target = self.spark.table(_bt(name)).limit(0)
+                aligned = (
+                    _align_by_name(df, target, cols)
+                    if cols is not None
+                    else _align_by_position(df, target)
+                )
+                aligned.createOrReplaceTempView("__returning_src")
+                self.spark.sql(translate(
+                    f"SELECT {returning} FROM __returning_src"
+                )).createOrReplaceTempView("returning")
             return
         self._keyed_insert(name, df, cols, keys, mode, nn, chk)
 
@@ -2240,6 +2271,23 @@ def _split_on_conflict(sql: str):
             break
     sets = "".join(t.text for t in rest).strip()
     return pre, {"cols": cols, "action": "update", "sets": sets, "where": where}
+
+
+def _split_returning(sql: str):
+    """Split a trailing top-level ``RETURNING <exprs>`` off an INSERT.
+    Returns (sql_without_returning, exprs_text_or_None)."""
+    tokens = tokenize(sql)
+    depth = 0
+    for i, t in enumerate(tokens):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.is_kw("RETURNING"):
+            exprs = "".join(x.text for x in tokens[i + 1:]).strip().rstrip(";")
+            head = "".join(x.text for x in tokens[:i]).rstrip()
+            return head, exprs or "*"
+    return sql, None
 
 
 def _next_code_idx(tokens: List[Token], i: int) -> int:

@@ -136,6 +136,11 @@ def parse_statement(sql: str) -> ParsedStatement:
             r"(?is)\bcurrval\s*\(\s*'([^']+)'\s*\)", sql
         ):
             deps.add(seq_name.strip('`"').lower())
+        if stype == StatementType.INSERT and re.search(
+            r"(?i)\breturning\b", sql
+        ):
+            # INSERT ... RETURNING registers the `returning` view
+            outputs.add("returning")
     has_order = _has_top_level_order_by(code)
     return ParsedStatement(
         sql=sql,

@@ -849,3 +849,29 @@ def test_enum_types(spark, table_store):
     _run(ex, "DROP TYPE IF EXISTS mood")
     with pytest.raises(UserException, match="AS ENUM"):
         _run(ex, "CREATE TYPE pair AS STRUCT(a INT, b INT)")
+
+
+def test_insert_returning(spark, table_store):
+    import duckdb
+
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    con = duckdb.connect()
+    script = [
+        "CREATE TABLE ret_t AS SELECT 1 AS a, 'x' AS b",
+        "INSERT INTO ret_t VALUES (2, 'y'), (3, 'z') RETURNING a * 10 "
+        "AS a10, b",
+    ]
+    for s in script:
+        _run(ex, s)
+    want = sorted(tuple(r) for r in con.execute(script[0]).fetchall() or [])
+    want = sorted(tuple(r) for r in con.execute(script[1]).fetchall())
+    got = sorted(tuple(r) for r in spark.table("returning").collect())
+    assert got == want == [(20, "y"), (30, "z")]
+    # RETURNING * yields target-aligned rows
+    _run(ex, "INSERT INTO ret_t (b, a) VALUES ('w', 4) RETURNING *")
+    got = [tuple(r) for r in spark.table("returning").collect()]
+    assert got == [(4, "w")]
