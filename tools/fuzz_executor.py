@@ -35,8 +35,33 @@ def gen_ops(g: random.Random, n_ops: int) -> list:
     ]
     has_t2 = False
     has_t3 = False
+    has_seq = False
+    has_enum = False
     for _ in range(n_ops):
-        c = g.randrange(9)
+        c = g.randrange(11)
+        if c == 9:
+            # sequences: single-row nextval inserts are order-free, so
+            # the minted values are identical in both engines
+            if not has_seq:
+                ops.append("CREATE SEQUENCE sq START 50000 INCREMENT 3")
+                has_seq = True
+            ops.append(
+                "INSERT INTO t1 SELECT nextval('sq'), 'Q', "
+                f"{g.randint(1, 99)}.5"
+            )
+            continue
+        if c == 10:
+            # ENUM columns: inserts of valid + (sometimes) invalid
+            # values — invalid must error on BOTH engines
+            if not has_enum:
+                ops.append("CREATE TYPE st AS ENUM ('lo', 'mid', 'hi')")
+                ops.append("CREATE TABLE t4 (k BIGINT, e st)")
+                has_enum = True
+            v = g.choice(["lo", "mid", "hi", "hi", "bogus"])
+            ops.append(
+                f"INSERT INTO t4 VALUES ({g.randint(1, 100)}, '{v}')"
+            )
+            continue
         if c == 7:
             if not has_t3:
                 ops.append(
@@ -263,6 +288,8 @@ def main() -> int:
             ["t2"] if any("CREATE TABLE t2" in o for o in ops) else []
         ) + (
             ["t3"] if any("CREATE TABLE t3" in o for o in ops) else []
+        ) + (
+            ["t4"] if any("CREATE TABLE t4" in o for o in ops) else []
         )
         bad = compare_tables(spark, con, tables)
         if bad:
