@@ -1774,9 +1774,14 @@ class SparkStatementExecutor:
             self.spark.catalog.dropTempView(src_view)
 
     def _update(self, st: ParsedStatement) -> None:
-        name = next(iter(st.outputs), None)
-        assignments, from_text, where = _parse_update(st.sql)
+        name = self._target_table(st)
+        sql, returning = _split_returning(st.sql)
+        assignments, from_text, where = _parse_update(sql)
         if from_text is not None:
+            if returning is not None:
+                raise UserException(
+                    "UPDATE ... FROM with RETURNING is not supported"
+                )
             self._update_from(name, assignments, from_text, where)
             return
         current = self.spark.table(_bt(name))
@@ -1802,7 +1807,28 @@ class SparkStatementExecutor:
             else:
                 cols.append(_bt(fld.name))
         new_df = self.spark.table(_bt(name)).selectExpr(*cols)
+        if returning is not None:
+            # post-update values of the matched rows (pre-image filter,
+            # assignments applied — the captured plan reads the
+            # pre-rewrite COW version)
+            ret_cols = []
+            for fld in current.schema.fields:
+                expr = assigned.get(fld.name.lower())
+                if expr is not None:
+                    ret_cols.append(
+                        f"CAST(({translate(expr)}) AS "
+                        f"{fld.dataType.simpleString()}) AS {_bt(fld.name)}"
+                    )
+                else:
+                    ret_cols.append(_bt(fld.name))
+            matched = current.filter(pred).selectExpr(*ret_cols)
+            matched.createOrReplaceTempView("__returning_src")
+            ret_df = self.spark.sql(translate(
+                f"SELECT {returning} FROM __returning_src"
+            ))
         self.store.rewrite(name, new_df)
+        if returning is not None:
+            ret_df.createOrReplaceTempView("returning")
 
     def _update_from(
         self,
@@ -1872,8 +1898,13 @@ class SparkStatementExecutor:
             tagged.unpersist()
 
     def _delete(self, st: ParsedStatement) -> None:
-        name = next(iter(st.outputs), None)
-        using, where = _delete_using_where(st.sql)
+        name = self._target_table(st)
+        sql, returning = _split_returning(st.sql)
+        using, where = _delete_using_where(sql)
+        if returning is not None and using is not None:
+            raise UserException(
+                "DELETE ... USING with RETURNING is not supported"
+            )
         if using is not None:
             # DELETE FROM t USING src WHERE pred: delete target rows
             # with ANY qualifying source match — an anti-join (NOT
@@ -1890,7 +1921,23 @@ class SparkStatementExecutor:
             new_df = self.spark.table(_bt(name)).filter(
                 f"NOT coalesce(({translate(where)}), false)"
             )
+        if returning is not None:
+            # the deleted rows (pre-image, captured before the rewrite)
+            current = self.spark.table(_bt(name))
+            deleted = (
+                current
+                if where is None
+                else current.filter(
+                    f"coalesce(({translate(where)}), false)"
+                )
+            )
+            deleted.createOrReplaceTempView("__returning_src")
+            ret_df = self.spark.sql(translate(
+                f"SELECT {returning} FROM __returning_src"
+            ))
         self.store.rewrite(name, new_df)
+        if returning is not None:
+            ret_df.createOrReplaceTempView("returning")
 
 
 # -- statement-text helpers (tokenizer-based, string/comment safe) --------

@@ -136,10 +136,12 @@ def parse_statement(sql: str) -> ParsedStatement:
             r"(?is)\bcurrval\s*\(\s*'([^']+)'\s*\)", sql
         ):
             deps.add(seq_name.strip('`"').lower())
-        if stype == StatementType.INSERT and re.search(
-            r"(?i)\breturning\b", sql
-        ):
-            # INSERT ... RETURNING registers the `returning` view
+        if stype in (
+            StatementType.INSERT, StatementType.UPDATE, StatementType.DELETE
+        ) and re.search(r"(?i)\breturning\b", sql):
+            # INSERT/UPDATE/DELETE ... RETURNING registers the
+            # `returning` view (added after the mutation branch above
+            # folded outputs into deps, so no self-dependency appears)
             outputs.add("returning")
     has_order = _has_top_level_order_by(code)
     return ParsedStatement(

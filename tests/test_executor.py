@@ -875,3 +875,32 @@ def test_insert_returning(spark, table_store):
     _run(ex, "INSERT INTO ret_t (b, a) VALUES ('w', 4) RETURNING *")
     got = [tuple(r) for r in spark.table("returning").collect()]
     assert got == [(4, "w")]
+
+
+def test_update_delete_returning(spark, table_store):
+    import duckdb
+
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    con = duckdb.connect()
+    setup = (
+        "CREATE TABLE udr AS SELECT * FROM (VALUES "
+        "(1, CAST(10 AS DOUBLE)), (2, CAST(20 AS DOUBLE)), "
+        "(3, CAST(30 AS DOUBLE))) v(id, p)"
+    )
+    upd = "UPDATE udr SET p = p * 2 WHERE id >= 2 RETURNING id, p AS new_p"
+    _run(ex, setup)
+    con.execute(setup)
+    _run(ex, upd)
+    want = sorted(tuple(r) for r in con.execute(upd).fetchall())
+    got = sorted(tuple(r) for r in spark.table("returning").collect())
+    assert got == want == [(2, 40.0), (3, 60.0)]
+    stmt = "DELETE FROM udr WHERE p > 50 RETURNING *"
+    _run(ex, stmt)
+    want = sorted(tuple(r) for r in con.execute(stmt).fetchall())
+    got = sorted(tuple(r) for r in spark.table("returning").collect())
+    assert got == want == [(3, 60.0)]
+    assert sorted(r.id for r in spark.table("udr").collect()) == [1, 2]
