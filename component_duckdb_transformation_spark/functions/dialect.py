@@ -172,6 +172,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_substr_window(tokens)
     tokens = _rewrite_array_type_suffix(tokens)
     tokens = _rewrite_brackets(tokens)
+    tokens = _rewrite_date_part_list(tokens)
     tokens = _rewrite_series_table_fns(tokens)
     tokens = _rewrite_operator_fn_aliases(tokens)
     tokens = _rewrite_polymorphic_len(tokens)
@@ -7259,5 +7260,44 @@ def _rewrite_window_exclude(tokens: List[Token]) -> List[Token]:
                     i = close + 1
                     continue
         out.append(t)
+        i += 1
+    return out
+
+
+def _rewrite_date_part_list(tokens: List[Token]) -> List[Token]:
+    """DuckDB list-form ``date_part(['y', 'mon'], x)`` returns a STRUCT
+    keyed by the part names AS WRITTEN with BIGINT fields. Lowered to
+    ``named_struct`` over scalar date_part calls (each then goes
+    through the scalar part shims). Literal part lists only; a dynamic
+    list expression passes through and fails loudly at Spark parse."""
+    out: List[Token] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if (
+            tok.kind == "word"
+            and tok.text.lower() in ("date_part", "datepart")
+        ):
+            p = _next_code(tokens, i)
+            if p < n and tokens[p].kind == "op" and tokens[p].text == "(":
+                close = _matching_paren(tokens, p)
+                args = _split_top_level_args(tokens, p, close)
+                parts = (
+                    _literal_array_elements(args[0])
+                    if len(args) == 2 else None
+                )
+                if parts and all(
+                    e.startswith("'") and e.endswith("'") and len(e) > 2
+                    for e in parts
+                ):
+                    x = "".join(t.text for t in args[1]).strip()
+                    fields = ", ".join(
+                        f"{e}, CAST(date_part({e}, ({x})) AS BIGINT)"
+                        for e in parts
+                    )
+                    out.extend(_toks(f"named_struct({fields})"))
+                    i = close + 1
+                    continue
+        out.append(tok)
         i += 1
     return out

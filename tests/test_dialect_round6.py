@@ -614,3 +614,18 @@ def test_quantified_literal_list_join_mixed(spark):
         "NULL = ANY([1, 2]) AS c, 1 = ANY([1, NULL]) AS d, "
         "3 = ALL([3, NULL]) AS e, 9 <> ALL([1, NULL]) AS f",
     )
+
+
+def test_date_part_list_form(spark):
+    # DuckDB list-form date_part returns a STRUCT keyed by the part
+    # names as written, BIGINT fields (compared as dicts: the generic
+    # _norm flattens Rows to lists, losing the field names)
+    sql = (
+        "SELECT date_part(['y', 'mon', 'doy'], DATE '2024-03-05') AS a, "
+        "date_part(['hour', 'minute', 'second'], "
+        "TIMESTAMP '2021-12-31 23:59:58') AS b"
+    )
+    con = duckdb.connect()
+    want = con.execute(sql).fetchall()[0]
+    row = spark.sql(translate(sql)).collect()[0]
+    assert (row.a.asDict(), row.b.asDict()) == (want[0], want[1])
