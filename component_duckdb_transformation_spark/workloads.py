@@ -1806,6 +1806,93 @@ _add_df(
 )
 
 
+def _sequence_enum_pipeline_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """Executor path for the round-6 statement surface: CREATE TYPE AS
+    ENUM column with insert-time validation, CREATE SEQUENCE +
+    single-row nextval minting (order-free, so the values are
+    engine-deterministic), and UPDATE ... RETURNING consumed by a
+    follow-up CTAS. Type/sequence registries are per-executor, so
+    re-runs in one session are clean."""
+    import tempfile
+
+    from .configuration import Block, Code
+    from .plans.executor import SparkStatementExecutor, TableStore
+    from .plans.orchestrator import BlockOrchestrator
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="cdts-wl-seq-"))
+    executor = SparkStatementExecutor(spark, store)
+    orch = BlockOrchestrator(execute_script=executor.execute_query, max_workers=4)
+    orch.add_queries_from_blocks(
+        [
+            Block(
+                name="seqenum",
+                codes=[
+                    Code(
+                        name="pipeline",
+                        script=[
+                            "CREATE TYPE tier AS ENUM "
+                            "('bronze', 'silver', 'gold');",
+                            "CREATE SEQUENCE sid START 1000 INCREMENT 10;",
+                            "CREATE TABLE custt (k BIGINT, tier tier, "
+                            "sid BIGINT);",
+                            "INSERT INTO custt SELECT c_custkey, "
+                            "CASE WHEN c_acctbal < 0 THEN 'bronze' "
+                            "WHEN c_acctbal < 5000 THEN 'silver' "
+                            "ELSE 'gold' END, NULL "
+                            "FROM customer WHERE c_custkey <= 300;",
+                            "INSERT INTO custt SELECT 100001, 'gold', "
+                            "nextval('sid');",
+                            "INSERT INTO custt SELECT 100002, 'silver', "
+                            "nextval('sid');",
+                            "UPDATE custt SET tier = 'gold' "
+                            "WHERE k % 50 = 0 RETURNING k;",
+                            "CREATE TABLE promoted AS SELECT "
+                            "CAST(count(*) AS BIGINT) AS n FROM returning;",
+                        ],
+                    )
+                ],
+            )
+        ]
+    )
+    orch.execute()
+    return spark.sql(
+        "SELECT CAST(tier AS STRING) AS tier, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(coalesce(sum(sid), 0) AS BIGINT) AS sid_sum, "
+        "(SELECT n FROM promoted) AS promoted_n "
+        "FROM custt GROUP BY tier"
+    )
+
+
+_add_df(
+    "x30_sequence_enum_returning",
+    _sequence_enum_pipeline_builder,
+    oracle="""
+    SELECT CAST(tier AS VARCHAR) AS tier,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(coalesce(sum(sid), 0) AS BIGINT) AS sid_sum,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey <= 300 AND c_custkey % 50 = 0) AS promoted_n
+    FROM (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 50 = 0 THEN 'gold'
+                  WHEN c_acctbal < 0 THEN 'bronze'
+                  WHEN c_acctbal < 5000 THEN 'silver'
+                  ELSE 'gold' END AS tier,
+             CAST(NULL AS BIGINT) AS sid
+      FROM customer WHERE c_custkey <= 300
+      UNION ALL SELECT 100001, 'gold', 1000
+      UNION ALL SELECT 100002, 'silver', 1010
+    ) t
+    GROUP BY tier
+    """,
+    description="round-6 statement surface end-to-end: ENUM column "
+    "(insert-validated), sequence minting via single-row nextval "
+    "(order-free), UPDATE ... RETURNING consumed by a CTAS — the "
+    "oracle re-derives the end state from customer",
+)
+
+
 def _update_from_alter_builder(spark: SparkSession, sf: str) -> DataFrame:
     """Executor path for the round-3 surface: ALTER TABLE schema
     evolution + UPDATE ... FROM join-update, DAG-ordered."""
