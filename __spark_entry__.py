@@ -2,12 +2,14 @@
 
 Delegates to ``component_duckdb_transformation_spark.workloads`` — the
 single registry of every implemented operator/query from SURVEY.md §2
-(core SQL + dialect surface q01-q48, incl. product/entropy rewrites,
-COLUMNS() expansion, GROUP/ORDER BY ALL, recursive CTEs) plus the
-LLM-pipeline extensions (dedup, similarity, sampling, temporal, text
-analysis, multimodal, streaming: x01-x24) and the executor mutation
-pipelines (x15 CTAS/INSERT/UPDATE/DELETE, x25 ALTER + UPDATE..FROM,
-x26 MERGE INTO). Every workload carries a DuckDB oracle — the hash/ANN
+(core SQL + dialect surface q01-q60, incl. product/entropy rewrites,
+COLUMNS() expansion, GROUP/ORDER BY ALL, recursive CTEs, ASOF JOIN,
+window frame EXCLUDE) plus the LLM-pipeline extensions (dedup,
+similarity, sampling, temporal, text analysis, multimodal, streaming:
+x01-x24, x28) and the executor statement pipelines (x15
+CTAS/INSERT/UPDATE/DELETE, x25 ALTER + UPDATE..FROM, x26 MERGE INTO,
+x27 dynamic PIVOT, x29 PRIMARY KEY upserts, x30 sequences + ENUM +
+RETURNING). Every workload carries a DuckDB oracle — the hash/ANN
 pipelines use engine-portable md5/integer arithmetic so even
 MinHash-LSH, SimHash, hyperplane-LSH, and IVF (k-means training
 included) are replayed exactly in SQL; the post-MERGE-era statements
