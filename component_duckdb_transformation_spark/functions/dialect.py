@@ -173,6 +173,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_array_type_suffix(tokens)
     tokens = _rewrite_brackets(tokens)
     tokens = _rewrite_date_part_list(tokens)
+    tokens = _rewrite_cte_materialized(tokens)
     tokens = _rewrite_series_table_fns(tokens)
     tokens = _rewrite_operator_fn_aliases(tokens)
     tokens = _rewrite_polymorphic_len(tokens)
@@ -199,6 +200,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_division_double(tokens)
     tokens = _rewrite_round_double(tokens)
     tokens = _rewrite_window_exclude(tokens)
+    tokens = _rewrite_unordered_ranking(tokens)
     tokens = _rewrite_call_shims(tokens)
     tokens = _rewrite_filter_shorthand(tokens)
     tokens = _rewrite_simple(tokens)
@@ -5559,6 +5561,19 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     )
                     i = close + 1
                     continue
+                if low == "map" and len(args) == 2:
+                    # DuckDB map(keys_list, values_list) — rewritten to
+                    # map_from_arrays only when both args are literal
+                    # array(...) calls (the post-bracket form), since
+                    # the brace-literal rewrite emits Spark's variadic
+                    # map('k', v) internally; list-typed COLUMN args
+                    # keep Spark's variadic semantics (documented)
+                    a, b = (_sql(inner, s, e) for s, e in args)
+                    if (a.lstrip().lower().startswith("array")
+                            and b.lstrip().lower().startswith("array")):
+                        out.extend(_toks(f"map_from_arrays({a}, {b})"))
+                        i = close + 1
+                        continue
                 if low == "to_base" and len(args) == 2:
                     a, b = (_sql(inner, s, e) for s, e in args)
                     out.extend(_toks(f"conv({a}, 10, {b})"))
@@ -7306,6 +7321,102 @@ def _rewrite_date_part_list(tokens: List[Token]) -> List[Token]:
                     )
                     out.extend(_toks(f"named_struct({fields})"))
                     i = close + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+# window functions Spark refuses to run without an ORDER BY (DuckDB
+# runs them in scan order)
+_ORDER_REQUIRED_WINDOW_FNS = {
+    "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+    "ntile", "lag", "lead",
+}
+
+
+def _rewrite_unordered_ranking(tokens: List[Token]) -> List[Token]:
+    """DuckDB allows ``row_number() OVER ()`` (and the other ranking /
+    offset functions) without an ORDER BY — values follow scan order.
+    Spark rejects the unordered form, so ``ORDER BY
+    monotonically_increasing_id()`` is injected (partition/file order —
+    the same physical-order contract as POSITIONAL JOIN, COVERAGE.md)."""
+    out: List[Token] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.is_kw("OVER"):
+            p = _next_code(tokens, i)
+            if p < n and tokens[p].kind == "op" and tokens[p].text == "(":
+                k = len(out) - 1
+                while k >= 0 and out[k].kind in ("ws", "comment"):
+                    k -= 1
+                # preceding call: ) of fn(...) — find its name
+                fn = None
+                if k >= 0 and out[k].kind == "op" and out[k].text == ")":
+                    depth = 0
+                    m = k
+                    while m >= 0:
+                        t = out[m]
+                        if t.kind == "op" and t.text == ")":
+                            depth += 1
+                        elif t.kind == "op" and t.text == "(":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        m -= 1
+                    m -= 1
+                    while m >= 0 and out[m].kind in ("ws", "comment"):
+                        m -= 1
+                    if m >= 0 and out[m].kind == "word":
+                        fn = out[m].text.lower()
+                if fn in _ORDER_REQUIRED_WINDOW_FNS:
+                    close = _matching_paren(tokens, p)
+                    body = tokens[p + 1: close]
+                    depth = 0
+                    has_order = False
+                    for t in body:
+                        if t.kind == "op" and t.text == "(":
+                            depth += 1
+                        elif t.kind == "op" and t.text == ")":
+                            depth -= 1
+                        elif depth == 0 and t.is_kw("ORDER"):
+                            has_order = True
+                            break
+                    if not has_order:
+                        out.append(tokens[i])  # OVER
+                        out.extend(tokens[i + 1: p + 1])  # ws + (
+                        out.extend(body)
+                        sep = " " if body and body[-1].kind != "ws" else ""
+                        out.extend(_toks(
+                            f"{sep}ORDER BY monotonically_increasing_id()"
+                        ))
+                        out.append(tokens[close])
+                        i = close + 1
+                        continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+def _rewrite_cte_materialized(tokens: List[Token]) -> List[Token]:
+    """Strip DuckDB's ``AS [NOT] MATERIALIZED (`` CTE modifier — a
+    planner hint with no Spark equivalent (Catalyst decides reuse)."""
+    out: List[Token] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.is_kw("AS"):
+            j = _next_code(tokens, i)
+            neg = j < n and tokens[j].is_kw("NOT")
+            k = _next_code(tokens, j) if neg else j
+            if k < n and tokens[k].is_kw("MATERIALIZED"):
+                after = _next_code(tokens, k)
+                if after < n and tokens[after].kind == "op" \
+                        and tokens[after].text == "(":
+                    out.append(tok)
+                    out.append(Token("ws", " "))
+                    i = after
                     continue
         out.append(tok)
         i += 1

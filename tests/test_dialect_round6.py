@@ -629,3 +629,42 @@ def test_date_part_list_form(spark):
     want = con.execute(sql).fetchall()[0]
     row = spark.sql(translate(sql)).collect()[0]
     assert (row.a.asDict(), row.b.asDict()) == (want[0], want[1])
+
+
+def test_unordered_ranking_and_cte_materialized(spark):
+    # DuckDB allows ranking/offset functions without ORDER BY (scan
+    # order); Spark requires one — monotonically_increasing_id() is
+    # injected (physical-order contract). MATERIALIZED CTE hints strip.
+    spark.sql("CREATE OR REPLACE TEMP VIEW ur AS SELECT * FROM (VALUES "
+              "(1), (2), (3)) v(k)")
+    out = spark.sql(translate(
+        "SELECT count(*) AS n FROM (SELECT row_number() OVER () AS rn "
+        "FROM ur) t WHERE rn <= 2"
+    )).collect()
+    assert out[0].n == 2
+    out = spark.sql(translate(
+        "WITH c AS MATERIALIZED (SELECT k FROM ur), "
+        "d AS NOT MATERIALIZED (SELECT 9 AS x) "
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM c CROSS JOIN d"
+    )).collect()
+    assert out[0].n == 3
+    # explicit ORDER BY is untouched; AS in cast/alias positions too
+    assert "monotonically" not in translate(
+        "SELECT rank() OVER (ORDER BY k) FROM ur")
+    assert "materialized" in translate(
+        "SELECT CAST(1 AS INT) AS materialized")
+
+
+def test_map_two_list_constructor(spark):
+    # DuckDB map(keys_list, values_list); Spark's variadic map() would
+    # build a single array->array entry
+    row = spark.sql(translate(
+        "SELECT map(['x', 'y'], [42, 7]) AS m"
+    )).collect()[0]
+    assert row.m == {"x": 42, "y": 7}
+    con = duckdb.connect()
+    want = con.execute("SELECT map_extract(map(['x'],[42]), 'x')[1] AS v"
+                       ).fetchone()[0]
+    got = spark.sql(translate("SELECT map(['x'],[42])['x'] AS v"
+                              )).collect()[0].v
+    assert got == want == 42
