@@ -901,40 +901,57 @@ _add_sql(
 _add_sql(
     "q58_grapheme_json_path",
     """
-    WITH m AS (
-        SELECT round(CAST(mad(p_retailprice) AS DOUBLE), 4) AS mad_price
-        FROM part
-    ),
-    j AS (
-        SELECT CAST(sum(CASE WHEN json_contains(props, '{"k": 29}')
-                             THEN 1 ELSE 0 END) AS BIGINT) AS k29,
-               min(json_structure(props)) AS jstruct,
-               bool_and(isfinite(CAST(ts AS TIMESTAMP))) AS ts_finite,
-               CAST(second(make_time(10, 30, 45.0)) AS BIGINT) AS mt_sec
-        FROM events
-    )
     SELECT p_brand,
            CAST(sum(length_grapheme(p_name)) AS BIGINT) AS graphemes,
            left_grapheme(min(p_name), 3) AS head3,
            right_grapheme(max(p_name), 4) AS tail4,
            substring_grapheme(min(p_type), 2, 5) AS mid5,
-           parse_path(concat('/', min(p_brand), '/', min(p_type)),
-                      'forward_slash') AS path_parts,
-           list_resize(split(min(p_type), ' '), 3) AS words3,
+           array_to_string(list_transform(
+               parse_path(concat('/', min(p_brand), '/', min(p_type)),
+                          'forward_slash'),
+               x -> coalesce(x, '~null~')), '/') AS path_parts,
+           array_to_string(list_transform(
+               list_resize(split(min(p_type), ' '), 3),
+               x -> coalesce(x, '~null~')), '|') AS words3,
            CAST(bitstring_agg(p_size % 8, 0, 7) AS VARCHAR) AS size_bits,
            round(@(avg(p_retailprice) - 1000), 4) AS absdev,
-           CAST(decade(INTERVAL 25 YEAR) AS BIGINT) AS dec25,
-           m.mad_price, j.k29, j.jstruct, j.ts_finite, j.mt_sec
-    FROM part CROSS JOIN m CROSS JOIN j
-    GROUP BY p_brand, m.mad_price, j.k29, j.jstruct, j.ts_finite, j.mt_sec
+           CAST(decade(INTERVAL 25 YEAR) AS BIGINT) AS dec25
+    FROM part
+    GROUP BY p_brand
     """,
-    description="round-6 closing surface in one driver row: grapheme "
-    "family (UAX #29 clusters), json_contains/json_structure (yyjson "
-    "semantics), parse_path, list_resize NULL-padding, bitstring_agg "
-    "explicit bounds, the @ abs operator, mad (grouped-agg pandas UDF "
-    "in its own CTE — cannot mix with built-in aggregates), temporal "
-    "isfinite, TIME-as-epoch-day make_time, interval decade — "
-    "identical SQL runs on both engines",
+    description="round-6 closing surface, text half: grapheme family "
+    "(UAX #29 clusters), parse_path, list_resize NULL-padding, "
+    "bitstring_agg explicit bounds, the @ abs operator, interval "
+    "decade. LIST outputs are stringified with a NULL sentinel — the "
+    "driver canonicalizer sorts every output column and cannot "
+    "factorize ndarray cells (registry policy: scalar columns only, "
+    "enforced by tests/test_registry_policy.py) — identical SQL runs "
+    "on both engines",
+)
+
+_add_sql(
+    "q61_mad_json_temporal",
+    """
+    WITH m AS (
+        SELECT round(CAST(mad(p_retailprice) AS DOUBLE), 4) AS mad_price
+        FROM part
+    )
+    SELECT CAST(sum(CASE WHEN json_contains(props, '{"k": 29}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS k29,
+           min(json_structure(props)) AS jstruct,
+           bool_and(isfinite(CAST(ts AS TIMESTAMP))) AS ts_finite,
+           CAST(second(make_time(10, 30, 45.0)) AS BIGINT) AS mt_sec,
+           m.mad_price
+    FROM events CROSS JOIN m
+    GROUP BY m.mad_price
+    """,
+    description="round-6 closing surface, json/temporal half (split "
+    "from q58 so one harness quirk cannot redden the whole group): "
+    "json_contains/json_structure (yyjson semantics), temporal "
+    "isfinite, TIME-as-epoch-day make_time, whole-table mad (lowered "
+    "to a two-phase built-in median plan when there is no GROUP BY — "
+    "no single-task pandas funnel) — identical SQL runs on both "
+    "engines",
 )
 
 _add_sql(
@@ -942,14 +959,17 @@ _add_sql(
     """
     SELECT n_name,
            r_name,
-           [length(w) FOR w IN split(n_name, ' ') IF w <> ''] AS word_lens
+           array_to_string(
+               [CAST(length(w) AS VARCHAR) FOR w IN split(n_name, ' ')
+                IF w <> ''], ',') AS word_lens
     FROM nation POSITIONAL JOIN (SELECT r_name FROM region) r
     ORDER BY n_name NULLS LAST
     """,
     description="POSITIONAL JOIN (scan-order row pairing, NULL-padded "
     "shorter side via FULL join on a scan-order row number) and a list "
-    "comprehension lowered to transform/filter — identical SQL runs on "
-    "both engines",
+    "comprehension lowered to transform/filter; the LIST output is "
+    "stringified (registry policy: scalar columns only) — identical "
+    "SQL runs on both engines",
 )
 
 _add_sql(
