@@ -201,6 +201,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_round_double(tokens)
     tokens = _rewrite_window_exclude(tokens)
     tokens = _rewrite_unordered_ranking(tokens)
+    tokens = _rewrite_global_mad_recursive(tokens)
     tokens = _rewrite_call_shims(tokens)
     tokens = _rewrite_filter_shorthand(tokens)
     tokens = _rewrite_simple(tokens)
@@ -2377,6 +2378,230 @@ def _rewrite_entropy_groupby_recursive(tokens: List[Token]) -> List[Token]:
         out.append(tok)
         i += 1
     return _rewrite_entropy_groupby(out)
+
+
+def _global_mad_calls(tokens: List[Token], lo: int, hi: int):
+    """Spans of top-scope ``mad(arg)`` calls in tokens[lo:hi], skipping
+    parenthesized subqueries (the recursive wrapper owns those) and any
+    windowed ``mad(...) OVER`` form. Returns (word, open, close) spans,
+    or None when a call shape disqualifies the whole scope (2-arg,
+    OVER-adjacent)."""
+    calls = []
+    i = lo
+    while i < hi:
+        t = tokens[i]
+        if t.kind == "op" and t.text == "(":
+            fc = _next_code(tokens, i)
+            if fc < hi and tokens[fc].kind == "word" and tokens[fc].upper in (
+                "SELECT",
+                "WITH",
+            ):
+                i = _matching_paren(tokens, i) + 1
+                continue
+            i += 1
+            continue
+        if t.kind == "word" and t.text.lower() == "mad":
+            nxt = _next_code(tokens, i)
+            if nxt < hi and tokens[nxt].text == "(":
+                close = _matching_paren(tokens, nxt)
+                args = _split_top_level_args(tokens, nxt, close)
+                after = _next_code(tokens, close)
+                if len(args) != 1 or (
+                    after < hi
+                    and tokens[after].kind == "word"
+                    and tokens[after].upper == "OVER"
+                ):
+                    return None
+                calls.append((i, nxt, close))
+                i = close + 1
+                continue
+        i += 1
+    return calls
+
+
+def _rewrite_global_mad(tokens: List[Token]) -> List[Token]:
+    """Scale-safe whole-table ``mad()``: in a SELECT with no GROUP BY
+    the grouped-agg pandas UDF would funnel the ENTIRE column through a
+    single task (one group = one partition) — a straggler/OOM at scale.
+    With a single group the two-phase identity applies directly:
+    ``mad(x) = median(abs(x - median(x)))`` where the inner median is a
+    1-row aggregate subquery CROSS JOINed (auto-broadcast) into the
+    FROM clause. Both phases are built-in percentile aggregates with
+    map-side partials — no Python, no single-partition exchange.
+
+    Grouped mad keeps the pandas UDF (groups distribute); temporal args
+    keep the UDF path (interval return type); HAVING / DISTINCT /
+    windowed forms fall back likewise."""
+    n = len(tokens)
+    first = _next_code(tokens, -1)
+    if first >= n or tokens[first].kind != "word":
+        return tokens
+    if not any(t.kind == "word" and t.text.lower() == "mad" for t in tokens):
+        return tokens
+    if tokens[first].upper == "WITH":
+        depth = 0
+        for j in range(first + 1, n):
+            t = tokens[j]
+            if t.kind == "op" and t.text in ("(", "["):
+                depth += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.kind == "word" and t.upper == "SELECT":
+                return tokens[:j] + _rewrite_global_mad(tokens[j:])
+        return tokens
+    if tokens[first].upper != "SELECT":
+        return tokens
+
+    # set operations: each branch independently
+    depth = 0
+    for j in range(first + 1, n):
+        t = tokens[j]
+        if t.kind == "op" and t.text in ("(", "["):
+            depth += 1
+        elif t.kind == "op" and t.text in (")", "]"):
+            depth -= 1
+        elif (
+            depth == 0
+            and t.kind == "word"
+            and t.upper in ("UNION", "EXCEPT", "INTERSECT")
+        ):
+            k = _next_code(tokens, j)
+            if k < n and tokens[k].upper in ("ALL", "DISTINCT"):
+                k = _next_code(tokens, k)
+            return (
+                _rewrite_global_mad(tokens[:j])
+                + tokens[j:k]
+                + _rewrite_global_mad(tokens[k:])
+            )
+
+    clause_idx: dict = {}
+    depth = 0
+    for j in range(first + 1, n):
+        t = tokens[j]
+        if t.kind == "op" and t.text in ("(", "["):
+            depth += 1
+        elif t.kind == "op" and t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.kind == "word":
+            u = t.upper
+            if u == "GROUP":
+                prev = [
+                    p
+                    for p in range(j - 1, -1, -1)
+                    if tokens[p].kind not in ("ws", "comment")
+                ]
+                if prev and tokens[prev[0]].kind == "word" and tokens[
+                    prev[0]
+                ].upper == "WITHIN":
+                    continue
+            if u in (
+                "FROM",
+                "WHERE",
+                "GROUP",
+                "HAVING",
+                "ORDER",
+                "LIMIT",
+                "OFFSET",
+                "WINDOW",
+                "QUALIFY",
+            ) and u not in clause_idx:
+                clause_idx[u] = j
+    # single-group shape only: no GROUP BY (grouped mad distributes
+    # across groups already); bail on clauses that could re-reference
+    # the aggregate outside the select list
+    if (
+        "FROM" not in clause_idx
+        or "GROUP" in clause_idx
+        or "HAVING" in clause_idx
+        or "WINDOW" in clause_idx
+        or "QUALIFY" in clause_idx
+    ):
+        return tokens
+    boundaries = sorted(clause_idx.values()) + [n]
+
+    def clause_end(idx: int) -> int:
+        return min(b for b in boundaries if b > idx)
+
+    from_idx = clause_idx["FROM"]
+    sel_lo = _next_code(tokens, first)
+    if sel_lo < n and tokens[sel_lo].upper in ("DISTINCT", "ALL"):
+        return tokens
+    # mad must not appear outside the select list
+    for cl in ("WHERE", "ORDER"):
+        if cl in clause_idx:
+            lo_ = clause_idx[cl]
+            for t in tokens[lo_: clause_end(lo_)]:
+                if t.kind == "word" and t.text.lower() == "mad":
+                    return tokens
+
+    calls = _global_mad_calls(tokens, sel_lo, from_idx)
+    if not calls:
+        return tokens
+    arg_ids: dict = {}
+    arg_sqls: List[str] = []
+    repl: List[tuple] = []
+    for w, o, c in calls:
+        arg_sql = _sql(tokens, o + 1, c)
+        if _static_temporal_sql(arg_sql):
+            return tokens
+        key = " ".join(arg_sql.split())
+        if key not in arg_ids:
+            arg_ids[key] = len(arg_sqls)
+            arg_sqls.append(arg_sql)
+        repl.append((w, c, arg_ids[key]))
+
+    from_end = clause_end(from_idx)
+    from_text = _sql(tokens, from_idx, from_end)
+    where_text = ""
+    if "WHERE" in clause_idx:
+        wlo = clause_idx["WHERE"]
+        where_text = " " + _sql(tokens, wlo, clause_end(wlo))
+
+    out: List[Token] = []
+    pos = 0
+    for w, c, j in repl:
+        out.extend(tokens[pos:w])
+        a = arg_sqls[j]
+        out.extend(
+            _toks(
+                f"median(abs(CAST(({a}) AS DOUBLE)"
+                f" - __madsub_{j}.__mv_{j}))"
+            )
+        )
+        pos = c + 1
+    out.extend(tokens[pos:from_end])
+    for j, a in enumerate(arg_sqls):
+        out.extend(
+            _toks(
+                f" CROSS JOIN (SELECT median(CAST(({a}) AS DOUBLE))"
+                f" AS __mv_{j} {from_text}{where_text}) __madsub_{j} "
+            )
+        )
+    out.extend(tokens[from_end:])
+    return out
+
+
+def _rewrite_global_mad_recursive(tokens: List[Token]) -> List[Token]:
+    """Apply the whole-table mad two-phase lowering inside every
+    parenthesized scope (CTE bodies, subqueries), innermost-first."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text == "(":
+            close = _matching_paren(tokens, i)
+            if close > i:
+                out.append(tok)
+                out.extend(
+                    _rewrite_global_mad_recursive(tokens[i + 1 : close])
+                )
+                out.append(tokens[close])
+                i = close + 1
+                continue
+        out.append(tok)
+        i += 1
+    return _rewrite_global_mad(out)
 
 
 def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:

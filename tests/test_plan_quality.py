@@ -165,3 +165,13 @@ def test_q53_asof_sql_no_range_blowup(spark):
     assert "Window" in plan
     # event_type filters reach the scans
     assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_q61_global_mad_no_pandas_funnel(spark):
+    """Whole-table mad must lower to the two-phase built-in median plan
+    (1-row subquery broadcast-joined back) — never the grouped-agg
+    pandas UDF, which funnels the entire column through ONE task when
+    there is no GROUP BY."""
+    plan = _plan(spark, "q61_mad_json_temporal")
+    assert "AggregateInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
