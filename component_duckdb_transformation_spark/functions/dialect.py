@@ -789,9 +789,25 @@ def _parse_table_primary(toks: List[Token]):
     return src, alias
 
 
+# Scan-order position WITHOUT a single-partition window: a global
+# ``row_number() OVER (ORDER BY monotonically_increasing_id())`` moves
+# every row to one task. monotonically_increasing_id() packs
+# (partition index << 33) | row-offset-within-partition, so the global
+# position is recoverable distributedly: count rows per partition
+# (tiny shuffle), cumulative-sum the counts in a window over
+# #partitions rows (not data rows), then broadcast-join the offsets
+# back and add the in-partition offset. Only partition STATS ever
+# concentrate; the data path stays map-side.
 _POSITIONAL_WRAP = (
-    "(SELECT *, row_number() OVER "
-    "(ORDER BY monotonically_increasing_id()) AS __pos FROM {src}) {al}"
+    "(SELECT __pt.* EXCEPT (__mid), "
+    "CAST(__po.__off + (__pt.__mid & 8589934591) + 1 AS BIGINT) AS __pos "
+    "FROM (SELECT *, monotonically_increasing_id() AS __mid FROM {src}) __pt "
+    "JOIN (SELECT __pid, sum(__cnt) OVER (ORDER BY __pid "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - __cnt AS __off "
+    "FROM (SELECT __pid, count(*) AS __cnt FROM "
+    "(SELECT shiftright(monotonically_increasing_id(), 33) AS __pid "
+    "FROM {src}) __pr GROUP BY __pid) __pc) __po "
+    "ON shiftright(__pt.__mid, 33) = __po.__pid) {al}"
 )
 
 

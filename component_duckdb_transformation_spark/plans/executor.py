@@ -683,28 +683,114 @@ class SparkStatementExecutor:
     # sequences (DuckDB CREATE SEQUENCE / nextval / currval)
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _seq_call_spans(tokens: List[Token], fname: str):
+        """Spans of ``fname('literal')`` calls over the FULL token list:
+        (word_idx, close_idx, literal_or_None). Token-shaped, so string
+        literals and comments containing the pattern never spoof a call
+        (a raw-regex scan would treat ``'uses nextval(''s'')'`` as a
+        real sequence call)."""
+        spans = []
+        n = len(tokens)
+        for i, t in enumerate(tokens):
+            if t.kind != "word" or t.text.lower() != fname:
+                continue
+            j = _next_code_idx(tokens, i)
+            if j >= n or tokens[j].kind != "op" or tokens[j].text != "(":
+                continue
+            close = _matching_paren(tokens, j)
+            inner = [
+                x for x in tokens[j + 1: close]
+                if x.kind not in ("ws", "comment")
+            ]
+            lit = (
+                inner[0].text[1:-1].replace("''", "'")
+                if len(inner) == 1 and inner[0].kind == "string"
+                else None
+            )
+            spans.append((i, close, lit))
+        return spans
+
+    def _scan_order_rank_sql(self, query_sql: str) -> Optional[str]:
+        """Distributed 1-based scan-order rank expression for the rows
+        ``query_sql`` produces, or None when it can't be built safely.
+
+        ``monotonically_increasing_id()`` packs (partition << 33) |
+        row-offset-within-partition, so a dense rank is per-partition
+        offset + local index — the offsets come from one probe pass
+        counting rows per partition (the same count job
+        ``rdd.zipWithIndex`` runs), inlined as a literal map. Only
+        partition STATS reach the driver; the data path stays map-side
+        with no single-partition exchange.
+
+        Probe/real-run agreement requires reproducible per-partition
+        counts, which holds for shuffle-free plans (file-split
+        determinism); a plan with an Exchange (AQE may re-coalesce
+        differently between runs) returns None and the caller keeps
+        the single-task window fallback."""
+        try:
+            probe = self.spark.sql(translate(query_sql))
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            if "Exchange" in plan:
+                return None
+            cnt = self.spark.sql(
+                "SELECT __pid, count(*) AS __cnt FROM (SELECT "
+                "shiftright(monotonically_increasing_id(), 33) AS __pid "
+                f"FROM ({translate(query_sql)}) __q) __p GROUP BY __pid"
+            ).collect()
+        except Exception:  # noqa: BLE001 — any probe failure keeps fallback
+            return None
+        if not cnt:
+            return "CAST(1 AS BIGINT)"  # zero rows: never evaluated
+        entries, off = [], 0
+        for pid, c in sorted((r["__pid"], r["__cnt"]) for r in cnt):
+            entries.append(f"{pid}L, {off}L")
+            off += c
+        mid = "monotonically_increasing_id()"
+        return (
+            f"(element_at(map({', '.join(entries)}), "
+            f"shiftright({mid}, 33)) + ({mid} & 8589934591) + 1)"
+        )
+
     def _sequence_step(self, st: ParsedStatement) -> bool:
         """Handle sequence DDL and nextval/currval statements. Returns
         True when the statement was fully handled here.
 
-        ``nextval('s')`` values are assigned in scan order via
+        ``nextval('s')`` values are assigned in scan order — the same
+        physical-order contract as POSITIONAL JOIN (COVERAGE.md).
+        Position assignment avoids the single-task global window
+        wherever possible: FROM-less statements (single row) inline the
+        literal next value; shuffle-free FROM queries get the
+        distributed per-partition-offset rank (see
+        ``_scan_order_rank_sql``); only shuffled sources keep
         ``row_number() OVER (ORDER BY monotonically_increasing_id())``
-        — the same physical-order contract as POSITIONAL JOIN
-        (COVERAGE.md); a sequence is inherently a serialization point,
-        so the single-task window is the honest cost. Supported where
-        surrogate keys are actually minted: CREATE TABLE AS / INSERT /
-        plain SELECT, one nextval call per statement; the sequence
-        advances by the statement's row count after it runs (a bounds
-        violation therefore surfaces after execution, not mid-scan
-        like DuckDB — documented). currval inlines the last value and
-        errors if the sequence was never advanced, like DuckDB."""
-        head = st.sql.lstrip().split(None, 1)
-        first = head[0].upper() if head else ""
-        upper = st.sql.upper()
-        if first == "CREATE" and re.search(r"\bSEQUENCE\b", upper):
-            self._create_sequence(st.sql)
-            return True
-        if first == "DROP" and re.search(r"\bSEQUENCE\b", upper):
+        (reproducible per-partition counts can't be guaranteed across
+        the probe and the real run there). Supported where surrogate
+        keys are actually minted: CREATE TABLE AS / INSERT / plain
+        SELECT, one nextval call per statement; the sequence advances
+        by the statement's row count after it runs (a bounds violation
+        therefore surfaces after execution, not mid-scan like DuckDB —
+        documented). currval inlines the last value and errors if the
+        sequence was never advanced, like DuckDB.
+
+        All routing is token-shaped ('sequence' is NOT a reserved word
+        in DuckDB: ``CREATE TABLE t (sequence INT)`` or the word inside
+        a string literal/comment must not land here)."""
+        toks = _code_toks(st.sql)
+        if not toks:
+            return False
+        if toks[0].is_kw("CREATE"):
+            k = 1
+            if k < len(toks) and toks[k].is_kw("OR"):
+                k += 2  # OR REPLACE
+            if k < len(toks) and toks[k].is_kw("TEMP", "TEMPORARY"):
+                k += 1
+            if k < len(toks) and toks[k].is_kw("SEQUENCE"):
+                self._create_sequence(st.sql)
+                return True
+        if toks[0].is_kw("DROP") and len(toks) > 1 and toks[1].is_kw(
+            "SEQUENCE"
+        ):
             m = re.search(
                 r"(?is)\bSEQUENCE\s+(IF\s+EXISTS\s+)?([\w`\"\.]+)", st.sql
             )
@@ -717,51 +803,105 @@ class SparkStatementExecutor:
                 )
             self._sequences.pop(name, None)
             return True
-        if not re.search(r"(?i)\b(nextval|currval)\s*\(", st.sql):
+        full = tokenize(st.sql)
+        has_curr = bool(self._seq_call_spans(full, "currval"))
+        next_spans = self._seq_call_spans(full, "nextval")
+        if not has_curr and not next_spans:
             return False
-        sql = self._inline_currval(st.sql)
-        calls = re.findall(r"(?is)\bnextval\s*\(\s*'([^']+)'\s*\)", sql)
-        if not calls:
-            if sql != st.sql:
-                self._execute_statement(parse_statement(sql))
-                return True
-            return False
-        if len(calls) > 1:
+        sql = self._inline_currval(st.sql) if has_curr else st.sql
+        if not next_spans:
+            self._execute_statement(parse_statement(sql))
+            return True
+        if len(next_spans) > 1:
             raise UserException(
                 "nextval: one call per statement is supported "
                 "(row-order value assignment cannot model several "
                 "independent advances per row)"
             )
-        if re.search(r"(?i)\bnextval\s*\(\s*[^')]", sql):
+        if next_spans[0][2] is None:
             raise UserException(
                 "nextval: only a literal sequence name is supported"
             )
-        name = calls[0].strip('`"').lower()
+        name = next_spans[0][2].strip('`"').lower()
         seq = self._sequences.get(name)
         if seq is None:
             raise UserException(
                 f"Catalog Error: Sequence with name {name} does not exist!"
             )
         base, inc = seq["next"], seq["inc"]
+
+        # pick the rank strategy on the (possibly currval-inlined) text
+        sql_toks = tokenize(sql)
+        depth = 0
+        has_from = False
+        for t in sql_toks:
+            if t.kind == "op" and t.text in ("(", "["):
+                depth += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.is_kw("FROM"):
+                has_from = True
+                break
+        rank_sql = None
+        if not has_from:
+            rank_sql = "CAST(1 AS BIGINT)"  # single-row statement
+        else:
+            # probe on the query part (first top-level SELECT/VALUES,
+            # minus any INSERT tail clauses), with nextval neutralized
+            qlo = qhi = None
+            depth = 0
+            for k, t in enumerate(sql_toks):
+                if t.kind == "op" and t.text in ("(", "["):
+                    depth += 1
+                elif t.kind == "op" and t.text in (")", "]"):
+                    depth -= 1
+                elif depth == 0 and t.is_kw("SELECT", "VALUES"):
+                    qlo = k
+                    break
+            if qlo is not None:
+                qhi = len(sql_toks)
+                depth = 0
+                for k in range(qlo, len(sql_toks)):
+                    t = sql_toks[k]
+                    if t.kind == "op" and t.text in ("(", "["):
+                        depth += 1
+                    elif t.kind == "op" and t.text in (")", "]"):
+                        depth -= 1
+                    elif depth == 0 and t.is_kw("RETURNING"):
+                        qhi = k
+                        break
+                    elif depth == 0 and t.is_kw("ON"):
+                        nk = _next_code_idx(sql_toks, k)
+                        if nk < len(sql_toks) and sql_toks[nk].is_kw(
+                            "CONFLICT"
+                        ):
+                            qhi = k
+                            break
+                qtext = "".join(t.text for t in sql_toks[qlo:qhi])
+                probe_q = self._replace_nextval_once(
+                    qtext, "CAST(0 AS BIGINT)"
+                )
+                rank_sql = self._scan_order_rank_sql(probe_q)
+        if rank_sql is None:
+            # shuffled source: serialization point, documented
+            rank_sql = (
+                "row_number() OVER (ORDER BY "
+                "monotonically_increasing_id())"
+            )
         if seq["cycle"]:
             span = seq["maxv"] - seq["minv"] + 1
             expr = (
                 f"(pmod(CAST({base - seq['minv']} AS BIGINT) + "
-                f"(row_number() OVER (ORDER BY "
-                f"monotonically_increasing_id()) - 1) * "
+                f"({rank_sql} - 1) * "
                 f"CAST({inc} AS BIGINT), CAST({span} AS BIGINT)) + "
                 f"CAST({seq['minv']} AS BIGINT))"
             )
         else:
             expr = (
-                f"(CAST({base} AS BIGINT) + (row_number() OVER (ORDER BY "
-                f"monotonically_increasing_id()) - 1) * "
+                f"(CAST({base} AS BIGINT) + ({rank_sql} - 1) * "
                 f"CAST({inc} AS BIGINT))"
             )
-        new_sql = re.sub(
-            r"(?is)\bnextval\s*\(\s*'[^']+'\s*\)", expr.replace("\\", "\\\\"),
-            sql, count=1,
-        )
+        new_sql = self._replace_nextval_once(sql, expr)
         new_st = parse_statement(new_sql)
         stype = new_st.statement_type
         target = self._target_table(new_st)
@@ -801,9 +941,36 @@ class SparkStatementExecutor:
             seq["used"] = True
         return True
 
+    def _replace_nextval_once(self, sql: str, repl: str) -> str:
+        """Replace the first token-shaped ``nextval('...')`` call with
+        ``repl`` (string literals containing the pattern untouched)."""
+        tokens = tokenize(sql)
+        spans = self._seq_call_spans(tokens, "nextval")
+        if not spans:
+            return sql
+        w, close, _ = spans[0]
+        return (
+            "".join(t.text for t in tokens[:w])
+            + repl
+            + "".join(t.text for t in tokens[close + 1:])
+        )
+
     def _inline_currval(self, sql: str) -> str:
-        def repl(m) -> str:
-            name = m.group(1).strip('`"').lower()
+        """Inline every token-shaped ``currval('s')`` call with the
+        sequence's current value (DuckDB errors when never advanced)."""
+        tokens = tokenize(sql)
+        spans = self._seq_call_spans(tokens, "currval")
+        if not spans:
+            return sql
+        out: List[str] = []
+        pos = 0
+        for w, close, lit in spans:
+            out.append("".join(t.text for t in tokens[pos:w]))
+            if lit is None:
+                raise UserException(
+                    "currval: only a literal sequence name is supported"
+                )
+            name = lit.strip('`"').lower()
             seq = self._sequences.get(name)
             if seq is None:
                 raise UserException(
@@ -814,9 +981,10 @@ class SparkStatementExecutor:
                 raise UserException(
                     "currval: sequence is not yet defined in this session"
                 )
-            return f"CAST({seq['curr']} AS BIGINT)"
-
-        return re.sub(r"(?is)\bcurrval\s*\(\s*'([^']+)'\s*\)", repl, sql)
+            out.append(f"CAST({seq['curr']} AS BIGINT)")
+            pos = close + 1
+        out.append("".join(t.text for t in tokens[pos:]))
+        return "".join(out)
 
     def _create_sequence(self, sql: str) -> None:
         m = re.match(
@@ -2342,6 +2510,11 @@ def _next_code_idx(tokens: List[Token], i: int) -> int:
     while j < len(tokens) and tokens[j].kind in ("ws", "comment"):
         j += 1
     return j
+
+
+def _code_toks(sql: str) -> List[Token]:
+    """Code tokens of ``sql`` (whitespace/comments stripped)."""
+    return [t for _, t in code_tokens(tokenize(sql))]
 
 
 def _insert_column_list(sql: str) -> Optional[List[str]]:

@@ -128,14 +128,26 @@ def parse_statement(sql: str) -> ParsedStatement:
         deps = set()
         stype = StatementType.OTHER
     else:
-        for seq_name in re.findall(
-            r"(?is)\bnextval\s*\(\s*'([^']+)'\s*\)", sql
-        ):
-            outputs.add(seq_name.strip('`"').lower())
-        for seq_name in re.findall(
-            r"(?is)\bcurrval\s*\(\s*'([^']+)'\s*\)", sql
-        ):
-            deps.add(seq_name.strip('`"').lower())
+        # token-shaped scan: a string literal containing the pattern
+        # (e.g. VALUES ('uses nextval(''s'')')) must not add phantom
+        # sequence edges
+        for pos, (_, tok) in enumerate(code):
+            if tok.kind != "word" or tok.text.lower() not in (
+                "nextval",
+                "currval",
+            ):
+                continue
+            if (
+                pos + 2 < len(code)
+                and code[pos + 1][1].kind == "op"
+                and code[pos + 1][1].text == "("
+                and code[pos + 2][1].kind == "string"
+            ):
+                seq_name = code[pos + 2][1].text[1:-1].replace("''", "'")
+                target = (
+                    outputs if tok.text.lower() == "nextval" else deps
+                )
+                target.add(seq_name.strip('`"').lower())
         if stype in (
             StatementType.INSERT, StatementType.UPDATE, StatementType.DELETE
         ) and re.search(r"(?i)\breturning\b", sql):
