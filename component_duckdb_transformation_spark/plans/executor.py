@@ -1836,8 +1836,18 @@ class SparkStatementExecutor:
         matching rows out; OR IGNORE / ON CONFLICT DO NOTHING anti-joins
         the incoming side; ON CONFLICT DO UPDATE lowers onto the MERGE
         executor with the source aliased ``excluded``. All paths are
-        joins on the key columns — no collects beyond a LIMIT-1
-        duplicate probe."""
+        joins on the key columns — no collects beyond a fused 1-row
+        constraint probe.
+
+        All constraint probes run as ONE aggregate pass over the
+        incoming frame: every NOT NULL flag, every CHECK violation,
+        the within-batch duplicate count, and (for plain keyed INSERT)
+        a table-clash flag via a LEFT join against the current keys —
+        instead of 3+N separate LIMIT-1 jobs each re-scanning the
+        frame. Violations re-run a targeted probe only on the failure
+        path to recover the offending key text."""
+        from pyspark.sql import functions as F
+
         if name not in self.store.tables:
             raise UserException(f"INSERT INTO unknown table '{name}'")
         current = self.spark.table(_bt(name))
@@ -1847,60 +1857,88 @@ class SparkStatementExecutor:
             else _align_by_position(df, current)
         )
         by_lower = {f.name.lower(): f.name for f in current.schema.fields}
-        for col in nn or []:
-            actual = by_lower.get(col)
-            if actual is None:
-                continue
-            if aligned.where(f"{_bt(actual)} IS NULL").limit(1).collect():
+        key_cols = None
+        if keys:
+            try:
+                key_cols = [by_lower[k] for k in keys]
+            except KeyError as exc:
                 raise UserException(
-                    f'Constraint Error: NOT NULL constraint failed: '
-                    f'{name}.{actual}'
+                    f"ON CONFLICT key column {exc} not in table '{name}'"
                 )
-        for expr in chk or []:
+        nn_actual = [
+            by_lower[c] for c in (nn or []) if by_lower.get(c) is not None
+        ]
+        chk = list(chk or [])
+        probe_clash = bool(key_cols) and mode is None
+        aggs: List = []
+        for i, c in enumerate(nn_actual):
+            aggs.append(
+                F.expr(
+                    f"max(CASE WHEN {_bt(c)} IS NULL THEN 1 ELSE 0 END)"
+                ).alias(f"__nn_{i}")
+            )
+        for i, e in enumerate(chk):
             # DuckDB: a CHECK violates only when the predicate is FALSE
             # (NULL passes)
-            if (
-                aligned.where(f"({translate(expr)}) = FALSE")
-                .limit(1)
-                .collect()
-            ):
-                raise UserException(
-                    f"Constraint Error: CHECK constraint failed on "
-                    f"table {name}: ({expr})"
+            aggs.append(
+                F.expr(
+                    f"max(CASE WHEN ({translate(e)}) = FALSE "
+                    f"THEN 1 ELSE 0 END)"
+                ).alias(f"__ck_{i}")
+            )
+        if key_cols:
+            # struct-wrapped so NULL key fields still count as rows
+            # (matching the groupBy-equality the error path reports)
+            ks = ", ".join(_bt(k) for k in key_cols)
+            aggs.append(
+                F.expr(
+                    f"count(*) - count(DISTINCT struct({ks}))"
+                ).alias("__dup")
+            )
+        if probe_clash:
+            aggs.append(F.max(F.col("__clash")).alias("__clash"))
+        if aggs:
+            probe_df = aligned
+            if probe_clash:
+                marker = current.select(
+                    *[F.col(_bt(k)) for k in key_cols]
+                ).withColumn("__clash", F.lit(1))
+                probe_df = aligned.join(marker, on=key_cols, how="left")
+            flags = probe_df.agg(*aggs).collect()[0]
+            for i, c in enumerate(nn_actual):
+                if flags[f"__nn_{i}"]:
+                    raise UserException(
+                        f'Constraint Error: NOT NULL constraint failed: '
+                        f'{name}.{c}'
+                    )
+            for i, e in enumerate(chk):
+                if flags[f"__ck_{i}"]:
+                    raise UserException(
+                        f"Constraint Error: CHECK constraint failed on "
+                        f"table {name}: ({e})"
+                    )
+            if key_cols and flags["__dup"]:
+                dup = (
+                    aligned.groupBy(*[_bt(k) for k in key_cols])
+                    .count()
+                    .where("count > 1")
+                    .limit(1)
+                    .collect()
                 )
-        if not keys:
-            self.store.insert_into(name, aligned)
-            return
-        try:
-            key_cols = [by_lower[k] for k in keys]
-        except KeyError as exc:
-            raise UserException(
-                f"ON CONFLICT key column {exc} not in table '{name}'"
-            )
-        dup = (
-            aligned.groupBy(*[_bt(k) for k in key_cols])
-            .count()
-            .where("count > 1")
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            key_txt = ", ".join(str(v) for v in list(dup[0])[:-1])
-            raise UserException(
-                "Constraint Error: PRIMARY KEY or UNIQUE constraint "
-                f'violated: duplicate key "{key_txt}"'
-            )
-        if mode is None:
-            clash = (
-                aligned.join(current, on=key_cols, how="left_semi")
-                .limit(1)
-                .collect()
-            )
-            if clash:
+                key_txt = ", ".join(str(v) for v in list(dup[0])[:-1])
+                raise UserException(
+                    "Constraint Error: PRIMARY KEY or UNIQUE constraint "
+                    f'violated: duplicate key "{key_txt}"'
+                )
+            if probe_clash and flags["__clash"]:
                 raise UserException(
                     "Constraint Error: Duplicate key violates primary "
                     f"key constraint on '{name}'"
                 )
+        if not keys:
+            self.store.insert_into(name, aligned)
+            return
+        if mode is None:
             self.store.insert_into(name, aligned)
             return
         if mode == "replace":
