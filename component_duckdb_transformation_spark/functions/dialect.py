@@ -210,7 +210,15 @@ def translate(sql: str) -> str:
     tokens = _rewrite_order_null_ordering(tokens)
     tokens = _rewrite_entropy_groupby_recursive(tokens)
     tokens = _rewrite_product_entropy(tokens)
-    return "".join(t.text for t in tokens)
+    # brace-map sentinel back to Spark's variadic map (see
+    # _rewrite_brace_literals)
+    out = [
+        Token("word", "map")
+        if t.kind == "word" and t.text == "__brace_map"
+        else t
+        for t in tokens
+    ]
+    return "".join(t.text for t in out)
 
 
 _FROM_FIRST_CLAUSES = {
@@ -5803,18 +5811,17 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     i = close + 1
                     continue
                 if low == "map" and len(args) == 2:
-                    # DuckDB map(keys_list, values_list) — rewritten to
-                    # map_from_arrays only when both args are literal
-                    # array(...) calls (the post-bracket form), since
-                    # the brace-literal rewrite emits Spark's variadic
-                    # map('k', v) internally; list-typed COLUMN args
-                    # keep Spark's variadic semantics (documented)
+                    # DuckDB's 2-arg map() is ALWAYS the
+                    # (keys_list, values_list) form — rewrite
+                    # unconditionally (list-typed column args
+                    # included; a non-list arg fails analysis loudly,
+                    # exactly like DuckDB's binder). Single-entry
+                    # brace literals can't reach here: the brace
+                    # rewrite emits the __brace_map sentinel.
                     a, b = (_sql(inner, s, e) for s, e in args)
-                    if (a.lstrip().lower().startswith("array")
-                            and b.lstrip().lower().startswith("array")):
-                        out.extend(_toks(f"map_from_arrays({a}, {b})"))
-                        i = close + 1
-                        continue
+                    out.extend(_toks(f"map_from_arrays({a}, {b})"))
+                    i = close + 1
+                    continue
                 if low == "to_base" and len(args) == 2:
                     a, b = (_sql(inner, s, e) for s, e in args)
                     out.extend(_toks(f"conv({a}, 10, {b})"))
@@ -7125,7 +7132,12 @@ def _rewrite_brace_literals(tokens: List[Token]) -> List[Token]:
                     c = colons[0]
                     parts.append(f"{_sql(inner, s, c)}, {_sql(inner, c + 1, e)}")
                 if parts is not None:
-                    fn = "map" if is_map else "named_struct"
+                    # the map branch emits the SENTINEL name so the
+                    # 2-arg map() list-pair handler can't mistake a
+                    # single-entry brace literal (variadic key/value
+                    # pair) for DuckDB's map(keys_list, values_list);
+                    # translate() renames it back at the end
+                    fn = "__brace_map" if is_map else "named_struct"
                     out.extend(_toks(f"{fn}({', '.join(parts)})"))
                     i = close + 1
                     continue

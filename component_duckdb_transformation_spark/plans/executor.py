@@ -301,8 +301,12 @@ class SparkStatementExecutor:
         self.checks: Dict[str, List[str]] = {}
         # scalar macros: name -> (params, body text), inlined at use
         self._macros: Dict[str, tuple[List[str], str]] = {}
-        # temp views already bound for file-reading table functions
+        # temp views already bound for file-reading table functions,
+        # plus paths written since binding (a COPY TO between two
+        # read_csv calls on the same path must re-register the view:
+        # the cached one pins the OLD data and inferred schema)
         self._file_read_views: set[str] = set()
+        self._dirty_read_paths: set[str] = set()
         # sequences: name -> {next, curr, inc, minv, maxv, cycle, used}
         self._sequences: Dict[str, dict] = {}
         # ENUM types: lowercase name -> ordered value list
@@ -1131,7 +1135,10 @@ class SparkStatementExecutor:
             )
         key = f"{fn}|{path}|{sorted(opts.items())}"
         view = "__file_read_" + hashlib.md5(key.encode()).hexdigest()[:10]
-        if view in self._file_read_views:
+        if (
+            view in self._file_read_views
+            and os.path.abspath(path) not in self._dirty_read_paths
+        ):
             return view
         if fn.startswith("read_csv"):
             header = opts.get("header", "true").lower() != "false"
@@ -1149,6 +1156,7 @@ class SparkStatementExecutor:
             df = reader.json(path)
         df.createOrReplaceTempView(view)
         self._file_read_views.add(view)
+        self._dirty_read_paths.discard(os.path.abspath(path))
         return view
 
     def _create_macro(self, st: ParsedStatement) -> None:
@@ -1608,6 +1616,9 @@ class SparkStatementExecutor:
             if not parts:
                 raise UserException(f"COPY to {path} produced no data file")
             shutil.move(parts[0], path)
+            # a later read_csv/read_json on this path must not reuse a
+            # stale cached view (see _register_file_read)
+            self._dirty_read_paths.add(os.path.abspath(path))
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1810,20 +1821,28 @@ class SparkStatementExecutor:
                 "constraint handling (ON CONFLICT / keyed tables)"
             )
         if mode is None and not keys and not nn and not chk:
-            self.store.insert_into(name, df, columns=cols)
             if returning is not None:
                 # DuckDB returns the inserted rows (target-aligned);
-                # registered as the `returning` view, like SUMMARIZE
+                # registered as the `returning` view, like SUMMARIZE.
+                # Materialize BEFORE the append: the source plan may
+                # read the table being inserted into (INSERT INTO t
+                # SELECT ... FROM t RETURNING *) or be
+                # non-deterministic, and a lazy view would re-execute
+                # it against the post-append state
                 target = self.spark.table(_bt(name)).limit(0)
                 aligned = (
                     _align_by_name(df, target, cols)
                     if cols is not None
                     else _align_by_position(df, target)
                 )
+                aligned = aligned.localCheckpoint(eager=True)
+                self.store.insert_into(name, aligned)
                 aligned.createOrReplaceTempView("__returning_src")
                 self.spark.sql(translate(
                     f"SELECT {returning} FROM __returning_src"
                 )).createOrReplaceTempView("returning")
+                return
+            self.store.insert_into(name, df, columns=cols)
             return
         self._keyed_insert(name, df, cols, keys, mode, nn, chk)
 
