@@ -746,13 +746,18 @@ class SparkStatementExecutor:
             return None
         if not cnt:
             return "CAST(1 AS BIGINT)"  # zero rows: never evaluated
-        entries, off = [], 0
+        pids, offs, off = [], [], 0
         for pid, c in sorted((r["__pid"], r["__cnt"]) for r in cnt):
-            entries.append(f"{pid}L, {off}L")
+            pids.append(f"{pid}L")
+            offs.append(f"{off}L")
             off += c
         mid = "monotonically_increasing_id()"
+        # map_from_arrays literal (NOT 2-arg map(): this text passes
+        # through translate(), whose DuckDB map(keys, values) rewrite
+        # would mangle a variadic pair)
         return (
-            f"(element_at(map({', '.join(entries)}), "
+            f"(element_at(map_from_arrays(array({', '.join(pids)}), "
+            f"array({', '.join(offs)})), "
             f"shiftright({mid}, 33)) + ({mid} & 8589934591) + 1)"
         )
 
