@@ -311,6 +311,10 @@ class SparkStatementExecutor:
         self._sequences: Dict[str, dict] = {}
         # ENUM types: lowercase name -> ordered value list
         self._enum_types: Dict[str, List[str]] = {}
+        # DDL-declared ENUM columns: table -> {col -> enum name}, for
+        # ordinal comparison/sort semantics (DuckDB orders enums by
+        # declaration position, not lexically)
+        self._enum_columns: Dict[str, Dict[str, str]] = {}
         # Ambient job group at construction time (job groups are
         # thread-local and the orchestrator fans queries out to pool
         # threads, which would otherwise lose the caller's tag): nest
@@ -682,6 +686,343 @@ class SparkStatementExecutor:
             out.append(tok)
             i += 1
         return "".join(t.text for t in out) if changed else sql
+
+    def _check_enum_member(self, ename: str, lit_tok: str) -> None:
+        """A positional rewrite of a 'lit'::ename operand bypasses the
+        cast pass's validating CASE, so validate the literal here —
+        DuckDB raises a Conversion Error for a non-member (and a silent
+        array_position miss would return 0, comparing as before-first
+        instead of erroring)."""
+        val = lit_tok[1:-1].replace("''", "'")
+        if val not in self._enum_types[ename]:
+            raise UserException(
+                f"Conversion Error: Could not convert string '{val}' "
+                f"to ENUM {ename}"
+            )
+
+    def _bind_enum_ordinals(self, sql: str, deps) -> str:
+        """DuckDB orders ENUM values by declaration position, not
+        lexically; this engine stores enum columns as STRING, so plain
+        ORDER BY / range comparisons / min-max over them would sort
+        alphabetically — a silent wrong answer for value lists like
+        ('low', 'medium', 'high'). Rewrite the positional operations on
+        DDL-declared enum columns of the statement's referenced tables
+        to ``array_position(<declaration array>, col)``:
+
+        - ORDER BY items (statement-level and window OVER) that are a
+          bare/qualified enum column ref
+        - ``< > <= >=`` comparisons where one simple operand is an enum
+          column ref (the other side joins via array_position too —
+          string literals behave like DuckDB's cast-to-enum)
+        - ``min(col)`` / ``max(col)`` round-trip through the ordinal
+
+        A column name that resolves to different value lists (or to a
+        plain column) across the referenced tables is ambiguous without
+        full name resolution and keeps lexical semantics; equality and
+        grouping are value-based and never rewritten. Compound
+        comparison operands (``x || col < 'v'``) are left lexical —
+        boundary-token checks keep the rewrite from splitting a larger
+        expression."""
+        colmap: Dict[str, List[str]] = {}
+        drop: set = set()
+        for tbl in deps or []:
+            for c, ename in self._enum_columns.get(tbl, {}).items():
+                vals = self._enum_types.get(ename)
+                if vals is None:
+                    continue
+                if c in colmap and colmap[c] != vals:
+                    drop.add(c)
+                else:
+                    colmap[c] = vals
+        for tbl in deps or []:
+            emap = self._enum_columns.get(tbl, {})
+            for c in self._table_columns(tbl) or []:
+                cl = c.lower()
+                if cl not in colmap:
+                    continue
+                ename = emap.get(cl)
+                if ename is None or self._enum_types.get(ename) != colmap[cl]:
+                    drop.add(cl)
+        colmap = {c: v for c, v in colmap.items() if c not in drop}
+        if not colmap:
+            return sql
+
+        tokens = tokenize(sql)
+        n = len(tokens)
+
+        def arr(col: str) -> str:
+            vals = ", ".join(
+                "'" + v.replace("'", "''") + "'" for v in colmap[col]
+            )
+            return f"array({vals})"
+
+        def ref_at(i: int):
+            """(lo, hi_exclusive, col_lower, text) when tokens[i] starts
+            a bare or single-qualified identifier whose FINAL segment is
+            an enum column; else None."""
+            if i >= n or tokens[i].kind not in ("word", "bident", "qident"):
+                return None
+            j = _next_code_idx(tokens, i)
+            if j < n and tokens[j].kind == "op" and tokens[j].text == ".":
+                k = _next_code_idx(tokens, j)
+                if k < n and tokens[k].kind in ("word", "bident", "qident"):
+                    col = unquote_name(tokens[k]).lower()
+                    if col in colmap:
+                        # not a deeper dotted path
+                        m = _next_code_idx(tokens, k)
+                        if m < n and tokens[m].kind == "op" and tokens[
+                            m
+                        ].text in (".", "("):
+                            return None
+                        txt = "".join(t.text for t in tokens[i: k + 1])
+                        return (i, k + 1, col, txt)
+                return None
+            col = unquote_name(tokens[i]).lower()
+            if col in colmap:
+                m = _next_code_idx(tokens, i)
+                if m < n and tokens[m].kind == "op" and tokens[m].text in (
+                    ".",
+                    "(",
+                ):
+                    return None
+                return (i, i + 1, col, tokens[i].text)
+            return None
+
+        _BOUND_BEFORE = {
+            "SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE",
+            "BY", "ON", "HAVING", "CASE",
+        }
+
+        out: List[Token] = []
+        i = 0
+        while i < n:
+            tok = tokens[i]
+            # min(col) / max(col)
+            if tok.kind == "word" and tok.text.lower() in ("min", "max"):
+                p = _next_code_idx(tokens, i)
+                if p < n and tokens[p].kind == "op" and tokens[p].text == "(":
+                    close = _matching_paren(tokens, p)
+                    inner_lo = _next_code_idx(tokens, p)
+                    r = ref_at(inner_lo)
+                    if (
+                        r is not None
+                        and _next_code_idx(tokens, r[1] - 1) == close
+                    ):
+                        _, _, col, txt = r
+                        fn = tok.text.lower()
+                        out.extend(tokenize(
+                            f"element_at({arr(col)}, CAST({fn}("
+                            f"array_position({arr(col)}, {txt})) AS INT))"
+                        ))
+                        i = close + 1
+                        continue
+            # ORDER BY items
+            if tok.is_kw("ORDER"):
+                p = _next_code_idx(tokens, i)
+                if p < n and tokens[p].is_kw("BY"):
+                    out.extend(tokens[i:p + 1])
+                    j = p + 1
+                    depth = 0
+                    item_lo = j
+                    while j <= n:
+                        t = tokens[j] if j < n else None
+                        ends = t is None or (
+                            depth == 0
+                            and (
+                                (t.kind == "op" and t.text in (")", ","))
+                                or t.is_kw(
+                                    "LIMIT", "OFFSET", "FETCH", "ROWS",
+                                    "RANGE", "GROUPS", "UNION", "EXCEPT",
+                                    "INTERSECT", "HAVING", "WINDOW",
+                                    "QUALIFY", "EXCLUDE", "USING",
+                                )
+                            )
+                        )
+                        if ends:
+                            item = tokens[item_lo:j]
+                            code = [
+                                (k, x) for k, x in enumerate(item)
+                                if x.kind not in ("ws", "comment")
+                            ]
+                            tail0 = len(code)
+                            while tail0 and code[tail0 - 1][1].is_kw(
+                                "ASC", "DESC", "FIRST", "LAST", "NULLS"
+                            ):
+                                tail0 -= 1
+                            r = (
+                                ref_at(item_lo + code[0][0])
+                                if code[:tail0]
+                                else None
+                            )
+                            if (
+                                r is not None
+                                and tail0 >= 1
+                                and r[1] - item_lo == code[tail0 - 1][0] + 1
+                            ):
+                                _, _, col, txt = r
+                                out.extend(tokenize(
+                                    f" array_position({arr(col)}, {txt})"
+                                ))
+                                out.extend(item[code[tail0 - 1][0] + 1:])
+                            else:
+                                out.extend(item)
+                            if t is None:
+                                i = j
+                                break
+                            if t.kind == "op" and t.text == ",":
+                                out.append(t)
+                                j += 1
+                                item_lo = j
+                                continue
+                            i = j
+                            break
+                        if t.kind == "op" and t.text in ("(", "["):
+                            depth += 1
+                        elif t.kind == "op" and t.text in (")", "]"):
+                            depth -= 1
+                        j += 1
+                    continue
+            # range comparisons — positional ONLY when BOTH sides are
+            # enum-typed (col ref or 'lit'::ename cast) with the same
+            # value list; DuckDB compares enum-vs-bare-VARCHAR
+            # LEXICALLY (the enum side casts to varchar), which the
+            # stored-as-STRING representation already matches
+            if tok.kind == "op" and tok.text in ("<", ">", "<=", ">="):
+                lref = None  # (lo_k, values, text)
+                k = len(out) - 1
+                while k >= 0 and out[k].kind in ("ws", "comment"):
+                    k -= 1
+                if k >= 0 and out[k].kind in ("word", "bident", "qident"):
+                    k2 = k - 1
+                    while k2 >= 0 and out[k2].kind in ("ws", "comment"):
+                        k2 -= 1
+                    if (
+                        k2 >= 0
+                        and out[k2].kind == "op"
+                        and out[k2].text == "::"
+                    ):
+                        # 'lit'::ename
+                        ename = unquote_name(out[k]).lower()
+                        k3 = k2 - 1
+                        while k3 >= 0 and out[k3].kind in ("ws", "comment"):
+                            k3 -= 1
+                        if (
+                            k3 >= 0
+                            and out[k3].kind == "string"
+                            and ename in self._enum_types
+                        ):
+                            self._check_enum_member(
+                                ename, out[k3].text
+                            )
+                            lref = (
+                                k3,
+                                self._enum_types[ename],
+                                out[k3].text,
+                            )
+                    else:
+                        lo_k = k
+                        if (
+                            k2 >= 0
+                            and out[k2].kind == "op"
+                            and out[k2].text == "."
+                        ):
+                            k3 = k2 - 1
+                            while k3 >= 0 and out[k3].kind in (
+                                "ws", "comment"
+                            ):
+                                k3 -= 1
+                            if k3 >= 0 and out[k3].kind in (
+                                "word", "bident", "qident"
+                            ):
+                                lo_k = k3
+                        col = unquote_name(out[k]).lower()
+                        before = lo_k - 1
+                        while before >= 0 and out[before].kind in (
+                            "ws", "comment"
+                        ):
+                            before -= 1
+                        bound_ok = before < 0 or (
+                            out[before].kind == "op"
+                            and out[before].text in ("(", ",")
+                        ) or out[before].is_kw(*_BOUND_BEFORE)
+                        if col in colmap and bound_ok:
+                            lref = (
+                                lo_k,
+                                colmap[col],
+                                "".join(
+                                    t.text for t in out[lo_k:]
+                                ).strip(),
+                            )
+                # right operand: enum col ref or 'lit'::ename, followed
+                # by a boundary
+                rlo = _next_code_idx(tokens, i)
+                rref = None  # (values, text)
+                rend = None
+                if rlo < n and tokens[rlo].kind == "string":
+                    c2 = _next_code_idx(tokens, rlo)
+                    if (
+                        c2 < n
+                        and tokens[c2].kind == "op"
+                        and tokens[c2].text == "::"
+                    ):
+                        c3 = _next_code_idx(tokens, c2)
+                        if c3 < n and tokens[c3].kind in (
+                            "word", "bident", "qident"
+                        ):
+                            ename = unquote_name(tokens[c3]).lower()
+                            if ename in self._enum_types:
+                                self._check_enum_member(
+                                    ename, tokens[rlo].text
+                                )
+                                rend = c3 + 1
+                                rref = (
+                                    self._enum_types[ename],
+                                    tokens[rlo].text,
+                                )
+                else:
+                    r = ref_at(rlo)
+                    if r is not None and r[2] in colmap:
+                        rend = r[1]
+                        rref = (colmap[r[2]], r[3])
+                if rend is not None:
+                    after = _next_code_idx(tokens, rend - 1)
+                    if not (
+                        after >= n
+                        or (
+                            tokens[after].kind == "op"
+                            and tokens[after].text in (")", ",", ";")
+                        )
+                        or tokens[after].is_kw(
+                            "AND", "OR", "THEN", "ELSE", "END", "ORDER",
+                            "GROUP", "HAVING", "LIMIT", "WHERE", "ASC",
+                            "DESC", "NULLS", "UNION", "EXCEPT",
+                            "INTERSECT", "QUALIFY",
+                        )
+                    ):
+                        rref = None
+                if (
+                    lref is not None
+                    and rref is not None
+                    and lref[1] == rref[0]
+                ):
+                    vals = ", ".join(
+                        "'" + v.replace("'", "''") + "'" for v in lref[1]
+                    )
+                    varr = f"array({vals})"
+                    lo_k = lref[0]
+                    del out[lo_k:]
+                    out.extend(tokenize(
+                        f"array_position({varr}, {lref[2]})"
+                    ))
+                    out.append(tok)
+                    out.extend(tokenize(
+                        f" array_position({varr}, {rref[1]})"
+                    ))
+                    i = rend
+                    continue
+            out.append(tok)
+            i += 1
+        return "".join(t.text for t in out)
 
     # ------------------------------------------------------------------
     # sequences (DuckDB CREATE SEQUENCE / nextval / currval)
@@ -1305,6 +1646,13 @@ class SparkStatementExecutor:
         if re.match(r"(?is)\s*(CREATE|DROP)\s+TYPE\b", st.sql):
             self._type_ddl(st.sql)
             return
+        if self._enum_columns:
+            # ordinals BEFORE casts: the positional rewrite needs the
+            # 'lit'::ename form intact (the cast pass lowers it to a
+            # validating CASE expression)
+            expanded = self._bind_enum_ordinals(st.sql, st.dependencies)
+            if expanded != st.sql:
+                st = dataclasses.replace(st, sql=expanded)
         if self._enum_types:
             expanded = self._bind_enum_casts(st.sql)
             if expanded != st.sql:
@@ -1705,6 +2053,7 @@ class SparkStatementExecutor:
         self.primary_keys.pop(name.lower(), None)
         self.not_null.pop(name.lower(), None)
         self.checks.pop(name.lower(), None)
+        self._enum_columns.pop(name.lower(), None)
         if not existed and not if_exists:
             raise UserException(f"DROP: table or view '{name}' does not exist")
 
@@ -1772,11 +2121,18 @@ class SparkStatementExecutor:
                 self.checks[name.lower()] = chk
             else:
                 self.checks.pop(name.lower(), None)
+            if enum_cols:
+                self._enum_columns[name.lower()] = {
+                    c.lower(): e for c, e in enum_cols.items()
+                }
+            else:
+                self._enum_columns.pop(name.lower(), None)
         else:
             df = self.spark.sql(translate(body))
             self.primary_keys.pop(name.lower(), None)
             self.not_null.pop(name.lower(), None)
             self.checks.pop(name.lower(), None)
+            self._enum_columns.pop(name.lower(), None)
         self.store.create_table(name, df, order_by=_terminal_order_by(body or ""))
 
     # -- DML --------------------------------------------------------------

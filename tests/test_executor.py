@@ -904,3 +904,54 @@ def test_update_delete_returning(spark, table_store):
     got = sorted(tuple(r) for r in spark.table("returning").collect())
     assert got == want == [(3, 60.0)]
     assert sorted(r.id for r in spark.table("udr").collect()) == [1, 2]
+
+
+def test_enum_ordinal_semantics(spark, table_store):
+    """DuckDB orders enums by declaration position: ORDER BY, min/max,
+    and enum-vs-enum range comparisons are positional; enum-vs-bare-
+    VARCHAR comparisons are LEXICAL (the enum side casts to varchar).
+    Every expectation here was diffed against DuckDB 1.x directly
+    (('low','medium','high') is deliberately not alphabetical)."""
+    import pytest
+
+    from component_duckdb_transformation_spark.exceptions import (
+        UserException,
+    )
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TYPE sev AS ENUM ('low', 'medium', 'high')")
+    _run(ex, "CREATE TABLE sev_t (id BIGINT, level sev)")
+    _run(ex, "INSERT INTO sev_t VALUES (1,'high'),(2,'low'),(3,'medium'),"
+             "(4,'high'),(5,NULL),(6,'low')")
+    _run(ex, "CREATE TABLE sev_ord AS SELECT id FROM sev_t "
+             "ORDER BY level, id")
+    assert [r.id for r in spark.table("sev_ord").collect()] == [
+        2, 6, 3, 1, 4, 5,  # low, low, medium, high, high, NULL-last
+    ]
+    # enum-vs-enum comparison: positional
+    _run(ex, "CREATE TABLE sev_cmp AS SELECT id FROM sev_t "
+             "WHERE level > 'low'::sev ORDER BY id")
+    assert [r.id for r in spark.table("sev_cmp").collect()] == [1, 3, 4]
+    # enum-vs-bare-varchar: LEXICAL, like DuckDB ('high' < 'low' < 'medium')
+    _run(ex, "CREATE TABLE sev_lex AS SELECT id FROM sev_t "
+             "WHERE level > 'low' ORDER BY id")
+    assert [r.id for r in spark.table("sev_lex").collect()] == [3]
+    # min/max: positional
+    _run(ex, "CREATE TABLE sev_mm AS SELECT CAST(min(level) AS VARCHAR) "
+             "AS lo, CAST(max(level) AS VARCHAR) AS hi FROM sev_t")
+    row = spark.table("sev_mm").collect()[0]
+    assert (row.lo, row.hi) == ("low", "high")
+    # column-vs-column positional (self join)
+    _run(ex, "CREATE TABLE sev_jj AS SELECT a.id AS i1, b.id AS i2 "
+             "FROM sev_t a JOIN sev_t b ON a.id < b.id "
+             "WHERE a.level < b.level ORDER BY 1, 2")
+    assert sorted(tuple(r) for r in spark.table("sev_jj").collect()) == [
+        (2, 3), (2, 4), (3, 4),
+    ]
+    # non-member literal in a positional comparison raises, not 0-compares
+    with pytest.raises(UserException, match="Could not convert string"):
+        _run(ex, "CREATE TABLE sev_bad AS SELECT id FROM sev_t "
+                 "WHERE level > 'zzz'::sev")
