@@ -166,6 +166,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_string_escapes(tokens)
     tokens = _rewrite_quoted_identifiers(tokens)
     tokens = _rewrite_trailing_commas(tokens)
+    tokens = _rewrite_time_wrap(tokens)
     tokens = _rewrite_time_literals(tokens)
     tokens = _rewrite_brace_literals(tokens)
     tokens = _rewrite_concat_null_skipping(tokens)
@@ -544,6 +545,220 @@ def _rewrite_bit_count_width(tokens: List[Token]) -> List[Token]:
                     continue
         out.append(tok)
         i += 1
+    return out
+
+
+def _is_time_primary(tokens: List[Token], i: int):
+    """At index i: span (lo, hi_exclusive) of a TIME-valued primary —
+    ``TIME 'lit'`` or a ``make_time(...)`` call — else None."""
+    n = len(tokens)
+    t = tokens[i]
+    if t.is_kw("TIME"):
+        j = _next_code(tokens, i)
+        if j < n and tokens[j].kind == "string":
+            return (i, j + 1)
+    if t.kind == "word" and t.text.lower() == "make_time":
+        j = _next_code(tokens, i)
+        if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+            return (i, _matching_paren(tokens, j) + 1)
+    return None
+
+
+def _rewrite_time_wrap(tokens: List[Token]) -> List[Token]:
+    """DuckDB TIME arithmetic wraps modulo 24 h (``TIME '23:00' +
+    INTERVAL 2 HOUR`` = ``01:00``); the epoch-day-timestamp
+    representation would land on the next epoch day instead. Wrap an
+    additive chain containing exactly ONE time primary (TIME literal /
+    make_time) in ``pmod(unix_micros(...), 86400000000)``.
+
+    Not wrapped (semantics differ): chains with a second time primary
+    (TIME - TIME yields an INTERVAL) and chains with a date/timestamp
+    operand (DATE + TIME composes a real TIMESTAMP)."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        prim = _is_time_primary(tokens, i)
+        if prim is None:
+            out.append(tokens[i])
+            i += 1
+            continue
+        lo, hi = prim
+        # backward: ... <operand> +/- TIME_PRIMARY
+        back: List[Token] = []
+        back_ops = 0
+        skip = False
+        while True:
+            k = len(out) - 1
+            while k >= 0 and out[k].kind in ("ws", "comment"):
+                k -= 1
+            if not (
+                k >= 0 and out[k].kind == "op" and out[k].text in ("+", "-")
+            ):
+                break
+            op_tok = out[k]
+            # unary sign (nothing operand-like before it)? stop
+            k2 = k - 1
+            while k2 >= 0 and out[k2].kind in ("ws", "comment"):
+                k2 -= 1
+            if k2 < 0 or (
+                out[k2].kind == "op" and out[k2].text not in (")", "]")
+            ) or out[k2].is_kw(
+                "SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN",
+                "ELSE", "BY", "ON", "CASE", "RETURN", "AS",
+            ):
+                break
+            del out[k:]
+            operand = _pop_operand(out)
+            # a typed literal's prefix (DATE '...' / TIMESTAMP '...' /
+            # TIME '...' / INTERVAL 2 HOUR) is not part of
+            # _pop_operand's operand — fold it in so temporal/interval
+            # detection sees the full literal
+            while True:
+                k3 = len(out) - 1
+                while k3 >= 0 and out[k3].kind in ("ws", "comment"):
+                    k3 -= 1
+                if k3 < 0:
+                    break
+                if out[k3].is_kw(
+                    "DATE", "TIME", "TIMESTAMP", "TIMESTAMPTZ", "INTERVAL"
+                ):
+                    operand = out[k3:] + operand
+                    del out[k3:]
+                    break  # the keyword starts the literal
+                if out[k3].kind == "number" or (
+                    out[k3].kind == "word" and out[k3].text.isdigit()
+                ):
+                    k4 = k3 - 1
+                    while k4 >= 0 and out[k4].kind in ("ws", "comment"):
+                        k4 -= 1
+                    if k4 >= 0 and out[k4].is_kw("INTERVAL"):
+                        operand = out[k3:] + operand
+                        del out[k3:]
+                        continue
+                break
+            op_sql = "".join(t.text for t in operand)
+            op_code = [
+                t for t in operand if t.kind not in ("ws", "comment")
+            ]
+            if any(
+                _is_time_primary(op_code, m) for m in range(len(op_code))
+            ) or _static_temporal_sql(op_sql):
+                skip = True  # second time primary or date/timestamp side
+            back = operand + [op_tok] + back
+            back_ops += 1
+        # forward: TIME_PRIMARY +/- <operand> ...
+        fwd: List[Token] = []
+        fwd_ops = 0
+        j = hi
+        while True:
+            p = _next_code(tokens, j - 1)
+            if not (
+                p < n
+                and tokens[p].kind == "op"
+                and tokens[p].text in ("+", "-")
+            ):
+                break
+            q = _next_code(tokens, p)
+            if q >= n:
+                break
+            # forward operand
+            o_lo = q
+            sub = _is_time_primary(tokens, q)
+            if sub is not None:
+                skip = True
+                o_hi = sub[1]
+            elif tokens[q].is_kw("INTERVAL"):
+                o_hi = _next_code(tokens, q)
+                if o_hi < n and tokens[o_hi].kind in ("number", "word", "string"):
+                    was_str = tokens[o_hi].kind == "string"
+                    nxt = _next_code(tokens, o_hi)
+                    o_hi += 1
+                    if not was_str and nxt < n and tokens[nxt].kind == "word":
+                        o_hi = nxt + 1
+                    elif was_str and nxt < n and tokens[nxt].kind == "word" and tokens[
+                        nxt
+                    ].upper not in ("FROM", "AS", "AND", "OR"):
+                        o_hi = nxt + 1
+                else:
+                    break
+            elif tokens[q].kind == "op" and tokens[q].text == "(":
+                o_hi = _matching_paren(tokens, q) + 1
+            elif tokens[q].is_kw("DATE", "TIMESTAMP", "TIMESTAMPTZ") and (
+                (ds := _next_code(tokens, q)) < n
+                and tokens[ds].kind == "string"
+            ):
+                o_hi = ds + 1  # typed literal
+            elif tokens[q].kind in ("word", "bident", "qident"):
+                o_hi = q + 1
+                nx = _next_code(tokens, q)
+                if nx < n and tokens[nx].kind == "op" and tokens[nx].text == "(":
+                    o_hi = _matching_paren(tokens, nx) + 1
+                else:
+                    while (
+                        nx < n
+                        and tokens[nx].kind == "op"
+                        and tokens[nx].text == "."
+                    ):
+                        nx = _next_code(tokens, nx)
+                        o_hi = nx + 1
+                        nx = _next_code(tokens, nx)
+            elif tokens[q].kind in ("number", "string"):
+                o_hi = q + 1
+            else:
+                break
+            op_sql = _sql(tokens, o_lo, o_hi)
+            if _static_temporal_sql(op_sql):
+                skip = True
+            fwd.extend(tokens[j:o_hi])
+            fwd_ops += 1
+            j = o_hi
+        if (back_ops + fwd_ops) == 0 or skip:
+            # DATE + TIME composes a real TIMESTAMP in DuckDB; Spark
+            # has no such overload — lower the single-op '+' case to
+            # date::TIMESTAMP + (time - epoch) explicitly
+            comp = None
+            if skip and (back_ops + fwd_ops) == 1:
+                if back_ops == 1 and back and back[-1].text == "+":
+                    comp = "".join(t.text for t in back[:-1]).strip()
+                elif fwd_ops == 1 and fwd:
+                    fc = _next_code(fwd, -1)
+                    if fc < len(fwd) and fwd[fc].text == "+":
+                        comp = "".join(
+                            t.text for t in fwd[fc + 1:]
+                        ).strip()
+                if comp is not None and not re.match(
+                    r"(?is)^\s*(DATE\b|current_date\b|today\b|make_date\b)",
+                    comp,
+                ):
+                    comp = None
+            if comp is not None:
+                prim_sql = _sql(tokens, lo, hi)
+                out.extend(
+                    _toks(
+                        f"(CAST(({comp}) AS TIMESTAMP) + (({prim_sql})"
+                        " - TIMESTAMP '1970-01-01 00:00:00'))"
+                    )
+                )
+                i = j
+                continue
+            out.extend(back)
+            out.extend(tokens[lo:j])
+            i = j
+            continue
+        chain = (
+            "".join(t.text for t in back)
+            + _sql(tokens, lo, hi)
+            + "".join(t.text for t in fwd)
+        )
+        out.extend(
+            _toks(
+                "CAST(timestamp_micros(pmod(unix_micros(CAST(("
+                f"{chain}) AS TIMESTAMP_LTZ)), 86400000000)) "
+                "AS TIMESTAMP)"
+            )
+        )
+        i = j
     return out
 
 

@@ -668,3 +668,26 @@ def test_map_two_list_constructor(spark):
     got = spark.sql(translate("SELECT map(['x'],[42])['x'] AS v"
                               )).collect()[0].v
     assert got == want == 42
+
+
+def test_time_midnight_wrap(spark):
+    """TIME arithmetic wraps modulo 24 h like DuckDB; DATE + TIME
+    composes a real timestamp; TIME comparisons stay exact. All
+    expectations diffed against DuckDB live in this test."""
+    con = duckdb.connect()
+    cases = [
+        ("SELECT CAST(TIME '23:00:00' + INTERVAL 2 HOUR AS VARCHAR) AS t", True),
+        ("SELECT CAST(TIME '01:00:00' - INTERVAL 2 HOUR AS VARCHAR) AS t", True),
+        ("SELECT CAST(INTERVAL 2 HOUR + TIME '23:00:00' AS VARCHAR) AS t", True),
+        ("SELECT CAST(make_time(10, 30, 45.0) + INTERVAL 20 HOUR AS VARCHAR) AS t", True),
+        ("SELECT CAST(TIME '12:00:00' + INTERVAL 1 DAY AS VARCHAR) AS t", True),
+        ("SELECT CAST(hour(TIME '22:00:00' + INTERVAL 5 HOUR) AS BIGINT) AS h", False),
+        ("SELECT CAST(DATE '2024-03-05' + TIME '10:00:00' AS TIMESTAMP) AS t", False),
+        ("SELECT CAST(TIME '10:00:00' + DATE '2024-03-05' AS TIMESTAMP) AS t", False),
+        ("SELECT CAST(TIME '08:00:00' < TIME '09:00:00' AS BOOLEAN) AS b", False),
+    ]
+    for sql, strip_epoch_day in cases:
+        got = spark.sql(translate(sql)).collect()[0][0]
+        want = con.execute(sql).fetchone()[0]
+        gs = str(got).replace("1970-01-01 ", "") if strip_epoch_day else str(got)
+        assert gs == str(want), f"{sql}: spark={got!r} duckdb={want!r}"
