@@ -3901,6 +3901,23 @@ def _json_path_literal(v: str) -> str:
     return f"$.{v}"
 
 
+
+# JSON-RETURNING extraction (DuckDB's -> / json_extract): DuckDB hands
+# back JSON text, so a STRING leaf arrives QUOTED ('"abc"').
+# get_json_object alone unquotes string leaves; a variant type-probe
+# re-quotes exactly those (numbers/objects/arrays keep
+# get_json_object's source-faithful rendering, which matches yyjson on
+# everything except scientific-notation normalization — documented).
+# Catalyst's subexpression elimination collapses the repeated
+# parse_json.
+def _json_get_sql(src: str, path: str) -> str:
+    return (
+        f"(CASE WHEN schema_of_variant(variant_get(parse_json({src}), "
+        f"{path})) = 'STRING' THEN to_json(variant_get(parse_json("
+        f"{src}), {path})) ELSE get_json_object({src}, {path}) END)"
+    )
+
+
 def _rewrite_json_arrows(tokens: List[Token]) -> List[Token]:
     """DuckDB JSON extraction operators ``->`` (JSON) and ``->>``
     (text) -> ``get_json_object``; integer right operands become
@@ -3939,11 +3956,16 @@ def _rewrite_json_arrows(tokens: List[Token]) -> List[Token]:
                         path = f"$[{rt.text}]"
                     if path is not None:
                         left = _pop_operand(out)
-                        out.extend(_toks(" get_json_object("))
-                        out.extend(left)
-                        out.append(Token("op", ","))
-                        out.append(_encode_spark_string(path))
-                        out.append(Token("op", ")"))
+                        left_sql = "".join(t.text for t in left).strip()
+                        p_lit = _encode_spark_string(path).text
+                        if tok.text == "->":
+                            out.extend(_toks(
+                                " " + _json_get_sql(left_sql, p_lit)
+                            ))
+                        else:
+                            out.extend(_toks(
+                                f" get_json_object({left_sql}, {p_lit})"
+                            ))
                         prev_code = out[-1]
                         i = j + 1
                         continue
@@ -6201,9 +6223,9 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     )
                     and len(args) == 2
                 ):
-                    # all map to get_json_object; the JSON-returning
-                    # variants' string-leaf quoting divergence is
-                    # documented (Spark has no JSON type)
+                    # text variants map to get_json_object; the
+                    # JSON-returning variants re-quote string leaves
+                    # via a variant type probe (see _json_get_sql)
                     s_, p_ = (_sql(inner, st, e) for st, e in args)
                     p_code = [
                         t
@@ -6231,17 +6253,21 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                         # DuckDB list-of-paths form: one extraction per
                         # path, returned as a list (paths normalized to
                         # $-style at runtime)
+                        norm = ("CASE WHEN substr(pp, 1, 1) = '$' "
+                                "THEN pp ELSE concat('$.', pp) END")
+                        if low in ("json_extract", "json_extract_path"):
+                            body = _json_get_sql(f"({s_})", norm)
+                        else:
+                            body = f"get_json_object(({s_}), {norm})"
                         out.extend(
-                            _toks(
-                                f"transform(({p_}), pp -> "
-                                f"get_json_object(({s_}), "
-                                f"CASE WHEN substr(pp, 1, 1) = '$' "
-                                f"THEN pp ELSE concat('$.', pp) END))"
-                            )
+                            _toks(f"transform(({p_}), pp -> {body})")
                         )
                         i = close + 1
                         continue
-                    out.extend(_toks(f"get_json_object({s_}, {p_})"))
+                    if low in ("json_extract", "json_extract_path"):
+                        out.extend(_toks(_json_get_sql(f"({s_})", p_)))
+                    else:
+                        out.extend(_toks(f"get_json_object({s_}, {p_})"))
                     i = close + 1
                     continue
                 if low == "unicode" and len(args) == 1:

@@ -691,3 +691,25 @@ def test_time_midnight_wrap(spark):
         want = con.execute(sql).fetchone()[0]
         gs = str(got).replace("1970-01-01 ", "") if strip_epoch_day else str(got)
         assert gs == str(want), f"{sql}: spark={got!r} duckdb={want!r}"
+
+
+def test_json_arrow_string_leaf_quoting(spark):
+    """JSON-returning -> / json_extract must hand back JSON text:
+    string leaves QUOTED, objects compact, JSON null -> SQL NULL —
+    diffed live against DuckDB."""
+    con = duckdb.connect()
+    cases = [
+        """SELECT '{"a": "abc"}' -> 'a' AS r""",
+        """SELECT '{"a": {"b": [1,2]}}' -> 'a' AS r""",
+        """SELECT '{"a": 1.5}' -> 'a' AS r""",
+        """SELECT '{"a": null}' -> 'a' AS r""",
+        """SELECT '[5, "x"]' -> 1 AS r""",
+        """SELECT json_extract('{"a": "abc", "b": 2}', 'a') AS r""",
+        """SELECT json_extract_string('{"a": "abc"}', 'a') AS r""",
+        """SELECT json_extract('{"a": "x", "b": 2}', ['a', 'b'])[1] AS r""",
+        """SELECT '{"a": {"b": "deep"}}' -> 'a' -> 'b' AS r""",
+    ]
+    for sql in cases:
+        got = spark.sql(translate(sql)).collect()[0][0]
+        want = con.execute(sql).fetchone()[0]
+        assert str(got) == str(want), f"{sql}: spark={got!r} duckdb={want!r}"
