@@ -295,8 +295,8 @@ class SparkStatementExecutor:
         # OR REPLACE / OR IGNORE / ON CONFLICT)
         self.primary_keys: Dict[str, List[str]] = {}
         # NOT NULL columns and CHECK expressions (bare-DDL tables);
-        # enforced at INSERT time like DuckDB (UPDATE-time enforcement
-        # is a documented non-goal — COVERAGE.md)
+        # enforced at INSERT time and re-validated on UPDATE for the
+        # assigned columns (_validate_update_constraints)
         self.not_null: Dict[str, List[str]] = {}
         self.checks: Dict[str, List[str]] = {}
         # scalar macros: name -> (params, body text), inlined at use
@@ -2359,6 +2359,76 @@ class SparkStatementExecutor:
         finally:
             self.spark.catalog.dropTempView(src_view)
 
+    def _validate_update_constraints(
+        self, name: str, new_df: DataFrame, assigned_lower: set
+    ) -> None:
+        """Re-validate constraints an UPDATE can break — DuckDB
+        enforces NOT NULL / CHECK / PRIMARY KEY on update, and skipping
+        it lets an UPDATE silently write a NULL into a NOT NULL column.
+        Cost-proportional: only constraints whose columns are actually
+        assigned are probed, in ONE fused aggregate pass over the
+        post-update frame (the COW rewrite scans it anyway)."""
+        from pyspark.sql import functions as F
+
+        key = (name or "").lower()
+        by_lower = {f.name.lower(): f.name for f in new_df.schema.fields}
+        nn_hit = [
+            by_lower[c]
+            for c in (self.not_null.get(key) or [])
+            if c in assigned_lower and c in by_lower
+        ]
+        chk_hit = [
+            e
+            for e in (self.checks.get(key) or [])
+            if any(
+                t.kind == "word" and t.text.strip('`"').lower() in assigned_lower
+                for t in tokenize(e)
+            )
+        ]
+        keys = self.primary_keys.get(key)
+        key_hit = bool(keys) and any(k in assigned_lower for k in keys)
+        if not nn_hit and not chk_hit and not key_hit:
+            return
+        aggs: List = []
+        for i, c in enumerate(nn_hit):
+            aggs.append(
+                F.expr(
+                    f"max(CASE WHEN {_bt(c)} IS NULL THEN 1 ELSE 0 END)"
+                ).alias(f"__nn_{i}")
+            )
+        for i, e in enumerate(chk_hit):
+            aggs.append(
+                F.expr(
+                    f"max(CASE WHEN ({translate(e)}) = FALSE "
+                    f"THEN 1 ELSE 0 END)"
+                ).alias(f"__ck_{i}")
+            )
+        if key_hit:
+            ks = ", ".join(_bt(by_lower[k]) for k in keys if k in by_lower)
+            aggs.append(
+                F.expr(
+                    f"count(*) - count(DISTINCT struct({ks}))"
+                ).alias("__dup")
+            )
+        flags = new_df.agg(*aggs).collect()[0]
+        for i, c in enumerate(nn_hit):
+            if flags[f"__nn_{i}"]:
+                raise UserException(
+                    f'Constraint Error: NOT NULL constraint failed: '
+                    f'{name}.{c}'
+                )
+        for i, e in enumerate(chk_hit):
+            if flags[f"__ck_{i}"]:
+                raise UserException(
+                    f"Constraint Error: CHECK constraint failed on "
+                    f"table {name}: ({e})"
+                )
+        if key_hit and flags["__dup"]:
+            raise UserException(
+                "Constraint Error: PRIMARY KEY or UNIQUE constraint "
+                f"violated by UPDATE on '{name}'"
+            )
+
     def _update(self, st: ParsedStatement) -> None:
         name = self._target_table(st)
         sql, returning = _split_returning(st.sql)
@@ -2393,6 +2463,9 @@ class SparkStatementExecutor:
             else:
                 cols.append(_bt(fld.name))
         new_df = self.spark.table(_bt(name)).selectExpr(*cols)
+        self._validate_update_constraints(
+            name, new_df, set(assigned)
+        )
         if returning is not None:
             # post-update values of the matched rows (pre-image filter,
             # assignments applied — the captured plan reads the
@@ -2478,7 +2551,11 @@ class SparkStatementExecutor:
                     )
                 else:
                     cols.append(F.col(f"t.{_bt(fld.name)}"))
-            self.store.rewrite(name, joined.select(*cols))
+            result = joined.select(*cols)
+            self._validate_update_constraints(
+                name, result, {c.lower() for c, _ in assignments}
+            )
+            self.store.rewrite(name, result)
         finally:
             self.spark.catalog.dropTempView(tagged_view)
             tagged.unpersist()

@@ -955,3 +955,42 @@ def test_enum_ordinal_semantics(spark, table_store):
     with pytest.raises(UserException, match="Could not convert string"):
         _run(ex, "CREATE TABLE sev_bad AS SELECT id FROM sev_t "
                  "WHERE level > 'zzz'::sev")
+
+
+def test_update_time_constraint_validation(spark, table_store):
+    """DuckDB enforces NOT NULL / CHECK / PRIMARY KEY on UPDATE too;
+    violations must raise BEFORE the COW rewrite (table unchanged)."""
+    import pytest
+
+    from component_duckdb_transformation_spark.exceptions import (
+        UserException,
+    )
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE upc (k BIGINT PRIMARY KEY, a BIGINT NOT NULL, "
+             "b BIGINT CHECK (b > 0))")
+    _run(ex, "INSERT INTO upc VALUES (1, 1, 5), (2, 2, 6)")
+    with pytest.raises(UserException, match="NOT NULL constraint"):
+        _run(ex, "UPDATE upc SET a = NULL WHERE k = 1")
+    with pytest.raises(UserException, match="CHECK constraint"):
+        _run(ex, "UPDATE upc SET b = -1 WHERE k = 2")
+    with pytest.raises(UserException, match="PRIMARY KEY or UNIQUE"):
+        _run(ex, "UPDATE upc SET k = 1 WHERE k = 2")
+    # failed updates must not have mutated the table
+    assert sorted(tuple(r) for r in spark.table("upc").collect()) == [
+        (1, 1, 5), (2, 2, 6),
+    ]
+    # updates not touching constrained columns skip the probe and work
+    _run(ex, "UPDATE upc SET b = 9 WHERE k = 1")
+    assert sorted(tuple(r) for r in spark.table("upc").collect()) == [
+        (1, 1, 9), (2, 2, 6),
+    ]
+    # UPDATE ... FROM validates too
+    _run(ex, "CREATE TABLE upc_src AS SELECT 1 AS kk, "
+             "CAST(NULL AS BIGINT) AS na")
+    with pytest.raises(UserException, match="NOT NULL constraint"):
+        _run(ex, "UPDATE upc SET a = upc_src.na FROM upc_src "
+                 "WHERE upc.k = upc_src.kk")
