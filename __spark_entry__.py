@@ -2,18 +2,22 @@
 
 Delegates to ``component_duckdb_transformation_spark.workloads`` — the
 single registry of every implemented operator/query from SURVEY.md §2
-(core SQL + dialect surface q01-q60, incl. product/entropy rewrites,
-COLUMNS() expansion, GROUP/ORDER BY ALL, recursive CTEs, ASOF JOIN,
-window frame EXCLUDE) plus the LLM-pipeline extensions (dedup,
-similarity, sampling, temporal, text analysis, multimodal, streaming:
-x01-x24, x28) and the executor statement pipelines (x15
-CTAS/INSERT/UPDATE/DELETE, x25 ALTER + UPDATE..FROM, x26 MERGE INTO,
-x27 dynamic PIVOT, x29 PRIMARY KEY upserts, x30 sequences + ENUM +
-RETURNING). Every workload carries a DuckDB oracle — the hash/ANN
-pipelines use engine-portable md5/integer arithmetic so even
-MinHash-LSH, SimHash, hyperplane-LSH, and IVF (k-means training
+(core SQL + dialect surface q01-q61, incl. product/entropy/whole-table-
+mad two-phase rewrites, COLUMNS() expansion, GROUP/ORDER BY ALL,
+recursive CTEs, ASOF JOIN, window frame EXCLUDE, distributed
+POSITIONAL JOIN, TIME midnight-wrap, variant-exact JSON ->) plus the
+LLM-pipeline extensions (dedup, similarity, sampling, temporal, text
+analysis, multimodal, streaming: x01-x24, x28) and the executor
+statement pipelines (x15 CTAS/INSERT/UPDATE/DELETE, x25 ALTER +
+UPDATE..FROM, x26 MERGE INTO, x27 dynamic PIVOT, x29 PRIMARY KEY
+upserts with UPDATE-time constraint re-validation, x30 sequences +
+positional ENUM + RETURNING). Every workload carries a DuckDB oracle —
+the hash/ANN pipelines use engine-portable md5/integer arithmetic so
+even MinHash-LSH, SimHash, hyperplane-LSH, and IVF (k-means training
 included) are replayed exactly in SQL; the post-MERGE-era statements
-are replayed by equivalent pre-MERGE SQL.
+are replayed by equivalent pre-MERGE SQL. Registry policy: every
+workload returns scalar columns only (the driver canonicalizer cannot
+sort ndarray cells) — enforced by tests/test_registry_policy.py.
 """
 
 from __future__ import annotations

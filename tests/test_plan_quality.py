@@ -175,3 +175,23 @@ def test_q61_global_mad_no_pandas_funnel(spark):
     plan = _plan(spark, "q61_mad_json_temporal")
     assert "AggregateInPandas" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_q59_positional_join_distributed(spark):
+    """POSITIONAL JOIN must not funnel DATA rows through a single
+    partition: scan-order positions come from per-partition counts
+    (the only SinglePartition exchanges carry the (__pid, __cnt)
+    stats rows) plus the in-partition offset — no global row_number
+    window over the data."""
+    import re
+
+    plan = _plan(spark, "q59_positional_join_comprehension")
+    assert "row_number" not in plan
+    for m in re.finditer(
+        r"\(\d+\) Exchange[^\n]*\n((?:[^\n]*\n){0,3})", plan
+    ):
+        blk = m.group(0)
+        if "SinglePartition" in blk:
+            assert "__pid" in blk, (
+                "SinglePartition exchange over non-stats rows:\n" + blk
+            )
