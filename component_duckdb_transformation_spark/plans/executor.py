@@ -2002,7 +2002,12 @@ class SparkStatementExecutor:
 
         if action == "rename_table":
             self.store.rename_table(name, args["to"])
-            for reg in (self.primary_keys, self.not_null, self.checks):
+            for reg in (
+                self.primary_keys,
+                self.not_null,
+                self.checks,
+                self._enum_columns,
+            ):
                 v = reg.pop(name.lower(), None)
                 if v:
                     reg[args["to"].lower()] = v
@@ -2025,11 +2030,60 @@ class SparkStatementExecutor:
                 if args["if_exists"]:
                     return
                 raise UserException(f"ALTER TABLE: unknown column '{col}'")
+            cl, key = col.lower(), name.lower()
+            # DuckDB refuses to drop a PK/UNIQUE-constrained column; a
+            # CHECK that references it is dropped along with the
+            # column, and NOT NULL/enum metadata follows the column out
+            if cl in (k.lower() for k in self.primary_keys.get(key, [])):
+                raise UserException(
+                    f'Catalog Error: Cannot drop column "{col}" because '
+                    "there is a UNIQUE constraint that depends on it"
+                )
+            if key in self.not_null:
+                self.not_null[key] = [
+                    c for c in self.not_null[key] if c.lower() != cl
+                ]
+            if key in self.checks:
+                self.checks[key] = [
+                    e for e in self.checks[key]
+                    if not any(
+                        t.kind in ("word", "bident", "qident")
+                        and t.text.strip('`"').lower() == cl
+                        for t in tokenize(e)
+                    )
+                ]
+            self._enum_columns.get(key, {}).pop(cl, None)
             new_df = current.drop(col)
         elif action == "rename_column":
             col, to = args["col"], args["to"]
             if col.lower() not in have:
                 raise UserException(f"ALTER TABLE: unknown column '{col}'")
+            cl, key = col.lower(), name.lower()
+            # constraints follow the renamed column, like DuckDB
+            if key in self.primary_keys:
+                self.primary_keys[key] = [
+                    to.lower() if k.lower() == cl else k
+                    for k in self.primary_keys[key]
+                ]
+            if key in self.not_null:
+                self.not_null[key] = [
+                    to.lower() if c.lower() == cl else c
+                    for c in self.not_null[key]
+                ]
+            if key in self.checks:
+                self.checks[key] = [
+                    "".join(
+                        _bt(to)
+                        if t.kind in ("word", "bident", "qident")
+                        and t.text.strip('`"').lower() == cl
+                        else t.text
+                        for t in tokenize(e)
+                    )
+                    for e in self.checks[key]
+                ]
+            emap = self._enum_columns.get(key)
+            if emap and cl in emap:
+                emap[to.lower()] = emap.pop(cl)
             new_df = current.withColumnRenamed(col, to)
         elif action == "set_type":
             col, type_text = args["col"], args["type"]
@@ -2381,7 +2435,8 @@ class SparkStatementExecutor:
             e
             for e in (self.checks.get(key) or [])
             if any(
-                t.kind == "word" and t.text.strip('`"').lower() in assigned_lower
+                t.kind in ("word", "bident", "qident")
+                and t.text.strip('`"').lower() in assigned_lower
                 for t in tokenize(e)
             )
         ]

@@ -994,3 +994,36 @@ def test_update_time_constraint_validation(spark, table_store):
     with pytest.raises(UserException, match="NOT NULL constraint"):
         _run(ex, "UPDATE upc SET a = upc_src.na FROM upc_src "
                  "WHERE upc.k = upc_src.kk")
+
+
+def test_alter_constraint_metadata_follows(spark, table_store):
+    """Constraints follow ALTER like DuckDB: RENAME COLUMN keeps
+    NOT NULL/CHECK/PK bound to the new name, DROP COLUMN removes
+    dependent CHECKs, and a PK column refuses to drop (Catalog
+    Error) — all probed against DuckDB directly."""
+    import pytest
+
+    from component_duckdb_transformation_spark.exceptions import (
+        UserException,
+    )
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE alc (k BIGINT PRIMARY KEY, a BIGINT NOT NULL, "
+             "b BIGINT CHECK (b > 0))")
+    _run(ex, "INSERT INTO alc VALUES (1, 1, 5)")
+    _run(ex, "ALTER TABLE alc RENAME COLUMN a TO a2")
+    with pytest.raises(UserException, match="NOT NULL.*alc.a2"):
+        _run(ex, "INSERT INTO alc VALUES (2, NULL, 6)")
+    _run(ex, "ALTER TABLE alc RENAME COLUMN b TO b2")
+    with pytest.raises(UserException, match="CHECK constraint"):
+        _run(ex, "INSERT INTO alc VALUES (3, 3, -5)")
+    with pytest.raises(UserException, match="Cannot drop column"):
+        _run(ex, "ALTER TABLE alc DROP COLUMN k")
+    _run(ex, "ALTER TABLE alc DROP COLUMN b2")  # CHECK goes with it
+    _run(ex, "INSERT INTO alc VALUES (4, 4)")
+    assert sorted(tuple(r) for r in spark.table("alc").collect()) == [
+        (1, 1), (4, 4),
+    ]
