@@ -202,13 +202,13 @@ def translate(sql: str) -> str:
     tokens = _rewrite_round_double(tokens)
     tokens = _rewrite_window_exclude(tokens)
     tokens = _rewrite_unordered_ranking(tokens)
-    tokens = _rewrite_global_mad_recursive(tokens)
     tokens = _rewrite_call_shims(tokens)
     tokens = _rewrite_filter_shorthand(tokens)
     tokens = _rewrite_simple(tokens)
     tokens = _rewrite_distinct_on_recursive(tokens)
     tokens = _rewrite_qualify_recursive(tokens)
     tokens = _rewrite_order_null_ordering(tokens)
+    tokens = _rewrite_mad_groupby_recursive(tokens)
     tokens = _rewrite_entropy_groupby_recursive(tokens)
     tokens = _rewrite_product_entropy(tokens)
     # brace-map sentinel back to Spark's variadic map (see
@@ -2233,15 +2233,18 @@ _ENTROPY_H_SQL = (
 )
 
 
-def _entropy_calls_in_item(item: List[Token]):
-    """Spans of scalar-context ``entropy(arg)`` calls in one select item.
+def _entropy_calls_in_item(item: List[Token], fname: str = "entropy",
+                           context=None):
+    """Spans of scalar-context ``fname(arg)`` calls in one select item.
 
     Returns a list of ``(word_idx, open_idx, close_idx)``, or None when
-    some entropy call is nested inside another aggregate or a window
-    (the statement-level restructure must fall back to the template).
+    some call is nested inside another aggregate or a window (the
+    statement-level restructure must fall back to the template/UDF).
     Parenthesized subqueries are treated as opaque (handled by the
     recursive pass on their own scope).
     """
+    if context is None:
+        context = _ENTROPY_AGG_CONTEXT
     calls = []
     stack: List[str] = []
     i, n = 0, len(item)
@@ -2268,8 +2271,8 @@ def _entropy_calls_in_item(item: List[Token]):
             if nxt < n and item[nxt].text == "(":
                 low = t.text.lower()
                 close = _matching_paren(item, nxt)
-                if low == "entropy":
-                    if any(fn in _ENTROPY_AGG_CONTEXT for fn in stack):
+                if low == fname:
+                    if any(fn in context for fn in stack):
                         return None
                     args = _split_top_level_args(item, nxt, close)
                     if len(args) != 1:
@@ -2330,22 +2333,25 @@ def _entropy_order_tail_ok(tokens: List[Token], order_idx: int, end: int) -> boo
     return True
 
 
-def _rewrite_entropy_groupby(tokens: List[Token]) -> List[Token]:
-    """Scale-safe ``entropy()``: when entropy appears only as a
-    scalar-context aggregate in the select list of a plain GROUP BY (or
-    global-aggregate) SELECT, restructure the statement so each entropy
-    argument is computed by two chained hash aggregates joined back on
-    the group keys — no per-group collect_list, bounded executor memory
-    at any group cardinality. Shapes the restructure can't express
-    (entropy in HAVING/ORDER BY, nested in another aggregate or window,
-    grouping by non-column expressions, DISTINCT, ...) keep the
-    _ENTROPY_TEMPLATE fallback applied later in the pipeline."""
+def _rewrite_aggfn_groupby(tokens: List[Token], spec: dict) -> List[Token]:
+    """Scale-safe statement restructure for an aggregate function that
+    has no bounded-memory single-pass Spark form: when ``spec["name"]``
+    appears only as a scalar-context aggregate in the select list of a
+    plain GROUP BY (or global-aggregate) SELECT, restructure so each
+    argument is computed by a per-arg subquery (``spec["make_sub"]``)
+    joined back on the group keys. Shapes the restructure can't express
+    (the call in HAVING/ORDER BY, nested in another aggregate or a
+    window, grouping by non-column expressions, DISTINCT, ...) keep the
+    fallback applied later in the pipeline (entropy: collect_list
+    template; mad: grouped-agg pandas UDF)."""
+    fname = spec["name"]
+    context = spec["context"]
     n = len(tokens)
     first = _next_code(tokens, -1)
     if first >= n or tokens[first].kind != "word":
         return tokens
     if not any(
-        t.kind == "word" and t.text.lower() == "entropy" for t in tokens
+        t.kind == "word" and t.text.lower() == fname for t in tokens
     ):
         return tokens
     if tokens[first].upper == "WITH":
@@ -2357,7 +2363,9 @@ def _rewrite_entropy_groupby(tokens: List[Token]) -> List[Token]:
             elif t.kind == "op" and t.text in (")", "]"):
                 depth -= 1
             elif depth == 0 and t.kind == "word" and t.upper == "SELECT":
-                return tokens[:j] + _rewrite_entropy_groupby(tokens[j:])
+                return tokens[:j] + _rewrite_aggfn_groupby(
+                    tokens[j:], spec
+                )
         return tokens
     if tokens[first].upper != "SELECT":
         return tokens
@@ -2379,9 +2387,9 @@ def _rewrite_entropy_groupby(tokens: List[Token]) -> List[Token]:
             if k < n and tokens[k].upper in ("ALL", "DISTINCT"):
                 k = _next_code(tokens, k)
             return (
-                _rewrite_entropy_groupby(tokens[:j])
+                _rewrite_aggfn_groupby(tokens[:j], spec)
                 + tokens[j:k]
-                + _rewrite_entropy_groupby(tokens[k:])
+                + _rewrite_aggfn_groupby(tokens[k:], spec)
             )
 
     clause_idx: dict = {}
@@ -2442,12 +2450,12 @@ def _rewrite_entropy_groupby(tokens: List[Token]) -> List[Token]:
                 return tokens
             keys.append(term)
 
-    # entropy must not appear outside the select list
+    # the target call must not appear outside the select list
     for cl in ("WHERE", "GROUP", "HAVING", "ORDER"):
         if cl in clause_idx:
             lo = clause_idx[cl]
             for t in tokens[lo : clause_end(lo)]:
-                if t.kind == "word" and t.text.lower() == "entropy":
+                if t.kind == "word" and t.text.lower() == fname:
                     return tokens
     if "ORDER" in clause_idx and not _entropy_order_tail_ok(
         tokens, clause_idx["ORDER"], clause_end(clause_idx["ORDER"])
@@ -2463,7 +2471,7 @@ def _rewrite_entropy_groupby(tokens: List[Token]) -> List[Token]:
     any_entropy = False
     for lo, hi in items:
         item = tokens[lo:hi]
-        calls = _entropy_calls_in_item(item)
+        calls = _entropy_calls_in_item(item, fname, context)
         if calls is None:
             return tokens
         if not calls:
@@ -2488,7 +2496,7 @@ def _rewrite_entropy_groupby(tokens: List[Token]) -> List[Token]:
             if (
                 nxt < len(item)
                 and item[nxt].text == "("
-                and t.text.lower() in _ENTROPY_AGG_CONTEXT
+                and t.text.lower() in context
             ):
                 return tokens
         parts: List[str] = []
@@ -2496,14 +2504,13 @@ def _rewrite_entropy_groupby(tokens: List[Token]) -> List[Token]:
         for w, o, c in calls:
             parts.append("".join(t.text for t in item[pos:w]))
             arg_sql = _sql(item, o + 1, c)
+            if spec.get("validate") and not spec["validate"](arg_sql):
+                return tokens
             key = " ".join(arg_sql.split())
             if key not in arg_ids:
                 arg_ids[key] = len(ent_args)
                 ent_args.append(arg_sql)
-            parts.append(
-                f"coalesce(__e{arg_ids[key]}.__ev_{arg_ids[key]},"
-                f" CAST(0 AS DOUBLE))"
-            )
+            parts.append(spec["ref"](arg_ids[key]))
             pos = c + 1
         parts.append("".join(t.text for t in item[pos:]))
         outer_items.append("".join(parts).strip())
@@ -2551,36 +2558,7 @@ def _rewrite_entropy_groupby(tokens: List[Token]) -> List[Token]:
 
     sql = "SELECT " + ", ".join(outer_items) + " FROM (" + base_sql + ") __b"
     for j, arg in enumerate(ent_args):
-        inner_cols = [f"{k} AS __egk_{i}" for i, k in enumerate(keys)]
-        inner_cols += [f"({arg}) AS __evv", "count(*) AS __ec"]
-        inner_where = f"({arg}) IS NOT NULL"
-        if where_body:
-            inner_where = f"({where_body}) AND " + inner_where
-        inner_group = ", ".join(str(i) for i in range(1, m + 2))
-        inner_sql = (
-            "SELECT "
-            + ", ".join(inner_cols)
-            + " "
-            + from_text
-            + " WHERE "
-            + inner_where
-            + " GROUP BY "
-            + inner_group
-        )
-        outer_cols = [f"__egk_{i}" for i in range(m)]
-        outer_group = (
-            " GROUP BY " + ", ".join(str(i) for i in range(1, m + 1))
-            if m
-            else ""
-        )
-        sub_sql = (
-            "SELECT "
-            + ", ".join(outer_cols + [f"{_ENTROPY_H_SQL} AS __ev_{j}"])
-            + " FROM ("
-            + inner_sql
-            + ") __ef"
-            + outer_group
-        )
+        sub_sql = spec["make_sub"](arg, j, keys, from_text, where_body)
         if m:
             cond = " AND ".join(
                 f"__b.__egk_{i} <=> __e{j}.__egk_{i}" for i in range(m)
@@ -2596,8 +2574,101 @@ def _rewrite_entropy_groupby(tokens: List[Token]) -> List[Token]:
     return _toks(sql)
 
 
-def _rewrite_entropy_groupby_recursive(tokens: List[Token]) -> List[Token]:
-    """Apply the scale-safe entropy restructure inside every
+def _entropy_make_sub(arg, j, keys, from_text, where_body):
+    """Two chained hash aggregates: per-(group, value) counts, then the
+    Shannon identity over the counts."""
+    m = len(keys)
+    inner_cols = [f"{k} AS __egk_{i}" for i, k in enumerate(keys)]
+    inner_cols += [f"({arg}) AS __evv", "count(*) AS __ec"]
+    inner_where = f"({arg}) IS NOT NULL"
+    if where_body:
+        inner_where = f"({where_body}) AND " + inner_where
+    inner_group = ", ".join(str(i) for i in range(1, m + 2))
+    inner_sql = (
+        "SELECT " + ", ".join(inner_cols) + " " + from_text
+        + " WHERE " + inner_where + " GROUP BY " + inner_group
+    )
+    outer_cols = [f"__egk_{i}" for i in range(m)]
+    outer_group = (
+        " GROUP BY " + ", ".join(str(i) for i in range(1, m + 1))
+        if m else ""
+    )
+    return (
+        "SELECT "
+        + ", ".join(outer_cols + [f"{_ENTROPY_H_SQL} AS __ev_{j}"])
+        + " FROM (" + inner_sql + ") __ef" + outer_group
+    )
+
+
+_ENTROPY_SPEC = {
+    "name": "entropy",
+    "context": _ENTROPY_AGG_CONTEXT,
+    "make_sub": _entropy_make_sub,
+    # empty group -> 0.0 (the grouped subquery drops all-NULL groups)
+    "ref": lambda j: f"coalesce(__e{j}.__ev_{j}, CAST(0 AS DOUBLE))",
+}
+
+
+def _mad_make_sub(arg, j, keys, from_text, where_body):
+    """mad(x) = median(abs(x - median(x))) per group: a grouped median
+    subquery joined back to the raw values, then a second grouped
+    median — both built-in percentile aggregates with map-side
+    partials, no per-group column materialization (the pandas-UDF
+    fallback gathers one group's column per task)."""
+    m = len(keys)
+    where = f" WHERE {where_body}" if where_body else ""
+    val = f"CAST(({arg}) AS DOUBLE)"
+    dev_cols = [f"{k} AS __egk_{i}" for i, k in enumerate(keys)]
+    dev_sql = (
+        "SELECT " + ", ".join(dev_cols + [f"{val} AS __mv"])
+        + " " + from_text + where
+    )
+    med_cols = [f"{k} AS __egk_{i}" for i, k in enumerate(keys)]
+    med_group = (
+        " GROUP BY " + ", ".join(str(i) for i in range(1, m + 1))
+        if m else ""
+    )
+    med_sql = (
+        "SELECT " + ", ".join(med_cols + [f"median({val}) AS __med"])
+        + " " + from_text + where + med_group
+    )
+    on = (
+        " AND ".join(
+            f"__mf.__egk_{i} <=> __mm.__egk_{i}" for i in range(m)
+        )
+        if m else "true"
+    )
+    sel = [f"__mf.__egk_{i} AS __egk_{i}" for i in range(m)]
+    group = (
+        " GROUP BY " + ", ".join(f"__mf.__egk_{i}" for i in range(m))
+        if m else ""
+    )
+    return (
+        "SELECT "
+        + ", ".join(
+            sel + [f"median(abs(__mf.__mv - __mm.__med)) AS __ev_{j}"]
+        )
+        + f" FROM ({dev_sql}) __mf JOIN ({med_sql}) __mm ON {on}"
+        + group
+    )
+
+
+_MAD_SPEC = {
+    "name": "mad",
+    # make_dt_interval guards the temporal overload (already lowered to
+    # the pandas UDF by the call-shims pass before this runs)
+    "context": _ENTROPY_AGG_CONTEXT | {"make_dt_interval"},
+    "make_sub": _mad_make_sub,
+    # all-NULL group -> NULL, like DuckDB (no coalesce)
+    "ref": lambda j: f"__e{j}.__ev_{j}",
+    "validate": lambda arg: not _static_temporal_sql(arg),
+}
+
+
+def _rewrite_aggfn_groupby_recursive(
+    tokens: List[Token], spec: dict
+) -> List[Token]:
+    """Apply a scale-safe aggregate restructure inside every
     parenthesized scope, innermost-first, then at the top level."""
     out: List[Token] = []
     i = 0
@@ -2609,238 +2680,25 @@ def _rewrite_entropy_groupby_recursive(tokens: List[Token]) -> List[Token]:
             if close > i:
                 out.append(tok)
                 out.extend(
-                    _rewrite_entropy_groupby_recursive(tokens[i + 1 : close])
+                    _rewrite_aggfn_groupby_recursive(
+                        tokens[i + 1 : close], spec
+                    )
                 )
                 out.append(tokens[close])
                 i = close + 1
                 continue
         out.append(tok)
         i += 1
-    return _rewrite_entropy_groupby(out)
+    return _rewrite_aggfn_groupby(out, spec)
 
 
-def _global_mad_calls(tokens: List[Token], lo: int, hi: int):
-    """Spans of top-scope ``mad(arg)`` calls in tokens[lo:hi], skipping
-    parenthesized subqueries (the recursive wrapper owns those) and any
-    windowed ``mad(...) OVER`` form. Returns (word, open, close) spans,
-    or None when a call shape disqualifies the whole scope (2-arg,
-    OVER-adjacent)."""
-    calls = []
-    i = lo
-    while i < hi:
-        t = tokens[i]
-        if t.kind == "op" and t.text == "(":
-            fc = _next_code(tokens, i)
-            if fc < hi and tokens[fc].kind == "word" and tokens[fc].upper in (
-                "SELECT",
-                "WITH",
-            ):
-                i = _matching_paren(tokens, i) + 1
-                continue
-            i += 1
-            continue
-        if t.kind == "word" and t.text.lower() == "mad":
-            nxt = _next_code(tokens, i)
-            if nxt < hi and tokens[nxt].text == "(":
-                close = _matching_paren(tokens, nxt)
-                args = _split_top_level_args(tokens, nxt, close)
-                after = _next_code(tokens, close)
-                if len(args) != 1 or (
-                    after < hi
-                    and tokens[after].kind == "word"
-                    and tokens[after].upper == "OVER"
-                ):
-                    return None
-                calls.append((i, nxt, close))
-                i = close + 1
-                continue
-        i += 1
-    return calls
+def _rewrite_entropy_groupby_recursive(tokens: List[Token]) -> List[Token]:
+    return _rewrite_aggfn_groupby_recursive(tokens, _ENTROPY_SPEC)
 
 
-def _rewrite_global_mad(tokens: List[Token]) -> List[Token]:
-    """Scale-safe whole-table ``mad()``: in a SELECT with no GROUP BY
-    the grouped-agg pandas UDF would funnel the ENTIRE column through a
-    single task (one group = one partition) — a straggler/OOM at scale.
-    With a single group the two-phase identity applies directly:
-    ``mad(x) = median(abs(x - median(x)))`` where the inner median is a
-    1-row aggregate subquery CROSS JOINed (auto-broadcast) into the
-    FROM clause. Both phases are built-in percentile aggregates with
-    map-side partials — no Python, no single-partition exchange.
+def _rewrite_mad_groupby_recursive(tokens: List[Token]) -> List[Token]:
+    return _rewrite_aggfn_groupby_recursive(tokens, _MAD_SPEC)
 
-    Grouped mad keeps the pandas UDF (groups distribute); temporal args
-    keep the UDF path (interval return type); HAVING / DISTINCT /
-    windowed forms fall back likewise."""
-    n = len(tokens)
-    first = _next_code(tokens, -1)
-    if first >= n or tokens[first].kind != "word":
-        return tokens
-    if not any(t.kind == "word" and t.text.lower() == "mad" for t in tokens):
-        return tokens
-    if tokens[first].upper == "WITH":
-        depth = 0
-        for j in range(first + 1, n):
-            t = tokens[j]
-            if t.kind == "op" and t.text in ("(", "["):
-                depth += 1
-            elif t.kind == "op" and t.text in (")", "]"):
-                depth -= 1
-            elif depth == 0 and t.kind == "word" and t.upper == "SELECT":
-                return tokens[:j] + _rewrite_global_mad(tokens[j:])
-        return tokens
-    if tokens[first].upper != "SELECT":
-        return tokens
-
-    # set operations: each branch independently
-    depth = 0
-    for j in range(first + 1, n):
-        t = tokens[j]
-        if t.kind == "op" and t.text in ("(", "["):
-            depth += 1
-        elif t.kind == "op" and t.text in (")", "]"):
-            depth -= 1
-        elif (
-            depth == 0
-            and t.kind == "word"
-            and t.upper in ("UNION", "EXCEPT", "INTERSECT")
-        ):
-            k = _next_code(tokens, j)
-            if k < n and tokens[k].upper in ("ALL", "DISTINCT"):
-                k = _next_code(tokens, k)
-            return (
-                _rewrite_global_mad(tokens[:j])
-                + tokens[j:k]
-                + _rewrite_global_mad(tokens[k:])
-            )
-
-    clause_idx: dict = {}
-    depth = 0
-    for j in range(first + 1, n):
-        t = tokens[j]
-        if t.kind == "op" and t.text in ("(", "["):
-            depth += 1
-        elif t.kind == "op" and t.text in (")", "]"):
-            depth -= 1
-        elif depth == 0 and t.kind == "word":
-            u = t.upper
-            if u == "GROUP":
-                prev = [
-                    p
-                    for p in range(j - 1, -1, -1)
-                    if tokens[p].kind not in ("ws", "comment")
-                ]
-                if prev and tokens[prev[0]].kind == "word" and tokens[
-                    prev[0]
-                ].upper == "WITHIN":
-                    continue
-            if u in (
-                "FROM",
-                "WHERE",
-                "GROUP",
-                "HAVING",
-                "ORDER",
-                "LIMIT",
-                "OFFSET",
-                "WINDOW",
-                "QUALIFY",
-            ) and u not in clause_idx:
-                clause_idx[u] = j
-    # single-group shape only: no GROUP BY (grouped mad distributes
-    # across groups already); bail on clauses that could re-reference
-    # the aggregate outside the select list
-    if (
-        "FROM" not in clause_idx
-        or "GROUP" in clause_idx
-        or "HAVING" in clause_idx
-        or "WINDOW" in clause_idx
-        or "QUALIFY" in clause_idx
-    ):
-        return tokens
-    boundaries = sorted(clause_idx.values()) + [n]
-
-    def clause_end(idx: int) -> int:
-        return min(b for b in boundaries if b > idx)
-
-    from_idx = clause_idx["FROM"]
-    sel_lo = _next_code(tokens, first)
-    if sel_lo < n and tokens[sel_lo].upper in ("DISTINCT", "ALL"):
-        return tokens
-    # mad must not appear outside the select list
-    for cl in ("WHERE", "ORDER"):
-        if cl in clause_idx:
-            lo_ = clause_idx[cl]
-            for t in tokens[lo_: clause_end(lo_)]:
-                if t.kind == "word" and t.text.lower() == "mad":
-                    return tokens
-
-    calls = _global_mad_calls(tokens, sel_lo, from_idx)
-    if not calls:
-        return tokens
-    arg_ids: dict = {}
-    arg_sqls: List[str] = []
-    repl: List[tuple] = []
-    for w, o, c in calls:
-        arg_sql = _sql(tokens, o + 1, c)
-        if _static_temporal_sql(arg_sql):
-            return tokens
-        key = " ".join(arg_sql.split())
-        if key not in arg_ids:
-            arg_ids[key] = len(arg_sqls)
-            arg_sqls.append(arg_sql)
-        repl.append((w, c, arg_ids[key]))
-
-    from_end = clause_end(from_idx)
-    from_text = _sql(tokens, from_idx, from_end)
-    where_text = ""
-    if "WHERE" in clause_idx:
-        wlo = clause_idx["WHERE"]
-        where_text = " " + _sql(tokens, wlo, clause_end(wlo))
-
-    out: List[Token] = []
-    pos = 0
-    for w, c, j in repl:
-        out.extend(tokens[pos:w])
-        a = arg_sqls[j]
-        out.extend(
-            _toks(
-                f"median(abs(CAST(({a}) AS DOUBLE)"
-                f" - __madsub_{j}.__mv_{j}))"
-            )
-        )
-        pos = c + 1
-    out.extend(tokens[pos:from_end])
-    for j, a in enumerate(arg_sqls):
-        out.extend(
-            _toks(
-                f" CROSS JOIN (SELECT median(CAST(({a}) AS DOUBLE))"
-                f" AS __mv_{j} {from_text}{where_text}) __madsub_{j} "
-            )
-        )
-    out.extend(tokens[from_end:])
-    return out
-
-
-def _rewrite_global_mad_recursive(tokens: List[Token]) -> List[Token]:
-    """Apply the whole-table mad two-phase lowering inside every
-    parenthesized scope (CTE bodies, subqueries), innermost-first."""
-    out: List[Token] = []
-    i = 0
-    n = len(tokens)
-    while i < n:
-        tok = tokens[i]
-        if tok.kind == "op" and tok.text == "(":
-            close = _matching_paren(tokens, i)
-            if close > i:
-                out.append(tok)
-                out.extend(
-                    _rewrite_global_mad_recursive(tokens[i + 1 : close])
-                )
-                out.append(tokens[close])
-                i = close + 1
-                continue
-        out.append(tok)
-        i += 1
-    return _rewrite_global_mad(out)
 
 
 def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:

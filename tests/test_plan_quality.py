@@ -195,3 +195,23 @@ def test_q59_positional_join_distributed(spark):
             assert "__pid" in blk, (
                 "SinglePartition exchange over non-stats rows:\n" + blk
             )
+
+
+def test_grouped_mad_two_phase(spark):
+    """Grouped mad() must restructure to chained built-in median
+    aggregates joined on the group keys — no grouped-agg pandas UDF
+    gathering a whole group's column in one task."""
+    from component_duckdb_transformation_spark.functions.dialect import (
+        translate,
+    )
+    from component_duckdb_transformation_spark.workloads import (
+        register_tables,
+    )
+
+    register_tables(spark, SF)
+    df = spark.sql(translate(
+        "SELECT p_brand, mad(p_retailprice) AS m FROM part GROUP BY p_brand"
+    ))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AggregateInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
