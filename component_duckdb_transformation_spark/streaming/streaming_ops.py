@@ -260,3 +260,21 @@ def run_stream_to_batch(
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def streaming_dedup(events: DataFrame, keys=("user_id", "event_type")) -> DataFrame:
+    """Streaming exact deduplication: emit each distinct key once
+    (append mode), the streaming form of the batch exact-dedup operator
+    (operators/dedup.py). State is one entry per distinct key — the
+    honest minimum for exact dedup, identical to a batch DISTINCT's
+    hash-aggregate state, and it shards across the state-store
+    partitions like any keyed state.
+
+    Key-only projection keeps the result arrival-order-independent
+    (WHICH duplicate survives is not part of the contract), so the
+    batch oracle is a plain SELECT DISTINCT. For time-bounded state on
+    unbounded key domains, compose ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` instead — that contract re-emits
+    keys recurring beyond the watermark delay, so it has no
+    order-independent batch equivalent to diff against."""
+    return events.select(*keys).dropDuplicates(list(keys))

@@ -2161,6 +2161,38 @@ _add_df(
 )
 
 
+def _stream_dedup_builder(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .streaming import streaming_ops as so
+
+    stream = so.read_events_stream(spark, sf)
+    out = so.run_stream_to_batch(
+        so.streaming_dedup(stream),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+    )
+
+
+_add_df(
+    "x31_stream_dedup",
+    _stream_dedup_builder,
+    oracle="""
+    SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+    FROM events
+    """,
+    description="streaming exact deduplication (dropDuplicates over the "
+    "event stream, append mode, one state entry per distinct key — the "
+    "streaming form of x01); key-only projection makes the result "
+    "arrival-order-independent, equal to batch SELECT DISTINCT",
+    serial=True,
+)
+
+
 def _stream_ingest_builder(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
