@@ -1,0 +1,116 @@
+"""Distributed connected components over an edge list.
+
+The missing last stage of every near-duplicate pipeline: MinHash-LSH /
+SimHash emit duplicate PAIRS (operators/dedup.py), but canonicalization
+needs duplicate CLUSTERS — the connected components of the pair graph,
+with each document labeled by its component's canonical (minimum) id.
+The reference has no graph operators at all (it delegates everything to
+DuckDB SQL); this is part of the repo's LLM-pipeline extension surface.
+
+Algorithm: minimum-label propagation with pointer jumping.  Each round
+
+1. pulls the minimum neighbor label over the symmetrized edges
+   (join + map-side-combinable min aggregate), and
+2. pointer-jumps: ``label(v) <- label(label(v))`` (self-join on the
+   label table), which collapses label chains geometrically, so long
+   paths converge in O(log diameter) rounds instead of O(diameter).
+
+100 TB posture: per round the work is two hash joins and one grouped
+min — all keyed shuffles, no driver-side data beyond one convergence
+counter per round; the label frame is eagerly ``localCheckpoint``-ed
+each round, which both truncates the exponentially-growing iterative
+lineage and materializes the join input once instead of recomputing
+the whole prior chain per reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: Optional[DataFrame] = None,
+    node_col: str = "node",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable from it.
+
+    ``edges`` is treated as undirected (symmetrized internally);
+    ``nodes`` optionally supplies isolated vertices that appear in no
+    edge (they come back labeled by themselves). Returns
+    ``(node, cluster)``.
+
+    Raises after ``max_iter`` non-converged rounds — silently returning
+    partial labels would be a wrong answer.
+    """
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+
+    lab = sym.select(F.col("s").alias("node")).distinct()
+    if nodes is not None:
+        lab = lab.union(
+            nodes.select(F.col(node_col).alias("node"))
+        ).distinct()
+    labels = lab.select("node", F.col("node").alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # 1. min label among neighbors
+        nmin = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("d"), F.col("lbl").alias("dlbl")
+                ),
+                on="d",
+            )
+            .groupBy("s")
+            .agg(F.min("dlbl").alias("nl"))
+        )
+        stepped = (
+            labels.join(nmin, labels["node"] == nmin["s"], "left")
+            .select(
+                labels["node"],
+                labels["lbl"].alias("old"),
+                F.least(labels["lbl"], F.col("nl")).alias("lbl"),
+            )
+        )
+        # 2. pointer jump: lbl <- label(lbl)
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
+        )
+        jumped = (
+            stepped.join(
+                parent, stepped["lbl"] == parent["p_node"], "left"
+            )
+            .select(
+                "node",
+                "old",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = jumped.agg(
+            F.sum(
+                F.when(F.col("lbl") != F.col("old"), 1).otherwise(0)
+            ).alias("c")
+        ).collect()[0]["c"]
+        labels = jumped.select("node", "lbl")
+        if not changed:
+            return labels.select(
+                "node", F.col("lbl").alias("cluster")
+            )
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iter} rounds "
+        "(pointer jumping converges in O(log diameter) — this graph's "
+        "diameter exceeds 2^max_iter or the input is pathological)"
+    )

@@ -2161,6 +2161,56 @@ _add_df(
 )
 
 
+def _connected_components_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: near-dup PAIRS -> component
+    labels. The edge list links each order to the customer's next order
+    (a chain per customer — the worst case for naive label propagation,
+    collapsed in O(log chain) rounds by pointer jumping); the operator
+    sees only the anonymous edge list, while the oracle replays the
+    known chain structure as a per-customer min window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .operators.graph import connected_components
+    from .sources.parquet_io import read_parquet
+
+    orders = read_parquet(spark, f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        orders.withColumn("nxt", F.lead("o_orderkey").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("src"), F.col("nxt").alias("dst")
+        )
+    )
+    nodes = orders.select(F.col("o_orderkey").alias("node"))
+    cc = connected_components(edges, nodes=nodes)
+    return cc.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+    )
+
+
+_add_df(
+    "x32_connected_components",
+    _connected_components_builder,
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS node,
+           CAST(min(o_orderkey) OVER (PARTITION BY o_custkey) AS BIGINT)
+               AS cluster
+    FROM orders
+    """,
+    description="distributed connected components (min-label "
+    "propagation + pointer jumping, localCheckpoint-truncated "
+    "lineage) over per-customer order chains — the cluster-"
+    "canonicalization stage downstream of MinHash/SimHash duplicate "
+    "pairs; oracle replays the chain structure as a per-customer min "
+    "window",
+)
+
+
 def _stream_dedup_builder(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import functions as F
 

@@ -43,3 +43,30 @@ def test_two_stage_count_distinct(spark):
     )
     staged = two_stage_count_distinct(li, ["l_returnflag"], "l_orderkey")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, staged.collect()))
+
+
+def test_connected_components_shapes(spark):
+    """CC over chain / star / isolated shapes; long chain converges in
+    O(log n) pointer-jump rounds rather than O(n)."""
+    from component_duckdb_transformation_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20]], "node long"
+    )
+    got = sorted(
+        tuple(r) for r in connected_components(edges, nodes=nodes).collect()
+    )
+    assert got == [
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (20, 20),
+    ]
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "src long, dst long"
+    )
+    labs = connected_components(chain, max_iter=12).collect()
+    assert {r["cluster"] for r in labs} == {0}
