@@ -2161,6 +2161,73 @@ _add_df(
 )
 
 
+def _near_dup_clusters_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """The complete near-dup canonicalization pipeline: MinHash+LSH
+    duplicate pairs -> connected components -> every document labeled
+    with its cluster's canonical (minimum) doc_id. Isolated documents
+    label themselves."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import connected_components
+
+    docs = spark.table("documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.4, hash_mode="md5"
+    )
+    cc = connected_components(
+        pairs.select(
+            F.col("d1").alias("src"), F.col("d2").alias("dst")
+        ),
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    return cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+    )
+
+
+def _near_dup_clusters_oracle() -> str:
+    """MinHash pair replay (engine-portable md5 family) + recursive-CTE
+    min-label closure — the SQL form of connected components (safe
+    here: dup clusters are tiny, so the closure's O(V_component^2)
+    label enumeration is bounded)."""
+    pairs_sql = _minhash_oracle()
+    # strip the leading WITH so the clauses splice into one RECURSIVE CTE
+    body = pairs_sql.strip()
+    assert body.upper().startswith("WITH")
+    clauses, tail = body[4:].rsplit("SELECT d1, d2,", 1)
+    return f"""
+WITH RECURSIVE {clauses.rstrip()},
+pairs AS (
+  SELECT d1, d2,{tail}
+),
+edges AS (
+  SELECT d1 AS s, d2 AS d FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs
+),
+cc(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, c.lbl FROM cc c JOIN edges e ON e.s = c.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(lbl) AS BIGINT) AS cluster
+FROM cc GROUP BY node
+"""
+
+
+_add_df(
+    "x33_near_dup_clusters",
+    _near_dup_clusters_builder,
+    oracle=_near_dup_clusters_oracle(),
+    description="full near-dup canonicalization: MinHash(64)+LSH(16) "
+    "verified pairs -> distributed connected components -> per-doc "
+    "canonical cluster id; oracle replays the md5 pipeline and closes "
+    "clusters with a recursive CTE",
+)
+
+
 def _connected_components_builder(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate-cluster canonicalization: near-dup PAIRS -> component
     labels. The edge list links each order to the customer's next order
