@@ -53,6 +53,10 @@ def connected_components(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).where(F.col(src).isNotNull() & F.col(dst).isNotNull())
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # materialize ONCE: the edge list joins into every round, and an
+    # un-checkpointed plan (e.g. a full MinHash-LSH pipeline feeding
+    # the pairs) would otherwise re-execute per round, twice
+    sym = sym.localCheckpoint(eager=True)
 
     lab = sym.select(F.col("s").alias("node")).distinct()
     if nodes is not None:
@@ -82,7 +86,8 @@ def connected_components(
                 F.least(labels["lbl"], F.col("nl")).alias("lbl"),
             )
         )
-        # 2. pointer jump: lbl <- label(lbl)
+        # 2. pointer jump: lbl <- label(lbl) (measured: a second jump
+        # per round adds more stage cost than it saves in rounds)
         parent = stepped.select(
             F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
         )

@@ -480,9 +480,15 @@ def groupby_stmt(g: random.Random) -> str:
         keys.append("o_orderstatus")
     aggs = [agg_item(g) for _ in range(g.randint(1, 3))]
     if join and g.random() < 0.5:
+        # CAST to BIGINT first: sum/avg over raw DOUBLE is summation-
+        # order-dependent at the last ulp on BOTH engines, and the
+        # round() wrapper amplifies a boundary-straddling .xx5 into a
+        # visible 0.01 diff (seed-814 find; same class as the windowed-
+        # sum note above). Integer sums are exact in double up to 2^53,
+        # so partial-aggregation order cannot move the value.
         aggs.append(
             f"round({g.choice(['sum', 'avg', 'min', 'max'])}"
-            f"(o_totalprice), 2)"
+            f"(CAST(o_totalprice AS BIGINT)), 2)"
         )
     sel_keys = ", ".join(
         f"{k} AS k{i}" for i, k in enumerate(keys)
