@@ -107,3 +107,39 @@ def test_embedding_blocked_10x_completes_with_clean_plan(spark):
     _no_scale_killers(plan, "embedding-blocked 10x")
     # identical replicas are exact near-dups: pairs must be found
     assert pairs.count() > 0
+
+
+@pytest.mark.slow
+def test_connected_components_10x_chains(spark):
+    """CC at 10x node count: 1.5M-node per-customer chains (replicated
+    with disjoint key offsets) must converge in the O(log diameter)
+    round budget and keep every per-round shuffle a hash join (no
+    cartesian/nested-loop)."""
+    from pyspark.sql.window import Window
+
+    from component_duckdb_transformation_spark.operators.graph import (
+        connected_components,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    rep = spark.range(REPLICAS).withColumnRenamed("id", "r")
+    big = orders.crossJoin(rep).select(
+        (F.col("o_orderkey") + F.col("r") * F.lit(10_000_000)).alias("k"),
+        (F.col("o_custkey") + F.col("r") * F.lit(10_000_000)).alias("c"),
+    )
+    w = Window.partitionBy("c").orderBy("k")
+    edges = (
+        big.withColumn("nxt", F.lead("k").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("k").alias("src"), F.col("nxt").alias("dst"))
+    )
+    cc = connected_components(edges, max_iter=10)
+    _no_scale_killers(_plan(cc), "cc-10x")
+    # components = replicated customers; every label is a chain minimum
+    n_clusters = cc.select("cluster").distinct().count()
+    n_customers = big.join(
+        edges.select(F.col("src").alias("k")), "k", "left_semi"
+    ).select("c").distinct().count()
+    assert n_clusters == n_customers
