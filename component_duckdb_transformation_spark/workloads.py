@@ -955,6 +955,32 @@ _add_sql(
 )
 
 _add_sql(
+    "q62_round7_surfaces",
+    """
+    SELECT p_brand,
+           round(CAST(mad(p_retailprice) AS DOUBLE), 4) AS mad_price,
+           round(CAST(mad(p_size) AS DOUBLE), 4) AS mad_size,
+           CAST(hour(TIME '22:45:00' + INTERVAL 90 MINUTE) AS BIGINT)
+               AS wrap_h,
+           CAST(minute(INTERVAL 30 MINUTE + TIME '23:45:00') AS BIGINT)
+               AS wrap_m,
+           min('{"name": "alpha", "deep": {"k": [1, 2]}}' -> 'name')
+               AS jstr,
+           min('{"name": "alpha", "deep": {"k": [1, 2]}}' -> 'deep')
+               AS jobj,
+           min(json_extract('{"v": 1.5}', 'v')) AS jnum
+    FROM part
+    GROUP BY p_brand
+    """,
+    description="round-7 exactness surfaces in one driver row: grouped "
+    "mad (two-phase chained-median restructure, no pandas funnel), "
+    "TIME midnight-wrap arithmetic in both operand orders (verified "
+    "via field extraction — rendering stays epoch-day), and "
+    "JSON-returning ->/json_extract with DuckDB's string-leaf quoting "
+    "(variant type probe) — identical SQL runs on both engines",
+)
+
+_add_sql(
     "q59_positional_join_comprehension",
     """
     SELECT n_name,
