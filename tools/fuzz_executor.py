@@ -38,7 +38,7 @@ def gen_ops(g: random.Random, n_ops: int) -> list:
     has_seq = False
     has_enum = False
     for _ in range(n_ops):
-        c = g.randrange(11)
+        c = g.randrange(14)
         if c == 9:
             # sequences: single-row nextval inserts are order-free, so
             # the minted values are identical in both engines
@@ -62,10 +62,52 @@ def gen_ops(g: random.Random, n_ops: int) -> list:
                 f"INSERT INTO t4 VALUES ({g.randint(1, 100)}, '{v}')"
             )
             continue
+        if c in (11, 12, 13):
+            # round-7 surfaces: UPDATE-time constraint validation,
+            # constraint-follows-ALTER, enum revalidation on UPDATE —
+            # violating statements must error on BOTH engines (error
+            # parity), passing ones must leave identical state
+            if c == 11 and has_t3:
+                bad = g.random() < 0.5
+                if bad:
+                    ops.append(
+                        f"UPDATE t3 SET p = NULL "
+                        f"WHERE k % {g.choice([5, 7])} = 0"
+                    )
+                else:
+                    ops.append(
+                        f"UPDATE t3 SET p = p + {g.randint(1, 50)} "
+                        f"WHERE k % {g.choice([3, 4])} = 0"
+                    )
+            elif c == 12 and has_enum:
+                v = g.choice(["lo", "mid", "hi", "bogus"])
+                ops.append(
+                    f"UPDATE t4 SET e = '{v}' WHERE k % "
+                    f"{g.choice([2, 3])} = 0"
+                )
+            elif c == 13 and has_t3:
+                pick = g.randrange(3)
+                if pick == 0:
+                    # NOT NULL follows the renamed column on both sides
+                    ops.append("ALTER TABLE t3 RENAME COLUMN p TO p2")
+                    ops.append(
+                        f"UPDATE t3 SET p2 = NULL WHERE k % 6 = 0"
+                        if g.random() < 0.5
+                        else f"UPDATE t3 SET p2 = p2 + 1 WHERE k % 6 = 0"
+                    )
+                    ops.append("ALTER TABLE t3 RENAME COLUMN p2 TO p")
+                elif pick == 1:
+                    # PK column refuses to drop on both engines
+                    ops.append("ALTER TABLE t3 DROP COLUMN k")
+                else:
+                    # referencing a renamed-away column errors on both
+                    ops.append("UPDATE t3 SET gone = 1 WHERE k = 1")
+            continue
         if c == 7:
             if not has_t3:
                 ops.append(
-                    "CREATE TABLE t3 (k BIGINT PRIMARY KEY, p DOUBLE)"
+                    "CREATE TABLE t3 (k BIGINT PRIMARY KEY, "
+                    "p DOUBLE NOT NULL)"
                 )
                 a = g.randint(1, 400)
                 ops.append(
