@@ -218,3 +218,33 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         token_count_whitespace(t).alias("n_tokens_ws"),
         token_count_bpe_ish(t).alias("n_tokens_bpe"),
     )
+
+
+# PII scrubbing: conservative patterns valid in BOTH Java regex (Spark)
+# and RE2-ish DuckDB regex, so the operator is oracle-replayable. The
+# patterns are deliberately high-precision (training-data scrubbing
+# wants no false positives on code/math tokens); swap in stricter
+# corpora-specific patterns at the call site.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(text: Column, patterns: dict | None = None) -> Column:
+    """Replace every PII match with a ``<KIND>`` sentinel — map-only,
+    chained JVM ``regexp_replace`` (no Python in the hot path)."""
+    out = text
+    for kind, pat in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(text: Column, patterns: dict | None = None) -> dict:
+    """One count column per PII kind (``size(regexp_extract_all(...))``,
+    vectorized JVM-side)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for kind, pat in (patterns or PII_PATTERNS).items()
+    }

@@ -2187,6 +2187,91 @@ _add_df(
 )
 
 
+def _pii_redaction_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing over the corpus: inject a deterministic synthetic
+    email/phone per doc (the synthetic corpus has none), then count and
+    redact — all chained JVM regexp ops, zero shuffles before the final
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    docs = spark.table("documents")
+    with_pii = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text2"),
+    )
+    counts = text_analysis.pii_counts(F.col("text2"))
+    redacted = with_pii.select(
+        "doc_id",
+        "lang",
+        text_analysis.redact_pii(F.col("text2")).alias("clean"),
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+    )
+    return redacted.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("emails"),
+        F.sum("n_phone").cast("bigint").alias("phones"),
+        F.sum("n_ipv4").cast("bigint").alias("ipv4s"),
+        F.sum(
+            F.when(F.col("clean").contains("@"), 1).otherwise(0)
+        ).cast("bigint").alias("residual_ats"),
+        F.min(F.substring("clean", 1, 40)).alias("sample40"),
+    )
+
+
+_add_df(
+    "x34_pii_redaction",
+    _pii_redaction_builder,
+    oracle="""
+    WITH w AS (
+      SELECT lang,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-867-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 AS text2
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, text2,
+             regexp_replace(regexp_replace(regexp_replace(text2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                 '<IPV4>', 'g') AS clean,
+             len(regexp_extract_all(text2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                 AS n_email,
+             len(regexp_extract_all(text2,
+                 '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phone,
+             len(regexp_extract_all(text2,
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                 AS n_ipv4
+      FROM w
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS emails,
+           CAST(sum(n_phone) AS BIGINT) AS phones,
+           CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+           CAST(sum(CASE WHEN contains(clean, '@') THEN 1 ELSE 0 END)
+                AS BIGINT) AS residual_ats,
+           min(substr(clean, 1, 40)) AS sample40
+    FROM r GROUP BY lang
+    """,
+    description="PII scrubbing (email/phone/ipv4 redact + counts) over "
+    "the corpus with deterministic synthetic PII injected per doc — "
+    "chained JVM regexp_replace/regexp_extract_all, map-only until the "
+    "final aggregate; redaction order is email-first on both engines",
+)
+
+
 def _near_dup_clusters_builder(spark: SparkSession, sf: str) -> DataFrame:
     """The complete near-dup canonicalization pipeline: MinHash+LSH
     duplicate pairs -> connected components -> every document labeled
