@@ -1027,3 +1027,36 @@ def test_alter_constraint_metadata_follows(spark, table_store):
     assert sorted(tuple(r) for r in spark.table("alc").collect()) == [
         (1, 1), (4, 4),
     ]
+
+
+def test_star_replace_preserves_column_order(spark, table_store):
+    """SELECT * REPLACE keeps the replaced column in its ORIGINAL
+    position like DuckDB (positional consumers depend on it); the
+    schema-free dialect fallback appends instead, so the executor
+    expands schema-aware for single-table scopes."""
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE srp AS SELECT * FROM "
+             "(VALUES (1, 'a', 10.0), (2, 'b', 20.0)) t(k, s, v)")
+    _run(ex, "CREATE TABLE srp1 AS SELECT * REPLACE (upper(s) AS s) "
+             "FROM srp ORDER BY k")
+    assert spark.table("srp1").columns == ["k", "s", "v"]
+    assert [tuple(r) for r in spark.table("srp1").collect()] == [
+        (1, "A", 10.0), (2, "B", 20.0),
+    ]
+    _run(ex, "CREATE TABLE srp2 AS SELECT * EXCLUDE (v) "
+             "REPLACE (k * 10 AS k) FROM srp ORDER BY k")
+    assert spark.table("srp2").columns == ["k", "s"]
+    assert sorted(tuple(r) for r in spark.table("srp2").collect()) == [
+        (10, "a"), (20, "b"),
+    ]
+    # aliased single-table scope resolves through the alias
+    _run(ex, "CREATE TABLE srp3 AS SELECT a.* REPLACE (v + 1 AS v) "
+             "FROM srp a ORDER BY k")
+    assert spark.table("srp3").columns == ["k", "s", "v"]
+    assert sorted(tuple(r) for r in spark.table("srp3").collect()) == [
+        (1, "a", 11.0), (2, "b", 21.0),
+    ]
