@@ -4897,7 +4897,12 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                             )
                             i = close + 1
                             continue
-                        # array_agg/list: only the sort-by-self form maps
+                        # array_agg/list: only the sort-by-self form
+                        # maps (optionally DISTINCT). NULL elements are
+                        # KEPT like DuckDB (collect_list drops them, so
+                        # rows are collected as structs and unwrapped —
+                        # the per-element lambda cost is group-sized);
+                        # NULLs sort LAST in DuckDB for ASC and DESC
                         order_expr = tail[len("ORDER") :].strip()
                         assert order_expr.upper().startswith("BY")
                         order_expr = order_expr[2:].strip()
@@ -4911,11 +4916,29 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                                 else order_expr
                             )
                         )
-                        if core.replace(" ", "") == head.replace(" ", ""):
-                            flag = ", false" if desc else ""
-                            out.extend(
-                                _toks(f"sort_array(collect_list({head}){flag})")
+                        hdist = re.match(r"(?is)^\s*DISTINCT\b", head)
+                        hcore = (
+                            head[hdist.end():].strip() if hdist else head
+                        )
+                        if core.replace(" ", "") == hcore.replace(" ", ""):
+                            arr = (
+                                f"transform(collect_list("
+                                f"struct(({hcore}) AS __v)), __s -> __s.__v)"
                             )
+                            if hdist:
+                                arr = f"array_distinct({arr})"
+                            if desc:
+                                expr = (
+                                    f"array_sort({arr}, (__l, __r) -> "
+                                    "CASE WHEN __l IS NULL AND __r IS "
+                                    "NULL THEN 0 WHEN __l IS NULL THEN 1 "
+                                    "WHEN __r IS NULL THEN -1 "
+                                    "WHEN __l < __r THEN 1 "
+                                    "WHEN __l > __r THEN -1 ELSE 0 END)"
+                                )
+                            else:
+                                expr = f"array_sort({arr})"
+                            out.extend(_toks(expr))
                             i = close + 1
                             continue
                 args = _split_top_commas(inner, ilo, ihi)
@@ -4924,6 +4947,60 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     out.extend(_toks(f"regexp_extract({a}, {b}, 0)"))
                     i = close + 1
                     continue
+                if (
+                    low in ("list_sort", "array_sort", "list_reverse_sort")
+                    and (
+                        (low == "list_reverse_sort" and len(args) in (1, 2))
+                        or (low != "list_reverse_sort" and len(args) in (2, 3))
+                    )
+                ):
+                    # DuckDB order/null-order literals (measured: the
+                    # DEFAULT null order is NULLS LAST for ASC and
+                    # DESC alike). Literal directions only — a dynamic
+                    # direction column fails loudly at analysis.
+                    l_ = _sql(inner, *args[0])
+                    lits = []
+                    litok = True
+                    for sp in args[1:]:
+                        code = [
+                            t
+                            for t in inner[sp[0]: sp[1]]
+                            if t.kind not in ("ws", "comment")
+                        ]
+                        if len(code) == 1 and code[0].kind == "string":
+                            lits.append(
+                                code[0].text[1:-1].strip().upper()
+                            )
+                        else:
+                            litok = False
+                    if litok:
+                        if low == "list_reverse_sort":
+                            order = "DESC"
+                            nulls = lits[0] if lits else "NULLS LAST"
+                        else:
+                            order = lits[0] if lits else "ASC"
+                            nulls = (
+                                lits[1] if len(lits) > 1 else "NULLS LAST"
+                            )
+                        # Spark: array_sort = ASC NULLS LAST;
+                        # sort_array(asc) = ASC NULLS FIRST;
+                        # sort_array(desc) = DESC NULLS LAST (measured)
+                        nf = nulls == "NULLS FIRST"
+                        if order == "DESC":
+                            expr = (
+                                f"reverse(array_sort(({l_})))"
+                                if nf
+                                else f"sort_array(({l_}), false)"
+                            )
+                        else:
+                            expr = (
+                                f"sort_array(({l_}), true)"
+                                if nf
+                                else f"array_sort(({l_}))"
+                            )
+                        out.extend(_toks(expr))
+                        i = close + 1
+                        continue
                 if low in ("list_resize", "array_resize") and len(args) in (2, 3):
                     # pad with NULL (2-arg) or the given value (3-arg)
                     # BEYOND the original length; existing NULL elements

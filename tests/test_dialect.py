@@ -227,10 +227,17 @@ def test_string_escape_doubling():
 def test_agg_order_by_rewrites():
     out = translate("SELECT string_agg(x, ',' ORDER BY y) FROM t")
     assert "listagg" in out and "WITHIN GROUP" in out and "ORDER BY y" in out
+    # NULL-preserving form: rows collected as structs (collect_list
+    # would drop NULL elements, DuckDB keeps them), then array_sort —
+    # Spark's default = ASC NULLS LAST = DuckDB's ordering
     out2 = translate("SELECT array_agg(x ORDER BY x) FROM t").replace(" ", "")
-    assert "sort_array(collect_list(x))" in out2
+    assert "array_sort(transform(collect_list(struct((x)AS__v))" in out2
     out3 = translate("SELECT array_agg(x ORDER BY x DESC) FROM t").replace(" ", "")
-    assert "sort_array(collect_list(x),false)" in out3
+    assert "__lISNULLTHEN1" in out3  # DESC comparator, NULLs last
+    out4 = translate(
+        "SELECT array_agg(DISTINCT x ORDER BY x) FROM t"
+    ).replace(" ", "")
+    assert "array_distinct(" in out4
 
 
 def test_datetime_name_shims():
