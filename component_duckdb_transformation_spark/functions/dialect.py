@@ -6136,12 +6136,77 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     ]
                     if len(fmt_code) == 1 and fmt_code[0].kind == "string":
                         fmt = fmt_code[0].text[1:-1]
-                        # plain {} placeholders only (no {:spec}/{n})
-                        if "{" not in fmt.replace("{}", "") and "}" not in fmt.replace("{}", ""):
-                            spark_fmt = fmt.replace("%", "%%").replace("{}", "%s")
-                            rest = ", ".join(
-                                _sql(inner, s, e) for s, e in args[1:]
+                        # fmtlib placeholders -> printf: {} and
+                        # {:[width][.prec][dfsxoe]} (positional {n},
+                        # fill/align, and locale {:,} forms are left
+                        # unrewritten -> loud analysis error)
+                        esc = (
+                            fmt.replace("%", "%%")
+                            .replace("{{", "\x00")
+                            .replace("}}", "\x01")
+                        )
+
+                        def _ph(m):
+                            body = m.group(1)
+                            if body == "":
+                                return "%s"
+                            if not body.startswith(":"):
+                                return None
+                            sm = re.fullmatch(
+                                r"(\d*)(?:\.(\d+))?([dfsxoe])?", body[1:]
                             )
+                            if sm is None:
+                                return None
+                            width, prec, typ = sm.groups()
+                            typ = typ or ("f" if prec else "s")
+                            return (
+                                "%"
+                                + (width or "")
+                                + (f".{prec}" if prec else "")
+                                + typ
+                            )
+
+                        parts_out = []
+                        typs = []
+                        pos = 0
+                        fmt_ok = True
+                        for m in re.finditer(r"\{([^{}]*)\}", esc):
+                            rep = _ph(m)
+                            if rep is None:
+                                fmt_ok = False
+                                break
+                            parts_out.append(esc[pos: m.start()])
+                            parts_out.append(rep)
+                            typs.append(rep[-1])
+                            pos = m.end()
+                        if fmt_ok:
+                            parts_out.append(esc[pos:])
+                            spark_fmt = (
+                                "".join(parts_out)
+                                .replace("\x00", "{")
+                                .replace("\x01", "}")
+                            )
+                            # Spark's %f/%e reject DECIMAL and %x/%o
+                            # non-integral args — cast per placeholder
+                            # (fmtlib coerces; positional alignment is
+                            # 1:1 since {n} refs were rejected above)
+                            arg_sqls = [
+                                _sql(inner, s, e) for s, e in args[1:]
+                            ]
+                            casted = []
+                            for t_, a_ in zip(typs, arg_sqls):
+                                if t_ in ("f", "e"):
+                                    casted.append(
+                                        f"CAST(({a_}) AS DOUBLE)"
+                                    )
+                                elif t_ in ("x", "o", "d"):
+                                    casted.append(
+                                        f"CAST(({a_}) AS BIGINT)"
+                                    )
+                                else:
+                                    casted.append(a_)
+                            casted += arg_sqls[len(typs):]
+                            rest = ", ".join(casted)
                             tail = f", {rest}" if rest else ""
                             out.extend(
                                 _toks(f"format_string('{spark_fmt}'{tail})")
