@@ -166,6 +166,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_string_escapes(tokens)
     tokens = _rewrite_quoted_identifiers(tokens)
     tokens = _rewrite_trailing_commas(tokens)
+    tokens = _rewrite_at_time_zone(tokens)
     tokens = _rewrite_time_wrap(tokens)
     tokens = _rewrite_time_literals(tokens)
     tokens = _rewrite_brace_literals(tokens)
@@ -562,6 +563,67 @@ def _is_time_primary(tokens: List[Token], i: int):
         if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
             return (i, _matching_paren(tokens, j) + 1)
     return None
+
+
+def _rewrite_at_time_zone(tokens: List[Token]) -> List[Token]:
+    """``x AT TIME ZONE tz`` -> ``timezone(tz, x)`` — DuckDB's operator
+    is sugar for its 2-arg ``timezone()`` (verified identical output),
+    which the function pass later lowers to ``to_utc_timestamp``.
+    Rendering keeps this engine's UTC-session convention (no
+    TIMESTAMPTZ ``+00`` suffix — COVERAGE.md)."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.is_kw("AT"):
+            j = _next_code(tokens, i)
+            k = _next_code(tokens, j) if j < n else n
+            if (
+                j < n
+                and tokens[j].is_kw("TIME")
+                and k < n
+                and tokens[k].is_kw("ZONE")
+            ):
+                z = _next_code(tokens, k)
+                if z < n:
+                    if tokens[z].kind == "op" and tokens[z].text == "(":
+                        z_end = _matching_paren(tokens, z) + 1
+                    elif tokens[z].kind in (
+                        "string", "word", "bident", "qident"
+                    ):
+                        z_end = z + 1
+                        nx = _next_code(tokens, z)
+                        while (
+                            nx < n
+                            and tokens[nx].kind == "op"
+                            and tokens[nx].text == "."
+                        ):
+                            nx = _next_code(tokens, nx)
+                            z_end = nx + 1
+                            nx = _next_code(tokens, nx)
+                    else:
+                        out.append(tok)
+                        i += 1
+                        continue
+                    operand = _pop_operand(out)
+                    # fold a typed-literal prefix (TIMESTAMP '...')
+                    k3 = len(out) - 1
+                    while k3 >= 0 and out[k3].kind in ("ws", "comment"):
+                        k3 -= 1
+                    if k3 >= 0 and out[k3].is_kw(
+                        "DATE", "TIME", "TIMESTAMP", "TIMESTAMPTZ"
+                    ):
+                        operand = out[k3:] + operand
+                        del out[k3:]
+                    o_sql = "".join(t.text for t in operand).strip()
+                    z_sql = _sql(tokens, z, z_end)
+                    out.extend(_toks(f"timezone({z_sql}, {o_sql})"))
+                    i = z_end
+                    continue
+        out.append(tok)
+        i += 1
+    return out
 
 
 def _rewrite_time_wrap(tokens: List[Token]) -> List[Token]:
