@@ -1083,6 +1083,17 @@ def _parse_table_primary(toks: List[Token]):
 # #partitions rows (not data rows), then broadcast-join the offsets
 # back and add the in-partition offset. Only partition STATS ever
 # concentrate; the data path stays map-side.
+#
+# The template evaluates ``{src}`` twice (data pass + zero-column count
+# pass), which is ONLY sound when both scans are guaranteed the same
+# partition layout and row order: a FileScan/LocalTableScan primary
+# with no Exchange (file-split determinism; the count pass prunes all
+# columns but pruning never changes file splits). A shuffled source
+# breaks that guarantee — column pruning makes the two subtrees
+# non-identical so the exchange is not reused, and AQE can coalesce
+# the count side to fewer partitions than the data side, silently
+# dropping or misnumbering rows. ``_scan_stable_primary`` gates this
+# template; everything else takes ``_POSITIONAL_WRAP_CTE``.
 _POSITIONAL_WRAP = (
     "(SELECT __pt.* EXCEPT (__mid), "
     "CAST(__po.__off + (__pt.__mid & 8589934591) + 1 AS BIGINT) AS __pos "
@@ -1094,6 +1105,121 @@ _POSITIONAL_WRAP = (
     "FROM {src}) __pr GROUP BY __pid) __pc) __po "
     "ON shiftright(__pt.__mid, 33) = __po.__pid) {al}"
 )
+
+# Safe variant for sources that may shuffle (subqueries with GROUP
+# BY/JOIN/aggregates, views registered unstable by the executor): the
+# tagged frame is a CTE referenced twice. Because the CTE contains a
+# non-deterministic expression (monotonically_increasing_id) and has
+# two references, Spark's ReplaceCTERefWithRepartition rule wraps each
+# reference's child in a round-robin repartition whose
+# sort-before-repartition contract (SPARK-23207) makes row->partition
+# assignment AND within-partition order a pure function of the row
+# data — identical across both references even on a real cluster with
+# non-deterministic shuffle-fetch arrival order. Costs one extra
+# rebalance shuffle of the data side; still fully distributed (no
+# single-task window over data rows).
+_POSITIONAL_WRAP_CTE = (
+    "(WITH {pt} AS "
+    "(SELECT *, monotonically_increasing_id() AS __mid FROM {src}) "
+    "SELECT {pt}.* EXCEPT (__mid), "
+    "CAST(__po.__off + ({pt}.__mid & 8589934591) + 1 AS BIGINT) AS __pos "
+    "FROM {pt} "
+    "JOIN (SELECT __pid, sum(__cnt) OVER (ORDER BY __pid "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - __cnt AS __off "
+    "FROM (SELECT __pid, count(*) AS __cnt FROM "
+    "(SELECT shiftright(__mid, 33) AS __pid FROM {pt}) __pr "
+    "GROUP BY __pid) __pc) __po "
+    "ON shiftright({pt}.__mid, 33) = __po.__pid) {al}"
+)
+
+# View names the executor registered whose defining query may shuffle
+# (CREATE VIEW bodies with aggregates/joins/ORDER BY, helper views
+# over computed DataFrames). A bare name in a POSITIONAL JOIN that
+# appears here routes to the CTE wrap. Populated by
+# ``mark_scan_unstable`` from plans/executor.py; bench/driver contexts
+# never populate it (their tables are parquet-backed temp views, which
+# are file-scan stable).
+_SCAN_UNSTABLE_NAMES: set = set()
+
+
+def mark_scan_unstable(name: str) -> None:
+    _SCAN_UNSTABLE_NAMES.add(name.strip('`"').lower())
+
+
+def mark_scan_stable(name: str) -> None:
+    _SCAN_UNSTABLE_NAMES.discard(name.strip('`"').lower())
+
+
+# Keywords/functions whose presence anywhere in a subquery primary
+# means its physical layout may involve an Exchange (or row-level
+# non-determinism), so two evaluations can diverge.
+_SCAN_UNSTABLE_KWS = frozenset({
+    "GROUP", "JOIN", "ORDER", "DISTINCT", "OVER", "QUALIFY", "LIMIT",
+    "UNION", "INTERSECT", "EXCEPT", "SAMPLE", "TABLESAMPLE", "NATURAL",
+    "CROSS", "LATERAL", "WITH", "HAVING", "WINDOW", "CLUSTER", "SORT",
+    "ASOF", "POSITIONAL", "USING", "UNNEST",
+})
+_SCAN_UNSTABLE_FNS = frozenset({
+    # non-deterministic row functions
+    "rand", "randn", "random", "uuid", "gen_random_uuid", "uuidv4",
+    "uuidv7", "shuffle", "monotonically_increasing_id", "setseed",
+    # aggregates (an aggregate without GROUP BY still plans an
+    # Exchange SinglePartition)
+    "count", "count_if", "sum", "avg", "mean", "min", "max", "median",
+    "mode", "product", "entropy", "mad", "stddev", "stddev_pop",
+    "stddev_samp", "std", "variance", "var_pop", "var_samp", "skewness",
+    "kurtosis", "corr", "covar_pop", "covar_samp", "regr_avgx",
+    "regr_avgy", "regr_count", "regr_intercept", "regr_r2", "regr_slope",
+    "regr_sxx", "regr_sxy", "regr_syy", "first", "first_value", "last",
+    "last_value", "any_value", "arbitrary", "bool_and", "bool_or",
+    "every", "quantile", "quantile_cont", "quantile_disc", "percentile",
+    "percentile_cont", "percentile_disc", "percentile_approx",
+    "approx_count_distinct", "approx_percentile", "approx_quantile",
+    "collect_list", "collect_set", "array_agg", "list", "listagg",
+    "string_agg", "group_concat", "map_agg", "histogram", "bit_and",
+    "bit_or", "bit_xor", "bitstring_agg", "arg_min", "arg_max",
+    "min_by", "max_by", "argmin", "argmax", "favg", "fsum", "kahan_sum",
+    "grouping", "grouping_id", "reservoir_quantile", "approx_top_k",
+})
+
+
+def _scan_stable_primary(src: str) -> bool:
+    """True when two textual evaluations of ``src`` (a table primary's
+    source SQL from ``_parse_table_primary``) are guaranteed identical
+    partition layout and row order: a bare name not registered
+    unstable, or a parenthesized projection/filter subquery with no
+    shuffle-inducing construct, aggregate, or non-deterministic
+    function at any depth (every FROM must also reference stable
+    names). Conservative: unknown shapes return False and take the
+    rebalance-CTE path, which is always safe."""
+    s = src.strip()
+    if not s.startswith("("):
+        base = s.split(".")[-1].strip('`"').lower()
+        return base not in _SCAN_UNSTABLE_NAMES
+    toks = tokenize(s)
+    n_ = len(toks)
+    for k, t in enumerate(toks):
+        if t.kind == "word":
+            up = t.upper
+            if up in _SCAN_UNSTABLE_KWS:
+                return False
+            nk = _next_code(toks, k)
+            if (
+                nk < n_
+                and toks[nk].kind == "op"
+                and toks[nk].text == "("
+                and t.text.lower() in _SCAN_UNSTABLE_FNS
+            ):
+                return False
+            if up == "FROM":
+                nk2 = _next_code(toks, k)
+                if nk2 < n_ and toks[nk2].kind in (
+                    "word", "bident", "qident"
+                ):
+                    nm = unquote_name(toks[nk2]).lower()
+                    if nm in _SCAN_UNSTABLE_NAMES:
+                        return False
+    return True
 
 
 _ANY_ALL_CMP_OPS = {"=", "==", "<", ">", "<=", ">=", "<>"}
@@ -1243,10 +1369,13 @@ def _rewrite_positional_join(tokens: List[Token]) -> List[Token]:
     patched to exclude the helper (COVERAGE.md documents the ordering
     caveat after COW mutations). Supported shape: both sides plain
     table primaries (name or aliased subquery); anything else is left
-    for Spark's parser to reject loudly."""
+    for Spark's parser to reject loudly. Scan-stable sides use the
+    zero-shuffle two-scan wrap; potentially-shuffling sides the
+    rebalance-CTE wrap (see the template docstrings)."""
     out: List[Token] = []
     i = 0
     n = len(tokens)
+    wrap_seq = [0]
     while i < n:
         tok = tokens[i]
         if not tok.is_kw("POSITIONAL"):
@@ -1302,12 +1431,21 @@ def _rewrite_positional_join(tokens: List[Token]) -> List[Token]:
             i += 1
             continue
         (lsrc, lal), (rsrc, ral) = left, right
+
+        def _wrap(src: str, al: str, tag: str) -> str:
+            if _scan_stable_primary(src):
+                return _POSITIONAL_WRAP.format(src=src, al=f"`{al}`")
+            return _POSITIONAL_WRAP_CTE.format(
+                src=src, al=f"`{al}`", pt=f"__pt_{tag}{wrap_seq[0]}"
+            )
+
+        wrap_seq[0] += 1
         del out[lstart:]
         out.extend(
             _toks(
-                _POSITIONAL_WRAP.format(src=lsrc, al=f"`{lal}`")
+                _wrap(lsrc, lal, "l")
                 + " FULL JOIN "
-                + _POSITIONAL_WRAP.format(src=rsrc, al=f"`{ral}`")
+                + _wrap(rsrc, ral, "r")
                 + f" ON `{lal}`.__pos = `{ral}`.__pos"
             )
         )

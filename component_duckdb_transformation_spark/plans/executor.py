@@ -39,9 +39,12 @@ from ..exceptions import UserException
 from ..functions.dialect import (
     _matching_paren,
     _pop_operand,
+    _scan_stable_primary,
     _split_top_level_args,
     expand_columns_macro,
     expand_union_by_name,
+    mark_scan_stable,
+    mark_scan_unstable,
     translate,
 )
 from .orchestrator import Query
@@ -144,6 +147,8 @@ class TableStore:
             f"CREATE OR REPLACE TEMPORARY VIEW {_bt(state.name)} "
             f"AS SELECT {projection} FROM parquet.`{state.path}`"
         )
+        # parquet-backed: file-split scan order is deterministic
+        mark_scan_stable(state.name)
 
     def create_table(self, name: str, df: DataFrame, order_by: str | None = None) -> None:
         with self._lock:
@@ -2275,6 +2280,7 @@ class SparkStatementExecutor:
         tables are parquet-backed temp views), so Spark's strict
         DROP TABLE-vs-VIEW distinction must not leak through."""
         existed = self.spark.catalog.dropTempView(name)
+        mark_scan_stable(name)  # forget any unstable-view registration
         self.store.tables.pop(name, None)
         self.view_order_by.pop(name, None)
         self.primary_keys.pop(name.lower(), None)
@@ -2293,6 +2299,13 @@ class SparkStatementExecutor:
         self.spark.sql(
             f"CREATE OR REPLACE TEMPORARY VIEW {_bt(name)} AS {translate(body)}"
         )
+        # a view whose body may shuffle is not scan-order stable: a
+        # later POSITIONAL JOIN referencing it by name must take the
+        # rebalance-CTE numbering, not the two-scan wrap
+        if _scan_stable_primary("(" + body + ")"):
+            mark_scan_stable(name)
+        else:
+            mark_scan_unstable(name)
         order_clause = _terminal_order_by(body)
         if order_clause:
             self.view_order_by[name] = order_clause
