@@ -2533,17 +2533,186 @@ def _entropy_order_tail_ok(tokens: List[Token], order_idx: int, end: int) -> boo
     return True
 
 
+def _replace_clause_aggs(seg: List[Token], aggset, hoist: dict, keymap: dict):
+    """Rewrite one HAVING/ORDER clause-body token list: every
+    aggregate call span (including WITHIN GROUP / FILTER riders)
+    becomes a ``__hv_j`` ref recorded in ``hoist``; every (possibly
+    dotted) reference whose final segment is a group key becomes its
+    ``__ok_i`` export from ``keymap``. Returns the rewritten SQL text,
+    or None when the clause contains a window (OVER) — those cannot be
+    hoisted into the aggregate scope."""
+    out: List[str] = []
+    i = 0
+    n_ = len(seg)
+    while i < n_:
+        t = seg[i]
+        if t.kind == "word":
+            nk = _next_code(seg, i)
+            if (
+                nk < n_
+                and seg[nk].kind == "op"
+                and seg[nk].text == "("
+                and t.text.lower() in aggset
+            ):
+                close = _matching_paren(seg, nk)
+                if close < 0:
+                    return None
+                end = close
+                while True:  # WITHIN GROUP (...) / FILTER (...) riders
+                    after = _next_code(seg, end)
+                    if after < n_ and seg[after].is_kw("WITHIN"):
+                        g = _next_code(seg, after)
+                        p = _next_code(seg, g) if g < n_ else n_
+                        if (
+                            g < n_
+                            and seg[g].is_kw("GROUP")
+                            and p < n_
+                            and seg[p].text == "("
+                        ):
+                            end = _matching_paren(seg, p)
+                            continue
+                        return None
+                    if after < n_ and seg[after].is_kw("FILTER"):
+                        p = _next_code(seg, after)
+                        if p < n_ and seg[p].text == "(":
+                            end = _matching_paren(seg, p)
+                            continue
+                        return None
+                    break
+                after = _next_code(seg, end)
+                if after < n_ and seg[after].is_kw("OVER"):
+                    return None
+                call = "".join(x.text for x in seg[i : end + 1])
+                key = " ".join(call.split())
+                j = hoist.setdefault(key, (len(hoist), call))[0]
+                out.append(f"__hv_{j}")
+                i = end + 1
+                continue
+            if t.is_kw("OVER"):
+                return None
+        nk = _next_code(seg, i)
+        is_call = nk < n_ and seg[nk].kind == "op" and seg[nk].text == "("
+        if t.kind in ("word", "bident", "qident") and not is_call:
+            end = i  # dotted chain -> group-key export
+            j2 = _next_code(seg, i)
+            while j2 < n_ and seg[j2].kind == "op" and seg[j2].text == ".":
+                j2 = _next_code(seg, j2)
+                if j2 >= n_:
+                    break
+                end = j2
+                j2 = _next_code(seg, j2)
+            last = unquote_name(seg[end]).lower()
+            if last in keymap:
+                out.append(keymap[last])
+            else:
+                out.append("".join(x.text for x in seg[i : end + 1]))
+            i = end + 1
+            continue
+        out.append(t.text)
+        i += 1
+    return "".join(out)
+
+
+def _hoist_agg_having_order(
+    tokens: List[Token],
+    spec: dict,
+    first: int,
+    from_idx: int,
+    clause_idx: dict,
+    clause_end,
+    keys: List[str],
+    n: int,
+):
+    """``SELECT k, x FROM t GROUP BY k HAVING mad(x) > c`` (or ORDER BY
+    mad(x)) restructures by hoisting every aggregate call in the
+    HAVING/ORDER clauses into hidden select items (plus ``__ok_i``
+    exports of the group keys), letting the select-list restructure
+    produce the two-phase plan, then filtering/sorting on the outer
+    scope and hiding the helpers with ``* EXCEPT``. Returns new tokens
+    or None (caller keeps the documented fallback)."""
+    fname = spec["name"]
+    aggset = (set(spec["context"]) | {fname}) - {"over", "make_dt_interval"}
+    keymap: dict = {}
+    key_items: List[str] = []
+    for idx, k in enumerate(keys):
+        nm = _plain_identifier_name(k)
+        if nm is None:
+            return None
+        keymap[nm.strip('`"').lower()] = f"__ok_{idx}"
+        key_items.append(f"{k} AS __ok_{idx}")
+    tail_lo = min(
+        (
+            clause_idx[c]
+            for c in ("ORDER", "LIMIT", "OFFSET")
+            if c in clause_idx
+        ),
+        default=n,
+    )
+    hav_lo = clause_idx.get("HAVING", n)
+    hoist: dict = {}
+    hav_repl = None
+    if hav_lo < n:
+        body = tokens[hav_lo + 1 : clause_end(hav_lo)]
+        hav_repl = _replace_clause_aggs(body, aggset, hoist, keymap)
+        if hav_repl is None:
+            return None
+    tail_repl = ""
+    if tail_lo < n:
+        tail_repl = _replace_clause_aggs(
+            tokens[tail_lo:n], aggset, hoist, keymap
+        )
+        if tail_repl is None:
+            return None
+    if not hoist:
+        return None
+    # the target name must be fully consumed by the hoist (a leftover
+    # occurrence would dangle unresolved in the outer scope)
+    for txt in filter(None, (hav_repl, tail_repl)):
+        if any(
+            t.kind == "word" and t.text.lower() == fname
+            for t in tokenize(txt)
+        ):
+            return None
+    extra = [
+        f"{call} AS __hv_{j}"
+        for j, call in sorted(hoist.values())
+    ] + key_items
+    inner_hi = min(hav_lo, tail_lo, n)
+    inner_sql = (
+        _sql(tokens, first, from_idx)
+        + ", "
+        + ", ".join(extra)
+        + " "
+        + _sql(tokens, from_idx, inner_hi)
+    )
+    inner_out = _rewrite_aggfn_groupby(_toks(inner_sql), spec)
+    inner_sql2 = "".join(t.text for t in inner_out)
+    helpers = [f"__hv_{j}" for j in range(len(hoist))] + [
+        f"__ok_{i}" for i in range(len(keys))
+    ]
+    sql = (
+        f"SELECT * EXCEPT ({', '.join(helpers)}) "
+        f"FROM ({inner_sql2}) __hoist"
+    )
+    if hav_repl is not None:
+        sql += " WHERE " + hav_repl
+    if tail_repl:
+        sql += " " + tail_repl
+    return _toks(sql)
+
+
 def _rewrite_aggfn_groupby(tokens: List[Token], spec: dict) -> List[Token]:
     """Scale-safe statement restructure for an aggregate function that
     has no bounded-memory single-pass Spark form: when ``spec["name"]``
     appears only as a scalar-context aggregate in the select list of a
     plain GROUP BY (or global-aggregate) SELECT, restructure so each
     argument is computed by a per-arg subquery (``spec["make_sub"]``)
-    joined back on the group keys. Shapes the restructure can't express
-    (the call in HAVING/ORDER BY, nested in another aggregate or a
-    window, grouping by non-column expressions, DISTINCT, ...) keep the
-    fallback applied later in the pipeline (entropy: collect_list
-    template; mad: grouped-agg pandas UDF)."""
+    joined back on the group keys; calls in HAVING/ORDER BY are hoisted
+    into hidden select items first (``_hoist_agg_having_order``).
+    Shapes the restructure can't express (nested in another aggregate
+    or a window, grouping by non-column expressions, DISTINCT, ...)
+    keep the fallback applied later in the pipeline (entropy:
+    collect_list template; mad: grouped-agg pandas UDF)."""
     fname = spec["name"]
     context = spec["context"]
     n = len(tokens)
@@ -2650,13 +2819,34 @@ def _rewrite_aggfn_groupby(tokens: List[Token], spec: dict) -> List[Token]:
                 return tokens
             keys.append(term)
 
-    # the target call must not appear outside the select list
-    for cl in ("WHERE", "GROUP", "HAVING", "ORDER"):
+    # the target call must not appear in WHERE/GROUP (not aggregate
+    # scope there); HAVING/ORDER BY occurrences are handled by hoisting
+    # every aggregate call in those clauses into hidden select items so
+    # the inner SELECT (where the restructure applies) carries them,
+    # and the predicate/sort runs on the outer scope
+    for cl in ("WHERE", "GROUP"):
         if cl in clause_idx:
             lo = clause_idx[cl]
             for t in tokens[lo : clause_end(lo)]:
                 if t.kind == "word" and t.text.lower() == fname:
                     return tokens
+
+    def _clause_has_fname(cl: str) -> bool:
+        if cl not in clause_idx:
+            return False
+        lo = clause_idx[cl]
+        return any(
+            t.kind == "word" and t.text.lower() == fname
+            for t in tokens[lo : clause_end(lo)]
+        )
+
+    if _clause_has_fname("HAVING") or _clause_has_fname("ORDER"):
+        hoisted = _hoist_agg_having_order(
+            tokens, spec, first, from_idx, clause_idx, clause_end, keys, n
+        )
+        if hoisted is not None:
+            return hoisted
+        return tokens
     if "ORDER" in clause_idx and not _entropy_order_tail_ok(
         tokens, clause_idx["ORDER"], clause_end(clause_idx["ORDER"])
     ):

@@ -134,3 +134,54 @@ def test_positional_join_values_and_projection_sides(spark):
         )
         got = sorted((tuple(r) for r in spark.sql(t).collect()), key=key)
         assert got == want, (sql, want, got)
+
+
+MAD_HOIST_CASES = [
+    "SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand "
+    "HAVING mad(p_retailprice) > 100 ORDER BY p_brand",
+    "SELECT p_brand, avg(p_retailprice) AS a FROM part GROUP BY p_brand "
+    "ORDER BY mad(p_retailprice) DESC, p_brand LIMIT 5",
+    "SELECT p_brand FROM part GROUP BY p_brand "
+    "HAVING mad(p_retailprice) > 100 AND count(*) > 3 ORDER BY p_brand",
+    "SELECT p_brand, mad(p_retailprice) AS m FROM part GROUP BY p_brand "
+    "HAVING mad(p_retailprice) > 120 ORDER BY p_brand",
+    "SELECT count(*) AS n FROM part HAVING mad(p_retailprice) > 1",
+    "SELECT sum(p_size) AS s FROM part GROUP BY p_brand "
+    "HAVING mad(p_retailprice) > 150 ORDER BY s",
+    "SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand "
+    "HAVING entropy(p_type) > 4.2 ORDER BY p_brand",
+    "SELECT p_brand FROM part GROUP BY p_brand "
+    "ORDER BY entropy(p_type) DESC, p_brand LIMIT 3",
+    "SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand "
+    "HAVING mad(part.p_retailprice) > 100 AND part.p_brand <> 'Brand#11' "
+    "ORDER BY p_brand",
+    "SELECT p_brand FROM part GROUP BY p_brand HAVING mad(p_retailprice) "
+    "> percentile_cont(0.05) WITHIN GROUP (ORDER BY p_retailprice) / 10 "
+    "ORDER BY p_brand",
+]
+
+
+@pytest.mark.parametrize("sql", MAD_HOIST_CASES)
+def test_mad_entropy_having_order_hoist(spark, sql):
+    """mad()/entropy() in HAVING and ORDER BY: hoisted into the
+    two-phase select-list restructure, results must match DuckDB."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS "
+        "FROM read_parquet('/root/testdata/sf0.001/part.parquet')"
+    )
+    spark.read.parquet(
+        "/root/testdata/sf0.001/part.parquet"
+    ).createOrReplaceTempView("part")
+
+    def norm(v):
+        return round(v, 6) if isinstance(v, float) else v
+
+    got = sorted(
+        str(tuple(norm(x) for x in r))
+        for r in spark.sql(translate(sql)).collect()
+    )
+    want = sorted(
+        str(tuple(norm(x) for x in r)) for r in con.execute(sql).fetchall()
+    )
+    assert got == want, (sql, want[:5], got[:5])

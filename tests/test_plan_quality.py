@@ -215,3 +215,32 @@ def test_grouped_mad_two_phase(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AggregateInPandas" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_grouped_mad_having_order_two_phase(spark):
+    """mad() in HAVING / ORDER BY must hoist into the select-list
+    restructure and keep the two-phase chained-median plan — the
+    pre-round-8 behavior fell back to the grouped-agg pandas UDF that
+    funnels one group's whole column through a single task."""
+    from component_duckdb_transformation_spark.functions.dialect import (
+        translate,
+    )
+    from component_duckdb_transformation_spark.workloads import (
+        register_tables,
+    )
+
+    register_tables(spark, SF)
+    for sql in (
+        "SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand "
+        "HAVING mad(p_retailprice) > 100",
+        "SELECT p_brand, avg(p_retailprice) AS a FROM part "
+        "GROUP BY p_brand ORDER BY mad(p_retailprice) DESC LIMIT 5",
+    ):
+        plan = (
+            spark.sql(translate(sql))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "AggregateInPandas" not in plan, sql
+        assert "FlatMapGroupsInPandas" not in plan, sql
