@@ -20,7 +20,14 @@ min — all keyed shuffles, no driver-side data beyond one convergence
 counter per round; the label frame is eagerly ``localCheckpoint``-ed
 each round, which both truncates the exponentially-growing iterative
 lineage and materializes the join input once instead of recomputing
-the whole prior chain per reference.
+the whole prior chain per reference.  The pointer jump is resolved
+over DISTINCT labels (map-side-combined), so a dominant component's
+canonical label never concentrates data rows in one task — the remap
+side shrinks with convergence and broadcasts.  The remaining skew
+surface is degree skew in the neighbor-min join (a hub node's edges
+share its ``d`` partition); that is a classic AQE skew-join split
+(probe partition split, single label row replicated), enabled in
+session.py.
 """
 
 from __future__ import annotations
@@ -87,19 +94,41 @@ def connected_components(
             )
         )
         # 2. pointer jump: lbl <- label(lbl) (measured: a second jump
-        # per round adds more stage cost than it saves in rounds)
+        # per round adds more stage cost than it saves in rounds).
+        #
+        # Skew-proofing: joining stepped directly against the full
+        # node->lbl table on ``lbl`` funnels every row of a dominant
+        # component (all sharing the canonical label) into the one
+        # task holding that label's partition. Instead resolve the
+        # jump over DISTINCT labels: the distinct aggregation absorbs
+        # the hot label via map-side combine (each map task emits one
+        # row per label), its join with the parent table is
+        # unique-key-to-unique-key (uniform), and the final remap
+        # joins stepped against a map whose size is the number of
+        # distinct labels — which shrinks toward #components exactly
+        # as label skew grows, so AQE flips it to a broadcast join and
+        # the hot label never shuffles data rows at all.
         parent = stepped.select(
             F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
         )
+        jump_map = (
+            stepped.select(F.col("lbl").alias("j_lbl"))
+            .distinct()
+            .join(parent, F.col("j_lbl") == parent["p_node"], "left")
+            .select(
+                "j_lbl",
+                F.coalesce(F.col("p_lbl"), F.col("j_lbl")).alias("j_to"),
+            )
+        )
         jumped = (
             stepped.join(
-                parent, stepped["lbl"] == parent["p_node"], "left"
+                jump_map, stepped["lbl"] == jump_map["j_lbl"], "left"
             )
             .select(
                 "node",
                 "old",
                 F.least(
-                    F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))
+                    F.col("lbl"), F.coalesce(F.col("j_to"), F.col("lbl"))
                 ).alias("lbl"),
             )
         )

@@ -70,3 +70,45 @@ def test_connected_components_shapes(spark):
     )
     labs = connected_components(chain, max_iter=12).collect()
     assert {r["cluster"] for r in labs} == {0}
+
+
+def test_connected_components_dominant_component_no_hot_task(spark):
+    """One component holding ~90% of all nodes: its canonical label is
+    the classic hot key. The pointer jump must resolve through the
+    distinct-label map (map-side combine + broadcast remap), so no
+    output task ends up processing the whole dominant component — the
+    pre-round-8 lbl==p_node self-join funneled ~90% of rows into the
+    single partition owning the canonical label."""
+    from component_duckdb_transformation_spark.operators.graph import (
+        connected_components,
+    )
+
+    # dominant: 45k-node tree rooted at 0 (edges i -> i//10);
+    # background: 500 disjoint 10-node chains
+    tree = spark.range(1, 45_001).select(
+        F.col("id").alias("src"), (F.col("id") / 10).cast("long").alias("dst")
+    )
+    chains = (
+        spark.range(500)
+        .crossJoin(spark.range(9).withColumnRenamed("id", "j"))
+        .select(
+            (F.lit(1_000_000) + F.col("id") * 100 + F.col("j")).alias("src"),
+            (F.lit(1_000_000) + F.col("id") * 100 + F.col("j") + 1).alias(
+                "dst"
+            ),
+        )
+    )
+    cc = connected_components(tree.union(chains), max_iter=20)
+    labs = cc.collect()
+    by_cluster = {}
+    for r in labs:
+        by_cluster.setdefault(r["cluster"], 0)
+        by_cluster[r["cluster"]] += 1
+    assert by_cluster[0] == 45_001
+    assert len(by_cluster) == 501
+    # no task processes the dominant component wholesale
+    sizes = sorted(
+        s for s in cc.rdd.glom().map(len).collect() if s > 0
+    )
+    med = sizes[len(sizes) // 2]
+    assert sizes[-1] <= 2 * med, (sizes, med)
