@@ -40,6 +40,7 @@ from ..functions.dialect import (
     _matching_paren,
     _pop_operand,
     _scan_stable_primary,
+    _split_top_commas,
     _split_top_level_args,
     expand_columns_macro,
     expand_union_by_name,
@@ -314,6 +315,9 @@ class SparkStatementExecutor:
         self._dirty_read_paths: set[str] = set()
         # sequences: name -> {next, curr, inc, minv, maxv, cycle, used}
         self._sequences: Dict[str, dict] = {}
+        # scratch parquet materializations for nextval over shuffled
+        # sources (_seq_materialize_shuffled)
+        self._seq_mat_counter = 0
         # ENUM types: lowercase name -> ordered value list
         self._enum_types: Dict[str, List[str]] = {}
         # DDL-declared ENUM columns: table -> {col -> enum name}, for
@@ -1365,6 +1369,7 @@ class SparkStatementExecutor:
                 has_from = True
                 break
         rank_sql = None
+        mat_view = None
         if not has_from:
             rank_sql = "CAST(1 AS BIGINT)"  # single-row statement
         else:
@@ -1404,8 +1409,24 @@ class SparkStatementExecutor:
                     qtext, "CAST(0 AS BIGINT)"
                 )
                 rank_sql = self._scan_order_rank_sql(probe_q)
+                if rank_sql is None:
+                    # shuffled source: materialize the non-sequence
+                    # columns to scratch parquet (deterministic file
+                    # order) and number the parquet scan distributedly
+                    mat = self._seq_materialize_shuffled(qtext)
+                    if mat is not None:
+                        outer_q, mat_view = mat
+                        sql = (
+                            "".join(t.text for t in sql_toks[:qlo])
+                            + outer_q
+                            + "".join(t.text for t in sql_toks[qhi:])
+                        )
+                        rank_sql = self._scan_order_rank_sql(
+                            f"SELECT * FROM {_bt(mat_view)}"
+                        )
         if rank_sql is None:
-            # shuffled source: serialization point, documented
+            # unrebuildable shuffled shape: serialization point,
+            # documented (COVERAGE.md)
             rank_sql = (
                 "row_number() OVER (ORDER BY "
                 "monotonically_increasing_id())"
@@ -1427,6 +1448,10 @@ class SparkStatementExecutor:
         new_st = parse_statement(new_sql)
         stype = new_st.statement_type
         target = self._target_table(new_st)
+        # NOTE: a scratch __seq_mat_N view stays registered — the
+        # RETURNING view (and any lazy consumer of this statement's
+        # result) may still reference it; names are unique per counter
+        # and the backing parquet lives in the warehouse scratch dir.
         if stype == StatementType.CREATE_TABLE:
             self._execute_statement(new_st)
             n = self.spark.table(_bt(target)).count()
@@ -1462,6 +1487,161 @@ class SparkStatementExecutor:
                 seq["next"] = (last + inc - seq["minv"]) % span + seq["minv"]
             seq["used"] = True
         return True
+
+    # select-item residue allowed around a hoisted nextval call: the
+    # rebuilt item re-evaluates over the materialized scan, so it may
+    # reference nothing but the call itself and constant scaffolding
+    _SEQ_ITEM_CONST_WORDS = frozenset({
+        "cast", "as", "bigint", "int", "integer", "smallint", "tinyint",
+        "hugeint", "ubigint", "uinteger", "varchar", "text", "string",
+        "double", "decimal", "numeric", "concat", "lpad", "rpad", "abs",
+        "format", "printf", "null",
+    })
+
+    def _seq_materialize_shuffled(self, qtext: str):
+        """nextval over a SHUFFLED source: materialize the query's
+        non-sequence columns to scratch parquet (scan order of the
+        materialization is deterministic file order — parquet part
+        files are listed name-sorted in write order), then rebuild the
+        query as a scan of that table so the existing distributed
+        partition-stats numbering applies. Returns ``(outer_query_sql,
+        mat_view_name)`` with the nextval call left intact for the
+        caller's value substitution, or None when the statement shape
+        can't be safely rebuilt (the caller keeps the documented
+        single-task window fallback).
+
+        Supported shape: plain SELECT list where the nextval item
+        references only the call plus constants, every other item is a
+        bare ``*``, an ``AS``-aliased expression, or a (dotted) column
+        ref, and GROUP BY / ORDER BY carry no ordinals or ALL (their
+        positions shift when the sequence item is dropped from the
+        materialization)."""
+        toks = tokenize(qtext)
+        code = [k for k, t in enumerate(toks) if t.kind not in ("ws", "comment")]
+        if not code or not toks[code[0]].is_kw("SELECT"):
+            return None
+        sel0 = code[0]
+        first_item = _next_code_idx(toks, sel0)
+        if first_item < len(toks) and toks[first_item].is_kw(
+            "DISTINCT", "ALL"
+        ):
+            return None
+        # depth-0 FROM + ordinal/ALL guard on GROUP/ORDER bodies
+        depth = 0
+        from_idx = None
+        guard = False  # inside a GROUP BY / ORDER BY body
+        for k, t in enumerate(toks):
+            if t.kind == "op" and t.text in ("(", "["):
+                depth += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.kind == "word":
+                u = t.upper
+                if u == "FROM" and from_idx is None:
+                    from_idx = k
+                elif u in ("GROUP", "ORDER"):
+                    guard = True
+                elif u in ("HAVING", "LIMIT", "OFFSET", "WHERE", "QUALIFY"):
+                    guard = False
+                elif guard and u == "ALL":
+                    return None
+                elif guard and re.fullmatch(r"\d+", t.text):
+                    return None  # ordinal — position shifts after drop
+        if from_idx is None or from_idx <= sel0:
+            return None
+        items = _split_top_commas(toks, first_item, from_idx)
+        seq_pos = None
+        for idx, (lo, hi) in enumerate(items):
+            if any(
+                toks[k].kind == "word"
+                and toks[k].text.lower() == "nextval"
+                for k in range(lo, hi)
+            ):
+                if seq_pos is not None:
+                    return None
+                seq_pos = idx
+        if seq_pos is None:
+            return None
+        outer_items: List[str] = []
+        mat_items: List[str] = []
+        for idx, (lo, hi) in enumerate(items):
+            seg = toks[lo:hi]
+            text = "".join(t.text for t in seg).strip()
+            scode = [t for t in seg if t.kind not in ("ws", "comment")]
+            if idx == seq_pos:
+                spans = self._seq_call_spans(seg, "nextval")
+                if len(spans) != 1:
+                    return None
+                w, close, _ = spans[0]
+                residue = [
+                    t
+                    for k, t in enumerate(seg)
+                    if t.kind not in ("ws", "comment")
+                    and not (w <= k <= close)
+                ]
+                # strip optional trailing "AS alias"
+                if (
+                    len(residue) >= 2
+                    and residue[-2].is_kw("AS")
+                    and residue[-1].kind in ("word", "bident", "qident")
+                ):
+                    residue = residue[:-2]
+                for t in residue:
+                    if t.kind in ("number", "string", "op"):
+                        continue
+                    if t.kind == "word" and (
+                        t.text.lower() in self._SEQ_ITEM_CONST_WORDS
+                        or re.fullmatch(
+                            r"\d+(\.\d+)?([eE][+-]?\d+)?", t.text
+                        )
+                    ):
+                        continue
+                    return None
+                outer_items.append(text)
+                continue
+            if len(scode) == 1 and scode[0].kind == "op" and scode[0].text == "*":
+                outer_items.append("*")
+                mat_items.append(text)
+                continue
+            if (
+                len(scode) >= 3
+                and scode[-2].is_kw("AS")
+                and scode[-1].kind in ("word", "bident", "qident")
+            ):
+                outer_items.append(_bt(unquote_name(scode[-1])))
+                mat_items.append(text)
+                continue
+            # bare (dotted) column ref
+            if len(scode) % 2 == 1 and all(
+                (
+                    t.kind in ("word", "bident", "qident")
+                    if k % 2 == 0
+                    else (t.kind == "op" and t.text == ".")
+                )
+                for k, t in enumerate(scode)
+            ):
+                outer_items.append(_bt(unquote_name(scode[-1])))
+                mat_items.append(text)
+                continue
+            return None
+        if not mat_items:
+            mat_items = ["1 AS __seq_one"]
+        tail = "".join(t.text for t in toks[from_idx:])
+        mat_sql = "SELECT " + ", ".join(mat_items) + " " + tail
+        self._seq_mat_counter += 1
+        view = f"__seq_mat_{self._seq_mat_counter}"
+        path = os.path.join(
+            self.store.warehouse_dir, "__seq_mat", f"m{self._seq_mat_counter}"
+        )
+        try:
+            self.spark.sql(translate(mat_sql)).write.mode(
+                "overwrite"
+            ).parquet(path)
+            self.spark.read.parquet(path).createOrReplaceTempView(view)
+        except Exception:  # noqa: BLE001 — any failure keeps the fallback
+            return None
+        outer = "SELECT " + ", ".join(outer_items) + f" FROM {_bt(view)}"
+        return outer, view
 
     def _replace_nextval_once(self, sql: str, repl: str) -> str:
         """Replace the first token-shaped ``nextval('...')`` call with

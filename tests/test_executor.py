@@ -1060,3 +1060,96 @@ def test_star_replace_preserves_column_order(spark, table_store):
     assert sorted(tuple(r) for r in spark.table("srp3").collect()) == [
         (1, "a", 11.0), (2, "b", 21.0),
     ]
+
+
+def test_sequences_shuffled_source_distributed(spark, table_store):
+    """nextval over a shuffled source (GROUP BY / JOIN): the executor
+    materializes the non-sequence columns to scratch parquet and
+    numbers the parquet scan with the distributed partition-stats rank
+    — no single-task row_number window. Values are still a dense
+    1..N · inc progression and the sequence advances correctly."""
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE sh_src AS SELECT range % 53 AS k, range AS v "
+             "FROM range(5000)")
+    _run(ex, "CREATE SEQUENCE sh_ids START 5 INCREMENT 3")
+    _run(ex, "CREATE TABLE sh_out AS SELECT nextval('sh_ids') AS id, k, "
+             "sum(v) AS sv FROM sh_src GROUP BY k")
+    # the materialization path (not the single-task fallback) ran
+    assert ex._seq_mat_counter == 1
+    got = sorted(r.id for r in spark.table("sh_out").collect())
+    assert got == [5 + 3 * i for i in range(53)]
+    # JOIN source continues the sequence
+    _run(ex, "CREATE TABLE sh_out2 AS SELECT nextval('sh_ids') AS id, "
+             "a.k FROM (SELECT DISTINCT k FROM sh_src) a JOIN "
+             "(SELECT DISTINCT k FROM sh_src WHERE k < 20) b ON a.k = b.k")
+    assert ex._seq_mat_counter == 2
+    got2 = sorted(r.id for r in spark.table("sh_out2").collect())
+    base = 5 + 3 * 53
+    assert got2 == [base + 3 * i for i in range(20)]
+    # ORDER BY in the source pins the assignment order (file order of
+    # the sorted materialization)
+    _run(ex, "CREATE SEQUENCE sh_ord")
+    _run(ex, "CREATE TABLE sh_out3 AS SELECT nextval('sh_ord') AS id, k "
+             "FROM (SELECT k, sum(v) AS sv FROM sh_src GROUP BY k "
+             "ORDER BY k) z")
+    rows = sorted((r.k, r.id) for r in spark.table("sh_out3").collect())
+    assert all(rid == k + 1 for k, rid in rows), rows[:10]
+    # INSERT ... RETURNING over a shuffled source
+    _run(ex, "CREATE TABLE sh_tgt (id BIGINT, k BIGINT)")
+    _run(ex, "CREATE SEQUENCE sh_ins")
+    _run(ex, "INSERT INTO sh_tgt SELECT nextval('sh_ins'), k FROM "
+             "(SELECT k, count(*) AS c FROM sh_src GROUP BY k) z "
+             "RETURNING *")
+    assert spark.sql(
+        "SELECT count(DISTINCT id) d FROM sh_tgt"
+    ).collect()[0].d == 53
+    assert spark.sql("SELECT count(*) c FROM returning").collect()[0].c == 53
+    # unrebuildable shape (unaliased expression item): still correct
+    # via the documented single-task fallback
+    mat_before = ex._seq_mat_counter
+    _run(ex, "CREATE SEQUENCE sh_fb")
+    _run(ex, "CREATE TABLE sh_fb_out AS SELECT nextval('sh_fb') AS id, "
+             "k + 0 FROM (SELECT k FROM sh_src GROUP BY k) z")
+    assert ex._seq_mat_counter == mat_before  # fallback, not rebuilt
+    n = spark.sql(
+        "SELECT count(DISTINCT id) d FROM sh_fb_out"
+    ).collect()[0].d
+    assert n == 53
+
+
+def test_seq_materialize_shuffled_shapes(spark, table_store):
+    """Shape gate of the scratch-parquet rebuild: constants-only
+    residue around the call, AS-aliased / bare-column / star items
+    pass; ordinals, ALL, expression items without aliases bail."""
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TABLE ms_src AS SELECT range AS a, range * 2 AS b "
+             "FROM range(100)")
+    ok = ex._seq_materialize_shuffled(
+        "SELECT nextval('s') + 10 AS id, a, ms_src.b, a + b AS c "
+        "FROM ms_src GROUP BY a, b"
+    )
+    assert ok is not None
+    outer, view = ok
+    assert view.startswith("__seq_mat_")
+    assert "nextval" in outer and "`c`" in outer and "`b`" in outer
+    for bad in (
+        # ordinal GROUP BY
+        "SELECT nextval('s') AS id, a FROM ms_src GROUP BY 2",
+        # GROUP BY ALL
+        "SELECT nextval('s') AS id, a FROM ms_src GROUP BY ALL",
+        # unaliased expression item
+        "SELECT nextval('s') AS id, a + 1 FROM ms_src GROUP BY a",
+        # non-constant residue around the call
+        "SELECT nextval('s') + a AS id, a FROM ms_src GROUP BY a",
+        # DISTINCT select
+        "SELECT DISTINCT nextval('s') AS id, a FROM ms_src",
+    ):
+        assert ex._seq_materialize_shuffled(bad) is None, bad
