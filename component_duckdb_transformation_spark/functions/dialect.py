@@ -1990,30 +1990,135 @@ def _pattern_composable(pat: str) -> bool:
     return True
 
 
+def _count_capture_groups(pat: str) -> int:
+    """Capturing groups of an RE2 pattern: unescaped ``(`` outside a
+    character class, excluding ``(?...)`` constructs EXCEPT the named
+    forms ``(?P<name>...)`` / ``(?<name>...)`` (which capture)."""
+    n = 0
+    i = 0
+    in_class = False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            if i + 1 < len(pat) and pat[i + 1] == "?":
+                if i + 2 < len(pat) and (
+                    pat[i + 2] == "<"
+                    and (i + 3 >= len(pat) or pat[i + 3] not in "=!")
+                    or pat[i + 2] == "P"
+                ):
+                    n += 1
+            else:
+                n += 1
+        i += 1
+    return n
+
+
+# Sentinel: the replacement is an INVALID RE2 rewrite, so DuckDB
+# returns the subject unchanged — callers emit the subject expression.
+REPLACE_NOOP = "__replace_noop__"
+
+
+def _re2_rewrite_to_java(
+    rep: str,
+    shift: int,
+    ngroups: Optional[int],
+    global_mode: bool = False,
+) -> Optional[str]:
+    """Translate an RE2 rewrite string (DuckDB replacement semantics:
+    ``\\N`` backref, ``\\0`` whole match, ``\\\\`` literal backslash,
+    ``$`` literal) to Java Matcher replacement syntax, shifting group
+    numbers by ``shift`` (the anchored replace-first composition
+    prepends two captures: the lazy prefix and the original whole
+    match, so ``\\0`` maps to ``$shift``). Returns None when DuckDB
+    would return the subject unchanged: a reference beyond ``ngroups``
+    anywhere (both modes), or — replace-FIRST mode only — an invalid
+    escape / trailing backslash. In GLOBAL mode an invalid escape
+    instead TRUNCATES the emitted replacement at that point (verified
+    RE2 behavior: bound refs pre-validate the whole string, emission
+    stops mid-rewrite). ``ngroups=None`` skips the bounds check
+    (dynamic pattern)."""
+    out: List[str] = []
+    i = 0
+    truncated = False
+    while i < len(rep):
+        c = rep[i]
+        if c == "\\":
+            if i + 1 >= len(rep):
+                if not global_mode:
+                    return None  # trailing backslash: invalid rewrite
+                truncated = True
+                break
+            nxt = rep[i + 1]
+            if nxt == "\\":
+                out.append("\\\\")
+                i += 2
+                continue
+            if nxt.isdigit():
+                g = int(nxt)
+                if ngroups is not None and g > ngroups:
+                    return None  # ref beyond group count: no-op
+                out.append(f"${shift if g == 0 else g + shift}")
+                i += 2
+                continue
+            if not global_mode:
+                return None  # invalid escape: whole call is a no-op
+            truncated = True
+            i += 2
+            break
+        if c == "$":
+            out.append("\\$")
+        else:
+            out.append(c)
+        i += 1
+    if truncated and ngroups is not None:
+        # global mode still bound-checks refs AFTER the truncation
+        # point (sequential escape parsing, no emission)
+        while i < len(rep):
+            if rep[i] == "\\" and i + 1 < len(rep):
+                if rep[i + 1].isdigit() and int(rep[i + 1]) > ngroups:
+                    return None
+                i += 2
+                continue
+            i += 1
+    return "".join(out)
+
+
 def replace_first_composition(
     pat: str, rep: str, case_insensitive: bool = False
-) -> tuple[str, str] | None:
+):
     """Compose a replace-ALL (pattern, replacement) pair equivalent to
     DuckDB's flagless replace-FIRST ``regexp_replace(s, pat, rep)``.
 
     The trick: anchor a non-greedy prefix capture — ``^((?s:.*?))(?:pat)``
     can match at most once (``^`` only matches at position 0), and the
     lazy prefix makes ``pat`` match at its earliest position, i.e. exactly
-    the first match. Replacement keeps the prefix via ``$1``.
+    the first match. Replacement keeps the prefix via ``$1``; the RE2
+    rewrite string is translated to Java syntax with group numbers
+    shifted past the prefix capture (``_re2_rewrite_to_java``).
 
-    Returns None (caller falls back to the validator lint) when the
-    composition would change meaning: ``pat`` contains an anchor outside
-    a character class (composition with ``^`` breaks) or a backreference
-    (group numbers shift), or ``rep`` contains a backslash (DuckDB
-    ``\\1``-style backrefs / escapes don't map 1:1 to Java's)."""
+    Returns None (caller falls back to the validator lint) when ``pat``
+    contains an anchor outside a character class (composition with
+    ``^`` breaks) or a backreference (group numbers shift), or the
+    ``REPLACE_NOOP`` sentinel when ``rep`` is an invalid RE2 rewrite
+    (DuckDB returns the subject unchanged). The original pattern is
+    wrapped in a second capture so ``\\0`` (whole match) stays
+    referenceable as ``$2``."""
     if not _pattern_composable(pat):
         return None
-    if "\\" in rep:
-        return None
+    jrep = _re2_rewrite_to_java(rep, 2, _count_capture_groups(pat))
+    if jrep is None:
+        return REPLACE_NOOP
     if case_insensitive:
         pat = "(?i:" + pat + ")"
-    # $ is literal in DuckDB replacements but a group ref in Java's
-    return "^((?s:.*?))(?:" + pat + ")", "$1" + rep.replace("$", "\\$")
+    return "^((?s:.*?))((?:" + pat + "))", "$1" + jrep
 
 
 def _decode_spark_string(tok: Token) -> str:
@@ -2027,11 +2132,56 @@ def _encode_spark_string(value: str) -> Token:
     return Token("string", f"'{inner}'")
 
 
-# Runtime guard for dynamic replace-first patterns: any anchor character
-# or backslash-digit backreference in the PATTERN VALUE makes the
-# anchored composition unsound, so those values fall back to plain
-# replace-all at runtime (same divergence the static path lints on).
-_UNCOMPOSABLE_PAT_RE = "[$^]|\\\\[0-9]"
+# Runtime guard for dynamic replace-first patterns: an anchor OUTSIDE
+# a character class, or a backslash-digit backreference, in the PATTERN
+# VALUE makes the anchored composition unsound — those values fall back
+# to plain replace-all at runtime. The guard lexes bracket expressions
+# (incl. ``[^...]`` negation and a leading ``]``), so class-contained
+# anchors like ``[$]`` / ``[\^]`` correctly stay on the composed
+# replace-first path, and an ESCAPED anchor (``\$`` — a literal) is
+# consumed by the ``\\[^0-9]`` unit and stays composable too.
+_UNCOMPOSABLE_PAT_RE = (
+    r"^(?:[^\[\\^$]|\\[^0-9]|\[\^?\]?(?:[^\]\\]|\\.)*\])*(?:[$^]|\\[0-9])"
+)
+
+
+def _rewrite_valid_re(ngroups: Optional[int]) -> str:
+    """Regex accepted by a VALID RE2 rewrite VALUE: plain chars,
+    ``\\\\`` pairs, and ``\\N`` refs (``\\0`` = whole match) bounded by
+    the pattern's group count when known. Anything else (invalid
+    escape, trailing backslash, out-of-range ref) makes DuckDB's
+    replace-FIRST return the subject unchanged."""
+    dig = "[0-9]" if ngroups is None else "[0-%d]" % min(ngroups, 9)
+    return r"^(?:[^\\]|\\\\|\\%s)*$" % dig
+
+
+def _rep_rewrite_chain(
+    rep: List[Token], shift: int, truncate: bool = False
+) -> List[Token]:
+    """Token list computing the Java replacement from a RUNTIME RE2
+    rewrite VALUE, for values the validity guard accepted: protect
+    literal ``$`` and ``\\\\`` pairs behind control-char sentinels,
+    shift each ``\\N`` backref to ``$(N+shift)`` (``\\0`` -> the
+    whole-match group ``$shift``), then restore the protected literals
+    in Java-escaped form. With ``truncate`` (global mode) the value is
+    first cut at its first invalid escape, reproducing RE2's
+    mid-rewrite abort. Pure JVM string ops."""
+    expr = "(" + "".join(t.text for t in rep) + ")"
+    if truncate:
+        valid_prefix = _encode_spark_string(
+            r"^((?:[^\\]|\\\\|\\[0-9])*)"
+        ).text
+        expr = f"regexp_extract({expr}, {valid_prefix}, 1)"
+    expr = f"replace({expr}, '$', chr(2))"
+    bs2 = _encode_spark_string("\\\\").text  # two-backslash pair
+    expr = f"replace({expr}, {bs2}, chr(1))"
+    for d in range(0, 10):
+        ref = _encode_spark_string("\\" + str(d)).text
+        expr = f"replace({expr}, {ref}, '${shift if d == 0 else d + shift}')"
+    expr = f"replace({expr}, chr(1), {bs2})"
+    jdollar = _encode_spark_string("\\$").text
+    expr = f"replace({expr}, chr(2), {jdollar})"
+    return _toks(expr)
 
 
 def _replace_first_dynamic(
@@ -2047,25 +2197,33 @@ def _replace_first_dynamic(
 
     Same anchored-prefix trick as ``replace_first_composition``, built
     with ``concat`` so the pattern can be any expression. Literal parts
-    are validated statically (anchors/backrefs -> None, caller keeps the
-    lint-covered replace-all); a runtime pattern gets a CASE guard that
-    falls back to replace-all only for values matching
-    ``_UNCOMPOSABLE_PAT_RE``. A runtime replacement is escaped at
-    runtime (backslash, then ``$``) so its value is inserted literally —
-    faithful to DuckDB for every value without a backslash (``$`` is
-    literal in RE2 rewrites; the escape preserves that). Backslashes in
-    a *runtime* replacement value diverge: DuckDB applies RE2 rewrite
-    syntax (``\\\\``=one backslash, ``\\1``=backref, invalid
-    escape=no-op) which has no cheap runtime translation to Java's, so
-    the literal insert is the documented behavior (COVERAGE.md)."""
+    are validated statically (pattern anchors/backrefs -> None, caller
+    keeps the lint-covered replace-all); a runtime pattern gets a CASE
+    guard that falls back to replace-all only for values matching the
+    class-aware ``_UNCOMPOSABLE_PAT_RE``. Replacements follow RE2
+    rewrite semantics like DuckDB: literal values translate statically
+    (``_re2_rewrite_to_java``; invalid rewrite -> the subject passes
+    through unchanged), runtime values translate through the
+    ``_rep_rewrite_chain`` string ops behind a validity RLIKE guard
+    (invalid value -> subject unchanged). The one remaining divergence:
+    a runtime PATTERN leaves the backref bound uncheckable, so a
+    runtime ``\\N`` ref beyond that pattern's group count errors in
+    Java where DuckDB no-ops (COVERAGE.md)."""
     if pat_lit is not None and not _pattern_composable(pat_lit):
         return None
-    if rep_lit is not None and "\\" in rep_lit:
-        return None
+    ngroups = _count_capture_groups(pat_lit) if pat_lit is not None else None
+    jrep2 = jrep0 = None
+    if rep_lit is not None:
+        jrep2 = _re2_rewrite_to_java(rep_lit, 2, ngroups)
+        jrep0 = _re2_rewrite_to_java(rep_lit, 0, ngroups)
+        if jrep2 is None:
+            # invalid rewrite: DuckDB returns the subject unchanged
+            return [Token("op", "(")] + list(subj) + [Token("op", ")")]
 
     def _pat_composed() -> List[Token]:
-        prefix = "^((?s:.*?))(?:" + ("(?i:" if case_insensitive else "")
-        suffix = ")" * (2 if case_insensitive else 1)
+        # second capture = the original whole match, for \0 refs
+        prefix = "^((?s:.*?))((?:" + ("(?i:" if case_insensitive else "")
+        suffix = ")" * (3 if case_insensitive else 2)
         if pat_lit is not None:
             return [_encode_spark_string(prefix + pat_lit + suffix)]
         return (
@@ -2075,24 +2233,13 @@ def _replace_first_dynamic(
             + [Token("op", ","), _encode_spark_string(suffix), Token("op", ")")]
         )
 
-    def _rep_escaped() -> List[Token]:
-        return (
-            _toks("replace(replace(")
-            + list(rep)
-            + [Token("op", ","), _encode_spark_string("\\"), Token("op", ",")]
-            + [_encode_spark_string("\\\\"), Token("op", ")"), Token("op", ",")]
-            + [_encode_spark_string("$"), Token("op", ",")]
-            + [_encode_spark_string("\\$")]
-            + _toks(")")
-        )
-
     def _rep_composed() -> List[Token]:
-        if rep_lit is not None:
-            return [_encode_spark_string("$1" + rep_lit.replace("$", "\\$"))]
+        if jrep2 is not None:
+            return [_encode_spark_string("$1" + jrep2)]
         return (
             _toks("concat(")
             + [_encode_spark_string("$1"), Token("op", ",")]
-            + _rep_escaped()
+            + _rep_rewrite_chain(rep, 2)
             + [Token("op", ")")]
         )
 
@@ -2107,9 +2254,29 @@ def _replace_first_dynamic(
             + [Token("op", ")")]
         )
 
+    def _rep_valid_guard() -> List[Token]:
+        # runtime replacement: invalid RE2 rewrite VALUE -> subject
+        return (
+            _toks("NOT ((")
+            + list(rep)
+            + _toks(") RLIKE ")
+            + [_encode_spark_string(_rewrite_valid_re(ngroups))]
+            + _toks(") THEN (")
+            + list(subj)
+            + _toks(") ")
+        )
+
     composed = _call(_pat_composed(), _rep_composed())
     if pat_lit is not None:
-        return composed
+        if rep_lit is not None:
+            return composed
+        return (
+            _toks("(CASE WHEN ")
+            + _rep_valid_guard()
+            + _toks(" ELSE ")
+            + composed
+            + _toks(" END)")
+        )
     guard = (
         [Token("op", "(")]
         + list(pat)
@@ -2119,25 +2286,25 @@ def _replace_first_dynamic(
     )
     # fallback branch: plain replace-all, case scope preserved
     if case_insensitive:
-        if pat_lit is not None:
-            fb_pat = [_encode_spark_string("(?i:" + pat_lit + ")")]
-        else:
-            fb_pat = (
-                _toks("concat(")
-                + [_encode_spark_string("(?i:"), Token("op", ",")]
-                + list(pat)
-                + [Token("op", ","), _encode_spark_string(")"), Token("op", ")")]
-            )
+        fb_pat = (
+            _toks("concat(")
+            + [_encode_spark_string("(?i:"), Token("op", ",")]
+            + list(pat)
+            + [Token("op", ","), _encode_spark_string(")"), Token("op", ")")]
+        )
     else:
         fb_pat = list(pat)
     fb_rep = (
-        [_encode_spark_string(rep_lit.replace("\\", "\\\\").replace("$", "\\$"))]
-        if rep_lit is not None
-        else _rep_escaped()
+        [_encode_spark_string(jrep0)]
+        if jrep0 is not None
+        else _rep_rewrite_chain(rep, 0)
     )
     fallback = _call(fb_pat, fb_rep)
+    head = _toks("(CASE WHEN ")
+    if rep_lit is None:
+        head += _rep_valid_guard() + _toks(" WHEN ")
     return (
-        _toks("(CASE WHEN ")
+        head
         + guard
         + _toks(" THEN ")
         + fallback
@@ -3130,28 +3297,93 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                     )
                     if "g" in flags:
                         # replace-ALL (Spark's native behavior); 'i' adds
-                        # a case-insensitivity scope to the pattern
-                        out.append(tok)
-                        out.append(Token("op", "("))
-                        out.extend(args[0])
-                        out.append(Token("op", ","))
+                        # a case-insensitivity scope to the pattern. The
+                        # replacement still follows RE2 rewrite
+                        # semantics (backrefs \N, literal $, invalid
+                        # rewrite -> subject unchanged).
                         if "i" not in flags:
-                            out.extend(args[1])
+                            pat_toks = list(args[1])
                         elif pat_is_lit:
-                            out.append(
-                                _encode_spark_string(
-                                    "(?i:"
-                                    + _decode_spark_string(pat_code[0])
-                                    + ")"
+                            pat_toks = [_encode_spark_string(
+                                "(?i:"
+                                + _decode_spark_string(pat_code[0])
+                                + ")"
+                            )]
+                        else:
+                            pat_toks = (
+                                _toks("concat('(?i:', ")
+                                + list(args[1])
+                                + _toks(", ')')")
+                            )
+                        rep_code_g = [
+                            t
+                            for t in args[2]
+                            if t.kind not in ("ws", "comment")
+                        ]
+                        rep_is_lit_g = (
+                            len(rep_code_g) == 1
+                            and rep_code_g[0].kind == "string"
+                        )
+                        ngroups_g = (
+                            _count_capture_groups(
+                                _decode_spark_string(pat_code[0])
+                            )
+                            if pat_is_lit
+                            else None
+                        )
+                        if rep_is_lit_g:
+                            j0 = _re2_rewrite_to_java(
+                                _decode_spark_string(rep_code_g[0]),
+                                0,
+                                ngroups_g,
+                                global_mode=True,
+                            )
+                            if j0 is None:
+                                # out-of-range ref: subject unchanged
+                                out.append(Token("op", "("))
+                                out.extend(args[0])
+                                out.append(Token("op", ")"))
+                                i = close + 1
+                                continue
+                            rep_toks = [_encode_spark_string(j0)]
+                            oob_guard = None
+                        else:
+                            rep_toks = _rep_rewrite_chain(
+                                args[2], 0, truncate=True
+                            )
+                            # out-of-range refs pre-validate the whole
+                            # VALUE in global mode (checkable only when
+                            # the pattern's group count is known)
+                            oob_guard = None
+                            if ngroups_g is not None and ngroups_g < 9:
+                                m = ngroups_g + 1
+                                oob_guard = (
+                                    r"^(?:[^\\]|\\[^%d-9])*\\[%d-9]"
+                                    % (m, m)
                                 )
+                        call_toks = (
+                            _toks("regexp_replace(")
+                            + list(args[0])
+                            + [Token("op", ",")]
+                            + pat_toks
+                            + [Token("op", ",")]
+                            + rep_toks
+                            + [Token("op", ")")]
+                        )
+                        if oob_guard is not None:
+                            out.extend(
+                                _toks("(CASE WHEN ((")
+                                + list(args[2])
+                                + _toks(") RLIKE ")
+                                + [_encode_spark_string(oob_guard)]
+                                + _toks(") THEN (")
+                                + list(args[0])
+                                + _toks(") ELSE ")
+                                + call_toks
+                                + _toks(" END)")
                             )
                         else:
-                            out.extend(_toks("concat('(?i:', "))
-                            out.extend(args[1])
-                            out.extend(_toks(", ')')"))
-                        out.append(Token("op", ","))
-                        out.extend(args[2])
-                        out.append(Token("op", ")"))
+                            out.extend(call_toks)
                         i = close + 1
                         continue
                     # flags 'i' or '': DuckDB replace-FIRST. Compose
@@ -3172,6 +3404,13 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                             _decode_spark_string(rep_code[0]),
                             case_insensitive="i" in flags,
                         )
+                        if composed == REPLACE_NOOP:
+                            # invalid rewrite: subject unchanged
+                            out.append(Token("op", "("))
+                            out.extend(args[0])
+                            out.append(Token("op", ")"))
+                            i = close + 1
+                            continue
                     elif not (pat_is_lit and rep_is_lit):
                         dyn = _replace_first_dynamic(
                             args[0],
@@ -3235,6 +3474,13 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                             _decode_spark_string(pat_code[0]),
                             _decode_spark_string(rep_code[0]),
                         )
+                        if composed == REPLACE_NOOP:
+                            # invalid rewrite: subject unchanged
+                            out.append(Token("op", "("))
+                            out.extend(args[0])
+                            out.append(Token("op", ")"))
+                            i = close + 1
+                            continue
                         if composed is not None:
                             out.append(tok)
                             out.append(Token("op", "("))

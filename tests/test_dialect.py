@@ -79,28 +79,41 @@ def test_date_diff_to_timestampdiff():
 def test_regexp_replace_g_flag_dropped():
     out = translate("SELECT regexp_replace(s, '[aeiou]', '_', 'g') FROM t")
     assert "'g'" not in out
-    assert "regexp_replace(s, '[aeiou]', '_')" in out.replace(" ,", ",")
+    norm = out.replace(" ,", ",").replace(", ", ",")
+    assert "regexp_replace(s,'[aeiou]','_')" in norm
 
 
 def test_regexp_replace_first_composition():
     # 3-arg (DuckDB replace-FIRST) with literal args -> anchored
-    # lazy-prefix replace-all; behavior verified against DuckDB in
-    # test_replace_first_semantics below
+    # lazy-prefix replace-all (second capture = whole match, for \0);
+    # behavior verified against DuckDB in test_replace_first_semantics
     out3 = translate("SELECT regexp_replace(s, 'a', 'b') FROM t")
-    assert "'^((?s:.*?))(?:a)'" in out3
+    assert "'^((?s:.*?))((?:a))'" in out3
     assert "'$1b'" in out3
     # $ in the replacement is literal in DuckDB -> escaped for Java
     outd = translate("SELECT regexp_replace(s, 'a', '$') FROM t")
     assert "'$1\\\\$'" in outd
-    # literal anchors / backrefs: left as replace-all (lint-covered)
+    # backrefs translate with the +2 group shift; \0 is the whole match
+    outr = translate("SELECT regexp_replace(s, '(a)x', '\\1') FROM t")
+    assert "'$1$3'" in outr
+    out0 = translate("SELECT regexp_replace(s, 'ax', 'X\\0Y') FROM t")
+    assert "'$1X$2Y'" in out0
+    # literal pattern anchors: left as replace-all (lint-covered)
     for sql in (
         "SELECT regexp_replace(s, '^a', 'b') FROM t",
         "SELECT regexp_replace(s, 'a$', 'b') FROM t",
         "SELECT regexp_replace(s, '(a)\\1', 'b') FROM t",
-        "SELECT regexp_replace(s, 'a', '\\1') FROM t",
     ):
         out = translate(sql)
         assert "(?s:" not in out, sql
+    # invalid RE2 rewrite (ref beyond groups, bad escape): the whole
+    # call is a no-op -> just the subject
+    for sql in (
+        "SELECT regexp_replace(s, 'a', '\\1') FROM t",
+        "SELECT regexp_replace(s, 'a', '\\x') FROM t",
+    ):
+        out = translate(sql)
+        assert "regexp_replace" not in out and "(s)" in out, (sql, out)
 
 
 def test_regexp_replace_first_dynamic_composition():
@@ -108,17 +121,18 @@ def test_regexp_replace_first_dynamic_composition():
     out = translate("SELECT regexp_replace(s, p, 'b') FROM t")
     assert "CASE WHEN" in out and "(?s:" in out and "RLIKE" in out
     # non-literal replacement with a clean literal pattern -> composed
-    # statically, replacement escaped at runtime (no guard needed)
+    # statically, replacement translated at runtime behind a rewrite
+    # validity guard (invalid RE2 rewrite VALUE -> subject unchanged)
     out = translate("SELECT regexp_replace(s, 'a', r) FROM t")
-    assert "CASE WHEN" not in out and "'^((?s:.*?))(?:a)'" in out
+    assert "CASE WHEN" in out and "'^((?s:.*?))((?:a))'" in out
     assert "replace(replace(" in out
-    # uncomposable literal part wins even when the other arg is dynamic
-    for sql in (
-        "SELECT regexp_replace(s, '^a', r) FROM t",
-        "SELECT regexp_replace(s, p, '\\1') FROM t",
-    ):
-        out = translate(sql)
-        assert "(?s:" not in out, sql
+    # a dynamic pattern with a literal backref replacement composes too
+    # (group numbers shifted past the two prefix captures)
+    out = translate("SELECT regexp_replace(s, p, '\\1') FROM t")
+    assert "(?s:" in out and "'$1$3'" in out
+    # uncomposable literal pattern wins even when the rep is dynamic
+    out = translate("SELECT regexp_replace(s, '^a', r) FROM t")
+    assert "(?s:" not in out
 
 
 def test_qualify_rewrite():

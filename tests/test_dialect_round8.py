@@ -185,3 +185,60 @@ def test_mad_entropy_having_order_hoist(spark, sql):
         str(tuple(norm(x) for x in r)) for r in con.execute(sql).fetchall()
     )
     assert got == want, (sql, want[:5], got[:5])
+
+
+REGEXP_REWRITE_CASES = [
+    # literal: backrefs, whole-match \0, literal \\ and $, invalid
+    # rewrites (no-op), class-contained anchors, escaped anchors
+    "SELECT regexp_replace('abcabc', 'b(c)', '\\1') AS r",
+    "SELECT regexp_replace('abcabc', 'b(c)', '\\\\') AS r",
+    "SELECT regexp_replace('abcabc', 'b(c)', '\\x') AS r",
+    "SELECT regexp_replace('abcabc', '(b)(c)', '\\2\\1') AS r",
+    "SELECT regexp_replace('abcabc', 'b(c)', '\\1', 'g') AS r",
+    "SELECT regexp_replace('a$b$c', '[$]', 'X') AS r",
+    "SELECT regexp_replace('a^b', '[\\^]', 'Y') AS r",
+    "SELECT regexp_replace('abcabc', 'b(c)', '$1') AS r",
+    "SELECT regexp_replace('abcabc', 'b(c)', '$1', 'g') AS r",
+    "SELECT regexp_replace('abcabc', 'b(c)', 'X\\0Y') AS r",
+    "SELECT regexp_replace('abcabc', 'b(c)', 'p\\0s', 'g') AS r",
+    "SELECT regexp_replace('abcabc', 'b(c)', '\\2') AS r",
+    "SELECT regexp_replace('abcabc', 'B(C)', '\\1', 'gi') AS r",
+    "SELECT regexp_replace('abcabc', 'B(C)', '\\0\\1', 'i') AS r",
+    "SELECT regexp_replace('trail', 'a', 'x\\') AS r",
+    "SELECT regexp_replace('trail', 'a', 'x\\', 'g') AS r",
+    "SELECT regexp_replace('abcabc', 'b(c)', 'p\\qs', 'g') AS r",
+    "SELECT regexp_replace('abcabc', 'b(c)', 'p\\q\\2s', 'g') AS r",
+    "SELECT regexp_replace('m$n', '\\$', 'D') AS r",
+    # runtime pattern and/or replacement
+    "SELECT regexp_replace(s, p, 'X') AS r FROM (VALUES ('a$b$c', '[$]'),"
+    " ('a^b', '[\\^]'), ('aXb', 'X'), ('m$n', '\\$'), ('q^r', '^q')) t(s, p)",
+    "SELECT regexp_replace(s, 'b(c)', rep) AS r FROM (VALUES"
+    " ('abcabc', '\\1'), ('abcabc', '\\\\'), ('abcabc', '\\x'),"
+    " ('abcabc', '$9'), ('abcabc', '\\2'), ('abcabc', '\\0Z')) t(s, rep)",
+    "SELECT regexp_replace(s, p, rep) AS r FROM (VALUES"
+    " ('abcabc', 'b(c)', '\\1'), ('a$b', '[$]', 'Z'),"
+    " ('abcabc', 'b(c)', '\\x'), ('abcabc', 'b(c)', 'W\\0W')) t(s, p, rep)",
+    "SELECT regexp_replace(s, 'b(c)', rep, 'g') AS r FROM (VALUES"
+    " ('abcabc', '\\1'), ('abcabc', '$$'), ('abcabc', '\\q'),"
+    " ('abcabc', 'p\\qs'), ('abcabc', 'p\\q\\2s'), ('abcabc', '\\0x'),"
+    " ('abcabc', 'z\\')) t(s, rep)",
+    "SELECT regexp_replace(s, p, rep, 'g') AS r FROM (VALUES"
+    " ('abcabc', 'b(c)', '\\1'), ('a$b', '[$]', 'Z'),"
+    " ('abcabc', 'b(c)', 'p\\qs')) t(s, p, rep)",
+    "SELECT regexp_replace(s, p, rep, 'i') AS r FROM (VALUES"
+    " ('aBCabc', 'b(c)', '\\1'), ('a$b', '[$]', 'Z')) t(s, p, rep)",
+]
+
+
+@pytest.mark.parametrize("sql", REGEXP_REWRITE_CASES)
+def test_regexp_replace_re2_rewrite_semantics(spark, sql):
+    """regexp_replace must reproduce DuckDB's RE2 rewrite semantics:
+    \\N backrefs, \\0 whole match, literal $ and \\\\, replace-FIRST
+    no-op on invalid rewrites, global-mode mid-rewrite truncation on
+    invalid escapes, out-of-range-ref no-op, and class-contained
+    anchors staying on the composed replace-first path — for literal
+    AND runtime patterns/replacements."""
+    con = duckdb.connect()
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    got = [r.r for r in spark.sql(translate(sql)).collect()]
+    assert got == want, (sql, want, got)

@@ -26,12 +26,18 @@ def test_three_arg_regexp_replace_unshimable_warns():
     for sql in (
         "SELECT regexp_replace(s, '^a', 'b') FROM t",       # anchor
         "SELECT regexp_replace(s, '(a)\\1', 'b') FROM t",   # backref
-        "SELECT regexp_replace(s, 'a', '\\1') FROM t",      # rep backref
         "SELECT regexp_replace(s, '^a', r) FROM t",         # anchor + dyn rep
-        "SELECT regexp_replace(s, p, '\\1') FROM t",        # dyn pat + backref
+        # dyn pattern + backref rep: group bound uncheckable at runtime
+        "SELECT regexp_replace(s, p, '\\1') FROM t",
     ):
         msgs = check_common_sql_errors(sql)
         assert any("FIRST match" in m for m in msgs), sql
+    # literal-pattern rep backref is handled faithfully now (RE2
+    # rewrite translation incl. out-of-range no-op): no warning
+    msgs = check_common_sql_errors(
+        "SELECT regexp_replace(s, 'a', '\\1') FROM t"
+    )
+    assert not any("FIRST match" in m for m in msgs)
 
 
 def test_three_arg_regexp_replace_dynamic_args_composed_clean():
