@@ -4396,19 +4396,64 @@ def _json_path_literal(v: str) -> str:
 
 
 
+def _yyjson_double_sql(dexpr: str) -> str:
+    """Render a DOUBLE exactly like DuckDB's yyjson writer: shortest
+    round-trip digits (Java 17's Double.toString is shortest too),
+    plain decimal with a ``.0`` integer suffix for decimal exponents
+    in [-6, 20], otherwise ``<digits>e<exp>`` with lowercase ``e``, no
+    ``+``, and no ``.0`` on integer mantissas (``1e21``, not
+    ``1.0e21``). Java's no-exponent range (1e-3..1e7) is a subset of
+    yyjson's decimal range with identical formatting, so those pass
+    through; only ``m.mEn`` forms are reshaped. Lambda bindings keep
+    the double expression evaluated once."""
+    return (
+        "(element_at(transform(array(CAST((" + dexpr + ") AS STRING)), "
+        "__ds -> CASE WHEN locate('E', __ds) = 0 THEN __ds ELSE concat("
+        "CASE WHEN __ds LIKE '-%' THEN '-' ELSE '' END, "
+        "element_at(transform(array(named_struct("
+        "'h', substring_index(CASE WHEN __ds LIKE '-%' "
+        "THEN substr(__ds, 2) ELSE __ds END, 'E', 1), "
+        "'n', CAST(substring_index(__ds, 'E', -1) AS INT))), __p -> "
+        "element_at(transform(array(named_struct("
+        "'dg', CASE WHEN substr(__p.h, 3) = '0' THEN substr(__p.h, 1, 1) "
+        "ELSE concat(substr(__p.h, 1, 1), substr(__p.h, 3)) END, "
+        "'n', __p.n, 'h', __p.h)), __q -> "
+        "CASE WHEN __q.n BETWEEN -6 AND 20 THEN "
+        "CASE WHEN __q.n + 1 >= length(__q.dg) "
+        "THEN concat(__q.dg, repeat('0', __q.n + 1 - length(__q.dg)), '.0') "
+        "WHEN __q.n >= 0 "
+        "THEN concat(substr(__q.dg, 1, __q.n + 1), '.', "
+        "substr(__q.dg, __q.n + 2)) "
+        "ELSE concat('0.', repeat('0', - __q.n - 1), __q.dg) END "
+        "ELSE concat(CASE WHEN substr(__q.h, 3) = '0' "
+        "THEN substr(__q.h, 1, 1) ELSE __q.h END, "
+        "'e', CAST(__q.n AS STRING)) END), 1)), 1)) END), 1))"
+    )
+
+
 # JSON-RETURNING extraction (DuckDB's -> / json_extract): DuckDB hands
 # back JSON text, so a STRING leaf arrives QUOTED ('"abc"').
 # get_json_object alone unquotes string leaves; a variant type-probe
-# re-quotes exactly those (numbers/objects/arrays keep
-# get_json_object's source-faithful rendering, which matches yyjson on
-# everything except scientific-notation normalization — documented).
+# re-quotes exactly those. Numeric leaves match yyjson exactly:
+# BIGINT/in-range integer leaves keep get_json_object's source text
+# (canonical integer JSON), DOUBLE leaves (scientific-notation
+# sources) and DECIMAL leaves with a fraction or beyond the
+# int64/uint64 range (yyjson parses those as doubles) re-render
+# through the shortest-round-trip writer (``_yyjson_double_sql``).
 # Catalyst's subexpression elimination collapses the repeated
 # parse_json.
 def _json_get_sql(src: str, path: str) -> str:
+    vg = f"variant_get(parse_json({src}), {path})"
+    sv = f"schema_of_variant({vg})"
+    dbl = _yyjson_double_sql(f"CAST({vg} AS DOUBLE)")
     return (
-        f"(CASE WHEN schema_of_variant(variant_get(parse_json({src}), "
-        f"{path})) = 'STRING' THEN to_json(variant_get(parse_json("
-        f"{src}), {path})) ELSE get_json_object({src}, {path}) END)"
+        f"(CASE WHEN {sv} = 'STRING' THEN to_json({vg}) "
+        f"WHEN {sv} = 'DOUBLE' OR ({sv} LIKE 'DECIMAL%' AND ("
+        f"{sv} NOT LIKE '%,0)' "
+        f"OR CAST({vg} AS DECIMAL(38,0)) > 18446744073709551615 "
+        f"OR CAST({vg} AS DECIMAL(38,0)) < -9223372036854775808)) "
+        f"THEN {dbl} "
+        f"ELSE get_json_object({src}, {path}) END)"
     )
 
 

@@ -242,3 +242,33 @@ def test_regexp_replace_re2_rewrite_semantics(spark, sql):
     want = [r[0] for r in con.execute(sql).fetchall()]
     got = [r.r for r in spark.sql(translate(sql)).collect()]
     assert got == want, (sql, want, got)
+
+
+JSON_NUMERIC_LEAVES = [
+    "1e10", "1E10", "1.5e3", "1e-3", "2.5E-7", "1e100", "123", "1.25",
+    "1.250", "-1e5", "1e308", "1e-308", "0.1",
+    "1.7976931348623157e308", "9007199254740993",
+    "0.30000000000000004", "1e2", "3.14e0", "1e+5", "1e20", "1e21",
+    "1e-6", "1e-7", "1.234e16", "1.23456789e-5",
+    "123456789012345678901234567890", "-123456789012345678901234567890",
+    "0.10000000000000001", "18446744073709551615",
+    "18446744073709551616", "-9223372036854775808",
+    "-9223372036854775809", "2.00000000000000011",
+    "0.123456789012345678901",
+    "99999999999999999999999999999999999999",
+]
+
+
+def test_json_arrow_numeric_leaf_yyjson_normalization(spark):
+    """JSON-returning `->` must render numeric leaves exactly like
+    DuckDB's yyjson writer: integer leaves in int64/uint64 range keep
+    their source text, everything yyjson parses as a double
+    (scientific notation, fractions beyond shortest-repr, out-of-range
+    integers) re-renders as shortest round-trip with yyjson's
+    decimal/scientific cutoffs ([-6, 20]) and `.0` integer suffix."""
+    con = duckdb.connect()
+    for v in JSON_NUMERIC_LEAVES:
+        sql = "SELECT '{\"x\": %s}'->'x' AS r" % v
+        want = con.execute(sql).fetchone()[0]
+        got = spark.sql(translate(sql)).collect()[0].r
+        assert got == want, (v, want, got)
