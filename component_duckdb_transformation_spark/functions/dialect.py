@@ -6828,9 +6828,16 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                         )
 
                         def _ph(m):
+                            # returns (spec, typ, bare_width) —
+                            # bare_width set for {:N} with no explicit
+                            # type/precision: fmtlib then left-aligns
+                            # strings/bools but right-aligns numbers,
+                            # so alignment must be decided at runtime
+                            # on the argument's type (%Ns would
+                            # right-align everything)
                             body = m.group(1)
                             if body == "":
-                                return "%s"
+                                return ("%s", "s", None)
                             if not body.startswith(":"):
                                 return None
                             sm = re.fullmatch(
@@ -6839,16 +6846,21 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                             if sm is None:
                                 return None
                             width, prec, typ = sm.groups()
+                            if width and not prec and not typ:
+                                return ("%s", "s", int(width))
                             typ = typ or ("f" if prec else "s")
                             return (
                                 "%"
                                 + (width or "")
                                 + (f".{prec}" if prec else "")
-                                + typ
+                                + typ,
+                                typ,
+                                None,
                             )
 
                         parts_out = []
                         typs = []
+                        bare_widths = []
                         pos = 0
                         fmt_ok = True
                         for m in re.finditer(r"\{([^{}]*)\}", esc):
@@ -6857,8 +6869,9 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                                 fmt_ok = False
                                 break
                             parts_out.append(esc[pos: m.start()])
-                            parts_out.append(rep)
-                            typs.append(rep[-1])
+                            parts_out.append(rep[0])
+                            typs.append(rep[1])
+                            bare_widths.append(rep[2])
                             pos = m.end()
                         if fmt_ok:
                             parts_out.append(esc[pos:])
@@ -6875,8 +6888,24 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                                 _sql(inner, s, e) for s, e in args[1:]
                             ]
                             casted = []
-                            for t_, a_ in zip(typs, arg_sqls):
-                                if t_ in ("f", "e"):
+                            for t_, w_, a_ in zip(
+                                typs, bare_widths, arg_sqls
+                            ):
+                                if w_ is not None:
+                                    # {:N}: fmtlib pads to a MINIMUM
+                                    # width, left-aligning strings and
+                                    # booleans, right-aligning numbers
+                                    s_ = f"CAST(({a_}) AS STRING)"
+                                    casted.append(
+                                        f"(CASE WHEN length({s_}) >= {w_}"
+                                        f" THEN {s_}"
+                                        f" WHEN typeof(({a_})) IN"
+                                        f" ('string', 'boolean')"
+                                        f" THEN rpad({s_}, {w_}, ' ')"
+                                        f" ELSE lpad({s_}, {w_}, ' ')"
+                                        " END)"
+                                    )
+                                elif t_ in ("f", "e"):
                                     casted.append(
                                         f"CAST(({a_}) AS DOUBLE)"
                                     )

@@ -307,12 +307,14 @@ class SparkStatementExecutor:
         self.checks: Dict[str, List[str]] = {}
         # scalar macros: name -> (params, body text), inlined at use
         self._macros: Dict[str, tuple[List[str], str]] = {}
-        # temp views already bound for file-reading table functions,
-        # plus paths written since binding (a COPY TO between two
-        # read_csv calls on the same path must re-register the view:
-        # the cached one pins the OLD data and inferred schema)
+        # temp views already bound (and fresh) for file-reading table
+        # functions, plus abspath -> ALL view names ever bound for that
+        # path (one per distinct option set). A COPY TO must invalidate
+        # every view of the written path, not just the first one
+        # re-registered — each cached view pins the OLD data and
+        # inferred schema.
         self._file_read_views: set[str] = set()
-        self._dirty_read_paths: set[str] = set()
+        self._path_read_views: Dict[str, set] = {}
         # sequences: name -> {next, curr, inc, minv, maxv, cycle, used}
         self._sequences: Dict[str, dict] = {}
         # scratch parquet materializations for nextval over shuffled
@@ -772,8 +774,20 @@ class SparkStatementExecutor:
         out: List[Token] = []
         i = 0
         changed = False
+        depth2 = 0
         while i < n:
             tok = tokens[i]
+            # only depth-0 stars belong to the resolved FROM scope — a
+            # star inside a nested subquery/CTE body has its own FROM
+            # and is left to the dialect fallback
+            if tok.kind == "op" and tok.text in ("(", "["):
+                depth2 += 1
+            elif tok.kind == "op" and tok.text in (")", "]"):
+                depth2 -= 1
+            if depth2 > 0:
+                out.append(tok)
+                i += 1
+                continue
             star_lo = i
             if (
                 tok.kind in ("word", "bident", "qident")
@@ -1833,10 +1847,7 @@ class SparkStatementExecutor:
             )
         key = f"{fn}|{path}|{sorted(opts.items())}"
         view = "__file_read_" + hashlib.md5(key.encode()).hexdigest()[:10]
-        if (
-            view in self._file_read_views
-            and os.path.abspath(path) not in self._dirty_read_paths
-        ):
+        if view in self._file_read_views:
             return view
         if fn.startswith("read_csv"):
             header = opts.get("header", "true").lower() != "false"
@@ -1854,7 +1865,9 @@ class SparkStatementExecutor:
             df = reader.json(path)
         df.createOrReplaceTempView(view)
         self._file_read_views.add(view)
-        self._dirty_read_paths.discard(os.path.abspath(path))
+        self._path_read_views.setdefault(
+            os.path.abspath(path), set()
+        ).add(view)
         return view
 
     def _create_macro(self, st: ParsedStatement) -> None:
@@ -2327,9 +2340,11 @@ class SparkStatementExecutor:
             if not parts:
                 raise UserException(f"COPY to {path} produced no data file")
             shutil.move(parts[0], path)
-            # a later read_csv/read_json on this path must not reuse a
-            # stale cached view (see _register_file_read)
-            self._dirty_read_paths.add(os.path.abspath(path))
+            # a later read_csv/read_json on this path must not reuse
+            # ANY stale cached view of it — every option-set variant
+            # re-registers on next use (see _register_file_read)
+            for v in self._path_read_views.get(os.path.abspath(path), ()):
+                self._file_read_views.discard(v)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 

@@ -272,3 +272,28 @@ def test_json_arrow_numeric_leaf_yyjson_normalization(spark):
         want = con.execute(sql).fetchone()[0]
         got = spark.sql(translate(sql)).collect()[0].r
         assert got == want, (v, want, got)
+
+
+FORMAT_WIDTH_CASES = [
+    "SELECT format('{:5}|', 'ab') AS r",
+    "SELECT format('{:5}|', 7) AS r",
+    "SELECT format('{:5}|', 7.5) AS r",
+    "SELECT format('{:5}|', true) AS r",
+    "SELECT format('{:2}|', 'abcdef') AS r",
+    "SELECT format('{} {:6} {:3d}|', 'x', 'yy', 42) AS r",
+    "SELECT format('{:8}|', s) AS r FROM (VALUES ('hi'), "
+    "('longer-than')) t(s)",
+    "SELECT format('{:8}|', v) AS r FROM (VALUES (3), "
+    "(12345678901)) t(v)",
+]
+
+
+@pytest.mark.parametrize("sql", FORMAT_WIDTH_CASES)
+def test_format_width_without_type_alignment(spark, sql):
+    """fmtlib {:N} pads to a MINIMUM width, left-aligning strings and
+    booleans but right-aligning numbers — decided at runtime on the
+    argument's type (the old %Ns lowering right-aligned everything)."""
+    con = duckdb.connect()
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    got = [r.r for r in spark.sql(translate(sql)).collect()]
+    assert got == want, (sql, want, got)

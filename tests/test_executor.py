@@ -1153,3 +1153,81 @@ def test_seq_materialize_shuffled_shapes(spark, table_store):
         "SELECT DISTINCT nextval('s') AS id, a FROM ms_src",
     ):
         assert ex._seq_materialize_shuffled(bad) is None, bad
+
+
+def test_star_replace_nested_scope_not_outer_expanded(spark, table_store):
+    """* REPLACE inside a nested subquery or CTE body must NOT be
+    expanded with the OUTER depth-0 FROM table's column list (the
+    pre-round-8 scan rewrote every star occurrence when the replaced
+    names happened to be a subset of the outer table's columns)."""
+    import duckdb
+
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    con = duckdb.connect()
+    setup = [
+        "CREATE TABLE srt AS SELECT * FROM (VALUES (1, 10), (2, 20), "
+        "(3, 30)) v(a, b)",
+        "CREATE TABLE sru AS SELECT * FROM (VALUES (1, 100), (2, 200)) "
+        "v(a, b)",
+    ]
+    cases = [
+        # nested subquery star-REPLACE: inner scope is sru, whose
+        # replaced name 'a' is also a column of the outer srt
+        "CREATE TABLE srr1 AS SELECT a, b FROM srt WHERE a IN "
+        "(SELECT a FROM (SELECT * REPLACE (a + 1 AS a) FROM sru) z)",
+        # CTE body star-REPLACE where the CTE name shadows a stored
+        # table: the body's scope is sru, not the shadowing outer name
+        "CREATE TABLE srr2 AS WITH srt AS "
+        "(SELECT * REPLACE (b * 2 AS b) FROM sru) "
+        "SELECT a, b FROM srt",
+        # depth-0 star-REPLACE still expands in place (column order)
+        "CREATE TABLE srr3 AS SELECT * REPLACE (b + 1 AS b) FROM srt",
+    ]
+    for s in setup + cases:
+        _run(ex, s)
+        con.execute(s)
+    for t in ("srr1", "srr2", "srr3"):
+        want = sorted(tuple(r) for r in con.execute(
+            f"SELECT * FROM {t}").fetchall())
+        got = sorted(tuple(r) for r in spark.table(t).collect())
+        assert got == want, (t, want, got)
+        # column ORDER also matches (positional-consumer contract)
+        wcols = [d[0] for d in con.execute(
+            f"SELECT * FROM {t} LIMIT 0").description]
+        assert [f.name for f in spark.table(t).schema.fields] == wcols, t
+
+
+def test_copy_to_invalidates_all_cached_read_views(spark, table_store, tmp_path):
+    """COPY TO a path must invalidate EVERY cached read_csv view of
+    that path (one exists per distinct option set) — previously only
+    the first re-registered view saw the new data while the others
+    kept serving the pre-COPY snapshot and stale inferred schema."""
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    p = str(tmp_path / "cp.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    # two cached views of the same path with different option sets
+    _run(ex, f"CREATE TABLE cv1 AS SELECT * FROM read_csv('{p}')")
+    _run(ex, f"CREATE TABLE cv2 AS SELECT * FROM "
+             f"read_csv('{p}', all_varchar = true)")
+    assert spark.table("cv1").count() == 2
+    # overwrite the file through COPY TO
+    _run(ex, "CREATE TABLE cnew AS SELECT * FROM (VALUES (7, 'q'), "
+             "(8, 'r'), (9, 's')) v(a, b)")
+    _run(ex, f"COPY cnew TO '{p}' (HEADER, DELIMITER ',')")
+    # BOTH option-set variants must see the new data
+    _run(ex, f"CREATE TABLE cv1b AS SELECT * FROM read_csv('{p}')")
+    _run(ex, f"CREATE TABLE cv2b AS SELECT * FROM "
+             f"read_csv('{p}', all_varchar = true)")
+    assert sorted(r.a for r in spark.table("cv1b").collect()) == [7, 8, 9]
+    assert sorted(r.a for r in spark.table("cv2b").collect()) == [
+        "7", "8", "9"
+    ]
