@@ -573,7 +573,42 @@ def register_text_udfs(spark: SparkSession) -> None:
         m = v.median()
         return float((v - m).abs().median())
 
+    @pandas_udf("string")
+    def _icu_sort_key_udf(s: pd.Series, loc: pd.Series) -> pd.Series:
+        """DuckDB ``icu_sort_key(s, collation)`` parity. ICU collation
+        sort keys are locale-tailoring-data-driven, so byte-exact
+        parity needs a real ICU build; none exists standalone in this
+        environment (no PyICU), but the duckdb wheel statically links
+        ICU — used here strictly as a collation LIBRARY, one scalar
+        evaluation per distinct locale per Arrow batch (the engine's
+        query execution stays Spark). Import-gated: without the wheel
+        the call raises instead of silently approximating."""
+        try:
+            import duckdb
+        except ImportError as exc:  # pragma: no cover — env-dependent
+            raise NotImplementedError(
+                "icu_sort_key needs ICU collation data and no ICU "
+                "implementation is available in this environment"
+            ) from exc
+        out = pd.Series([None] * len(s), dtype="object")
+        frame = pd.DataFrame(
+            {"v": s.reset_index(drop=True), "loc": loc.reset_index(drop=True)}
+        )
+        con = duckdb.connect()
+        for lv, grp in frame.groupby("loc", dropna=True):
+            sub = pd.DataFrame({"v": grp["v"]})  # noqa: F841 — scanned
+            lit = str(lv).replace("'", "''")
+            keys = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT icu_sort_key(v, '{lit}') FROM sub"
+                ).fetchall()
+            ]
+            out.iloc[list(grp.index)] = keys
+        return out
+
     spark.udf.register("age", _age_udf)
+    spark.udf.register("icu_sort_key", _icu_sort_key_udf)
     spark.udf.register("current_setting", _current_setting_udf)
     spark.udf.register("mad", _mad_udf)
     spark.udf.register("length_grapheme", _length_grapheme_udf)

@@ -166,11 +166,11 @@ def check_common_sql_errors(sql: str) -> list[str]:
 # family, make_time, mad, bitstring_agg, list_resize/array_resize,
 # parse_path, unpivot_list, json_contains/json_structure, list_where,
 # and the name := value struct constructors (struct_pack everywhere;
-# struct_insert on literal-shaped bases — see COVERAGE.md). Only
-# icu_sort_key remains: it needs ICU collation tailoring.
-_UNSUPPORTED_FUNCTIONS = {
-    "icu_sort_key",
-}
+# struct_insert on literal-shaped bases — see COVERAGE.md).
+# icu_sort_key is byte-exact since round 8 via the ICU build bundled
+# in the duckdb wheel (collation-library UDF, text_udfs.py) — the set
+# is empty but kept as the wiring point for future gaps.
+_UNSUPPORTED_FUNCTIONS: set[str] = set()
 
 # shimmed only for specific argument shapes: lint the rest
 _LIST_AGGR_SUPPORTED = {

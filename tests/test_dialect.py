@@ -889,7 +889,10 @@ def test_unsupported_lint_narrowed():
     assert _untranslatable_functions("SELECT list_aggregate(l, 'median') FROM t")
     assert _untranslatable_functions("SELECT format('{:d}', x) FROM t")
     assert _untranslatable_functions("SELECT format(f, x) FROM t")
-    assert _untranslatable_functions("SELECT icu_sort_key(x, 'de') FROM t")
+    # icu_sort_key is a registered collation-library UDF now (r8)
+    assert not _untranslatable_functions(
+        "SELECT icu_sort_key(x, 'de') FROM t"
+    )
     # age is a registered UDF + dialect shim now (r6)
     assert not _untranslatable_functions("SELECT age(x) FROM t")
     # format_bytes/bitstring are shims, nfc_normalize a UDF (r6)

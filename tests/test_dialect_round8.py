@@ -297,3 +297,28 @@ def test_format_width_without_type_alignment(spark, sql):
     want = [r[0] for r in con.execute(sql).fetchall()]
     got = [r.r for r in spark.sql(translate(sql)).collect()]
     assert got == want, (sql, want, got)
+
+
+def test_icu_sort_key_byte_exact(spark):
+    """icu_sort_key must match DuckDB's ICU collation sort keys
+    byte-exactly — implemented by using the ICU build bundled in the
+    duckdb wheel as a collation library inside an Arrow-batched UDF."""
+    from component_duckdb_transformation_spark.functions.text_udfs import (
+        register_text_udfs,
+    )
+
+    register_text_udfs(spark)
+    con = duckdb.connect()
+    for sql in (
+        "SELECT icu_sort_key('abc', 'de') AS r",
+        "SELECT icu_sort_key(s, 'de') AS r FROM (VALUES ('äbc'), "
+        "('zz'), ('Straße'), (NULL)) t(s)",
+        "SELECT icu_sort_key(s, 'sv') AS r FROM (VALUES ('äbc'), "
+        "('zz'), ('öx')) t(s)",
+        "SELECT icu_sort_key(s, 'ja') AS r FROM (VALUES ('東京'), "
+        "('ひらがな')) t(s)",
+        "SELECT icu_sort_key('x', 'en_US') AS r",
+    ):
+        want = [r[0] for r in con.execute(sql).fetchall()]
+        got = [r.r for r in spark.sql(translate(sql)).collect()]
+        assert got == want, (sql, want, got)

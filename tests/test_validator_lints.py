@@ -77,10 +77,9 @@ def test_unsupported_function_lint():
         check_common_sql_errors,
     )
 
-    errs = check_common_sql_errors("SELECT icu_sort_key(a) FROM t")
-    assert any(
-        "icu_sort_key" in e and "no Spark equivalent" in e for e in errs
-    )
+    # icu_sort_key is implemented now (r8, collation-library UDF)
+    errs = check_common_sql_errors("SELECT icu_sort_key(a, 'de') FROM t")
+    assert not any("no Spark equivalent" in e for e in errs)
     # age/current_setting are implemented now (r6) — no lint
     assert not any(
         "no Spark equivalent" in e
