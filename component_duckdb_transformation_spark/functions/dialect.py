@@ -3276,6 +3276,13 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
             if p_open < n and tokens[p_open].text == "(":
                 close = _matching_paren(tokens, p_open)
                 args = _split_top_level_args(tokens, p_open, close)
+                # rewrite NESTED regexp_replace calls inside each arg
+                # first — the consumed span is re-emitted from these
+                # lists, so an unprocessed inner 4-arg call would reach
+                # Spark (whose 4th argument is a position integer)
+                args = [
+                    _rewrite_regexp_replace_flags(a) for a in args
+                ]
                 last_code = (
                     [t for t in args[-1] if t.kind not in ("ws", "comment")]
                     if args
@@ -4428,6 +4435,47 @@ def _yyjson_double_sql(dexpr: str) -> str:
         "ELSE concat(CASE WHEN substr(__q.h, 3) = '0' "
         "THEN substr(__q.h, 1, 1) ELSE __q.h END, "
         "'e', CAST(__q.n AS STRING)) END), 1)), 1)) END), 1))"
+    )
+
+
+def _fmtlib_double_sql(dexpr: str) -> str:
+    """Render a DOUBLE exactly like fmtlib's ``{}`` (DuckDB
+    ``format()`` receives DECIMAL/DOUBLE args as doubles): shortest
+    round-trip digits, plain decimal with a ``.0`` integer suffix for
+    decimal exponents in [-4, 15], otherwise ``<digits>e±NN`` (signed,
+    two-digit-minimum exponent, no ``.0`` on integer mantissas —
+    ``1e+16``, ``2.5e-07``); ``nan``/``inf`` spellings follow fmtlib.
+    Same Java-repr reshaping approach as ``_yyjson_double_sql``, with
+    fmtlib's cutoffs and exponent format."""
+    return (
+        "(CASE WHEN isnan(" + dexpr + ") THEN 'nan' "
+        "WHEN (" + dexpr + ") = double('inf') THEN 'inf' "
+        "WHEN (" + dexpr + ") = double('-inf') THEN '-inf' ELSE "
+        "element_at(transform(array(CAST((" + dexpr + ") AS STRING)), "
+        "__ds -> CASE WHEN locate('E', __ds) = 0 THEN __ds ELSE concat("
+        "CASE WHEN __ds LIKE '-%' THEN '-' ELSE '' END, "
+        "element_at(transform(array(named_struct("
+        "'h', substring_index(CASE WHEN __ds LIKE '-%' "
+        "THEN substr(__ds, 2) ELSE __ds END, 'E', 1), "
+        "'n', CAST(substring_index(__ds, 'E', -1) AS INT))), __p -> "
+        "element_at(transform(array(named_struct("
+        "'dg', CASE WHEN substr(__p.h, 3) = '0' THEN substr(__p.h, 1, 1) "
+        "ELSE concat(substr(__p.h, 1, 1), substr(__p.h, 3)) END, "
+        "'n', __p.n, 'h', __p.h)), __q -> "
+        "CASE WHEN __q.n BETWEEN -4 AND 15 THEN "
+        "CASE WHEN __q.n + 1 >= length(__q.dg) "
+        "THEN concat(__q.dg, repeat('0', __q.n + 1 - length(__q.dg)), '.0') "
+        "WHEN __q.n >= 0 "
+        "THEN concat(substr(__q.dg, 1, __q.n + 1), '.', "
+        "substr(__q.dg, __q.n + 2)) "
+        "ELSE concat('0.', repeat('0', - __q.n - 1), __q.dg) END "
+        "ELSE concat(CASE WHEN substr(__q.h, 3) = '0' "
+        "THEN substr(__q.h, 1, 1) ELSE __q.h END, "
+        "'e', CASE WHEN __q.n < 0 THEN '-' ELSE '+' END, "
+        "CASE WHEN abs(__q.n) < 10 "
+        "THEN concat('0', CAST(abs(__q.n) AS STRING)) "
+        "ELSE CAST(abs(__q.n) AS STRING) END) END), 1)), 1)) "
+        "END), 1) END)"
     )
 
 
@@ -6891,11 +6939,27 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                             for t_, w_, a_ in zip(
                                 typs, bare_widths, arg_sqls
                             ):
+                                # fmtlib receives DECIMAL/DOUBLE args
+                                # as doubles, so {}/{:N} render them
+                                # shortest-round-trip with fmtlib's
+                                # decimal/scientific cutoffs (8.6400
+                                # -> '8.64', 1e-4 -> '0.0001', 1e16 ->
+                                # '1e+16'), not Java's formatting
+                                fdbl = _fmtlib_double_sql(
+                                    f"CAST(({a_}) AS DOUBLE)"
+                                )
+                                dec_str = (
+                                    f"(CASE WHEN typeof(({a_})) LIKE"
+                                    f" 'decimal%' OR typeof(({a_})) IN"
+                                    f" ('double', 'float')"
+                                    f" THEN {fdbl}"
+                                    f" ELSE CAST(({a_}) AS STRING) END)"
+                                )
                                 if w_ is not None:
                                     # {:N}: fmtlib pads to a MINIMUM
                                     # width, left-aligning strings and
                                     # booleans, right-aligning numbers
-                                    s_ = f"CAST(({a_}) AS STRING)"
+                                    s_ = dec_str
                                     casted.append(
                                         f"(CASE WHEN length({s_}) >= {w_}"
                                         f" THEN {s_}"
@@ -6905,6 +6969,8 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                                         f" ELSE lpad({s_}, {w_}, ' ')"
                                         " END)"
                                     )
+                                elif t_ == "s":
+                                    casted.append(dec_str)
                                 elif t_ in ("f", "e"):
                                     casted.append(
                                         f"CAST(({a_}) AS DOUBLE)"

@@ -322,3 +322,41 @@ def test_icu_sort_key_byte_exact(spark):
         want = [r[0] for r in con.execute(sql).fetchall()]
         got = [r.r for r in spark.sql(translate(sql)).collect()]
         assert got == want, (sql, want, got)
+
+
+FMTLIB_DOUBLE_CASES = [
+    "SELECT format('{}|', CAST(0.0001 AS DOUBLE)) AS r",
+    "SELECT format('{}|', CAST(0.00001 AS DOUBLE)) AS r",
+    "SELECT format('{}|', CAST(1e15 AS DOUBLE)) AS r",
+    "SELECT format('{}|', CAST(1e16 AS DOUBLE)) AS r",
+    "SELECT format('{}|', CAST(1.5e16 AS DOUBLE)) AS r",
+    "SELECT format('{}|', CAST(2.5e-7 AS DOUBLE)) AS r",
+    "SELECT format('{}|', CAST(1e100 AS DOUBLE)) AS r",
+    "SELECT format('{}|', CAST(-1e-5 AS DOUBLE)) AS r",
+    "SELECT format('{}|', CAST(1.7976931348623157e308 AS DOUBLE)) AS r",
+    "SELECT format('{}|', 8.6400) AS r",
+    "SELECT format('{:8}|', 8.6400) AS r",
+    "SELECT format('{:6}|', 100.50) AS r",
+    "SELECT format('{}|', CAST('nan' AS DOUBLE)) AS r",
+    "SELECT format('{}|', CAST('inf' AS DOUBLE)) AS r",
+    "SELECT format('{}|', CAST('-inf' AS DOUBLE)) AS r",
+    "SELECT format('{} {:5} {:.2f}|', CAST(0.0001 AS DOUBLE), 'ab', "
+    "3.14159) AS r",
+    # nested regexp_replace inside a consumed arg must be rewritten too
+    "SELECT regexp_replace(regexp_replace('azbza', 'a', 'X', 'g'), "
+    "'z', '\\q', 'g') AS r",
+    "SELECT regexp_replace(reverse(regexp_replace('abab', 'a', "
+    "'\\0Y', 'g')), 'b', '\\1', 'g') AS r",
+]
+
+
+@pytest.mark.parametrize("sql", FMTLIB_DOUBLE_CASES)
+def test_format_fmtlib_double_rendering(spark, sql):
+    """format() renders DOUBLE/DECIMAL args exactly like fmtlib
+    (shortest round-trip, decimal form for exponents in [-4, 15],
+    signed two-digit e±NN otherwise, nan/inf spellings); nested
+    regexp_replace calls inside consumed args are rewritten too."""
+    con = duckdb.connect()
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    got = [r.r for r in spark.sql(translate(sql)).collect()]
+    assert got == want, (sql, want, got)

@@ -90,7 +90,25 @@ def str_expr(g: random.Random, depth: int = 0) -> str:
             return g.choice(STR_COLS)
         return "'" + g.choice(["Ax", "N", "zz9", "R F", ""]) + "'"
     a = str_expr(g, depth + 1)
-    choice = g.randrange(11)
+    choice = g.randrange(13)
+    if choice == 11:
+        # round-8 surface: RE2 rewrite semantics (backrefs, \0, \\,
+        # invalid-escape no-op/truncation, literal $, class anchors)
+        pat = g.choice(
+            ["a", "N", "z", "[$]", "(N)", "(a)(z)", "l+", "[.]", "\\$"]
+        )
+        rep = g.choice(
+            ["X", "", "$y", "\\0", "\\1", "\\2", "\\\\", "\\q",
+             "p\\qs", "_"]
+        )
+        flags = g.choice(["", ", 'g'", ", 'i'", ", 'gi'"])
+        return f"regexp_replace({a}, '{pat}', '{rep}'{flags})"
+    if choice == 12:
+        # round-8 surface: fmtlib width-only placeholders (runtime
+        # type-dependent alignment)
+        w = g.randint(1, 8)
+        inner = a if g.random() < 0.5 else num_expr(g, depth + 1)
+        return f"format('{{:{w}}}|', {inner})"
     if choice == 8:
         # DuckDB extended-window substr: negative/zero start, negative len
         return f"substr({a}, {g.randint(-4, 4)}, {g.randint(-3, 5)})"
