@@ -4490,10 +4490,23 @@ def _fmtlib_double_sql(dexpr: str) -> str:
 # through the shortest-round-trip writer (``_yyjson_double_sql``).
 # Catalyst's subexpression elimination collapses the repeated
 # parse_json.
+# Object/array values whose rendering might diverge from yyjson's
+# re-render of the numbers inside: scientific notation, >=19-digit
+# integer runs, fractions with a trailing zero, or >=17-digit
+# fractions. False positives only cost the (exact) normalization UDF;
+# everything else keeps the JVM-only get_json_object path.
+_JSON_NUM_RERENDER_RE = (
+    r"[0-9][eE][+-]?[0-9]|[0-9]{19}"
+    r"|[0-9]\.[0-9]*0([^0-9]|$)|\.[0-9]{17}"
+)
+
+
 def _json_get_sql(src: str, path: str) -> str:
     vg = f"variant_get(parse_json({src}), {path})"
     sv = f"schema_of_variant({vg})"
+    gjo = f"get_json_object({src}, {path})"
     dbl = _yyjson_double_sql(f"CAST({vg} AS DOUBLE)")
+    heur = _encode_spark_string(_JSON_NUM_RERENDER_RE).text
     return (
         f"(CASE WHEN {sv} = 'STRING' THEN to_json({vg}) "
         f"WHEN {sv} = 'DOUBLE' OR ({sv} LIKE 'DECIMAL%' AND ("
@@ -4501,7 +4514,8 @@ def _json_get_sql(src: str, path: str) -> str:
         f"OR CAST({vg} AS DECIMAL(38,0)) > 18446744073709551615 "
         f"OR CAST({vg} AS DECIMAL(38,0)) < -9223372036854775808)) "
         f"THEN {dbl} "
-        f"ELSE get_json_object({src}, {path}) END)"
+        f"WHEN {gjo} RLIKE {heur} THEN __yyjson_norm({gjo}) "
+        f"ELSE {gjo} END)"
     )
 
 

@@ -351,6 +351,81 @@ def json_structure(value) -> object:
     return structure(value)
 
 
+def _yyjson_float_repr(d: float) -> str:
+    """Render a double exactly like DuckDB's yyjson writer: shortest
+    round-trip digits (Python repr is shortest too), plain decimal
+    with a ``.0`` integer suffix for decimal exponents in [-6, 20],
+    otherwise ``<digits>e<exp>`` — lowercase, unsigned-positive,
+    unpadded exponent, no ``.0`` on integer mantissas."""
+    m = repr(d)
+    if "e" not in m:
+        return m
+    mant, exp = m.split("e")
+    n = int(exp)
+    neg = mant.startswith("-")
+    if neg:
+        mant = mant[1:]
+    head, _, frac = mant.partition(".")
+    digits = head + (frac if frac not in ("", "0") else "")
+    if -6 <= n <= 20:
+        ln = len(digits)
+        if n + 1 >= ln:
+            body = digits + "0" * (n + 1 - ln) + ".0"
+        elif n >= 0:
+            body = digits[: n + 1] + "." + digits[n + 1:]
+        else:
+            body = "0." + "0" * (-n - 1) + digits
+    else:
+        mm = head if frac in ("", "0") else head + "." + frac
+        body = f"{mm}e{n}"
+    return ("-" if neg else "") + body
+
+
+def yyjson_render_json(txt):
+    """Re-render a JSON text exactly as DuckDB's yyjson writer would:
+    compact separators, source key order, integers in int64/uint64
+    range as integer text, every other number through the
+    shortest-round-trip double writer. Used for extracted
+    object/array values whose text contains constructs the
+    source-faithful get_json_object rendering would diverge on
+    (scientific notation, huge integers, non-shortest fractions)."""
+    import json
+
+    if txt is None:
+        return None
+    try:
+        v = json.loads(txt)
+    except Exception:  # noqa: BLE001 — non-JSON text passes through
+        return txt
+
+    def num(x):
+        if isinstance(x, int):
+            if _I64_MIN <= x <= _U64_MAX:
+                return str(x)
+            return _yyjson_float_repr(float(x))
+        return _yyjson_float_repr(x)
+
+    def render(x):
+        if x is None:
+            return "null"
+        if x is True:
+            return "true"
+        if x is False:
+            return "false"
+        if isinstance(x, (int, float)):
+            return num(x)
+        if isinstance(x, str):
+            return json.dumps(x, ensure_ascii=False)
+        if isinstance(x, list):
+            return "[" + ",".join(render(e) for e in x) + "]"
+        return "{" + ",".join(
+            json.dumps(k, ensure_ascii=False) + ":" + render(e)
+            for k, e in x.items()
+        ) + "}"
+
+    return render(v)
+
+
 def register_text_udfs(spark: SparkSession) -> None:
     """Idempotent per-session registration (called from the session
     factory so every engine session resolves the names in plain SQL)."""
@@ -607,8 +682,15 @@ def register_text_udfs(spark: SparkSession) -> None:
             out.iloc[list(grp.index)] = keys
         return out
 
+    @pandas_udf("string")
+    def _yyjson_norm_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [yyjson_render_json(v) for v in s], dtype="object"
+        )
+
     spark.udf.register("age", _age_udf)
     spark.udf.register("icu_sort_key", _icu_sort_key_udf)
+    spark.udf.register("__yyjson_norm", _yyjson_norm_udf)
     spark.udf.register("current_setting", _current_setting_udf)
     spark.udf.register("mad", _mad_udf)
     spark.udf.register("length_grapheme", _length_grapheme_udf)

@@ -981,6 +981,41 @@ _add_sql(
 )
 
 _add_sql(
+    "q63_round8_surfaces",
+    """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(mad(p_retailprice) AS DOUBLE), 4) AS mad_price,
+           min(regexp_replace(p_type, '[aeiou]', '*')) AS rf_first,
+           min(regexp_replace(p_name, '([a-z]+) ([a-z]+)', '\\2 \\1'))
+               AS rr_swap,
+           min(regexp_replace(p_name, 'a', '\\q')) AS rr_noop,
+           min(regexp_replace(p_name, '(a)', 'x\\qy', 'g')) AS rr_trunc,
+           min(format('{:30}|{:12}', p_type, p_retailprice)) AS fmt_wide,
+           min(format('{}', round(p_retailprice / 10000000, 10)))
+               AS fmt_sci,
+           min('{"a": 1e10, "b": [2.5E-7, 1.250]}' -> 'a') AS j_sci,
+           min('{"a": 1e10, "b": [2.5E-7, 1.250]}' -> 'b') AS j_arr,
+           min(icu_sort_key(p_name, 'de')) AS icu_key
+    FROM part
+    WHERE p_partkey % 4 = 0
+    GROUP BY p_brand
+    HAVING mad(p_size) >= 0
+    ORDER BY mad(p_retailprice) DESC, p_brand
+    """,
+    description="round-8 exactness surfaces in one driver row: mad() "
+    "in HAVING and ORDER BY (hoisted into the two-phase chained-median "
+    "restructure), RE2 rewrite replacement semantics (backref swap, "
+    "invalid-escape no-op in replace-first, mid-rewrite truncation in "
+    "global mode, class-contained anchors on the composed first-match "
+    "path), fmtlib-exact format() rendering (type-dependent width "
+    "alignment, shortest-round-trip doubles with fmtlib cutoffs), "
+    "yyjson-exact JSON -> numeric leaves (scalar and inside extracted "
+    "containers), and byte-exact icu_sort_key via the bundled ICU "
+    "collation — identical SQL runs on both engines",
+)
+
+_add_sql(
     "q59_positional_join_comprehension",
     """
     SELECT n_name,

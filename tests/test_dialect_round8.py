@@ -360,3 +360,29 @@ def test_format_fmtlib_double_rendering(spark, sql):
     want = [r[0] for r in con.execute(sql).fetchall()]
     got = [r.r for r in spark.sql(translate(sql)).collect()]
     assert got == want, (sql, want, got)
+
+
+JSON_CONTAINER_CASES = [
+    """SELECT '{"b": [2.5E-7, 1e10]}'->'b' AS r""",
+    """SELECT '{"b": {"c": 1e2, "d": "keep 1E5 text"}}'->'b' AS r""",
+    """SELECT '{"b": [1.250, 0.10000000000000001]}'->'b' AS r""",
+    """SELECT '{"b": [123456789012345678901234567890]}'->'b' AS r""",
+    """SELECT '{"b": [9007199254740993, -9223372036854775808]}'->'b'"""
+    """ AS r""",
+    """SELECT '{"b": [1, "x", true, null]}'->'b' AS r""",
+    """SELECT '{"b": {"k": [1e21, 3.14e0]}}'->'b' AS r""",
+    """SELECT json_extract('{"a": [1e10]}', 'a') AS r""",
+    """SELECT '{"u": "café \\"q\\" \\\\ x"}'->'u' AS r""",
+]
+
+
+@pytest.mark.parametrize("sql", JSON_CONTAINER_CASES)
+def test_json_container_yyjson_normalization(spark, sql):
+    """Extracted objects/arrays re-render their numeric leaves like
+    yyjson too (sci notation, huge ints, non-shortest fractions) —
+    via a heuristic-gated normalization UDF; strings inside stay
+    untouched and plain containers keep the JVM-only path."""
+    con = duckdb.connect()
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    got = [r.r for r in spark.sql(translate(sql)).collect()]
+    assert got == want, (sql, want, got)
