@@ -2973,7 +2973,14 @@ def _rewrite_aggfn_groupby(tokens: List[Token], spec: dict) -> List[Token]:
     if sel_lo < n and tokens[sel_lo].upper in ("DISTINCT", "ALL"):
         return tokens
 
-    # group keys: plain column identifiers only
+    # group keys, resolved to EXPRESSIONS usable in the per-arg
+    # subqueries' own FROM scope: ordinals resolve to their select
+    # item's expression (a literal "1" key would otherwise join every
+    # group to one global row — a silent wrong answer), raw expression
+    # keys pass through, plain identifiers stay as column refs. A key
+    # that is really a select-list ALIAS of some other expression is
+    # ambiguous without the schema (the name could shadow a real
+    # column, which DuckDB prefers) — those bail to the fallback.
     keys: List[str] = []
     if "GROUP" in clause_idx:
         g_idx = clause_idx["GROUP"]
@@ -2981,10 +2988,70 @@ def _rewrite_aggfn_groupby(tokens: List[Token], spec: dict) -> List[Token]:
         if by >= n or tokens[by].upper != "BY":
             return tokens
         g_end = clause_end(g_idx)
+        gsel_items: List[tuple] = []
+        for ilo, ihi in _split_top_commas(tokens, sel_lo, from_idx):
+            seg = tokens[ilo:ihi]
+            code = [
+                j for j, t in enumerate(seg)
+                if t.kind not in ("ws", "comment")
+            ]
+            expr_t = "".join(t.text for t in seg).strip()
+            nm = None
+            if (
+                len(code) >= 2
+                and seg[code[-2]].is_kw("AS")
+                and seg[code[-1]].kind in ("word", "bident", "qident")
+            ):
+                expr_t = "".join(
+                    t.text for t in seg[: code[-2]]
+                ).strip()
+                nm = unquote_name(seg[code[-1]]).lower()
+            else:
+                outn = _entropy_outer_name(seg)
+                nm = outn.strip('`"').lower() if outn else None
+            gsel_items.append((expr_t, nm))
+        aggset_k = set(context) | {fname}
+
+        def _groupable_expr(expr_t: str) -> bool:
+            ktoks = tokenize(expr_t)
+            for kk, tt in enumerate(ktoks):
+                if tt.kind != "word":
+                    continue
+                if tt.upper in ("SELECT", "OVER"):
+                    return False
+                nk2 = _next_code(ktoks, kk)
+                if (
+                    nk2 < len(ktoks)
+                    and ktoks[nk2].kind == "op"
+                    and ktoks[nk2].text == "("
+                    and tt.text.lower() in aggset_k
+                ):
+                    return False
+            return True
+
         for term in _split_csv_text(_sql(tokens, by + 1, g_end)):
-            if term.upper() == "ALL" or _plain_identifier_name(term) is None:
+            t_strip = term.strip()
+            if t_strip.upper() == "ALL":
                 return tokens
-            keys.append(term)
+            if re.fullmatch(r"\d+", t_strip):
+                idx0 = int(t_strip) - 1
+                if not (0 <= idx0 < len(gsel_items)):
+                    return tokens
+                expr_t = gsel_items[idx0][0]
+            elif _plain_identifier_name(t_strip) is not None:
+                nm = _plain_identifier_name(t_strip).strip('`"').lower()
+                aliased = [
+                    e for e, inm in gsel_items
+                    if inm == nm and " ".join(e.split()).lower() != nm
+                ]
+                if aliased:
+                    return tokens  # alias key: schema-ambiguous
+                expr_t = t_strip
+            else:
+                expr_t = t_strip  # expression key
+            if not _groupable_expr(expr_t):
+                return tokens
+            keys.append(expr_t)
 
     # the target call must not appear in WHERE/GROUP (not aggregate
     # scope there); HAVING/ORDER BY occurrences are handled by hoisting
@@ -3102,7 +3169,7 @@ def _rewrite_aggfn_groupby(tokens: List[Token], spec: dict) -> List[Token]:
     tail_text = _sql(tokens, tail_lo, n) if tail_lo < n else ""
 
     m = len(keys)
-    base_cols = base_items + [f"{k} AS __egk_{i}" for i, k in enumerate(keys)]
+    base_cols = base_items + [f"({k}) AS __egk_{i}" for i, k in enumerate(keys)]
     if not base_cols:
         base_cols = ["count(*) AS __ebn"]
     base_sql = "SELECT " + ", ".join(base_cols) + " " + from_text
@@ -3135,7 +3202,7 @@ def _entropy_make_sub(arg, j, keys, from_text, where_body):
     """Two chained hash aggregates: per-(group, value) counts, then the
     Shannon identity over the counts."""
     m = len(keys)
-    inner_cols = [f"{k} AS __egk_{i}" for i, k in enumerate(keys)]
+    inner_cols = [f"({k}) AS __egk_{i}" for i, k in enumerate(keys)]
     inner_cols += [f"({arg}) AS __evv", "count(*) AS __ec"]
     inner_where = f"({arg}) IS NOT NULL"
     if where_body:
@@ -3175,12 +3242,12 @@ def _mad_make_sub(arg, j, keys, from_text, where_body):
     m = len(keys)
     where = f" WHERE {where_body}" if where_body else ""
     val = f"CAST(({arg}) AS DOUBLE)"
-    dev_cols = [f"{k} AS __egk_{i}" for i, k in enumerate(keys)]
+    dev_cols = [f"({k}) AS __egk_{i}" for i, k in enumerate(keys)]
     dev_sql = (
         "SELECT " + ", ".join(dev_cols + [f"{val} AS __mv"])
         + " " + from_text + where
     )
-    med_cols = [f"{k} AS __egk_{i}" for i, k in enumerate(keys)]
+    med_cols = [f"({k}) AS __egk_{i}" for i, k in enumerate(keys)]
     med_group = (
         " GROUP BY " + ", ".join(str(i) for i in range(1, m + 1))
         if m else ""
@@ -4501,12 +4568,21 @@ _JSON_NUM_RERENDER_RE = (
 )
 
 
-def _json_get_sql(src: str, path: str) -> str:
+def _json_get_sql(src: str, path: str, allow_udf: bool = True) -> str:
     vg = f"variant_get(parse_json({src}), {path})"
     sv = f"schema_of_variant({vg})"
     gjo = f"get_json_object({src}, {path})"
     dbl = _yyjson_double_sql(f"CAST({vg} AS DOUBLE)")
     heur = _encode_spark_string(_JSON_NUM_RERENDER_RE).text
+    # the container-normalization UDF cannot appear inside a
+    # higher-order-function lambda (Spark restriction) — callers in
+    # lambda scope pass allow_udf=False and keep the source-faithful
+    # container rendering there
+    udf_branch = (
+        f"WHEN {gjo} RLIKE {heur} THEN __yyjson_norm({gjo}) "
+        if allow_udf
+        else ""
+    )
     return (
         f"(CASE WHEN {sv} = 'STRING' THEN to_json({vg}) "
         f"WHEN {sv} = 'DOUBLE' OR ({sv} LIKE 'DECIMAL%' AND ("
@@ -4514,7 +4590,7 @@ def _json_get_sql(src: str, path: str) -> str:
         f"OR CAST({vg} AS DECIMAL(38,0)) > 18446744073709551615 "
         f"OR CAST({vg} AS DECIMAL(38,0)) < -9223372036854775808)) "
         f"THEN {dbl} "
-        f"WHEN {gjo} RLIKE {heur} THEN __yyjson_norm({gjo}) "
+        f"{udf_branch}"
         f"ELSE {gjo} END)"
     )
 
@@ -4561,7 +4637,14 @@ def _rewrite_json_arrows(tokens: List[Token]) -> List[Token]:
                         p_lit = _encode_spark_string(path).text
                         if tok.text == "->":
                             out.extend(_toks(
-                                " " + _json_get_sql(left_sql, p_lit)
+                                " " + _json_get_sql(
+                                    left_sql,
+                                    p_lit,
+                                    # no Python UDF under a HOF lambda
+                                    allow_udf=not any(
+                                        s in _LAMBDA_FNS for s in stack
+                                    ),
+                                )
                             ))
                         else:
                             out.extend(_toks(
@@ -7046,7 +7129,9 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                         norm = ("CASE WHEN substr(pp, 1, 1) = '$' "
                                 "THEN pp ELSE concat('$.', pp) END")
                         if low in ("json_extract", "json_extract_path"):
-                            body = _json_get_sql(f"({s_})", norm)
+                            body = _json_get_sql(
+                                f"({s_})", norm, allow_udf=False
+                            )
                         else:
                             body = f"get_json_object(({s_}), {norm})"
                         out.extend(

@@ -386,3 +386,71 @@ def test_json_container_yyjson_normalization(spark, sql):
     want = [r[0] for r in con.execute(sql).fetchall()]
     got = [r.r for r in spark.sql(translate(sql)).collect()]
     assert got == want, (sql, want, got)
+
+
+MAD_GROUP_KEY_CASES = [
+    # ordinal keys: resolved to the select item's expression — the
+    # pre-round-8 restructure exported the literal ordinal as the join
+    # key, silently computing the GLOBAL statistic for every group
+    "SELECT p_brand, mad(p_retailprice) AS m FROM part GROUP BY 1 "
+    "ORDER BY p_brand",
+    "SELECT p_brand, entropy(p_type) AS e FROM part GROUP BY 1 "
+    "ORDER BY p_brand",
+    "SELECT p_brand, p_size, mad(p_retailprice) AS m FROM part "
+    "GROUP BY 1, 2 ORDER BY p_brand, p_size",
+    # expression keys
+    "SELECT substr(p_brand, 1, 7) AS g, mad(p_retailprice) AS m "
+    "FROM part GROUP BY substr(p_brand, 1, 7) ORDER BY g",
+    "SELECT p_size % 5 AS grp, mad(p_retailprice) AS m FROM part "
+    "GROUP BY p_size % 5 ORDER BY grp",
+    "SELECT substr(p_brand, 1, 7) AS g, p_size % 3 AS s3, "
+    "entropy(p_type) AS e FROM part GROUP BY 1, 2 ORDER BY g, s3",
+    # alias key of an expression: schema-ambiguous, correct via fallback
+    "SELECT upper(p_brand) AS ub, mad(p_retailprice) AS m FROM part "
+    "GROUP BY ub ORDER BY ub",
+]
+
+
+@pytest.mark.parametrize("sql", MAD_GROUP_KEY_CASES)
+def test_mad_entropy_ordinal_expression_group_keys(spark, sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS "
+        "FROM read_parquet('/root/testdata/sf0.001/part.parquet')"
+    )
+    spark.read.parquet(
+        "/root/testdata/sf0.001/part.parquet"
+    ).createOrReplaceTempView("part")
+
+    def norm(v):
+        return round(v, 6) if isinstance(v, float) else v
+
+    want = sorted(
+        str(tuple(norm(x) for x in r)) for r in con.execute(sql).fetchall()
+    )
+    got = sorted(
+        str(tuple(norm(x) for x in r))
+        for r in spark.sql(translate(sql)).collect()
+    )
+    assert got == want, (sql, want[:4], got[:4])
+
+
+def test_mad_ordinal_expression_keys_two_phase_plan(spark):
+    """Ordinal and expression group keys keep the pandas-free
+    two-phase plan (they previously bailed or mis-joined)."""
+    spark.read.parquet(
+        "/root/testdata/sf0.001/part.parquet"
+    ).createOrReplaceTempView("part")
+    for sql in (
+        "SELECT p_brand, mad(p_retailprice) AS m FROM part GROUP BY 1",
+        "SELECT p_size % 5 AS grp, mad(p_retailprice) AS m FROM part "
+        "GROUP BY p_size % 5",
+    ):
+        plan = (
+            spark.sql(translate(sql))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "AggregateInPandas" not in plan, sql
+        assert "FlatMapGroupsInPandas" not in plan, sql
