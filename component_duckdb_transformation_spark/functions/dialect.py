@@ -2700,7 +2700,9 @@ def _entropy_order_tail_ok(tokens: List[Token], order_idx: int, end: int) -> boo
     return True
 
 
-def _replace_clause_aggs(seg: List[Token], aggset, hoist: dict, keymap: dict):
+def _replace_clause_aggs(
+    seg: List[Token], aggset, hoist: dict, keymap: dict, tag: str = ""
+):
     """Rewrite one HAVING/ORDER clause-body token list: every
     aggregate call span (including WITHIN GROUP / FILTER riders)
     becomes a ``__hv_j`` ref recorded in ``hoist``; every (possibly
@@ -2752,7 +2754,7 @@ def _replace_clause_aggs(seg: List[Token], aggset, hoist: dict, keymap: dict):
                 call = "".join(x.text for x in seg[i : end + 1])
                 key = " ".join(call.split())
                 j = hoist.setdefault(key, (len(hoist), call))[0]
-                out.append(f"__hv_{j}")
+                out.append(f"__hv{tag}_{j}")
                 i = end + 1
                 continue
             if t.is_kw("OVER"):
@@ -2798,15 +2800,19 @@ def _hoist_agg_having_order(
     scope and hiding the helpers with ``* EXCEPT``. Returns new tokens
     or None (caller keeps the documented fallback)."""
     fname = spec["name"]
+    tag = spec.get("tag", "")
     aggset = (set(spec["context"]) | {fname}) - {"over", "make_dt_interval"}
     keymap: dict = {}
     key_items: List[str] = []
     for idx, k in enumerate(keys):
         nm = _plain_identifier_name(k)
-        if nm is None:
-            return None
-        keymap[nm.strip('`"').lower()] = f"__ok_{idx}"
-        key_items.append(f"{k} AS __ok_{idx}")
+        if nm is not None:
+            keymap[nm.strip('`"').lower()] = f"__ok{tag}_{idx}"
+        # expression keys get no keymap entry: a HAVING/ORDER that
+        # repeats the raw expression fails loudly in the outer scope
+        # (rare; the aggregate-only predicates this hoist targets
+        # never reference them)
+        key_items.append(f"({k}) AS __ok{tag}_{idx}")
     tail_lo = min(
         (
             clause_idx[c]
@@ -2820,13 +2826,13 @@ def _hoist_agg_having_order(
     hav_repl = None
     if hav_lo < n:
         body = tokens[hav_lo + 1 : clause_end(hav_lo)]
-        hav_repl = _replace_clause_aggs(body, aggset, hoist, keymap)
+        hav_repl = _replace_clause_aggs(body, aggset, hoist, keymap, tag)
         if hav_repl is None:
             return None
     tail_repl = ""
     if tail_lo < n:
         tail_repl = _replace_clause_aggs(
-            tokens[tail_lo:n], aggset, hoist, keymap
+            tokens[tail_lo:n], aggset, hoist, keymap, tag
         )
         if tail_repl is None:
             return None
@@ -2841,7 +2847,7 @@ def _hoist_agg_having_order(
         ):
             return None
     extra = [
-        f"{call} AS __hv_{j}"
+        f"{call} AS __hv{tag}_{j}"
         for j, call in sorted(hoist.values())
     ] + key_items
     inner_hi = min(hav_lo, tail_lo, n)
@@ -2854,12 +2860,12 @@ def _hoist_agg_having_order(
     )
     inner_out = _rewrite_aggfn_groupby(_toks(inner_sql), spec)
     inner_sql2 = "".join(t.text for t in inner_out)
-    helpers = [f"__hv_{j}" for j in range(len(hoist))] + [
-        f"__ok_{i}" for i in range(len(keys))
+    helpers = [f"__hv{tag}_{j}" for j in range(len(hoist))] + [
+        f"__ok{tag}_{i}" for i in range(len(keys))
     ]
     sql = (
         f"SELECT * EXCEPT ({', '.join(helpers)}) "
-        f"FROM ({inner_sql2}) __hoist"
+        f"FROM ({inner_sql2}) __hoist{tag}"
     )
     if hav_repl is not None:
         sql += " WHERE " + hav_repl
@@ -2882,6 +2888,7 @@ def _rewrite_aggfn_groupby(tokens: List[Token], spec: dict) -> List[Token]:
     collect_list template; mad: grouped-agg pandas UDF)."""
     fname = spec["name"]
     context = spec["context"]
+    tag = spec.get("tag", "")
     n = len(tokens)
     first = _next_code(tokens, -1)
     if first >= n or tokens[first].kind != "word":
@@ -3045,8 +3052,15 @@ def _rewrite_aggfn_groupby(tokens: List[Token], spec: dict) -> List[Token]:
                     if inm == nm and " ".join(e.split()).lower() != nm
                 ]
                 if aliased:
-                    return tokens  # alias key: schema-ambiguous
-                expr_t = t_strip
+                    # alias key: resolve to its item's expression. The
+                    # shadowing corner (the name is ALSO a real source
+                    # column) errors loudly on BOTH engines — name
+                    # binding is column-first, so the base query's
+                    # unaggregated alias expression fails analysis,
+                    # exactly like DuckDB's binder does.
+                    expr_t = aliased[0]
+                else:
+                    expr_t = t_strip
             else:
                 expr_t = t_strip  # expression key
             if not _groupable_expr(expr_t):
@@ -3104,7 +3118,7 @@ def _rewrite_aggfn_groupby(tokens: List[Token], spec: dict) -> List[Token]:
                 return tokens
             alias_names.add(name.strip('`"').lower())
             base_items.append(_sql(tokens, lo, hi))
-            outer_items.append(f"__b.{name}")
+            outer_items.append(f"__b{tag}.{name}")
             continue
         any_entropy = True
         # no OTHER aggregate may share the item (outer scope is unaggregated)
@@ -3169,9 +3183,11 @@ def _rewrite_aggfn_groupby(tokens: List[Token], spec: dict) -> List[Token]:
     tail_text = _sql(tokens, tail_lo, n) if tail_lo < n else ""
 
     m = len(keys)
-    base_cols = base_items + [f"({k}) AS __egk_{i}" for i, k in enumerate(keys)]
+    base_cols = base_items + [
+        f"({k}) AS __egk{tag}_{i}" for i, k in enumerate(keys)
+    ]
     if not base_cols:
-        base_cols = ["count(*) AS __ebn"]
+        base_cols = [f"count(*) AS __ebn{tag}"]
     base_sql = "SELECT " + ", ".join(base_cols) + " " + from_text
     if where_body:
         base_sql += " WHERE " + where_body
@@ -3180,29 +3196,36 @@ def _rewrite_aggfn_groupby(tokens: List[Token], spec: dict) -> List[Token]:
     if having_text:
         base_sql += " " + having_text
 
-    sql = "SELECT " + ", ".join(outer_items) + " FROM (" + base_sql + ") __b"
+    sql = (
+        "SELECT " + ", ".join(outer_items)
+        + " FROM (" + base_sql + ") __b" + tag
+    )
     for j, arg in enumerate(ent_args):
-        sub_sql = spec["make_sub"](arg, j, keys, from_text, where_body)
+        sub_sql = spec["make_sub"](
+            arg, j, keys, from_text, where_body, tag
+        )
         if m:
             cond = " AND ".join(
-                f"__b.__egk_{i} <=> __e{j}.__egk_{i}" for i in range(m)
+                f"__b{tag}.__egk{tag}_{i} <=> "
+                f"__e{tag}{j}.__egk{tag}_{i}"
+                for i in range(m)
             )
-            sql += f" LEFT JOIN ({sub_sql}) __e{j} ON {cond}"
+            sql += f" LEFT JOIN ({sub_sql}) __e{tag}{j} ON {cond}"
         else:
             # LEFT JOIN ON true (not CROSS): an empty source makes the
             # grouped subquery return zero rows, but the global
             # aggregate still returns one row — keep it (H -> 0.0)
-            sql += f" LEFT JOIN ({sub_sql}) __e{j} ON true"
+            sql += f" LEFT JOIN ({sub_sql}) __e{tag}{j} ON true"
     if tail_text:
         sql += " " + tail_text
     return _toks(sql)
 
 
-def _entropy_make_sub(arg, j, keys, from_text, where_body):
+def _entropy_make_sub(arg, j, keys, from_text, where_body, tag="e"):
     """Two chained hash aggregates: per-(group, value) counts, then the
     Shannon identity over the counts."""
     m = len(keys)
-    inner_cols = [f"({k}) AS __egk_{i}" for i, k in enumerate(keys)]
+    inner_cols = [f"({k}) AS __egk{tag}_{i}" for i, k in enumerate(keys)]
     inner_cols += [f"({arg}) AS __evv", "count(*) AS __ec"]
     inner_where = f"({arg}) IS NOT NULL"
     if where_body:
@@ -3212,28 +3235,29 @@ def _entropy_make_sub(arg, j, keys, from_text, where_body):
         "SELECT " + ", ".join(inner_cols) + " " + from_text
         + " WHERE " + inner_where + " GROUP BY " + inner_group
     )
-    outer_cols = [f"__egk_{i}" for i in range(m)]
+    outer_cols = [f"__egk{tag}_{i}" for i in range(m)]
     outer_group = (
         " GROUP BY " + ", ".join(str(i) for i in range(1, m + 1))
         if m else ""
     )
     return (
         "SELECT "
-        + ", ".join(outer_cols + [f"{_ENTROPY_H_SQL} AS __ev_{j}"])
+        + ", ".join(outer_cols + [f"{_ENTROPY_H_SQL} AS __ev{tag}_{j}"])
         + " FROM (" + inner_sql + ") __ef" + outer_group
     )
 
 
 _ENTROPY_SPEC = {
     "name": "entropy",
+    "tag": "e",
     "context": _ENTROPY_AGG_CONTEXT,
     "make_sub": _entropy_make_sub,
     # empty group -> 0.0 (the grouped subquery drops all-NULL groups)
-    "ref": lambda j: f"coalesce(__e{j}.__ev_{j}, CAST(0 AS DOUBLE))",
+    "ref": lambda j: f"coalesce(__ee{j}.__eve_{j}, CAST(0 AS DOUBLE))",
 }
 
 
-def _mad_make_sub(arg, j, keys, from_text, where_body):
+def _mad_make_sub(arg, j, keys, from_text, where_body, tag="m"):
     """mad(x) = median(abs(x - median(x))) per group: a grouped median
     subquery joined back to the raw values, then a second grouped
     median — both built-in percentile aggregates with map-side
@@ -3242,12 +3266,12 @@ def _mad_make_sub(arg, j, keys, from_text, where_body):
     m = len(keys)
     where = f" WHERE {where_body}" if where_body else ""
     val = f"CAST(({arg}) AS DOUBLE)"
-    dev_cols = [f"({k}) AS __egk_{i}" for i, k in enumerate(keys)]
+    dev_cols = [f"({k}) AS __egk{tag}_{i}" for i, k in enumerate(keys)]
     dev_sql = (
         "SELECT " + ", ".join(dev_cols + [f"{val} AS __mv"])
         + " " + from_text + where
     )
-    med_cols = [f"({k}) AS __egk_{i}" for i, k in enumerate(keys)]
+    med_cols = [f"({k}) AS __egk{tag}_{i}" for i, k in enumerate(keys)]
     med_group = (
         " GROUP BY " + ", ".join(str(i) for i in range(1, m + 1))
         if m else ""
@@ -3258,19 +3282,24 @@ def _mad_make_sub(arg, j, keys, from_text, where_body):
     )
     on = (
         " AND ".join(
-            f"__mf.__egk_{i} <=> __mm.__egk_{i}" for i in range(m)
+            f"__mf.__egk{tag}_{i} <=> __mm.__egk{tag}_{i}"
+            for i in range(m)
         )
         if m else "true"
     )
-    sel = [f"__mf.__egk_{i} AS __egk_{i}" for i in range(m)]
+    sel = [
+        f"__mf.__egk{tag}_{i} AS __egk{tag}_{i}" for i in range(m)
+    ]
     group = (
-        " GROUP BY " + ", ".join(f"__mf.__egk_{i}" for i in range(m))
+        " GROUP BY " + ", ".join(
+            f"__mf.__egk{tag}_{i}" for i in range(m)
+        )
         if m else ""
     )
     return (
         "SELECT "
         + ", ".join(
-            sel + [f"median(abs(__mf.__mv - __mm.__med)) AS __ev_{j}"]
+            sel + [f"median(abs(__mf.__mv - __mm.__med)) AS __ev{tag}_{j}"]
         )
         + f" FROM ({dev_sql}) __mf JOIN ({med_sql}) __mm ON {on}"
         + group
@@ -3279,12 +3308,13 @@ def _mad_make_sub(arg, j, keys, from_text, where_body):
 
 _MAD_SPEC = {
     "name": "mad",
+    "tag": "m",
     # make_dt_interval guards the temporal overload (already lowered to
     # the pandas UDF by the call-shims pass before this runs)
     "context": _ENTROPY_AGG_CONTEXT | {"make_dt_interval"},
     "make_sub": _mad_make_sub,
     # all-NULL group -> NULL, like DuckDB (no coalesce)
-    "ref": lambda j: f"__e{j}.__ev_{j}",
+    "ref": lambda j: f"__em{j}.__evm_{j}",
     "validate": lambda arg: not _static_temporal_sql(arg),
 }
 

@@ -438,6 +438,13 @@ def win_item(g: random.Random) -> str:
 
 
 def agg_item(g: random.Random) -> str:
+    r = g.random()
+    if r < 0.10:
+        # round-8 surface: restructured two-phase aggregates under
+        # every group-key shape (ordinals/expressions/aliases)
+        return f"round(CAST(mad({g.choice(NUM_COLS)}) AS DOUBLE), 3)"
+    if r < 0.20:
+        return f"round(entropy({g.choice(STR_COLS + INT_COLS)}), 3)"
     fn = g.choice(["sum", "avg", "min", "max", "count"])
     inner = num_expr(g, depth=1)
     if g.random() < 0.3:
@@ -521,9 +528,26 @@ def groupby_stmt(g: random.Random) -> str:
             sql += f" AND o_totalprice > {g.randint(50000, 300000)}"
     if g.random() < 0.6:
         sql += f" WHERE {bool_expr(g, 1)}"
-    sql += " GROUP BY " + ", ".join(keys)
-    if g.random() < 0.4:
+    rk = g.random()
+    if rk < 0.3:
+        # ordinal keys (the round-8 wrong-answer class: a restructure
+        # that exports the literal ordinal joins every group globally)
+        sql += " GROUP BY " + ", ".join(
+            str(i + 1) for i in range(len(keys))
+        )
+    elif rk < 0.5:
+        # select-list alias keys
+        sql += " GROUP BY " + ", ".join(
+            f"k{i}" for i in range(len(keys))
+        )
+    else:
+        sql += " GROUP BY " + ", ".join(keys)
+    hv = g.random()
+    if hv < 0.35:
         sql += f" HAVING count(*) > {g.randint(0, 50)}"
+    elif hv < 0.5:
+        # aggregate-in-HAVING hoist path
+        sql += f" HAVING mad({g.choice(NUM_COLS)}) >= 0"
     return sql
 
 
