@@ -211,6 +211,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_order_null_ordering(tokens)
     tokens = _rewrite_mad_groupby_recursive(tokens)
     tokens = _rewrite_entropy_groupby_recursive(tokens)
+    tokens = _rewrite_mad_fallback_template(tokens)
     tokens = _rewrite_product_entropy(tokens)
     # brace-map sentinel back to Spark's variadic map (see
     # _rewrite_brace_literals)
@@ -2354,6 +2355,42 @@ _ENTROPY_TEMPLATE = (
     ")), 1))"
 )
 
+def _mad_median_sql(arr: str) -> str:
+    """DuckDB median over a SORTED double array: middle element for
+    odd counts, mean of the two middles for even, NULL when empty."""
+    return (
+        f"(CASE WHEN size({arr}) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"WHEN size({arr}) % 2 = 1 "
+        f"THEN CAST(element_at({arr}, "
+        f"CAST((size({arr}) + 1) / 2 AS INT)) AS DOUBLE) "
+        f"ELSE (CAST(element_at({arr}, "
+        f"CAST(size({arr}) / 2 AS INT)) AS DOUBLE) + "
+        f"CAST(element_at({arr}, "
+        f"CAST(size({arr}) / 2 AS INT) + 1) AS DOUBLE)) / 2.0 "
+        "END)"
+    )
+
+
+def _mad_template(arg_sql: str) -> str:
+    """Fallback ``mad(x)`` = median(abs(x - median(x))) as a pure
+    built-in collect_list template for the shapes the statement
+    restructure can't lift: unlike the grouped-agg pandas UDF (which
+    Spark refuses to plan alongside built-in aggregates in the same
+    Aggregate), this mixes freely and stays JVM-side. O(n) group
+    memory, same documented bound as the entropy/histogram
+    templates — the restructured two-phase plan remains the scale
+    path."""
+    med1 = _mad_median_sql("__s1")
+    med2 = _mad_median_sql("__s2")
+    return (
+        "(element_at(transform(array(array_sort(collect_list("
+        f"{arg_sql}))), __s1 -> "
+        "element_at(transform(array(array_sort(transform(__s1, "
+        f"__v -> abs(__v - {med1})))), __s2 -> {med2}), 1)"
+        "), 1))"
+    )
+
+
 # histogram(): DuckDB's per-group value->count MAP, keys ascending.
 # Same collect_list binding trick as entropy: the group's values are
 # gathered once, distinct keys sorted, counts via filter/size. O(distinct
@@ -3344,6 +3381,44 @@ def _rewrite_aggfn_groupby_recursive(
         out.append(tok)
         i += 1
     return _rewrite_aggfn_groupby(out, spec)
+
+
+def _rewrite_mad_fallback_template(tokens: List[Token]) -> List[Token]:
+    """Lower every ``mad(...)`` call the statement restructure could
+    NOT lift to the pure built-in collect_list template
+    (``_mad_template``): unlike the grouped-agg pandas UDF — which
+    Spark refuses to plan alongside built-in aggregates in the same
+    Aggregate — it mixes freely and stays JVM-side. Window calls
+    (OVER follows) keep the pandas UDF: the template's outer
+    element_at is not window-able, and a pandas UDAF over a window IS
+    plannable. Runs AFTER the restructure passes, so only genuine
+    fallback shapes (DISTINCT selects, nested scopes the restructure
+    bailed on) reach it."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() == "mad":
+            p_open = _next_code(tokens, i)
+            if (
+                p_open < n
+                and tokens[p_open].kind == "op"
+                and tokens[p_open].text == "("
+            ):
+                close = _matching_paren(tokens, p_open)
+                after = _next_code(tokens, close)
+                if not (after < n and tokens[after].is_kw("OVER")):
+                    inner = _rewrite_mad_fallback_template(
+                        tokens[p_open + 1 : close]
+                    )
+                    arg = "".join(t.text for t in inner)
+                    out.extend(_toks(_mad_template(arg)))
+                    i = close + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
 
 
 def _rewrite_entropy_groupby_recursive(tokens: List[Token]) -> List[Token]:
@@ -6153,10 +6228,13 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     i = close + 1
                     continue
                 if low == "mad" and len(args) == 1:
-                    # median absolute deviation (grouped-agg pandas UDF,
-                    # double-typed): numerics cast to DOUBLE; temporals
-                    # route through epoch micros and come back as a
-                    # day-time interval (DuckDB returns INTERVAL there)
+                    # median absolute deviation: numerics cast to
+                    # DOUBLE; temporals route through epoch micros and
+                    # come back as a day-time interval (DuckDB returns
+                    # INTERVAL there). The call name survives so the
+                    # later statement restructure can lift it; calls
+                    # the restructure can't lift are lowered by the
+                    # trailing _rewrite_mad_fallback_template pass.
                     a = _sql(inner, *args[0])
                     if _static_temporal_sql(a):
                         out.extend(

@@ -454,3 +454,53 @@ def test_mad_ordinal_expression_keys_two_phase_plan(spark):
         )
         assert "AggregateInPandas" not in plan, sql
         assert "FlatMapGroupsInPandas" not in plan, sql
+
+
+def test_mad_fallback_collect_list_template(spark):
+    """Shapes the restructure can't lift (DISTINCT select) lower mad()
+    to a pure built-in collect_list template — it must mix with other
+    aggregates in one Aggregate (the grouped-agg pandas UDF cannot)
+    and produce no pandas plan nodes."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS "
+        "FROM read_parquet('/root/testdata/sf0.001/part.parquet')"
+    )
+    spark.read.parquet(
+        "/root/testdata/sf0.001/part.parquet"
+    ).createOrReplaceTempView("part")
+    sql = (
+        "SELECT DISTINCT p_brand, count(*) AS n, "
+        "round(CAST(mad(p_retailprice) AS DOUBLE), 4) AS m "
+        "FROM part GROUP BY p_brand ORDER BY p_brand"
+    )
+
+    def norm(v):
+        return round(v, 5) if isinstance(v, float) else v
+
+    want = sorted(
+        str(tuple(norm(x) for x in r)) for r in con.execute(sql).fetchall()
+    )
+    df = spark.sql(translate(sql))
+    got = sorted(str(tuple(norm(x) for x in r)) for r in df.collect())
+    assert got == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AggregateInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    # odd/even/empty group sizes through the template path
+    for sql2 in (
+        "SELECT DISTINCT p_size % 4 AS g, "
+        "round(CAST(mad(p_retailprice) AS DOUBLE), 4) AS m "
+        "FROM part WHERE p_partkey <= 21 GROUP BY p_size % 4",
+        "SELECT DISTINCT round(CAST(mad(p_retailprice) AS DOUBLE), 4) "
+        "AS m FROM part WHERE p_partkey < 0",
+    ):
+        want2 = sorted(
+            str(tuple(norm(x) for x in r))
+            for r in con.execute(sql2).fetchall()
+        )
+        got2 = sorted(
+            str(tuple(norm(x) for x in r))
+            for r in spark.sql(translate(sql2)).collect()
+        )
+        assert got2 == want2, sql2
