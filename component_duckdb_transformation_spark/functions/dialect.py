@@ -204,6 +204,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_window_exclude(tokens)
     tokens = _rewrite_unordered_ranking(tokens)
     tokens = _rewrite_call_shims(tokens)
+    tokens = _rewrite_varchar_casts(tokens)
     tokens = _rewrite_filter_shorthand(tokens)
     tokens = _rewrite_simple(tokens)
     tokens = _rewrite_distinct_on_recursive(tokens)
@@ -1670,13 +1671,17 @@ def _rewrite_concat_null_skipping(tokens: List[Token]) -> List[Token]:
                     # DuckDB casts EACH argument to VARCHAR before
                     # joining; without the per-arg cast Spark's
                     # concat_ws would flatten array arguments and join
-                    # their elements instead (silent wrong results)
+                    # their elements instead (silent wrong results).
+                    # __DUCKVARCHAR: the late _rewrite_varchar_casts
+                    # pass lowers it to the DuckDB-exact cast, so
+                    # DOUBLE/FLOAT args render fmtlib-style ('1e+20')
+                    # like DuckDB's implicit VARCHAR cast does
                     args = _split_top_level_args(tokens, p_open, close)
                     out.extend(_toks("concat_ws(''"))
                     for arg in args:
                         out.extend(_toks(", CAST(("))
                         out.extend(_rewrite_concat_null_skipping(arg))
-                        out.extend(_toks(") AS STRING)"))
+                        out.extend(_toks(") AS __DUCKVARCHAR)"))
                     out.append(Token("op", ")"))
                     i = close + 1
                     continue
@@ -4996,10 +5001,13 @@ def _top_level_as(tokens: List[Token], open_idx: int, close_idx: int):
 
 
 def _rewrite_bare_types(tokens: List[Token]) -> List[Token]:
-    """Bare ``VARCHAR``/``TEXT`` type names -> ``STRING`` in cast contexts
-    only: after ``::`` or as the type of ``CAST(x AS <type>)`` (Spark
-    requires VARCHAR(n) and has no TEXT; DuckDB treats both as TEXT).
-    Restricted to cast contexts because ``text`` is a common column name.
+    """Bare ``VARCHAR``/``TEXT`` type names -> ``__DUCKVARCHAR`` (a
+    sentinel the late ``_rewrite_varchar_casts`` pass lowers to a
+    DuckDB-exact string cast) and ``JSON`` -> ``STRING``, in cast
+    contexts only: after ``::`` or as the type of ``CAST(x AS <type>)``
+    (Spark requires VARCHAR(n) and has no TEXT; DuckDB treats both as
+    TEXT). Restricted to cast contexts because ``text`` is a common
+    column name.
     """
     out: List[Token] = []
     cast_paren_stack: List[bool] = []
@@ -5025,12 +5033,214 @@ def _rewrite_bare_types(tokens: List[Token]) -> List[Token]:
                 and cast_paren_stack[-1]
             )
             if after_colons or after_cast_as:
-                out.append(Token("word", "STRING"))
+                if tok.text.lower() == "json":
+                    out.append(Token("word", "STRING"))
+                else:
+                    out.append(Token("word", "__DUCKVARCHAR"))
                 prev_code = out[-1]
                 continue
         out.append(tok)
         if tok.kind not in ("ws", "comment"):
             prev_code = tok
+    return out
+
+
+def _fmtlib_repr_sql(sexpr: str) -> str:
+    """Reshape a Java float/double repr STRING (``sexpr``) into
+    fmtlib's rendering — the string-only core of ``_fmtlib_double_sql``
+    (same cutoffs: decimal form for exponents in [-4, 15], else
+    ``<digits>e±NN``). Purely textual, so it analyzes cleanly even when
+    the originating expression is not float-typed (the caller's
+    ``typeof`` CASE keeps it unevaluated then); Java's ``NaN``/
+    ``Infinity`` spellings map to fmtlib's ``nan``/``inf``."""
+    return (
+        "(element_at(transform(array(" + sexpr + "), "
+        "__ds -> CASE WHEN __ds = 'NaN' THEN 'nan' "
+        "WHEN __ds = 'Infinity' THEN 'inf' "
+        "WHEN __ds = '-Infinity' THEN '-inf' "
+        "WHEN locate('E', __ds) = 0 THEN __ds ELSE concat("
+        "CASE WHEN __ds LIKE '-%' THEN '-' ELSE '' END, "
+        "element_at(transform(array(named_struct("
+        "'h', substring_index(CASE WHEN __ds LIKE '-%' "
+        "THEN substr(__ds, 2) ELSE __ds END, 'E', 1), "
+        "'n', CAST(substring_index(__ds, 'E', -1) AS INT))), __p -> "
+        "element_at(transform(array(named_struct("
+        "'dg', CASE WHEN substr(__p.h, 3) = '0' THEN substr(__p.h, 1, 1) "
+        "ELSE concat(substr(__p.h, 1, 1), substr(__p.h, 3)) END, "
+        "'n', __p.n, 'h', __p.h)), __q -> "
+        "CASE WHEN __q.n BETWEEN -4 AND 15 THEN "
+        "CASE WHEN __q.n + 1 >= length(__q.dg) "
+        "THEN concat(__q.dg, repeat('0', __q.n + 1 - length(__q.dg)), '.0') "
+        "WHEN __q.n >= 0 "
+        "THEN concat(substr(__q.dg, 1, __q.n + 1), '.', "
+        "substr(__q.dg, __q.n + 2)) "
+        "ELSE concat('0.', repeat('0', - __q.n - 1), __q.dg) END "
+        "ELSE concat(CASE WHEN substr(__q.h, 3) = '0' "
+        "THEN substr(__q.h, 1, 1) ELSE __q.h END, "
+        "'e', CASE WHEN __q.n < 0 THEN '-' ELSE '+' END, "
+        "CASE WHEN abs(__q.n) < 10 "
+        "THEN concat('0', CAST(abs(__q.n) AS STRING)) "
+        "ELSE CAST(abs(__q.n) AS STRING) END) END), 1)), 1)) "
+        "END), 1))"
+    )
+
+
+def _varchar_cast_sql(x: str) -> str:
+    """DuckDB-exact ``CAST(x AS VARCHAR)``: DuckDB renders DOUBLE/FLOAT
+    through fmtlib's shortest-round-trip writer (``1e+20``, ``2.5e-07``,
+    decimal form for exponents in [-4, 15]); Spark's cast uses Java's
+    ``toString`` (``1.0E20``). ``typeof()`` dispatches WITHOUT
+    evaluating its child, so non-float inputs keep the plain Spark cast
+    (byte-identical to DuckDB for string/date/timestamp/decimal/bool).
+    The fmt branch reshapes ``CAST(x AS STRING)`` textually — no typed
+    ops on the operand, so the CASE analyzes for ANY input type — and
+    FLOAT inputs feed their own shortest repr (no widening to double,
+    which would add garbage digits)."""
+    return (
+        f"(CASE WHEN typeof({x}) IN ('double', 'float') THEN "
+        + _fmtlib_repr_sql(f"CAST(({x}) AS STRING)")
+        + f" ELSE CAST(({x}) AS STRING) END)"
+    )
+
+
+_NUM_LITERAL_RE = re.compile(r"^(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?$")
+
+
+def _static_varchar_cast(op_code: List[Token]):
+    """If the operand is a single literal whose DuckDB VARCHAR cast
+    cannot diverge from Spark's (strings, ints, decimals, NULL) or is
+    statically computable (scientific-notation literals — DOUBLE in
+    both engines; Python's ``repr`` is byte-identical to DuckDB's
+    fmtlib rendering, fuzz-verified on random bit patterns), return the
+    replacement SQL; else None. Keeps literal casts foldable, which
+    Spark inline tables (``VALUES``) require."""
+    if len(op_code) != 1:
+        return None
+    t = op_code[0]
+    if t.kind == "str":
+        return f"CAST({t.text} AS STRING)"
+    if t.kind == "word":
+        if t.text.upper() == "NULL":
+            return "CAST(NULL AS STRING)"
+        if _NUM_LITERAL_RE.match(t.text):
+            if "e" in t.text.lower():
+                return "'" + repr(float(t.text)) + "'"
+            return f"CAST({t.text} AS STRING)"
+    return None
+
+
+def _values_spans(tokens: List[Token]) -> set:
+    """Token-index spans covered by VALUES tuple lists. Spark inline
+    tables require foldable expressions, which the lambda-based fmtlib
+    reshaper is not — sentinel casts inside these spans keep the plain
+    Spark cast (non-literal VALUES entries were never valid there
+    anyway; literal entries are handled exactly by the static path)."""
+    spans: set = set()
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == "word" and t.upper == "VALUES":
+            j = _next_code(tokens, i)
+            while (
+                j < n
+                and tokens[j].kind == "op"
+                and tokens[j].text == "("
+            ):
+                close = _matching_paren(tokens, j)
+                spans.update(range(j, close + 1))
+                k = _next_code(tokens, close)
+                if k < n and tokens[k].kind == "op" and tokens[k].text == ",":
+                    j = _next_code(tokens, k)
+                else:
+                    break
+        i += 1
+    return spans
+
+
+def _rewrite_varchar_casts(tokens: List[Token]) -> List[Token]:
+    """Lower the ``__DUCKVARCHAR`` sentinel (planted by
+    ``_rewrite_bare_types`` for user ``VARCHAR``/``TEXT`` cast targets
+    and by ``_rewrite_concat_null_skipping`` for concat's per-argument
+    implicit casts) to the DuckDB-exact string cast. Runs LATE (after
+    ``_rewrite_call_shims``) so the emitted fmtlib template is not
+    re-rewritten by the function-shim passes — the same position the
+    ``format()`` shim emits it from. Literal operands render statically
+    (exact AND foldable); operands inside VALUES lists keep the plain
+    cast (inline tables reject non-foldable lambdas)."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    in_values = _values_spans(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "word" and tok.text.lower() in ("cast", "try_cast"):
+            p_open = _next_code(tokens, i)
+            if p_open < n and tokens[p_open].kind == "op" and tokens[p_open].text == "(":
+                close = _matching_paren(tokens, p_open)
+                as_i = _top_level_as(tokens, p_open, close)
+                if as_i is not None:
+                    ty = _next_code(tokens, as_i)
+                    ty_end = _next_code(tokens, ty) if ty < n else n
+                    if (
+                        ty < n
+                        and tokens[ty].kind == "word"
+                        and tokens[ty].text == "__DUCKVARCHAR"
+                        and ty_end == close
+                    ):
+                        inner = _rewrite_varchar_casts(
+                            tokens[p_open + 1 : as_i]
+                        )
+                        inner_code = [
+                            t for t in inner
+                            if t.kind not in ("ws", "comment")
+                        ]
+                        x = "".join(t.text for t in inner).strip()
+                        static = _static_varchar_cast(inner_code)
+                        if static is not None:
+                            out.extend(_toks(static))
+                        elif i in in_values:
+                            out.extend(_toks(f"CAST(({x}) AS STRING)"))
+                        else:
+                            out.extend(_toks(_varchar_cast_sql(x)))
+                        i = close + 1
+                        continue
+        elif tok.kind == "op" and tok.text == "::":
+            ty = _next_code(tokens, i)
+            if (
+                ty < n
+                and tokens[ty].kind == "word"
+                and tokens[ty].text == "__DUCKVARCHAR"
+            ):
+                operand = _pop_operand(out)
+                if operand:
+                    x = "".join(t.text for t in operand).strip()
+                    op_code = [
+                        t for t in operand
+                        if t.kind not in ("ws", "comment")
+                    ]
+                    static = _static_varchar_cast(op_code)
+                    if static is not None:
+                        out.extend(_toks(static))
+                    elif i in in_values:
+                        out.extend(_toks(f"CAST(({x}) AS STRING)"))
+                    else:
+                        out.extend(_toks(_varchar_cast_sql(x)))
+                    i = ty + 1
+                    continue
+                out.append(tok)
+                out.append(Token("word", "STRING"))
+                i = ty + 1
+                continue
+        if tok.kind == "word" and tok.text == "__DUCKVARCHAR":
+            # leftover sentinel in a shape neither branch claimed
+            # (e.g. a DDL column type): plain STRING, the pre-r8
+            # behavior
+            out.append(Token("word", "STRING"))
+            i += 1
+            continue
+        out.append(tok)
+        i += 1
     return out
 
 

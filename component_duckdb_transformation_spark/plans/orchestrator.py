@@ -25,6 +25,7 @@ Spark job group (the analogue of the reference's future cancellation).
 from __future__ import annotations
 
 import logging
+import re
 import threading
 import time
 from collections import defaultdict
@@ -188,6 +189,23 @@ def build_queries(blocks: Sequence[ConfigBlock]) -> List[Query]:
     return queries
 
 
+_CATALOG_DDL_RE = re.compile(
+    r"^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?|DROP\s+)"
+    r"(?:TYPE|SEQUENCE|MACRO|FUNCTION)\b",
+    re.IGNORECASE,
+)
+
+
+def _has_catalog_ddl(q: Query) -> bool:
+    """True when any statement in the query is session-catalog DDL
+    (types, sequences, macros) whose effects the table-name dependency
+    extractor cannot model."""
+    stmts = q.statements or []
+    if stmts:
+        return any(_CATALOG_DDL_RE.match(st.sql or "") for st in stmts)
+    return bool(_CATALOG_DDL_RE.match(q.sql or ""))
+
+
 def _batches_for_block(block_queries: List[Query], producers: dict[str, Query]) -> List[Batch]:
     """Kahn-layered batches within one block (reference
     src/query_orchestrator.py:104-163)."""
@@ -208,6 +226,21 @@ def _batches_for_block(block_queries: List[Query], producers: dict[str, Query]) 
             edges.add((src, dst))
             graph[src].append(dst)
             in_degree[dst] += 1
+
+    # a query containing catalog-level DDL (CREATE/DROP TYPE, SEQUENCE,
+    # MACRO) is a scheduling barrier: the dependency extractor can't see
+    # a column's ENUM type or an expression's macro/sequence reference,
+    # so a later CREATE TABLE (col enum_type) or nextval('seq') racing
+    # the registration would fail or silently mis-type (observed: x30's
+    # CREATE TABLE custt parallel to CREATE TYPE tier). DuckDB scripts
+    # run these sequentially on one connection; config order is the
+    # contract.
+    for bi, bq in enumerate(block_queries):
+        if _has_catalog_ddl(bq):
+            for other in block_queries[:bi]:
+                add_edge(other.name, bq.name)
+            for other in block_queries[bi + 1:]:
+                add_edge(bq.name, other.name)
 
     # serialize all writers to the same table in config order — subsumes
     # the reference's explicit CREATE->INSERT edges (reference

@@ -90,3 +90,28 @@ def test_mutation_chain_serialized():
         "DELETE FROM t WHERE x = 1",
     ])])]
     assert _batch_names(_plan(blocks)) == [[["c_0"], ["c_1"], ["c_2"], ["c_3"]]]
+
+
+def test_catalog_ddl_barrier_serializes_block():
+    # CREATE TYPE / CREATE SEQUENCE have no table-level outputs, so the
+    # dependency extractor can't order them; they must act as barriers
+    # or CREATE TABLE custt (tier tier) races the type registration
+    # (observed flaky at sf0.1 in x30)
+    blocks = [Block(name="b", codes=[Code(name="p", script=[
+        "CREATE TYPE tier AS ENUM ('a', 'b')",
+        "CREATE SEQUENCE sid START 1000",
+        "CREATE TABLE custt (k BIGINT, tier tier, sid BIGINT)",
+        "INSERT INTO custt SELECT 1, 'a', nextval('sid')",
+    ])])]
+    names = _batch_names(_plan(blocks))
+    # every batch is a singleton, in config order
+    assert names == [[["p_0"], ["p_1"], ["p_2"], ["p_3"]]]
+
+
+def test_catalog_ddl_barrier_leaves_plain_blocks_parallel():
+    blocks = [Block(name="b", codes=[Code(name="p", script=[
+        "CREATE TABLE a AS SELECT 1 AS x",
+        "CREATE TABLE b AS SELECT 2 AS y",
+    ])])]
+    names = _batch_names(_plan(blocks))
+    assert names == [[["p_0", "p_1"]]]
