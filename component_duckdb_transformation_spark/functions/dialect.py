@@ -5114,6 +5114,13 @@ def _static_varchar_cast(op_code: List[Token]):
     fmtlib rendering, fuzz-verified on random bit patterns), return the
     replacement SQL; else None. Keeps literal casts foldable, which
     Spark inline tables (``VALUES``) require."""
+    while (
+        len(op_code) >= 3
+        and op_code[0].kind == "op" and op_code[0].text == "("
+        and op_code[-1].kind == "op" and op_code[-1].text == ")"
+        and _matching_paren(op_code, 0) == len(op_code) - 1
+    ):
+        op_code = op_code[1:-1]
     if len(op_code) != 1:
         return None
     t = op_code[0]

@@ -504,3 +504,65 @@ def test_mad_fallback_collect_list_template(spark):
             for r in spark.sql(translate(sql2)).collect()
         )
         assert got2 == want2, sql2
+
+
+VARCHAR_CAST_CASES = [
+    # DuckDB renders DOUBLE/FLOAT -> VARCHAR through fmtlib; Spark's
+    # native cast uses Java toString ('1.0E20'). The typeof-dispatched
+    # rewrite must be byte-exact for every input type.
+    "CAST(1e20 AS VARCHAR)", "(1.5e-7)::VARCHAR", "(1e15)::TEXT",
+    "CAST(1e16 AS varchar)", "(0.0001e0)::VARCHAR", "(1e-5)::text",
+    "CAST((1.5e-7)::FLOAT AS VARCHAR)",
+    "((3.4028235e38)::FLOAT)::VARCHAR",
+    "CAST('abc' AS VARCHAR)", "CAST(123 AS VARCHAR)",
+    "CAST(1.50 AS VARCHAR)", "CAST(DATE '2020-01-02' AS VARCHAR)",
+    "CAST(TIMESTAMP '2020-01-02 03:04:05.1' AS VARCHAR)",
+    "CAST(TRUE AS VARCHAR)", "CAST(NULL AS VARCHAR)",
+    "concat(1e20)", "concat('x', 1.5e-7)", "concat(1e20, NULL, 'a')",
+    "concat(DATE '2020-01-02', ' ', 1e7)",
+    "CAST(-0.0e0 AS VARCHAR)", "CAST((0.1e0)::FLOAT AS VARCHAR)",
+    "(-1.7976931348623157e308)::VARCHAR",
+    "CAST('inf'::DOUBLE AS VARCHAR)", "CAST('-inf'::DOUBLE AS VARCHAR)",
+    "CAST('nan'::DOUBLE AS VARCHAR)",
+    "(123456789.123)::VARCHAR", "(1234567890123456.0e0)::VARCHAR",
+    "upper(CAST(1e20 AS VARCHAR))", "length((1e20)::VARCHAR)",
+    "CAST(1e20 AS VARCHAR) || 'z'",
+    "(1e20)::VARCHAR::VARCHAR",
+]
+
+
+@pytest.mark.parametrize("expr", VARCHAR_CAST_CASES)
+def test_varchar_cast_fmtlib_parity(spark, expr):
+    con = duckdb.connect()
+    want = con.sql(f"SELECT {expr}").fetchone()[0]
+    got = spark.sql(translate(f"SELECT {expr} AS r")).collect()[0][0]
+    assert got == want, f"{expr}: duck={want!r} spark={got!r}"
+
+
+def test_varchar_cast_inside_values_stays_foldable(spark):
+    # Spark inline tables reject non-foldable lambdas; literal casts
+    # render statically (exact) and non-literal entries keep the plain
+    # cast
+    con = duckdb.connect()
+    for sql in (
+        "SELECT x FROM (VALUES (CAST(NULL AS VARCHAR)), ('a')) t(x)",
+        "SELECT x FROM (VALUES ((1e20)::VARCHAR), ('b')) t(x)",
+        "SELECT x FROM (VALUES ((123)::VARCHAR)) t(x)",
+    ):
+        want = sorted(str(r[0]) for r in con.sql(sql).fetchall())
+        got = sorted(
+            str(r[0]) for r in spark.sql(translate(sql)).collect()
+        )
+        assert got == want, sql
+
+
+def test_varchar_cast_on_table_column(spark):
+    spark.sql(
+        "SELECT 1.5e20 AS d, CAST(2.5 AS DOUBLE) AS e"
+    ).createOrReplaceTempView("vc_t")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vc_t AS SELECT 1.5e20 AS d, 2.5::DOUBLE AS e")
+    sql = "SELECT d::VARCHAR AS a, CAST(e AS VARCHAR) AS b FROM vc_t"
+    want = con.sql(sql).fetchone()
+    got = tuple(spark.sql(translate(sql)).collect()[0])
+    assert got == tuple(want)
