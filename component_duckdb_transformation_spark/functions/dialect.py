@@ -205,6 +205,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_unordered_ranking(tokens)
     tokens = _rewrite_call_shims(tokens)
     tokens = _rewrite_varchar_casts(tokens)
+    tokens = _rewrite_date_interval_add(tokens)
     tokens = _rewrite_filter_shorthand(tokens)
     tokens = _rewrite_simple(tokens)
     tokens = _rewrite_distinct_on_recursive(tokens)
@@ -5095,11 +5096,15 @@ def _varchar_cast_sql(x: str) -> str:
     The fmt branch reshapes ``CAST(x AS STRING)`` textually — no typed
     ops on the operand, so the CASE analyzes for ANY input type — and
     FLOAT inputs feed their own shortest repr (no widening to double,
-    which would add garbage digits)."""
+    which would add garbage digits). The operand is lambda-bound ONCE
+    (single-element transform) so nested rewrites grow the plan
+    linearly, not exponentially — fuzz-nested templates OOM'd codegen
+    otherwise."""
     return (
-        f"(CASE WHEN typeof({x}) IN ('double', 'float') THEN "
-        + _fmtlib_repr_sql(f"CAST(({x}) AS STRING)")
-        + f" ELSE CAST(({x}) AS STRING) END)"
+        f"(element_at(transform(array(named_struct('v', ({x}))), __vc -> "
+        "CASE WHEN typeof(__vc.v) IN ('double', 'float') THEN "
+        + _fmtlib_repr_sql("CAST(__vc.v AS STRING)")
+        + " ELSE CAST(__vc.v AS STRING) END), 1))"
     )
 
 
@@ -5124,7 +5129,7 @@ def _static_varchar_cast(op_code: List[Token]):
     if len(op_code) != 1:
         return None
     t = op_code[0]
-    if t.kind == "str":
+    if t.kind == "string":
         return f"CAST({t.text} AS STRING)"
     if t.kind == "word":
         if t.text.upper() == "NULL":
@@ -5246,6 +5251,151 @@ def _rewrite_varchar_casts(tokens: List[Token]) -> List[Token]:
             out.append(Token("word", "STRING"))
             i += 1
             continue
+        out.append(tok)
+        i += 1
+    return out
+
+
+_INTERVAL_UNITS = frozenset({
+    "year", "years", "quarter", "quarters", "month", "months",
+    "week", "weeks", "day", "days", "hour", "hours",
+    "minute", "minutes", "second", "seconds",
+    "millisecond", "milliseconds", "microsecond", "microseconds",
+})
+
+# expressions that are themselves interval-valued: wrapping them in a
+# TIMESTAMP cast would be wrong (INTERVAL + INTERVAL stays INTERVAL)
+_INTERVAL_VALUED_FNS = frozenset({
+    "make_interval", "make_dt_interval", "make_ym_interval", "age",
+})
+
+
+def _interval_literal_end(tokens: List[Token], i: int):
+    """``tokens[i]`` is the INTERVAL keyword; index just past the
+    literal (``INTERVAL 3 MONTH`` / ``INTERVAL '3 months'`` /
+    ``INTERVAL '3' MONTH`` / ``INTERVAL (n) MONTH``), or None when the
+    shape is not a literal."""
+    n = len(tokens)
+    j = _next_code(tokens, i)
+    if j >= n:
+        return None
+    t = tokens[j]
+    if t.kind == "string":
+        k = _next_code(tokens, j)
+        if (
+            k < n
+            and tokens[k].kind == "word"
+            and tokens[k].text.lower() in _INTERVAL_UNITS
+        ):
+            return k + 1
+        return j + 1
+    if t.kind == "op" and t.text == "(":
+        close = _matching_paren(tokens, j)
+        k = _next_code(tokens, close)
+        if (
+            k < n
+            and tokens[k].kind == "word"
+            and tokens[k].text.lower() in _INTERVAL_UNITS
+        ):
+            return k + 1
+        return None
+    if t.kind == "word" and _NUM_LITERAL_RE.match(t.text):
+        k = _next_code(tokens, j)
+        if (
+            k < n
+            and tokens[k].kind == "word"
+            and tokens[k].text.lower() in _INTERVAL_UNITS
+        ):
+            return k + 1
+        return None
+    return None
+
+
+def _interval_valued_operand(operand: List[Token]) -> bool:
+    code = [t for t in operand if t.kind not in ("ws", "comment")]
+    while (
+        len(code) >= 3
+        and code[0].kind == "op" and code[0].text == "("
+        and code[-1].kind == "op" and code[-1].text == ")"
+        and _matching_paren(code, 0) == len(code) - 1
+    ):
+        code = code[1:-1]
+    if not code:
+        return True  # nothing poppable: treat as unsafe, skip the wrap
+    first = code[0]
+    if first.is_kw("INTERVAL"):
+        return True
+    return (
+        first.kind == "word"
+        and first.text.lower() in _INTERVAL_VALUED_FNS
+    )
+
+
+def _rewrite_date_interval_add(tokens: List[Token]) -> List[Token]:
+    """DuckDB types ``date +/- INTERVAL`` as TIMESTAMP for EVERY
+    interval unit (``DATE '2020-01-31' + INTERVAL 1 MONTH`` ->
+    ``2020-02-29 00:00:00``); Spark keeps DATE for year-month/day
+    intervals. Wrapping the addition in ``CAST(... AS TIMESTAMP)``
+    matches: a no-op when the left side is already a timestamp, the
+    DuckDB widening when it is a DATE. Interval-valued left sides
+    (INTERVAL literals / make_*_interval calls — interval + interval
+    stays an interval) and non-literal interval shapes are left
+    untouched. Runs late so ``date_add(d, INTERVAL ...)`` (lowered by
+    the call shims to ``d + INTERVAL ...``) is wrapped too."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text in ("+", "-"):
+            j = _next_code(tokens, i)
+            if j < n and tokens[j].kind == "word" and tokens[j].upper == "INTERVAL":
+                end = _interval_literal_end(tokens, j)
+                if end is not None:
+                    operand = _pop_operand(out)
+                    # typed literals: _pop_operand stops at the string,
+                    # absorb a DATE/TIME/TIMESTAMP keyword prefix
+                    op_code = [
+                        t for t in operand
+                        if t.kind not in ("ws", "comment")
+                    ]
+                    if len(op_code) == 1 and op_code[0].kind == "string":
+                        k = len(out) - 1
+                        while k >= 0 and out[k].kind in ("ws", "comment"):
+                            k -= 1
+                        if k >= 0 and out[k].kind == "word" and out[k].upper in (
+                            "DATE", "TIME", "TIMESTAMP", "TIMESTAMPTZ",
+                        ):
+                            operand = [out[k], Token("ws", " ")] + operand
+                            del out[k:]
+                    # left side ends in INTERVAL <n> <unit>: the unit
+                    # word pops alone — look back for the INTERVAL
+                    # keyword within the literal's 3-token window
+                    left_tail_interval = False
+                    if operand:
+                        back = [
+                            t for t in out
+                            if t.kind not in ("ws", "comment")
+                        ][-2:]
+                        left_tail_interval = any(
+                            t.is_kw("INTERVAL") for t in back
+                        )
+                    if (
+                        operand
+                        and not left_tail_interval
+                        and not _interval_valued_operand(operand)
+                    ):
+                        x = "".join(t.text for t in operand).strip()
+                        ival = "".join(
+                            t.text for t in tokens[j:end]
+                        ).strip()
+                        out.extend(_toks(
+                            f"CAST(({x} {tok.text} {ival}) "
+                            f"AS TIMESTAMP)"
+                        ))
+                        i = end
+                        continue
+                    out.extend(operand)
         out.append(tok)
         i += 1
     return out
@@ -5948,6 +6098,31 @@ def _sql(tokens: List[Token], lo: int, hi: int) -> str:
     return "".join(t.text for t in tokens[lo:hi]).strip()
 
 
+_PLAIN_DECIMAL_RE = re.compile(r"^\d+\.\d+$")
+
+
+def _plain_decimal_literal_arg(tokens: List[Token], span) -> bool:
+    """True when the argument span is a bare decimal literal (``1.5``,
+    optionally parenthesized/signed) — DECIMAL-typed in both engines,
+    where Spark's native ceil/floor already matches DuckDB."""
+    lo, hi = span
+    code = [t for t in tokens[lo:hi] if t.kind not in ("ws", "comment")]
+    while (
+        len(code) >= 3
+        and code[0].kind == "op" and code[0].text == "("
+        and code[-1].kind == "op" and code[-1].text == ")"
+        and _matching_paren(code, 0) == len(code) - 1
+    ):
+        code = code[1:-1]
+    if len(code) == 2 and code[0].kind == "op" and code[0].text in ("-", "+"):
+        code = code[1:]
+    return (
+        len(code) == 1
+        and code[0].kind == "word"
+        and bool(_PLAIN_DECIMAL_RE.match(code[0].text))
+    )
+
+
 def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
     """Argument-aware function shims (beyond plain renames):
 
@@ -5967,6 +6142,7 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
     out: List[Token] = []
     i = 0
     n = len(tokens)
+    __in_values = _values_spans(tokens)
     while i < n:
         tok = tokens[i]
         if tok.kind == "word":
@@ -6793,6 +6969,45 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     a = _sql(inner, *args[0])
                     out.extend(
                         _toks(f"timestamp_seconds(CAST(({a}) AS DOUBLE))")
+                    )
+                    i = close + 1
+                    continue
+                if (
+                    low in ("ceil", "ceiling", "floor")
+                    and len(args) == 1
+                    and not _plain_decimal_literal_arg(inner, args[0])
+                    and i not in __in_values
+                ):
+                    # DuckDB types ceil/floor of int/bigint/double as
+                    # DOUBLE (ceil(5) = 5.0, ceil(1e300) = 1e300);
+                    # Spark returns BIGINT, which renders differently
+                    # ('5' vs '5.0' through format()/VARCHAR casts) and
+                    # overflows past 2^63. Values at |x| >= 2^53 are
+                    # already integral doubles — returned as-is, which
+                    # also covers inf and avoids the BIGINT hop; the
+                    # zero-window branch keeps IEEE -0.0 (ceil(-0.5) =
+                    # -0.0 like DuckDB). Decimal LITERALS keep Spark's
+                    # native DECIMAL(p,0) ceil, which already matches
+                    # DuckDB; a decimal-typed column reference can't be
+                    # seen lexically and takes the DOUBLE path
+                    # (documented corner: its VARCHAR cast gains '.0').
+                    a = _sql(inner, *args[0])
+                    fn = "floor" if low == "floor" else "ceiling"
+                    if fn == "floor":
+                        zwin = "(__cl >= 0.0 AND __cl < 1.0)"
+                    else:
+                        zwin = "(__cl > -1.0 AND __cl <= 0.0)"
+                    # operand lambda-bound once: nested numeric
+                    # rewrites stay linear in plan size
+                    out.extend(
+                        _toks(
+                            f"(element_at(transform(array(CAST(({a}) "
+                            f"AS DOUBLE)), __cl -> "
+                            f"CASE WHEN isnan(__cl) OR abs(__cl) >= "
+                            f"9007199254740992.0 THEN __cl "
+                            f"WHEN {zwin} THEN __cl * 0.0 "
+                            f"ELSE CAST({fn}(__cl) AS DOUBLE) END), 1))"
+                        )
                     )
                     i = close + 1
                     continue

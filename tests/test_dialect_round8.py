@@ -566,3 +566,63 @@ def test_varchar_cast_on_table_column(spark):
     want = con.sql(sql).fetchone()
     got = tuple(spark.sql(translate(sql)).collect()[0])
     assert got == tuple(want)
+
+
+DATE_INTERVAL_CASES = [
+    # DuckDB types date +/- INTERVAL as TIMESTAMP for every unit;
+    # Spark keeps DATE for year-month/day intervals
+    "DATE '2020-01-31' + INTERVAL 1 MONTH",
+    "DATE '2020-01-31' - INTERVAL 1 MONTH",
+    "DATE '2020-01-31' + INTERVAL 1 DAY",
+    "DATE '2020-01-31' + INTERVAL 2 HOUR",
+    "DATE '2020-01-31' + INTERVAL '1 month'",
+    "DATE '2020-01-31' + INTERVAL '90' MINUTE",
+    "TIMESTAMP '2020-01-31 01:02:03' + INTERVAL 1 MONTH",
+    "DATE '2020-01-31' + INTERVAL 1 DAY + INTERVAL 2 HOUR",
+    "(DATE '2020-01-31' + INTERVAL 1 MONTH)::DATE",
+    "INTERVAL 1 DAY + INTERVAL 2 HOUR",  # interval+interval: no wrap
+    "date_trunc('month', DATE '2020-03-15') + INTERVAL 1 MONTH",
+    "- INTERVAL 1 DAY + TIMESTAMP '2020-01-31 00:00:00'",
+]
+
+
+@pytest.mark.parametrize("expr", DATE_INTERVAL_CASES)
+def test_date_interval_timestamp_typing(spark, expr):
+    con = duckdb.connect()
+    want = con.sql(f"SELECT {expr}").fetchone()[0]
+    got = spark.sql(translate(f"SELECT {expr} AS r")).collect()[0][0]
+    assert str(got) == str(want), f"{expr}: duck={want!r} spark={got!r}"
+
+
+CEIL_FLOOR_CASES = [
+    # DuckDB ceil/floor of int/bigint/double -> DOUBLE (5.0 not 5);
+    # Spark's native BIGINT result diverges in rendering contexts and
+    # overflows past 2^63. Decimal literals keep native DECIMAL(p,0).
+    "ceil(5)", "floor(5)", "ceil(1.5)", "floor(-1.5)", "ceil(2.5e0)",
+    "floor(2.5e0)", "ceil(-0.5e0)", "floor(0.5e0)", "ceil(1e300)",
+    "ceil('inf'::DOUBLE)", "ceil('nan'::DOUBLE)", "ceil(1.5::FLOAT)",
+    "format('{:6}|', ceil(17000.5e0))", "(ceil(5))::VARCHAR",
+    "ceil(9007199254740993e0)", "floor(-1e300)", "ceiling(7)",
+    "CAST(floor(-0.5e0) AS VARCHAR)", "ceil(NULL)",
+    "ceil(12345.6e0) + 1", "ceil(3.2e0) = 4",
+    "ceil(ceil(ceil(2.2e0)))",
+]
+
+
+@pytest.mark.parametrize("expr", CEIL_FLOOR_CASES)
+def test_ceil_floor_double_typing(spark, expr):
+    con = duckdb.connect()
+    want = con.sql(f"SELECT {expr}").fetchone()[0]
+    got = spark.sql(translate(f"SELECT {expr} AS r")).collect()[0][0]
+    assert str(got) == str(want), f"{expr}: duck={want!r} spark={got!r}"
+
+
+def test_nested_render_templates_stay_small(spark):
+    # operand is lambda-bound once per template, so nesting grows the
+    # translated SQL linearly; the repeated-operand form OOM'd codegen
+    # under fuzz-generated nesting
+    inner = "l_extendedprice"
+    for _ in range(4):
+        inner = f"concat('', ({inner})::VARCHAR)"
+    sql = translate(f"SELECT {inner} AS r FROM lineitem")
+    assert len(sql) < 120_000

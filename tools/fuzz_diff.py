@@ -90,7 +90,15 @@ def str_expr(g: random.Random, depth: int = 0) -> str:
             return g.choice(STR_COLS)
         return "'" + g.choice(["Ax", "N", "zz9", "R F", ""]) + "'"
     a = str_expr(g, depth + 1)
-    choice = g.randrange(13)
+    choice = g.randrange(15)
+    if choice == 13:
+        # round-8 surface: DOUBLE/FLOAT -> VARCHAR casts render through
+        # the fmtlib typeof dispatch; DECIMAL/INT operands must stay on
+        # the plain-cast branch
+        return f"({num_expr(g, depth + 1)})::VARCHAR"
+    if choice == 14:
+        # concat()'s per-argument implicit VARCHAR cast (same dispatch)
+        return f"concat({a}, {num_expr(g, depth + 1)})"
     if choice == 11:
         # round-8 surface: RE2 rewrite semantics (backrefs, \0, \\,
         # invalid-escape no-op/truncation, literal $, class anchors)
