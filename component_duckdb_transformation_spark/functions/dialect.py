@@ -7581,33 +7581,63 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                                 # shortest-round-trip with fmtlib's
                                 # decimal/scientific cutoffs (8.6400
                                 # -> '8.64', 1e-4 -> '0.0001', 1e16 ->
-                                # '1e+16'), not Java's formatting
+                                # '1e+16'), not Java's formatting. The
+                                # arg is lambda-bound ONCE (nested
+                                # args stay linear in plan size), and
+                                # the double hop goes THROUGH the
+                                # string repr: CAST(v AS DOUBLE)
+                                # directly fails ANALYSIS for
+                                # date/timestamp args even in the
+                                # unreached branch, while
+                                # string->double analyzes for every
+                                # type and is value-identical for
+                                # decimals/doubles (both correctly
+                                # rounded)
+                                vs = "CAST(__fa.v AS STRING)"
                                 fdbl = _fmtlib_double_sql(
-                                    f"CAST(({a_}) AS DOUBLE)"
+                                    f"CAST({vs} AS DOUBLE)"
                                 )
                                 dec_str = (
-                                    f"(CASE WHEN typeof(({a_})) LIKE"
-                                    f" 'decimal%' OR typeof(({a_})) IN"
-                                    f" ('double', 'float')"
+                                    "(CASE WHEN typeof(__fa.v) LIKE"
+                                    " 'decimal%' OR typeof(__fa.v) IN"
+                                    " ('double', 'float')"
                                     f" THEN {fdbl}"
-                                    f" ELSE CAST(({a_}) AS STRING) END)"
+                                    f" ELSE {vs} END)"
+                                )
+                                bound_pre = (
+                                    "(element_at(transform(array("
+                                    f"named_struct('v', ({a_}))), "
+                                    "__fa -> "
                                 )
                                 if w_ is not None:
                                     # {:N}: fmtlib pads to a MINIMUM
-                                    # width, left-aligning strings and
-                                    # booleans, right-aligning numbers
-                                    s_ = dec_str
+                                    # width, RIGHT-aligning numeric
+                                    # args and left-aligning everything
+                                    # else (strings, booleans, dates/
+                                    # timestamps — DuckDB stringifies
+                                    # non-numeric args before fmt)
+                                    body = (
+                                        "element_at(transform(array("
+                                        f"{dec_str}), __fs -> "
+                                        f"CASE WHEN length(__fs) >= {w_}"
+                                        " THEN __fs"
+                                        " WHEN typeof(__fa.v) IN"
+                                        " ('tinyint', 'smallint',"
+                                        " 'int', 'bigint', 'float',"
+                                        " 'double')"
+                                        " OR typeof(__fa.v) LIKE"
+                                        " 'decimal%'"
+                                        f" THEN lpad(__fs, {w_}, ' ')"
+                                        f" ELSE rpad(__fs, {w_}, ' ')"
+                                        " END), 1)"
+                                    )
                                     casted.append(
-                                        f"(CASE WHEN length({s_}) >= {w_}"
-                                        f" THEN {s_}"
-                                        f" WHEN typeof(({a_})) IN"
-                                        f" ('string', 'boolean')"
-                                        f" THEN rpad({s_}, {w_}, ' ')"
-                                        f" ELSE lpad({s_}, {w_}, ' ')"
-                                        " END)"
+                                        bound_pre + body + "), 1))"
                                     )
                                 elif t_ == "s":
-                                    casted.append(dec_str)
+                                    casted.append(
+                                        bound_pre + dec_str + "), 1))"
+                                    )
                                 elif t_ in ("f", "e"):
                                     casted.append(
                                         f"CAST(({a_}) AS DOUBLE)"
@@ -7621,9 +7651,20 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                             casted += arg_sqls[len(typs):]
                             rest = ", ".join(casted)
                             tail = f", {rest}" if rest else ""
-                            out.extend(
-                                _toks(f"format_string('{spark_fmt}'{tail})")
-                            )
+                            call = f"format_string('{spark_fmt}'{tail})"
+                            if arg_sqls:
+                                # DuckDB format() is NULL on ANY null
+                                # argument; Java's format_string prints
+                                # 'null'
+                                guard = " OR ".join(
+                                    f"(({a}) IS NULL)" for a in arg_sqls
+                                )
+                                call = (
+                                    f"(CASE WHEN {guard} THEN "
+                                    f"CAST(NULL AS STRING) ELSE {call} "
+                                    "END)"
+                                )
+                            out.extend(_toks(call))
                             i = close + 1
                             continue
                 if (

@@ -626,3 +626,26 @@ def test_nested_render_templates_stay_small(spark):
         inner = f"concat('', ({inner})::VARCHAR)"
     sql = translate(f"SELECT {inner} AS r FROM lineitem")
     assert len(sql) < 120_000
+
+
+FORMAT_CASES = [
+    # fmtlib semantics: non-numeric args (dates included) stringify and
+    # left-align under {:N}; any NULL argument nulls the whole result
+    "format('{}', DATE '2020-01-02')",
+    "format('{:12}|', DATE '2020-01-02')",
+    "format('{}', TIMESTAMP '2020-01-02 03:04:05')",
+    "format('{:6}|', ceil(17000.5e0))",
+    "format('{}', NULL)", "format('{} {}', 1, NULL)",
+    "format('{:5}|', NULL::INT)", "format('{:5}|', 42)",
+    "format('{:5}|', -1.5e0)", "format('{:3}|', TRUE)",
+]
+
+
+@pytest.mark.parametrize("expr", FORMAT_CASES)
+def test_format_dates_nulls_alignment(spark, expr):
+    con = duckdb.connect()
+    want = con.sql(f"SELECT {expr}").fetchone()[0]
+    got = spark.sql(translate(f"SELECT {expr} AS r")).collect()[0][0]
+    assert (got is None) == (want is None) and str(got) == str(want), (
+        f"{expr}: duck={want!r} spark={got!r}"
+    )
