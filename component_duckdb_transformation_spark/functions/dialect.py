@@ -5046,6 +5046,12 @@ def _rewrite_bare_types(tokens: List[Token]) -> List[Token]:
     return out
 
 
+# operand-length cutoff between the codegen-friendly repeated-operand
+# emission (short operands, hot paths) and the lambda-bound emission
+# (long/nested operands, linear plan growth)
+_BIND_THRESHOLD = 160
+
+
 def _fmtlib_repr_sql(sexpr: str) -> str:
     """Reshape a Java float/double repr STRING (``sexpr``) into
     fmtlib's rendering — the string-only core of ``_fmtlib_double_sql``
@@ -5096,10 +5102,27 @@ def _varchar_cast_sql(x: str) -> str:
     The fmt branch reshapes ``CAST(x AS STRING)`` textually — no typed
     ops on the operand, so the CASE analyzes for ANY input type — and
     FLOAT inputs feed their own shortest repr (no widening to double,
-    which would add garbage digits). The operand is lambda-bound ONCE
-    (single-element transform) so nested rewrites grow the plan
-    linearly, not exponentially — fuzz-nested templates OOM'd codegen
-    otherwise."""
+    which would add garbage digits).
+
+    Two emission shapes: SHORT operands (hot path: column refs) repeat
+    the operand in a direct CASE whose common branches stay inside
+    whole-stage codegen — the lambda reshaper is only entered for
+    E-notation/NaN/Infinity reprs, so a double column in the decimal
+    range casts at near-native speed (measured 2.2x otherwise). LONG
+    operands are lambda-bound ONCE (single-element transform) so
+    nested rewrites grow the plan linearly, not exponentially —
+    fuzz-nested repeated-operand templates OOM'd codegen."""
+    if len(x) <= _BIND_THRESHOLD:
+        s = f"CAST(({x}) AS STRING)"
+        return (
+            f"(CASE WHEN typeof({x}) NOT IN ('double', 'float') "
+            f"THEN {s} "
+            f"WHEN locate('E', {s}) = 0 "
+            f"AND {s} NOT IN ('NaN', 'Infinity', '-Infinity') "
+            f"THEN {s} ELSE "
+            + _fmtlib_repr_sql(s)
+            + " END)"
+        )
     return (
         f"(element_at(transform(array(named_struct('v', ({x}))), __vc -> "
         "CASE WHEN typeof(__vc.v) IN ('double', 'float') THEN "
@@ -6993,11 +7016,30 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     # (documented corner: its VARCHAR cast gains '.0').
                     a = _sql(inner, *args[0])
                     fn = "floor" if low == "floor" else "ceiling"
+                    if len(a) <= _BIND_THRESHOLD:
+                        # short operand: direct CASE stays inside
+                        # whole-stage codegen (subexpression
+                        # elimination dedupes the repeated cast)
+                        cx = f"CAST(({a}) AS DOUBLE)"
+                        if fn == "floor":
+                            zwin = f"({cx} >= 0.0 AND {cx} < 1.0)"
+                        else:
+                            zwin = f"({cx} > -1.0 AND {cx} <= 0.0)"
+                        out.extend(
+                            _toks(
+                                f"(CASE WHEN isnan({cx}) OR abs({cx})"
+                                f" >= 9007199254740992.0 THEN {cx} "
+                                f"WHEN {zwin} THEN {cx} * 0.0 "
+                                f"ELSE CAST({fn}({cx}) AS DOUBLE) END)"
+                            )
+                        )
+                        i = close + 1
+                        continue
                     if fn == "floor":
                         zwin = "(__cl >= 0.0 AND __cl < 1.0)"
                     else:
                         zwin = "(__cl > -1.0 AND __cl <= 0.0)"
-                    # operand lambda-bound once: nested numeric
+                    # long operand lambda-bound once: nested numeric
                     # rewrites stay linear in plan size
                     out.extend(
                         _toks(
