@@ -3436,6 +3436,33 @@ def _rewrite_mad_groupby_recursive(tokens: List[Token]) -> List[Token]:
 
 
 
+_RE2_VALID_CACHE: dict = {}
+
+
+def _re2_pattern_valid(pat: str) -> bool:
+    """Validate ``pat`` against RE2 (DuckDB's regex engine) using the
+    duckdb module itself — Java regex accepts a different set, and
+    DuckDB's ``regexp_replace`` silently returns the subject unchanged
+    for an invalid pattern where Spark would raise at runtime. When the
+    module is unavailable, assume valid (pre-existing behavior)."""
+    v = _RE2_VALID_CACHE.get(pat)
+    if v is None:
+        try:
+            import duckdb
+            con = duckdb.connect()
+            try:
+                con.execute("SELECT regexp_matches('', ?)", [pat])
+                v = True
+            except duckdb.Error:
+                v = False
+            finally:
+                con.close()
+        except ImportError:
+            v = True
+        _RE2_VALID_CACHE[pat] = v
+    return v
+
+
 def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
     """DuckDB ``regexp_replace(s, re, rep, 'g')`` -> Spark 3-arg form
     (Spark always replaces all matches). The flagless DuckDB form
@@ -3461,6 +3488,27 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                 args = [
                     _rewrite_regexp_replace_flags(a) for a in args
                 ]
+                if len(args) in (3, 4):
+                    pat0 = [
+                        t for t in args[1]
+                        if t.kind not in ("ws", "comment")
+                    ]
+                    if (
+                        len(pat0) == 1
+                        and pat0[0].kind == "string"
+                        and not _re2_pattern_valid(
+                            _decode_spark_string(pat0[0])
+                        )
+                    ):
+                        # RE2-invalid literal pattern: DuckDB returns
+                        # the subject unchanged (any flags); Spark
+                        # would raise. __DUCKVARCHAR keeps DuckDB's
+                        # VARCHAR result typing
+                        out.extend(_toks("CAST(("))
+                        out.extend(args[0])
+                        out.extend(_toks(") AS __DUCKVARCHAR)"))
+                        i = close + 1
+                        continue
                 last_code = (
                     [t for t in args[-1] if t.kind not in ("ws", "comment")]
                     if args

@@ -649,3 +649,25 @@ def test_format_dates_nulls_alignment(spark, expr):
     assert (got is None) == (want is None) and str(got) == str(want), (
         f"{expr}: duck={want!r} spark={got!r}"
     )
+
+
+INVALID_PATTERN_CASES = [
+    # RE2-invalid literal patterns: DuckDB's regexp_replace silently
+    # returns the subject unchanged (any flags); valid patterns are
+    # untouched by the guard
+    "regexp_replace('abc', '[', 'x')",
+    "regexp_replace('abc', '(a', 'x', 'g')",
+    "regexp_replace('abc', 'a{2,1}', 'x', 'i')",
+    "regexp_replace('abc', 'b', 'X')",
+    "regexp_replace(NULL, '[', 'x')",
+]
+
+
+@pytest.mark.parametrize("expr", INVALID_PATTERN_CASES)
+def test_regexp_replace_invalid_pattern_noop(spark, expr):
+    con = duckdb.connect()
+    want = con.sql(f"SELECT {expr}").fetchone()[0]
+    got = spark.sql(translate(f"SELECT {expr} AS r")).collect()[0][0]
+    assert (got is None) == (want is None) and str(got) == str(want), (
+        f"{expr}: duck={want!r} spark={got!r}"
+    )
