@@ -2731,6 +2731,99 @@ _add_df(
 )
 
 
+def _pack_sequences_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for training batches: deterministic shard (so
+    the one window shuffle has bounded, skew-free partitions at any
+    corpus size), in-order running token sum per (lang, shard), bin =
+    start offset // budget. Per-bin stats aggregate the result small."""
+    from .operators.packing import pack_sequences
+
+    docs = spark.table("documents").select(
+        "doc_id",
+        "lang",
+        F.greatest(
+            F.lit(1), F.floor(F.col("n_chars") / F.lit(4))
+        ).cast("bigint").alias("tokens"),
+    )
+    packed = pack_sequences(
+        docs, "tokens", "doc_id", ("lang",), budget=4096, shard=512
+    )
+    return packed.groupBy("lang", "shard", "bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("bin_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+
+
+_add_df(
+    "x35_sequence_packing",
+    _pack_sequences_builder,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             greatest(1, n_chars // 4) AS tokens,
+             doc_id // 512 AS shard
+      FROM documents),
+    c AS (
+      SELECT *, sum(tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST((cum - tokens) // 4096 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM c GROUP BY 1, 2, 3
+    """,
+    description="sequence packing for training batches: shard-bounded "
+    "in-order token cumsum, bin = start offset // budget — one bounded "
+    "skew-free shuffle; oracle replays the arithmetic in ANSI SQL",
+)
+
+
+def _stratified_sample_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-rebalancing stratified sample: per-stratum keep
+    fractions decided by each row's own portable md5 bucket — map-only,
+    zero shuffle before the final aggregate."""
+    docs = spark.table("documents")
+    samp = sampling.stratified_sample(
+        docs,
+        {"en": 0.5, "zh": 0.3, "es": 0.2},
+        "lang",
+        "doc_id",
+        salt="strat",
+        default_fraction=0.1,
+    )
+    return samp.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+    )
+
+
+_add_df(
+    "x36_stratified_sample",
+    _stratified_sample_builder,
+    oracle="""
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM (
+      SELECT *, CAST(('0x' || substr(md5('strat:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+      FROM documents) t
+    WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 3000
+                        WHEN 'es' THEN 2000 ELSE 1000 END
+    GROUP BY 1, 2
+    """,
+    description="stratified (language-rebalancing) deterministic sample: "
+    "per-stratum md5-bucket quotas, map-only decision per row",
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship query for the driver smoke check."""
     return WORKLOADS["q04_multi_join_revenue"].make(spark, sf_dir)

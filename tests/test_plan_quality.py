@@ -244,3 +244,22 @@ def test_grouped_mad_having_order_two_phase(spark):
         )
         assert "AggregateInPandas" not in plan, sql
         assert "FlatMapGroupsInPandas" not in plan, sql
+
+
+def test_x35_packing_window_keyed_shuffle(spark):
+    # the packing window partitions by (lang, shard): the Exchange must
+    # be a keyed hashpartitioning, never SinglePartition (a global
+    # window would funnel the corpus through one task)
+    plan = _plan(spark, "x35_sequence_packing")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_x36_stratified_sample_map_only(spark):
+    # per-row hash decision: filter + one partial/final aggregate, no
+    # joins, no windows
+    plan = _plan(spark, "x36_stratified_sample")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -132,3 +132,32 @@ def test_stratified_sample_per_stratum(spark):
     df2 = df.withColumn("lang", F.when(F.col("doc_id") < 100, "fr").otherwise(F.col("lang")))
     out2 = sampling.stratified_sample(df2, {"en": 0.5}, "lang", "doc_id")
     assert out2.filter(F.col("lang") == "fr").count() == 0
+
+
+def test_pack_sequences_invariants(spark):
+    from component_duckdb_transformation_spark.operators.packing import (
+        pack_sequences,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "en" if i % 3 else "de", 50 + (i * 37) % 400) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "tokens"])
+    packed = pack_sequences(df, "tokens", "doc_id", ("lang",), budget=1000, shard=64)
+    out = packed.collect()
+    # every row assigned; shard = doc_id // 64
+    assert all(r["shard"] == r["doc_id"] // 64 for r in out)
+    # bins are contiguous from 0 within each (lang, shard) and bin token
+    # sums exceed the budget by at most one straddling document
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in out:
+        bins[(r["lang"], r["shard"], r["bin"])].append(r)
+    for (lang, shard, b), rs in bins.items():
+        assert b >= 0
+        tot = sum(r["tokens"] for r in rs)
+        assert tot < 1000 + max(r["tokens"] for r in rs)
+    # deterministic: same input -> same assignment
+    again = {r["doc_id"]: r["bin"] for r in pack_sequences(
+        df, "tokens", "doc_id", ("lang",), budget=1000, shard=64).collect()}
+    assert all(again[r["doc_id"]] == r["bin"] for r in out)
