@@ -115,7 +115,14 @@ def str_expr(g: random.Random, depth: int = 0) -> str:
         # round-8 surface: fmtlib width-only placeholders (runtime
         # type-dependent alignment)
         w = g.randint(1, 8)
-        inner = a if g.random() < 0.5 else num_expr(g, depth + 1)
+        if g.random() < 0.5:
+            inner = a
+        else:
+            # round(x, 4) keeps libm 1-ulp noise (ln/sqrt differ in the
+            # last bit between glibc and the JVM — documented engine
+            # divergence) out of the stringified rendering, which has
+            # no float tolerance
+            inner = f"round({num_expr(g, depth + 1)}, 4)"
         return f"format('{{:{w}}}|', {inner})"
     if choice == 8:
         # DuckDB extended-window substr: negative/zero start, negative len
@@ -148,9 +155,22 @@ def str_expr(g: random.Random, depth: int = 0) -> str:
 
 
 def ts_expr(g: random.Random) -> str:
-    if g.random() < 0.5:
+    r = g.random()
+    if r < 0.4:
         return TS_COL
-    return f"date_trunc('{g.choice(TRUNC_PARTS)}', {TS_COL})"
+    if r < 0.7:
+        return f"date_trunc('{g.choice(TRUNC_PARTS)}', {TS_COL})"
+    # round-8 surface: +/- INTERVAL literal widens to TIMESTAMP in
+    # DuckDB for every unit; exercise the CAST wrap on both date- and
+    # timestamp-valued left sides
+    unit = g.choice(["DAY", "HOUR", "MONTH", "MINUTE", "WEEK"])
+    op = g.choice(["+", "-"])
+    base = (
+        TS_COL
+        if g.random() < 0.5
+        else f"date_trunc('{g.choice(TRUNC_PARTS)}', {TS_COL})"
+    )
+    return f"({base} {op} INTERVAL {g.randint(1, 40)} {unit})"
 
 
 def bool_expr(g: random.Random, depth: int = 0) -> str:
