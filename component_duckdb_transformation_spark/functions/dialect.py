@@ -4629,38 +4629,70 @@ def _json_path_literal(v: str) -> str:
 
 
 
-def _yyjson_double_sql(dexpr: str) -> str:
-    """Render a DOUBLE exactly like DuckDB's yyjson writer: shortest
-    round-trip digits (Java 17's Double.toString is shortest too),
-    plain decimal with a ``.0`` integer suffix for decimal exponents
-    in [-6, 20], otherwise ``<digits>e<exp>`` with lowercase ``e``, no
-    ``+``, and no ``.0`` on integer mantissas (``1e21``, not
-    ``1.0e21``). Java's no-exponent range (1e-3..1e7) is a subset of
-    yyjson's decimal range with identical formatting, so those pass
-    through; only ``m.mEn`` forms are reshaped. Lambda bindings keep
-    the double expression evaluated once."""
+def _shortest_double_core_sql(
+    sexpr: str, lo: int, hi: int, yy: bool
+) -> str:
+    """Render the finite double whose JAVA repr STRING is ``sexpr``
+    with shortest-round-trip digits. No-E reprs pass through unchanged
+    (the JDK never over-prints the plain-decimal range — verified on
+    700k targeted mantissa samples). E-notation reprs are re-derived
+    as the SHORTEST round-tripping decimal by probing
+    ``format_string('%.Ne')`` candidates in ascending precision and
+    taking the first that reparses to the same double — JDK 17's
+    FloatingDecimal emits 1-2 extra digits for ~0.3% of E-range
+    doubles (JDK-4511638, shortest-digits landed in JDK 19) and one
+    extra digit for deep subnormals (4.9e-324 vs 5e-324), both of
+    which diverged from DuckDB's Dragonbox output before this search.
+    The minimal candidate's mantissa never carries a trailing zero (a
+    trailing zero parses identically one digit shorter), so it IS the
+    fmtlib/yyjson mantissa. ``lo``/``hi`` bound the decimal-form
+    exponent range; ``yy`` picks yyjson exponent style (lowercase e,
+    no sign padding: ``1e21``, ``2.5e-7``) over fmtlib's (``e±NN``,
+    two-digit minimum). Java's ``NaN``/``Infinity`` spellings map to
+    fmt's ``nan``/``inf`` (unreachable for JSON numbers)."""
+    cand = (
+        "element_at(filter(transform(sequence(0, 16), __np -> "
+        "format_string(concat('%.', CAST(__np AS STRING), 'e'), "
+        "CAST(__ds AS DOUBLE))), __c -> "
+        "CAST(__c AS DOUBLE) = CAST(__ds AS DOUBLE)), 1)"
+    )
+    if yy:
+        sci = "concat(__q.m, __q.h, 'e', CAST(__q.n AS STRING))"
+    else:
+        sci = "__sc"
     return (
-        "(element_at(transform(array(CAST((" + dexpr + ") AS STRING)), "
-        "__ds -> CASE WHEN locate('E', __ds) = 0 THEN __ds ELSE concat("
-        "CASE WHEN __ds LIKE '-%' THEN '-' ELSE '' END, "
+        "(element_at(transform(array(" + sexpr + "), "
+        "__ds -> CASE WHEN __ds = 'NaN' THEN 'nan' "
+        "WHEN __ds = 'Infinity' THEN 'inf' "
+        "WHEN __ds = '-Infinity' THEN '-inf' "
+        "WHEN locate('E', __ds) = 0 THEN __ds ELSE "
+        "element_at(transform(array(" + cand + "), __sc -> "
         "element_at(transform(array(named_struct("
-        "'h', substring_index(CASE WHEN __ds LIKE '-%' "
-        "THEN substr(__ds, 2) ELSE __ds END, 'E', 1), "
-        "'n', CAST(substring_index(__ds, 'E', -1) AS INT))), __p -> "
-        "element_at(transform(array(named_struct("
-        "'dg', CASE WHEN substr(__p.h, 3) = '0' THEN substr(__p.h, 1, 1) "
-        "ELSE concat(substr(__p.h, 1, 1), substr(__p.h, 3)) END, "
-        "'n', __p.n, 'h', __p.h)), __q -> "
-        "CASE WHEN __q.n BETWEEN -6 AND 20 THEN "
+        "'h', substring_index(CASE WHEN __sc LIKE '-%' "
+        "THEN substr(__sc, 2) ELSE __sc END, 'e', 1), "
+        "'dg', replace(substring_index(CASE WHEN __sc LIKE '-%' "
+        "THEN substr(__sc, 2) ELSE __sc END, 'e', 1), '.', ''), "
+        "'n', CAST(substring_index(__sc, 'e', -1) AS INT), "
+        "'m', CASE WHEN __sc LIKE '-%' THEN '-' ELSE '' END)), __q -> "
+        f"CASE WHEN __q.n BETWEEN {lo} AND {hi} THEN concat(__q.m, "
         "CASE WHEN __q.n + 1 >= length(__q.dg) "
         "THEN concat(__q.dg, repeat('0', __q.n + 1 - length(__q.dg)), '.0') "
         "WHEN __q.n >= 0 "
         "THEN concat(substr(__q.dg, 1, __q.n + 1), '.', "
         "substr(__q.dg, __q.n + 2)) "
-        "ELSE concat('0.', repeat('0', - __q.n - 1), __q.dg) END "
-        "ELSE concat(CASE WHEN substr(__q.h, 3) = '0' "
-        "THEN substr(__q.h, 1, 1) ELSE __q.h END, "
-        "'e', CAST(__q.n AS STRING)) END), 1)), 1)) END), 1))"
+        "ELSE concat('0.', repeat('0', - __q.n - 1), __q.dg) END) "
+        "ELSE " + sci + " END), 1)), 1) END), 1))"
+    )
+
+
+def _yyjson_double_sql(dexpr: str) -> str:
+    """Render a DOUBLE exactly like DuckDB's yyjson writer: shortest
+    round-trip digits, plain decimal with a ``.0`` integer suffix for
+    decimal exponents in [-6, 20], otherwise ``<digits>e<exp>`` with
+    lowercase ``e``, no ``+``, and no ``.0`` on integer mantissas
+    (``1e21``, not ``1.0e21``). See ``_shortest_double_core_sql``."""
+    return _shortest_double_core_sql(
+        f"CAST(({dexpr}) AS STRING)", -6, 20, yy=True
     )
 
 
@@ -4669,39 +4701,11 @@ def _fmtlib_double_sql(dexpr: str) -> str:
     ``format()`` receives DECIMAL/DOUBLE args as doubles): shortest
     round-trip digits, plain decimal with a ``.0`` integer suffix for
     decimal exponents in [-4, 15], otherwise ``<digits>e±NN`` (signed,
-    two-digit-minimum exponent, no ``.0`` on integer mantissas —
-    ``1e+16``, ``2.5e-07``); ``nan``/``inf`` spellings follow fmtlib.
-    Same Java-repr reshaping approach as ``_yyjson_double_sql``, with
-    fmtlib's cutoffs and exponent format."""
-    return (
-        "(CASE WHEN isnan(" + dexpr + ") THEN 'nan' "
-        "WHEN (" + dexpr + ") = double('inf') THEN 'inf' "
-        "WHEN (" + dexpr + ") = double('-inf') THEN '-inf' ELSE "
-        "element_at(transform(array(CAST((" + dexpr + ") AS STRING)), "
-        "__ds -> CASE WHEN locate('E', __ds) = 0 THEN __ds ELSE concat("
-        "CASE WHEN __ds LIKE '-%' THEN '-' ELSE '' END, "
-        "element_at(transform(array(named_struct("
-        "'h', substring_index(CASE WHEN __ds LIKE '-%' "
-        "THEN substr(__ds, 2) ELSE __ds END, 'E', 1), "
-        "'n', CAST(substring_index(__ds, 'E', -1) AS INT))), __p -> "
-        "element_at(transform(array(named_struct("
-        "'dg', CASE WHEN substr(__p.h, 3) = '0' THEN substr(__p.h, 1, 1) "
-        "ELSE concat(substr(__p.h, 1, 1), substr(__p.h, 3)) END, "
-        "'n', __p.n, 'h', __p.h)), __q -> "
-        "CASE WHEN __q.n BETWEEN -4 AND 15 THEN "
-        "CASE WHEN __q.n + 1 >= length(__q.dg) "
-        "THEN concat(__q.dg, repeat('0', __q.n + 1 - length(__q.dg)), '.0') "
-        "WHEN __q.n >= 0 "
-        "THEN concat(substr(__q.dg, 1, __q.n + 1), '.', "
-        "substr(__q.dg, __q.n + 2)) "
-        "ELSE concat('0.', repeat('0', - __q.n - 1), __q.dg) END "
-        "ELSE concat(CASE WHEN substr(__q.h, 3) = '0' "
-        "THEN substr(__q.h, 1, 1) ELSE __q.h END, "
-        "'e', CASE WHEN __q.n < 0 THEN '-' ELSE '+' END, "
-        "CASE WHEN abs(__q.n) < 10 "
-        "THEN concat('0', CAST(abs(__q.n) AS STRING)) "
-        "ELSE CAST(abs(__q.n) AS STRING) END) END), 1)), 1)) "
-        "END), 1) END)"
+    two-digit-minimum exponent — exactly Java's ``%e`` shape, so the
+    minimal candidate is emitted verbatim); ``nan``/``inf`` spellings
+    follow fmtlib. See ``_shortest_double_core_sql``."""
+    return _shortest_double_core_sql(
+        f"CAST(({dexpr}) AS STRING)", -4, 15, yy=False
     )
 
 
@@ -5102,42 +5106,13 @@ _BIND_THRESHOLD = 160
 
 def _fmtlib_repr_sql(sexpr: str) -> str:
     """Reshape a Java float/double repr STRING (``sexpr``) into
-    fmtlib's rendering — the string-only core of ``_fmtlib_double_sql``
-    (same cutoffs: decimal form for exponents in [-4, 15], else
-    ``<digits>e±NN``). Purely textual, so it analyzes cleanly even when
-    the originating expression is not float-typed (the caller's
-    ``typeof`` CASE keeps it unevaluated then); Java's ``NaN``/
-    ``Infinity`` spellings map to fmtlib's ``nan``/``inf``."""
-    return (
-        "(element_at(transform(array(" + sexpr + "), "
-        "__ds -> CASE WHEN __ds = 'NaN' THEN 'nan' "
-        "WHEN __ds = 'Infinity' THEN 'inf' "
-        "WHEN __ds = '-Infinity' THEN '-inf' "
-        "WHEN locate('E', __ds) = 0 THEN __ds ELSE concat("
-        "CASE WHEN __ds LIKE '-%' THEN '-' ELSE '' END, "
-        "element_at(transform(array(named_struct("
-        "'h', substring_index(CASE WHEN __ds LIKE '-%' "
-        "THEN substr(__ds, 2) ELSE __ds END, 'E', 1), "
-        "'n', CAST(substring_index(__ds, 'E', -1) AS INT))), __p -> "
-        "element_at(transform(array(named_struct("
-        "'dg', CASE WHEN substr(__p.h, 3) = '0' THEN substr(__p.h, 1, 1) "
-        "ELSE concat(substr(__p.h, 1, 1), substr(__p.h, 3)) END, "
-        "'n', __p.n, 'h', __p.h)), __q -> "
-        "CASE WHEN __q.n BETWEEN -4 AND 15 THEN "
-        "CASE WHEN __q.n + 1 >= length(__q.dg) "
-        "THEN concat(__q.dg, repeat('0', __q.n + 1 - length(__q.dg)), '.0') "
-        "WHEN __q.n >= 0 "
-        "THEN concat(substr(__q.dg, 1, __q.n + 1), '.', "
-        "substr(__q.dg, __q.n + 2)) "
-        "ELSE concat('0.', repeat('0', - __q.n - 1), __q.dg) END "
-        "ELSE concat(CASE WHEN substr(__q.h, 3) = '0' "
-        "THEN substr(__q.h, 1, 1) ELSE __q.h END, "
-        "'e', CASE WHEN __q.n < 0 THEN '-' ELSE '+' END, "
-        "CASE WHEN abs(__q.n) < 10 "
-        "THEN concat('0', CAST(abs(__q.n) AS STRING)) "
-        "ELSE CAST(abs(__q.n) AS STRING) END) END), 1)), 1)) "
-        "END), 1))"
-    )
+    fmtlib's rendering — delegates to ``_shortest_double_core_sql``
+    with fmt cutoffs, which also corrects JDK 17's occasional
+    non-shortest E-range digits against a round-trip candidate
+    search. Purely textual, so it analyzes cleanly even when the
+    originating expression is not float-typed (the caller's ``typeof``
+    CASE keeps it unevaluated then)."""
+    return _shortest_double_core_sql(sexpr, -4, 15, yy=False)
 
 
 def _varchar_cast_sql(x: str) -> str:

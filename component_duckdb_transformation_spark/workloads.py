@@ -1016,6 +1016,34 @@ _add_sql(
 )
 
 _add_sql(
+    "q64_round8b_surfaces",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           min(CAST(o_totalprice * 1e14 AS VARCHAR)) AS v_sci,
+           min((o_totalprice)::VARCHAR) AS v_dec,
+           min(concat('p=', o_totalprice * 1e-12)) AS c_sci,
+           min(ceil(o_totalprice)) AS ceil_d,
+           CAST(min(floor(o_totalprice)) AS BIGINT) AS floor_b,
+           min(o_orderdate + INTERVAL 1 MONTH) AS ts_widen,
+           max(o_orderdate - INTERVAL 36 HOUR) AS ts_sub,
+           min(format('{:14}|', o_orderdate)) AS fmt_date,
+           min(format('{:10}|', ceil(o_totalprice / 3))) AS fmt_ceil,
+           min(regexp_replace(o_orderstatus, '[', 'X')) AS rr_invalid
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="round-8 second-wave exactness surfaces in one driver "
+    "row: DOUBLE->VARCHAR casts and concat's implicit cast through the "
+    "fmtlib shortest-round-trip writer (typeof dispatch, codegen fast "
+    "path), DOUBLE-typed ceil/floor (DuckDB returns 5.0 where Spark's "
+    "native ceil returns BIGINT 5), date +/- INTERVAL widening to "
+    "TIMESTAMP for every unit, format() over date args (stringified + "
+    "left-aligned) and ceil results, and RE2-invalid literal pattern "
+    "no-op in regexp_replace — identical SQL runs on both engines",
+)
+
+_add_sql(
     "q59_positional_join_comprehension",
     """
     SELECT n_name,

@@ -671,3 +671,35 @@ def test_regexp_replace_invalid_pattern_noop(spark, expr):
     assert (got is None) == (want is None) and str(got) == str(want), (
         f"{expr}: duck={want!r} spark={got!r}"
     )
+
+
+def test_shortest_digits_vs_jdk_overprint(spark):
+    # JDK 17's Double.toString emits 1-2 extra digits for ~0.3% of
+    # E-range doubles (JDK-4511638) and subnormals; the renderers must
+    # re-derive shortest digits via the %.Ne round-trip search.
+    con = duckdb.connect()
+    import random
+    import struct
+
+    cases = ["10016.2e0 * 1e14", "4.9e-324", "1e21", "2.5e-7"]
+    for c in cases:
+        want = con.sql(f"SELECT CAST(({c}) AS VARCHAR)").fetchone()[0]
+        got = spark.sql(
+            translate(f"SELECT (({c}))::VARCHAR AS r")
+        ).collect()[0][0]
+        assert got == want, (c, want, got)
+    random.seed(11)
+    vals = []
+    while len(vals) < 80:
+        v = struct.unpack("<d", struct.pack("<Q", random.getrandbits(64)))[0]
+        if v == v and abs(v) != float("inf"):
+            vals.append(v)
+    rows = [(i, v) for i, v in enumerate(vals)]
+    spark.createDataFrame(rows, ["i", "d"]).createOrReplaceTempView("jdk_rv")
+    con.execute("CREATE TABLE jdk_rv(i BIGINT, d DOUBLE)")
+    con.executemany("INSERT INTO jdk_rv VALUES (?, ?)", rows)
+    want = dict(con.sql("SELECT i, CAST(d AS VARCHAR) FROM jdk_rv").fetchall())
+    got = dict(
+        spark.sql(translate("SELECT i, d::VARCHAR AS v FROM jdk_rv")).collect()
+    )
+    assert want == got
