@@ -205,6 +205,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_unordered_ranking(tokens)
     tokens = _rewrite_call_shims(tokens)
     tokens = _rewrite_varchar_casts(tokens)
+    tokens = _rewrite_pipe_concat_casts(tokens)
     tokens = _rewrite_date_interval_add(tokens)
     tokens = _rewrite_filter_shorthand(tokens)
     tokens = _rewrite_simple(tokens)
@@ -2417,6 +2418,162 @@ _ORDER_LIST_TERMINATORS = {
     "UNION", "EXCEPT", "INTERSECT", "HAVING", "WINDOW", "QUALIFY",
     "USING",
 }
+
+
+_LISTISH_FNS = frozenset({
+    "array", "list_value", "list", "collect_list", "collect_set",
+    "array_agg", "map", "map_from_arrays", "sequence", "split",
+    "array_distinct", "array_concat", "list_concat", "array_union",
+    "array_intersect", "array_except", "slice", "transform", "filter",
+    "flatten", "array_sort", "sort_array", "list_sort", "map_keys",
+    "map_values", "str_split", "string_split", "regexp_split_to_array",
+    "string_to_array",
+})
+
+
+def _operand_is_listish(code: List[Token]) -> bool:
+    while (
+        len(code) >= 3
+        and code[0].kind == "op" and code[0].text == "("
+        and code[-1].kind == "op" and code[-1].text == ")"
+        and _matching_paren(code, 0) == len(code) - 1
+    ):
+        code = code[1:-1]
+    return bool(
+        code
+        and code[0].kind == "word"
+        and code[0].text.lower() in _LISTISH_FNS
+    )
+
+
+def _forward_operand_end(tokens: List[Token], j: int) -> int:
+    """End index (exclusive) of the primary starting at code index
+    ``j``: string/number/identifier with call parens, dot fields,
+    ``::type`` and bracket-index postfixes. Returns -1 for shapes the
+    caller should leave alone (CASE, NOT, subquery keywords...)."""
+    n = len(tokens)
+    t = tokens[j]
+    if t.kind == "string":
+        k = j + 1
+    elif t.kind == "op" and t.text == "(":
+        k = _matching_paren(tokens, j) + 1
+    elif t.kind in ("word", "bident", "qident"):
+        if t.upper in ("CASE", "NOT", "EXISTS", "SELECT", "INTERVAL"):
+            return -1
+        k = j + 1
+        nk = _next_code(tokens, j)
+        if (
+            t.upper in ("DATE", "TIME", "TIMESTAMP", "TIMESTAMPTZ")
+            and nk < n
+            and tokens[nk].kind == "string"
+        ):
+            # typed literal: DATE '2020-01-02' is one primary
+            k = nk + 1
+        elif nk < n and tokens[nk].kind == "op" and tokens[nk].text == "(":
+            k = _matching_paren(tokens, nk) + 1
+    else:
+        return -1
+    # postfix chains
+    while True:
+        nk = k
+        while nk < n and tokens[nk].kind in ("ws", "comment"):
+            nk += 1
+        if nk >= n or tokens[nk].kind != "op":
+            return k
+        if tokens[nk].text == ".":
+            nk2 = _next_code(tokens, nk)
+            if nk2 < n and tokens[nk2].kind in ("word", "bident", "qident"):
+                k = nk2 + 1
+                continue
+            return k
+        if tokens[nk].text == "::":
+            nk2 = _next_code(tokens, nk)
+            if nk2 < n and tokens[nk2].kind == "word":
+                k = nk2 + 1
+                nk3 = _next_code(tokens, nk2)
+                if nk3 < n and tokens[nk3].kind == "op" and tokens[nk3].text == "(":
+                    k = _matching_paren(tokens, nk3) + 1
+                continue
+            return k
+        if tokens[nk].text == "[":
+            d = 0
+            for m in range(nk, n):
+                if tokens[m].kind == "op" and tokens[m].text == "[":
+                    d += 1
+                elif tokens[m].kind == "op" and tokens[m].text == "]":
+                    d -= 1
+                    if d == 0:
+                        k = m + 1
+                        break
+            else:
+                return k
+            continue
+        return k
+
+
+def _rewrite_pipe_concat_casts(tokens: List[Token]) -> List[Token]:
+    """``expr || 'literal'`` / ``'literal' || expr``: with a string
+    literal on one side DuckDB coerces the other operand through its
+    VARCHAR cast (fmt rendering for doubles: ``1e20 || 'a'`` ->
+    '1e+20a'); Spark's ``||`` implicit cast renders Java-style. Wrap
+    the non-literal side in the DuckDB-exact cast — NULL propagation
+    is unchanged (NULL string input -> NULL cast -> NULL concat, same
+    as DuckDB's ``||``). Conservative: only simple primaries are
+    wrapped, and syntactically list-valued operands (``||`` is list
+    concat there) plus unparseable shapes are left alone. Runs after
+    ``_rewrite_varchar_casts`` (emits the dispatch directly)."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text == "||":
+            j = _next_code(tokens, i)
+            if j < n:
+                r_end = _forward_operand_end(tokens, j)
+            else:
+                r_end = -1
+            if r_end > 0:
+                r_code = [
+                    t for t in tokens[j:r_end]
+                    if t.kind not in ("ws", "comment")
+                ]
+                r_lit = len(r_code) == 1 and r_code[0].kind == "string"
+                # peek the left operand without committing
+                operand = _pop_operand(out)
+                l_code = [
+                    t for t in operand
+                    if t.kind not in ("ws", "comment")
+                ]
+                if len(l_code) == 1 and l_code[0].kind == "string":
+                    # absorb a DATE/TIME/TIMESTAMP typed-literal prefix
+                    k = len(out) - 1
+                    while k >= 0 and out[k].kind in ("ws", "comment"):
+                        k -= 1
+                    if k >= 0 and out[k].kind == "word" and out[k].upper in (
+                        "DATE", "TIME", "TIMESTAMP", "TIMESTAMPTZ",
+                    ):
+                        operand = [out[k], Token("ws", " ")] + operand
+                        l_code = [out[k]] + l_code
+                        del out[k:]
+                l_lit = len(l_code) == 1 and l_code[0].kind == "string"
+                l_sql = "".join(t.text for t in operand).strip()
+                r_sql = "".join(t.text for t in tokens[j:r_end]).strip()
+                changed = False
+                if operand and r_lit and not l_lit and not _operand_is_listish(l_code):
+                    l_sql = _varchar_cast_sql(l_sql)
+                    changed = True
+                if operand and l_lit and not r_lit and not _operand_is_listish(r_code):
+                    r_sql = _varchar_cast_sql(r_sql)
+                    changed = True
+                if changed:
+                    out.extend(_toks(f"{l_sql} || {r_sql}"))
+                    i = r_end
+                    continue
+                out.extend(operand)
+        out.append(tok)
+        i += 1
+    return out
 
 
 def _rewrite_filter_shorthand(tokens: List[Token]) -> List[Token]:

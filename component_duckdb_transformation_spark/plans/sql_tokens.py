@@ -123,6 +123,25 @@ def tokenize(sql: str) -> List[Token]:
                 j += 1
             head = sql[i:j]
             digits_only = head.replace("_", "").isdigit() and head[0].isdigit()
+            # bare signed exponent without a dot: 1e-3 / 12E+7 stay one
+            # token (identifiers can't start with a digit, so a head
+            # like '1e' is always a numeric literal — splitting it left
+            # passes that reassemble operands emitting '1e' alone)
+            if (
+                j < n
+                and sql[j] in "+-"
+                and head
+                and head[0].isdigit()
+                and head[-1] in "eE"
+                and head[:-1].replace("_", "").isdigit()
+                and j + 1 < n
+                and sql[j + 1].isdigit()
+            ):
+                k = j + 1
+                while k < n and sql[k].isdigit():
+                    k += 1
+                j = k
+                head = sql[i:j]
             # keep floats like 1.5 / 1e-3 / 1_000.5 as one word token
             if j < n and sql[j] == "." and digits_only:
                 k = j + 1

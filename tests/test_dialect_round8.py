@@ -703,3 +703,26 @@ def test_shortest_digits_vs_jdk_overprint(spark):
         spark.sql(translate("SELECT i, d::VARCHAR AS v FROM jdk_rv")).collect()
     )
     assert want == got
+
+
+PIPE_CONCAT_CASES = [
+    # || with a string literal on one side: DuckDB coerces the other
+    # operand through its VARCHAR cast (fmt rendering for doubles)
+    "1e20 || 'a'", "'a' || 1e20", "'x' || 1.5", "'x' || 5",
+    "'a' || 1e20 || 'b'", "1e20 || 'a' || 1e-12",
+    "'d:' || DATE '2020-01-02'", "DATE '2020-01-02' || ':d'",
+    "'n:' || NULL", "NULL || 'a'", "'p' || (1.5e-7)",
+    "'q' || upper('ab')", "[1, 2] || [3]", "'s' || TRUE",
+    # bare signed exponents must tokenize as one number
+    "1e-5 + 1e+3", "(1e-12)::VARCHAR", "ceil(1e-3)",
+]
+
+
+@pytest.mark.parametrize("expr", PIPE_CONCAT_CASES)
+def test_pipe_concat_literal_coercion(spark, expr):
+    con = duckdb.connect()
+    want = con.sql(f"SELECT {expr}").fetchone()[0]
+    got = spark.sql(translate(f"SELECT {expr} AS r")).collect()[0][0]
+    assert (got is None) == (want is None) and str(got) == str(want), (
+        f"{expr}: duck={want!r} spark={got!r}"
+    )
