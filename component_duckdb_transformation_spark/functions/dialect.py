@@ -2525,6 +2525,7 @@ def _rewrite_pipe_concat_casts(tokens: List[Token]) -> List[Token]:
     out: List[Token] = []
     i = 0
     n = len(tokens)
+    in_values = _values_spans(tokens)
     while i < n:
         tok = tokens[i]
         if tok.kind == "op" and tok.text == "||":
@@ -2559,13 +2560,28 @@ def _rewrite_pipe_concat_casts(tokens: List[Token]) -> List[Token]:
                 l_lit = len(l_code) == 1 and l_code[0].kind == "string"
                 l_sql = "".join(t.text for t in operand).strip()
                 r_sql = "".join(t.text for t in tokens[j:r_end]).strip()
+                def _coerce(sql_text, code):
+                    # literal operands render statically (exact AND
+                    # foldable — VALUES lists reject lambdas); others
+                    # take the runtime dispatch outside VALUES only
+                    static = _static_varchar_cast(code)
+                    if static is not None:
+                        return static
+                    if i in in_values:
+                        return None
+                    return _varchar_cast_sql(sql_text)
+
                 changed = False
                 if operand and r_lit and not l_lit and not _operand_is_listish(l_code):
-                    l_sql = _varchar_cast_sql(l_sql)
-                    changed = True
+                    repl = _coerce(l_sql, l_code)
+                    if repl is not None:
+                        l_sql = repl
+                        changed = True
                 if operand and l_lit and not r_lit and not _operand_is_listish(r_code):
-                    r_sql = _varchar_cast_sql(r_sql)
-                    changed = True
+                    repl = _coerce(r_sql, r_code)
+                    if repl is not None:
+                        r_sql = repl
+                        changed = True
                 if changed:
                     out.extend(_toks(f"{l_sql} || {r_sql}"))
                     i = r_end
