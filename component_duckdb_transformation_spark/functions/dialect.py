@@ -2420,6 +2420,14 @@ _ORDER_LIST_TERMINATORS = {
 }
 
 
+_PIPE_BAIL_KWS = frozenset({
+    "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND", "OR", "NOT",
+    "BY", "AS", "ON", "SET", "CASE", "END", "IN", "LIKE", "BETWEEN",
+    "IS", "FROM", "HAVING", "RETURN", "DISTINCT", "ALL", "VALUES",
+    "UNION", "EXCEPT", "INTERSECT", "LIMIT", "OFFSET", "ORDER",
+    "GROUP", "JOIN", "OVER", "PARTITION",
+})
+
 _LISTISH_FNS = frozenset({
     "array", "list_value", "list", "collect_list", "collect_set",
     "array_agg", "map", "map_from_arrays", "sequence", "split",
@@ -2526,14 +2534,42 @@ def _rewrite_pipe_concat_casts(tokens: List[Token]) -> List[Token]:
     i = 0
     n = len(tokens)
     in_values = _values_spans(tokens)
+    in_lambda = _hof_lambda_spans(tokens)
+    # statements already huge (e.g. JSON-arrow replication multiplied
+    # an ||-chain) only get the static literal coercions: inlining the
+    # render core at hundreds of replicated sites ballooned translate
+    # to multi-MB/multi-second on fuzz-adversarial nesting. The cutoff
+    # is per-statement, so replicated copies always decide identically.
+    statement_huge = n > 20000
+    _ARITH_OPS = {"*", "/", "%", "+", "-", "^", "//", "||"}
     while i < n:
         tok = tokens[i]
-        if tok.kind == "op" and tok.text == "||":
+        if tok.kind == "op" and tok.text == "||" and i not in in_lambda:
             j = _next_code(tokens, i)
             if j < n:
                 r_end = _forward_operand_end(tokens, j)
             else:
                 r_end = -1
+            # arithmetic binds tighter than ||: absorb the full
+            # (primary (op primary)*) chain so 'a' || b * c wraps the
+            # whole product; an unparseable continuation bails the site
+            while r_end > 0:
+                nk = r_end
+                while nk < n and tokens[nk].kind in ("ws", "comment"):
+                    nk += 1
+                if not (
+                    nk < n
+                    and tokens[nk].kind == "op"
+                    and tokens[nk].text in _ARITH_OPS
+                    and tokens[nk].text != "||"
+                ):
+                    break
+                nj = _next_code(tokens, nk)
+                nxt = _forward_operand_end(tokens, nj) if nj < n else -1
+                if nxt <= 0:
+                    r_end = -1
+                    break
+                r_end = nxt
             if r_end > 0:
                 r_code = [
                     t for t in tokens[j:r_end]
@@ -2542,6 +2578,86 @@ def _rewrite_pipe_concat_casts(tokens: List[Token]) -> List[Token]:
                 r_lit = len(r_code) == 1 and r_code[0].kind == "string"
                 # peek the left operand without committing
                 operand = _pop_operand(out)
+                k = len(out) - 1
+                while k >= 0 and out[k].kind in ("ws", "comment"):
+                    k -= 1
+                left_is_chain = False
+                if (
+                    operand
+                    and k >= 0
+                    and out[k].kind == "op"
+                    and out[k].text == "||"
+                ):
+                    # only a VISIBLY string chain (tail is a string
+                    # literal or an emitted dispatch ending 'END)')
+                    # counts — a||b could be LIST concat
+                    k2 = k - 1
+                    while k2 >= 0 and out[k2].kind in ("ws", "comment"):
+                        k2 -= 1
+                    if k2 >= 0 and out[k2].kind == "string":
+                        left_is_chain = True
+                    elif (
+                        k2 >= 1
+                        and out[k2].kind == "op" and out[k2].text == ")"
+                    ):
+                        k3 = k2 - 1
+                        while k3 >= 0 and out[k3].kind in ("ws", "comment"):
+                            k3 -= 1
+                        if k3 >= 0 and out[k3].is_kw("END"):
+                            left_is_chain = True
+                # absorb a tighter-binding arithmetic chain leftward
+                # (b * c || 'x' must wrap the whole product); bail the
+                # site on anything unparseable (unary signs after
+                # keywords, mid-list ||, ...)
+                arith_ok = True
+                if operand and not left_is_chain:
+                    while True:
+                        k = len(out) - 1
+                        while k >= 0 and out[k].kind in ("ws", "comment"):
+                            k -= 1
+                        if not (
+                            k >= 0
+                            and out[k].kind == "op"
+                            and out[k].text in _ARITH_OPS
+                            and out[k].text != "||"
+                        ):
+                            break
+                        saved = out[k:]
+                        del out[k:]
+                        prev = _pop_operand(out)
+                        prev_code = [
+                            t for t in prev
+                            if t.kind not in ("ws", "comment")
+                        ]
+                        if not prev or (
+                            len(prev_code) == 1
+                            and prev_code[0].kind == "word"
+                            and prev_code[0].upper in _PIPE_BAIL_KWS
+                        ):
+                            out.extend(prev)
+                            out.extend(saved)
+                            arith_ok = False
+                            break
+                        operand = list(prev) + saved + list(operand)
+                if not arith_ok:
+                    out.extend(operand)
+                    out.append(tok)
+                    i += 1
+                    continue
+                if operand and not left_is_chain and out:
+                    k = len(out) - 1
+                    while k >= 0 and out[k].kind in ("ws", "comment"):
+                        k -= 1
+                    if (
+                        k >= 0
+                        and out[k].kind == "op"
+                        and out[k].text == "||"
+                    ):
+                        # absorption exposed a || chain tail after all
+                        out.extend(operand)
+                        out.append(tok)
+                        i += 1
+                        continue
                 l_code = [
                     t for t in operand
                     if t.kind not in ("ws", "comment")
@@ -2563,21 +2679,54 @@ def _rewrite_pipe_concat_casts(tokens: List[Token]) -> List[Token]:
                 def _coerce(sql_text, code):
                     # literal operands render statically (exact AND
                     # foldable — VALUES lists reject lambdas); others
-                    # take the runtime dispatch outside VALUES only
+                    # take the runtime dispatch outside VALUES only.
+                    # Oversized operands are skipped: re-wrapping an
+                    # already-wrapped chain link is a semantic no-op
+                    # (its output is already a string), and wrapping
+                    # kilobyte operands at every || in replicated
+                    # JSON-extraction SQL made retokenization
+                    # quadratic (fuzz-found multi-minute translate)
                     static = _static_varchar_cast(code)
                     if static is not None:
                         return static
-                    if i in in_values:
+                    if statement_huge:
+                        return None
+                    if i in in_values or len(sql_text) > 400:
+                        return None
+                    if (
+                        sql_text.startswith("(CASE WHEN typeof(")
+                        or sql_text.startswith(
+                            "(element_at(transform(array(named_struct('v',"
+                        )
+                        or (
+                            sql_text.startswith("CAST(")
+                            and sql_text.endswith("AS STRING)")
+                        )
+                    ):
+                        # already a string-typed render (our own
+                        # dispatch from an earlier chain link, or an
+                        # explicit string cast): re-wrapping is a
+                        # semantic no-op that ballooned chain size
                         return None
                     return _varchar_cast_sql(sql_text)
 
                 changed = False
-                if operand and r_lit and not l_lit and not _operand_is_listish(l_code):
+                if (
+                    operand and r_lit and not l_lit and not left_is_chain
+                    and not _operand_is_listish(l_code)
+                ):
                     repl = _coerce(l_sql, l_code)
                     if repl is not None:
                         l_sql = repl
                         changed = True
-                if operand and l_lit and not r_lit and not _operand_is_listish(r_code):
+                if (
+                    operand and (l_lit or left_is_chain) and not r_lit
+                    and not _operand_is_listish(r_code)
+                ):
+                    # a mid-chain left side is already a string (the
+                    # prior || produced one), so the right side gets
+                    # DuckDB's varchar coercion just like after a
+                    # literal
                     repl = _coerce(r_sql, r_code)
                     if repl is not None:
                         r_sql = repl
@@ -4802,27 +4951,13 @@ def _json_path_literal(v: str) -> str:
 
 
 
-def _shortest_double_core_sql(
-    sexpr: str, lo: int, hi: int, yy: bool
-) -> str:
-    """Render the finite double whose JAVA repr STRING is ``sexpr``
-    with shortest-round-trip digits. No-E reprs pass through unchanged
-    (the JDK never over-prints the plain-decimal range — verified on
-    700k targeted mantissa samples). E-notation reprs are re-derived
-    as the SHORTEST round-tripping decimal by probing
-    ``format_string('%.Ne')`` candidates in ascending precision and
-    taking the first that reparses to the same double — JDK 17's
-    FloatingDecimal emits 1-2 extra digits for ~0.3% of E-range
-    doubles (JDK-4511638, shortest-digits landed in JDK 19) and one
-    extra digit for deep subnormals (4.9e-324 vs 5e-324), both of
-    which diverged from DuckDB's Dragonbox output before this search.
-    The minimal candidate's mantissa never carries a trailing zero (a
-    trailing zero parses identically one digit shorter), so it IS the
-    fmtlib/yyjson mantissa. ``lo``/``hi`` bound the decimal-form
-    exponent range; ``yy`` picks yyjson exponent style (lowercase e,
-    no sign padding: ``1e21``, ``2.5e-7``) over fmtlib's (``e±NN``,
-    two-digit minimum). Java's ``NaN``/``Infinity`` spellings map to
-    fmt's ``nan``/``inf`` (unreachable for JSON numbers)."""
+def _shortest_double_core_body(lo: int, hi: int, yy: bool) -> str:
+    """The rendering CASE with ``__ds`` (the Java repr STRING) free in
+    scope, consumed by ``_shortest_double_core_sql``'s direct binding.
+    (A per-session SQL-function emission of this body was tried and
+    reverted: SQL functions don't resolve inside HOF lambdas, their
+    arguments hoist past CASE guards and evaluate eagerly, and
+    FoldablePropagation crashed on the inlined bodies.)"""
     cand = (
         "element_at(filter(transform(sequence(0, 16), __np -> "
         "format_string(concat('%.', CAST(__np AS STRING), 'e'), "
@@ -4834,8 +4969,7 @@ def _shortest_double_core_sql(
     else:
         sci = "__sc"
     return (
-        "(element_at(transform(array(" + sexpr + "), "
-        "__ds -> CASE WHEN __ds = 'NaN' THEN 'nan' "
+        "CASE WHEN __ds = 'NaN' THEN 'nan' "
         "WHEN __ds = 'Infinity' THEN 'inf' "
         "WHEN __ds = '-Infinity' THEN '-inf' "
         "WHEN locate('E', __ds) = 0 THEN __ds ELSE "
@@ -4854,9 +4988,20 @@ def _shortest_double_core_sql(
         "THEN concat(substr(__q.dg, 1, __q.n + 1), '.', "
         "substr(__q.dg, __q.n + 2)) "
         "ELSE concat('0.', repeat('0', - __q.n - 1), __q.dg) END) "
-        "ELSE " + sci + " END), 1)), 1) END), 1))"
+        "ELSE " + sci + " END), 1)), 1) END"
     )
 
+
+def _shortest_double_core_sql(
+    sexpr: str, lo: int, hi: int, yy: bool
+) -> str:
+    """Bind ``sexpr`` once and apply ``_shortest_double_core_body``
+    (see there); kept for callers that cannot rely on the registered
+    helper functions."""
+    return (
+        "(element_at(transform(array(" + sexpr + "), "
+        "__ds -> " + _shortest_double_core_body(lo, hi, yy) + "), 1))"
+    )
 
 def _yyjson_double_sql(dexpr: str) -> str:
     """Render a DOUBLE exactly like DuckDB's yyjson writer: shortest
@@ -4908,7 +5053,14 @@ def _json_get_sql(src: str, path: str, allow_udf: bool = True) -> str:
     vg = f"variant_get(parse_json({src}), {path})"
     sv = f"schema_of_variant({vg})"
     gjo = f"get_json_object({src}, {path})"
-    dbl = _yyjson_double_sql(f"CAST({vg} AS DOUBLE)")
+    # inlined core, never the __duck_yy_repr SQL function: SQL-function
+    # arguments are hoisted into a Project at inlining time and evaluate
+    # EAGERLY, but CAST(variant AS DOUBLE) must stay behind the CASE
+    # guard (it raises INVALID_VARIANT_CAST for OBJECT/ARRAY variants);
+    # HOF-lambda scope additionally cannot resolve SQL functions at all
+    dbl = _shortest_double_core_sql(
+        f"CAST(CAST({vg} AS DOUBLE) AS STRING)", -6, 20, yy=True
+    )
     heur = _encode_spark_string(_JSON_NUM_RERENDER_RE).text
     # the container-normalization UDF cannot appear inside a
     # higher-order-function lambda (Spark restriction) — callers in
@@ -5307,7 +5459,11 @@ def _varchar_cast_sql(x: str) -> str:
     range casts at near-native speed (measured 2.2x otherwise). LONG
     operands are lambda-bound ONCE (single-element transform) so
     nested rewrites grow the plan linearly, not exponentially —
-    fuzz-nested repeated-operand templates OOM'd codegen."""
+    fuzz-nested repeated-operand templates OOM'd codegen. The render
+    core is always INLINED: an earlier SQL-function emission hit three
+    Spark limits (no resolution inside HOF lambdas, eager argument
+    hoisting past CASE guards, a FoldablePropagation optimizer crash
+    on inlined bodies)."""
     if len(x) <= _BIND_THRESHOLD:
         s = f"CAST(({x}) AS STRING)"
         return (
@@ -5319,10 +5475,15 @@ def _varchar_cast_sql(x: str) -> str:
             + _fmtlib_repr_sql(s)
             + " END)"
         )
+    # long operands: lambda-bound once, with the render core INLINED —
+    # a SQL-function call cannot appear inside a higher-order lambda
+    # (its inlining projects the parameter outside the lambda scope)
     return (
         f"(element_at(transform(array(named_struct('v', ({x}))), __vc -> "
         "CASE WHEN typeof(__vc.v) IN ('double', 'float') THEN "
-        + _fmtlib_repr_sql("CAST(__vc.v AS STRING)")
+        + _shortest_double_core_sql(
+            "CAST(__vc.v AS STRING)", -4, 15, yy=False
+        )
         + " ELSE CAST(__vc.v AS STRING) END), 1))"
     )
 
@@ -5386,6 +5547,28 @@ def _values_spans(tokens: List[Token]) -> set:
                 else:
                     break
         i += 1
+    return spans
+
+
+def _hof_lambda_spans(tokens: List[Token]) -> set:
+    """Token-index spans inside higher-order-function lambda bodies
+    (remaining ``->`` tokens are lambda arrows — json arrows were
+    rewritten earlier). SQL-function calls cannot resolve there; the
+    render passes inline the core instead."""
+    spans: set = set()
+    n = len(tokens)
+    for idx, t in enumerate(tokens):
+        if t.kind == "op" and t.text == "->":
+            depth = 0
+            for m in range(idx, n):
+                tm = tokens[m]
+                if tm.kind == "op" and tm.text == "(":
+                    depth += 1
+                elif tm.kind == "op" and tm.text == ")":
+                    if depth == 0:
+                        spans.update(range(idx, m))
+                        break
+                    depth -= 1
     return spans
 
 
@@ -7832,8 +8015,13 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                                 # decimals/doubles (both correctly
                                 # rounded)
                                 vs = "CAST(__fa.v AS STRING)"
-                                fdbl = _fmtlib_double_sql(
-                                    f"CAST({vs} AS DOUBLE)"
+                                # inlined core, not the __duck_fmt_repr
+                                # SQL function: a SQL-function call
+                                # cannot appear inside the __fa lambda
+                                fdbl = _shortest_double_core_sql(
+                                    f"CAST(CAST({vs} AS DOUBLE) "
+                                    "AS STRING)",
+                                    -4, 15, yy=False,
                                 )
                                 dec_str = (
                                     "(CASE WHEN typeof(__fa.v) LIKE"

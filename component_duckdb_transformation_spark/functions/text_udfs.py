@@ -710,3 +710,4 @@ def register_text_udfs(spark: SparkSession) -> None:
     spark.udf.register("lcm", _lcm_udf)
     spark.udf.register("gamma", _gamma_udf)
     spark.udf.register("lgamma", _lgamma_udf)
+

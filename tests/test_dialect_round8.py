@@ -726,3 +726,32 @@ def test_pipe_concat_literal_coercion(spark, expr):
     assert (got is None) == (want is None) and str(got) == str(want), (
         f"{expr}: duck={want!r} spark={got!r}"
     )
+
+
+ARITH_PIPE_CASES = [
+    # || binds looser than arithmetic: the whole chain is the operand
+    "'a' || l_extendedprice * 1e14",
+    "l_extendedprice * 1e14 || 'z'",
+    "'s: ' || l_extendedprice + 1e14",
+    "'m' || l_quantity % 7",
+    "l_quantity + l_tax * 1e14 || '!'",
+]
+
+
+@pytest.mark.parametrize("expr", ARITH_PIPE_CASES)
+def test_pipe_concat_arithmetic_chain(spark, expr):
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    con.execute(
+        f"CREATE VIEW lineitem AS FROM read_parquet('{sf}/lineitem.parquet')"
+    )
+    q = (
+        f"SELECT {expr} AS r FROM lineitem "
+        "ORDER BY l_orderkey, l_linenumber LIMIT 8"
+    )
+    want = [str(r[0]) for r in con.sql(q).fetchall()]
+    got = [str(r[0]) for r in spark.sql(translate(q)).collect()]
+    assert got == want, expr
