@@ -7436,17 +7436,34 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     # 1-arg numeric trunc-toward-zero (Spark trunc is
                     # date-only); DOUBLE keeps DOUBLE type like DuckDB
                     a = _sql(inner, *args[0])
-                    core = (
-                        f"(CASE WHEN ({a}) >= 0 THEN floor(({a})) "
-                        f"ELSE ceiling(({a})) END)"
-                    )
-                    out.extend(
-                        _toks(
-                            f"(CASE WHEN typeof({a}) IN ('double', 'float')"
-                            f" THEN CAST({core} AS DOUBLE) "
-                            f"ELSE {core} END)"
+                    if len(a) <= _BIND_THRESHOLD:
+                        core = (
+                            f"(CASE WHEN ({a}) >= 0 THEN floor(({a})) "
+                            f"ELSE ceiling(({a})) END)"
                         )
-                    )
+                        out.extend(
+                            _toks(
+                                f"(CASE WHEN typeof({a}) IN "
+                                f"('double', 'float')"
+                                f" THEN CAST({core} AS DOUBLE) "
+                                f"ELSE {core} END)"
+                            )
+                        )
+                    else:
+                        # long operand bound once (the repeated-operand
+                        # form is ~8 mentions); the mixed-branch CASE
+                        # coerces to DOUBLE anyway, so forcing double
+                        # here is type-identical
+                        out.extend(
+                            _toks(
+                                f"(element_at(transform(array("
+                                f"CAST(({a}) AS DOUBLE)), __tr -> "
+                                "CASE WHEN __tr >= 0 THEN "
+                                "CAST(floor(__tr) AS DOUBLE) "
+                                "ELSE CAST(ceiling(__tr) AS DOUBLE) "
+                                "END), 1))"
+                            )
+                        )
                     i = close + 1
                     continue
                 if low == "sem" and len(args) == 1:
