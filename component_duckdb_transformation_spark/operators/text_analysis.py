@@ -11,6 +11,8 @@ these extend the engine per the driver's north star (BASELINE.json).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -121,6 +123,62 @@ def doc_fingerprint(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * 131 + x) % HASH_MOD,
     )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty list when the text
+    has fewer than ``n`` words. Pure column expression (map-only).
+
+    NB: Spark's ``sequence(1, stop)`` DESCENDS when stop < 1 (it never
+    returns an empty array), so the short-text case needs an explicit
+    empty-array branch — DuckDB's ``generate_series`` returns [] there.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = words(text)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_ngram_fraction(text: Column, n: int) -> Column:
+    """Gopher-style repetition signal: fraction of word n-gram
+    occurrences that are repeats of an earlier one (0 when the text has
+    fewer than ``n`` words). 1 - distinct/total over the n-gram list;
+    both counts are exact integers so the single double division is
+    bit-identical in any engine."""
+    g = word_ngrams(text, n)
+    return F.when(
+        F.size(g) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", ns: Sequence[int] = (2, 3)
+) -> DataFrame:
+    """Per-document repetition counters for quality filtering
+    (Gopher/MassiveText-style): for each n in ``ns``, total n-gram
+    occurrences and distinct n-grams (``ngrams_{n}``/``distinct_{n}``),
+    plus word totals. Counters are exact BIGINTs so downstream
+    corpus-level fractions (1 - sum(distinct)/sum(total)) are
+    aggregation-order-independent — summing doubles would make the
+    result depend on partial-aggregation order at scale. Map-only."""
+    text = F.col(text_col)
+    w = words(text)
+    out = df.withColumn("n_words", F.size(w).cast("bigint")).withColumn(
+        "n_distinct_words", F.size(F.array_distinct(w)).cast("bigint")
+    )
+    for n in ns:
+        g = word_ngrams(text, n)
+        out = out.withColumn(f"ngrams_{n}", F.size(g).cast("bigint")).withColumn(
+            f"distinct_{n}", F.size(F.array_distinct(g)).cast("bigint")
+        )
+    return out
 
 
 def tfidf_top_terms(

@@ -2852,6 +2852,122 @@ _add_df(
 )
 
 
+def _repetition_signals_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus repetition profile (Gopher/MassiveText quality filters):
+    per-doc exact n-gram counters (map-only), then per-language duplicate
+    fractions from INTEGER sums — the one double division happens after
+    aggregation, so the result is independent of partial-agg order (a
+    sum of per-doc double fractions would drift at 1000 executors)."""
+    docs = spark.table("documents")
+    sig = text_analysis.repetition_signals(docs, "text", ns=(2, 3))
+    flagged = (F.col("ngrams_3") - F.col("distinct_3")) * 10 > F.col("ngrams_3")
+    return sig.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+        (
+            F.lit(1.0)
+            - F.sum("n_distinct_words").cast("double")
+            / F.nullif(F.sum("n_words").cast("double"), F.lit(0.0))
+        ).alias("dup_word_frac"),
+        (
+            F.lit(1.0)
+            - F.sum("distinct_2").cast("double")
+            / F.nullif(F.sum("ngrams_2").cast("double"), F.lit(0.0))
+        ).alias("dup_2gram_frac"),
+        (
+            F.lit(1.0)
+            - F.sum("distinct_3").cast("double")
+            / F.nullif(F.sum("ngrams_3").cast("double"), F.lit(0.0))
+        ).alias("dup_3gram_frac"),
+    )
+
+
+_add_df(
+    "x37_repetition_signals",
+    _repetition_signals_builder,
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             len(w) AS n_words,
+             len(list_distinct(w)) AS d_words,
+             list_transform(generate_series(1, len(w) - 1),
+                            i -> array_to_string(w[i:i+1], ' ')) AS g2,
+             list_transform(generate_series(1, len(w) - 2),
+                            i -> array_to_string(w[i:i+2], ' ')) AS g3
+      FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN (len(g3) - len(list_distinct(g3))) * 10
+                              > len(g3) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           1.0 - CAST(sum(d_words) AS DOUBLE)
+                 / nullif(CAST(sum(n_words) AS DOUBLE), 0.0)
+               AS dup_word_frac,
+           1.0 - CAST(sum(len(list_distinct(g2))) AS DOUBLE)
+                 / nullif(CAST(sum(len(g2)) AS DOUBLE), 0.0)
+               AS dup_2gram_frac,
+           1.0 - CAST(sum(len(list_distinct(g3))) AS DOUBLE)
+                 / nullif(CAST(sum(len(g3)) AS DOUBLE), 0.0)
+               AS dup_3gram_frac
+    FROM s GROUP BY lang
+    """,
+    description="Gopher-style repetition quality signals: per-doc word "
+    "2/3-gram duplicate counters (map-only column expressions), corpus "
+    "fractions from exact integer sums — aggregation-order-independent",
+)
+
+
+def _decontamination_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    3-gram shingle (60-bit md5) with the held-out benchmark slice
+    (doc_id % 97 == 0). Benchmark hash set is broadcast — the corpus
+    side is probed map-side, never shuffled."""
+    from .operators.decontam import ngram_contamination
+
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(train, bench, "doc_id", "text", n=3)
+
+
+_add_df(
+    "x38_decontamination",
+    _decontamination_builder,
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(w) - 2),
+                            i -> array_to_string(w[i:i+2], ' ')) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+    hashed AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+      FROM ex
+    ),
+    tr AS (SELECT * FROM hashed WHERE doc_id % 97 <> 0),
+    be AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 97 = 0),
+    m AS (
+      SELECT tr.doc_id, count(*) AS matched
+      FROM tr JOIN be USING (h) GROUP BY 1
+    ),
+    tot AS (SELECT doc_id, count(*) AS total FROM tr GROUP BY 1)
+    SELECT m.doc_id,
+           CAST(matched AS BIGINT) AS matched_shingles,
+           CAST(total AS BIGINT) AS total_shingles,
+           CAST(matched AS DOUBLE) / CAST(total AS DOUBLE)
+               AS contamination
+    FROM m JOIN tot USING (doc_id)
+    """,
+    description="n-gram benchmark decontamination (GPT-3 appendix-C "
+    "style): distinct 3-gram md5 shingles per doc, benchmark hash set "
+    "broadcast, map-side probe of the training corpus, per-doc "
+    "contamination fraction over matched pairs only",
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship query for the driver smoke check."""
     return WORKLOADS["q04_multi_join_revenue"].make(spark, sf_dir)

@@ -102,6 +102,27 @@ def test_asof_join_single_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_x37_repetition_map_only_single_agg(spark):
+    """Per-doc n-gram counters are pure column expressions: the whole
+    workload is one partial+final aggregation, no joins, one shuffle."""
+    import re
+
+    plan = _plan(spark, "x37_repetition_signals")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, exchanges
+
+
+def test_x38_decontam_broadcast_probe(spark):
+    """The benchmark shingle-hash set reaches the corpus as a broadcast
+    — the corpus probe is map-side, and nothing goes cartesian."""
+    plan = _plan(spark, "x38_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_x18_split_is_map_only_single_agg(spark):
     plan = _plan(spark, "x18_deterministic_split")
     # one partial+final aggregation; no joins of any kind
