@@ -6525,6 +6525,33 @@ def _plain_decimal_literal_arg(tokens: List[Token], span) -> bool:
     )
 
 
+def _signed_plain_number_arg(tokens: List[Token], span):
+    """``(sign, literal_text)`` when the argument span is a bare numeric
+    literal (``5``, ``4.75``, optionally parenthesized/signed), else
+    None. Exponent forms are excluded (DOUBLE-typed in DuckDB — they
+    belong on the double path)."""
+    lo, hi = span
+    code = [t for t in tokens[lo:hi] if t.kind not in ("ws", "comment")]
+    while (
+        len(code) >= 3
+        and code[0].kind == "op" and code[0].text == "("
+        and code[-1].kind == "op" and code[-1].text == ")"
+        and _matching_paren(code, 0) == len(code) - 1
+    ):
+        code = code[1:-1]
+    sign = ""
+    if len(code) == 2 and code[0].kind == "op" and code[0].text in ("-", "+"):
+        sign = "-" if code[0].text == "-" else ""
+        code = code[1:]
+    if (
+        len(code) == 1
+        and code[0].kind == "word"
+        and re.match(r"^\d+(\.\d+)?$", code[0].text)
+    ):
+        return sign, code[0].text
+    return None
+
+
 def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
     """Argument-aware function shims (beyond plain renames):
 
@@ -7434,7 +7461,31 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     continue
                 if low == "trunc" and len(args) == 1:
                     # 1-arg numeric trunc-toward-zero (Spark trunc is
-                    # date-only); DOUBLE keeps DOUBLE type like DuckDB
+                    # date-only); DOUBLE keeps DOUBLE type like DuckDB.
+                    # DuckDB is type-PRESERVING here (trunc(5) = 5 INT,
+                    # trunc(-4.7) = -4 DECIMAL(2,0), trunc(x::DOUBLE)
+                    # DOUBLE): numeric literals dispatch statically —
+                    # integers are identity, decimals truncate at
+                    # translate time with DuckDB's DECIMAL(p,0) typing
+                    # (p = digit count of the literal). Non-literal
+                    # int/decimal-typed expressions can't be seen
+                    # lexically and take the DOUBLE path (same
+                    # documented corner as ceil/floor).
+                    lit = _signed_plain_number_arg(inner, args[0])
+                    if lit is not None:
+                        sign, text = lit
+                        if "." not in text:
+                            out.extend(_toks(f"({sign}{text})"))
+                        else:
+                            p = len(text) - 1  # all digits, dot dropped
+                            ip = text.split(".", 1)[0] or "0"
+                            out.extend(
+                                _toks(
+                                    f"CAST({sign}{ip} AS DECIMAL({p},0))"
+                                )
+                            )
+                        i = close + 1
+                        continue
                     a = _sql(inner, *args[0])
                     if len(a) <= _BIND_THRESHOLD:
                         core = (

@@ -755,3 +755,22 @@ def test_pipe_concat_arithmetic_chain(spark, expr):
     want = [str(r[0]) for r in con.sql(q).fetchall()]
     got = [str(r[0]) for r in spark.sql(translate(q)).collect()]
     assert got == want, expr
+
+
+TRUNC_LITERAL_CASES = [
+    "trunc(-4.7)", "trunc(4.75)", "trunc(5)", "trunc(+10.5)",
+    "trunc(0.5)", "trunc(-0.5)", "trunc((-4.7))",
+    "CAST(trunc(-4.7) AS VARCHAR)", "CAST(trunc(5) AS VARCHAR)",
+    "CAST(trunc(1e3) AS VARCHAR)",
+]
+
+
+@pytest.mark.parametrize("expr", TRUNC_LITERAL_CASES)
+def test_trunc_literal_type_preserving(spark, expr):
+    """DuckDB trunc is type-preserving: INT literals are identity,
+    DECIMAL literals truncate to DECIMAL(p,0) — rendered without the
+    double path's '.0'."""
+    con = duckdb.connect()
+    want = con.sql(f"SELECT {expr}").fetchone()[0]
+    got = spark.sql(translate(f"SELECT {expr} AS r")).collect()[0][0]
+    assert str(got) == str(want), f"{expr}: duck={want!r} spark={got!r}"
