@@ -9,14 +9,16 @@ in an evaluation document is flagged (and usually dropped).
 Scale shape (the benchmark side is SMALL, the training side is the
 100 TB corpus):
 
-- both sides explode to distinct ``(id, shingle-hash)`` pairs — the
+- per-document shingle hashes are deduped MAP-SIDE with
+  ``array_distinct`` before exploding, so the corpus is scanned ONCE
+  and no distinct-shuffle of (doc, shingle) pairs ever happens — the
   hash is the portable 60-bit md5 family used across the repo, so an
   ANSI-SQL oracle replays it bit-for-bit;
 - the benchmark side reduces to DISTINCT hashes (tiny: |eval corpus|
-  x words) and is explicitly ``broadcast()`` — the training corpus is
-  never shuffled, the whole probe is map-side;
-- per-training-doc contamination counts come from one partial-agg
-  groupBy over the (rare) matched pairs only.
+  x words) and is explicitly ``broadcast()`` — the probe is a
+  map-side left join, the corpus is never shuffled for it;
+- the only corpus shuffle is the final partial-aggregable
+  ``groupBy(doc)`` counting total vs matched shingles.
 
 The reference engine has no decontamination surface (its scope is
 delegated SQL); this extends the repo's training-pipeline north star
@@ -30,23 +32,18 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .text_analysis import word_ngrams
 
 
-def _shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, n: int
-) -> DataFrame:
-    """Distinct (id, 60-bit md5 shingle hash) pairs per document.
-    DuckDB replay: ``('0x' || substr(md5(shingle), 1, 15))::BIGINT``."""
-    h: Column = (
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("shingle_h")
-    )
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
-        )
-        .select(id_col, h)
-        .distinct()
+def _hash60(s: Column) -> Column:
+    """Portable 60-bit md5 hash. DuckDB replay:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def _doc_shingle_hashes(text: Column, n: int) -> Column:
+    """Per-document DISTINCT shingle-hash array — a pure column
+    expression, so deduplication happens map-side inside the scan
+    stage instead of a corpus-wide DISTINCT shuffle."""
+    return F.array_distinct(
+        F.transform(word_ngrams(text, n), lambda s: _hash60(s))
     )
 
 
@@ -66,31 +63,38 @@ def ngram_contamination(
     division over exact integer counts — engine-portable). Clean
     documents are absent (anti-join them against this result to keep).
 
-    The benchmark hash set is broadcast: the training side sees a
-    map-side hash-join probe, no shuffle of corpus data. Distinct
-    per-doc shingles are computed with a partial-aggregable
-    ``groupBy`` keyed by (doc, hash) — no whole-corpus collect anywhere.
+    One scan of the corpus: per-doc hashes dedupe map-side, the
+    benchmark hash set arrives as a broadcast, and a single
+    partial-aggregable groupBy(doc) produces both counters.
     """
-    train_sh = _shingle_hashes(train, id_col, text_col, n)
+    train_sh = train.select(
+        F.col(id_col),
+        F.explode(_doc_shingle_hashes(F.col(text_col), n)).alias("shingle_h"),
+    )
     bench_sh = (
-        _shingle_hashes(benchmark, id_col, text_col, n)
-        .select("shingle_h")
+        benchmark.select(
+            F.explode(
+                _doc_shingle_hashes(F.col(text_col), n)
+            ).alias("shingle_h")
+        )
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    totals = train_sh.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("total_shingles")
-    )
-    matched = (
-        train_sh.join(F.broadcast(bench_sh), "shingle_h")
-        .groupBy(id_col)
-        .agg(F.count("*").cast("bigint").alias("matched_shingles"))
-    )
-    return matched.join(totals, id_col).select(
-        id_col,
-        "matched_shingles",
-        "total_shingles",
-        (
-            F.col("matched_shingles").cast("double")
-            / F.col("total_shingles")
-        ).alias("contamination"),
+    probed = train_sh.join(F.broadcast(bench_sh), "shingle_h", "left")
+    return (
+        probed.groupBy(id_col)
+        .agg(
+            F.count("__hit").cast("bigint").alias("matched_shingles"),
+            F.count("*").cast("bigint").alias("total_shingles"),
+        )
+        .filter(F.col("matched_shingles") > 0)
+        .select(
+            id_col,
+            "matched_shingles",
+            "total_shingles",
+            (
+                F.col("matched_shingles").cast("double")
+                / F.col("total_shingles")
+            ).alias("contamination"),
+        )
     )
