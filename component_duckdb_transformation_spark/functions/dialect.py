@@ -2535,6 +2535,7 @@ def _rewrite_pipe_concat_casts(tokens: List[Token]) -> List[Token]:
     n = len(tokens)
     in_values = _values_spans(tokens)
     in_lambda = _hof_lambda_spans(tokens)
+    py_spans = _py_udf_arg_spans(tokens)
     # statements already huge (e.g. JSON-arrow replication multiplied
     # an ||-chain) only get the static literal coercions: inlining the
     # render core at hundreds of replicated sites ballooned translate
@@ -2698,6 +2699,7 @@ def _rewrite_pipe_concat_casts(tokens: List[Token]) -> List[Token]:
                         or sql_text.startswith(
                             "(element_at(transform(array(named_struct('v',"
                         )
+                        or sql_text.startswith("__duck_render(")
                         or (
                             sql_text.startswith("CAST(")
                             and sql_text.endswith("AS STRING)")
@@ -2708,7 +2710,7 @@ def _rewrite_pipe_concat_casts(tokens: List[Token]) -> List[Token]:
                         # explicit string cast): re-wrapping is a
                         # semantic no-op that ballooned chain size
                         return None
-                    return _varchar_cast_sql(sql_text)
+                    return _varchar_cast_sql(sql_text, i in py_spans)
 
                 changed = False
                 if (
@@ -5049,7 +5051,9 @@ _JSON_NUM_RERENDER_RE = (
 )
 
 
-def _json_get_sql(src: str, path: str, allow_udf: bool = True) -> str:
+def _json_get_sql(
+    src: str, path: str, allow_udf: bool = True, py_udf_ctx: bool = False
+) -> str:
     vg = f"variant_get(parse_json({src}), {path})"
     sv = f"schema_of_variant({vg})"
     gjo = f"get_json_object({src}, {path})"
@@ -5058,9 +5062,21 @@ def _json_get_sql(src: str, path: str, allow_udf: bool = True) -> str:
     # EAGERLY, but CAST(variant AS DOUBLE) must stay behind the CASE
     # guard (it raises INVALID_VARIANT_CAST for OBJECT/ARRAY variants);
     # HOF-lambda scope additionally cannot resolve SQL functions at all
-    dbl = _shortest_double_core_sql(
-        f"CAST(CAST({vg} AS DOUBLE) AS STRING)", -6, 20, yy=True
-    )
+    if py_udf_ctx:
+        # inside a Python UDF's argument the lambda-bound core defeats
+        # ExtractPythonUDFs (see _PY_UDF_FNS) — the exact Python twin
+        # chains instead. Extraction HOISTS UDF arguments past the
+        # CASE guard (eager evaluation), so the variant hop must be
+        # TRY_CAST: container variants yield NULL instead of raising
+        # INVALID_VARIANT_CAST; the reached branch is value-identical.
+        dbl = (
+            "__duck_render_yy("
+            f"CAST(TRY_CAST({vg} AS DOUBLE) AS STRING))"
+        )
+    else:
+        dbl = _shortest_double_core_sql(
+            f"CAST(CAST({vg} AS DOUBLE) AS STRING)", -6, 20, yy=True
+        )
     heur = _encode_spark_string(_JSON_NUM_RERENDER_RE).text
     # the container-normalization UDF cannot appear inside a
     # higher-order-function lambda (Spark restriction) — callers in
@@ -5094,6 +5110,7 @@ def _rewrite_json_arrows(tokens: List[Token]) -> List[Token]:
     stack: List[str] = []
     i = 0
     n = len(tokens)
+    py_spans = _py_udf_arg_spans(tokens)
     prev_code: Optional[Token] = None
     while i < n:
         tok = tokens[i]
@@ -5132,6 +5149,7 @@ def _rewrite_json_arrows(tokens: List[Token]) -> List[Token]:
                                     allow_udf=not any(
                                         s in _LAMBDA_FNS for s in stack
                                     ),
+                                    py_udf_ctx=i in py_spans,
                                 )
                             ))
                         else:
@@ -5428,6 +5446,39 @@ def _rewrite_bare_types(tokens: List[Token]) -> List[Token]:
 # (long/nested operands, linear plan growth)
 _BIND_THRESHOLD = 160
 
+# Names text_udfs.py registers as Python UDFs (kept in sync by
+# tests/test_dialect_round8.py::test_py_udf_name_set_in_sync). A
+# higher-order-function lambda inside a Python UDF's ARGUMENT defeats
+# Spark's ExtractPythonUDFs pass for complex trees (the UDF stays in
+# the projection and fails both codegen and interpretation — fuzz seed
+# 20260815: substring_grapheme(x::VARCHAR || 'R F')), so render
+# emissions inside these calls' argument spans route through the
+# __duck_render Python twin (chained Python UDFs extract fine) and
+# ceil/floor/trunc keep their lambda-free repeated-operand form there.
+_PY_UDF_FNS = frozenset({
+    "age", "icu_sort_key", "__yyjson_norm", "current_setting", "mad",
+    "length_grapheme", "left_grapheme", "right_grapheme",
+    "substring_grapheme", "json_contains", "json_structure",
+    "strip_accents", "nfc_normalize", "nextafter", "jaro_similarity",
+    "jaro_winkler_similarity", "damerau_levenshtein",
+    "levenshtein_bytes", "gcd", "lcm", "gamma", "lgamma",
+})
+
+
+def _py_udf_arg_spans(tokens: List[Token]) -> set:
+    """Token-index spans inside argument lists of registered Python
+    UDF calls (see ``_PY_UDF_FNS``)."""
+    spans: set = set()
+    n = len(tokens)
+    for k, t in enumerate(tokens):
+        if t.kind == "word" and t.text.lower() in _PY_UDF_FNS:
+            nk = _next_code(tokens, k)
+            if nk < n and tokens[nk].kind == "op" and tokens[nk].text == "(":
+                close = _matching_paren(tokens, nk)
+                if close > nk:
+                    spans.update(range(nk, close + 1))
+    return spans
+
 
 def _fmtlib_repr_sql(sexpr: str) -> str:
     """Reshape a Java float/double repr STRING (``sexpr``) into
@@ -5440,7 +5491,7 @@ def _fmtlib_repr_sql(sexpr: str) -> str:
     return _shortest_double_core_sql(sexpr, -4, 15, yy=False)
 
 
-def _varchar_cast_sql(x: str) -> str:
+def _varchar_cast_sql(x: str, py_udf_ctx: bool = False) -> str:
     """DuckDB-exact ``CAST(x AS VARCHAR)``: DuckDB renders DOUBLE/FLOAT
     through fmtlib's shortest-round-trip writer (``1e+20``, ``2.5e-07``,
     decimal form for exponents in [-4, 15]); Spark's cast uses Java's
@@ -5464,6 +5515,13 @@ def _varchar_cast_sql(x: str) -> str:
     Spark limits (no resolution inside HOF lambdas, eager argument
     hoisting past CASE guards, a FoldablePropagation optimizer crash
     on inlined bodies)."""
+    if py_udf_ctx:
+        # inside a Python UDF's argument: both template shapes carry
+        # higher-order lambdas (the E-notation reshaper), which defeat
+        # ExtractPythonUDFs — route through the exact Python twin
+        # instead (a chained Python UDF extracts fine; this path is
+        # already UDF-priced)
+        return f"__duck_render(CAST(({x}) AS STRING), typeof({x}))"
     if len(x) <= _BIND_THRESHOLD:
         s = f"CAST(({x}) AS STRING)"
         return (
@@ -5572,7 +5630,9 @@ def _hof_lambda_spans(tokens: List[Token]) -> set:
     return spans
 
 
-def _rewrite_varchar_casts(tokens: List[Token]) -> List[Token]:
+def _rewrite_varchar_casts(
+    tokens: List[Token], in_py_udf: bool = False
+) -> List[Token]:
     """Lower the ``__DUCKVARCHAR`` sentinel (planted by
     ``_rewrite_bare_types`` for user ``VARCHAR``/``TEXT`` cast targets
     and by ``_rewrite_concat_null_skipping`` for concat's per-argument
@@ -5586,6 +5646,7 @@ def _rewrite_varchar_casts(tokens: List[Token]) -> List[Token]:
     i = 0
     n = len(tokens)
     in_values = _values_spans(tokens)
+    py_spans = _py_udf_arg_spans(tokens)
     while i < n:
         tok = tokens[i]
         if tok.kind == "word" and tok.text.lower() in ("cast", "try_cast"):
@@ -5602,8 +5663,9 @@ def _rewrite_varchar_casts(tokens: List[Token]) -> List[Token]:
                         and tokens[ty].text == "__DUCKVARCHAR"
                         and ty_end == close
                     ):
+                        py = in_py_udf or i in py_spans
                         inner = _rewrite_varchar_casts(
-                            tokens[p_open + 1 : as_i]
+                            tokens[p_open + 1 : as_i], py
                         )
                         inner_code = [
                             t for t in inner
@@ -5616,7 +5678,7 @@ def _rewrite_varchar_casts(tokens: List[Token]) -> List[Token]:
                         elif i in in_values:
                             out.extend(_toks(f"CAST(({x}) AS STRING)"))
                         else:
-                            out.extend(_toks(_varchar_cast_sql(x)))
+                            out.extend(_toks(_varchar_cast_sql(x, py)))
                         i = close + 1
                         continue
         elif tok.kind == "op" and tok.text == "::":
@@ -5639,7 +5701,11 @@ def _rewrite_varchar_casts(tokens: List[Token]) -> List[Token]:
                     elif i in in_values:
                         out.extend(_toks(f"CAST(({x}) AS STRING)"))
                     else:
-                        out.extend(_toks(_varchar_cast_sql(x)))
+                        out.extend(
+                            _toks(_varchar_cast_sql(
+                                x, in_py_udf or i in py_spans
+                            ))
+                        )
                     i = ty + 1
                     continue
                 out.append(tok)
@@ -6572,6 +6638,10 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
     i = 0
     n = len(tokens)
     __in_values = _values_spans(tokens)
+    # inside Python-UDF argument spans the lambda-bound long-operand
+    # emissions are forbidden (see _PY_UDF_FNS) — the repeated-operand
+    # short form is lambda-free and used regardless of length there
+    __py_spans = _py_udf_arg_spans(tokens)
     while i < n:
         tok = tokens[i]
         if tok.kind == "word":
@@ -7422,7 +7492,7 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     # (documented corner: its VARCHAR cast gains '.0').
                     a = _sql(inner, *args[0])
                     fn = "floor" if low == "floor" else "ceiling"
-                    if len(a) <= _BIND_THRESHOLD:
+                    if len(a) <= _BIND_THRESHOLD or i in __py_spans:
                         # short operand: direct CASE stays inside
                         # whole-stage codegen (subexpression
                         # elimination dedupes the repeated cast)
@@ -7487,7 +7557,7 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                         i = close + 1
                         continue
                     a = _sql(inner, *args[0])
-                    if len(a) <= _BIND_THRESHOLD:
+                    if len(a) <= _BIND_THRESHOLD or i in __py_spans:
                         core = (
                             f"(CASE WHEN ({a}) >= 0 THEN floor(({a})) "
                             f"ELSE ceiling(({a})) END)"
@@ -8205,7 +8275,8 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                                 "THEN pp ELSE concat('$.', pp) END")
                         if low in ("json_extract", "json_extract_path"):
                             body = _json_get_sql(
-                                f"({s_})", norm, allow_udf=False
+                                f"({s_})", norm, allow_udf=False,
+                                py_udf_ctx=i in __py_spans,
                             )
                         else:
                             body = f"get_json_object(({s_}), {norm})"
@@ -8215,7 +8286,9 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                         i = close + 1
                         continue
                     if low in ("json_extract", "json_extract_path"):
-                        out.extend(_toks(_json_get_sql(f"({s_})", p_)))
+                        out.extend(_toks(_json_get_sql(
+                            f"({s_})", p_, py_udf_ctx=i in __py_spans
+                        )))
                     else:
                         out.extend(_toks(f"get_json_object({s_}, {p_})"))
                     i = close + 1

@@ -381,6 +381,110 @@ def _yyjson_float_repr(d: float) -> str:
     return ("-" if neg else "") + body
 
 
+def _round_digits_half_up(digits: str, k: int):
+    """Digit string rounded to ``k`` digits HALF_UP; returns
+    ``(rounded, bump)`` with bump=1 on a decade overflow (999->100)."""
+    if k >= len(digits):
+        return digits + "0" * (k - len(digits)), 0
+    keep = list(digits[:k])
+    if digits[k] >= "5":
+        i = k - 1
+        while i >= 0:
+            if keep[i] == "9":
+                keep[i] = "0"
+                i -= 1
+            else:
+                keep[i] = chr(ord(keep[i]) + 1)
+                break
+        else:
+            return "1" + "0" * (k - 1), 1
+    return "".join(keep), 0
+
+
+def _java_shortest_candidate(s: str) -> str:
+    """First ``%.Pe`` rendering (P ascending from 0) of the double
+    whose JAVA ``Double.toString`` E-form text is ``s`` that
+    round-trips — exactly what ``dialect._shortest_double_core_sql``'s
+    candidate search computes with JVM ``format_string``. Java's ``%e``
+    does NOT round the exact binary expansion (C printf semantics):
+    it rounds the shortest-repr DIGIT STRING half-up and zero-pads
+    past it, so the search is replicated textually over ``s``'s own
+    digits (verified against format_string on 100k random doubles)."""
+    d = float(s)
+    mant, exp = s.split("E")
+    n0 = int(exp)
+    neg = mant.startswith("-")
+    if neg:
+        mant = mant[1:]
+    head, _, frac = mant.partition(".")
+    digits = (head + frac).rstrip("0") or "0"
+    for p in range(18):
+        c, bump = _round_digits_half_up(digits, p + 1)
+        n = n0 + bump
+        body = c[0] + ("." + c[1:] if p else "")
+        cand = (
+            ("-" if neg else "")
+            + body
+            + f"e{'+' if n >= 0 else '-'}{abs(n):02d}"
+        )
+        if float(cand) == d:
+            return cand
+    return s  # unreachable: the full digit string round-trips
+
+
+def _fmt_shortest_repr(s: str, lo: int, hi: int, yy: bool) -> str:
+    """Python twin of ``dialect._shortest_double_core_sql``'s reshape
+    over a Java ``Double.toString`` E-form text: candidate search
+    (Java %e digit-string rounding), then plain decimal for decimal
+    exponents in [lo, hi], else the scientific form — fmt style keeps
+    the ``e±NN`` candidate verbatim, yyjson style lowercases to
+    ``<digits>e<exp>`` without ``+``/padding or integer ``.0``."""
+    c = _java_shortest_candidate(s)
+    mant, exp = c.split("e")
+    n = int(exp)
+    neg = mant.startswith("-")
+    if neg:
+        mant = mant[1:]
+    head, _, frac = mant.partition(".")
+    digits = head + frac
+    if lo <= n <= hi:
+        ln = len(digits)
+        if n + 1 >= ln:
+            body = digits + "0" * (n + 1 - ln) + ".0"
+        elif n >= 0:
+            body = digits[: n + 1] + "." + digits[n + 1:]
+        else:
+            body = "0." + "0" * (-n - 1) + digits
+        return ("-" if neg else "") + body
+    if yy:
+        mm = head if frac in ("", "0") else head + "." + frac
+        return ("-" if neg else "") + f"{mm}e{n}"
+    return c
+
+
+def duck_render_varchar(s, t):
+    """DuckDB-exact VARCHAR rendering of a value given its Spark
+    ``CAST(x AS STRING)`` text ``s`` and ``typeof(x)`` ``t`` — the
+    Python twin of ``dialect._varchar_cast_sql``, emitted INSIDE
+    arguments of this module's Python UDFs where the SQL template's
+    higher-order lambdas break Spark's Python-UDF extraction (the UDF
+    is left in the projection and fails codegen AND interpretation).
+    A chained Python UDF extracts fine."""
+    if s is None:
+        return None
+    if t not in ("double", "float"):
+        return s
+    if s == "NaN":
+        return "nan"
+    if s == "Infinity":
+        return "inf"
+    if s == "-Infinity":
+        return "-inf"
+    if "E" not in s:
+        return s
+    return _fmt_shortest_repr(s, -4, 15, yy=False)
+
+
 def yyjson_render_json(txt):
     """Re-render a JSON text exactly as DuckDB's yyjson writer would:
     compact separators, source key order, integers in int64/uint64
@@ -688,9 +792,33 @@ def register_text_udfs(spark: SparkSession) -> None:
             [yyjson_render_json(v) for v in s], dtype="object"
         )
 
+    @pandas_udf("string")
+    def _duck_render_udf(s: pd.Series, t: pd.Series) -> pd.Series:
+        return pd.Series(
+            [duck_render_varchar(v, ty) for v, ty in zip(s, t)],
+            dtype="object",
+        )
+
+    @pandas_udf("string")
+    def _duck_render_yy_udf(s: pd.Series) -> pd.Series:
+        # yyjson-cutoff twin ([-6, 20], bare e<exp>) of __duck_render,
+        # for the JSON-arrow numeric branch inside Python-UDF args
+        return pd.Series(
+            [
+                None if v is None
+                else (v if "E" not in v else _fmt_shortest_repr(
+                    v, -6, 20, yy=True
+                ))
+                for v in s
+            ],
+            dtype="object",
+        )
+
     spark.udf.register("age", _age_udf)
     spark.udf.register("icu_sort_key", _icu_sort_key_udf)
     spark.udf.register("__yyjson_norm", _yyjson_norm_udf)
+    spark.udf.register("__duck_render", _duck_render_udf)
+    spark.udf.register("__duck_render_yy", _duck_render_yy_udf)
     spark.udf.register("current_setting", _current_setting_udf)
     spark.udf.register("mad", _mad_udf)
     spark.udf.register("length_grapheme", _length_grapheme_udf)

@@ -774,3 +774,87 @@ def test_trunc_literal_type_preserving(spark, expr):
     want = con.sql(f"SELECT {expr}").fetchone()[0]
     got = spark.sql(translate(f"SELECT {expr} AS r")).collect()[0][0]
     assert str(got) == str(want), f"{expr}: duck={want!r} spark={got!r}"
+
+
+PY_UDF_ARG_RENDER_CASES = [
+    # fuzz seed 20260815: lambda-bound render templates inside a
+    # Python-UDF argument defeat ExtractPythonUDFs (the UDF stays in
+    # the projection and fails codegen AND interpretation) — these
+    # route through the chained __duck_render/__duck_render_yy twins
+    "substring_grapheme(((round(l_orderkey, 3))::VARCHAR || 'R F'), -5, 5)",
+    "json_structure(('{\"a\": ' || l_suppkey || ', \"b\": [' "
+    "|| l_orderkey || ', ' || l_tax || ']}'))",
+    "length_grapheme((l_tax * 1e20)::VARCHAR)",
+    "length_grapheme((l_extendedprice + l_tax)::VARCHAR || 'x')",
+    "substring_grapheme(('{\"x\": 2.5e-7}' -> 'x') || '!', 1, 12)",
+    "json_structure(('{\"v\": ' || (l_tax/7) || '}'))",
+]
+
+
+@pytest.mark.parametrize("expr", PY_UDF_ARG_RENDER_CASES)
+def test_render_inside_python_udf_args(spark, expr):
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    con.execute(
+        f"CREATE VIEW lineitem AS FROM read_parquet('{sf}/lineitem.parquet')"
+    )
+    q = (
+        f"SELECT {expr} AS r FROM lineitem "
+        "ORDER BY l_orderkey, l_linenumber LIMIT 5"
+    )
+    want = [str(r[0]) for r in con.sql(q).fetchall()]
+    got = [str(r[0]) for r in spark.sql(translate(q)).collect()]
+    assert got == want, expr
+
+
+def test_py_udf_name_set_in_sync():
+    """dialect._PY_UDF_FNS must cover every Python UDF text_udfs
+    registers (render templates inside any of their argument lists
+    would otherwise crash extraction)."""
+    import re
+
+    from component_duckdb_transformation_spark.functions import dialect
+
+    src = open(
+        "component_duckdb_transformation_spark/functions/text_udfs.py"
+    ).read()
+    registered = set(re.findall(r'udf\.register\("([^"]+)"', src))
+    # the render twins themselves are lambda-free by construction
+    registered -= {"__duck_render", "__duck_render_yy"}
+    missing = registered - dialect._PY_UDF_FNS
+    assert not missing, f"add to dialect._PY_UDF_FNS: {sorted(missing)}"
+
+
+def test_duck_render_matches_sql_core(spark):
+    """The Python render twin must agree with the SQL core byte-for-
+    byte (spot sample; the full 150k-bit-pattern sweep ran offline)."""
+    import struct
+
+    from component_duckdb_transformation_spark.functions.dialect import (
+        _varchar_cast_sql,
+    )
+    from component_duckdb_transformation_spark.functions.text_udfs import (
+        duck_render_varchar,
+    )
+
+    vals = [
+        0.0, -0.0, 1e20, -1e20, 2.5e-7, 4.9e-324, 1e7, 9999999.0,
+        1e15, 1e16, -1e-4, 1.25e-5, 1.7976931348623157e308,
+        -1.5036634412407052e15, 8.7810012029644365e17,  # HALF-digit
+        9.99e2, 123456.789,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "c double")
+    df.createOrReplaceTempView("__t_render")
+    rows = spark.sql(
+        "SELECT CAST(c AS STRING) AS jr, "
+        f"{_varchar_cast_sql('c')} AS sqlr FROM __t_render"
+    ).collect()
+    for r in rows:
+        assert duck_render_varchar(r.jr, "double") == r.sqlr, r.jr
+    assert duck_render_varchar("NaN", "double") == "nan"
+    assert duck_render_varchar("Infinity", "double") == "inf"
+    assert duck_render_varchar("-Infinity", "double") == "-inf"
+    assert duck_render_varchar("abc", "string") == "abc"

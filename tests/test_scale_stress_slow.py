@@ -143,3 +143,47 @@ def test_connected_components_10x_chains(spark):
         edges.select(F.col("src").alias("k")), "k", "left_semi"
     ).select("c").distinct().count()
     assert n_clusters == n_customers
+
+
+def test_decontamination_10x_completes_with_clean_plan(spark):
+    """x38 at 10x: one corpus scan, map-side shingle dedup, broadcast
+    probe — no corpus-side distinct shuffle, no cartesian anywhere."""
+    import re
+
+    from component_duckdb_transformation_spark.operators.decontam import (
+        ngram_contamination,
+    )
+
+    big = _exploded_documents(spark)
+    bench = big.filter(F.col("doc_id") % 97 == 0)
+    train = big.filter(F.col("doc_id") % 97 != 0)
+    out = ngram_contamination(train, bench, "doc_id", "text", n=3)
+    plan = _plan(out)
+    _no_scale_killers(plan, "decontam-10x")
+    assert "BroadcastHashJoin" in plan
+    # corpus-side shuffles: the groupBy(doc) only; the benchmark-side
+    # distinct is the other — nothing else may shuffle at 10x
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 2, exchanges
+    assert out.count() > 0
+
+
+def test_repetition_signals_10x_map_only(spark):
+    """x37 at 10x: per-doc counters stay pure column expressions — the
+    only Exchange in the whole profile is the final groupBy(lang)."""
+    import re
+
+    from component_duckdb_transformation_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    big = _exploded_documents(spark)
+    sig = repetition_signals(big, "text", ns=(2, 3))
+    agg = sig.groupBy("lang").agg(
+        F.sum("ngrams_3").alias("g3"), F.sum("distinct_3").alias("d3")
+    )
+    plan = _plan(agg)
+    _no_scale_killers(plan, "repetition-10x")
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, exchanges
+    assert agg.count() > 0
