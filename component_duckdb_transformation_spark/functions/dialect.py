@@ -6618,7 +6618,9 @@ def _signed_plain_number_arg(tokens: List[Token], span):
     return None
 
 
-def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
+def _rewrite_call_shims(
+    tokens: List[Token], in_py_udf: bool = False
+) -> List[Token]:
     """Argument-aware function shims (beyond plain renames):
 
     - ``string_agg(x, sep ORDER BY y)`` -> ``listagg(x, sep) WITHIN GROUP
@@ -6638,10 +6640,6 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
     i = 0
     n = len(tokens)
     __in_values = _values_spans(tokens)
-    # inside Python-UDF argument spans the lambda-bound long-operand
-    # emissions are forbidden (see _PY_UDF_FNS) — the repeated-operand
-    # short form is lambda-free and used regardless of length there
-    __py_spans = _py_udf_arg_spans(tokens)
     while i < n:
         tok = tokens[i]
         if tok.kind == "word":
@@ -6649,7 +6647,13 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
             p_open = _next_code(tokens, i)
             if p_open < n and tokens[p_open].kind == "op" and tokens[p_open].text == "(":
                 close = _matching_paren(tokens, p_open)
-                inner = _rewrite_call_shims(tokens[p_open + 1 : close])
+                # inside Python-UDF argument lists the lambda-bound
+                # emissions are forbidden (see _PY_UDF_FNS): the flag
+                # propagates through this recursion
+                inner = _rewrite_call_shims(
+                    tokens[p_open + 1 : close],
+                    in_py_udf or low in _PY_UDF_FNS,
+                )
                 ilo, ihi = 0, len(inner)
 
                 def order_split():
@@ -7492,7 +7496,7 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                     # (documented corner: its VARCHAR cast gains '.0').
                     a = _sql(inner, *args[0])
                     fn = "floor" if low == "floor" else "ceiling"
-                    if len(a) <= _BIND_THRESHOLD or i in __py_spans:
+                    if len(a) <= _BIND_THRESHOLD or in_py_udf:
                         # short operand: direct CASE stays inside
                         # whole-stage codegen (subexpression
                         # elimination dedupes the repeated cast)
@@ -7557,7 +7561,7 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                         i = close + 1
                         continue
                     a = _sql(inner, *args[0])
-                    if len(a) <= _BIND_THRESHOLD or i in __py_spans:
+                    if len(a) <= _BIND_THRESHOLD or in_py_udf:
                         core = (
                             f"(CASE WHEN ({a}) >= 0 THEN floor(({a})) "
                             f"ELSE ceiling(({a})) END)"
@@ -8152,6 +8156,57 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                                 # type and is value-identical for
                                 # decimals/doubles (both correctly
                                 # rounded)
+                                if in_py_udf:
+                                    # inside a Python-UDF argument the
+                                    # __fa lambda binding defeats
+                                    # ExtractPythonUDFs (_PY_UDF_FNS):
+                                    # repeat the operand and chain the
+                                    # Python render twin. TRY_CAST —
+                                    # extraction hoists UDF args past
+                                    # the CASE guard, and a date arg's
+                                    # string->double cast would raise.
+                                    vsp = f"CAST(({a_}) AS STRING)"
+                                    dec_p = (
+                                        f"(CASE WHEN typeof(({a_})) "
+                                        "LIKE 'decimal%' OR "
+                                        f"typeof(({a_})) IN "
+                                        "('double', 'float') THEN "
+                                        "__duck_render(CAST(TRY_CAST("
+                                        f"{vsp} AS DOUBLE) AS STRING)"
+                                        ", 'double') "
+                                        f"ELSE {vsp} END)"
+                                    )
+                                    if w_ is not None:
+                                        num_t = (
+                                            f"typeof(({a_})) IN "
+                                            "('tinyint', 'smallint', "
+                                            "'int', 'bigint', 'float',"
+                                            " 'double') OR "
+                                            f"typeof(({a_})) LIKE "
+                                            "'decimal%'"
+                                        )
+                                        casted.append(
+                                            "(CASE WHEN length("
+                                            f"{dec_p}) >= {w_} THEN "
+                                            f"{dec_p} WHEN {num_t} "
+                                            f"THEN lpad({dec_p}, {w_},"
+                                            " ' ') ELSE rpad("
+                                            f"{dec_p}, {w_}, ' ') "
+                                            "END)"
+                                        )
+                                    elif t_ == "s":
+                                        casted.append(dec_p)
+                                    elif t_ in ("f", "e"):
+                                        casted.append(
+                                            f"CAST(({a_}) AS DOUBLE)"
+                                        )
+                                    elif t_ in ("x", "o", "d"):
+                                        casted.append(
+                                            f"CAST(({a_}) AS BIGINT)"
+                                        )
+                                    else:
+                                        casted.append(a_)
+                                    continue
                                 vs = "CAST(__fa.v AS STRING)"
                                 # inlined core, not the __duck_fmt_repr
                                 # SQL function: a SQL-function call
@@ -8276,7 +8331,7 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                         if low in ("json_extract", "json_extract_path"):
                             body = _json_get_sql(
                                 f"({s_})", norm, allow_udf=False,
-                                py_udf_ctx=i in __py_spans,
+                                py_udf_ctx=in_py_udf,
                             )
                         else:
                             body = f"get_json_object(({s_}), {norm})"
@@ -8287,7 +8342,7 @@ def _rewrite_call_shims(tokens: List[Token]) -> List[Token]:
                         continue
                     if low in ("json_extract", "json_extract_path"):
                         out.extend(_toks(_json_get_sql(
-                            f"({s_})", p_, py_udf_ctx=i in __py_spans
+                            f"({s_})", p_, py_udf_ctx=in_py_udf
                         )))
                     else:
                         out.extend(_toks(f"get_json_object({s_}, {p_})"))

@@ -788,6 +788,15 @@ PY_UDF_ARG_RENDER_CASES = [
     "length_grapheme((l_extendedprice + l_tax)::VARCHAR || 'x')",
     "substring_grapheme(('{\"x\": 2.5e-7}' -> 'x') || '!', 1, 12)",
     "json_structure(('{\"v\": ' || (l_tax/7) || '}'))",
+    "length_grapheme(format('{}', l_tax))",
+    "length_grapheme(format('{:8}|', l_extendedprice))",
+    "substring_grapheme(format('{} {}', l_tax, l_orderkey), 1, 9)",
+    "length_grapheme(format('{:10}', l_shipdate))",
+    "left_grapheme(format('{:.2f}', l_extendedprice), 6)",
+    "length_grapheme(format('{:12}', l_tax * 1e18))",
+    "json_structure(('{\"v\": ' || format('{}', l_tax) || '}'))",
+    "length_grapheme(ceil(l_extendedprice)::VARCHAR)",
+    "length_grapheme(trunc(l_extendedprice + l_tax)::VARCHAR)",
 ]
 
 
