@@ -6324,6 +6324,57 @@ def _slice_expr(base_sql: str, lo_sql: str, hi_sql: str, is_str: bool) -> str:
     return f"{fn}({base_sql}, {s2}, greatest({e2} - {s2} + 1, 0))"
 
 
+# calls that are string-valued in both engines: a bracket subscript on
+# one is DuckDB 1-based STRING indexing/slicing, not list access
+_STRING_VALUED_FNS = frozenset({
+    "lower", "upper", "trim", "ltrim", "rtrim", "btrim", "concat",
+    "concat_ws", "substr", "substring", "replace", "repeat", "reverse",
+    "lpad", "rpad", "left", "right", "format", "printf", "chr",
+    "initcap", "translate", "strip_accents", "nfc_normalize",
+})
+
+
+def _visibly_string_base(base: List[Token]) -> bool:
+    """True when a bracket-subscript base is LEXICALLY string-valued:
+    a parenthesized expression with a top-level ``||`` and a top-level
+    string literal (list || string is an error in DuckDB, so the chain
+    must be varchar concat), or a call to a known string function.
+    Extends the string-literal-base rule so ``(x || 'y')[2:4]`` slices
+    as a STRING (the type-blind default is the list path, which fails
+    loudly at analysis on string inputs)."""
+    code = [t for t in base if t.kind not in ("ws", "comment")]
+    while (
+        len(code) >= 3
+        and code[0].kind == "op" and code[0].text == "("
+        and _matching_paren(code, 0) == len(code) - 1
+    ):
+        innerc = code[1:-1]
+        has_pipe = bool(_top_level_positions(
+            innerc, 0, len(innerc),
+            lambda t: t.kind == "op" and t.text == "||",
+        ))
+        if has_pipe:
+            depth = 0
+            for t in innerc:
+                if t.kind == "op" and t.text == "(":
+                    depth += 1
+                elif t.kind == "op" and t.text == ")":
+                    depth -= 1
+                elif depth == 0 and t.kind == "string":
+                    return True
+            return False
+        code = innerc
+    return (
+        len(code) == 1 and code[0].kind == "string"
+    ) or (
+        len(code) >= 2
+        and code[0].kind == "word"
+        and code[0].text.lower() in _STRING_VALUED_FNS
+        and code[1].kind == "op" and code[1].text == "("
+        and _matching_paren(code, 1) == len(code) - 1
+    )
+
+
 def _negative_int_literal(tokens: List[Token]) -> bool:
     """True when a token run is exactly a negative integer literal."""
     code = [t for t in tokens if t.kind not in ("ws", "comment")]
@@ -6421,7 +6472,9 @@ def _rewrite_brackets(tokens: List[Token]) -> List[Token]:
                     inner, 0, len(inner), lambda t: t.kind == "op" and t.text == ":"
                 )
                 base = _capture_primary_backward(out)
-                is_str = len(base) == 1 and base[0].kind == "string"
+                is_str = (
+                    len(base) == 1 and base[0].kind == "string"
+                ) or _visibly_string_base(base)
                 if not colons:
                     if is_str:
                         # DuckDB 1-based string indexing; substring's

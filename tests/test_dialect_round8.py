@@ -867,3 +867,41 @@ def test_duck_render_matches_sql_core(spark):
     assert duck_render_varchar("Infinity", "double") == "inf"
     assert duck_render_varchar("-Infinity", "double") == "-inf"
     assert duck_render_varchar("abc", "string") == "abc"
+
+
+STRING_BRACKET_CASES = [
+    # visibly-string bracket bases take DuckDB STRING indexing/slicing
+    # (the type-blind default was the list path — loud analysis error)
+    "(l_returnflag || 'wxyz')[2:4]",
+    "substring_grapheme((l_returnflag || 'wxyz')[-4:-1], 1, 3)",
+    "(upper(l_linestatus))[1:2]",
+    "upper(l_returnflag || 'abc')[2]",
+    "(l_returnflag || 'wxyz')[3]",
+    "('x' || l_linestatus)[1:2]",
+    "(l_returnflag || 'wx')[-1]",
+    "lower('ABCDEF')[2:3]",
+    "(concat(l_returnflag, l_linestatus))[2]",
+    "(('abc'))[2]",
+    # list bases must stay on the list path
+    "([1,2,3,4])[2:3][1]",
+    "(string_split(l_linestatus, ' '))[1]",
+]
+
+
+@pytest.mark.parametrize("expr", STRING_BRACKET_CASES)
+def test_visibly_string_bracket_bases(spark, expr):
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    con.execute(
+        f"CREATE VIEW lineitem AS FROM read_parquet('{sf}/lineitem.parquet')"
+    )
+    q = (
+        f"SELECT {expr} AS r FROM lineitem "
+        "ORDER BY l_orderkey, l_linenumber LIMIT 4"
+    )
+    want = [str(r[0]) for r in con.sql(q).fetchall()]
+    got = [str(r[0]) for r in spark.sql(translate(q)).collect()]
+    assert got == want, expr
