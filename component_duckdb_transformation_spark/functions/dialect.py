@@ -43,11 +43,144 @@ sample variants in both.
 
 from __future__ import annotations
 
+import contextlib
 import re
-from typing import List, Optional
+from contextvars import ContextVar
+from typing import Dict, List, Optional
 
 from .. import engine_version_string
 from ..plans.sql_tokens import Token, tokenize, unquote_name
+
+# Column-type hints for schema-aware dispatch. Translation is lexical
+# (the reference surface is raw DuckDB SQL strings, reference
+# src/query_orchestrator.py:351), so a bare column reference carries no
+# type — `len(c)`, `c[2]`, `c || d` all dispatch differently in DuckDB
+# depending on whether c is VARCHAR, LIST, MAP or DOUBLE. The executor
+# resolves the schemas of a statement's dependency tables (live
+# session, lazy catalog lookups — no jobs) and publishes
+# lowercase-column-name -> Spark simpleString type here; rewrites
+# consult `_hinted_primary_type()` for PLAIN identifier operands only.
+# Names typed differently across the statement's tables, or re-bound by
+# an `AS name` alias anywhere in the statement, are dropped by the
+# publisher, so a surviving hint is unambiguous for every scope that
+# keeps the name (a type-changing expression must alias to keep it).
+_TYPE_HINTS: ContextVar[Dict[str, str]] = ContextVar(
+    "_duck_type_hints", default={}
+)
+
+
+@contextlib.contextmanager
+def column_type_hints(mapping: Optional[Dict[str, str]]):
+    """Publish ``lowercase column name -> Spark simpleString type``
+    hints for every ``translate()`` call inside the block."""
+    token = _TYPE_HINTS.set(mapping or {})
+    try:
+        yield
+    finally:
+        _TYPE_HINTS.reset(token)
+
+
+def _hinted_primary_type(tokens: List[Token]) -> Optional[str]:
+    """The hinted type of a token run that is exactly a plain (possibly
+    table-qualified) column reference; None otherwise. Qualified refs
+    resolve by their last segment — the publisher already dropped any
+    name whose type differs across the statement's tables."""
+    hints = _TYPE_HINTS.get()
+    if not hints:
+        return None
+    code = [t for t in tokens if t.kind not in ("ws", "comment")]
+    if not code:
+        return None
+    if len(code) >= 3 and all(
+        c.kind == "op" and c.text == "." for c in code[1::2]
+    ):
+        code = [code[0]] + [c for c in code[2::2]]
+        if not all(c.kind in ("word", "bident", "qident") for c in code):
+            return None
+        tail = code[-1]
+    elif len(code) == 1:
+        tail = code[0]
+    else:
+        return None
+    if tail.kind not in ("word", "bident", "qident"):
+        return None
+    name = unquote_name(tail).lower()
+    if tail.kind == "word" and name in _HINT_BAIL_WORDS:
+        return None
+    return hints.get(name)
+
+
+_NUMERIC_HINTS = (
+    "double", "float", "decimal", "bigint", "int", "smallint", "tinyint",
+)
+
+
+def _hinted_arith_renders_double(tokens: List[Token]) -> bool:
+    """True when the token run is an arithmetic expression over hinted
+    NUMERIC columns / numeric literals whose DuckDB result type is
+    DOUBLE or FLOAT — the types whose implicit VARCHAR rendering
+    diverges from Spark's (fmt vs Java). Integer/decimal arithmetic
+    renders identically in both engines and returns False. Conservative:
+    any token outside [numbers, + - * % ops, parens, hinted numeric
+    column refs] bails."""
+    hints = _TYPE_HINTS.get()
+    if not hints:
+        return False
+    code = [t for t in tokens if t.kind not in ("ws", "comment")]
+    if len(code) < 2:
+        return False
+    has_double = False
+    expect_operand = True
+    i = 0
+    n = len(code)
+    while i < n:
+        t = code[i]
+        if t.kind == "op" and t.text in ("(", ")"):
+            i += 1
+            continue
+        if t.kind == "op" and t.text in ("+", "-", "*", "%"):
+            expect_operand = True
+            i += 1
+            continue
+        if t.kind == "word" and t.text[0].isdigit():
+            low = t.text.lower()
+            if not low.startswith("0x") and "e" in low:
+                has_double = True  # exponent literal is DOUBLE in DuckDB
+            expect_operand = False
+            i += 1
+            continue
+        if t.kind in ("word", "bident", "qident") and expect_operand:
+            # plain (possibly qualified) column reference
+            j = i
+            while (
+                j + 2 < n
+                and code[j + 1].kind == "op" and code[j + 1].text == "."
+                and code[j + 2].kind in ("word", "bident", "qident")
+            ):
+                j += 2
+            tail = code[j]
+            if tail.kind == "word" and tail.text.lower() in _HINT_BAIL_WORDS:
+                return False
+            h = hints.get(unquote_name(tail).lower())
+            if h is None or not h.startswith(_NUMERIC_HINTS):
+                return False
+            if h in ("double", "float"):
+                has_double = True
+            expect_operand = False
+            i = j + 1
+            continue
+        return False
+    return has_double
+
+
+# bare words that are never column references even when a same-named
+# column exists (keywords that can stand alone as operands/primaries)
+_HINT_BAIL_WORDS = {
+    "null", "true", "false", "current_date", "current_timestamp",
+    "current_time", "interval", "case", "end", "select", "from",
+    "where", "and", "or", "not", "in", "is", "as", "on", "all",
+    "distinct", "exists", "between", "like", "default", "excluded",
+}
 
 # keywords after which a string literal denotes a table name
 _TABLE_NAME_CONTEXT = {"FROM", "JOIN", "INTO", "TABLE", "VIEW", "UPDATE"}
@@ -874,11 +1007,21 @@ def _static_temporal_sql(expr_sql: str) -> bool:
     typed literal, a cast to a temporal type, or a call to a
     temporal-producing builtin. Used where DuckDB overloads a numeric
     function over temporals (isfinite/isinf) — Spark analysis would
-    reject the numeric form outright, so the dispatch must be static."""
+    reject the numeric form outright, so the dispatch must be static.
+    A plain column reference with a published DATE/TIMESTAMP schema
+    hint (``column_type_hints``) counts too, so stored temporal
+    columns dispatch like typed literals."""
     s = expr_sql.strip()
-    return bool(_TEMPORAL_PREFIX_RE.search(s)) or bool(
+    if bool(_TEMPORAL_PREFIX_RE.search(s)) or bool(
         _TEMPORAL_CAST_RE.search(s)
-    )
+    ):
+        return True
+    if _TYPE_HINTS.get() and re.fullmatch(r"[\w.`\" ]+", s):
+        h = _hinted_primary_type(tokenize(s))
+        return h is not None and h.split("(")[0] in (
+            "date", "timestamp", "timestamp_ntz",
+        )
+    return False
 
 
 def _nonneg_int_literal(arg: List[Token], minimum: int = 0) -> bool:
@@ -2362,6 +2505,25 @@ _ENTROPY_TEMPLATE = (
     ")), 1))"
 )
 
+def _mad_integer_domain(arg_sql: str) -> bool:
+    """True when a mad() argument is the temporal shim's epoch-micros
+    form: DuckDB's temporal mad works in INTEGER micros and rounds
+    each median interpolation to ``lo + round(delta/2)`` — i.e.
+    ``floor(x + 0.5)`` of the double average (verified: median of
+    [t, t+1us] is t+1us) — where numeric mad keeps the exact double.
+    The shim's ``CAST(unix_micros(...) AS DOUBLE)`` spelling is the
+    marker."""
+    s = re.sub(r"\s+", "", arg_sql).lower()
+    return s.startswith("cast(unix_micros(")
+
+
+def _mad_round_sql(expr: str) -> str:
+    """DuckDB's temporal median rounding of a double expression to
+    integer micros (floor(x + 0.5) == lo + half-up on the
+    non-negative delta for any sign of x); NULL-propagating."""
+    return f"floor(({expr}) + 0.5D)"
+
+
 def _mad_median_sql(arr: str) -> str:
     """DuckDB median over a SORTED double array: middle element for
     odd counts, mean of the two middles for even, NULL when empty."""
@@ -2389,6 +2551,9 @@ def _mad_template(arg_sql: str) -> str:
     path."""
     med1 = _mad_median_sql("__s1")
     med2 = _mad_median_sql("__s2")
+    if _mad_integer_domain(arg_sql):
+        med1 = _mad_round_sql(med1)
+        med2 = _mad_round_sql(med2)
     return (
         "(element_at(transform(array(array_sort(collect_list("
         f"{arg_sql}))), __s1 -> "
@@ -2733,6 +2898,42 @@ def _rewrite_pipe_concat_casts(tokens: List[Token]) -> List[Token]:
                     if repl is not None:
                         r_sql = repl
                         changed = True
+                if (
+                    not changed and operand and not l_lit and not r_lit
+                    and not left_is_chain
+                    and not _operand_is_listish(l_code)
+                    and not _operand_is_listish(r_code)
+                ):
+                    # no literal on either side: lexically this could
+                    # be LIST concat, but a published schema hint
+                    # (column_type_hints) on a plain column operand
+                    # settles it — a DOUBLE/FLOAT side gets DuckDB's
+                    # fmt rendering (Spark's implicit cast is
+                    # Java-style), ARRAY/MAP hints keep list concat
+                    lh = _hinted_primary_type(l_code)
+                    rh = _hinted_primary_type(r_code)
+                    listy = tuple(
+                        h is not None
+                        and (h.startswith("array") or h.startswith("map"))
+                        for h in (lh, rh)
+                    )
+                    if not any(listy):
+                        if lh in ("double", "float") or (
+                            lh is None
+                            and _hinted_arith_renders_double(l_code)
+                        ):
+                            repl = _coerce(l_sql, l_code)
+                            if repl is not None:
+                                l_sql = repl
+                                changed = True
+                        if rh in ("double", "float") or (
+                            rh is None
+                            and _hinted_arith_renders_double(r_code)
+                        ):
+                            repl = _coerce(r_sql, r_code)
+                            if repl is not None:
+                                r_sql = repl
+                                changed = True
                 if changed:
                     out.extend(_toks(f"{l_sql} || {r_sql}"))
                     i = r_end
@@ -3643,8 +3844,11 @@ def _mad_make_sub(arg, j, keys, from_text, where_body, tag="m"):
         " GROUP BY " + ", ".join(str(i) for i in range(1, m + 1))
         if m else ""
     )
+    med_agg = f"median({val})"
+    if _mad_integer_domain(arg):
+        med_agg = _mad_round_sql(med_agg)
     med_sql = (
-        "SELECT " + ", ".join(med_cols + [f"median({val}) AS __med"])
+        "SELECT " + ", ".join(med_cols + [f"{med_agg} AS __med"])
         + " " + from_text + where + med_group
     )
     on = (
@@ -3663,11 +3867,12 @@ def _mad_make_sub(arg, j, keys, from_text, where_body, tag="m"):
         )
         if m else ""
     )
+    outer_agg = "median(abs(__mf.__mv - __mm.__med))"
+    if _mad_integer_domain(arg):
+        outer_agg = _mad_round_sql(outer_agg)
     return (
         "SELECT "
-        + ", ".join(
-            sel + [f"median(abs(__mf.__mv - __mm.__med)) AS __ev{tag}_{j}"]
-        )
+        + ", ".join(sel + [f"{outer_agg} AS __ev{tag}_{j}"])
         + f" FROM ({dev_sql}) __mf JOIN ({med_sql}) __mm ON {on}"
         + group
     )
@@ -4900,6 +5105,9 @@ _LIST_VALUED_FNS = {
     "array_distinct", "array_sort", "transform", "filter", "slice",
     "array_slice", "array_append", "array_prepend", "array_intersect",
     "list_resize", "array_resize", "parse_path", "unpivot_list",
+    "map_keys", "map_values", "array_agg", "list_agg", "collect_list",
+    "histogram_values", "regexp_extract_all", "array_remove",
+    "array_compact", "arrays_zip", "list_select", "list_where",
 }
 
 
@@ -4907,37 +5115,67 @@ def _rewrite_polymorphic_len(tokens: List[Token]) -> List[Token]:
     """DuckDB ``len()``/``length()`` are polymorphic over strings AND
     lists; Spark's are string-only. When the argument is syntactically
     list-valued — a bracket literal (already ``array(...)`` after
-    ``_rewrite_brackets``) or a call to a list-producing function
-    spanning the whole argument — emit ``size()``. Column references of
-    LIST type can't be detected lexically and keep string semantics
+    ``_rewrite_brackets``), a call to a list-producing function
+    spanning the whole argument, or a plain column reference whose
+    published schema hint (``column_type_hints``) is ARRAY-typed —
+    emit ``size()``. MAP arguments stay: ``len(map)`` is a binder
+    error in DuckDB 1.0 and Spark's ``length(map)`` fails at analysis
+    the same way. Unhinted column references keep string semantics
     (documented in COVERAGE.md; reference DuckDB behavior:
     ``len([1,2])`` = 2)."""
     out: List[Token] = []
     i = 0
     n = len(tokens)
+    in_lambda = _hof_lambda_spans(tokens) if _TYPE_HINTS.get() else set()
+
+    def _listish_operand(lo: int, hi: int, hintable: bool) -> bool:
+        first = lo
+        while first < hi and tokens[first].kind in ("ws", "comment"):
+            first += 1
+        if (
+            first < hi
+            and tokens[first].kind == "word"
+            and tokens[first].text.lower() in _LIST_VALUED_FNS
+        ):
+            ip = _next_code(tokens, first)
+            if ip < hi and tokens[ip].kind == "op" and tokens[ip].text == "(":
+                iclose = _matching_paren(tokens, ip)
+                nxt = _next_code(tokens, iclose)
+                if nxt >= hi:
+                    return True
+        if hintable:
+            hint = _hinted_primary_type(tokens[lo:hi])
+            if hint is not None and hint.startswith("array"):
+                return True
+        return False
+
     while i < n:
         tok = tokens[i]
         if tok.kind == "word" and tok.text.lower() in ("len", "length"):
             p = _next_code(tokens, i)
             if p < n and tokens[p].kind == "op" and tokens[p].text == "(":
                 close = _matching_paren(tokens, p)
-                first = _next_code(tokens, p)
-                if (
-                    first < close
-                    and tokens[first].kind == "word"
-                    and tokens[first].text.lower() in _LIST_VALUED_FNS
+                hintable = i not in in_lambda
+                # the whole argument, or every operand of a top-level
+                # ``||`` chain (list concat when the operands are
+                # lists), must be visibly list-valued: a list-producing
+                # call spanning the operand, or an ARRAY-hinted plain
+                # column reference
+                pipes = _top_level_positions(
+                    tokens, p + 1, close,
+                    lambda t: t.kind == "op" and t.text == "||",
+                )
+                bounds = [p + 1] + [q + 1 for q in pipes] + [close]
+                spans = [
+                    (bounds[k], pipes[k] if k < len(pipes) else close)
+                    for k in range(len(pipes) + 1)
+                ]
+                if spans and all(
+                    _listish_operand(lo, hi, hintable) for lo, hi in spans
                 ):
-                    ip = _next_code(tokens, first)
-                    if (
-                        ip < close
-                        and tokens[ip].kind == "op"
-                        and tokens[ip].text == "("
-                    ):
-                        iclose = _matching_paren(tokens, ip)
-                        if _next_code(tokens, iclose) == close:
-                            out.append(Token("word", "size"))
-                            i += 1
-                            continue
+                    out.append(Token("word", "size"))
+                    i += 1
+                    continue
         out.append(tok)
         i += 1
     return out
@@ -6412,11 +6650,19 @@ def _rewrite_brackets(tokens: List[Token]) -> List[Token]:
     producing token means indexing — including a string literal). Map
     access via brackets shares the element_at path, which is also
     Spark's map accessor.
+
+    A plain column-reference base consults the published schema hints
+    (``column_type_hints``): a STRING hint takes the 1-based string
+    path, a MAP hint takes DuckDB 1.0's list-wrapped map access
+    (``m[k]`` -> [value] on hit, [] on miss — exact for NULL values
+    via ``map_contains_key``). Unhinted bases keep the type-blind
+    list default.
     """
     out: List[Token] = []
     prev_code: Token | None = None
     i = 0
     n = len(tokens)
+    hint_lambda = _hof_lambda_spans(tokens) if _TYPE_HINTS.get() else set()
     while i < n:
         tok = tokens[i]
         if tok.kind == "op" and tok.text == "[":
@@ -6472,9 +6718,29 @@ def _rewrite_brackets(tokens: List[Token]) -> List[Token]:
                     inner, 0, len(inner), lambda t: t.kind == "op" and t.text == ":"
                 )
                 base = _capture_primary_backward(out)
+                hint = (
+                    _hinted_primary_type(base)
+                    if i not in hint_lambda
+                    else None
+                )
                 is_str = (
                     len(base) == 1 and base[0].kind == "string"
-                ) or _visibly_string_base(base)
+                ) or _visibly_string_base(base) or hint == "string"
+                if not colons and hint is not None and hint.startswith("map"):
+                    # DuckDB 1.0 map brackets return a LIST: [value] on
+                    # hit (NULL values included), [] on miss
+                    b_sql = "".join(t.text for t in base)
+                    k_sql = "".join(t.text for t in inner)
+                    out.extend(
+                        _toks(
+                            f"slice(array(try_element_at({b_sql}, "
+                            f"({k_sql}))), 1, CAST(map_contains_key("
+                            f"{b_sql}, ({k_sql})) AS INT))"
+                        )
+                    )
+                    prev_code = out[-1]
+                    i = close + 1
+                    continue
                 if not colons:
                     if is_str:
                         # DuckDB 1-based string indexing; substring's

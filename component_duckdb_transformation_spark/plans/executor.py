@@ -42,6 +42,7 @@ from ..functions.dialect import (
     _scan_stable_primary,
     _split_top_commas,
     _split_top_level_args,
+    column_type_hints,
     expand_columns_macro,
     expand_union_by_name,
     mark_scan_stable,
@@ -1964,7 +1965,45 @@ class SparkStatementExecutor:
             sc.setLocalProperty("spark.scheduler.pool", None)
 
     # -- routing ----------------------------------------------------------
+    def _statement_type_hints(self, st: ParsedStatement) -> Dict[str, str]:
+        """``lowercase column name -> Spark simpleString type`` for the
+        statement's dependency tables (lazy catalog lookups, no jobs).
+        Names typed differently across tables, or re-bound by an
+        ``AS name`` alias anywhere in the statement (a type-changing
+        expression must alias to keep a name), are dropped so a
+        surviving hint is unambiguous. Published via
+        ``column_type_hints`` so the schema-free translator can
+        dispatch ``len(col)`` / ``col[i]`` / ``col || x`` by type."""
+        hints: Dict[str, str] = {}
+        drop: set = set()
+        for dep in st.dependencies:
+            try:
+                fields = self.spark.table(_bt(dep)).schema.fields
+            except Exception:  # noqa: BLE001 — unknown table: no hints
+                continue
+            for f in fields:
+                key = f.name.lower()
+                t = f.dataType.simpleString()
+                if hints.get(key, t) != t:
+                    drop.add(key)
+                hints[key] = t
+        if hints:
+            code = [t for _, t in code_tokens(tokenize(st.sql))]
+            for idx in range(len(code) - 1):
+                nxt = code[idx + 1]
+                if code[idx].is_kw("AS") and nxt.kind in (
+                    "word", "bident", "qident",
+                ):
+                    drop.add(unquote_name(nxt).lower())
+        for k in drop:
+            hints.pop(k, None)
+        return hints
+
     def _execute_statement(self, st: ParsedStatement) -> None:
+        with column_type_hints(self._statement_type_hints(st)):
+            self._execute_statement_hinted(st)
+
+    def _execute_statement_hinted(self, st: ParsedStatement) -> None:
         upper = st.sql.upper()
         if "MACRO" in upper:
             head = st.sql.lstrip().split(None, 1)

@@ -905,3 +905,289 @@ def test_visibly_string_bracket_bases(spark, expr):
     want = [str(r[0]) for r in con.sql(q).fetchall()]
     got = [str(r[0]) for r in spark.sql(translate(q)).collect()]
     assert got == want, expr
+
+
+# ---------------------------------------------------------------------------
+# schema-aware dispatch: the executor publishes dependency-table column
+# types (column_type_hints), so len()/brackets on PLAIN column refs
+# dispatch by type the way DuckDB's binder does (reference surface:
+# raw DuckDB SQL, src/query_orchestrator.py:351)
+
+HINTED_DISPATCH_CASES = [
+    # len() on a stored LIST column -> size()
+    "SELECT vec_id, len(embedding) AS n FROM embeddings ORDER BY vec_id LIMIT 5",
+    "SELECT len(embedding) AS n, count(*) AS c FROM embeddings GROUP BY 1 ORDER BY 1",
+    "SELECT count(*) AS c FROM embeddings WHERE length(embedding) > 4",
+    # qualified reference resolves through its last segment
+    "SELECT e.vec_id, len(e.embedding) AS n FROM embeddings e ORDER BY 1 LIMIT 3",
+    # brackets on stored STRING columns -> 1-based string indexing
+    "SELECT doc_id, text[3] AS c3, text[2:6] AS sl, lang[1] AS l1 "
+    "FROM documents ORDER BY doc_id LIMIT 5",
+    "SELECT doc_id, source[-1] AS tailc, source[-3:-1] AS tail3 "
+    "FROM documents ORDER BY doc_id LIMIT 5",
+    "SELECT doc_id, CASE WHEN lang[1] = 'e' THEN text[1:3] ELSE lang[1:2] END "
+    "AS x FROM documents ORDER BY doc_id LIMIT 6",
+    # lambda variables shadowing a hinted column name must NOT consume
+    # the hint (text is a STRING column; the lambda var is a string
+    # element here, so both paths agree — the guard is exercised by the
+    # hint NOT turning len(text) into size(text) inside the lambda)
+    "SELECT doc_id, len(text) AS n, "
+    "list_transform(string_split(text,' '), text -> len(text))[1] AS w1 "
+    "FROM documents ORDER BY doc_id LIMIT 4",
+    # list element / slice on the stored LIST column (unchanged default
+    # path, exercised under hints; CAST keeps round() typing aligned —
+    # DuckDB round(FLOAT) stays FLOAT)
+    "SELECT vec_id, round(CAST(embedding[3] AS DOUBLE), 4) AS e3, "
+    "len(embedding[2:5]) AS m FROM embeddings ORDER BY vec_id LIMIT 5",
+]
+
+
+@pytest.fixture(scope="module")
+def hint_exec(spark):
+    import tempfile
+
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+        TableStore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
+    ex = SparkStatementExecutor(spark, TableStore(spark, tempfile.mkdtemp()))
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return ex, con
+
+
+def _hint_diff(spark, hint_exec, q):
+    from component_duckdb_transformation_spark.plans.sql_parser import (
+        parse_statement,
+    )
+
+    ex, con = hint_exec
+    ex._execute_statement(
+        parse_statement(f"CREATE OR REPLACE TABLE __hint_t AS {q}")
+    )
+    got = [
+        tuple(str(v) for v in r) for r in spark.table("__hint_t").collect()
+    ]
+    want = [tuple(str(v) for v in r) for r in con.sql(q).fetchall()]
+    assert got == want, q
+
+
+@pytest.mark.parametrize("q", HINTED_DISPATCH_CASES)
+def test_schema_hinted_dispatch(spark, hint_exec, q):
+    _hint_diff(spark, hint_exec, q)
+
+
+def test_schema_hinted_map_brackets(spark, hint_exec):
+    """DuckDB 1.0 map brackets return a LIST ([value] on hit including
+    NULL values, [] on miss); a MAP hint reproduces that exactly."""
+    from component_duckdb_transformation_spark.plans.sql_parser import (
+        parse_statement,
+    )
+
+    ex, con = hint_exec
+    mk = (
+        "CREATE OR REPLACE TABLE __hint_mt AS SELECT doc_id, "
+        "map(['a','b'],[n_chars, NULL]) AS m FROM documents "
+        "WHERE doc_id < 50"
+    )
+    ex._execute_statement(parse_statement(mk))
+    con.execute(mk.replace("__hint_mt", "__hint_mt_d"))
+    for q in (
+        "SELECT doc_id, m['a'] AS hit, m['b'] AS nullhit, m['z'] AS miss "
+        "FROM {T} ORDER BY doc_id LIMIT 5",
+        "SELECT doc_id, cardinality(m) AS c FROM {T} ORDER BY doc_id LIMIT 5",
+        "SELECT doc_id, len(map_keys(m)) AS nk FROM {T} ORDER BY doc_id "
+        "LIMIT 5",
+    ):
+        ex._execute_statement(
+            parse_statement(
+                "CREATE OR REPLACE TABLE __hint_t AS "
+                + q.format(T="__hint_mt")
+            )
+        )
+        got = [
+            tuple(str(v) for v in r)
+            for r in spark.table("__hint_t").collect()
+        ]
+        want = [
+            tuple(str(v) for v in r)
+            for r in con.sql(q.format(T="__hint_mt_d")).fetchall()
+        ]
+        assert got == want, q
+
+
+def test_hint_dropped_on_alias_rebinding(spark, hint_exec):
+    """A name re-bound by AS anywhere in the statement loses its hint:
+    the subquery re-binds `text` to a LIST, so the STRING hint from
+    documents must not fire (the unhinted default keeps today's loud
+    analysis error, same as before hints existed)."""
+    from component_duckdb_transformation_spark.plans.sql_parser import (
+        parse_statement,
+    )
+
+    ex, _ = hint_exec
+    with pytest.raises(Exception, match="len|LEN|string|STRING"):
+        ex._execute_statement(
+            parse_statement(
+                "CREATE OR REPLACE TABLE __hint_t AS "
+                "SELECT len(text) AS n FROM (SELECT string_split(text, ' ') "
+                "AS text FROM documents LIMIT 3)"
+            )
+        )
+
+
+HINTED_PIPE_CASES = [
+    # DOUBLE column (or arithmetic over one) || VARCHAR column, no
+    # literal anywhere: the schema hint routes the numeric side through
+    # DuckDB's fmt rendering (Spark's implicit cast is Java-style)
+    "SELECT event_id, value || event_type AS s FROM events "
+    "ORDER BY event_id LIMIT 5",
+    "SELECT event_id, event_type || value AS s FROM events "
+    "ORDER BY event_id LIMIT 5",
+    "SELECT event_id, value || value AS s FROM events "
+    "ORDER BY event_id LIMIT 5",
+    "SELECT event_id, event_type || value || event_type AS s FROM events "
+    "ORDER BY event_id LIMIT 5",
+    "SELECT event_id, (value * 1e18) || event_type AS s FROM events "
+    "ORDER BY event_id LIMIT 5",
+    "SELECT event_id, value * 2 || event_type AS s FROM events "
+    "ORDER BY event_id LIMIT 5",
+    "SELECT event_id, event_type || (value + 0.5) AS s FROM events "
+    "ORDER BY event_id LIMIT 5",
+    # integer arithmetic renders identically in both engines: native
+    "SELECT l_orderkey, l_linenumber * 2 || l_returnflag AS s "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5",
+    # string || string untouched; list || list stays list concat
+    "SELECT doc_id, lang || source AS s FROM documents "
+    "ORDER BY doc_id LIMIT 3",
+    "SELECT vec_id, len(embedding || embedding) AS n FROM embeddings "
+    "ORDER BY vec_id LIMIT 3",
+    "SELECT doc_id, len(string_split(text,' ') || string_split(lang,' ')) "
+    "AS n FROM documents ORDER BY doc_id LIMIT 5",
+]
+
+
+@pytest.fixture(scope="module")
+def hint_exec2(spark):
+    import tempfile
+
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+        TableStore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tables = ("documents", "embeddings", "events", "lineitem")
+    for t in tables:
+        spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
+    ex = SparkStatementExecutor(spark, TableStore(spark, tempfile.mkdtemp()))
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return ex, con
+
+
+@pytest.mark.parametrize("q", HINTED_PIPE_CASES)
+def test_schema_hinted_pipe_concat(spark, hint_exec2, q):
+    from component_duckdb_transformation_spark.plans.sql_parser import (
+        parse_statement,
+    )
+
+    ex, con = hint_exec2
+    ex._execute_statement(
+        parse_statement(f"CREATE OR REPLACE TABLE __hint_p AS {q}")
+    )
+    got = [
+        tuple(str(v) for v in r) for r in spark.table("__hint_p").collect()
+    ]
+    want = [tuple(str(v) for v in r) for r in con.sql(q).fetchall()]
+    assert got == want, q
+
+
+HINTED_TEMPORAL_CASES = [
+    # mad over stored TIMESTAMP/DATE columns (hint routes them through
+    # epoch micros; DuckDB's temporal mad works in INTEGER micros and
+    # rounds each median interpolation — floor(x + 0.5) — where the
+    # numeric overload keeps the exact double)
+    "SELECT mad(ts) AS m FROM events",
+    "SELECT event_type, mad(ts) AS m FROM events GROUP BY event_type "
+    "ORDER BY event_type",
+    "SELECT mad(o_orderdate) AS m FROM orders",
+    "SELECT o_orderpriority, mad(o_orderdate) AS m FROM orders "
+    "GROUP BY 1 ORDER BY 1",
+    # the DISTINCT shape takes the collect_list fallback template:
+    # same integer-domain rounding
+    "SELECT DISTINCT event_type, mad(ts) AS m FROM events "
+    "GROUP BY event_type ORDER BY event_type",
+    # static temporal expression (pre-hint path) and numeric mad
+    "SELECT mad(CAST(ts AS TIMESTAMP)) AS m FROM events",
+    "SELECT event_type, mad(value) AS m FROM events GROUP BY event_type "
+    "ORDER BY event_type",
+    # isfinite/isinf over stored temporal columns
+    "SELECT count(*) AS c FROM events WHERE isfinite(ts)",
+    "SELECT isinf(o_orderdate) AS i, count(*) AS c FROM orders GROUP BY 1",
+    # DATE column + interval literal keeps DuckDB's TIMESTAMP typing
+    "SELECT o_orderkey, o_orderdate + INTERVAL 2 HOUR AS t FROM orders "
+    "ORDER BY o_orderkey LIMIT 4",
+]
+
+
+@pytest.fixture(scope="module")
+def hint_exec3(spark):
+    import tempfile
+
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+        TableStore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for t in ("events", "orders"):
+        spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
+    ex = SparkStatementExecutor(spark, TableStore(spark, tempfile.mkdtemp()))
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return ex, con
+
+
+@pytest.mark.parametrize("q", HINTED_TEMPORAL_CASES)
+def test_schema_hinted_temporal_dispatch(spark, hint_exec3, q):
+    from component_duckdb_transformation_spark.plans.sql_parser import (
+        parse_statement,
+    )
+
+    ex, con = hint_exec3
+    ex._execute_statement(
+        parse_statement(f"CREATE OR REPLACE TABLE __hint_tt AS {q}")
+    )
+    got = [
+        tuple(str(v) for v in r) for r in spark.table("__hint_tt").collect()
+    ]
+    want = [tuple(str(v) for v in r) for r in con.sql(q).fetchall()]
+    assert got == want, q
+
+
+def test_temporal_mad_median_rounding_micro():
+    """DuckDB's temporal median interpolation rounds to integer micros
+    (floor(avg + 0.5)); tiny literal sets pin the rule the shim
+    replicates."""
+    import duckdb as _d
+
+    con = _d.connect()
+    assert con.sql(
+        "SELECT mad(t) FROM (VALUES "
+        "('2020-01-01 00:00:00.000000'::TIMESTAMP), "
+        "('2020-01-01 00:00:00.000001'::TIMESTAMP)) v(t)"
+    ).fetchall()[0][0].microseconds == 1
