@@ -7799,6 +7799,14 @@ def _rewrite_call_shims(
                     and len(args) == 1
                     and not _plain_decimal_literal_arg(inner, args[0])
                     and i not in __in_values
+                    and not (
+                        (
+                            _hinted_primary_type(
+                                inner[args[0][0]: args[0][1]]
+                            )
+                            or ""
+                        ).startswith("decimal")
+                    )
                 ):
                     # DuckDB types ceil/floor of int/bigint/double as
                     # DOUBLE (ceil(5) = 5.0, ceil(1e300) = 1e300);
@@ -7808,11 +7816,13 @@ def _rewrite_call_shims(
                     # already integral doubles — returned as-is, which
                     # also covers inf and avoids the BIGINT hop; the
                     # zero-window branch keeps IEEE -0.0 (ceil(-0.5) =
-                    # -0.0 like DuckDB). Decimal LITERALS keep Spark's
-                    # native DECIMAL(p,0) ceil, which already matches
-                    # DuckDB; a decimal-typed column reference can't be
-                    # seen lexically and takes the DOUBLE path
-                    # (documented corner: its VARCHAR cast gains '.0').
+                    # -0.0 like DuckDB). Decimal LITERALS — and plain
+                    # column refs with a published DECIMAL schema hint
+                    # — keep Spark's native DECIMAL(p,0) ceil, which
+                    # already matches DuckDB; an UNHINTED decimal
+                    # column reference can't be seen lexically and
+                    # takes the DOUBLE path (documented corner: its
+                    # VARCHAR cast gains '.0').
                     a = _sql(inner, *args[0])
                     fn = "floor" if low == "floor" else "ceiling"
                     if len(a) <= _BIND_THRESHOLD or in_py_udf:

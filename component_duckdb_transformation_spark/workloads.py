@@ -2968,6 +2968,92 @@ _add_df(
 )
 
 
+def _hinted_dispatch_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-aware dialect dispatch through the executor: the
+    statement's dependency-table column types are published to the
+    translator (``column_type_hints``), so ``len()`` on the stored
+    LIST column sizes it, brackets on stored STRING columns take
+    DuckDB's 1-based string indexing, a MAP column's brackets return
+    the list-wrapped hit, and a DOUBLE column in ``||`` renders
+    fmt-style — DuckDB binder behavior reproduced from live schemas
+    (reference surface: raw DuckDB SQL, src/query_orchestrator.py:351)."""
+    import tempfile
+
+    from .configuration import Block, Code
+    from .plans.executor import SparkStatementExecutor, TableStore
+    from .plans.orchestrator import BlockOrchestrator
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="cdts-wl-hint-"))
+    executor = SparkStatementExecutor(spark, store)
+    orch = BlockOrchestrator(
+        execute_script=executor.execute_query, max_workers=4
+    )
+    orch.add_queries_from_blocks(
+        [
+            Block(
+                name="hint",
+                codes=[
+                    Code(
+                        name="pipeline",
+                        script=[
+                            "CREATE TABLE hint_probe AS "
+                            "SELECT d.doc_id, d.lang, "
+                            "len(e.embedding) AS emb_dim, "
+                            "d.text[2:8] AS frag, d.lang[1] AS l1, "
+                            "d.source[-3:-1] AS src_tail, "
+                            "(ev.value * 1e6) || d.lang AS tag, "
+                            "map([d.lang], [d.n_chars]) AS m "
+                            "FROM documents d "
+                            "JOIN embeddings e ON e.vec_id = d.doc_id "
+                            "JOIN events ev ON ev.event_id = d.doc_id;",
+                            "CREATE TABLE hint_result AS "
+                            "SELECT l1, count(*) AS n, "
+                            "CAST(sum(emb_dim) AS BIGINT) AS dims, "
+                            "min(frag) AS min_frag, max(frag) AS max_frag, "
+                            "max(src_tail) AS max_tail, max(tag) AS max_tag, "
+                            "CAST(sum((m[lang])[1]) AS BIGINT) AS chars "
+                            "FROM hint_probe GROUP BY l1 ORDER BY l1;",
+                        ],
+                    )
+                ],
+            )
+        ]
+    )
+    orch.execute()
+    return spark.table("hint_result")
+
+
+_add_df(
+    "x39_hinted_type_dispatch",
+    _hinted_dispatch_builder,
+    oracle="""
+    WITH hint_probe AS (
+      SELECT d.doc_id, d.lang, len(e.embedding) AS emb_dim,
+             d.text[2:8] AS frag, d.lang[1] AS l1,
+             d.source[-3:-1] AS src_tail,
+             (ev.value * 1e6) || d.lang AS tag,
+             map([d.lang], [d.n_chars]) AS m
+      FROM documents d
+      JOIN embeddings e ON e.vec_id = d.doc_id
+      JOIN events ev ON ev.event_id = d.doc_id
+    )
+    SELECT l1, count(*) AS n,
+           CAST(sum(emb_dim) AS BIGINT) AS dims,
+           min(frag) AS min_frag, max(frag) AS max_frag,
+           max(src_tail) AS max_tail, max(tag) AS max_tag,
+           CAST(sum((m[lang])[1]) AS BIGINT) AS chars
+    FROM hint_probe GROUP BY l1 ORDER BY l1
+    """,
+    description="schema-aware dialect dispatch from live dependency "
+    "schemas: len() sizes a stored LIST column, brackets on stored "
+    "STRING columns take 1-based string indexing, MAP brackets return "
+    "DuckDB's list-wrapped hit, and a DOUBLE column in || renders "
+    "fmt-style — the DuckDB-binder behaviors a schema-free translator "
+    "cannot decide",
+    serial=True,
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship query for the driver smoke check."""
     return WORKLOADS["q04_multi_join_revenue"].make(spark, sf_dir)

@@ -1191,3 +1191,39 @@ def test_temporal_mad_median_rounding_micro():
         "('2020-01-01 00:00:00.000000'::TIMESTAMP), "
         "('2020-01-01 00:00:00.000001'::TIMESTAMP)) v(t)"
     ).fetchall()[0][0].microseconds == 1
+
+
+def test_schema_hinted_decimal_ceil(spark, hint_exec2):
+    """A DECIMAL-hinted column keeps Spark's native DECIMAL(p,0)
+    ceil/floor (matches DuckDB exactly — no '.0' from the DOUBLE
+    dispatch)."""
+    from component_duckdb_transformation_spark.plans.sql_parser import (
+        parse_statement,
+    )
+
+    ex, con = hint_exec2
+    mk = (
+        "CREATE OR REPLACE TABLE __hint_dec AS SELECT l_orderkey, "
+        "l_linenumber, CAST(l_extendedprice AS DECIMAL(12,2)) AS p "
+        "FROM lineitem"
+    )
+    ex._execute_statement(parse_statement(mk))
+    con.execute(mk.replace("__hint_dec", "__hint_dec_d"))
+    q = (
+        "SELECT l_orderkey, ceil(p)::VARCHAR AS c, floor(p)::VARCHAR AS f, "
+        "format('{{}}', ceil(p)) AS s FROM {T} "
+        "ORDER BY l_orderkey, l_linenumber LIMIT 6"
+    )
+    ex._execute_statement(
+        parse_statement(
+            "CREATE OR REPLACE TABLE __hint_t AS " + q.format(T="__hint_dec")
+        )
+    )
+    got = [
+        tuple(str(v) for v in r) for r in spark.table("__hint_t").collect()
+    ]
+    want = [
+        tuple(str(v) for v in r)
+        for r in con.sql(q.format(T="__hint_dec_d")).fetchall()
+    ]
+    assert got == want
