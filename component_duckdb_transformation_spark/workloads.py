@@ -3005,7 +3005,8 @@ def _hinted_dispatch_builder(spark: SparkSession, sf: str) -> DataFrame:
                             "map([d.lang], [d.n_chars]) AS m "
                             "FROM documents d "
                             "JOIN embeddings e ON e.vec_id = d.doc_id "
-                            "JOIN events ev ON ev.event_id = d.doc_id;",
+                            "JOIN events ev ON ev.event_id = d.doc_id "
+                            "WHERE d.doc_id % 7 = 0;",
                             "CREATE TABLE hint_result AS "
                             "SELECT l1, count(*) AS n, "
                             "CAST(sum(emb_dim) AS BIGINT) AS dims, "
@@ -3036,6 +3037,7 @@ _add_df(
       FROM documents d
       JOIN embeddings e ON e.vec_id = d.doc_id
       JOIN events ev ON ev.event_id = d.doc_id
+      WHERE d.doc_id % 7 = 0
     )
     SELECT l1, count(*) AS n,
            CAST(sum(emb_dim) AS BIGINT) AS dims,
