@@ -89,6 +89,12 @@ def _hinted_primary_type(tokens: List[Token]) -> Optional[str]:
     if not hints:
         return None
     code = [t for t in tokens if t.kind not in ("ws", "comment")]
+    while (
+        len(code) >= 3
+        and code[0].kind == "op" and code[0].text == "("
+        and _matching_paren(code, 0) == len(code) - 1
+    ):
+        code = code[1:-1]
     if not code:
         return None
     if len(code) >= 3 and all(
@@ -113,6 +119,34 @@ def _hinted_primary_type(tokens: List[Token]) -> Optional[str]:
 _NUMERIC_HINTS = (
     "double", "float", "decimal", "bigint", "int", "smallint", "tinyint",
 )
+
+# calls that are DOUBLE-valued in both engines — inside ``||`` their
+# implicit VARCHAR cast diverges (fmt vs Java) just like a DOUBLE
+# column; the runtime typeof dispatch keeps over-triggering harmless
+_DOUBLE_VALUED_FNS = frozenset({
+    "sqrt", "cbrt", "exp", "ln", "log", "log10", "log2", "log1p",
+    "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "sinh",
+    "cosh", "tanh", "radians", "degrees", "pi", "pow", "power",
+    "random", "stddev", "stddev_samp", "stddev_pop",
+    "variance", "var_samp", "var_pop", "corr", "covar_samp",
+    "covar_pop", "gamma", "lgamma", "nextafter",
+    # avg/mean/median excluded: Spark types them DECIMAL over DECIMAL
+    # inputs where DuckDB always widens to DOUBLE — a value-level
+    # divergence rendering can't paper over
+})
+
+
+def _double_valued_call(tokens: List[Token]) -> bool:
+    """True when a token run is exactly one call to a DOUBLE-returning
+    function."""
+    code = [t for t in tokens if t.kind not in ("ws", "comment")]
+    return (
+        len(code) >= 3
+        and code[0].kind == "word"
+        and code[0].text.lower() in _DOUBLE_VALUED_FNS
+        and code[1].kind == "op" and code[1].text == "("
+        and _matching_paren(code, 1) == len(code) - 1
+    )
 
 
 def _hinted_arith_renders_double(tokens: List[Token]) -> bool:
@@ -2920,7 +2954,10 @@ def _rewrite_pipe_concat_casts(tokens: List[Token]) -> List[Token]:
                     if not any(listy):
                         if lh in ("double", "float") or (
                             lh is None
-                            and _hinted_arith_renders_double(l_code)
+                            and (
+                                _hinted_arith_renders_double(l_code)
+                                or _double_valued_call(l_code)
+                            )
                         ):
                             repl = _coerce(l_sql, l_code)
                             if repl is not None:
@@ -2928,7 +2965,10 @@ def _rewrite_pipe_concat_casts(tokens: List[Token]) -> List[Token]:
                                 changed = True
                         if rh in ("double", "float") or (
                             rh is None
-                            and _hinted_arith_renders_double(r_code)
+                            and (
+                                _hinted_arith_renders_double(r_code)
+                                or _double_valued_call(r_code)
+                            )
                         ):
                             repl = _coerce(r_sql, r_code)
                             if repl is not None:

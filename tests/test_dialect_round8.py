@@ -1227,3 +1227,35 @@ def test_schema_hinted_decimal_ceil(spark, hint_exec2):
         for r in con.sql(q.format(T="__hint_dec_d")).fetchall()
     ]
     assert got == want
+
+
+DOUBLE_CALL_PIPE_CASES = [
+    # DOUBLE-valued calls in || with no literal anywhere: lexical
+    # detection, no schema hint required
+    "SELECT event_id, sqrt(value * 1e20) || event_type AS s FROM events "
+    "ORDER BY event_id LIMIT 5",
+    "SELECT event_id, event_type || exp(value / 3.0) AS s FROM events "
+    "ORDER BY event_id LIMIT 5",
+    # parenthesized plain columns resolve their hints too
+    "SELECT doc_id, (text)[3] AS c3, len((text)) AS n FROM documents "
+    "ORDER BY doc_id LIMIT 4",
+    "SELECT event_id, (value) || event_type AS s FROM events "
+    "ORDER BY event_id LIMIT 4",
+]
+
+
+@pytest.mark.parametrize("q", DOUBLE_CALL_PIPE_CASES)
+def test_double_call_pipe_and_paren_hints(spark, hint_exec2, q):
+    from component_duckdb_transformation_spark.plans.sql_parser import (
+        parse_statement,
+    )
+
+    ex, con = hint_exec2
+    ex._execute_statement(
+        parse_statement(f"CREATE OR REPLACE TABLE __hint_p2 AS {q}")
+    )
+    got = [
+        tuple(str(v) for v in r) for r in spark.table("__hint_p2").collect()
+    ]
+    want = [tuple(str(v) for v in r) for r in con.sql(q).fetchall()]
+    assert got == want, q
