@@ -427,48 +427,20 @@ def _kmeans_assign_int(df: DataFrame, centroids: list[list[int]], n_probe: int =
     return df.mapInPandas(assign, out_schema)
 
 
-def ivf_topk_quantized(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_clusters: int = 16,
-    n_probe: int = 4,
-    n_iters: int = 2,
-    dim: int = 64,
-    quantize: int = 1000,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-) -> DataFrame:
-    """Deterministic, fully-distributed IVF top-k (engine-exact).
-
-    The coarse quantizer is Lloyd k-means run IN Spark over quantized
-    int64 vectors: seeds are the ``n_clusters`` lowest-id vectors;
-    each iteration assigns distributed (vectorized mapInPandas, exact
-    integer L2) and recomputes centroids from per-cluster per-dimension
-    SUM/COUNT aggregates — only k x dim stats ever reach the driver, so
-    the same plan trains on a 100 TB corpus. Truncating integer means
-    keep every step reproducible in ANSI SQL, so the full pipeline
-    (training included) is verified against a DuckDB oracle.
-
-    Search: corpus rows live in their 1 nearest cell, each query probes
-    its ``n_probe`` nearest cells, exact integer-dot re-rank inside.
-    Output: (query_id, vec_id, score, rnk).
-    """
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), _quantize_col(F.col(vec_col), quantize).alias("qv")
-    ).persist()
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        _quantize_col(F.col(vec_col), quantize).alias("qv"),
-    )
-    spark = corpus.sparkSession
+def _kmeans_train(
+    c: DataFrame, n_clusters: int, n_iters: int, dim: int
+) -> list:
+    """Deterministic distributed integer Lloyd k-means over a
+    ``(vec_id, qv array<bigint>)`` frame: seeds are the ``n_clusters``
+    lowest-id vectors; each iteration is ONE fused assign+partial-stats
+    pass (per-task (cluster, count, sum-vector) partials — k x tasks
+    tiny rows to the driver, never per-row assignments), with
+    truncating integer means so every step replays in ANSI SQL. The
+    same plan trains on a 100 TB corpus."""
+    spark = c.sparkSession
     seed_rows = c.orderBy("vec_id").limit(n_clusters).collect()
     centroids = [list(r.qv) for r in seed_rows]
     for _ in range(n_iters):
-        # fused assign + partial stats: ONE pass emits per-task
-        # (cluster, count, sum-vector) partials — k x tasks tiny rows to
-        # the driver, never per-row assignments
         b_cent = spark.sparkContext.broadcast(np.array(centroids, dtype=np.int64))
 
         def partials(batches):
@@ -506,6 +478,106 @@ def ivf_topk_quantized(
             else centroids[cid]  # empty cell keeps its previous centroid
             for cid in range(len(centroids))
         ]
+    return centroids
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold_q: int,
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    dim: int = 64,
+    quantize: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the
+    deterministic distributed k-means, then compare pairs ONLY within
+    a cluster — the cluster bound is what makes the quadratic
+    tractable at corpus scale. A row is removed when it has a
+    >= ``threshold_q`` quantized-dot pair with a LOWER id in its
+    cluster (deterministic keep-lowest representative; the paper keeps
+    one arbitrary member per duplicate group).
+
+    Fully distributed: training moves only k x dim stats to the
+    driver; the pair stage is an equi-join keyed by cluster id, so
+    shuffle volume is linear and the quadratic work is per-cluster.
+    Skew caveat: one giant cluster concentrates its pair work in one
+    task — shrink clusters with a larger ``n_clusters`` (the paper
+    uses ~100k clusters at web scale) or block oversized cells with
+    ``embedding_near_duplicates_blocked`` inside the cell.
+
+    Output: (vec_id, cluster, keep) — every corpus row, keep=false for
+    removed near-duplicates. Engine-exact integer arithmetic end to
+    end (verified against a DuckDB oracle replaying the training)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _quantize_col(F.col(vec_col), quantize).alias("qv"),
+    ).persist()
+    centroids = _kmeans_train(c, n_clusters, n_iters, dim)
+    cf = _kmeans_assign_int(c, centroids, n_probe=1)
+    a = cf.select(
+        "cluster", F.col("vec_id").alias("v1"), F.col("qv").alias("qv1")
+    )
+    b = cf.select(
+        "cluster", F.col("vec_id").alias("v2"), F.col("qv").alias("qv2")
+    )
+    removed = (
+        a.join(b, "cluster")
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn("qdot", _dot_int(F.col("qv1"), F.col("qv2")))
+        .filter(F.col("qdot") >= threshold_q)
+        .select(F.col("v2").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cf.select("vec_id", "cluster")
+        .join(removed.withColumn("__rm", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("__rm"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def ivf_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+    quantize: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Deterministic, fully-distributed IVF top-k (engine-exact).
+
+    The coarse quantizer is Lloyd k-means run IN Spark over quantized
+    int64 vectors: seeds are the ``n_clusters`` lowest-id vectors;
+    each iteration assigns distributed (vectorized mapInPandas, exact
+    integer L2) and recomputes centroids from per-cluster per-dimension
+    SUM/COUNT aggregates — only k x dim stats ever reach the driver, so
+    the same plan trains on a 100 TB corpus. Truncating integer means
+    keep every step reproducible in ANSI SQL, so the full pipeline
+    (training included) is verified against a DuckDB oracle.
+
+    Search: corpus rows live in their 1 nearest cell, each query probes
+    its ``n_probe`` nearest cells, exact integer-dot re-rank inside.
+    Output: (query_id, vec_id, score, rnk).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _quantize_col(F.col(vec_col), quantize).alias("qv")
+    ).persist()
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _quantize_col(F.col(vec_col), quantize).alias("qv"),
+    )
+    centroids = _kmeans_train(c, n_clusters, n_iters, dim)
     cf = _kmeans_assign_int(c, centroids, n_probe=1).withColumnRenamed("qv", "c_qv")
     qf = _kmeans_assign_int(q, centroids, n_probe=n_probe).withColumnRenamed("qv", "q_qv")
     joined = cf.join(F.broadcast(qf), "cluster")

@@ -1586,13 +1586,13 @@ def _ivf_builder(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(
-    k: int = 10, n_clusters: int = 16, n_probe: int = 4, n_iters: int = 2, dim: int = 64
-) -> str:
-    """Replays ivf_topk_quantized end-to-end: seeded centroids, two
-    unrolled Lloyd iterations with trunc-div integer means (DuckDB //
-    truncates toward zero, matching the Spark driver's _trunc_div),
-    probed assignment, quantized-dot re-rank."""
+def _kmeans_oracle_prefix(n_clusters: int, n_iters: int, dim: int):
+    """Shared oracle WITH-prefix replaying ``_kmeans_train`` +
+    assignment: seeded centroids, ``n_iters`` unrolled Lloyd
+    iterations with trunc-div integer means (DuckDB // truncates
+    toward zero, matching the Spark driver's _trunc_div), final
+    nearest-cell assignment ``af``. Returns (prefix_sql, prev_cte,
+    dist_template)."""
     dist = (
         "list_sum(list_transform(list_zip(q.qv, {c}.cv),"
         " s -> (s[1]-s[2])*(s[1]-s[2])))"
@@ -1615,7 +1615,7 @@ m{i} AS (SELECT cid, list(s // n ORDER BY d) AS cv FROM s{i} GROUP BY cid),
 c{i} AS (SELECT {prev}.cid, coalesce(m{i}.cv, {prev}.cv) AS cv
          FROM {prev} LEFT JOIN m{i} USING (cid))""")
         prev = f"c{i}"
-    return f"""
+    prefix = f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
@@ -1628,7 +1628,17 @@ af AS (
     SELECT q.vec_id, {prev}.cid,
            row_number() OVER (PARTITION BY q.vec_id
              ORDER BY {dist.format(c=prev)}, {prev}.cid) AS rn
-    FROM q CROSS JOIN {prev}) WHERE rn = 1),
+    FROM q CROSS JOIN {prev}) WHERE rn = 1)"""
+    return prefix, prev, dist
+
+
+def _ivf_oracle(
+    k: int = 10, n_clusters: int = 16, n_probe: int = 4, n_iters: int = 2, dim: int = 64
+) -> str:
+    """Replays ivf_topk_quantized end-to-end: the shared k-means
+    prefix, probed query assignment, quantized-dot re-rank."""
+    prefix, prev, dist = _kmeans_oracle_prefix(n_clusters, n_iters, dim)
+    return f"""{prefix},
 qf AS (
   SELECT vec_id AS query_id, cid FROM (
     SELECT q.vec_id, {prev}.cid,
@@ -1657,6 +1667,39 @@ _add_df(
     description="IVF ANN: distributed deterministic k-means coarse quantizer "
     "(integer Lloyd, per-cluster agg stats only to driver) + n_probe search, "
     "quantized-dot re-rank; full pipeline incl. training replayed by the oracle",
+)
+
+
+def _semantic_dedup_oracle(
+    threshold_q: int, n_clusters: int = 16, n_iters: int = 2, dim: int = 64
+) -> str:
+    """Replays semantic_dedup end-to-end: the shared k-means prefix,
+    within-cluster quantized-dot pairs, keep-lowest-id rule."""
+    prefix, _, _ = _kmeans_oracle_prefix(n_clusters, n_iters, dim)
+    return f"""{prefix},
+rm AS (
+  SELECT DISTINCT b.vec_id
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN q qa ON qa.vec_id = a.vec_id
+  JOIN q qb ON qb.vec_id = b.vec_id
+  WHERE CAST(list_sum(list_transform(list_zip(qa.qv, qb.qv),
+        s -> s[1]*s[2])) AS BIGINT) >= {threshold_q})
+SELECT af.vec_id, af.cid AS cluster, rm.vec_id IS NULL AS keep
+FROM af LEFT JOIN rm ON rm.vec_id = af.vec_id
+"""
+
+
+_add_df(
+    "x40_semantic_dedup",
+    lambda spark, sf: similarity.semantic_dedup(
+        spark.table("embeddings"), threshold_q=400000, n_clusters=16,
+        n_iters=2, dim=64,
+    ),
+    oracle=_semantic_dedup_oracle(400000),
+    description="SemDeDup-style semantic deduplication: deterministic "
+    "distributed k-means bounds the pairwise comparison to within-cluster "
+    "(the SemDeDup contract at corpus scale), keep-lowest-id "
+    "representative; training + pairs replayed exactly by the oracle",
 )
 
 _EMB_NEARDUP_ORACLE = """
