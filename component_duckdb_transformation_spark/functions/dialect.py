@@ -136,6 +136,37 @@ _DOUBLE_VALUED_FNS = frozenset({
 })
 
 
+_STRUCT_FIELD_RE = re.compile(r"^[A-Za-z_]\w*$")
+
+
+def _struct_hint_fields(hint: str) -> Optional[List[str]]:
+    """Field names of a ``struct<a:int,b:string>`` simpleString hint;
+    None when the hint is not a struct or a field name is not a plain
+    identifier (quoting rules would be ambiguous)."""
+    if not hint.startswith("struct<") or not hint.endswith(">"):
+        return None
+    body = hint[len("struct<"):-1]
+    fields: List[str] = []
+    depth = 0
+    start = 0
+    parts: List[str] = []
+    for idx, ch in enumerate(body):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:idx])
+            start = idx + 1
+    parts.append(body[start:])
+    for part in parts:
+        name = part.split(":", 1)[0].strip()
+        if not _STRUCT_FIELD_RE.match(name):
+            return None
+        fields.append(name)
+    return fields
+
+
 def _double_valued_call(tokens: List[Token]) -> bool:
     """True when a token run is exactly one call to a DOUBLE-returning
     function."""
@@ -7386,6 +7417,39 @@ def _rewrite_call_shims(
                         )
                         i = close + 1
                         continue
+                    if pairs:
+                        # a STRUCT-hinted plain column base: the
+                        # published schema names its fields, so the
+                        # splice works on dynamic columns too (an
+                        # existing-name collision falls through to the
+                        # loud unresolved-function error, like DuckDB's
+                        # duplicate-entry error)
+                        s_hint = _hinted_primary_type(
+                            inner[args[0][0]: args[0][1]]
+                        )
+                        flds = (
+                            _struct_hint_fields(s_hint)
+                            if s_hint is not None
+                            else None
+                        )
+                        new_lower = {n.lower() for n, _ in pairs}
+                        if flds is not None and not (
+                            new_lower & {f.lower() for f in flds}
+                        ):
+                            spread = ", ".join(
+                                f"'{f}', ({base_sql}).`{f}`"
+                                for f in flds
+                            )
+                            added = ", ".join(
+                                f"'{n}', ({v})" for n, v in pairs
+                            )
+                            out.extend(
+                                _toks(
+                                    f"named_struct({spread}, {added})"
+                                )
+                            )
+                            i = close + 1
+                            continue
                 if low in ("count", "sum", "avg", "median") or low == "bit_count":
                     # window-context rewrites that must consume the
                     # trailing OVER clause

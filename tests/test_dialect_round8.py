@@ -1259,3 +1259,40 @@ def test_double_call_pipe_and_paren_hints(spark, hint_exec2, q):
     ]
     want = [tuple(str(v) for v in r) for r in con.sql(q).fetchall()]
     assert got == want, q
+
+
+def test_schema_hinted_struct_insert(spark, hint_exec2):
+    """struct_insert on a DYNAMIC struct column works when the base
+    column carries a STRUCT schema hint (field names spliced from the
+    published schema); compares field-extracted values (raw struct
+    reprs differ between drivers, not engines)."""
+    from component_duckdb_transformation_spark.plans.sql_parser import (
+        parse_statement,
+    )
+
+    ex, con = hint_exec2
+    mk = (
+        "CREATE OR REPLACE TABLE __hint_st AS SELECT doc_id, "
+        "struct_pack(a := n_chars, b := lang) AS s FROM documents "
+        "WHERE doc_id < 30"
+    )
+    ex._execute_statement(parse_statement(mk))
+    con.execute(mk.replace("__hint_st", "__hint_st_d"))
+    q = (
+        "SELECT doc_id, (struct_insert(s, c := doc_id * 2)).a AS a, "
+        "(struct_insert(s, c := doc_id * 2)).c AS c "
+        "FROM {T} ORDER BY doc_id LIMIT 6"
+    )
+    ex._execute_statement(
+        parse_statement(
+            "CREATE OR REPLACE TABLE __hint_t AS " + q.format(T="__hint_st")
+        )
+    )
+    got = [
+        tuple(str(v) for v in r) for r in spark.table("__hint_t").collect()
+    ]
+    want = [
+        tuple(str(v) for v in r)
+        for r in con.sql(q.format(T="__hint_st_d")).fetchall()
+    ]
+    assert got == want
