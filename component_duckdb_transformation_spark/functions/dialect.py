@@ -753,7 +753,9 @@ def _rewrite_bit_count_width(tokens: List[Token]) -> List[Token]:
 
 def _is_time_primary(tokens: List[Token], i: int):
     """At index i: span (lo, hi_exclusive) of a TIME-valued primary —
-    ``TIME 'lit'`` or a ``make_time(...)`` call — else None."""
+    ``TIME 'lit'``, a ``make_time(...)`` call, or a plain column
+    reference carrying the executor's DDL-declared ``time``
+    pseudo-hint (``column_type_hints``) — else None."""
     n = len(tokens)
     t = tokens[i]
     if t.is_kw("TIME"):
@@ -764,6 +766,27 @@ def _is_time_primary(tokens: List[Token], i: int):
         j = _next_code(tokens, i)
         if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
             return (i, _matching_paren(tokens, j) + 1)
+    if (
+        t.kind in ("word", "bident", "qident")
+        and _TYPE_HINTS.get()
+        and _TYPE_HINTS.get().get(unquote_name(t).lower()) == "time"
+        and not (t.kind == "word" and t.text.lower() in _HINT_BAIL_WORDS)
+    ):
+        # a call or a qualifier position is not a column reference;
+        # qualified refs (q.col) keep the unwrapped default — the
+        # qualifier would fall outside the wrapped span
+        j = _next_code(tokens, i)
+        after_bad = (
+            j < n
+            and tokens[j].kind == "op"
+            and tokens[j].text in ("(", ".")
+        )
+        k = i - 1
+        while k >= 0 and tokens[k].kind in ("ws", "comment"):
+            k -= 1
+        before_dot = k >= 0 and tokens[k].kind == "op" and tokens[k].text == "."
+        if not after_bad and not before_dot:
+            return (i, i + 1)
     return None
 
 
@@ -1949,7 +1972,9 @@ def _rewrite_substr_window(tokens: List[Token]) -> List[Token]:
 
 def _rewrite_extract_dow(tokens: List[Token]) -> List[Token]:
     """EXTRACT(DOW FROM x) -> (EXTRACT(DOW FROM x) - 1)
-    EXTRACT(ISODOW FROM x) -> (((extract(DAYOFWEEK FROM x) + 5) % 7) + 1).
+    EXTRACT(ISODOW FROM x) -> (((extract(DAYOFWEEK FROM x) + 5) % 7) + 1)
+    EXTRACT(SECOND FROM x) -> truncated BIGINT (DuckDB returns whole
+    seconds where Spark's EXTRACT yields DECIMAL(8,6) with fraction).
 
     ISODOW must NOT be emitted via the ``weekday()``/``dayofweek()``
     FUNCTION forms: this pass runs before ``_rewrite_call_shims``, which
@@ -1978,6 +2003,13 @@ def _rewrite_extract_dow(tokens: List[Token]) -> List[Token]:
                         out.append(Token("op", "("))
                         out.extend(tokens[i: close + 1])
                         out.extend(_toks(" - 1)"))
+                    i = close + 1
+                    continue
+                if field in ("SECOND", "SECONDS"):
+                    close = _matching_paren(tokens, p_open)
+                    out.extend(_toks("CAST(floor("))
+                    out.extend(tokens[i: close + 1])
+                    out.extend(_toks(") AS BIGINT)"))
                     i = close + 1
                     continue
         out.append(tok)

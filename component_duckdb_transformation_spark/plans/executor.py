@@ -327,6 +327,12 @@ class SparkStatementExecutor:
         # ordinal comparison/sort semantics (DuckDB orders enums by
         # declaration position, not lexically)
         self._enum_columns: Dict[str, Dict[str, str]] = {}
+        # DDL-declared TIME columns: table -> {col}; stored as
+        # epoch-day TIMESTAMP (Spark has no TIME), the declaration is
+        # what keeps the 24 h modular-arithmetic wrap working when the
+        # value reaches arithmetic through the column (published as
+        # the 'time' pseudo-hint to the translator)
+        self._time_columns: Dict[str, set] = {}
         # Ambient job group at construction time (job groups are
         # thread-local and the orchestrator fans queries out to pool
         # threads, which would otherwise lose the caller's tag): nest
@@ -1981,9 +1987,14 @@ class SparkStatementExecutor:
                 fields = self.spark.table(_bt(dep)).schema.fields
             except Exception:  # noqa: BLE001 — unknown table: no hints
                 continue
+            declared_time = self._time_columns.get(dep.lower(), set())
             for f in fields:
                 key = f.name.lower()
                 t = f.dataType.simpleString()
+                if key in declared_time and t in (
+                    "timestamp", "timestamp_ntz",
+                ):
+                    t = "time"  # DDL-declared TIME pseudo-hint
                 if hints.get(key, t) != t:
                     drop.add(key)
                 hints[key] = t
@@ -2521,6 +2532,7 @@ class SparkStatementExecutor:
         self.not_null.pop(name.lower(), None)
         self.checks.pop(name.lower(), None)
         self._enum_columns.pop(name.lower(), None)
+        self._time_columns.pop(name.lower(), None)
         if not existed and not if_exists:
             raise UserException(f"DROP: table or view '{name}' does not exist")
 
@@ -2570,9 +2582,16 @@ class SparkStatementExecutor:
         if body is None:
             # bare DDL: CREATE TABLE t (col type, ...) -> empty table
             enum_cols: Dict[str, str] = {}
+            time_cols: List[str] = []
             schema_sql = _ddl_column_schema(
-                st.sql, self._enum_types, enum_cols
+                st.sql, self._enum_types, enum_cols, time_cols
             )
+            if time_cols:
+                self._time_columns[name.lower()] = {
+                    c.lower() for c in time_cols
+                }
+            else:
+                self._time_columns.pop(name.lower(), None)
             df = self.spark.sql(f"SELECT {schema_sql} LIMIT 0")
             keys = _ddl_primary_key(st.sql)
             if keys:
@@ -2607,6 +2626,7 @@ class SparkStatementExecutor:
             self.not_null.pop(name.lower(), None)
             self.checks.pop(name.lower(), None)
             self._enum_columns.pop(name.lower(), None)
+            self._time_columns.pop(name.lower(), None)
         self.store.create_table(name, df, order_by=_terminal_order_by(body or ""))
 
     # -- DML --------------------------------------------------------------
@@ -3211,7 +3231,9 @@ def _column_list_span(sql: str) -> Optional[tuple[List[Token], int, int]]:
     return None
 
 
-def _ddl_column_schema(sql: str, enum_types=None, enum_cols=None) -> str:
+def _ddl_column_schema(
+    sql: str, enum_types=None, enum_cols=None, time_cols=None
+) -> str:
     """Column list of a bare-DDL ``CREATE TABLE t (col type, ...)`` as
     select-item text ``CAST(NULL AS type) AS name, ...`` (the reference
     passes the DDL verbatim to DuckDB; here the empty typed relation is
@@ -3259,6 +3281,13 @@ def _ddl_column_schema(sql: str, enum_types=None, enum_cols=None) -> str:
             if enum_cols is not None:
                 enum_cols[name] = type_toks[0].text.lower()
             type_text = "STRING"
+        elif len(type_toks) == 1 and type_toks[0].upper == "TIME":
+            # Spark has no TIME: epoch-day TIMESTAMP representation
+            # (same as TIME literals); the declaration is tracked so
+            # the 'time' pseudo-hint keeps 24 h wrap arithmetic
+            if time_cols is not None:
+                time_cols.append(name)
+            type_text = "TIMESTAMP"
         elif len(type_toks) == 1 and type_toks[0].upper in _DDL_TYPE_MAP:
             type_text = _DDL_TYPE_MAP[type_toks[0].upper]
         items.append(f"CAST(NULL AS {type_text}) AS {_bt(name)}")

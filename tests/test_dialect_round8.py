@@ -1296,3 +1296,51 @@ def test_schema_hinted_struct_insert(spark, hint_exec2):
         for r in con.sql(q.format(T="__hint_st_d")).fetchall()
     ]
     assert got == want
+
+
+def test_declared_time_column_wrap(spark):
+    """DDL-declared TIME columns: stored as epoch-day timestamps, the
+    executor publishes the 'time' pseudo-hint, and additive interval
+    arithmetic through the COLUMN wraps modulo 24 h exactly like
+    DuckDB TIME (the pre-hint boundary landed on the next epoch day).
+    Comparison via extract(): TIME rendering differs by the documented
+    epoch-day representation."""
+    import tempfile
+
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+        TableStore,
+    )
+    from component_duckdb_transformation_spark.plans.sql_parser import (
+        parse_statement,
+    )
+
+    ex = SparkStatementExecutor(spark, TableStore(spark, tempfile.mkdtemp()))
+    con = duckdb.connect()
+    for s in (
+        "CREATE TABLE shifts (sid INT, start_t TIME, dur_h INT)",
+        "INSERT INTO shifts VALUES (1, TIME '23:00:00', 2), "
+        "(2, TIME '08:30:00', 8), (3, make_time(22, 15, 30.5), 4)",
+    ):
+        ex._execute_statement(parse_statement(s))
+        con.execute(s)
+    for q in (
+        "SELECT sid, extract(hour FROM start_t + INTERVAL 2 HOUR) AS h, "
+        "extract(minute FROM start_t + INTERVAL 2 HOUR) AS m "
+        "FROM shifts ORDER BY sid",
+        "SELECT sid, extract(hour FROM start_t + INTERVAL 90 MINUTE "
+        "- INTERVAL 5 SECOND) AS h, extract(second FROM start_t "
+        "+ INTERVAL 90 MINUTE - INTERVAL 5 SECOND) AS s "
+        "FROM shifts ORDER BY sid",
+        "SELECT sid FROM shifts "
+        "WHERE start_t + INTERVAL 3 HOUR < TIME '09:00:00' ORDER BY sid",
+    ):
+        ex._execute_statement(
+            parse_statement(f"CREATE OR REPLACE TABLE __t_time AS {q}")
+        )
+        got = [
+            tuple(str(v) for v in r)
+            for r in spark.table("__t_time").collect()
+        ]
+        want = [tuple(str(v) for v in r) for r in con.sql(q).fetchall()]
+        assert got == want, q
