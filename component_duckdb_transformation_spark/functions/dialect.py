@@ -366,6 +366,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_trailing_commas(tokens)
     tokens = _rewrite_at_time_zone(tokens)
     tokens = _rewrite_time_wrap(tokens)
+    tokens = _rewrite_time_casts(tokens)
     tokens = _rewrite_time_literals(tokens)
     tokens = _rewrite_brace_literals(tokens)
     tokens = _rewrite_concat_null_skipping(tokens)
@@ -766,6 +767,41 @@ def _is_time_primary(tokens: List[Token], i: int):
         j = _next_code(tokens, i)
         if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
             return (i, _matching_paren(tokens, j) + 1)
+    if t.kind == "word" and t.text.lower() == "cast":
+        j = _next_code(tokens, i)
+        if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+            close = _matching_paren(tokens, j)
+            code = [
+                m for m in range(j + 1, close)
+                if tokens[m].kind not in ("ws", "comment")
+            ]
+            if (
+                len(code) >= 2
+                and tokens[code[-1]].is_kw("TIME")
+                and tokens[code[-2]].is_kw("AS")
+            ):
+                return (i, close + 1)
+    if t.kind in ("word", "bident", "qident", "string"):
+        # trailing ``::TIME`` on a SIMPLE primary makes it TIME-valued
+        # (parenthesized/qualified bases would leave their prefix
+        # outside the wrapped span — those keep the unwrapped default)
+        j = _next_code(tokens, i)
+        k = _next_code(tokens, j) if j < n else n
+        if (
+            j < n
+            and tokens[j].kind == "op" and tokens[j].text == "::"
+            and k < n
+            and tokens[k].is_kw("TIME")
+        ):
+            k0 = i - 1
+            while k0 >= 0 and tokens[k0].kind in ("ws", "comment"):
+                k0 -= 1
+            if not (
+                k0 >= 0
+                and tokens[k0].kind == "op"
+                and tokens[k0].text in (".", ")", "]")
+            ):
+                return (i, k + 1)
     if (
         t.kind in ("word", "bident", "qident")
         and _TYPE_HINTS.get()
@@ -788,6 +824,78 @@ def _is_time_primary(tokens: List[Token], i: int):
         if not after_bad and not before_dot:
             return (i, i + 1)
     return None
+
+
+def _time_cast_sql(arg_sql: str) -> str:
+    """DuckDB ``CAST(x AS TIME)`` on the epoch-day-timestamp
+    representation: timestamp inputs keep their time-of-day, varchar
+    inputs parse as 'HH:MM:SS[.ffffff]'. Runtime typeof dispatch —
+    Spark has no TIME type to cast to."""
+    a = f"({arg_sql})"
+    return (
+        f"(CASE WHEN typeof({a}) IN ('timestamp', 'timestamp_ntz') "
+        f"THEN CAST(concat('1970-01-01 ', "
+        f"date_format({a}, 'HH:mm:ss.SSSSSS')) AS TIMESTAMP) "
+        f"ELSE CAST(concat('1970-01-01 ', CAST({a} AS STRING)) "
+        f"AS TIMESTAMP) END)"
+    )
+
+
+def _rewrite_time_casts(tokens: List[Token]) -> List[Token]:
+    """``x::TIME`` / ``CAST(x AS TIME)`` -> the epoch-day dispatch
+    (Spark rejects the TIME type outright). Runs after
+    ``_rewrite_time_wrap`` (which treats these casts as time primaries
+    for the 24 h modular arithmetic) and skips VALUES spans, where the
+    CASE dispatch would break inline-table foldability — a ::TIME
+    inside VALUES stays and fails loudly like before."""
+    in_values = _values_spans(tokens)
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if (
+            tok.kind == "word"
+            and tok.text.lower() == "cast"
+            and i not in in_values
+        ):
+            j = _next_code(tokens, i)
+            if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                close = _matching_paren(tokens, j)
+                code = [
+                    m for m in range(j + 1, close)
+                    if tokens[m].kind not in ("ws", "comment")
+                ]
+                if (
+                    len(code) >= 2
+                    and tokens[code[-1]].is_kw("TIME")
+                    and tokens[code[-2]].is_kw("AS")
+                ):
+                    arg = "".join(
+                        t.text for t in tokens[j + 1: code[-2]]
+                    ).strip()
+                    out.extend(_toks(_time_cast_sql(arg)))
+                    i = close + 1
+                    continue
+        if (
+            tok.kind == "op"
+            and tok.text == "::"
+            and i not in in_values
+        ):
+            k = _next_code(tokens, i)
+            if k < n and tokens[k].is_kw("TIME"):
+                # TIME must be the full cast target (TIMESTAMP etc.
+                # start with other keywords; `TIME ZONE` never follows
+                # ``::``)
+                operand = _pop_operand(out)
+                if operand:
+                    arg = "".join(t.text for t in operand).strip()
+                    out.extend(_toks(_time_cast_sql(arg)))
+                    i = k + 1
+                    continue
+        out.append(tok)
+        i += 1
+    return out
 
 
 def _rewrite_at_time_zone(tokens: List[Token]) -> List[Token]:

@@ -1344,3 +1344,47 @@ def test_declared_time_column_wrap(spark):
         ]
         want = [tuple(str(v) for v in r) for r in con.sql(q).fetchall()]
         assert got == want, q
+
+
+TIME_CAST_CASES = [
+    # varchar -> TIME and timestamp -> TIME casts (epoch-day dispatch;
+    # extracts compare engine-portably since rendering differs by the
+    # documented epoch-day representation)
+    "SELECT extract(hour FROM '23:10:05'::TIME) AS h, "
+    "extract(minute FROM CAST('07:08:09.25' AS TIME)) AS m",
+    "SELECT event_id, extract(hour FROM ts::TIME) AS h, "
+    "extract(second FROM CAST(ts AS TIME)) AS s FROM events "
+    "ORDER BY event_id LIMIT 5",
+    # ::TIME primaries participate in the 24 h wrap
+    "SELECT extract(hour FROM '23:30:00'::TIME + INTERVAL 2 HOUR) AS h",
+    "SELECT extract(hour FROM CAST('22:00:00' AS TIME) "
+    "+ INTERVAL 5 HOUR) AS h",
+    "SELECT count(*) AS c FROM events WHERE ts::TIME > TIME '12:00:00'",
+]
+
+
+@pytest.mark.parametrize("q", TIME_CAST_CASES)
+def test_time_casts(spark, hint_exec2, q):
+    from component_duckdb_transformation_spark.plans.sql_parser import (
+        parse_statement,
+    )
+
+    ex, con = hint_exec2
+    sf = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    try:
+        con.execute(
+            f"CREATE VIEW events AS FROM read_parquet('{sf}/events.parquet')"
+        )
+    except duckdb.CatalogException:
+        pass
+    ex._execute_statement(
+        parse_statement(f"CREATE OR REPLACE TABLE __t_tc AS {q}")
+    )
+    got = [
+        tuple(str(v) for v in r) for r in spark.table("__t_tc").collect()
+    ]
+    want = [tuple(str(v) for v in r) for r in con.sql(q).fetchall()]
+    assert got == want, q
