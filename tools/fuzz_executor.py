@@ -37,8 +37,69 @@ def gen_ops(g: random.Random, n_ops: int) -> list:
     has_t3 = False
     has_seq = False
     has_enum = False
+    has_t5 = False
+    has_t7 = False
     for _ in range(n_ops):
-        c = g.randrange(14)
+        c = g.randrange(16)
+        if c == 14:
+            # schema-hinted dispatch: len() on a stored LIST column,
+            # brackets on stored STRING columns, DOUBLE || VARCHAR —
+            # t5 holds the list column (not compared directly: frame
+            # stringification of lists differs between drivers), t6
+            # holds only scalars and IS compared
+            if not has_t5:
+                r = g.randrange(4)
+                ops.append(
+                    "CREATE TABLE t5 AS SELECT doc_id, "
+                    "string_split(text, ' ') AS words, lang, source, "
+                    "n_chars, n_chars * 1.5e0 AS score FROM documents "
+                    f"WHERE doc_id % 4 = {r}"
+                )
+                ops.append(
+                    "CREATE TABLE t6 AS SELECT doc_id, len(words) AS n, "
+                    "lang[1] AS l1, source[-2:-1] AS tl, "
+                    "score || lang AS tag FROM t5"
+                )
+                has_t5 = True
+            else:
+                pick = g.randrange(3)
+                if pick == 0:
+                    ops.append(
+                        f"DELETE FROM t6 WHERE n < {g.randint(2, 30)}"
+                    )
+                elif pick == 1:
+                    ops.append(
+                        "UPDATE t6 SET tag = tag[1:4] "
+                        f"WHERE n % {g.choice([2, 3])} = 0"
+                    )
+                else:
+                    ops.append(
+                        "INSERT INTO t6 SELECT doc_id + 100000, "
+                        "len(words), lang[2], source[-1], "
+                        "score + 1 || lang FROM t5 "
+                        f"WHERE doc_id % 5 = {g.randrange(5)}"
+                    )
+            continue
+        if c == 15:
+            # DDL-declared TIME columns: 24 h wrap through the column
+            # (t7 not compared — TIME renders as epoch-day timestamps
+            # here by documented contract; t8 compares extracts)
+            if not has_t7:
+                ops.append("CREATE TABLE t7 (k BIGINT, tt TIME)")
+                ops.append(
+                    "INSERT INTO t7 VALUES (1, TIME '23:15:00'), "
+                    "(2, TIME '04:30:00'), (3, TIME '12:00:10.5'), "
+                    "(4, make_time(21, 59, 59))"
+                )
+                has_t7 = True
+            h = g.randint(1, 30)
+            ops.append(
+                f"CREATE OR REPLACE TABLE t8 AS SELECT k, "
+                f"extract(hour FROM tt + INTERVAL {h} HOUR) AS h, "
+                f"extract(minute FROM tt) AS m, "
+                f"extract(second FROM tt) AS s FROM t7"
+            )
+            continue
         if c == 9:
             # sequences: single-row nextval inserts are order-free, so
             # the minted values are identical in both engines
@@ -285,6 +346,7 @@ def main() -> int:
         app_name="fuzz-executor", threads=8, shuffle_partitions=8
     )
     orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    documents = read_parquet(spark, f"{sf_dir}/documents.parquet")
 
     g = random.Random(seed)
     failures = 0
@@ -295,12 +357,17 @@ def main() -> int:
             t.name for t in spark.catalog.listTables()
         ] else None
         orders.createOrReplaceTempView("orders")
+        documents.createOrReplaceTempView("documents")
         store = TableStore(spark, tempfile.mkdtemp(prefix="cdts-fuzz-ex-"))
         ex = SparkStatementExecutor(spark, store)
         con = duckdb.connect()
         con.execute(
             f"CREATE VIEW orders AS "
             f"FROM read_parquet('{sf_dir}/orders.parquet')"
+        )
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"FROM read_parquet('{sf_dir}/documents.parquet')"
         )
         err = None
         for op in ops:
@@ -332,6 +399,10 @@ def main() -> int:
             ["t3"] if any("CREATE TABLE t3" in o for o in ops) else []
         ) + (
             ["t4"] if any("CREATE TABLE t4" in o for o in ops) else []
+        ) + (
+            ["t6"] if any("CREATE TABLE t6" in o for o in ops) else []
+        ) + (
+            ["t8"] if any("TABLE t8" in o for o in ops) else []
         )
         bad = compare_tables(spark, con, tables)
         if bad:
