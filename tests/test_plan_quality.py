@@ -284,3 +284,18 @@ def test_x36_stratified_sample_map_only(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_x40_semantic_dedup_cluster_keyed_join(spark):
+    # the pair stage must be an equi-join KEYED BY CLUSTER id — never a
+    # cartesian/broadcast-nested-loop (the quadratic work is bounded
+    # per cluster, shuffle volume stays linear)
+    from component_duckdb_transformation_spark.workloads import (
+        register_tables,
+    )
+
+    register_tables(spark, SF)
+    plan = _plan(spark, "x40_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cluster" in plan
