@@ -1388,3 +1388,39 @@ def test_time_casts(spark, hint_exec2, q):
     ]
     want = [tuple(str(v) for v in r) for r in con.sql(q).fetchall()]
     assert got == want, q
+
+
+def test_hints_through_views_and_ctes(spark, hint_exec2):
+    """Hints resolve for VIEW dependencies (the live session knows the
+    view's schema) and survive into CTE scopes that pass a column
+    through by name."""
+    from component_duckdb_transformation_spark.plans.sql_parser import (
+        parse_statement,
+    )
+
+    ex, con = hint_exec2
+    mk = (
+        "CREATE OR REPLACE VIEW __hint_v AS SELECT doc_id, "
+        "string_split(text, ' ') AS words, lang FROM documents "
+        "WHERE doc_id < 40"
+    )
+    ex._execute_statement(parse_statement(mk))
+    con.execute(mk.replace("__hint_v", "__hint_v_d"))
+    q = (
+        "WITH c AS (SELECT doc_id, words, lang FROM {T}) "
+        "SELECT doc_id, len(words) AS n, lang[1] AS l1 FROM c "
+        "ORDER BY doc_id LIMIT 6"
+    )
+    ex._execute_statement(
+        parse_statement(
+            "CREATE OR REPLACE TABLE __hint_t AS " + q.format(T="__hint_v")
+        )
+    )
+    got = [
+        tuple(str(v) for v in r) for r in spark.table("__hint_t").collect()
+    ]
+    want = [
+        tuple(str(v) for v in r)
+        for r in con.sql(q.format(T="__hint_v_d")).fetchall()
+    ]
+    assert got == want
