@@ -1972,43 +1972,9 @@ class SparkStatementExecutor:
 
     # -- routing ----------------------------------------------------------
     def _statement_type_hints(self, st: ParsedStatement) -> Dict[str, str]:
-        """``lowercase column name -> Spark simpleString type`` for the
-        statement's dependency tables (lazy catalog lookups, no jobs).
-        Names typed differently across tables, or re-bound by an
-        ``AS name`` alias anywhere in the statement (a type-changing
-        expression must alias to keep a name), are dropped so a
-        surviving hint is unambiguous. Published via
-        ``column_type_hints`` so the schema-free translator can
-        dispatch ``len(col)`` / ``col[i]`` / ``col || x`` by type."""
-        hints: Dict[str, str] = {}
-        drop: set = set()
-        for dep in st.dependencies:
-            try:
-                fields = self.spark.table(_bt(dep)).schema.fields
-            except Exception:  # noqa: BLE001 — unknown table: no hints
-                continue
-            declared_time = self._time_columns.get(dep.lower(), set())
-            for f in fields:
-                key = f.name.lower()
-                t = f.dataType.simpleString()
-                if key in declared_time and t in (
-                    "timestamp", "timestamp_ntz",
-                ):
-                    t = "time"  # DDL-declared TIME pseudo-hint
-                if hints.get(key, t) != t:
-                    drop.add(key)
-                hints[key] = t
-        if hints:
-            code = [t for _, t in code_tokens(tokenize(st.sql))]
-            for idx in range(len(code) - 1):
-                nxt = code[idx + 1]
-                if code[idx].is_kw("AS") and nxt.kind in (
-                    "word", "bident", "qident",
-                ):
-                    drop.add(unquote_name(nxt).lower())
-        for k in drop:
-            hints.pop(k, None)
-        return hints
+        return statement_type_hints(
+            self.spark, st.sql, st.dependencies, self._time_columns
+        )
 
     def _execute_statement(self, st: ParsedStatement) -> None:
         with column_type_hints(self._statement_type_hints(st)):
@@ -3229,6 +3195,52 @@ def _column_list_span(sql: str) -> Optional[tuple[List[Token], int, int]]:
                         return tokens, i, j
             return None
     return None
+
+
+def statement_type_hints(
+    spark: SparkSession,
+    sql: str,
+    dependencies,
+    time_columns: Optional[Dict[str, set]] = None,
+) -> Dict[str, str]:
+    """``lowercase column name -> Spark simpleString type`` for a
+    statement's dependency tables (lazy catalog lookups, no jobs).
+    Names typed differently across tables, or re-bound by an
+    ``AS name`` alias anywhere in the statement (a type-changing
+    expression must alias to keep a name), are dropped so a surviving
+    hint is unambiguous. Published via ``column_type_hints`` so the
+    schema-free translator can dispatch ``len(col)`` / ``col[i]`` /
+    ``col || x`` by type; DDL-declared TIME columns (``time_columns``:
+    table -> {col}) publish the ``time`` pseudo-hint."""
+    hints: Dict[str, str] = {}
+    drop: set = set()
+    for dep in dependencies:
+        try:
+            fields = spark.table(_bt(dep)).schema.fields
+        except Exception:  # noqa: BLE001 — unknown table: no hints
+            continue
+        declared_time = (time_columns or {}).get(dep.lower(), set())
+        for f in fields:
+            key = f.name.lower()
+            t = f.dataType.simpleString()
+            if key in declared_time and t in (
+                "timestamp", "timestamp_ntz",
+            ):
+                t = "time"  # DDL-declared TIME pseudo-hint
+            if hints.get(key, t) != t:
+                drop.add(key)
+            hints[key] = t
+    if hints:
+        code = [t for _, t in code_tokens(tokenize(sql))]
+        for idx in range(len(code) - 1):
+            nxt = code[idx + 1]
+            if code[idx].is_kw("AS") and nxt.kind in (
+                "word", "bident", "qident",
+            ):
+                drop.add(unquote_name(nxt).lower())
+    for k in drop:
+        hints.pop(k, None)
+    return hints
 
 
 def _ddl_column_schema(

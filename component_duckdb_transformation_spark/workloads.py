@@ -103,8 +103,19 @@ WORKLOADS: Dict[str, Workload] = {}
 
 def _add_sql(name: str, sql: str, description: str = "", oracle: str | None = None) -> None:
     def make(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        from .functions.dialect import column_type_hints
+        from .plans.executor import statement_type_hints
+        from .plans.sql_parser import parse_statement
+
         register_tables(spark, sf_dir)
-        return spark.sql(translate(_sql))
+        # same schema-aware dispatch a statement gets through the
+        # executor: dependency-table column types published to the
+        # translator (len/brackets/|| by type)
+        hints = statement_type_hints(
+            spark, _sql, parse_statement(_sql).dependencies
+        )
+        with column_type_hints(hints):
+            return spark.sql(translate(_sql))
 
     WORKLOADS[name] = Workload(name, make, oracle if oracle is not None else sql, description)
 
