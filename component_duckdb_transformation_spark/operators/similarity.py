@@ -488,6 +488,7 @@ def semantic_dedup(
     n_iters: int = 2,
     dim: int = 64,
     quantize: int = 1000,
+    n_blocks: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -501,12 +502,14 @@ def semantic_dedup(
     one arbitrary member per duplicate group).
 
     Fully distributed: training moves only k x dim stats to the
-    driver; the pair stage is an equi-join keyed by cluster id, so
-    shuffle volume is linear and the quadratic work is per-cluster.
-    Skew caveat: one giant cluster concentrates its pair work in one
-    task — shrink clusters with a larger ``n_clusters`` (the paper
-    uses ~100k clusters at web scale) or block oversized cells with
-    ``embedding_near_duplicates_blocked`` inside the cell.
+    driver; the pair stage is an equi-join keyed by (cluster, block
+    pair) — a triangle blocking INSIDE each cluster (same scheme as
+    ``embedding_near_duplicates_blocked``) splits a hot cluster's
+    quadratic work across ``n_blocks*(n_blocks+1)/2`` tasks, so one
+    giant cluster no longer funnels through one task. Shuffle volume
+    is ~rows * n_blocks / 2. The per-cluster quadratic itself is the
+    SemDeDup contract — shrink it with a larger ``n_clusters`` (the
+    paper uses ~100k clusters at web scale).
 
     Output: (vec_id, cluster, keep) — every corpus row, keep=false for
     removed near-duplicates. Engine-exact integer arithmetic end to
@@ -517,18 +520,31 @@ def semantic_dedup(
     ).persist()
     centroids = _kmeans_train(c, n_clusters, n_iters, dim)
     cf = _kmeans_assign_int(c, centroids, n_probe=1)
-    a = cf.select(
-        "cluster", F.col("vec_id").alias("v1"), F.col("qv").alias("qv1")
+    blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).cast("int")
+    # row with block b: A-side of pairs (b, j >= b), B-side of pairs
+    # (i <= b, b) — every unordered pair meets in exactly one
+    # (cluster, ba, bb) group; same-block pairs dedupe on v1 < v2
+    a = cf.withColumn("ba", blk).withColumn(
+        "bb", F.explode(F.sequence(F.col("ba"), F.lit(n_blocks - 1)))
+    ).select(
+        "cluster", "ba", "bb",
+        F.col("vec_id").alias("v1"), F.col("qv").alias("qv1"),
     )
-    b = cf.select(
-        "cluster", F.col("vec_id").alias("v2"), F.col("qv").alias("qv2")
+    b = cf.withColumn("bb", blk).withColumn(
+        "ba", F.explode(F.sequence(F.lit(0), F.col("bb")))
+    ).select(
+        "cluster", "ba", "bb",
+        F.col("vec_id").alias("v2"), F.col("qv").alias("qv2"),
     )
+    # a cross-block pair meets once but its ids can arrive in either
+    # role order: normalize with greatest() (the pair's lower id is
+    # the keeper); same-block pairs meet twice, distinct() dedupes
     removed = (
-        a.join(b, "cluster")
-        .filter(F.col("v1") < F.col("v2"))
+        a.join(b, ["cluster", "ba", "bb"])
+        .filter(F.col("v1") != F.col("v2"))
         .withColumn("qdot", _dot_int(F.col("qv1"), F.col("qv2")))
         .filter(F.col("qdot") >= threshold_q)
-        .select(F.col("v2").alias("vec_id"))
+        .select(F.greatest("v1", "v2").alias("vec_id"))
         .distinct()
     )
     return (
