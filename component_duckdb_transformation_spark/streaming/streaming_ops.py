@@ -262,6 +262,110 @@ def run_stream_to_batch(
     return spark.table(name)
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over ``documents.parquet``."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def minhash_band_rows(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_shingle_pos: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band, bucket) MinHash band rows computed in ONE Arrow
+    map pass per document — no aggregation, so the same function runs
+    on a STREAMING frame (per-doc signatures need only the doc's own
+    shingles). md5 hash family (``operators.dedup._md5_60`` /
+    ``md5_seed`` semantics, shingle positions capped like the x03
+    oracle's generate_series) — bit-identical to the SQL replay."""
+    import hashlib
+
+    from ..operators.dedup import md5_seed
+
+    seeds = [md5_seed(i) for i in range(num_hashes)]
+    rpb = num_hashes // bands
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc, out_band, out_bucket = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = (text or "").split(" ")
+                n_pos = min(len(words) - k + 1, max_shingle_pos)
+                sh = {
+                    " ".join(words[i: i + k]) for i in range(max(n_pos, 0))
+                }
+                if not sh:
+                    continue
+                hs = [
+                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    for s in sh
+                ]
+                sig = [min(h ^ c for h in hs) for c in seeds]
+                for b in range(bands):
+                    chunk = ",".join(
+                        str(v) for v in sig[b * rpb: (b + 1) * rpb]
+                    )
+                    out_doc.append(doc_id)
+                    out_band.append(b)
+                    out_bucket.append(
+                        int(hashlib.md5(chunk.encode()).hexdigest()[:15], 16)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "band": out_band, "bucket": out_bucket}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id bigint, band int, bucket bigint"
+    )
+
+
+def _update_bucket_min(key, pdfs, state):
+    import pandas as pd
+
+    m = None
+    for pdf in pdfs:
+        if len(pdf):
+            batch_min = int(pdf["doc_id"].min())
+            m = batch_min if m is None else min(m, batch_min)
+    if m is None:
+        return
+    if state.exists:
+        m = min(m, int(state.get[0]))
+    state.update((m,))
+    yield pd.DataFrame(
+        {"band": [key[0]], "bucket": [key[1]], "min_id": [m]}
+    )
+
+
+def lsh_bucket_min_updates(banded: DataFrame) -> DataFrame:
+    """Streaming near-dup dedup state: per (band, bucket) RUNNING MIN
+    doc id via explicit GroupState — one state row per distinct LSH
+    bucket (the honest minimum; buckets shard across the state store
+    like any keyed state). Emits the updated min each micro-batch the
+    bucket appears in; the final min per bucket is the canonical
+    (keeper) id, an order-independent reduction, so the batch oracle
+    replays it exactly. Downstream a doc is a near-duplicate when ANY
+    of its bands hashes to a bucket whose canonical id is lower."""
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        _update_bucket_min,
+        outputStructType="band int, bucket bigint, min_id bigint",
+        stateStructType="min_id bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(events: DataFrame, keys=("user_id", "event_type")) -> DataFrame:
     """Streaming exact deduplication: emit each distinct key once
     (append mode), the streaming form of the batch exact-dedup operator

@@ -1700,6 +1700,93 @@ FROM af LEFT JOIN rm ON rm.vec_id = af.vec_id
 """
 
 
+def _streaming_lsh_dedup_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup deduplication: per-doc signatures
+    + banding in ONE Arrow map pass over the document STREAM (no
+    aggregation — streaming-compatible), then explicit GroupState
+    keeps the running MIN doc id per (band, bucket). The final min per
+    bucket is an order-independent reduction, so WHICH doc survives is
+    arrival-order-free and the batch oracle replays it exactly: a doc
+    is dropped when any of its 16 band buckets has a lower canonical
+    id (pure LSH-collision dedup — the batch x03/x33 path adds the
+    exact-Jaccard verify; a stream can't re-read past docs to verify,
+    which is the honest contract difference)."""
+    from .streaming import streaming_ops as so
+
+    stream = so.read_documents_stream(spark, sf)
+    mins = so.run_stream_to_batch(
+        so.lsh_bucket_min_updates(so.minhash_band_rows(stream)),
+        output_mode="append",
+        state_partitions=8,
+    )
+    canonical = mins.groupBy("band", "bucket").agg(
+        F.min("min_id").alias("min_id")
+    )
+    bands_batch = so.minhash_band_rows(spark.table("documents"))
+    rm = (
+        bands_batch.join(canonical, ["band", "bucket"])
+        .filter(F.col("doc_id") > F.col("min_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        spark.table("documents")
+        .select("doc_id")
+        .join(rm.withColumn("__rm", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(~F.col("__rm"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def _streaming_lsh_dedup_oracle(num_hashes: int = 64, bands: int = 16) -> str:
+    """Replays the streaming LSH dedup: same md5 banding CTEs as the
+    x03 oracle, canonical = min doc id per (band, bucket), drop on any
+    lower-canonical collision."""
+    rpb = num_hashes // bands
+    seed_rows = ", ".join(
+        f"({i}, {dedup.md5_seed(i)})" for i in range(num_hashes)
+    )
+    return f"""
+WITH seeds(k, c) AS (VALUES {seed_rows}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM w, generate_series(1, 200) t(i)
+  WHERE i + 2 <= len(w)),
+hs AS (SELECT doc_id, s,
+              CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+sig AS (SELECT doc_id, k, min(xor(h, c)) AS m
+        FROM hs CROSS JOIN seeds GROUP BY doc_id, k),
+sigl AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM sig GROUP BY doc_id),
+bandt AS (
+  SELECT doc_id, b,
+         CAST(('0x' || substr(md5(array_to_string(
+             sig[b*{rpb}+1 : b*{rpb}+{rpb}], ',')), 1, 15)) AS BIGINT) AS bucket
+  FROM sigl, generate_series(0, {bands - 1}) g(b)),
+canon AS (SELECT b, bucket, min(doc_id) AS min_id FROM bandt GROUP BY 1, 2),
+rm AS (
+  SELECT DISTINCT bandt.doc_id
+  FROM bandt JOIN canon ON bandt.b = canon.b AND bandt.bucket = canon.bucket
+  WHERE bandt.doc_id > canon.min_id)
+SELECT d.doc_id, rm.doc_id IS NULL AS keep
+FROM documents d LEFT JOIN rm ON rm.doc_id = d.doc_id
+"""
+
+
+_add_df(
+    "x41_streaming_lsh_dedup",
+    _streaming_lsh_dedup_builder,
+    oracle=_streaming_lsh_dedup_oracle(),
+    description="streaming MinHash-LSH near-dup dedup: map-only per-doc "
+    "banding over the document stream, GroupState running-min per LSH "
+    "bucket (order-independent canonical), drop on lower-canonical "
+    "collision; full pipeline replayed by the SQL oracle",
+    serial=True,
+)
+
+
 _add_df(
     "x40_semantic_dedup",
     lambda spark, sf: similarity.semantic_dedup(
