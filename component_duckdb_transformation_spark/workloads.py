@@ -1703,8 +1703,9 @@ FROM af LEFT JOIN rm ON rm.vec_id = af.vec_id
 def _streaming_lsh_dedup_builder(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming MinHash-LSH near-dup deduplication: per-doc signatures
     + banding in ONE Arrow map pass over the document STREAM (no
-    aggregation — streaming-compatible), then explicit GroupState
-    keeps the running MIN doc id per (band, bucket). The final min per
+    aggregation — streaming-compatible), then a streaming MIN
+    aggregate keeps the running min doc id per (band, bucket) in
+    JVM keyed state (update-mode drain). The final min per
     bucket is an order-independent reduction, so WHICH doc survives is
     arrival-order-free and the batch oracle replays it exactly: a doc
     is dropped when any of its 16 band buckets has a lower canonical
@@ -1716,7 +1717,7 @@ def _streaming_lsh_dedup_builder(spark: SparkSession, sf: str) -> DataFrame:
     stream = so.read_documents_stream(spark, sf)
     mins = so.run_stream_to_batch(
         so.lsh_bucket_min_updates(so.minhash_band_rows(stream)),
-        output_mode="append",
+        output_mode="update",
         state_partitions=8,
     )
     canonical = mins.groupBy("band", "bucket").agg(
@@ -1780,8 +1781,8 @@ _add_df(
     _streaming_lsh_dedup_builder,
     oracle=_streaming_lsh_dedup_oracle(),
     description="streaming MinHash-LSH near-dup dedup: map-only per-doc "
-    "banding over the document stream, GroupState running-min per LSH "
-    "bucket (order-independent canonical), drop on lower-canonical "
+    "banding over the document stream, streaming min-aggregate state per "
+    "LSH bucket (order-independent canonical), drop on lower-canonical "
     "collision; full pipeline replayed by the SQL oracle",
     serial=True,
 )
