@@ -1711,7 +1711,11 @@ def _streaming_lsh_dedup_builder(spark: SparkSession, sf: str) -> DataFrame:
     is dropped when any of its 16 band buckets has a lower canonical
     id (pure LSH-collision dedup — the batch x03/x33 path adds the
     exact-Jaccard verify; a stream can't re-read past docs to verify,
-    which is the honest contract difference)."""
+    which is the honest contract difference). The final keep-join
+    re-bands the corpus batch-side for the bench's bounded drain; a
+    production stream would persist the banded rows from the same
+    stream via ``stream_ingest_to_store`` (foreachBatch, exactly-once)
+    instead of recomputing them."""
     from .streaming import streaming_ops as so
 
     stream = so.read_documents_stream(spark, sf)
