@@ -103,6 +103,28 @@ def _hinted_primary_type(tokens: List[Token]) -> Optional[str]:
         code = [code[0]] + [c for c in code[2::2]]
         if not all(c.kind in ("word", "bident", "qident") for c in code):
             return None
+        # a dotted ref whose FIRST segment is itself a STRUCT-hinted
+        # column resolves through the struct's field types (s.f);
+        # otherwise it's a table-qualified column and the last segment
+        # carries the hint
+        head = code[0]
+        h = (
+            hints.get(unquote_name(head).lower())
+            if not (
+                head.kind == "word"
+                and head.text.lower() in _HINT_BAIL_WORDS
+            )
+            else None
+        )
+        if h is not None and h.startswith("struct<"):
+            for seg in code[1:]:
+                ftypes = _struct_hint_field_types(h)
+                if ftypes is None:
+                    return None
+                h = ftypes.get(unquote_name(seg).lower())
+                if h is None:
+                    return None
+            return h
         tail = code[-1]
     elif len(code) == 1:
         tail = code[0]
@@ -139,14 +161,14 @@ _DOUBLE_VALUED_FNS = frozenset({
 _STRUCT_FIELD_RE = re.compile(r"^[A-Za-z_]\w*$")
 
 
-def _struct_hint_fields(hint: str) -> Optional[List[str]]:
-    """Field names of a ``struct<a:int,b:string>`` simpleString hint;
-    None when the hint is not a struct or a field name is not a plain
-    identifier (quoting rules would be ambiguous)."""
+def _struct_hint_field_types(hint: str) -> Optional[Dict[str, str]]:
+    """``lowercase field name -> simpleString type`` of a
+    ``struct<a:int,b:string>`` hint; None when the hint is not a
+    struct or a field name is not a plain identifier (quoting rules
+    would be ambiguous)."""
     if not hint.startswith("struct<") or not hint.endswith(">"):
         return None
     body = hint[len("struct<"):-1]
-    fields: List[str] = []
     depth = 0
     start = 0
     parts: List[str] = []
@@ -159,12 +181,21 @@ def _struct_hint_fields(hint: str) -> Optional[List[str]]:
             parts.append(body[start:idx])
             start = idx + 1
     parts.append(body[start:])
+    out: Dict[str, str] = {}
     for part in parts:
-        name = part.split(":", 1)[0].strip()
+        name, _, typ = part.partition(":")
+        name = name.strip()
         if not _STRUCT_FIELD_RE.match(name):
             return None
-        fields.append(name)
-    return fields
+        out[name.lower()] = typ.strip()
+    return out
+
+
+def _struct_hint_fields(hint: str) -> Optional[List[str]]:
+    """Field names of a struct hint, declaration order (see
+    ``_struct_hint_field_types``)."""
+    ftypes = _struct_hint_field_types(hint)
+    return list(ftypes) if ftypes is not None else None
 
 
 def _double_valued_call(tokens: List[Token]) -> bool:

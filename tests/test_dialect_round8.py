@@ -1424,3 +1424,42 @@ def test_hints_through_views_and_ctes(spark, hint_exec2):
         for r in con.sql(q.format(T="__hint_v_d")).fetchall()
     ]
     assert got == want
+
+
+def test_struct_field_hint_resolution(spark, hint_exec2):
+    """A dotted ref whose first segment is a STRUCT-hinted column
+    resolves through the struct's FIELD types: brackets on a string
+    field, len() on a list field, || on a double field."""
+    from component_duckdb_transformation_spark.plans.sql_parser import (
+        parse_statement,
+    )
+
+    ex, con = hint_exec2
+    mk = (
+        "CREATE OR REPLACE TABLE __hint_sf AS SELECT doc_id, "
+        "struct_pack(nm := lang, ws := string_split(text,' '), "
+        "sc := n_chars * 1.5e0) AS s FROM documents WHERE doc_id < 40"
+    )
+    ex._execute_statement(parse_statement(mk))
+    con.execute(mk.replace("__hint_sf", "__hint_sf_d"))
+    for q in (
+        "SELECT doc_id, (s.nm)[1] AS c1, len(s.ws) AS n FROM {T} "
+        "ORDER BY doc_id LIMIT 6",
+        "SELECT doc_id, s.sc || s.nm AS tag FROM {T} ORDER BY doc_id LIMIT 6",
+        "SELECT doc_id, s.nm[1:2] AS sl FROM {T} ORDER BY doc_id LIMIT 6",
+    ):
+        ex._execute_statement(
+            parse_statement(
+                "CREATE OR REPLACE TABLE __hint_t AS "
+                + q.format(T="__hint_sf")
+            )
+        )
+        got = [
+            tuple(str(v) for v in r)
+            for r in spark.table("__hint_t").collect()
+        ]
+        want = [
+            tuple(str(v) for v in r)
+            for r in con.sql(q.format(T="__hint_sf_d")).fetchall()
+        ]
+        assert got == want, q
