@@ -306,3 +306,50 @@ def pii_counts(text: Column, patterns: dict | None = None) -> dict:
         kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
         for kind, pat in (patterns or PII_PATTERNS).items()
     }
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_words: int = 50,
+) -> DataFrame:
+    """CCNet-style statistical quality scoring (Wenzek et al. 2020
+    filter web text by LM perplexity): train a word-bigram model on
+    the corpus itself in ONE aggregation pass, then score each
+    document by its mean bigram log-probability. The in-corpus bigram
+    model stands in for CCNet's pretrained KenLM — the distributed
+    scoring shape (corpus-level count aggregation, broadcast-or-hash
+    join back onto the per-doc bigrams, per-doc mean) is identical,
+    and every step is ANSI-SQL-replayable.
+
+    Shuffles: one explode (map-side), two keyed count aggregations
+    with partial aggregation, joins keyed by the bigram/unigram —
+    counts are unique per key so the join never fans out. Common-word
+    hot keys only widen a count row's match set (standard hash-join
+    skew, no row explosion). Output: (doc_id, n_bigrams, avg_logp),
+    docs with >= 2 words among their first ``max_words``.
+    """
+    w = docs.selectExpr(
+        f"{id_col} AS doc_id",
+        f"slice(split({text_col}, ' '), 1, {max_words}) AS w",
+    ).filter(F.expr("size(w) >= 2"))
+    bi = w.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(w) - 1), "
+        "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)"
+        ")) AS bg",
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("n"))
+    scored = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .withColumn(
+            "lp", F.log(F.col("c").cast("double") / F.col("n"))
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logp"),
+    )

@@ -1700,6 +1700,38 @@ FROM af LEFT JOIN rm ON rm.vec_id = af.vec_id
 """
 
 
+_BIGRAM_LM_ORACLE = """
+WITH w0 AS (
+  SELECT doc_id, (string_split(text, ' '))[1:50] AS w FROM documents),
+w AS (SELECT doc_id, w FROM w0 WHERE len(w) >= 2),
+bi AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM w, generate_series(1, 49) t(i)
+  WHERE i + 1 <= len(w)),
+c12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS n FROM bi GROUP BY 1),
+scored AS (
+  SELECT bi.doc_id, ln(CAST(c12.c AS DOUBLE) / c1.n) AS lp
+  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 6) AS avg_logp
+FROM scored GROUP BY doc_id
+"""
+
+_add_df(
+    "x42_bigram_lm_quality",
+    lambda spark, sf: text_analysis.bigram_lm_scores(
+        spark.table("documents"), max_words=50
+    ),
+    oracle=_BIGRAM_LM_ORACLE,
+    description="CCNet-style statistical quality scoring: in-corpus "
+    "word-bigram LM (one count aggregation), per-doc mean bigram "
+    "log-probability via a count-keyed join back — the distributed "
+    "perplexity-filter shape with the n-gram model standing in for the "
+    "pretrained KenLM",
+)
+
+
 def _streaming_lsh_dedup_builder(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming MinHash-LSH near-dup deduplication: per-doc signatures
     + banding in ONE Arrow map pass over the document STREAM (no
