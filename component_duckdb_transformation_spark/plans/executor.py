@@ -1433,8 +1433,18 @@ class SparkStatementExecutor:
                 if rank_sql is None:
                     # shuffled source: materialize the non-sequence
                     # columns to scratch parquet (deterministic file
-                    # order) and number the parquet scan distributedly
-                    mat = self._seq_materialize_shuffled(qtext)
+                    # order) and number the parquet scan distributedly.
+                    # Positional INSERT never reads output column
+                    # names, so unaliased expression items may be
+                    # auto-aliased into the rebuild
+                    prefix = "".join(
+                        t.text for t in sql_toks[:qlo]
+                    ).upper()
+                    mat = self._seq_materialize_shuffled(
+                        qtext,
+                        allow_rename=prefix.lstrip().startswith("INSERT")
+                        and "BY NAME" not in prefix,
+                    )
                     if mat is not None:
                         outer_q, mat_view = mat
                         sql = (
@@ -1519,7 +1529,7 @@ class SparkStatementExecutor:
         "format", "printf", "null",
     })
 
-    def _seq_materialize_shuffled(self, qtext: str):
+    def _seq_materialize_shuffled(self, qtext: str, allow_rename: bool = False):
         """nextval over a SHUFFLED source: materialize the query's
         non-sequence columns to scratch parquet (scan order of the
         materialization is deterministic file order — parquet part
@@ -1533,10 +1543,12 @@ class SparkStatementExecutor:
 
         Supported shape: plain SELECT list where the nextval item
         references only the call plus constants, every other item is a
-        bare ``*``, an ``AS``-aliased expression, or a (dotted) column
-        ref, and GROUP BY / ORDER BY carry no ordinals or ALL (their
-        positions shift when the sequence item is dropped from the
-        materialization)."""
+        bare ``*``, an ``AS``-aliased expression, a (dotted) column
+        ref, or — under ``allow_rename`` (positional INSERT, where
+        output column names are irrelevant) — any expression
+        (auto-aliased into the materialization). GROUP BY / ORDER BY
+        ordinals are renumbered for the dropped sequence item; ALL
+        group keys still bail (their expansion shifts)."""
         toks = tokenize(qtext)
         code = [k for k, t in enumerate(toks) if t.kind not in ("ws", "comment")]
         if not code or not toks[code[0]].is_kw("SELECT"):
@@ -1551,6 +1563,7 @@ class SparkStatementExecutor:
         depth = 0
         from_idx = None
         guard = False  # inside a GROUP BY / ORDER BY body
+        ordinal_idxs: List[int] = []
         for k, t in enumerate(toks):
             if t.kind == "op" and t.text in ("(", "["):
                 depth += 1
@@ -1567,7 +1580,9 @@ class SparkStatementExecutor:
                 elif guard and u == "ALL":
                     return None
                 elif guard and re.fullmatch(r"\d+", t.text):
-                    return None  # ordinal — position shifts after drop
+                    # ordinal — renumbered after the sequence item's
+                    # position is known
+                    ordinal_idxs.append(k)
         if from_idx is None or from_idx <= sel0:
             return None
         items = _split_top_commas(toks, first_item, from_idx)
@@ -1644,7 +1659,48 @@ class SparkStatementExecutor:
                 outer_items.append(_bt(unquote_name(scode[-1])))
                 mat_items.append(text)
                 continue
+            if allow_rename:
+                # positional INSERT: output names are irrelevant, so
+                # any expression item auto-aliases into the scan
+                mat_items.append(f"({text}) AS __seq_c{idx}")
+                outer_items.append(f"__seq_c{idx}")
+                continue
             return None
+        if ordinal_idxs:
+            # renumber bare GROUP/ORDER ordinals for the dropped
+            # sequence item; anything not a BARE list element (a number
+            # inside an expression) keeps the conservative bail
+            repl: Dict[int, str] = {}
+            code_set = {k for k, _ in code_tokens(toks)}
+            ordered = sorted(code_set)
+            for k in ordinal_idxs:
+                pos = ordered.index(k)
+                prev_t = toks[ordered[pos - 1]] if pos > 0 else None
+                next_t = (
+                    toks[ordered[pos + 1]] if pos + 1 < len(ordered) else None
+                )
+                prev_ok = prev_t is not None and (
+                    prev_t.is_kw("BY")
+                    or (prev_t.kind == "op" and prev_t.text == ",")
+                )
+                next_ok = next_t is None or (
+                    next_t.kind == "op" and next_t.text == ","
+                ) or next_t.is_kw(
+                    "ASC", "DESC", "NULLS", "LIMIT", "OFFSET", "HAVING",
+                    "ORDER", "GROUP", "QUALIFY",
+                )
+                if not (prev_ok and next_ok):
+                    return None
+                val = int(toks[k].text)
+                if val == seq_pos + 1:
+                    return None  # references the sequence item itself
+                if val > seq_pos + 1:
+                    repl[k] = str(val - 1)
+            if repl:
+                toks = [
+                    Token(t.kind, repl[k]) if k in repl else t
+                    for k, t in enumerate(toks)
+                ]
         if not mat_items:
             mat_items = ["1 AS __seq_one"]
         tail = "".join(t.text for t in toks[from_idx:])

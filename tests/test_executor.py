@@ -1123,8 +1123,10 @@ def test_sequences_shuffled_source_distributed(spark, table_store):
 
 def test_seq_materialize_shuffled_shapes(spark, table_store):
     """Shape gate of the scratch-parquet rebuild: constants-only
-    residue around the call, AS-aliased / bare-column / star items
-    pass; ordinals, ALL, expression items without aliases bail."""
+    residue around the call, AS-aliased / bare-column / star items,
+    renumbered bare ordinals pass (and, under allow_rename, unaliased
+    expression items); ALL, non-constant residue, DISTINCT, and
+    ordinals referencing the sequence item bail."""
     from component_duckdb_transformation_spark.plans.executor import (
         SparkStatementExecutor,
     )
@@ -1140,13 +1142,26 @@ def test_seq_materialize_shuffled_shapes(spark, table_store):
     outer, view = ok
     assert view.startswith("__seq_mat_")
     assert "nextval" in outer and "`c`" in outer and "`b`" in outer
+    # bare ordinal renumbers for the dropped sequence item (2 -> 1)
+    ok2 = ex._seq_materialize_shuffled(
+        "SELECT nextval('s') AS id, a FROM ms_src GROUP BY 2 ORDER BY 2"
+    )
+    assert ok2 is not None
+    mat2 = spark.table(ok2[1])
+    assert mat2.columns == ["a"]
+    # unaliased expression items rebuild only under allow_rename
+    # (positional INSERT — output names irrelevant)
+    expr_q = "SELECT nextval('s') AS id, a + 1 FROM ms_src GROUP BY a"
+    assert ex._seq_materialize_shuffled(expr_q) is None
+    ok3 = ex._seq_materialize_shuffled(expr_q, allow_rename=True)
+    assert ok3 is not None and "__seq_c1" in ok3[0]
     for bad in (
-        # ordinal GROUP BY
-        "SELECT nextval('s') AS id, a FROM ms_src GROUP BY 2",
         # GROUP BY ALL
         "SELECT nextval('s') AS id, a FROM ms_src GROUP BY ALL",
-        # unaliased expression item
-        "SELECT nextval('s') AS id, a + 1 FROM ms_src GROUP BY a",
+        # ordinal referencing the sequence item itself
+        "SELECT nextval('s') AS id, a FROM ms_src GROUP BY a ORDER BY 1",
+        # ordinal inside an expression (not a bare list element)
+        "SELECT nextval('s') AS id, a FROM ms_src GROUP BY a ORDER BY a + 2",
         # non-constant residue around the call
         "SELECT nextval('s') + a AS id, a FROM ms_src GROUP BY a",
         # DISTINCT select
@@ -1231,3 +1246,70 @@ def test_copy_to_invalidates_all_cached_read_views(spark, table_store, tmp_path)
     assert sorted(r.a for r in spark.table("cv2b").collect()) == [
         "7", "8", "9"
     ]
+
+
+def test_sequence_rebuild_expression_items_and_ordinals(spark, tmp_path):
+    """Shuffled-source nextval: unaliased expression items auto-alias
+    under positional INSERT, and GROUP/ORDER ordinals renumber for the
+    dropped sequence item — both previously kept the single-task
+    window fallback. Contract: the value multiset matches DuckDB, ids
+    are the exact arithmetic progression, and OUR pairing follows the
+    statement's ORDER BY (id assignment order on a grouped source is
+    engine-specific in DuckDB too — it pairs by pre-sort hash order —
+    so exact pairing parity is not a portable contract; COVERAGE.md)."""
+    import duckdb as _d
+
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+        TableStore,
+    )
+    from component_duckdb_transformation_spark.plans.sql_parser import (
+        parse_statement,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+    ex = SparkStatementExecutor(spark, TableStore(spark, str(tmp_path)))
+    con = _d.connect()
+    con.execute(
+        f"CREATE VIEW orders AS FROM read_parquet('{sf}/orders.parquet')"
+    )
+    script = [
+        "CREATE SEQUENCE sq START 100 INCREMENT 2",
+        "CREATE TABLE t (id BIGINT, s VARCHAR, v DOUBLE)",
+        "INSERT INTO t SELECT nextval('sq'), upper(o_orderstatus) || '!', "
+        "sum(o_totalprice) FROM orders GROUP BY o_orderstatus "
+        "ORDER BY o_orderstatus",
+        "INSERT INTO t SELECT nextval('sq'), o_orderstatus AS s, "
+        "avg(o_totalprice) AS v FROM orders GROUP BY o_orderstatus "
+        "ORDER BY 3 DESC",
+    ]
+    for s in script:
+        ex._execute_statement(parse_statement(s))
+        con.execute(s)
+    got = [
+        (r.id, r.s, round(r.v, 4))
+        for r in spark.sql("SELECT * FROM t ORDER BY id").collect()
+    ]
+    want = [
+        (r[0], r[1], round(r[2], 4))
+        for r in con.sql("SELECT * FROM t ORDER BY id").fetchall()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]  # same id stream
+    assert sorted(g[1:] for g in got) == sorted(w[1:] for w in want)
+    # OUR pairing follows each statement's ORDER BY
+    first = dict((g[0], g[1]) for g in got[:3])
+    assert first == {100: "F!", 102: "O!", 104: "P!"}
+    by_v = [g for g in got[3:]]
+    assert [g[2] for g in by_v] == sorted(
+        (g[2] for g in by_v), reverse=True
+    )
+    # distributed rebuild actually ran (scratch views registered)
+    mats = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("__seq_mat")
+    ]
+    assert len(mats) >= 2
