@@ -1055,6 +1055,31 @@ _add_sql(
 )
 
 _add_sql(
+    "q65_schema_hinted_dispatch",
+    """
+    SELECT d.doc_id,
+           CAST(len(e.embedding) AS BIGINT) AS emb_dim,
+           d.text[2:8] AS frag,
+           d.lang[1] AS l1,
+           d.source[-3:-1] AS src_tail,
+           (ev.value * 1e6) || d.lang AS tag,
+           upper(d.lang)[1:1] AS lu
+    FROM documents d
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    JOIN events ev ON ev.event_id = d.doc_id
+    WHERE d.doc_id % 11 = 0
+    ORDER BY d.doc_id
+    LIMIT 60
+    """,
+    description="schema-hinted dialect dispatch in the plain-SQL query "
+    "path: dependency-table column types resolve len() on the stored "
+    "LIST column to size(), brackets on stored STRING columns to "
+    "1-based string indexing (negative slices included), and the "
+    "DOUBLE-column || operand to DuckDB's fmt rendering — identical "
+    "SQL runs on both engines",
+)
+
+_add_sql(
     "q59_positional_join_comprehension",
     """
     SELECT n_name,
