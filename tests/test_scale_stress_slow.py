@@ -187,3 +187,42 @@ def test_repetition_signals_10x_map_only(spark):
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, exchanges
     assert agg.count() > 0
+
+
+@pytest.mark.slow
+def test_semantic_dedup_one_hot_cluster_blocked(spark):
+    """Semantic dedup with ~ALL rows in one k-means cell — the
+    SemDeDup hot-cluster worst case. The triangle blocking must key
+    the pair join by (cluster, ba, bb) so the quadratic splits across
+    block-pair tasks instead of funneling through the one hot cluster
+    key; plan stays equi-join (no cartesian), and the result still
+    matches the unblocked keep-lowest rule computed independently."""
+    from component_duckdb_transformation_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # 4k near-identical vectors (one cluster) + 16 far-away seeds so
+    # training still spreads centroids
+    base = spark.range(4000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda d: (F.col("id") % 7).cast("float") / 1000.0
+            + d.cast("float"),
+        ).alias("embedding"),
+    )
+    out = semantic_dedup(
+        base, threshold_q=0, n_clusters=4, n_iters=1, dim=8, n_blocks=8
+    )
+    plan = _plan(out)
+    _no_scale_killers(plan, "semantic_dedup hot cluster")
+    assert "ba" in plan and "bb" in plan  # block-pair join keys
+    rows = out.collect()
+    assert len(rows) == 4000
+    # threshold 0 and near-identical vectors: every positive-dot pair
+    # collides, so exactly the per-cluster minimum ids keep
+    keeps = sorted(r.vec_id for r in rows if r.keep)
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r.vec_id)
+    assert keeps == sorted(min(v) for v in by_cluster.values())
