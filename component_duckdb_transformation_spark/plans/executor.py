@@ -333,6 +333,10 @@ class SparkStatementExecutor:
         # value reaches arithmetic through the column (published as
         # the 'time' pseudo-hint to the translator)
         self._time_columns: Dict[str, set] = {}
+        # dep-table schema cache for the hint publisher; entries for a
+        # statement's outputs/dependencies are invalidated after every
+        # non-SELECT statement (see _execute_statement)
+        self._hint_schema_cache: Dict[str, list] = {}
         # Ambient job group at construction time (job groups are
         # thread-local and the orchestrator fans queries out to pool
         # threads, which would otherwise lose the caller's tag): nest
@@ -2029,12 +2033,23 @@ class SparkStatementExecutor:
     # -- routing ----------------------------------------------------------
     def _statement_type_hints(self, st: ParsedStatement) -> Dict[str, str]:
         return statement_type_hints(
-            self.spark, st.sql, st.dependencies, self._time_columns
+            self.spark,
+            st.sql,
+            st.dependencies,
+            self._time_columns,
+            self._hint_schema_cache,
         )
 
     def _execute_statement(self, st: ParsedStatement) -> None:
-        with column_type_hints(self._statement_type_hints(st)):
-            self._execute_statement_hinted(st)
+        try:
+            with column_type_hints(self._statement_type_hints(st)):
+                self._execute_statement_hinted(st)
+        finally:
+            # any non-SELECT statement may have changed the schemas it
+            # touched (CTAS/INSERT/ALTER/DROP/COPY re-register views)
+            if st.statement_type != StatementType.SELECT:
+                for name in set(st.outputs) | set(st.dependencies):
+                    self._hint_schema_cache.pop(name.lower(), None)
 
     def _execute_statement_hinted(self, st: ParsedStatement) -> None:
         upper = st.sql.upper()
@@ -3258,6 +3273,7 @@ def statement_type_hints(
     sql: str,
     dependencies,
     time_columns: Optional[Dict[str, set]] = None,
+    schema_cache: Optional[Dict[str, list]] = None,
 ) -> Dict[str, str]:
     """``lowercase column name -> Spark simpleString type`` for a
     statement's dependency tables (lazy catalog lookups, no jobs).
@@ -3271,21 +3287,28 @@ def statement_type_hints(
     hints: Dict[str, str] = {}
     drop: set = set()
     for dep in dependencies:
-        try:
-            fields = spark.table(_bt(dep)).schema.fields
-        except Exception:  # noqa: BLE001 — unknown table: no hints
-            continue
-        declared_time = (time_columns or {}).get(dep.lower(), set())
-        for f in fields:
-            key = f.name.lower()
-            t = f.dataType.simpleString()
-            if key in declared_time and t in (
+        key = dep.lower()
+        fields = schema_cache.get(key) if schema_cache is not None else None
+        if fields is None:
+            try:
+                fields = [
+                    (f.name, f.dataType.simpleString())
+                    for f in spark.table(_bt(dep)).schema.fields
+                ]
+            except Exception:  # noqa: BLE001 — unknown table: no hints
+                continue
+            if schema_cache is not None:
+                schema_cache[key] = fields
+        declared_time = (time_columns or {}).get(key, set())
+        for fname, t in fields:
+            col = fname.lower()
+            if col in declared_time and t in (
                 "timestamp", "timestamp_ntz",
             ):
                 t = "time"  # DDL-declared TIME pseudo-hint
-            if hints.get(key, t) != t:
-                drop.add(key)
-            hints[key] = t
+            if hints.get(col, t) != t:
+                drop.add(col)
+            hints[col] = t
     if hints:
         code = [t for _, t in code_tokens(tokenize(sql))]
         for idx in range(len(code) - 1):
