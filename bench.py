@@ -90,12 +90,11 @@ def _active_times(spark) -> dict[str, float]:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
-    # 14 measured best on 32 cores for the round-7 96-workload suite
-    # (10 was best at 91; the added iterative/streaming rows leave more
-    # scheduler slack to fill): 10->17.3s, 12->16.4s, 14->15.9s,
-    # 16->16.5s same box
-    # (8: ~18s, 10: ~16s, 12: 15-19s noisy, 16: oversubscribed ~21s)
-    pool_size = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "14"))
+    # 16 measured best on 32 cores for the round-8 107-workload suite
+    # (14 was best at 96; each added row leaves more scheduler slack):
+    # 14->19.8s, 16->17.8-19.2s, 18->21.6s same box. Wall varies ±30%
+    # with page-cache state — re-measure a control before comparing.
+    pool_size = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "16"))
     only = set(sys.argv[1:])
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
