@@ -2,16 +2,20 @@
 
 Delegates to ``component_duckdb_transformation_spark.workloads`` — the
 single registry of every implemented operator/query from SURVEY.md §2
-(core SQL + dialect surface q01-q61, incl. product/entropy/whole-table-
+(core SQL + dialect surface q01-q65, incl. product/entropy/whole-table-
 mad two-phase rewrites, COLUMNS() expansion, GROUP/ORDER BY ALL,
 recursive CTEs, ASOF JOIN, window frame EXCLUDE, distributed
-POSITIONAL JOIN, TIME midnight-wrap, variant-exact JSON ->) plus the
-LLM-pipeline extensions (dedup, similarity, sampling, temporal, text
-analysis, multimodal, streaming: x01-x24, x28) and the executor
-statement pipelines (x15 CTAS/INSERT/UPDATE/DELETE, x25 ALTER +
-UPDATE..FROM, x26 MERGE INTO, x27 dynamic PIVOT, x29 PRIMARY KEY
-upserts with UPDATE-time constraint re-validation, x30 sequences +
-positional ENUM + RETURNING). Every workload carries a DuckDB oracle —
+POSITIONAL JOIN, TIME midnight-wrap, variant-exact JSON ->, fmt-exact
+double rendering, and schema-hinted type dispatch from dependency
+schemas) plus the LLM-pipeline extensions (dedup, similarity,
+sampling, temporal, text analysis, multimodal, streaming, connected
+components, PII redaction, sequence packing, decontamination,
+SemDeDup semantic dedup, streaming LSH dedup, bigram-LM quality:
+x01-x42) and the executor statement pipelines (x15
+CTAS/INSERT/UPDATE/DELETE, x25 ALTER + UPDATE..FROM, x26 MERGE INTO,
+x27 dynamic PIVOT, x29 PRIMARY KEY upserts with UPDATE-time
+constraint re-validation, x30 sequences + positional ENUM +
+RETURNING). Every workload carries a DuckDB oracle —
 the hash/ANN pipelines use engine-portable md5/integer arithmetic so
 even MinHash-LSH, SimHash, hyperplane-LSH, and IVF (k-means training
 included) are replayed exactly in SQL; the post-MERGE-era statements
