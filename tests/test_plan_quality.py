@@ -299,3 +299,20 @@ def test_x40_semantic_dedup_cluster_keyed_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "cluster" in plan
+
+
+def test_x42_bigram_lm_partial_aggs_no_cartesian(spark):
+    # corpus-count training + score-back joins: partial aggregation on
+    # every count stage, never a cartesian/nested-loop
+    plan = _plan(spark, "x42_bigram_lm_quality")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 6  # partial+final x 3 aggs
+
+
+def test_q65_hinted_dispatch_broadcast_and_prune(spark):
+    # 3-way join over small keys broadcasts; unused columns never reach
+    # the scans (hinted dispatch must not widen the read schema)
+    plan = _plan(spark, "q65_schema_hinted_dispatch")
+    assert "BroadcastHashJoin" in plan
+    assert "n_chars" not in plan
