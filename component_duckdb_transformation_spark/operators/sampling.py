@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..exceptions import UserException
 
@@ -111,3 +111,53 @@ def split_oracle_case(id_expr: str, weights: Sequence[tuple[str, float]], salt: 
         cum += frac
         parts.append(f"WHEN {bucket} < {int(round(cum * _BUCKETS))} THEN '{label}'")
     return "CASE " + " ".join(parts) + f" ELSE '{weights[-1][0]}' END"
+
+
+def assemble_training_mix(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    token_budget: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic training-mix assembly: select documents per
+    stratum until each stratum's whitespace-token running total reaches
+    its share of ``token_budget`` (the data-mixing step of LLM
+    pretraining — per-source weights like the published LLaMA/Pile
+    mixes). Selection order inside a stratum is the md5 hash of the id
+    — deterministic and engine-portable; like any budgeted selection,
+    the selected SET is a function of the whole corpus (re-assemble
+    after corpus growth).
+
+    One keyed window per stratum (running SUM over the md5 order) —
+    the shuffle is by ``strata_col``, so strata sizes bound partition
+    work; a stratum is one ordered partition (strata counts are small:
+    sources/domains, not documents). The boundary document that
+    CROSSES the budget is included (budgets are met, never undershot).
+    Fully SQL-replayable; output (id, stratum, n_tokens, cum_tokens,
+    budget)."""
+    quota: Column = F.lit(0).cast("bigint")
+    for value, wgt in sorted(weights.items()):
+        quota = F.when(
+            F.col(strata_col) == value,
+            F.lit(int(round(wgt * token_budget))).cast("bigint"),
+        ).otherwise(quota)
+    toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(strata_col),
+            toks.alias("n_tokens"),
+            quota.alias("budget"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(
+            (F.col("cum_tokens") - F.col("n_tokens")) < F.col("budget")
+        )
+        .filter(F.col("budget") > 0)
+    )

@@ -1725,6 +1725,47 @@ FROM af LEFT JOIN rm ON rm.vec_id = af.vec_id
 """
 
 
+_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.1, "src3": 0.4}
+_MIX_BUDGET = 2000
+
+
+def _training_mix_oracle() -> str:
+    quota_case = " ".join(
+        f"WHEN '{k}' THEN {int(round(v * _MIX_BUDGET))}"
+        for k, v in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10000 AS hb,
+         CAST(CASE source {quota_case} ELSE 0 END AS BIGINT) AS budget
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens, budget,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY hb, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t)
+SELECT doc_id, source, n_tokens, budget,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens - n_tokens < budget AND budget > 0
+"""
+
+
+_add_df(
+    "x43_training_mix",
+    lambda spark, sf: sampling.assemble_training_mix(
+        spark.table("documents"), _MIX_WEIGHTS, _MIX_BUDGET,
+    ).select("doc_id", "source", "n_tokens", "budget", "cum_tokens"),
+    oracle=_training_mix_oracle(),
+    description="deterministic training-mix assembly: per-source token "
+    "quotas (LLaMA/Pile-style data mixing), md5-ordered running token "
+    "cumsum per stratum, boundary doc included — one keyed window, "
+    "SQL-replayed exactly",
+)
+
+
 _BIGRAM_LM_ORACLE = """
 WITH w0 AS (
   SELECT doc_id, (string_split(text, ' '))[1:50] AS w FROM documents),

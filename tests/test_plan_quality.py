@@ -316,3 +316,12 @@ def test_q65_hinted_dispatch_broadcast_and_prune(spark):
     plan = _plan(spark, "q65_schema_hinted_dispatch")
     assert "BroadcastHashJoin" in plan
     assert "n_chars" not in plan
+
+
+def test_x43_training_mix_keyed_window_no_join(spark):
+    # per-stratum running cumsum: ONE window keyed by source — never a
+    # SinglePartition exchange or a join
+    plan = _plan(spark, "x43_training_mix")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
