@@ -94,11 +94,14 @@ def str_expr(g: random.Random, depth: int = 0) -> str:
     if choice == 13:
         # round-8 surface: DOUBLE/FLOAT -> VARCHAR casts render through
         # the fmtlib typeof dispatch; DECIMAL/INT operands must stay on
-        # the plain-cast branch
-        return f"({num_expr(g, depth + 1)})::VARCHAR"
+        # the plain-cast branch. round(x, 4) keeps libm 1-ulp noise
+        # (ln/sqrt last-bit divergence between glibc and the JVM —
+        # documented engine divergence) out of the tolerance-free
+        # stringified rendering, same guard as the format() branch
+        return f"(round({num_expr(g, depth + 1)}, 4))::VARCHAR"
     if choice == 14:
         # concat()'s per-argument implicit VARCHAR cast (same dispatch)
-        return f"concat({a}, {num_expr(g, depth + 1)})"
+        return f"concat({a}, round({num_expr(g, depth + 1)}, 4))"
     if choice == 11:
         # round-8 surface: RE2 rewrite semantics (backrefs, \0, \\,
         # invalid-escape no-op/truncation, literal $, class anchors)
