@@ -5728,9 +5728,97 @@ def _round_double_sql(x: str, k: int) -> str:
     )
 
 
+def _duck_round_double_py(v: float, k: int) -> float:
+    """Python twin of ``_round_double_sql``'s DOUBLE branch (same ops
+    on the same doubles — ``1e{k}`` and ``10.0**k`` parse identically
+    for k <= 15, and floor/+0.5 arithmetic is IEEE-exact here)."""
+    import math
+
+    if math.isnan(v) or math.isinf(v):
+        return v
+    p = float(f"1e{abs(k)}")
+    s = v * p if k >= 0 else v / p
+    if abs(s) >= 9.007199254740992e15:
+        return v
+    if math.copysign(1.0, v) < 0:
+        r = -float(math.floor(-s + 0.5))  # keeps IEEE -0.0
+    else:
+        r = float(math.floor(s + 0.5))
+    return r / p if k >= 0 else r * p
+
+
+_CAST_DBL_LIT_RE = re.compile(
+    r"CAST\(\s*'?(-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)'?"
+    r"\s+AS\s+DOUBLE\s*\)",
+    re.IGNORECASE,
+)
+_ROUND_LIT_RE = re.compile(r"(-?)(\d+)(?:\.(\d+))?([eE][+-]?\d+)?")
+
+
+def _fold_literal_round(x: str, k: int) -> Optional[str]:
+    """Constant-fold ``round(<literal>, k)`` at translate time —
+    DuckDB-exact (DECIMAL literals: half-away quantize keeping scale
+    min(k, scale); DOUBLE literals / negative k: the double formula).
+    Nested literal rounds otherwise explode multiplicatively: each
+    template replicates its operand ~7x, and inside Python-UDF
+    arguments the lambda-free inlining compounds it (a fuzz-found
+    round-in-round-in-format reached 657 KB of SQL and OOM'd the
+    analyzer). Returns None for non-literal operands."""
+    s = x.strip()
+    while s.startswith("(") and s.endswith(")"):
+        inner2 = s[1:-1].strip()
+        depth = 0
+        ok = True
+        for ch in inner2:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    ok = False
+                    break
+        if not ok or depth != 0:
+            break
+        s = inner2
+    def _emit_double(v: float) -> Optional[str]:
+        import math
+
+        if math.isnan(v) or math.isinf(v):
+            return None
+        # STRING parse keeps IEEE -0.0 (a bare -0.0 literal parses as
+        # DECIMAL, which has no signed zero)
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    m = _CAST_DBL_LIT_RE.fullmatch(s)
+    if m:
+        return _emit_double(_duck_round_double_py(float(m.group(1)), k))
+    m2 = _ROUND_LIT_RE.fullmatch(s)
+    if m2 is None:
+        return None
+    if k < 0 and m2.group(3) and not m2.group(4):
+        # fractional DECIMAL literal at negative scale: DuckDB 1.0's
+        # own results are internally inconsistent there (round(7.0005,
+        # -1) = 0 but round(15.0, -1) = 20) — keep the pre-existing
+        # template path rather than chase it
+        return None
+    if m2.group(4) or k < 0:
+        # double literal, or negative scale (DuckDB types that DOUBLE
+        # for integer inputs: round(125, -1) = 130.0 DOUBLE)
+        return _emit_double(_duck_round_double_py(float(s), k))
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d = Decimal(s)
+    scale = len(m2.group(3) or "")
+    q = d.quantize(
+        Decimal(1).scaleb(-min(k, scale)), rounding=ROUND_HALF_UP
+    )
+    return format(q, "f")
+
+
 def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
     """``round(x)`` / ``round(x, k)`` with a literal k in [-15, 15] —
-    see ``_round_double_sql``. Dynamic or out-of-range k keeps Spark
+    see ``_round_double_sql``; literal operands constant-fold
+    (``_fold_literal_round``). Dynamic or out-of-range k keeps Spark
     round (rare; documented)."""
     out: List[Token] = []
     i = 0
@@ -5772,7 +5860,14 @@ def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
                     x = "".join(
                         t.text for t in _rewrite_round_double(args[0])
                     ).strip()
-                    out.extend(_toks(_round_double_sql(x, k)))
+                    folded = _fold_literal_round(x, k)
+                    out.extend(
+                        _toks(
+                            folded
+                            if folded is not None
+                            else _round_double_sql(x, k)
+                        )
+                    )
                     i = close + 1
                     continue
         out.append(tok)

@@ -1463,3 +1463,50 @@ def test_struct_field_hint_resolution(spark, hint_exec2):
             for r in con.sql(q.format(T="__hint_sf_d")).fetchall()
         ]
         assert got == want, q
+
+
+ROUND_FOLD_CASES = [
+    # literal round constant-folds at translate time (nested literal
+    # rounds otherwise explode multiplicatively — a fuzz-found
+    # round-in-round-in-format reached 657 KB of SQL and OOM'd the
+    # analyzer); DuckDB-exact for decimal AND double literals
+    "round(7.0005, 3)",
+    "round(7.1, 3)",
+    "round(2.5)",
+    "round(-2.5, 0)",
+    "round(0.125e0, 2)",
+    "round(-33239.3875e0, 3)",
+    "round(-0.4e0, 0)::VARCHAR",
+    "round(125, -1)",
+    "round(round(7.0005, 3), 4)",
+    "round(round(round(1.23456789, 6), 4), 2)",
+    "substring_grapheme(trim(format('{:2}|', "
+    "round(round(7.0005, 3), 4))), 1, 0)",
+    "round(1e308, 3)",
+    "round(0.5e0, 0)",
+    "(round(99999999999999999999.5))::VARCHAR",
+    "round(round(-0.4e0, 2), 0)::VARCHAR",
+    "concat('x', round(3.14159e0, 3))",
+]
+
+
+@pytest.mark.parametrize("expr", ROUND_FOLD_CASES)
+def test_literal_round_constant_fold(spark, expr):
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    con.execute(
+        f"CREATE VIEW lineitem AS FROM read_parquet('{sf}/lineitem.parquet')"
+    )
+    q = f"SELECT {expr} AS r FROM lineitem LIMIT 3"
+    got = [str(r.r) for r in spark.sql(translate(q)).collect()]
+    want = [str(r[0]) for r in con.sql(q).fetchall()]
+    assert got == want, expr
+
+
+def test_literal_round_fold_bounds_translate_size():
+    q = ("SELECT substring_grapheme(trim(format('{:2}|', "
+         "round(round(7.0005, 3), 4))), 1, 0) AS r FROM lineitem")
+    assert len(translate(q)) < 10_000  # was 657 KB before the fold

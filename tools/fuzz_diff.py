@@ -19,6 +19,7 @@ expressions. Batches BATCH expressions per Spark job so a full run is
 from __future__ import annotations
 
 import random
+import re
 import sys
 from typing import List
 
@@ -745,6 +746,38 @@ def main() -> int:
     seed = int(opt("--seed", "20260813"))
     sf = opt("--sf", "0.001")
     sf_dir = f"/root/testdata/sf{sf}"
+
+    if n > 200:
+        # long single-JVM runs degrade the 4G driver (hundreds of
+        # giant generated whole-stage-codegen plans accumulate until
+        # heap exhaustion — observed as wedged runs past ~expr 150-300,
+        # and in-process SparkContext restarts are flaky): shard into
+        # fresh-JVM subprocesses with derived seeds. Each chunk prints
+        # its own seed, so a failure reproduces with
+        # ``--n 150 --seed <chunk seed>``.
+        import subprocess
+
+        total = 0
+        k = 0
+        remaining = n
+        while remaining > 0:
+            chunk = min(150, remaining)
+            chunk_seed = seed * 1000003 + k
+            print(f"# chunk {k}: --n {chunk} --seed {chunk_seed}",
+                  file=sys.stderr)
+            r = subprocess.run(
+                [sys.executable, __file__, "--n", str(chunk),
+                 "--seed", str(chunk_seed), "--sf", sf],
+                capture_output=True, text=True, timeout=1800,
+            )
+            sys.stdout.write(r.stdout)
+            m = re.search(r"(\d+) mismatches over", r.stdout)
+            total += int(m.group(1)) if m else 1
+            remaining -= chunk
+            k += 1
+        print(f"\n{total} mismatches over {n} expressions "
+              f"(seed {seed}, {k} sharded chunks)")
+        return 1 if total else 0
 
     sys.path.insert(0, "/root/repo")
     from component_duckdb_transformation_spark.functions.dialect import translate
