@@ -5801,10 +5801,18 @@ def _fold_literal_round(x: str, k: int) -> Optional[str]:
         # -1) = 0 but round(15.0, -1) = 20) — keep the pre-existing
         # template path rather than chase it
         return None
-    if m2.group(4) or k < 0:
-        # double literal, or negative scale (DuckDB types that DOUBLE
-        # for integer inputs: round(125, -1) = 130.0 DOUBLE)
-        return _emit_double(_duck_round_double_py(float(s), k))
+    if m2.group(4) or k < 0 or not m2.group(3):
+        # double literal, negative scale, or INTEGER literal — DuckDB
+        # types all of those DOUBLE (round(125, -1) = 130.0,
+        # round(-7, 4) = -7.0: the int/double union type is DOUBLE).
+        # Integer literals convert via int() so '-0' stays unsigned
+        # zero like an integer -0 does in DuckDB
+        v = (
+            float(int(s))
+            if not m2.group(3) and not m2.group(4)
+            else float(s)
+        )
+        return _emit_double(_duck_round_double_py(v, k))
     from decimal import ROUND_HALF_UP, Decimal
 
     d = Decimal(s)

@@ -1510,3 +1510,19 @@ def test_literal_round_fold_bounds_translate_size():
     q = ("SELECT substring_grapheme(trim(format('{:2}|', "
          "round(round(7.0005, 3), 4))), 1, 0) AS r FROM lineitem")
     assert len(translate(q)) < 10_000  # was 657 KB before the fold
+
+
+@pytest.mark.parametrize("expr", [
+    # fuzz-found (seed 424243272726): INTEGER-literal round types
+    # DOUBLE in DuckDB — the fold must not take the decimal path
+    "substr(reverse((round(-7, 4))::VARCHAR), -4, 5)",
+    "abs(length((round(91, 4))::VARCHAR))",
+    "round(-0, 2)::VARCHAR",
+    "round(99999999999999999999, 2)::VARCHAR",
+])
+def test_integer_literal_round_folds_double(spark, expr):
+    con = duckdb.connect()
+    q = f"SELECT {expr} AS r"
+    got = [str(r.r) for r in spark.sql(translate(q)).collect()]
+    want = [str(r[0]) for r in con.sql(q).fetchall()]
+    assert got == want, expr
