@@ -121,6 +121,7 @@ def assemble_training_mix(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "mix",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Deterministic training-mix assembly: select documents per
     stratum until each stratum's whitespace-token running total reaches
@@ -131,13 +132,27 @@ def assemble_training_mix(
     the selected SET is a function of the whole corpus (re-assemble
     after corpus growth).
 
-    One keyed window per stratum (running SUM over the md5 order) —
-    the shuffle is by ``strata_col``, so strata sizes bound partition
-    work; a stratum is one ordered partition (strata counts are small:
-    sources/domains, not documents). The boundary document that
-    CROSSES the budget is included (budgets are met, never undershot).
-    Fully SQL-replayable; output (id, stratum, n_tokens, cum_tokens,
-    budget)."""
+    The per-stratum running sum is DISTRIBUTED (a real pretraining mix
+    has one stratum — "web" — holding ~90% of the corpus, so a window
+    partitioned by stratum alone is one task sorting 90 TB). Two-pass
+    prefix-sum instead:
+
+    1. split each stratum into ``n_buckets`` contiguous md5-order
+       ranges (``hb // width`` — monotone in the selection order);
+    2. per-(stratum, bucket) token sums — a partial-aggregable groupBy
+       whose output is the tiny (strata x buckets) stats frame;
+    3. exclusive cumulative offsets over that tiny frame, broadcast
+       back;
+    4. buckets whose offset already meets the budget are dropped
+       BEFORE the shuffle (every row's exclusive prefix >= the bucket
+       offset), so the ordered window only ever carries ~budget tokens
+       of data regardless of corpus size;
+    5. running sum within (stratum, bucket) + offset = exact global
+       cumsum; task size is bounded by stratum_size / n_buckets.
+
+    The boundary document that CROSSES the budget is included (budgets
+    are met, never undershot). Fully SQL-replayable; output
+    (id, stratum, n_tokens, budget, cum_tokens)."""
     quota: Column = F.lit(0).cast("bigint")
     for value, wgt in sorted(weights.items()):
         quota = F.when(
@@ -145,19 +160,37 @@ def assemble_training_mix(
             F.lit(int(round(wgt * token_budget))).cast("bigint"),
         ).otherwise(quota)
     toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
-    w = Window.partitionBy(strata_col).orderBy(
-        hash_bucket(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    hb = hash_bucket(F.col(id_col), salt)
+    base = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        toks.alias("n_tokens"),
+        quota.alias("budget"),
+        hb.alias("__hb"),
+        F.floor(hb * n_buckets / _BUCKETS).cast("int").alias("__bkt"),
+    ).filter(F.col("budget") > 0)
+    sums = base.groupBy(strata_col, "__bkt").agg(F.sum("n_tokens").alias("__bsum"))
+    ow = (
+        Window.partitionBy(strata_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        strata_col,
+        "__bkt",
+        F.coalesce(F.sum("__bsum").over(ow), F.lit(0)).cast("bigint").alias("__off"),
+    )
+    pruned = base.join(F.broadcast(offsets), [strata_col, "__bkt"]).filter(
+        F.col("__off") < F.col("budget")
+    )
+    bw = Window.partitionBy(strata_col, "__bkt").orderBy(
+        F.col("__hb").asc(), F.col(id_col).asc()
     )
     return (
-        df.select(
-            F.col(id_col),
-            F.col(strata_col),
-            toks.alias("n_tokens"),
-            quota.alias("budget"),
+        pruned.withColumn(
+            "cum_tokens",
+            (F.col("__off") + F.sum("n_tokens").over(bw)).cast("bigint"),
         )
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(
-            (F.col("cum_tokens") - F.col("n_tokens")) < F.col("budget")
-        )
-        .filter(F.col("budget") > 0)
+        .filter((F.col("cum_tokens") - F.col("n_tokens")) < F.col("budget"))
+        .select(id_col, strata_col, "n_tokens", "budget", "cum_tokens")
     )

@@ -318,10 +318,52 @@ def test_q65_hinted_dispatch_broadcast_and_prune(spark):
     assert "n_chars" not in plan
 
 
-def test_x43_training_mix_keyed_window_no_join(spark):
-    # per-stratum running cumsum: ONE window keyed by source — never a
-    # SinglePartition exchange or a join
+def test_x43_training_mix_distributed_prefix_sum(spark):
+    # two-pass prefix sum: the running-sum window is keyed by
+    # (stratum, bucket) — NOT stratum alone (one task per stratum is a
+    # scale-killer when one source is 90% of the corpus) — with the
+    # tiny cumulative-offsets frame broadcast back, never shuffled
     plan = _plan(spark, "x43_training_mix")
     assert "Window" in plan
     assert "SinglePartition" not in plan
-    assert "Join" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the data-side window partitioning carries both keys
+    assert "source#" in plan and "__bkt#" in plan
+
+
+def test_x43_training_mix_bounded_tasks_under_skew(spark):
+    # one stratum 10x the rest: no window partition may hold more than
+    # a small fraction of the hot stratum (the r8 one-task-per-stratum
+    # shape would put 100% of it in one task)
+    from pyspark.sql import functions as F
+
+    from component_duckdb_transformation_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hot = docs.withColumn("source", F.lit("web"))
+    rest = docs.limit(30).withColumn("source", F.lit("books"))
+    corpus = hot.unionByName(rest)
+    n_hot = hot.count()
+    out = sampling.assemble_training_mix(
+        corpus, {"web": 0.9, "books": 0.1}, 10_000_000, n_buckets=16
+    )
+    # correctness: monotone cumsum per stratum, budget met not undershot
+    rows = out.orderBy("source", "cum_tokens").collect()
+    seen: dict[str, int] = {}
+    for r in rows:
+        prev = seen.get(r.source, 0)
+        assert r.cum_tokens == prev + r.n_tokens
+        assert prev < r.budget  # exclusive prefix under budget
+        seen[r.source] = r.cum_tokens
+    # scale posture: max rows any window task ingests is bounded by
+    # ~stratum/n_buckets, far below the hot stratum's size
+    hb = sampling.hash_bucket(F.col("doc_id"), "mix")
+    grp = (
+        hot.select(F.floor(hb * 16 / 10_000).cast("int").alias("b"))
+        .groupBy("b")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert grp < 0.25 * n_hot
