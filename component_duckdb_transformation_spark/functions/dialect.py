@@ -444,6 +444,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_order_null_ordering(tokens)
     tokens = _rewrite_mad_groupby_recursive(tokens)
     tokens = _rewrite_entropy_groupby_recursive(tokens)
+    tokens = _rewrite_mad_window_recursive(tokens)
     tokens = _rewrite_mad_fallback_template(tokens)
     tokens = _rewrite_product_entropy(tokens)
     # brace-map sentinel back to Spark's variadic map (see
@@ -4158,6 +4159,361 @@ def _rewrite_aggfn_groupby_recursive(
         out.append(tok)
         i += 1
     return _rewrite_aggfn_groupby(out, spec)
+
+
+def _window_spec_full_partition(spec_sql: str) -> bool:
+    """True when an OVER (...) spec's frame is the whole partition:
+    no ORDER BY (frame defaults to the entire partition), or an
+    explicit UNBOUNDED PRECEDING .. UNBOUNDED FOLLOWING frame with no
+    effective EXCLUDE clause."""
+    u = re.sub(r"\s+", " ", spec_sql).strip().upper()
+    if "EXCLUDE" in u:
+        if not re.search(r"EXCLUDE NO OTHERS$", u):
+            return False
+        u = re.sub(r"EXCLUDE NO OTHERS$", "", u).strip()
+    if not re.search(r"\bORDER BY\b", u):
+        return True
+    return bool(
+        re.search(
+            r"\b(ROWS|RANGE|GROUPS) BETWEEN UNBOUNDED PRECEDING"
+            r" AND UNBOUNDED FOLLOWING$",
+            u,
+        )
+    )
+
+
+# Aggregate names whose presence as a NON-window call in a select list
+# marks a global-aggregate query (no GROUP BY needed): the window-mad
+# restructure must bail there, since wrapping the FROM would re-stage
+# the aggregate over raw rows.
+_MADW_AGG_NAMES = frozenset({
+    "count", "count_if", "sum", "avg", "mean", "min", "max", "median",
+    "mode", "product", "entropy", "mad", "stddev", "stddev_pop",
+    "stddev_samp", "std", "variance", "var_pop", "var_samp", "skewness",
+    "kurtosis", "corr", "covar_pop", "covar_samp", "first", "last",
+    "first_value", "last_value", "any_value", "arbitrary", "bool_and",
+    "bool_or", "quantile", "quantile_cont", "quantile_disc",
+    "percentile", "percentile_cont", "percentile_disc", "collect_list",
+    "collect_set", "array_agg", "list", "listagg", "string_agg",
+    "group_concat", "histogram", "bit_and", "bit_or", "bit_xor",
+    "arg_min", "arg_max", "min_by", "max_by",
+})
+
+_MADW_TEMPORAL_RE = re.compile(
+    r"^\s*0\s*,\s*0\s*,\s*0\s*,\s*mad\s*\((.*)\)\s*/\s*1000000\.0D\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_mad_window(tokens: List[Token]) -> List[Token]:
+    """Lower ``mad(x) OVER w`` with a FULL-PARTITION frame off the
+    grouped-agg pandas UDAF onto built-in window medians: the frame
+    median is partition-constant, so
+
+        mad(x) OVER w  ==  median(abs(x - median(x) OVER w)) OVER w
+
+    Window functions cannot nest, so the statement is restructured:
+    the FROM(+WHERE) is wrapped in a subquery that projects
+    ``__wmv{i}`` (the cast argument) and ``__wmed{i}`` (the inner
+    window median), and the outer scope computes the deviation median.
+    This also FIXES the hinted temporal form, which previously emitted
+    invalid SQL (``make_dt_interval(...) OVER w`` — OVER attached to a
+    non-window expression); DuckDB's integer-micros rounding
+    (``_mad_round_sql``) is applied to both medians there.
+
+    Conservative bails (those shapes keep the pandas UDAF, or in the
+    temporal case fail loudly as before): GROUP BY / HAVING / WINDOW /
+    QUALIFY clauses, no FROM, set operations handled per branch,
+    qualified (dotted) references outside the FROM region (the
+    subquery wrap would unbind them), non-window aggregate calls
+    (global-aggregate inputs), and bounded/running frames (a pandas
+    UDAF over a moving frame is genuinely the right tool)."""
+    n = len(tokens)
+    if not any(t.kind == "word" and t.text.lower() == "mad" for t in tokens):
+        return tokens
+    if not any(t.kind == "word" and t.upper == "OVER" for t in tokens):
+        return tokens
+    first = _next_code(tokens, -1)
+    if first >= n or tokens[first].kind != "word":
+        return tokens
+    if tokens[first].upper == "WITH":
+        depth = 0
+        for j in range(first + 1, n):
+            t = tokens[j]
+            if t.kind == "op" and t.text in ("(", "["):
+                depth += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.kind == "word" and t.upper == "SELECT":
+                return tokens[:j] + _rewrite_mad_window(tokens[j:])
+        return tokens
+    if tokens[first].upper != "SELECT":
+        return tokens
+
+    # set operations: restructure each branch independently
+    depth = 0
+    for j in range(first + 1, n):
+        t = tokens[j]
+        if t.kind == "op" and t.text in ("(", "["):
+            depth += 1
+        elif t.kind == "op" and t.text in (")", "]"):
+            depth -= 1
+        elif (
+            depth == 0
+            and t.kind == "word"
+            and t.upper in ("UNION", "EXCEPT", "INTERSECT")
+        ):
+            k = _next_code(tokens, j)
+            if k < n and tokens[k].upper in ("ALL", "DISTINCT"):
+                k = _next_code(tokens, k)
+            if k < n and tokens[k].upper == "BY":  # UNION BY NAME
+                k = _next_code(tokens, k)
+                k = _next_code(tokens, k)
+            return (
+                _rewrite_mad_window(tokens[:j])
+                + tokens[j:k]
+                + _rewrite_mad_window(tokens[k:])
+            )
+
+    # depth-0 clause indices
+    from_idx = where_idx = None
+    tail_idx = n
+    depth = 0
+    for j in range(first + 1, n):
+        t = tokens[j]
+        if t.kind == "op" and t.text in ("(", "["):
+            depth += 1
+        elif t.kind == "op" and t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.kind == "word":
+            u = t.upper
+            if u == "FROM" and from_idx is None:
+                from_idx = j
+            elif u == "WHERE" and from_idx is not None and where_idx is None:
+                where_idx = j
+            elif u in ("GROUP", "HAVING", "WINDOW", "QUALIFY"):
+                p = j - 1
+                while p >= 0 and tokens[p].kind in ("ws", "comment"):
+                    p -= 1
+                if not (
+                    u == "GROUP" and p >= 0 and tokens[p].upper == "WITHIN"
+                ):
+                    return tokens
+            elif u in ("ORDER", "LIMIT", "OFFSET") and from_idx is not None:
+                tail_idx = j
+                break
+    if from_idx is None or from_idx >= tail_idx:
+        return tokens
+
+    sel_start = _next_code(tokens, first)
+    distinct = ""
+    if sel_start < n and tokens[sel_start].upper in ("DISTINCT", "ALL"):
+        distinct = tokens[sel_start].upper + " "
+        sel_start = _next_code(tokens, sel_start)
+
+    def scan_region(lo: int, hi: int):
+        """Yield (start, end_excl, arg_sql, spec_sql, temporal) for
+        each mad-OVER call; also flag bails. Subquery parens are
+        skipped (their scopes were already processed innermost-first)."""
+        cands, bail = [], False
+        i = lo
+        while i < hi:
+            t = tokens[i]
+            if t.kind == "op" and t.text == "(":
+                k = _next_code(tokens, i)
+                if k < n and tokens[k].kind == "word" and tokens[k].upper in (
+                    "SELECT",
+                    "WITH",
+                    "FROM",
+                ):
+                    i = _matching_paren(tokens, i) + 1
+                    continue
+                i += 1
+                continue
+            if t.kind == "op" and t.text == ".":
+                bail = True
+                i += 1
+                continue
+            if t.kind == "word":
+                low = t.text.lower()
+                if low in ("mad", "make_dt_interval"):
+                    p_open = _next_code(tokens, i)
+                    if (
+                        p_open < hi
+                        and tokens[p_open].kind == "op"
+                        and tokens[p_open].text == "("
+                    ):
+                        close = _matching_paren(tokens, p_open)
+                        after = _next_code(tokens, close)
+                        if after < hi and tokens[after].is_kw("OVER"):
+                            sp_open = _next_code(tokens, after)
+                            if (
+                                sp_open < hi
+                                and tokens[sp_open].kind == "op"
+                                and tokens[sp_open].text == "("
+                            ):
+                                sp_close = _matching_paren(tokens, sp_open)
+                                body = _sql(tokens, p_open + 1, close)
+                                temporal = False
+                                arg = body
+                                if low == "make_dt_interval":
+                                    m = _MADW_TEMPORAL_RE.match(body)
+                                    if not m:
+                                        i += 1
+                                        continue
+                                    arg, temporal = m.group(1), True
+                                spec = _sql(tokens, sp_open + 1, sp_close)
+                                # Spark's median window aggregate
+                                # rejects ORDER BY / explicit frames;
+                                # for a full-partition frame they are
+                                # semantically inert, so the medians
+                                # use the PARTITION BY clause alone
+                                d2 = 0
+                                p_end = sp_close
+                                for kk in range(sp_open + 1, sp_close):
+                                    tk = tokens[kk]
+                                    if tk.kind == "op" and tk.text in ("(", "["):
+                                        d2 += 1
+                                    elif tk.kind == "op" and tk.text in (")", "]"):
+                                        d2 -= 1
+                                    elif (
+                                        d2 == 0
+                                        and tk.kind == "word"
+                                        and tk.upper in ("ORDER", "ROWS", "RANGE", "GROUPS")
+                                    ):
+                                        p_end = kk
+                                        break
+                                pspec = _sql(tokens, sp_open + 1, p_end)
+                                full = _window_spec_full_partition(spec)
+                                # the spec text survives in the OUTER
+                                # scope (and a non-lowered call entirely
+                                # so); dotted names there would unbind
+                                # under the subquery wrap
+                                dot_lo = sp_open + 1 if full else i
+                                if any(
+                                    tokens[k].kind == "op"
+                                    and tokens[k].text == "."
+                                    for k in range(dot_lo, sp_close)
+                                ):
+                                    bail = True
+                                elif full:
+                                    cands.append(
+                                        (i, sp_close + 1, arg, pspec, temporal)
+                                    )
+                                i = sp_close + 1
+                                continue
+                if low in _MADW_AGG_NAMES:
+                    p_open = _next_code(tokens, i)
+                    if (
+                        p_open < n
+                        and tokens[p_open].kind == "op"
+                        and tokens[p_open].text == "("
+                    ):
+                        close = _matching_paren(tokens, p_open)
+                        after = _next_code(tokens, close)
+                        if not (after < n and tokens[after].is_kw("OVER")):
+                            bail = True
+                        # scan inside the call for nested candidates/dots
+                        i += 1
+                        continue
+            i += 1
+        return cands, bail
+
+    # candidates only in the select list: Spark rejects window
+    # functions inside ORDER BY outright (both before and after this
+    # rewrite), so the tail is scanned only for bail conditions
+    c1, b1 = scan_region(sel_start, from_idx)
+    _, b2 = scan_region(tail_idx, n)
+    cands = c1
+    if not cands:
+        return tokens
+    if b1 or b2:
+        return tokens
+
+    helpers = []
+    outer_by_start: Dict[int, str] = {}
+    helper_names = []
+    for idx, (start, end, arg, spec, temporal) in enumerate(cands):
+        mv, md = f"__wmv{idx}", f"__wmed{idx}"
+        helper_names += [mv, md]
+        med = f"median(({arg})) OVER ({spec})"
+        dev = f"median(abs({mv} - {md})) OVER ({spec})"
+        if temporal or _mad_integer_domain(arg):
+            med = _mad_round_sql(med)
+            dev = _mad_round_sql(dev)
+        helpers.append(f"({arg}) AS {mv}, {med} AS {md}")
+        if temporal:
+            dev = f"make_dt_interval(0, 0, 0, {dev} / 1000000.0D)"
+        outer_by_start[start] = dev
+
+    def rebuild(lo: int, hi: int) -> str:
+        parts = []
+        i = lo
+        ends = {s: e for s, e, *_ in cands}
+        while i < hi:
+            if i in outer_by_start:
+                parts.append(outer_by_start[i])
+                i = ends[i]
+                continue
+            t = tokens[i]
+            if (
+                t.kind == "op"
+                and t.text == "*"
+                and lo == sel_start
+            ):
+                p = i - 1
+                while p >= 0 and tokens[p].kind in ("ws", "comment"):
+                    p -= 1
+                if p < lo or (
+                    tokens[p].kind == "word"
+                    and tokens[p].upper in ("SELECT", "DISTINCT", "ALL")
+                ) or (tokens[p].kind == "op" and tokens[p].text == ","):
+                    parts.append(f"* EXCEPT ({', '.join(helper_names)})")
+                    i += 1
+                    continue
+            parts.append(t.text)
+            i += 1
+        return "".join(parts)
+
+    inner_sql = (
+        "SELECT *, "
+        + ", ".join(helpers)
+        + " "
+        + _sql(tokens, from_idx, tail_idx)
+    )
+    out_sql = (
+        "SELECT "
+        + distinct
+        + rebuild(sel_start, from_idx)
+        + f" FROM ({inner_sql}) __madw"
+    )
+    tail = rebuild(tail_idx, n)
+    if tail.strip():
+        out_sql += " " + tail
+    return _toks(out_sql)
+
+
+def _rewrite_mad_window_recursive(tokens: List[Token]) -> List[Token]:
+    """Apply the window-mad lowering inside every parenthesized scope,
+    innermost-first, then at the top level."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i]
+        if tok.kind == "op" and tok.text == "(":
+            close = _matching_paren(tokens, i)
+            if close > i:
+                out.append(tok)
+                out.extend(
+                    _rewrite_mad_window_recursive(tokens[i + 1 : close])
+                )
+                out.append(tokens[close])
+                i = close + 1
+                continue
+        out.append(tok)
+        i += 1
+    return _rewrite_mad_window(out)
 
 
 def _rewrite_mad_fallback_template(tokens: List[Token]) -> List[Token]:

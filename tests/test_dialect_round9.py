@@ -1,0 +1,154 @@
+"""Round-9 closing surfaces: built-in window mad for full-partition
+frames (off the pandas UDAF, and fixing the previously-invalid hinted
+temporal window form), plus the round-9 runtime-regexp / hint /
+round() parity items added later this round.
+
+Reference behaviors verified against DuckDB in-process (the same
+oracle the driver uses)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from component_duckdb_transformation_spark.functions.dialect import (
+    column_type_hints,
+    translate,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _duck(sf=SF):
+    con = duckdb.connect()
+    for t in ("part", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return con
+
+
+def _spark_views(spark, sf=SF):
+    for t in ("part", "orders", "lineitem"):
+        spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # no ORDER BY -> whole-partition frame
+        "SELECT p_partkey, mad(p_retailprice) OVER (PARTITION BY p_brand)"
+        " AS m FROM part ORDER BY p_partkey",
+        # explicit unbounded frame with ORDER BY
+        "SELECT p_partkey, mad(p_retailprice) OVER (PARTITION BY p_brand "
+        "ORDER BY p_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "UNBOUNDED FOLLOWING) AS m FROM part ORDER BY p_partkey",
+        # empty spec: one global partition
+        "SELECT p_partkey, mad(p_size) OVER () AS m FROM part "
+        "ORDER BY p_partkey",
+        # WHERE belongs to the window input; expression argument
+        "SELECT p_partkey, mad(p_retailprice * 2) OVER "
+        "(PARTITION BY p_type) AS m FROM part "
+        "WHERE p_size > 10 ORDER BY p_partkey",
+        # alongside another window function and a computed item
+        "SELECT p_partkey, p_size + 1 AS s1, "
+        "row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rn, "
+        "mad(p_retailprice) OVER (PARTITION BY p_brand) AS m "
+        "FROM part ORDER BY p_partkey",
+    ],
+)
+def test_window_mad_full_partition_parity(spark, sql):
+    con = _duck()
+    _spark_views(spark)
+    want = con.execute(sql).fetchall()
+    got = [tuple(r) for r in spark.sql(translate(sql)).collect()]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(wv, float):
+                assert gv == pytest.approx(float(wv), abs=1e-9)
+            else:
+                assert gv == wv
+
+
+def test_window_mad_star_select(spark):
+    con = _duck()
+    _spark_views(spark)
+    sql = (
+        "SELECT *, mad(p_retailprice) OVER (PARTITION BY p_brand) AS m "
+        "FROM part WHERE p_partkey <= 50 ORDER BY p_partkey"
+    )
+    want = con.execute(sql).fetchall()
+    got = [tuple(r) for r in spark.sql(translate(sql)).collect()]
+    assert len(got) == len(want)
+    # same width: helper columns must not leak through the star
+    assert len(got[0]) == len(want[0])
+    for g, w in zip(got, want):
+        assert g[0] == w[0]
+        assert g[-1] == pytest.approx(float(w[-1]), abs=1e-9)
+
+
+def test_window_mad_running_frame_keeps_udaf_and_matches(spark):
+    # ORDER BY without explicit frame = running frame -> pandas UDAF path
+    con = _duck()
+    _spark_views(spark)
+    sql = (
+        "SELECT p_partkey, mad(p_retailprice) OVER (PARTITION BY p_brand "
+        "ORDER BY p_partkey) AS m FROM part WHERE p_partkey <= 200 "
+        "ORDER BY p_partkey"
+    )
+    out = translate(sql)
+    assert "mad(" in out  # not lowered
+    want = con.execute(sql).fetchall()
+    got = [tuple(r) for r in spark.sql(out).collect()]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(float(w[1]), abs=1e-9)
+
+
+def test_window_mad_temporal_hinted(spark):
+    # previously emitted invalid SQL (make_dt_interval(...) OVER w)
+    con = _duck()
+    _spark_views(spark)
+    sql = (
+        "SELECT o_orderkey, mad(o_orderdate) OVER "
+        "(PARTITION BY o_orderpriority) AS m FROM orders "
+        "WHERE o_orderkey <= 1000 ORDER BY o_orderkey"
+    )
+    want = con.execute(sql).fetchall()
+    with column_type_hints({"o_orderdate": "date"}):
+        out = translate(sql)
+    got = [tuple(r) for r in spark.sql(out).collect()]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[1] == w[1], (g, w)
+
+
+def test_window_mad_unbounded_plan_is_pandas_free(spark):
+    _spark_views(spark)
+    sql = (
+        "SELECT p_partkey, mad(p_retailprice) OVER (PARTITION BY p_brand)"
+        " AS m FROM part"
+    )
+    plan = spark.sql(translate(sql))._jdf.queryExecution().executedPlan().toString()
+    assert "AggregateInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "percentile" in plan  # median lowers to percentile(...,0.5)
+
+
+def test_window_mad_bails_preserve_old_paths(spark):
+    # grouped query: window mad over group rows keeps the UDAF (bail)
+    out = translate(
+        "SELECT p_brand, mad(sum(p_size)) OVER () AS m FROM part "
+        "GROUP BY p_brand"
+    )
+    assert "median(abs(" not in out
+    # qualified reference in the select list: bail (wrap would unbind)
+    out = translate(
+        "SELECT part.p_partkey, mad(p_size) OVER () AS m FROM part"
+    )
+    assert "__madw" not in out
+    # set operation: each branch handled independently
+    out = translate(
+        "SELECT mad(p_size) OVER () AS m FROM part UNION ALL "
+        "SELECT p_size * 1.0 FROM part"
+    )
+    assert out.count("__madw") == 1
