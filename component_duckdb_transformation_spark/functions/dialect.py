@@ -2504,6 +2504,7 @@ def replace_first_composition(
     jrep = _re2_rewrite_to_java(rep, 2, _count_capture_groups(pat))
     if jrep is None:
         return REPLACE_NOOP
+    pat = _normalize_named_groups_lit(pat)
     if case_insensitive:
         pat = "(?i:" + pat + ")"
     return "^((?s:.*?))((?:" + pat + "))", "$1" + jrep
@@ -2541,6 +2542,125 @@ def _rewrite_valid_re(ngroups: Optional[int]) -> str:
     replace-FIRST return the subject unchanged."""
     dig = "[0-9]" if ngroups is None else "[0-%d]" % min(ngroups, 9)
     return r"^(?:[^\\]|\\\\|\\%s)*$" % dig
+
+
+_NAMED_GROUP_OPEN_RE = re.compile(r"\(\?P?<([A-Za-z_][A-Za-z0-9_]*)>")
+
+
+def _normalize_named_groups_lit(pat: str) -> str:
+    """RE2 named-group opens (``(?P<name>`` — and RE2's newer
+    ``(?<name>`` form) -> plain ``(`` so the pattern compiles in Java
+    (which rejects ``(?P<`` outright and restricts ``(?<name>`` names
+    to alphanumerics). Sound for any RE2 pattern: RE2 has no
+    in-pattern name backrefs, and named groups participate in the
+    numeric ordering, so numbering is unchanged. Escapes and character
+    classes are lexed, not regexed over."""
+    out: List[str] = []
+    i = 0
+    n = len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "\\" and i + 1 < n:
+            out.append(pat[i : i + 2])
+            i += 2
+            continue
+        if c == "[":
+            j = i + 1
+            if j < n and pat[j] == "^":
+                j += 1
+            if j < n and pat[j] == "]":
+                j += 1
+            while j < n and pat[j] != "]":
+                j += 2 if pat[j] == "\\" else 1
+            j = min(j + 1, n)
+            out.append(pat[i:j])
+            i = j
+            continue
+        m = _NAMED_GROUP_OPEN_RE.match(pat, i)
+        if m:
+            out.append("(")
+            i = m.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _normalize_named_groups_toks(pat: List[Token]) -> List[Token]:
+    """JVM-side twin of ``_normalize_named_groups_lit`` for RUNTIME
+    pattern values: one regexp_replace over the VALUE. (The literal
+    character sequence ``(?P<x>`` INSIDE a character class would be
+    corrupted — an un-lexable corner for a single regex — but such a
+    class is meaningless in a real pattern.)"""
+    return (
+        _toks("regexp_replace((")
+        + list(pat)
+        + _toks("), ")
+        + [_encode_spark_string(r"\(\?P?<[A-Za-z_][A-Za-z0-9_]*>")]
+        + _toks(", '(')")
+    )
+
+
+def _max_rewrite_ref(rep: str) -> int:
+    """Highest ``\\N`` group reference in an RE2 rewrite string (0 when
+    none), honoring ``\\\\`` pairs and scanning PAST invalid escapes —
+    RE2 bound-checks every ref in the raw string even after the point
+    where global-mode emission would truncate (verified: ``X\\q\\9Y``
+    with 1 group no-ops in 'g' mode)."""
+    mx = 0
+    i = 0
+    while i < len(rep):
+        if rep[i] == "\\" and i + 1 < len(rep):
+            if rep[i + 1].isdigit():
+                mx = max(mx, int(rep[i + 1]))
+            i += 2
+            continue
+        i += 1
+    return mx
+
+
+# Class-aware strip of escapes and bracket expressions from a PATTERN
+# VALUE, leaving only syntax chars whose parens are countable: applied
+# before counting capturing-group opens at runtime.
+_NGROUPS_STRIP_RE = r"\\.|\[\^?\]?(?:\\.|[^\]])*\]"
+_NGROUPS_PLAIN_OPEN_RE = r"\((?![?])"
+_NGROUPS_NAMED_OPEN_RE = r"\(\?P?<[A-Za-z_]"
+
+
+def _runtime_ngroups_sql(pat_sql: str) -> str:
+    """JVM expression counting the capture groups of a RUNTIME pattern
+    VALUE: strip escapes and character classes, then count plain
+    ``(`` opens (not ``(?``) plus named-group opens (``(?P<name>`` /
+    ``(?<name>`` — both capturing, both counted by RE2's numeric
+    refs)."""
+    strip = _encode_spark_string(_NGROUPS_STRIP_RE).text
+    stripped = f"regexp_replace(({pat_sql}), {strip}, '')"
+    plain = _encode_spark_string(_NGROUPS_PLAIN_OPEN_RE).text
+    named = _encode_spark_string(_NGROUPS_NAMED_OPEN_RE).text
+    return (
+        f"(regexp_count({stripped}, {plain})"
+        f" + regexp_count({stripped}, {named}))"
+    )
+
+
+def _runtime_oob_rlike_sql(rep_sql: str, ng_sql: str) -> str:
+    """True when a RUNTIME rewrite VALUE contains a backref beyond the
+    RUNTIME group count ``ng_sql``: the per-bound guard regexes
+    (``\\\\`` pairs honored) are indexed by the group count at
+    runtime. DuckDB no-ops the whole call on such a value in BOTH
+    replace-first and global modes."""
+    pats = ", ".join(
+        _encode_spark_string(
+            r"^(?:[^\\]|\\[^%d-9])*\\[%d-9]" % (m, m)
+        ).text
+        for m in range(1, 10)
+    )
+    # no CAST: regexp_count is already INT (and an emitted CAST would
+    # be re-expanded by the later DuckDB-exact cast dispatch pass)
+    return (
+        f"(CASE WHEN ({ng_sql}) >= 9 THEN false ELSE ({rep_sql}) RLIKE "
+        f"element_at(array({pats}), ({ng_sql}) + 1) END)"
+    )
 
 
 def _rep_rewrite_chain(
@@ -2593,13 +2713,20 @@ def _replace_first_dynamic(
     (``_re2_rewrite_to_java``; invalid rewrite -> the subject passes
     through unchanged), runtime values translate through the
     ``_rep_rewrite_chain`` string ops behind a validity RLIKE guard
-    (invalid value -> subject unchanged). The one remaining divergence:
-    a runtime PATTERN leaves the backref bound uncheckable, so a
-    runtime ``\\N`` ref beyond that pattern's group count errors in
-    Java where DuckDB no-ops (COVERAGE.md)."""
+    (invalid value -> subject unchanged). A runtime PATTERN adds two
+    more subject-unchanged guards, closing the last r8 divergences:
+    an RE2-invalid pattern VALUE (checked by the ``__re2_valid``
+    Arrow UDF — the duckdb wheel's own RE2, per-distinct-value cache)
+    and a ``\\N`` ref beyond the pattern value's group count (group
+    count lexed at runtime by ``_runtime_ngroups_sql``)."""
     if pat_lit is not None and not _pattern_composable(pat_lit):
         return None
     ngroups = _count_capture_groups(pat_lit) if pat_lit is not None else None
+    if pat_lit is not None:
+        # Java-compilable named-group form; numbering unchanged
+        pat_lit = _normalize_named_groups_lit(pat_lit)
+    else:
+        pat = _normalize_named_groups_toks(pat)
     jrep2 = jrep0 = None
     if rep_lit is not None:
         jrep2 = _re2_rewrite_to_java(rep_lit, 2, ngroups)
@@ -2688,9 +2815,34 @@ def _replace_first_dynamic(
         else _rep_rewrite_chain(rep, 0)
     )
     fallback = _call(fb_pat, fb_rep)
-    head = _toks("(CASE WHEN ")
+    pat_sql = "".join(t.text for t in pat)
+    rep_sql = "".join(t.text for t in rep)
+    ng_sql = _runtime_ngroups_sql(pat_sql)
+    head = (
+        _toks("(CASE WHEN NOT coalesce(__re2_valid((")
+        + list(pat)
+        + _toks(")), true) THEN (")
+        + list(subj)
+        + _toks(") WHEN ")
+    )
     if rep_lit is None:
         head += _rep_valid_guard() + _toks(" WHEN ")
+        head += (
+            _toks(
+                _runtime_oob_rlike_sql("(" + rep_sql + ")", ng_sql)
+                + " THEN ("
+            )
+            + list(subj)
+            + _toks(") WHEN ")
+        )
+    else:
+        maxref = _max_rewrite_ref(rep_lit)
+        if maxref > 0:
+            head += (
+                _toks(f"({ng_sql}) < {maxref} THEN (")
+                + list(subj)
+                + _toks(") WHEN ")
+            )
     return (
         head
         + guard
@@ -4662,17 +4814,27 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                         # semantics (backrefs \N, literal $, invalid
                         # rewrite -> subject unchanged).
                         if "i" not in flags:
-                            pat_toks = list(args[1])
+                            pat_toks = (
+                                [_encode_spark_string(
+                                    _normalize_named_groups_lit(
+                                        _decode_spark_string(pat_code[0])
+                                    )
+                                )]
+                                if pat_is_lit
+                                else _normalize_named_groups_toks(args[1])
+                            )
                         elif pat_is_lit:
                             pat_toks = [_encode_spark_string(
                                 "(?i:"
-                                + _decode_spark_string(pat_code[0])
+                                + _normalize_named_groups_lit(
+                                    _decode_spark_string(pat_code[0])
+                                )
                                 + ")"
                             )]
                         else:
                             pat_toks = (
                                 _toks("concat('(?i:', ")
-                                + list(args[1])
+                                + _normalize_named_groups_toks(args[1])
                                 + _toks(", ')')")
                             )
                         rep_code_g = [
@@ -4691,9 +4853,22 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                             if pat_is_lit
                             else None
                         )
+                        # conditions under which DuckDB returns the
+                        # subject unchanged (each a token list)
+                        guards: List[List[Token]] = []
+                        pat_sql_g = "".join(t.text for t in args[1])
+                        ng_sql_g = _runtime_ngroups_sql(pat_sql_g)
+                        if not pat_is_lit:
+                            # RE2-invalid runtime pattern VALUE no-ops
+                            guards.append(
+                                _toks("NOT coalesce(__re2_valid((")
+                                + list(args[1])
+                                + _toks(")), true)")
+                            )
                         if rep_is_lit_g:
+                            rep_lit_g = _decode_spark_string(rep_code_g[0])
                             j0 = _re2_rewrite_to_java(
-                                _decode_spark_string(rep_code_g[0]),
+                                rep_lit_g,
                                 0,
                                 ngroups_g,
                                 global_mode=True,
@@ -4706,20 +4881,46 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                                 i = close + 1
                                 continue
                             rep_toks = [_encode_spark_string(j0)]
-                            oob_guard = None
+                            if not pat_is_lit:
+                                # bound only checkable at runtime
+                                maxref_g = _max_rewrite_ref(rep_lit_g)
+                                if maxref_g > 0:
+                                    guards.append(
+                                        _toks(
+                                            f"({ng_sql_g}) < {maxref_g}"
+                                        )
+                                    )
                         else:
                             rep_toks = _rep_rewrite_chain(
                                 args[2], 0, truncate=True
                             )
                             # out-of-range refs pre-validate the whole
-                            # VALUE in global mode (checkable only when
-                            # the pattern's group count is known)
-                            oob_guard = None
+                            # VALUE in global mode
                             if ngroups_g is not None and ngroups_g < 9:
                                 m = ngroups_g + 1
-                                oob_guard = (
-                                    r"^(?:[^\\]|\\[^%d-9])*\\[%d-9]"
-                                    % (m, m)
+                                guards.append(
+                                    _toks("((")
+                                    + list(args[2])
+                                    + _toks(") RLIKE ")
+                                    + [
+                                        _encode_spark_string(
+                                            r"^(?:[^\\]|\\[^%d-9])*\\[%d-9]"
+                                            % (m, m)
+                                        )
+                                    ]
+                                    + _toks(")")
+                                )
+                            elif ngroups_g is None:
+                                rep_sql_g = "".join(
+                                    t.text for t in args[2]
+                                )
+                                guards.append(
+                                    _toks(
+                                        _runtime_oob_rlike_sql(
+                                            "(" + rep_sql_g + ")",
+                                            ng_sql_g,
+                                        )
+                                    )
                                 )
                         call_toks = (
                             _toks("regexp_replace(")
@@ -4730,18 +4931,22 @@ def _rewrite_regexp_replace_flags(tokens: List[Token]) -> List[Token]:
                             + rep_toks
                             + [Token("op", ")")]
                         )
-                        if oob_guard is not None:
-                            out.extend(
-                                _toks("(CASE WHEN ((")
-                                + list(args[2])
-                                + _toks(") RLIKE ")
-                                + [_encode_spark_string(oob_guard)]
-                                + _toks(") THEN (")
-                                + list(args[0])
-                                + _toks(") ELSE ")
+                        if guards:
+                            case_toks = _toks("(CASE")
+                            for g in guards:
+                                case_toks += (
+                                    _toks(" WHEN ")
+                                    + g
+                                    + _toks(" THEN (")
+                                    + list(args[0])
+                                    + _toks(")")
+                                )
+                            case_toks += (
+                                _toks(" ELSE ")
                                 + call_toks
                                 + _toks(" END)")
                             )
+                            out.extend(case_toks)
                         else:
                             out.extend(call_toks)
                         i = close + 1

@@ -814,7 +814,50 @@ def register_text_udfs(spark: SparkSession) -> None:
             dtype="object",
         )
 
+    _re2_valid_cache: dict = {}
+
+    @pandas_udf("boolean")
+    def _re2_valid_udf(p: pd.Series) -> pd.Series:
+        # RE2 validity of a RUNTIME regexp pattern VALUE — DuckDB's
+        # regexp_replace silently no-ops on an invalid pattern where
+        # Java raises, so the dialect's guard CASE routes invalid
+        # values back to the subject. RE2 accepts a different set than
+        # Python's re, so validity is checked with RE2 ITSELF via the
+        # statically-linked build in the duckdb wheel (same precedent
+        # as icu_sort_key); one check per DISTINCT value, process-wide
+        # cache. Wheel absent -> assume valid (pre-existing behavior:
+        # the invalid value raises in Java).
+        try:
+            import duckdb
+        except ImportError:
+            return pd.Series(
+                [None if v is None else True for v in p], dtype="object"
+            )
+        con = None
+
+        def one(v):
+            nonlocal con
+            if v is None:
+                return None
+            r = _re2_valid_cache.get(v)
+            if r is None:
+                if con is None:
+                    con = duckdb.connect()
+                try:
+                    con.execute("SELECT regexp_matches('', ?)", [v])
+                    r = True
+                except duckdb.Error:
+                    r = False
+                _re2_valid_cache[v] = r
+            return r
+
+        out = pd.Series([one(v) for v in p], dtype="object")
+        if con is not None:
+            con.close()
+        return out
+
     spark.udf.register("age", _age_udf)
+    spark.udf.register("__re2_valid", _re2_valid_udf)
     spark.udf.register("icu_sort_key", _icu_sort_key_udf)
     spark.udf.register("__yyjson_norm", _yyjson_norm_udf)
     spark.udf.register("__duck_render", _duck_render_udf)

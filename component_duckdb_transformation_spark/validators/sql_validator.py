@@ -79,19 +79,12 @@ def _three_arg_regexp_replace(sql: str) -> bool:
                     return True
                 # dynamic pattern/replacement: translator composes a
                 # runtime-guarded replace-first (anchor/backref pattern
-                # VALUES fall back to replace-all at runtime, rewrite
-                # VALUES get RE2 rewrite translation) unless a literal
-                # part is statically uncomposable. The one remaining
-                # divergence: a \N backref with a DYNAMIC pattern has
-                # no checkable group bound — out-of-range refs error
-                # where DuckDB no-ops.
+                # VALUES fall back to replace-all at runtime; rewrite
+                # VALUES get RE2 rewrite translation; RE2-invalid and
+                # out-of-range-ref values no-op like DuckDB — the group
+                # count is lexed from the pattern value at runtime)
+                # unless a literal part is statically uncomposable.
                 if pat is not None and not _pattern_composable(pat):
-                    return True
-                if (
-                    pat is None
-                    and rep is not None
-                    and _re.search(r"\\[0-9]", rep)
-                ):
                     return True
                 continue
     return False

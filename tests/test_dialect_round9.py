@@ -152,3 +152,74 @@ def test_window_mad_bails_preserve_old_paths(spark):
         "SELECT p_size * 1.0 FROM part"
     )
     assert out.count("__madw") == 1
+
+
+RUNTIME_REGEXP_ROWS = (
+    # (pattern, replacement, flags) — exercised as COLUMN values
+    ("a(b)", r"<\1>", None),      # in-range ref
+    ("a(b)", r"<\2>", None),      # out-of-range ref -> no-op
+    ("a(b)", r"<\2>", "g"),       # out-of-range ref, global -> no-op
+    ("a(", "X", None),            # invalid pattern -> no-op
+    ("a(", "X", "g"),             # invalid pattern, global -> no-op
+    ("[(](b)", r"<\1>", None),    # class-contained paren not a group
+    ("[(](b)", r"<\2>", None),    # ...so \2 is out of range
+    ("(?P<n>a)(b)", r"<\2>", None),  # named group counts toward refs
+    ("a(b)", "X\\qY", None),      # invalid escape -> no-op
+    ("a(b)", "X\\qY", "g"),       # invalid escape, global -> truncate
+    ("a(b)", "X\\q\\9Y", "g"),    # OOB after invalid escape -> no-op
+    ("a(b)(c)?", r"[\2]", None),  # unmatched optional group
+    (None, "X", None),            # NULL pattern -> NULL
+    ("b", None, None),            # NULL replacement -> NULL
+)
+
+
+@pytest.mark.parametrize("subject", ["abc", "a(bc"])
+def test_runtime_regexp_replace_noop_parity(spark, subject):
+    """Runtime (column-valued) patterns/replacements: DuckDB no-ops on
+    invalid pattern values and out-of-range refs where Java raises —
+    the r8 divergences closed in r9."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE rr (id INT, p VARCHAR, r VARCHAR, f VARCHAR)"
+    )
+    for i, (p, r, f) in enumerate(RUNTIME_REGEXP_ROWS):
+        con.execute("INSERT INTO rr VALUES (?, ?, ?, ?)", [i, p, r, f])
+    rows = ", ".join(
+        "({}, {}, {}, {})".format(
+            i,
+            "NULL" if p is None else "'" + p.replace("\\", "\\\\").replace("'", "''") + "'",
+            "NULL" if r is None else "'" + r.replace("\\", "\\\\").replace("'", "''") + "'",
+            "NULL" if f is None else f"'{f}'",
+        )
+        for i, (p, r, f) in enumerate(RUNTIME_REGEXP_ROWS)
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMP VIEW rr AS SELECT * FROM VALUES {rows} "
+        "t(id, p, r, f)"
+    )
+    for form in (
+        f"SELECT id, regexp_replace('{subject}', p, r) AS o FROM rr "
+        "WHERE f IS NULL ORDER BY id",
+        f"SELECT id, regexp_replace('{subject}', p, r, 'g') AS o FROM rr "
+        "WHERE f = 'g' ORDER BY id",
+    ):
+        want = con.execute(form).fetchall()
+        got = [tuple(x) for x in spark.sql(translate(form)).collect()]
+        assert got == want, (form, got, want)
+
+
+def test_runtime_regexp_replace_mixed_literal_sides(spark):
+    # literal replacement + runtime pattern, and vice versa
+    con = duckdb.connect()
+    con.execute("CREATE TABLE rp AS SELECT * FROM (VALUES "
+                "('a(b)'), ('a('), ('(x)(y)'), ('[)]')) t(p)")
+    spark.sql("CREATE OR REPLACE TEMP VIEW rp AS SELECT * FROM VALUES "
+              "('a(b)'), ('a('), ('(x)(y)'), ('[)]') t(p)")
+    for form in (
+        r"SELECT regexp_replace('a(b) x)y', p, '<\2>') AS o FROM rp",
+        r"SELECT regexp_replace('a(b) x)y', p, '<\1>', 'g') AS o FROM rp",
+        r"SELECT regexp_replace('a(b) x)y', p, '<\3>', 'g') AS o FROM rp",
+    ):
+        want = con.execute(form).fetchall()
+        got = [tuple(x) for x in spark.sql(translate(form)).collect()]
+        assert got == want, (form, got, want)

@@ -27,11 +27,16 @@ def test_three_arg_regexp_replace_unshimable_warns():
         "SELECT regexp_replace(s, '^a', 'b') FROM t",       # anchor
         "SELECT regexp_replace(s, '(a)\\1', 'b') FROM t",   # backref
         "SELECT regexp_replace(s, '^a', r) FROM t",         # anchor + dyn rep
-        # dyn pattern + backref rep: group bound uncheckable at runtime
-        "SELECT regexp_replace(s, p, '\\1') FROM t",
     ):
         msgs = check_common_sql_errors(sql)
         assert any("FIRST match" in m for m in msgs), sql
+    # dyn pattern + backref rep: group bound is now checked at RUNTIME
+    # (lexed group count of the pattern value; OOB -> subject), so no
+    # warning remains
+    msgs = check_common_sql_errors(
+        "SELECT regexp_replace(s, p, '\\1') FROM t"
+    )
+    assert not any("FIRST match" in m for m in msgs)
     # literal-pattern rep backref is handled faithfully now (RE2
     # rewrite translation incl. out-of-range no-op): no warning
     msgs = check_common_sql_errors(
