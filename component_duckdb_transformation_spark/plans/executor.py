@@ -3268,6 +3268,48 @@ def _column_list_span(sql: str) -> Optional[tuple[List[Token], int, int]]:
     return None
 
 
+# Words that can never be an (AS-less) alias candidate when computing
+# hint invalidation: clause keywords, operators-as-words, DDL/DML
+# syntax. Conservative in the SAFE direction — a keyword wrongly kept
+# here just keeps a name un-droppable via the bare-alias rule, and the
+# statement almost certainly binds it as syntax, not as a column.
+_HINT_NONALIAS_KWS = frozenset({
+    "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
+    "LIMIT", "OFFSET", "QUALIFY", "WINDOW", "UNION", "EXCEPT",
+    "INTERSECT", "ALL", "DISTINCT", "AS", "ON", "USING", "JOIN",
+    "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "NATURAL", "ASOF",
+    "POSITIONAL", "LATERAL", "OUTER", "SEMI", "ANTI", "AND", "OR",
+    "NOT", "IN", "IS", "NULL", "LIKE", "ILIKE", "SIMILAR", "GLOB",
+    "BETWEEN", "EXISTS", "CASE", "WHEN", "THEN", "ELSE", "END",
+    "CAST", "TRY_CAST", "INTERVAL", "ASC", "DESC", "NULLS", "OVER",
+    "PARTITION", "ROWS", "RANGE", "GROUPS", "PRECEDING", "FOLLOWING",
+    "UNBOUNDED", "CURRENT", "ROW", "FILTER", "WITHIN", "VALUES",
+    "WITH", "RECURSIVE", "SAMPLE", "TABLESAMPLE", "REPEATABLE",
+    "FETCH", "ONLY", "TIES", "ESCAPE", "COLLATE", "TO", "FOR",
+    "IGNORE", "RESPECT", "EXCLUDE", "NO", "OTHERS", "MATERIALIZED",
+    "TRUE", "FALSE", "GROUPING", "SETS", "ROLLUP", "CUBE",
+    "INSERT", "INTO", "UPDATE", "DELETE", "MERGE", "SET", "CREATE",
+    "TABLE", "VIEW", "REPLACE", "TEMP", "TEMPORARY", "IF", "DROP",
+    "ALTER", "ADD", "RENAME", "COLUMN", "CONSTRAINT", "PRIMARY",
+    "KEY", "UNIQUE", "CHECK", "DEFAULT", "REFERENCES", "RETURNING",
+    "CONFLICT", "DO", "NOTHING", "MATCHED", "SOURCE", "TARGET",
+    "PIVOT", "UNPIVOT", "NAME", "VALUE", "COPY", "EXTRACT",
+    "YEAR", "YEARS", "MONTH", "MONTHS", "DAY", "DAYS", "HOUR",
+    "HOURS", "MINUTE", "MINUTES", "SECOND", "SECONDS", "WEEK",
+    "WEEKS", "QUARTER", "DECADE", "CENTURY", "EPOCH", "MILLISECOND",
+    "MILLISECONDS", "MICROSECOND", "MICROSECONDS",
+})
+# keywords that DO end an expression (so a bare identifier after them
+# can still be an alias) — CASE ends, literals, interval units
+_HINT_EXPR_END_KWS = frozenset({
+    "END", "NULL", "TRUE", "FALSE",
+    "YEAR", "YEARS", "MONTH", "MONTHS", "DAY", "DAYS", "HOUR",
+    "HOURS", "MINUTE", "MINUTES", "SECOND", "SECONDS", "WEEK",
+    "WEEKS", "QUARTER", "DECADE", "CENTURY", "MILLISECOND",
+    "MILLISECONDS", "MICROSECOND", "MICROSECONDS",
+})
+
+
 def statement_type_hints(
     spark: SparkSession,
     sql: str,
@@ -3311,12 +3353,94 @@ def statement_type_hints(
             hints[col] = t
     if hints:
         code = [t for _, t in code_tokens(tokenize(sql))]
-        for idx in range(len(code) - 1):
-            nxt = code[idx + 1]
-            if code[idx].is_kw("AS") and nxt.kind in (
-                "word", "bident", "qident",
+        n = len(code)
+        for idx in range(n):
+            t = code[idx]
+            if t.kind not in ("word", "bident", "qident"):
+                continue
+            if t.kind == "word" and (
+                t.upper in _HINT_NONALIAS_KWS or t.text[0].isdigit()
             ):
-                drop.add(unquote_name(nxt).lower())
+                continue
+            prev = code[idx - 1] if idx > 0 else None
+            nxt = code[idx + 1] if idx + 1 < n else None
+            # 'AS name' rebind (any position)
+            if prev is not None and prev.is_kw("AS"):
+                drop.add(unquote_name(t).lower())
+                continue
+            # DuckDB also allows AS-less select-item aliases
+            # ('SELECT expr name'): a name preceded by something that
+            # ENDS an expression and followed by an item terminator is
+            # a rebind too (conservative: over-dropping only loses a
+            # hint, never mis-dispatches)
+            prev_ends_expr = prev is not None and (
+                (prev.kind == "op" and prev.text in (")", "]"))
+                or prev.kind in ("string", "bident", "qident")
+                or (
+                    prev.kind == "word"
+                    and (
+                        prev.upper not in _HINT_NONALIAS_KWS
+                        or prev.upper in _HINT_EXPR_END_KWS
+                    )
+                )
+            )
+            if prev_ends_expr and (
+                nxt is None
+                or (nxt.kind == "op" and nxt.text == ",")
+                or nxt.is_kw("FROM")
+            ):
+                drop.add(unquote_name(t).lower())
+                continue
+            # FROM-alias column lists ('FROM src t(a, b)' /
+            # '(SELECT ...) AS t(a, b)') rebind every listed name
+            if (
+                nxt is not None
+                and nxt.kind == "op"
+                and nxt.text == "("
+                and prev is not None
+                and (
+                    (prev.kind == "op" and prev.text == ")")
+                    or prev.is_kw("AS")
+                    or prev.kind in ("bident", "qident")
+                    or (
+                        prev.kind == "word"
+                        and prev.upper not in _HINT_NONALIAS_KWS
+                    )
+                )
+            ):
+                cols: List[str] = []
+                ok = False
+                expect_ident = True
+                j = idx + 2
+                while j < n:
+                    c = code[j]
+                    if c.kind == "op" and c.text == ")":
+                        ok = not expect_ident and bool(cols)
+                        break
+                    if (
+                        expect_ident
+                        and c.kind in ("word", "bident", "qident")
+                        and not (
+                            c.kind == "word"
+                            and (
+                                c.upper in _HINT_NONALIAS_KWS
+                                or c.text[0].isdigit()
+                            )
+                        )
+                    ):
+                        cols.append(unquote_name(c).lower())
+                        expect_ident = False
+                    elif (
+                        not expect_ident
+                        and c.kind == "op"
+                        and c.text == ","
+                    ):
+                        expect_ident = True
+                    else:
+                        break
+                    j += 1
+                if ok:
+                    drop.update(cols)
     for k in drop:
         hints.pop(k, None)
     return hints

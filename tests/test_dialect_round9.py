@@ -223,3 +223,68 @@ def test_runtime_regexp_replace_mixed_literal_sides(spark):
         want = con.execute(form).fetchall()
         got = [tuple(x) for x in spark.sql(translate(form)).collect()]
         assert got == want, (form, got, want)
+
+
+def test_hint_invalidation_bare_alias_and_from_column_lists(spark):
+    """AS-less select-item aliases and FROM-alias column lists rebind
+    names just like 'AS name' — stale hints must drop (previously only
+    AS rebinds invalidated, so 'SELECT expr name' mis-dispatched a
+    hinted len()/bracket/time-wrap)."""
+    from component_duckdb_transformation_spark.plans.executor import (
+        statement_type_hints,
+    )
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW hint_t AS SELECT array('a','b') AS "
+        "tags, 'x' AS tt, 1 AS k"
+    )
+    deps = ["hint_t"]
+
+    def hints(sql):
+        return statement_type_hints(spark, sql, deps)
+
+    assert hints("SELECT len(tags) FROM hint_t")["tags"].startswith("array")
+    # bare alias terminates with FROM
+    assert "tt" not in hints("SELECT k + 1 tt FROM hint_t")
+    # bare alias terminates with comma; qualified expression before it
+    assert "tt" not in hints("SELECT h.k tt, tags FROM hint_t h")
+    # bare alias after a CASE END / paren close
+    assert "tt" not in hints(
+        "SELECT CASE WHEN k = 1 THEN 2 ELSE 3 END tt FROM hint_t"
+    )
+    assert "tags" not in hints("SELECT (k + 1) tags FROM hint_t")
+    # bare alias after an interval unit
+    assert "tt" not in hints(
+        "SELECT now() + INTERVAL 3 HOUR tt FROM hint_t"
+    )
+    # plain projections do NOT drop
+    h = hints("SELECT tags, tt FROM hint_t ORDER BY k")
+    assert "tags" in h and "tt" in h
+    # FROM-alias column list rebinds the listed names
+    assert "tags" not in hints(
+        "SELECT tags FROM (SELECT tt FROM hint_t) x(tags)"
+    )
+    assert "tt" not in hints("SELECT tt FROM (VALUES (1), (2)) v(tt)")
+    # ...but a function call in FROM position does not false-drop
+    h = hints("SELECT tags FROM hint_t, generate_series(1, 3) g(i)")
+    assert "tags" in h and "i" not in h
+
+
+def test_hint_bare_alias_end_to_end_dispatch(spark):
+    # the ADVICE repro shape: a bare-aliased rebind shadows an
+    # ARRAY-hinted name; len() must dispatch as string length, not
+    # size() (which would be an AnalysisException on a string)
+    from component_duckdb_transformation_spark.plans.executor import (
+        statement_type_hints,
+    )
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW hint_t2 AS SELECT array('a','b') AS "
+        "tt, 'hello' AS s"
+    )
+    sql = "SELECT len(tt) AS n FROM (SELECT s tt FROM hint_t2) q"
+    h = statement_type_hints(spark, sql, ["hint_t2"])
+    assert "tt" not in h
+    with column_type_hints(h):
+        out = translate(sql)
+    assert spark.sql(out).collect()[0][0] == 5
