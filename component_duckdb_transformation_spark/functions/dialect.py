@@ -4155,7 +4155,13 @@ def _rewrite_aggfn_groupby(tokens: List[Token], spec: dict) -> List[Token]:
     if where_body:
         base_sql += " WHERE " + where_body
     if group_text:
-        base_sql += " " + group_text
+        # rebuild from the RESOLVED key expressions — the original
+        # clause may reference select-item ORDINALS (or aliases) whose
+        # positions shift in the base select list once the aggregate
+        # items are dropped ('GROUP BY 1, 3' over 'SELECT k1, mad(x),
+        # k2' must group the base by (k1, k2), not items 1 and 3 of
+        # the rebuilt list)
+        base_sql += " GROUP BY " + ", ".join(f"({k})" for k in keys)
     if having_text:
         base_sql += " " + having_text
 

@@ -288,3 +288,34 @@ def test_hint_bare_alias_end_to_end_dispatch(spark):
     with column_type_hints(h):
         out = translate(sql)
     assert spark.sql(out).collect()[0][0] == 5
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # the ADVICE repro: keys AFTER the aggregate item — positions
+        # shift in the restructured base select list, so the base
+        # GROUP BY must be rebuilt from the resolved expressions
+        "SELECT p_brand, mad(p_retailprice) AS m, p_size FROM part "
+        "GROUP BY 1, 3 ORDER BY p_brand, p_size",
+        "SELECT p_brand, entropy(p_size) AS e, p_type FROM part "
+        "GROUP BY 1, 3 ORDER BY p_brand, p_type",
+        "SELECT upper(p_brand) AS ub, mad(p_retailprice) AS m, "
+        "p_size % 3 AS s3 FROM part GROUP BY 1, 3 ORDER BY ub, s3",
+        # mixed ordinal + name, aggregate in the middle
+        "SELECT p_brand, mad(p_retailprice) AS m, p_size FROM part "
+        "GROUP BY p_brand, 3 ORDER BY p_brand, p_size",
+    ],
+)
+def test_mad_entropy_ordinal_keys_after_aggregate(spark, sql):
+    con = _duck()
+    _spark_views(spark)
+    want = con.execute(sql).fetchall()
+    got = [tuple(r) for r in spark.sql(translate(sql)).collect()]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(wv, float):
+                assert gv == pytest.approx(float(wv), abs=1e-9)
+            else:
+                assert gv == wv
