@@ -1507,22 +1507,24 @@ _POSITIONAL_WRAP_CTE = (
     "ON shiftright({pt}.__mid, 33) = __po.__pid) {al}"
 )
 
-# View names the executor registered whose defining query may shuffle
-# (CREATE VIEW bodies with aggregates/joins/ORDER BY, helper views
-# over computed DataFrames). A bare name in a POSITIONAL JOIN that
-# appears here routes to the CTE wrap. Populated by
-# ``mark_scan_unstable`` from plans/executor.py; bench/driver contexts
-# never populate it (their tables are parquet-backed temp views, which
-# are file-scan stable).
-_SCAN_UNSTABLE_NAMES: set = set()
+# Names KNOWN to be scan-order stable (parquet-backed store views,
+# CREATE VIEW bodies verified shuffle-free, harness-registered parquet
+# temp views). A bare name in a POSITIONAL JOIN takes the zero-shuffle
+# two-scan numbering ONLY when registered here; every unknown name
+# defaults to the rebalance-CTE wrap, which is always safe — a temp
+# view registered outside TableStore over a shuffled DataFrame must
+# not silently misnumber. Opt-in via ``mark_scan_stable``; the
+# executor registers its parquet-backed tables, and the workload
+# harness registers its parquet temp views.
+_SCAN_STABLE_NAMES: set = set()
 
 
 def mark_scan_unstable(name: str) -> None:
-    _SCAN_UNSTABLE_NAMES.add(name.strip('`"').lower())
+    _SCAN_STABLE_NAMES.discard(name.strip('`"').lower())
 
 
 def mark_scan_stable(name: str) -> None:
-    _SCAN_UNSTABLE_NAMES.discard(name.strip('`"').lower())
+    _SCAN_STABLE_NAMES.add(name.strip('`"').lower())
 
 
 # Keywords/functions whose presence anywhere in a subquery primary
@@ -1570,7 +1572,7 @@ def _scan_stable_primary(src: str) -> bool:
     s = src.strip()
     if not s.startswith("("):
         base = s.split(".")[-1].strip('`"').lower()
-        return base not in _SCAN_UNSTABLE_NAMES
+        return base in _SCAN_STABLE_NAMES
     toks = tokenize(s)
     n_ = len(toks)
     for k, t in enumerate(toks):
@@ -1592,7 +1594,9 @@ def _scan_stable_primary(src: str) -> bool:
                     "word", "bident", "qident"
                 ):
                     nm = unquote_name(toks[nk2]).lower()
-                    if nm in _SCAN_UNSTABLE_NAMES:
+                    # FROM VALUES is a LocalRelation: deterministic
+                    # row order, no registration needed
+                    if nm != "values" and nm not in _SCAN_STABLE_NAMES:
                         return False
     return True
 
@@ -9409,9 +9413,27 @@ def _rewrite_call_shims(
                             arg_sqls = [
                                 _sql(inner, s, e) for s, e in args[1:]
                             ]
+                            # bind every argument ONCE in an outer
+                            # lambda struct (volatile args — random(),
+                            # sequence values — must not evaluate twice
+                            # and disagree between the NULL guard and
+                            # the rendered value; expensive args must
+                            # not compute twice). Inside a Python-UDF
+                            # argument the binding would defeat
+                            # ExtractPythonUDFs, so that path keeps the
+                            # repeated-operand form.
+                            bind_args = bool(arg_sqls) and not in_py_udf
+                            arg_refs = (
+                                [
+                                    f"__fmt.__g{k}"
+                                    for k in range(len(arg_sqls))
+                                ]
+                                if bind_args
+                                else arg_sqls
+                            )
                             casted = []
                             for t_, w_, a_ in zip(
-                                typs, bare_widths, arg_sqls
+                                typs, bare_widths, arg_refs
                             ):
                                 # fmtlib receives DECIMAL/DOUBLE args
                                 # as doubles, so {}/{:N} render them
@@ -9541,21 +9563,33 @@ def _rewrite_call_shims(
                                     )
                                 else:
                                     casted.append(a_)
-                            casted += arg_sqls[len(typs):]
+                            casted += arg_refs[len(typs):]
                             rest = ", ".join(casted)
                             tail = f", {rest}" if rest else ""
                             call = f"format_string('{spark_fmt}'{tail})"
                             if arg_sqls:
                                 # DuckDB format() is NULL on ANY null
                                 # argument; Java's format_string prints
-                                # 'null'
+                                # 'null'. The guard tests the BOUND
+                                # values, so it cannot disagree with
+                                # what gets rendered.
                                 guard = " OR ".join(
-                                    f"(({a}) IS NULL)" for a in arg_sqls
+                                    f"(({a}) IS NULL)" for a in arg_refs
                                 )
                                 call = (
                                     f"(CASE WHEN {guard} THEN "
                                     f"CAST(NULL AS STRING) ELSE {call} "
                                     "END)"
+                                )
+                            if bind_args:
+                                struct = ", ".join(
+                                    f"'__g{k}', ({a})"
+                                    for k, a in enumerate(arg_sqls)
+                                )
+                                call = (
+                                    "(element_at(transform(array("
+                                    f"named_struct({struct})), "
+                                    f"__fmt -> {call}), 1))"
                                 )
                             out.extend(_toks(call))
                             i = close + 1

@@ -2562,7 +2562,7 @@ class SparkStatementExecutor:
         tables are parquet-backed temp views), so Spark's strict
         DROP TABLE-vs-VIEW distinction must not leak through."""
         existed = self.spark.catalog.dropTempView(name)
-        mark_scan_stable(name)  # forget any unstable-view registration
+        mark_scan_unstable(name)  # forget any stability registration
         self.store.tables.pop(name, None)
         self.view_order_by.pop(name, None)
         self.primary_keys.pop(name.lower(), None)

@@ -121,6 +121,15 @@ def test_positional_join_values_and_projection_sides(spark):
         "CREATE OR REPLACE TEMP VIEW pb AS "
         "SELECT * FROM VALUES (10),(20) t(v)"
     )
+    # r9: scan stability is OPT-IN (unknown names default to the safe
+    # CTE wrap); raw-registered stable views must declare themselves —
+    # TableStore/_create_view and the workload harness do this
+    from component_duckdb_transformation_spark.functions.dialect import (
+        mark_scan_stable,
+    )
+
+    mark_scan_stable("pa")
+    mark_scan_stable("pb")
     for sql in (
         "SELECT * FROM pa POSITIONAL JOIN pb",
         "SELECT * FROM (SELECT id FROM pa WHERE id > 1) l POSITIONAL JOIN pb",

