@@ -765,14 +765,39 @@ def main() -> int:
             chunk_seed = seed * 1000003 + k
             print(f"# chunk {k}: --n {chunk} --seed {chunk_seed}",
                   file=sys.stderr)
-            r = subprocess.run(
-                [sys.executable, __file__, "--n", str(chunk),
-                 "--seed", str(chunk_seed), "--sf", sf],
-                capture_output=True, text=True, timeout=1800,
-            )
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__, "--n", str(chunk),
+                     "--seed", str(chunk_seed), "--sf", sf],
+                    capture_output=True, text=True, timeout=1800,
+                )
+            except subprocess.TimeoutExpired as exc:
+                # a hung chunk must not crash the whole campaign: count
+                # it as a distinct failure and keep going
+                print(f"# chunk {k} TIMED OUT after 1800s "
+                      f"(--n {chunk} --seed {chunk_seed})",
+                      file=sys.stderr)
+                if exc.stderr:
+                    err = exc.stderr
+                    if isinstance(err, bytes):
+                        err = err.decode(errors="replace")
+                    sys.stderr.write(err[-4000:])
+                total += 1
+                remaining -= chunk
+                k += 1
+                continue
             sys.stdout.write(r.stdout)
             m = re.search(r"(\d+) mismatches over", r.stdout)
-            total += int(m.group(1)) if m else 1
+            if m:
+                total += int(m.group(1))
+            else:
+                # a chunk that died without printing its summary line
+                # is a crash, not "1 mismatch": surface its stderr
+                print(f"# chunk {k} CRASHED without a summary "
+                      f"(--n {chunk} --seed {chunk_seed}, "
+                      f"exit {r.returncode})", file=sys.stderr)
+                sys.stderr.write((r.stderr or "")[-4000:])
+                total += 1
             remaining -= chunk
             k += 1
         print(f"\n{total} mismatches over {n} expressions "
