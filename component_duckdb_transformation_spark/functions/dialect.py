@@ -6299,6 +6299,60 @@ def _round_double_sql(x: str, k: int) -> str:
     )
 
 
+def _round_double_dynamic_sql(x: str, k_sql: str) -> str:
+    """``round(x, k)`` with a RUNTIME scale: Spark's round() rejects a
+    non-foldable scale outright (NON_FOLDABLE_INPUT), so the dynamic
+    form lowers to the same scaled-multiply arithmetic as
+    ``_round_double_sql`` with the power picked from a literal-double
+    array at runtime (element_at of '1e0'..'1e15' — exactly the values
+    the literal branch parses). DuckDB-exact for k in [-15, 15];
+    |k| > 15 clamps to +/-15 (beyond that the 2^53 guard returns the
+    input unchanged for all but subnormal-scale corners — DuckDB's own
+    unclamped arithmetic agrees on every probed case). DECIMAL inputs
+    raise, exactly like DuckDB ('ROUND(DECIMAL, INTEGER) with
+    non-constant precision is not supported'); INTEGER inputs take the
+    DOUBLE path (DuckDB's int/double union typing). Everything is
+    lambda-bound once."""
+    pows = ", ".join(f"1e{d}" for d in range(16))
+    vd, kk, pk = "__r2.vd", "__r2.kk", "__r2.pk"
+    s = "__r3.s"
+    neg_r = f"-(CAST(floor(-({s}) + 0.5D) AS DOUBLE))"
+    pos_r = f"floor({s} + 0.5D)"
+
+    def unscale(r: str) -> str:
+        return f"(CASE WHEN {kk} >= 0 THEN {r} / {pk} ELSE {r} * {pk} END)"
+
+    core = (
+        f"CASE WHEN isnan({vd}) OR abs({s}) >= 9.007199254740992e15 "
+        f"THEN {vd} "
+        f"WHEN {vd} < 0 OR startswith(CAST({vd} AS STRING), '-') "
+        f"THEN {unscale(neg_r)} "
+        f"ELSE {unscale(pos_r)} END"
+    )
+    lvl3 = (
+        "element_at(transform(array(named_struct('s', "
+        f"CASE WHEN {kk} >= 0 THEN {vd} * {pk} ELSE {vd} / {pk} END)), "
+        f"__r3 -> {core}), 1)"
+    )
+    clamp = "least(greatest(__rk.k, -15), 15)"
+    lvl2 = (
+        "element_at(transform(array(named_struct("
+        "'vd', CAST(__rk.v AS DOUBLE), "
+        f"'kk', {clamp}, "
+        f"'pk', element_at(array({pows}), abs({clamp}) + 1))), "
+        f"__r2 -> {lvl3}), 1)"
+    )
+    return (
+        "(element_at(transform(array(named_struct("
+        f"'v', ({x}), 'k', CAST(({k_sql}) AS INT))), __rk -> "
+        "CASE WHEN typeof(__rk.v) LIKE 'decimal%' THEN "
+        "CAST(raise_error('ROUND(DECIMAL, INTEGER) with non-constant "
+        "precision is not supported') AS DOUBLE) "
+        f"WHEN __rk.k IS NULL THEN CAST(NULL AS DOUBLE) ELSE {lvl2} END"
+        "), 1))"
+    )
+
+
 def _duck_round_double_py(v: float, k: int) -> float:
     """Python twin of ``_round_double_sql``'s DOUBLE branch (same ops
     on the same doubles — ``1e{k}`` and ``10.0**k`` parse identically
@@ -6449,6 +6503,35 @@ def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
                     )
                     i = close + 1
                     continue
+                if len(args) == 2:
+                    # non-literal scale: Spark round() would reject it
+                    # at analysis (NON_FOLDABLE_INPUT); a literal int
+                    # beyond 15 keeps Spark round (documented corner)
+                    k_code2 = [
+                        t for t in args[1] if t.kind not in ("ws", "comment")
+                    ]
+                    lit_out_of_range = (
+                        len(k_code2) == 1
+                        and k_code2[0].kind in ("number", "word")
+                        and k_code2[0].text.isdigit()
+                    ) or (
+                        len(k_code2) == 2
+                        and k_code2[0].kind == "op"
+                        and k_code2[0].text == "-"
+                        and k_code2[1].text.isdigit()
+                    )
+                    if not lit_out_of_range:
+                        x = "".join(
+                            t.text for t in _rewrite_round_double(args[0])
+                        ).strip()
+                        ks = "".join(
+                            t.text for t in _rewrite_round_double(args[1])
+                        ).strip()
+                        out.extend(
+                            _toks(_round_double_dynamic_sql(x, ks))
+                        )
+                        i = close + 1
+                        continue
         out.append(tok)
         i += 1
     return out

@@ -272,6 +272,12 @@ _add_sql(
     "PERCENTILE_CONT/DISC WITHIN GROUP (EP:36-39, EP:71-78; V:130-136)",
 )
 
+# q09/q30 intentionally run UNPARTITIONED windows (WindowExec "No
+# Partition Defined" warnings): their SQL semantics demand a single
+# global order — q09 LAGs over a ~2.4k-row post-aggregate daily series,
+# q30 runs a running total over the customer DIMENSION. Both inputs are
+# aggregate/dimension sized, so the single ordered partition is the
+# correct plan, not a missed partitioning.
 _add_sql(
     "q09_window_lag_growth",
     """

@@ -381,3 +381,48 @@ def test_positional_join_unknown_view_defaults_to_safe_wrap(spark):
     assert len(out) == 7
     assert sorted(r.n for r in out) == list(range(1, 8))
     assert sorted(r.g for r in out) == list(range(7))
+
+
+def test_round_dynamic_scale_parity(spark):
+    """round(x, k) with a COLUMN-valued scale: Spark rejects a
+    non-foldable scale outright, so the dynamic form lowers to the
+    DuckDB-exact scaled-multiply arithmetic with a runtime power."""
+    con = _duck()
+    _spark_views(spark)
+    for sql in (
+        "SELECT p_partkey, round(p_retailprice, p_size % 4) AS r "
+        "FROM part ORDER BY p_partkey",
+        "SELECT p_partkey, round(p_retailprice, -(p_size % 3)) AS r "
+        "FROM part ORDER BY p_partkey",
+        # integer input takes the DOUBLE path (int/double union type)
+        "SELECT p_partkey, round(p_size * 111, -CAST(p_partkey % 3 AS INT)) AS r "
+        "FROM part ORDER BY p_partkey",
+        # representation-boundary value, dynamic scale
+        "SELECT round(0.125::DOUBLE, k) AS r, round(-33239.3875::DOUBLE,"
+        " k + 1) AS r2 FROM (SELECT 2 AS k UNION ALL SELECT 1) "
+        "ORDER BY r, r2",
+        # NULL scale -> NULL
+        "SELECT round(1.5::DOUBLE, CAST(NULL AS INT) + p_size * 0) AS r "
+        "FROM part LIMIT 3",
+    ):
+        want = con.execute(sql).fetchall()
+        got = [tuple(r) for r in spark.sql(translate(sql)).collect()]
+        assert len(got) == len(want), sql
+        for g, w in zip(got, want):
+            for gv, wv in zip(g, w):
+                if isinstance(wv, float) and gv is not None:
+                    assert gv == float(wv), (sql, g, w)
+                else:
+                    assert gv == wv or (gv is None and wv is None), (sql, g, w)
+
+
+def test_round_dynamic_scale_decimal_raises(spark):
+    # DuckDB: 'ROUND(DECIMAL, INTEGER) with non-constant precision is
+    # not supported' — the dynamic path raises the same way
+    _spark_views(spark)
+    sql = translate(
+        "SELECT round(CAST(1.234 AS DECIMAL(10,3)), p_size % 3) AS r "
+        "FROM part LIMIT 2"
+    )
+    with pytest.raises(Exception, match="non-constant precision"):
+        spark.sql(sql).collect()
