@@ -2889,14 +2889,51 @@ _ROUND_PRODUCT_TEMPLATE = f"({_PRODUCT_SIGN_SQL} * round({_PRODUCT_ABS_SQL}, __N
 # evaluated once. O(distinct * n) per group and O(n) group memory —
 # fine for categorical columns; for high-cardinality-per-group entropy
 # restructure as a two-level grouped subquery instead.
-_ENTROPY_TEMPLATE = (
-    "(element_at(transform(array(collect_list(__E0)), __arr ->"
-    " aggregate(array_distinct(__arr), CAST(0 AS DOUBLE),"
-    " (__acc, __v) -> __acc"
-    " - (size(filter(__arr, __e -> __e = __v)) / CAST(size(__arr) AS DOUBLE))"
-    " * log2(size(filter(__arr, __e -> __e = __v)) / CAST(size(__arr) AS DOUBLE))"
-    ")), 1))"
-)
+# Loud memory bound for the collect_list templates: the whole group
+# lands in ONE aggregation buffer, so a pathological group must raise
+# (with a pointer to the scale path) before the sort/transform stages
+# multiply the array 3x — not OOM an executor. 2^25 doubles = 256 MB.
+_TEMPLATE_GROUP_LIMIT = 1 << 25
+
+
+def _guard_arr(v: str) -> str:
+    """Size guard over a LAMBDA-BOUND collected array: both branches
+    are the same array type (slice's length argument carries the
+    raise_error), so the guard composes anywhere the array does."""
+    lim = _TEMPLATE_GROUP_LIMIT
+    return (
+        f"(CASE WHEN size({v}) > {lim} THEN slice({v}, 1, "
+        f"CAST(raise_error('mad/entropy/histogram fallback template: "
+        f"group exceeds {lim} collected elements; restructure the "
+        f"query so the two-phase grouped plan applies') AS INT)) "
+        f"ELSE {v} END)"
+    )
+
+
+_DISTINCT_PREFIX_RE = re.compile(r"^\s*DISTINCT\b\s*", re.IGNORECASE)
+
+
+def _split_distinct_prefix(arg_sql: str):
+    """('core', had_distinct) for an aggregate argument that may carry
+    a DISTINCT qualifier (mad(DISTINCT x) / entropy(DISTINCT x))."""
+    m = _DISTINCT_PREFIX_RE.match(arg_sql)
+    if m:
+        return arg_sql[m.end():], True
+    return arg_sql, False
+
+
+def _entropy_template() -> str:
+    # built per call so _TEMPLATE_GROUP_LIMIT patches apply; the extra
+    # __arr0 binding level applies the size guard ONCE per group
+    return (
+        "(element_at(transform(array(collect_list(__E0)), __arr0 ->"
+        f" element_at(transform(array({_guard_arr('__arr0')}), __arr ->"
+        " aggregate(array_distinct(__arr), CAST(0 AS DOUBLE),"
+        " (__acc, __v) -> __acc"
+        " - (size(filter(__arr, __e -> __e = __v)) / CAST(size(__arr) AS DOUBLE))"
+        " * log2(size(filter(__arr, __e -> __e = __v)) / CAST(size(__arr) AS DOUBLE))"
+        ")), 1)), 1))"
+    )
 
 def _mad_integer_domain(arg_sql: str) -> bool:
     """True when a mad() argument is the temporal shim's epoch-micros
@@ -2942,17 +2979,23 @@ def _mad_template(arg_sql: str) -> str:
     memory, same documented bound as the entropy/histogram
     templates — the restructured two-phase plan remains the scale
     path."""
+    core, is_distinct = _split_distinct_prefix(arg_sql)
     med1 = _mad_median_sql("__s1")
     med2 = _mad_median_sql("__s2")
-    if _mad_integer_domain(arg_sql):
+    if _mad_integer_domain(core):
         med1 = _mad_round_sql(med1)
         med2 = _mad_round_sql(med2)
+    # DISTINCT dedupes INSIDE the aggregate, bounding the buffer at the
+    # distinct count; the size guard raises loudly (with the scale-path
+    # pointer) before the sort/transform stages triple the array
+    collected = ("collect_list(DISTINCT " if is_distinct else "collect_list(") + core + ")"
     return (
-        "(element_at(transform(array(array_sort(collect_list("
-        f"{arg_sql}))), __s1 -> "
+        f"(element_at(transform(array({collected}), __s0 -> "
+        f"element_at(transform(array(array_sort({_guard_arr('__s0')}))"
+        ", __s1 -> "
         "element_at(transform(array(array_sort(transform(__s1, "
         f"__v -> abs(__v - {med1})))), __s2 -> {med2}), 1)"
-        "), 1))"
+        "), 1)), 1))"
     )
 
 
@@ -2962,12 +3005,14 @@ def _mad_template(arg_sql: str) -> str:
 # * n) per group and O(n) group memory — the same documented bound as
 # the entropy template; restructure to a two-level GROUP BY upstream for
 # high-cardinality groups.
-_HISTOGRAM_TEMPLATE = (
-    "(element_at(transform(array(collect_list(__E0)), __harr ->"
-    " map_from_entries(transform(array_sort(array_distinct(__harr)),"
-    " __hv -> struct(__hv, CAST(size(filter(__harr, __he -> __he = __hv))"
-    " AS BIGINT))))), 1))"
-)
+def _histogram_template() -> str:
+    return (
+        "(element_at(transform(array(collect_list(__E0)), __harr0 ->"
+        f" element_at(transform(array({_guard_arr('__harr0')}), __harr ->"
+        " map_from_entries(transform(array_sort(array_distinct(__harr)),"
+        " __hv -> struct(__hv, CAST(size(filter(__harr, __he -> __he = __hv))"
+        " AS BIGINT))))), 1)), 1))"
+    )
 
 
 # keywords that end an ORDER BY sort-item list at top level
@@ -3531,8 +3576,8 @@ def _rewrite_product_entropy(tokens: List[Token]) -> List[Token]:
                     arg = _rewrite_product_entropy(args[0])
                     tmpl = {
                         "product": _PRODUCT_TEMPLATE,
-                        "entropy": _ENTROPY_TEMPLATE,
-                        "histogram": _HISTOGRAM_TEMPLATE,
+                        "entropy": _entropy_template(),
+                        "histogram": _histogram_template(),
                     }[tok.text.lower()]
                     out.extend(_splice_template(tmpl, {"__E0": arg}))
                     i = close + 1
@@ -4196,10 +4241,14 @@ def _rewrite_aggfn_groupby(tokens: List[Token], spec: dict) -> List[Token]:
 
 def _entropy_make_sub(arg, j, keys, from_text, where_body, tag="e"):
     """Two chained hash aggregates: per-(group, value) counts, then the
-    Shannon identity over the counts."""
+    Shannon identity over the counts. entropy(DISTINCT x) counts every
+    distinct value once (frequency 1 -> H = log2(n_distinct), DuckDB
+    semantics) — the same grouped plan, constant count."""
     m = len(keys)
+    arg, is_distinct = _split_distinct_prefix(arg)
+    cnt = "CAST(1 AS BIGINT)" if is_distinct else "count(*)"
     inner_cols = [f"({k}) AS __egk{tag}_{i}" for i, k in enumerate(keys)]
-    inner_cols += [f"({arg}) AS __evv", "count(*) AS __ec"]
+    inner_cols += [f"({arg}) AS __evv", f"{cnt} AS __ec"]
     inner_where = f"({arg}) IS NOT NULL"
     if where_body:
         inner_where = f"({where_body}) AND " + inner_where
@@ -4237,25 +4286,42 @@ def _mad_make_sub(arg, j, keys, from_text, where_body, tag="m"):
     partials, no per-group column materialization (the pandas-UDF
     fallback gathers one group's column per task)."""
     m = len(keys)
+    arg, is_distinct = _split_distinct_prefix(arg)
     where = f" WHERE {where_body}" if where_body else ""
     val = f"CAST(({arg}) AS DOUBLE)"
     dev_cols = [f"({k}) AS __egk{tag}_{i}" for i, k in enumerate(keys)]
+    # mad(DISTINCT x): dedupe (group, value) pairs BEFORE either
+    # median — same two-phase grouped plan over the distinct multiset
     dev_sql = (
-        "SELECT " + ", ".join(dev_cols + [f"{val} AS __mv"])
+        "SELECT " + ("DISTINCT " if is_distinct else "")
+        + ", ".join(dev_cols + [f"{val} AS __mv"])
         + " " + from_text + where
     )
-    med_cols = [f"({k}) AS __egk{tag}_{i}" for i, k in enumerate(keys)]
     med_group = (
         " GROUP BY " + ", ".join(str(i) for i in range(1, m + 1))
         if m else ""
     )
-    med_agg = f"median({val})"
-    if _mad_integer_domain(arg):
-        med_agg = _mad_round_sql(med_agg)
-    med_sql = (
-        "SELECT " + ", ".join(med_cols + [f"{med_agg} AS __med"])
-        + " " + from_text + where + med_group
-    )
+    if is_distinct:
+        med_agg = "median(__mv)"
+        if _mad_integer_domain(arg):
+            med_agg = _mad_round_sql(med_agg)
+        med_sql = (
+            "SELECT "
+            + ", ".join(
+                [f"__egk{tag}_{i}" for i in range(m)]
+                + [f"{med_agg} AS __med"]
+            )
+            + f" FROM ({dev_sql}) __mdd{tag}" + med_group
+        )
+    else:
+        med_cols = [f"({k}) AS __egk{tag}_{i}" for i, k in enumerate(keys)]
+        med_agg = f"median({val})"
+        if _mad_integer_domain(arg):
+            med_agg = _mad_round_sql(med_agg)
+        med_sql = (
+            "SELECT " + ", ".join(med_cols + [f"{med_agg} AS __med"])
+            + " " + from_text + where + med_group
+        )
     on = (
         " AND ".join(
             f"__mf.__egk{tag}_{i} <=> __mm.__egk{tag}_{i}"
@@ -4546,7 +4612,13 @@ def _rewrite_mad_window(tokens: List[Token]) -> List[Token]:
                                         p_end = kk
                                         break
                                 pspec = _sql(tokens, sp_open + 1, p_end)
-                                full = _window_spec_full_partition(spec)
+                                full = (
+                                    _window_spec_full_partition(spec)
+                                    # DISTINCT window aggregates can't
+                                    # lower to median(): keep the old
+                                    # path (loud on both engines)
+                                    and not _DISTINCT_PREFIX_RE.match(arg)
+                                )
                                 # the spec text survives in the OUTER
                                 # scope (and a non-lowered call entirely
                                 # so); dotted names there would unbind
@@ -8483,16 +8555,20 @@ def _rewrite_call_shims(
                     # the restructure can't lift are lowered by the
                     # trailing _rewrite_mad_fallback_template pass.
                     a = _sql(inner, *args[0])
+                    # DISTINCT qualifier hoists OUTSIDE the cast so the
+                    # restructure/template can dedupe before the medians
+                    a, mad_distinct = _split_distinct_prefix(a)
+                    dq = "DISTINCT " if mad_distinct else ""
                     if _static_temporal_sql(a):
                         out.extend(
                             _toks(
                                 f"make_dt_interval(0, 0, 0, "
-                                f"mad(CAST(unix_micros(CAST(({a}) AS "
+                                f"mad({dq}CAST(unix_micros(CAST(({a}) AS "
                                 f"TIMESTAMP_LTZ)) AS DOUBLE)) / 1000000.0D)"
                             )
                         )
                     else:
-                        out.extend(_toks(f"mad(CAST(({a}) AS DOUBLE))"))
+                        out.extend(_toks(f"mad({dq}CAST(({a}) AS DOUBLE))"))
                     i = close + 1
                     continue
                 if low == "substring_grapheme" and len(args) == 2:

@@ -426,3 +426,73 @@ def test_round_dynamic_scale_decimal_raises(spark):
     )
     with pytest.raises(Exception, match="non-constant precision"):
         spark.sql(sql).collect()
+
+
+def test_mad_entropy_distinct_args(spark):
+    """mad(DISTINCT x) / entropy(DISTINCT x): previously emitted
+    invalid SQL ('(DISTINCT x) AS ...'); now the restructure dedupes
+    before the medians / counts each distinct value once."""
+    con = _duck()
+    _spark_views(spark)
+    for sql in (
+        "SELECT round(CAST(mad(DISTINCT p_retailprice) AS DOUBLE), 6)"
+        " AS m FROM part",
+        "SELECT p_brand, round(CAST(mad(DISTINCT p_size) AS DOUBLE), 6)"
+        " AS m FROM part GROUP BY p_brand ORDER BY p_brand",
+        "SELECT round(entropy(DISTINCT p_size), 9) AS e FROM part",
+        "SELECT p_brand, round(entropy(DISTINCT p_size), 9) AS e, "
+        "round(entropy(p_size), 9) AS e2 FROM part "
+        "GROUP BY p_brand ORDER BY p_brand",
+    ):
+        want = con.execute(sql).fetchall()
+        got = [tuple(r) for r in spark.sql(translate(sql)).collect()]
+        assert len(got) == len(want), sql
+        for g, w in zip(got, want):
+            for gv, wv in zip(g, w):
+                if isinstance(wv, float):
+                    assert gv == pytest.approx(float(wv), abs=1e-9), (sql, g, w)
+                else:
+                    assert gv == wv
+
+
+def test_mad_distinct_fallback_template(spark):
+    # DISTINCT-select shape: the restructure bails, the collect_list
+    # template must dedupe INSIDE the aggregate (bounded buffer)
+    con = _duck()
+    _spark_views(spark)
+    sql = (
+        "SELECT DISTINCT p_brand, round(CAST(mad(DISTINCT p_size) AS "
+        "DOUBLE), 6) AS m FROM part GROUP BY p_brand ORDER BY p_brand"
+    )
+    out = translate(sql)
+    assert "collect_list(DISTINCT" in out
+    want = con.execute(sql).fetchall()
+    got = [tuple(r) for r in spark.sql(out).collect()]
+    assert got == [
+        (w[0], pytest.approx(float(w[1]), abs=1e-9)) for w in want
+    ] or all(
+        g[0] == w[0] and g[1] == pytest.approx(float(w[1]), abs=1e-9)
+        for g, w in zip(got, want)
+    )
+
+
+def test_template_group_size_guard_raises(spark, monkeypatch):
+    # a group past the limit raises loudly instead of OOMing through
+    # the template's 3x array copies
+    from component_duckdb_transformation_spark.functions import dialect
+
+    _spark_views(spark)
+    monkeypatch.setattr(dialect, "_TEMPLATE_GROUP_LIMIT", 100)
+    sql = translate(
+        "SELECT DISTINCT round(CAST(mad(p_retailprice) AS DOUBLE), 4) "
+        "AS m FROM part"
+    )
+    assert "raise_error" in sql
+    with pytest.raises(Exception, match="group exceeds 100"):
+        spark.sql(sql).collect()
+    monkeypatch.undo()
+    sql2 = translate(
+        "SELECT DISTINCT round(CAST(mad(p_retailprice) AS DOUBLE), 4) "
+        "AS m FROM part"
+    )
+    assert spark.sql(sql2).collect()[0][0] is not None
