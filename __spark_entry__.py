@@ -2,12 +2,13 @@
 
 Delegates to ``component_duckdb_transformation_spark.workloads`` — the
 single registry of every implemented operator/query from SURVEY.md §2
-(core SQL + dialect surface q01-q65, incl. product/entropy/whole-table-
+(core SQL + dialect surface q01-q66, incl. product/entropy/whole-table-
 mad two-phase rewrites, COLUMNS() expansion, GROUP/ORDER BY ALL,
 recursive CTEs, ASOF JOIN, window frame EXCLUDE, distributed
 POSITIONAL JOIN, TIME midnight-wrap, variant-exact JSON ->, fmt-exact
-double rendering, and schema-hinted type dispatch from dependency
-schemas) plus the LLM-pipeline extensions (dedup, similarity,
+double rendering, schema-hinted type dispatch from dependency
+schemas, and the round-9 surfaces: built-in window mad, dynamic-scale
+round(), runtime-regexp no-op parity, DISTINCT mad/entropy) plus the LLM-pipeline extensions (dedup, similarity,
 sampling, temporal, text analysis, multimodal, streaming, connected
 components, PII redaction, sequence packing, decontamination,
 SemDeDup semantic dedup, streaming LSH dedup, bigram-LM quality:

@@ -1249,6 +1249,37 @@ _add_sql(
     "DISTINCT ON pick-first rewrite + lambda list functions + list_sum",
 )
 
+_add_sql(
+    "q66_round9_surfaces",
+    r"""
+    SELECT p_brand,
+           round(CAST(max(wm) AS DOUBLE), 6) AS wmad,
+           round(CAST(mad(DISTINCT p_size) AS DOUBLE), 6) AS mad_d,
+           round(entropy(DISTINCT p_size), 9) AS ent_d,
+           round(max(rdyn), 6) AS r_dyn,
+           min(rr1) AS rr_invalid_dyn,
+           min(rr2) AS rr_oob_dyn
+    FROM (
+      SELECT p_brand, p_size, p_retailprice,
+             mad(p_retailprice) OVER (PARTITION BY p_brand) AS wm,
+             round(p_retailprice, p_size % 4) AS rdyn,
+             regexp_replace(p_name, p_type || '(', 'X') AS rr1,
+             regexp_replace(p_name,
+                            '(' || substr(p_type, 1, 2) || ')',
+                            '<\2>') AS rr2
+      FROM part) q
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    description="round-9 surfaces in one row: full-partition-frame "
+    "window mad() lowered to built-in window medians (no pandas UDAF), "
+    "mad(DISTINCT)/entropy(DISTINCT) deduped two-phase plans, "
+    "dynamic-scale round() via the runtime power array, and runtime "
+    "regexp_replace no-ops (RE2-invalid pattern VALUE via the "
+    "__re2_valid guard; out-of-range backref against the runtime-lexed "
+    "group count) — identical SQL runs on both engines",
+)
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (driver north star): dedup / similarity /
 # text analysis / multimodal / as-of
