@@ -2903,7 +2903,7 @@ def _guard_arr(v: str) -> str:
     lim = _TEMPLATE_GROUP_LIMIT
     return (
         f"(CASE WHEN size({v}) > {lim} THEN slice({v}, 1, "
-        f"CAST(raise_error('mad/entropy/histogram fallback template: "
+        f"CAST(raise_error('collect_list fallback template: "
         f"group exceeds {lim} collected elements; restructure the "
         f"query so the two-phase grouped plan applies') AS INT)) "
         f"ELSE {v} END)"
@@ -6765,7 +6765,8 @@ _BIND_THRESHOLD = 160
 # __duck_render Python twin (chained Python UDFs extract fine) and
 # ceil/floor/trunc keep their lambda-free repeated-operand form there.
 _PY_UDF_FNS = frozenset({
-    "age", "icu_sort_key", "__yyjson_norm", "current_setting", "mad",
+    "age", "icu_sort_key", "__yyjson_norm", "__re2_valid",
+    "current_setting", "mad",
     "length_grapheme", "left_grapheme", "right_grapheme",
     "substring_grapheme", "json_contains", "json_structure",
     "strip_accents", "nfc_normalize", "nextafter", "jaro_similarity",

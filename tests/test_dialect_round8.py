@@ -23,21 +23,31 @@ from component_duckdb_transformation_spark.functions.dialect import (
 
 
 def test_scan_stable_classifier():
-    # bare names: stable unless registered unstable
+    # r9: bare names are stable only when REGISTERED (opt-in whitelist;
+    # unknown names take the always-safe CTE wrap)
+    assert not _scan_stable_primary("nation_unregistered")
+    mark_scan_stable("nation")
+    mark_scan_stable("region")
+    mark_scan_stable("`quoted name`")
     assert _scan_stable_primary("nation")
     assert _scan_stable_primary("`quoted name`")
     mark_scan_unstable("shuffly_view")
     try:
         assert not _scan_stable_primary("shuffly_view")
         assert not _scan_stable_primary("(SELECT a FROM shuffly_view)")
-    finally:
         mark_scan_stable("shuffly_view")
-    assert _scan_stable_primary("shuffly_view")
-    # projection/filter-only subqueries: stable
+        assert _scan_stable_primary("shuffly_view")
+    finally:
+        mark_scan_unstable("shuffly_view")
+    # projection/filter-only subqueries over REGISTERED names: stable
     assert _scan_stable_primary("(SELECT r_name FROM region)")
     assert _scan_stable_primary(
         "(SELECT r_name, upper(r_comment) FROM region WHERE r_regionkey > 1)"
     )
+    # ...but not over unregistered names
+    assert not _scan_stable_primary("(SELECT a FROM never_marked_t)")
+    # FROM VALUES needs no registration (LocalRelation)
+    assert _scan_stable_primary("(SELECT * FROM VALUES (1),(2) t(v))")
     # anything that can plan an Exchange (or is row-nondeterministic)
     for src in (
         "(SELECT k, sum(v) FROM t GROUP BY k)",
