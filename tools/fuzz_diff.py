@@ -363,14 +363,56 @@ def round6_item(g: random.Random) -> str:
     )
 
 
+def r9_scalar_item(g: random.Random) -> str:
+    """Round-9 surfaces: dynamic-scale round() and RUNTIME-pattern
+    regexp_replace (RE2-invalid values and out-of-range backrefs must
+    no-op like DuckDB; the group count is lexed at runtime)."""
+    r = g.random()
+    if r < 0.35:
+        col = g.choice(NUM_COLS)
+        k = g.choice(
+            [
+                f"CAST({g.choice(INT_COLS)} % 4 AS INT)",
+                f"CAST(-({g.choice(INT_COLS)} % 3) AS INT)",
+                f"CAST({g.choice(INT_COLS)} % 7 - 3 AS INT)",
+            ]
+        )
+        return f"round({col}, {k})"
+    subj = f"({g.choice(STR_COLS)} || '-tail')"
+    pat = g.choice(
+        [
+            f"{g.choice(STR_COLS)} || '('",           # invalid value
+            f"'(' || {g.choice(STR_COLS)} || ')'",    # 1 group
+            f"'((' || {g.choice(STR_COLS)} || '))'",  # 2 groups
+            f"{g.choice(STR_COLS)}",                  # 0 groups
+            "'[' || l_returnflag",                    # invalid class
+        ]
+    )
+    rep = g.choice(
+        [
+            "'X'",
+            r"'<\1>'",
+            r"'<\2>'",
+            r"'<\3>'",
+            r"'a\qb'",
+            r"'\0|'",
+            "l_linestatus || '_'",
+        ]
+    )
+    flags = g.choice(["", ", 'g'", ", 'g'"])
+    return f"regexp_replace({subj}, {pat}, {rep}{flags})"
+
+
 def scalar_item(g: random.Random) -> str:
     r = g.random()
     if r < 0.38:
         return num_expr(g)
     if r < 0.56:
         return str_expr(g)
-    if r < 0.66:
+    if r < 0.62:
         return json_item(g)
+    if r < 0.66:
+        return r9_scalar_item(g)
     if r < 0.72:
         return round6_item(g)
     if r < 0.80:
@@ -397,7 +439,20 @@ def win_item(g: random.Random) -> str:
     """Deterministic window expression: the ORDER BY is a unique total
     order, so every ranking/offset/frame function is reproducible."""
     part = g.choice(["", "PARTITION BY l_returnflag ", "PARTITION BY l_linestatus "])
-    choice = g.randrange(9)
+    choice = g.randrange(10)
+    if choice == 9:
+        # r9: full-partition-frame window mad lowers to built-in window
+        # medians (raw value — compare_cols' rtol absorbs percentile
+        # interpolation ulps, like the windowed-sum items)
+        col = g.choice(NUM_COLS)
+        if g.random() < 0.5:
+            spec = part.strip()
+        else:
+            spec = (
+                f"{part}{WIN_ORDER} ROWS BETWEEN UNBOUNDED PRECEDING "
+                "AND UNBOUNDED FOLLOWING"
+            )
+        return f"mad({col}) OVER ({spec})"
     if choice == 8:
         # window frame EXCLUDE (dialect _rewrite_window_exclude): the
         # unique total order makes ROWS frames deterministic; the
@@ -473,10 +528,13 @@ def agg_item(g: random.Random) -> str:
     r = g.random()
     if r < 0.10:
         # round-8 surface: restructured two-phase aggregates under
-        # every group-key shape (ordinals/expressions/aliases)
-        return f"round(CAST(mad({g.choice(NUM_COLS)}) AS DOUBLE), 3)"
+        # every group-key shape (ordinals/expressions/aliases);
+        # r9 adds the DISTINCT qualifier (deduped two-phase plans)
+        dq = "DISTINCT " if g.random() < 0.3 else ""
+        return f"round(CAST(mad({dq}{g.choice(NUM_COLS)}) AS DOUBLE), 3)"
     if r < 0.20:
-        return f"round(entropy({g.choice(STR_COLS + INT_COLS)}), 3)"
+        dq = "DISTINCT " if g.random() < 0.3 else ""
+        return f"round(entropy({dq}{g.choice(STR_COLS + INT_COLS)}), 3)"
     fn = g.choice(["sum", "avg", "min", "max", "count"])
     inner = num_expr(g, depth=1)
     if g.random() < 0.3:
