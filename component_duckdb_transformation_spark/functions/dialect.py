@@ -3534,6 +3534,48 @@ def _strip_product_call(arg: List[Token]) -> Optional[List[Token]]:
     return inner_args[0]
 
 
+def _product_window_sql(arg: str, spec: str) -> str:
+    """``product(x) OVER w`` for ANY frame: each composition piece
+    (negative-count parity sign, zero flag, exp-sum-ln magnitude) is an
+    ordinary window aggregate over the SAME spec, so running products
+    work and a zero carries the IEEE sign of DuckDB's direct
+    multiplication (0.0 * odd negatives = -0.0)."""
+    sign = (
+        f"CAST(1 - 2 * (sum(CASE WHEN ({arg}) < 0 THEN 1 ELSE 0 END) "
+        f"OVER ({spec}) % 2) AS DOUBLE)"
+    )
+    mag = (
+        f"(CASE WHEN max(CASE WHEN ({arg}) = 0 THEN 1 ELSE 0 END) "
+        f"OVER ({spec}) = 1 THEN CAST(0 AS DOUBLE) "
+        f"ELSE exp(sum(ln(abs(CAST(nullif(({arg}), 0) AS DOUBLE)))) "
+        f"OVER ({spec})) END)"
+    )
+    return f"({sign} * {mag})"
+
+
+def _entropy_window_sql(arg: str, pspec: str) -> str:
+    """``entropy(x) OVER w`` for a FULL-PARTITION frame: per-value
+    frequencies come from a second window partitioned by (keys, x), so
+    H = log2(N) - sum(log2(c_row)) / N entirely in built-ins (each row
+    of a value contributes log2(c) once — Σ c*log2(c) overall). NULLs
+    are skipped and an empty/all-NULL partition yields 0.0, DuckDB
+    semantics. Float accumulation order differs from DuckDB's hash
+    aggregate at ~1e-15 relative (measured) — same tolerance class as
+    windowed sums."""
+    pv = f"{pspec}, ({arg})" if pspec.strip() else f"PARTITION BY ({arg})"
+    cnt = f"count(({arg})) OVER ({pspec})"
+    cv = f"count(({arg})) OVER ({pv})"
+    term = (
+        f"(CASE WHEN (({arg})) IS NULL THEN CAST(0 AS DOUBLE) "
+        f"ELSE log2(CAST({cv} AS DOUBLE)) END)"
+    )
+    return (
+        f"(CASE WHEN {cnt} = 0 THEN CAST(0 AS DOUBLE) "
+        f"ELSE log2(CAST({cnt} AS DOUBLE)) "
+        f"- (sum({term}) OVER ({pspec})) / CAST({cnt} AS DOUBLE) END)"
+    )
+
+
 def _rewrite_product_entropy(tokens: List[Token]) -> List[Token]:
     """DuckDB ``product(x)`` / ``entropy(x)`` aggregates -> Spark
     compositions (templates above). Runs LAST in the pipeline: the
@@ -3573,6 +3615,56 @@ def _rewrite_product_entropy(tokens: List[Token]) -> List[Token]:
                 close = _matching_paren(tokens, p_open)
                 args = _split_top_level_args(tokens, p_open, close)
                 if len(args) == 1:
+                    after = _next_code(tokens, close)
+                    if after < n and tokens[after].is_kw("OVER"):
+                        # window form: product composes for ANY frame;
+                        # entropy for full-partition frames (per-value
+                        # counts need the (keys, value) partition trick)
+                        sp_open = _next_code(tokens, after)
+                        repl = None
+                        if (
+                            sp_open < n
+                            and tokens[sp_open].kind == "op"
+                            and tokens[sp_open].text == "("
+                        ):
+                            sp_close = _matching_paren(tokens, sp_open)
+                            spec = _sql(tokens, sp_open + 1, sp_close)
+                            arg_s = "".join(
+                                t.text
+                                for t in _rewrite_product_entropy(args[0])
+                            )
+                            low2 = tok.text.lower()
+                            if low2 == "product":
+                                repl = _product_window_sql(arg_s, spec)
+                            elif low2 == "entropy" and _window_spec_full_partition(spec):
+                                d2 = 0
+                                p_end = sp_close
+                                for kk in range(sp_open + 1, sp_close):
+                                    tk = tokens[kk]
+                                    if tk.kind == "op" and tk.text in ("(", "["):
+                                        d2 += 1
+                                    elif tk.kind == "op" and tk.text in (")", "]"):
+                                        d2 -= 1
+                                    elif (
+                                        d2 == 0
+                                        and tk.kind == "word"
+                                        and tk.upper in ("ORDER", "ROWS", "RANGE", "GROUPS")
+                                    ):
+                                        p_end = kk
+                                        break
+                                repl = _entropy_window_sql(
+                                    arg_s, _sql(tokens, sp_open + 1, p_end)
+                                )
+                        if repl is not None:
+                            out.extend(_toks(repl))
+                            i = sp_close + 1
+                            continue
+                        # unsupported window shape: leave the call
+                        # untouched (loud unresolved-function error,
+                        # never the aggregate template + OVER)
+                        out.append(tok)
+                        i += 1
+                        continue
                     arg = _rewrite_product_entropy(args[0])
                     tmpl = {
                         "product": _PRODUCT_TEMPLATE,

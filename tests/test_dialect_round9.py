@@ -496,3 +496,57 @@ def test_template_group_size_guard_raises(spark, monkeypatch):
         "AS m FROM part"
     )
     assert spark.sql(sql2).collect()[0][0] is not None
+
+
+def test_product_entropy_window_forms(spark):
+    """product(x) OVER w (any frame) and entropy(x) OVER w
+    (full-partition frames) — previously emitted invalid SQL
+    (aggregate template + OVER)."""
+    con = _duck()
+    _spark_views(spark)
+    cases = [
+        # running product with sign and zero handling
+        "SELECT p_partkey, product(CAST(p_size AS DOUBLE) - 25) OVER "
+        "(ORDER BY p_partkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        " AS p FROM part WHERE p_partkey <= 40 ORDER BY p_partkey",
+        # full-partition product
+        "SELECT p_partkey, product(CAST(p_size % 5 + 1 AS DOUBLE)) OVER "
+        "(PARTITION BY p_brand) AS p FROM part WHERE p_partkey <= 200 "
+        "ORDER BY p_partkey",
+        # full-partition entropy, string and int args
+        "SELECT p_partkey, entropy(p_type) OVER (PARTITION BY p_brand)"
+        " AS e FROM part WHERE p_partkey <= 300 ORDER BY p_partkey",
+        "SELECT p_partkey, entropy(p_size) OVER () AS e FROM part "
+        "WHERE p_partkey <= 300 ORDER BY p_partkey",
+    ]
+    for sql in cases:
+        want = con.execute(sql).fetchall()
+        got = [tuple(r) for r in spark.sql(translate(sql)).collect()]
+        assert len(got) == len(want), sql
+        for g, w in zip(got, want):
+            assert g[0] == w[0]
+            if w[1] is None:
+                assert g[1] is None, (sql, g, w)
+            else:
+                assert g[1] == pytest.approx(float(w[1]), rel=1e-9, abs=1e-12), (
+                    sql, g, w,
+                )
+
+
+def test_product_window_zero_sign(spark):
+    # 0.0 * odd negative count keeps IEEE -0.0 like DuckDB's direct
+    # multiplication
+    import math
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pw AS SELECT * FROM VALUES "
+        "(1, 2.0D), (2, -3.0D), (3, 0.0D), (4, 5.0D) t(r, x)"
+    )
+    got = spark.sql(
+        translate("SELECT r, product(x) OVER (ORDER BY r) AS p FROM pw "
+                  "ORDER BY r")
+    ).collect()
+    vals = [r.p for r in got]
+    assert vals[:2] == [2.0, -6.0]
+    assert vals[2] == 0.0 and math.copysign(1.0, vals[2]) < 0
+    assert vals[3] == 0.0 and math.copysign(1.0, vals[3]) < 0
