@@ -3283,31 +3283,32 @@ _HINT_NONALIAS_KWS = frozenset({
     "BETWEEN", "EXISTS", "CASE", "WHEN", "THEN", "ELSE", "END",
     "CAST", "TRY_CAST", "INTERVAL", "ASC", "DESC", "NULLS", "OVER",
     "PARTITION", "ROWS", "RANGE", "GROUPS", "PRECEDING", "FOLLOWING",
-    "UNBOUNDED", "CURRENT", "ROW", "FILTER", "WITHIN", "VALUES",
+    "UNBOUNDED", "CURRENT", "FILTER", "WITHIN", "VALUES",
     "WITH", "RECURSIVE", "SAMPLE", "TABLESAMPLE", "REPEATABLE",
     "FETCH", "ONLY", "TIES", "ESCAPE", "COLLATE", "TO", "FOR",
     "IGNORE", "RESPECT", "EXCLUDE", "NO", "OTHERS", "MATERIALIZED",
-    "TRUE", "FALSE", "GROUPING", "SETS", "ROLLUP", "CUBE",
+    "TRUE", "FALSE", "GROUPING", "ROLLUP", "CUBE",
     "INSERT", "INTO", "UPDATE", "DELETE", "MERGE", "SET", "CREATE",
     "TABLE", "VIEW", "REPLACE", "TEMP", "TEMPORARY", "IF", "DROP",
-    "ALTER", "ADD", "RENAME", "COLUMN", "CONSTRAINT", "PRIMARY",
-    "KEY", "UNIQUE", "CHECK", "DEFAULT", "REFERENCES", "RETURNING",
-    "CONFLICT", "DO", "NOTHING", "MATCHED", "SOURCE", "TARGET",
-    "PIVOT", "UNPIVOT", "NAME", "VALUE", "COPY", "EXTRACT",
-    "YEAR", "YEARS", "MONTH", "MONTHS", "DAY", "DAYS", "HOUR",
-    "HOURS", "MINUTE", "MINUTES", "SECOND", "SECONDS", "WEEK",
-    "WEEKS", "QUARTER", "DECADE", "CENTURY", "EPOCH", "MILLISECOND",
-    "MILLISECONDS", "MICROSECOND", "MICROSECONDS",
+    "ALTER", "ADD", "RENAME", "CONSTRAINT", "PRIMARY",
+    "UNIQUE", "CHECK", "DEFAULT", "REFERENCES", "RETURNING",
+    "CONFLICT", "DO", "NOTHING", "MATCHED",
+    "PIVOT", "UNPIVOT", "COPY", "EXTRACT",
+    # NOTE deliberately absent: NAME/VALUE/KEY/ROW/COLUMN/SOURCE/
+    # TARGET/SETS and the interval unit words (DAY/HOUR/...). They are
+    # common COLUMN names, and membership here would prevent dropping
+    # a stale hint when such a name is rebound by a bare alias — the
+    # unsafe direction. Their syntax positions are already guarded by
+    # the PRECEDING keyword (PRIMARY KEY, CURRENT ROW, GROUPING SETS,
+    # INTO NAME, NOT MATCHED BY SOURCE, INTERVAL 3 DAY...): a
+    # keyword-preceded token is never an alias candidate, and at worst
+    # a syntax word gets its (nonexistent) hint dropped — harmless.
 })
 # keywords that DO end an expression (so a bare identifier after them
-# can still be an alias) — CASE ends, literals, interval units
-_HINT_EXPR_END_KWS = frozenset({
-    "END", "NULL", "TRUE", "FALSE",
-    "YEAR", "YEARS", "MONTH", "MONTHS", "DAY", "DAYS", "HOUR",
-    "HOURS", "MINUTE", "MINUTES", "SECOND", "SECONDS", "WEEK",
-    "WEEKS", "QUARTER", "DECADE", "CENTURY", "MILLISECOND",
-    "MILLISECONDS", "MICROSECOND", "MICROSECONDS",
-})
+# can still be an alias) — CASE ends and literals; the interval unit
+# words are plain words now (absent from the non-alias set above), so
+# they end expressions without needing an exemption
+_HINT_EXPR_END_KWS = frozenset({"END", "NULL", "TRUE", "FALSE"})
 
 
 def statement_type_hints(

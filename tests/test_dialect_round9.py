@@ -550,3 +550,33 @@ def test_product_window_zero_sign(spark):
     assert vals[:2] == [2.0, -6.0]
     assert vals[2] == 0.0 and math.copysign(1.0, vals[2]) < 0
     assert vals[3] == 0.0 and math.copysign(1.0, vals[3]) < 0
+
+
+def test_hint_invalidation_column_named_like_keyword(spark):
+    # 'value'/'key'/'day' are real column names; a bare-alias rebind of
+    # such a name must still drop the hint (they are deliberately NOT
+    # in the non-alias keyword set)
+    from component_duckdb_transformation_spark.plans.executor import (
+        statement_type_hints,
+    )
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW hint_kw AS SELECT 1.5D AS value, "
+        "array(1, 2) AS key, DATE '2024-01-01' AS day, 'z' AS s"
+    )
+    deps = ["hint_kw"]
+
+    def hints(sql):
+        return statement_type_hints(spark, sql, deps)
+
+    h = hints("SELECT value, key, day FROM hint_kw")
+    assert h["value"] == "double" and h["key"].startswith("array")
+    assert "value" not in hints("SELECT s value FROM hint_kw")
+    assert "key" not in hints("SELECT s key FROM hint_kw")
+    assert "day" not in hints("SELECT s day FROM hint_kw")
+    # syntax positions stay guarded by their preceding keyword
+    h2 = hints(
+        "SELECT value FROM hint_kw WHERE day < DATE '2025-01-01' "
+        "GROUP BY GROUPING SETS ((value), (day))"
+    )
+    assert "value" in h2 and "day" in h2
