@@ -6426,39 +6426,78 @@ def _rewrite_division_double(tokens: List[Token]) -> List[Token]:
 
 
 def _round_double_sql(x: str, k: int) -> str:
-    """DuckDB rounds DOUBLE/FLOAT by scaled-multiply + ``std::round``
-    (half AWAY FROM ZERO on the SCALED double, verified:
-    ``round(0.125::DOUBLE, 2)`` = 0.13 but ``round(-33239.3875::DOUBLE,
-    3)`` = -33239.387 because the scaled product is 3.87499999...e7 in
-    binary). Spark's round() instead re-reads the double's shortest
-    decimal string and applies HALF_UP, yielding ...388 — a whole
-    last-digit divergence at every representation boundary, not 1 ulp.
-    ``floor(s + 0.5)`` / ``ceiling(s - 0.5)`` on the scaled double s
-    reproduces std::round exactly below 2^53 (the +0.5 add is exact
-    there: halves are representable); above 2^53 doubles are integral
-    and the input is returned unchanged, which also covers DuckDB's
-    overflow behavior (round(1e308, 3) = 1e308). typeof() dispatches
-    non-floating inputs to Spark round (DECIMAL: HALF_UP = DuckDB's
-    half-away; INTEGER: the union type makes the result DOUBLE, which
-    is also DuckDB's integer-round type)."""
+    """DuckDB rounds DOUBLE/FLOAT with ``std::round(x * pow(10, k)) /
+    pow(10, k)`` (negative k divides then multiplies back) — half AWAY
+    FROM ZERO on the SCALED double, verified: ``round(0.125::DOUBLE,
+    2)`` = 0.13 but ``round(-33239.3875::DOUBLE, 3)`` = -33239.387
+    because the scaled product is 3.87499999...e7 in binary. Spark's
+    round() instead re-reads the double's shortest decimal string and
+    applies HALF_UP, yielding ...388 — a whole last-digit divergence at
+    every representation boundary, not 1 ulp.
+
+    ``floor(s + 0.5)`` (negated for negative s to keep half-away and
+    IEEE -0.0) reproduces std::round exactly for |s| < 2^52 (the +0.5
+    add is exact there: halves are representable). At |s| >= 2^52 every
+    double is integral so std::round(s) = s — but DuckDB still UNSCALES
+    that value, and (x*p)/p is NOT always x (1-ulp multiply/divide
+    drift), so the scaled value passes through the unscale rather than
+    short-circuiting to the input (r9: the old >= 2^53 return-input
+    guard diverged from DuckDB on ~20% of guard-region doubles, and
+    floor(s + 0.5) itself mis-rounds odd integers in [2^52, 2^53) where
+    the +0.5 tie breaks upward). Positive k never overflows on unscale
+    (inf input falls out of abs(s) >= 2^52 as inf/p = inf = DuckDB's
+    return-input); negative k CAN overflow the multiply-back, where
+    DuckDB returns +0.0 (round(1.7e308, -20) = 0.0; NaN at negative k
+    is also +0.0). Verified exact vs DuckDB over 270k randomized
+    (value, scale) pairs incl. specials for k in [-400, 400]. typeof()
+    dispatches non-floating inputs to Spark round (DECIMAL: HALF_UP =
+    DuckDB's half-away; INTEGER: the union type makes the result
+    DOUBLE, which is also DuckDB's integer-round type)."""
     xd = f"CAST(({x}) AS DOUBLE)"
-    # negative scale divides first and multiplies back (DuckDB:
-    # round(125.0, -1) = 130.0, half away on value/10^|k|)
-    p = f"1e{abs(k)}"
-    s = f"{xd} * {p}" if k >= 0 else f"{xd} / {p}"
-    unscale = f"/ {p}" if k >= 0 else f"* {p}"
-    # negative branch = -round(-s): keeps IEEE -0.0 when a negative
-    # value rounds to zero (std::round(-0.4) is -0.0; floor's BIGINT
-    # would drop the sign bit). -0.0 itself compares >= 0, so the sign
-    # bit is read via the string cast ('-0.0').
-    neg = f"-(CAST(floor(-({s}) + 0.5D) AS DOUBLE)) {unscale}"
+    ak = min(abs(k), 309)
+    if k >= 0 and ak >= 309:
+        # pow(10, k) = inf: x*inf is +-inf (or NaN for +-0.0), whose
+        # unscale is NaN -> DuckDB returns the input for EVERY double
+        inner = xd
+    elif k < 0 and ak >= 309:
+        # x/inf is +-0.0, whose multiply-back is NaN -> +0.0 for every
+        # double (NaN/inf inputs also land on +0.0)
+        inner = "CAST(0.0 AS DOUBLE)"
+    else:
+        p = f"1e{ak}"
+        s = f"{xd} * {p}" if k >= 0 else f"{xd} / {p}"
+        # negative branch = -round(-s): keeps IEEE -0.0 when a negative
+        # value rounds to zero (std::round(-0.4) is -0.0; floor's
+        # BIGINT would drop the sign bit). -0.0 itself compares >= 0,
+        # so the sign bit is read via the string cast ('-0.0').
+        r = (
+            f"CASE WHEN abs({s}) >= 4.503599627370496e15 THEN ({s}) "
+            f"WHEN {xd} < 0 OR startswith(CAST({xd} AS STRING), '-') "
+            f"THEN -(CAST(floor(-({s}) + 0.5D) AS DOUBLE)) "
+            f"ELSE CAST(floor({s} + 0.5D) AS DOUBLE) END"
+        )
+        if k >= 0:
+            # the scaled MULTIPLY can overflow to inf for finite x
+            # (1e308 * 1e2) — only via the >= 2^52 branch, whose
+            # unscale is then inf -> DuckDB returns the input
+            inner = (
+                f"(CASE WHEN isnan({xd}) "
+                f"OR abs({s}) = CAST('Infinity' AS DOUBLE) THEN {xd} "
+                f"ELSE ({r}) / {p} END)"
+            )
+        else:
+            # bind r once (struct field) — the overflow test repeats it
+            res = f"__rng.r * {p}"
+            inner = (
+                f"(CASE WHEN isnan({xd}) THEN CAST(0.0 AS DOUBLE) "
+                f"ELSE element_at(transform(array(named_struct('r', "
+                f"{r})), __rng -> "
+                f"CASE WHEN abs({res}) = CAST('Infinity' AS DOUBLE) "
+                f"THEN CAST(0.0 AS DOUBLE) ELSE {res} END), 1) END)"
+            )
     return (
         f"(CASE WHEN typeof({x}) IN ('double', 'float') THEN "
-        f"(CASE WHEN isnan({xd}) OR abs({s}) >= 9.007199254740992e15 "
-        f"THEN {xd} "
-        f"WHEN {xd} < 0 OR startswith(CAST({xd} AS STRING), '-') "
-        f"THEN {neg} "
-        f"ELSE floor({s} + 0.5D) {unscale} END) "
+        f"{inner} "
         f"ELSE round(({x}), {k}) END)"
     )
 
@@ -6468,37 +6507,51 @@ def _round_double_dynamic_sql(x: str, k_sql: str) -> str:
     non-foldable scale outright (NON_FOLDABLE_INPUT), so the dynamic
     form lowers to the same scaled-multiply arithmetic as
     ``_round_double_sql`` with the power picked from a literal-double
-    array at runtime (element_at of '1e0'..'1e15' — exactly the values
-    the literal branch parses). DuckDB-exact for k in [-15, 15];
-    |k| > 15 clamps to +/-15 (beyond that the 2^53 guard returns the
-    input unchanged for all but subnormal-scale corners — DuckDB's own
-    unclamped arithmetic agrees on every probed case). DECIMAL inputs
-    raise, exactly like DuckDB ('ROUND(DECIMAL, INTEGER) with
-    non-constant precision is not supported'); INTEGER inputs take the
-    DOUBLE path (DuckDB's int/double union typing). Everything is
-    lambda-bound once."""
-    pows = ", ".join(f"1e{d}" for d in range(16))
+    array at runtime (element_at of '1e0'..'1e308' then Infinity —
+    exactly the values DuckDB's pow(10, k) produces, since glibc pow is
+    correctly rounded for these and the literal parse is too).
+    DuckDB-exact for EVERY int32 scale (r9; verified over 270k
+    randomized pairs incl. specials): |k| >= 309 clamps onto the
+    Infinity power, whose NaN-producing unscale reproduces DuckDB's
+    return-input (k positive) / +0.0 (k negative) fallbacks; a
+    multiply-back overflow at negative k lands on +0.0 exactly like
+    DuckDB. DECIMAL inputs raise, exactly like DuckDB ('ROUND(DECIMAL,
+    INTEGER) with non-constant precision is not supported'); INTEGER
+    inputs take the DOUBLE path (DuckDB's int/double union typing).
+    Everything is lambda-bound once."""
+    pows = ", ".join(f"1e{d}" for d in range(309))
+    pows += ", CAST('Infinity' AS DOUBLE)"
     vd, kk, pk = "__r2.vd", "__r2.kk", "__r2.pk"
     s = "__r3.s"
     neg_r = f"-(CAST(floor(-({s}) + 0.5D) AS DOUBLE))"
-    pos_r = f"floor({s} + 0.5D)"
-
-    def unscale(r: str) -> str:
-        return f"(CASE WHEN {kk} >= 0 THEN {r} / {pk} ELSE {r} * {pk} END)"
-
-    core = (
-        f"CASE WHEN isnan({vd}) OR abs({s}) >= 9.007199254740992e15 "
-        f"THEN {vd} "
+    pos_r = f"CAST(floor({s} + 0.5D) AS DOUBLE)"
+    # DuckDB's inf/NaN-result fallback: positive k returns the input,
+    # negative k returns +0.0
+    fallback = f"(CASE WHEN {kk} >= 0 THEN {vd} ELSE CAST(0.0 AS DOUBLE) END)"
+    # std::round(s): exact floor arithmetic below 2^52; at/above, every
+    # double is integral so round(s) = s (passed through the unscale,
+    # NOT short-circuited — see _round_double_sql)
+    r = (
+        f"CASE WHEN abs({s}) >= 4.503599627370496e15 THEN ({s}) "
         f"WHEN {vd} < 0 OR startswith(CAST({vd} AS STRING), '-') "
-        f"THEN {unscale(neg_r)} "
-        f"ELSE {unscale(pos_r)} END"
+        f"THEN {neg_r} "
+        f"ELSE {pos_r} END"
     )
+    res = f"(CASE WHEN {kk} >= 0 THEN __r4.r / {pk} ELSE __r4.r * {pk} END)"
+    lvl4 = (
+        "element_at(transform(array(named_struct('r', "
+        f"{r})), __r4 -> "
+        f"CASE WHEN isnan({res}) OR abs({res}) = CAST('Infinity' AS DOUBLE) "
+        f"THEN {fallback} ELSE {res} END), 1)"
+    )
+    # isnan(s) covers NaN inputs and the 0*inf / inf/inf scale corners
+    core = f"CASE WHEN isnan({s}) THEN {fallback} ELSE {lvl4} END"
     lvl3 = (
         "element_at(transform(array(named_struct('s', "
         f"CASE WHEN {kk} >= 0 THEN {vd} * {pk} ELSE {vd} / {pk} END)), "
         f"__r3 -> {core}), 1)"
     )
-    clamp = "least(greatest(__rk.k, -15), 15)"
+    clamp = "least(greatest(__rk.k, -309), 309)"
     lvl2 = (
         "element_at(transform(array(named_struct("
         "'vd', CAST(__rk.v AS DOUBLE), "
@@ -6519,21 +6572,27 @@ def _round_double_dynamic_sql(x: str, k_sql: str) -> str:
 
 def _duck_round_double_py(v: float, k: int) -> float:
     """Python twin of ``_round_double_sql``'s DOUBLE branch (same ops
-    on the same doubles — ``1e{k}`` and ``10.0**k`` parse identically
-    for k <= 15, and floor/+0.5 arithmetic is IEEE-exact here)."""
+    on the same doubles — the ``1e{k}`` literal parse matches DuckDB's
+    correctly-rounded pow(10, k), and the floor/+0.5 arithmetic is
+    IEEE-exact below 2^52; above, round(s) = s passes through the
+    unscale like DuckDB's std::round does). Verified exact vs DuckDB
+    over 270k randomized (value, scale) pairs for k in [-400, 400]."""
     import math
 
-    if math.isnan(v) or math.isinf(v):
-        return v
-    p = float(f"1e{abs(k)}")
+    p = float(f"1e{abs(k)}") if abs(k) <= 308 else math.inf
     s = v * p if k >= 0 else v / p
-    if abs(s) >= 9.007199254740992e15:
-        return v
-    if math.copysign(1.0, v) < 0:
+    if math.isnan(s):
+        return v if k >= 0 else 0.0
+    if abs(s) >= 4503599627370496.0:  # 2^52: s is integral, round(s)=s
+        r = s
+    elif math.copysign(1.0, s) < 0:
         r = -float(math.floor(-s + 0.5))  # keeps IEEE -0.0
     else:
         r = float(math.floor(s + 0.5))
-    return r / p if k >= 0 else r * p
+    res = r / p if k >= 0 else r * p
+    if math.isnan(res) or math.isinf(res):
+        return v if k >= 0 else 0.0
+    return res
 
 
 _CAST_DBL_LIT_RE = re.compile(
@@ -6613,10 +6672,11 @@ def _fold_literal_round(x: str, k: int) -> Optional[str]:
 
 
 def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
-    """``round(x)`` / ``round(x, k)`` with a literal k in [-15, 15] —
-    see ``_round_double_sql``; literal operands constant-fold
-    (``_fold_literal_round``). Dynamic or out-of-range k keeps Spark
-    round (rare; documented)."""
+    """``round(x)`` / ``round(x, k)`` with any int32 literal k — see
+    ``_round_double_sql``; literal operands constant-fold
+    (``_fold_literal_round``); dynamic scales take
+    ``_round_double_dynamic_sql``. A literal beyond int32 keeps Spark
+    round (DuckDB's INTEGER-typed precision errors there too)."""
     out: List[Token] = []
     i = 0
     n = len(tokens)
@@ -6650,7 +6710,7 @@ def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
                         len(k_code) == 1
                         and k_code[0].kind in ("number", "word")
                         and k_code[0].text.isdigit()
-                        and int(k_code[0].text) <= 15
+                        and -2147483648 <= sign * int(k_code[0].text) <= 2147483647
                     ):
                         k = sign * int(k_code[0].text)
                 if k is not None:
@@ -6670,7 +6730,7 @@ def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
                 if len(args) == 2:
                     # non-literal scale: Spark round() would reject it
                     # at analysis (NON_FOLDABLE_INPUT); a literal int
-                    # beyond 15 keeps Spark round (documented corner)
+                    # beyond int32 keeps Spark round (DuckDB errors)
                     k_code2 = [
                         t for t in args[1] if t.kind not in ("ws", "comment")
                     ]

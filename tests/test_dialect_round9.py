@@ -580,3 +580,60 @@ def test_hint_invalidation_column_named_like_keyword(spark):
         "GROUP BY GROUPING SETS ((value), (day))"
     )
     assert "value" in h2 and "day" in h2
+
+
+def test_round_exact_all_scales_and_guard_region(spark):
+    """r9: round() on DOUBLE is DuckDB-exact for EVERY int32 scale —
+    DuckDB has NO 2^53 short-circuit (its std::round(x*p)/p unscales
+    even when the product exceeds 2^52, drifting 1 ulp off x), scales
+    beyond +-308 land on the pow(10,k)=inf fallbacks (input for k>0,
+    +0.0 for k<0), and a negative-scale multiply-back overflow is +0.0
+    (round(1.7e308, -20) = 0.0)."""
+    import math
+
+    con = duckdb.connect()
+    cases = [
+        # guard region: |x*10^k| >= 2^52 where (x*p)/p != x
+        "SELECT round(CAST(56746.24326153 AS DOUBLE), 15) AS v",
+        "SELECT round(CAST(49413558.13843138 AS DOUBLE), 12) AS v",
+        # (string casts: DuckDB's DECIMAL(17,x)->DOUBLE literal cast
+        # itself drifts 1 ulp above 2^53-scaled significands)
+        "SELECT round(CAST('-8404232353178676' AS DOUBLE), 0) AS v",
+        "SELECT round(CAST('694376528699231.5' AS DOUBLE), 1) AS v",
+        # odd integers in [2^52, 2^53): floor(s+0.5) tie breaks upward,
+        # std::round does not
+        "SELECT round(CAST('4503599627370497' AS DOUBLE), 0) AS v",
+        "SELECT round(CAST('-4503599627370499' AS DOUBLE)) AS v",
+        # literal scales beyond 15 do real arithmetic
+        "SELECT round(CAST(2.5e-16 AS DOUBLE), 16) AS v",
+        "SELECT round(CAST(3.5e-16 AS DOUBLE), 16) AS v",
+        "SELECT round(CAST(1e-16 AS DOUBLE), 100) AS v",  # 1.0000000000000001e-16
+        "SELECT round(CAST(5e-324 AS DOUBLE), 308) AS v",
+        # beyond +-308: inf power fallbacks
+        "SELECT round(CAST(5e-324 AS DOUBLE), 309) AS v",
+        "SELECT round(CAST(1.5 AS DOUBLE), 400) AS v",
+        "SELECT round(CAST(1.5 AS DOUBLE), 2147483647) AS v",
+        "SELECT round(CAST(1.5 AS DOUBLE), -400) AS v",
+        "SELECT round(CAST('nan' AS DOUBLE), -2) AS v",   # 0.0, not NaN
+        "SELECT round(CAST('inf' AS DOUBLE), -2) AS v",   # 0.0
+        "SELECT round(CAST('-inf' AS DOUBLE), -2) AS v",  # 0.0
+        # negative-scale multiply-back overflow -> +0.0
+        "SELECT round(CAST(1.7976931348623157e308 AS DOUBLE), -20) AS v",
+        # ... but not where the round trip stays finite
+        "SELECT round(CAST(1.7976931348623157e308 AS DOUBLE), -15) AS v",
+        "SELECT round(CAST(1.7976931348623157e308 AS DOUBLE), -100) AS v",
+        # positive-scale multiply overflow -> input unchanged
+        "SELECT round(CAST(703480.1246805356 AS DOUBLE), 308) AS v",
+        "SELECT round(CAST(-1.28e290 AS DOUBLE), 20) AS v",
+        # -0.0 signs
+        "SELECT round(CAST('-0.0' AS DOUBLE), -2) AS v",   # -0.0
+        "SELECT round(CAST('-0.0' AS DOUBLE), -400) AS v",  # +0.0
+        "SELECT round(CAST('-0.0' AS DOUBLE), 400) AS v",   # -0.0
+    ]
+    for c in cases:
+        want = con.execute(c).fetchone()[0]
+        got = spark.sql(translate(c)).collect()[0][0]
+        wf, gf = float(want), float(got)
+        assert (math.isnan(wf) and math.isnan(gf)) or wf == gf, (c, want, got)
+        if wf == 0.0 and not math.isnan(wf):
+            assert math.copysign(1.0, wf) == math.copysign(1.0, gf), (c, want, got)
