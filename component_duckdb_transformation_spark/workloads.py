@@ -1257,12 +1257,18 @@ _add_sql(
            round(CAST(mad(DISTINCT p_size) AS DOUBLE), 6) AS mad_d,
            round(entropy(DISTINCT p_size), 9) AS ent_d,
            round(max(rdyn), 6) AS r_dyn,
+           max(rbig) AS r_guard20,
+           min(r309) AS r_inf_scale,
+           max(rdynneg) AS r_dyn_neg,
            min(rr1) AS rr_invalid_dyn,
            min(rr2) AS rr_oob_dyn
     FROM (
       SELECT p_brand, p_size, p_retailprice,
              mad(p_retailprice) OVER (PARTITION BY p_brand) AS wm,
              round(p_retailprice, p_size % 4) AS rdyn,
+             round(p_retailprice, 20) AS rbig,
+             round(p_retailprice, 309) AS r309,
+             round(p_retailprice, -(p_size % 20)) AS rdynneg,
              regexp_replace(p_name, p_type || '(', 'X') AS rr1,
              regexp_replace(p_name,
                             '(' || substr(p_type, 1, 2) || ')',
@@ -1274,10 +1280,15 @@ _add_sql(
     description="round-9 surfaces in one row: full-partition-frame "
     "window mad() lowered to built-in window medians (no pandas UDAF), "
     "mad(DISTINCT)/entropy(DISTINCT) deduped two-phase plans, "
-    "dynamic-scale round() via the runtime power array, and runtime "
-    "regexp_replace no-ops (RE2-invalid pattern VALUE via the "
+    "dynamic-scale round() via the runtime power array (incl. dynamic "
+    "scales below -15), literal scales past the double range "
+    "(round(x, 20) unscales through the >= 2^52 region where the "
+    "multiply/divide drifts 1 ulp off x, exactly like DuckDB; "
+    "round(x, 309) rides the pow = inf return-input fallback), and "
+    "runtime regexp_replace no-ops (RE2-invalid pattern VALUE via the "
     "__re2_valid guard; out-of-range backref against the runtime-lexed "
-    "group count) — identical SQL runs on both engines",
+    "group count) — identical SQL runs on both engines, doubles "
+    "compared exactly",
 )
 
 # ---------------------------------------------------------------------------

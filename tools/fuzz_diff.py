@@ -370,11 +370,17 @@ def r9_scalar_item(g: random.Random) -> str:
     r = g.random()
     if r < 0.35:
         col = g.choice(NUM_COLS)
+        # r9b: exact for EVERY int32 scale — stress beyond the old
+        # +-15 window (guard-region passthrough, inf-power fallbacks)
         k = g.choice(
             [
                 f"CAST({g.choice(INT_COLS)} % 4 AS INT)",
                 f"CAST(-({g.choice(INT_COLS)} % 3) AS INT)",
                 f"CAST({g.choice(INT_COLS)} % 7 - 3 AS INT)",
+                f"CAST({g.choice(INT_COLS)} % 41 - 20 AS INT)",
+                f"CAST({g.choice(INT_COLS)} % 700 - 350 AS INT)",
+                str(g.choice([16, 18, 20, 100, 308, 309, 400,
+                              -16, -20, -100, -308, -309, -400])),
             ]
         )
         return f"round({col}, {k})"
