@@ -6506,10 +6506,12 @@ def _round_double_dynamic_sql(x: str, k_sql: str) -> str:
     """``round(x, k)`` with a RUNTIME scale: Spark's round() rejects a
     non-foldable scale outright (NON_FOLDABLE_INPUT), so the dynamic
     form lowers to the same scaled-multiply arithmetic as
-    ``_round_double_sql`` with the power picked from a literal-double
-    array at runtime (element_at of '1e0'..'1e308' then Infinity —
-    exactly the values DuckDB's pow(10, k) produces, since glibc pow is
-    correctly rounded for these and the literal parse is too).
+    ``_round_double_sql`` with the power parsed at runtime —
+    ``CAST(concat('1e', abs(k)) AS DOUBLE)`` — exactly the values
+    DuckDB's pow(10, k) produces, since glibc pow is correctly rounded
+    for integer powers and Java's parseDouble is too (verified equal
+    for all 309 finite powers; '1e309' parses to Infinity even under
+    ANSI, which IS the wanted inf-power fallback).
     DuckDB-exact for EVERY int32 scale (r9; verified over 270k
     randomized pairs incl. specials): |k| >= 309 clamps onto the
     Infinity power, whose NaN-producing unscale reproduces DuckDB's
@@ -6519,8 +6521,6 @@ def _round_double_dynamic_sql(x: str, k_sql: str) -> str:
     INTEGER) with non-constant precision is not supported'); INTEGER
     inputs take the DOUBLE path (DuckDB's int/double union typing).
     Everything is lambda-bound once."""
-    pows = ", ".join(f"1e{d}" for d in range(309))
-    pows += ", CAST('Infinity' AS DOUBLE)"
     vd, kk, pk = "__r2.vd", "__r2.kk", "__r2.pk"
     s = "__r3.s"
     neg_r = f"-(CAST(floor(-({s}) + 0.5D) AS DOUBLE))"
@@ -6556,7 +6556,7 @@ def _round_double_dynamic_sql(x: str, k_sql: str) -> str:
         "element_at(transform(array(named_struct("
         "'vd', CAST(__rk.v AS DOUBLE), "
         f"'kk', {clamp}, "
-        f"'pk', element_at(array({pows}), abs({clamp}) + 1))), "
+        f"'pk', CAST(concat('1e', abs({clamp})) AS DOUBLE))), "
         f"__r2 -> {lvl3}), 1)"
     )
     return (

@@ -873,7 +873,13 @@ def main() -> int:
     from component_duckdb_transformation_spark.session import build_spark_session
     from component_duckdb_transformation_spark.sources.parquet_io import read_parquet
 
-    spark = build_spark_session(app_name="fuzz-diff", threads=8, shuffle_partitions=8)
+    # 8g heap: single fuzz-found expressions can translate to 300+ KB
+    # of SQL whose whole-stage codegen inflates to many MB of Java —
+    # a 4g driver OOMs on one such plan even in a fresh JVM
+    spark = build_spark_session(
+        app_name="fuzz-diff", threads=8, shuffle_partitions=8,
+        max_memory_mb=8192,
+    )
     con = duckdb.connect()
     for table in ("lineitem", "orders"):
         read_parquet(
@@ -894,8 +900,39 @@ def main() -> int:
     mismatches = 0
     for agg in (False, True):
         pool = [e for e, a in items if a == agg]
-        for off in range(0, len(pool), BATCH):
-            batch = pool[off : off + BATCH]
+        # size-aware batching: nested template rewrites (round-in-
+        # format-in-grapheme and the JSON casts) can translate to
+        # 100-300 KB of SQL per expression; packing 20 of those into
+        # one job OOMs the 4G driver (codegen + plan retention across
+        # the batch). Cap each job's cumulative translated bytes; a
+        # single giant expression gets its own job.
+        batches: List[List[str]] = []
+        cur: List[str] = []
+        cur_bytes = 0
+        skipped = 0
+        for e in pool:
+            try:
+                sz = len(translate(f"SELECT {e} FROM lineitem"))
+            except Exception:  # noqa: BLE001 — run_batch will surface it
+                sz = len(e)
+            if sz > 250_000:
+                # semantic fuzzing, not analyzer stress: a multi-100KB
+                # translated plan tests codegen memory, not dialect
+                # parity — skip and say so (the nesting depth cap keeps
+                # these rare)
+                skipped += 1
+                print(f"# SKIP oversized translate ({sz} bytes): "
+                      f"{e[:80]!r}", file=sys.stderr)
+                continue
+            if cur and (len(cur) >= BATCH or cur_bytes + sz > 400_000):
+                batches.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(e)
+            cur_bytes += sz
+        if cur:
+            batches.append(cur)
+        done = 0
+        for batch in batches:
             try:
                 bad = run_batch(spark, con, translate, batch, agg)
             except Exception as exc:  # isolate the erroring expression
@@ -919,7 +956,7 @@ def main() -> int:
                 except Exception as exc3:  # noqa: BLE001
                     print(f"ERROR {batch[j]!r}: {str(exc3)[:200]}")
                     mismatches += 1
-            done = min(off + BATCH, len(pool))
+            done += len(batch)
             print(
                 f"# {'agg' if agg else 'scalar'} {done}/{len(pool)}"
                 f" mismatches={mismatches}",
