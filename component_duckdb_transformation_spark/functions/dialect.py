@@ -6671,12 +6671,51 @@ def _fold_literal_round(x: str, k: int) -> Optional[str]:
     return format(q, "f")
 
 
+_PLAIN_NUM_CHAIN_RE = re.compile(r"^\d+(\.\d+)?$")
+
+
+def _decimal_literal_chain(arg_tokens: List[Token]) -> bool:
+    """True when the argument is an arithmetic chain (+ - * and parens)
+    over plain numeric literals with at least one fractional literal —
+    DECIMAL-typed in BOTH engines, where Spark's native round already
+    matches DuckDB (values, scale-keeping renderings, half-away ties;
+    probed across k 0..6 and fractional/negative literals). Exponent
+    literals (DOUBLE-typed in DuckDB) and any other token disqualify;
+    pure-integer chains stay on the template (DuckDB's int round is
+    DOUBLE-typed, which the template's CASE coercion reproduces)."""
+    code = [t for t in arg_tokens if t.kind not in ("ws", "comment")]
+    if not code:
+        return False
+    has_frac = False
+    for t in code:
+        if t.kind == "op" and t.text in ("(", ")", "+", "-", "*"):
+            continue
+        if (
+            t.kind in ("word", "number")
+            and _PLAIN_NUM_CHAIN_RE.match(t.text)
+        ):
+            has_frac = has_frac or "." in t.text
+            continue
+        return False
+    return has_frac
+
+
 def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
     """``round(x)`` / ``round(x, k)`` with any int32 literal k — see
     ``_round_double_sql``; literal operands constant-fold
     (``_fold_literal_round``); dynamic scales take
     ``_round_double_dynamic_sql``. A literal beyond int32 keeps Spark
-    round (DuckDB's INTEGER-typed precision errors there too)."""
+    round (DuckDB's INTEGER-typed precision errors there too).
+    DECIMAL-typed operands the translator can SEE (fractional-literal
+    arithmetic chains, DECIMAL-hinted plain column refs) keep the call
+    untouched at k >= 0: Spark's native decimal round IS DuckDB's, and
+    the template's typeof CASE would coerce the decimal result to
+    DOUBLE (static branch typing), silently losing the scale-keeping
+    rendering — fuzz-found via length(concat(s, round(100 + 0.2420,
+    4))) = 11 in DuckDB ('100.2420') vs 10 off the coerced double
+    ('100.242'). Negative k keeps the template: DuckDB's own
+    fractional-decimal negative-scale rounding is internally
+    inconsistent (see _fold_literal_round)."""
     out: List[Token] = []
     i = 0
     n = len(tokens)
@@ -6718,6 +6757,22 @@ def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
                         t.text for t in _rewrite_round_double(args[0])
                     ).strip()
                     folded = _fold_literal_round(x, k)
+                    if (
+                        folded is None
+                        and k >= 0
+                        and (
+                            _decimal_literal_chain(args[0])
+                            or (
+                                _hinted_primary_type(args[0]) or ""
+                            ).startswith("decimal")
+                        )
+                    ):
+                        # statically DECIMAL operand: native Spark
+                        # round matches DuckDB; the template would
+                        # coerce the result to DOUBLE
+                        out.append(tok)
+                        i += 1
+                        continue
                     out.extend(
                         _toks(
                             folded

@@ -637,3 +637,41 @@ def test_round_exact_all_scales_and_guard_region(spark):
         assert (math.isnan(wf) and math.isnan(gf)) or wf == gf, (c, want, got)
         if wf == 0.0 and not math.isnan(wf):
             assert math.copysign(1.0, wf) == math.copysign(1.0, gf), (c, want, got)
+
+
+def test_round_decimal_operands_keep_decimal_rendering(spark):
+    """r9: a statically DECIMAL round() operand (fractional-literal
+    arithmetic chain, or a DECIMAL-hinted column ref) keeps Spark's
+    native decimal round — the typeof-dispatch template's CASE would
+    coerce the result to DOUBLE, silently losing the scale-keeping
+    rendering (fuzz-found: concat('R F', round(100 + 0.2420, 4)) must
+    be 'R F100.2420', not 'R F100.242'). Pure-integer chains and
+    exponent literals stay on the template (DOUBLE-typed in DuckDB)."""
+    con = duckdb.connect()
+    cases = [
+        "SELECT length(concat('R F', round((100 + 0.2420), 4))) AS v",
+        "SELECT concat('x', round(100 + 0.2420, 4)) AS v",
+        "SELECT concat('x', round(2.5 * 1.25 - 0.125, 3)) AS v",
+        "SELECT concat('x', round(-2.675, 2)) AS v",
+        "SELECT concat('x', round(99.99, 3)) AS v",
+        "SELECT concat('x', round(100.2468)) AS v",
+        # int chain / exponent literal: DOUBLE-typed in DuckDB, must
+        # KEEP the template ('7.0', '15.0' — not '7', '15')
+        "SELECT concat('x', round((3 + 4), 1)) AS v",
+        "SELECT concat('x', round(1.5e1, 1)) AS v",
+    ]
+    for c in cases:
+        want = con.execute(c).fetchone()[0]
+        got = spark.sql(translate(c)).collect()[0][0]
+        assert str(got) == str(want), (c, want, got)
+    # DECIMAL-hinted plain column ref takes the native path too
+    spark.sql(
+        "SELECT CAST(1.2345 AS DECIMAL(10,4)) AS dcol"
+    ).createOrReplaceTempView("tdec_round9")
+    con.execute("CREATE TABLE tdec AS SELECT CAST(1.2345 AS DECIMAL(10,4)) AS dcol")
+    c = "SELECT concat('x', round(dcol, 2)) AS v FROM tdec"
+    want = con.execute(c).fetchone()[0]
+    with column_type_hints({"dcol": "decimal(10,4)"}):
+        t = translate(c.replace("FROM tdec", "FROM tdec_round9"))
+    got = spark.sql(t).collect()[0][0]
+    assert str(got) == str(want), (want, got)
