@@ -6674,18 +6674,16 @@ def _fold_literal_round(x: str, k: int) -> Optional[str]:
 _PLAIN_NUM_CHAIN_RE = re.compile(r"^\d+(\.\d+)?$")
 
 
-def _decimal_literal_chain(arg_tokens: List[Token]) -> bool:
-    """True when the argument is an arithmetic chain (+ - * and parens)
-    over plain numeric literals with at least one fractional literal —
-    DECIMAL-typed in BOTH engines, where Spark's native round already
-    matches DuckDB (values, scale-keeping renderings, half-away ties;
-    probed across k 0..6 and fractional/negative literals). Exponent
-    literals (DOUBLE-typed in DuckDB) and any other token disqualify;
-    pure-integer chains stay on the template (DuckDB's int round is
-    DOUBLE-typed, which the template's CASE coercion reproduces)."""
+def _numeric_literal_chain(arg_tokens: List[Token]) -> Optional[str]:
+    """'decimal' / 'int' when the argument is an arithmetic chain
+    (+ - * and parens) over plain numeric literals — statically typed
+    the same way in BOTH engines (DECIMAL when any literal is
+    fractional, INTEGER otherwise), else None. Exponent literals
+    (DOUBLE-typed in DuckDB) and any other token disqualify; division
+    is excluded (DuckDB types decimal division differently)."""
     code = [t for t in arg_tokens if t.kind not in ("ws", "comment")]
     if not code:
-        return False
+        return None
     has_frac = False
     for t in code:
         if t.kind == "op" and t.text in ("(", ")", "+", "-", "*"):
@@ -6696,8 +6694,17 @@ def _decimal_literal_chain(arg_tokens: List[Token]) -> bool:
         ):
             has_frac = has_frac or "." in t.text
             continue
-        return False
-    return has_frac
+        return None
+    return "decimal" if has_frac else "int"
+
+
+def _decimal_literal_chain(arg_tokens: List[Token]) -> bool:
+    """True for fractional-literal arithmetic chains — DECIMAL-typed in
+    BOTH engines, where Spark's native round/ceil/floor already match
+    DuckDB (values, scale-keeping renderings, half-away ties; probed).
+    Pure-integer chains return False (DuckDB types their round/ceil
+    DOUBLE, which the typeof template's CASE coercion reproduces)."""
+    return _numeric_literal_chain(arg_tokens) == "decimal"
 
 
 def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
@@ -9114,6 +9121,9 @@ def _rewrite_call_shims(
                     low in ("ceil", "ceiling", "floor")
                     and len(args) == 1
                     and not _plain_decimal_literal_arg(inner, args[0])
+                    and not _decimal_literal_chain(
+                        inner[args[0][0]: args[0][1]]
+                    )
                     and i not in __in_values
                     and not (
                         (
@@ -9132,9 +9142,11 @@ def _rewrite_call_shims(
                     # already integral doubles — returned as-is, which
                     # also covers inf and avoids the BIGINT hop; the
                     # zero-window branch keeps IEEE -0.0 (ceil(-0.5) =
-                    # -0.0 like DuckDB). Decimal LITERALS — and plain
-                    # column refs with a published DECIMAL schema hint
-                    # — keep Spark's native DECIMAL(p,0) ceil, which
+                    # -0.0 like DuckDB). Decimal LITERALS, fractional-
+                    # literal arithmetic CHAINS (r9b, fuzz-found via
+                    # round's twin), and plain column refs with a
+                    # published DECIMAL schema hint keep Spark's native
+                    # DECIMAL(p,0) ceil, which
                     # already matches DuckDB; an UNHINTED decimal
                     # column reference can't be seen lexically and
                     # takes the DOUBLE path (documented corner: its
@@ -9203,6 +9215,36 @@ def _rewrite_call_shims(
                                     f"CAST({sign}{ip} AS DECIMAL({p},0))"
                                 )
                             )
+                        i = close + 1
+                        continue
+                    chain = _numeric_literal_chain(
+                        inner[args[0][0]: args[0][1]]
+                    )
+                    if chain == "int":
+                        # integer chain: trunc is the identity and
+                        # DuckDB is type-preserving (trunc(7 + 3)
+                        # renders '10', not the template's '10.0')
+                        a = _sql(inner, *args[0])
+                        out.extend(_toks(f"({a})"))
+                        i = close + 1
+                        continue
+                    if chain == "decimal" or (
+                        _hinted_primary_type(inner[args[0][0]: args[0][1]])
+                        or ""
+                    ).startswith("decimal"):
+                        # statically DECIMAL operand (r9b): floor/
+                        # ceiling on a decimal is DECIMAL(p,0) in both
+                        # engines — emit the core WITHOUT the typeof
+                        # CASE, whose DOUBLE branch would coerce the
+                        # result and lose the rendering ('100' vs
+                        # '100.0')
+                        a = _sql(inner, *args[0])
+                        out.extend(
+                            _toks(
+                                f"(CASE WHEN ({a}) >= 0 THEN "
+                                f"floor(({a})) ELSE ceiling(({a})) END)"
+                            )
+                        )
                         i = close + 1
                         continue
                     a = _sql(inner, *args[0])

@@ -675,3 +675,46 @@ def test_round_decimal_operands_keep_decimal_rendering(spark):
         t = translate(c.replace("FROM tdec", "FROM tdec_round9"))
     got = spark.sql(t).collect()[0][0]
     assert str(got) == str(want), (want, got)
+
+
+def test_ceil_floor_trunc_decimal_chains(spark):
+    """r9b twin of the round() decimal fix: ceil/floor/trunc over a
+    fractional-literal arithmetic chain (or a DECIMAL-hinted column)
+    keep native decimal typing, and trunc over a pure-integer chain is
+    the type-preserving identity — the typeof templates' DOUBLE CASE
+    branch was coercing all of these ('x3.0' where DuckDB renders
+    'x3'). Int chains under ceil/floor stay on the template (DuckDB
+    types those DOUBLE)."""
+    con = duckdb.connect()
+    cases = [
+        "SELECT concat('x', ceil(2.5 * 1.1)) AS v",
+        "SELECT concat('x', floor(2.5 * 1.1)) AS v",
+        "SELECT concat('x', trunc(100 + 0.2420)) AS v",
+        "SELECT concat('x', ceil(-2.675 + 1.0)) AS v",
+        "SELECT concat('x', trunc(-4.7 * 1.0)) AS v",
+        "SELECT concat('x', trunc(7 + 3)) AS v",
+        "SELECT concat('x', trunc((2 - 5) * 3)) AS v",
+        # ceil/floor int chains and exponent forms keep the DOUBLE path
+        "SELECT concat('x', ceil((3 + 4))) AS v",
+        "SELECT concat('x', ceil(2.5e0 * 1.1)) AS v",
+        # results stay numeric-composable
+        "SELECT trunc(7 + 3) + 0.5 AS v",
+        "SELECT ceil(2.5 * 1.1) * 2 AS v",
+    ]
+    for c in cases:
+        want = con.execute(c).fetchone()[0]
+        got = spark.sql(translate(c)).collect()[0][0]
+        assert str(got) == str(want), (c, want, got)
+    spark.sql(
+        "SELECT CAST(-4.75 AS DECIMAL(10,2)) AS dcol"
+    ).createOrReplaceTempView("tdec_cft9")
+    con.execute(
+        "CREATE TABLE tdec2 AS SELECT CAST(-4.75 AS DECIMAL(10,2)) AS dcol"
+    )
+    for fn in ("trunc", "ceil", "floor"):
+        c = f"SELECT concat('x', {fn}(dcol)) AS v FROM tdec2"
+        want = con.execute(c).fetchone()[0]
+        with column_type_hints({"dcol": "decimal(10,2)"}):
+            t = translate(c.replace("FROM tdec2", "FROM tdec_cft9"))
+        got = spark.sql(t).collect()[0][0]
+        assert str(got) == str(want), (fn, want, got)
