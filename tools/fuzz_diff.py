@@ -368,6 +368,20 @@ def r9_scalar_item(g: random.Random) -> str:
     regexp_replace (RE2-invalid values and out-of-range backrefs must
     no-op like DuckDB; the group count is lexed at runtime)."""
     r = g.random()
+    if r < 0.12:
+        # r9b: statically DECIMAL / INTEGER literal chains keep native
+        # typing through round/ceil/floor/trunc — stringify via concat
+        # so the scale-keeping rendering is compared exactly
+        def lit(dec):
+            return (f"{g.uniform(0.5, 200):.{g.randint(1, 4)}f}"
+                    if dec else str(g.randint(1, 300)))
+        dec = g.random() < 0.7
+        a, b = lit(dec), lit(g.random() < 0.5 and dec)
+        chain = f"({a} {g.choice(['+', '-', '*'])} {b})"
+        fn = g.choice(["round", "ceil", "floor", "trunc", "round"])
+        call = (f"round({chain}, {g.randint(0, 4)})"
+                if fn == "round" else f"{fn}({chain})")
+        return f"concat({g.choice(STR_COLS)}, {call})"
     if r < 0.35:
         col = g.choice(NUM_COLS)
         # r9b: exact for EVERY int32 scale — stress beyond the old
