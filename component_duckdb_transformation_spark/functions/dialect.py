@@ -6707,12 +6707,20 @@ def _decimal_literal_chain(arg_tokens: List[Token]) -> bool:
     return _numeric_literal_chain(arg_tokens) == "decimal"
 
 
-def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
+def _rewrite_round_double(
+    tokens: List[Token], in_py_udf: bool = False
+) -> List[Token]:
     """``round(x)`` / ``round(x, k)`` with any int32 literal k — see
     ``_round_double_sql``; literal operands constant-fold
     (``_fold_literal_round``); dynamic scales take
     ``_round_double_dynamic_sql``. A literal beyond int32 keeps Spark
     round (DuckDB's INTEGER-typed precision errors there too).
+    Long operands are bound ONCE in a named_struct (type-preserving,
+    so the typeof dispatch and the native ELSE branch still see the
+    original type) — the template mentions its operand ~9x, which made
+    round-over-a-window-EXCLUDE expansion analyze in seconds; inside
+    Python-UDF argument spans the repeated-operand form is kept
+    (lambdas there defeat ExtractPythonUDFs — see _PY_UDF_FNS).
     DECIMAL-typed operands the translator can SEE (fractional-literal
     arithmetic chains, DECIMAL-hinted plain column refs) keep the call
     untouched at k >= 0: Spark's native decimal round IS DuckDB's, and
@@ -6726,9 +6734,13 @@ def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
     out: List[Token] = []
     i = 0
     n = len(tokens)
+    udf_spans = _py_udf_arg_spans(tokens) if not in_py_udf else None
     while i < n:
         tok = tokens[i]
         if tok.kind == "word" and tok.text.lower() == "round":
+            in_udf_here = in_py_udf or (
+                udf_spans is not None and i in udf_spans
+            )
             p_open = _next_code(tokens, i)
             if (
                 p_open < n
@@ -6761,7 +6773,10 @@ def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
                         k = sign * int(k_code[0].text)
                 if k is not None:
                     x = "".join(
-                        t.text for t in _rewrite_round_double(args[0])
+                        t.text
+                        for t in _rewrite_round_double(
+                            args[0], in_py_udf=in_udf_here
+                        )
                     ).strip()
                     folded = _fold_literal_round(x, k)
                     if (
@@ -6780,13 +6795,17 @@ def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
                         out.append(tok)
                         i += 1
                         continue
-                    out.extend(
-                        _toks(
-                            folded
-                            if folded is not None
-                            else _round_double_sql(x, k)
+                    if folded is not None:
+                        emitted = folded
+                    elif len(x) > _BIND_THRESHOLD and not in_udf_here:
+                        inner = _round_double_sql("__rb.x", k)
+                        emitted = (
+                            "element_at(transform(array(named_struct("
+                            f"'x', ({x}))), __rb -> {inner}), 1)"
                         )
-                    )
+                    else:
+                        emitted = _round_double_sql(x, k)
+                    out.extend(_toks(emitted))
                     i = close + 1
                     continue
                 if len(args) == 2:
@@ -6808,10 +6827,16 @@ def _rewrite_round_double(tokens: List[Token]) -> List[Token]:
                     )
                     if not lit_out_of_range:
                         x = "".join(
-                            t.text for t in _rewrite_round_double(args[0])
+                            t.text
+                            for t in _rewrite_round_double(
+                                args[0], in_py_udf=in_udf_here
+                            )
                         ).strip()
                         ks = "".join(
-                            t.text for t in _rewrite_round_double(args[1])
+                            t.text
+                            for t in _rewrite_round_double(
+                                args[1], in_py_udf=in_udf_here
+                            )
                         ).strip()
                         out.extend(
                             _toks(_round_double_dynamic_sql(x, ks))
@@ -11481,10 +11506,20 @@ def _try_exclude_rewrite(out: List[Token], tokens: List[Token],
     peer = " AND ".join(
         f"(__xw_s.k.k{idx} <=> ({e}))" for idx, e in enumerate(key_exprs)
     )
-    frame_list = (
+    window_list = (
         f"collect_list(named_struct('k', {k_struct}, 'v', ({x})))"
         f" OVER ({w_text})"
     )
+    # The per-agg expression below mentions the frame list many times
+    # (CURRENT ROW's slice/concat shape ~40x after nesting) — bind the
+    # WINDOW CALL once as the input of a transform-over-array wrapper
+    # and reference it as __xw_f inside. The window expression sits in
+    # the HOF's INPUT (evaluated in the projection), not in a lambda
+    # body, so this analyzes fine; Spark's window planner already
+    # deduplicated identical window expressions at RUNTIME, but the
+    # textual copies made q60's 6-column translate 34 KB and cost ~4.5 s
+    # of driver-side analysis.
+    frame_list = "__xw_f"
     if mode == "GROUP":
         lx = f"filter({frame_list}, __xw_s -> NOT ({peer}))"
     elif mode == "TIES":
@@ -11540,6 +11575,9 @@ def _try_exclude_rewrite(out: List[Token], tokens: List[Token],
             f" CAST(0 AS DOUBLE), (__xw_a, __xw_v) -> __xw_a +"
             f" CAST(__xw_v AS DOUBLE)) / size({nn}) END)"
         )
+    expr = (
+        f"element_at(transform(array({window_list}), __xw_f -> {expr}), 1)"
+    )
     del out[name_idx:]
     return tokenize(expr)
 
