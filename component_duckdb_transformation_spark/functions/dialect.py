@@ -6673,6 +6673,29 @@ def _fold_literal_round(x: str, k: int) -> Optional[str]:
 
 _PLAIN_NUM_CHAIN_RE = re.compile(r"^\d+(\.\d+)?$")
 
+# Functions whose LATER rewrite passes expand the call text many-fold
+# (product's sign/zero decomposition ~25x, two-phase entropy, mad's
+# restructure, the sample-moment corrections). A round() template that
+# inlines such an operand 9x multiplies the downstream expansion —
+# q42's 396-byte source translated to 10 KB and cost ~4 s of analysis.
+# Operands containing these bind once even when short.
+_EXPANDING_FNS = frozenset({
+    "product", "entropy", "mad", "skewness", "kurtosis",
+    "quantile_cont", "quantile_disc", "format", "list_aggregate",
+    "regexp_replace",
+})
+
+
+def _contains_expanding_call(arg_tokens: List[Token]) -> bool:
+    n = len(arg_tokens)
+    for k, t in enumerate(arg_tokens):
+        if t.kind == "word" and t.text.lower() in _EXPANDING_FNS:
+            nk = _next_code(arg_tokens, k)
+            if nk < n and arg_tokens[nk].kind == "op" \
+                    and arg_tokens[nk].text == "(":
+                return True
+    return False
+
 
 def _numeric_literal_chain(arg_tokens: List[Token]) -> Optional[str]:
     """'decimal' / 'int' when the argument is an arithmetic chain
@@ -6797,7 +6820,10 @@ def _rewrite_round_double(
                         continue
                     if folded is not None:
                         emitted = folded
-                    elif len(x) > _BIND_THRESHOLD and not in_udf_here:
+                    elif not in_udf_here and (
+                        len(x) > _BIND_THRESHOLD
+                        or _contains_expanding_call(args[0])
+                    ):
                         inner = _round_double_sql("__rb.x", k)
                         emitted = (
                             "element_at(transform(array(named_struct("
