@@ -625,11 +625,30 @@ def groupby_stmt(g: random.Random) -> str:
             f"round({g.choice(['sum', 'avg', 'min', 'max'])}"
             f"(CAST(o_totalprice AS BIGINT)), 2)"
         )
-    sel_keys = ", ".join(
-        f"{k} AS k{i}" for i, k in enumerate(keys)
-    )
-    sel_aggs = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
-    sql = f"SELECT {sel_keys}, {sel_aggs}, count(*) AS n FROM lineitem"
+    interleave = g.random() < 0.35
+    kpos = {}
+    if interleave:
+        # r9: interleave keys among aggregate items so ordinal GROUP BY
+        # keys land AFTER aggregates (GROUP BY 1, 3 with an aggregate at
+        # position 2 — the base-GROUP-BY-rebuild class the round-8
+        # grammar could not draw)
+        order = [("k", i) for i in range(len(keys))]
+        order += [("a", i) for i in range(len(aggs))]
+        g.shuffle(order)
+        items = []
+        for kind, idx in order:
+            if kind == "k":
+                kpos[idx] = len(items) + 1
+                items.append(f"{keys[idx]} AS k{idx}")
+            else:
+                items.append(f"{aggs[idx]} AS a{idx}")
+        sql = f"SELECT {', '.join(items)}, count(*) AS n FROM lineitem"
+    else:
+        sel_keys = ", ".join(
+            f"{k} AS k{i}" for i, k in enumerate(keys)
+        )
+        sel_aggs = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+        sql = f"SELECT {sel_keys}, {sel_aggs}, count(*) AS n FROM lineitem"
     if join:
         sql += f" {join} orders ON l_orderkey = o_orderkey"
         if join == "LEFT JOIN" and g.random() < 0.7:
@@ -643,7 +662,8 @@ def groupby_stmt(g: random.Random) -> str:
         # ordinal keys (the round-8 wrong-answer class: a restructure
         # that exports the literal ordinal joins every group globally)
         sql += " GROUP BY " + ", ".join(
-            str(i + 1) for i in range(len(keys))
+            str(kpos[i] if interleave else i + 1)
+            for i in range(len(keys))
         )
     elif rk < 0.5:
         # select-list alias keys
