@@ -718,3 +718,25 @@ def test_ceil_floor_trunc_decimal_chains(spark):
             t = translate(c.replace("FROM tdec2", "FROM tdec_cft9"))
         got = spark.sql(t).collect()[0][0]
         assert str(got) == str(want), (fn, want, got)
+
+
+def test_translate_size_stays_bounded():
+    """Analyzer-cost regression guard (r9b): template nesting must not
+    multiply — round over a window-EXCLUDE expansion binds the frame
+    list and its own operand once (q60 was 34 KB / ~4.5 s of analysis
+    before), and round over product() binds the expanding call (q42
+    was 10 KB). Sizes include headroom; a multiplicative regression
+    blows past them immediately."""
+    import re
+
+    src = open(
+        "/root/repo/component_duckdb_transformation_spark/workloads.py"
+    ).read()
+    limits = {
+        "q60_window_frame_exclude": 16_000,   # now ~11 KB
+        "q42_product_aggregate": 7_000,       # now ~4.7 KB
+    }
+    for name, cap in limits.items():
+        m = re.search(rf'"{name}",\s*r?"""(.*?)"""', src, re.DOTALL)
+        out = translate(m.group(1))
+        assert len(out) < cap, (name, len(out), cap)
