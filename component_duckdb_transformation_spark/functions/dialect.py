@@ -2067,7 +2067,9 @@ def _rewrite_concat_null_skipping(tokens: List[Token]) -> List[Token]:
     return out
 
 
-def _rewrite_substr_window(tokens: List[Token]) -> List[Token]:
+def _rewrite_substr_window(
+    tokens: List[Token], in_py_udf: bool = False
+) -> List[Token]:
     """3-arg ``substr``/``substring`` with DuckDB's extended-window
     semantics: the window is [start, start+len) in 1-based coordinates
     (negative start counts from the end first), INTERSECTED with the
@@ -2077,13 +2079,22 @@ def _rewrite_substr_window(tokens: List[Token]) -> List[Token]:
     position 1. The common literal shape (start >= 1, len >= 0) is
     left untouched. Runs BEFORE the bracket pass, which generates its
     own Spark-semantics ``substring`` calls that must not be re-mapped.
+    Long operands bind once in a named_struct (the window arithmetic
+    mentions the subject 3x and the position ~7x — ~5x growth per
+    nesting level measured on a round::VARCHAR subject); inside
+    Python-UDF argument spans the repeated-operand form is kept
+    (lambdas there defeat ExtractPythonUDFs — see _PY_UDF_FNS).
     """
     out: List[Token] = []
     i = 0
     n = len(tokens)
+    udf_spans = _py_udf_arg_spans(tokens) if not in_py_udf else None
     while i < n:
         tok = tokens[i]
         if tok.kind == "word" and tok.text.lower() in ("substr", "substring"):
+            in_udf_here = in_py_udf or (
+                udf_spans is not None and i in udf_spans
+            )
             p_open = _next_code(tokens, i)
             if p_open < n and tokens[p_open].kind == "op" and tokens[p_open].text == "(":
                 close = _matching_paren(tokens, p_open)
@@ -2094,10 +2105,31 @@ def _rewrite_substr_window(tokens: List[Token]) -> List[Token]:
                 ):
                     s, p, l = (
                         "".join(
-                            t.text for t in _rewrite_substr_window(a)
+                            t.text
+                            for t in _rewrite_substr_window(
+                                a, in_py_udf=in_udf_here
+                            )
                         ).strip()
                         for a in args
                     )
+                    # bind on post-expansion potential too: a short
+                    # subject like (round(x, 4))::VARCHAR expands ~5 KB
+                    # in LATER passes (round template + the fmtlib
+                    # render dispatch), multiplied by every inline copy
+                    arg0 = [
+                        t for t in args[0] if t.kind not in ("ws", "comment")
+                    ]
+                    expands = _contains_expanding_call(args[0]) or any(
+                        t.kind == "word" and t.text.lower() == "varchar"
+                        for t in arg0
+                    )
+                    bind = not in_udf_here and (
+                        expands
+                        or len(s) + len(p) + len(l) > _BIND_THRESHOLD
+                    )
+                    if bind:
+                        outer = (s, p, l)
+                        s, p, l = "__sb.s", "__sb.p", "__sb.l"
                     p0 = (
                         f"(CASE WHEN ({p}) < 0 THEN length({s}) + ({p}) + 1 "
                         f"ELSE ({p}) END)"
@@ -2106,7 +2138,15 @@ def _rewrite_substr_window(tokens: List[Token]) -> List[Token]:
                     b_ = f"({p0} + greatest(({l}), 0))"
                     st = f"greatest({a_}, 1)"
                     ln = f"greatest(least({b_}, length({s}) + 1) - {st}, 0)"
-                    out.extend(_toks(f"substring(({s}), {st}, {ln})"))
+                    core = f"substring(({s}), {st}, {ln})"
+                    if bind:
+                        so, po, lo = outer
+                        core = (
+                            "element_at(transform(array(named_struct("
+                            f"'s', ({so}), 'p', ({po}), 'l', ({lo})))"
+                            f", __sb -> {core}), 1)"
+                        )
+                    out.extend(_toks(core))
                     i = close + 1
                     continue
         out.append(tok)
@@ -6694,6 +6734,11 @@ def _contains_expanding_call(arg_tokens: List[Token]) -> bool:
             if nk < n and arg_tokens[nk].kind == "op" \
                     and arg_tokens[nk].text == "(":
                 return True
+        # a window call's spec expands later (frame EXCLUDE lowers to
+        # the collect_list machinery) and is heavy to re-analyze even
+        # when it doesn't — always bind over OVER
+        if t.kind == "word" and t.text.lower() in ("over", "exclude"):
+            return True
     return False
 
 
