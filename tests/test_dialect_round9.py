@@ -740,3 +740,63 @@ def test_translate_size_stays_bounded():
         m = re.search(rf'"{name}",\s*r?"""(.*?)"""', src, re.DOTALL)
         out = translate(m.group(1))
         assert len(out) < cap, (name, len(out), cap)
+
+
+def test_round_twin_randomized_vs_duckdb():
+    """Randomized (seeded) parity of the Python round twin against
+    DuckDB itself — the twin mirrors the SQL templates op-for-op, so
+    this locks the arithmetic (guard-free unscale, 2^52 integrality,
+    inf-power fallbacks, overflow-to-zero) without a Spark session.
+    2k pairs across magnitudes, signs, and the int32 scale extremes."""
+    import math
+    import random
+
+    from component_duckdb_transformation_spark.functions.dialect import (
+        _duck_round_double_py,
+    )
+
+    g = random.Random(20260815)
+    ks = [0, 1, 2, 7, 15, 16, 20, 100, 308, 309, 400,
+          -1, -2, -15, -16, -100, -308, -309, -400,
+          2147483647, -2147483648]
+    specials = [float("nan"), float("inf"), float("-inf"), 0.0, -0.0,
+                5e-324, 1.7976931348623157e308, -1.7976931348623157e308]
+    pairs = []
+    for k in ks:
+        p = float(f"1e{min(abs(k), 308)}")
+        for _ in range(80):
+            r = g.random()
+            if r < 0.4:
+                v = g.uniform(-1e6, 1e6)
+            elif r < 0.75:
+                v = math.copysign(
+                    math.exp(g.uniform(math.log(1e-20), math.log(1e300))),
+                    g.choice([-1.0, 1.0]),
+                )
+            else:  # the 2^52..2^53 scaled region
+                s = g.uniform(2 ** 51, 2 ** 53)
+                v = math.copysign(s / p if k >= 0 else s * p,
+                                  g.choice([-1.0, 1.0]))
+            if math.isinf(v):
+                continue
+            pairs.append((v, k))
+        pairs.extend((v, k) for v in specials)
+    con = duckdb.connect()
+    values = ", ".join(
+        f"(CAST('{v!r}' AS DOUBLE), {k})" for v, k in pairs
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT round(v, k) FROM (VALUES {values}) t(v, k)"
+        ).fetchall()
+    ]
+    bad = []
+    for (v, k), w in zip(pairs, want):
+        m = _duck_round_double_py(v, k)
+        same = (m == w) or (math.isnan(m) and math.isnan(w))
+        if same and m == 0.0 and not math.isnan(m):
+            same = math.copysign(1.0, m) == math.copysign(1.0, w)
+        if not same:
+            bad.append((v, k, w, m))
+    assert not bad, bad[:5]
