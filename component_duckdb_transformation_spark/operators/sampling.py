@@ -113,6 +113,70 @@ def split_oracle_case(id_expr: str, weights: Sequence[tuple[str, float]], salt: 
     return "CASE " + " ".join(parts) + f" ELSE '{weights[-1][0]}' END"
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic per-key frequency capping: keep at most ``cap``
+    rows per ``key_col`` value (the domain-capping step of web-corpus
+    curation — one domain must not dominate the mix), selected in md5
+    order of the id so the kept SET is stable across re-runs, engines,
+    and row order.
+
+    Scale-safe the same way as ``assemble_training_mix``: a naive
+    ``row_number() OVER (PARTITION BY key)`` sorts an entire key in
+    one task (a hot domain is ~90% of a web corpus). Instead:
+
+    1. split each key into ``n_buckets`` contiguous md5-order ranges;
+    2. per-(key, bucket) COUNTS — partial-aggregable, output is the
+       tiny (keys x buckets) stats frame;
+    3. exclusive cumulative offsets over that tiny frame, broadcast
+       back;
+    4. buckets wholly past the cap (offset >= cap) drop BEFORE any
+       shuffle; buckets wholly under it (offset + count <= cap) pass
+       WITHOUT ranking — only the one boundary bucket per key gets a
+       row_number window, whose partition holds ~key_size/n_buckets
+       rows regardless of corpus size.
+
+    Row-identical to ``row_number() OVER (PARTITION BY key ORDER BY
+    hash_bucket(id), id) <= cap`` — fully SQL-replayable."""
+    if cap < 0:
+        raise UserException(f"cap must be >= 0, got {cap}")
+    hb = hash_bucket(F.col(id_col), salt)
+    base = df.withColumn("__hb", hb).withColumn(
+        "__bkt", F.floor(F.col("__hb") * n_buckets / _BUCKETS).cast("int")
+    )
+    counts = base.groupBy(key_col, "__bkt").agg(F.count("*").alias("__cnt"))
+    ow = (
+        Window.partitionBy(key_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        key_col,
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(ow), F.lit(0)).cast("bigint").alias("__off"),
+        F.col("__cnt"),
+    )
+    joined = base.join(F.broadcast(offsets), [key_col, "__bkt"]).filter(
+        F.col("__off") < cap
+    )
+    whole = joined.filter((F.col("__off") + F.col("__cnt")) <= cap)
+    boundary = joined.filter((F.col("__off") + F.col("__cnt")) > cap)
+    bw = Window.partitionBy(key_col, "__bkt").orderBy(
+        F.col("__hb").asc(), F.col(id_col).asc()
+    )
+    boundary_kept = boundary.withColumn("__rn", F.row_number().over(bw)).filter(
+        (F.col("__off") + F.col("__rn")) <= cap
+    )
+    drop = ["__hb", "__bkt", "__off", "__cnt"]
+    return whole.drop(*drop).unionByName(boundary_kept.drop(*drop, "__rn"))
+
+
 def assemble_training_mix(
     df: DataFrame,
     weights: Mapping[str, float],

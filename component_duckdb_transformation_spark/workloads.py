@@ -1818,6 +1818,31 @@ _add_df(
 )
 
 
+_add_df(
+    "x44_domain_cap",
+    lambda spark, sf: sampling.cap_per_key(
+        spark.table("documents"), "source", 15
+    ).select("doc_id", "source", "n_chars"),
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5('cap:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000,
+                 doc_id
+             ) AS rn
+      FROM documents) q
+    WHERE rn <= 15
+    """,
+    description="per-domain frequency capping (web-corpus curation: no "
+    "domain dominates the mix): keep <= N docs per source in stable md5 "
+    "order — bucketed two-pass prefix counts, whole buckets pass/drop "
+    "without ranking, only the boundary bucket per key gets a window "
+    "(task size ~key/n_buckets regardless of corpus size)",
+)
+
+
 _BIGRAM_LM_ORACLE = """
 WITH w0 AS (
   SELECT doc_id, (string_split(text, ' '))[1:50] AS w FROM documents),

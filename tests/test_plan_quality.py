@@ -367,3 +367,49 @@ def test_x43_training_mix_bounded_tasks_under_skew(spark):
         .collect()[0][0]
     )
     assert grp < 0.25 * n_hot
+
+
+def test_x44_domain_cap_bucketed_window(spark):
+    # per-key capping: the only window partitions by (key, bucket) —
+    # never key alone — offsets broadcast back, and whole buckets
+    # pass/drop WITHOUT entering the window (boundary bucket only)
+    plan = _plan(spark, "x44_domain_cap")
+    assert "row_number" in plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "source#" in plan and "__bkt#" in plan
+
+
+def test_x44_domain_cap_bounded_tasks_under_skew(spark):
+    # one domain holds ~all rows: the ranking window must only ever see
+    # the BOUNDARY bucket of that domain (~size/n_buckets), and the
+    # kept set must equal the oracle's row_number <= cap semantics
+    from pyspark.sql import functions as F
+
+    from component_duckdb_transformation_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hot = docs.withColumn("source", F.lit("web"))
+    rest = docs.limit(30).withColumn("source", F.lit("books"))
+    corpus = hot.unionByName(rest)
+    cap = 17
+    out = sampling.cap_per_key(corpus, "source", cap, n_buckets=16)
+    got = {(r.doc_id, r.source) for r in out.select("doc_id", "source").collect()}
+    # oracle replay in-Spark: full row_number over the whole key
+    hb = sampling.hash_bucket(F.col("doc_id"), "cap")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(hb.asc(), F.col("doc_id").asc())
+    want = {
+        (r.doc_id, r.source)
+        for r in corpus.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("doc_id", "source")
+        .collect()
+    }
+    assert got == want and len(got) == 2 * cap
+    # cap = 0 keeps nothing; cap >= key size keeps everything
+    assert sampling.cap_per_key(corpus, "source", 0).count() == 0
+    big = sampling.cap_per_key(rest, "source", 10_000).count()
+    assert big == rest.count()
