@@ -481,6 +481,20 @@ def win_item(g: random.Random) -> str:
         col = g.choice(INT_COLS)
         agg = g.choice(["sum", "min", "max", "avg", "count"])
         mode = g.choice(["CURRENT ROW", "GROUP", "TIES", "NO OTHERS"])
+        if g.random() < 0.35:
+            # RANGE frame over a NON-unique order key: peer groups are
+            # real multisets (GROUP/TIES differ from CURRENT ROW), and
+            # value-range frames are deterministic regardless of row
+            # order — the q60 shape, r9
+            lo, hi = g.randint(1, 3), g.randint(0, 2)
+            frame = (
+                f"RANGE BETWEEN {lo} PRECEDING AND "
+                f"{'CURRENT ROW' if hi == 0 else f'{hi} FOLLOWING'}"
+            )
+            order = f"ORDER BY {g.choice(['l_linenumber', 'l_suppkey % 7'])}"
+            return (
+                f"{agg}({col}) OVER ({part}{order} {frame} EXCLUDE {mode})"
+            )
         if g.random() < 0.3:
             frame = f"ROWS BETWEEN {g.randint(2, 4)} PRECEDING AND 1 PRECEDING"
         else:
