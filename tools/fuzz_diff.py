@@ -735,6 +735,52 @@ def subquery_stmt(g: random.Random) -> str:
     )
 
 
+def cte_stmt(g: random.Random) -> str:
+    """WITH-chain statements whose inner or outer scope carries mad/
+    entropy (the restructure must resolve keys and rebuild GROUP BY
+    inside CTE scopes) plus window/round surfaces across the chain."""
+    agg1 = g.choice(
+        [
+            "round(CAST(mad(l_quantity) AS DOUBLE), 4)",
+            "round(entropy(l_linenumber), 6)",
+            "round(sum(l_extendedprice), 2)",
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT)",
+        ]
+    )
+    key = g.choice(["l_returnflag", "l_linestatus"])
+    inner_ord = g.random() < 0.5
+    gb = "1" if inner_ord else key
+    base = (
+        f"SELECT {key} AS k, {agg1} AS m, count(*) AS n "
+        f"FROM lineitem WHERE l_orderkey < {g.randint(500, 3000)} "
+        f"GROUP BY {gb}"
+    )
+    outer = g.randrange(3)
+    if outer == 0:
+        # second CTE referencing the first; outer aggregate over it
+        return (
+            f"WITH a AS ({base}), b AS (SELECT k, m, n FROM a "
+            f"WHERE n > {g.randint(0, 3)}) "
+            "SELECT k, round(CAST(m AS DOUBLE), 3) AS m2, n FROM b"
+        )
+    if outer == 1:
+        # outer mad/entropy over the CTE output (restructure on a CTE
+        # source)
+        oagg = g.choice(
+            ["round(CAST(mad(n) AS DOUBLE), 6)", "round(entropy(k), 6)"]
+        )
+        return (
+            f"WITH a AS ({base}) "
+            f"SELECT {oagg} AS mm, CAST(count(*) AS BIGINT) AS c FROM a"
+        )
+    # window over the CTE output
+    return (
+        f"WITH a AS ({base}) "
+        "SELECT k, m, n, CAST(rank() OVER (ORDER BY n DESC, k) AS BIGINT)"
+        " AS r FROM a"
+    )
+
+
 def qualify_stmt(g: random.Random) -> str:
     """QUALIFY / DISTINCT ON statements — the recursive window-subquery
     rewriters. A unique total order makes every pick deterministic."""
@@ -1020,6 +1066,7 @@ def main() -> int:
     stmts += [("qualify", qualify_stmt(g)) for _ in range(max(4, n // 40))]
     stmts += [("setop", setop_stmt(g)) for _ in range(max(4, n // 40))]
     stmts += [("subquery", subquery_stmt(g)) for _ in range(max(4, n // 40))]
+    stmts += [("cte", cte_stmt(g)) for _ in range(max(4, n // 40))]
     for j, (kind, stmt) in enumerate(stmts):
         try:
             if not run_stmt(spark, con, translate, stmt):
