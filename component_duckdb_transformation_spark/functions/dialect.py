@@ -6919,7 +6919,7 @@ def _rewrite_round_double(
     return out
 
 
-def _integral_cast_sql(x: str, ty: str, fn: str) -> str:
+def _integral_cast_sql(x: str, ty: str, fn: str, bind: bool = False) -> str:
     """DuckDB-rounding numeric->integral cast: DOUBLE/FLOAT inputs round
     half-to-even (``bround``), everything else routes through
     DECIMAL(38,0) whose Spark cast rounds half-away — ``typeof()``
@@ -6927,6 +6927,24 @@ def _integral_cast_sql(x: str, ty: str, fn: str) -> str:
     does not raise), so the branch choice is free and exact for every
     input type including booleans, strings, and full-range BIGINTs."""
     inner_fn = "CAST" if fn.upper() == "CAST" else "TRY_CAST"
+    if bind:
+        # bind the operand once (type-preserving struct field): the
+        # template mentions it 3x, which multiplies a later-expanding
+        # operand — CAST((json_chain) -> 'id' AS BIGINT) tripled a
+        # 59 KB arrow expansion to 176 KB of SQL. The operand sits in
+        # the HOF INPUT, so even a Python-UDF-bearing operand extracts
+        # fine (only OUR lambda's body must stay UDF-free, and it only
+        # carries struct refs).
+        core = (
+            f"CASE WHEN typeof(__ic.x) IN ('double', 'float') "
+            f"THEN {inner_fn}(bround(CAST((__ic.x) AS DOUBLE)) AS {ty}) "
+            f"ELSE {inner_fn}({inner_fn}((__ic.x) AS DECIMAL(38,0)) "
+            f"AS {ty}) END"
+        )
+        return (
+            "(element_at(transform(array(named_struct('x', "
+            f"({x}))), __ic -> {core}), 1))"
+        )
     return (
         f"(CASE WHEN typeof({x}) IN ('double', 'float') "
         f"THEN {inner_fn}(bround(CAST(({x}) AS DOUBLE)) AS {ty}) "
@@ -6934,17 +6952,37 @@ def _integral_cast_sql(x: str, ty: str, fn: str) -> str:
     )
 
 
-def _rewrite_integral_casts(tokens: List[Token]) -> List[Token]:
+def _rewrite_integral_casts(
+    tokens: List[Token], in_py_udf: bool = False
+) -> List[Token]:
     """DuckDB ROUNDS on numeric->integral casts (half away from zero for
     DECIMAL, half to even for DOUBLE); Spark TRUNCATES. See
     ``_integral_cast_sql`` for the exact dispatch. Handles
     ``CAST/TRY_CAST(x AS <integral>)`` and ``x::<integral>``; TRY_CAST
-    keeps try semantics on the inner hop."""
+    keeps try semantics on the inner hop. Long or later-expanding
+    operands (json arrows, expanding calls) bind once — outside
+    Python-UDF argument spans, where lambdas defeat
+    ExtractPythonUDFs."""
+
+    def _should_bind(x: str, arg_tokens: List[Token], udf_here: bool) -> bool:
+        if udf_here:
+            return False
+        if len(x) > _BIND_THRESHOLD:
+            return True
+        return any(
+            t.kind == "op" and t.text in ("->", "->>")
+            for t in arg_tokens
+        ) or _contains_expanding_call(arg_tokens)
+
     out: List[Token] = []
     i = 0
     n = len(tokens)
+    udf_spans = _py_udf_arg_spans(tokens) if not in_py_udf else None
     while i < n:
         tok = tokens[i]
+        in_udf_here = in_py_udf or (
+            udf_spans is not None and i in udf_spans
+        )
         if tok.kind == "word" and tok.text.lower() in ("cast", "try_cast"):
             p_open = _next_code(tokens, i)
             if p_open < n and tokens[p_open].kind == "op" and tokens[p_open].text == "(":
@@ -6959,12 +6997,16 @@ def _rewrite_integral_casts(tokens: List[Token]) -> List[Token]:
                         and tokens[ty].text.lower() in _INTEGRAL_TYPES
                         and ty_end == close
                     ):
-                        inner = _rewrite_integral_casts(tokens[p_open + 1 : as_i])
+                        arg = tokens[p_open + 1 : as_i]
+                        inner = _rewrite_integral_casts(
+                            arg, in_py_udf=in_udf_here
+                        )
                         x = "".join(t.text for t in inner).strip()
                         out.extend(
                             _toks(
                                 _integral_cast_sql(
-                                    x, tokens[ty].text, tok.text
+                                    x, tokens[ty].text, tok.text,
+                                    bind=_should_bind(x, arg, in_udf_here),
                                 )
                             )
                         )
@@ -6987,7 +7029,10 @@ def _rewrite_integral_casts(tokens: List[Token]) -> List[Token]:
                 if operand:
                     x = "".join(t.text for t in operand).strip()
                     out.extend(
-                        _toks(_integral_cast_sql(x, tokens[ty].text, "CAST"))
+                        _toks(_integral_cast_sql(
+                            x, tokens[ty].text, "CAST",
+                            bind=_should_bind(x, operand, in_udf_here),
+                        ))
                     )
                     i = ty + 1
                     continue
