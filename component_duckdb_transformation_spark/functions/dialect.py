@@ -6775,6 +6775,145 @@ def _decimal_literal_chain(arg_tokens: List[Token]) -> bool:
     return _numeric_literal_chain(arg_tokens) == "decimal"
 
 
+# The fns whose DuckDB result type is a function of the argument type
+# in a way this translator's emissions REPRODUCE when the argument is
+# statically known (see _static_numeric_type): abs is untouched
+# (native, type-preserving both engines); trunc is type-preserving in
+# DuckDB (int -> int, decimal -> DECIMAL(p,0)); ceil/floor/round keep
+# DECIMAL for decimal args but go DOUBLE for ints (the int/double
+# union type), which the templates' CASE coercion reproduces.
+
+
+def _static_numeric_type(arg_tokens: List[Token]) -> Optional[str]:
+    """'decimal' / 'decimal0' (decimal with scale KNOWN 0) / 'int' when
+    the expression's type is statically known AND this translator's own
+    emissions preserve it natively — plain numeric literals,
+    DECIMAL/INTEGER-hinted plain column refs, + - * chains over those,
+    and nestings of abs / trunc / ceil / floor / round(x, literal k)
+    per DuckDB's typing rules. None otherwise (exponent literals,
+    division, unknown columns, any other call). Used by the
+    round/ceil/floor/trunc rewrites to decide when to SKIP their
+    typeof templates: a statically DECIMAL operand keeps the native
+    decimal path (the template's CASE would coerce it to DOUBLE and
+    lose the scale-keeping rendering — fuzz-found twice:
+    round(100 + 0.2420, 4) and round(ceil(8.5789), 4)). The detector
+    mirrors the emissions: round at a NEGATIVE scale stays native only
+    for scale-0 operands (ceil/floor/trunc outputs — probed identical
+    across both engines); FRACTIONAL decimals at negative scales keep
+    the template because DuckDB's own rounding is internally
+    inconsistent there (round(7.0005, -1) = 0 but round(15.0, -1) =
+    20), so their static type is None through a negative-scale
+    round."""
+    code = [t for t in arg_tokens if t.kind not in ("ws", "comment")]
+    return _snt_rec(code, 0)
+
+
+def _snt_rec(code: List[Token], depth: int) -> Optional[str]:
+    if depth > 24 or not code:
+        return None
+    while (
+        len(code) >= 3
+        and code[0].kind == "op" and code[0].text == "("
+        and _matching_paren(code, 0) == len(code) - 1
+    ):
+        code = code[1:-1]
+    while code and code[0].kind == "op" and code[0].text in ("+", "-"):
+        code = code[1:]
+    if not code:
+        return None
+    # split on top-level binary + - * (a sign at a part start is unary)
+    parts: List[List[Token]] = []
+    cur: List[Token] = []
+    d = 0
+    for t in code:
+        if t.kind == "op":
+            if t.text == "(":
+                d += 1
+            elif t.text == ")":
+                d -= 1
+            elif d == 0 and t.text in ("+", "-", "*"):
+                if cur:
+                    parts.append(cur)
+                    cur = []
+                continue
+        cur.append(t)
+    parts.append(cur)
+    if not parts[-1]:
+        return None
+    if len(parts) > 1:
+        types = [_snt_rec(p, depth + 1) for p in parts]
+        if any(ty is None for ty in types):
+            return None
+        # + - keep scale = max(scales); * sums them — in every case a
+        # fractional part makes the result fractional, all-scale-0
+        # parts keep scale 0, all-int stays int
+        if "decimal" in types:
+            return "decimal"
+        return "decimal0" if "decimal0" in types else "int"
+    c = parts[0]
+    if len(c) == 1 and c[0].kind in ("word", "number") \
+            and _PLAIN_NUM_CHAIN_RE.match(c[0].text):
+        return "decimal" if "." in c[0].text else "int"
+    h = _hinted_primary_type(c) or ""
+    if h.startswith("decimal"):
+        return "decimal0" if h.endswith(",0)") else "decimal"
+    if h in ("int", "bigint", "smallint", "tinyint"):
+        return "int"
+    if (
+        len(c) >= 3
+        and c[0].kind == "word"
+        and c[1].kind == "op" and c[1].text == "("
+        and _matching_paren(c, 1) == len(c) - 1
+    ):
+        fn = c[0].text.lower()
+        args = _split_top_level_args(c, 1, len(c) - 1)
+
+        def _arg_ty(a):
+            return _snt_rec(
+                [t for t in a if t.kind not in ("ws", "comment")],
+                depth + 1,
+            )
+
+        if fn == "abs" and len(args) == 1:
+            return _arg_ty(args[0])
+        if fn == "trunc" and len(args) == 1:
+            inner = _arg_ty(args[0])
+            if inner in ("decimal", "decimal0"):
+                return "decimal0"  # DECIMAL(p,0) output
+            return inner  # int identity / None
+        if fn in ("ceil", "ceiling", "floor") and len(args) == 1:
+            inner = _arg_ty(args[0])
+            return (
+                "decimal0" if inner in ("decimal", "decimal0") else None
+            )
+        if fn == "round" and len(args) in (1, 2):
+            k = 0
+            if len(args) == 2:
+                kc = [t for t in args[1] if t.kind not in ("ws", "comment")]
+                sign = 1
+                if len(kc) == 2 and kc[0].kind == "op" \
+                        and kc[0].text == "-":
+                    sign = -1
+                    kc = kc[1:]
+                if not (
+                    len(kc) == 1
+                    and kc[0].kind in ("number", "word")
+                    and kc[0].text.isdigit()
+                ):
+                    return None
+                k = sign * int(kc[0].text)
+            inner = _arg_ty(args[0])
+            if inner not in ("decimal", "decimal0"):
+                return None
+            if k < 0:
+                # native only for scale-0 operands (see docstring)
+                return "decimal0" if inner == "decimal0" else None
+            if k == 0 or inner == "decimal0":
+                return "decimal0"  # output scale min(s, k) = 0
+            return "decimal"
+    return None
+
+
 def _rewrite_round_double(
     tokens: List[Token], in_py_udf: bool = False
 ) -> List[Token]:
@@ -6847,15 +6986,14 @@ def _rewrite_round_double(
                         )
                     ).strip()
                     folded = _fold_literal_round(x, k)
-                    if (
-                        folded is None
-                        and k >= 0
-                        and (
-                            _decimal_literal_chain(args[0])
-                            or (
-                                _hinted_primary_type(args[0]) or ""
-                            ).startswith("decimal")
-                        )
+                    sty = (
+                        _static_numeric_type(args[0])
+                        if folded is None
+                        else None
+                    )
+                    if folded is None and (
+                        (k >= 0 and sty in ("decimal", "decimal0"))
+                        or (k < 0 and sty == "decimal0")
                     ):
                         # statically DECIMAL operand: native Spark
                         # round matches DuckDB; the template would
@@ -9262,18 +9400,10 @@ def _rewrite_call_shims(
                     low in ("ceil", "ceiling", "floor")
                     and len(args) == 1
                     and not _plain_decimal_literal_arg(inner, args[0])
-                    and not _decimal_literal_chain(
+                    and _static_numeric_type(
                         inner[args[0][0]: args[0][1]]
-                    )
+                    ) not in ("decimal", "decimal0")
                     and i not in __in_values
-                    and not (
-                        (
-                            _hinted_primary_type(
-                                inner[args[0][0]: args[0][1]]
-                            )
-                            or ""
-                        ).startswith("decimal")
-                    )
                 ):
                     # DuckDB types ceil/floor of int/bigint/double as
                     # DOUBLE (ceil(5) = 5.0, ceil(1e300) = 1e300);
@@ -9358,7 +9488,7 @@ def _rewrite_call_shims(
                             )
                         i = close + 1
                         continue
-                    chain = _numeric_literal_chain(
+                    chain = _static_numeric_type(
                         inner[args[0][0]: args[0][1]]
                     )
                     if chain == "int":
@@ -9369,10 +9499,7 @@ def _rewrite_call_shims(
                         out.extend(_toks(f"({a})"))
                         i = close + 1
                         continue
-                    if chain == "decimal" or (
-                        _hinted_primary_type(inner[args[0][0]: args[0][1]])
-                        or ""
-                    ).startswith("decimal"):
+                    if chain in ("decimal", "decimal0"):
                         # statically DECIMAL operand (r9b): floor/
                         # ceiling on a decimal is DECIMAL(p,0) in both
                         # engines — emit the core WITHOUT the typeof

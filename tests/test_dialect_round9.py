@@ -800,3 +800,58 @@ def test_round_twin_randomized_vs_duckdb():
         if not same:
             bad.append((v, k, w, m))
     assert not bad, bad[:5]
+
+
+def test_static_numeric_nesting_keeps_native_types(spark):
+    """r9c: the static-type detector recognizes round/ceil/floor/trunc/
+    abs NESTINGS over decimal literals, chains, and hinted columns —
+    round(ceil(8.5789), 4) must render 'x9' (DECIMAL both engines),
+    not the template-coerced 'x9.0' (second fuzz find of the class);
+    scale-0 results stay native even at NEGATIVE round scales, while
+    fractional decimals at negative scales keep the template (DuckDB's
+    own rounding is internally inconsistent there)."""
+    con = duckdb.connect()
+    cases = [
+        "SELECT length(concat('R', round(ceil(8.5789), 4))) AS v",
+        "SELECT concat('x', round(ceil(8.5789), 4)) AS v",
+        "SELECT concat('x', ceil(round(2.5, 1))) AS v",
+        "SELECT concat('x', trunc(abs(7))) AS v",
+        "SELECT concat('x', trunc(abs(-7.5))) AS v",
+        "SELECT concat('x', round(trunc(8.5789), 2)) AS v",
+        "SELECT concat('x', floor(round(abs(-2.675), 2) + 1)) AS v",
+        "SELECT concat('x', round(ceil(8.5789) * 2 + 1, 1)) AS v",
+        # scale-0 operands stay native at negative scales
+        "SELECT concat('x', round(ceil(8.5789), -1)) AS v",
+        "SELECT concat('x', round(trunc(15.0), -1)) AS v",
+        "SELECT concat('x', round(floor(125.9), -2)) AS v",
+        # double paths keep the templates
+        "SELECT concat('x', round(ceil(8.5e0), 2)) AS v",
+        "SELECT concat('x', ceil(round(2.5e0, 1))) AS v",
+        "SELECT concat('x', ceil(3 + 4)) AS v",
+        "SELECT concat('x', round(9, 0)) AS v",
+    ]
+    for c in cases:
+        want = con.execute(c).fetchone()[0]
+        got = spark.sql(translate(c)).collect()[0][0]
+        assert str(got) == str(want), (c, want, got)
+    spark.sql(
+        "SELECT CAST(7 AS INT) icol, CAST(-4.75 AS DECIMAL(10,2)) dcol, "
+        "CAST(42 AS DECIMAL(8,0)) d0"
+    ).createOrReplaceTempView("th_snt9")
+    con.execute(
+        "CREATE TABLE th AS SELECT CAST(7 AS INT) icol, "
+        "CAST(-4.75 AS DECIMAL(10,2)) dcol, CAST(42 AS DECIMAL(8,0)) d0"
+    )
+    hints = {"icol": "int", "dcol": "decimal(10,2)", "d0": "decimal(8,0)"}
+    for e in (
+        "trunc(icol)",
+        "round(ceil(dcol), 1)",
+        "trunc(dcol + icol)",
+        "round(d0, -1)",   # hinted scale-0 decimal, negative scale
+    ):
+        c = f"SELECT concat('x', {e}) AS v FROM th"
+        want = con.execute(c).fetchone()[0]
+        with column_type_hints(hints):
+            t = translate(c.replace("FROM th", "FROM th_snt9"))
+        got = spark.sql(t).collect()[0][0]
+        assert str(got) == str(want), (e, want, got)
