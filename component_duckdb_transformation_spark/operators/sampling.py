@@ -162,8 +162,23 @@ def cap_per_key(
         F.coalesce(F.sum("__cnt").over(ow), F.lit(0)).cast("bigint").alias("__off"),
         F.col("__cnt"),
     )
-    joined = base.join(F.broadcast(offsets), [key_col, "__bkt"]).filter(
-        F.col("__off") < cap
+    # NULL is a partition like any other (row_number() PARTITION BY
+    # semantics), so the offsets join must be null-safe on the key — a
+    # plain equi-join would silently drop every NULL-key row.
+    off = offsets.select(
+        F.col(key_col).alias("__key_o"),
+        F.col("__bkt").alias("__bkt_o"),
+        "__off",
+        "__cnt",
+    )
+    joined = (
+        base.join(
+            F.broadcast(off),
+            F.col(key_col).eqNullSafe(F.col("__key_o"))
+            & (F.col("__bkt") == F.col("__bkt_o")),
+        )
+        .drop("__key_o", "__bkt_o")
+        .filter(F.col("__off") < cap)
     )
     whole = joined.filter((F.col("__off") + F.col("__cnt")) <= cap)
     boundary = joined.filter((F.col("__off") + F.col("__cnt")) > cap)

@@ -413,3 +413,14 @@ def test_x44_domain_cap_bounded_tasks_under_skew(spark):
     assert sampling.cap_per_key(corpus, "source", 0).count() == 0
     big = sampling.cap_per_key(rest, "source", 10_000).count()
     assert big == rest.count()
+    # NULL is a partition too: row_number() PARTITION BY keeps up to
+    # cap NULL-key rows — the offsets join must be null-safe
+    nulled = docs.limit(40).withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, F.lit(None)).otherwise(F.lit("b"))
+    )
+    out_n = sampling.cap_per_key(nulled, "source", 5, n_buckets=4)
+    by_key = {
+        r.source: r.n
+        for r in out_n.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_key.get(None) == 5 and by_key.get("b") == 5
