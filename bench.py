@@ -178,17 +178,21 @@ def main() -> int:
 
     active = _active_times(spark) if ui_on else {}
 
+    # Field order matters: the driver's recorded BENCH artifact keeps
+    # only the JSON *tail*, so the big per-query maps go FIRST and the
+    # headline numbers (wall value, sequential re-times, failures) go
+    # LAST so they survive truncation.
     result = {
         "metric": "workload_suite_wall_time",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
-        "queries_sequential": seq_timings,
         "queries_active": active,
-        "sf": sf,
-        "n_queries": len(timings),
-        "failures": failures,
         "concurrency": pool_size,
+        "n_queries": len(timings),
+        "sf": sf,
+        "queries_sequential": seq_timings,
+        "failures": failures,
+        "unit": "sec",
+        "value": total,
     }
     print(json.dumps(result))
     return 1 if failures else 0
