@@ -445,6 +445,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_mad_groupby_recursive(tokens)
     tokens = _rewrite_entropy_groupby_recursive(tokens)
     tokens = _rewrite_mad_window_recursive(tokens)
+    tokens = _rewrite_mad_window_inplace(tokens)
     tokens = _rewrite_mad_fallback_template(tokens)
     tokens = _rewrite_product_entropy(tokens)
     # brace-map sentinel back to Spark's variadic map (see
@@ -3010,6 +3011,27 @@ def _mad_median_sql(arr: str) -> str:
     )
 
 
+def _mad_fold_sql(collected: str, integer_domain: bool) -> str:
+    """median(abs(x - median(x))) folded over ONE collected array
+    expression (an aggregate OR window ``collect_list`` call — either
+    sits in the HOF *input*, evaluated in the projection, so window
+    calls analyze fine). The size guard raises loudly before the
+    sort/transform stages triple the array."""
+    med1 = _mad_median_sql("__s1")
+    med2 = _mad_median_sql("__s2")
+    if integer_domain:
+        med1 = _mad_round_sql(med1)
+        med2 = _mad_round_sql(med2)
+    return (
+        f"(element_at(transform(array({collected}), __s0 -> "
+        f"element_at(transform(array(array_sort({_guard_arr('__s0')}))"
+        ", __s1 -> "
+        "element_at(transform(array(array_sort(transform(__s1, "
+        f"__v -> abs(__v - {med1})))), __s2 -> {med2}), 1)"
+        "), 1)), 1))"
+    )
+
+
 def _mad_template(arg_sql: str) -> str:
     """Fallback ``mad(x)`` = median(abs(x - median(x))) as a pure
     built-in collect_list template for the shapes the statement
@@ -3020,23 +3042,33 @@ def _mad_template(arg_sql: str) -> str:
     templates — the restructured two-phase plan remains the scale
     path."""
     core, is_distinct = _split_distinct_prefix(arg_sql)
-    med1 = _mad_median_sql("__s1")
-    med2 = _mad_median_sql("__s2")
-    if _mad_integer_domain(core):
-        med1 = _mad_round_sql(med1)
-        med2 = _mad_round_sql(med2)
     # DISTINCT dedupes INSIDE the aggregate, bounding the buffer at the
-    # distinct count; the size guard raises loudly (with the scale-path
-    # pointer) before the sort/transform stages triple the array
+    # distinct count
     collected = ("collect_list(DISTINCT " if is_distinct else "collect_list(") + core + ")"
-    return (
-        f"(element_at(transform(array({collected}), __s0 -> "
-        f"element_at(transform(array(array_sort({_guard_arr('__s0')}))"
-        ", __s1 -> "
-        "element_at(transform(array(array_sort(transform(__s1, "
-        f"__v -> abs(__v - {med1})))), __s2 -> {med2}), 1)"
-        "), 1)), 1))"
-    )
+    return _mad_fold_sql(collected, _mad_integer_domain(core))
+
+
+def _mad_window_template(
+    core: str, spec: str, temporal: bool, distinct: bool = False
+) -> str:
+    """``mad(x) OVER w`` for ANY frame as a pure in-place expression:
+    the frame is materialized per row via ``collect_list(x) OVER w``
+    (NULLs dropped by collect_list, matching mad's NULL handling) and
+    folded by the sorted-array median machinery — all JVM-side, no
+    pandas UDAF, no statement restructure. Cost is O(frame) per row:
+    bounded frames are cheap; a full-partition frame (only reached when
+    the window restructure bailed) carries the partition once per
+    partition (Spark evaluates an unchanging frame once). DISTINCT
+    dedupes the materialized frame (DuckDB computes DISTINCT window
+    aggregates over the frame's distinct values; Spark has no native
+    equivalent — array_distinct over the frame array IS it)."""
+    collected = f"collect_list({core}) OVER ({spec})"
+    if distinct:
+        collected = f"array_distinct({collected})"
+    body = _mad_fold_sql(collected, temporal or _mad_integer_domain(core))
+    if temporal:
+        body = f"make_dt_interval(0, 0, 0, {body} / 1000000.0D)"
+    return body
 
 
 # histogram(): DuckDB's per-group value->count MAP, keys ascending.
@@ -4880,6 +4912,86 @@ def _rewrite_mad_window_recursive(tokens: List[Token]) -> List[Token]:
         out.append(tok)
         i += 1
     return _rewrite_mad_window(out)
+
+
+def _rewrite_mad_window_inplace(tokens: List[Token]) -> List[Token]:
+    """Lower every ``mad(x) OVER (spec)`` the full-partition restructure
+    left behind — bounded ROWS/RANGE and running frames, plus
+    full-partition shapes inside statements the restructure bailed on
+    (GROUP BY, dotted refs, global aggregates) — IN PLACE via
+    ``_mad_window_template``: no statement restructure, works in any
+    scope, and removes the last pandas (WindowInPandas) crossing in the
+    window path. Also lowers the hinted temporal form
+    ``make_dt_interval(0,0,0, mad(x)/1e6) OVER (spec)``, which
+    previously failed at Spark parse for bounded frames, and
+    ``mad(DISTINCT x) OVER w`` (DuckDB dedupes the frame; lowered via
+    array_distinct over the materialized frame — Spark itself rejects
+    DISTINCT window aggregates outright). Pass-through (loud): EXCLUDE
+    modes other than NO OTHERS and named-window references
+    (``OVER w``)."""
+    n = len(tokens)
+    out: List[Token] = []
+    i = 0
+    while i < n:
+        t = tokens[i]
+        if t.kind == "word" and t.text.lower() in ("mad", "make_dt_interval"):
+            p = len(out) - 1
+            while p >= 0 and out[p].kind in ("ws", "comment"):
+                p -= 1
+            dotted = p >= 0 and out[p].kind == "op" and out[p].text == "."
+            p_open = _next_code(tokens, i)
+            if (
+                not dotted
+                and p_open < n
+                and tokens[p_open].kind == "op"
+                and tokens[p_open].text == "("
+            ):
+                close = _matching_paren(tokens, p_open)
+                after = _next_code(tokens, close)
+                if after < n and tokens[after].is_kw("OVER"):
+                    sp_open = _next_code(tokens, after)
+                    if (
+                        sp_open < n
+                        and tokens[sp_open].kind == "op"
+                        and tokens[sp_open].text == "("
+                    ):
+                        sp_close = _matching_paren(tokens, sp_open)
+                        inner = _rewrite_mad_window_inplace(
+                            tokens[p_open + 1 : close]
+                        )
+                        body = "".join(tk.text for tk in inner)
+                        temporal = False
+                        arg = body
+                        if t.text.lower() == "make_dt_interval":
+                            m = _MADW_TEMPORAL_RE.match(body)
+                            if not m:
+                                out.append(t)
+                                i += 1
+                                continue
+                            arg, temporal = m.group(1), True
+                        core, is_distinct = _split_distinct_prefix(arg)
+                        spec = _sql(tokens, sp_open + 1, sp_close)
+                        u = re.sub(r"\s+", " ", spec).strip().upper()
+                        if "EXCLUDE" in u:
+                            if not u.endswith("EXCLUDE NO OTHERS"):
+                                out.append(t)
+                                i += 1
+                                continue
+                            spec = re.sub(
+                                r"(?is)EXCLUDE\s+NO\s+OTHERS\s*$", "", spec
+                            )
+                        out.extend(
+                            _toks(
+                                _mad_window_template(
+                                    core, spec, temporal, is_distinct
+                                )
+                            )
+                        )
+                        i = sp_close + 1
+                        continue
+        out.append(t)
+        i += 1
+    return out
 
 
 def _rewrite_mad_fallback_template(tokens: List[Token]) -> List[Token]:

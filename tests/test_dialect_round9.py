@@ -88,8 +88,10 @@ def test_window_mad_star_select(spark):
         assert g[-1] == pytest.approx(float(w[-1]), abs=1e-9)
 
 
-def test_window_mad_running_frame_keeps_udaf_and_matches(spark):
-    # ORDER BY without explicit frame = running frame -> pandas UDAF path
+def test_window_mad_running_frame_lowered_inplace_and_matches(spark):
+    # ORDER BY without explicit frame = running frame. Round 10: lowered
+    # in place onto collect_list-frame medians (r9 kept the pandas UDAF
+    # here; this was the last Python crossing in the window path)
     con = _duck()
     _spark_views(spark)
     sql = (
@@ -98,7 +100,8 @@ def test_window_mad_running_frame_keeps_udaf_and_matches(spark):
         "ORDER BY p_partkey"
     )
     out = translate(sql)
-    assert "mad(" in out  # not lowered
+    assert "mad(" not in out  # lowered to the frame-median template
+    assert "collect_list" in out
     want = con.execute(sql).fetchall()
     got = [tuple(r) for r in spark.sql(out).collect()]
     for g, w in zip(got, want):

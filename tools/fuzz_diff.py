@@ -463,16 +463,26 @@ def win_item(g: random.Random) -> str:
     if choice == 9:
         # r9: full-partition-frame window mad lowers to built-in window
         # medians (raw value — compare_cols' rtol absorbs percentile
-        # interpolation ulps, like the windowed-sum items)
+        # interpolation ulps, like the windowed-sum items).
+        # r10: bounded ROWS / running frames and DISTINCT lower to the
+        # in-place collect_list frame-median template — draw those too
         col = g.choice(NUM_COLS)
-        if g.random() < 0.5:
+        dq = "DISTINCT " if g.random() < 0.2 else ""
+        r = g.random()
+        if r < 0.25:
             spec = part.strip()
-        else:
+        elif r < 0.5:
             spec = (
                 f"{part}{WIN_ORDER} ROWS BETWEEN UNBOUNDED PRECEDING "
                 "AND UNBOUNDED FOLLOWING"
             )
-        return f"mad({col}) OVER ({spec})"
+        elif r < 0.7:
+            spec = f"{part}{WIN_ORDER}"  # running frame
+        else:
+            lo = g.randint(1, 4)
+            hi = g.choice(["CURRENT ROW", "1 FOLLOWING", "2 FOLLOWING"])
+            spec = f"{part}{WIN_ORDER} ROWS BETWEEN {lo} PRECEDING AND {hi}"
+        return f"mad({dq}{col}) OVER ({spec})"
     if choice == 8:
         # window frame EXCLUDE (dialect _rewrite_window_exclude): the
         # unique total order makes ROWS frames deterministic; the
