@@ -69,14 +69,30 @@ _TYPE_HINTS: ContextVar[Dict[str, str]] = ContextVar(
 )
 
 
+# Names that exist as REAL dependency-table columns but were dropped
+# from the hints (alias-rebound or typed differently across tables).
+# Published by the executor alongside the hints so the in-statement
+# alias typer never re-derives a type for a name that could still bind
+# to the shadowed column in some scope.
+_HINT_SHADOWED: ContextVar[frozenset] = ContextVar(
+    "_duck_hint_shadowed", default=frozenset()
+)
+
+
 @contextlib.contextmanager
-def column_type_hints(mapping: Optional[Dict[str, str]]):
+def column_type_hints(
+    mapping: Optional[Dict[str, str]], shadowed=None
+):
     """Publish ``lowercase column name -> Spark simpleString type``
-    hints for every ``translate()`` call inside the block."""
+    hints for every ``translate()`` call inside the block. ``shadowed``
+    optionally carries names that are real dependency columns dropped
+    from the hints (see ``_HINT_SHADOWED``)."""
     token = _TYPE_HINTS.set(mapping or {})
+    token2 = _HINT_SHADOWED.set(frozenset(shadowed or ()))
     try:
         yield
     finally:
+        _HINT_SHADOWED.reset(token2)
         _TYPE_HINTS.reset(token)
 
 
@@ -384,9 +400,250 @@ def _matching_paren(tokens: List[Token], open_idx: int) -> int:
     return len(tokens) - 1
 
 
+# CAST targets the alias typer can translate into hint strings — the
+# Spark simpleString the executor's publisher would report for a column
+# of the type this engine's cast emission actually produces (integrals
+# saturate like _ARRAY_ELEM_TYPE_MAP; timestamps are NTZ per the
+# session's spark.sql.timestampType; TIME is the pseudo-hint).
+_CAST_HINT_TYPES = {
+    "varchar": "string", "text": "string", "char": "string",
+    "bpchar": "string", "json": "string", "uuid": "string",
+    "string": "string",
+    "int": "int", "integer": "int", "int4": "int", "signed": "int",
+    "tinyint": "tinyint", "int1": "tinyint",
+    "smallint": "smallint", "int2": "smallint", "short": "smallint",
+    "bigint": "bigint", "int8": "bigint", "long": "bigint",
+    "hugeint": "bigint", "uhugeint": "bigint", "ubigint": "bigint",
+    "utinyint": "smallint", "usmallint": "int", "uinteger": "bigint",
+    "float": "float", "float4": "float", "real": "float",
+    "double": "double", "float8": "double",
+    "boolean": "boolean", "bool": "boolean", "logical": "boolean",
+    "date": "date",
+    "timestamp": "timestamp_ntz", "datetime": "timestamp_ntz",
+    "time": "time",
+    "blob": "binary", "bytea": "binary",
+}
+
+
+def _cast_target_hint(code: List[Token]) -> Optional[str]:
+    """Hint string for an expression that IS a cast — ``CAST(x AS T)``
+    / ``try_cast`` / postfix ``expr::T`` where the pre-``::`` part has
+    no other top-level operators (so the cast is the whole expression's
+    type). None for types outside _CAST_HINT_TYPES (arrays, structs,
+    enums) and for anything else."""
+    ty: Optional[List[Token]] = None
+    if (
+        len(code) >= 4
+        and code[0].kind == "word"
+        and code[0].text.lower() in ("cast", "try_cast")
+        and code[1].kind == "op"
+        and code[1].text == "("
+        and _matching_paren(code, 1) == len(code) - 1
+    ):
+        depth = 0
+        for j in range(2, len(code) - 1):
+            t = code[j]
+            if t.kind == "op" and t.text in ("(", "["):
+                depth += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.kind == "word" and t.upper == "AS":
+                ty = code[j + 1 : len(code) - 1]
+                break
+    else:
+        last = None
+        depth = 0
+        for j, t in enumerate(code):
+            if t.kind == "op":
+                if t.text in ("(", "["):
+                    depth += 1
+                elif t.text in (")", "]"):
+                    depth -= 1
+                elif depth == 0:
+                    if t.text == "::":
+                        last = j
+                    elif t.text != ".":
+                        return None  # another top-level operator
+        if last is not None:
+            ty = code[last + 1 :]
+    if not ty or ty[0].kind != "word":
+        return None
+    base = ty[0].text.lower()
+    if len(ty) == 1:
+        if base in ("decimal", "numeric"):
+            return "decimal(18,3)"  # DuckDB's bare-DECIMAL default
+        return _CAST_HINT_TYPES.get(base)
+    if (
+        base in ("decimal", "numeric")
+        and ty[1].kind == "op"
+        and ty[1].text == "("
+        and ty[-1].kind == "op"
+        and ty[-1].text == ")"
+    ):
+        args = [t.text for t in ty[2:-1] if t.kind in ("word", "number")]
+        if len(args) == 1 and args[0].isdigit():
+            return f"decimal({args[0]},0)"
+        if len(args) == 2 and all(a.isdigit() for a in args):
+            return f"decimal({args[0]},{args[1]})"
+        return None
+    if base in ("varchar", "char") and ty[1].kind == "op" and ty[1].text == "(":
+        return "string"  # length-parameterized strings
+    return None
+
+
+def _alias_expr_hint(code: List[Token]) -> Optional[str]:
+    """The hint string a select-item expression statically carries:
+    a plain hinted column ref propagates its hint verbatim (any type —
+    renames keep dispatch); a whole-expression cast maps its target
+    type; otherwise the r9 static numeric lattice
+    (``_static_numeric_type``) types literal/decimal chains. None when
+    underivable."""
+    while (
+        len(code) >= 3
+        and code[0].kind == "op"
+        and code[0].text == "("
+        and _matching_paren(code, 0) == len(code) - 1
+    ):
+        code = code[1:-1]
+    if not code:
+        return None
+    h = _hinted_primary_type(code)
+    if h:
+        return h
+    ch = _cast_target_hint(code)
+    if ch:
+        return ch
+    sty = _static_numeric_type(code)
+    if sty == "decimal":
+        return "decimal(38,1)"  # fractional marker; scale unused
+    if sty == "decimal0":
+        return "decimal(38,0)"
+    if sty == "int":
+        return "bigint"
+    return None
+
+
+_ALIAS_SCAN_TERMINATORS = frozenset({
+    "FROM", "WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY", "ORDER",
+    "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT", "INTO", "SET",
+    "VALUES", "RETURNING", "USING", "ON",
+})
+
+
+def _derive_alias_static_hints(tokens: List[Token]) -> Dict[str, str]:
+    """``lowercase alias name -> hint string`` for every select-item
+    ``expr AS name`` binding in the statement whose type is statically
+    derivable AND unambiguous (VERDICT r9 item 2 — closes the
+    unhinted-decimal rendering corner for aliased expressions).
+
+    A name is published only when: every AS-binding of it in the
+    statement derives the SAME non-None hint; it is not already hinted
+    (a real, un-rebound column — cannot happen through the executor's
+    publisher, but raw callers may hint freely); it never appears as a
+    dotted member (``t.name`` marks a real column); and it is not in
+    the executor-published shadowed set (a real dependency column the
+    alias rebinds — some scope may still see the column). Raw
+    ``translate()`` calls have no shadowed knowledge; there the dotted
+    guard and single-consistent-binding rule carry the risk, documented
+    in COVERAGE.md."""
+    code = [t for t in tokens if t.kind not in ("ws", "comment")]
+    n = len(code)
+    if not any(t.kind == "word" and t.upper == "AS" for t in code):
+        return {}
+    bindings: Dict[str, set] = {}
+    dotted: set = set()
+    stack = [{"sel": False, "start": None}]
+    for i in range(n):
+        t = code[i]
+        if t.kind == "op" and t.text == "(":
+            stack.append({"sel": False, "start": None})
+        elif t.kind == "op" and t.text == ")":
+            if len(stack) > 1:
+                stack.pop()
+        elif t.kind == "op" and t.text == ".":
+            if i + 1 < n and code[i + 1].kind in ("word", "bident", "qident"):
+                dotted.add(unquote_name(code[i + 1]).lower())
+        elif t.kind == "op" and t.text == ",":
+            top = stack[-1]
+            if top["sel"] and top["start"] is not None:
+                top["start"] = i + 1
+        elif t.kind == "word":
+            u = t.upper
+            top = stack[-1]
+            if u == "SELECT":
+                top["sel"] = True
+                j = i + 1
+                if j < n and code[j].kind == "word" and code[j].upper in (
+                    "DISTINCT",
+                    "ALL",
+                ):
+                    j += 1
+                top["start"] = j
+            elif u in _ALIAS_SCAN_TERMINATORS:
+                top["sel"] = False
+                top["start"] = None
+            elif u == "AS" and top["sel"] and top["start"] is not None:
+                nm = code[i + 1] if i + 1 < n else None
+                after = code[i + 2] if i + 2 < n else None
+                if (
+                    nm is not None
+                    and nm.kind in ("word", "bident", "qident")
+                    and not (
+                        nm.kind == "word"
+                        and (
+                            nm.text.lower() in _HINT_BAIL_WORDS
+                            or nm.text[0].isdigit()
+                        )
+                    )
+                    and not (
+                        after is not None
+                        and after.kind == "op"
+                        and after.text == "("
+                    )
+                ):
+                    name = unquote_name(nm).lower()
+                    bindings.setdefault(name, set()).add(
+                        _alias_expr_hint(code[top["start"] : i])
+                    )
+    if not bindings:
+        return {}
+    hints = _TYPE_HINTS.get()
+    shadowed = _HINT_SHADOWED.get()
+    out: Dict[str, str] = {}
+    for name, tys in bindings.items():
+        if (
+            len(tys) == 1
+            and None not in tys
+            and name not in hints
+            and name not in dotted
+            and name not in shadowed
+            and name not in _HINT_BAIL_WORDS
+        ):
+            out[name] = next(iter(tys))
+    return out
+
+
 def translate(sql: str) -> str:
     """Translate one DuckDB-dialect statement to Spark SQL."""
     tokens = tokenize(sql)
+    # In-statement alias typing (r10): `SELECT <statically-typed expr>
+    # AS d` publishes d's type for the REST of this statement, so
+    # downstream round/ceil/`||`/rendering templates dispatch on the
+    # alias like on a schema-hinted column. Guards in
+    # _derive_alias_static_hints keep this unambiguous.
+    alias_hints = _derive_alias_static_hints(tokens)
+    if alias_hints:
+        merged = dict(_TYPE_HINTS.get())
+        merged.update(alias_hints)
+        reset = _TYPE_HINTS.set(merged)
+        try:
+            return _translate_tokens(tokens)
+        finally:
+            _TYPE_HINTS.reset(reset)
+    return _translate_tokens(tokens)
+
+
+def _translate_tokens(tokens: List[Token]) -> str:
     tokens = _from_first_scope(_rewrite_from_first(tokens))
     tokens = _rewrite_table_name_literals(tokens)
     tokens = _rewrite_numeric_underscores(tokens)

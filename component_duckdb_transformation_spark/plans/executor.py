@@ -2031,18 +2031,22 @@ class SparkStatementExecutor:
             sc.setLocalProperty("spark.scheduler.pool", None)
 
     # -- routing ----------------------------------------------------------
-    def _statement_type_hints(self, st: ParsedStatement) -> Dict[str, str]:
-        return statement_type_hints(
+    def _statement_type_hints(self, st: ParsedStatement):
+        shadowed: set = set()
+        hints = statement_type_hints(
             self.spark,
             st.sql,
             st.dependencies,
             self._time_columns,
             self._hint_schema_cache,
+            shadowed_out=shadowed,
         )
+        return hints, shadowed
 
     def _execute_statement(self, st: ParsedStatement) -> None:
         try:
-            with column_type_hints(self._statement_type_hints(st)):
+            hints, shadowed = self._statement_type_hints(st)
+            with column_type_hints(hints, shadowed):
                 self._execute_statement_hinted(st)
         finally:
             # any non-SELECT statement may have changed the schemas it
@@ -3317,6 +3321,7 @@ def statement_type_hints(
     dependencies,
     time_columns: Optional[Dict[str, set]] = None,
     schema_cache: Optional[Dict[str, list]] = None,
+    shadowed_out: Optional[set] = None,
 ) -> Dict[str, str]:
     """``lowercase column name -> Spark simpleString type`` for a
     statement's dependency tables (lazy catalog lookups, no jobs).
@@ -3442,6 +3447,11 @@ def statement_type_hints(
                     j += 1
                 if ok:
                     drop.update(cols)
+    if shadowed_out is not None:
+        # names that ARE real dependency columns but lost their hint
+        # (rebound or cross-table-ambiguous): the translator's alias
+        # typer must not re-derive a type for them
+        shadowed_out.update(k for k in drop if k in hints)
     for k in drop:
         hints.pop(k, None)
     return hints

@@ -115,10 +115,12 @@ def _add_sql(name: str, sql: str, description: str = "", oracle: str | None = No
         # same schema-aware dispatch a statement gets through the
         # executor: dependency-table column types published to the
         # translator (len/brackets/|| by type)
+        shadowed: set = set()
         hints = statement_type_hints(
-            spark, _sql, parse_statement(_sql).dependencies
+            spark, _sql, parse_statement(_sql).dependencies,
+            shadowed_out=shadowed,
         )
-        with column_type_hints(hints):
+        with column_type_hints(hints, shadowed):
             return spark.sql(translate(_sql))
 
     WORKLOADS[name] = Workload(name, make, oracle if oracle is not None else sql, description)

@@ -177,3 +177,136 @@ def test_window_mad_exclude_no_others_lowered(spark):
     got = [tuple(r) for r in spark.sql(out).collect()]
     for g, w in zip(got, want):
         assert g[1] == pytest.approx(float(w[1]), abs=1e-9)
+
+
+# ---- in-statement alias static typing (VERDICT r9 item 2) ----------
+
+
+ALIAS_FLOW_SQLS = [
+    # decimal alias -> round -> VARCHAR render (the unhinted-decimal
+    # `.0` corner, closed for statically-typed aliases)
+    "SELECT CAST(round(d, 2) AS VARCHAR) AS s FROM "
+    "(SELECT ceil(8.5789) AS d FROM part LIMIT 3) q",
+    "SELECT CAST(round(d, 1) AS VARCHAR) AS s FROM "
+    "(SELECT 100 + 0.2420 AS d FROM part LIMIT 3) q",
+    # CTE hop
+    "WITH c AS (SELECT p_partkey, trunc(7.9) AS d FROM part LIMIT 3) "
+    "SELECT CAST(round(d, 3) AS VARCHAR) AS s FROM c",
+    # decimal alias through || rendering (missing #2, alias case)
+    "SELECT d || 'x' AS s FROM (SELECT 1.50 AS d FROM part LIMIT 3) q",
+    # cast-target alias: DOUBLE alias renders fmt-shortest through ||
+    "SELECT d || '!' AS s FROM "
+    "(SELECT CAST(p_partkey AS DOUBLE) AS d FROM part LIMIT 3) q",
+    # int alias stays integral through trunc/round
+    "SELECT CAST(trunc(d) AS VARCHAR) AS s FROM "
+    "(SELECT 41 + 1 AS d FROM part LIMIT 3) q",
+]
+
+
+@pytest.mark.parametrize("sql", ALIAS_FLOW_SQLS)
+def test_alias_static_typing_parity(spark, sql):
+    con = _duck()
+    _spark_views(spark)
+    want = sorted(con.execute(sql).fetchall())
+    got = sorted(tuple(r) for r in spark.sql(translate(sql)).collect())
+    assert got == want
+
+
+def test_alias_typing_guards():
+    from component_duckdb_transformation_spark.functions.dialect import (
+        _derive_alias_static_hints,
+    )
+    from component_duckdb_transformation_spark.plans.sql_tokens import (
+        tokenize,
+    )
+
+    # conflicting bindings of one name across scopes: dropped
+    h = _derive_alias_static_hints(tokenize(
+        "SELECT 1.5 AS d FROM (SELECT 2 AS d FROM t) q"
+    ))
+    assert "d" not in h
+    # dotted reference marks a real column: dropped
+    h = _derive_alias_static_hints(tokenize(
+        "SELECT 1.5 AS d, t.d FROM t"
+    ))
+    assert "d" not in h
+    # FROM alias / AS t(a, b) shapes never bind
+    h = _derive_alias_static_hints(tokenize(
+        "SELECT 1.5 AS d FROM part AS p(x, y)"
+    ))
+    assert h == {"d": "decimal(38,1)"}
+    # CAST inside the item is fine; CAST's own AS is not a binding
+    h = _derive_alias_static_hints(tokenize(
+        "SELECT CAST(x AS DOUBLE) AS d FROM t"
+    ))
+    assert h == {"d": "double"}
+    # shadowed set (executor: alias rebinds a REAL column) suppresses
+    from component_duckdb_transformation_spark.functions.dialect import (
+        column_type_hints,
+    )
+    with column_type_hints({}, shadowed={"d"}):
+        h = _derive_alias_static_hints(tokenize("SELECT 1.5 AS d FROM t"))
+    assert h == {}
+    # existing hint is never overridden
+    with column_type_hints({"d": "string"}):
+        h = _derive_alias_static_hints(tokenize("SELECT 1.5 AS d FROM t"))
+    assert h == {}
+
+
+def test_statement_type_hints_shadowed_out(spark):
+    from component_duckdb_transformation_spark.plans.executor import (
+        statement_type_hints,
+    )
+
+    _spark_views(spark)
+    shadowed: set = set()
+    hints = statement_type_hints(
+        spark,
+        "SELECT p_size + 0.5 AS p_size FROM part",
+        ["part"],
+        shadowed_out=shadowed,
+    )
+    # p_size is a real column rebound by the alias: dropped from hints
+    # AND reported shadowed, so the alias typer leaves it alone
+    assert "p_size" not in hints and "p_size" in shadowed
+
+
+def test_alias_rebound_real_column_not_mistyped(spark):
+    # executor end-to-end: an alias REBINDING a real column must not
+    # pick up a derived static type (some scope could see the column)
+    import tempfile
+
+    from component_duckdb_transformation_spark.configuration import (
+        Block,
+        Code,
+    )
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+        TableStore,
+    )
+    from component_duckdb_transformation_spark.plans.orchestrator import (
+        BlockOrchestrator,
+    )
+
+    _spark_views(spark)
+    ex = SparkStatementExecutor(spark, TableStore(spark, tempfile.mkdtemp()))
+    orch = BlockOrchestrator(execute_script=ex.execute_query, max_workers=2)
+    orch.add_queries_from_blocks(
+        [
+            Block(
+                name="b",
+                codes=[
+                    Code(
+                        name="c",
+                        script=[
+                            "CREATE TABLE r10_alias AS SELECT "
+                            "p_retailprice, p_retailprice * 0 + 1.5 AS "
+                            "p_size FROM part LIMIT 5",
+                        ],
+                    )
+                ],
+            )
+        ]
+    )
+    orch.execute()
+    assert spark.table("r10_alias").count() == 5

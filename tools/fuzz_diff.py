@@ -791,6 +791,44 @@ def cte_stmt(g: random.Random) -> str:
     )
 
 
+def alias_stmt(g: random.Random) -> str:
+    """r10: in-statement alias typing — a statically-DECIMAL/INT alias
+    defined in a subquery/CTE flows into round/ceil/floor/trunc, ``||``
+    rendering, and VARCHAR casts in the outer scope; the derived alias
+    hint must dispatch exactly like a schema-hinted column."""
+    lit = f"{g.randint(0, 200)}.{g.randint(0, 9999):04d}"
+    d = g.choice(
+        [
+            lit,
+            f"({g.randint(1, 50)} + {lit})",
+            f"ceil({lit})",
+            f"floor({lit})",
+            f"trunc({lit})",
+            f"abs(-{lit})",
+            f"round({lit}, {g.randint(0, 4)})",
+            str(g.randint(-100, 100)),
+        ]
+    )
+    use = g.choice(
+        [
+            f"CAST(round(d, {g.randint(0, 4)}) AS VARCHAR)",
+            "d || 'x'",
+            "'v=' || d",
+            "CAST(ceil(d) AS VARCHAR)",
+            "CAST(floor(d) AS VARCHAR)",
+            "CAST(trunc(d) AS VARCHAR)",
+            f"CAST(round(d + {g.randint(1, 9)}.5, 1) AS VARCHAR)",
+        ]
+    )
+    inner = (
+        f"SELECT l_orderkey AS id, {d} AS d FROM lineitem "
+        f"WHERE l_orderkey < {g.randint(50, 400)}"
+    )
+    if g.random() < 0.5:
+        return f"WITH a AS ({inner}) SELECT id, {use} AS s FROM a"
+    return f"SELECT id, {use} AS s FROM ({inner}) q"
+
+
 def qualify_stmt(g: random.Random) -> str:
     """QUALIFY / DISTINCT ON statements — the recursive window-subquery
     rewriters. A unique total order makes every pick deterministic."""
@@ -1077,6 +1115,7 @@ def main() -> int:
     stmts += [("setop", setop_stmt(g)) for _ in range(max(4, n // 40))]
     stmts += [("subquery", subquery_stmt(g)) for _ in range(max(4, n // 40))]
     stmts += [("cte", cte_stmt(g)) for _ in range(max(4, n // 40))]
+    stmts += [("alias", alias_stmt(g)) for _ in range(max(4, n // 40))]
     for j, (kind, stmt) in enumerate(stmts):
         try:
             if not run_stmt(spark, con, translate, stmt):
