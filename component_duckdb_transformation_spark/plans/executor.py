@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..exceptions import UserException
 from ..functions.dialect import (
+    _alias_expr_hint,
     _matching_paren,
     _pop_operand,
     _scan_stable_primary,
@@ -2596,6 +2597,18 @@ class SparkStatementExecutor:
         order_clause = _terminal_order_by(body)
         if order_clause:
             self.view_order_by[name] = order_clause
+        # views inherit TIME/enum column bindings like CTAS outputs
+        time_cols, enum_cols = self._body_special_columns(
+            body, st.dependencies
+        )
+        if time_cols:
+            self._time_columns[name.lower()] = time_cols
+        else:
+            self._time_columns.pop(name.lower(), None)
+        if enum_cols:
+            self._enum_columns[name.lower()] = enum_cols
+        else:
+            self._enum_columns.pop(name.lower(), None)
 
     def _target_table(self, st: ParsedStatement):
         """The statement's target TABLE from its outputs set, skipping
@@ -2608,6 +2621,142 @@ class SparkStatementExecutor:
         if cands:
             return cands[0]
         return next(iter(st.outputs), None)
+
+    def _body_special_columns(self, body: str, deps):
+        """(time_cols, enum_cols) a CTAS/VIEW output inherits from its
+        body's TOP-LEVEL select items (VERDICT r9 item 3: TIME values
+        previously lost TIME-ness through a CTAS hop and landed on the
+        next epoch day; ENUM ordinal semantics likewise dropped).
+        Handled shapes: bare/dotted column refs (inherit the 'time'
+        pseudo-hint / the dep's enum binding), ``expr AS name`` items
+        whose expression is statically TIME-typed (plain time-column
+        renames, ``CAST(x AS TIME)`` — via the r10 alias typer), and a
+        lone ``*`` over a SINGLE dependency (whole-set inheritance).
+        Set operations, multi-dep stars, and computed TIME arithmetic
+        items conservatively inherit nothing (COVERAGE.md)."""
+        time_cols: set = set()
+        enum_cols: Dict[str, str] = {}
+        code = [
+            t for t in tokenize(body) if t.kind not in ("ws", "comment")
+        ]
+        n = len(code)
+        depth = 0
+        sel = None
+        for i, t in enumerate(code):
+            if t.kind == "op" and t.text in ("(", "["):
+                depth += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.kind == "word" and t.upper == "SELECT":
+                sel = i
+                break
+        if sel is None:
+            return time_cols, enum_cols
+        # depth-0 set operation anywhere after: per-branch columns may
+        # differ — inherit nothing
+        depth = 0
+        for t in code[sel + 1 :]:
+            if t.kind == "op" and t.text in ("(", "["):
+                depth += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.kind == "word" and t.upper in (
+                "UNION",
+                "EXCEPT",
+                "INTERSECT",
+            ):
+                return set(), {}
+        lo = sel + 1
+        if lo < n and code[lo].kind == "word" and code[lo].upper in (
+            "DISTINCT",
+            "ALL",
+        ):
+            lo += 1
+        hi = lo
+        depth = 0
+        while hi < n:
+            t = code[hi]
+            if t.kind == "op" and t.text in ("(", "["):
+                depth += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.kind == "word" and t.upper == "FROM":
+                break
+            hi += 1
+        # split items on depth-0 commas
+        items: List[List[Token]] = [[]]
+        depth = 0
+        for t in code[lo:hi]:
+            if t.kind == "op" and t.text in ("(", "["):
+                depth += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                depth -= 1
+            if depth == 0 and t.kind == "op" and t.text == ",":
+                items.append([])
+            else:
+                items[-1].append(t)
+        dep_enums: Dict[str, str] = {}
+        dep_enum_conflict: set = set()
+        dep_times: set = set()
+        for dep in deps:
+            for c, e in self._enum_columns.get(dep.lower(), {}).items():
+                if e not in self._enum_types:
+                    continue  # type dropped since binding
+                if dep_enums.get(c, e) != e:
+                    dep_enum_conflict.add(c)
+                dep_enums[c] = e
+            dep_times |= self._time_columns.get(dep.lower(), set())
+        for item in items:
+            if not item:
+                continue
+            if (
+                len(item) == 1
+                and item[0].kind == "op"
+                and item[0].text == "*"
+            ):
+                only = [d for d in deps if d != "returning"]
+                if len(only) == 1:
+                    key = only[0].lower()
+                    time_cols |= self._time_columns.get(key, set())
+                    enum_cols.update(
+                        (c, e)
+                        for c, e in self._enum_columns.get(key, {}).items()
+                        if e in self._enum_types
+                    )
+                continue
+            name = None
+            expr = item
+            if (
+                len(item) >= 3
+                and item[-2].kind == "word"
+                and item[-2].upper == "AS"
+                and item[-1].kind in ("word", "bident", "qident")
+            ):
+                name = unquote_name(item[-1]).lower()
+                expr = item[:-2]
+            elif item[-1].kind in ("word", "bident", "qident") and all(
+                t.kind in ("word", "bident", "qident")
+                or (t.kind == "op" and t.text == ".")
+                for t in item
+            ):
+                name = unquote_name(item[-1]).lower()
+            if name is None:
+                continue
+            hint = _alias_expr_hint(list(expr))
+            if hint == "time":
+                time_cols.add(name)
+            # enum inheritance: a plain (dotted) ref to an unambiguous
+            # dependency enum column
+            ecode = [t for t in expr if t.kind not in ("ws", "comment")]
+            if ecode and all(
+                t.kind in ("word", "bident", "qident")
+                or (t.kind == "op" and t.text == ".")
+                for t in ecode
+            ):
+                src = unquote_name(ecode[-1]).lower()
+                if src in dep_enums and src not in dep_enum_conflict:
+                    enum_cols[name] = dep_enums[src]
+        return time_cols, enum_cols
 
     def _create_table(self, st: ParsedStatement) -> None:
         name = self._target_table(st)
@@ -2666,8 +2815,33 @@ class SparkStatementExecutor:
             self.primary_keys.pop(name.lower(), None)
             self.not_null.pop(name.lower(), None)
             self.checks.pop(name.lower(), None)
-            self._enum_columns.pop(name.lower(), None)
-            self._time_columns.pop(name.lower(), None)
+            # persist TIME pseudo-hints and enum bindings the CTAS
+            # output inherits from its defining statement, so TIME
+            # values wrap at midnight and enum ordinals survive a
+            # materialization hop (VERDICT r9 item 3)
+            time_cols, enum_cols = self._body_special_columns(
+                body, st.dependencies
+            )
+            if time_cols:
+                self._time_columns[name.lower()] = time_cols
+            else:
+                self._time_columns.pop(name.lower(), None)
+            if enum_cols:
+                self._enum_columns[name.lower()] = enum_cols
+                # inherited enum columns stay ENUM-typed in DuckDB:
+                # later INSERTs must validate against the value set
+                chk = []
+                for col, ename in enum_cols.items():
+                    vals = ", ".join(
+                        "'" + v.replace("'", "''") + "'"
+                        for v in self._enum_types[ename]
+                    )
+                    chk.append(
+                        f"{_bt(col)} IS NULL OR {_bt(col)} IN ({vals})"
+                    )
+                self.checks[name.lower()] = chk
+            else:
+                self._enum_columns.pop(name.lower(), None)
         self.store.create_table(name, df, order_by=_terminal_order_by(body or ""))
 
     # -- DML --------------------------------------------------------------

@@ -310,3 +310,96 @@ def test_alias_rebound_real_column_not_mistyped(spark):
     )
     orch.execute()
     assert spark.table("r10_alias").count() == 5
+
+
+# ---- TIME / ENUM propagation through CTAS and views (r9 item 3) -----
+
+
+def _orch(spark):
+    import tempfile
+
+    from component_duckdb_transformation_spark.configuration import (
+        Block,
+        Code,
+    )
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+        TableStore,
+    )
+    from component_duckdb_transformation_spark.plans.orchestrator import (
+        BlockOrchestrator,
+    )
+
+    ex = SparkStatementExecutor(spark, TableStore(spark, tempfile.mkdtemp()))
+
+    def run(script, name="b"):
+        orch = BlockOrchestrator(
+            execute_script=ex.execute_query, max_workers=1
+        )
+        orch.add_queries_from_blocks(
+            [Block(name=name, codes=[Code(name=name + "c", script=script)])]
+        )
+        orch.execute()
+
+    return ex, run
+
+
+def test_time_pseudo_hint_survives_ctas_and_view(spark):
+    """A TIME column CTAS'd / view-renamed / star-copied downstream
+    still wraps at midnight like DuckDB TIME (r9: it landed on the
+    next epoch day). The WHERE comparison is wrap-sensitive: 23:30 +
+    2h = 01:30 < 09:00 only if TIME-ness survived the hop."""
+    _, run = _orch(spark)
+    script = [
+        "CREATE TABLE tt_r10 (id INT, t TIME)",
+        "INSERT INTO tt_r10 VALUES (1, TIME '23:30:00'), "
+        "(2, TIME '01:15:30')",
+        "CREATE TABLE t2_r10 AS SELECT id, t FROM tt_r10",
+        "CREATE VIEW v2_r10 AS SELECT id, t AS tv FROM tt_r10",
+        "CREATE TABLE t6_r10 AS SELECT * FROM t2_r10",
+        "CREATE TABLE w1_r10 AS SELECT id FROM t2_r10 "
+        "WHERE t + INTERVAL 2 HOUR < TIME '09:00:00'",
+        "CREATE TABLE w2_r10 AS SELECT id FROM v2_r10 "
+        "WHERE tv + INTERVAL 2 HOUR < TIME '09:00:00'",
+        "CREATE TABLE w3_r10 AS SELECT id FROM t6_r10 "
+        "WHERE t + INTERVAL 2 HOUR < TIME '09:00:00'",
+    ]
+    run(script)
+    con = duckdb.connect()
+    for s in script:
+        con.execute(s)
+    for tbl in ("w1_r10", "w2_r10", "w3_r10"):
+        got = sorted(r[0] for r in spark.table(tbl).collect())
+        want = sorted(
+            r[0] for r in con.execute(f"SELECT id FROM {tbl}").fetchall()
+        )
+        assert got == want == [1, 2], tbl
+
+
+def test_enum_binding_survives_ctas(spark):
+    """ENUM ordinal ORDER BY and INSERT validation survive a CTAS hop
+    (the created column stays ENUM-typed in DuckDB)."""
+    from component_duckdb_transformation_spark.exceptions import (
+        UserException,
+    )
+
+    _, run = _orch(spark)
+    script = [
+        "CREATE TYPE mood_r10 AS ENUM ('sad', 'ok', 'happy')",
+        "CREATE TABLE people_r10 (pid INT, m mood_r10)",
+        "INSERT INTO people_r10 VALUES (1, 'happy'), (2, 'sad'), "
+        "(3, 'ok')",
+        "CREATE TABLE p2_r10 AS SELECT pid, m FROM people_r10",
+        "CREATE TABLE p3_r10 AS SELECT pid FROM p2_r10 ORDER BY m, pid",
+    ]
+    run(script)
+    con = duckdb.connect()
+    for s in script:
+        con.execute(s)
+    got = [r[0] for r in spark.table("p3_r10").collect()]
+    want = [r[0] for r in con.execute("SELECT pid FROM p3_r10").fetchall()]
+    assert got == want == [2, 3, 1]
+    with pytest.raises(UserException):
+        run(["INSERT INTO p2_r10 VALUES (4, 'angry')"], name="bad")
+    run(["INSERT INTO p2_r10 VALUES (5, 'ok')"], name="good")
+    assert spark.table("p2_r10").count() == 4
