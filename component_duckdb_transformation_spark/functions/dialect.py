@@ -7690,9 +7690,21 @@ def _varchar_cast_sql(x: str, py_udf_ctx: bool = False) -> str:
     if py_udf_ctx:
         # inside a Python UDF's argument: both template shapes carry
         # higher-order lambdas (the E-notation reshaper), which defeat
-        # ExtractPythonUDFs — route through the exact Python twin
-        # instead (a chained Python UDF extracts fine; this path is
-        # already UDF-priced)
+        # ExtractPythonUDFs (runtime INTERNAL_ERROR, re-probed r10) —
+        # route through the exact Python twin instead (a chained
+        # Python UDF extracts fine; this path is already UDF-priced).
+        # The twin's typeof() arm repeats the operand, doubling per
+        # chain link (adversarial render nestings reached 100s of KB,
+        # VERDICT r9 item 4): when the operand's type is STATICALLY
+        # known, pass the type as a literal (double/float) or skip the
+        # twin outright (render is the identity for every other type)
+        # so the operand appears ONCE and nestings grow linearly.
+        code = [t for t in tokenize(x) if t.kind not in ("ws", "comment")]
+        sty = _render_static_type(code)
+        if sty == "nonfloat":
+            return f"CAST(({x}) AS STRING)"
+        if sty in ("double", "float"):
+            return f"__duck_render(CAST(({x}) AS STRING), '{sty}')"
         return f"__duck_render(CAST(({x}) AS STRING), typeof({x}))"
     if len(x) <= _BIND_THRESHOLD:
         s = f"CAST(({x}) AS STRING)"
@@ -7716,6 +7728,34 @@ def _varchar_cast_sql(x: str, py_udf_ctx: bool = False) -> str:
         )
         + " ELSE CAST(__vc.v AS STRING) END), 1))"
     )
+
+
+def _render_static_type(code: List[Token]):
+    """'double' / 'float' / 'nonfloat' when the operand's rendering
+    class is statically known (whole-expression casts, hinted plain
+    column refs, the r9 static numeric lattice, our own string-typed
+    render emissions); None when only typeof() can tell."""
+    h = _cast_target_hint(code) or _hinted_primary_type(code)
+    if h in ("double", "float"):
+        return h
+    if h:
+        # any other known type: DuckDB's VARCHAR rendering == Spark's
+        # CAST AS STRING (the twin returns its input unchanged there)
+        return "nonfloat"
+    if _static_numeric_type(code) in ("decimal", "decimal0", "int"):
+        return "nonfloat"
+    if len(code) == 1 and code[0].kind == "string":
+        return "nonfloat"
+    if (
+        len(code) >= 3
+        and code[0].kind == "word"
+        and code[0].text.lower() == "__duck_render"
+        and code[1].kind == "op"
+        and code[1].text == "("
+        and _matching_paren(code, 1) == len(code) - 1
+    ):
+        return "nonfloat"  # our own string-typed render emission
+    return None
 
 
 _NUM_LITERAL_RE = re.compile(r"^(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?$")

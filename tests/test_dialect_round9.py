@@ -743,6 +743,19 @@ def test_translate_size_stays_bounded():
         m = re.search(rf'"{name}",\s*r?"""(.*?)"""', src, re.DOTALL)
         out = translate(m.group(1))
         assert len(out) < cap, (name, len(out), cap)
+    # r10: grapheme over an adversarially nested render chain — inside
+    # a Python-UDF argument the render twin previously repeated its
+    # operand (typeof arm), doubling per chain link (~63 KB at depth
+    # 8); statically-typed operands now pass the type as a literal, so
+    # growth is LINEAR and a 14-deep chain stays under a hard ceiling
+    expr = "l_extendedprice"
+    for i in range(14):
+        expr = f"(CAST(({expr} + 0.5) AS DOUBLE)::VARCHAR || '{i}')::DOUBLE"
+    out = translate(
+        f"SELECT length_grapheme({expr}::VARCHAR) AS g FROM lineitem"
+    )
+    assert len(out) < 4_000, len(out)
+    assert "typeof" not in out  # every chain link statically typed
 
 
 def test_round_twin_randomized_vs_duckdb():
