@@ -1771,18 +1771,39 @@ _POSITIONAL_WRAP_CTE = (
 # two-scan numbering ONLY when registered here; every unknown name
 # defaults to the rebalance-CTE wrap, which is always safe — a temp
 # view registered outside TableStore over a shuffled DataFrame must
-# not silently misnumber. Opt-in via ``mark_scan_stable``; the
-# executor registers its parquet-backed tables, and the workload
-# harness registers its parquet temp views.
+# not silently misnumber. Opt-in via ``mark_scan_stable``.
+#
+# Scoping (r10): the registry is SESSION-SCOPED, not process-global —
+# the executor keeps one set per TableStore and activates it via
+# ``scan_stability_scope`` around statement execution, so two engines
+# in one process cannot cross-contaminate stability marks. Raw callers
+# (the workload harness) fall back to the process-default set.
 _SCAN_STABLE_NAMES: set = set()
 
+_SCAN_REGISTRY: ContextVar[set] = ContextVar(
+    "_duck_scan_registry", default=_SCAN_STABLE_NAMES
+)
 
-def mark_scan_unstable(name: str) -> None:
-    _SCAN_STABLE_NAMES.discard(name.strip('`"').lower())
+
+@contextlib.contextmanager
+def scan_stability_scope(registry: set):
+    """Activate a session-private scan-stability registry for every
+    mark/lookup inside the block."""
+    token = _SCAN_REGISTRY.set(registry)
+    try:
+        yield
+    finally:
+        _SCAN_REGISTRY.reset(token)
 
 
-def mark_scan_stable(name: str) -> None:
-    _SCAN_STABLE_NAMES.add(name.strip('`"').lower())
+def mark_scan_unstable(name: str, registry: Optional[set] = None) -> None:
+    reg = registry if registry is not None else _SCAN_REGISTRY.get()
+    reg.discard(name.strip('`"').lower())
+
+
+def mark_scan_stable(name: str, registry: Optional[set] = None) -> None:
+    reg = registry if registry is not None else _SCAN_REGISTRY.get()
+    reg.add(name.strip('`"').lower())
 
 
 # Keywords/functions whose presence anywhere in a subquery primary
@@ -1828,9 +1849,10 @@ def _scan_stable_primary(src: str) -> bool:
     names). Conservative: unknown shapes return False and take the
     rebalance-CTE path, which is always safe."""
     s = src.strip()
+    stable_names = _SCAN_REGISTRY.get()
     if not s.startswith("("):
         base = s.split(".")[-1].strip('`"').lower()
-        return base in _SCAN_STABLE_NAMES
+        return base in stable_names
     toks = tokenize(s)
     n_ = len(toks)
     for k, t in enumerate(toks):
@@ -1854,7 +1876,7 @@ def _scan_stable_primary(src: str) -> bool:
                     nm = unquote_name(toks[nk2]).lower()
                     # FROM VALUES is a LocalRelation: deterministic
                     # row order, no registration needed
-                    if nm != "values" and nm not in _SCAN_STABLE_NAMES:
+                    if nm != "values" and nm not in stable_names:
                         return False
     return True
 

@@ -48,6 +48,7 @@ from ..functions.dialect import (
     expand_union_by_name,
     mark_scan_stable,
     mark_scan_unstable,
+    scan_stability_scope,
     translate,
 )
 from .orchestrator import Query
@@ -122,6 +123,10 @@ class TableStore:
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.tables: Dict[str, TableState] = {}
+        # session-private scan-stability registry (shared with the
+        # owning executor via scan_stability_scope): two engines in one
+        # process must not cross-contaminate stability marks
+        self.scan_registry: set = set()
         self._lock = threading.Lock()
         # per-table write locks: concurrent appends to ONE directory can
         # race on the FileOutputCommitter _temporary staging dir (one
@@ -151,7 +156,7 @@ class TableStore:
             f"AS SELECT {projection} FROM parquet.`{state.path}`"
         )
         # parquet-backed: file-split scan order is deterministic
-        mark_scan_stable(state.name)
+        mark_scan_stable(state.name, self.scan_registry)
 
     def create_table(self, name: str, df: DataFrame, order_by: str | None = None) -> None:
         with self._lock:
@@ -2047,7 +2052,9 @@ class SparkStatementExecutor:
     def _execute_statement(self, st: ParsedStatement) -> None:
         try:
             hints, shadowed = self._statement_type_hints(st)
-            with column_type_hints(hints, shadowed):
+            with column_type_hints(hints, shadowed), scan_stability_scope(
+                self.store.scan_registry
+            ):
                 self._execute_statement_hinted(st)
         finally:
             # any non-SELECT statement may have changed the schemas it
