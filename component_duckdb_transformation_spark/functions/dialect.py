@@ -7780,6 +7780,30 @@ def _render_static_type(code: List[Token]):
     return None
 
 
+def _list_varchar_sql(x: str) -> str:
+    """DuckDB-exact VARCHAR rendering of a statically LIST-typed
+    operand (r10, COVERAGE float-list corner): ``[`` + elements joined
+    by ``, `` + ``]``, each element through the exact scalar render —
+    so float/double elements get fmt-shortest (``1.5e+20``) instead of
+    Spark's Java array rendering (``1.5E20``) — and NULL elements as
+    ``NULL`` where Spark writes ``null``. A NULL list stays NULL. The
+    operand binds once (named_struct transform). Nested-list elements
+    keep Spark's inner rendering (documented narrow corner)."""
+    # NULL guard BEFORE the render: the fmt reshaper's candidate search
+    # is not NULL-transparent under ANSI evaluation
+    elem = (
+        "CASE WHEN __le IS NULL THEN 'NULL' ELSE "
+        + _varchar_cast_sql("__le")
+        + " END"
+    )
+    return (
+        f"(element_at(transform(array(named_struct('v', ({x}))), __lb -> "
+        "CASE WHEN __lb.v IS NULL THEN CAST(NULL AS STRING) ELSE "
+        f"concat('[', concat_ws(', ', transform(__lb.v, __le -> {elem})),"
+        " ']') END), 1))"
+    )
+
+
 _NUM_LITERAL_RE = re.compile(r"^(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?$")
 
 
@@ -7907,10 +7931,15 @@ def _rewrite_varchar_casts(
                         ]
                         x = "".join(t.text for t in inner).strip()
                         static = _static_varchar_cast(inner_code)
+                        listish = _operand_is_listish(inner_code) or (
+                            _hinted_primary_type(inner_code) or ""
+                        ).startswith("array<")
                         if static is not None:
                             out.extend(_toks(static))
-                        elif i in in_values:
+                        elif i in in_values or (listish and py):
                             out.extend(_toks(f"CAST(({x}) AS STRING)"))
+                        elif listish:
+                            out.extend(_toks(_list_varchar_sql(x)))
                         else:
                             out.extend(_toks(_varchar_cast_sql(x, py)))
                         i = close + 1
@@ -7930,16 +7959,18 @@ def _rewrite_varchar_casts(
                         if t.kind not in ("ws", "comment")
                     ]
                     static = _static_varchar_cast(op_code)
+                    py2 = in_py_udf or i in py_spans
+                    listish = _operand_is_listish(op_code) or (
+                        _hinted_primary_type(op_code) or ""
+                    ).startswith("array<")
                     if static is not None:
                         out.extend(_toks(static))
-                    elif i in in_values:
+                    elif i in in_values or (listish and py2):
                         out.extend(_toks(f"CAST(({x}) AS STRING)"))
+                    elif listish:
+                        out.extend(_toks(_list_varchar_sql(x)))
                     else:
-                        out.extend(
-                            _toks(_varchar_cast_sql(
-                                x, in_py_udf or i in py_spans
-                            ))
-                        )
+                        out.extend(_toks(_varchar_cast_sql(x, py2)))
                     i = ty + 1
                     continue
                 out.append(tok)

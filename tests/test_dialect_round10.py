@@ -458,3 +458,45 @@ def test_table_store_marks_own_registry(spark):
         assert not _scan_stable_primary("reg_t_r10")
     # the global default registry never saw the store's mark
     assert not _scan_stable_primary("reg_t_r10")
+
+
+# ---- exact float-list stringification through concat (r9 item 6) ----
+
+
+LIST_RENDER_SQLS = [
+    "SELECT concat([1.5e20, 2.0], 'x') AS s",
+    "SELECT concat([1.5e20, 2.0, NULL], 'x') AS s",
+    "SELECT concat(['a', 'b', NULL], 'x') AS s",
+    "SELECT concat([CAST(1.5 AS FLOAT), CAST(2.5e-7 AS FLOAT)], 'y') AS s",
+    "SELECT CAST([1.5e20, 2.0] AS VARCHAR) AS s",
+    "SELECT [2.5e-7]::VARCHAR AS s",
+    "SELECT concat([], 'x') AS s",
+    "SELECT concat([DATE '2020-01-02'], 'x') AS s",
+    "SELECT concat(list_value(0.5e-9, 3.25), 'z') AS s",
+    "SELECT concat([1, 2, NULL], 'i') AS s",
+]
+
+
+@pytest.mark.parametrize("sql", LIST_RENDER_SQLS)
+def test_list_stringification_exact(spark, sql):
+    """Statically list-typed operands of concat()/VARCHAR casts render
+    DuckDB-exact: fmt-shortest float elements ('1.5e+20' not '1.5E20')
+    and 'NULL' elements (not 'null')."""
+    con = duckdb.connect()
+    got = spark.sql(translate(sql)).collect()[0][0]
+    want = con.execute(sql).fetchone()[0]
+    assert got == want, (got, want)
+
+
+def test_list_stringification_hinted_column(spark):
+    con = duckdb.connect()
+    spark.sql(
+        "SELECT array(1.5e20D, NULL) AS arr, 1 AS id"
+    ).createOrReplaceTempView("tarr_r10")
+    con.execute("CREATE VIEW tarr_r10 AS SELECT [1.5e20, NULL] AS arr, 1 AS id")
+    q = "SELECT concat(arr, 'q') AS s FROM tarr_r10"
+    with column_type_hints({"arr": "array<double>"}):
+        tq = translate(q)
+    got = spark.sql(tq).collect()[0][0]
+    want = con.execute(q).fetchone()[0]
+    assert got == want == "[1.5e+20, NULL]q"

@@ -101,7 +101,22 @@ def str_expr(g: random.Random, depth: int = 0) -> str:
         # stringified rendering, same guard as the format() branch
         return f"(round({num_expr(g, depth + 1)}, 4))::VARCHAR"
     if choice == 14:
-        # concat()'s per-argument implicit VARCHAR cast (same dispatch)
+        # concat()'s per-argument implicit VARCHAR cast (same dispatch);
+        # r10: LIST arguments stringify through the exact list renderer
+        # (fmt-shortest float elements, 'NULL' elements)
+        if g.random() < 0.3:
+            els = ", ".join(
+                g.choice(
+                    [
+                        f"round({g.choice(NUM_COLS)}, 3)",
+                        f"{g.uniform(-5, 5):.4f}e{g.randint(-20, 20)}",
+                        "NULL",
+                        str(g.randint(-9, 99)),
+                    ]
+                )
+                for _ in range(g.randint(0, 3))
+            )
+            return f"concat([{els}], {a})"
         return f"concat({a}, round({num_expr(g, depth + 1)}, 4))"
     if choice == 11:
         # round-8 surface: RE2 rewrite semantics (backrefs, \0, \\,
