@@ -705,6 +705,7 @@ def _translate_tokens(tokens: List[Token]) -> str:
     tokens = _rewrite_mad_window_inplace(tokens)
     tokens = _rewrite_mad_fallback_template(tokens)
     tokens = _rewrite_product_entropy(tokens)
+    tokens = _rewrite_agg_window_frames(tokens)
     # brace-map sentinel back to Spark's variadic map (see
     # _rewrite_brace_literals)
     out = [
@@ -3242,11 +3243,12 @@ def _split_distinct_prefix(arg_sql: str):
     return arg_sql, False
 
 
-def _entropy_template() -> str:
-    # built per call so _TEMPLATE_GROUP_LIMIT patches apply; the extra
-    # __arr0 binding level applies the size guard ONCE per group
+def _entropy_fold_sql(collected: str) -> str:
+    """Shannon entropy folded over ONE collected array expression (an
+    aggregate or window ``collect_list``). Empty array -> 0.0, exactly
+    DuckDB's empty/all-NULL result."""
     return (
-        "(element_at(transform(array(collect_list(__E0)), __arr0 ->"
+        f"(element_at(transform(array({collected}), __arr0 ->"
         f" element_at(transform(array({_guard_arr('__arr0')}), __arr ->"
         " aggregate(array_distinct(__arr), CAST(0 AS DOUBLE),"
         " (__acc, __v) -> __acc"
@@ -3254,6 +3256,12 @@ def _entropy_template() -> str:
         " * log2(size(filter(__arr, __e -> __e = __v)) / CAST(size(__arr) AS DOUBLE))"
         ")), 1)), 1))"
     )
+
+
+def _entropy_template() -> str:
+    # built per call so _TEMPLATE_GROUP_LIMIT patches apply; the extra
+    # __arr0 binding level applies the size guard ONCE per group
+    return _entropy_fold_sql("collect_list(__E0)")
 
 def _mad_integer_domain(arg_sql: str) -> bool:
     """True when a mad() argument is the temporal shim's epoch-micros
@@ -3356,14 +3364,69 @@ def _mad_window_template(
 # * n) per group and O(n) group memory — the same documented bound as
 # the entropy template; restructure to a two-level GROUP BY upstream for
 # high-cardinality groups.
-def _histogram_template() -> str:
+def _histogram_fold_sql(collected: str) -> str:
+    """DuckDB histogram folded over ONE collected array expression.
+    Empty array (empty frame / all-NULL group) -> NULL, like DuckDB
+    (r10 — the pre-r10 template returned an empty map there)."""
     return (
-        "(element_at(transform(array(collect_list(__E0)), __harr0 ->"
+        f"(element_at(transform(array({collected}), __harr0 ->"
         f" element_at(transform(array({_guard_arr('__harr0')}), __harr ->"
+        " CASE WHEN size(__harr) = 0 THEN NULL ELSE"
         " map_from_entries(transform(array_sort(array_distinct(__harr)),"
         " __hv -> struct(__hv, CAST(size(filter(__harr, __he -> __he = __hv))"
-        " AS BIGINT))))), 1)), 1))"
+        " AS BIGINT)))) END), 1)), 1))"
     )
+
+
+def _histogram_template() -> str:
+    return _histogram_fold_sql("collect_list(__E0)")
+
+
+def _quantile_disc_fold_sql(collected: str, q_sql: str) -> str:
+    """DuckDB ``quantile_disc(x, q)`` over ONE collected array: the
+    sorted frame's element at index max(1, ceil(q*n)) (1-based —
+    probed against DuckDB for n in 1..5, q in {0, .25, .5, .75, 1});
+    empty frame / NULL q -> NULL. Result keeps the element type."""
+    return (
+        f"(element_at(transform(array({collected}), __qa0 ->"
+        f" element_at(transform(array(array_sort({_guard_arr('__qa0')}))"
+        ", __qa ->"
+        " CASE WHEN size(__qa) = 0 THEN element_at(__qa, CAST(NULL AS INT))"
+        f" ELSE element_at(__qa, greatest(1,"
+        f" CAST(ceiling(({q_sql}) * size(__qa)) AS INT))) END), 1)), 1))"
+    )
+
+
+def _quantile_cont_fold_sql(collected: str, q_sql: str) -> str:
+    """DuckDB ``quantile_cont(x, q)`` over ONE collected array: linear
+    interpolation at pos = q*(n-1) over the sorted frame (the same
+    interpolation as Spark's percentile — q08 parity). DOUBLE result;
+    empty frame / NULL q -> NULL. Temporal element types fail loudly
+    at the DOUBLE cast (they failed loudly before the lowering too)."""
+    idx = "CAST(floor(__qp) AS INT)"
+    lo = f"CAST(element_at(__qc, {idx} + 1) AS DOUBLE)"
+    hi = (
+        f"CAST(element_at(__qc, least(size(__qc), {idx} + 2)) AS DOUBLE)"
+    )
+    return (
+        f"(element_at(transform(array({collected}), __qc0 ->"
+        f" element_at(transform(array(array_sort({_guard_arr('__qc0')}))"
+        ", __qc ->"
+        " CASE WHEN size(__qc) = 0 THEN CAST(NULL AS DOUBLE) ELSE"
+        f" element_at(transform(array(CAST(({q_sql}) AS DOUBLE)"
+        " * (size(__qc) - 1)), __qp ->"
+        f" {lo} + (__qp - floor(__qp)) * ({hi} - {lo})"
+        "), 1) END), 1)), 1))"
+    )
+
+
+# NOTE (r10): windowed ``mode()`` is NOT lowered. DuckDB's windowed
+# mode maintains an incremental frame hash table, so count TIES resolve
+# by update history — not a pure function of the frame multiset (probed
+# at sf0.01: a 3-way tie returned the second-seen value where the
+# aggregate mode returns the first-seen). Spark's native mode windows
+# fine and is equally tie-arbitrary; both engines agree whenever the
+# max count is unique.
 
 
 # keywords that end an ORDER BY sort-item list at top level
@@ -3987,7 +4050,14 @@ def _rewrite_product_entropy(tokens: List[Token]) -> List[Token]:
                             low2 = tok.text.lower()
                             if low2 == "product":
                                 repl = _product_window_sql(arg_s, spec)
-                            elif low2 == "entropy" and _window_spec_full_partition(spec):
+                            elif (
+                                low2 == "entropy"
+                                and _window_spec_full_partition(spec)
+                                # DISTINCT args can't restructure onto
+                                # per-count built-ins; left for the
+                                # frame-materialization fold (r10)
+                                and not _DISTINCT_PREFIX_RE.match(arg_s)
+                            ):
                                 d2 = 0
                                 p_end = sp_close
                                 for kk in range(sp_open + 1, sp_close):
@@ -5307,6 +5377,218 @@ def _rewrite_mad_fallback_template(tokens: List[Token]) -> List[Token]:
                     i = close + 1
                     continue
         out.append(tok)
+        i += 1
+    return out
+
+
+# window-aggregate names the late frame-materialization pass lowers
+# when Spark cannot plan the shape natively
+_AGGW_FOLD_FNS = frozenset(
+    {
+        "entropy",
+        "histogram",
+        "percentile_disc",
+        "percentile_cont",
+        "percentile",
+    }
+)
+
+
+def _rewrite_agg_window_frames(tokens: List[Token]) -> List[Token]:
+    """DuckDB allows EVERY aggregate as a window function over any
+    frame; Spark rejects several shapes outright. Lower the leftovers
+    onto collect_list frame-materialization folds, in place (r10,
+    same machinery as the window-mad lowering):
+
+    - ``entropy(x) OVER w`` with a non-full-partition frame (full
+      partitions restructure onto built-in aggregates earlier);
+    - ``histogram(x) OVER w`` for every frame (no native path at all);
+    - ``percentile_disc(q) WITHIN GROUP (ORDER BY x) OVER w`` and the
+      _cont form — this is quantile_disc/quantile's shimmed spelling
+      (the shape DuckDB itself windows; the raw WITHIN GROUP + OVER
+      spelling is a DuckDB parser error, so supporting it is a strict
+      superset) — whenever the spec has an ORDER BY or a frame: Spark
+      raises INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC on those; DESC
+      within-group orderings pass through (still loud). Windowed
+      ``mode()`` stays native — see the note above _AGGW_FOLD_FNS.
+
+    DISTINCT arguments dedupe the materialized frame (array_distinct).
+    Runs LAST so no later pass touches the emitted folds and every
+    argument/spec is already translated."""
+    n = len(tokens)
+    if not any(
+        t.kind == "word" and t.text.lower() in _AGGW_FOLD_FNS
+        for t in tokens
+    ):
+        return tokens
+    if not any(t.kind == "word" and t.upper == "OVER" for t in tokens):
+        return tokens
+    out: List[Token] = []
+    i = 0
+    while i < n:
+        t = tokens[i]
+        if t.kind == "word" and t.text.lower() in _AGGW_FOLD_FNS:
+            low = t.text.lower()
+            p = len(out) - 1
+            while p >= 0 and out[p].kind in ("ws", "comment"):
+                p -= 1
+            dotted = p >= 0 and out[p].kind == "op" and out[p].text == "."
+            p_open = _next_code(tokens, i)
+            if (
+                not dotted
+                and p_open < n
+                and tokens[p_open].kind == "op"
+                and tokens[p_open].text == "("
+            ):
+                close = _matching_paren(tokens, p_open)
+                after = _next_code(tokens, close)
+                wg_x = None
+                wg_distinct = False
+                if low in ("percentile_disc", "percentile_cont"):
+                    # ... WITHIN GROUP ( ORDER BY x [dir] ) rider
+                    if after < n and tokens[after].is_kw("WITHIN"):
+                        g_kw = _next_code(tokens, after)
+                        g_open = _next_code(tokens, g_kw)
+                        if (
+                            g_kw < n
+                            and tokens[g_kw].is_kw("GROUP")
+                            and g_open < n
+                            and tokens[g_open].kind == "op"
+                            and tokens[g_open].text == "("
+                        ):
+                            g_close = _matching_paren(tokens, g_open)
+                            gcode = [
+                                tk
+                                for tk in tokens[g_open + 1 : g_close]
+                                if tk.kind not in ("ws", "comment")
+                            ]
+                            if (
+                                len(gcode) >= 3
+                                and gcode[0].is_kw("ORDER")
+                                and gcode[1].is_kw("BY")
+                            ):
+                                body = gcode[2:]
+                                wg_distinct = False
+                                if body and body[0].is_kw("DISTINCT"):
+                                    # quantile_disc(DISTINCT x, q)'s
+                                    # shimmed spelling: dedupe the frame
+                                    wg_distinct = True
+                                    body = body[1:]
+                                desc = False
+                                while body and body[-1].kind == "word" and (
+                                    body[-1].upper
+                                    in ("ASC", "DESC", "NULLS", "FIRST", "LAST")
+                                ):
+                                    if body[-1].upper == "DESC":
+                                        desc = True
+                                    body.pop()
+                                if body and not desc:
+                                    wg_x = "".join(
+                                        tk.text for tk in body
+                                    ).strip()
+                                    after = _next_code(tokens, g_close)
+                if after < n and tokens[after].is_kw("OVER"):
+                    sp_open = _next_code(tokens, after)
+                    if (
+                        sp_open < n
+                        and tokens[sp_open].kind == "op"
+                        and tokens[sp_open].text == "("
+                    ):
+                        sp_close = _matching_paren(tokens, sp_open)
+                        spec = _sql(tokens, sp_open + 1, sp_close)
+                        u = re.sub(r"\s+", " ", spec).strip().upper()
+                        bail = False
+                        if "EXCLUDE" in u:
+                            if u.endswith("EXCLUDE NO OTHERS"):
+                                spec = re.sub(
+                                    r"(?is)EXCLUDE\s+NO\s+OTHERS\s*$",
+                                    "",
+                                    spec,
+                                )
+                                u = u[: -len("EXCLUDE NO OTHERS")].strip()
+                            else:
+                                bail = True
+                        full = _window_spec_full_partition(spec)
+                        has_order = bool(re.search(r"\bORDER BY\b", u))
+                        args = _split_top_level_args(tokens, p_open, close)
+                        repl = None
+                        if not bail and low in (
+                            "percentile_disc",
+                            "percentile_cont",
+                        ):
+                            # Spark rejects ANY explicit ORDER BY/frame
+                            # on WITHIN GROUP window aggregates — even a
+                            # semantically-inert unbounded one — so only
+                            # a pure PARTITION BY spec stays native
+                            if (
+                                wg_x is not None
+                                and (has_order or not full)
+                                and len(args) == 1
+                            ):
+                                q_sql = "".join(
+                                    tk.text for tk in args[0]
+                                ).strip()
+                                collected = (
+                                    f"collect_list({wg_x}) OVER ({spec})"
+                                )
+                                if wg_distinct:
+                                    collected = (
+                                        f"array_distinct({collected})"
+                                    )
+                                repl = (
+                                    _quantile_disc_fold_sql(collected, q_sql)
+                                    if low == "percentile_disc"
+                                    else _quantile_cont_fold_sql(
+                                        collected, q_sql
+                                    )
+                                )
+                        elif (
+                            not bail and low == "percentile"
+                            and len(args) == 2
+                        ):
+                            # quantile_cont(DISTINCT x, q)'s shimmed
+                            # spelling: Spark rejects DISTINCT window
+                            # functions for EVERY spec — fold over the
+                            # deduped frame (non-DISTINCT percentile
+                            # windows natively; leave it)
+                            arg_sql = "".join(
+                                tk.text for tk in args[0]
+                            ).strip()
+                            core, is_distinct = _split_distinct_prefix(
+                                arg_sql
+                            )
+                            if is_distinct:
+                                q_sql = "".join(
+                                    tk.text for tk in args[1]
+                                ).strip()
+                                repl = _quantile_cont_fold_sql(
+                                    f"array_distinct(collect_list({core})"
+                                    f" OVER ({spec}))",
+                                    q_sql,
+                                )
+                        elif not bail and len(args) == 1:
+                            arg0 = _rewrite_agg_window_frames(list(args[0]))
+                            arg_sql = "".join(tk.text for tk in arg0).strip()
+                            core, is_distinct = _split_distinct_prefix(
+                                arg_sql
+                            )
+                            collected = f"collect_list({core}) OVER ({spec})"
+                            if is_distinct:
+                                collected = f"array_distinct({collected})"
+                            if low == "histogram":
+                                repl = _histogram_fold_sql(collected)
+                            elif low == "entropy" and (
+                                not full or is_distinct
+                            ):
+                                # DISTINCT full-partition entropy has no
+                                # earlier lowering (unresolved routine
+                                # pre-r10) — the fold covers it
+                                repl = _entropy_fold_sql(collected)
+                        if repl is not None:
+                            out.extend(_toks(repl))
+                            i = sp_close + 1
+                            continue
+        out.append(t)
         i += 1
     return out
 

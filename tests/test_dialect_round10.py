@@ -500,3 +500,89 @@ def test_list_stringification_hinted_column(spark):
     got = spark.sql(tq).collect()[0][0]
     want = con.execute(q).fetchone()[0]
     assert got == want == "[1.5e+20, NULL]q"
+
+
+# ---- frame-materialized window aggregates (beyond mad) --------------
+
+
+def _norm_map(v):
+    if isinstance(v, dict) and set(v.keys()) == {"key", "value"}:
+        return dict(zip(v["key"], v["value"]))
+    return v
+
+
+# (spark_sql, oracle_sql) — oracle differs where the WITHIN GROUP +
+# OVER spelling is a DuckDB parser error (our support is a strict
+# superset; the oracle replays the quantile_* spelling DuckDB windows)
+AGGW_FRAME_SQLS = [
+    # entropy over running/bounded frames: unresolved routine pre-r10
+    ("SELECT p_partkey, entropy(p_size) OVER (PARTITION BY p_brand "
+     "ORDER BY p_partkey ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS m "
+     "FROM part ORDER BY p_partkey", None),
+    ("SELECT p_partkey, entropy(DISTINCT p_size) OVER (PARTITION BY "
+     "p_brand) AS m FROM part ORDER BY p_partkey", None),
+    # histogram as a window function: no native path at all
+    ("SELECT p_partkey, histogram(p_size % 4) OVER (PARTITION BY "
+     "p_brand ORDER BY p_partkey) AS m FROM part ORDER BY p_partkey",
+     None),
+    ("SELECT p_partkey, histogram(p_size % 4) OVER (PARTITION BY "
+     "p_brand) AS m FROM part ORDER BY p_partkey", None),
+    # quantile_disc over explicit frames:
+    # INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC pre-r10
+    ("SELECT p_partkey, quantile_disc(p_retailprice, 0.25) OVER "
+     "(PARTITION BY p_brand ORDER BY p_partkey ROWS BETWEEN 2 PRECEDING "
+     "AND CURRENT ROW) AS m FROM part ORDER BY p_partkey", None),
+    ("SELECT p_partkey, quantile_disc(p_retailprice, 1.0) OVER "
+     "(PARTITION BY p_brand ORDER BY p_partkey ROWS BETWEEN UNBOUNDED "
+     "PRECEDING AND UNBOUNDED FOLLOWING) AS m FROM part "
+     "ORDER BY p_partkey", None),
+    # WITHIN GROUP + OVER spelling: DuckDB parser error — strict
+    # superset here; oracle replays the quantile_* spelling
+    ("SELECT p_partkey, percentile_disc(0.25) WITHIN GROUP (ORDER BY "
+     "p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_partkey) AS m "
+     "FROM part ORDER BY p_partkey",
+     "SELECT p_partkey, quantile_disc(p_retailprice, 0.25) OVER "
+     "(PARTITION BY p_brand ORDER BY p_partkey) AS m FROM part "
+     "ORDER BY p_partkey"),
+    ("SELECT p_partkey, percentile_cont(0.75) WITHIN GROUP (ORDER BY "
+     "p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_partkey "
+     "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m FROM part "
+     "ORDER BY p_partkey",
+     "SELECT p_partkey, quantile_cont(p_retailprice, 0.75) OVER "
+     "(PARTITION BY p_brand ORDER BY p_partkey ROWS BETWEEN 3 PRECEDING "
+     "AND CURRENT ROW) AS m FROM part ORDER BY p_partkey"),
+    # empty frames: entropy -> 0.0, the rest -> NULL (DuckDB-probed)
+    ("SELECT p_partkey, entropy(p_size) OVER (ORDER BY p_partkey ROWS "
+     "BETWEEN 3 PRECEDING AND 2 PRECEDING) AS m FROM part "
+     "WHERE p_partkey < 30 ORDER BY p_partkey", None),
+    ("SELECT p_partkey, quantile_disc(p_retailprice, 0.5) OVER (ORDER "
+     "BY p_partkey ROWS BETWEEN 3 PRECEDING AND 2 PRECEDING) AS m "
+     "FROM part WHERE p_partkey < 30 ORDER BY p_partkey", None),
+]
+
+
+@pytest.mark.parametrize("sql,oracle", AGGW_FRAME_SQLS)
+def test_window_aggregate_frames_parity(spark, sql, oracle):
+    con = _duck()
+    _spark_views(spark)
+    want = con.execute(oracle or sql).fetchall()
+    got = [tuple(r) for r in spark.sql(translate(sql)).collect()]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        gv, wv = _norm_map(g[1]), _norm_map(w[1])
+        if isinstance(wv, float):
+            assert gv == pytest.approx(wv, abs=1e-9), (g, w)
+        else:
+            assert gv == wv, (g, w)
+
+
+def test_window_aggregate_frames_pandas_free(spark):
+    _spark_views(spark)
+    for sql, _ in AGGW_FRAME_SQLS[:4]:
+        plan = (
+            spark.sql(translate(sql))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InPandas" not in plan and "ArrowEvalPython" not in plan

@@ -480,7 +480,9 @@ def win_item(g: random.Random) -> str:
         # medians (raw value — compare_cols' rtol absorbs percentile
         # interpolation ulps, like the windowed-sum items).
         # r10: bounded ROWS / running frames and DISTINCT lower to the
-        # in-place collect_list frame-median template — draw those too
+        # in-place collect_list frame-median template — draw those too,
+        # plus the other frame-materialized window aggregates
+        # (entropy / quantile_disc / quantile_cont over any frame)
         col = g.choice(NUM_COLS)
         dq = "DISTINCT " if g.random() < 0.2 else ""
         r = g.random()
@@ -497,7 +499,14 @@ def win_item(g: random.Random) -> str:
             lo = g.randint(1, 4)
             hi = g.choice(["CURRENT ROW", "1 FOLLOWING", "2 FOLLOWING"])
             spec = f"{part}{WIN_ORDER} ROWS BETWEEN {lo} PRECEDING AND {hi}"
-        return f"mad({dq}{col}) OVER ({spec})"
+        r2 = g.random()
+        if r2 < 0.5:
+            return f"mad({dq}{col}) OVER ({spec})"
+        if r2 < 0.7:
+            return f"entropy({dq}{g.choice(INT_COLS)} % 7) OVER ({spec})"
+        q = g.choice(["0.0", "0.25", "0.5", "0.9", "1.0"])
+        fn = g.choice(["quantile_disc", "quantile_cont"])
+        return f"{fn}({dq}{col}, {q}) OVER ({spec})"
     if choice == 8:
         # window frame EXCLUDE (dialect _rewrite_window_exclude): the
         # unique total order makes ROWS frames deterministic; the
