@@ -1293,6 +1293,84 @@ _add_sql(
     "compared exactly",
 )
 
+_add_sql(
+    "q67_window_agg_frames",
+    r"""
+    SELECT p_partkey,
+           round(mad(p_retailprice) OVER (PARTITION BY p_brand
+             ORDER BY p_partkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS wmad_b,
+           round(mad(p_size) OVER (PARTITION BY p_brand
+             ORDER BY p_partkey), 6) AS wmad_run,
+           round(mad(DISTINCT p_size) OVER (PARTITION BY p_brand
+             ORDER BY p_partkey
+             ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING), 6) AS wmad_d,
+           round(entropy(p_size) OVER (PARTITION BY p_brand
+             ORDER BY p_partkey), 9) AS went_run,
+           round(entropy(p_size % 5) OVER (PARTITION BY p_brand
+             ORDER BY p_partkey
+             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), 9) AS went_b,
+           quantile_disc(p_retailprice, 0.25) OVER (PARTITION BY p_brand
+             ORDER BY p_partkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wqd,
+           quantile_disc(p_retailprice, 1.0) OVER (PARTITION BY p_brand
+             ORDER BY p_partkey) AS wqd_max,
+           round(quantile_cont(p_retailprice, 0.75) OVER (PARTITION BY
+             p_brand ORDER BY p_partkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS wqc,
+           round(quantile_cont(DISTINCT p_size, 0.5) OVER (PARTITION BY
+             p_brand ORDER BY p_partkey), 6) AS wqc_d,
+           map_keys(histogram(p_size % 4) OVER (PARTITION BY p_brand
+             ORDER BY p_partkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS hist_keys,
+           map_values(histogram(p_size % 4) OVER (PARTITION BY p_brand
+             ORDER BY p_partkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS hist_counts
+    FROM part
+    ORDER BY p_partkey
+    """,
+    description="round-10 window-aggregate frames in one row: every "
+    "shape Spark cannot plan natively lowered onto collect_list frame "
+    "folds — bounded/running/DISTINCT window mad (the last pandas "
+    "crossing, now JVM), entropy over running/bounded frames (empty "
+    "frame -> 0.0), quantile_disc's sorted-frame index rule "
+    "max(1, ceil(q*n)) incl. q=1.0, interpolated quantile_cont over a "
+    "bounded frame and over a DEDUPED frame (DISTINCT), and histogram "
+    "as a window function (ascending keys, empty frame -> NULL) — "
+    "identical SQL runs on both engines",
+)
+
+_add_sql(
+    "q68_alias_typing_render",
+    r"""
+    SELECT q.p_partkey,
+           CAST(round(d1, 2) AS VARCHAR) AS r_ceil,
+           CAST(round(d2, 1) AS VARCHAR) AS r_chain,
+           CAST(trunc(d2) AS VARCHAR) AS r_trunc,
+           d3 || '#' AS r_dec_concat,
+           dd || '!' AS r_dbl_concat,
+           concat([round(d2, 2), NULL], '|') AS r_list,
+           concat([1.5e20, p_retailprice * 0 + 2.0], '@') AS r_list2
+    FROM (
+      SELECT p_partkey, p_retailprice,
+             ceil(8.5789) AS d1,
+             100 + 0.2420 AS d2,
+             1.50 AS d3,
+             CAST(p_partkey AS DOUBLE) / 2 AS dd
+      FROM part) q
+    ORDER BY q.p_partkey
+    """,
+    description="round-10 static-typing surfaces in one row: "
+    "in-statement aliases of statically-typed expressions (decimal "
+    "chains, ceil outputs, whole-expression casts) carry derived hints "
+    "into round/trunc/|| dispatch across a subquery hop — "
+    "scale-keeping decimal renderings ('9', '100.2', '1.50#') with no "
+    "'.0' gain — and statically list-typed concat arguments render "
+    "through the exact list writer (fmt-shortest float elements, "
+    "'NULL' elements, '[1.5e+20, ...]') — identical SQL on both "
+    "engines",
+)
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (driver north star): dedup / similarity /
 # text analysis / multimodal / as-of
