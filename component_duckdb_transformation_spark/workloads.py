@@ -1320,12 +1320,12 @@ _add_sql(
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS wqc,
            round(quantile_cont(DISTINCT p_size, 0.5) OVER (PARTITION BY
              p_brand ORDER BY p_partkey), 6) AS wqc_d,
-           map_keys(histogram(p_size % 4) OVER (PARTITION BY p_brand
-             ORDER BY p_partkey
-             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS hist_keys,
-           map_values(histogram(p_size % 4) OVER (PARTITION BY p_brand
-             ORDER BY p_partkey
-             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS hist_counts
+           array_to_string(map_keys(histogram(p_size % 4)
+             OVER (PARTITION BY p_brand ORDER BY p_partkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)), ',') AS hist_keys,
+           array_to_string(map_values(histogram(p_size % 4)
+             OVER (PARTITION BY p_brand ORDER BY p_partkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)), ',') AS hist_counts
     FROM part
     ORDER BY p_partkey
     """,
