@@ -168,6 +168,8 @@ _DOUBLE_VALUED_FNS = frozenset({
     "random", "stddev", "stddev_samp", "stddev_pop",
     "variance", "var_samp", "var_pop", "corr", "covar_samp",
     "covar_pop", "gamma", "lgamma", "nextafter",
+    # our own double-typed py-UDF-span round twin
+    "__duck_round",
     # avg/mean/median excluded: Spark types them DECIMAL over DECIMAL
     # inputs where DuckDB always widens to DOUBLE — a value-level
     # divergence rendering can't paper over
@@ -1512,11 +1514,14 @@ def _static_temporal_sql(expr_sql: str) -> bool:
 
 
 def _nonneg_int_literal(arg: List[Token], minimum: int = 0) -> bool:
-    """True when the argument is a bare integer literal >= ``minimum``."""
+    """True when the argument is a bare integer literal >= ``minimum``.
+    (The tokenizer lexes numbers as kind 'word' — the pre-r10 'number'
+    check never matched, so every literal 3-arg substr took the 5x
+    extended-window expansion it was designed to skip.)"""
     code = [t for t in arg if t.kind not in ("ws", "comment")]
     return (
         len(code) == 1
-        and code[0].kind == "number"
+        and code[0].kind in ("number", "word")
         and code[0].text.isdigit()
         and int(code[0].text) >= minimum
     )
@@ -7685,6 +7690,25 @@ def _rewrite_round_double(
                             "element_at(transform(array(named_struct("
                             f"'x', ({x}))), __rb -> {inner}), 1)"
                         )
+                    elif in_udf_here and (
+                        len(x) > _BIND_THRESHOLD
+                        or _contains_expanding_call(args[0])
+                    ) and _render_static_type(
+                        [
+                            t
+                            for t in args[0]
+                            if t.kind not in ("ws", "comment")
+                        ]
+                    ) == "double":
+                        # long statically-DOUBLE operand inside a
+                        # Python-UDF span: the template would repeat it
+                        # ~9x per nesting level (lambda binding is
+                        # span-forbidden) — route through the exact
+                        # Python twin, operand passed ONCE as its
+                        # shortest-round-trip Java repr
+                        emitted = (
+                            f"__duck_round(CAST(({x}) AS STRING), {k})"
+                        )
                     else:
                         emitted = _round_double_sql(x, k)
                     out.extend(_toks(emitted))
@@ -7720,9 +7744,25 @@ def _rewrite_round_double(
                                 args[1], in_py_udf=in_udf_here
                             )
                         ).strip()
-                        out.extend(
-                            _toks(_round_double_dynamic_sql(x, ks))
-                        )
+                        if in_udf_here and (
+                            len(x) > _BIND_THRESHOLD
+                            or _contains_expanding_call(args[0])
+                        ) and _render_static_type(
+                            [
+                                t
+                                for t in args[0]
+                                if t.kind not in ("ws", "comment")
+                            ]
+                        ) == "double":
+                            # same span escape as the literal-k branch
+                            out.extend(_toks(
+                                f"__duck_round(CAST(({x}) AS STRING),"
+                                f" CAST(({ks}) AS INT))"
+                            ))
+                        else:
+                            out.extend(
+                                _toks(_round_double_dynamic_sql(x, ks))
+                            )
                         i = close + 1
                         continue
         out.append(tok)
@@ -7932,7 +7972,7 @@ _BIND_THRESHOLD = 160
 # ceil/floor/trunc keep their lambda-free repeated-operand form there.
 _PY_UDF_FNS = frozenset({
     "age", "icu_sort_key", "__yyjson_norm", "__re2_valid",
-    "current_setting", "mad",
+    "current_setting", "mad", "__duck_round",
     "length_grapheme", "left_grapheme", "right_grapheme",
     "substring_grapheme", "json_contains", "json_structure",
     "strip_accents", "nfc_normalize", "nextafter", "jaro_similarity",
@@ -8034,11 +8074,32 @@ def _varchar_cast_sql(x: str, py_udf_ctx: bool = False) -> str:
     )
 
 
+# whole-expression calls whose result is STRING in both engines —
+# rendering is the identity there, so a py-UDF-span render over them
+# needs no typeof arm (each saved arm halves nested-chain growth)
+_STRING_VALUED_FNS = frozenset({
+    "__duck_render", "substring", "substr", "concat_ws", "upper",
+    "lower", "ucase", "lcase", "trim", "ltrim", "rtrim", "btrim",
+    "replace", "regexp_replace", "regexp_extract", "left", "right",
+    "lpad", "rpad", "split_part", "repeat", "format_string", "printf",
+    "md5", "base64", "initcap", "substring_index", "typeof",
+    "date_format", "format_number", "char", "chr",
+})
+
+
 def _render_static_type(code: List[Token]):
     """'double' / 'float' / 'nonfloat' when the operand's rendering
     class is statically known (whole-expression casts, hinted plain
-    column refs, the r9 static numeric lattice, our own string-typed
-    render emissions); None when only typeof() can tell."""
+    column refs, the r9 static numeric lattice, known STRING/DOUBLE
+    valued calls, our own string-typed render emissions); None when
+    only typeof() can tell."""
+    while (
+        len(code) >= 3
+        and code[0].kind == "op"
+        and code[0].text == "("
+        and _matching_paren(code, 0) == len(code) - 1
+    ):
+        code = code[1:-1]
     h = _cast_target_hint(code) or _hinted_primary_type(code)
     if h in ("double", "float"):
         return h
@@ -8053,12 +8114,15 @@ def _render_static_type(code: List[Token]):
     if (
         len(code) >= 3
         and code[0].kind == "word"
-        and code[0].text.lower() == "__duck_render"
         and code[1].kind == "op"
         and code[1].text == "("
         and _matching_paren(code, 1) == len(code) - 1
     ):
-        return "nonfloat"  # our own string-typed render emission
+        low = code[0].text.lower()
+        if low in _STRING_VALUED_FNS:
+            return "nonfloat"
+        if low in _DOUBLE_VALUED_FNS:
+            return "double"
     return None
 
 

@@ -799,6 +799,28 @@ def register_text_udfs(spark: SparkSession) -> None:
             dtype="object",
         )
 
+    @pandas_udf("double")
+    def _duck_round_str_udf(s: pd.Series, k: pd.Series) -> pd.Series:
+        """DuckDB-exact round()-on-DOUBLE twin for Python-UDF argument
+        spans: the SQL template repeats its operand ~9x and cannot
+        lambda-bind inside a span (ExtractPythonUDFs), so statically
+        DOUBLE operands route here — the value arrives ONCE as its
+        Java repr string (shortest round-trip, so float() reproduces
+        the exact double; NaN/Infinity spellings parse), keeping
+        nested chains linear. NULL-exact: a None string stays None
+        where a float64 column would fold nulls into NaN."""
+        from .dialect import _duck_round_double_py
+
+        out = []
+        for v, kk in zip(s, k):
+            if v is None or kk is None or (
+                isinstance(kk, float) and pd.isna(kk)
+            ):
+                out.append(None)
+            else:
+                out.append(_duck_round_double_py(float(v), int(kk)))
+        return pd.Series(out, dtype="object")
+
     @pandas_udf("string")
     def _duck_render_yy_udf(s: pd.Series) -> pd.Series:
         # yyjson-cutoff twin ([-6, 20], bare e<exp>) of __duck_render,
@@ -862,6 +884,7 @@ def register_text_udfs(spark: SparkSession) -> None:
     spark.udf.register("__yyjson_norm", _yyjson_norm_udf)
     spark.udf.register("__duck_render", _duck_render_udf)
     spark.udf.register("__duck_render_yy", _duck_render_yy_udf)
+    spark.udf.register("__duck_round", _duck_round_str_udf)
     spark.udf.register("current_setting", _current_setting_udf)
     spark.udf.register("mad", _mad_udf)
     spark.udf.register("length_grapheme", _length_grapheme_udf)

@@ -586,3 +586,50 @@ def test_window_aggregate_frames_pandas_free(spark):
             .toString()
         )
         assert "InPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- substr literal window skip + round span twin (r10b) -------------
+
+
+SUBSTR_EDGE_SQLS = [
+    # common literal shapes now skip the extended-window arithmetic —
+    # identical semantics must hold at the edges
+    "SELECT p_partkey, substr(p_name, 1, 5) AS a, substr(p_name, 2, 0) "
+    "AS b, substr(p_name, 3, 200) AS c, substr(p_name, 200, 3) AS d, "
+    "substring(p_name, 1, 1) AS e FROM part ORDER BY p_partkey",
+    # extended shapes (negative/zero start, negative len) still expand
+    "SELECT p_partkey, substr(p_name, 0, 3) AS a, "
+    "substr(p_name, -4, 3) AS b, substr(p_name, 3, -1) AS c "
+    "FROM part ORDER BY p_partkey",
+]
+
+
+@pytest.mark.parametrize("sql", SUBSTR_EDGE_SQLS)
+def test_substr_literal_window_parity(spark, sql):
+    con = _duck()
+    _spark_views(spark)
+    want = con.execute(sql).fetchall()
+    got = [tuple(r) for r in spark.sql(translate(sql)).collect()]
+    assert got == want
+
+
+def test_round_span_twin_parity(spark):
+    """In a py-UDF span, a long statically-DOUBLE round operand routes
+    through the __duck_round twin (operand once); values stay
+    DuckDB-exact including the dynamic-scale form."""
+    con = _duck()
+    _spark_views(spark)
+    pad = " + 0 " * 60  # push past the bind threshold, value-neutral
+    sql = (
+        "SELECT p_partkey, length_grapheme(round(CAST((p_retailprice"
+        + pad
+        + ") AS DOUBLE), 3)::VARCHAR) AS g, "
+        "length_grapheme(round(CAST((p_retailprice" + pad + ") AS "
+        "DOUBLE), p_size % 4)::VARCHAR) AS gd "
+        "FROM part ORDER BY p_partkey"
+    )
+    out = translate(sql)
+    assert "__duck_round" in out
+    want = con.execute(sql).fetchall()
+    got = [tuple(r) for r in spark.sql(out).collect()]
+    assert got == want

@@ -756,6 +756,23 @@ def test_translate_size_stays_bounded():
     )
     assert len(out) < 4_000, len(out)
     assert "typeof" not in out  # every chain link statically typed
+    # r10b: substr/round render chains in a py-UDF span — pre-r10b this
+    # was ~240x PER LEVEL (every literal 3-arg substr took the 5x
+    # extended-window expansion through a dead 'number'-kind check, and
+    # in-span round repeated its operand ~9x; depth 2 was 4.6 MB) —
+    # now ~100 bytes per level via the untouched literal substr and the
+    # __duck_round span twin
+    expr = "l_extendedprice"
+    for i in range(14):
+        expr = f"substr(round({expr}, 3)::VARCHAR, 2, 5)::DOUBLE"
+    out = translate(
+        f"SELECT length_grapheme({expr}::VARCHAR) AS g FROM lineitem"
+    )
+    assert len(out) < 8_000, len(out)
+    # the common literal substr shape stays verbatim everywhere
+    assert translate("SELECT substr(s0, 2, 5) AS x FROM t") == (
+        "SELECT substr(s0, 2, 5) AS x FROM t"
+    )
 
 
 def test_round_twin_randomized_vs_duckdb():
