@@ -168,8 +168,8 @@ _DOUBLE_VALUED_FNS = frozenset({
     "random", "stddev", "stddev_samp", "stddev_pop",
     "variance", "var_samp", "var_pop", "corr", "covar_samp",
     "covar_pop", "gamma", "lgamma", "nextafter",
-    # our own double-typed py-UDF-span round twin
-    "__duck_round",
+    # our own double-typed py-UDF-span twins
+    "__duck_round", "__duck_fint",
     # avg/mean/median excluded: Spark types them DECIMAL over DECIMAL
     # inputs where DuckDB always widens to DOUBLE — a value-level
     # divergence rendering can't paper over
@@ -6904,7 +6904,13 @@ def _shortest_double_core_body(lo: int, hi: int, yy: bool) -> str:
     else:
         sci = "__sc"
     return (
-        "CASE WHEN __ds = 'NaN' THEN 'nan' "
+        # NULL first (r10b, pre-existing runtime bug): a NULL subject
+        # fell through every equality branch into the candidate search,
+        # whose format_string('%.Ne', NULL) output hard-errored the
+        # whole query at CAST-to-DOUBLE — ANY NULL row in a rendered
+        # double column crashed ::VARCHAR / `||` paths
+        "CASE WHEN __ds IS NULL THEN CAST(NULL AS STRING) "
+        "WHEN __ds = 'NaN' THEN 'nan' "
         "WHEN __ds = 'Infinity' THEN 'inf' "
         "WHEN __ds = '-Infinity' THEN '-inf' "
         "WHEN locate('E', __ds) = 0 THEN __ds ELSE "
@@ -7707,7 +7713,8 @@ def _rewrite_round_double(
                         # Python twin, operand passed ONCE as its
                         # shortest-round-trip Java repr
                         emitted = (
-                            f"__duck_round(CAST(({x}) AS STRING), {k})"
+                            f"CAST(__duck_round(CAST(({x}) AS"
+                            f" STRING), {k}) AS DOUBLE)"
                         )
                     else:
                         emitted = _round_double_sql(x, k)
@@ -7756,8 +7763,9 @@ def _rewrite_round_double(
                         ) == "double":
                             # same span escape as the literal-k branch
                             out.extend(_toks(
-                                f"__duck_round(CAST(({x}) AS STRING),"
-                                f" CAST(({ks}) AS INT))"
+                                f"CAST(__duck_round(CAST(({x}) AS"
+                                f" STRING), CAST(({ks}) AS INT))"
+                                " AS DOUBLE)"
                             ))
                         else:
                             out.extend(
@@ -7972,7 +7980,7 @@ _BIND_THRESHOLD = 160
 # ceil/floor/trunc keep their lambda-free repeated-operand form there.
 _PY_UDF_FNS = frozenset({
     "age", "icu_sort_key", "__yyjson_norm", "__re2_valid",
-    "current_setting", "mad", "__duck_round",
+    "current_setting", "mad", "__duck_round", "__duck_fint",
     "length_grapheme", "left_grapheme", "right_grapheme",
     "substring_grapheme", "json_contains", "json_structure",
     "strip_accents", "nfc_normalize", "nextafter", "jaro_similarity",
@@ -8123,6 +8131,20 @@ def _render_static_type(code: List[Token]):
             return "nonfloat"
         if low in _DOUBLE_VALUED_FNS:
             return "double"
+    # a top-level `/` makes the whole expression DOUBLE in this engine
+    # (the division rewrite forces float division like DuckDB, whose
+    # `/` is always DOUBLE; `//` is the integer form) — unless an
+    # INTERVAL is involved (interval / n stays interval)
+    if not any(t.kind == "word" and t.upper == "INTERVAL" for t in code):
+        depth = 0
+        for t in code:
+            if t.kind == "op":
+                if t.text in ("(", "["):
+                    depth += 1
+                elif t.text in (")", "]"):
+                    depth -= 1
+                elif depth == 0 and t.text == "/":
+                    return "double"
     return None
 
 
@@ -10232,6 +10254,29 @@ def _rewrite_call_shims(
                     # VARCHAR cast gains '.0').
                     a = _sql(inner, *args[0])
                     fn = "floor" if low == "floor" else "ceiling"
+                    if (
+                        in_py_udf
+                        and len(a) > _BIND_THRESHOLD
+                        and _render_static_type(
+                            [
+                                t
+                                for t in inner[args[0][0] : args[0][1]]
+                                if t.kind not in ("ws", "comment")
+                            ]
+                        ) == "double"
+                    ):
+                        # long statically-DOUBLE operand inside a
+                        # Python-UDF span: the repeated CASE mentions
+                        # it ~7x per nesting level — route through the
+                        # __duck_fint twin (operand once, repr
+                        # transport)
+                        mode = "floor" if fn == "floor" else "ceil"
+                        out.extend(_toks(
+                            f"CAST(__duck_fint(CAST(({a}) AS"
+                            f" STRING), '{mode}') AS DOUBLE)"
+                        ))
+                        i = close + 1
+                        continue
                     if len(a) <= _BIND_THRESHOLD or in_py_udf:
                         # short operand: direct CASE stays inside
                         # whole-stage codegen (subexpression
@@ -10324,16 +10369,52 @@ def _rewrite_call_shims(
                         i = close + 1
                         continue
                     a = _sql(inner, *args[0])
+                    if (
+                        in_py_udf
+                        and len(a) > _BIND_THRESHOLD
+                        and _render_static_type(
+                            [
+                                t
+                                for t in inner[args[0][0] : args[0][1]]
+                                if t.kind not in ("ws", "comment")
+                            ]
+                        ) == "double"
+                    ):
+                        # span escape, same as ceil/floor above (~8
+                        # mentions otherwise)
+                        out.extend(_toks(
+                            f"CAST(__duck_fint(CAST(({a}) AS"
+                            f" STRING), 'trunc') AS DOUBLE)"
+                        ))
+                        i = close + 1
+                        continue
+                    # DOUBLE-branch guards (r10b, pre-existing bug):
+                    # floor/ceiling return BIGINT, which a |x| >= 2^53
+                    # double overflows (trunc(1e300) clamped to 2^63,
+                    # inf/nan -> garbage); those magnitudes are already
+                    # integral and pass through like DuckDB, and the
+                    # |x| < 1 window keeps the IEEE sign of zero
+                    # (trunc(-0.4) = -0.0)
                     if len(a) <= _BIND_THRESHOLD or in_py_udf:
+                        cx = f"CAST(({a}) AS DOUBLE)"
                         core = (
                             f"(CASE WHEN ({a}) >= 0 THEN floor(({a})) "
                             f"ELSE ceiling(({a})) END)"
+                        )
+                        gcore = (
+                            f"(CASE WHEN isnan({cx}) OR abs({cx}) >= "
+                            f"9007199254740992.0 THEN {cx} "
+                            f"WHEN {cx} > -1.0 AND {cx} < 1.0 "
+                            f"THEN {cx} * 0.0 "
+                            f"ELSE CAST((CASE WHEN {cx} >= 0 THEN "
+                            f"floor({cx}) ELSE ceiling({cx}) END) "
+                            f"AS DOUBLE) END)"
                         )
                         out.extend(
                             _toks(
                                 f"(CASE WHEN typeof({a}) IN "
                                 f"('double', 'float')"
-                                f" THEN CAST({core} AS DOUBLE) "
+                                f" THEN {gcore} "
                                 f"ELSE {core} END)"
                             )
                         )
@@ -10346,7 +10427,11 @@ def _rewrite_call_shims(
                             _toks(
                                 f"(element_at(transform(array("
                                 f"CAST(({a}) AS DOUBLE)), __tr -> "
-                                "CASE WHEN __tr >= 0 THEN "
+                                "CASE WHEN isnan(__tr) OR abs(__tr) >= "
+                                "9007199254740992.0 THEN __tr "
+                                "WHEN __tr > -1.0 AND __tr < 1.0 "
+                                "THEN __tr * 0.0 "
+                                "WHEN __tr >= 0 THEN "
                                 "CAST(floor(__tr) AS DOUBLE) "
                                 "ELSE CAST(ceiling(__tr) AS DOUBLE) "
                                 "END), 1))"

@@ -799,7 +799,23 @@ def register_text_udfs(spark: SparkSession) -> None:
             dtype="object",
         )
 
-    @pandas_udf("double")
+    def _spark_double_str(x: float) -> str:
+        """A string Spark's CAST(s AS DOUBLE) parses back to exactly
+        ``x``: Python repr is shortest-round-trip; NaN/inf use Spark's
+        accepted spellings. String transport is what keeps BOTH
+        directions NULL-exact — a float64 Series folds nulls into NaN
+        on input, and an object Series folds NaN into null on Arrow
+        OUTPUT conversion (measured), so doubles cross the twin
+        boundary as text in both directions."""
+        import math
+
+        if math.isnan(x):
+            return "NaN"
+        if math.isinf(x):
+            return "Infinity" if x > 0 else "-Infinity"
+        return repr(x)
+
+    @pandas_udf("string")
     def _duck_round_str_udf(s: pd.Series, k: pd.Series) -> pd.Series:
         """DuckDB-exact round()-on-DOUBLE twin for Python-UDF argument
         spans: the SQL template repeats its operand ~9x and cannot
@@ -807,8 +823,8 @@ def register_text_udfs(spark: SparkSession) -> None:
         DOUBLE operands route here — the value arrives ONCE as its
         Java repr string (shortest round-trip, so float() reproduces
         the exact double; NaN/Infinity spellings parse), keeping
-        nested chains linear. NULL-exact: a None string stays None
-        where a float64 column would fold nulls into NaN."""
+        nested chains linear. Result returns as text too (see
+        _spark_double_str); the emission casts it back to DOUBLE."""
         from .dialect import _duck_round_double_py
 
         out = []
@@ -818,8 +834,41 @@ def register_text_udfs(spark: SparkSession) -> None:
             ):
                 out.append(None)
             else:
-                out.append(_duck_round_double_py(float(v), int(kk)))
+                out.append(
+                    _spark_double_str(
+                        _duck_round_double_py(float(v), int(kk))
+                    )
+                )
         return pd.Series(out, dtype="object")
+
+    @pandas_udf("string")
+    def _duck_fint_udf(s: pd.Series, mode: pd.Series) -> pd.Series:
+        """ceil/floor/trunc-on-DOUBLE twin for Python-UDF argument
+        spans (same string transport contract as __duck_round).
+        DuckDB semantics: DOUBLE in/out, NaN/inf pass through, |x| >=
+        2^53 is already integral and passes through, and the IEEE sign
+        of zero is kept (ceil(-0.5) = -0.0, trunc(-0.4) = -0.0)."""
+        import math
+
+        def one(v, m):
+            if v is None:
+                return None
+            x = float(v)
+            if math.isnan(x) or math.isinf(x) or abs(x) >= 2.0**53:
+                return _spark_double_str(x)
+            if m == "ceil":
+                r = float(math.ceil(x))
+            elif m == "floor":
+                r = float(math.floor(x))
+            else:  # trunc
+                r = float(math.trunc(x))
+            if r == 0.0:
+                r = math.copysign(0.0, x)
+            return _spark_double_str(r)
+
+        return pd.Series(
+            [one(v, m) for v, m in zip(s, mode)], dtype="object"
+        )
 
     @pandas_udf("string")
     def _duck_render_yy_udf(s: pd.Series) -> pd.Series:
@@ -885,6 +934,7 @@ def register_text_udfs(spark: SparkSession) -> None:
     spark.udf.register("__duck_render", _duck_render_udf)
     spark.udf.register("__duck_render_yy", _duck_render_yy_udf)
     spark.udf.register("__duck_round", _duck_round_str_udf)
+    spark.udf.register("__duck_fint", _duck_fint_udf)
     spark.udf.register("current_setting", _current_setting_udf)
     spark.udf.register("mad", _mad_udf)
     spark.udf.register("length_grapheme", _length_grapheme_udf)

@@ -633,3 +633,86 @@ def test_round_span_twin_parity(spark):
     want = con.execute(sql).fetchall()
     got = [tuple(r) for r in spark.sql(out).collect()]
     assert got == want
+
+
+def test_trunc_double_guards_parity(spark):
+    """trunc's DOUBLE branch guards (r10b, pre-existing): |x| >= 2^53
+    passes through (was clamped to 2^63 via the BIGINT floor hop),
+    NaN/inf pass through, and |x| < 1 keeps the IEEE sign of zero."""
+    con = duckdb.connect()
+    vals = (
+        "(-0.4),(0.4),(-0.0),(1e300),(-1e300),"
+        "(9007199254740994.0),(CAST('nan' AS DOUBLE)),"
+        "(CAST('inf' AS DOUBLE)),(NULL)"
+    )
+    con.execute(
+        f"CREATE VIEW ttr AS SELECT CAST(x AS DOUBLE) AS x "
+        f"FROM (VALUES {vals}) t(x)"
+    )
+    sv = vals.replace("'nan'", "'NaN'").replace("'inf'", "'Infinity'")
+    spark.sql(
+        f"SELECT CAST(x AS DOUBLE) AS x FROM (VALUES {sv}) t(x)"
+    ).createOrReplaceTempView("ttr")
+    q = "SELECT trunc(x) AS v, CAST(trunc(x) AS VARCHAR) AS s FROM ttr"
+    got = [tuple(str(c) for c in r) for r in spark.sql(translate(q)).collect()]
+    want = [tuple(str(c) for c in r) for r in con.execute(q).fetchall()]
+    assert got == want
+
+
+def test_fint_twin_edges_parity(spark):
+    """__duck_fint/__duck_round span twins: NULL-vs-NaN exact through
+    the string transport, zero signs, 2^53 passthrough — inside a
+    py-UDF argument with a long statically-DOUBLE operand."""
+    con = duckdb.connect()
+    vals = (
+        "(-0.5),(0.5),(-0.0),(1e300),(CAST('nan' AS DOUBLE)),"
+        "(CAST('-inf' AS DOUBLE)),(NULL)"
+    )
+    con.execute(
+        f"CREATE VIEW tfe AS SELECT CAST(x AS DOUBLE) AS x "
+        f"FROM (VALUES {vals}) t(x)"
+    )
+    sv = vals.replace("'nan'", "'NaN'").replace("'-inf'", "'-Infinity'")
+    spark.sql(
+        f"SELECT CAST(x AS DOUBLE) AS x FROM (VALUES {sv}) t(x)"
+    ).createOrReplaceTempView("tfe")
+    pad = " + 0 " * 60
+    for fn, call in [
+        ("ceil", f"ceil(CAST((x{pad}) AS DOUBLE))"),
+        ("floor", f"floor(CAST((x{pad}) AS DOUBLE))"),
+        ("trunc", f"trunc(CAST((x{pad}) AS DOUBLE))"),
+        ("round", f"round(CAST((x{pad}) AS DOUBLE), 0)"),
+    ]:
+        q = (
+            f"SELECT length_grapheme({call}::VARCHAR) AS g, {call} AS v "
+            "FROM tfe"
+        )
+        tq = translate(q)
+        assert "__duck_" in tq, fn
+        got = [tuple(str(c) for c in r) for r in spark.sql(tq).collect()]
+        want = [tuple(str(c) for c in r) for r in con.execute(q).fetchall()]
+        assert got == want, fn
+
+
+def test_null_double_render_parity(spark):
+    """r10b pre-existing runtime bug: a NULL row in a rendered DOUBLE
+    column hard-errored every exact-render path (::VARCHAR, ||,
+    format) — the fmt reshaper's candidate search evaluated on NULL.
+    Now NULL-transparent and DuckDB-matching."""
+    con = duckdb.connect()
+    spark.range(4).selectExpr(
+        "CASE WHEN id = 1 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST(id AS DOUBLE) * 1.5e20 END AS x"
+    ).createOrReplaceTempView("tn_r10")
+    con.execute(
+        "CREATE VIEW tn_r10 AS SELECT CASE WHEN r = 1 THEN NULL "
+        "ELSE r * 1.5e20 END AS x FROM (SELECT unnest(range(4)) AS r)"
+    )
+    for q in (
+        "SELECT CAST(x AS VARCHAR) AS s FROM tn_r10 ORDER BY s NULLS FIRST",
+        "SELECT x || '!' AS s FROM tn_r10 ORDER BY s NULLS FIRST",
+        "SELECT format('{}', x) AS s FROM tn_r10 ORDER BY s NULLS FIRST",
+    ):
+        got = [r[0] for r in spark.sql(translate(q)).collect()]
+        want = [r[0] for r in con.execute(q).fetchall()]
+        assert got == want, q

@@ -98,8 +98,17 @@ def str_expr(g: random.Random, depth: int = 0) -> str:
         # the plain-cast branch. round(x, 4) keeps libm 1-ulp noise
         # (ln/sqrt last-bit divergence between glibc and the JVM —
         # documented engine divergence) out of the tolerance-free
-        # stringified rendering, same guard as the format() branch
-        return f"(round({num_expr(g, depth + 1)}, 4))::VARCHAR"
+        # stringified rendering, same guard as the format() branch.
+        # r10: deterministic NULL rows sometimes — a NULL double
+        # through the render crashed queries pre-r10b and no draw
+        # covered it
+        inner = f"round({num_expr(g, depth + 1)}, 4)"
+        if g.random() < 0.25:
+            inner = (
+                f"(CASE WHEN l_orderkey % {g.randint(2, 7)} = 0 "
+                f"THEN NULL ELSE {inner} END)"
+            )
+        return f"({inner})::VARCHAR"
     if choice == 14:
         # concat()'s per-argument implicit VARCHAR cast (same dispatch);
         # r10: LIST arguments stringify through the exact list renderer
