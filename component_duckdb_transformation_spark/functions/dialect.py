@@ -2424,7 +2424,15 @@ def _rewrite_substr_window(
                     b_ = f"({p0} + greatest(({l}), 0))"
                     st = f"greatest({a_}, 1)"
                     ln = f"greatest(least({b_}, length({s}) + 1) - {st}, 0)"
-                    core = f"substring(({s}), {st}, {ln})"
+                    # NULL start/len must produce NULL (r10b,
+                    # pre-existing): Spark's greatest/least SKIP NULL
+                    # arguments, so a NULL position silently clamped to
+                    # 1 and returned a non-NULL window
+                    core = (
+                        f"(CASE WHEN ({p}) IS NULL OR ({l}) IS NULL "
+                        f"THEN CAST(NULL AS STRING) "
+                        f"ELSE substring(({s}), {st}, {ln}) END)"
+                    )
                     if bind:
                         so, po, lo = outer
                         core = (
@@ -10906,6 +10914,24 @@ def _rewrite_call_shims(
                             out.extend(_toks(repl))
                             i = close + 1
                             continue
+                if low == "printf" and len(args) >= 2:
+                    # DuckDB printf returns NULL when ANY argument is
+                    # NULL (r10b, pre-existing divergence: Spark's
+                    # printf renders NULL args as text)
+                    parts = [_sql(inner, s_, e_) for s_, e_ in args]
+                    guards = " OR ".join(
+                        f"({p}) IS NULL" for p in parts
+                    )
+                    call_args = ", ".join(f"({p})" for p in parts)
+                    out.extend(
+                        _toks(
+                            f"(CASE WHEN {guards} THEN "
+                            f"CAST(NULL AS STRING) ELSE "
+                            f"printf({call_args}) END)"
+                        )
+                    )
+                    i = close + 1
+                    continue
                 if low == "format" and len(args) >= 1:
                     fmt_code = [
                         t for t in inner[args[0][0]: args[0][1]]

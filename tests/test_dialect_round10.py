@@ -716,3 +716,36 @@ def test_null_double_render_parity(spark):
         got = [r[0] for r in spark.sql(translate(q)).collect()]
         want = [r[0] for r in con.execute(q).fetchall()]
         assert got == want, q
+
+
+def test_null_position_printf_parity(spark):
+    """r10b pre-existing divergences: a NULL start/len through the
+    extended-window substr silently clamped to 1 (Spark greatest/least
+    skip NULLs) instead of returning NULL; Spark printf rendered NULL
+    arguments as text where DuckDB returns NULL."""
+    con = duckdb.connect()
+    spark.range(4).selectExpr(
+        "CASE WHEN id = 1 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST(id AS DOUBLE) * 2.5e-7 END AS d",
+        "CASE WHEN id = 2 THEN CAST(NULL AS STRING) "
+        "ELSE CAST(id AS STRING) END AS s",
+        "CASE WHEN id = 3 THEN CAST(NULL AS BIGINT) ELSE id * 3 END AS i",
+    ).createOrReplaceTempView("tz_r10")
+    con.execute(
+        "CREATE VIEW tz_r10 AS SELECT "
+        "CASE WHEN r = 1 THEN NULL ELSE r * 2.5e-7 END AS d, "
+        "CASE WHEN r = 2 THEN NULL ELSE CAST(r AS VARCHAR) END AS s, "
+        "CASE WHEN r = 3 THEN NULL ELSE r * 3 END AS i "
+        "FROM (SELECT unnest(range(4)) AS r)"
+    )
+    for q in (
+        "SELECT substr(s, i % 2, 3) AS a FROM tz_r10 ORDER BY a NULLS FIRST",
+        "SELECT substr(s, CAST(i % 2 AS INT), -1) AS a FROM tz_r10 "
+        "ORDER BY a NULLS FIRST",
+        "SELECT printf('%.2f', d) AS a FROM tz_r10 ORDER BY a NULLS FIRST",
+        "SELECT printf('%s-%d', s, i) AS a FROM tz_r10 "
+        "ORDER BY a NULLS FIRST",
+    ):
+        got = [str(r[0]) for r in spark.sql(translate(q)).collect()]
+        want = [str(r[0]) for r in con.execute(q).fetchall()]
+        assert got == want, q
