@@ -1371,6 +1371,52 @@ _add_sql(
     "engines",
 )
 
+_add_sql(
+    "q69_null_render_edges",
+    r"""
+    SELECT p_partkey,
+           substr(p_name, (p_size % 7) - 3, 5) AS sub_ext,
+           substr(p_name, 1 + (p_size % 9), (p_size % 6) - 2) AS sub_neglen,
+           substr(p_name,
+                  CASE WHEN p_size % 11 = 0 THEN NULL ELSE p_size % 5 END,
+                  4) AS sub_nullpos,
+           substr(p_name, 2,
+                  CASE WHEN p_size % 13 = 0 THEN NULL
+                       ELSE (p_size % 6) - 2 END) AS sub_nulllen,
+           printf('%s|%d',
+                  CASE WHEN p_size % 17 = 0 THEN NULL ELSE p_brand END,
+                  p_size) AS pf_str,
+           printf('%.3f|%x',
+                  CASE WHEN p_size % 19 = 0 THEN NULL
+                       ELSE p_retailprice / 7 END,
+                  p_size) AS pf_num,
+           CAST(CASE WHEN p_size % 23 = 0 THEN NULL
+                     ELSE p_retailprice / 3 END AS VARCHAR) AS dnull_cast,
+           (CASE WHEN p_size % 23 = 0 THEN NULL
+                 ELSE p_retailprice / 3 END) || '#' AS dnull_concat,
+           format('{:.2f}~{}',
+                  CASE WHEN p_size % 29 = 0 THEN NULL
+                       ELSE p_retailprice END,
+                  p_size) AS fmt_null,
+           CAST(trunc(p_retailprice / 0.0000007) AS VARCHAR) AS tr_big,
+           CAST(trunc(0.0 - (p_retailprice % 1)) AS VARCHAR) AS tr_negfrac,
+           substr(CAST(round(p_retailprice / 7, 3) AS VARCHAR), 2, 6)
+             AS chain1
+    FROM part
+    ORDER BY p_partkey
+    """,
+    description="round-10b NULL/render edges in one row: extended-window "
+    "substr with computed negative/zero starts and negative lengths, "
+    "NULL start/len -> NULL (Spark greatest/least skip NULLs; guarded), "
+    "printf/format returning NULL on ANY NULL argument (DuckDB "
+    "semantics; Spark renders NULL as text natively), NULL doubles "
+    "flowing through the exact-double renderer (::VARCHAR / || were a "
+    "hard error pre-r10b), trunc double guards (big-magnitude trunc "
+    "without the 2^63 BIGINT clamp, IEEE -0.0 preserved), and a "
+    "substr-over-round render chain (kept linear by the r10b literal "
+    "substr skip + round span twin) — identical SQL on both engines",
+)
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (driver north star): dedup / similarity /
 # text analysis / multimodal / as-of
