@@ -5532,10 +5532,14 @@ def _rewrite_agg_window_frames(tokens: List[Token]) -> List[Token]:
                             # Spark rejects ANY explicit ORDER BY/frame
                             # on WITHIN GROUP window aggregates — even a
                             # semantically-inert unbounded one — so only
-                            # a pure PARTITION BY spec stays native
+                            # a pure PARTITION BY spec stays native; a
+                            # DISTINCT rider can never stay native
+                            # (ORDER BY DISTINCT x is a parse error —
+                            # r10c fuzz find on the full-partition
+                            # quantile_disc(DISTINCT x, q) shape)
                             if (
                                 wg_x is not None
-                                and (has_order or not full)
+                                and (has_order or not full or wg_distinct)
                                 and len(args) == 1
                             ):
                                 q_sql = "".join(
@@ -7989,6 +7993,7 @@ _BIND_THRESHOLD = 160
 _PY_UDF_FNS = frozenset({
     "age", "icu_sort_key", "__yyjson_norm", "__re2_valid",
     "current_setting", "mad", "__duck_round", "__duck_fint",
+    "__duck_printf",
     "length_grapheme", "left_grapheme", "right_grapheme",
     "substring_grapheme", "json_contains", "json_structure",
     "strip_accents", "nfc_normalize", "nextafter", "jaro_similarity",
@@ -8099,7 +8104,7 @@ _STRING_VALUED_FNS = frozenset({
     "replace", "regexp_replace", "regexp_extract", "left", "right",
     "lpad", "rpad", "split_part", "repeat", "format_string", "printf",
     "md5", "base64", "initcap", "substring_index", "typeof",
-    "date_format", "format_number", "char", "chr",
+    "date_format", "format_number", "char", "chr", "__duck_printf",
 })
 
 
@@ -10917,19 +10922,140 @@ def _rewrite_call_shims(
                 if low == "printf" and len(args) >= 2:
                     # DuckDB printf returns NULL when ANY argument is
                     # NULL (r10b, pre-existing divergence: Spark's
-                    # printf renders NULL args as text)
+                    # printf renders NULL args as text). Float
+                    # directives additionally need a DOUBLE cast
+                    # (r10c, fuzz-found): DuckDB's fmt printf accepts
+                    # DECIMAL as float-family ('%.1f' on DECIMAL(5,4)
+                    # renders '5.6') while Spark's Java formatter
+                    # throws IllegalFormatConversionException on its
+                    # own Decimal. Integer directives stay uncasted —
+                    # both engines reject non-integer args loudly.
+                    # Args bind ONCE in an outer lambda struct so
+                    # volatile args (random(), nextval) cannot
+                    # disagree between the NULL guard and the render
+                    # (same rationale as the format() branch); inside
+                    # a Python-UDF argument span the binding would
+                    # defeat ExtractPythonUDFs, so that path keeps the
+                    # repeated-operand form.
                     parts = [_sql(inner, s_, e_) for s_, e_ in args]
-                    guards = " OR ".join(
-                        f"({p}) IS NULL" for p in parts
+                    fmt_code = [
+                        t for t in inner[args[0][0]: args[0][1]]
+                        if t.kind not in ("ws", "comment")
+                    ]
+                    # directive k -> 'twin' (fmt-exact Python render,
+                    # substituted as %s), 'double' (CAST AS DOUBLE:
+                    # exotic float flags — '#' point forcing, %a hex —
+                    # keep Java's close-enough render), or None
+                    # (pass-through). Twin-eligible: f/F/e/E/g/G with
+                    # flags in {-,+,space,0} and numeric width/prec.
+                    # Non-literal format strings, '*' widths and
+                    # '%n$' positionals keep the uncasted call.
+                    plan = None
+                    fmt_body = None
+                    if len(fmt_code) == 1 and fmt_code[0].kind == "string":
+                        fmt_body = fmt_code[0].text[1:-1]
+                        specs = list(re.finditer(
+                            r"%([-+ #0-9.$*']*)([a-zA-Z%])", fmt_body
+                        ))
+                        if not any(
+                            "*" in m_.group(1) or "$" in m_.group(1)
+                            for m_ in specs
+                        ):
+                            plan = []
+                            for m_ in specs:
+                                fl, sp = m_.groups()
+                                if sp == "%":
+                                    continue
+                                if sp in "fFeEgG" and re.fullmatch(
+                                    r"[-+ 0]*\d*(?:\.\d+)?", fl
+                                ):
+                                    plan.append(("twin", m_))
+                                elif sp in "fFeEgGaA":
+                                    plan.append(("double", m_))
+                                else:
+                                    plan.append((None, m_))
+                    bind = not in_py_udf
+                    refs = (
+                        [f"__pf.__g{k}" for k in range(len(parts))]
+                        if bind
+                        else parts
                     )
-                    call_args = ", ".join(f"({p})" for p in parts)
-                    out.extend(
-                        _toks(
+                    # rebuild the format string with twin directives
+                    # replaced by a bare %s (the twin renders width,
+                    # flags and precision itself)
+                    if plan is not None and fmt_body is not None:
+                        rebuilt = []
+                        pos_ = 0
+                        for kind_, m_ in plan:
+                            if kind_ == "twin":
+                                rebuilt.append(fmt_body[pos_: m_.start()])
+                                rebuilt.append("%s")
+                                pos_ = m_.end()
+                        rebuilt.append(fmt_body[pos_:])
+                        fmt_arg = "'" + "".join(rebuilt) + "'"
+                    else:
+                        fmt_arg = f"({refs[0]})"
+
+                    def _pf_slot(k: int, raw: str) -> str:
+                        # value expression for struct slot k (raw arg,
+                        # or the twin render of it — the twin is a
+                        # Python UDF, so it must sit OUTSIDE the
+                        # binding lambda's body; rendering in the slot
+                        # keeps it in the lambda's INPUT, which
+                        # ExtractPythonUDFs hoists cleanly)
+                        if plan is None or not (
+                            1 <= k <= len(plan)
+                        ):
+                            return f"({raw})"
+                        kind_, m_ = plan[k - 1]
+                        if kind_ == "twin":
+                            return (
+                                f"__duck_printf('%{m_.group(1)}"
+                                f"{m_.group(2)}', CAST(CAST(({raw}) "
+                                "AS DOUBLE) AS STRING))"
+                            )
+                        if kind_ == "double":
+                            return f"CAST(({raw}) AS DOUBLE)"
+                        return f"({raw})"
+
+                    if bind:
+                        slots = [
+                            _pf_slot(k, p) for k, p in enumerate(parts)
+                        ]
+                        call_args = [f"({r})" for r in refs[1:]]
+                        guards = " OR ".join(
+                            f"(({r}) IS NULL)" for r in refs
+                        )
+                        call = (
                             f"(CASE WHEN {guards} THEN "
                             f"CAST(NULL AS STRING) ELSE "
-                            f"printf({call_args}) END)"
+                            f"printf({fmt_arg}, "
+                            f"{', '.join(call_args)}) END)"
                         )
-                    )
+                        struct = ", ".join(
+                            f"'__g{k}', {s_}"
+                            for k, s_ in enumerate(slots)
+                        )
+                        call = (
+                            "(element_at(transform(array("
+                            f"named_struct({struct})), "
+                            f"__pf -> {call}), 1))"
+                        )
+                    else:
+                        call_args = [
+                            _pf_slot(k, p)
+                            for k, p in enumerate(parts)
+                        ][1:]
+                        guards = " OR ".join(
+                            f"(({p}) IS NULL)" for p in parts
+                        )
+                        call = (
+                            f"(CASE WHEN {guards} THEN "
+                            f"CAST(NULL AS STRING) ELSE "
+                            f"printf({fmt_arg}, "
+                            f"{', '.join(call_args)}) END)"
+                        )
+                    out.extend(_toks(call))
                     i = close + 1
                     continue
                 if low == "format" and len(args) >= 1:
@@ -10959,7 +11085,7 @@ def _rewrite_call_shims(
                             # right-align everything)
                             body = m.group(1)
                             if body == "":
-                                return ("%s", "s", None)
+                                return ("%s", "s", None, False)
                             if not body.startswith(":"):
                                 return None
                             sm = re.fullmatch(
@@ -10969,7 +11095,8 @@ def _rewrite_call_shims(
                                 return None
                             width, prec, typ = sm.groups()
                             if width and not prec and not typ:
-                                return ("%s", "s", int(width))
+                                return ("%s", "s", int(width), False)
+                            expl = typ is not None
                             typ = typ or ("f" if prec else "s")
                             return (
                                 "%"
@@ -10978,6 +11105,7 @@ def _rewrite_call_shims(
                                 + typ,
                                 typ,
                                 None,
+                                expl,
                             )
 
                         parts_out = []
@@ -10992,16 +11120,11 @@ def _rewrite_call_shims(
                                 break
                             parts_out.append(esc[pos: m.start()])
                             parts_out.append(rep[0])
-                            typs.append(rep[1])
+                            typs.append((rep[1], rep[3]))
                             bare_widths.append(rep[2])
                             pos = m.end()
                         if fmt_ok:
                             parts_out.append(esc[pos:])
-                            spark_fmt = (
-                                "".join(parts_out)
-                                .replace("\x00", "{")
-                                .replace("\x01", "}")
-                            )
                             # Spark's %f/%e reject DECIMAL and %x/%o
                             # non-integral args — cast per placeholder
                             # (fmtlib coerces; positional alignment is
@@ -11028,9 +11151,45 @@ def _rewrite_call_shims(
                                 else arg_sqls
                             )
                             casted = []
-                            for t_, w_, a_ in zip(
+                            slot_exprs = list(arg_sqls)
+                            for k_, (tp_, w_, a_) in enumerate(zip(
                                 typs, bare_widths, arg_refs
-                            ):
+                            )):
+                                t_, expl_ = tp_
+                                if (
+                                    expl_
+                                    and t_ in ("f", "e")
+                                    and w_ is None
+                                ):
+                                    # explicit {:.Nf}/{:.Ne}: route
+                                    # through the fmt-exact printf
+                                    # twin (r10c — Java's Formatter
+                                    # rounds the SHORTEST repr half-up
+                                    # where fmt rounds the exact
+                                    # value: {:.2f} of 1.005 is '1.00'
+                                    # in DuckDB, '1.01' off Java) and
+                                    # substitute a bare %s; the twin
+                                    # renders width/precision itself
+                                    # (fmt's {:8.2f} == printf %8.2f,
+                                    # incl. the zero-fill inf quirk).
+                                    # The twin is a Python UDF, so it
+                                    # renders in the struct SLOT
+                                    # (lambda input) in the bound
+                                    # form, never in the lambda body.
+                                    spec_ = parts_out[2 * k_ + 1]
+                                    parts_out[2 * k_ + 1] = "%s"
+                                    tw_ = (
+                                        f"__duck_printf('{spec_}', "
+                                        "CAST(CAST(("
+                                        + arg_sqls[k_]
+                                        + ") AS DOUBLE) AS STRING))"
+                                    )
+                                    if bind_args:
+                                        slot_exprs[k_] = tw_
+                                        casted.append(f"({a_})")
+                                    else:
+                                        casted.append(tw_)
+                                    continue
                                 # fmtlib receives DECIMAL/DOUBLE args
                                 # as doubles, so {}/{:N} render them
                                 # shortest-round-trip with fmtlib's
@@ -11160,6 +11319,11 @@ def _rewrite_call_shims(
                                 else:
                                     casted.append(a_)
                             casted += arg_refs[len(typs):]
+                            spark_fmt = (
+                                "".join(parts_out)
+                                .replace("\x00", "{")
+                                .replace("\x01", "}")
+                            )
                             rest = ", ".join(casted)
                             tail = f", {rest}" if rest else ""
                             call = f"format_string('{spark_fmt}'{tail})"
@@ -11180,7 +11344,7 @@ def _rewrite_call_shims(
                             if bind_args:
                                 struct = ", ".join(
                                     f"'__g{k}', ({a})"
-                                    for k, a in enumerate(arg_sqls)
+                                    for k, a in enumerate(slot_exprs)
                                 )
                                 call = (
                                     "(element_at(transform(array("

@@ -871,6 +871,46 @@ def register_text_udfs(spark: SparkSession) -> None:
         )
 
     @pandas_udf("string")
+    def _duck_printf_udf(spec: pd.Series, s: pd.Series) -> pd.Series:
+        """Float-directive printf twin (r10c): Python's C-exact ``%``
+        formatting IS fmt's printf for f/F/e/E/g/G — correctly rounded
+        from the exact binary value (Java's Formatter rounds the
+        SHORTEST repr half-up: '%.2f' of 1.005 -> '1.01' vs fmt '1.00',
+        pads zeros past the shortest digits, and its '%g' never strips
+        trailing zeros) — probed over a 238-case battery incl. ties,
+        .20f expansions, signs, widths, nan/inf. One fmt quirk
+        replicated by hand: the '0' flag right-pads nan/inf with zeros
+        ('-inf0000'). Value transported as its Java string repr
+        (shortest round-trip, so float() recovers the exact double) —
+        same contract as __duck_round."""
+        import math
+        import re as _re
+
+        spec_re = _re.compile(r"%([-+ 0]*)(\d*)(\.\d+)?([fFeEgG])")
+
+        def one(sp, v):
+            if sp is None or v is None:
+                return None
+            x = float(v)
+            if math.isnan(x) or math.isinf(x):
+                m = spec_re.fullmatch(sp)
+                if m is not None:
+                    flags, width, prec, typ = m.groups()
+                    if "0" in flags and "-" not in flags:
+                        base = (
+                            "%" + flags.replace("0", "")
+                            + (prec or "") + typ
+                        ) % x
+                        return base + "0" * max(
+                            0, int(width or 0) - len(base)
+                        )
+            return sp % x
+
+        return pd.Series(
+            [one(sp, v) for sp, v in zip(spec, s)], dtype="object"
+        )
+
+    @pandas_udf("string")
     def _duck_render_yy_udf(s: pd.Series) -> pd.Series:
         # yyjson-cutoff twin ([-6, 20], bare e<exp>) of __duck_render,
         # for the JSON-arrow numeric branch inside Python-UDF args
@@ -934,6 +974,7 @@ def register_text_udfs(spark: SparkSession) -> None:
     spark.udf.register("__duck_render", _duck_render_udf)
     spark.udf.register("__duck_render_yy", _duck_render_yy_udf)
     spark.udf.register("__duck_round", _duck_round_str_udf)
+    spark.udf.register("__duck_printf", _duck_printf_udf)
     spark.udf.register("__duck_fint", _duck_fint_udf)
     spark.udf.register("current_setting", _current_setting_udf)
     spark.udf.register("mad", _mad_udf)

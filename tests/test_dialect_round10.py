@@ -749,3 +749,84 @@ def test_null_position_printf_parity(spark):
         got = [str(r[0]) for r in spark.sql(translate(q)).collect()]
         want = [str(r[0]) for r in con.execute(q).fetchall()]
         assert got == want, q
+
+
+def test_printf_float_directive_casts(spark):
+    """r10c fuzz-found: DuckDB's fmt printf accepts DECIMAL as
+    float-family ('%.1f' on a DECIMAL renders) while Spark's Java
+    formatter throws IllegalFormatConversionException on its own
+    Decimal type — float-directive arguments are cast to DOUBLE,
+    mapped positionally off the literal format string (%% skipped,
+    integer directives left strict on both engines)."""
+    con = duckdb.connect()
+    for q in (
+        "SELECT printf('%.1f', CAST(5.6171 AS DECIMAL(5,4))) AS a",
+        "SELECT printf('%.2f|%x', CAST(1.005 AS DECIMAL(4,3)), 255) AS a",
+        "SELECT printf('100%% = %.1f', CAST(2.5 AS DECIMAL(2,1))) AS a",
+        "SELECT printf('%e', CAST(12345.678 AS DECIMAL(9,3))) AS a",
+        "SELECT printf('%5.2f|%-6d|%s', CAST(1.5 AS DECIMAL(2,1)), "
+        "42, 'z') AS a",
+    ):
+        got = spark.sql(translate(q)).collect()[0][0]
+        want = con.execute(q).fetchone()[0]
+        assert got == want, (q, got, want)
+
+
+def test_printf_binds_arguments_once(spark):
+    """printf arguments evaluate ONCE (lambda-struct bound): a
+    volatile argument must not disagree between the NULL guard and
+    the rendered value. uuid() differs per evaluation, so a
+    double-evaluated operand would render a different value than the
+    one the guard saw — the bound form renders the substring of the
+    SAME uuid it guarded."""
+    t = translate("SELECT printf('%s|%s', uuid(), uuid()) AS a")
+    # bound once: each uuid() appears exactly once in the translation
+    assert t.lower().count("uuid()") == 2, t
+    row = spark.sql(t).collect()[0][0]
+    assert row is not None and "|" in row
+
+
+def test_format_fixed_precision_exact(spark):
+    """r10c: explicit {:.Nf}/{:.Ne} placeholders route through the
+    fmt-exact printf twin — Java's Formatter rounds the SHORTEST repr
+    half-up ({:.2f} of 1.005 -> '1.01') where fmt rounds the exact
+    binary value ('1.00'), pads zeros past the shortest digits on
+    {:.20f}, and zero-fills inf on the RIGHT ('inf00000')."""
+    con = duckdb.connect()
+    for q in (
+        "SELECT format('{:.2f}', 1.005::DOUBLE) AS a",
+        "SELECT format('{:.0f}', 2.5::DOUBLE) AS a",
+        "SELECT format('{:.20f}', 0.1::DOUBLE) AS a",
+        "SELECT format('{:.2e}', 12345.678::DOUBLE) AS a",
+        "SELECT format('{:8.2f}', 1.005::DOUBLE) AS a",
+        "SELECT format('{:08.2f}', 'inf'::DOUBLE) AS a",
+        "SELECT format('{:.3f}', CAST(1.0005 AS DECIMAL(5,4))) AS a",
+    ):
+        got = spark.sql(translate(q)).collect()[0][0]
+        want = con.execute(q).fetchone()[0]
+        assert got == want, (q, got, want)
+
+
+def test_quantile_disc_distinct_full_partition_window(spark):
+    """r10c fuzz find: quantile_disc(DISTINCT x, q) OVER a pure
+    PARTITION BY spec shimmed to the native WITHIN GROUP spelling,
+    which cannot carry DISTINCT (ORDER BY DISTINCT x is a Spark parse
+    error) — a DISTINCT rider now always folds over the deduped
+    materialized frame."""
+    con = duckdb.connect()
+    spark.range(12).selectExpr(
+        "id % 3 AS g", "CAST(id % 5 AS DOUBLE) / 2 AS x"
+    ).createOrReplaceTempView("tq_r10")
+    con.execute(
+        "CREATE VIEW tq_r10 AS SELECT r % 3 AS g, (r % 5) / 2.0 AS x "
+        "FROM (SELECT unnest(range(12)) AS r)"
+    )
+    for q in (
+        "SELECT g, quantile_disc(DISTINCT x, 0.5) OVER (PARTITION BY g)"
+        " AS a FROM tq_r10 ORDER BY g, a",
+        "SELECT g, quantile_cont(DISTINCT x, 0.25) OVER (PARTITION BY g)"
+        " AS a FROM tq_r10 ORDER BY g, a",
+    ):
+        got = [(r[0], r[1]) for r in spark.sql(translate(q)).collect()]
+        want = [(r[0], r[1]) for r in con.execute(q).fetchall()]
+        assert got == want, (q, got[:6], want[:6])

@@ -447,17 +447,78 @@ def r9_scalar_item(g: random.Random) -> str:
     return f"regexp_replace({subj}, {pat}, {rep}{flags})"
 
 
+def r10b_item(g: random.Random) -> str:
+    """r10b surfaces: extended-window substr with COMPUTED (and
+    sometimes NULL) start/len (literal draws never hit the NULL-clamp
+    bug), printf/format NULL-argument semantics (DuckDB returns NULL,
+    Spark natively renders the NULL as text), trunc's DOUBLE guards
+    (big magnitudes past the BIGINT clamp, -0.0 through fmod), and
+    substr-over-round render chains (kept linear by the literal-substr
+    skip + round span twin)."""
+    def maybe_null(expr: str) -> str:
+        if g.random() < 0.4:
+            return (
+                f"(CASE WHEN l_orderkey % {g.randint(2, 7)} = 0 "
+                f"THEN NULL ELSE {expr} END)"
+            )
+        return expr
+
+    c = g.randrange(6)
+    if c == 0:
+        s = g.choice(STR_COLS)
+        st = maybe_null(f"(l_linenumber % {g.randint(5, 9)}) - {g.randint(0, 4)}")
+        ln = maybe_null(f"(l_suppkey % {g.randint(4, 7)}) - {g.randint(0, 3)}")
+        return f"substr({s} || 'xyz', {st}, {ln})"
+    if c == 1:
+        return (
+            f"printf('%s|%d', {maybe_null(g.choice(STR_COLS))}, "
+            f"{g.choice(INT_COLS)})"
+        )
+    if c == 2:
+        # %.Nf rounding is bit-stable on round()ed operands (libm
+        # last-bit noise stays out, same guard as the format() draw);
+        # r10c: the twin made every float directive fmt-exact, so
+        # ties (%.0f/%.2f of *.5 shapes), %e and C-%g draw freely
+        inner = maybe_null(f"round({num_expr(g, 2)}, 4)")
+        d = g.choice(
+            [f"%.{g.randint(0, 3)}f", f"%{g.randint(6, 10)}.2f",
+             f"%-{g.randint(6, 10)}.1f", f"%0{g.randint(6, 10)}.1f",
+             "%e", f"%.{g.randint(1, 3)}e", "%g", f"%.{g.randint(1, 4)}g",
+             "%+.2f", "%.15f", "%.20f"]
+        )
+        return f"printf('{d}|%x', {inner}, {g.choice(INT_COLS)})"
+    if c == 3:
+        inner = maybe_null(f"round({num_expr(g, 2)}, 4)")
+        return f"format('{{:.{g.randint(1, 3)}f}}~{{}}', {inner}, {g.choice(INT_COLS)})"
+    if c == 4:
+        scale = g.choice(["1e9", "1e17", "1e300", "0.0000007"])
+        inner = g.choice(
+            [
+                f"({g.choice(NUM_COLS)} / {scale})",
+                f"(0.0 - ({g.choice(NUM_COLS)} % 1))",
+                f"({g.choice(NUM_COLS)} * {scale})",
+            ]
+        )
+        return f"CAST(trunc({maybe_null(inner)}) AS VARCHAR)"
+    return (
+        f"substr(CAST(round({g.choice(NUM_COLS)} / {g.randint(3, 9)}, 3) "
+        f"AS VARCHAR), {g.randint(1, 3)}, {g.randint(2, 7)})"
+    )
+
+
 def scalar_item(g: random.Random) -> str:
     r = g.random()
     if r < 0.38:
         return num_expr(g)
-    if r < 0.56:
+    if r < 0.54:
         return str_expr(g)
-    if r < 0.62:
+    if r < 0.60:
         return json_item(g)
-    if r < 0.66:
+    if r < 0.64:
         return r9_scalar_item(g)
-    if r < 0.72:
+    if r < 0.68:
+        return r10b_item(g)
+    if r < 0.73:
         return round6_item(g)
     if r < 0.80:
         return lambda_item(g)
