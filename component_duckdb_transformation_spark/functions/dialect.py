@@ -11096,6 +11096,13 @@ def _rewrite_call_shims(
                             width, prec, typ = sm.groups()
                             if width and not prec and not typ:
                                 return ("%s", "s", int(width), False)
+                            if prec and not typ:
+                                # typeless precision {:W.P}: fmt's
+                                # 'general' presentation — runtime
+                                # type dispatch in the slot (r10c)
+                                return (
+                                    "%s", "q", (width or "", prec), False
+                                )
                             expl = typ is not None
                             typ = typ or ("f" if prec else "s")
                             return (
@@ -11156,6 +11163,86 @@ def _rewrite_call_shims(
                                 typs, bare_widths, arg_refs
                             )):
                                 t_, expl_ = tp_
+                                if t_ == "q":
+                                    # typeless {:W.P} (r10c): fmt's
+                                    # 'general' float presentation
+                                    # (probe-matrix-exact incl. the
+                                    # zeros-capped-at-P and tie-keep
+                                    # quirks) via the twin; strings/
+                                    # dates stringify + truncate to P
+                                    # chars, left-aligned; ints/bools
+                                    # raise like DuckDB (row-level
+                                    # where DuckDB raises at bind —
+                                    # zero-row inputs stay silent).
+                                    # typeof() is foldable, so
+                                    # Catalyst prunes the dead
+                                    # branches on typed columns.
+                                    width_, prec_ = w_
+                                    spec_ = (
+                                        "{:" + width_ + "." + prec_ + "}"
+                                    )
+                                    pP = int(prec_)
+                                    wN = int(width_ or 0)
+                                    raw = (
+                                        arg_sqls[k_] if bind_args else a_
+                                    )
+                                    tw_ = (
+                                        f"__duck_printf('{spec_}', "
+                                        f"CAST(({raw}) AS STRING))"
+                                    )
+                                    zfill = (
+                                        width_.startswith("0")
+                                        and len(width_) > 1
+                                    )
+                                    fill = "'0'" if zfill else "' '"
+                                    if in_py_udf:
+                                        tr0 = (
+                                            "substring(CAST(("
+                                            f"{raw}) AS STRING), 1, {pP})"
+                                        )
+                                        trunc = tr0
+                                        if wN:
+                                            trunc = (
+                                                f"(CASE WHEN length({tr0})"
+                                                f" >= {wN} THEN {tr0} "
+                                                f"ELSE rpad({tr0}, {wN}, "
+                                                f"{fill}) END)"
+                                            )
+                                        str_path = trunc
+                                    else:
+                                        tr0 = f"substring(__fq.v, 1, {pP})"
+                                        trunc = tr0
+                                        if wN:
+                                            trunc = (
+                                                f"(CASE WHEN length({tr0})"
+                                                f" >= {wN} THEN {tr0} "
+                                                f"ELSE rpad({tr0}, {wN}, "
+                                                f"{fill}) END)"
+                                            )
+                                        str_path = (
+                                            "(element_at(transform(array("
+                                            "named_struct('v', CAST(("
+                                            f"{raw}) AS STRING))), "
+                                            f"__fq -> {trunc}), 1))"
+                                        )
+                                    slot = (
+                                        f"(CASE WHEN typeof(({raw})) IN "
+                                        "('double', 'float') OR "
+                                        f"typeof(({raw})) LIKE 'decimal%'"
+                                        f" THEN {tw_} WHEN "
+                                        f"typeof(({raw})) IN ('tinyint',"
+                                        " 'smallint', 'int', 'bigint', "
+                                        "'boolean') THEN raise_error("
+                                        "'format: precision not allowed "
+                                        "for this argument type') "
+                                        f"ELSE {str_path} END)"
+                                    )
+                                    if bind_args:
+                                        slot_exprs[k_] = slot
+                                        casted.append(f"({a_})")
+                                    else:
+                                        casted.append(slot)
+                                    continue
                                 if (
                                     expl_
                                     and t_ in ("f", "e")

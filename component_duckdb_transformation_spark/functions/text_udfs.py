@@ -285,6 +285,184 @@ def json_contains(haystack, needle) -> bool:
     return walk(haystack, needle)
 
 
+_PRINTF_SPEC_RE = None
+_BRACE_SPEC_RE = None
+
+
+def _fmt_general_py(
+    x: float, P: int, upper: bool = False, strip: bool = False
+) -> str:
+    """fmt's 'general' float presentation, reverse-engineered
+    empirically (r10c probe matrices in COVERAGE.md): used by brace
+    ``{:.P}`` typeless-precision placeholders and printf ``%.0g``.
+    Rules: round to max(P,1) significant digits (exactly — via
+    Python's correctly-rounded %.Qe); scientific iff exp < -4 or
+    exp >= P (P=0: iff exp outside fmt's default [-4, 15] fixed
+    range); fixed with exp >= 0 zero-pads the digit string to the
+    point and appends '.0' when nothing follows the point (unless
+    P=0); fixed with exp < 0 STRIPS trailing zeros and prints
+    min(needed, P) leading zeros after the point — yes, capped at P:
+    {:.2} of 0.00012345 really is '0.0012' in DuckDB, ten times the
+    value; the cap is fmt's own behavior, replicated bug-for-bug."""
+    import math
+
+    Q = max(P, 1)
+    s = "%.*e" % (Q - 1, x)
+    mant, _, es = s.partition("e")
+    exp = int(es)
+    neg = mant.startswith("-")
+    digits = mant.lstrip("-").replace(".", "")
+    if P == 0 and x != 0.0 and math.isfinite(x):
+        # fmt P=0 tie-keep quirk (probed: {:.0}/'%.0g' of 3.5 -> '3.5',
+        # 45.0 -> '45', 6500.0 -> '6500', 4.5e16 -> '4.5e+16'): when
+        # the remainder past the FIRST significant digit is EXACTLY
+        # half that digit's place value — only possible for exactly-
+        # representable halves — fmt keeps both digits instead of
+        # rounding. Detected exactly on the binary rational.
+        from fractions import Fraction
+
+        f = Fraction(abs(x))
+        e10 = math.floor(math.log10(abs(x)))
+        p = Fraction(10) ** e10
+        while f < p:
+            e10 -= 1
+            p /= 10
+        while f >= p * 10:
+            e10 += 1
+            p *= 10
+        d1 = int(f / p)
+        if (f - d1 * p) * 2 == p:
+            digits = f"{d1}5"
+            exp = e10
+    if P == 0:
+        sci = exp < -4 or exp > 15
+    else:
+        sci = exp < -4 or exp >= P
+    if sci:
+        if strip:
+            digits = digits.rstrip("0") or "0"
+        if (P == 0 or strip) and len(digits) > 1:
+            out = f"{digits[0]}.{digits[1:]}e%+03d" % exp
+        elif strip:
+            out = f"{digits[0]}e%+03d" % exp
+        else:
+            out = s.lstrip("-")
+    elif exp >= 0:
+        if strip:
+            digits = digits.rstrip("0") or "0"
+        d = digits.ljust(exp + 1, "0")
+        int_part, frac = d[: exp + 1], d[exp + 1:]
+        if frac:
+            out = int_part + "." + frac
+        elif P == 0 or strip:
+            out = int_part
+        else:
+            out = int_part + ".0"
+    else:
+        nz = -exp - 1
+        digs = digits.rstrip("0") or "0"
+        out = "0." + "0" * min(nz, P) + digs
+    if neg:
+        out = "-" + out
+    return out.upper() if upper else out
+
+
+def _duck_printf_py(spec: str, x: float) -> str:
+    """fmt-exact rendering of ONE float printf directive (r10c):
+    Python's C-exact ``%`` formatting IS fmt's printf for f/F/e/E/g/G —
+    correctly rounded from the exact binary value (Java's Formatter
+    rounds the SHORTEST repr half-up: '%.2f' of 1.005 -> '1.01' vs
+    fmt '1.00', pads zeros past the shortest digits on '%.20f', and
+    its '%g' never strips trailing zeros or switches notation at C's
+    thresholds) — probed equal over a 238-case battery incl. ties,
+    signs, widths, nan/inf. One fmt quirk replicated by hand: the '0'
+    flag right-pads nan/inf with ZEROS ('%08.1f' of -inf ->
+    '-inf0000', both printf and brace-format). Documented boundary
+    (COVERAGE.md): fixed-notation |x| past ~1e66 prints the exact
+    binary expansion where fmt's grisu64 pads approximation digits
+    after ~20 correct ones."""
+    global _PRINTF_SPEC_RE, _BRACE_SPEC_RE
+    if _PRINTF_SPEC_RE is None:
+        import re as _re
+
+        _PRINTF_SPEC_RE = _re.compile(r"%([-+ 0]*)(\d*)(\.(\d+))?([fFeEgG])")
+        _BRACE_SPEC_RE = _re.compile(r"\{:(\d*)\.(\d+)\}")
+    import math
+
+    def pad(out, flags, width):
+        w = int(width or 0)
+        if len(out) >= w:
+            return out
+        if "-" in flags:
+            return out.ljust(w)
+        if "0" in flags:
+            if math.isnan(x) or math.isinf(x):
+                # fmt quirk: zero-fill pads nan/inf on the RIGHT
+                return out + "0" * (w - len(out))
+            if out and out[0] in "+- ":
+                return out[0] + out[1:].rjust(w - 1, "0")
+            return out.rjust(w, "0")
+        return out.rjust(w)
+
+    bm = _BRACE_SPEC_RE.fullmatch(spec)
+    if bm is not None:
+        # typeless-precision brace placeholder {:W.P} — general
+        # presentation, numeric right-align, leading-0 width zero-fills
+        width, prec = bm.groups()
+        zero = width.startswith("0") and len(width) > 1
+        if math.isnan(x) or math.isinf(x):
+            out = "nan" if math.isnan(x) else "inf"
+            if math.copysign(1.0, x) < 0 and not math.isnan(x):
+                out = "-" + out
+            # typeless brace nan/inf LEFT-aligns (space fill) like a
+            # string — zero-fill keeps the right-pad quirk
+            return pad(out, "0" if zero else "-", width or "")
+        out = _fmt_general_py(x, int(prec))
+        return pad(out, "0" if zero else "", width or "")
+
+    m = _PRINTF_SPEC_RE.fullmatch(spec)
+    if m is not None:
+        flags, width, _, prec, typ = m.groups()
+        # fmt flag quirk: when both '+' and ' ' are given, the LAST
+        # one wins (C and Python let '+' win regardless of order)
+        if "+" in flags and " " in flags:
+            drop = "+" if flags.rindex(" ") > flags.rindex("+") else " "
+            flags = flags.replace(drop, "")
+        if typ in "gG" and prec is not None:
+            # fmt's precision-ed %g is its 'general' renderer with
+            # zero-stripping, NOT C's %g: %.0g is general-with-
+            # default-notation ('%.0g' of 973.1 is '1000', not
+            # '1e+03'; exact-half ties keep both digits), and the
+            # fixed-notation leading zeros are CAPPED at P at every
+            # precision ('%.1g' of -0.0049 is '-0.05', 10x the value)
+            if math.isnan(x) or math.isinf(x):
+                out = "nan" if math.isnan(x) else "inf"
+                if math.copysign(1.0, x) < 0 and not math.isnan(x):
+                    out = "-" + out
+                if typ == "G":
+                    out = out.upper()
+            else:
+                out = _fmt_general_py(
+                    x, int(prec), upper=typ == "G", strip=True
+                )
+            if not out.startswith("-"):
+                if "+" in flags:
+                    out = "+" + out
+                elif " " in flags:
+                    out = " " + out
+            return pad(out, flags, width)
+        spec = "%" + flags + (width or "") + (f".{prec}" if prec
+                                              is not None else "") + typ
+        if math.isnan(x) or math.isinf(x):
+            if "0" in flags and "-" not in flags:
+                base = (
+                    "%" + flags.replace("0", "")
+                    + (f".{prec}" if prec is not None else "") + typ
+                ) % x
+                return base + "0" * max(0, int(width or 0) - len(base))
+    return spec % x
+
+
 _U64_MAX = 2**64 - 1
 _I64_MIN = -(2**63)
 
@@ -872,42 +1050,17 @@ def register_text_udfs(spark: SparkSession) -> None:
 
     @pandas_udf("string")
     def _duck_printf_udf(spec: pd.Series, s: pd.Series) -> pd.Series:
-        """Float-directive printf twin (r10c): Python's C-exact ``%``
-        formatting IS fmt's printf for f/F/e/E/g/G — correctly rounded
-        from the exact binary value (Java's Formatter rounds the
-        SHORTEST repr half-up: '%.2f' of 1.005 -> '1.01' vs fmt '1.00',
-        pads zeros past the shortest digits, and its '%g' never strips
-        trailing zeros) — probed over a 238-case battery incl. ties,
-        .20f expansions, signs, widths, nan/inf. One fmt quirk
-        replicated by hand: the '0' flag right-pads nan/inf with zeros
-        ('-inf0000'). Value transported as its Java string repr
-        (shortest round-trip, so float() recovers the exact double) —
-        same contract as __duck_round."""
-        import math
-        import re as _re
-
-        spec_re = _re.compile(r"%([-+ 0]*)(\d*)(\.\d+)?([fFeEgG])")
-
-        def one(sp, v):
-            if sp is None or v is None:
-                return None
-            x = float(v)
-            if math.isnan(x) or math.isinf(x):
-                m = spec_re.fullmatch(sp)
-                if m is not None:
-                    flags, width, prec, typ = m.groups()
-                    if "0" in flags and "-" not in flags:
-                        base = (
-                            "%" + flags.replace("0", "")
-                            + (prec or "") + typ
-                        ) % x
-                        return base + "0" * max(
-                            0, int(width or 0) - len(base)
-                        )
-            return sp % x
-
+        """Float-directive printf twin (r10c) — see _duck_printf_py.
+        Value transported as its Java string repr (shortest
+        round-trip, so float() recovers the exact double) — same
+        contract as __duck_round."""
         return pd.Series(
-            [one(sp, v) for sp, v in zip(spec, s)], dtype="object"
+            [
+                None if sp is None or v is None
+                else _duck_printf_py(sp, float(v))
+                for sp, v in zip(spec, s)
+            ],
+            dtype="object",
         )
 
     @pandas_udf("string")

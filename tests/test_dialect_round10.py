@@ -830,3 +830,29 @@ def test_quantile_disc_distinct_full_partition_window(spark):
         got = [(r[0], r[1]) for r in spark.sql(translate(q)).collect()]
         want = [(r[0], r[1]) for r in con.execute(q).fetchall()]
         assert got == want, (q, got[:6], want[:6])
+
+
+def test_format_typeless_precision_general(spark):
+    """r10c: typeless {:W.P} placeholders and precision-ed %g
+    implement fmt's 'general' presentation bug-for-bug — incl. the
+    zeros-capped-at-P placement ({:.2} of 0.00012345 -> '0.0012'),
+    P=0 tie-keep ({:.0} of 1234.5 -> '1000' but 3.5 stays '3.5'),
+    string truncation, and the int/bool loud error."""
+    con = duckdb.connect()
+    for q in (
+        "SELECT format('{:.3}', 1.5::DOUBLE) AS a",
+        "SELECT format('{:.0}', 1234.5::DOUBLE) AS a",
+        "SELECT format('{:.0}', 3.5::DOUBLE) AS a",
+        "SELECT format('{:.2}', 0.00012345::DOUBLE) AS a",
+        "SELECT format('{:8.3}', 'abcdef') AS a",
+        "SELECT format('{:012.3}', 12345.678::DOUBLE) AS a",
+        "SELECT format('{:.3}', DATE '2024-01-05') AS a",
+        "SELECT printf('%.0g', 973.1::DOUBLE) AS a",
+        "SELECT printf('%.1g', -0.0049::DOUBLE) AS a",
+    ):
+        got = spark.sql(translate(q)).collect()[0][0]
+        want = con.execute(q).fetchone()[0]
+        assert got == want, (q, got, want)
+    # int under a typeless precision raises on both engines
+    with pytest.raises(Exception, match="precision not allowed"):
+        spark.sql(translate("SELECT format('{:.2}', 42) AS a")).collect()

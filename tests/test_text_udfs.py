@@ -161,3 +161,72 @@ def test_current_setting(spark):
         spark.sql(translate("SELECT current_setting('nope') AS x")).collect()[0][0]
         is None
     )
+
+
+def test_printf_twin_randomized_vs_duckdb():
+    """Randomized (seeded) parity of the printf float-directive twin
+    against DuckDB itself, no Spark session — locks tie rounding,
+    beyond-shortest digits, C-%g notation switches, sign/width/zero
+    flags, and the nan/inf zero-right-pad quirk. The documented
+    fixed-notation boundary (|x| past ~1e66, fmt's grisu64
+    approximation digits) stays out of the draw."""
+    import math
+    import random
+
+    import duckdb
+
+    from component_duckdb_transformation_spark.functions.text_udfs import (
+        _duck_printf_py,
+    )
+
+    g = random.Random(20260816)
+    specials = [float("nan"), float("inf"), float("-inf"), 0.0, -0.0,
+                5e-324, 1.005, 0.5, 2.5, 1.255, 1e20, 2.5e-7]
+    cases = []
+    for _ in range(400):
+        flags = "".join(
+            f for f in ["-", "+", " ", "0"] if g.random() < 0.2
+        )
+        if "-" in flags and "0" in flags:
+            flags = flags.replace("0", "")
+        width = str(g.randint(1, 14)) if g.random() < 0.5 else ""
+        prec = f".{g.randint(0, 22)}" if g.random() < 0.7 else ""
+        typ = g.choice(list("fFeEgG"))
+        spec = f"%{flags}{width}{prec}{typ}"
+        r = g.random()
+        if r < 0.2:
+            v = g.choice(specials)
+        elif r < 0.6:
+            v = g.uniform(-1e4, 1e4)
+        else:
+            v = math.copysign(
+                math.exp(g.uniform(math.log(1e-30), math.log(1e30))),
+                g.choice([-1.0, 1.0]),
+            )
+        if typ in "fF" and abs(v) >= 1e60 and math.isfinite(v):
+            continue  # documented grisu64 boundary
+        cases.append((spec, v, False))
+    # fmt 'general' draws: typeless brace {:W.P} (zeros-capped
+    # placement, P=0 tie-keep) — ties and cap-region values weighted
+    gen_specials = [3.5, 45.0, 6500.0, 0.25, 1.5e15, 4.5e16, 0.125,
+                    -0.0049, 0.00012345, 2.5, 0.0, -0.0,
+                    float("nan"), float("inf")]
+    for _ in range(200):
+        P = g.choice([0, 0, 1, 2, 3, 7, 12])
+        W = g.choice(["", "", "", "3", "8", "012"])
+        v = (
+            g.choice(gen_specials) if g.random() < 0.5
+            else g.uniform(-1e5, 1e5)
+        )
+        cases.append(("{:" + W + "." + str(P) + "}", v, True))
+    con = duckdb.connect()
+    bad = []
+    for spec, v, brace in cases:
+        fn = "format" if brace else "printf"
+        want = con.execute(
+            f"SELECT {fn}(?, CAST(? AS DOUBLE))", [spec, repr(v)]
+        ).fetchone()[0]
+        got = _duck_printf_py(spec, v)
+        if got != want:
+            bad.append((spec, v, got, want))
+    assert not bad, bad[:5]

@@ -39,8 +39,23 @@ def gen_ops(g: random.Random, n_ops: int) -> list:
     has_enum = False
     has_t5 = False
     has_t7 = False
+    has_t9 = False
     for _ in range(n_ops):
-        c = g.randrange(16)
+        c = g.randrange(17)
+        if c == 16:
+            # r10c: fmt-exact printf/format columns through CTAS
+            # round-trips (the Arrow twin renders, the result is a
+            # plain STRING column in the stored parquet) — p / 7 is
+            # IEEE division, bit-identical on both engines
+            prec = g.randint(0, 3)
+            ops.append(
+                f"CREATE OR REPLACE TABLE t11 AS SELECT k, "
+                f"printf('%.{prec}f|%d', p / 7, k) AS pf, "
+                f"printf('%.{prec + 1}g', p / 3) AS pg, "
+                f"format('{{:.{prec + 1}f}}~{{}}', p, s) AS fm "
+                f"FROM t1 WHERE k % {g.choice([3, 4, 5])} = 0"
+            )
+            continue
         if c == 14:
             # schema-hinted dispatch: len() on a stored LIST column,
             # brackets on stored STRING columns, DOUBLE || VARCHAR —
@@ -99,6 +114,22 @@ def gen_ops(g: random.Random, n_ops: int) -> list:
                 f"extract(minute FROM tt) AS m, "
                 f"extract(second FROM tt) AS s FROM t7"
             )
+            if g.random() < 0.5:
+                # r10: TIME pseudo-hints persist through a CTAS hop —
+                # arithmetic on the COPY's column must still wrap at
+                # midnight (t9 itself not compared: TIME render
+                # contract; t10 compares extracts)
+                if not has_t9:
+                    ops.append(
+                        "CREATE TABLE t9 AS SELECT k, tt FROM t7 "
+                        "WHERE k <= 3"
+                    )
+                    has_t9 = True
+                ops.append(
+                    f"CREATE OR REPLACE TABLE t10 AS SELECT k, "
+                    f"extract(hour FROM tt + INTERVAL {g.randint(1, 47)} "
+                    f"HOUR) AS h FROM t9"
+                )
             continue
         if c == 9:
             # sequences: single-row nextval inserts are order-free, so
@@ -403,6 +434,10 @@ def main() -> int:
             ["t6"] if any("CREATE TABLE t6" in o for o in ops) else []
         ) + (
             ["t8"] if any("TABLE t8" in o for o in ops) else []
+        ) + (
+            ["t10"] if any("TABLE t10" in o for o in ops) else []
+        ) + (
+            ["t11"] if any("TABLE t11" in o for o in ops) else []
         )
         bad = compare_tables(spark, con, tables)
         if bad:
