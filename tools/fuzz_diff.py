@@ -483,13 +483,20 @@ def r10b_item(g: random.Random) -> str:
         d = g.choice(
             [f"%.{g.randint(0, 3)}f", f"%{g.randint(6, 10)}.2f",
              f"%-{g.randint(6, 10)}.1f", f"%0{g.randint(6, 10)}.1f",
-             "%e", f"%.{g.randint(1, 3)}e", "%g", f"%.{g.randint(1, 4)}g",
-             "%+.2f", "%.15f", "%.20f"]
+             "%e", f"%.{g.randint(1, 3)}e", "%g", f"%.{g.randint(0, 4)}g",
+             "%+.2f", "%.15f", "%.20f", "%.0g", f"%{g.randint(5, 9)}.0g"]
         )
         return f"printf('{d}|%x', {inner}, {g.choice(INT_COLS)})"
     if c == 3:
         inner = maybe_null(f"round({num_expr(g, 2)}, 4)")
-        return f"format('{{:.{g.randint(1, 3)}f}}~{{}}', {inner}, {g.choice(INT_COLS)})"
+        d = g.choice(
+            # explicit f/e twins, typeless general (zeros-capped
+            # placement + P=0 tie-keep), width forms
+            [f"{{:.{g.randint(1, 3)}f}}", f"{{:.{g.randint(1, 2)}e}}",
+             f"{{:.{g.randint(0, 4)}}}", f"{{:{g.randint(6, 12)}.{g.randint(0, 3)}}}",
+             f"{{:0{g.randint(8, 12)}.{g.randint(1, 3)}}}"]
+        )
+        return f"format('{d}~{{}}', {inner}, {g.choice(INT_COLS)})"
     if c == 4:
         scale = g.choice(["1e9", "1e17", "1e300", "0.0000007"])
         inner = g.choice(
