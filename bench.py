@@ -135,9 +135,14 @@ def main() -> int:
                 session = spark.newSession()
                 register_tables(session, sf_dir)
             df = wl.make(session, sf_dir)
-            n = df.count()
+            # noop sink, NOT count(): count() lets Catalyst prune
+            # every unreferenced projection, so expensive rendered/
+            # windowed columns were never executed (q67's frame folds
+            # benched as free — r10c find). The noop sink evaluates
+            # ALL columns, like the DuckDB oracle's fetchdf().
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 4)
-            print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"# {name}: FAILED {str(exc)[:200]}", file=sys.stderr)
@@ -170,7 +175,9 @@ def main() -> int:
     for n in seq_names:
         t0 = time.perf_counter()
         try:
-            by_name[n].make(spark, sf_dir).count()
+            by_name[n].make(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             seq_timings[n] = round(time.perf_counter() - t0, 4)
             print(f"# seq {n}: {seq_timings[n]:.3f}s", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001

@@ -707,6 +707,7 @@ def _translate_tokens(tokens: List[Token]) -> str:
     tokens = _rewrite_mad_window_inplace(tokens)
     tokens = _rewrite_mad_fallback_template(tokens)
     tokens = _rewrite_product_entropy(tokens)
+    tokens = _rewrite_entropy_window_running_recursive(tokens)
     tokens = _rewrite_agg_window_frames(tokens)
     # brace-map sentinel back to Spark's variadic map (see
     # _rewrite_brace_literals)
@@ -5085,7 +5086,11 @@ def _rewrite_mad_window(tokens: List[Token]) -> List[Token]:
                 i += 1
                 continue
             if t.kind == "op" and t.text == ".":
-                bail = True
+                # engine-emitted lambda-var dots (__rb.x and friends)
+                # are scope-free under the wrap (r10c, see
+                # _lambda_var_dot) — only table-qualified refs bail
+                if not _lambda_var_dot(tokens, i):
+                    bail = True
                 i += 1
                 continue
             if t.kind == "word":
@@ -5153,6 +5158,7 @@ def _rewrite_mad_window(tokens: List[Token]) -> List[Token]:
                                 if any(
                                     tokens[k].kind == "op"
                                     and tokens[k].text == "."
+                                    and not _lambda_var_dot(tokens, k)
                                     for k in range(dot_lo, sp_close)
                                 ):
                                     bail = True
@@ -5235,22 +5241,487 @@ def _rewrite_mad_window(tokens: List[Token]) -> List[Token]:
             i += 1
         return "".join(parts)
 
+    outer_sel, moved_items = _relocate_nonwindow_items(
+        tokens, sel_start, from_idx,
+        outer_by_start, {s: e for s, e, *_ in cands}, helper_names,
+    )
     inner_sql = (
         "SELECT *, "
-        + ", ".join(helpers)
+        + ", ".join(helpers + moved_items)
         + " "
         + _sql(tokens, from_idx, tail_idx)
     )
     out_sql = (
         "SELECT "
         + distinct
-        + rebuild(sel_start, from_idx)
+        + outer_sel
         + f" FROM ({inner_sql}) __madw"
     )
     tail = rebuild(tail_idx, n)
     if tail.strip():
         out_sql += " " + tail
     return _toks(out_sql)
+
+
+def _relocate_nonwindow_items(
+    tokens: List[Token],
+    sel_start: int,
+    from_idx: int,
+    outer_by_start: Dict[int, str],
+    ends: Dict[int, int],
+    helper_names: List[str],
+):
+    """Select-list assembly for the window FROM-wraps: split at
+    top-level commas; items that contain NO window call and end in a
+    top-level ``AS alias`` MOVE into the wrap's inner projection —
+    evaluated BELOW the Window nodes. A Project above WindowExec
+    evaluates outside whole-stage codegen, and HOF-bound render
+    templates measured 20x slower there (r10c: q66's dynamic-round
+    column was 0.6 s below the window, 11.6 s above on the same
+    rows). Items referencing a kept item's alias (lateral refs into a
+    window alias) stay outer. Moved aliases join ``helper_names`` so
+    a bare ``*`` item excludes them. Returns
+    (outer_select_text, moved_item_texts)."""
+    items = []
+    d = 0
+    a = sel_start
+    i = sel_start
+    while i < from_idx:
+        t = tokens[i]
+        if t.kind == "op" and t.text in ("(", "["):
+            d += 1
+        elif t.kind == "op" and t.text in (")", "]"):
+            d -= 1
+        elif d == 0 and t.kind == "op" and t.text == ",":
+            items.append((a, i))
+            a = i + 1
+        i += 1
+    items.append((a, from_idx))
+
+    def item_alias(lo: int, hi: int):
+        code = [
+            (k, tokens[k])
+            for k in range(lo, hi)
+            if tokens[k].kind not in ("ws", "comment")
+        ]
+        if len(code) < 3:
+            return None
+        d2 = 0
+        as_at = None
+        for pos, (k, t) in enumerate(code):
+            if t.kind == "op" and t.text in ("(", "["):
+                d2 += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                d2 -= 1
+            elif d2 == 0 and t.is_kw("AS"):
+                as_at = pos
+        if (
+            as_at is not None
+            and as_at == len(code) - 2
+            and code[-1][1].kind == "word"
+        ):
+            return code[-1][1].text
+        return None
+
+    kept_aliases: set = set()
+    plan = []
+    for lo, hi in items:
+        code = [
+            tokens[k]
+            for k in range(lo, hi)
+            if tokens[k].kind not in ("ws", "comment")
+        ]
+        is_star = len(code) == 1 and code[0].kind == "op" and code[0].text == "*"
+        has_cand = any(lo <= s < hi for s in outer_by_start)
+        has_over = any(t.is_kw("OVER") for t in code)
+        alias = item_alias(lo, hi)
+        movable = (
+            not is_star and not has_cand and not has_over
+            and alias is not None
+        )
+        plan.append((lo, hi, is_star, movable, alias))
+        if not movable and alias is not None:
+            kept_aliases.add(alias.lower())
+
+    def rebuild_span(lo: int, hi: int) -> str:
+        parts = []
+        j = lo
+        while j < hi:
+            if j in outer_by_start:
+                parts.append(outer_by_start[j])
+                j = ends[j]
+                continue
+            parts.append(tokens[j].text)
+            j += 1
+        return "".join(parts)
+
+    moves = [
+        movable
+        and not any(
+            t.kind == "word" and t.text.lower() in kept_aliases
+            for t in tokens[lo:hi]
+        )
+        for lo, hi, is_star, movable, alias in plan
+    ]
+    # star exclusion list must include EVERY moved alias, so collect
+    # them before emitting any item
+    for (lo, hi, is_star, movable, alias), mv in zip(plan, moves):
+        if mv:
+            helper_names.append(alias)
+    outer_items: List[str] = []
+    moved: List[str] = []
+    for (lo, hi, is_star, movable, alias), mv in zip(plan, moves):
+        if mv:
+            moved.append(
+                "".join(tokens[k].text for k in range(lo, hi)).strip()
+            )
+            outer_items.append(alias)
+            continue
+        if is_star:
+            outer_items.append(
+                f"* EXCEPT ({', '.join(helper_names)})"
+                if helper_names
+                else "*"
+            )
+            continue
+        outer_items.append(rebuild_span(lo, hi).strip())
+    return ", ".join(outer_items), moved
+
+
+def _lambda_var_dot(tokens: List[Token], k: int) -> bool:
+    """True when the '.' at index k is a struct-field access on an
+    engine-emitted lambda/struct variable (``__rb.x``, ``__fa.v``,
+    ``__fmt.__g0``…): every bound template names its parameter with a
+    ``__`` prefix, and such references are scope-free — a subquery
+    wrap cannot unbind them, unlike table-qualified column refs."""
+    p = k - 1
+    while p >= 0 and tokens[p].kind in ("ws", "comment"):
+        p -= 1
+    return (
+        p >= 0
+        and tokens[p].kind == "word"
+        and tokens[p].text.startswith("__")
+    )
+
+
+_ENTROPY_RUN_FRAME_RE = re.compile(
+    r"(?is)^\s*RANGE\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
+    r"CURRENT\s+ROW\s*$"
+)
+
+
+def _rewrite_entropy_window_running(tokens: List[Token]) -> List[Token]:
+    """Lower ``entropy(x) OVER (... ORDER BY ...)`` with a RUNNING
+    RANGE frame (the ORDER-BY default, or the explicit spelling) onto
+    an O(n log n) telescoping decomposition instead of the O(n^2)
+    collect_list frame fold (r10c — the fold built an O(i) prefix
+    array + histogram per row; 20 s at sf0.1 vs DuckDB's segment-tree
+    0.2 s):
+
+        S_i = sum over frame rows j of
+                k_j*log2(k_j) - (k_j-1)*log2(k_j-1)
+        entropy_i = log2(n_i) - S_i / n_i
+
+    where k_j = ROW_NUMBER() OVER (PARTITION BY <keys>, x ORDER BY
+    <order>) — the occurrence index of row j's value. The per-value
+    deltas telescope to c*log2(c) for EVERY tie order because the
+    RANGE frame includes whole peer groups (this is exactly why
+    explicit ROWS running frames are excluded: a ROWS frame can cut a
+    peer group mid-value and the row_number tie order need not agree
+    with the frame's). S accumulates in DECIMAL(38,18) so the prefix
+    sum itself adds no float error; the residual piece-rounding error
+    is ~1e-14 absolute, inside the fold's own cross-engine noise.
+    NULLs contribute delta 0 and are excluded from n (DuckDB entropy
+    ignores NULLs); an all-NULL prefix renders 0.0 like the fold.
+    Same conservative bails as the mad restructure (GROUP BY/HAVING/
+    WINDOW/QUALIFY, set-ops per branch, dots near the wrap, DISTINCT
+    args keep the deduped fold)."""
+    n = len(tokens)
+    if not any(
+        t.kind == "word" and t.text.lower() == "entropy" for t in tokens
+    ):
+        return tokens
+    if not any(t.kind == "word" and t.upper == "OVER" for t in tokens):
+        return tokens
+    first = _next_code(tokens, -1)
+    if first >= n or tokens[first].kind != "word":
+        return tokens
+    if tokens[first].upper == "WITH":
+        depth = 0
+        for j in range(first + 1, n):
+            t = tokens[j]
+            if t.kind == "op" and t.text in ("(", "["):
+                depth += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.kind == "word" and t.upper == "SELECT":
+                return tokens[:j] + _rewrite_entropy_window_running(
+                    tokens[j:]
+                )
+        return tokens
+    if tokens[first].upper != "SELECT":
+        return tokens
+    depth = 0
+    for j in range(first + 1, n):
+        t = tokens[j]
+        if t.kind == "op" and t.text in ("(", "["):
+            depth += 1
+        elif t.kind == "op" and t.text in (")", "]"):
+            depth -= 1
+        elif (
+            depth == 0
+            and t.kind == "word"
+            and t.upper in ("UNION", "EXCEPT", "INTERSECT")
+        ):
+            k = _next_code(tokens, j)
+            if k < n and tokens[k].upper in ("ALL", "DISTINCT"):
+                k = _next_code(tokens, k)
+            if k < n and tokens[k].upper == "BY":
+                k = _next_code(tokens, k)
+                k = _next_code(tokens, k)
+            return (
+                _rewrite_entropy_window_running(tokens[:j])
+                + tokens[j:k]
+                + _rewrite_entropy_window_running(tokens[k:])
+            )
+
+    from_idx = None
+    tail_idx = n
+    depth = 0
+    for j in range(first + 1, n):
+        t = tokens[j]
+        if t.kind == "op" and t.text in ("(", "["):
+            depth += 1
+        elif t.kind == "op" and t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.kind == "word":
+            u = t.upper
+            if u == "FROM" and from_idx is None:
+                from_idx = j
+            elif u in ("GROUP", "HAVING", "WINDOW", "QUALIFY"):
+                p = j - 1
+                while p >= 0 and tokens[p].kind in ("ws", "comment"):
+                    p -= 1
+                if not (
+                    u == "GROUP" and p >= 0 and tokens[p].upper == "WITHIN"
+                ):
+                    return tokens
+            elif u in ("ORDER", "LIMIT", "OFFSET") and from_idx is not None:
+                tail_idx = j
+                break
+    if from_idx is None or from_idx >= tail_idx:
+        return tokens
+
+    sel_start = _next_code(tokens, first)
+    distinct = ""
+    if sel_start < n and tokens[sel_start].upper in ("DISTINCT", "ALL"):
+        distinct = tokens[sel_start].upper + " "
+        sel_start = _next_code(tokens, sel_start)
+
+    cands = []
+    i = sel_start
+    while i < from_idx:
+        t = tokens[i]
+        if t.kind == "op" and t.text == "(":
+            k = _next_code(tokens, i)
+            if k < n and tokens[k].kind == "word" and tokens[k].upper in (
+                "SELECT", "WITH", "FROM",
+            ):
+                i = _matching_paren(tokens, i) + 1
+                continue
+            i += 1
+            continue
+        if t.kind == "word" and t.text.lower() == "entropy":
+            p_open = _next_code(tokens, i)
+            if (
+                p_open < from_idx
+                and tokens[p_open].kind == "op"
+                and tokens[p_open].text == "("
+            ):
+                close = _matching_paren(tokens, p_open)
+                after = _next_code(tokens, close)
+                if after < from_idx and tokens[after].is_kw("OVER"):
+                    sp_open = _next_code(tokens, after)
+                    if (
+                        sp_open < from_idx
+                        and tokens[sp_open].kind == "op"
+                        and tokens[sp_open].text == "("
+                    ):
+                        sp_close = _matching_paren(tokens, sp_open)
+                        arg = _sql(tokens, p_open + 1, close).strip()
+                        spec = _sql(tokens, sp_open + 1, sp_close)
+                        # spec anatomy at depth 0: [PARTITION BY ...]
+                        # ORDER BY ... [frame]; running = ORDER BY
+                        # present, frame absent or the explicit
+                        # RANGE UNBOUNDED..CURRENT spelling
+                        d2 = 0
+                        order_at = frame_at = None
+                        for kk in range(sp_open + 1, sp_close):
+                            tk = tokens[kk]
+                            if tk.kind == "op" and tk.text in ("(", "["):
+                                d2 += 1
+                            elif tk.kind == "op" and tk.text in (")", "]"):
+                                d2 -= 1
+                            elif d2 == 0 and tk.kind == "word":
+                                if tk.upper == "ORDER" and order_at is None:
+                                    order_at = kk
+                                elif tk.upper in ("ROWS", "RANGE", "GROUPS"):
+                                    frame_at = kk
+                                    break
+                        frame_ok = frame_at is None or (
+                            tokens[frame_at].upper == "RANGE"
+                            and _ENTROPY_RUN_FRAME_RE.match(
+                                _sql(tokens, frame_at, sp_close)
+                            )
+                        )
+                        has_dot = any(
+                            tokens[k].kind == "op"
+                            and tokens[k].text == "."
+                            and not _lambda_var_dot(tokens, k)
+                            for k in range(i, sp_close)
+                        )
+                        if (
+                            order_at is not None
+                            and frame_ok
+                            and not has_dot
+                            and not _DISTINCT_PREFIX_RE.match(arg)
+                        ):
+                            ppart = _sql(
+                                tokens, sp_open + 1, order_at
+                            ).strip()
+                            okeys = _sql(
+                                tokens, order_at,
+                                frame_at if frame_at is not None
+                                else sp_close,
+                            ).strip()
+                            cands.append(
+                                (i, sp_close + 1, arg, spec, ppart, okeys)
+                            )
+                            i = sp_close + 1
+                            continue
+                        i = sp_close + 1
+                        continue
+        if (
+            t.kind == "op"
+            and t.text == "."
+            and not _lambda_var_dot(tokens, i)
+        ):
+            # a table-qualified reference would unbind under the
+            # subquery wrap; engine-emitted lambda/struct vars
+            # (__rb.x and friends — every bound template uses a
+            # __-prefixed param) are scope-free and safe
+            return tokens
+        i += 1
+
+    if not cands:
+        return tokens
+    # bail on dots in the tail (wrap safety, same policy)
+    for k in range(tail_idx, n):
+        if (
+            tokens[k].kind == "op"
+            and tokens[k].text == "."
+            and not _lambda_var_dot(tokens, k)
+        ):
+            return tokens
+
+    helpers = []
+    helper_names = []
+    outer_by_start: Dict[int, str] = {}
+    for idx, (start, end, arg, spec, ppart, okeys) in enumerate(cands):
+        ev, ek = f"__wev{idx}", f"__wek{idx}"
+        helper_names += [ev, ek]
+        inner_part = (
+            f"{ppart}, ({arg})" if ppart else f"PARTITION BY ({arg})"
+        )
+        helpers.append(
+            f"({arg}) AS {ev}, ROW_NUMBER() OVER "
+            f"({inner_part} {okeys}) AS {ek}"
+        )
+        nn = f"COUNT({ev}) OVER ({spec})"
+        delta = (
+            f"(CASE WHEN {ev} IS NULL OR {ek} <= 1 THEN "
+            f"CAST(0 AS DECIMAL(38, 18)) ELSE CAST("
+            f"{ek} * log2(CAST({ek} AS DOUBLE)) - "
+            f"({ek} - 1) * log2(CAST({ek} - 1 AS DOUBLE)) "
+            f"AS DECIMAL(38, 18)) END)"
+        )
+        s_sum = f"SUM({delta}) OVER ({spec})"
+        outer_by_start[start] = (
+            f"(CASE WHEN {nn} = 0 THEN 0.0D ELSE "
+            f"log2(CAST({nn} AS DOUBLE)) - CAST({s_sum} AS DOUBLE) "
+            f"/ {nn} END)"
+        )
+
+    ends = {s: e for s, e, *_ in cands}
+
+    def rebuild(lo: int, hi: int) -> str:
+        parts = []
+        i2 = lo
+        while i2 < hi:
+            if i2 in outer_by_start:
+                parts.append(outer_by_start[i2])
+                i2 = ends[i2]
+                continue
+            t2 = tokens[i2]
+            if t2.kind == "op" and t2.text == "*" and lo == sel_start:
+                p = i2 - 1
+                while p >= 0 and tokens[p].kind in ("ws", "comment"):
+                    p -= 1
+                if p < lo or (
+                    tokens[p].kind == "word"
+                    and tokens[p].upper in ("SELECT", "DISTINCT", "ALL")
+                ) or (tokens[p].kind == "op" and tokens[p].text == ","):
+                    parts.append(
+                        f"* EXCEPT ({', '.join(helper_names)})"
+                    )
+                    i2 += 1
+                    continue
+            parts.append(t2.text)
+            i2 += 1
+        return "".join(parts)
+
+    outer_sel, moved_items = _relocate_nonwindow_items(
+        tokens, sel_start, from_idx, outer_by_start, ends, helper_names,
+    )
+    inner_sql = (
+        "SELECT *, "
+        + ", ".join(helpers + moved_items)
+        + " "
+        + _sql(tokens, from_idx, tail_idx)
+    )
+    out_sql = (
+        "SELECT "
+        + distinct
+        + outer_sel
+        + f" FROM ({inner_sql}) __entw"
+    )
+    tail = rebuild(tail_idx, n)
+    if tail.strip():
+        out_sql += " " + tail
+    return _toks(out_sql)
+
+
+def _rewrite_entropy_window_running_recursive(
+    tokens: List[Token],
+) -> List[Token]:
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == "op" and t.text == "(":
+            close = _matching_paren(tokens, i)
+            inner = _rewrite_entropy_window_running_recursive(
+                tokens[i + 1 : close]
+            )
+            out.append(t)
+            out.extend(inner)
+            out.append(tokens[close])
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return _rewrite_entropy_window_running(out)
 
 
 def _rewrite_mad_window_recursive(tokens: List[Token]) -> List[Token]:
@@ -5545,20 +6016,44 @@ def _rewrite_agg_window_frames(tokens: List[Token]) -> List[Token]:
                                 q_sql = "".join(
                                     tk.text for tk in args[0]
                                 ).strip()
-                                collected = (
-                                    f"collect_list({wg_x}) OVER ({spec})"
-                                )
-                                if wg_distinct:
+                                try:
+                                    qf = float(q_sql)
+                                except ValueError:
+                                    qf = None
+                                if qf in (0.0, 1.0):
+                                    # quantile at the extremes IS
+                                    # min/max (index rule max(1,
+                                    # ceil(q*n)); interpolation is
+                                    # inert at the ends) — native
+                                    # O(n) window, no frame
+                                    # materialization (r10c: the fold
+                                    # built an O(n) prefix array per
+                                    # row on running frames).
+                                    # DISTINCT can't change extremes.
+                                    ext = "min" if qf == 0.0 else "max"
+                                    repl = f"{ext}({wg_x}) OVER ({spec})"
+                                    if low == "percentile_cont":
+                                        repl = (
+                                            f"CAST({repl} AS DOUBLE)"
+                                        )
+                                else:
                                     collected = (
-                                        f"array_distinct({collected})"
+                                        f"collect_list({wg_x}) "
+                                        f"OVER ({spec})"
                                     )
-                                repl = (
-                                    _quantile_disc_fold_sql(collected, q_sql)
-                                    if low == "percentile_disc"
-                                    else _quantile_cont_fold_sql(
-                                        collected, q_sql
+                                    if wg_distinct:
+                                        collected = (
+                                            f"array_distinct({collected})"
+                                        )
+                                    repl = (
+                                        _quantile_disc_fold_sql(
+                                            collected, q_sql
+                                        )
+                                        if low == "percentile_disc"
+                                        else _quantile_cont_fold_sql(
+                                            collected, q_sql
+                                        )
                                     )
-                                )
                         elif (
                             not bail and low == "percentile"
                             and len(args) == 2
@@ -11710,19 +12205,27 @@ def _rewrite_call_shims(
                         )
                     i = close + 1
                     continue
-                if (
-                    low == "split_part"
-                    and len(args) == 3
-                    and not _nonneg_int_literal(
-                        inner[args[2][0]: args[2][1]], 1
-                    )
-                ):
-                    # DuckDB: index 0 gives ''; Spark raises
+                if low == "split_part" and len(args) == 3:
+                    # DuckDB split_part is never-NULL (r10c fuzz
+                    # find): NULL string/index and index 0 give '',
+                    # a NULL delimiter returns the string UNSPLIT,
+                    # and an EMPTY delimiter splits into characters
+                    # (split_part('a,b', '', -1) = 'b') — Spark
+                    # NULL-propagates, raises on 0, and treats ''
+                    # as no-split. try_element_at: OOB char index
+                    # must give '' under ANSI too.
                     s, d, ix = (_sql(inner, st, e) for st, e in args)
                     out.extend(
                         _toks(
-                            f"(CASE WHEN ({ix}) = 0 THEN '' "
-                            f"ELSE split_part(({s}), ({d}), ({ix})) END)"
+                            f"(CASE WHEN ({s}) IS NULL OR ({ix}) IS "
+                            f"NULL OR ({ix}) = 0 THEN '' "
+                            f"WHEN ({d}) IS NULL THEN "
+                            f"CAST(({s}) AS STRING) "
+                            f"WHEN ({d}) = '' THEN coalesce("
+                            f"try_element_at(split(CAST(({s}) AS "
+                            f"STRING), ''), CAST(({ix}) AS INT)), '') "
+                            f"ELSE split_part(CAST(({s}) AS STRING), "
+                            f"({d}), ({ix})) END)"
                         )
                     )
                     i = close + 1
@@ -12913,6 +13416,72 @@ def _try_exclude_rewrite(out: List[Token], tokens: List[Token],
     x = "1" if count_star else "".join(t.text for t in arg_toks).strip()
     if not key_exprs:
         key_exprs = ["1"]
+    # Arithmetic fast path (r10c): on a PEER-CLOSED frame — any RANGE
+    # frame (peers sit at distance 0, so they are in the frame iff the
+    # current row is), including the ORDER-BY default — the
+    # distributive aggregates decompose into native windows:
+    #   EXCLUDE CURRENT ROW: agg(frame) minus the current row's value
+    #   EXCLUDE GROUP:       agg(frame) minus the peer-partition agg
+    #   EXCLUDE TIES:        GROUP, plus the current row added back
+    # (SUM(x) OVER w) - (SUM(x) OVER (PARTITION BY keys, order-keys))
+    # are O(n) native window passes, where the fold materializes an
+    # O(frame) prefix array per row — 23 s -> sub-second on q60's
+    # running EXCLUDE TIES at sf0.1. MIN/MAX are not subtractable and
+    # keep the fold; ROWS frames can cut a peer group and keep it too.
+    range_frame = frame_idx is None or (
+        frame_code and frame_code[0].upper == "RANGE"
+    )
+    if agg in ("SUM", "COUNT", "AVG") and range_frame:
+        if mode == "GROUP" and not cif:
+            # peers are all at distance 0, outside the frame with the
+            # current row: removing them is a no-op
+            return over_repl
+        ppart = ""
+        if order_idx is not None:
+            ppart = "".join(t.text for t in body[:order_idx]).strip()
+        elif excl_idx is not None:
+            ppart = "".join(t.text for t in body[:excl_idx]).strip()
+        keys_sql = ", ".join(f"({e})" for e in key_exprs)
+        pw = (
+            f"{ppart}, {keys_sql}"
+            if ppart.upper().startswith("PARTITION")
+            else f"PARTITION BY {keys_sql}"
+        )
+        sx = f"SUM({x}) OVER ({w_text})"
+        cx = f"COUNT({x}) OVER ({w_text})"
+        sp = f"coalesce(SUM({x}) OVER ({pw}), 0)"
+        cp = f"COUNT({x}) OVER ({pw})"
+        xin = (
+            "1" if count_star
+            else f"(CASE WHEN ({x}) IS NULL THEN 0 ELSE 1 END)"
+        )
+        xval = f"coalesce(({x}), 0)"
+        if mode == "CURRENT ROW":
+            cnt_p = f"({cx} - {xin})"
+            sum_p = f"({sx} - {xval})"
+        elif mode == "GROUP":
+            cnt_p = f"({cx} - {cp})"
+            sum_p = f"({sx} - {sp})"
+        elif cif:  # TIES, peers inside the frame
+            cnt_p = f"({cx} - {cp} + {xin})"
+            sum_p = f"({sx} - {sp} + {xval})"
+        else:  # TIES, current row (and peers) outside the frame:
+            # DuckDB re-adds the current row unconditionally
+            cnt_p = f"({cx} + {xin})"
+            sum_p = f"(coalesce({sx}, 0) + {xval})"
+        if agg == "COUNT":
+            expr = f"CAST({cnt_p} AS BIGINT)"
+        elif agg == "SUM":
+            expr = (
+                f"(CASE WHEN {cnt_p} = 0 THEN NULL ELSE {sum_p} END)"
+            )
+        else:  # AVG
+            expr = (
+                f"(CASE WHEN {cnt_p} = 0 THEN NULL ELSE "
+                f"CAST({sum_p} AS DOUBLE) / {cnt_p} END)"
+            )
+        del out[name_idx:]
+        return tokenize(expr)
     k_struct = "named_struct(" + ", ".join(
         f"'k{idx}', ({e})" for idx, e in enumerate(key_exprs)
     ) + ")"

@@ -424,3 +424,27 @@ def test_x44_domain_cap_bounded_tasks_under_skew(spark):
         for r in out_n.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
     assert by_key.get(None) == 5 and by_key.get("b") == 5
+
+
+def test_printf_twins_batch_into_one_arrow_stage(spark):
+    """r10c: every printf/format float-directive twin call in a
+    statement batches into ONE ArrowEvalPython stage (a single
+    map-only Python crossing per statement), and nothing falls back
+    to row-at-a-time BatchEvalPython. q69 carries printf/format
+    through the oracle gate; this pins the plan shape."""
+    from component_duckdb_transformation_spark.functions.dialect import (
+        translate,
+    )
+    from component_duckdb_transformation_spark.workloads import (
+        register_tables,
+    )
+
+    register_tables(spark, SF)
+    q = (
+        "SELECT printf('%.2f', l_tax) AS a, printf('%.1g', l_discount)"
+        " AS b, format('{:.3}', l_quantity) AS c FROM lineitem"
+    )
+    df = spark.sql(translate(q))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan[:2000]
+    assert "BatchEvalPython" not in plan
