@@ -7400,11 +7400,92 @@ def _shortest_double_core_body(lo: int, hi: int, yy: bool) -> str:
     reverted: SQL functions don't resolve inside HOF lambdas, their
     arguments hoist past CASE guards and evaluate eagerly, and
     FoldablePropagation crashed on the inlined bodies.)"""
-    cand = (
+    def fmt_at(prec: str) -> str:
+        return (
+            f"format_string(concat('%.', CAST({prec} AS STRING), 'e'), "
+            "CAST(__ds AS DOUBLE))"
+        )
+
+    def probe_at(prec: str, tag: str) -> str:
+        """Round-tripping candidate at `prec` fraction digits, or NULL.
+        Java's %.Ne rounds the SHORTEST repr half-up instead of the
+        exact binary value (r10c find — the same Formatter flaw as
+        printf's), so the correctly-rounded N-digit decimal can sit ONE
+        last-digit step away from Java's: probe Java's candidate and,
+        on round-trip failure, the +-1 neighbors (any two roundings of
+        one value to one grid differ by at most one step, so this test
+        is COMPLETE at each precision). The neighbor is built by
+        integer-scaling the mantissa (exact DECIMAL arithmetic, no
+        float steps); a carry that changes the digit count returns
+        NULL (that value has a shorter repr some other level finds)."""
+        jc = fmt_at(prec)
+        pb, nb, mi_v = f"__pb{tag}", f"__nb{tag}", f"__mi{tag}"
+        # scaled integer mantissa: m * 10^prec is exact for prec <= 18
+        mi = (
+            f"CAST(CAST(substring_index({pb}.c, 'e', 1) AS "
+            f"DECIMAL(20,18)) * CAST(power(10E0, CAST({pb}.p AS "
+            "DOUBLE)) AS DECIMAL(20,0)) AS DECIMAL(38,0))"
+        )
+        neighbor = (
+            # mi carries the sign, so +1 always steps the VALUE up:
+            # -...042 + 1 = -...041 (toward zero on negatives)
+            "element_at(transform(array(CAST(" + mi + " + (CASE WHEN "
+            f"CAST({pb}.c AS DOUBLE) < CAST(__ds AS DOUBLE) THEN 1 "
+            f"ELSE -1 END) AS STRING)), {mi_v} -> "
+            f"CASE WHEN length(replace({mi_v}, '-', '')) = {pb}.p + 1 "
+            f"THEN concat(CASE WHEN {mi_v} LIKE '-%' THEN '-' ELSE '' "
+            f"END, substr(replace({mi_v}, '-', ''), 1, 1), "
+            f"CASE WHEN TRIM(TRAILING '0' FROM substr(replace({mi_v}, "
+            "'-', ''), 2)) = '' THEN '' ELSE concat('.', "
+            f"TRIM(TRAILING '0' FROM substr(replace({mi_v}, '-', ''), "
+            f"2))) END, 'e', substring_index({pb}.c, 'e', -1)) END), 1)"
+        )
+        return (
+            "element_at(transform(array(named_struct('c', " + jc + ", "
+            f"'p', CAST(({prec}) AS INT))), {pb} -> "
+            f"CASE WHEN CAST({pb}.c AS DOUBLE) = CAST(__ds AS DOUBLE) "
+            f"THEN {pb}.c ELSE "
+            f"element_at(transform(array(" + neighbor + f"), {nb} -> "
+            f"CASE WHEN {nb} IS NOT NULL AND CAST({nb} AS DOUBLE) = "
+            f"CAST(__ds AS DOUBLE) THEN {nb} END), 1) END), 1)"
+        )
+
+    full_search = (
         "element_at(filter(transform(sequence(0, 16), __np -> "
-        "format_string(concat('%.', CAST(__np AS STRING), 'e'), "
-        "CAST(__ds AS DOUBLE))), __c -> "
-        "CAST(__c AS DOUBLE) = CAST(__ds AS DOUBLE)), 1)"
+        + probe_at("__np", "f")
+        + "), __c -> __c IS NOT NULL), 1)"
+    )
+
+    # Cascading candidate search (r10c): Java's repr over-prints the
+    # shortest round-trip by AT MOST 3 digits (measured over 392k
+    # random-bit doubles: overshoot {0: 99.7%, 1: 0.26%, 2: 0.04%,
+    # 3: 18 cases}) — so instead of evaluating all 17 precision
+    # candidates per row (~34 interpreted format/parse ops), derive
+    # the Java digit count __nd and try one-shorter first: the common
+    # overshoot-0 row costs ONE failed round-trip probe plus the
+    # canonical reformat. The exhaustive sweep stays as the innermost
+    # fallback, so an unobserved overshoot > 3 still renders exactly.
+    cand = (
+        "element_at(transform(array(CAST(length(replace("
+        "substring_index(CASE WHEN __ds LIKE '-%' THEN "
+        "substr(__ds, 2) ELSE __ds END, 'E', 1), '.', '')) AS INT)), "
+        "__nd -> element_at(transform(array("
+        + probe_at("greatest(__nd - 2, 0)", "a")
+        + "), __c1 -> CASE "
+        "WHEN __c1 IS NULL THEN "
+        + fmt_at("__nd - 1")
+        + " WHEN __nd <= 2 THEN __c1 "
+        "ELSE element_at(transform(array("
+        + probe_at("__nd - 3", "b")
+        + "), __c2 -> CASE "
+        "WHEN __c2 IS NULL THEN __c1 "
+        "WHEN __nd <= 3 THEN __c2 "
+        "ELSE element_at(transform(array("
+        + probe_at("__nd - 4", "c")
+        + "), __c3 -> CASE "
+        "WHEN __c3 IS NULL THEN __c2 "
+        "WHEN __nd <= 4 THEN __c3 "
+        "ELSE " + full_search + " END), 1) END), 1) END), 1)), 1)"
     )
     if yy:
         sci = "concat(__q.m, __q.h, 'e', CAST(__q.n AS STRING))"

@@ -915,3 +915,32 @@ def test_window_perf_lowerings_r10c():
     # (with its AS rdyn) computes INSIDE the wrap subquery
     assert ", rdyn FROM (" in t
     assert t.index("AS rdyn") > t.index("FROM (")
+
+
+def test_shortest_render_neighbor_probe(spark):
+    """r10c: Java's %.Ne rounds the SHORTEST repr half-up instead of
+    the exact value, so the correctly-rounded N-digit candidate can
+    sit one last-digit step from Java's — the render search now
+    probes the +-1 neighbor (exact integer-scaled mantissa step),
+    fixing E-range values Java over-prints: 6.2555112942699715e18 is
+    '6.255511294269971e+18' in DuckDB (16 digits), where the Java-only
+    candidate sweep printed all 17."""
+    from component_duckdb_transformation_spark.functions.dialect import (
+        _fmtlib_double_sql,
+    )
+    import duckdb as _dd
+
+    con = _dd.connect()
+    for v in (
+        6.2555112942699715e18, -7.1081114699600415e18,
+        -8.766002710333801e18, 5e-324, 1.7976931348623157e308,
+        2.5e-7, 1e20, -0.0,
+    ):
+        got = spark.sql(
+            "SELECT " + _fmtlib_double_sql(f"CAST('{v!r}' AS DOUBLE)")
+            + " AS s"
+        ).collect()[0][0]
+        want = con.execute(
+            f"SELECT CAST('{v!r}'::DOUBLE AS VARCHAR)"
+        ).fetchone()[0]
+        assert got == want, (v, got, want)
