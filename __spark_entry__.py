@@ -2,13 +2,18 @@
 
 Delegates to ``component_duckdb_transformation_spark.workloads`` — the
 single registry of every implemented operator/query from SURVEY.md §2
-(core SQL + dialect surface q01-q66, incl. product/entropy/whole-table-
+(core SQL + dialect surface q01-q69, incl. product/entropy/whole-table-
 mad two-phase rewrites, COLUMNS() expansion, GROUP/ORDER BY ALL,
 recursive CTEs, ASOF JOIN, window frame EXCLUDE, distributed
 POSITIONAL JOIN, TIME midnight-wrap, variant-exact JSON ->, fmt-exact
 double rendering, schema-hinted type dispatch from dependency
-schemas, and the round-9 surfaces: built-in window mad, dynamic-scale
-round(), runtime-regexp no-op parity, DISTINCT mad/entropy) plus the LLM-pipeline extensions (dedup, similarity,
+schemas, the round-9 surfaces: built-in window mad, dynamic-scale
+round(), runtime-regexp no-op parity, DISTINCT mad/entropy, and the
+round-10 surfaces: JVM window-aggregate frame folds with O(n log n)
+running-entropy/quantile-extreme lowerings, alias static typing,
+fmt-exact printf/format float directives incl. the 'general'
+presentation, NULL/render edges, split_part never-NULL semantics)
+plus the LLM-pipeline extensions (dedup, similarity,
 sampling, temporal, text analysis, multimodal, streaming, connected
 components, PII redaction, sequence packing, decontamination,
 SemDeDup semantic dedup, streaming LSH dedup, bigram-LM quality:
