@@ -7440,10 +7440,52 @@ def _shortest_double_core_body(lo: int, hi: int, yy: bool) -> str:
             f"TRIM(TRAILING '0' FROM substr(replace({mi_v}, '-', ''), "
             f"2))) END, 'e', substring_index({pb}.c, 'e', -1)) END), 1)"
         )
+        # Dense-band closest-choice (r10c): for |v| in [1e16, 2^63) the
+        # decimal grid can be DENSER than doubles — several same-length
+        # candidates parse back to v and Dragonbox picks the CLOSEST.
+        # There v is an exact BIGINT, so the closest grid point is
+        # directly computable: mi = round(|vi| / step) with half-even
+        # ties (shortest-repr tie rule), step = 10^(exp - p). A carry
+        # that changes the digit count returns NULL (another level owns
+        # that value); if the closest candidate does not round-trip,
+        # NO candidate at this length does.
+        cb = f"__cb{tag}"
+        ji = f"__ji{tag}"
+        exp_i = f"CAST(substring_index({pb}.c, 'e', -1) AS INT)"
+        closest = (
+            "element_at(transform(array(named_struct("
+            "'va', abs(CAST(CAST(__ds AS DOUBLE) AS BIGINT)), "
+            f"'st', CAST(power(10E0, CAST({exp_i} - {pb}.p AS DOUBLE)) "
+            f"AS BIGINT))), {cb} -> "
+            "element_at(transform(array(CAST("
+            f"CAST({cb}.va AS BIGINT) DIV {cb}.st + (CASE "
+            f"WHEN ({cb}.va % {cb}.st) * 2 > {cb}.st THEN 1 "
+            f"WHEN ({cb}.va % {cb}.st) * 2 < {cb}.st THEN 0 "
+            f"ELSE (CAST({cb}.va AS BIGINT) DIV {cb}.st) % 2 END) "
+            f"AS STRING)), {ji} -> "
+            f"CASE WHEN length({ji}) = {pb}.p + 1 THEN "
+            "concat(CASE WHEN CAST(__ds AS DOUBLE) < 0 THEN '-' "
+            "ELSE '' END, "
+            f"substr({ji}, 1, 1), "
+            f"CASE WHEN TRIM(TRAILING '0' FROM substr({ji}, 2)) = '' "
+            "THEN '' ELSE concat('.', "
+            f"TRIM(TRAILING '0' FROM substr({ji}, 2))) END, "
+            f"'e', substring_index({pb}.c, 'e', -1)) END), 1)), 1)"
+        )
+        in_band = (
+            f"({exp_i} - {pb}.p >= 1 AND {exp_i} <= 18 "
+            "AND abs(CAST(__ds AS DOUBLE)) >= 1e16 "
+            "AND abs(CAST(__ds AS DOUBLE)) < 9.2e18)"
+        )
+        nbc = f"__bc{tag}"
         return (
             "element_at(transform(array(named_struct('c', " + jc + ", "
             f"'p', CAST(({prec}) AS INT))), {pb} -> "
-            f"CASE WHEN CAST({pb}.c AS DOUBLE) = CAST(__ds AS DOUBLE) "
+            f"CASE WHEN {in_band} THEN "
+            f"element_at(transform(array(" + closest + f"), {nbc} -> "
+            f"CASE WHEN {nbc} IS NOT NULL AND CAST({nbc} AS DOUBLE) = "
+            f"CAST(__ds AS DOUBLE) THEN {nbc} END), 1) "
+            f"WHEN CAST({pb}.c AS DOUBLE) = CAST(__ds AS DOUBLE) "
             f"THEN {pb}.c ELSE "
             f"element_at(transform(array(" + neighbor + f"), {nb} -> "
             f"CASE WHEN {nb} IS NOT NULL AND CAST({nb} AS DOUBLE) = "

@@ -596,28 +596,75 @@ def _java_shortest_candidate(s: str) -> str:
         mant = mant[1:]
     head, _, frac = mant.partition(".")
     digits = (head + frac).rstrip("0") or "0"
-    for p in range(18):
-        c, bump = _round_digits_half_up(digits, p + 1)
-        n = n0 + bump
-        body = c[0] + ("." + c[1:] if p else "")
-        cand = (
+    def build(c: str, n: int) -> str:
+        body = c[0] + ("." + c[1:] if len(c) > 1 else "")
+        return (
             ("-" if neg else "")
             + body
             + f"e{'+' if n >= 0 else '-'}{abs(n):02d}"
         )
+
+    for p in range(18):
+        c, bump = _round_digits_half_up(digits, p + 1)
+        n = n0 + bump
+        cand = build(c, n)
         if float(cand) == d:
             return cand
+        # r10c neighbor probe (mirrors the SQL cascade): Java's
+        # digit-string half-up rounding can land one last-digit step
+        # from the correctly-rounded candidate
+        ci2 = int(c) + (1 if abs(float(cand)) < abs(d) else -1)
+        if len(str(ci2)) == p + 1:
+            cand2 = build(str(ci2), n)
+            if float(cand2) == d:
+                return cand2
     return s  # unreachable: the full digit string round-trips
+
+
+def _sql_shortest_candidate(s: str) -> str:
+    """Twin of the r10c SQL candidate cascade: below the 9.2e18
+    BIGINT-band cutoff the SQL's neighbor probes + dense-band
+    closest-direct land on the true shortest round-trip repr — which
+    is exactly Python's repr (Dragonbox) — so the twin renders from
+    repr digits; at |v| >= 9.2e18 the SQL keeps the Java-first pick
+    (exact closest needs integers past BIGINT) and the twin keeps the
+    textual Java candidate search to stay byte-identical."""
+    d = float(s)
+    if abs(d) >= 9.2e18:
+        return _java_shortest_candidate(s)
+    r = repr(abs(d))
+    if "e" in r:
+        mant, _, exp = r.partition("e")
+        n = int(exp)
+        digits = mant.replace(".", "").rstrip("0") or "0"
+    else:
+        intpart, _, frac = r.partition(".")
+        if intpart != "0":
+            n = len(intpart) - 1
+            digits = (intpart + frac).rstrip("0") or "0"
+        else:
+            stripped = frac.lstrip("0")
+            n = -(len(frac) - len(stripped)) - 1
+            digits = stripped.rstrip("0") or "0"
+            if digits == "0":
+                n = 0
+    body = digits[0] + ("." + digits[1:] if len(digits) > 1 else "")
+    return (
+        ("-" if d < 0 or s.startswith("-") else "")
+        + body
+        + f"e{'+' if n >= 0 else '-'}{abs(n):02d}"
+    )
 
 
 def _fmt_shortest_repr(s: str, lo: int, hi: int, yy: bool) -> str:
     """Python twin of ``dialect._shortest_double_core_sql``'s reshape
-    over a Java ``Double.toString`` E-form text: candidate search
-    (Java %e digit-string rounding), then plain decimal for decimal
-    exponents in [lo, hi], else the scientific form — fmt style keeps
-    the ``e±NN`` candidate verbatim, yyjson style lowercases to
-    ``<digits>e<exp>`` without ``+``/padding or integer ``.0``."""
-    c = _java_shortest_candidate(s)
+    over a Java ``Double.toString`` E-form text: the r10c candidate
+    cascade (see _sql_shortest_candidate), then plain decimal for
+    decimal exponents in [lo, hi], else the scientific form — fmt
+    style keeps the ``e±NN`` candidate verbatim, yyjson style
+    lowercases to ``<digits>e<exp>`` without ``+``/padding or integer
+    ``.0``."""
+    c = _sql_shortest_candidate(s)
     mant, exp = c.split("e")
     n = int(exp)
     neg = mant.startswith("-")
