@@ -7477,19 +7477,98 @@ def _shortest_double_core_body(lo: int, hi: int, yy: bool) -> str:
             "AND abs(CAST(__ds AS DOUBLE)) >= 1e16 "
             "AND abs(CAST(__ds AS DOUBLE)) < 9.2e18)"
         )
+        # Band 2 (r10c): |v| in [2^63, ~1e38] — the exact integer no
+        # longer fits BIGINT, but v = m53 * 2^k exactly, so the
+        # closest grid point round(v / (2^s * 5^s)) becomes
+        # round(m53 * 2^(k-s) / 5^s) in DECIMAL(38,0): numerator
+        # exact for k-s <= 52, denominator 5^s exact for s <= 22 (and
+        # ODD, so ties are impossible); the s <= 22 guard is exactly
+        # the dense boundary at these exponents — sparser levels have
+        # a unique round-tripper and the Java+neighbor probes are
+        # already exact. Division rounding is self-corrected from the
+        # exact remainder.
+        k2 = f"__k2{tag}"
+        n2 = f"__n2{tag}"
+        ji2 = f"__j2{tag}"
+        kk = f"__kk{tag}"
+        kc = (
+            # binary exponent of m53, corrected to [2^52, 2^53)
+            "element_at(transform(array("
+            "CAST(floor(log2(abs(CAST(__ds AS DOUBLE)))) AS INT) - 52"
+            f"), {kk} -> CASE "
+            "WHEN abs(CAST(__ds AS DOUBLE)) / power(2E0, "
+            f"CAST({kk} AS DOUBLE)) >= 9007199254740992E0 THEN {kk} + 1 "
+            "WHEN abs(CAST(__ds AS DOUBLE)) / power(2E0, "
+            f"CAST({kk} AS DOUBLE)) < 4503599627370496E0 THEN {kk} - 1 "
+            f"ELSE {kk} END), 1)"
+        )
+        band2_core = (
+            "element_at(transform(array(named_struct("
+            "'n', CAST(CAST(abs(CAST(__ds AS DOUBLE)) / power(2E0, "
+            f"CAST({k2}.k AS DOUBLE)) AS BIGINT) AS DECIMAL(38,0)) * "
+            "CAST(power(2E0, CAST("
+            f"{k2}.k - ({k2}.e - {k2}.p) AS DOUBLE)) AS DECIMAL(38,0)), "
+            "'d', CAST(power(5E0, CAST("
+            f"{k2}.e - {k2}.p AS DOUBLE)) AS DECIMAL(38,0)), "
+            "'q', CAST(CAST(CAST(abs(CAST(__ds AS DOUBLE)) / "
+            f"power(2E0, CAST({k2}.k AS DOUBLE)) AS BIGINT) AS "
+            "DECIMAL(38,0)) * CAST(power(2E0, CAST("
+            f"{k2}.k - ({k2}.e - {k2}.p) AS DOUBLE)) AS DECIMAL(38,0))"
+            " / CAST(power(5E0, CAST("
+            f"{k2}.e - {k2}.p AS DOUBLE)) AS DECIMAL(38,0)) AS "
+            f"DECIMAL(38,0)))), {n2} -> "
+            "element_at(transform(array(CAST("
+            # self-correct the division rounding via the exact
+            # remainder, then round-half (no ties: d is odd)
+            f"(CASE WHEN {n2}.n - {n2}.q * {n2}.d < 0 THEN {n2}.q - 1 "
+            f"WHEN {n2}.n - {n2}.q * {n2}.d >= {n2}.d THEN {n2}.q + 1 "
+            f"ELSE {n2}.q END) + (CASE WHEN 2 * ({n2}.n - (CASE WHEN "
+            f"{n2}.n - {n2}.q * {n2}.d < 0 THEN {n2}.q - 1 "
+            f"WHEN {n2}.n - {n2}.q * {n2}.d >= {n2}.d THEN {n2}.q + 1 "
+            f"ELSE {n2}.q END) * {n2}.d) > {n2}.d THEN 1 ELSE 0 END) "
+            f"AS STRING)), {ji2} -> "
+            f"CASE WHEN length({ji2}) = {k2}.p + 1 THEN "
+            "concat(CASE WHEN CAST(__ds AS DOUBLE) < 0 THEN '-' "
+            "ELSE '' END, "
+            f"substr({ji2}, 1, 1), "
+            f"CASE WHEN TRIM(TRAILING '0' FROM substr({ji2}, 2)) = '' "
+            "THEN '' ELSE concat('.', "
+            f"TRIM(TRAILING '0' FROM substr({ji2}, 2))) END, "
+            f"'e', {k2}.x) END), 1)), 1)"
+        )
+        band2 = (
+            "element_at(transform(array(named_struct("
+            "'k', " + kc + f", 'p', {pb}.p, 'e', {exp_i}, "
+            f"'x', substring_index({pb}.c, 'e', -1))), {k2} -> "
+            f"CASE WHEN {k2}.k - ({k2}.e - {k2}.p) BETWEEN 0 AND 52 "
+            f"THEN " + band2_core + " END), 1)"
+        )
+        in_band2 = (
+            f"({exp_i} - {pb}.p BETWEEN 1 AND 22 AND {exp_i} <= 38 "
+            "AND abs(CAST(__ds AS DOUBLE)) >= 9.2e18)"
+        )
+        # unified fall-through: a band producing NULL means the band
+        # was INAPPLICABLE at this level (a-guard, digit-count carry) —
+        # fall to the Java+neighbor probes; a band CANDIDATE that
+        # fails the round-trip is conclusive (it is the closest grid
+        # point: if it does not round-trip, nothing at this length
+        # does) and the level returns NULL
         nbc = f"__bc{tag}"
         return (
             "element_at(transform(array(named_struct('c', " + jc + ", "
             f"'p', CAST(({prec}) AS INT))), {pb} -> "
-            f"CASE WHEN {in_band} THEN "
-            f"element_at(transform(array(" + closest + f"), {nbc} -> "
-            f"CASE WHEN {nbc} IS NOT NULL AND CAST({nbc} AS DOUBLE) = "
-            f"CAST(__ds AS DOUBLE) THEN {nbc} END), 1) "
+            "element_at(transform(array(CASE "
+            f"WHEN {in_band} THEN " + closest + " "
+            f"WHEN {in_band2} THEN " + band2 + " "
+            f"END), {nbc} -> CASE "
+            f"WHEN {nbc} IS NOT NULL THEN (CASE WHEN "
+            f"CAST({nbc} AS DOUBLE) = CAST(__ds AS DOUBLE) "
+            f"THEN {nbc} END) "
             f"WHEN CAST({pb}.c AS DOUBLE) = CAST(__ds AS DOUBLE) "
             f"THEN {pb}.c ELSE "
             f"element_at(transform(array(" + neighbor + f"), {nb} -> "
             f"CASE WHEN {nb} IS NOT NULL AND CAST({nb} AS DOUBLE) = "
-            f"CAST(__ds AS DOUBLE) THEN {nb} END), 1) END), 1)"
+            f"CAST(__ds AS DOUBLE) THEN {nb} END), 1) END), 1)), 1)"
         )
 
     full_search = (
@@ -7515,7 +7594,13 @@ def _shortest_double_core_body(lo: int, hi: int, yy: bool) -> str:
         + probe_at("greatest(__nd - 2, 0)", "a")
         + "), __c1 -> CASE "
         "WHEN __c1 IS NULL THEN "
-        + fmt_at("__nd - 1")
+        # canonical fallback at the full Java digit count — ALSO
+        # probed: in dense bands Java's own repr digits need not be
+        # the closest same-length candidate (Dragonbox's pick), and
+        # the probe's closest branch corrects that; at least Java's
+        # digits round-trip, so the probe cannot return NULL here
+        + "coalesce(" + probe_at("__nd - 1", "d") + ", "
+        + fmt_at("__nd - 1") + ")"
         + " WHEN __nd <= 2 THEN __c1 "
         "ELSE element_at(transform(array("
         + probe_at("__nd - 3", "b")

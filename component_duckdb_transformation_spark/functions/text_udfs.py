@@ -622,15 +622,16 @@ def _java_shortest_candidate(s: str) -> str:
 
 
 def _sql_shortest_candidate(s: str) -> str:
-    """Twin of the r10c SQL candidate cascade: below the 9.2e18
-    BIGINT-band cutoff the SQL's neighbor probes + dense-band
-    closest-direct land on the true shortest round-trip repr — which
-    is exactly Python's repr (Dragonbox) — so the twin renders from
-    repr digits; at |v| >= 9.2e18 the SQL keeps the Java-first pick
-    (exact closest needs integers past BIGINT) and the twin keeps the
-    textual Java candidate search to stay byte-identical."""
+    """Twin of the r10c SQL candidate cascade: up to ~1e38 the SQL's
+    neighbor probes + dense-band closest arithmetic (BIGINT band
+    below 2^63, m53*2^a/5^s DECIMAL band to exp 38) land on the true
+    shortest round-trip repr — exactly Python's repr (Dragonbox) — so
+    the twin renders from repr digits; at exp >= 39 the dense
+    17-digit choice exceeds DECIMAL(38) arithmetic and the SQL keeps
+    the Java-first pick, so the twin keeps the textual Java candidate
+    search (with the same +-1 neighbor) to stay byte-identical."""
     d = float(s)
-    if abs(d) >= 9.2e18:
+    if abs(d) >= 1e39:
         return _java_shortest_candidate(s)
     r = repr(abs(d))
     if "e" in r:
