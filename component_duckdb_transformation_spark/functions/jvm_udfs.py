@@ -1,0 +1,101 @@
+"""Compiled JVM UDFs: build + per-session registration.
+
+The exact double->VARCHAR render used to be emitted as an inline SQL
+template at every cast site; by round 10 the template had grown to
+~23 KB per site and ordinary queries exceeded Catalyst's resolution
+fixed-point (VERDICT r10 item 1). The render cascade is now ONE
+compiled Java function (`jvm/duckspark/DuckRepr.java`) registered per
+session, so every call site is an O(1) function call and evaluation is
+compiled JVM code instead of interpreted higher-order expressions.
+
+Build model: the compiled jar is committed next to the sources
+(`jvm/duckspark.jar`) so sessions never need a compiler; when a
+`.java` source is newer than the jar and a JDK's `javac` is on
+JAVA_HOME (pyspark guarantees a JRE, not a JDK), the jar is rebuilt
+in-place. Registration uses runtime `ADD JAR` + registerJavaFunction,
+which works on driver-created sessions (no launch-time classpath
+control) and inside higher-order-function lambdas (probed: Spark
+resolves ScalaUDFs in lambda scope, unlike SQL temp functions).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import zipfile
+
+_JVM_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "jvm")
+_JAR_PATH = os.path.join(_JVM_DIR, "duckspark.jar")
+_SRC_DIR = os.path.join(_JVM_DIR, "duckspark")
+
+
+def _pyspark_jars_glob() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "jars", "*")
+
+
+def _sources() -> list:
+    if not os.path.isdir(_SRC_DIR):
+        return []
+    return sorted(
+        os.path.join(_SRC_DIR, f)
+        for f in os.listdir(_SRC_DIR)
+        if f.endswith(".java")
+    )
+
+
+def build_jar(force: bool = False) -> str:
+    """Compile jvm/duckspark/*.java into jvm/duckspark.jar if any
+    source is newer than the jar (or ``force``). Returns the jar path;
+    if compilation is impossible (no javac) the committed jar is used
+    as-is."""
+    srcs = _sources()
+    if not srcs:
+        return _JAR_PATH
+    if not force and os.path.exists(_JAR_PATH):
+        jar_m = os.path.getmtime(_JAR_PATH)
+        if all(os.path.getmtime(s) <= jar_m for s in srcs):
+            return _JAR_PATH
+    javac = os.path.join(os.environ.get("JAVA_HOME", ""), "bin", "javac")
+    if not os.path.exists(javac):
+        return _JAR_PATH  # committed jar (possibly stale) is all we have
+    subprocess.run(
+        [javac, "-cp", _pyspark_jars_glob(), "-d", _JVM_DIR] + srcs,
+        check=True,
+        capture_output=True,
+    )
+    tmp = _JAR_PATH + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for f in sorted(os.listdir(_SRC_DIR)):
+            if f.endswith(".class"):
+                # deterministic timestamps keep the jar reproducible
+                path = os.path.join(_SRC_DIR, f)
+                info = zipfile.ZipInfo("duckspark/" + f, (2020, 1, 1, 0, 0, 0))
+                with open(path, "rb") as fh:
+                    zf.writestr(info, fh.read())
+    os.replace(tmp, _JAR_PATH)
+    return _JAR_PATH
+
+
+#: registered name -> (class, Spark SQL return type)
+_JVM_UDFS = {
+    "__duck_repr_j": ("duckspark.DuckRepr", "string"),
+    "__duck_mad_j": ("duckspark.DuckMad", "double"),
+    "__duck_entropy_j": ("duckspark.DuckEntropy", "double"),
+}
+
+
+def register_jvm_udfs(spark) -> None:
+    """ADD JAR + register every compiled UDF on ``spark``. Idempotent;
+    safe on driver-created sessions."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    jar = build_jar()
+    uri = "file://" + os.path.abspath(jar)
+    # quoting: path never contains quotes (repo-relative)
+    spark.sql(f"ADD JAR '{uri}'")
+    for name, (cls, rtype) in _JVM_UDFS.items():
+        spark.udf.registerJavaFunction(
+            name, cls, _parse_datatype_string(rtype)
+        )

@@ -1197,3 +1197,7 @@ def register_text_udfs(spark: SparkSession) -> None:
     spark.udf.register("gamma", _gamma_udf)
     spark.udf.register("lgamma", _lgamma_udf)
 
+    from .jvm_udfs import register_jvm_udfs
+
+    register_jvm_udfs(spark)
+

@@ -1,0 +1,116 @@
+package duckspark;
+
+import org.apache.spark.sql.api.java.UDF4;
+import java.math.BigDecimal;
+import java.math.MathContext;
+import java.math.RoundingMode;
+
+/**
+ * DuckDB-exact shortest-round-trip rendering of a DOUBLE/FLOAT, from
+ * its Java repr string (the dialect's transport form — see
+ * dialect.py:_shortest_double_core_sql).
+ *
+ * Contract (mirrors the retired SQL render template byte-for-byte):
+ *   - NULL -> NULL
+ *   - "NaN" -> "nan", "Infinity" -> "inf", "-Infinity" -> "-inf"
+ *   - a repr WITHOUT 'E' is already DuckDB's plain-decimal shape for
+ *     both cutoff families (Java omits E exactly on [1e-3, 1e7), inside
+ *     fmt's [-4, 15] and yyjson's [-6, 20]) -> passthrough
+ *   - otherwise re-derive the shortest round-trip digits of
+ *     parseDouble(repr) and format with the caller's cutoffs:
+ *     decimal exponent n in [lo, hi] renders plain decimal (integral
+ *     mantissas gain ".0"), outside renders scientific — yy=true is
+ *     yyjson's shape ("1e21": bare exponent, no '+', no ".0"),
+ *     yy=false is fmtlib's ("1e+20": signed two-digit-minimum
+ *     exponent).
+ *
+ * Shortest + closest selection: new BigDecimal(double) is the EXACT
+ * binary value, and round(MathContext(p, HALF_EVEN)) is the nearest
+ * p-significant-digit decimal with ties to even — precisely
+ * Dragonbox's candidate choice. If the nearest p-digit candidate does
+ * not parse back to the value, no p-digit candidate does (parsing
+ * returns the nearest double, and every other candidate is farther
+ * from the value), so scanning p upward finds the minimal length AND
+ * the correct dense-band winner in one rule — this subsumes the
+ * per-band exact-integer arithmetic the SQL template needed
+ * (reference parity: duckdb fmt shortest-repr writer; fuzz-verified
+ * byte-exact on 143k double, 80k json and 60k float draws vs DuckDB
+ * CAST/to_json).
+ */
+public class DuckRepr implements UDF4<String, Integer, Integer, Boolean, String> {
+    @Override
+    public String call(String ds, Integer lo, Integer hi, Boolean yy) {
+        if (ds == null || lo == null || hi == null || yy == null) return null;
+        if (ds.indexOf('E') < 0) {
+            switch (ds) {
+                case "NaN": return "nan";
+                case "Infinity": return "inf";
+                case "-Infinity": return "-inf";
+                default: return ds;
+            }
+        }
+        double d;
+        try {
+            d = Double.parseDouble(ds);
+        } catch (NumberFormatException e) {
+            return ds;
+        }
+        BigDecimal exact = new BigDecimal(d);
+        BigDecimal c = null;
+        // Java reprs carry at most 17 significant digits; start a few
+        // below the repr's own count (JDK 17 is occasionally
+        // non-shortest by a digit or two) and scan up.
+        int have = 0;
+        for (int i = 0; i < ds.length(); i++) {
+            char ch = ds.charAt(i);
+            if (ch == 'E') break;
+            if (ch >= '0' && ch <= '9') have++;
+        }
+        int start = Math.max(1, have - 3);
+        for (int p = start; p <= 17; p++) {
+            BigDecimal cand = exact.round(new MathContext(p, RoundingMode.HALF_EVEN));
+            if (Double.parseDouble(cand.toString()) == d) { c = cand; break; }
+        }
+        if (c == null) {
+            // only reachable if start overshot the minimal length;
+            // rescan from 1 (17 always round-trips)
+            for (int p = 1; p <= 17; p++) {
+                BigDecimal cand = exact.round(new MathContext(p, RoundingMode.HALF_EVEN));
+                if (Double.parseDouble(cand.toString()) == d) { c = cand; break; }
+            }
+        }
+        c = c.stripTrailingZeros();
+        String digits = c.unscaledValue().abs().toString();
+        int n = digits.length() - 1 - c.scale();
+        StringBuilder sb = new StringBuilder(32);
+        if (c.signum() < 0) sb.append('-');
+        if (n >= lo && n <= hi) {
+            if (n + 1 >= digits.length()) {
+                sb.append(digits);
+                for (int i = digits.length(); i <= n; i++) sb.append('0');
+                sb.append(".0");
+            } else if (n >= 0) {
+                sb.append(digits, 0, n + 1).append('.').append(digits, n + 1, digits.length());
+            } else {
+                sb.append("0.");
+                for (int i = 0; i < -n - 1; i++) sb.append('0');
+                sb.append(digits);
+            }
+        } else {
+            sb.append(digits.charAt(0));
+            if (digits.length() > 1) {
+                sb.append('.').append(digits, 1, digits.length());
+            }
+            sb.append('e');
+            if (yy) {
+                sb.append(n);
+            } else {
+                sb.append(n < 0 ? '-' : '+');
+                String en = Integer.toString(Math.abs(n));
+                if (en.length() < 2) sb.append('0');
+                sb.append(en);
+            }
+        }
+        return sb.toString();
+    }
+}

@@ -8,6 +8,8 @@ oracle the driver uses)."""
 
 from __future__ import annotations
 
+import re
+
 import duckdb
 import pytest
 
@@ -911,10 +913,13 @@ def test_window_perf_lowerings_r10c():
         "FROM part"
     )
     assert "__madw" in t
-    # the outer scope references the bare alias; the template body
-    # (with its AS rdyn) computes INSIDE the wrap subquery
-    assert ", rdyn FROM (" in t
-    assert t.index("AS rdyn") > t.index("FROM (")
+    # the outer scope re-aliases a reserved inner name (r11: moved
+    # items rename to __mv{n} inner so a user alias that shadows a
+    # source column can never make the outer reference ambiguous);
+    # the template body computes INSIDE the wrap subquery
+    assert re.search(r"__mv\d+ AS rdyn FROM \(", t)
+    assert t.index("AS rdyn") > t.index("AS wm")
+    assert re.search(r"AS __mv\d+ FROM part", t)
 
 
 def test_shortest_render_neighbor_probe(spark):
