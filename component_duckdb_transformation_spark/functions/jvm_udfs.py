@@ -83,6 +83,7 @@ _JVM_UDFS = {
     "__duck_repr_j": ("duckspark.DuckRepr", "string"),
     "__duck_mad_j": ("duckspark.DuckMad", "double"),
     "__duck_entropy_j": ("duckspark.DuckEntropy", "double"),
+    "__duck_ngram_stats": ("duckspark.DuckNgramStats", "array<bigint>"),
 }
 
 

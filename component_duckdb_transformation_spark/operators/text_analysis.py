@@ -167,18 +167,45 @@ def repetition_signals(
     plus word totals. Counters are exact BIGINTs so downstream
     corpus-level fractions (1 - sum(distinct)/sum(total)) are
     aggregation-order-independent — summing doubles would make the
-    result depend on partial-aggregation order at scale. Map-only."""
+    result depend on partial-aggregation order at scale. Map-only.
+
+    Hot path: all counters come from ONE compiled JVM pass per document
+    (jvm/duckspark/DuckNgramStats.java — word-boundary offsets plus a
+    substring hash set; an n-gram's space-join is literally a substring
+    of the document, so nothing is assembled per gram). The retired
+    pure-column spelling (word_ngrams + array_distinct per n) built and
+    hashed every concatenated n-gram string in the plan — 10x slower at
+    sf0.1 — and stays only as the fallback when the session cannot ADD
+    JAR."""
     text = F.col(text_col)
-    w = words(text)
-    out = df.withColumn("n_words", F.size(w).cast("bigint")).withColumn(
-        "n_distinct_words", F.size(F.array_distinct(w)).cast("bigint")
-    )
-    for n in ns:
-        g = word_ngrams(text, n)
-        out = out.withColumn(f"ngrams_{n}", F.size(g).cast("bigint")).withColumn(
-            f"distinct_{n}", F.size(F.array_distinct(g)).cast("bigint")
+    try:
+        from ..functions.jvm_udfs import register_jvm_udfs
+
+        register_jvm_udfs(df.sparkSession)
+    except Exception:  # noqa: BLE001 — no-ADD-JAR session: column path
+        w = words(text)
+        out = df.withColumn("n_words", F.size(w).cast("bigint")).withColumn(
+            "n_distinct_words", F.size(F.array_distinct(w)).cast("bigint")
         )
-    return out
+        for n in ns:
+            g = word_ngrams(text, n)
+            out = out.withColumn(
+                f"ngrams_{n}", F.size(g).cast("bigint")
+            ).withColumn(f"distinct_{n}", F.size(F.array_distinct(g)).cast("bigint"))
+        return out
+    ns_all = (1, *ns)
+    st = F.call_udf(
+        "__duck_ngram_stats", text, F.lit(",".join(map(str, ns_all)))
+    )
+    out = df.withColumn("__ngs", st)
+    out = out.withColumn("n_words", F.col("__ngs")[0]).withColumn(
+        "n_distinct_words", F.col("__ngs")[1]
+    )
+    for k, n in enumerate(ns, start=1):
+        out = out.withColumn(f"ngrams_{n}", F.col("__ngs")[2 * k]).withColumn(
+            f"distinct_{n}", F.col("__ngs")[2 * k + 1]
+        )
+    return out.drop("__ngs")
 
 
 def tfidf_top_terms(
