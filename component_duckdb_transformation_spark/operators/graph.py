@@ -38,6 +38,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: edge-count ceiling for the driver union-find regime; ~2 longs per
+#: edge -> well under 1 GiB of driver memory at the default
+_DRIVER_EDGE_CEILING = 4_000_000
+
+
+def _driver_union_find(sym_pdf, nodes: Optional[DataFrame], spark):
+    """Exact min-label components on the driver: union-find with path
+    compression over factorized node codes, then the per-root MINIMUM
+    original id (identical semantics to the distributed loop)."""
+    import numpy as np
+    import pandas as pd
+
+    both = pd.concat([sym_pdf["s"], sym_pdf["d"]], ignore_index=True)
+    codes, uniques = pd.factorize(both)
+    m = len(sym_pdf)
+    parent = np.arange(len(uniques), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(codes[:m], codes[m:]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.array([find(i) for i in range(len(uniques))])
+    lab = (
+        pd.DataFrame({"node": uniques, "root": roots})
+        .assign(cluster=lambda d: d.groupby("root")["node"].transform("min"))
+        .loc[:, ["node", "cluster"]]
+    )
+    mapdf = spark.createDataFrame(lab)
+    if nodes is None:
+        return mapdf.select("node", F.col("cluster"))
+    all_nodes = (
+        nodes.select(F.col(nodes.columns[0]).alias("node"))
+        .union(mapdf.select("node"))
+        .distinct()
+    )
+    return all_nodes.join(F.broadcast(mapdf), on="node", how="left").select(
+        "node", F.coalesce(F.col("cluster"), F.col("node")).alias("cluster")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -45,6 +93,7 @@ def connected_components(
     nodes: Optional[DataFrame] = None,
     node_col: str = "node",
     max_iter: int = 50,
+    max_driver_edges: int = _DRIVER_EDGE_CEILING,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
@@ -53,8 +102,23 @@ def connected_components(
     edge (they come back labeled by themselves). Returns
     ``(node, cluster)``.
 
-    Raises after ``max_iter`` non-converged rounds — silently returning
-    partial labels would be a wrong answer.
+    Two regimes, decided by the materialized edge count — the same
+    size-based physical-strategy choice AQE makes for joins:
+
+    * **edges fit on the driver** (``<= max_driver_edges``, default 4M):
+      exact union-find on the collected edge list, label map broadcast
+      back over ``nodes``. A near-duplicate pair graph is OUTPUT-sized,
+      not corpus-sized — at 100 TB the docs side is huge but the pair
+      list rarely is, and the iterative loop's 4-6 scheduled rounds are
+      pure overhead for a graph that fits in one task. ``nodes`` itself
+      is never collected.
+    * **bigger**: distributed min-label propagation + pointer jumping
+      (O(log diameter) rounds of keyed shuffles, see module docstring).
+      Pass ``max_driver_edges=0`` to force this path.
+
+    Both regimes produce the identical (node, min-reachable-id)
+    labeling. Raises after ``max_iter`` non-converged rounds — silently
+    returning partial labels would be a wrong answer.
     """
     e = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
@@ -64,6 +128,24 @@ def connected_components(
     # un-checkpointed plan (e.g. a full MinHash-LSH pipeline feeding
     # the pairs) would otherwise re-execute per round, twice
     sym = sym.localCheckpoint(eager=True)
+
+    n_sym = sym.count() if max_driver_edges else None
+    if n_sym == 0:
+        # no edges: every (optional) node is its own component
+        base = (
+            nodes.select(F.col(node_col).alias("node"))
+            if nodes is not None
+            else sym.select(F.col("s").alias("node"))
+        )
+        return base.distinct().select(
+            "node", F.col("node").alias("cluster")
+        )
+    if n_sym is not None and n_sym <= max_driver_edges:
+        return _driver_union_find(
+            sym.toPandas(),
+            nodes.select(F.col(node_col).alias("node")) if nodes is not None else None,
+            edges.sparkSession,
+        )
 
     lab = sym.select(F.col("s").alias("node")).distinct()
     if nodes is not None:

@@ -135,7 +135,7 @@ def test_connected_components_10x_chains(spark):
         .where(F.col("nxt").isNotNull())
         .select(F.col("k").alias("src"), F.col("nxt").alias("dst"))
     )
-    cc = connected_components(edges, max_iter=10)
+    cc = connected_components(edges, max_iter=10, max_driver_edges=0)
     _no_scale_killers(_plan(cc), "cc-10x")
     # components = replicated customers; every label is a chain minimum
     n_clusters = cc.select("cluster").distinct().count()

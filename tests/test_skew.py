@@ -68,7 +68,7 @@ def test_connected_components_shapes(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(120)], "src long, dst long"
     )
-    labs = connected_components(chain, max_iter=12).collect()
+    labs = connected_components(chain, max_iter=12, max_driver_edges=0).collect()
     assert {r["cluster"] for r in labs} == {0}
 
 
@@ -98,7 +98,7 @@ def test_connected_components_dominant_component_no_hot_task(spark):
             ),
         )
     )
-    cc = connected_components(tree.union(chains), max_iter=20)
+    cc = connected_components(tree.union(chains), max_iter=20, max_driver_edges=0)
     labs = cc.collect()
     by_cluster = {}
     for r in labs:
@@ -112,3 +112,68 @@ def test_connected_components_dominant_component_no_hot_task(spark):
     )
     med = sizes[len(sizes) // 2]
     assert sizes[-1] <= 2 * med, (sizes, med)
+
+
+def test_connected_components_regime_equivalence(spark):
+    """The driver union-find fast path (edge list below the broadcast
+    ceiling) must produce the identical (node, min-reachable-id)
+    labeling as the distributed pointer-jumping loop — including
+    isolated nodes, string ids, and a component whose minimum enters
+    via the reversed edge direction."""
+    import random
+
+    from component_duckdb_transformation_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(11)
+    edges = [
+        (rng.randrange(400), rng.randrange(400)) for _ in range(300)
+    ] + [(399, 7)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ndf = spark.createDataFrame(
+        [(i,) for i in range(450)], "node long"
+    )
+    fast = sorted(
+        tuple(r)
+        for r in connected_components(edf, nodes=ndf).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in connected_components(
+            edf, nodes=ndf, max_driver_edges=0
+        ).collect()
+    )
+    assert fast == dist
+    # string ids: lexicographic minimum in both regimes
+    sedges = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y")], "src string, dst string"
+    )
+    fast_s = sorted(
+        tuple(r) for r in connected_components(sedges).collect()
+    )
+    dist_s = sorted(
+        tuple(r)
+        for r in connected_components(
+            sedges, max_driver_edges=0
+        ).collect()
+    )
+    assert fast_s == dist_s == [
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+    ]
+
+
+def test_connected_components_empty_edges(spark):
+    """Zero surviving edges: every supplied node labels itself (the
+    dedup-pipeline case where LSH finds no duplicate pairs)."""
+    from component_duckdb_transformation_spark.operators.graph import (
+        connected_components,
+    )
+
+    edf = spark.createDataFrame([], "src long, dst long")
+    ndf = spark.createDataFrame([(1,), (2,)], "node long")
+    got = sorted(
+        tuple(r)
+        for r in connected_components(edf, nodes=ndf).collect()
+    )
+    assert got == [(1, 1), (2, 2)]
