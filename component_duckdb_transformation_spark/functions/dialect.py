@@ -7840,6 +7840,118 @@ _CAST_DBL_LIT_RE = re.compile(
 )
 _ROUND_LIT_RE = re.compile(r"(-?)(\d+)(?:\.(\d+))?([eE][+-]?\d+)?")
 
+_CHAIN_TOK_RE = re.compile(r"\d+\.\d+|\d+|[()+*-]|\s+|.")
+
+
+def _parse_literal_decimal_chain(text: str):
+    """``(Decimal value, width, scale)`` of an all-literal ``+ - *``
+    chain under DuckDB's DECIMAL typing, or None when any leaf is not
+    a plain numeric literal (no exponents), an operator is something
+    else, or the combined width exceeds DECIMAL(38). Typing rules
+    (probed against DuckDB 1.0, see test_dialect round-11 battery):
+    a literal's width counts its digits AS WRITTEN (000.5 is
+    DECIMAL(4,1)); INTEGER leaves join as DECIMAL(10,0) (BIGINT-sized
+    as 19,0); ``+``/``-`` give w = max(w1-s1, w2-s2) + max(s1,s2) + 1,
+    s = max(s1,s2); ``*`` gives w = w1+w2, s = s1+s2."""
+    from decimal import Decimal
+
+    toks: List[str] = []
+    for m in _CHAIN_TOK_RE.finditer(text):
+        t = m.group(0)
+        if t.isspace():
+            continue
+        if t in "()+-*" or t[0].isdigit():
+            toks.append(t)
+        else:
+            return None
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def primary():
+        t = take()
+        if t == "(":
+            v = expr()
+            if v is None or take() != ")":
+                return None
+            return v
+        if t is None or not t[0].isdigit():
+            return None
+        if "." in t:
+            ip, fp = t.split(".")
+            return (Decimal(t), len(ip) + len(fp), len(fp))
+        n = int(t)
+        if n < 2**31:
+            return (Decimal(n), 10, 0)
+        if n < 2**63:
+            return (Decimal(n), 19, 0)
+        return None
+
+    def factor():
+        neg = False
+        while peek() in ("+", "-"):
+            neg ^= take() == "-"
+        v = primary()
+        if v is None:
+            return None
+        return (-v[0], v[1], v[2]) if neg else v
+
+    def term():
+        v = factor()
+        while v is not None and peek() == "*":
+            take()
+            r = factor()
+            if r is None:
+                return None
+            v = (v[0] * r[0], v[1] + r[1], v[2] + r[2])
+            if v[1] > 38:
+                return None
+        return v
+
+    def expr():
+        v = term()
+        while v is not None and peek() in ("+", "-"):
+            op = take()
+            r = term()
+            if r is None:
+                return None
+            s = max(v[2], r[2])
+            w = max(v[1] - v[2], r[1] - r[2]) + s + 1
+            if w > 38:
+                return None
+            v = (v[0] + r[0] if op == "+" else v[0] - r[0], w, s)
+        return v
+
+    v = expr()
+    return v if v is not None and pos[0] == len(toks) else None
+
+
+def _duck_decimal_round_neg(v, w: int, s: int, k: int) -> str:
+    """DuckDB's negative-scale DECIMAL round, replicated exactly
+    (probed, DuckDB 1.0): the result is DECIMAL(w, 0); when
+    ``|k| >= w - s`` the engine short-circuits to 0 REGARDLESS of the
+    value's magnitude (round(7.0005::DECIMAL(5,4), -1) = 0 — the
+    much-discussed 'inconsistency' is this deterministic width clamp),
+    otherwise half-away-from-zero on value / 10^|k|, scaled back."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    if -k >= w - s:
+        return "0"
+    with localcontext() as ctx:
+        ctx.prec = 80
+        q = v.scaleb(k).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        ).scaleb(-k)
+    if q == 0:
+        return "0"  # DECIMAL has no signed zero
+    return format(q, "f")
+
 
 def _fold_literal_round(x: str, k: int) -> Optional[str]:
     """Constant-fold ``round(<literal>, k)`` at translate time —
@@ -7878,14 +7990,16 @@ def _fold_literal_round(x: str, k: int) -> Optional[str]:
     m = _CAST_DBL_LIT_RE.fullmatch(s)
     if m:
         return _emit_double(_duck_round_double_py(float(m.group(1)), k))
+    if k < 0:
+        # fractional DECIMAL literal/chain at negative scale: DuckDB's
+        # width-clamped half-away rule, replicated exactly from the
+        # statically known literal widths (r11; the r9 'internally
+        # inconsistent' reading was the DECIMAL(w,0) width clamp)
+        chain = _parse_literal_decimal_chain(s)
+        if chain is not None and chain[2] > 0:
+            return _duck_decimal_round_neg(chain[0], chain[1], chain[2], k)
     m2 = _ROUND_LIT_RE.fullmatch(s)
     if m2 is None:
-        return None
-    if k < 0 and m2.group(3) and not m2.group(4):
-        # fractional DECIMAL literal at negative scale: DuckDB 1.0's
-        # own results are internally inconsistent there (round(7.0005,
-        # -1) = 0 but round(15.0, -1) = 20) — keep the pre-existing
-        # template path rather than chase it
         return None
     if m2.group(4) or k < 0 or not m2.group(3):
         # double literal, negative scale, or INTEGER literal — DuckDB
@@ -8104,8 +8218,18 @@ def _snt_rec(code: List[Token], depth: int) -> Optional[str]:
             if inner not in ("decimal", "decimal0"):
                 return None
             if k < 0:
-                # native only for scale-0 operands (see docstring)
-                return "decimal0" if inner == "decimal0" else None
+                # scale-0 operands stay native; a FRACTIONAL operand
+                # is statically typed only when it is an all-literal
+                # chain the r11 fold resolves (DECIMAL(w,0) output) —
+                # non-literal fractional decimals keep the template
+                # (None), the remaining documented corner
+                if inner == "decimal0":
+                    return "decimal0"
+                if inner == "decimal" and _parse_literal_decimal_chain(
+                    "".join(t.text for t in args[0])
+                ) is not None:
+                    return "decimal0"
+                return None
             if k == 0 or inner == "decimal0":
                 return "decimal0"  # output scale min(s, k) = 0
             return "decimal"

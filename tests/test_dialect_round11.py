@@ -1,0 +1,93 @@
+"""Round-11 dialect surfaces: DuckDB's negative-scale DECIMAL round
+replicated exactly for literal operands/chains (the r9/r10 'internally
+inconsistent' corner decoded as a deterministic width clamp)."""
+
+import duckdb
+import pytest
+
+from component_duckdb_transformation_spark.functions.dialect import (
+    _parse_literal_decimal_chain,
+    translate,
+)
+
+
+def test_literal_decimal_chain_typing():
+    """Chain typing mirrors DuckDB's DECIMAL arithmetic rules."""
+    cases = {
+        "0.5": (2, 1),
+        "000.5": (4, 1),
+        "7.0005": (5, 4),
+        "1.5 + 2.25": (4, 2),
+        "1.5 * 2.25": (5, 3),
+        "15.0 + 100": (12, 1),
+        "2.5 * 4": (12, 1),
+        "1.5 * 1.5 * 1.5": (6, 3),
+        "(1.5 + 2.25) * 2.0": (6, 3),
+    }
+    for text, (w, s) in cases.items():
+        got = _parse_literal_decimal_chain(text)
+        assert got is not None and (got[1], got[2]) == (w, s), (
+            text, got, w, s,
+        )
+    # non-literal leaves, exponents, and width overflow all bail
+    assert _parse_literal_decimal_chain("x + 1.5") is None
+    assert _parse_literal_decimal_chain("1.5e2") is None
+    assert _parse_literal_decimal_chain("1.5 / 2") is None
+    assert (
+        _parse_literal_decimal_chain("1.0" + " * 99999999999999999999" * 2)
+        is None
+    )
+
+
+def test_negative_scale_decimal_round_semantics(spark):
+    """round(<fractional literal/chain>, k<0): width clamp to 0 when
+    |k| >= w - s, half-away otherwise, DECIMAL(w,0) rendering (no
+    '.0'), exactly like DuckDB."""
+    con = duckdb.connect()
+    cases = [
+        "round(7.0005, -1)",      # clamp: DECIMAL(5,4), 1 >= 1
+        "round(15.0, -1)",        # no clamp: 20
+        "round(-15.0, -1)",       # half-away: -20
+        "round(5.0, -1)",         # clamp: DECIMAL(2,1)
+        "round(95.00, -1)",       # 100
+        "round(94.99, -1)",       # 90
+        "round(1.5 + 2.25, -1)",  # 3.75 -> 0 (rounding, not clamp)
+        "round(15.0 + 100, -1)",  # int leaf joins as DECIMAL(10,0)
+        "round(123.45 - 23.45, -2)",
+        "round(55.0 + 0.5, -1)",
+        "round(1.5 * 2.25, -3)",
+        "round(9999.99, -3)",
+    ]
+    for c in cases:
+        q = f"SELECT concat('v=', {c}) AS r"
+        want = con.execute(q).fetchone()[0]
+        got = spark.sql(translate(q)).collect()[0][0]
+        assert got == want, (c, got, want)
+
+
+def test_negative_scale_round_fuzz_sample(spark):
+    """Seeded micro-campaign over the fuzzer's chain grammar at
+    k in [-4, -1] (VERDICT r10 item 6 — the draws now live in
+    tools/fuzz_diff.py's r9_scalar_item)."""
+    import random
+
+    con = duckdb.connect()
+    g = random.Random(20260816)
+
+    def lit(dec):
+        return (
+            f"{g.uniform(0.05, 200):.{g.randint(1, 4)}f}"
+            if dec
+            else str(g.randint(1, 300))
+        )
+
+    for _ in range(60):
+        k = g.randint(-4, -1)
+        if g.random() < 0.4:
+            expr = lit(True)
+        else:
+            expr = f"({lit(True)} {g.choice(['+', '-', '*'])} {lit(g.random() < 0.5)})"
+        q = f"SELECT concat('v=', round({expr}, {k})) AS r"
+        want = con.execute(q).fetchone()[0]
+        got = spark.sql(translate(q)).collect()[0][0]
+        assert got == want, (q, got, want)

@@ -403,7 +403,10 @@ def r9_scalar_item(g: random.Random) -> str:
         a, b = lit(dec), lit(g.random() < 0.5 and dec)
         chain = f"({a} {g.choice(['+', '-', '*'])} {b})"
         fn = g.choice(["round", "ceil", "floor", "trunc", "round"])
-        call = (f"round({chain}, {g.randint(0, 4)})"
+        # r11: scale draws include the NEGATIVE range — DuckDB's
+        # width-clamped DECIMAL(w,0) rule is replicated by the
+        # literal-chain fold (_fold_literal_round)
+        call = (f"round({chain}, {g.randint(-4, 4)})"
                 if fn == "round" else f"{fn}({chain})")
         return f"concat({g.choice(STR_COLS)}, {call})"
     if r < 0.35:
