@@ -709,6 +709,7 @@ def _translate_tokens(tokens: List[Token]) -> str:
     tokens = _rewrite_product_entropy(tokens)
     tokens = _rewrite_entropy_window_running_recursive(tokens)
     tokens = _rewrite_agg_window_frames(tokens)
+    tokens = _rewrite_fuse_percentile_cont(tokens)
     # brace-map sentinel back to Spark's variadic map (see
     # _rewrite_brace_literals)
     out = [
@@ -718,6 +719,142 @@ def _translate_tokens(tokens: List[Token]) -> str:
         for t in tokens
     ]
     return "".join(t.text for t in out)
+
+
+def _rewrite_fuse_percentile_cont(tokens: List[Token]) -> List[Token]:
+    """Fuse repeated ``percentile_cont(<lit>) WITHIN GROUP (ORDER BY
+    <expr>)`` aggregates over the SAME ascending order expression into
+    one shared ``percentile(<expr>, array(p1..pk))`` call extracted by
+    ``element_at`` — Spark plans each percentile_cont as its own
+    sort/hash-map aggregate (PercentileCont IS RuntimeReplaceable to
+    Percentile, so values are bit-identical), and q08's five quantiles
+    of l_extendedprice built five 600k-entry count maps per partition;
+    fused they build one (5.4 s -> ~1.7 s at sf0.1). Every fused call
+    site carries the full percentage array (Catalyst dedupes identical
+    aggregate expressions within an Aggregate, and a scope that uses a
+    subset merely reads fewer elements of the same one-pass result).
+    Occurrences followed by OVER/FILTER, with DESC or NULLS FIRST
+    ordering, multiple sort keys, or a non-literal percentage keep the
+    native spelling."""
+    occ = []  # (start, end_exclusive, p_text, expr_key)
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if not (t.kind == "word" and t.text.lower() == "percentile_cont"):
+            i += 1
+            continue
+        p_open = _next_code(tokens, i)
+        if not (
+            p_open < n
+            and tokens[p_open].kind == "op"
+            and tokens[p_open].text == "("
+        ):
+            i += 1
+            continue
+        p_close = _matching_paren(tokens, p_open)
+        arg = [
+            t2
+            for t2 in tokens[p_open + 1 : p_close]
+            if t2.kind not in ("ws", "comment")
+        ]
+        if not (
+            len(arg) == 1
+            and arg[0].kind in ("word", "number")
+            and re.fullmatch(r"\d+(?:\.\d+)?", arg[0].text)
+        ):
+            i = p_close + 1
+            continue
+        j = _next_code(tokens, p_close)
+        if not (j < n and tokens[j].kind == "word" and tokens[j].upper == "WITHIN"):
+            i = p_close + 1
+            continue
+        j2 = _next_code(tokens, j)
+        if not (j2 < n and tokens[j2].upper == "GROUP"):
+            i = p_close + 1
+            continue
+        g_open = _next_code(tokens, j2)
+        if not (
+            g_open < n
+            and tokens[g_open].kind == "op"
+            and tokens[g_open].text == "("
+        ):
+            i = p_close + 1
+            continue
+        g_close = _matching_paren(tokens, g_open)
+        inner = [
+            t2
+            for t2 in tokens[g_open + 1 : g_close]
+            if t2.kind not in ("ws", "comment")
+        ]
+        if len(inner) < 3 or inner[0].upper != "ORDER" or inner[1].upper != "BY":
+            i = g_close + 1
+            continue
+        expr = inner[2:]
+        # strip one trailing NULLS LAST; bail on FIRST/DESC/multi-key
+        if (
+            len(expr) >= 2
+            and expr[-2].kind == "word"
+            and expr[-2].upper == "NULLS"
+        ):
+            if expr[-1].upper != "LAST":
+                i = g_close + 1
+                continue
+            expr = expr[:-2]
+        if expr and expr[-1].kind == "word" and expr[-1].upper in ("ASC",):
+            expr = expr[:-1]
+        bail = not expr
+        depth = 0
+        for t2 in expr:
+            if t2.kind == "op" and t2.text == "(":
+                depth += 1
+            elif t2.kind == "op" and t2.text == ")":
+                depth -= 1
+            elif depth == 0 and (
+                (t2.kind == "op" and t2.text == ",")
+                or (t2.kind == "word" and t2.upper in ("DESC", "NULLS"))
+            ):
+                bail = True
+                break
+        after = _next_code(tokens, g_close)
+        if after < n and tokens[after].kind == "word" and tokens[after].upper in (
+            "OVER",
+            "FILTER",
+        ):
+            bail = True
+        if bail:
+            i = g_close + 1
+            continue
+        key = "".join(t2.text for t2 in expr)
+        occ.append((i, g_close + 1, arg[0].text, key))
+        i = g_close + 1
+    if not occ:
+        return tokens
+    by_key: dict = {}
+    for _, _, p, key in occ:
+        by_key.setdefault(key, set()).add(p)
+    fuse_keys = {
+        k: sorted(ps, key=float) for k, ps in by_key.items() if len(ps) > 1
+    }
+    if not fuse_keys:
+        return tokens
+    out: List[Token] = []
+    pos = 0
+    for start, end, p, key in occ:
+        if key not in fuse_keys:
+            continue
+        ps = fuse_keys[key]
+        idx = ps.index(p) + 1
+        out.extend(tokens[pos:start])
+        out.extend(
+            _toks(
+                f"element_at(percentile(({key}), "
+                f"array({', '.join(ps)})), {idx})"
+            )
+        )
+        pos = end
+    out.extend(tokens[pos:])
+    return out
 
 
 _FROM_FIRST_CLAUSES = {

@@ -91,3 +91,54 @@ def test_negative_scale_round_fuzz_sample(spark):
         want = con.execute(q).fetchone()[0]
         got = spark.sql(translate(q)).collect()[0][0]
         assert got == want, (q, got, want)
+
+
+def test_percentile_cont_fusion_rewrite():
+    """>= 2 percentile_cont over the same ascending order expr fuse
+    into one shared percentile(expr, array(...)) call; DESC, OVER,
+    FILTER, and single-p spellings keep the native form."""
+    t = translate(
+        "SELECT g, percentile_cont(0.25) WITHIN GROUP (ORDER BY x) AS a,"
+        " percentile_cont(0.75) WITHIN GROUP (ORDER BY x) AS b"
+        " FROM t GROUP BY g"
+    )
+    assert "percentile_cont" not in t
+    assert "array(0.25, 0.75)" in t and "element_at(percentile((x)" in t
+    # single percentage: nothing to fuse
+    t1 = translate(
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x) FROM t"
+    )
+    assert "percentile_cont" in t1
+    # DESC ordering keeps native
+    t2 = translate(
+        "SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY x DESC) AS a,"
+        " percentile_cont(0.75) WITHIN GROUP (ORDER BY x DESC) AS b FROM t"
+    )
+    assert t2.count("percentile_cont") == 2
+    # window spelling keeps native (handled by the window machinery)
+    t3 = translate(
+        "SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY x) OVER () AS a,"
+        " percentile_cont(0.75) WITHIN GROUP (ORDER BY x) OVER () AS b FROM t"
+    )
+    assert "element_at(percentile((x)" not in t3
+
+
+def test_percentile_cont_fusion_semantics(spark):
+    """Fused quantiles are value-identical to DuckDB's percentile_cont
+    (PercentileCont is RuntimeReplaceable to Percentile in Spark, so
+    the interpolation is the same formula)."""
+    import duckdb
+
+    con = duckdb.connect()
+    q = (
+        "SELECT g,"
+        " percentile_cont(0.25) WITHIN GROUP (ORDER BY v) AS p25,"
+        " percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS p50,"
+        " percentile_cont(0.9) WITHIN GROUP (ORDER BY v) AS p90"
+        " FROM (SELECT g, CAST(v AS DOUBLE) AS v FROM (VALUES"
+        " (1, 1.0), (1, 2.0), (1, 100.0), (1, 3.5),"
+        " (2, 7.25), (2, NULL), (2, -4.0)) t(g, v)) GROUP BY g"
+    )
+    want = sorted(map(tuple, con.execute(q).fetchall()))
+    got = sorted(map(tuple, spark.sql(translate(q)).collect()))
+    assert got == want, (got, want)
