@@ -12,12 +12,16 @@ round(), runtime-regexp no-op parity, DISTINCT mad/entropy, and the
 round-10 surfaces: JVM window-aggregate frame folds with O(n log n)
 running-entropy/quantile-extreme lowerings, alias static typing,
 fmt-exact printf/format float directives incl. the 'general'
-presentation, NULL/render edges, split_part never-NULL semantics)
+presentation, NULL/render edges, split_part never-NULL semantics,
+and the round-11 surfaces: compiled-core O(1) exact rendering
+[jvm/duckspark], fused percentile_cont arrays, DuckDB's
+negative-scale DECIMAL round width-clamp for literal chains)
 plus the LLM-pipeline extensions (dedup, similarity,
 sampling, temporal, text analysis, multimodal, streaming, connected
 components, PII redaction, sequence packing, decontamination,
-SemDeDup semantic dedup, streaming LSH dedup, bigram-LM quality:
-x01-x42) and the executor statement pipelines (x15
+SemDeDup semantic dedup, streaming LSH dedup, bigram-LM quality,
+training-mix assembly, domain capping: x01-x44) and the executor
+statement pipelines (x15
 CTAS/INSERT/UPDATE/DELETE, x25 ALTER + UPDATE..FROM, x26 MERGE INTO,
 x27 dynamic PIVOT, x29 PRIMARY KEY upserts with UPDATE-time
 constraint re-validation, x30 sequences + positional ENUM +

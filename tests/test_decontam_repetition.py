@@ -82,3 +82,48 @@ def test_ngram_contamination_broadcasts_benchmark(spark):
     # the training side is never shuffled for the contamination probe
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_repetition_signals_tokenization_edges(spark):
+    """The compiled DuckNgramStats pass must reproduce split-on-space
+    semantics exactly on the edges: consecutive spaces yield empty
+    words, leading/trailing spaces yield boundary empties, '' is one
+    empty word — byte-matched against DuckDB's string_split spelling
+    (the x37 oracle)."""
+    import duckdb
+
+    texts = [
+        "",            # one empty word
+        " ",           # two empty words
+        "a  b",        # interior empty word
+        " a b ",       # boundary empties
+        "a a a a",     # all-duplicate 1/2/3-grams
+        "x",           # single word, no n-grams
+        "a b a b a",   # overlapping repeated 2-grams
+    ]
+    df = _texts(spark, *texts)
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_distinct_words"],
+            r["ngrams_2"], r["distinct_2"],
+            r["ngrams_3"], r["distinct_3"],
+        )
+        for r in repetition_signals(df, "text", ns=(2, 3)).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        lit = t.replace("'", "''")
+        want = con.execute(
+            f"""
+            SELECT len(w), len(list_distinct(w)),
+                   len(g2), len(list_distinct(g2)),
+                   len(g3), len(list_distinct(g3))
+            FROM (SELECT w,
+                    list_transform(generate_series(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+1], ' ')) AS g2,
+                    list_transform(generate_series(1, len(w) - 2),
+                                   i -> array_to_string(w[i:i+2], ' ')) AS g3
+                  FROM (SELECT string_split('{lit}', ' ') AS w))
+            """
+        ).fetchone()
+        assert got[i] == tuple(want), (repr(t), got[i], tuple(want))
