@@ -448,3 +448,41 @@ def test_printf_twins_batch_into_one_arrow_stage(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan[:2000]
     assert "BatchEvalPython" not in plan
+
+
+def test_q08_percentiles_fused_single_percentile_agg(spark):
+    """The four percentile_cont quantiles of l_extendedprice fuse into
+    ONE shared percentile(expr, array(...)) aggregate (Catalyst dedupes
+    the identical aggregate expressions) — five separate per-partition
+    value-count maps was q08's 5.5 s pole. percentile_disc stays its
+    own aggregate."""
+    import re
+
+    plan = _plan(spark, "q08_percentiles")
+    # the aggregate node evaluates exactly 2 functions: the fused
+    # percentile array + percentile_disc (was 5 separate maps)
+    counts = {int(n) for n in re.findall(r"Functions \[(\d+)\]", plan)}
+    assert counts == {2}, (counts, plan[:300])
+    assert "percentile_cont" not in plan
+    # still a partial+final aggregation over one shuffle
+    assert plan.count("Exchange") <= 4
+
+
+def test_x37_repetition_single_compiled_pass(spark):
+    """Repetition counters come from the compiled DuckNgramStats core:
+    no explode, no per-n-gram array assembly (concat_ws/transform
+    chains) in the plan, still map-only into one aggregation."""
+    plan = _plan(spark, "x37_repetition_signals")
+    assert "Explode" not in plan and "explode" not in plan
+    assert "concat_ws" not in plan
+    assert "__duck_ngram_stats" in plan
+    assert "Join" not in plan
+
+
+def test_x32_cc_driver_regime_broadcasts_label_map(spark):
+    """Small pair graphs take the driver union-find regime: the final
+    labeling is a broadcast join of the label map against the node
+    set — no iterative shuffle rounds in the returned plan."""
+    plan = _plan(spark, "x32_connected_components")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
