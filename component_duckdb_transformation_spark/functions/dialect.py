@@ -8460,6 +8460,27 @@ def _rewrite_round_double(
                         out.append(tok)
                         i += 1
                         continue
+                    if folded is None and k < 0 and sty == "decimal":
+                        # fractional DECIMAL(p,s) column with a
+                        # published schema hint: DuckDB's negative-
+                        # scale width clamp is statically decidable.
+                        # The clamp is ABSOLUTE — a clamped site is
+                        # the constant 0 even on NULL input (probed,
+                        # DuckDB 1.0); non-clamped sites keep native
+                        # Spark round, whose decimal HALF_UP matches
+                        # DuckDB's half-away and DECIMAL(_,0) shape
+                        mm_h = re.fullmatch(
+                            r"decimal\((\d+),(\d+)\)",
+                            _hinted_primary_type(args[0]) or "",
+                        )
+                        if mm_h:
+                            if -k >= int(mm_h.group(1)) - int(mm_h.group(2)):
+                                out.extend(_toks("0"))
+                                i = close + 1
+                            else:
+                                out.append(tok)
+                                i += 1
+                            continue
                     if folded is not None:
                         emitted = folded
                     elif not in_udf_here and (

@@ -142,3 +142,36 @@ def test_percentile_cont_fusion_semantics(spark):
     want = sorted(map(tuple, con.execute(q).fetchall()))
     got = sorted(map(tuple, spark.sql(translate(q)).collect()))
     assert got == want, (got, want)
+
+
+def test_negative_scale_round_hinted_decimal_column(spark):
+    """A DECIMAL(p,s)-hinted COLUMN at a literal negative scale takes
+    DuckDB's statically-decidable width clamp: |k| >= p-s sites emit
+    the constant 0 (ABSOLUTE — DuckDB returns 0 there even for NULL
+    input, probed), non-clamped sites keep native Spark round (decimal
+    HALF_UP = DuckDB half-away, DECIMAL(_,0) rendering)."""
+    import duckdb
+
+    from component_duckdb_transformation_spark.functions.dialect import (
+        column_type_hints,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT CAST(v AS DECIMAL(5,4)) AS nv,"
+        " CAST(w AS DECIMAL(4,2)) AS wv FROM (VALUES"
+        " (7.0005, 95.00), (4.9999, 94.99), (NULL, NULL)) s(v, w)"
+    )
+    spark.sql(
+        "SELECT CAST(v AS DECIMAL(5,4)) AS nv, CAST(w AS DECIMAL(4,2)) AS wv"
+        " FROM (VALUES (7.0005, 95.00), (4.9999, 94.99),"
+        " (NULL, NULL)) s(v, w)"
+    ).createOrReplaceTempView("t")
+    q = (
+        "SELECT concat('a=', round(nv, -1), ' b=', round(wv, -1),"
+        " ' c=', round(wv, -2)) AS r FROM t"
+    )
+    want = sorted(r[0] for r in con.execute(q).fetchall())
+    with column_type_hints({"nv": "decimal(5,4)", "wv": "decimal(4,2)"}):
+        got = sorted(r[0] for r in spark.sql(translate(q)).collect())
+    assert got == want, (got, want)
