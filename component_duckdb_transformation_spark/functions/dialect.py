@@ -7977,27 +7977,38 @@ _CAST_DBL_LIT_RE = re.compile(
 )
 _ROUND_LIT_RE = re.compile(r"(-?)(\d+)(?:\.(\d+))?([eE][+-]?\d+)?")
 
-_CHAIN_TOK_RE = re.compile(r"\d+\.\d+|\d+|[()+*-]|\s+|.")
+_CHAIN_TOK_RE = re.compile(
+    r"\d+\.\d+|\d+|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*|[()+*-]|\s+|."
+)
+
+#: DuckDB's DECIMAL image of the integer types (hint spellings)
+_INT_HINT_WIDTHS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
 
 
 def _parse_literal_decimal_chain(text: str):
-    """``(Decimal value, width, scale)`` of an all-literal ``+ - *``
-    chain under DuckDB's DECIMAL typing, or None when any leaf is not
-    a plain numeric literal (no exponents), an operator is something
-    else, or the combined width exceeds DECIMAL(38). Typing rules
-    (probed against DuckDB 1.0, see test_dialect round-11 battery):
-    a literal's width counts its digits AS WRITTEN (000.5 is
-    DECIMAL(4,1)); INTEGER leaves join as DECIMAL(10,0) (BIGINT-sized
-    as 19,0); ``+``/``-`` give w = max(w1-s1, w2-s2) + max(s1,s2) + 1,
-    s = max(s1,s2); ``*`` gives w = w1+w2, s = s1+s2."""
+    """``(Decimal value | None, width, scale)`` of a ``+ - *`` chain
+    over numeric literals and DECIMAL/INTEGER-hinted plain column
+    refs, under DuckDB's DECIMAL typing; None when any leaf is
+    something else (exponents, calls, unhinted names), another
+    operator appears, or the combined width exceeds DECIMAL(38). The
+    value is exact for all-literal chains and None as soon as a
+    column leaf participates — the negative-scale round fold needs
+    the value, the width CLAMP decision only needs (width, scale).
+    Typing rules (probed against DuckDB 1.0, see test_dialect
+    round-11 battery): a literal's width counts its digits AS WRITTEN
+    (000.5 is DECIMAL(4,1)); INTEGER leaves join as DECIMAL(10,0)
+    (BIGINT-sized as 19,0); ``+``/``-`` give
+    w = max(w1-s1, w2-s2) + max(s1,s2) + 1, s = max(s1,s2); ``*``
+    gives w = w1+w2, s = s1+s2."""
     from decimal import Decimal
 
+    hints = _TYPE_HINTS.get() or {}
     toks: List[str] = []
     for m in _CHAIN_TOK_RE.finditer(text):
         t = m.group(0)
         if t.isspace():
             continue
-        if t in "()+-*" or t[0].isdigit():
+        if t in "()+-*" or t[0].isdigit() or t[0].isalpha() or t[0] == "_":
             toks.append(t)
         else:
             return None
@@ -8018,9 +8029,22 @@ def _parse_literal_decimal_chain(text: str):
             if v is None or take() != ")":
                 return None
             return v
-        if t is None or not t[0].isdigit():
+        if t is None or t in ")+-*":
+            return None
+        if t[0].isalpha() or t[0] == "_":
+            # plain (possibly qualified) column ref: hinted type only
+            h = hints.get(t.rsplit(".", 1)[-1].lower(), "")
+            mm = re.fullmatch(r"decimal\((\d+),(\d+)\)", h)
+            if mm:
+                return (None, int(mm.group(1)), int(mm.group(2)))
+            if h in _INT_HINT_WIDTHS:
+                return (None, _INT_HINT_WIDTHS[h], 0)
+            return None
+        if not t[0].isdigit():
             return None
         if "." in t:
+            if t.count(".") != 1:
+                return None
             ip, fp = t.split(".")
             return (Decimal(t), len(ip) + len(fp), len(fp))
         n = int(t)
@@ -8037,7 +8061,9 @@ def _parse_literal_decimal_chain(text: str):
         v = primary()
         if v is None:
             return None
-        return (-v[0], v[1], v[2]) if neg else v
+        if neg and v[0] is not None:
+            return (-v[0], v[1], v[2])
+        return v
 
     def term():
         v = factor()
@@ -8046,7 +8072,12 @@ def _parse_literal_decimal_chain(text: str):
             r = factor()
             if r is None:
                 return None
-            v = (v[0] * r[0], v[1] + r[1], v[2] + r[2])
+            val = (
+                v[0] * r[0]
+                if v[0] is not None and r[0] is not None
+                else None
+            )
+            v = (val, v[1] + r[1], v[2] + r[2])
             if v[1] > 38:
                 return None
         return v
@@ -8062,7 +8093,11 @@ def _parse_literal_decimal_chain(text: str):
             w = max(v[1] - v[2], r[1] - r[2]) + s + 1
             if w > 38:
                 return None
-            v = (v[0] + r[0] if op == "+" else v[0] - r[0], w, s)
+            if v[0] is None or r[0] is None:
+                val = None
+            else:
+                val = v[0] + r[0] if op == "+" else v[0] - r[0]
+            v = (val, w, s)
         return v
 
     v = expr()
@@ -8133,7 +8168,7 @@ def _fold_literal_round(x: str, k: int) -> Optional[str]:
         # statically known literal widths (r11; the r9 'internally
         # inconsistent' reading was the DECIMAL(w,0) width clamp)
         chain = _parse_literal_decimal_chain(s)
-        if chain is not None and chain[2] > 0:
+        if chain is not None and chain[0] is not None and chain[2] > 0:
             return _duck_decimal_round_neg(chain[0], chain[1], chain[2], k)
     m2 = _ROUND_LIT_RE.fullmatch(s)
     if m2 is None:
@@ -8461,20 +8496,18 @@ def _rewrite_round_double(
                         i += 1
                         continue
                     if folded is None and k < 0 and sty == "decimal":
-                        # fractional DECIMAL(p,s) column with a
-                        # published schema hint: DuckDB's negative-
-                        # scale width clamp is statically decidable.
-                        # The clamp is ABSOLUTE — a clamped site is
-                        # the constant 0 even on NULL input (probed,
-                        # DuckDB 1.0); non-clamped sites keep native
-                        # Spark round, whose decimal HALF_UP matches
-                        # DuckDB's half-away and DECIMAL(_,0) shape
-                        mm_h = re.fullmatch(
-                            r"decimal\((\d+),(\d+)\)",
-                            _hinted_primary_type(args[0]) or "",
-                        )
-                        if mm_h:
-                            if -k >= int(mm_h.group(1)) - int(mm_h.group(2)):
+                        # fractional DECIMAL chain (hinted plain
+                        # columns and/or literals): DuckDB's negative-
+                        # scale width clamp is statically decidable
+                        # from the chain's (w, s). The clamp is
+                        # ABSOLUTE — a clamped site is the constant 0
+                        # even on NULL input (probed, DuckDB 1.0);
+                        # non-clamped sites keep native Spark round,
+                        # whose decimal HALF_UP matches DuckDB's
+                        # half-away and DECIMAL(_,0) shape
+                        res = _parse_literal_decimal_chain(x)
+                        if res is not None and res[2] > 0:
+                            if -k >= res[1] - res[2]:
                                 out.extend(_toks("0"))
                                 i = close + 1
                             else:

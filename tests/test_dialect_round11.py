@@ -175,3 +175,39 @@ def test_negative_scale_round_hinted_decimal_column(spark):
     with column_type_hints({"nv": "decimal(5,4)", "wv": "decimal(4,2)"}):
         got = sorted(r[0] for r in spark.sql(translate(q)).collect())
     assert got == want, (got, want)
+
+
+def test_negative_scale_round_mixed_hinted_chains(spark):
+    """+ - * chains MIXING hinted DECIMAL/INT columns with literals at
+    k<0: the chain's DuckDB (w,s) is statically derivable from the
+    hints, so the width clamp applies — clamped sites are the constant
+    0 (even on NULL), non-clamped sites keep native Spark round."""
+    import duckdb
+
+    from component_duckdb_transformation_spark.functions.dialect import (
+        column_type_hints,
+    )
+
+    con = duckdb.connect()
+    setup = (
+        "SELECT CAST(v AS DECIMAL(5,4)) AS nv, CAST(w AS DECIMAL(4,2)) AS"
+        " wv, CAST(i AS INT) AS iv FROM (VALUES (7.0005, 95.00, 3),"
+        " (4.9999, 94.99, 250), (NULL, NULL, NULL)) s(v, w, i)"
+    )
+    con.execute(f"CREATE TABLE t AS {setup}")
+    spark.sql(setup).createOrReplaceTempView("t")
+    hints = {"nv": "decimal(5,4)", "wv": "decimal(4,2)", "iv": "int"}
+    cases = [
+        "round(nv + 100.0, -1)",  # mixed literal+col, no clamp
+        "round(nv * wv, -3)",     # (9,6): clamp
+        "round(wv + iv, -1)",     # INT col leaf joins as DECIMAL(10,0)
+        "round(wv - 90.0, -1)",
+        "round(-nv, -1)",         # signed column leaf: clamp
+        "round(nv + wv, -2)",
+    ]
+    for c in cases:
+        q = f"SELECT concat('v=', {c}) AS r FROM t"
+        want = sorted(r[0] for r in con.execute(q).fetchall())
+        with column_type_hints(hints):
+            got = sorted(r[0] for r in spark.sql(translate(q)).collect())
+        assert got == want, (c, got, want)
