@@ -516,10 +516,49 @@ def r10b_item(g: random.Random) -> str:
     )
 
 
+#: DECIMAL/INT columns added to the fuzz lineitem view on BOTH engines
+#: (main registers the casts and publishes the matching hints) — the
+#: hint-dispatched surfaces (decimal round/ceil/floor/trunc, the
+#: negative-scale width clamp, decimal rendering in || / concat) were
+#: previously covered only by hand batteries
+HINTED_DEC_COLS = {
+    "dq": "decimal(12,2)",
+    "dt": "decimal(8,4)",
+    "dnarrow": "decimal(4,3)",  # w-s = 1: clamps at every k <= -1
+}
+
+
+def hinted_decimal_item(g: random.Random) -> str:
+    """Draws over the hinted DECIMAL view columns: rounding at
+    positive AND negative scales (the width clamp is statically
+    decided from the hints), ceil/floor/trunc native-decimal paths,
+    mixed column+literal chains, and string renderings."""
+    col = g.choice(list(HINTED_DEC_COLS))
+    r = g.random()
+    if r < 0.30:
+        k = g.randint(-4, 4)
+        return f"concat('v=', round({col}, {k}))"
+    if r < 0.50:
+        lit = f"{g.uniform(0.5, 50):.{g.randint(1, 3)}f}"
+        op = g.choice(["+", "-", "*"])
+        k = g.randint(-3, 3)
+        return f"concat('v=', round(({col} {op} {lit}), {k}))"
+    if r < 0.65:
+        fn = g.choice(["ceil", "floor", "trunc"])
+        return f"concat('v=', {fn}({col}))"
+    if r < 0.80:
+        k = g.randint(-2, 2)
+        other = g.choice([c for c in HINTED_DEC_COLS if c != col])
+        return f"round({col} + {other}, {k})"
+    return f"({col} || '#' || {g.choice(STR_COLS)})"
+
+
 def scalar_item(g: random.Random) -> str:
     r = g.random()
-    if r < 0.38:
+    if r < 0.33:
         return num_expr(g)
+    if r < 0.38:
+        return hinted_decimal_item(g)
     if r < 0.54:
         return str_expr(g)
     if r < 0.60:
@@ -1135,6 +1174,29 @@ def main() -> int:
             f"CREATE VIEW {table} AS "
             f"FROM read_parquet('{sf_dir}/{table}.parquet')"
         )
+
+    # augment lineitem with real DECIMAL columns on BOTH engines and
+    # publish the matching hints for the whole run (names are unique,
+    # so non-decimal draws are unaffected) — exercises the
+    # hint-dispatched decimal surfaces (see hinted_decimal_item)
+    from component_duckdb_transformation_spark.functions.dialect import (
+        column_type_hints,
+    )
+
+    dec_casts = (
+        "CAST(l_quantity AS DECIMAL(12,2)) AS dq, "
+        "CAST(l_tax AS DECIMAL(8,4)) AS dt, "
+        "CAST(l_discount % 10 AS DECIMAL(4,3)) AS dnarrow"
+    )
+    spark.sql(
+        f"SELECT *, {dec_casts} FROM lineitem"
+    ).createOrReplaceTempView("lineitem")
+    con.execute(
+        f"CREATE OR REPLACE VIEW lineitem AS SELECT *, {dec_casts} "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    hint_ctx = column_type_hints(dict(HINTED_DEC_COLS))
+    hint_ctx.__enter__()
 
     g = random.Random(seed)
     scalar_n = n * 3 // 5
