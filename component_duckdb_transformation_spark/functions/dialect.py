@@ -8032,8 +8032,16 @@ def _parse_literal_decimal_chain(text: str):
         if t is None or t in ")+-*":
             return None
         if t[0].isalpha() or t[0] == "_":
-            # plain (possibly qualified) column ref: hinted type only
-            h = hints.get(t.rsplit(".", 1)[-1].lower(), "")
+            # plain (possibly qualified) column ref: hinted type only.
+            # A dotted ref whose FIRST segment is a STRUCT-hinted
+            # column is a field access, not a table-qualified column —
+            # bail rather than mis-resolve the last segment's hint
+            segs = t.split(".")
+            if len(segs) > 1 and str(
+                hints.get(segs[0].lower(), "")
+            ).startswith("struct<"):
+                return None
+            h = hints.get(segs[-1].lower(), "")
             mm = re.fullmatch(r"decimal\((\d+),(\d+)\)", h)
             if mm:
                 return (None, int(mm.group(1)), int(mm.group(2)))
