@@ -8022,6 +8022,10 @@ def _parse_literal_decimal_chain(text: str):
         pos[0] += 1
         return t
 
+    # nodes are (value | None, width, scale, is_int): an all-INTEGER
+    # subtree stays INTEGER in DuckDB (0 + 0 is INTEGER, not
+    # DECIMAL(11,0)) — its DECIMAL image (10/19, 0) materializes only
+    # when the subtree meets a decimal operand (hypothesis-found)
     def primary():
         t = take()
         if t == "(":
@@ -8044,9 +8048,9 @@ def _parse_literal_decimal_chain(text: str):
             h = hints.get(segs[-1].lower(), "")
             mm = re.fullmatch(r"decimal\((\d+),(\d+)\)", h)
             if mm:
-                return (None, int(mm.group(1)), int(mm.group(2)))
+                return (None, int(mm.group(1)), int(mm.group(2)), False)
             if h in _INT_HINT_WIDTHS:
-                return (None, _INT_HINT_WIDTHS[h], 0)
+                return (None, _INT_HINT_WIDTHS[h], 0, True)
             return None
         if not t[0].isdigit():
             return None
@@ -8054,12 +8058,12 @@ def _parse_literal_decimal_chain(text: str):
             if t.count(".") != 1:
                 return None
             ip, fp = t.split(".")
-            return (Decimal(t), len(ip) + len(fp), len(fp))
+            return (Decimal(t), len(ip) + len(fp), len(fp), False)
         n = int(t)
         if n < 2**31:
-            return (Decimal(n), 10, 0)
+            return (Decimal(n), 10, 0, True)
         if n < 2**63:
-            return (Decimal(n), 19, 0)
+            return (Decimal(n), 19, 0, True)
         return None
 
     def factor():
@@ -8070,7 +8074,7 @@ def _parse_literal_decimal_chain(text: str):
         if v is None:
             return None
         if neg and v[0] is not None:
-            return (-v[0], v[1], v[2])
+            return (-v[0], v[1], v[2], v[3])
         return v
 
     def term():
@@ -8085,7 +8089,11 @@ def _parse_literal_decimal_chain(text: str):
                 if v[0] is not None and r[0] is not None
                 else None
             )
-            v = (val, v[1] + r[1], v[2] + r[2])
+            if v[3] and r[3]:
+                # INTEGER * INTEGER stays INTEGER (wider rank wins)
+                v = (val, max(v[1], r[1]), 0, True)
+                continue
+            v = (val, v[1] + r[1], v[2] + r[2], False)
             if v[1] > 38:
                 return None
         return v
@@ -8097,19 +8105,25 @@ def _parse_literal_decimal_chain(text: str):
             r = term()
             if r is None:
                 return None
-            s = max(v[2], r[2])
-            w = max(v[1] - v[2], r[1] - r[2]) + s + 1
-            if w > 38:
-                return None
             if v[0] is None or r[0] is None:
                 val = None
             else:
                 val = v[0] + r[0] if op == "+" else v[0] - r[0]
-            v = (val, w, s)
+            if v[3] and r[3]:
+                # INTEGER +/- INTEGER stays INTEGER
+                v = (val, max(v[1], r[1]), 0, True)
+                continue
+            s = max(v[2], r[2])
+            w = max(v[1] - v[2], r[1] - r[2]) + s + 1
+            if w > 38:
+                return None
+            v = (val, w, s, False)
         return v
 
     v = expr()
-    return v if v is not None and pos[0] == len(toks) else None
+    if v is None or pos[0] != len(toks):
+        return None
+    return (v[0], v[1], v[2])
 
 
 def _duck_decimal_round_neg(v, w: int, s: int, k: int) -> str:

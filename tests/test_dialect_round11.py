@@ -211,3 +211,65 @@ def test_negative_scale_round_mixed_hinted_chains(spark):
         with column_type_hints(hints):
             got = sorted(r[0] for r in spark.sql(translate(q)).collect())
         assert got == want, (c, got, want)
+
+
+def test_chain_typing_property_vs_duckdb():
+    """Property check: wherever _parse_literal_decimal_chain claims a
+    (width, scale), DuckDB's own typeof() agrees, and where it also
+    carries an exact value, the negative-scale fold matches DuckDB's
+    round rendering. Randomized chains over literals with +-*,
+    parens, and unary minus (seeded; hypothesis shrinks failures)."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from component_duckdb_transformation_spark.functions.dialect import (
+        _duck_decimal_round_neg,
+    )
+
+    con = duckdb.connect()
+
+    lit = st.one_of(
+        st.integers(0, 500).map(str),
+        st.tuples(
+            st.integers(0, 300), st.integers(0, 9999), st.integers(1, 4)
+        ).map(lambda t: f"{t[0]}.{str(t[1]).zfill(4)[: t[2]]}"),
+    )
+
+    chain = st.recursive(
+        lit,
+        lambda inner: st.one_of(
+            st.tuples(inner, st.sampled_from(["+", "-", "*"]), inner).map(
+                lambda t: f"({t[0]} {t[1]} {t[2]})"
+            ),
+            inner.map(lambda s: f"(-{s})"),
+        ),
+        max_leaves=5,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(chain=chain, k=st.integers(-4, -1))
+    def check(chain, k):
+        got = _parse_literal_decimal_chain(chain)
+        if got is None:
+            return
+        val, w, s = got
+        t = con.execute(f"SELECT typeof({chain})").fetchone()[0]
+        mm = _re.fullmatch(r"DECIMAL\((\d+),(\d+)\)", t)
+        if mm is None:
+            # INTEGER-typed chain (no fractional leaf): parser says s=0
+            assert s == 0, (chain, got, t)
+            return
+        assert (w, s) == (int(mm.group(1)), int(mm.group(2))), (
+            chain, got, t,
+        )
+        if s > 0 and val is not None:
+            want = con.execute(
+                f"SELECT CAST(round({chain}, {k}) AS VARCHAR)"
+            ).fetchone()[0]
+            assert _duck_decimal_round_neg(val, w, s, k) == want, (
+                chain, k, want,
+            )
+
+    check()
