@@ -8093,7 +8093,15 @@ def _parse_literal_decimal_chain(text: str):
                 # INTEGER * INTEGER stays INTEGER (wider rank wins)
                 v = (val, max(v[1], r[1]), 0, True)
                 continue
-            v = (val, v[1] + r[1], v[2] + r[2], False)
+            w = v[1] + r[1]
+            if w > 18 and v[1] <= 18 and r[1] <= 18:
+                # int64-backed operands whose formula width crosses 18:
+                # DuckDB caps to 18 or promotes with an extra digit
+                # depending on the scale ((10,0)*(12,1) -> (18,1) but
+                # (17,17)*(2,1) -> (20,18), probed) — bail rather than
+                # replicate the internal-type heuristics
+                return None
+            v = (val, w, v[2] + r[2], False)
             if v[1] > 38:
                 return None
         return v
@@ -8115,6 +8123,10 @@ def _parse_literal_decimal_chain(text: str):
                 continue
             s = max(v[2], r[2])
             w = max(v[1] - v[2], r[1] - r[2]) + s + 1
+            if w > 18 and v[1] <= 18 and r[1] <= 18:
+                # same int64 width-crossing cap as multiply (probed:
+                # (18,1)+(2,1) -> (18,1), not the formula's 19) — bail
+                return None
             if w > 38:
                 return None
             v = (val, w, s, False)

@@ -248,7 +248,7 @@ def test_chain_typing_property_vs_duckdb():
         max_leaves=5,
     )
 
-    @settings(max_examples=120, deadline=None)
+    @settings(max_examples=300, deadline=None)
     @given(chain=chain, k=st.integers(-4, -1))
     def check(chain, k):
         got = _parse_literal_decimal_chain(chain)
