@@ -248,7 +248,11 @@ def test_chain_typing_property_vs_duckdb():
         max_leaves=5,
     )
 
-    @settings(max_examples=300, deadline=None)
+    # derandomize: the discovery campaigns ran randomized (14 x 300
+    # examples, which caught the int-subtree and width-crossing rules
+    # live); the committed gate replays a fixed corpus so CI is
+    # reproducible
+    @settings(max_examples=300, deadline=None, derandomize=True)
     @given(chain=chain, k=st.integers(-4, -1))
     def check(chain, k):
         got = _parse_literal_decimal_chain(chain)
