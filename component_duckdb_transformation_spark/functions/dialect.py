@@ -825,14 +825,20 @@ def _rewrite_fuse_percentile_cont(tokens: List[Token]) -> List[Token]:
         if bail:
             i = g_close + 1
             continue
+        # ws-stripped join is the DEDUP KEY only; emission must keep
+        # token boundaries (CAST(x AS DOUBLE) would otherwise collapse
+        # to CAST(xASDOUBLE)), so code tokens are re-joined with spaces
         key = "".join(t2.text for t2 in expr)
-        occ.append((i, g_close + 1, arg[0].text, key))
+        emit = " ".join(t2.text for t2 in expr)
+        occ.append((i, g_close + 1, arg[0].text, key, emit))
         i = g_close + 1
     if not occ:
         return tokens
     by_key: dict = {}
-    for _, _, p, key in occ:
+    emit_by_key: dict = {}
+    for _, _, p, key, emit in occ:
         by_key.setdefault(key, set()).add(p)
+        emit_by_key.setdefault(key, emit)
     fuse_keys = {
         k: sorted(ps, key=float) for k, ps in by_key.items() if len(ps) > 1
     }
@@ -840,7 +846,7 @@ def _rewrite_fuse_percentile_cont(tokens: List[Token]) -> List[Token]:
         return tokens
     out: List[Token] = []
     pos = 0
-    for start, end, p, key in occ:
+    for start, end, p, key, _emit in occ:
         if key not in fuse_keys:
             continue
         ps = fuse_keys[key]
@@ -848,7 +854,7 @@ def _rewrite_fuse_percentile_cont(tokens: List[Token]) -> List[Token]:
         out.extend(tokens[pos:start])
         out.extend(
             _toks(
-                f"element_at(percentile(({key}), "
+                f"element_at(percentile(({emit_by_key[key]}), "
                 f"array({', '.join(ps)})), {idx})"
             )
         )
@@ -7984,6 +7990,20 @@ _CHAIN_TOK_RE = re.compile(
 #: DuckDB's DECIMAL image of the integer types (hint spellings)
 _INT_HINT_WIDTHS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
 
+# decimal-width -> exclusive magnitude bound of the backing int type
+_INT_WIDTH_BOUNDS = {3: 2**7, 5: 2**15, 10: 2**31, 19: 2**63}
+
+
+def _int_value_fits(val, width: int) -> bool:
+    """Whether an exact integer value fits the physical integer type a
+    claimed decimal width maps to — DuckDB throws an overflow error at
+    runtime when it doesn't, so the fold must bail (value-vs-error
+    divergence otherwise)."""
+    bound = _INT_WIDTH_BOUNDS.get(width)
+    if bound is None:
+        return width > 19  # HUGEINT-class: treat as fitting
+    return -bound <= val < bound
+
 
 def _parse_literal_decimal_chain(text: str):
     """``(Decimal value | None, width, scale)`` of a ``+ - *`` chain
@@ -8090,8 +8110,15 @@ def _parse_literal_decimal_chain(text: str):
                 else None
             )
             if v[3] and r[3]:
-                # INTEGER * INTEGER stays INTEGER (wider rank wins)
-                v = (val, max(v[1], r[1]), 0, True)
+                # INTEGER * INTEGER stays INTEGER (wider rank wins) —
+                # but a known exact value that no longer fits the
+                # claimed integer width is a DuckDB runtime overflow
+                # error (300000*300000 throws on INT32), so bail rather
+                # than silently fold a value the oracle would reject
+                iw = max(v[1], r[1])
+                if val is not None and not _int_value_fits(val, iw):
+                    return None
+                v = (val, iw, 0, True)
                 continue
             w = v[1] + r[1]
             if w > 18 and v[1] <= 18 and r[1] <= 18:
@@ -8118,8 +8145,12 @@ def _parse_literal_decimal_chain(text: str):
             else:
                 val = v[0] + r[0] if op == "+" else v[0] - r[0]
             if v[3] and r[3]:
-                # INTEGER +/- INTEGER stays INTEGER
-                v = (val, max(v[1], r[1]), 0, True)
+                # INTEGER +/- INTEGER stays INTEGER; same overflow
+                # bail as multiply (2147483647 + 1 throws on INT32)
+                iw = max(v[1], r[1])
+                if val is not None and not _int_value_fits(val, iw):
+                    return None
+                v = (val, iw, 0, True)
                 continue
             s = max(v[2], r[2])
             w = max(v[1] - v[2], r[1] - r[2]) + s + 1

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 _DRIVER_EDGE_CEILING = 4_000_000
 
 
-def _driver_union_find(sym_pdf, nodes: Optional[DataFrame], spark):
+def _driver_union_find(sym_pdf, nodes: Optional[DataFrame], spark, node_type=None):
     """Exact min-label components on the driver: vectorized numpy
     label propagation over factorized node codes (each pass is one
     ``np.minimum.at`` scatter over the symmetrized edge arrays plus
@@ -75,6 +75,14 @@ def _driver_union_find(sym_pdf, nodes: Optional[DataFrame], spark):
         .loc[:, ["node", "cluster"]]
     )
     mapdf = spark.createDataFrame(lab)
+    if node_type is not None:
+        # the pandas/numpy round trip widens int edge ids to BIGINT
+        # (and may mangle exotic id types); cast back to the edge
+        # column's type so both regimes return identical schemas
+        mapdf = mapdf.select(
+            F.col("node").cast(node_type).alias("node"),
+            F.col("cluster").cast(node_type).alias("cluster"),
+        )
     if nodes is None:
         return mapdf.select("node", F.col("cluster"))
     all_nodes = (
@@ -146,6 +154,7 @@ def connected_components(
             sym.toPandas(),
             nodes.select(F.col(node_col).alias("node")) if nodes is not None else None,
             edges.sparkSession,
+            node_type=sym.schema["s"].dataType,
         )
 
     lab = sym.select(F.col("s").alias("node")).distinct()

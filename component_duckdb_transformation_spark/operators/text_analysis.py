@@ -183,15 +183,22 @@ def repetition_signals(
 
         register_jvm_udfs(df.sparkSession)
     except Exception:  # noqa: BLE001 — no-ADD-JAR session: column path
+        # NULL text must yield NULL counters in BOTH regimes: the JVM
+        # core returns NULL, but F.size(NULL array) is -1 under
+        # spark.sql.legacy.sizeOfNull=true — gate every counter on
+        # text.isNotNull() so the regimes never silently differ
+        def _nn(col):
+            return F.when(text.isNotNull(), col).cast("bigint")
+
         w = words(text)
-        out = df.withColumn("n_words", F.size(w).cast("bigint")).withColumn(
-            "n_distinct_words", F.size(F.array_distinct(w)).cast("bigint")
+        out = df.withColumn("n_words", _nn(F.size(w))).withColumn(
+            "n_distinct_words", _nn(F.size(F.array_distinct(w)))
         )
         for n in ns:
             g = word_ngrams(text, n)
             out = out.withColumn(
-                f"ngrams_{n}", F.size(g).cast("bigint")
-            ).withColumn(f"distinct_{n}", F.size(F.array_distinct(g)).cast("bigint"))
+                f"ngrams_{n}", _nn(F.size(g))
+            ).withColumn(f"distinct_{n}", _nn(F.size(F.array_distinct(g))))
         return out
     ns_all = (1, *ns)
     st = F.call_udf(

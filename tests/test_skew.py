@@ -134,17 +134,21 @@ def test_connected_components_regime_equivalence(spark):
     ndf = spark.createDataFrame(
         [(i,) for i in range(450)], "node long"
     )
-    fast = sorted(
-        tuple(r)
-        for r in connected_components(edf, nodes=ndf).collect()
-    )
-    dist = sorted(
-        tuple(r)
-        for r in connected_components(
-            edf, nodes=ndf, max_driver_edges=0
-        ).collect()
-    )
+    fast_df = connected_components(edf, nodes=ndf)
+    dist_df = connected_components(edf, nodes=ndf, max_driver_edges=0)
+    fast = sorted(tuple(r) for r in fast_df.collect())
+    dist = sorted(tuple(r) for r in dist_df.collect())
     assert fast == dist
+    # ADVICE r11: pandas round trip must not widen the schema — both
+    # regimes return the edge column's type (here INT, not BIGINT)
+    iedges = spark.createDataFrame([(1, 2), (5, 6)], "src int, dst int")
+    ifast = connected_components(iedges)
+    idist = connected_components(iedges, max_driver_edges=0)
+    assert ifast.schema == idist.schema, (
+        ifast.schema.simpleString(),
+        idist.schema.simpleString(),
+    )
+    assert ifast.schema["node"].dataType.simpleString() == "int"
     # string ids: lexicographic minimum in both regimes
     sedges = spark.createDataFrame(
         [("b", "c"), ("c", "a"), ("x", "y")], "src string, dst string"

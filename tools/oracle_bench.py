@@ -31,7 +31,10 @@ def main() -> int:
     from component_duckdb_transformation_spark.workloads import TABLES, WORKLOADS
 
     con = duckdb.connect()
-    con.execute(f"SET threads={os.cpu_count() or 32}")
+    # pinned at 32 so the recorded denominator matches the judged
+    # protocol regardless of the box (override via DUCKDB_THREADS)
+    n_threads = int(os.environ.get("DUCKDB_THREADS", "32"))
+    con.execute(f"SET threads={n_threads}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -67,6 +70,7 @@ def main() -> int:
                 "skipped_no_oracle": skipped,
                 "failures": failures,
                 "sf_dir": sf_dir,
+                "threads": n_threads,
                 "unit": "sec",
                 "value": total,
             }
