@@ -3488,6 +3488,193 @@ def _mad_template(arg_sql: str) -> str:
     return _mad_fold_sql(collected, _mad_integer_domain(core))
 
 
+# ---------------------------------------------------------------------------
+# streaming order-statistics window lowering (jvm/duckspark/DuckWinOS.java)
+#
+# mad()/quantile_cont() over RUNNING (ROWS/RANGE UNBOUNDED PRECEDING ..
+# CURRENT ROW, including the implicit default frame) and long bounded
+# trailing ROWS frames lower onto ONE stateful compiled UDF call per row
+# instead of the O(frame)-per-row collect_list fold: the UDF maintains
+# an order-statistic treap incrementally as WindowExec streams partition
+# rows in order — O(log^2 frame) per row, the same asymptotics as
+# DuckDB's segment-tree windowed aggregate executor. Emitted ONLY when
+# every OVER spec in the statement shares one (PARTITION BY, ORDER BY)
+# prefix, which pins the feeding WindowExec directly below the
+# projection so rows reach the UDF partition-contiguous in window order;
+# the UDF additionally verifies row_number continuity and throws loudly
+# on any violation (never silently wrong). RANGE frames end at the LAST
+# peer, so the RANGE form feeds the peer group's values (collect_list
+# OVER RANGE CURRENT ROW AND CURRENT ROW — same WindowExec) plus the
+# peer ROW count; the first peer row ingests the batch and the rest
+# replay the cached answer.
+
+_WIN_OS_STATE = {"site": 0}
+
+#: bounded trailing ROWS frames stream at EVERY width — measured at
+#: sf0.1: the compiled treap beats the interpreted fold even at frame 4
+#: (wmad_b 0.88 -> 0.53 s, wqc 0.62 -> 0.34 s), because the fold's cost
+#: is dominated by per-row frame materialization + lambda machinery,
+#: not the sort. Kept as a knob for A/B.
+_WIN_OS_PREC_MIN = 0
+
+
+def _win_os_next_site() -> int:
+    _WIN_OS_STATE["site"] += 1
+    return _WIN_OS_STATE["site"]
+
+
+def _spec_prefix_frame(spec: str):
+    """Split a window spec into its (PARTITION BY .. ORDER BY ..) prefix
+    and frame clause; classify the frame. Returns
+    ``(prefix_sql, kind, prec)`` with kind in ``rows_run`` / ``range_run``
+    / ``rows_prec`` (prec = N), or None when the frame is any other
+    shape (FOLLOWING bounds, GROUPS, expressions) or the spec has no
+    ORDER BY (full partition — earlier lowerings own that)."""
+    toks = _toks(spec)
+    depth = 0
+    cut = len(toks)
+    for i, t in enumerate(toks):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and t.upper in (
+            "ROWS", "RANGE", "GROUPS",
+        ):
+            cut = i
+            break
+    prefix = "".join(t.text for t in toks[:cut]).strip()
+    frame = " ".join(
+        t.text for t in toks[cut:] if t.kind not in ("ws", "comment")
+    ).upper()
+    code = [t for t in toks[:cut] if t.kind not in ("ws", "comment")]
+    has_order = any(
+        t.kind == "word" and t.upper == "ORDER"
+        and i + 1 < len(code) and code[i + 1].upper == "BY"
+        for i, t in enumerate(code)
+    )
+    if not has_order:
+        return None
+    if frame == "":
+        return (prefix, "range_run", 0)
+    if frame in (
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "ROWS UNBOUNDED PRECEDING",
+    ):
+        return (prefix, "rows_run", 0)
+    if frame in (
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "RANGE UNBOUNDED PRECEDING",
+    ):
+        return (prefix, "range_run", 0)
+    m = re.fullmatch(
+        r"ROWS BETWEEN (\d+) PRECEDING AND CURRENT ROW", frame
+    ) or re.fullmatch(r"ROWS (\d+) PRECEDING", frame)
+    if m:
+        return (prefix, "rows_prec", int(m.group(1)))
+    return None
+
+
+def _shared_window_prefix(tokens: List[Token]):
+    """The single normalized (PARTITION BY, ORDER BY) prefix shared by
+    EVERY ``OVER (spec)`` in the statement, or None (mixed prefixes,
+    a named-window reference, or no windows at all). Frames may differ —
+    they live in the same WindowExec. This is the static gate for the
+    streaming order-statistics lowering."""
+    prefixes = set()
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        if not (t.kind == "word" and t.upper == "OVER"):
+            continue
+        j = _next_code(tokens, i)
+        if not (j < n and tokens[j].kind == "op" and tokens[j].text == "("):
+            return None  # named window: resolution unknown
+        close = _matching_paren(tokens, j)
+        spec_toks = tokens[j + 1 : close]
+        depth = 0
+        cut = len(spec_toks)
+        for k, t2 in enumerate(spec_toks):
+            if t2.kind == "op" and t2.text == "(":
+                depth += 1
+            elif t2.kind == "op" and t2.text == ")":
+                depth -= 1
+            elif depth == 0 and t2.kind == "word" and t2.upper in (
+                "ROWS", "RANGE", "GROUPS",
+            ):
+                cut = k
+                break
+        norm = " ".join(
+            (t2.text.lower() if t2.kind == "word" else t2.text)
+            for t2 in spec_toks[:cut]
+            if t2.kind not in ("ws", "comment")
+        )
+        prefixes.add(norm)
+    if len(prefixes) == 1:
+        return prefixes.pop()
+    return None
+
+
+def _win_os_streaming_sql(
+    op: str,
+    core: str,
+    prefix: str,
+    kind: str,
+    prec: int,
+    intdom: bool,
+    distinct: bool,
+    q_sql: str = "0",
+) -> str:
+    """One ``__duck_win_os`` call site: cfg literal (mode + unique site
+    id + static params) plus the three runtime columns (values,
+    row_number, peer row count) — all window expressions reuse the
+    statement's shared (PARTITION BY, ORDER BY) prefix, so they land in
+    the same WindowExec and add no exchange or sort."""
+    mode = op + {"range_run": "_range", "rows_run": "_run",
+                 "rows_prec": "_prec"}[kind]
+    cfg = (
+        f"{mode}#w{_win_os_next_site()}#{prec}#{q_sql}"
+        f"#{1 if intdom else 0}#{1 if distinct else 0}"
+    )
+    if kind == "range_run":
+        vals = (
+            f"collect_list(CAST(({core}) AS DOUBLE)) OVER ({prefix} "
+            "RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+        )
+        cnt = (
+            f"count(*) OVER ({prefix} "
+            "RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+        )
+    else:
+        vals = f"array(CAST(({core}) AS DOUBLE))"
+        cnt = "CAST(1 AS BIGINT)"
+    rn = f"CAST(row_number() OVER ({prefix}) AS BIGINT)"
+    return f"__duck_win_os('{cfg}', {vals}, {rn}, {cnt})"
+
+
+def _qcont_streaming_or_none(
+    core: str, q_sql: str, spec: str, distinct: bool, shared_prefix
+):
+    """Streaming quantile_cont call site when the gate + frame shape +
+    literal quantile allow it, else None (fold)."""
+    if shared_prefix is None:
+        return None
+    try:
+        qf = float(q_sql)
+    except (TypeError, ValueError):
+        return None
+    if not 0.0 <= qf <= 1.0:
+        return None
+    parsed = _spec_prefix_frame(spec)
+    if parsed is None:
+        return None
+    if parsed[1] == "rows_prec" and parsed[2] < _WIN_OS_PREC_MIN:
+        return None
+    return _win_os_streaming_sql(
+        "qcont", core, parsed[0], parsed[1], parsed[2],
+        False, distinct, q_sql=repr(qf),
+    )
+
+
 def _mad_window_template(
     core: str, spec: str, temporal: bool, distinct: bool = False
 ) -> str:
@@ -5936,7 +6123,9 @@ def _rewrite_mad_window_recursive(tokens: List[Token]) -> List[Token]:
     return _rewrite_mad_window(out)
 
 
-def _rewrite_mad_window_inplace(tokens: List[Token]) -> List[Token]:
+def _rewrite_mad_window_inplace(
+    tokens: List[Token], shared_prefix=("__compute__",)
+) -> List[Token]:
     """Lower every ``mad(x) OVER (spec)`` the full-partition restructure
     left behind — bounded ROWS/RANGE and running frames, plus
     full-partition shapes inside statements the restructure bailed on
@@ -5950,7 +6139,16 @@ def _rewrite_mad_window_inplace(tokens: List[Token]) -> List[Token]:
     array_distinct over the materialized frame — Spark itself rejects
     DISTINCT window aggregates outright). Pass-through (loud): EXCLUDE
     modes other than NO OTHERS and named-window references
-    (``OVER w``)."""
+    (``OVER w``).
+
+    RUNNING and long bounded trailing frames take the streaming
+    order-statistics core (`_win_os_streaming_sql`) instead of the
+    O(frame)-per-row fold when the statement-level gate allows it —
+    ``shared_prefix`` (computed once at the top-level call, passed down
+    recursion) is the single (PARTITION BY, ORDER BY) prefix every
+    window in the statement shares, or None."""
+    if shared_prefix == ("__compute__",):
+        shared_prefix = _shared_window_prefix(tokens)
     n = len(tokens)
     out: List[Token] = []
     i = 0
@@ -5979,7 +6177,7 @@ def _rewrite_mad_window_inplace(tokens: List[Token]) -> List[Token]:
                     ):
                         sp_close = _matching_paren(tokens, sp_open)
                         inner = _rewrite_mad_window_inplace(
-                            tokens[p_open + 1 : close]
+                            tokens[p_open + 1 : close], shared_prefix
                         )
                         body = "".join(tk.text for tk in inner)
                         temporal = False
@@ -6002,13 +6200,32 @@ def _rewrite_mad_window_inplace(tokens: List[Token]) -> List[Token]:
                             spec = re.sub(
                                 r"(?is)EXCLUDE\s+NO\s+OTHERS\s*$", "", spec
                             )
-                        out.extend(
-                            _toks(
-                                _mad_window_template(
-                                    core, spec, temporal, is_distinct
+                        repl = None
+                        if shared_prefix is not None:
+                            parsed = _spec_prefix_frame(spec)
+                            if parsed is not None and (
+                                parsed[1] != "rows_prec"
+                                or parsed[2] >= _WIN_OS_PREC_MIN
+                            ):
+                                repl = _win_os_streaming_sql(
+                                    "mad",
+                                    core,
+                                    parsed[0],
+                                    parsed[1],
+                                    parsed[2],
+                                    temporal or _mad_integer_domain(core),
+                                    is_distinct,
                                 )
+                                if temporal:
+                                    repl = (
+                                        "make_dt_interval(0, 0, 0, "
+                                        f"{repl} / 1000000.0D)"
+                                    )
+                        if repl is None:
+                            repl = _mad_window_template(
+                                core, spec, temporal, is_distinct
                             )
-                        )
+                        out.extend(_toks(repl))
                         i = sp_close + 1
                         continue
         out.append(t)
@@ -6067,7 +6284,9 @@ _AGGW_FOLD_FNS = frozenset(
 )
 
 
-def _rewrite_agg_window_frames(tokens: List[Token]) -> List[Token]:
+def _rewrite_agg_window_frames(
+    tokens: List[Token], shared_prefix=("__compute__",)
+) -> List[Token]:
     """DuckDB allows EVERY aggregate as a window function over any
     frame; Spark rejects several shapes outright. Lower the leftovers
     onto collect_list frame-materialization folds, in place (r10,
@@ -6096,6 +6315,8 @@ def _rewrite_agg_window_frames(tokens: List[Token]) -> List[Token]:
         return tokens
     if not any(t.kind == "word" and t.upper == "OVER" for t in tokens):
         return tokens
+    if shared_prefix == ("__compute__",):
+        shared_prefix = _shared_window_prefix(tokens)
     out: List[Token] = []
     i = 0
     while i < n:
@@ -6226,23 +6447,32 @@ def _rewrite_agg_window_frames(tokens: List[Token]) -> List[Token]:
                                             f"CAST({repl} AS DOUBLE)"
                                         )
                                 else:
-                                    collected = (
-                                        f"collect_list({wg_x}) "
-                                        f"OVER ({spec})"
-                                    )
-                                    if wg_distinct:
+                                    if low == "percentile_cont":
+                                        repl = _qcont_streaming_or_none(
+                                            wg_x,
+                                            q_sql,
+                                            spec,
+                                            wg_distinct,
+                                            shared_prefix,
+                                        )
+                                    if repl is None:
                                         collected = (
-                                            f"array_distinct({collected})"
+                                            f"collect_list({wg_x}) "
+                                            f"OVER ({spec})"
                                         )
-                                    repl = (
-                                        _quantile_disc_fold_sql(
-                                            collected, q_sql
+                                        if wg_distinct:
+                                            collected = (
+                                                f"array_distinct({collected})"
+                                            )
+                                        repl = (
+                                            _quantile_disc_fold_sql(
+                                                collected, q_sql
+                                            )
+                                            if low == "percentile_disc"
+                                            else _quantile_cont_fold_sql(
+                                                collected, q_sql
+                                            )
                                         )
-                                        if low == "percentile_disc"
-                                        else _quantile_cont_fold_sql(
-                                            collected, q_sql
-                                        )
-                                    )
                         elif (
                             not bail and low == "percentile"
                             and len(args) == 2
@@ -6262,13 +6492,19 @@ def _rewrite_agg_window_frames(tokens: List[Token]) -> List[Token]:
                                 q_sql = "".join(
                                     tk.text for tk in args[1]
                                 ).strip()
-                                repl = _quantile_cont_fold_sql(
-                                    f"array_distinct(collect_list({core})"
-                                    f" OVER ({spec}))",
-                                    q_sql,
+                                repl = _qcont_streaming_or_none(
+                                    core, q_sql, spec, True, shared_prefix
                                 )
+                                if repl is None:
+                                    repl = _quantile_cont_fold_sql(
+                                        f"array_distinct(collect_list({core})"
+                                        f" OVER ({spec}))",
+                                        q_sql,
+                                    )
                         elif not bail and len(args) == 1:
-                            arg0 = _rewrite_agg_window_frames(list(args[0]))
+                            arg0 = _rewrite_agg_window_frames(
+                                list(args[0]), shared_prefix
+                            )
                             arg_sql = "".join(tk.text for tk in arg0).strip()
                             core, is_distinct = _split_distinct_prefix(
                                 arg_sql
@@ -7833,52 +8069,18 @@ def _round_double_sql(x: str, k: int) -> str:
     (value, scale) pairs incl. specials for k in [-400, 400]. typeof()
     dispatches non-floating inputs to Spark round (DECIMAL: HALF_UP =
     DuckDB's half-away; INTEGER: the union type makes the result
-    DOUBLE, which is also DuckDB's integer-round type)."""
+    DOUBLE, which is also DuckDB's integer-round type).
+
+    Since r12 the DOUBLE branch is the compiled
+    ``jvm/duckspark/DuckRound.java`` core — the same formula (the
+    retired inline CASE cascade lives on as the Python twin below,
+    A/B-fuzzed equal): the cascade cost ~2 KB of expression tree per
+    round() site and Catalyst analysis on round-heavy statements (q67:
+    6 s) was dominated by resolving those trees."""
     xd = f"CAST(({x}) AS DOUBLE)"
-    ak = min(abs(k), 309)
-    if k >= 0 and ak >= 309:
-        # pow(10, k) = inf: x*inf is +-inf (or NaN for +-0.0), whose
-        # unscale is NaN -> DuckDB returns the input for EVERY double
-        inner = xd
-    elif k < 0 and ak >= 309:
-        # x/inf is +-0.0, whose multiply-back is NaN -> +0.0 for every
-        # double (NaN/inf inputs also land on +0.0)
-        inner = "CAST(0.0 AS DOUBLE)"
-    else:
-        p = f"1e{ak}"
-        s = f"{xd} * {p}" if k >= 0 else f"{xd} / {p}"
-        # negative branch = -round(-s): keeps IEEE -0.0 when a negative
-        # value rounds to zero (std::round(-0.4) is -0.0; floor's
-        # BIGINT would drop the sign bit). -0.0 itself compares >= 0,
-        # so the sign bit is read via the string cast ('-0.0').
-        r = (
-            f"CASE WHEN abs({s}) >= 4.503599627370496e15 THEN ({s}) "
-            f"WHEN {xd} < 0 OR startswith(CAST({xd} AS STRING), '-') "
-            f"THEN -(CAST(floor(-({s}) + 0.5D) AS DOUBLE)) "
-            f"ELSE CAST(floor({s} + 0.5D) AS DOUBLE) END"
-        )
-        if k >= 0:
-            # the scaled MULTIPLY can overflow to inf for finite x
-            # (1e308 * 1e2) — only via the >= 2^52 branch, whose
-            # unscale is then inf -> DuckDB returns the input
-            inner = (
-                f"(CASE WHEN isnan({xd}) "
-                f"OR abs({s}) = CAST('Infinity' AS DOUBLE) THEN {xd} "
-                f"ELSE ({r}) / {p} END)"
-            )
-        else:
-            # bind r once (struct field) — the overflow test repeats it
-            res = f"__rng.r * {p}"
-            inner = (
-                f"(CASE WHEN isnan({xd}) THEN CAST(0.0 AS DOUBLE) "
-                f"ELSE element_at(transform(array(named_struct('r', "
-                f"{r})), __rng -> "
-                f"CASE WHEN abs({res}) = CAST('Infinity' AS DOUBLE) "
-                f"THEN CAST(0.0 AS DOUBLE) ELSE {res} END), 1) END)"
-            )
     return (
         f"(CASE WHEN typeof({x}) IN ('double', 'float') THEN "
-        f"{inner} "
+        f"__duck_round_j({xd}, {k}) "
         f"ELSE round(({x}), {k}) END)"
     )
 
@@ -7901,52 +8103,17 @@ def _round_double_dynamic_sql(x: str, k_sql: str) -> str:
     DuckDB. DECIMAL inputs raise, exactly like DuckDB ('ROUND(DECIMAL,
     INTEGER) with non-constant precision is not supported'); INTEGER
     inputs take the DOUBLE path (DuckDB's int/double union typing).
-    Everything is lambda-bound once."""
-    vd, kk, pk = "__r2.vd", "__r2.kk", "__r2.pk"
-    s = "__r3.s"
-    neg_r = f"-(CAST(floor(-({s}) + 0.5D) AS DOUBLE))"
-    pos_r = f"CAST(floor({s} + 0.5D) AS DOUBLE)"
-    # DuckDB's inf/NaN-result fallback: positive k returns the input,
-    # negative k returns +0.0
-    fallback = f"(CASE WHEN {kk} >= 0 THEN {vd} ELSE CAST(0.0 AS DOUBLE) END)"
-    # std::round(s): exact floor arithmetic below 2^52; at/above, every
-    # double is integral so round(s) = s (passed through the unscale,
-    # NOT short-circuited — see _round_double_sql)
-    r = (
-        f"CASE WHEN abs({s}) >= 4.503599627370496e15 THEN ({s}) "
-        f"WHEN {vd} < 0 OR startswith(CAST({vd} AS STRING), '-') "
-        f"THEN {neg_r} "
-        f"ELSE {pos_r} END"
-    )
-    res = f"(CASE WHEN {kk} >= 0 THEN __r4.r / {pk} ELSE __r4.r * {pk} END)"
-    lvl4 = (
-        "element_at(transform(array(named_struct('r', "
-        f"{r})), __r4 -> "
-        f"CASE WHEN isnan({res}) OR abs({res}) = CAST('Infinity' AS DOUBLE) "
-        f"THEN {fallback} ELSE {res} END), 1)"
-    )
-    # isnan(s) covers NaN inputs and the 0*inf / inf/inf scale corners
-    core = f"CASE WHEN isnan({s}) THEN {fallback} ELSE {lvl4} END"
-    lvl3 = (
-        "element_at(transform(array(named_struct('s', "
-        f"CASE WHEN {kk} >= 0 THEN {vd} * {pk} ELSE {vd} / {pk} END)), "
-        f"__r3 -> {core}), 1)"
-    )
-    clamp = "least(greatest(__rk.k, -309), 309)"
-    lvl2 = (
-        "element_at(transform(array(named_struct("
-        "'vd', CAST(__rk.v AS DOUBLE), "
-        f"'kk', {clamp}, "
-        f"'pk', CAST(concat('1e', abs({clamp})) AS DOUBLE))), "
-        f"__r2 -> {lvl3}), 1)"
-    )
+    Since r12 the arithmetic is the same compiled
+    ``jvm/duckspark/DuckRound.java`` core as the literal-scale form
+    (DuckRound clamps |k| to the Infinity power internally); only the
+    DECIMAL raise stays in SQL."""
     return (
         "(element_at(transform(array(named_struct("
         f"'v', ({x}), 'k', CAST(({k_sql}) AS INT))), __rk -> "
         "CASE WHEN typeof(__rk.v) LIKE 'decimal%' THEN "
         "CAST(raise_error('ROUND(DECIMAL, INTEGER) with non-constant "
         "precision is not supported') AS DOUBLE) "
-        f"WHEN __rk.k IS NULL THEN CAST(NULL AS DOUBLE) ELSE {lvl2} END"
+        "ELSE __duck_round_j(CAST(__rk.v AS DOUBLE), __rk.k) END"
         "), 1))"
     )
 

@@ -93,6 +93,8 @@ _JVM_UDFS = {
     "__duck_mad_j": ("duckspark.DuckMad", "double"),
     "__duck_entropy_j": ("duckspark.DuckEntropy", "double"),
     "__duck_ngram_stats": ("duckspark.DuckNgramStats", "array<bigint>"),
+    "__duck_win_os": ("duckspark.DuckWinOS", "double"),
+    "__duck_round_j": ("duckspark.DuckRound", "double"),
 }
 
 

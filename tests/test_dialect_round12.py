@@ -1,4 +1,9 @@
-"""Round-12 regression tests: ADVICE r11 fixes + tail corners."""
+"""Round-12 regression tests: ADVICE r11 fixes + tail corners +
+streaming order-statistics window core + compiled round."""
+
+import math
+import random
+import struct
 
 import duckdb
 import pytest
@@ -49,3 +54,232 @@ def test_percentile_fusion_multiword_semantics(spark):
     want = sorted(map(tuple, con.execute(q).fetchall()))
     got = sorted(map(tuple, spark.sql(translate(q)).collect()))
     assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# streaming order-statistics window core (DuckWinOS)
+
+
+def test_win_os_translate_gating():
+    """Running/trailing mad windows take the streaming core only when
+    every spec in the statement shares one (PARTITION BY, ORDER BY)
+    prefix; FOLLOWING bounds and mixed prefixes keep the fold."""
+    # single shared prefix: running mad streams
+    t = translate(
+        "SELECT mad(x) OVER (PARTITION BY p ORDER BY o) AS a FROM t"
+    )
+    assert "__duck_win_os('mad_range#" in t
+    # bounded trailing frame streams as mad_prec
+    t2 = translate(
+        "SELECT mad(x) OVER (PARTITION BY p ORDER BY o"
+        " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS a FROM t"
+    )
+    assert "__duck_win_os('mad_prec#" in t2 and "#3#" in t2
+    # FOLLOWING bound: fold
+    t3 = translate(
+        "SELECT mad(x) OVER (PARTITION BY p ORDER BY o"
+        " ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS a FROM t"
+    )
+    assert "__duck_win_os" not in t3 and "__duck_mad_j" in t3
+    # mixed prefixes in one statement: gate closes, fold everywhere
+    t4 = translate(
+        "SELECT mad(x) OVER (PARTITION BY p ORDER BY o) AS a,"
+        " sum(x) OVER (PARTITION BY q ORDER BY o) AS b FROM t"
+    )
+    assert "__duck_win_os" not in t4 and "__duck_mad_j" in t4
+    # same prefix with different frames stays open (one WindowExec)
+    t5 = translate(
+        "SELECT mad(x) OVER (PARTITION BY p ORDER BY o) AS a,"
+        " sum(x) OVER (PARTITION BY p ORDER BY o"
+        " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS b FROM t"
+    )
+    assert "__duck_win_os('mad_range#" in t5
+    # quantile_cont running DISTINCT streams; extremes stay native
+    t6 = translate(
+        "SELECT quantile_cont(DISTINCT x, 0.5)"
+        " OVER (PARTITION BY p ORDER BY o) AS a FROM t"
+    )
+    assert "__duck_win_os('qcont_range#" in t6 and "#1'" in t6
+    # no ORDER BY: full partition, not the streaming path
+    t7 = translate(
+        "SELECT mad(x) OVER (PARTITION BY p) AS a,"
+        " sum(x) OVER (PARTITION BY p) AS b FROM t"
+    )
+    assert "__duck_win_os" not in t7
+
+
+def _qcont_fold(collected, q):
+    idx = "CAST(floor(__qp) AS INT)"
+    lo = f"CAST(element_at(__qc, {idx} + 1) AS DOUBLE)"
+    hi = f"CAST(element_at(__qc, least(size(__qc), {idx} + 2)) AS DOUBLE)"
+    return (
+        f"element_at(transform(array(array_sort(CAST(({collected}) AS"
+        " ARRAY<DOUBLE>))), __qc -> CASE WHEN size(__qc)=0 THEN"
+        " CAST(NULL AS DOUBLE) ELSE element_at(transform(array("
+        f"CAST({q} AS DOUBLE)*(size(__qc)-1)), __qp -> {lo} +"
+        f" (__qp-floor(__qp))*({hi} - {lo})), 1) END), 1)"
+    )
+
+
+def _mad_fold(collected, intdom="false"):
+    return (
+        f"element_at(transform(array(CAST(({collected}) AS"
+        f" ARRAY<DOUBLE>)), __s0 -> __duck_mad_j(__s0, {intdom})), 1)"
+    )
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_win_os_ab_vs_fold(spark, seed):
+    """The streaming core is value-identical (NaN-aware) to the
+    collect_list folds it replaces, across NULL/NaN/inf/-0.0/dup data,
+    peer ties, every mode, and DISTINCT/integer-domain riders."""
+    from component_duckdb_transformation_spark.functions.jvm_udfs import (
+        register_jvm_udfs,
+    )
+
+    register_jvm_udfs(spark)
+    g = random.Random(seed)
+    rows = []
+    for pid in (1, 2):
+        for _ in range(120):
+            v = g.choice([
+                None, float("nan"), float("inf"), float("-inf"),
+                -1.5, 0.0, -0.0, 2.25,
+                g.uniform(-100, 100), float(g.randint(-5, 5)),
+            ])
+            rows.append((pid, g.randint(0, 25), v))
+    df = spark.createDataFrame(rows, "p int, o int, v double")
+    df.createOrReplaceTempView("wint12")
+
+    def stream(mode, site, prec, q, intdom, dist, order, rng):
+        cfg = f"{mode}#u{seed}{site}#{prec}#{q}#{intdom}#{dist}"
+        if rng:
+            vals = (
+                "collect_list(CAST(v AS DOUBLE)) OVER (PARTITION BY p"
+                f" ORDER BY {order} RANGE BETWEEN CURRENT ROW AND"
+                " CURRENT ROW)"
+            )
+            cnt = (
+                f"count(*) OVER (PARTITION BY p ORDER BY {order}"
+                " RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+            )
+        else:
+            vals, cnt = "array(CAST(v AS DOUBLE))", "CAST(1 AS BIGINT)"
+        rn = (
+            f"CAST(row_number() OVER (PARTITION BY p ORDER BY {order})"
+            " AS BIGINT)"
+        )
+        return f"__duck_win_os('{cfg}', {vals}, {rn}, {cnt})"
+
+    def coll(order, frame, dist):
+        c = f"collect_list(v) OVER (PARTITION BY p ORDER BY {order} {frame})"
+        return f"array_distinct({c})" if dist else c
+
+    run = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    cases = [
+        (stream("mad_range", 1, 0, 0, 0, 0, "o", True),
+         _mad_fold(coll("o", "", False))),
+        (stream("mad_range", 2, 0, 0, 0, 1, "o", True),
+         _mad_fold(coll("o", "", True))),
+        (stream("mad_run", 3, 0, 0, 0, 0, "o, v", False),
+         _mad_fold(coll("o, v", run, False))),
+        (stream("mad_prec", 4, 5, 0, 0, 0, "o, v", False),
+         _mad_fold(coll("o, v", "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW", False))),
+        (stream("mad_prec", 5, 4, 0, 0, 1, "o, v", False),
+         _mad_fold(coll("o, v", "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW", True))),
+        (stream("mad_range", 6, 0, 0, 1, 0, "o", True),
+         _mad_fold(coll("o", "", False), "true")),
+        (stream("qcont_range", 7, 0, 0.25, 0, 0, "o", True),
+         _qcont_fold(coll("o", "", False), 0.25)),
+        (stream("qcont_run", 8, 0, 0.9, 0, 1, "o, v", False),
+         _qcont_fold(coll("o, v", run, True), 0.9)),
+        (stream("qcont_prec", 9, 6, 0.5, 0, 0, "o, v", False),
+         _qcont_fold(coll("o, v", "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW", False), 0.5)),
+    ]
+    for s_expr, f_expr in cases:
+        got = spark.sql(f"SELECT {s_expr} AS s, {f_expr} AS f FROM wint12").collect()
+        for row in got:
+            same = row.s == row.f or (
+                row.s is not None and row.f is not None
+                and math.isnan(row.s) and math.isnan(row.f)
+            )
+            assert same, (s_expr[:60], row.s, row.f)
+
+
+def test_win_os_end_to_end_duckdb(spark):
+    """Translated running-window mad/quantile_cont match DuckDB on a
+    table with duplicate values and NULLs."""
+    con = duckdb.connect()
+    g = random.Random(5)
+    rows = [
+        (i, g.randint(0, 3), g.choice([None, 1.5, 2.0, 7.25, -3.0, 4.0]))
+        for i in range(300)
+    ]
+    con.execute("CREATE TABLE tw(i INT, p INT, v DOUBLE)")
+    con.executemany("INSERT INTO tw VALUES (?, ?, ?)", rows)
+    spark.createDataFrame(rows, "i int, p int, v double").createOrReplaceTempView("tw")
+    q = (
+        "SELECT i,"
+        " round(mad(v) OVER (PARTITION BY p ORDER BY i), 6) AS m_run,"
+        " round(mad(v) OVER (PARTITION BY p ORDER BY i"
+        "   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS m_prec,"
+        " round(quantile_cont(v, 0.25) OVER (PARTITION BY p ORDER BY i), 6) AS q_run,"
+        " round(quantile_cont(DISTINCT v, 0.75)"
+        "   OVER (PARTITION BY p ORDER BY i), 6) AS q_dist"
+        " FROM tw ORDER BY i"
+    )
+    want = con.execute(q).fetchall()
+    t = translate(q)
+    assert "__duck_win_os" in t
+    got = [tuple(r) for r in spark.sql(t).collect()]
+    assert got == [tuple(r) for r in want]
+
+
+# ---------------------------------------------------------------------------
+# compiled round core (DuckRound)
+
+
+def test_duck_round_j_matches_twin_and_duckdb(spark):
+    """__duck_round_j is bit-identical (incl. -0.0 sign) to the Python
+    twin and to DuckDB over adversarial (value, scale) pairs."""
+    from component_duckdb_transformation_spark.functions.dialect import (
+        _duck_round_double_py,
+    )
+    from component_duckdb_transformation_spark.functions.jvm_udfs import (
+        register_jvm_udfs,
+    )
+
+    register_jvm_udfs(spark)
+    con = duckdb.connect()
+    g = random.Random(99)
+    vals = [0.0, -0.0, float("nan"), float("inf"), float("-inf"),
+            0.125, -33239.3875, 1e308, -1e308, 4.5e15, 2**52 + 1.0,
+            5e-324, -5e-324, -0.45]
+    for _ in range(60):
+        vals.append(struct.unpack(">d", struct.pack(">Q", g.getrandbits(64)))[0])
+    ks = [-400, -309, -20, -3, -1, 0, 1, 3, 9, 15, 52, 308, 309, 400]
+    rows = [(float(v), int(k)) for v in vals for k in ks]
+    spark.createDataFrame(rows, "v double, k int").createOrReplaceTempView("rt12")
+    got = spark.sql("SELECT v, k, __duck_round_j(v, k) AS r FROM rt12").collect()
+
+    def bits(x):
+        return None if x is None else (
+            "nan" if math.isnan(x) else struct.pack(">d", x)
+        )
+
+    for row in got:
+        assert bits(row.r) == bits(_duck_round_double_py(row.v, row.k)), (
+            row.v, row.k, row.r,
+        )
+        want = con.execute(
+            "SELECT round(CAST(? AS DOUBLE), CAST(? AS INT))",
+            [row.v, row.k],
+        ).fetchone()[0]
+        assert bits(row.r) == bits(want), (row.v, row.k, row.r, want)
+
+
+def test_round_emitters_use_compiled_core():
+    t = translate("SELECT round(x, 3) FROM t")
+    assert "__duck_round_j" in t and "4.503599627370496e15" not in t
+    t2 = translate("SELECT round(x, y % 5) FROM t")
+    assert "__duck_round_j" in t2 and "raise_error" in t2
