@@ -3651,6 +3651,31 @@ def _win_os_streaming_sql(
     return f"__duck_win_os('{cfg}', {vals}, {rn}, {cnt})"
 
 
+def _quantile_cont_agg_sql(a: str, b: str) -> str:
+    """Aggregate ``quantile_cont(x, q)``. DOUBLE/unknown inputs map to
+    Spark's percentile (same lo + frac*(hi-lo) interpolation). DECIMAL
+    inputs quantize in DuckDB: the result KEEPS the input's
+    DECIMAL(w, s) type, interpolating on the UNSCALED integer values
+    in double and truncating toward zero back to scale s (probed:
+    quantile_cont of [1.01, 2.00] at 0.3 is 1.30, not 1.307 — and
+    -1.175 truncates to -1.1). Replicated whenever the argument's
+    DuckDB type is statically a DECIMAL chain (hinted columns /
+    literals) with width <= 15 — every unscaled value then sits below
+    2^53, so Spark's double interpolation is bit-identical to
+    DuckDB's int64-domain one; wider or unhinted decimals keep the
+    DOUBLE result (documented corner)."""
+    ch = _parse_literal_decimal_chain(a)
+    if ch is not None and not ch[3] and ch[1] <= 15:
+        w, s = ch[1], ch[2]
+        p = 10 ** s
+        return (
+            f"CAST(CAST(percentile(CAST(({a}) AS DOUBLE) * {p}, ({b}))"
+            f" AS BIGINT) / CAST({p} AS DECIMAL({s + 1}, 0))"
+            f" AS DECIMAL({w}, {s}))"
+        )
+    return f"percentile({a}, {b})"
+
+
 def _qcont_streaming_or_none(
     core: str, q_sql: str, spec: str, distinct: bool, shared_prefix
 ):
@@ -8151,8 +8176,16 @@ _CAST_DBL_LIT_RE = re.compile(
 _ROUND_LIT_RE = re.compile(r"(-?)(\d+)(?:\.(\d+))?([eE][+-]?\d+)?")
 
 _CHAIN_TOK_RE = re.compile(
-    r"\d+\.\d+|\d+|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*|[()+*-]|\s+|."
+    r"\d+\.\d+|\d+|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*|[(),+*-]|\s+|."
 )
+
+#: rounding-call leaves the chain parser types through (r12): DuckDB's
+#: result rules, probed — round(DECIMAL(w,s), k) -> DECIMAL(w,
+#: min(s, max(k, 0))) with the k<0 width clamp; ceil/floor/trunc
+#: (DECIMAL(w,s)) -> DECIMAL(w, 0); trunc(INTEGER) is the
+#: type-preserving identity while round/ceil/floor on INTEGER go
+#: DOUBLE (bail)
+_CHAIN_CALL_LEAVES = frozenset({"round", "ceil", "ceiling", "floor", "trunc"})
 
 #: DuckDB's DECIMAL image of the integer types (hint spellings)
 _INT_HINT_WIDTHS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
@@ -8173,10 +8206,11 @@ def _int_value_fits(val, width: int) -> bool:
 
 
 def _parse_literal_decimal_chain(text: str):
-    """``(Decimal value | None, width, scale)`` of a ``+ - *`` chain
-    over numeric literals and DECIMAL/INTEGER-hinted plain column
-    refs, under DuckDB's DECIMAL typing; None when any leaf is
-    something else (exponents, calls, unhinted names), another
+    """``(Decimal value | None, width, scale, is_integer)`` of a
+    ``+ - *`` chain over numeric literals, DECIMAL/INTEGER-hinted
+    plain column refs, and (r12) round/ceil/floor/trunc call leaves,
+    under DuckDB's DECIMAL typing; None when any leaf is something
+    else (exponents, other calls, unhinted names), another
     operator appears, or the combined width exceeds DECIMAL(38). The
     value is exact for all-literal chains and None as soon as a
     column leaf participates — the negative-scale round fold needs
@@ -8195,7 +8229,7 @@ def _parse_literal_decimal_chain(text: str):
         t = m.group(0)
         if t.isspace():
             continue
-        if t in "()+-*" or t[0].isdigit() or t[0].isalpha() or t[0] == "_":
+        if t in "(),+-*" or t[0].isdigit() or t[0].isalpha() or t[0] == "_":
             toks.append(t)
         else:
             return None
@@ -8220,8 +8254,13 @@ def _parse_literal_decimal_chain(text: str):
             if v is None or take() != ")":
                 return None
             return v
-        if t is None or t in ")+-*":
+        if t is None or t in "),+-*":
             return None
+        if (
+            t.lower() in _CHAIN_CALL_LEAVES
+            and peek() == "("
+        ):
+            return call_leaf(t.lower())
         if t[0].isalpha() or t[0] == "_":
             # plain (possibly qualified) column ref: hinted type only.
             # A dotted ref whose FIRST segment is a STRUCT-hinted
@@ -8252,6 +8291,67 @@ def _parse_literal_decimal_chain(text: str):
         if n < 2**63:
             return (Decimal(n), 19, 0, True)
         return None
+
+    def call_leaf(fn):
+        from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+        take()  # the '('
+        inner = expr()
+        if inner is None:
+            return None
+        k = 0
+        if fn == "round" and peek() == ",":
+            take()
+            neg = False
+            while peek() in ("+", "-"):
+                neg ^= take() == "-"
+            kt = peek()
+            if kt is None or not kt.isdigit():
+                return None
+            take()
+            k = -int(kt) if neg else int(kt)
+        if take() != ")":
+            return None
+        val, w, s, is_int = inner
+        if is_int:
+            # round/ceil/floor(INTEGER) are DOUBLE in DuckDB; only
+            # trunc is the type-preserving identity
+            if fn == "trunc":
+                return inner
+            return None
+        if fn != "round":
+            # ceil/floor/trunc(DECIMAL(w,s)) -> DECIMAL(w, 0)
+            if val is None:
+                return (None, w, 0, False)
+            mode = {"ceil": "ROUND_CEILING", "ceiling": "ROUND_CEILING",
+                    "floor": "ROUND_FLOOR", "trunc": "ROUND_DOWN"}[fn]
+            import decimal as _d
+            with localcontext() as ctx:
+                ctx.prec = 80
+                return (val.quantize(Decimal(1), rounding=getattr(_d, mode)),
+                        w, 0, False)
+        s2 = min(s, max(k, 0))
+        if val is None:
+            return (None, w, s2, False)
+        if k >= s:
+            return (val, w, s, False)
+        if k >= 0:
+            with localcontext() as ctx:
+                ctx.prec = 80
+                q = val.quantize(
+                    Decimal(1).scaleb(-k), rounding=ROUND_HALF_UP
+                )
+            return (q, w, s2, False)
+        # k < 0: DuckDB's absolute width clamp, else half-away on
+        # value/10^|k| scaled back (same rule as _duck_decimal_round_neg)
+        if -k >= w - s:
+            return (Decimal(0), w, 0, False)
+        with localcontext() as ctx:
+            ctx.prec = 80
+            q = val.scaleb(k).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            ).scaleb(-k).quantize(Decimal(1))  # scale-0 form, not 1.2E+2
+        return (q, w, 0, False)
 
     def factor():
         neg = False
@@ -8333,7 +8433,7 @@ def _parse_literal_decimal_chain(text: str):
     v = expr()
     if v is None or pos[0] != len(toks):
         return None
-    return (v[0], v[1], v[2])
+    return v
 
 
 def _duck_decimal_round_neg(v, w: int, s: int, k: int) -> str:
@@ -8357,7 +8457,7 @@ def _duck_decimal_round_neg(v, w: int, s: int, k: int) -> str:
     return format(q, "f")
 
 
-def _fold_literal_round(x: str, k: int) -> Optional[str]:
+def _fold_literal_round(x: str, k: int, orig: Optional[str] = None) -> Optional[str]:
     """Constant-fold ``round(<literal>, k)`` at translate time —
     DuckDB-exact (DECIMAL literals: half-away quantize keeping scale
     min(k, scale); DOUBLE literals / negative k: the double formula).
@@ -8365,7 +8465,21 @@ def _fold_literal_round(x: str, k: int) -> Optional[str]:
     template replicates its operand ~7x, and inside Python-UDF
     arguments the lambda-free inlining compounds it (a fuzz-found
     round-in-round-in-format reached 657 KB of SQL and OOM'd the
-    analyzer). Returns None for non-literal operands."""
+    analyzer). Returns None for non-literal operands.
+
+    ``orig`` is the argument BEFORE the recursive round rewrite: an
+    inner round folds to a bare integer literal (losing its
+    DECIMAL(w, 0) DuckDB typing), so nested round-over-round is typed
+    through the chain parser's round/ceil/floor/trunc call leaves on
+    the original spelling (r12 — fixes round(round(7.0005, 3), -1):
+    DuckDB 10, previously 0 from the as-written inner width)."""
+    if orig is not None:
+        chain0 = _parse_literal_decimal_chain(f"round(({orig}), {k})")
+        if chain0 is not None and chain0[0] is not None and not chain0[3]:
+            q0 = chain0[0]
+            if q0 == 0:
+                q0 = abs(q0)  # DECIMAL has no signed zero
+            return format(q0, "f")
     s = x.strip()
     while s.startswith("(") and s.endswith(")"):
         inner2 = s[1:-1].strip()
@@ -8400,7 +8514,10 @@ def _fold_literal_round(x: str, k: int) -> Optional[str]:
         # statically known literal widths (r11; the r9 'internally
         # inconsistent' reading was the DECIMAL(w,0) width clamp)
         chain = _parse_literal_decimal_chain(s)
-        if chain is not None and chain[0] is not None and chain[2] > 0:
+        if chain is not None and chain[0] is not None and not chain[3]:
+            # any DECIMAL-typed chain, including scale-0 results of
+            # round/ceil/floor leaves (round(round(5.5, 0), -1) is
+            # DECIMAL, not the int/double union)
             return _duck_decimal_round_neg(chain[0], chain[1], chain[2], k)
     m2 = _ROUND_LIT_RE.fullmatch(s)
     if m2 is None:
@@ -8711,7 +8828,10 @@ def _rewrite_round_double(
                             args[0], in_py_udf=in_udf_here
                         )
                     ).strip()
-                    folded = _fold_literal_round(x, k)
+                    folded = _fold_literal_round(
+                        x, k,
+                        orig="".join(t.text for t in args[0]).strip(),
+                    )
                     sty = (
                         _static_numeric_type(args[0])
                         if folded is None
@@ -8738,7 +8858,7 @@ def _rewrite_round_double(
                         # whose decimal HALF_UP matches DuckDB's
                         # half-away and DECIMAL(_,0) shape
                         res = _parse_literal_decimal_chain(x)
-                        if res is not None and res[2] > 0:
+                        if res is not None and not res[3]:
                             if -k >= res[1] - res[2]:
                                 out.extend(_toks("0"))
                                 i = close + 1
@@ -12909,9 +13029,100 @@ def _rewrite_call_shims(
                     )
                     i = close + 1
                     continue
+                if low == "median" and len(args) == 1:
+                    # DuckDB median(DECIMAL) does NOT interpolate: it is
+                    # quantile_disc(x, 0.5) — the LOWER middle element,
+                    # type-preserving (probed: median of DECIMAL [1.00,
+                    # 2.00] is 1.00 where quantile_cont gives 1.50).
+                    # Statically DECIMAL args with width <= 15 take
+                    # percentile_disc + an exact cast back; windowed
+                    # calls and other types keep Spark's median
+                    a0 = _sql(inner, ilo, ihi)
+                    ch0 = _parse_literal_decimal_chain(a0)
+                    after0 = _next_code(tokens, close)
+                    if (
+                        ch0 is not None
+                        and not ch0[3]
+                        and ch0[1] <= 15
+                        and not (
+                            after0 < n and tokens[after0].is_kw("OVER")
+                        )
+                    ):
+                        out.extend(
+                            _toks(
+                                "CAST(percentile_disc(0.5) WITHIN GROUP "
+                                f"(ORDER BY {a0}) AS "
+                                f"DECIMAL({ch0[1]},{ch0[2]}))"
+                            )
+                        )
+                        i = close + 1
+                        continue
+                if low == "percentile_cont" and len(args) == 1:
+                    # aggregate WITHIN GROUP over a statically DECIMAL
+                    # ascending order expr: DuckDB quantizes the result
+                    # to the input's DECIMAL(w, s) (see
+                    # _quantile_cont_agg_sql); windowed forms keep
+                    # their _rewrite_agg_window_frames path
+                    j2 = _next_code(tokens, close)
+                    if j2 < n and tokens[j2].is_kw("WITHIN"):
+                        g_kw = _next_code(tokens, j2)
+                        g_open = _next_code(tokens, g_kw)
+                        if (
+                            g_kw < n
+                            and tokens[g_kw].is_kw("GROUP")
+                            and g_open < n
+                            and tokens[g_open].kind == "op"
+                            and tokens[g_open].text == "("
+                        ):
+                            g_close = _matching_paren(tokens, g_open)
+                            after2 = _next_code(tokens, g_close)
+                            windowed = (
+                                after2 < n and tokens[after2].is_kw("OVER")
+                            )
+                            gcode = [
+                                t
+                                for t in tokens[g_open + 1 : g_close]
+                                if t.kind not in ("ws", "comment")
+                            ]
+                            if (
+                                not windowed
+                                and len(gcode) >= 3
+                                and gcode[0].is_kw("ORDER")
+                                and gcode[1].is_kw("BY")
+                            ):
+                                body = list(gcode[2:])
+                                asc = True
+                                while (
+                                    body
+                                    and body[-1].kind == "word"
+                                    and body[-1].upper
+                                    in ("ASC", "NULLS", "LAST", "FIRST", "DESC")
+                                ):
+                                    if body[-1].upper in ("FIRST", "DESC"):
+                                        asc = False
+                                        break
+                                    body.pop()
+                                if asc and body:
+                                    xsql = "".join(t.text for t in body)
+                                    ch2 = _parse_literal_decimal_chain(xsql)
+                                    if (
+                                        ch2 is not None
+                                        and not ch2[3]
+                                        and ch2[1] <= 15
+                                    ):
+                                        qsql = _sql(inner, ilo, ihi)
+                                        out.extend(
+                                            _toks(
+                                                _quantile_cont_agg_sql(
+                                                    xsql, qsql
+                                                )
+                                            )
+                                        )
+                                        i = g_close + 1
+                                        continue
                 if low == "quantile_cont" and len(args) == 2:
                     a, b = (_sql(inner, s, e) for s, e in args)
-                    out.extend(_toks(f"percentile({a}, {b})"))
+                    out.extend(_toks(_quantile_cont_agg_sql(a, b)))
                     i = close + 1
                     continue
                 if low in ("quantile_disc", "quantile") and len(args) == 2:

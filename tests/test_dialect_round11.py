@@ -258,7 +258,7 @@ def test_chain_typing_property_vs_duckdb():
         got = _parse_literal_decimal_chain(chain)
         if got is None:
             return
-        val, w, s = got
+        val, w, s = got[0], got[1], got[2]  # r12: 4th elem = is_integer
         t = con.execute(f"SELECT typeof({chain})").fetchone()[0]
         mm = _re.fullmatch(r"DECIMAL\((\d+),(\d+)\)", t)
         if mm is None:

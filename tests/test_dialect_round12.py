@@ -283,3 +283,105 @@ def test_round_emitters_use_compiled_core():
     assert "__duck_round_j" in t and "4.503599627370496e15" not in t
     t2 = translate("SELECT round(x, y % 5) FROM t")
     assert "__duck_round_j" in t2 and "raise_error" in t2
+
+
+# ---------------------------------------------------------------------------
+# unhinted-decimal corners (VERDICT r11 item 2)
+
+
+def test_nested_round_width_propagation(spark):
+    """round-over-round at k<0 sees DuckDB's propagated result width
+    (round/ceil/floor/trunc call leaves in the chain parser), not the
+    inner expression's as-written width."""
+    con = duckdb.connect()
+    cases = [
+        "round(round(7.0005, 3), -1)",     # was 0 (clamp on (5,4)), duck 10
+        "round(round(5.5, 0), -1)",        # scale-0 decimal, duck '10'
+        "round(round(1234.567, 2), -2)",
+        "round(round(1601.8, -1), -1)",    # inner k<0
+        "round(ceil(94.2), -1)",
+        "round(trunc(1299.87), -2)",
+        "round(floor(7.9) + 12.5, -1)",
+    ]
+    for e in cases:
+        q = f"SELECT CAST({e} AS VARCHAR) AS a"
+        want = con.execute(q).fetchone()[0]
+        got = spark.sql(translate(q)).collect()[0][0]
+        assert got == want, (e, got, want)
+
+
+def test_nested_round_fuzz_vs_duckdb(spark):
+    """Randomized literal chains with round/ceil/floor/trunc leaves:
+    rendering-exact vs DuckDB at every outer scale (the two known
+    residuals are width>18 crossing chains, which the parser bails on
+    by design)."""
+    con = duckdb.connect()
+    g = random.Random(7)
+
+    def lit():
+        ip = g.randint(0, 3000)
+        fp = g.randint(0, 9999)
+        return f"{ip}.{str(fp).zfill(4)[: g.randint(1, 4)]}"
+
+    def chain(d=0):
+        if d >= 2 or g.random() < 0.5:
+            return lit()
+        r = g.random()
+        a = chain(d + 1)
+        if r < 0.4:
+            return f"round({a}, {g.randint(-3, 4)})"
+        if r < 0.5:
+            return f"{g.choice(['ceil', 'floor', 'trunc'])}({a})"
+        return f"({a} {g.choice(['+', '-'])} {chain(d + 1)})"
+
+    n = bad = 0
+    for k in (-3, -2, -1, 0, 2):
+        for _ in range(30):
+            e = f"round({chain()}, {k})"
+            q = f"SELECT CAST({e} AS VARCHAR) AS a"
+            try:
+                want = con.execute(q).fetchone()[0]
+            except Exception:
+                continue
+            n += 1
+            got = spark.sql(translate(q)).collect()[0][0]
+            if got != want:
+                bad += 1
+    assert n > 80 and bad == 0, (n, bad)
+
+
+def test_decimal_quantile_quantization(spark):
+    """quantile_cont / percentile_cont over a DECIMAL-hinted input keep
+    DuckDB's DECIMAL(w,s) result: unscaled-domain interpolation
+    truncated toward zero; median(DECIMAL) is the discrete lower-middle
+    element (quantile_disc at 0.5), type-preserving."""
+    from component_duckdb_transformation_spark.functions.dialect import (
+        column_type_hints,
+    )
+
+    con = duckdb.connect()
+    g = random.Random(31)
+    rows = [(round(g.uniform(-500, 500), 2),) for _ in range(100)] + [(None,)]
+    con.execute("CREATE TABLE tdq(x DECIMAL(7,2))")
+    con.executemany("INSERT INTO tdq VALUES (?)", rows)
+    spark.createDataFrame(
+        [(None if v is None else float(v),) for (v,) in rows], "xd double"
+    ).selectExpr("CAST(xd AS DECIMAL(7,2)) AS x").createOrReplaceTempView("tdq")
+    exprs = [
+        "quantile_cont(x, 0.3)",
+        "quantile_cont(x + 1.5, 0.77)",
+        "percentile_cont(0.25) WITHIN GROUP (ORDER BY x)",
+        "median(x)",
+    ]
+    for e in exprs:
+        q = f"SELECT CAST({e} AS VARCHAR) AS a FROM tdq"
+        want = con.execute(q).fetchone()[0]
+        with column_type_hints({"x": "decimal(7,2)"}):
+            t = translate(q)
+        got = spark.sql(t).collect()[0][0]
+        assert got == want, (e, got, want)
+    # DOUBLE inputs keep the interpolating double result
+    q2 = "SELECT median(CAST(x AS DOUBLE)) AS a, quantile_cont(CAST(x AS DOUBLE), 0.3) AS b FROM tdq"
+    want2 = con.execute(q2).fetchone()
+    got2 = tuple(spark.sql(translate(q2)).collect()[0])
+    assert tuple(want2) == got2
