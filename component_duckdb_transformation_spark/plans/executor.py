@@ -2659,10 +2659,14 @@ class SparkStatementExecutor:
                 break
         if sel is None:
             return time_cols, enum_cols
-        # depth-0 set operation anywhere after: per-branch columns may
-        # differ — inherit nothing
+        # depth-0 set operation: analyze every branch and inherit a
+        # column only where ALL branches agree POSITIONALLY (DuckDB:
+        # enum UNION same-enum stays enum, enum UNION varchar decays
+        # to VARCHAR; names come from the first branch). UNION BY NAME
+        # matches by name, not position — inherit nothing there (r12).
         depth = 0
-        for t in code[sel + 1 :]:
+        ops: List[int] = []
+        for k, t in enumerate(code[sel + 1 :], start=sel + 1):
             if t.kind == "op" and t.text in ("(", "["):
                 depth += 1
             elif t.kind == "op" and t.text in (")", "]"):
@@ -2672,7 +2676,9 @@ class SparkStatementExecutor:
                 "EXCEPT",
                 "INTERSECT",
             ):
-                return set(), {}
+                ops.append(k)
+        if ops:
+            return self._setop_special_columns(code, sel, ops, deps)
         lo = sel + 1
         if lo < n and code[lo].kind == "word" and code[lo].upper in (
             "DISTINCT",
@@ -2764,6 +2770,139 @@ class SparkStatementExecutor:
                 if src in dep_enums and src not in dep_enum_conflict:
                     enum_cols[name] = dep_enums[src]
         return time_cols, enum_cols
+
+    def _dep_special_maps(self, deps):
+        """(enum bindings, ambiguous-name set, time columns) merged
+        over the statement's dependencies."""
+        dep_enums: Dict[str, str] = {}
+        conflict: set = set()
+        dep_times: set = set()
+        for dep in deps:
+            for c, e in self._enum_columns.get(dep.lower(), {}).items():
+                if e not in self._enum_types:
+                    continue
+                if dep_enums.get(c, e) != e:
+                    conflict.add(c)
+                dep_enums[c] = e
+            dep_times |= self._time_columns.get(dep.lower(), set())
+        return dep_enums, conflict, dep_times
+
+    def _setop_special_columns(self, code, sel, ops, deps):
+        """Positional (time, enum) inheritance across set-operation
+        branches (r12): names come from the FIRST branch; a column
+        stays enum only when EVERY branch's item at that position is a
+        ref to the SAME enum (DuckDB decays enum-vs-varchar and
+        enum-vs-other-enum unions to VARCHAR). Star items, UNION BY
+        NAME (name-matched, not positional), unparenthesized shapes,
+        and item-count mismatches conservatively inherit nothing."""
+        n = len(code)
+        starts = [sel]
+        for op in ops:
+            j = op + 1
+            while j < n and code[j].kind == "word" and code[j].upper in (
+                "ALL",
+                "DISTINCT",
+            ):
+                j += 1
+            if j < n and code[j].kind == "word" and code[j].upper == "BY":
+                return set(), {}  # UNION BY NAME
+            if not (
+                j < n and code[j].kind == "word" and code[j].upper == "SELECT"
+            ):
+                return set(), {}
+            starts.append(j)
+        dep_enums, conflict, _ = self._dep_special_maps(deps)
+        anns = []
+        for bi, st_i in enumerate(starts):
+            end = ops[bi] if bi < len(ops) else n
+            ann = self._branch_item_annotations(
+                code, st_i, end, dep_enums, conflict
+            )
+            if ann is None:
+                return set(), {}
+            anns.append(ann)
+        if len({len(a) for a in anns}) != 1:
+            return set(), {}
+        time_cols: set = set()
+        enum_cols: Dict[str, str] = {}
+        for i, (name, _e, _t) in enumerate(anns[0]):
+            if not name:
+                continue
+            enums = {a[i][1] for a in anns}
+            if len(enums) == 1 and None not in enums:
+                enum_cols[name] = enums.pop()
+            if all(a[i][2] for a in anns):
+                time_cols.add(name)
+        return time_cols, enum_cols
+
+    def _branch_item_annotations(self, code, sel, end, dep_enums, conflict):
+        """``[(output_name | None, enum | None, is_time)]`` for one
+        SELECT branch's top-level items; None when a star item makes
+        positions unknowable."""
+        n = end
+        lo = sel + 1
+        if lo < n and code[lo].kind == "word" and code[lo].upper in (
+            "DISTINCT",
+            "ALL",
+        ):
+            lo += 1
+        hi = lo
+        depth = 0
+        while hi < n:
+            t = code[hi]
+            if t.kind == "op" and t.text in ("(", "["):
+                depth += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.kind == "word" and t.upper == "FROM":
+                break
+            hi += 1
+        items: List[List[Token]] = [[]]
+        depth = 0
+        for t in code[lo:hi]:
+            if t.kind == "op" and t.text in ("(", "["):
+                depth += 1
+            elif t.kind == "op" and t.text in (")", "]"):
+                depth -= 1
+            if depth == 0 and t.kind == "op" and t.text == ",":
+                items.append([])
+            else:
+                items[-1].append(t)
+        out = []
+        for item in items:
+            if not item:
+                continue
+            if any(t.kind == "op" and t.text == "*" for t in item):
+                return None  # star: positions unknowable
+            name = None
+            expr = item
+            if (
+                len(item) >= 3
+                and item[-2].kind == "word"
+                and item[-2].upper == "AS"
+                and item[-1].kind in ("word", "bident", "qident")
+            ):
+                name = unquote_name(item[-1]).lower()
+                expr = item[:-2]
+            elif item[-1].kind in ("word", "bident", "qident") and all(
+                t.kind in ("word", "bident", "qident")
+                or (t.kind == "op" and t.text == ".")
+                for t in item
+            ):
+                name = unquote_name(item[-1]).lower()
+            enum = None
+            is_time = _alias_expr_hint(list(expr)) == "time"
+            ecode = [t for t in expr if t.kind not in ("ws", "comment")]
+            if ecode and all(
+                t.kind in ("word", "bident", "qident")
+                or (t.kind == "op" and t.text == ".")
+                for t in ecode
+            ):
+                src = unquote_name(ecode[-1]).lower()
+                if src in dep_enums and src not in conflict:
+                    enum = dep_enums[src]
+            out.append((name, enum, is_time))
+        return out
 
     def _create_table(self, st: ParsedStatement) -> None:
         name = self._target_table(st)

@@ -1313,3 +1313,34 @@ def test_sequence_rebuild_expression_items_and_ordinals(spark, tmp_path):
         if t.name.startswith("__seq_mat")
     ]
     assert len(mats) >= 2
+
+
+def test_enum_through_setop_ctas(spark, table_store):
+    """Set-operation CTAS bodies inherit enum-ness POSITIONALLY (r12):
+    same-enum branches stay positional downstream, enum-vs-varchar and
+    enum-vs-other-enum decay to lexical VARCHAR — DuckDB's union
+    typing, verified live in the r12 probes."""
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    ex = SparkStatementExecutor(spark, table_store)
+    _run(ex, "CREATE TYPE mood12 AS ENUM ('sad', 'ok', 'happy')")
+    _run(ex, "CREATE TYPE tier12 AS ENUM ('lo', 'hi')")
+    _run(ex, "CREATE TABLE pp12(name VARCHAR, m mood12)")
+    _run(ex, "CREATE TABLE cc12(name VARCHAR, m mood12, t tier12)")
+    _run(ex, "INSERT INTO pp12 VALUES ('a', 'happy'), ('b', 'sad'), ('c', 'ok')")
+    _run(ex, "INSERT INTO cc12 VALUES ('d', 'ok', 'lo'), ('e', 'happy', 'hi')")
+    # same enum on both branches: ORDER BY stays positional
+    _run(ex, "CREATE TABLE uu12 AS SELECT name, m FROM pp12"
+             " UNION ALL SELECT name, m FROM cc12")
+    _run(ex, "CREATE TABLE rr12 AS SELECT name,"
+             " row_number() OVER (ORDER BY m, name) AS rnk FROM uu12")
+    got = sorted(tuple(r) for r in spark.table("rr12").collect())
+    # positional order: sad(1) < ok(2,3) < happy(4,5)
+    assert got == [("a", 4), ("b", 1), ("c", 2), ("d", 3), ("e", 5)], got
+    # enum-vs-other-enum decays to lexical VARCHAR (like DuckDB)
+    _run(ex, "CREATE TABLE ux12 AS SELECT m FROM pp12"
+             " UNION ALL SELECT t AS m FROM cc12")
+    _run(ex, "CREATE TABLE rx12 AS SELECT CAST(min(m) AS VARCHAR) AS lo FROM ux12")
+    assert [tuple(r) for r in spark.table("rx12").collect()] == [("happy",)]
