@@ -138,12 +138,29 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     max_shingle_freq: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via inverted-index join.
+    """Exact Jaccard-similar pairs.
 
     (d1, d2, intersection, union, jaccard) for jaccard >= threshold.
     ``max_shingle_freq`` drops shingles hotter than the cap (stopword
-    shingles) to bound the self-join at scale.
+    shingles) to bound candidate generation at scale.
+
+    ``prefix_filter=True`` (default, r12) is the published
+    AllPairs/PPJoin scheme (Bayardo et al. WWW'07; Xiao et al.
+    WWW'08): order every document's shingles by ascending global
+    document frequency (rarest first, ties by hash), keep only the
+    PREFIX of length n - ceil(t*n) + 1, and generate candidates from
+    prefix-token collisions — a pair at jaccard >= t MUST share a
+    token inside both prefixes under any common total order, so the
+    candidate set is exact-complete while the self-join shrinks from
+    sum(f_s^2) over ALL shingles to prefix collisions only. Candidates
+    verify exactly against per-doc sorted shingle-hash arrays
+    (array_intersect — O(|X|+|Y|) per pair). The ceil uses a 1e-9
+    slack so float noise can only LENGTHEN a prefix (safe), never
+    shorten it. ``prefix_filter=False`` keeps the full inverted-index
+    self-join — the equivalence oracle for this optimization and the
+    spelling the DuckDB workload oracle replays.
     """
     # join on the 64-bit shingle hash, never the raw string: shuffle
     # keys shrink from ~20-byte strings to 8 bytes and comparisons are
@@ -171,6 +188,87 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    if prefix_filter:
+        # global token order: ascending document frequency (rarest
+        # first, ties by hash) — the order that minimizes prefix
+        # collisions in AllPairs/PPJoin
+        freq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        ordered = (
+            sh.join(freq, "sh")
+            .groupBy("doc_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(_df, sh)))"
+                    ", p -> p.sh)"
+                ).alias("toks"),
+                F.count("*").alias("n"),
+            )
+        )
+        # prefix length n - ceil(t*n) + 1; the 1e-9 slack keeps float
+        # ceil from ever SHORTENING the prefix (missing candidates)
+        pref = ordered.select(
+            "doc_id",
+            "n",
+            F.col("toks").alias("tset"),
+            F.slice(
+                "toks",
+                F.lit(1),
+                F.greatest(
+                    F.lit(0),
+                    (
+                        F.col("n")
+                        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+                        + F.lit(1)
+                    ).cast("int"),
+                ),
+            ).alias("prefix"),
+        )
+        px = pref.select(
+            "doc_id", F.explode("prefix").alias("sh")
+        )
+        cand = (
+            px.alias("a")
+            .join(
+                px.alias("b"),
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"),
+            )
+            .distinct()
+        )
+        sets1 = pref.select(
+            F.col("doc_id").alias("d1"),
+            F.col("tset").alias("t1"),
+            F.col("n").alias("n1"),
+        )
+        sets2 = pref.select(
+            F.col("doc_id").alias("d2"),
+            F.col("tset").alias("t2"),
+            F.col("n").alias("n2"),
+        )
+        return (
+            cand.join(sets1, "d1")
+            .join(sets2, "d2")
+            .withColumn(
+                "intersection",
+                F.size(F.array_intersect("t1", "t2")).cast("bigint"),
+            )
+            .withColumn(
+                "union_size", F.col("n1") + F.col("n2") - F.col("intersection")
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("intersection").cast("double") / F.col("union_size"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("d1", "d2", "intersection", "union_size", "jaccard")
+        )
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -1463,8 +1463,13 @@ _add_df(
         spark.table("documents"), threshold=0.4, max_shingle_freq=100
     ),
     oracle=_JACCARD_ORACLE,
-    description="exact 3-gram Jaccard near-dup pairs via shingle inverted-index "
-    "join; posting lists bounded by a shingle-frequency cap (scale guard)",
+    description="exact 3-gram Jaccard near-dup pairs via AllPairs/PPJoin "
+    "prefix filtering (r12): rarest-first global token order, prefix "
+    "length n - ceil(t*n) + 1, candidates from prefix collisions only, "
+    "exact array-intersect verification — the published scalable-exact "
+    "algorithm; shingle-frequency cap retained as the boilerplate guard. "
+    "The DuckDB oracle replays the unfiltered inverted-index join "
+    "(result-identical; equivalence tested in test_decontam_repetition)",
 )
 
 def _minhash_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.4) -> str:

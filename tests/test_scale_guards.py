@@ -67,3 +67,41 @@ def test_blocked_near_dup_has_no_cartesian_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_prefix_filter_equivalence(spark):
+    """The AllPairs/PPJoin prefix-filtered path (r12 default) returns
+    the identical pair set as the unfiltered inverted-index join across
+    thresholds, near-dup structure, and the hot-shingle cap."""
+    import random
+
+    from component_duckdb_transformation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    g = random.Random(9)
+    vocab = [f"w{i}" for i in range(40)]
+    rows, did = [], 0
+    for t in range(25):
+        base = [vocab[g.randrange(40)] for _ in range(14)]
+        for _ in range(4):
+            words = list(base)
+            for _ in range(g.randrange(0, 3)):
+                words[g.randrange(14)] = vocab[g.randrange(40)]
+            rows.append((did, " ".join(words)))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.15, 0.5, 0.85):
+        for cap in (None, 5):
+            a = sorted(
+                map(tuple, ngram_jaccard_pairs(
+                    df, threshold=thr, max_shingle_freq=cap
+                ).collect())
+            )
+            b = sorted(
+                map(tuple, ngram_jaccard_pairs(
+                    df, threshold=thr, max_shingle_freq=cap,
+                    prefix_filter=False,
+                ).collect())
+            )
+            assert a == b, (thr, cap, len(a), len(b))
