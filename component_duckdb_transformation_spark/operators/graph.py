@@ -17,10 +17,12 @@ Algorithm: minimum-label propagation with pointer jumping.  Each round
 
 100 TB posture: per round the work is two hash joins and one grouped
 min — all keyed shuffles, no driver-side data beyond one convergence
-counter per round; the label frame is eagerly ``localCheckpoint``-ed
-each round, which both truncates the exponentially-growing iterative
-lineage and materializes the join input once instead of recomputing
-the whole prior chain per reference.  The pointer jump is resolved
+counter per round; the label frame is eagerly checkpointed each round
+(executor-local by default; ``reliable_checkpoint=True`` writes to the
+SparkContext checkpoint dir for preemption-safe cluster runs), which
+both truncates the exponentially-growing iterative lineage and
+materializes the join input once instead of recomputing the whole
+prior chain per reference.  The pointer jump is resolved
 over DISTINCT labels (map-side-combined), so a dominant component's
 canonical label never concentrates data rows in one task — the remap
 side shrinks with convergence and broadcasts.  The remaining skew
@@ -36,6 +38,22 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
+    """Materialize ``df`` and cut its lineage. ``reliable=False`` uses
+    executor-local checkpointing — fast, but blocks lost with an
+    executor force a full recompute, which an iterative loop's
+    truncated lineage can NOT replay (Spark then fails the job).
+    ``reliable=True`` writes to the SparkContext checkpoint directory
+    (set one with ``sc.setCheckpointDir`` — HDFS/object storage on a
+    real cluster), surviving executor loss and preemption; that is the
+    right mode for long component runs on spot/preemptible fleets. If
+    no checkpoint dir is configured, reliable mode raises Spark's own
+    descriptive error rather than silently downgrading."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 #: edge-count ceiling for the driver union-find regime; ~2 longs per
@@ -103,6 +121,7 @@ def connected_components(
     node_col: str = "node",
     max_iter: int = 50,
     max_driver_edges: int = _DRIVER_EDGE_CEILING,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
@@ -136,7 +155,7 @@ def connected_components(
     # materialize ONCE: the edge list joins into every round, and an
     # un-checkpointed plan (e.g. a full MinHash-LSH pipeline feeding
     # the pairs) would otherwise re-execute per round, twice
-    sym = sym.localCheckpoint(eager=True)
+    sym = _truncate_lineage(sym, reliable_checkpoint)
 
     n_sym = sym.count() if max_driver_edges else None
     if n_sym == 0:
@@ -163,7 +182,7 @@ def connected_components(
             nodes.select(F.col(node_col).alias("node"))
         ).distinct()
     labels = lab.select("node", F.col("node").alias("lbl"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _truncate_lineage(labels, reliable_checkpoint)
 
     for _ in range(max_iter):
         # 1. min label among neighbors
@@ -224,7 +243,7 @@ def connected_components(
                 ).alias("lbl"),
             )
         )
-        jumped = jumped.localCheckpoint(eager=True)
+        jumped = _truncate_lineage(jumped, reliable_checkpoint)
         changed = jumped.agg(
             F.sum(
                 F.when(F.col("lbl") != F.col("old"), 1).otherwise(0)

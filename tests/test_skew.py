@@ -181,3 +181,31 @@ def test_connected_components_empty_edges(spark):
         for r in connected_components(edf, nodes=ndf).collect()
     )
     assert got == [(1, 1), (2, 2)]
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable_checkpoint=True writes round checkpoints to the
+    SparkContext checkpoint dir (cluster fault tolerance) and produces
+    the same labeling; the plan's lineage is truncated either way."""
+    from component_duckdb_transformation_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    local = sorted(
+        tuple(r)
+        for r in connected_components(edf, max_driver_edges=0).collect()
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    rel = sorted(
+        tuple(r)
+        for r in connected_components(
+            edf, max_driver_edges=0, reliable_checkpoint=True
+        ).collect()
+    )
+    assert rel == local == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
+    import os
+
+    # the reliable run actually materialized checkpoint files
+    assert any(os.scandir(str(tmp_path / "ckpt")))
