@@ -6567,13 +6567,88 @@ def _rewrite_mad_groupby_recursive(tokens: List[Token]) -> List[Token]:
 _RE2_VALID_CACHE: dict = {}
 
 
+def _re2_static_verdict(pat: str):
+    """``False`` when the pattern uses a construct RE2 DOCUMENTS as
+    unsupported (and rejects — calibrated against the duckdb wheel in
+    test_dialect_round12): lookaheads/lookbehinds, atomic groups,
+    conditionals, possessive quantifiers, backreferences, ``\\Z``, and
+    a trailing backslash. ``None`` = statically undecidable (escalate
+    to the wheel probe when available). Never returns True — a full
+    RE2 parser would be needed to certify validity. Character classes
+    and escapes are skipped so ``[(?=]`` stays literal."""
+    i, n = 0, len(pat)
+    in_class = False
+    while i < n:
+        c = pat[i]
+        if c == "\\":
+            if i + 1 >= n:
+                return False  # trailing backslash
+            e = pat[i + 1]
+            if e == "Q":
+                # \Q..\E quotes everything inside (to the end when
+                # unterminated) — nothing within can invalidate
+                end = pat.find("\\E", i + 2)
+                i = n if end < 0 else end + 2
+                continue
+            if not in_class and e.isdigit() and e != "0":
+                # \1..\7 followed by another OCTAL digit is an octal
+                # escape (\12, \123 — probed valid); a lone digit or a
+                # non-octal continuation is a backreference / \8 \9
+                # error in RE2
+                if not (
+                    e in "1234567" and pat[i + 2 : i + 3] in tuple("01234567")
+                ):
+                    return False
+            if e == "Z":
+                return False  # Java-only anchor (RE2 has \z)
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            # leading ']' right after '[' (or '[^') is a literal
+            j = i + 1
+            if j < n and pat[j] == "^":
+                j += 1
+            if j < n and pat[j] == "]":
+                j += 1
+            i = j
+            continue
+        if c == "(" and pat[i + 1 : i + 2] == "?":
+            nxt = pat[i + 2 : i + 3]
+            if nxt in ("=", "!", ">", "("):
+                return False  # lookahead / atomic / conditional
+            if nxt == "<" and pat[i + 3 : i + 4] in ("=", "!"):
+                return False  # lookbehind
+            i += 2
+            continue
+        if c in "*+?" and pat[i + 1 : i + 2] == "+":
+            # possessive quantifier; a bare '+' that is not a
+            # quantifier here is a 'nothing to repeat' error in RE2
+            # anyway, so False is right either way
+            return False
+        i += 1
+    return None
+
+
 def _re2_pattern_valid(pat: str) -> bool:
     """Validate ``pat`` against RE2 (DuckDB's regex engine) using the
     duckdb module itself — Java regex accepts a different set, and
     DuckDB's ``regexp_replace`` silently returns the subject unchanged
-    for an invalid pattern where Spark would raise at runtime. When the
-    module is unavailable, assume valid (pre-existing behavior)."""
+    for an invalid pattern where Spark would raise at runtime.
+    Documented-unsupported constructs are rejected STATICALLY first
+    (`_re2_static_verdict` — no wheel needed); only statically
+    undecidable patterns escalate to the wheel. When the module is
+    unavailable, undecided patterns are assumed valid (pre-existing
+    behavior)."""
     v = _RE2_VALID_CACHE.get(pat)
+    if v is None and _re2_static_verdict(pat) is False:
+        v = False
+        _RE2_VALID_CACHE[pat] = v
     if v is None:
         try:
             import duckdb

@@ -1137,14 +1137,18 @@ def register_text_udfs(spark: SparkSession) -> None:
         # Python's re, so validity is checked with RE2 ITSELF via the
         # statically-linked build in the duckdb wheel (same precedent
         # as icu_sort_key); one check per DISTINCT value, process-wide
-        # cache. Wheel absent -> assume valid (pre-existing behavior:
-        # the invalid value raises in Java).
+        # cache. Documented-unsupported constructs (lookarounds,
+        # backrefs, possessive quantifiers, ...) are rejected
+        # STATICALLY first — no wheel needed (r12,
+        # dialect._re2_static_verdict); only statically undecidable
+        # values escalate. Wheel absent -> undecided values assume
+        # valid (pre-existing behavior: they raise in Java).
+        from .dialect import _re2_static_verdict
+
         try:
             import duckdb
         except ImportError:
-            return pd.Series(
-                [None if v is None else True for v in p], dtype="object"
-            )
+            duckdb = None
         con = None
 
         def one(v):
@@ -1152,6 +1156,11 @@ def register_text_udfs(spark: SparkSession) -> None:
             if v is None:
                 return None
             r = _re2_valid_cache.get(v)
+            if r is None and _re2_static_verdict(v) is False:
+                r = False
+                _re2_valid_cache[v] = r
+            if r is None and duckdb is None:
+                return True
             if r is None:
                 if con is None:
                     con = duckdb.connect()

@@ -385,3 +385,47 @@ def test_decimal_quantile_quantization(spark):
     want2 = con.execute(q2).fetchone()
     got2 = tuple(spark.sql(translate(q2)).collect()[0])
     assert tuple(want2) == got2
+
+
+# ---------------------------------------------------------------------------
+# static RE2 validity (r12: shrink the duckdb-wheel soft dependency)
+
+
+def test_re2_static_verdict_calibration():
+    """The static classifier never rejects a pattern RE2 accepts
+    (False => wheel False); unknowns return None. Calibrated against
+    the wheel over random pattern soup + targeted constructs."""
+    from component_duckdb_transformation_spark.functions.dialect import (
+        _re2_static_verdict,
+    )
+
+    # definite rejections
+    for p in ["(?=x)", "(?!x)", "(?<=x)", "(?<!x)", "(?>x)", "(?(1)a|b)",
+              "a\\1", "a\\18", "a\\8", "a\\Z", "a++", "a*+", "a?+", "\\"]:
+        assert _re2_static_verdict(p) is False, p
+    # valid / undecidable constructs must NOT be rejected
+    for p in ["(?P<n>x)", "(?i)x", "(?:a)", "[(?=]", "[a\\1]", "a\\12",
+              "a\\123", "a\\0", "\\Q(?=\\E", "\\Qa++\\E", "\\Qabc",
+              "[]a]+", "\\p{L}", "\\zx", "a{2,3}"]:
+        assert _re2_static_verdict(p) is not False, p
+    try:
+        import duckdb
+    except ImportError:
+        return
+    import random
+
+    con = duckdb.connect()
+
+    def wheel_valid(p):
+        try:
+            con.execute("SELECT regexp_matches('', ?)", [p])
+            return True
+        except duckdb.Error:
+            return False
+
+    g = random.Random(3)
+    alphabet = list("ab()[]{}*+?\\|^$.-=!<>:PZzQE0123789diswW,")
+    for _ in range(3000):
+        p = "".join(g.choice(alphabet) for _ in range(g.randrange(1, 16)))
+        if _re2_static_verdict(p) is False:
+            assert not wheel_valid(p), repr(p)
