@@ -226,3 +226,52 @@ def test_semantic_dedup_one_hot_cluster_blocked(spark):
     for r in rows:
         by_cluster.setdefault(r.cluster, []).append(r.vec_id)
     assert keeps == sorted(min(v) for v in by_cluster.values())
+
+
+@pytest.mark.slow
+def test_connected_components_regime_switch_above_threshold(spark):
+    """A skewed pair graph just ABOVE max_driver_edges must engage the
+    DISTRIBUTED regime (never the driver collect) and still converge:
+    one star hub holding half the edges (the hot-label shape) plus
+    disjoint chains. Just BELOW the threshold the driver regime
+    engages. Regime choice is observed by stubbing the driver path."""
+    from unittest import mock
+
+    import component_duckdb_transformation_spark.operators.graph as G
+
+    # ~120k symmetrized edges: 30k-star at hub 0 + 30k chain links
+    star = spark.range(1, 30_001).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    chains = spark.range(30_000).select(
+        (F.lit(1_000_000) + F.col("id") * 2).alias("src"),
+        (F.lit(1_000_000) + F.col("id") * 2 + 1).alias("dst"),
+    )
+    edges = star.union(chains)
+    n_sym = 2 * 60_000
+
+    # above threshold: the driver path must NOT be touched
+    with mock.patch.object(
+        G, "_driver_union_find", side_effect=AssertionError("driver regime engaged")
+    ):
+        cc = G.connected_components(
+            edges, max_iter=12, max_driver_edges=n_sym - 1
+        )
+        labs = cc.collect()
+    star_labels = {r.cluster for r in labs if r.node <= 30_000}
+    assert star_labels == {0}
+    assert sum(1 for r in labs if r.node >= 1_000_000) == 60_000
+
+    # below threshold: driver regime engages (stub observes the call)
+    called = {}
+    real = G._driver_union_find
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return real(*a, **k)
+
+    with mock.patch.object(G, "_driver_union_find", side_effect=spy):
+        G.connected_components(
+            edges, max_iter=12, max_driver_edges=n_sym + 1
+        ).collect()
+    assert called.get("yes")
