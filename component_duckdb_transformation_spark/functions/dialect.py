@@ -3508,7 +3508,9 @@ def _mad_template(arg_sql: str) -> str:
 # peer ROW count; the first peer row ingests the batch and the rest
 # replay the cached answer.
 
-_WIN_OS_STATE = {"site": 0}
+import itertools as _itertools
+
+_WIN_OS_SITE_COUNTER = _itertools.count(1)  # thread-safe in CPython
 
 #: bounded trailing ROWS frames stream at EVERY width — measured at
 #: sf0.1: the compiled treap beats the interpreted fold even at frame 4
@@ -3519,8 +3521,7 @@ _WIN_OS_PREC_MIN = 0
 
 
 def _win_os_next_site() -> int:
-    _WIN_OS_STATE["site"] += 1
-    return _WIN_OS_STATE["site"]
+    return next(_WIN_OS_SITE_COUNTER)
 
 
 def _spec_prefix_frame(spec: str):
