@@ -138,7 +138,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     max_shingle_freq: int | None = None,
-    prefix_filter: bool = True,
+    prefix_filter: bool | str = "auto",
+    max_naive_candidates: int = 20_000_000,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs.
 
@@ -146,22 +147,30 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` drops shingles hotter than the cap (stopword
     shingles) to bound candidate generation at scale.
 
-    ``prefix_filter=True`` (default, r12) is the published
-    AllPairs/PPJoin scheme (Bayardo et al. WWW'07; Xiao et al.
-    WWW'08): order every document's shingles by ascending global
-    document frequency (rarest first, ties by hash), keep only the
-    PREFIX of length n - ceil(t*n) + 1, and generate candidates from
-    prefix-token collisions — a pair at jaccard >= t MUST share a
-    token inside both prefixes under any common total order, so the
-    candidate set is exact-complete while the self-join shrinks from
-    sum(f_s^2) over ALL shingles to prefix collisions only. Candidates
-    verify exactly against per-doc sorted shingle-hash arrays
-    (array_intersect — O(|X|+|Y|) per pair). The ceil uses a 1e-9
-    slack so float noise can only LENGTHEN a prefix (safe), never
-    shorten it. ``prefix_filter=False`` keeps the full inverted-index
-    self-join — the equivalence oracle for this optimization and the
-    spelling the DuckDB workload oracle replays.
-    """
+    ``prefix_filter=True`` (r12) is the published AllPairs/PPJoin
+    scheme (Bayardo et al. WWW'07; Xiao et al. WWW'08): order every
+    document's shingles by ascending global document frequency (rarest
+    first, ties by hash), keep only the PREFIX of length
+    n - ceil(t*n) + 1, and generate candidates from prefix-token
+    collisions — a pair at jaccard >= t MUST share a token inside both
+    prefixes under any common total order, so the candidate set is
+    exact-complete while the self-join shrinks from sum(f_s^2) over
+    ALL shingles to prefix collisions only. Candidates verify exactly
+    against per-doc shingle-hash arrays (array_intersect —
+    O(|X|+|Y|) per pair). The ceil uses a 1e-9 slack so float noise
+    can only LENGTHEN a prefix (safe), never shorten it.
+    ``prefix_filter=False`` keeps the full inverted-index self-join —
+    the equivalence oracle for this optimization and the spelling the
+    DuckDB workload oracle replays.
+
+    ``"auto"`` (default) picks by the MEASURED candidate volume
+    sum(f*(f-1)/2) over the (already materialized) shingle frequency
+    table — the same size-based physical-strategy choice AQE makes for
+    joins: below ``max_naive_candidates`` the single-join naive path
+    wins on fixed costs (it is one shuffle against prefix's four);
+    above it the prefix path's threshold-bounded candidates are the
+    only thing that survives corpus growth. Both paths return the
+    identical pair set (equivalence-tested)."""
     # join on the 64-bit shingle hash, never the raw string: shuffle
     # keys shrink from ~20-byte strings to 8 bytes and comparisons are
     # single longs (collision odds ~n^2/2^64 — immaterial)
@@ -188,6 +197,14 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    if prefix_filter == "auto":
+        est = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_f"))
+            .agg(F.sum(F.col("_f") * (F.col("_f") - 1) / 2).alias("c"))
+            .collect()[0]["c"]
+        )
+        prefix_filter = (est or 0) > max_naive_candidates
     if prefix_filter:
         # global token order: ascending document frequency (rarest
         # first, ties by hash) — the order that minimizes prefix

@@ -1463,13 +1463,16 @@ _add_df(
         spark.table("documents"), threshold=0.4, max_shingle_freq=100
     ),
     oracle=_JACCARD_ORACLE,
-    description="exact 3-gram Jaccard near-dup pairs via AllPairs/PPJoin "
-    "prefix filtering (r12): rarest-first global token order, prefix "
-    "length n - ceil(t*n) + 1, candidates from prefix collisions only, "
-    "exact array-intersect verification — the published scalable-exact "
-    "algorithm; shingle-frequency cap retained as the boilerplate guard. "
-    "The DuckDB oracle replays the unfiltered inverted-index join "
-    "(result-identical; equivalence tested in test_decontam_repetition)",
+    description="exact 3-gram Jaccard near-dup pairs; regime picked by "
+    "the MEASURED candidate volume sum(f*(f-1)/2) (r12): small corpora "
+    "take the single-shuffle inverted-index join, larger ones the "
+    "AllPairs/PPJoin prefix filter (rarest-first token order, prefix "
+    "n - ceil(t*n) + 1, candidates from prefix collisions, exact "
+    "array-intersect verification) — the published scalable-exact "
+    "algorithm whose candidates are threshold-bounded instead of "
+    "frequency-bounded. Both regimes return identical pairs "
+    "(equivalence-tested); the DuckDB oracle replays the "
+    "inverted-index spelling",
 )
 
 def _minhash_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.4) -> str:

@@ -105,3 +105,24 @@ def test_ngram_jaccard_prefix_filter_equivalence(spark):
                 ).collect())
             )
             assert a == b, (thr, cap, len(a), len(b))
+
+
+def test_ngram_jaccard_auto_regime(spark):
+    """'auto' picks naive below the measured-candidate ceiling and the
+    prefix path above it; both give identical pairs."""
+    from unittest import mock
+
+    from component_duckdb_transformation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, f"a b c d e tail{i} x y z") for i in range(20)]
+    rows[1] = (1, rows[0][1])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lo = sorted(map(tuple, ngram_jaccard_pairs(
+        df, threshold=0.9, max_naive_candidates=10**9
+    ).collect()))
+    hi = sorted(map(tuple, ngram_jaccard_pairs(
+        df, threshold=0.9, max_naive_candidates=0
+    ).collect()))
+    assert lo == hi == [(0, 1, 7, 7, 1.0)]
