@@ -429,3 +429,68 @@ def test_re2_static_verdict_calibration():
         p = "".join(g.choice(alphabet) for _ in range(g.randrange(1, 16)))
         if _re2_static_verdict(p) is False:
             assert not wheel_valid(p), repr(p)
+
+
+def test_chain_typing_call_leaves_vs_duckdb():
+    """Hypothesis extension of the r11 (w,s) gate: chains containing
+    round/ceil/floor/trunc call leaves must match DuckDB's typeof()
+    wherever the parser claims a type, and carried exact values must
+    match DuckDB's rendering through an outer negative-scale round."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from component_duckdb_transformation_spark.functions.dialect import (
+        _duck_decimal_round_neg,
+        _parse_literal_decimal_chain,
+    )
+
+    con = duckdb.connect()
+    lit = st.tuples(
+        st.integers(0, 300), st.integers(0, 9999), st.integers(1, 4)
+    ).map(lambda t: f"{t[0]}.{str(t[1]).zfill(4)[: t[2]]}")
+    chain = st.recursive(
+        lit,
+        lambda inner: st.one_of(
+            st.tuples(inner, st.sampled_from(["+", "-", "*"]), inner).map(
+                lambda t: f"({t[0]} {t[1]} {t[2]})"
+            ),
+            st.tuples(inner, st.integers(-3, 4)).map(
+                lambda t: f"round({t[0]}, {t[1]})"
+            ),
+            st.tuples(
+                st.sampled_from(["ceil", "floor", "trunc"]), inner
+            ).map(lambda t: f"{t[0]}({t[1]})"),
+        ),
+        max_leaves=4,
+    )
+
+    @settings(max_examples=250, deadline=None, derandomize=True)
+    @given(chain=chain, k=st.integers(-4, -1))
+    def check(chain, k):
+        got = _parse_literal_decimal_chain(chain)
+        if got is None:
+            return
+        val, w, s = got[0], got[1], got[2]
+        t = con.execute(f"SELECT typeof({chain})").fetchone()[0]
+        mm = _re.fullmatch(r"DECIMAL\((\d+),(\d+)\)", t)
+        if mm is None:
+            assert got[3] and s == 0, (chain, got, t)
+            return
+        assert (w, s) == (int(mm.group(1)), int(mm.group(2))), (chain, got, t)
+        if val is not None:
+            want_v = con.execute(
+                f"SELECT CAST({chain} AS VARCHAR)"
+            ).fetchone()[0]
+            # DECIMAL has no signed zero (production emitters normalize
+            # via abs; compare the same way here)
+            vv = abs(val) if val == 0 else val
+            assert format(vv, "f") == want_v, (chain, val, want_v)
+            want = con.execute(
+                f"SELECT CAST(round({chain}, {k}) AS VARCHAR)"
+            ).fetchone()[0]
+            assert _duck_decimal_round_neg(val, w, s, k) == want, (
+                chain, k, got, want,
+            )
+    check()

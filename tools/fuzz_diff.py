@@ -546,10 +546,21 @@ def hinted_decimal_item(g: random.Random) -> str:
     if r < 0.65:
         fn = g.choice(["ceil", "floor", "trunc"])
         return f"concat('v=', {fn}({col}))"
-    if r < 0.80:
+    if r < 0.75:
         k = g.randint(-2, 2)
         other = g.choice([c for c in HINTED_DEC_COLS if c != col])
         return f"round({col} + {other}, {k})"
+    if r < 0.85:
+        # r12: NESTED round / ceil-floor-trunc-wrapped chains — the
+        # chain parser's call leaves propagate DuckDB's result widths
+        inner = g.choice(
+            [
+                f"round({col}, {g.randint(0, 3)})",
+                f"round({col} + {g.uniform(0.5, 9):.2f}, {g.randint(-2, 2)})",
+                f"{g.choice(['ceil', 'floor', 'trunc'])}({col})",
+            ]
+        )
+        return f"concat('v=', round({inner}, {g.randint(-3, 2)}))"
     return f"({col} || '#' || {g.choice(STR_COLS)})"
 
 
@@ -713,6 +724,20 @@ def win_item(g: random.Random) -> str:
 
 def agg_item(g: random.Random) -> str:
     r = g.random()
+    if r < 0.08:
+        # r12: DECIMAL-input quantiles keep the input's (w, s) type
+        # (unscaled-domain interpolation, truncation toward zero);
+        # median(DECIMAL) is the discrete lower-middle element
+        col = g.choice(list(HINTED_DEC_COLS))
+        q = g.choice(["0.1", "0.25", "0.5", "0.77", "0.9"])
+        agg = g.choice(
+            [
+                f"quantile_cont({col}, {q})",
+                f"percentile_cont({q}) WITHIN GROUP (ORDER BY {col})",
+                f"median({col})",
+            ]
+        )
+        return f"concat('v=', {agg})"
     if r < 0.10:
         # round-8 surface: restructured two-phase aggregates under
         # every group-key shape (ordinals/expressions/aliases);
