@@ -494,3 +494,69 @@ def test_chain_typing_call_leaves_vs_duckdb():
                 chain, k, got, want,
             )
     check()
+
+
+@pytest.mark.parametrize("seed", [21, 55])
+def test_win_os_translate_fuzz_vs_duckdb(spark, seed):
+    """Randomized single-prefix window statements through translate():
+    running/bounded mad and quantile_cont (plus DISTINCT riders) over
+    data with ties, NULLs, and duplicates must match DuckDB row-for-row;
+    a mixed-prefix statement (gate closed -> folds) must too."""
+    g = random.Random(seed)
+    con = duckdb.connect()
+    rows = [
+        (
+            i,
+            g.randrange(4),
+            g.randrange(12),
+            g.choice([None, 1.5, 2.0, 7.25, -3.0, 4.0, 0.5, g.uniform(-9, 9)]),
+        )
+        for i in range(400)
+    ]
+    con.execute("CREATE TABLE wf(i INT, p INT, o INT, v DOUBLE)")
+    con.executemany("INSERT INTO wf VALUES (?, ?, ?, ?)", rows)
+    spark.createDataFrame(rows, "i int, p int, o int, v double") \
+        .createOrReplaceTempView("wf")
+
+    frames = [
+        "",  # default RANGE running (with peers: ORDER BY o has ties)
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING",  # fold path
+    ]
+    for trial in range(6):
+        prefix = "PARTITION BY p ORDER BY o, i" if g.random() < 0.5 else \
+            "PARTITION BY p ORDER BY o"
+        items = []
+        for ci in range(g.randrange(1, 4)):
+            fr = g.choice(frames)
+            spec = f"{prefix} {fr}".strip()
+            dq = "DISTINCT " if g.random() < 0.3 else ""
+            if g.random() < 0.5:
+                items.append(
+                    f"round(mad({dq}v) OVER ({spec}), 6) AS c{ci}"
+                )
+            else:
+                q = g.choice(["0.25", "0.5", "0.9"])
+                items.append(
+                    f"round(quantile_cont({dq}v, {q}) OVER ({spec}), 6)"
+                    f" AS c{ci}"
+                )
+        sql = f"SELECT i, {', '.join(items)} FROM wf ORDER BY i"
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+        got = [tuple(r) for r in spark.sql(translate(sql)).collect()]
+        assert got == want, (sql, got[:3], want[:3])
+
+    # mixed prefixes: the gate closes and the folds still match
+    sql = (
+        "SELECT i,"
+        " round(mad(v) OVER (PARTITION BY p ORDER BY o, i), 6) AS a,"
+        " count(v) OVER (PARTITION BY o ORDER BY i) AS b"
+        " FROM wf ORDER BY i"
+    )
+    t = translate(sql)
+    assert "__duck_win_os" not in t
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    got = [tuple(r) for r in spark.sql(t).collect()]
+    assert got == want
