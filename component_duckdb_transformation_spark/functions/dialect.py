@@ -3572,7 +3572,15 @@ def _spec_prefix_frame(spec: str):
         r"ROWS BETWEEN (\d+) PRECEDING AND CURRENT ROW", frame
     ) or re.fullmatch(r"ROWS (\d+) PRECEDING", frame)
     if m:
-        return (prefix, "rows_prec", int(m.group(1)))
+        return (prefix, "rows_prec", m.group(1))
+    # trailing frame ending BEFORE the current row: [i-a, i-b] — every
+    # needed value is already seen, so it streams with a b-row
+    # delayed insert (r12)
+    m = re.fullmatch(
+        r"ROWS BETWEEN (\d+) PRECEDING AND (\d+) PRECEDING", frame
+    )
+    if m and int(m.group(1)) >= int(m.group(2)) >= 1:
+        return (prefix, "rows_prec", f"{m.group(1)}_{m.group(2)}")
     return None
 
 
@@ -3693,7 +3701,7 @@ def _qcont_streaming_or_none(
     parsed = _spec_prefix_frame(spec)
     if parsed is None:
         return None
-    if parsed[1] == "rows_prec" and parsed[2] < _WIN_OS_PREC_MIN:
+    if parsed[1] == "rows_prec" and int(str(parsed[2]).split("_")[0]) < _WIN_OS_PREC_MIN:
         return None
     return _win_os_streaming_sql(
         "qcont", core, parsed[0], parsed[1], parsed[2],
@@ -6231,7 +6239,7 @@ def _rewrite_mad_window_inplace(
                             parsed = _spec_prefix_frame(spec)
                             if parsed is not None and (
                                 parsed[1] != "rows_prec"
-                                or parsed[2] >= _WIN_OS_PREC_MIN
+                                or int(str(parsed[2]).split("_")[0]) >= _WIN_OS_PREC_MIN
                             ):
                                 repl = _win_os_streaming_sql(
                                     "mad",

@@ -170,7 +170,16 @@ public class DuckWinOS implements UDF4<String, Seq<Double>, Long, Long, Double> 
             throw new IllegalStateException("DuckWinOS: null control argument");
         String[] p = cfg.split("#", -1);
         String mode = p[0];
-        int prec = Integer.parseInt(p[2]);
+        // prec "A" = trailing frame [i-A, i]; "A_B" = [i-A, i-B]
+        // (values enter the multiset with a B-row delay)
+        int prec, precHi = 0;
+        int us = p[2].indexOf('_');
+        if (us >= 0) {
+            prec = Integer.parseInt(p[2].substring(0, us));
+            precHi = Integer.parseInt(p[2].substring(us + 1));
+        } else {
+            prec = Integer.parseInt(p[2]);
+        }
         double q = Double.parseDouble(p[3]);
         boolean intdom = p[4].equals("1");
         boolean dist = p[5].equals("1");
@@ -214,8 +223,14 @@ public class DuckWinOS implements UDF4<String, Seq<Double>, Long, Long, Double> 
             Double x = null;
             if (vals != null && vals.size() > 0) x = vals.apply(0);
             st.frame.addLast(x);
-            if (x != null) ingest(st, x, dist, true);
-            if (st.frame.size() > prec + 1) {
+            // the value reaching age precHi enters the multiset (B=0:
+            // immediately); the one aging past prec leaves it
+            int sz = st.frame.size();
+            if (sz > precHi) {
+                Double in = st.frame.get(sz - 1 - precHi);
+                if (in != null) ingest(st, in, dist, true);
+            }
+            if (sz > prec + 1) {
                 Double old = st.frame.removeFirst();
                 if (old != null) evict(st, old, dist);
             }

@@ -560,3 +560,30 @@ def test_win_os_translate_fuzz_vs_duckdb(spark, seed):
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     got = [tuple(r) for r in spark.sql(t).collect()]
     assert got == want
+
+
+def test_win_os_trailing_preceding_frames(spark):
+    """ROWS BETWEEN a PRECEDING AND b PRECEDING (b >= 1) streams with a
+    b-row delayed insert and matches DuckDB, including DISTINCT."""
+    con = duckdb.connect()
+    g = random.Random(13)
+    rows = [
+        (i, g.randrange(3), g.randrange(10),
+         g.choice([None, 1.5, 2.0, 7.25, -3.0, 4.0]))
+        for i in range(250)
+    ]
+    con.execute("CREATE TABLE wtp(i INT, p INT, o INT, v DOUBLE)")
+    con.executemany("INSERT INTO wtp VALUES (?, ?, ?, ?)", rows)
+    spark.createDataFrame(rows, "i int, p int, o int, v double") \
+        .createOrReplaceTempView("wtp")
+    for a, b, dq in ((4, 1, ""), (3, 3, ""), (6, 2, "DISTINCT "), (2, 1, "")):
+        sql = (
+            f"SELECT i, round(mad({dq}v) OVER (PARTITION BY p ORDER BY o, i"
+            f" ROWS BETWEEN {a} PRECEDING AND {b} PRECEDING), 6) AS m"
+            " FROM wtp ORDER BY i"
+        )
+        t = translate(sql)
+        assert f"{a}_{b}" in t, (a, b, t[:200])
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+        got = [tuple(r) for r in spark.sql(t).collect()]
+        assert got == want, (a, b, dq)
