@@ -3772,15 +3772,19 @@ def _quantile_disc_fold_sql(collected: str, q_sql: str) -> str:
 
 
 def _quantile_cont_fold_sql(collected: str, q_sql: str) -> str:
-    """DuckDB ``quantile_cont(x, q)`` over ONE collected array: linear
-    interpolation at pos = q*(n-1) over the sorted frame (the same
-    interpolation as Spark's percentile — q08 parity). DOUBLE result;
-    empty frame / NULL q -> NULL. Temporal element types fail loudly
-    at the DOUBLE cast (they failed loudly before the lowering too)."""
-    idx = "CAST(floor(__qp) AS INT)"
-    lo = f"CAST(element_at(__qc, {idx} + 1) AS DOUBLE)"
+    """DuckDB ``quantile_cont(x, q)`` over ONE collected array:
+    interpolation at pos = q*(n-1) over the sorted frame in the
+    WEIGHTED form ``(ceil(pos)-pos)*lo + (pos-floor(pos))*hi`` — the
+    exact operation order of BOTH Spark's native Percentile and
+    DuckDB's Interpolate (r12 probe: the algebraically-equal
+    ``lo + frac*(hi-lo)`` differs by 1-2 ulp on ~23% of triples).
+    DOUBLE result; empty frame / NULL q -> NULL. Temporal element
+    types fail loudly at the DOUBLE cast (they failed loudly before
+    the lowering too)."""
+    lo = "CAST(element_at(__qc, CAST(floor(__qp) AS INT) + 1) AS DOUBLE)"
     hi = (
-        f"CAST(element_at(__qc, least(size(__qc), {idx} + 2)) AS DOUBLE)"
+        "CAST(element_at(__qc, least(size(__qc),"
+        " CAST(ceiling(__qp) AS INT) + 1)) AS DOUBLE)"
     )
     return (
         f"(element_at(transform(array({collected}), __qc0 ->"
@@ -3789,7 +3793,9 @@ def _quantile_cont_fold_sql(collected: str, q_sql: str) -> str:
         " CASE WHEN size(__qc) = 0 THEN CAST(NULL AS DOUBLE) ELSE"
         f" element_at(transform(array(CAST(({q_sql}) AS DOUBLE)"
         " * (size(__qc) - 1)), __qp ->"
-        f" {lo} + (__qp - floor(__qp)) * ({hi} - {lo})"
+        f" CASE WHEN ceiling(__qp) = floor(__qp) THEN {lo}"
+        f" ELSE (ceiling(__qp) - __qp) * {lo}"
+        f" + (__qp - floor(__qp)) * {hi} END"
         "), 1) END), 1)), 1))"
     )
 
@@ -6522,19 +6528,26 @@ def _rewrite_agg_window_frames(
                             core, is_distinct = _split_distinct_prefix(
                                 arg_sql
                             )
-                            if is_distinct:
-                                q_sql = "".join(
-                                    tk.text for tk in args[1]
-                                ).strip()
-                                repl = _qcont_streaming_or_none(
-                                    core, q_sql, spec, True, shared_prefix
+                            q_sql = "".join(
+                                tk.text for tk in args[1]
+                            ).strip()
+                            # non-DISTINCT windowed percentile DOES
+                            # plan natively, but Spark re-sorts the
+                            # frame buffer on EVERY row's evaluate —
+                            # O(n * frame) on running frames (measured
+                            # 5x slower than the streaming core at
+                            # sf0.1, quadratic at scale) — so the
+                            # streaming core takes those shapes too
+                            repl = _qcont_streaming_or_none(
+                                core, q_sql, spec, is_distinct,
+                                shared_prefix,
+                            )
+                            if repl is None and is_distinct:
+                                repl = _quantile_cont_fold_sql(
+                                    f"array_distinct(collect_list({core})"
+                                    f" OVER ({spec}))",
+                                    q_sql,
                                 )
-                                if repl is None:
-                                    repl = _quantile_cont_fold_sql(
-                                        f"array_distinct(collect_list({core})"
-                                        f" OVER ({spec}))",
-                                        q_sql,
-                                    )
                         elif not bail and len(args) == 1:
                             arg0 = _rewrite_agg_window_frames(
                                 list(args[0]), shared_prefix

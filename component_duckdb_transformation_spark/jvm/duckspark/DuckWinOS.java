@@ -307,11 +307,17 @@ public class DuckWinOS implements UDF4<String, Seq<Double>, Long, Long, Double> 
     static Double qcont(Node root, double q) {
         int k = size(root);
         if (k == 0) return null;
+        // the weighted form (higher-pos)*lo + (pos-lower)*hi in this
+        // exact operation order — bit-identical to BOTH Spark's native
+        // Percentile.getPercentile and DuckDB's Interpolate (probed;
+        // lo + frac*(hi-lo) differs by 1-2 ulp on ~23% of triples)
         double pos = q * (k - 1);
-        int idx = (int) Math.floor(pos);
-        double lo = select(root, Math.min(k, idx + 1));
-        double hi = select(root, Math.min(k, idx + 2));
-        return lo + (pos - Math.floor(pos)) * (hi - lo);
+        double lower = Math.floor(pos);
+        double higher = Math.ceil(pos);
+        double lo = select(root, Math.min(k, (int) lower + 1));
+        if (higher == lower) return lo;
+        double hi = select(root, Math.min(k, (int) higher + 1));
+        return (higher - pos) * lo + (pos - lower) * hi;
     }
 
     /** t-th smallest left distance m - select(L-t+1); t > L -> NaN

@@ -109,15 +109,17 @@ def test_win_os_translate_gating():
 
 
 def _qcont_fold(collected, q):
-    idx = "CAST(floor(__qp) AS INT)"
-    lo = f"CAST(element_at(__qc, {idx} + 1) AS DOUBLE)"
-    hi = f"CAST(element_at(__qc, least(size(__qc), {idx} + 2)) AS DOUBLE)"
+    lo = "CAST(element_at(__qc, CAST(floor(__qp) AS INT) + 1) AS DOUBLE)"
+    hi = ("CAST(element_at(__qc, least(size(__qc),"
+          " CAST(ceiling(__qp) AS INT) + 1)) AS DOUBLE)")
     return (
         f"element_at(transform(array(array_sort(CAST(({collected}) AS"
         " ARRAY<DOUBLE>))), __qc -> CASE WHEN size(__qc)=0 THEN"
         " CAST(NULL AS DOUBLE) ELSE element_at(transform(array("
-        f"CAST({q} AS DOUBLE)*(size(__qc)-1)), __qp -> {lo} +"
-        f" (__qp-floor(__qp))*({hi} - {lo})), 1) END), 1)"
+        f"CAST({q} AS DOUBLE)*(size(__qc)-1)), __qp ->"
+        f" CASE WHEN ceiling(__qp) = floor(__qp) THEN {lo}"
+        f" ELSE (ceiling(__qp) - __qp) * {lo}"
+        f" + (__qp - floor(__qp)) * {hi} END), 1) END), 1)"
     )
 
 

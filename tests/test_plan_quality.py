@@ -486,3 +486,35 @@ def test_x32_cc_driver_regime_broadcasts_label_map(spark):
     plan = _plan(spark, "x32_connected_components")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_streaming_window_mad_single_exchange(spark):
+    """The r12 streaming order-statistics lowering must not add
+    exchanges or sorts: a running mad and its helper windows
+    (collect_list peers, row_number, count) share the statement's one
+    (PARTITION BY, ORDER BY) prefix, so the plan is one Exchange + one
+    Sort + Window, all inside a single WindowExec stage."""
+    import re
+
+    from component_duckdb_transformation_spark.functions.dialect import (
+        translate,
+    )
+
+    spark.read.parquet(f"{SF}/part.parquet").createOrReplaceTempView("part")
+    t = translate(
+        "SELECT p_partkey,"
+        " mad(p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_partkey) AS m,"
+        " quantile_cont(p_size, 0.5)"
+        " OVER (PARTITION BY p_brand ORDER BY p_partkey) AS q"
+        " FROM part"
+    )
+    assert t.count("__duck_win_os") == 2
+    df = spark.sql(t)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    # exactly ONE exchange (the window hash partitioning) and one sort
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
