@@ -275,3 +275,47 @@ def test_connected_components_regime_switch_above_threshold(spark):
             edges, max_iter=12, max_driver_edges=n_sym + 1
         ).collect()
     assert called.get("yes")
+
+
+@pytest.mark.slow
+def test_streaming_window_mad_large_partitions(spark):
+    """Running mad over 100k-row partitions — infeasible under the
+    O(frame)-per-row fold (~5e9 element-ops per partition), seconds
+    under the streaming order-statistics core. Spot-checks the result
+    against the fold on a truncated prefix of one partition."""
+    from component_duckdb_transformation_spark.functions.dialect import (
+        translate,
+    )
+    from component_duckdb_transformation_spark.functions.jvm_udfs import (
+        register_jvm_udfs,
+    )
+
+    register_jvm_udfs(spark)
+    spark.sql(
+        "SELECT id % 8 AS p, id AS o, CAST(rand(7) * 1000 AS DOUBLE) AS v"
+        " FROM range(800000)"
+    ).createOrReplaceTempView("bigw")
+    t = translate(
+        "SELECT p, o, mad(v) OVER (PARTITION BY p ORDER BY o) AS m"
+        " FROM bigw"
+    )
+    assert "__duck_win_os" in t
+    out = spark.sql(t)
+    assert out.count() == 800000
+    # fold-check the first 3000 rows of one partition
+    probe = spark.sql(
+        "SELECT o, v FROM bigw WHERE p = 3 ORDER BY o LIMIT 3000"
+    )
+    probe.createOrReplaceTempView("bigw_probe")
+    fold = spark.sql(
+        "SELECT o, element_at(transform(array(CAST((collect_list(v)"
+        " OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " CURRENT ROW)) AS ARRAY<DOUBLE>)), __s0 ->"
+        " __duck_mad_j(__s0, false)), 1) AS m FROM bigw_probe"
+    )
+    want = {r.o: r.m for r in fold.collect()}
+    got = {
+        r.o: r.m
+        for r in out.filter("p = 3").orderBy("o").limit(3000).collect()
+    }
+    assert got == want
