@@ -142,6 +142,12 @@ public class DuckWinOS implements UDF4<String, Seq<Double>, Long, Long, Double> 
         }
 
         void insert(double v) {
+            if (size(root) >= (1 << 26))
+                throw new IllegalStateException(
+                    "DuckWinOS: window partition exceeds 2^26 buffered"
+                    + " values — repartition the window or restructure"
+                    + " the query (same class of bound as the"
+                    + " collect_list template's group limit)");
             Node[] p = splitLE(root, v);
             root = merge(merge(p[0], new Node(v, nextPri())), p[1]);
         }
