@@ -15,7 +15,14 @@ fmt-exact printf/format float directives incl. the 'general'
 presentation, NULL/render edges, split_part never-NULL semantics,
 and the round-11 surfaces: compiled-core O(1) exact rendering
 [jvm/duckspark], fused percentile_cont arrays, DuckDB's
-negative-scale DECIMAL round width-clamp for literal chains)
+negative-scale DECIMAL round width-clamp for literal chains,
+and the round-12 surfaces: the streaming order-statistics window
+core [DuckWinOS — O(log^2 frame)/row running/trailing mad and
+quantile_cont incl. DuckDB's exact weighted interpolation], the
+compiled double-round core [DuckRound], nested-round width
+propagation through the chain parser's call leaves, DECIMAL-typed
+quantile/median results, positional enum inheritance through set-op
+CTAS, and candidate-volume-adaptive exact Jaccard)
 plus the LLM-pipeline extensions (dedup, similarity,
 sampling, temporal, text analysis, multimodal, streaming, connected
 components, PII redaction, sequence packing, decontamination,

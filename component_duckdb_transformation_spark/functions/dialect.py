@@ -8784,6 +8784,68 @@ def _snt_rec(code: List[Token], depth: int) -> Optional[str]:
     if len(c) == 1 and c[0].kind in ("word", "number") \
             and _PLAIN_NUM_CHAIN_RE.match(c[0].text):
         return "decimal" if "." in c[0].text else "int"
+    if (
+        len(c) >= 4
+        and c[0].kind == "word" and c[0].upper == "CASE"
+        and c[-1].kind == "word" and c[-1].upper == "END"
+    ):
+        # CASE result type = union of its THEN/ELSE branch types
+        # (DuckDB: int+decimal unions to DECIMAL keeping the max
+        # scale; NULL branches don't constrain). Mixed int/decimal
+        # CASE operands previously fell to the typeof template, whose
+        # dispatch CASE coerces the decimal branch to DOUBLE and
+        # loses the scale-keeping rendering (r12 fuzz find:
+        # round(CASE WHEN .. THEN int_col ELSE 30.4846 END, 4)
+        # rendered '147.0' where DuckDB keeps '147.0000').
+        exprs: List[List[Token]] = []
+        cur2 = None
+        d2 = 0
+        cd = 0
+        i2 = 1
+        while i2 < len(c) - 1:
+            t2 = c[i2]
+            if t2.kind == "op":
+                if t2.text == "(":
+                    d2 += 1
+                elif t2.text == ")":
+                    d2 -= 1
+            if d2 == 0 and t2.kind == "word":
+                u = t2.upper
+                if u == "CASE":
+                    cd += 1
+                elif u == "END":
+                    cd -= 1
+                elif cd == 0 and u == "WHEN":
+                    if cur2 is not None:
+                        exprs.append(cur2)
+                        cur2 = None
+                    i2 += 1
+                    continue
+                elif cd == 0 and u in ("THEN", "ELSE"):
+                    if cur2 is not None:
+                        exprs.append(cur2)
+                    cur2 = []
+                    i2 += 1
+                    continue
+            if cur2 is not None:
+                cur2.append(t2)
+            i2 += 1
+        if cur2:
+            exprs.append(cur2)
+        tys = []
+        for e in exprs:
+            if (
+                len(e) == 1
+                and e[0].kind == "word"
+                and e[0].upper == "NULL"
+            ):
+                continue
+            tys.append(_snt_rec(e, depth + 1))
+        if tys and all(ty is not None for ty in tys):
+            if "decimal" in tys:
+                return "decimal"
+            return "decimal0" if "decimal0" in tys else "int"
+        return None
     h = _hinted_primary_type(c) or ""
     if h.startswith("decimal"):
         return "decimal0" if h.endswith(",0)") else "decimal"

@@ -589,3 +589,39 @@ def test_win_os_trailing_preceding_frames(spark):
         want = [tuple(r) for r in con.execute(sql).fetchall()]
         got = [tuple(r) for r in spark.sql(t).collect()]
         assert got == want, (a, b, dq)
+
+
+def test_case_operand_static_typing(spark):
+    """A CASE mixing an INT-hinted column with a decimal literal types
+    'decimal' statically (r12 fuzz find), so round() keeps the native
+    decimal path and the scale-keeping rendering — previously the
+    typeof template's dispatch CASE coerced the decimal branch to
+    DOUBLE ('147.0' where DuckDB renders '147.0000')."""
+    from component_duckdb_transformation_spark.functions.dialect import (
+        _static_numeric_type,
+        column_type_hints,
+    )
+    from component_duckdb_transformation_spark.plans.sql_tokens import (
+        tokenize,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tc(q DOUBLE, k INT)")
+    con.execute("INSERT INTO tc VALUES (5.0, 147), (20.0, 3)")
+    spark.createDataFrame([(5.0, 147), (20.0, 3)], "q double, k int") \
+        .createOrReplaceTempView("tc")
+    with column_type_hints({"k": "int"}):
+        assert _static_numeric_type(tokenize(
+            "CASE WHEN q <= 11.3 THEN k ELSE (46 - 15.5154) END"
+        )) == "decimal"
+        # all-int branches stay int; NULL branches don't constrain
+        assert _static_numeric_type(tokenize(
+            "CASE WHEN q <= 11.3 THEN k ELSE NULL END"
+        )) == "int"
+        sql = ("SELECT CAST(round(CASE WHEN q <= 11.3 THEN k"
+               " ELSE (46 - 15.5154) END, 4) AS VARCHAR) AS r"
+               " FROM tc ORDER BY q")
+        t = translate(sql)
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    got = [r.r for r in spark.sql(t).collect()]
+    assert got == want == ["147.0000", "30.4846"]

@@ -1220,7 +1220,19 @@ def main() -> int:
         f"CREATE OR REPLACE VIEW lineitem AS SELECT *, {dec_casts} "
         f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
     )
-    hint_ctx = column_type_hints(dict(HINTED_DEC_COLS))
+    # publish the table's NATURAL schema hints too (r12): the executor
+    # path always carries dependency schemas, so the production typing
+    # of mixed int/decimal CASE operands etc. is hint-aware — the raw
+    # hint-less entry stays the documented corner, not the fuzz target
+    base_hints = {
+        "l_orderkey": "bigint", "l_partkey": "bigint",
+        "l_suppkey": "bigint", "l_linenumber": "int",
+        "l_quantity": "double", "l_extendedprice": "double",
+        "l_discount": "double", "l_tax": "double",
+        "l_returnflag": "varchar", "l_linestatus": "varchar",
+        "l_shipdate": "timestamp",
+    }
+    hint_ctx = column_type_hints({**base_hints, **dict(HINTED_DEC_COLS)})
     hint_ctx.__enter__()
 
     g = random.Random(seed)
