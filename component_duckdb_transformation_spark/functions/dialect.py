@@ -3665,21 +3665,39 @@ def _quantile_cont_agg_sql(a: str, b: str) -> str:
     Spark's percentile (same lo + frac*(hi-lo) interpolation). DECIMAL
     inputs quantize in DuckDB: the result KEEPS the input's
     DECIMAL(w, s) type, interpolating on the UNSCALED integer values
-    in double and truncating toward zero back to scale s (probed:
+    in double with DuckDB's INTEGER-domain formula lo + (hi-lo)*frac
+    (probed on 40/40 truncation-boundary cases — NOT the weighted form
+    the double domain uses; the two differ exactly at the truncation
+    boundaries) and truncating toward zero back to scale s (probed:
     quantile_cont of [1.01, 2.00] at 0.3 is 1.30, not 1.307 — and
     -1.175 truncates to -1.1). Replicated whenever the argument's
     DuckDB type is statically a DECIMAL chain (hinted columns /
     literals) with width <= 15 — every unscaled value then sits below
-    2^53, so Spark's double interpolation is bit-identical to
-    DuckDB's int64-domain one; wider or unhinted decimals keep the
-    DOUBLE result (documented corner)."""
+    2^53 so the double arithmetic is exact on the inputs; wider or
+    unhinted decimals keep the DOUBLE result (documented corner)."""
     ch = _parse_literal_decimal_chain(a)
     if ch is not None and not ch[3] and ch[1] <= 15:
         w, s = ch[1], ch[2]
         p = 10 ** s
+        collected = f"sort_array(collect_list(CAST(({a}) * {p} AS DOUBLE)))"
+        lo = "element_at(__qc, CAST(floor(__qp) AS INT) + 1)"
+        hi = (
+            "element_at(__qc, least(size(__qc),"
+            " CAST(ceiling(__qp) AS INT) + 1))"
+        )
+        lerp = (
+            f"CASE WHEN ceiling(__qp) = floor(__qp) THEN {lo}"
+            f" ELSE {lo} + ({hi} - {lo}) * (__qp - floor(__qp)) END"
+        )
+        fold = (
+            f"element_at(transform(array({collected}), __qc ->"
+            " CASE WHEN size(__qc) = 0 THEN CAST(NULL AS DOUBLE) ELSE"
+            f" element_at(transform(array(CAST(({b}) AS DOUBLE)"
+            f" * (size(__qc) - 1)), __qp -> {lerp}), 1) END), 1)"
+        )
         return (
-            f"CAST(CAST(percentile(CAST(({a}) AS DOUBLE) * {p}, ({b}))"
-            f" AS BIGINT) / CAST({p} AS DECIMAL({s + 1}, 0))"
+            f"CAST(CAST(({fold}) AS BIGINT)"
+            f" / CAST({p} AS DECIMAL({s + 1}, 0))"
             f" AS DECIMAL({w}, {s}))"
         )
     return f"percentile({a}, {b})"
@@ -3703,6 +3721,20 @@ def _qcont_streaming_or_none(
         return None
     if parsed[1] == "rows_prec" and int(str(parsed[2]).split("_")[0]) < _WIN_OS_PREC_MIN:
         return None
+    ch = _parse_literal_decimal_chain(core)
+    if ch is not None and not ch[3] and ch[1] <= 15:
+        # DuckDB quantizes WINDOWED decimal quantiles per frame too
+        # (probed: quantile_cont(DECIMAL(7,2), 0.3) OVER w gives 2.97
+        # where the double interpolation says 2.974) — same
+        # unscaled-interpolate + truncate-toward-zero rule as the
+        # aggregate form; result stays DOUBLE (the DECIMAL result
+        # typing is the documented windowed-decimal corner)
+        p = 10 ** ch[2]
+        body = _win_os_streaming_sql(
+            "qlerp", f"({core}) * {p}", parsed[0], parsed[1], parsed[2],
+            False, distinct, q_sql=repr(qf),
+        )
+        return f"(CAST(CAST({body} AS BIGINT) AS DOUBLE) / {p})"
     return _win_os_streaming_sql(
         "qcont", core, parsed[0], parsed[1], parsed[2],
         False, distinct, q_sql=repr(qf),
@@ -13281,7 +13313,16 @@ def _rewrite_call_shims(
                                         continue
                 if low == "quantile_cont" and len(args) == 2:
                     a, b = (_sql(inner, s, e) for s, e in args)
-                    out.extend(_toks(_quantile_cont_agg_sql(a, b)))
+                    after_qc = _next_code(tokens, close)
+                    if after_qc < n and tokens[after_qc].is_kw("OVER"):
+                        # windowed: the aggregate DECIMAL-quantize wrap
+                        # cannot carry an OVER suffix — keep the plain
+                        # percentile spelling for the window passes
+                        # (windowed DECIMAL quantization stays the
+                        # documented double-result corner)
+                        out.extend(_toks(f"percentile({a}, {b})"))
+                    else:
+                        out.extend(_toks(_quantile_cont_agg_sql(a, b)))
                     i = close + 1
                     continue
                 if low in ("quantile_disc", "quantile") and len(args) == 2:

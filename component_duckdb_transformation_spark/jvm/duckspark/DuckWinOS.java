@@ -249,7 +249,8 @@ public class DuckWinOS implements UDF4<String, Seq<Double>, Long, Long, Double> 
         }
         if (isRange) st.remaining = cnt - 1;
 
-        st.cached = isMad ? mad(st.root, intdom) : qcont(st.root, q);
+        st.cached = isMad ? mad(st.root, intdom)
+            : qcont(st.root, q, mode.startsWith("qlerp"));
         return st.cached;
     }
 
@@ -310,19 +311,24 @@ public class DuckWinOS implements UDF4<String, Seq<Double>, Long, Long, Double> 
         return intdom ? Math.floor(d + 0.5) : d;
     }
 
-    static Double qcont(Node root, double q) {
+    static Double qcont(Node root, double q, boolean lerp) {
         int k = size(root);
         if (k == 0) return null;
-        // the weighted form (higher-pos)*lo + (pos-lower)*hi in this
-        // exact operation order — bit-identical to BOTH Spark's native
-        // Percentile.getPercentile and DuckDB's Interpolate (probed;
-        // lo + frac*(hi-lo) differs by 1-2 ulp on ~23% of triples)
+        // DOUBLE domain: the weighted form (higher-pos)*lo +
+        // (pos-lower)*hi in this exact operation order — bit-identical
+        // to BOTH Spark's native Percentile.getPercentile and DuckDB's
+        // double Interpolate (probed; lo + frac*(hi-lo) differs by 1-2
+        // ulp on ~23% of triples). DECIMAL domain (lerp=true, values
+        // pre-unscaled to integers): DuckDB's integer Interpolate is
+        // the OTHER formula, lo + (hi-lo)*frac (probed on 40/40
+        // truncation-boundary cases); the SQL wrapper truncates.
         double pos = q * (k - 1);
         double lower = Math.floor(pos);
         double higher = Math.ceil(pos);
         double lo = select(root, Math.min(k, (int) lower + 1));
         if (higher == lower) return lo;
         double hi = select(root, Math.min(k, (int) higher + 1));
+        if (lerp) return lo + (hi - lo) * (pos - lower);
         return (higher - pos) * lo + (pos - lower) * hi;
     }
 

@@ -625,3 +625,36 @@ def test_case_operand_static_typing(spark):
     want = [r[0] for r in con.execute(sql).fetchall()]
     got = [r.r for r in spark.sql(t).collect()]
     assert got == want == ["147.0000", "30.4846"]
+
+
+def test_windowed_decimal_quantile_parses(spark):
+    """quantile_cont(decimal_col, q) OVER w must NOT take the aggregate
+    DECIMAL-quantize wrap (its CAST expression cannot carry an OVER
+    suffix — r12 discovery find: PARSE_SYNTAX_ERROR); it keeps the
+    percentile spelling and the window lowerings, and the values match
+    DuckDB (result typing stays the documented double corner)."""
+    from component_duckdb_transformation_spark.functions.dialect import (
+        column_type_hints,
+    )
+
+    con = duckdb.connect()
+    g = random.Random(17)
+    rows = [(i, g.randrange(3), g.randrange(12),
+             None if g.random() < 0.1 else round(g.uniform(-40, 40), 2))
+            for i in range(200)]
+    con.execute("CREATE TABLE wdq(i INT, p INT, o INT, v DECIMAL(7,2))")
+    con.executemany("INSERT INTO wdq VALUES (?, ?, ?, ?)", rows)
+    spark.createDataFrame(
+        [(i, p, o, None if v is None else float(v)) for i, p, o, v in rows],
+        "i int, p int, o int, vd double",
+    ).selectExpr("i", "p", "o", "CAST(vd AS DECIMAL(7,2)) AS v") \
+        .createOrReplaceTempView("wdq")
+    sql = ("SELECT i, round(quantile_cont(v, 0.3)"
+           " OVER (PARTITION BY p ORDER BY o, i), 6) AS qc"
+           " FROM wdq ORDER BY i")
+    with column_type_hints({"v": "decimal(7,2)"}):
+        t = translate(sql)
+    want = [(r[0], None if r[1] is None else float(r[1]))
+            for r in con.execute(sql).fetchall()]
+    got = [tuple(r) for r in spark.sql(t).collect()]
+    assert got == want
