@@ -3674,12 +3674,19 @@ def _quantile_cont_agg_sql(a: str, b: str) -> str:
     DuckDB type is statically a DECIMAL chain (hinted columns /
     literals) with width <= 15 — every unscaled value then sits below
     2^53 so the double arithmetic is exact on the inputs; wider or
-    unhinted decimals keep the DOUBLE result (documented corner)."""
-    ch = _parse_literal_decimal_chain(a)
+    unhinted decimals keep the DOUBLE result (documented corner).
+    DISTINCT riders dedupe before the interpolation (exact on the
+    decimal domain — the unscale multiply is injective)."""
+    core, is_distinct = _split_distinct_prefix(a)
+    ch = _parse_literal_decimal_chain(core)
     if ch is not None and not ch[3] and ch[1] <= 15:
+        a = core
         w, s = ch[1], ch[2]
         p = 10 ** s
-        collected = f"sort_array(collect_list(CAST(({a}) * {p} AS DOUBLE)))"
+        dq = "DISTINCT " if is_distinct else ""
+        collected = (
+            f"sort_array(collect_list({dq}CAST(({a}) * {p} AS DOUBLE)))"
+        )
         lo = "element_at(__qc, CAST(floor(__qp) AS INT) + 1)"
         hi = (
             "element_at(__qc, least(size(__qc),"
@@ -13327,9 +13334,25 @@ def _rewrite_call_shims(
                     continue
                 if low in ("quantile_disc", "quantile") and len(args) == 2:
                     a, b = (_sql(inner, s, e) for s, e in args)
-                    out.extend(
-                        _toks(f"percentile_disc({b}) WITHIN GROUP (ORDER BY {a})")
+                    base = f"percentile_disc({b}) WITHIN GROUP (ORDER BY {a})"
+                    after_qd = _next_code(tokens, close)
+                    windowed_qd = (
+                        after_qd < n and tokens[after_qd].is_kw("OVER")
                     )
+                    chd = _parse_literal_decimal_chain(a)
+                    if (
+                        not windowed_qd
+                        and chd is not None
+                        and not chd[3]
+                        and chd[1] <= 15
+                    ):
+                        # DuckDB keeps the DECIMAL(w,s) element type;
+                        # Spark's percentile_disc returns DOUBLE — the
+                        # selected element is exact below 2^53, so the
+                        # cast back is lossless. Windowed forms keep
+                        # the element-preserving frame fold.
+                        base = f"CAST({base} AS DECIMAL({chd[1]},{chd[2]}))"
+                    out.extend(_toks(base))
                     i = close + 1
                     continue
                 if low == "skewness" and len(args) == 1:

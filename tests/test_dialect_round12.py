@@ -658,3 +658,37 @@ def test_windowed_decimal_quantile_parses(spark):
             for r in con.execute(sql).fetchall()]
     got = [tuple(r) for r in spark.sql(t).collect()]
     assert got == want
+
+
+def test_decimal_quantile_disc_and_distinct_render(spark):
+    """quantile_disc/quantile over a DECIMAL-hinted input keep the
+    DECIMAL(w,s) element type (exact cast-back from Spark's DOUBLE
+    percentile_disc), and quantile_cont(DISTINCT decimal) dedupes then
+    lerp-truncates like DuckDB — both render scale-exactly."""
+    from component_duckdb_transformation_spark.functions.dialect import (
+        column_type_hints,
+    )
+
+    con = duckdb.connect()
+    g = random.Random(23)
+    rows = [(i, g.randrange(2), round(g.uniform(-30, 30), 2))
+            for i in range(150)]
+    con.execute("CREATE TABLE qdr(i INT, p INT, v DECIMAL(6,2))")
+    con.executemany("INSERT INTO qdr VALUES (?, ?, ?)", rows)
+    spark.createDataFrame(
+        [(i, p, float(v)) for i, p, v in rows], "i int, p int, vd double"
+    ).selectExpr("i", "p", "CAST(vd AS DECIMAL(6,2)) AS v") \
+        .createOrReplaceTempView("qdr")
+    for c in (
+        "SELECT p, CAST(quantile_disc(v, 0.3) AS VARCHAR) AS a"
+        " FROM qdr GROUP BY p ORDER BY p",
+        "SELECT p, CAST(quantile(v, 0.62) AS VARCHAR) AS a"
+        " FROM qdr GROUP BY p ORDER BY p",
+        "SELECT p, CAST(quantile_cont(DISTINCT v, 0.37) AS VARCHAR) AS a"
+        " FROM qdr GROUP BY p ORDER BY p",
+    ):
+        with column_type_hints({"v": "decimal(6,2)"}):
+            t = translate(c)
+        want = [tuple(r) for r in con.execute(c).fetchall()]
+        got = [tuple(r) for r in spark.sql(t).collect()]
+        assert got == want, (c, got[:2], want[:2])
