@@ -3660,7 +3660,31 @@ def _win_os_streaming_sql(
     return f"__duck_win_os('{cfg}', {vals}, {rn}, {cnt})"
 
 
-def _quantile_cont_agg_sql(a: str, b: str) -> str:
+def _consume_filter_clause(tokens: List[Token], i: int):
+    """``(filter_sql, next_index)`` when ``tokens[i]`` starts a
+    ``FILTER ( WHERE ... )`` rider, else ``(None, i)``. ``filter_sql``
+    includes the FILTER keyword and parens. Callers that rewrite an
+    aggregate into a wrapped spelling (CAST / fold) must either splice
+    the rider onto the INNER aggregate or leave the original tokens
+    alone — a trailing FILTER after the wrapper is a Spark parse error
+    (r12 ADVICE)."""
+    n = len(tokens)
+    if i < n and tokens[i].is_kw("FILTER"):
+        f_open = _next_code(tokens, i)
+        if (
+            f_open < n
+            and tokens[f_open].kind == "op"
+            and tokens[f_open].text == "("
+        ):
+            f_close = _matching_paren(tokens, f_open)
+            return (
+                " FILTER " + _sql(tokens, f_open, f_close + 1),
+                f_close + 1,
+            )
+    return None, i
+
+
+def _quantile_cont_agg_sql(a: str, b: str, filter_sql: str = "") -> str:
     """Aggregate ``quantile_cont(x, q)``. DOUBLE/unknown inputs map to
     Spark's percentile (same lo + frac*(hi-lo) interpolation). DECIMAL
     inputs quantize in DuckDB: the result KEEPS the input's
@@ -3676,16 +3700,37 @@ def _quantile_cont_agg_sql(a: str, b: str) -> str:
     2^53 so the double arithmetic is exact on the inputs; wider or
     unhinted decimals keep the DOUBLE result (documented corner).
     DISTINCT riders dedupe before the interpolation (exact on the
-    decimal domain — the unscale multiply is injective)."""
+    decimal domain — the unscale multiply is injective). A FILTER
+    rider attaches to the inner collect_list (same pre-aggregation row
+    filter). A list-valued quantile (literal ``array(...)`` of
+    numbers) quantizes PER ELEMENT — DuckDB returns DECIMAL(w,s)[] —
+    via a transform over the quantile array; non-literal list
+    arguments keep the percentile spelling (r12 ADVICE: the scalar
+    CAST wrap over a list was a parse error)."""
     core, is_distinct = _split_distinct_prefix(a)
     ch = _parse_literal_decimal_chain(core)
+    q_list = None
+    try:
+        float(b)
+    except (TypeError, ValueError):
+        m_arr = re.fullmatch(r"(?is)\s*array\s*\((.*)\)\s*", b)
+        if m_arr is not None:
+            try:
+                q_list = [
+                    float(x) for x in m_arr.group(1).split(",")
+                ]
+            except (TypeError, ValueError):
+                q_list = None
+        if q_list is None:
+            ch = None
     if ch is not None and not ch[3] and ch[1] <= 15:
         a = core
         w, s = ch[1], ch[2]
         p = 10 ** s
         dq = "DISTINCT " if is_distinct else ""
         collected = (
-            f"sort_array(collect_list({dq}CAST(({a}) * {p} AS DOUBLE)))"
+            f"sort_array(collect_list({dq}CAST(({a}) * {p} AS DOUBLE))"
+            f"{filter_sql})"
         )
         lo = "element_at(__qc, CAST(floor(__qp) AS INT) + 1)"
         hi = (
@@ -3696,6 +3741,22 @@ def _quantile_cont_agg_sql(a: str, b: str) -> str:
             f"CASE WHEN ceiling(__qp) = floor(__qp) THEN {lo}"
             f" ELSE {lo} + ({hi} - {lo}) * (__qp - floor(__qp)) END"
         )
+        if q_list is not None:
+            one = (
+                f"element_at(transform(array(CAST(__qb AS DOUBLE)"
+                f" * (size(__qc) - 1)), __qp -> {lerp}), 1)"
+            )
+            quantize = (
+                f"CAST(CAST(({one}) AS BIGINT)"
+                f" / CAST({p} AS DECIMAL({s + 1}, 0))"
+                f" AS DECIMAL({w}, {s}))"
+            )
+            return (
+                f"element_at(transform(array({collected}), __qc ->"
+                " CASE WHEN size(__qc) = 0 THEN"
+                f" CAST(NULL AS ARRAY<DECIMAL({w},{s})>) ELSE"
+                f" transform({b}, __qb -> {quantize}) END), 1)"
+            )
         fold = (
             f"element_at(transform(array({collected}), __qc ->"
             " CASE WHEN size(__qc) = 0 THEN CAST(NULL AS DOUBLE) ELSE"
@@ -3707,7 +3768,7 @@ def _quantile_cont_agg_sql(a: str, b: str) -> str:
             f" / CAST({p} AS DECIMAL({s + 1}, 0))"
             f" AS DECIMAL({w}, {s}))"
         )
-    return f"percentile({a}, {b})"
+    return f"percentile({a}, {b}){filter_sql}"
 
 
 def _qcont_streaming_or_none(
@@ -13238,22 +13299,31 @@ def _rewrite_call_shims(
                     a0 = _sql(inner, ilo, ihi)
                     ch0 = _parse_literal_decimal_chain(a0)
                     after0 = _next_code(tokens, close)
+                    filt0, f_end0 = _consume_filter_clause(tokens, after0)
+                    after0b = (
+                        _next_code(tokens, f_end0 - 1)
+                        if filt0 is not None
+                        else after0
+                    )
                     if (
                         ch0 is not None
                         and not ch0[3]
                         and ch0[1] <= 15
                         and not (
-                            after0 < n and tokens[after0].is_kw("OVER")
+                            after0b < n and tokens[after0b].is_kw("OVER")
                         )
                     ):
+                        # a FILTER rider attaches to the INNER aggregate
+                        # (consumed from the stream) — trailing it after
+                        # the CAST is a parse error (r12 ADVICE)
                         out.extend(
                             _toks(
                                 "CAST(percentile_disc(0.5) WITHIN GROUP "
-                                f"(ORDER BY {a0}) AS "
+                                f"(ORDER BY {a0}){filt0 or ''} AS "
                                 f"DECIMAL({ch0[1]},{ch0[2]}))"
                             )
                         )
-                        i = close + 1
+                        i = f_end0 if filt0 is not None else close + 1
                         continue
                 if low == "percentile_cont" and len(args) == 1:
                     # aggregate WITHIN GROUP over a statically DECIMAL
@@ -13274,9 +13344,20 @@ def _rewrite_call_shims(
                         ):
                             g_close = _matching_paren(tokens, g_open)
                             after2 = _next_code(tokens, g_close)
-                            windowed = (
-                                after2 < n and tokens[after2].is_kw("OVER")
+                            filt2, f_end2 = _consume_filter_clause(
+                                tokens, after2
                             )
+                            after2b = (
+                                _next_code(tokens, f_end2 - 1)
+                                if filt2 is not None
+                                else after2
+                            )
+                            windowed = (
+                                after2b < n
+                                and tokens[after2b].is_kw("OVER")
+                            )
+                            if windowed:
+                                filt2 = None  # rider stays in the stream
                             gcode = [
                                 t
                                 for t in tokens[g_open + 1 : g_close]
@@ -13312,34 +13393,81 @@ def _rewrite_call_shims(
                                         out.extend(
                                             _toks(
                                                 _quantile_cont_agg_sql(
-                                                    xsql, qsql
+                                                    xsql,
+                                                    qsql,
+                                                    filt2 or "",
                                                 )
                                             )
                                         )
-                                        i = g_close + 1
+                                        i = (
+                                            f_end2
+                                            if filt2 is not None
+                                            else g_close + 1
+                                        )
                                         continue
                 if low == "quantile_cont" and len(args) == 2:
                     a, b = (_sql(inner, s, e) for s, e in args)
                     after_qc = _next_code(tokens, close)
-                    if after_qc < n and tokens[after_qc].is_kw("OVER"):
+                    filt_qc, f_end_qc = _consume_filter_clause(
+                        tokens, after_qc
+                    )
+                    after_qc2 = (
+                        _next_code(tokens, f_end_qc - 1)
+                        if filt_qc is not None
+                        else after_qc
+                    )
+                    if after_qc2 < n and tokens[after_qc2].is_kw("OVER"):
                         # windowed: the aggregate DECIMAL-quantize wrap
                         # cannot carry an OVER suffix — keep the plain
                         # percentile spelling for the window passes
                         # (windowed DECIMAL quantization stays the
-                        # documented double-result corner)
+                        # documented double-result corner); a FILTER
+                        # rider stays in the stream with it
                         out.extend(_toks(f"percentile({a}, {b})"))
+                        i = close + 1
                     else:
-                        out.extend(_toks(_quantile_cont_agg_sql(a, b)))
-                    i = close + 1
+                        # FILTER rider consumed and spliced onto the
+                        # inner aggregate (r12 ADVICE: trailing it
+                        # after the CAST wrap was a parse error)
+                        out.extend(
+                            _toks(
+                                _quantile_cont_agg_sql(
+                                    a, b, filt_qc or ""
+                                )
+                            )
+                        )
+                        i = (
+                            f_end_qc
+                            if filt_qc is not None
+                            else close + 1
+                        )
                     continue
                 if low in ("quantile_disc", "quantile") and len(args) == 2:
                     a, b = (_sql(inner, s, e) for s, e in args)
                     base = f"percentile_disc({b}) WITHIN GROUP (ORDER BY {a})"
                     after_qd = _next_code(tokens, close)
-                    windowed_qd = (
-                        after_qd < n and tokens[after_qd].is_kw("OVER")
+                    filt_qd, f_end_qd = _consume_filter_clause(
+                        tokens, after_qd
                     )
+                    after_qd2 = (
+                        _next_code(tokens, f_end_qd - 1)
+                        if filt_qd is not None
+                        else after_qd
+                    )
+                    windowed_qd = (
+                        after_qd2 < n and tokens[after_qd2].is_kw("OVER")
+                    )
+                    consumed_qd = filt_qd is not None and not windowed_qd
+                    if consumed_qd:
+                        # FILTER rider spliced onto the aggregate so the
+                        # CAST wrap below stays parseable (r12 ADVICE);
+                        # windowed FILTER forms stay in the stream
+                        base = f"{base}{filt_qd}"
                     chd = _parse_literal_decimal_chain(a)
+                    try:
+                        float(b)
+                    except (TypeError, ValueError):
+                        chd = None  # list-valued quantile: no scalar cast
                     if (
                         not windowed_qd
                         and chd is not None
@@ -13353,7 +13481,7 @@ def _rewrite_call_shims(
                         # the element-preserving frame fold.
                         base = f"CAST({base} AS DECIMAL({chd[1]},{chd[2]}))"
                     out.extend(_toks(base))
-                    i = close + 1
+                    i = f_end_qd if consumed_qd else close + 1
                     continue
                 if low == "skewness" and len(args) == 1:
                     # DuckDB reports the SAMPLE (bias-corrected) statistic,

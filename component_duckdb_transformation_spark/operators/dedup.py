@@ -164,8 +164,8 @@ def ngram_jaccard_pairs(
     DuckDB workload oracle replays.
 
     ``"auto"`` (default) picks by the MEASURED candidate volume
-    sum(f*(f-1)/2) over the (already materialized) shingle frequency
-    table — the same size-based physical-strategy choice AQE makes for
+    sum(f*(f-1)/2) aggregated over the cached shingle table
+    — the same size-based physical-strategy choice AQE makes for
     joins: below ``max_naive_candidates`` the single-join naive path
     wins on fixed costs (it is one shuffle against prefix's four);
     above it the prefix path's threshold-bounded candidates are the
@@ -198,6 +198,13 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     if prefix_filter == "auto":
+        if max_shingle_freq is not None:
+            # the anti join rewrote sh into an UNCACHED plan over the
+            # cached explode; the estimate collect below is an action,
+            # so materialize the anti join once or both self-join
+            # sides re-run it afterwards (r12 ADVICE)
+            sh = sh.cache()
+            sh.count()
         est = (
             sh.groupBy("sh")
             .agg(F.count("*").alias("_f"))
