@@ -646,6 +646,14 @@ def translate(sql: str) -> str:
 
 
 def _translate_tokens(tokens: List[Token]) -> str:
+    gen_token = _WIN_OS_GEN.set(next(_WIN_OS_GEN_COUNTER))
+    try:
+        return _translate_tokens_inner(tokens)
+    finally:
+        _WIN_OS_GEN.reset(gen_token)
+
+
+def _translate_tokens_inner(tokens: List[Token]) -> str:
     tokens = _from_first_scope(_rewrite_from_first(tokens))
     tokens = _rewrite_table_name_literals(tokens)
     tokens = _rewrite_numeric_underscores(tokens)
@@ -3512,12 +3520,28 @@ import itertools as _itertools
 
 _WIN_OS_SITE_COUNTER = _itertools.count(1)  # thread-safe in CPython
 
+#: per-STATEMENT generation id carried in every cfg: a task evaluates
+#: exactly one statement, so the executor clears all retained per-site
+#: state when a row of a NEW generation arrives (r12 ADVICE: site ids
+#: never repeat, so without this every statement leaked its last
+#: partition's state on pooled executor threads for the session's life)
+_WIN_OS_GEN_COUNTER = _itertools.count(1)
+_WIN_OS_GEN: ContextVar[int] = ContextVar("win_os_gen", default=0)
+
 #: bounded trailing ROWS frames stream at EVERY width — measured at
 #: sf0.1: the compiled treap beats the interpreted fold even at frame 4
 #: (wmad_b 0.88 -> 0.53 s, wqc 0.62 -> 0.34 s), because the fold's cost
 #: is dominated by per-row frame materialization + lambda machinery,
 #: not the sort. Kept as a knob for A/B.
 _WIN_OS_PREC_MIN = 0
+
+#: FOLLOWING-bounded ROWS frames stream via the lead-shifted input
+#: (see DuckWinOS.java): the b-row lookahead costs one lead() window
+#: column plus b+1 seed leads evaluated only through the rn=1 CASE arm
+#: — all O(1)/row in the same WindowExec. The seed array grows with b,
+#: so very deep lookaheads keep the fold (whose own cost is O(a+b)/row
+#: anyway — at that width neither path is cheap).
+_WIN_OS_FOLW_MAX = 256
 
 
 def _win_os_next_site() -> int:
@@ -3581,6 +3605,31 @@ def _spec_prefix_frame(spec: str):
     )
     if m and int(m.group(1)) >= int(m.group(2)) >= 1:
         return (prefix, "rows_prec", f"{m.group(1)}_{m.group(2)}")
+    # FOLLOWING-bounded frames (r13): [i-a, i+b] streams on the same
+    # trailing machinery with a lead(x, b)-shifted input — the row-i
+    # trailing multiset of width a+b+1 IS the frame; b+1 seed leads at
+    # rn=1 and NULL leads past the partition end clip both edges
+    m = re.fullmatch(
+        r"ROWS BETWEEN (\d+) PRECEDING AND (\d+) FOLLOWING", frame
+    )
+    if m and 1 <= int(m.group(2)) <= _WIN_OS_FOLW_MAX:
+        return (prefix, "rows_folw", f"{m.group(1)}_f{m.group(2)}")
+    if m and int(m.group(2)) == 0:
+        return (prefix, "rows_prec", m.group(1))
+    m = re.fullmatch(
+        r"ROWS BETWEEN CURRENT ROW AND (\d+) FOLLOWING", frame
+    )
+    if m and 1 <= int(m.group(1)) <= _WIN_OS_FOLW_MAX:
+        return (prefix, "rows_folw", f"0_f{m.group(1)}")
+    if m and int(m.group(1)) == 0:
+        return (prefix, "rows_prec", "0")
+    m = re.fullmatch(
+        r"ROWS BETWEEN UNBOUNDED PRECEDING AND (\d+) FOLLOWING", frame
+    )
+    if m and 1 <= int(m.group(1)) <= _WIN_OS_FOLW_MAX:
+        return (prefix, "rows_folw", f"u_f{m.group(1)}")
+    if m and int(m.group(1)) == 0:
+        return (prefix, "rows_run", 0)
     return None
 
 
@@ -3623,27 +3672,62 @@ def _shared_window_prefix(tokens: List[Token]):
     return None
 
 
+def _prefix_partition_fp_sql(prefix: str) -> str:
+    """Partition-key fingerprint column for one streaming call site:
+    ``hash(<partition exprs>)`` — constant within a window partition,
+    (overwhelmingly) different across partitions, so the executor can
+    verify every row belongs to the partition that opened the stream
+    (r12 ADVICE: a pushed predicate could otherwise line row numbers
+    up across a partition change). No PARTITION BY -> constant 0."""
+    toks = _toks(prefix)
+    depth = 0
+    start = None
+    end = len(toks)
+    for i, t in enumerate(toks):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "word":
+            if t.upper == "PARTITION" and start is None:
+                j = _next_code(toks, i)
+                if j < len(toks) and toks[j].is_kw("BY"):
+                    start = j + 1
+            elif t.upper == "ORDER" and start is not None:
+                end = i
+                break
+    if start is None:
+        return "CAST(0 AS BIGINT)"
+    cols = "".join(t.text for t in toks[start:end]).strip().rstrip(",")
+    return f"CAST(hash({cols}) AS BIGINT)"
+
+
 def _win_os_streaming_sql(
     op: str,
     core: str,
     prefix: str,
     kind: str,
-    prec: int,
+    prec,
     intdom: bool,
     distinct: bool,
     q_sql: str = "0",
+    fn_name: str = "__duck_win_os",
 ) -> str:
-    """One ``__duck_win_os`` call site: cfg literal (mode + unique site
-    id + static params) plus the three runtime columns (values,
-    row_number, peer row count) — all window expressions reuse the
-    statement's shared (PARTITION BY, ORDER BY) prefix, so they land in
-    the same WindowExec and add no exchange or sort."""
+    """One streaming window-core call site: cfg literal (mode + unique
+    site id + static params + statement generation) plus the four
+    runtime columns (values, row_number, peer row count, partition
+    fingerprint) — all window expressions reuse the statement's shared
+    (PARTITION BY, ORDER BY) prefix, so they land in the same
+    WindowExec and add no exchange or sort. FOLLOWING-bounded kinds
+    ship the lead-shifted input (see DuckWinOS.java)."""
     mode = op + {"range_run": "_range", "rows_run": "_run",
-                 "rows_prec": "_prec"}[kind]
+                 "rows_prec": "_prec", "rows_folw": "_folw"}[kind]
+    gen = _WIN_OS_GEN.get()
     cfg = (
         f"{mode}#w{_win_os_next_site()}#{prec}#{q_sql}"
-        f"#{1 if intdom else 0}#{1 if distinct else 0}"
+        f"#{1 if intdom else 0}#{1 if distinct else 0}#g{gen}"
     )
+    rn = f"CAST(row_number() OVER ({prefix}) AS BIGINT)"
     if kind == "range_run":
         vals = (
             f"collect_list(CAST(({core}) AS DOUBLE)) OVER ({prefix} "
@@ -3653,11 +3737,25 @@ def _win_os_streaming_sql(
             f"count(*) OVER ({prefix} "
             "RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
         )
+    elif kind == "rows_folw":
+        b = int(str(prec).split("_f")[1])
+        lead_b = f"CAST(lead(({core}), {b}) OVER ({prefix}) AS DOUBLE)"
+        seeds = ", ".join(
+            f"CAST(lead(({core}), {k}) OVER ({prefix}) AS DOUBLE)"
+            if k
+            else f"CAST(({core}) AS DOUBLE)"
+            for k in range(0, b + 1)
+        )
+        vals = (
+            f"CASE WHEN row_number() OVER ({prefix}) = 1"
+            f" THEN array({seeds}) ELSE array({lead_b}) END"
+        )
+        cnt = "CAST(1 AS BIGINT)"
     else:
         vals = f"array(CAST(({core}) AS DOUBLE))"
         cnt = "CAST(1 AS BIGINT)"
-    rn = f"CAST(row_number() OVER ({prefix}) AS BIGINT)"
-    return f"__duck_win_os('{cfg}', {vals}, {rn}, {cnt})"
+    fp = _prefix_partition_fp_sql(prefix)
+    return f"{fn_name}('{cfg}', {vals}, {rn}, {cnt}, {fp})"
 
 
 def _consume_filter_clause(tokens: List[Token], i: int):
@@ -3807,6 +3905,176 @@ def _qcont_streaming_or_none(
         "qcont", core, parsed[0], parsed[1], parsed[2],
         False, distinct, q_sql=repr(qf),
     )
+
+
+_INT_SPARK_ORDER = ("tinyint", "smallint", "int", "bigint")
+
+
+def _static_int_expr_spark_type(expr_sql: str):
+    """Spark result type name ('TINYINT'..'BIGINT') of an integer-typed
+    ``+ - * % ( )`` expression over integer literals and int-hinted
+    plain column refs, or None. Both engines promote binary integer
+    arithmetic to the WIDEST operand type (literals are INT unless they
+    exceed 32 bits), so the widest leaf IS the result type — the gate
+    the streaming quantile_disc/histogram lowerings need to cast their
+    double-domain answer back losslessly (all values < 2^53)."""
+    hints = _TYPE_HINTS.get() or {}
+    widest = -1
+    for m in _CHAIN_TOK_RE.finditer(expr_sql):
+        t = m.group(0)
+        if t.isspace() or t in "()+-*%," or t.lower() == "nullif":
+            # nullif is transparent: the division/modulo shims wrap
+            # divisors as nullif(d, 0), and nullif(int, int) is int
+            # (the comma only ever appears inside that wrap here —
+            # any OTHER function word bails on the hint lookup below
+            # before its comma matters)
+            continue
+        if t[0].isdigit():
+            if "." in t or "e" in t.lower():
+                return None
+            widest = max(
+                widest, 2 if abs(int(t)) <= 2147483647 else 3
+            )
+            continue
+        if t[0].isalpha() or t[0] == "_":
+            h = hints.get(t.split(".")[-1].lower(), "")
+            if h not in _INT_SPARK_ORDER:
+                return None
+            widest = max(widest, _INT_SPARK_ORDER.index(h))
+            continue
+        return None
+    if widest < 0:
+        return None
+    return _INT_SPARK_ORDER[widest].upper()
+
+
+def _static_float_col_type(expr_sql: str):
+    """'double' / 'float' when the expression is exactly a plain
+    (possibly parenthesized/qualified) column ref hinted to that type;
+    None otherwise."""
+    hints = _TYPE_HINTS.get() or {}
+    s = expr_sql.strip()
+    while s.startswith("(") and s.endswith(")"):
+        s = s[1:-1].strip()
+    if not re.fullmatch(r"[A-Za-z_][\w.]*", s):
+        return None
+    h = hints.get(s.split(".")[-1].lower(), "")
+    return h if h in ("double", "float") else None
+
+
+def _qdisc_streaming_or_none(
+    core: str, q_sql: str, spec: str, distinct: bool, shared_prefix
+):
+    """Streaming quantile_disc call site (treap select at
+    max(1, ceil(q*n))) when the gate + frame shape + literal quantile
+    + a statically known exact-in-double argument type allow it, else
+    None (fold). The answer is cast back to the argument's type, so
+    the schema matches the element-preserving fold."""
+    if shared_prefix is None:
+        return None
+    try:
+        qf = float(q_sql)
+    except (TypeError, ValueError):
+        return None
+    if not 0.0 <= qf <= 1.0:
+        return None
+    parsed = _spec_prefix_frame(spec)
+    if parsed is None:
+        return None
+    ch = _parse_literal_decimal_chain(core)
+    if ch is not None and not ch[3] and ch[1] <= 15:
+        p = 10 ** ch[2]
+        body = _win_os_streaming_sql(
+            "qdisc", f"({core}) * {p}", parsed[0], parsed[1], parsed[2],
+            False, distinct, q_sql=repr(qf),
+        )
+        return (
+            f"CAST(CAST({body} AS BIGINT)"
+            f" / CAST({p} AS DECIMAL({ch[2] + 1}, 0))"
+            f" AS DECIMAL({ch[1]},{ch[2]}))"
+        )
+    ity = _static_int_expr_spark_type(core)
+    if ity is not None:
+        body = _win_os_streaming_sql(
+            "qdisc", core, parsed[0], parsed[1], parsed[2],
+            False, distinct, q_sql=repr(qf),
+        )
+        return f"CAST({body} AS {ity})"
+    fty = _static_float_col_type(core)
+    if fty is not None:
+        body = _win_os_streaming_sql(
+            "qdisc", core, parsed[0], parsed[1], parsed[2],
+            False, distinct, q_sql=repr(qf),
+        )
+        return body if fty == "double" else f"CAST({body} AS FLOAT)"
+    return None
+
+
+def _ent_streaming_or_none(core: str, spec: str, shared_prefix):
+    """Streaming windowed entropy (incremental value-count multiset,
+    answers in the fold's first-occurrence order) for statically
+    exact-in-double argument types; None -> fold."""
+    if shared_prefix is None:
+        return None
+    parsed = _spec_prefix_frame(spec)
+    if parsed is None:
+        return None
+    ch = _parse_literal_decimal_chain(core)
+    ok = (
+        (ch is not None and ch[1] <= 15)
+        or _static_int_expr_spark_type(core) is not None
+        or _static_float_col_type(core) is not None
+    )
+    if not ok:
+        return None
+    return _win_os_streaming_sql(
+        "ent", core, parsed[0], parsed[1], parsed[2], False, False
+    )
+
+
+def _hist_streaming_or_none(core: str, spec: str, shared_prefix):
+    """Streaming windowed histogram() (DuckWinHist: incremental counts,
+    key-ascending map per row) for statically typed arguments; the
+    double-keyed map is cast back to the argument's type. None ->
+    fold."""
+    if shared_prefix is None:
+        return None
+    parsed = _spec_prefix_frame(spec)
+    if parsed is None:
+        return None
+    ity = _static_int_expr_spark_type(core)
+    if ity is not None:
+        body = _win_os_streaming_sql(
+            "hist", core, parsed[0], parsed[1], parsed[2],
+            False, False, fn_name="__duck_win_hist",
+        )
+        return f"CAST({body} AS MAP<{ity},BIGINT>)"
+    ch = _parse_literal_decimal_chain(core)
+    if ch is not None and not ch[3] and ch[1] <= 15:
+        p = 10 ** ch[2]
+        w, s = ch[1], ch[2]
+        body = _win_os_streaming_sql(
+            "hist", f"({core}) * {p}", parsed[0], parsed[1], parsed[2],
+            False, False, fn_name="__duck_win_hist",
+        )
+        return (
+            f"transform_keys({body}, (__hk, __hv) ->"
+            f" CAST(CAST(__hk AS BIGINT)"
+            f" / CAST({p} AS DECIMAL({s + 1}, 0))"
+            f" AS DECIMAL({w},{s})))"
+        )
+    fty = _static_float_col_type(core)
+    if fty is not None:
+        body = _win_os_streaming_sql(
+            "hist", core, parsed[0], parsed[1], parsed[2],
+            False, False, fn_name="__duck_win_hist",
+        )
+        return (
+            body
+            if fty == "double"
+            else f"CAST({body} AS MAP<FLOAT,BIGINT>)"
+        )
+    return None
 
 
 def _mad_window_template(
@@ -6595,6 +6863,14 @@ def _rewrite_agg_window_frames(
                                             wg_distinct,
                                             shared_prefix,
                                         )
+                                    else:
+                                        repl = _qdisc_streaming_or_none(
+                                            wg_x,
+                                            q_sql,
+                                            spec,
+                                            wg_distinct,
+                                            shared_prefix,
+                                        )
                                     if repl is None:
                                         collected = (
                                             f"collect_list({wg_x}) "
@@ -6660,14 +6936,24 @@ def _rewrite_agg_window_frames(
                             if is_distinct:
                                 collected = f"array_distinct({collected})"
                             if low == "histogram":
-                                repl = _histogram_fold_sql(collected)
+                                if not is_distinct:
+                                    repl = _hist_streaming_or_none(
+                                        core, spec, shared_prefix
+                                    )
+                                if repl is None:
+                                    repl = _histogram_fold_sql(collected)
                             elif low == "entropy" and (
                                 not full or is_distinct
                             ):
                                 # DISTINCT full-partition entropy has no
                                 # earlier lowering (unresolved routine
                                 # pre-r10) — the fold covers it
-                                repl = _entropy_fold_sql(collected)
+                                if not is_distinct and not full:
+                                    repl = _ent_streaming_or_none(
+                                        core, spec, shared_prefix
+                                    )
+                                if repl is None:
+                                    repl = _entropy_fold_sql(collected)
                         if repl is not None:
                             out.extend(_toks(repl))
                             i = sp_close + 1

@@ -93,9 +93,29 @@ _JVM_UDFS = {
     "__duck_mad_j": ("duckspark.DuckMad", "double"),
     "__duck_entropy_j": ("duckspark.DuckEntropy", "double"),
     "__duck_ngram_stats": ("duckspark.DuckNgramStats", "array<bigint>"),
-    "__duck_win_os": ("duckspark.DuckWinOS", "double"),
     "__duck_round_j": ("duckspark.DuckRound", "double"),
 }
+
+#: stateful streaming window cores: registered NON-DETERMINISTIC so
+#: Catalyst cannot push an outer predicate through the projection to
+#: between it and the feeding WindowExec — a pushed filter would make
+#: the UDF see row_number gaps (loud throw on a valid query) or, worse,
+#: silently reuse cross-partition state when the surviving row lands on
+#: lastRn+1 (r12 ADVICE high). registerJavaFunction has no determinism
+#: knob, so these go through functions.udf(...).asNondeterministic().
+_JVM_STATEFUL_UDFS = {
+    "__duck_win_os": ("duckspark.DuckWinOS", "double"),
+    "__duck_win_hist": ("duckspark.DuckWinHist", "map<double,bigint>"),
+}
+
+
+def _register_nondeterministic(spark, name: str, cls: str, rtype: str):
+    jvm = spark._jvm
+    loader = jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader()
+    inst = loader.loadClass(cls).newInstance()
+    jdt = jvm.org.apache.spark.sql.types.DataType.fromDDL(rtype)
+    judf = jvm.org.apache.spark.sql.functions.udf(inst, jdt)
+    spark._jsparkSession.udf().register(name, judf.asNondeterministic())
 
 
 def register_jvm_udfs(spark) -> None:
@@ -111,3 +131,5 @@ def register_jvm_udfs(spark) -> None:
         spark.udf.registerJavaFunction(
             name, cls, _parse_datatype_string(rtype)
         )
+    for name, (cls, rtype) in _JVM_STATEFUL_UDFS.items():
+        _register_nondeterministic(spark, name, cls, rtype)

@@ -80,7 +80,8 @@ def test_win_os_translate_gating():
         "SELECT mad(x) OVER (PARTITION BY p ORDER BY o"
         " ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS a FROM t"
     )
-    assert "__duck_win_os" not in t3 and "__duck_mad_j" in t3
+    # r13: FOLLOWING bounds stream too (lead-shifted input)
+    assert "__duck_win_os('mad_folw#" in t3 and "#2_f1#" in t3
     # mixed prefixes in one statement: gate closes, fold everywhere
     t4 = translate(
         "SELECT mad(x) OVER (PARTITION BY p ORDER BY o) AS a,"
@@ -99,7 +100,7 @@ def test_win_os_translate_gating():
         "SELECT quantile_cont(DISTINCT x, 0.5)"
         " OVER (PARTITION BY p ORDER BY o) AS a FROM t"
     )
-    assert "__duck_win_os('qcont_range#" in t6 and "#1'" in t6
+    assert "__duck_win_os('qcont_range#" in t6 and "#1#g" in t6
     # no ORDER BY: full partition, not the streaming path
     t7 = translate(
         "SELECT mad(x) OVER (PARTITION BY p) AS a,"
@@ -154,7 +155,7 @@ def test_win_os_ab_vs_fold(spark, seed):
     df.createOrReplaceTempView("wint12")
 
     def stream(mode, site, prec, q, intdom, dist, order, rng):
-        cfg = f"{mode}#u{seed}{site}#{prec}#{q}#{intdom}#{dist}"
+        cfg = f"{mode}#u{seed}{site}#{prec}#{q}#{intdom}#{dist}#gt{seed}"
         if rng:
             vals = (
                 "collect_list(CAST(v AS DOUBLE)) OVER (PARTITION BY p"
@@ -171,7 +172,8 @@ def test_win_os_ab_vs_fold(spark, seed):
             f"CAST(row_number() OVER (PARTITION BY p ORDER BY {order})"
             " AS BIGINT)"
         )
-        return f"__duck_win_os('{cfg}', {vals}, {rn}, {cnt})"
+        fp = "CAST(hash(p) AS BIGINT)"
+        return f"__duck_win_os('{cfg}', {vals}, {rn}, {cnt}, {fp})"
 
     def coll(order, frame, dist):
         c = f"collect_list(v) OVER (PARTITION BY p ORDER BY {order} {frame})"

@@ -132,3 +132,252 @@ def test_windowed_filter_rider_passthrough():
             " OVER (PARTITION BY g) FROM t"
         )
     assert "FILTER" in t and "OVER" in t
+
+
+# ---------------------------------------------------------------------------
+# streaming window-core extensions (r13): FOLLOWING frames via the
+# lead-shifted input, quantile_disc/entropy/histogram streaming, the
+# non-deterministic registration + partition fingerprint, and the
+# generation-based state eviction
+
+
+def test_folw_translate_gating():
+    from component_duckdb_transformation_spark.functions import dialect
+
+    with column_type_hints({"x": "double", "v": "int"}):
+        t = translate(
+            "SELECT mad(x) OVER (PARTITION BY p ORDER BY o"
+            " ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS a FROM t"
+        )
+        assert "'mad_folw#" in t and "#2_f1#" in t and "lead(" in t
+        t2 = translate(
+            "SELECT quantile_cont(x, 0.3) OVER (PARTITION BY p ORDER BY o"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING) AS a FROM t"
+        )
+        assert "'qcont_folw#" in t2 and "#u_f2#" in t2
+        # RANGE + FOLLOWING keeps the fold
+        t3 = translate(
+            "SELECT mad(x) OVER (PARTITION BY p ORDER BY o"
+            " RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+            " AS a FROM t"
+        )
+        assert "_folw#" not in t3
+        # lookahead beyond the knob keeps the fold
+        deep = dialect._WIN_OS_FOLW_MAX + 1
+        t4 = translate(
+            "SELECT mad(x) OVER (PARTITION BY p ORDER BY o"
+            f" ROWS BETWEEN 2 PRECEDING AND {deep} FOLLOWING) AS a FROM t"
+        )
+        assert "__duck_win_os" not in t4
+        # 0 FOLLOWING is just the trailing frame
+        t5 = translate(
+            "SELECT mad(x) OVER (PARTITION BY p ORDER BY o"
+            " ROWS BETWEEN 3 PRECEDING AND 0 FOLLOWING) AS a FROM t"
+        )
+        assert "'mad_prec#" in t5 and "#3#" in t5
+        # FOLLOWING lower bound (both-FOLLOWING frame) keeps the fold
+        t6 = translate(
+            "SELECT mad(x) OVER (PARTITION BY p ORDER BY o"
+            " ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS a FROM t"
+        )
+        assert "__duck_win_os" not in t6
+        # qdisc/ent/hist stream on statically-typed args
+        t7 = translate(
+            "SELECT quantile_disc(v % 3, 0.4) OVER (PARTITION BY p"
+            " ORDER BY o ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+            " AS a FROM t"
+        )
+        assert "'qdisc_prec#" in t7 and "CAST" in t7
+        t8 = translate(
+            "SELECT entropy(v) OVER (PARTITION BY p ORDER BY o"
+            " ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS a FROM t"
+        )
+        assert "'ent_prec#" in t8 and "#4_1#" in t8
+        t9 = translate(
+            "SELECT histogram(v % 4) OVER (PARTITION BY p ORDER BY o"
+            " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS a FROM t"
+        )
+        assert "__duck_win_hist('hist_prec#" in t9 and "MAP<INT,BIGINT>" in t9
+    # unhinted/untypeable args keep the fold (no static cast-back)
+    t10 = translate(
+        "SELECT quantile_disc(u, 0.4) OVER (PARTITION BY p ORDER BY o"
+        " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS a FROM t"
+    )
+    assert "qdisc" not in t10
+    t11 = translate(
+        "SELECT histogram(u) OVER (PARTITION BY p ORDER BY o"
+        " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS a FROM t"
+    )
+    assert "__duck_win_hist" not in t11
+
+
+def _load_win13(spark):
+    import duckdb as ddb
+
+    con = ddb.connect()
+    con.execute(
+        """CREATE TABLE t AS SELECT CAST(i % 7 AS INT) AS g,
+  CAST(i AS INT) AS ord, CAST((i * 37 % 11) AS INT) AS v,
+  CAST((i*13 % 89) * 1.01 AS DECIMAL(9,2)) AS d,
+  CAST(i * 0.77 AS DOUBLE) AS x,
+  CASE WHEN i % 17 = 0 THEN NULL ELSE CAST(i % 5 AS INT) END AS vn
+FROM range(1, 1201) r(i)"""
+    )
+    import tempfile, os
+
+    pq = os.path.join(tempfile.mkdtemp(), "t13.parquet")
+    con.execute(f"COPY t TO '{pq}' (FORMAT PARQUET)")
+    spark.read.parquet(pq).createOrReplaceTempView("t")
+    return con
+
+
+_WIN13_HINTS = {
+    "g": "int", "ord": "int", "v": "int",
+    "d": "decimal(9,2)", "x": "double", "vn": "int",
+}
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "SELECT g, ord, round(mad(x) OVER (PARTITION BY g ORDER BY ord"
+        " ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING), 9) AS m FROM t",
+        "SELECT g, ord, round(mad(DISTINCT v) OVER (PARTITION BY g ORDER"
+        " BY ord ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING), 9) AS m FROM t",
+        "SELECT g, ord, round(quantile_cont(x, 0.3) OVER (PARTITION BY g"
+        " ORDER BY ord ROWS BETWEEN 5 PRECEDING AND 3 FOLLOWING), 9)"
+        " AS q FROM t",
+        "SELECT g, ord, round(quantile_cont(x, 0.5) OVER (PARTITION BY g"
+        " ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING),"
+        " 9) AS q FROM t",
+        "SELECT g, ord, round(mad(x) OVER (PARTITION BY g ORDER BY ord"
+        " ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING), 9) AS m FROM t",
+        "SELECT g, ord, quantile_disc(d, 0.25) OVER (PARTITION BY g ORDER"
+        " BY ord ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS q FROM t",
+        "SELECT g, ord, quantile_disc(v, 0.7) OVER (PARTITION BY g"
+        " ORDER BY ord) AS q FROM t",
+        "SELECT g, ord, quantile_disc(v % 3, 0.4) OVER (PARTITION BY g"
+        " ORDER BY ord ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)"
+        " AS q FROM t",
+        "SELECT g, ord, round(entropy(vn) OVER (PARTITION BY g ORDER BY"
+        " ord ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 9) AS e FROM t",
+        "SELECT g, ord, round(entropy(v % 5) OVER (PARTITION BY g ORDER"
+        " BY ord ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), 9) AS e FROM t",
+        "SELECT g, ord, array_to_string(map_keys(histogram(v % 4) OVER"
+        " (PARTITION BY g ORDER BY ord ROWS BETWEEN 3 PRECEDING AND"
+        " CURRENT ROW)), ',') AS hk FROM t",
+        "SELECT g, ord, array_to_string(map_values(histogram(vn) OVER"
+        " (PARTITION BY g ORDER BY ord ROWS BETWEEN 5 PRECEDING AND"
+        " CURRENT ROW)), ',') AS hv FROM t",
+        "SELECT g, ord, quantile_disc(DISTINCT v, 0.5) OVER (PARTITION"
+        " BY g ORDER BY ord ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+        " AS q FROM t",
+    ],
+)
+def test_streaming_win13_matches_duckdb(spark, q):
+    con = _load_win13(spark)
+    with column_type_hints(_WIN13_HINTS):
+        tq = translate(q)
+    got = spark.sql(tq).toPandas()
+    want = con.execute(q).df()
+    _assert_match(got, want)
+
+
+def test_outer_filter_over_windowed_subquery(spark):
+    """The r12 ADVICE-high shape: a non-partition-key predicate above a
+    streamed window projection. Deterministic registration let Catalyst
+    push it between the projection and WindowExec -> row_number gaps;
+    the non-deterministic registration keeps it above."""
+    con = _load_win13(spark)
+    q = (
+        "SELECT * FROM (SELECT g, ord, v, round(mad(x) OVER (PARTITION"
+        " BY g ORDER BY ord), 9) AS m FROM t) s WHERE v > 5"
+    )
+    with column_type_hints(_WIN13_HINTS):
+        tq = translate(q)
+    sdf = spark.sql(tq)
+    plan = sdf._jdf.queryExecution().optimizedPlan().toString()
+    # the filter must sit ABOVE the projection containing the UDF
+    assert plan.index("Filter") < plan.index("__duck_win_os")
+    _assert_match(sdf.toPandas(), con.execute(q).df())
+
+
+def test_folw_streaming_equals_fold(spark, monkeypatch):
+    """A/B: the lead-shifted streaming path is value-identical to the
+    collect_list fold on adversarial data (NaN/inf/-0.0/dup/NULL)."""
+    import math
+    import random
+
+    from component_duckdb_transformation_spark.functions import dialect
+
+    g = random.Random(131)
+    rows = []
+    for pid in (1, 2):
+        for i in range(150):
+            v = g.choice(
+                [
+                    None, float("nan"), float("inf"), float("-inf"),
+                    -1.5, 0.0, -0.0, 2.25,
+                    g.uniform(-100, 100), float(g.randint(-5, 5)),
+                ]
+            )
+            rows.append((pid, i, v))
+    spark.createDataFrame(rows, "p int, o int, v double") \
+        .createOrReplaceTempView("wf13")
+    q = (
+        "SELECT p, o,"
+        " mad(v) OVER (PARTITION BY p ORDER BY o"
+        "   ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING) AS m,"
+        " quantile_cont(v, 0.35) OVER (PARTITION BY p ORDER BY o"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS q,"
+        " mad(DISTINCT v) OVER (PARTITION BY p ORDER BY o"
+        "   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS md"
+        " FROM wf13 ORDER BY p, o"
+    )
+    t_stream = translate(q)
+    assert "_folw#" in t_stream
+    monkeypatch.setattr(dialect, "_WIN_OS_FOLW_MAX", 0)
+    t_fold = translate(q)
+    assert "__duck_win_os" not in t_fold
+    a = spark.sql(t_stream).collect()
+    b = spark.sql(t_fold).collect()
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        for x, y in zip(ra, rb):
+            same = x == y or (
+                isinstance(x, float)
+                and isinstance(y, float)
+                and math.isnan(x)
+                and math.isnan(y)
+            )
+            assert same, (ra, rb)
+
+
+def test_win_os_state_machine_via_py4j(spark):
+    """Direct executor-state checks the SQL surface can't reach:
+    fingerprint mismatch throws, and a new statement generation clears
+    retained sites (r12 ADVICE memory-growth fix)."""
+    from component_duckdb_transformation_spark.functions.jvm_udfs import (
+        register_jvm_udfs,
+    )
+
+    register_jvm_udfs(spark)
+    jvm = spark._jvm
+    loader = jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader()
+    inst = loader.loadClass("duckspark.DuckWinOS").newInstance()
+    L = jvm.java.lang.Long.valueOf
+
+    def call(cfg, rn, fp):
+        return inst.call(cfg, None, L(rn), L(1), L(fp))
+
+    # normal stream
+    call("mad_run#t13a#0#0#0#0#gA", 1, 7)
+    call("mad_run#t13a#0#0#0#0#gA", 2, 7)
+    # fingerprint change without rn reset: loud
+    with pytest.raises(Exception, match="fingerprint"):
+        call("mad_run#t13a#0#0#0#0#gA", 3, 8)
+    # new generation on the same thread clears every old site ...
+    call("mad_run#t13b#0#0#0#0#gB", 1, 0)
+    # ... so resuming the old site mid-stream is loud, not silent
+    with pytest.raises(Exception, match="partition-contiguous"):
+        call("mad_run#t13c#0#0#0#0#gA", 5, 7)
