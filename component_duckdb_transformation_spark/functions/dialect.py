@@ -715,6 +715,7 @@ def _translate_tokens_inner(tokens: List[Token]) -> str:
     tokens = _rewrite_mad_window_inplace(tokens)
     tokens = _rewrite_mad_fallback_template(tokens)
     tokens = _rewrite_product_entropy(tokens)
+    tokens = _rewrite_ent_window_streaming(tokens)
     tokens = _rewrite_entropy_window_running_recursive(tokens)
     tokens = _rewrite_agg_window_frames(tokens)
     tokens = _rewrite_fuse_percentile_cont(tokens)
@@ -6483,6 +6484,88 @@ def _rewrite_entropy_window_running(tokens: List[Token]) -> List[Token]:
     if tail.strip():
         out_sql += " " + tail
     return _toks(out_sql)
+
+
+def _rewrite_ent_window_streaming(
+    tokens: List[Token], shared_prefix=("__compute__",)
+) -> List[Token]:
+    """Lower ``entropy(x) OVER (spec)`` onto the streaming count-map
+    core EARLY — before the running-RANGE telescoping restructure. A
+    streamed site keeps the statement's shared (PARTITION BY, ORDER BY)
+    prefix intact, where the telescoping rewrite introduces a
+    ``PARTITION BY <keys>, x`` spec that closes the shared-prefix gate
+    for every LATER streaming site (r13: q67's quantile_disc/histogram
+    frames all fell back to folds because its running entropy
+    telescoped first). Non-streamable shapes (no static type, mixed
+    prefixes, DISTINCT, full partitions) pass through untouched for the
+    telescoping/fold passes that follow."""
+    if shared_prefix == ("__compute__",):
+        if not any(
+            t.kind == "word" and t.text.lower() == "entropy"
+            for t in tokens
+        ):
+            return tokens
+        if not any(t.kind == "word" and t.upper == "OVER" for t in tokens):
+            return tokens
+        shared_prefix = _shared_window_prefix(tokens)
+        if shared_prefix is None:
+            return tokens
+    n = len(tokens)
+    out: List[Token] = []
+    i = 0
+    while i < n:
+        t = tokens[i]
+        if t.kind == "word" and t.text.lower() == "entropy":
+            p = len(out) - 1
+            while p >= 0 and out[p].kind in ("ws", "comment"):
+                p -= 1
+            dotted = p >= 0 and out[p].kind == "op" and out[p].text == "."
+            p_open = _next_code(tokens, i)
+            if (
+                not dotted
+                and p_open < n
+                and tokens[p_open].kind == "op"
+                and tokens[p_open].text == "("
+            ):
+                close = _matching_paren(tokens, p_open)
+                after = _next_code(tokens, close)
+                if after < n and tokens[after].is_kw("OVER"):
+                    sp_open = _next_code(tokens, after)
+                    if (
+                        sp_open < n
+                        and tokens[sp_open].kind == "op"
+                        and tokens[sp_open].text == "("
+                    ):
+                        sp_close = _matching_paren(tokens, sp_open)
+                        inner = _rewrite_ent_window_streaming(
+                            tokens[p_open + 1 : close], shared_prefix
+                        )
+                        arg = "".join(tk.text for tk in inner)
+                        core, is_distinct = _split_distinct_prefix(arg)
+                        spec = _sql(tokens, sp_open + 1, sp_close)
+                        u = re.sub(r"\s+", " ", spec).strip().upper()
+                        if "EXCLUDE" in u and not u.endswith(
+                            "EXCLUDE NO OTHERS"
+                        ):
+                            out.append(t)
+                            i += 1
+                            continue
+                        spec2 = re.sub(
+                            r"(?is)EXCLUDE\s+NO\s+OTHERS\s*$", "", spec
+                        )
+                        repl = None
+                        if not is_distinct and not \
+                                _window_spec_full_partition(spec2):
+                            repl = _ent_streaming_or_none(
+                                core, spec2, shared_prefix
+                            )
+                        if repl is not None:
+                            out.extend(_toks(repl))
+                            i = sp_close + 1
+                            continue
+        out.append(t)
+        i += 1
+    return out
 
 
 def _rewrite_entropy_window_running_recursive(
