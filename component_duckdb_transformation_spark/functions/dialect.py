@@ -695,6 +695,7 @@ def _translate_tokens_inner(tokens: List[Token]) -> str:
     tokens = _rewrite_integral_casts(tokens)
     tokens = _rewrite_power_and_regex_ops(tokens)
     tokens = _rewrite_any_all(tokens)
+    tokens = _rewrite_filter_to_case(tokens)
     tokens = _rewrite_json_arrows(tokens)
     tokens = _rewrite_division_double(tokens)
     tokens = _rewrite_round_double(tokens)
@@ -3467,18 +3468,49 @@ def _mad_median_sql(arr: str) -> str:
     )
 
 
-def _mad_fold_sql(collected: str, integer_domain: bool) -> str:
+def _mad_fold_sql(collected: str, mode) -> str:
     """median(abs(x - median(x))) folded over ONE collected array
     expression (an aggregate OR window ``collect_list`` call — either
     sits in the HOF *input*, evaluated in the projection, so window
-    calls analyze fine). The size guard raises loudly before the
-    sort/transform stages triple the array."""
-    flag = "true" if integer_domain else "false"
+    calls analyze fine). ``mode``: 0/'double' exact, 1/'int' the
+    temporal floor(m+0.5) rounding, 2/'dec' the DECIMAL
+    unscaled-domain truncation toward zero on both medians (r13). The
+    size guard raises loudly before the sort/transform stages triple
+    the array."""
+    flag = {0: "double", 1: "int", 2: "dec",
+            False: "double", True: "int"}.get(mode, mode)
     return (
         f"(element_at(transform(array(CAST(({collected}) "
         "AS ARRAY<DOUBLE>)), __s0 -> "
-        f"__duck_mad_j({_guard_arr('__s0')}, {flag})), 1))"
+        f"__duck_mad_j({_guard_arr('__s0')}, '{flag}')), 1))"
     )
+
+
+def _mad_mode_and_wrap(core: str, temporal: bool = False):
+    """``(mode, core2, wrap)`` for a mad argument: mode 1 for the
+    temporal epoch-micros shim, mode 2 with the unscaled core and a
+    DECIMAL(w,s) cast-back wrapper for statically-DECIMAL chains with
+    w <= 15 (DuckDB computes the whole mad in truncating
+    unscaled-integer arithmetic and keeps the input type — probed:
+    mad(DECIMAL(9,2) [1.01, 2.00]) = 0.49), else mode 0 (exact
+    double). Wider/unhinted decimals keep the double fold (documented
+    corner)."""
+    if temporal or _mad_integer_domain(core):
+        return 1, core, None
+    ch = _parse_literal_decimal_chain(core)
+    if ch is not None and not ch[3] and ch[1] <= 15:
+        w, s = ch[1], ch[2]
+        p = 10 ** s
+
+        def wrap(body: str) -> str:
+            return (
+                f"CAST(CAST(({body}) AS BIGINT)"
+                f" / CAST({p} AS DECIMAL({s + 1}, 0))"
+                f" AS DECIMAL({w},{s}))"
+            )
+
+        return 2, f"({core}) * {p}", wrap
+    return 0, core, None
 
 
 def _mad_template(arg_sql: str) -> str:
@@ -3491,10 +3523,12 @@ def _mad_template(arg_sql: str) -> str:
     templates — the restructured two-phase plan remains the scale
     path."""
     core, is_distinct = _split_distinct_prefix(arg_sql)
+    mode, core2, wrap = _mad_mode_and_wrap(core)
     # DISTINCT dedupes INSIDE the aggregate, bounding the buffer at the
     # distinct count
-    collected = ("collect_list(DISTINCT " if is_distinct else "collect_list(") + core + ")"
-    return _mad_fold_sql(collected, _mad_integer_domain(core))
+    collected = ("collect_list(DISTINCT " if is_distinct else "collect_list(") + core2 + ")"
+    body = _mad_fold_sql(collected, mode)
+    return wrap(body) if wrap else body
 
 
 # ---------------------------------------------------------------------------
@@ -3726,7 +3760,7 @@ def _win_os_streaming_sql(
     gen = _WIN_OS_GEN.get()
     cfg = (
         f"{mode}#w{_win_os_next_site()}#{prec}#{q_sql}"
-        f"#{1 if intdom else 0}#{1 if distinct else 0}#g{gen}"
+        f"#{int(intdom)}#{1 if distinct else 0}#g{gen}"
     )
     rn = f"CAST(row_number() OVER ({prefix}) AS BIGINT)"
     if kind == "range_run":
@@ -4092,10 +4126,13 @@ def _mad_window_template(
     dedupes the materialized frame (DuckDB computes DISTINCT window
     aggregates over the frame's distinct values; Spark has no native
     equivalent — array_distinct over the frame array IS it)."""
-    collected = f"collect_list({core}) OVER ({spec})"
+    mode, core2, wrap = _mad_mode_and_wrap(core, temporal)
+    collected = f"collect_list({core2}) OVER ({spec})"
     if distinct:
         collected = f"array_distinct({collected})"
-    body = _mad_fold_sql(collected, temporal or _mad_integer_domain(core))
+    body = _mad_fold_sql(collected, mode)
+    if wrap is not None:
+        body = wrap(body)
     if temporal:
         body = f"make_dt_interval(0, 0, 0, {body} / 1000000.0D)"
     return body
@@ -4547,6 +4584,81 @@ def _rewrite_pipe_concat_casts(tokens: List[Token]) -> List[Token]:
                     continue
                 out.extend(operand)
         out.append(tok)
+        i += 1
+    return out
+
+
+#: single-argument NULL-ignoring custom aggregates whose lowerings are
+#: span replacements (statement restructures / collect_list templates /
+#: streaming window cores) and therefore cannot carry a FILTER rider:
+#: the rider is folded into the argument instead — for a NULL-ignoring
+#: aggregate, ``fn(x) FILTER (WHERE c)`` IS ``fn(CASE WHEN c THEN x
+#: END)`` (rows failing c contribute NULL = nothing). This also makes
+#: filtered WINDOW forms work (DuckDB allows them; Spark rejects
+#: FILTER on window functions outright).
+_FILTER_TO_CASE_FNS = frozenset({"mad", "entropy", "product"})
+
+
+def _rewrite_filter_to_case(tokens: List[Token]) -> List[Token]:
+    """``fn(x) FILTER ([WHERE] c)`` -> ``fn(CASE WHEN c THEN x END)``
+    for the NULL-ignoring custom aggregates in _FILTER_TO_CASE_FNS
+    (r13 — their span-replacement lowerings previously left the rider
+    dangling after the rewritten expression, a Spark parse error).
+    Runs BEFORE the call shims so the mad/entropy machinery sees the
+    folded argument; handles the WHERE-less shorthand itself. DISTINCT
+    riders stay outside the CASE."""
+    n = len(tokens)
+    if not any(
+        t.kind == "word" and t.text.lower() in _FILTER_TO_CASE_FNS
+        for t in tokens
+    ):
+        return tokens
+    out: List[Token] = []
+    i = 0
+    while i < n:
+        t = tokens[i]
+        if t.kind == "word" and t.text.lower() in _FILTER_TO_CASE_FNS:
+            p = len(out) - 1
+            while p >= 0 and out[p].kind in ("ws", "comment"):
+                p -= 1
+            dotted = p >= 0 and out[p].kind == "op" and out[p].text == "."
+            p_open = _next_code(tokens, i)
+            if (
+                not dotted
+                and p_open < n
+                and tokens[p_open].kind == "op"
+                and tokens[p_open].text == "("
+            ):
+                close = _matching_paren(tokens, p_open)
+                f_kw = _next_code(tokens, close)
+                if f_kw < n and tokens[f_kw].is_kw("FILTER"):
+                    f_open = _next_code(tokens, f_kw)
+                    if (
+                        f_open < n
+                        and tokens[f_open].kind == "op"
+                        and tokens[f_open].text == "("
+                    ):
+                        f_close = _matching_paren(tokens, f_open)
+                        cond_lo = _next_code(tokens, f_open)
+                        if cond_lo < n and tokens[cond_lo].is_kw("WHERE"):
+                            cond_lo = _next_code(tokens, cond_lo)
+                        cond = _sql(tokens, cond_lo, f_close)
+                        inner = _rewrite_filter_to_case(
+                            tokens[p_open + 1 : close]
+                        )
+                        arg = "".join(tk.text for tk in inner)
+                        core, is_distinct = _split_distinct_prefix(arg)
+                        dq = "DISTINCT " if is_distinct else ""
+                        out.append(t)
+                        out.extend(
+                            _toks(
+                                f"({dq}CASE WHEN ({cond}) THEN ({core})"
+                                " ELSE NULL END)"
+                            )
+                        )
+                        i = f_close + 1
+                        continue
+        out.append(t)
         i += 1
     return out
 
@@ -5550,7 +5662,19 @@ def _mad_make_sub(arg, j, keys, from_text, where_body, tag="m"):
     m = len(keys)
     arg, is_distinct = _split_distinct_prefix(arg)
     where = f" WHERE {where_body}" if where_body else ""
-    val = f"CAST(({arg}) AS DOUBLE)"
+    # mode 1: temporal micros (floor+0.5 on both medians); mode 2:
+    # DECIMAL unscaled domain (truncate toward zero on both medians,
+    # DECIMAL(w,s) result — r13)
+    dmode, dcore, dwrap = _mad_mode_and_wrap(arg)
+
+    def _dom(expr: str) -> str:
+        if dmode == 1:
+            return _mad_round_sql(expr)
+        if dmode == 2:
+            return f"CAST(CAST(({expr}) AS BIGINT) AS DOUBLE)"
+        return expr
+
+    val = f"CAST(({dcore}) AS DOUBLE)"
     dev_cols = [f"({k}) AS __egk{tag}_{i}" for i, k in enumerate(keys)]
     # mad(DISTINCT x): dedupe (group, value) pairs BEFORE either
     # median — same two-phase grouped plan over the distinct multiset
@@ -5564,9 +5688,7 @@ def _mad_make_sub(arg, j, keys, from_text, where_body, tag="m"):
         if m else ""
     )
     if is_distinct:
-        med_agg = "median(__mv)"
-        if _mad_integer_domain(arg):
-            med_agg = _mad_round_sql(med_agg)
+        med_agg = _dom("median(__mv)")
         med_sql = (
             "SELECT "
             + ", ".join(
@@ -5577,9 +5699,7 @@ def _mad_make_sub(arg, j, keys, from_text, where_body, tag="m"):
         )
     else:
         med_cols = [f"({k}) AS __egk{tag}_{i}" for i, k in enumerate(keys)]
-        med_agg = f"median({val})"
-        if _mad_integer_domain(arg):
-            med_agg = _mad_round_sql(med_agg)
+        med_agg = _dom(f"median({val})")
         med_sql = (
             "SELECT " + ", ".join(med_cols + [f"{med_agg} AS __med"])
             + " " + from_text + where + med_group
@@ -5600,9 +5720,9 @@ def _mad_make_sub(arg, j, keys, from_text, where_body, tag="m"):
         )
         if m else ""
     )
-    outer_agg = "median(abs(__mf.__mv - __mm.__med))"
-    if _mad_integer_domain(arg):
-        outer_agg = _mad_round_sql(outer_agg)
+    outer_agg = _dom("median(abs(__mf.__mv - __mm.__med))")
+    if dwrap is not None:
+        outer_agg = dwrap(outer_agg)
     return (
         "SELECT "
         + ", ".join(sel + [f"{outer_agg} AS __ev{tag}_{j}"])
@@ -6698,15 +6818,20 @@ def _rewrite_mad_window_inplace(
                                 parsed[1] != "rows_prec"
                                 or int(str(parsed[2]).split("_")[0]) >= _WIN_OS_PREC_MIN
                             ):
+                                mmode, mcore, mwrap = _mad_mode_and_wrap(
+                                    core, temporal
+                                )
                                 repl = _win_os_streaming_sql(
                                     "mad",
-                                    core,
+                                    mcore,
                                     parsed[0],
                                     parsed[1],
                                     parsed[2],
-                                    temporal or _mad_integer_domain(core),
+                                    mmode,
                                     is_distinct,
                                 )
+                                if mwrap is not None:
+                                    repl = mwrap(repl)
                                 if temporal:
                                     repl = (
                                         "make_dt_interval(0, 0, 0, "
@@ -8790,12 +8915,19 @@ def _parse_literal_decimal_chain(text: str):
     from decimal import Decimal
 
     hints = _TYPE_HINTS.get() or {}
+    # comparison/other operator chars are only legal inside a searched
+    # CASE's condition (skipped opaquely by case_leaf); outside one the
+    # grammar never consumes them and the full-consumption check at the
+    # end rejects the chain
+    has_case = re.search(r"(?i)\bcase\b", text) is not None
     toks: List[str] = []
     for m in _CHAIN_TOK_RE.finditer(text):
         t = m.group(0)
         if t.isspace():
             continue
         if t in "(),+-*" or t[0].isdigit() or t[0].isalpha() or t[0] == "_":
+            toks.append(t)
+        elif has_case:
             toks.append(t)
         else:
             return None
@@ -8827,6 +8959,10 @@ def _parse_literal_decimal_chain(text: str):
             and peek() == "("
         ):
             return call_leaf(t.lower())
+        if t.lower() == "case" and peek() is not None and str(
+            peek()
+        ).lower() == "when":
+            return case_leaf()
         if t[0].isalpha() or t[0] == "_":
             # plain (possibly qualified) column ref: hinted type only.
             # A dotted ref whose FIRST segment is a STRUCT-hinted
@@ -8857,6 +8993,81 @@ def _parse_literal_decimal_chain(text: str):
         if n < 2**63:
             return (Decimal(n), 19, 0, True)
         return None
+
+    def case_leaf():
+        # searched CASE (r13): result type is the UNION of the
+        # THEN/ELSE branch types — max integer digits + max scale,
+        # NULL branches don't constrain, all-INTEGER stays INTEGER at
+        # the max width (probed, see test battery). Conditions are
+        # skipped opaquely (any tokens up to the depth-0 THEN), so
+        # `mad(d) FILTER (WHERE ...)`'s folded CASE argument keeps the
+        # DECIMAL dispatch. Value is never folded (None).
+        acc = None
+
+        def union(a, b):
+            if a is None:
+                return b
+            _va, wa, sa, ia = a
+            _vb, wb, sb, ib = b
+            if ia and ib:
+                return (None, max(wa, wb), 0, True)
+            s = max(sa, sb)
+            w = max(wa - sa, wb - sb) + s
+            if w > 38:
+                return None
+            return (None, w, s, False)
+
+        while True:
+            kw = take()
+            if kw is None:
+                return None
+            k = kw.lower()
+            if k == "when":
+                depth = 0
+                cdepth = 0
+                while True:
+                    nt = peek()
+                    if nt is None:
+                        return None
+                    if nt in ("'", '"'):
+                        # the flat scan is not quote-aware: a string
+                        # literal containing THEN/parens would corrupt
+                        # the skip — bail to the double path instead
+                        return None
+                    if nt == "(":
+                        depth += 1
+                    elif nt == ")":
+                        if depth == 0:
+                            return None
+                        depth -= 1
+                    elif nt[0].isalpha() or nt[0] == "_":
+                        nl = nt.lower()
+                        if nl == "case":
+                            cdepth += 1
+                        elif nl == "end":
+                            if cdepth == 0:
+                                return None
+                            cdepth -= 1
+                        elif nl == "then" and depth == 0 and cdepth == 0:
+                            take()
+                            break
+                    take()
+            elif k == "else":
+                pass
+            elif k == "end":
+                return acc
+            else:
+                return None
+            nt = peek()
+            if nt is not None and nt.lower() == "null":
+                take()
+                continue
+            b = expr()
+            if b is None:
+                return None
+            acc = union(acc, b)
+            if acc is None:
+                return None
 
     def call_leaf(fn):
         from decimal import ROUND_HALF_UP, Decimal, localcontext
@@ -11702,7 +11913,24 @@ def _rewrite_call_shims(
                             )
                         )
                     else:
-                        out.extend(_toks(f"mad({dq}CAST(({a}) AS DOUBLE))"))
+                        ch_m = _parse_literal_decimal_chain(a)
+                        if (
+                            ch_m is not None
+                            and not ch_m[3]
+                            and ch_m[1] <= 15
+                        ):
+                            # statically-DECIMAL chain: keep the raw
+                            # arg so the restructure/template/streaming
+                            # passes can detect the truncating
+                            # unscaled-integer domain and the
+                            # DECIMAL(w,s) result type (r13;
+                            # _mad_mode_and_wrap) — they add their own
+                            # double casts over the unscaled values
+                            out.extend(_toks(f"mad({dq}({a}))"))
+                        else:
+                            out.extend(
+                                _toks(f"mad({dq}CAST(({a}) AS DOUBLE))")
+                            )
                     i = close + 1
                     continue
                 if low == "substring_grapheme" and len(args) == 2:

@@ -8,17 +8,26 @@ import java.util.Arrays;
 /**
  * mad(x) fold over one collected frame/group array (dialect.py
  * _mad_fold_sql's compiled core): median(abs(x - median(x))) over a
- * double array, empty -> NULL. integerDomain applies DuckDB's
+ * double array, empty -> NULL. mode 'int' applies DuckDB's
  * temporal-median rounding floor(m + 0.5) to BOTH medians (epoch
- * micros shim). Bit-identical to the interpreted SQL fold: same sort,
+ * micros shim); 'dec' applies the DECIMAL unscaled-integer domain's
+ * truncation toward zero to both (r13 — probed: mad of DECIMAL(9,2)
+ * [1.01, 2.00] is 0.49 from the truncated median 1.50, with the
+ * distance median 49.5 truncated to 49). Bit-identical to the interpreted SQL fold: same sort,
  * same (a+b)/2.0 midpoint, same IEEE abs/sub — just compiled, so the
  * per-row O(frame log frame) constant is ~100x smaller than the
  * interpreted transform chain it replaces.
  */
-public class DuckMad implements UDF2<Seq<Double>, Boolean, Double> {
+public class DuckMad implements UDF2<Seq<Double>, String, Double> {
     @Override
-    public Double call(Seq<Double> arr, Boolean integerDomain) {
-        if (arr == null || integerDomain == null) return null;
+    public Double call(Seq<Double> arr, String mode) {
+        if (arr == null || mode == null) return null;
+        // mode: 'double' exact, 'int' floor(m+0.5) on both medians
+        // (temporal micros), 'dec' truncation toward zero on both
+        // medians (DECIMAL unscaled domain, r13); the legacy boolean
+        // spellings stay accepted for the committed-jar overlap window
+        int dom = "int".equals(mode) || "true".equals(mode) ? 1
+            : "dec".equals(mode) ? 2 : 0;
         int n = arr.size();
         double[] v = new double[n];
         int m = 0;
@@ -29,11 +38,11 @@ public class DuckMad implements UDF2<Seq<Double>, Boolean, Double> {
         }
         if (m == 0) return null;
         Arrays.sort(v, 0, m);
-        double med = DuckFolds.median(v, m, integerDomain);
+        double med = DuckFolds.median(v, m, dom);
         for (int i = 0; i < m; i++) {
             v[i] = Math.abs(v[i] - med);
         }
         Arrays.sort(v, 0, m);
-        return DuckFolds.median(v, m, integerDomain);
+        return DuckFolds.median(v, m, dom);
     }
 }

@@ -400,9 +400,11 @@ public class DuckWinOS implements UDF5<String, Seq<Double>, Long, Long, Long, Do
         return ans;
     }
 
-    static boolean intdom(String cfg) {
+    /** 0 exact double, 1 temporal floor(m+0.5), 2 DECIMAL unscaled
+     *  truncation toward zero (r13) — applied to BOTH mad medians. */
+    static int intdom(String cfg) {
         String[] p = cfg.split("#", -1);
-        return p[4].equals("1");
+        return Integer.parseInt(p[4]);
     }
 
     static double qOf(String cfg) {
@@ -494,13 +496,20 @@ public class DuckWinOS implements UDF5<String, Seq<Double>, Long, Long, Long, Do
         return acc;
     }
 
-    static Double mad(Node root, boolean intdom) {
+    static double domRound(double m, int dom) {
+        if (!Double.isFinite(m)) return m;
+        if (dom == 1) return Math.floor(m + 0.5);
+        if (dom == 2) return (double) (long) m;
+        return m;
+    }
+
+    static Double mad(Node root, int intdom) {
         int k = size(root);
         if (k == 0) return null;
         double m = (k % 2 == 1)
             ? select(root, (k + 1) / 2)
             : (select(root, k / 2) + select(root, k / 2 + 1)) / 2.0;
-        if (intdom) m = Math.floor(m + 0.5);
+        m = domRound(m, intdom);
         if (Double.isNaN(m)) return Double.NaN;
         if (Double.isInfinite(m)) {
             // inf - inf = NaN puts a NaN distance in the MIDDLE of the
@@ -519,7 +528,7 @@ public class DuckWinOS implements UDF5<String, Seq<Double>, Long, Long, Long, Do
             d = (kthDist(root, k, m, k / 2)
                  + kthDist(root, k, m, k / 2 + 1)) / 2.0;
         }
-        return intdom ? Math.floor(d + 0.5) : d;
+        return domRound(d, intdom);
     }
 
     static Double qcont(Node root, double q, boolean lerp) {

@@ -125,9 +125,11 @@ def _qcont_fold(collected, q):
 
 
 def _mad_fold(collected, intdom="false"):
+    # r13: __duck_mad_j takes a mode string ('double'/'int'/'dec');
+    # the legacy boolean spellings remain accepted as strings
     return (
         f"element_at(transform(array(CAST(({collected}) AS"
-        f" ARRAY<DOUBLE>)), __s0 -> __duck_mad_j(__s0, {intdom})), 1)"
+        f" ARRAY<DOUBLE>)), __s0 -> __duck_mad_j(__s0, '{intdom}')), 1)"
     )
 
 

@@ -381,3 +381,127 @@ def test_win_os_state_machine_via_py4j(spark):
     # ... so resuming the old site mid-stream is loud, not silent
     with pytest.raises(Exception, match="partition-contiguous"):
         call("mad_run#t13c#0#0#0#0#gA", 5, 7)
+
+
+# ---------------------------------------------------------------------------
+# mad(DECIMAL): DuckDB computes the whole mad in truncating
+# unscaled-integer arithmetic and keeps the DECIMAL(w,s) type (the
+# r12 documented corner, now replicated); FILTER riders on the custom
+# aggregates fold into a CASE argument (NULL-ignoring equivalence)
+
+
+def _load_mad13(spark):
+    import duckdb as ddb
+    import os
+    import tempfile
+
+    con = ddb.connect()
+    con.execute(
+        """CREATE TABLE t AS SELECT CAST(i % 5 AS INT) AS g,
+  CAST(i AS INT) AS ord,
+  CAST(((i*13 % 89) - 40) * 1.01 AS DECIMAL(9,2)) AS d,
+  CAST((i*7 % 23) AS DECIMAL(9,0)) AS d0,
+  CAST(i * 0.003 AS DECIMAL(12,4)) AS d4
+FROM range(1, 801) r(i)"""
+    )
+    pq = os.path.join(tempfile.mkdtemp(), "mad13.parquet")
+    con.execute(f"COPY t TO '{pq}' (FORMAT PARQUET)")
+    spark.read.parquet(pq).createOrReplaceTempView("t")
+    return con
+
+
+_MAD13_HINTS = {
+    "g": "int", "ord": "int", "d": "decimal(9,2)",
+    "d0": "decimal(9,0)", "d4": "decimal(12,4)",
+}
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "SELECT mad(d) AS m FROM t",
+        "SELECT g, mad(d) AS m, mad(d0) AS m0, mad(d4) AS m4 FROM t"
+        " GROUP BY g ORDER BY g",
+        "SELECT g, mad(DISTINCT d) AS m FROM t GROUP BY g ORDER BY g",
+        "SELECT g, ord, mad(d) OVER (PARTITION BY g ORDER BY ord) AS m"
+        " FROM t",
+        "SELECT g, ord, mad(d) OVER (PARTITION BY g ORDER BY ord"
+        " ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS m FROM t",
+        "SELECT g, ord, mad(d0) OVER (PARTITION BY g ORDER BY ord"
+        " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS m FROM t",
+        "SELECT mad(d + 0.5) AS m FROM t",
+        # FILTER riders fold to CASE arguments and keep the decimal path
+        "SELECT mad(d) FILTER (WHERE g > 1) AS m FROM t",
+        "SELECT g, mad(d) FILTER (WHERE ord % 2 = 0) AS m FROM t"
+        " GROUP BY g ORDER BY g",
+        "SELECT mad(DISTINCT d) FILTER (WHERE g < 3) AS m FROM t",
+        # filtered WINDOW aggregate — Spark rejects FILTER on windows
+        # outright; the CASE fold makes it plannable AND exact
+        "SELECT g, ord, mad(d) FILTER (WHERE ord % 2 = 0) OVER"
+        " (PARTITION BY g ORDER BY ord ROWS BETWEEN 5 PRECEDING AND"
+        " CURRENT ROW) AS m FROM t",
+    ],
+)
+def test_decimal_mad_truncating(spark, q):
+    con = _load_mad13(spark)
+    with column_type_hints(_MAD13_HINTS):
+        tq = translate(q)
+    _assert_match(spark.sql(tq).toPandas(), con.execute(q).df())
+
+
+def test_decimal_mad_probe_case():
+    """The documented 0.49 probe: mad(DECIMAL(9,2) [1.01, 2.00]) —
+    truncated median 1.50, distance median 49.5 -> 49 -> 0.49."""
+    import duckdb as ddb
+
+    con = ddb.connect()
+    got = con.execute(
+        "SELECT mad(CAST(x AS DECIMAL(9,2)))"
+        " FROM (SELECT unnest([1.01, 2.00]) x)"
+    ).fetchone()[0]
+    assert str(got) == "0.49"
+
+
+def test_decimal_mad_result_type(spark):
+    _load_mad13(spark)
+    with column_type_hints(_MAD13_HINTS):
+        tq = translate("SELECT mad(d) AS m FROM t")
+    dt = dict(spark.sql(tq).dtypes)["m"]
+    assert dt == "decimal(9,2)", dt
+
+
+def test_filter_to_case_translation():
+    t = translate("SELECT entropy(x) FILTER (WHERE g > 1) AS e FROM t")
+    assert "FILTER" not in t.upper().replace("CASE WHEN", "")
+    t2 = translate("SELECT product(x) FILTER (g > 1) AS p FROM t")
+    assert "FILTER" not in t2.upper()
+    # scalar filter() list function untouched
+    t3 = translate("SELECT filter([1,2,3], x -> x > 1) AS l FROM t")
+    assert "filter(" in t3
+
+
+def test_case_leaf_decimal_chain():
+    from component_duckdb_transformation_spark.functions.dialect import (
+        _parse_literal_decimal_chain,
+    )
+
+    with column_type_hints({"d": "decimal(9,2)", "g": "int"}):
+        ch = _parse_literal_decimal_chain(
+            "(CASE WHEN (g > 1) THEN ((d)) ELSE NULL END)"
+        )
+        assert ch == (None, 9, 2, False)
+        # union: max int digits + max scale
+        ch2 = _parse_literal_decimal_chain(
+            "CASE WHEN g = 1 THEN d WHEN g = 2 THEN 1.234 ELSE NULL END"
+        )
+        assert ch2 == (None, 10, 3, False)
+        # all-int stays int
+        ch3 = _parse_literal_decimal_chain(
+            "CASE WHEN g > 0 THEN g ELSE 2 END"
+        )
+        assert ch3 is not None and ch3[3] is True
+        # string literal in the condition: bail (flat scan not
+        # quote-aware)
+        assert _parse_literal_decimal_chain(
+            "CASE WHEN s = 'x then 1' THEN d ELSE NULL END"
+        ) is None

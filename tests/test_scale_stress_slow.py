@@ -311,7 +311,7 @@ def test_streaming_window_mad_large_partitions(spark):
         "SELECT o, element_at(transform(array(CAST((collect_list(v)"
         " OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND"
         " CURRENT ROW)) AS ARRAY<DOUBLE>)), __s0 ->"
-        " __duck_mad_j(__s0, false)), 1) AS m FROM bigw_probe"
+        " __duck_mad_j(__s0, 'double')), 1) AS m FROM bigw_probe"
     )
     want = {r.o: r.m for r in fold.collect()}
     got = {
