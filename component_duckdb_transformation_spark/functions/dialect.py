@@ -625,9 +625,79 @@ def _derive_alias_static_hints(tokens: List[Token]) -> Dict[str, str]:
     return out
 
 
+#: session-catalog probing for hint-less translate() calls (r13). The
+#: test suite disables it globally (conftest autouse fixture): temp
+#: views leak across tests in one SparkSession, so a translation-shape
+#: assertion would otherwise depend on which tests ran before it.
+_AUTO_CATALOG_HINTS: ContextVar[bool] = ContextVar(
+    "auto_catalog_hints", default=True
+)
+
+
+@contextlib.contextmanager
+def auto_catalog_hints(enabled: bool):
+    """Enable/disable the active-session catalog probe for hint-less
+    ``translate()`` calls within the block."""
+    token = _AUTO_CATALOG_HINTS.set(enabled)
+    try:
+        yield
+    finally:
+        _AUTO_CATALOG_HINTS.reset(token)
+
+
+def _session_catalog_hints(sql: str):
+    """``(hints, shadowed)`` resolved from the ACTIVE SparkSession's
+    catalog for a hint-less ``translate()`` call (r13): the statement's
+    dependency tables are schema-probed exactly as the executor does
+    (``statement_type_hints``), so raw entry points get the same
+    typed dispatch (len/brackets/``||``/DECIMAL quantiles) as executor
+    statements. None when no session is reachable, no dependency
+    resolves, or anything at all goes wrong — the sessionless path
+    stays the documented no-static-type corner."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    except Exception:  # noqa: BLE001 — no pyspark runtime reachable
+        return None
+    if spark is None:
+        return None
+    try:
+        from ..plans.executor import statement_type_hints
+        from ..plans.sql_parser import parse_statement
+
+        deps = parse_statement(sql).dependencies
+        if not deps:
+            return None
+        shadowed: set = set()
+        hints = statement_type_hints(
+            spark, sql, deps, shadowed_out=shadowed
+        )
+        if not hints and not shadowed:
+            return None
+        return hints, shadowed
+    except Exception:  # noqa: BLE001 — probe must never break translate
+        return None
+
+
 def translate(sql: str) -> str:
     """Translate one DuckDB-dialect statement to Spark SQL."""
     tokens = tokenize(sql)
+    if not _TYPE_HINTS.get() and _AUTO_CATALOG_HINTS.get():
+        probe = _session_catalog_hints(sql)
+        if probe is not None:
+            hints, shadowed = probe
+            t1 = _TYPE_HINTS.set(hints)
+            t2 = _HINT_SHADOWED.set(frozenset(shadowed))
+            try:
+                return _translate_with_alias_hints(tokens)
+            finally:
+                _HINT_SHADOWED.reset(t2)
+                _TYPE_HINTS.reset(t1)
+    return _translate_with_alias_hints(tokens)
+
+
+def _translate_with_alias_hints(tokens: List[Token]) -> str:
     # In-statement alias typing (r10): `SELECT <statically-typed expr>
     # AS d` publishes d's type for the REST of this statement, so
     # downstream round/ceil/`||`/rendering templates dispatch on the
@@ -3793,6 +3863,28 @@ def _win_os_streaming_sql(
     return f"{fn_name}('{cfg}', {vals}, {rn}, {cnt}, {fp})"
 
 
+def _qdec_wide_agg_sql(
+    op: str,
+    a: str,
+    q_sql: str,
+    w: int,
+    s: int,
+    filter_sql: str = "",
+    distinct: bool = False,
+) -> str:
+    """Wide-DECIMAL (15 < w <= 38) aggregate quantile via the compiled
+    exact-unscaled core (DuckQDec.java): the unscaled values exceed
+    2^53, so the double-domain SQL wrappers can't represent them —
+    the DECIMAL array crosses whole and comes back as an exact decimal
+    string."""
+    dq = "DISTINCT " if distinct else ""
+    return (
+        f"CAST(__duck_qdec(CAST(collect_list({dq}{a}){filter_sql}"
+        f" AS ARRAY<DECIMAL(38,{s})>), CAST(({q_sql}) AS DOUBLE),"
+        f" '{op}#{s}#{w}') AS DECIMAL({w},{s}))"
+    )
+
+
 def _consume_filter_clause(tokens: List[Token], i: int):
     """``(filter_sql, next_index)`` when ``tokens[i]`` starts a
     ``FILTER ( WHERE ... )`` rider, else ``(None, i)``. ``filter_sql``
@@ -3900,6 +3992,18 @@ def _quantile_cont_agg_sql(a: str, b: str, filter_sql: str = "") -> str:
             f"CAST(CAST(({fold}) AS BIGINT)"
             f" / CAST({p} AS DECIMAL({s + 1}, 0))"
             f" AS DECIMAL({w}, {s}))"
+        )
+    if (
+        ch is not None
+        and not ch[3]
+        and 15 < ch[1] <= 38
+        and q_list is None
+    ):
+        # wide decimals: unscaled values exceed 2^53 — the exact
+        # sort + DuckDB's all-double interpolation + binary-exact
+        # truncation live in the compiled core (r13)
+        return _qdec_wide_agg_sql(
+            "qcont", core, b, ch[1], ch[2], filter_sql, is_distinct
         )
     return f"percentile({a}, {b}){filter_sql}"
 
@@ -13922,6 +14026,32 @@ def _rewrite_call_shims(
                         )
                         i = f_end0 if filt0 is not None else close + 1
                         continue
+                    if (
+                        ch0 is not None
+                        and not ch0[3]
+                        and 15 < ch0[1] <= 38
+                        and not (
+                            after0b < n and tokens[after0b].is_kw("OVER")
+                        )
+                    ):
+                        # wide decimals: the double roundtrip through
+                        # percentile_disc loses low digits — exact
+                        # element select in the compiled core (median
+                        # IS quantile_disc at 0.5, probed r12)
+                        out.extend(
+                            _toks(
+                                _qdec_wide_agg_sql(
+                                    "qdisc",
+                                    a0,
+                                    "0.5",
+                                    ch0[1],
+                                    ch0[2],
+                                    filt0 or "",
+                                )
+                            )
+                        )
+                        i = f_end0 if filt0 is not None else close + 1
+                        continue
                 if low == "percentile_cont" and len(args) == 1:
                     # aggregate WITHIN GROUP over a statically DECIMAL
                     # ascending order expr: DuckDB quantizes the result
@@ -13984,7 +14114,7 @@ def _rewrite_call_shims(
                                     if (
                                         ch2 is not None
                                         and not ch2[3]
-                                        and ch2[1] <= 15
+                                        and ch2[1] <= 38
                                     ):
                                         qsql = _sql(inner, ilo, ihi)
                                         out.extend(
@@ -14077,6 +14207,25 @@ def _rewrite_call_shims(
                         # cast back is lossless. Windowed forms keep
                         # the element-preserving frame fold.
                         base = f"CAST({base} AS DECIMAL({chd[1]},{chd[2]}))"
+                    elif (
+                        not windowed_qd
+                        and chd is not None
+                        and not chd[3]
+                        and 15 < chd[1] <= 38
+                    ):
+                        # wide decimals: exact element select in the
+                        # compiled core (the double roundtrip loses
+                        # low digits above 2^53)
+                        qd_core, qd_dist = _split_distinct_prefix(a)
+                        base = _qdec_wide_agg_sql(
+                            "qdisc",
+                            qd_core,
+                            b,
+                            chd[1],
+                            chd[2],
+                            filt_qd if consumed_qd else "",
+                            qd_dist,
+                        )
                     out.extend(_toks(base))
                     i = f_end_qd if consumed_qd else close + 1
                     continue

@@ -94,6 +94,7 @@ _JVM_UDFS = {
     "__duck_entropy_j": ("duckspark.DuckEntropy", "double"),
     "__duck_ngram_stats": ("duckspark.DuckNgramStats", "array<bigint>"),
     "__duck_round_j": ("duckspark.DuckRound", "double"),
+    "__duck_qdec": ("duckspark.DuckQDec", "string"),
 }
 
 #: stateful streaming window cores: registered NON-DETERMINISTIC so

@@ -505,3 +505,95 @@ def test_case_leaf_decimal_chain():
         assert _parse_literal_decimal_chain(
             "CASE WHEN s = 'x then 1' THEN d ELSE NULL END"
         ) is None
+
+
+# ---------------------------------------------------------------------------
+# wide-DECIMAL (15 < w <= 38) quantiles: exact sort + DuckDB's
+# all-double interpolation + binary-exact truncation in DuckQDec
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_wide_decimal_quantiles_fuzz(spark, seed):
+    import random
+
+    import duckdb as ddb
+
+    rng = random.Random(seed)
+    con = ddb.connect()
+    cols = []
+    hints = {"g": "int"}
+    for ci in range(4):
+        w = rng.randint(16, 38)
+        s = rng.randint(0, min(w - 1, 8))
+        digits = w - s
+        exprs = []
+        name = f"c{ci}"
+        hints[name] = f"decimal({w},{s})"
+        cols.append((name, w, s))
+        con.execute(f"-- {name} DECIMAL({w},{s})")
+    sel = ", ".join(
+        f"CAST(CAST(concat('{rng.choice(['', '-'])}',"
+        f" lpad(CAST((i * {rng.randint(3, 97)} + {rng.randint(0, 999)})"
+        f" % {10 ** min(w - s, 17)} AS VARCHAR), {min(w - s, 17)}, '1'),"
+        f" '.', lpad('{rng.randint(0, 10 ** s - 1) if s else 0}', {max(s, 1)}, '7'))"
+        f" AS VARCHAR) AS DECIMAL({w},{s})) AS {name}"
+        for name, w, s in cols
+    )
+    con.execute(
+        f"CREATE TABLE wt AS SELECT CAST(i % 3 AS INT) g, {sel}"
+        " FROM range(1, 301) r(i)"
+    )
+    import os
+    import tempfile
+
+    pq = os.path.join(tempfile.mkdtemp(), f"wd{seed}.parquet")
+    con.execute(f"COPY wt TO '{pq}' (FORMAT PARQUET)")
+    spark.read.parquet(pq).createOrReplaceTempView("wt")
+    checks = []
+    for name, w, s in cols:
+        q = round(rng.random(), 3)
+        checks.append(f"quantile_cont({name}, {q}) AS qc_{name}")
+        checks.append(f"quantile_disc({name}, {q}) AS qd_{name}")
+        checks.append(f"median({name}) AS md_{name}")
+    sql = f"SELECT g, {', '.join(checks)} FROM wt GROUP BY g ORDER BY g"
+    with column_type_hints(hints):
+        tq = translate(sql)
+    got = sorted(tuple(str(x) for x in r) for r in spark.sql(tq).collect())
+    want = sorted(tuple(str(x) for x in r) for r in con.execute(sql).fetchall())
+    assert got == want, (got[0], want[0])
+
+
+# ---------------------------------------------------------------------------
+# session-catalog probe: hint-less translate() resolves dependency
+# schemas from the ACTIVE session exactly like the executor
+
+
+def test_session_catalog_probe(spark):
+    import duckdb as ddb
+
+    from component_duckdb_transformation_spark.functions.dialect import (
+        auto_catalog_hints,
+    )
+
+    con = ddb.connect()
+    con.execute(
+        "CREATE TABLE pt AS SELECT CAST(i*1.37 AS DECIMAL(9,2)) d,"
+        " CAST(i AS INT) g FROM range(1,101) r(i)"
+    )
+    import os
+    import tempfile
+
+    pq = os.path.join(tempfile.mkdtemp(), "probe13.parquet")
+    con.execute(f"COPY pt TO '{pq}' (FORMAT PARQUET)")
+    spark.read.parquet(pq).createOrReplaceTempView("pt")
+    q = "SELECT median(d) AS m, quantile_cont(d, 0.3) AS q, mad(d) AS md FROM pt"
+    with auto_catalog_hints(True):
+        tq = translate(q)
+    # decimal dispatch engaged without explicit hints
+    assert "DECIMAL(9,2)" in tq
+    got = [tuple(str(x) for x in r) for r in spark.sql(tq).collect()]
+    want = [tuple(str(x) for x in r) for r in con.execute(q).fetchall()]
+    assert got == want
+    # suite-default: probing disabled, unhinted translation unchanged
+    tq2 = translate(q)
+    assert "DECIMAL(9,2)" not in tq2
