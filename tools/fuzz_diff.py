@@ -527,6 +527,15 @@ HINTED_DEC_COLS = {
     "dnarrow": "decimal(4,3)",  # w-s = 1: clamps at every k <= -1
 }
 
+#: wide DECIMAL columns (r13): unscaled values beyond 2^53, built from
+#: EXACT integer-decimal products so both engines hold identical
+#: values; dw18 exercises the int64-backed interpolation band (16..18),
+#: dw32 the hugeint band (19..38) — see DuckQDec.java
+WIDE_DEC_COLS = {
+    "dw18": "decimal(18,2)",
+    "dw32": "decimal(32,2)",
+}
+
 
 def hinted_decimal_item(g: random.Random) -> str:
     """Draws over the hinted DECIMAL view columns: rounding at
@@ -613,27 +622,46 @@ def win_item(g: random.Random) -> str:
         # in-place collect_list frame-median template — draw those too,
         # plus the other frame-materialized window aggregates
         # (entropy / quantile_disc / quantile_cont over any frame)
-        col = g.choice(NUM_COLS)
+        # r13: decimal columns exercise the streaming core's unscaled
+        # paths; deeper FOLLOWING lookaheads and UNBOUNDED..k FOLLOWING
+        # take the lead-shifted input; histogram windows stream via
+        # DuckWinHist (rendered to sorted strings for comparison)
+        col = g.choice(NUM_COLS + list(HINTED_DEC_COLS))
         dq = "DISTINCT " if g.random() < 0.2 else ""
         r = g.random()
-        if r < 0.25:
+        if r < 0.2:
             spec = part.strip()
-        elif r < 0.5:
+        elif r < 0.4:
             spec = (
                 f"{part}{WIN_ORDER} ROWS BETWEEN UNBOUNDED PRECEDING "
                 "AND UNBOUNDED FOLLOWING"
             )
-        elif r < 0.7:
+        elif r < 0.6:
             spec = f"{part}{WIN_ORDER}"  # running frame
-        else:
+        elif r < 0.75:
             lo = g.randint(1, 4)
             hi = g.choice(["CURRENT ROW", "1 FOLLOWING", "2 FOLLOWING"])
             spec = f"{part}{WIN_ORDER} ROWS BETWEEN {lo} PRECEDING AND {hi}"
+        elif r < 0.9:
+            hi = g.randint(1, 5)
+            spec = (
+                f"{part}{WIN_ORDER} ROWS BETWEEN {g.randint(1, 6)}"
+                f" PRECEDING AND {hi} FOLLOWING"
+            )
+        else:
+            spec = (
+                f"{part}{WIN_ORDER} ROWS BETWEEN UNBOUNDED PRECEDING"
+                f" AND {g.randint(1, 4)} FOLLOWING"
+            )
         r2 = g.random()
-        if r2 < 0.5:
+        if r2 < 0.4:
             return f"mad({dq}{col}) OVER ({spec})"
-        if r2 < 0.7:
+        if r2 < 0.55:
             return f"entropy({dq}{g.choice(INT_COLS)} % 7) OVER ({spec})"
+        if r2 < 0.7:
+            h = f"histogram({g.choice(INT_COLS)} % 5) OVER ({spec})"
+            side = g.choice(["map_keys", "map_values"])
+            return f"array_to_string({side}({h}), ',')"
         q = g.choice(["0.0", "0.25", "0.5", "0.9", "1.0"])
         fn = g.choice(["quantile_disc", "quantile_cont"])
         return f"{fn}({dq}{col}, {q}) OVER ({spec})"
@@ -727,22 +755,35 @@ def agg_item(g: random.Random) -> str:
     if r < 0.08:
         # r12: DECIMAL-input quantiles keep the input's (w, s) type
         # (unscaled-domain interpolation, truncation toward zero);
-        # median(DECIMAL) is the discrete lower-middle element
-        col = g.choice(list(HINTED_DEC_COLS))
+        # median(DECIMAL) is the discrete lower-middle element.
+        # r13 widens the draw: wide-decimal columns (DuckQDec),
+        # quantile_disc, and FILTER riders on the decimal shims
+        col = g.choice(list(HINTED_DEC_COLS) + list(WIDE_DEC_COLS))
         q = g.choice(["0.1", "0.25", "0.5", "0.77", "0.9"])
         agg = g.choice(
             [
                 f"quantile_cont({col}, {q})",
                 f"percentile_cont({q}) WITHIN GROUP (ORDER BY {col})",
                 f"median({col})",
+                f"quantile_disc({col}, {q})",
             ]
         )
+        if g.random() < 0.25:
+            agg += f" FILTER (WHERE l_linenumber % 3 != 0)"
         return f"concat('v=', {agg})"
     if r < 0.10:
         # round-8 surface: restructured two-phase aggregates under
         # every group-key shape (ordinals/expressions/aliases);
-        # r9 adds the DISTINCT qualifier (deduped two-phase plans)
+        # r9 adds the DISTINCT qualifier (deduped two-phase plans);
+        # r13: DECIMAL mads (truncating unscaled-integer arithmetic,
+        # DECIMAL(w,s) result) and FILTER riders (CASE-folded)
         dq = "DISTINCT " if g.random() < 0.3 else ""
+        if g.random() < 0.4:
+            col = g.choice(list(HINTED_DEC_COLS))
+            filt = (
+                f" FILTER (l_suppkey % 2 = 0)" if g.random() < 0.3 else ""
+            )
+            return f"concat('m=', mad({dq}{col}){filt})"
         return f"round(CAST(mad({dq}{g.choice(NUM_COLS)}) AS DOUBLE), 3)"
     if r < 0.20:
         dq = "DISTINCT " if g.random() < 0.3 else ""
@@ -1211,7 +1252,14 @@ def main() -> int:
     dec_casts = (
         "CAST(l_quantity AS DECIMAL(12,2)) AS dq, "
         "CAST(l_tax AS DECIMAL(8,4)) AS dt, "
-        "CAST(l_discount % 10 AS DECIMAL(4,3)) AS dnarrow"
+        "CAST(l_discount % 10 AS DECIMAL(4,3)) AS dnarrow, "
+        # wide decimals from exact integer products (identical values
+        # on both engines; unscaled magnitudes straddle 2^53)
+        "CAST(CAST(l_orderkey AS DECIMAL(12,0)) * l_partkey"
+        " * CAST('16999999.99' AS DECIMAL(10,2)) AS DECIMAL(18,2)) AS dw18, "
+        "CAST(CAST(l_orderkey AS DECIMAL(12,0)) * l_partkey"
+        " * CAST('137137137137.13' AS DECIMAL(14,2)) AS DECIMAL(32,2))"
+        " AS dw32"
     )
     spark.sql(
         f"SELECT *, {dec_casts} FROM lineitem"
@@ -1232,7 +1280,9 @@ def main() -> int:
         "l_returnflag": "varchar", "l_linestatus": "varchar",
         "l_shipdate": "timestamp",
     }
-    hint_ctx = column_type_hints({**base_hints, **dict(HINTED_DEC_COLS)})
+    hint_ctx = column_type_hints(
+        {**base_hints, **dict(HINTED_DEC_COLS), **dict(WIDE_DEC_COLS)}
+    )
     hint_ctx.__enter__()
 
     g = random.Random(seed)
