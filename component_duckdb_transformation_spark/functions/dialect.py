@@ -4032,17 +4032,50 @@ def _qcont_streaming_or_none(
         # (probed: quantile_cont(DECIMAL(7,2), 0.3) OVER w gives 2.97
         # where the double interpolation says 2.974) — same
         # unscaled-interpolate + truncate-toward-zero rule as the
-        # aggregate form; result stays DOUBLE (the DECIMAL result
-        # typing is the documented windowed-decimal corner)
+        # aggregate form; since r13 the result ALSO keeps the
+        # DECIMAL(w,s) type (the double-typed result was the
+        # documented windowed-decimal corner)
         p = 10 ** ch[2]
         body = _win_os_streaming_sql(
             "qlerp", f"({core}) * {p}", parsed[0], parsed[1], parsed[2],
             False, distinct, q_sql=repr(qf),
         )
-        return f"(CAST(CAST({body} AS BIGINT) AS DOUBLE) / {p})"
+        return (
+            f"CAST(CAST({body} AS BIGINT)"
+            f" / CAST({p} AS DECIMAL({ch[2] + 1}, 0))"
+            f" AS DECIMAL({ch[1]},{ch[2]}))"
+        )
+    if ch is not None and not ch[3] and 15 < ch[1] <= 38:
+        return None  # wide decimals: the caller's DuckQDec frame fold
     return _win_os_streaming_sql(
         "qcont", core, parsed[0], parsed[1], parsed[2],
         False, distinct, q_sql=repr(qf),
+    )
+
+
+def _qdec_window_fold_or_none(
+    op: str, core: str, q_sql: str, spec: str, distinct: bool
+):
+    """Windowed DECIMAL quantile via the exact DuckQDec fold over the
+    materialized frame (r13): any width up to 38, exact sort +
+    backing-typed interpolation + DECIMAL(w,s) result — the path for
+    decimal shapes the streaming core does not take (wide widths,
+    closed shared-prefix gates, non-streamable frames)."""
+    ch = _parse_literal_decimal_chain(core)
+    if ch is None or ch[3] or ch[1] > 38:
+        return None
+    try:
+        float(q_sql)
+    except (TypeError, ValueError):
+        return None
+    w, s = ch[1], ch[2]
+    collected = f"collect_list({core}) OVER ({spec})"
+    if distinct:
+        collected = f"array_distinct({collected})"
+    return (
+        f"CAST(__duck_qdec(CAST({collected} AS ARRAY<DECIMAL(38,{s})>),"
+        f" CAST(({q_sql}) AS DOUBLE), '{op}#{s}#{w}')"
+        f" AS DECIMAL({w},{s}))"
     )
 
 
@@ -7162,7 +7195,16 @@ def _rewrite_agg_window_frames(
                                     # DISTINCT can't change extremes.
                                     ext = "min" if qf == 0.0 else "max"
                                     repl = f"{ext}({wg_x}) OVER ({spec})"
-                                    if low == "percentile_cont":
+                                    ch_x = _parse_literal_decimal_chain(
+                                        wg_x
+                                    )
+                                    if low == "percentile_cont" and not (
+                                        ch_x is not None and not ch_x[3]
+                                    ):
+                                        # decimal extremes keep their
+                                        # DECIMAL(w,s) type (r13);
+                                        # everything else renders the
+                                        # interpolation's DOUBLE
                                         repl = (
                                             f"CAST({repl} AS DOUBLE)"
                                         )
@@ -7175,6 +7217,14 @@ def _rewrite_agg_window_frames(
                                             wg_distinct,
                                             shared_prefix,
                                         )
+                                        if repl is None:
+                                            repl = _qdec_window_fold_or_none(
+                                                "qcont",
+                                                wg_x,
+                                                q_sql,
+                                                spec,
+                                                wg_distinct,
+                                            )
                                     else:
                                         repl = _qdisc_streaming_or_none(
                                             wg_x,
@@ -7230,6 +7280,11 @@ def _rewrite_agg_window_frames(
                                 core, q_sql, spec, is_distinct,
                                 shared_prefix,
                             )
+                            if repl is None:
+                                repl = _qdec_window_fold_or_none(
+                                    "qcont", core, q_sql, spec,
+                                    is_distinct,
+                                )
                             if repl is None and is_distinct:
                                 repl = _quantile_cont_fold_sql(
                                     f"array_distinct(collect_list({core})"
@@ -12113,6 +12168,27 @@ def _rewrite_call_shims(
                             # windowed collect_list (identical window
                             # expressions share one Window operator)
                             e = _sql(inner, 0, ihi)
+                            ch_mw = _parse_literal_decimal_chain(e)
+                            if (
+                                ch_mw is not None
+                                and not ch_mw[3]
+                                and ch_mw[1] <= 38
+                            ):
+                                # DECIMAL median is DuckDB's DISCRETE
+                                # lower-middle (type-preserving), not
+                                # the interpolating fold — reroute to
+                                # the quantile_disc spelling; the late
+                                # frame pass streams or folds it with
+                                # the DECIMAL(w,s) result (r13)
+                                out.extend(
+                                    _toks(
+                                        "percentile_disc(0.5)"
+                                        " WITHIN GROUP (ORDER BY"
+                                        f" {e}) {over_sql}"
+                                    )
+                                )
+                                i = over_close + 1
+                                continue
                             lst = (
                                 f"sort_array(filter(collect_list({e}) "
                                 f"{over_sql}, __v -> __v IS NOT NULL))"
@@ -14187,6 +14263,28 @@ def _rewrite_call_shims(
                             )
                         )
                         i = f_end0 if filt0 is not None else close + 1
+                        continue
+                    if (
+                        ch0 is not None
+                        and not ch0[3]
+                        and ch0[1] <= 38
+                        and filt0 is None
+                        and after0b < n
+                        and tokens[after0b].is_kw("OVER")
+                    ):
+                        # WINDOWED decimal median: DuckDB's is the
+                        # discrete lower-middle (type-preserving), not
+                        # Spark's interpolating median — reroute to
+                        # the quantile_disc spelling and let the late
+                        # frame pass stream/fold it (r13); the OVER
+                        # tokens stay in the stream and attach
+                        out.extend(
+                            _toks(
+                                "percentile_disc(0.5) WITHIN GROUP "
+                                f"(ORDER BY {a0})"
+                            )
+                        )
+                        i = close + 1
                         continue
                     if (
                         ch0 is not None

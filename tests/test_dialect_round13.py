@@ -641,3 +641,71 @@ def test_interval_static_render_folds():
     assert "'3 days'" in t and "__duck_iv_str" not in t
     t2 = translate("SELECT (t2 - t1)::VARCHAR AS s FROM t")
     assert "__duck_iv_str" in t2  # runtime values take the JVM writer
+
+
+# ---------------------------------------------------------------------------
+# windowed DECIMAL quantiles: DECIMAL(w,s)-typed results (the r12
+# double-result corner closed), wide widths via the DuckQDec frame
+# fold, and windowed median(DECIMAL) as DuckDB's discrete lower-middle
+
+
+def _load_wdec13(spark):
+    import os
+    import tempfile
+
+    import duckdb as ddb
+
+    con = ddb.connect()
+    con.execute(
+        """CREATE TABLE t AS SELECT CAST(i % 4 AS INT) g, CAST(i AS INT) ord,
+  CAST((i*13 % 89) * 1.01 AS DECIMAL(9,2)) AS d,
+  CAST(CAST(i*7+1 AS DECIMAL(12,0)) * CAST('16999999.99' AS DECIMAL(10,2))
+    AS DECIMAL(18,2)) AS dw18,
+  CAST(CAST(i*7+1 AS DECIMAL(12,0)) * CAST('137137137137.13' AS DECIMAL(14,2))
+    AS DECIMAL(32,2)) AS dw32
+FROM range(1, 501) r(i)"""
+    )
+    pq = os.path.join(tempfile.mkdtemp(), "wdec13.parquet")
+    con.execute(f"COPY t TO '{pq}' (FORMAT PARQUET)")
+    spark.read.parquet(pq).createOrReplaceTempView("t")
+    return con
+
+
+_WDEC13_HINTS = {
+    "g": "int", "ord": "int", "d": "decimal(9,2)",
+    "dw18": "decimal(18,2)", "dw32": "decimal(32,2)",
+}
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "SELECT g, ord, quantile_cont(d, 0.3) OVER (PARTITION BY g ORDER"
+        " BY ord ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS q FROM t",
+        "SELECT g, ord, quantile_cont(dw18, 0.7) OVER (PARTITION BY g"
+        " ORDER BY ord ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS q"
+        " FROM t",
+        "SELECT g, ord, quantile_cont(dw32, 0.4) OVER (PARTITION BY g"
+        " ORDER BY ord) AS q FROM t",
+        "SELECT g, ord, median(d) OVER (PARTITION BY g ORDER BY ord"
+        " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m FROM t",
+        "SELECT g, ord, median(dw32) OVER (PARTITION BY g ORDER BY ord)"
+        " AS m FROM t",
+        "SELECT g, ord, quantile_cont(d, 0.0) OVER (PARTITION BY g"
+        " ORDER BY ord) AS q FROM t",
+        "SELECT g, ord, quantile_cont(DISTINCT d, 0.5) OVER (PARTITION"
+        " BY g ORDER BY ord) AS q FROM t",
+        "SELECT g, ord, quantile_disc(dw32, 0.6) OVER (PARTITION BY g"
+        " ORDER BY ord ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS q"
+        " FROM t",
+    ],
+)
+def test_windowed_decimal_quantiles_typed(spark, q):
+    con = _load_wdec13(spark)
+    with column_type_hints(_WDEC13_HINTS):
+        tq = translate(q)
+    got = sorted(tuple(str(x) for x in r) for r in spark.sql(tq).collect())
+    want = sorted(tuple(str(x) for x in r) for r in con.execute(q).fetchall())
+    assert got == want, next(
+        (a, b) for a, b in zip(got, want) if a != b
+    )
