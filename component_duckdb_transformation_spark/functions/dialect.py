@@ -3686,22 +3686,22 @@ def _spec_prefix_frame(spec: str):
     if not has_order:
         return None
     if frame == "":
-        return (prefix, "range_run", 0)
+        return (prefix, "range_run", 0, False)
     if frame in (
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
         "ROWS UNBOUNDED PRECEDING",
     ):
-        return (prefix, "rows_run", 0)
+        return (prefix, "rows_run", 0, False)
     if frame in (
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
         "RANGE UNBOUNDED PRECEDING",
     ):
-        return (prefix, "range_run", 0)
+        return (prefix, "range_run", 0, False)
     m = re.fullmatch(
         r"ROWS BETWEEN (\d+) PRECEDING AND CURRENT ROW", frame
     ) or re.fullmatch(r"ROWS (\d+) PRECEDING", frame)
     if m:
-        return (prefix, "rows_prec", m.group(1))
+        return (prefix, "rows_prec", m.group(1), False)
     # trailing frame ending BEFORE the current row: [i-a, i-b] — every
     # needed value is already seen, so it streams with a b-row
     # delayed insert (r12)
@@ -3709,7 +3709,7 @@ def _spec_prefix_frame(spec: str):
         r"ROWS BETWEEN (\d+) PRECEDING AND (\d+) PRECEDING", frame
     )
     if m and int(m.group(1)) >= int(m.group(2)) >= 1:
-        return (prefix, "rows_prec", f"{m.group(1)}_{m.group(2)}")
+        return (prefix, "rows_prec", f"{m.group(1)}_{m.group(2)}", False)
     # FOLLOWING-bounded frames (r13): [i-a, i+b] streams on the same
     # trailing machinery with a lead(x, b)-shifted input — the row-i
     # trailing multiset of width a+b+1 IS the frame; b+1 seed leads at
@@ -3718,33 +3718,57 @@ def _spec_prefix_frame(spec: str):
         r"ROWS BETWEEN (\d+) PRECEDING AND (\d+) FOLLOWING", frame
     )
     if m and 1 <= int(m.group(2)) <= _WIN_OS_FOLW_MAX:
-        return (prefix, "rows_folw", f"{m.group(1)}_f{m.group(2)}")
+        return (prefix, "rows_folw", f"{m.group(1)}_f{m.group(2)}", False)
     if m and int(m.group(2)) == 0:
-        return (prefix, "rows_prec", m.group(1))
+        return (prefix, "rows_prec", m.group(1), False)
     m = re.fullmatch(
         r"ROWS BETWEEN CURRENT ROW AND (\d+) FOLLOWING", frame
     )
     if m and 1 <= int(m.group(1)) <= _WIN_OS_FOLW_MAX:
-        return (prefix, "rows_folw", f"0_f{m.group(1)}")
+        return (prefix, "rows_folw", f"0_f{m.group(1)}", False)
     if m and int(m.group(1)) == 0:
-        return (prefix, "rows_prec", "0")
+        return (prefix, "rows_prec", "0", False)
     m = re.fullmatch(
         r"ROWS BETWEEN UNBOUNDED PRECEDING AND (\d+) FOLLOWING", frame
     )
     if m and 1 <= int(m.group(1)) <= _WIN_OS_FOLW_MAX:
-        return (prefix, "rows_folw", f"u_f{m.group(1)}")
+        return (prefix, "rows_folw", f"u_f{m.group(1)}", False)
     if m and int(m.group(1)) == 0:
-        return (prefix, "rows_run", 0)
+        return (prefix, "rows_run", 0, False)
+    # SUFFIX frames [i-a, n] (r13): the mirror image of the lookahead
+    # shapes over the REVERSED order — [a PRECEDING, UNBOUNDED
+    # FOLLOWING] ascending IS [UNBOUNDED PRECEDING, a FOLLOWING]
+    # descending. Marked rev=True; _resolved_spec flips the ORDER BY
+    # (only when the statement's sole window is this site — any other
+    # window would pin the feeding WindowExec to the forward order)
+    m = re.fullmatch(
+        r"ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING", frame
+    )
+    if m:
+        return (prefix, "rows_run", 0, True)
+    m = re.fullmatch(
+        r"ROWS BETWEEN (\d+) PRECEDING AND UNBOUNDED FOLLOWING", frame
+    )
+    if m and int(m.group(1)) <= _WIN_OS_FOLW_MAX:
+        return (prefix, "rows_folw", f"u_f{m.group(1)}", True)
+    m = re.fullmatch(
+        r"RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING", frame
+    )
+    if m:
+        return (prefix, "range_run", 0, True)
     return None
 
 
 def _shared_window_prefix(tokens: List[Token]):
     """The single normalized (PARTITION BY, ORDER BY) prefix shared by
-    EVERY ``OVER (spec)`` in the statement, or None (mixed prefixes,
-    a named-window reference, or no windows at all). Frames may differ —
-    they live in the same WindowExec. This is the static gate for the
-    streaming order-statistics lowering."""
+    EVERY ``OVER (spec)`` in the statement as ``(prefix, over_count)``,
+    or None (mixed prefixes, a named-window reference, or no windows at
+    all). Frames may differ — they live in the same WindowExec. This is
+    the static gate for the streaming order-statistics lowering; the
+    count gates the REVERSED-order suffix-frame lowering (safe only
+    when the statement's sole window is the site being rewritten)."""
     prefixes = set()
+    count = 0
     n = len(tokens)
     for i, t in enumerate(tokens):
         if not (t.kind == "word" and t.upper == "OVER"):
@@ -3772,8 +3796,9 @@ def _shared_window_prefix(tokens: List[Token]):
             if t2.kind not in ("ws", "comment")
         )
         prefixes.add(norm)
+        count += 1
     if len(prefixes) == 1:
-        return prefixes.pop()
+        return prefixes.pop(), count
     return None
 
 
@@ -3805,6 +3830,98 @@ def _prefix_partition_fp_sql(prefix: str) -> str:
         return "CAST(0 AS BIGINT)"
     cols = "".join(t.text for t in toks[start:end]).strip().rstrip(",")
     return f"CAST(hash({cols}) AS BIGINT)"
+
+
+def _reverse_prefix_sql(prefix: str):
+    """The EXACT mirror of a (PARTITION BY, ORDER BY) prefix: every
+    sort item's direction and null placement flipped (explicitly, with
+    Spark's defaults — ASC NULLS FIRST / DESC NULLS LAST — filled in
+    first). Reversing a spec turns suffix frames into streamable
+    running/lookahead shapes; with ties the reversed ROWS-frame content
+    is engine-arbitrary exactly like forward ROWS frames. None when the
+    prefix has no parseable ORDER BY tail."""
+    toks = _toks(prefix)
+    depth = 0
+    ob = None
+    for i, t in enumerate(toks):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and t.upper == "ORDER":
+            j = _next_code(toks, i)
+            if j < len(toks) and toks[j].is_kw("BY"):
+                ob = (i, j)
+                break
+    if ob is None:
+        return None
+    head = "".join(t.text for t in toks[: ob[0]]).strip()
+    items_toks = toks[ob[1] + 1 :]
+    items: List[List[Token]] = []
+    cur: List[Token] = []
+    depth = 0
+    for t in items_toks:
+        if t.kind == "op" and t.text in ("(", "["):
+            depth += 1
+        elif t.kind == "op" and t.text in (")", "]"):
+            depth -= 1
+        if depth == 0 and t.kind == "op" and t.text == ",":
+            items.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    items.append(cur)
+    out = []
+    for it in items:
+        code = [t for t in it if t.kind not in ("ws", "comment")]
+        if not code:
+            return None
+        dir_ = "ASC"
+        nulls = None
+        while code and code[-1].kind == "word" and code[-1].upper in (
+            "ASC", "DESC", "NULLS", "FIRST", "LAST",
+        ):
+            u = code[-1].upper
+            if u in ("FIRST", "LAST"):
+                if len(code) >= 2 and code[-2].is_kw("NULLS"):
+                    nulls = u
+                    code = code[:-2]
+                    continue
+                return None
+            if u in ("ASC", "DESC"):
+                dir_ = u
+                code = code[:-1]
+                continue
+            return None  # stray NULLS
+        if not code:
+            return None
+        if nulls is None:
+            nulls = "FIRST" if dir_ == "ASC" else "LAST"
+        ndir = "DESC" if dir_ == "ASC" else "ASC"
+        nnulls = "LAST" if nulls == "FIRST" else "FIRST"
+        expr = "".join(t.text for t in code).strip()
+        out.append(f"{expr} {ndir} NULLS {nnulls}")
+    sep = " " if head else ""
+    return f"{head}{sep}ORDER BY " + ", ".join(out)
+
+
+def _resolved_spec(spec: str, shared_prefix):
+    """``(prefix, kind, prec)`` ready for streaming emission, or None.
+    Suffix frames (rev-marked by _spec_prefix_frame) resolve onto the
+    REVERSED prefix — only when the statement's single window is this
+    site (shared_prefix carries the statement's OVER count)."""
+    parsed = _spec_prefix_frame(spec)
+    if parsed is None:
+        return None
+    prefix, kind, prec, rev = parsed
+    if not rev:
+        return prefix, kind, prec
+    if not isinstance(shared_prefix, tuple) or shared_prefix[1] != 1:
+        return None
+    rp = _reverse_prefix_sql(prefix)
+    if rp is None:
+        return None
+    return rp, kind, prec
 
 
 def _win_os_streaming_sql(
@@ -4021,7 +4138,7 @@ def _qcont_streaming_or_none(
         return None
     if not 0.0 <= qf <= 1.0:
         return None
-    parsed = _spec_prefix_frame(spec)
+    parsed = _resolved_spec(spec, shared_prefix)
     if parsed is None:
         return None
     if parsed[1] == "rows_prec" and int(str(parsed[2]).split("_")[0]) < _WIN_OS_PREC_MIN:
@@ -4150,7 +4267,7 @@ def _qdisc_streaming_or_none(
         return None
     if not 0.0 <= qf <= 1.0:
         return None
-    parsed = _spec_prefix_frame(spec)
+    parsed = _resolved_spec(spec, shared_prefix)
     if parsed is None:
         return None
     ch = _parse_literal_decimal_chain(core)
@@ -4188,7 +4305,7 @@ def _ent_streaming_or_none(core: str, spec: str, shared_prefix):
     exact-in-double argument types; None -> fold."""
     if shared_prefix is None:
         return None
-    parsed = _spec_prefix_frame(spec)
+    parsed = _resolved_spec(spec, shared_prefix)
     if parsed is None:
         return None
     ch = _parse_literal_decimal_chain(core)
@@ -4211,7 +4328,7 @@ def _hist_streaming_or_none(core: str, spec: str, shared_prefix):
     fold."""
     if shared_prefix is None:
         return None
-    parsed = _spec_prefix_frame(spec)
+    parsed = _resolved_spec(spec, shared_prefix)
     if parsed is None:
         return None
     ity = _static_int_expr_spark_type(core)
@@ -6950,7 +7067,7 @@ def _rewrite_mad_window_inplace(
                             )
                         repl = None
                         if shared_prefix is not None:
-                            parsed = _spec_prefix_frame(spec)
+                            parsed = _resolved_spec(spec, shared_prefix)
                             if parsed is not None and (
                                 parsed[1] != "rows_prec"
                                 or int(str(parsed[2]).split("_")[0]) >= _WIN_OS_PREC_MIN

@@ -709,3 +709,75 @@ def test_windowed_decimal_quantiles_typed(spark, q):
     assert got == want, next(
         (a, b) for a, b in zip(got, want) if a != b
     )
+
+
+# ---------------------------------------------------------------------------
+# suffix frames ([a PRECEDING|CURRENT ROW] .. UNBOUNDED FOLLOWING):
+# the mirror image of the lookahead shapes over the REVERSED order —
+# streamed when the statement's sole window is the site
+
+
+def _load_sfx13(spark):
+    import os
+    import tempfile
+
+    import duckdb as ddb
+
+    con = ddb.connect()
+    con.execute(
+        """CREATE TABLE t AS SELECT CAST(i % 5 AS INT) g, CAST(i AS INT) ord,
+  CAST(i * 0.77 AS DOUBLE) x, CAST((i*37 % 11) AS INT) v,
+  CAST((i*13 % 89) * 1.01 AS DECIMAL(9,2)) d,
+  CASE WHEN i % 13 = 0 THEN NULL ELSE CAST(i % 7 AS INT) END vn
+FROM range(1, 1201) r(i)"""
+    )
+    pq = os.path.join(tempfile.mkdtemp(), "sfx13.parquet")
+    con.execute(f"COPY t TO '{pq}' (FORMAT PARQUET)")
+    spark.read.parquet(pq).createOrReplaceTempView("t")
+    return con
+
+
+_SFX13_HINTS = {
+    "g": "int", "ord": "int", "x": "double", "v": "int",
+    "d": "decimal(9,2)", "vn": "int",
+}
+
+
+@pytest.mark.parametrize(
+    "q,want_stream",
+    [
+        ("SELECT g, ord, round(mad(x) OVER (PARTITION BY g ORDER BY ord"
+         " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 9) AS m"
+         " FROM t", True),
+        ("SELECT g, ord, round(mad(x) OVER (PARTITION BY g ORDER BY ord"
+         " ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING), 9) AS m"
+         " FROM t", True),
+        ("SELECT g, ord, quantile_cont(d, 0.3) OVER (PARTITION BY g"
+         " ORDER BY ord ROWS BETWEEN CURRENT ROW AND UNBOUNDED"
+         " FOLLOWING) AS q FROM t", True),
+        ("SELECT g, ord, quantile_disc(v, 0.7) OVER (PARTITION BY g"
+         " ORDER BY ord ROWS BETWEEN 2 PRECEDING AND UNBOUNDED"
+         " FOLLOWING) AS q FROM t", True),
+        ("SELECT g, ord, round(entropy(vn) OVER (PARTITION BY g ORDER"
+         " BY ord ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),"
+         " 9) AS e FROM t", True),
+        ("SELECT g, ord, round(quantile_cont(x, 0.5) OVER (PARTITION BY"
+         " g ORDER BY ord RANGE BETWEEN CURRENT ROW AND UNBOUNDED"
+         " FOLLOWING), 9) AS q FROM t", True),
+        ("SELECT g, ord, round(mad(x) OVER (PARTITION BY g ORDER BY ord"
+         " DESC ROWS BETWEEN 1 PRECEDING AND UNBOUNDED FOLLOWING), 9)"
+         " AS m FROM t", True),
+        # a second window pins the forward order: the reverse trick
+        # must NOT engage; the fold still matches
+        ("SELECT g, ord, round(mad(x) OVER (PARTITION BY g ORDER BY ord"
+         " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 9) AS m,"
+         " sum(v) OVER (PARTITION BY g ORDER BY ord) AS s FROM t",
+         False),
+    ],
+)
+def test_suffix_frame_streaming(spark, q, want_stream):
+    con = _load_sfx13(spark)
+    with column_type_hints(_SFX13_HINTS):
+        tq = translate(q)
+    assert ("__duck_win_os" in tq) == want_stream, tq[:200]
+    _assert_match(spark.sql(tq).toPandas(), con.execute(q).df())
