@@ -515,6 +515,17 @@ def _alias_expr_hint(code: List[Token]) -> Optional[str]:
     ch = _cast_target_hint(code)
     if ch:
         return ch
+    # exact-width chain typing first (r13): a derivable DECIMAL(w,s)
+    # unlocks the width-gated decimal dispatches (mad/quantile/render)
+    # for aliased chains — incl. CAST(x AS DECIMAL(w,s)) leaves; the
+    # coarse lattice markers remain the fallback
+    chd = _parse_literal_decimal_chain(
+        " ".join(t.text for t in code).replace(" . ", ".")
+    )
+    if chd is not None:
+        if chd[3]:
+            return "bigint" if chd[1] > 10 else "int"
+        return f"decimal({chd[1]},{chd[2]})"
     sty = _static_numeric_type(code)
     if sty == "decimal":
         return "decimal(38,1)"  # fractional marker; scale unused
@@ -9192,10 +9203,12 @@ def _parse_literal_decimal_chain(text: str):
 
     hints = _TYPE_HINTS.get() or {}
     # comparison/other operator chars are only legal inside a searched
-    # CASE's condition (skipped opaquely by case_leaf); outside one the
-    # grammar never consumes them and the full-consumption check at the
-    # end rejects the chain
-    has_case = re.search(r"(?i)\bcase\b", text) is not None
+    # CASE's condition or a CAST's operand (both skipped opaquely);
+    # outside those the grammar never consumes them and the
+    # full-consumption check at the end rejects the chain
+    has_case = (
+        re.search(r"(?i)\b(case|cast)\b", text) is not None
+    )
     toks: List[str] = []
     for m in _CHAIN_TOK_RE.finditer(text):
         t = m.group(0)
@@ -9239,6 +9252,8 @@ def _parse_literal_decimal_chain(text: str):
             peek()
         ).lower() == "when":
             return case_leaf()
+        if t.lower() == "cast" and peek() == "(":
+            return cast_leaf()
         if t[0].isalpha() or t[0] == "_":
             # plain (possibly qualified) column ref: hinted type only.
             # A dotted ref whose FIRST segment is a STRUCT-hinted
@@ -9344,6 +9359,64 @@ def _parse_literal_decimal_chain(text: str):
             acc = union(acc, b)
             if acc is None:
                 return None
+
+    def cast_leaf():
+        # CAST(<anything> AS DECIMAL(w,s) | <integer type>) is
+        # statically typed REGARDLESS of the operand (r13) — the
+        # operand is skipped opaquely to the cast's own top-level AS
+        # (quote-bearing operands bail: the flat scan is not
+        # quote-aware; a nested CAST's AS sits at depth > 0)
+        if take() != "(":
+            return None
+        depth = 0
+        while True:
+            nt = peek()
+            if nt is None:
+                return None
+            if nt in ("'", '"'):
+                return None
+            if nt == "(":
+                depth += 1
+                take()
+                continue
+            if nt == ")":
+                if depth == 0:
+                    return None  # no top-level AS
+                depth -= 1
+                take()
+                continue
+            if (
+                depth == 0
+                and (nt[0].isalpha() or nt[0] == "_")
+                and nt.lower() == "as"
+            ):
+                take()
+                break
+            take()
+        ty = take()
+        if ty is None:
+            return None
+        tyl = ty.lower()
+        if tyl in ("decimal", "numeric") and peek() == "(":
+            take()
+            w2, c2, s2, cp2 = take(), take(), take(), take()
+            if not (
+                w2 and w2.isdigit() and c2 == ","
+                and s2 and s2.isdigit() and cp2 == ")"
+            ):
+                return None
+            if take() != ")":
+                return None
+            if int(w2) > 38 or int(s2) > int(w2):
+                return None
+            return (None, int(w2), int(s2), False)
+        ity = {"integer": "int", "int4": "int", "int8": "bigint",
+               "int2": "smallint", "int1": "tinyint"}.get(tyl, tyl)
+        if ity in _INT_HINT_WIDTHS:
+            if take() != ")":
+                return None
+            return (None, _INT_HINT_WIDTHS[ity], 0, True)
+        return None
 
     def call_leaf(fn):
         from decimal import ROUND_HALF_UP, Decimal, localcontext

@@ -1417,6 +1417,90 @@ _add_sql(
     "substr skip + round span twin) — identical SQL on both engines",
 )
 
+_add_sql(
+    "q70_window_following_decimal",
+    r"""
+    SELECT p_partkey,
+           round(mad(p_retailprice) OVER (PARTITION BY p_brand
+             ORDER BY p_partkey
+             ROWS BETWEEN 2 PRECEDING AND 3 FOLLOWING), 6) AS wmad_f,
+           round(quantile_cont(p_retailprice, 0.35) OVER (PARTITION BY
+             p_brand ORDER BY p_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING), 6)
+             AS wqc_f,
+           quantile_cont(dps, 0.4) OVER (PARTITION BY p_brand
+             ORDER BY p_partkey
+             ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS wqc_dec,
+           median(dps) OVER (PARTITION BY p_brand ORDER BY p_partkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS wmed_dec,
+           round(entropy(p_size % 6) OVER (PARTITION BY p_brand
+             ORDER BY p_partkey
+             ROWS BETWEEN 5 PRECEDING AND 2 FOLLOWING), 9) AS went_f,
+           array_to_string(map_values(histogram(p_size % 3)
+             OVER (PARTITION BY p_brand ORDER BY p_partkey
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)), ',') AS whist_f
+    FROM (SELECT p_partkey, p_brand, p_size, p_retailprice,
+                 CAST(p_size AS DECIMAL(9,2)) AS dps FROM part) s
+    ORDER BY p_partkey
+    """,
+    description="round-13 FOLLOWING-bounded window aggregates, all "
+    "streamed through the lead-shifted DuckWinOS core sharing one "
+    "WindowExec: mad and quantile_cont with bounded lookaheads (incl. "
+    "UNBOUNDED PRECEDING .. k FOLLOWING), DECIMAL-typed windowed "
+    "quantile_cont and the discrete windowed decimal median, "
+    "streamed windowed entropy and histogram — identical SQL on both "
+    "engines",
+)
+
+_add_sql(
+    "q71_window_suffix_frame",
+    r"""
+    SELECT p_partkey,
+           round(mad(p_retailprice) OVER (PARTITION BY p_brand
+             ORDER BY p_partkey
+             ROWS BETWEEN 4 PRECEDING AND UNBOUNDED FOLLOWING), 6)
+             AS wmad_sfx
+    FROM part
+    ORDER BY p_partkey
+    """,
+    description="round-13 suffix window frame ([a PRECEDING, UNBOUNDED "
+    "FOLLOWING]) — the last quadratic fold class, streamed as the "
+    "mirror lookahead shape over the REVERSED window order (the "
+    "statement's single window permits the flip)",
+)
+
+_add_sql(
+    "q72_decimal_exact_aggs",
+    r"""
+    SELECT s_nationkey,
+           CAST(mad(dsb) AS VARCHAR) AS mad_dec,
+           CAST(mad(dsb) FILTER (WHERE s_suppkey % 3 != 0) AS VARCHAR)
+             AS mad_dec_f,
+           CAST(quantile_cont(dwide, 0.35) AS VARCHAR) AS qc_wide,
+           CAST(quantile_disc(dwide, 0.8) AS VARCHAR) AS qd_wide,
+           CAST(median(dwide) AS VARCHAR) AS med_wide,
+           array_to_string(quantile_cont(dsb, [0.25, 0.75]), ',')
+             AS qc_list,
+           CAST(INTERVAL 3 DAY AS VARCHAR) AS iv_static,
+           CAST(to_hours(CAST(min(s_suppkey) % 30 AS INT)) AS VARCHAR)
+             AS iv_runtime
+    FROM (SELECT s_nationkey, s_suppkey,
+                 CAST(s_suppkey % 1000 AS DECIMAL(9,2)) + 0.37 AS dsb,
+                 CAST(CAST(s_suppkey AS DECIMAL(12,0)) *
+                      CAST('137137137137.13' AS DECIMAL(14,2))
+                      AS DECIMAL(32,2)) AS dwide
+          FROM supplier) s
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+    description="round-13 decimal exactness in one row: truncating "
+    "unscaled-integer mad(DECIMAL) with a CASE-folded FILTER rider, "
+    "wide-DECIMAL (hugeint-backed) quantile_cont/quantile_disc/median "
+    "through the compiled DuckQDec core, per-element quantized list "
+    "quantiles, and DuckDB's interval-to-VARCHAR writer (static fold + "
+    "runtime core) — identical SQL on both engines",
+)
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (driver north star): dedup / similarity /
 # text analysis / multimodal / as-of

@@ -236,7 +236,7 @@ def test_alias_typing_guards():
     h = _derive_alias_static_hints(tokenize(
         "SELECT 1.5 AS d FROM part AS p(x, y)"
     ))
-    assert h == {"d": "decimal(38,1)"}
+    assert h == {"d": "decimal(2,1)"}  # r13: exact chain width
     # CAST inside the item is fine; CAST's own AS is not a binding
     h = _derive_alias_static_hints(tokenize(
         "SELECT CAST(x AS DOUBLE) AS d FROM t"

@@ -41,8 +41,10 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     for c in s.columns:
         sc, oc = s[c], o[c]
         if sc.dtype.kind == "f" or oc.dtype.kind == "f":
-            a = sc.astype(float).to_numpy()
-            b = oc.astype(float).to_numpy()
+            # object columns (DECIMAL results) stringified NULLs to
+            # 'None' in normalize — coerce, don't crash (r13)
+            a = pd.to_numeric(sc, errors="coerce").to_numpy(dtype=float)
+            b = pd.to_numeric(oc, errors="coerce").to_numpy(dtype=float)
             both_nan = np.isnan(a) & np.isnan(b)
             eq = np.isclose(a, b, rtol=0, atol=0, equal_nan=True)
             if not np.all(eq | both_nan):
