@@ -152,15 +152,23 @@ def _parse_ym_interval(s: str):
         _YM_INTERVAL_RE = _re.compile(
             r"^INTERVAL '(-?)(\d+)-(\d+)' YEAR TO MONTH$"
         )
-    m = _YM_INTERVAL_RE.match(s.strip())
-    if not m:
-        return None
     import datetime
 
-    months = int(m.group(2)) * 12 + int(m.group(3))
-    if m.group(1) == "-":
-        months = -months
-    return datetime.timedelta(days=30 * months)
+    m = _YM_INTERVAL_RE.match(s.strip())
+    if m:
+        months = int(m.group(2)) * 12 + int(m.group(3))
+        if m.group(1) == "-":
+            months = -months
+        return datetime.timedelta(days=30 * months)
+    # r13: the engine's interval->VARCHAR cast now renders DuckDB's own
+    # "N year(s) M month(s)" writer — parse that form too
+    m2 = _re.fullmatch(
+        r"(?:(-?\d+) years?)?\s*(?:(-?\d+) months?)?", s.strip()
+    )
+    if m2 and (m2.group(1) or m2.group(2)):
+        months = int(m2.group(1) or 0) * 12 + int(m2.group(2) or 0)
+        return datetime.timedelta(days=30 * months)
+    return None
 
 
 def norm(v):
