@@ -4310,10 +4310,13 @@ def _qdisc_streaming_or_none(
     return None
 
 
-def _ent_streaming_or_none(core: str, spec: str, shared_prefix):
+def _ent_streaming_or_none(
+    core: str, spec: str, shared_prefix, distinct: bool = False
+):
     """Streaming windowed entropy (incremental value-count multiset,
-    answers in the fold's first-occurrence order) for statically
-    exact-in-double argument types; None -> fold."""
+    answers in the fold's first-occurrence order; DISTINCT riders count
+    every live distinct value once, like the fold's array_distinct) for
+    statically exact-in-double argument types; None -> fold."""
     if shared_prefix is None:
         return None
     parsed = _resolved_spec(spec, shared_prefix)
@@ -4328,14 +4331,17 @@ def _ent_streaming_or_none(core: str, spec: str, shared_prefix):
     if not ok:
         return None
     return _win_os_streaming_sql(
-        "ent", core, parsed[0], parsed[1], parsed[2], False, False
+        "ent", core, parsed[0], parsed[1], parsed[2], False, distinct
     )
 
 
-def _hist_streaming_or_none(core: str, spec: str, shared_prefix):
+def _hist_streaming_or_none(
+    core: str, spec: str, shared_prefix, distinct: bool = False
+):
     """Streaming windowed histogram() (DuckWinHist: incremental counts,
-    key-ascending map per row) for statically typed arguments; the
-    double-keyed map is cast back to the argument's type. None ->
+    key-ascending map per row; DISTINCT riders report 1 per live key,
+    like the fold's array_distinct) for statically typed arguments;
+    the double-keyed map is cast back to the argument's type. None ->
     fold."""
     if shared_prefix is None:
         return None
@@ -4346,7 +4352,7 @@ def _hist_streaming_or_none(core: str, spec: str, shared_prefix):
     if ity is not None:
         body = _win_os_streaming_sql(
             "hist", core, parsed[0], parsed[1], parsed[2],
-            False, False, fn_name="__duck_win_hist",
+            False, distinct, fn_name="__duck_win_hist",
         )
         return f"CAST({body} AS MAP<{ity},BIGINT>)"
     ch = _parse_literal_decimal_chain(core)
@@ -4355,7 +4361,7 @@ def _hist_streaming_or_none(core: str, spec: str, shared_prefix):
         w, s = ch[1], ch[2]
         body = _win_os_streaming_sql(
             "hist", f"({core}) * {p}", parsed[0], parsed[1], parsed[2],
-            False, False, fn_name="__duck_win_hist",
+            False, distinct, fn_name="__duck_win_hist",
         )
         return (
             f"transform_keys({body}, (__hk, __hv) ->"
@@ -4367,7 +4373,7 @@ def _hist_streaming_or_none(core: str, spec: str, shared_prefix):
     if fty is not None:
         body = _win_os_streaming_sql(
             "hist", core, parsed[0], parsed[1], parsed[2],
-            False, False, fn_name="__duck_win_hist",
+            False, distinct, fn_name="__duck_win_hist",
         )
         return (
             body
@@ -6939,10 +6945,9 @@ def _rewrite_ent_window_streaming(
                             r"(?is)EXCLUDE\s+NO\s+OTHERS\s*$", "", spec
                         )
                         repl = None
-                        if not is_distinct and not \
-                                _window_spec_full_partition(spec2):
+                        if not _window_spec_full_partition(spec2):
                             repl = _ent_streaming_or_none(
-                                core, spec2, shared_prefix
+                                core, spec2, shared_prefix, is_distinct
                             )
                         if repl is not None:
                             out.extend(_toks(repl))
@@ -7431,10 +7436,10 @@ def _rewrite_agg_window_frames(
                             if is_distinct:
                                 collected = f"array_distinct({collected})"
                             if low == "histogram":
-                                if not is_distinct:
-                                    repl = _hist_streaming_or_none(
-                                        core, spec, shared_prefix
-                                    )
+                                repl = _hist_streaming_or_none(
+                                    core, spec, shared_prefix,
+                                    is_distinct,
+                                )
                                 if repl is None:
                                     repl = _histogram_fold_sql(collected)
                             elif low == "entropy" and (
@@ -7442,10 +7447,12 @@ def _rewrite_agg_window_frames(
                             ):
                                 # DISTINCT full-partition entropy has no
                                 # earlier lowering (unresolved routine
-                                # pre-r10) — the fold covers it
-                                if not is_distinct and not full:
+                                # pre-r10) — streaming or the fold
+                                # covers it
+                                if not full:
                                     repl = _ent_streaming_or_none(
-                                        core, spec, shared_prefix
+                                        core, spec, shared_prefix,
+                                        is_distinct,
                                     )
                                 if repl is None:
                                     repl = _entropy_fold_sql(collected)

@@ -39,6 +39,11 @@ public class DuckQDec
     @Override
     public String call(Seq<BigDecimal> arr, Double q, String cfg) {
         if (arr == null || q == null || cfg == null) return null;
+        if (arr.size() > (1 << 25))
+            throw new IllegalStateException(
+                "DuckQDec: group/frame exceeds 2^25 collected decimals"
+                + " — restructure the query (same bound as the"
+                + " collect_list template's group limit)");
         String[] parts = cfg.split("#", -1);
         String op = parts[0];
         int scale = Integer.parseInt(parts[1]);

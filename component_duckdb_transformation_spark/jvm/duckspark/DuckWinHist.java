@@ -49,6 +49,12 @@ public class DuckWinHist
         LinkedHashMap<Double, Long> out = new LinkedHashMap<>(n * 2);
         for (double kv : keys) {
             long c;
+            if (st.distAgg) {
+                // DISTINCT rider: the fold counts over the DEDUPED
+                // frame — every key reports 1
+                out.put(kv, 1L);
+                continue;
+            }
             if (kv == 0.0) {
                 // Spark `=` merges the zeros: both keys (if present)
                 // report the combined count

@@ -171,6 +171,8 @@ public class DuckWinOS implements UDF5<String, Seq<Double>, Long, Long, Long, Do
         int kind;
         boolean needTreap;     // mad/qcont/qlerp/qdisc
         boolean needCounts;    // ent/hist value-count multiset
+        boolean distAgg;       // DISTINCT rider on ent/hist: every
+                               // live distinct value counts ONCE
         Node root;
         long lastRn;
         long fp;               // partition-key fingerprint at rn==1
@@ -297,6 +299,7 @@ public class DuckWinOS implements UDF5<String, Seq<Double>, Long, Long, Long, Do
             st.kind = kindOf(mode);
             st.needTreap = st.kind != K_ENT && st.kind != K_HIST;
             st.needCounts = st.kind == K_ENT || st.kind == K_HIST;
+            st.distAgg = dist && st.needCounts;
             st.rng = 0x9E3779B97F4A7C15L ^ (long) cfg.hashCode() | 1L;
             st.fp = fp;
             if (isPrec) st.frame = new LinkedList<>();
@@ -475,11 +478,14 @@ public class DuckWinOS implements UDF5<String, Seq<Double>, Long, Long, Long, Do
      *  which the map's original position would misreport). */
     static Double entropy(State st) {
         if (st.vtotal == 0) return 0.0;
-        double total = (double) st.vtotal;
+        // DISTINCT: the fold dedupes the frame first, so every live
+        // distinct value contributes count 1 over total = #distinct
+        double total = st.distAgg
+            ? (double) st.vcounts.size() : (double) st.vtotal;
         double acc = 0.0;
         if (st.frame == null) {
             for (long[] c : st.vcounts.values()) {
-                double pr = c[0] / total;
+                double pr = (st.distAgg ? 1.0 : c[0]) / total;
                 acc = acc - pr * (StrictMath.log(pr) / LOG2);
             }
             return acc;
@@ -497,7 +503,7 @@ public class DuckWinOS implements UDF5<String, Seq<Double>, Long, Long, Long, Do
             long k = canonEnt(d);
             long[] c = st.vcounts.get(k);
             if (c == null || !seenK.add(k)) continue;
-            double pr = c[0] / total;
+            double pr = (st.distAgg ? 1.0 : c[0]) / total;
             acc = acc - pr * (StrictMath.log(pr) / LOG2);
         }
         return acc;

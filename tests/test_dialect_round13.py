@@ -781,3 +781,31 @@ def test_suffix_frame_streaming(spark, q, want_stream):
         tq = translate(q)
     assert ("__duck_win_os" in tq) == want_stream, tq[:200]
     _assert_match(spark.sql(tq).toPandas(), con.execute(q).df())
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "SELECT g, ord, round(entropy(DISTINCT v) OVER (PARTITION BY g"
+        " ORDER BY ord ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 9)"
+        " AS e FROM t",
+        "SELECT g, ord, round(entropy(DISTINCT vn) OVER (PARTITION BY"
+        " g ORDER BY ord), 9) AS e FROM t",
+        "SELECT g, ord, round(entropy(DISTINCT v) OVER (PARTITION BY g"
+        " ORDER BY ord ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 9)"
+        " AS e FROM t",
+        "SELECT g, ord, array_to_string(map_values(histogram(DISTINCT"
+        " v % 3) OVER (PARTITION BY g ORDER BY ord ROWS BETWEEN 3"
+        " PRECEDING AND CURRENT ROW)), ',') AS h FROM t",
+        "SELECT g, ord, array_to_string(map_keys(histogram(DISTINCT"
+        " vn) OVER (PARTITION BY g ORDER BY ord)), ',') AS h FROM t",
+    ],
+)
+def test_distinct_ent_hist_streaming(spark, q):
+    """DISTINCT entropy/histogram windows stream (r13): every live
+    distinct value counts once, exactly the fold's array_distinct."""
+    con = _load_win13(spark)
+    with column_type_hints(_WIN13_HINTS):
+        tq = translate(q)
+    assert "__duck_win" in tq
+    _assert_match(spark.sql(tq).toPandas(), con.execute(q).df())
