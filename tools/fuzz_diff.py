@@ -799,6 +799,39 @@ def agg_item(g: random.Random) -> str:
     return call
 
 
+def suffix_win_stmt(g: random.Random) -> str:
+    """Single-window statement over a suffix or lookahead frame —
+    batched expression items always carry several windows, so the
+    REVERSED-order streaming lowering (r13: sole-window gate) only
+    gets oracle coverage through these."""
+    part = g.choice(["", "PARTITION BY l_returnflag ", "PARTITION BY l_linestatus "])
+    col = g.choice(NUM_COLS + list(HINTED_DEC_COLS) + INT_COLS)
+    frame = g.choice(
+        [
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+            f"ROWS BETWEEN {g.randint(1, 6)} PRECEDING AND UNBOUNDED FOLLOWING",
+            "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND {g.randint(1, 4)} FOLLOWING",
+        ]
+    )
+    r = g.random()
+    if r < 0.4:
+        call = f"mad({col})"
+    elif r < 0.6:
+        call = f"quantile_cont({col}, {g.choice(['0.25', '0.5', '0.77'])})"
+    elif r < 0.8:
+        call = f"quantile_disc({g.choice(INT_COLS)}, {g.choice(['0.3', '0.6'])})"
+    else:
+        call = f"entropy({g.choice(INT_COLS)} % 7)"
+    # string-render the result: decimal-typed answers then compare
+    # exactly regardless of pandas dtype coercion
+    return (
+        "SELECT l_orderkey, l_linenumber, CAST("
+        f"{call} OVER ({part}{WIN_ORDER} {frame}) AS VARCHAR) AS w "
+        "FROM lineitem WHERE l_orderkey % 11 = 3"
+    )
+
+
 def asof_stmt(g: random.Random) -> str:
     """Statement-level ASOF [LEFT] JOIN with deliberately duplicated
     right timestamps per key (``l_partkey % dup`` collapses to a handful
@@ -1369,6 +1402,9 @@ def main() -> int:
     stmts += [("subquery", subquery_stmt(g)) for _ in range(max(4, n // 40))]
     stmts += [("cte", cte_stmt(g)) for _ in range(max(4, n // 40))]
     stmts += [("alias", alias_stmt(g)) for _ in range(max(4, n // 40))]
+    stmts += [
+        ("suffixwin", suffix_win_stmt(g)) for _ in range(max(5, n // 40))
+    ]
     for j, (kind, stmt) in enumerate(stmts):
         try:
             if not run_stmt(spark, con, translate, stmt):
