@@ -812,29 +812,92 @@ def _translate_tokens_inner(tokens: List[Token]) -> str:
     return "".join(t.text for t in out)
 
 
+def _pctl_fold_sql(emit: str, p_text: str, is_disc: bool) -> str:
+    """Exact sorted-array fold for one ``percentile_cont`` /
+    ``percentile_disc`` WITHIN GROUP call site over the shared
+    ``sort_array(collect_list(<emit>))``. The two extra ``transform``
+    binding levels are pointer-cheap (1-element array of the array) and
+    apply the loud ``_TEMPLATE_GROUP_LIMIT`` guard once per group."""
+    arr = f"sort_array(collect_list({emit}))"
+    if is_disc:
+        # smallest value whose cumulative count reaches q*n: 1-based
+        # sorted index max(1, ceil(q*n)) — Spark's own PercentileDisc
+        # rule since SPARK-37691, bit-probed equal on tie/-0.0/NaN/inf
+        # batteries; NULL index on the empty group keeps element_at
+        # NULL (and ANSI-safe)
+        idx = (
+            "CASE WHEN size(__pa) = 0 THEN CAST(NULL AS INT)"
+            " ELSE greatest(1, CAST(ceiling(CAST(size(__pa) AS BIGINT)"
+            f" * CAST({p_text} AS DOUBLE)) AS INT)) END"
+        )
+        body = f"CAST(element_at(__pa, {idx}) AS DOUBLE)"
+        return (
+            f"element_at(transform(array({arr}), __pa0 -> "
+            f"element_at(transform(array({_guard_arr('__pa0')}), __pa -> "
+            f"{body}), 1)), 1)"
+        )
+    # cont: position p = (n-1)*q in double; keys at floor/ceil of p; an
+    # integer position or equal keys return the lower key unchanged
+    # (Percentile.getPercentile's early returns — its primitive ``==``
+    # has the same truth table as SQL ``=`` here, incl. -0.0 = 0.0 and
+    # NaN = NaN), else the weighted interpolation
+    lo = "element_at(__pa, CAST(floor(__pp) AS INT) + 1)"
+    hi = "element_at(__pa, CAST(ceiling(__pp) AS INT) + 1)"
+    body = (
+        "CASE WHEN size(__pa) = 0 THEN CAST(NULL AS DOUBLE)"
+        f" WHEN ceiling(__pp) = floor(__pp) THEN CAST({lo} AS DOUBLE)"
+        f" WHEN {lo} = {hi} THEN CAST({lo} AS DOUBLE)"
+        f" ELSE (ceiling(__pp) - __pp) * {lo}"
+        f" + (__pp - floor(__pp)) * {hi} END"
+    )
+    return (
+        f"element_at(transform(array({arr}), __pa0 -> "
+        f"element_at(transform(array({_guard_arr('__pa0')}), __pa -> "
+        "element_at(transform(array((CAST(size(__pa) AS BIGINT) - 1)"
+        f" * CAST({p_text} AS DOUBLE)), __pp -> {body}), 1)), 1)), 1)"
+    )
+
+
 def _rewrite_fuse_percentile_cont(tokens: List[Token]) -> List[Token]:
-    """Fuse repeated ``percentile_cont(<lit>) WITHIN GROUP (ORDER BY
-    <expr>)`` aggregates over the SAME ascending order expression into
-    one shared ``percentile(<expr>, array(p1..pk))`` call extracted by
-    ``element_at`` — Spark plans each percentile_cont as its own
-    sort/hash-map aggregate (PercentileCont IS RuntimeReplaceable to
-    Percentile, so values are bit-identical), and q08's five quantiles
-    of l_extendedprice built five 600k-entry count maps per partition;
-    fused they build one (5.4 s -> ~1.7 s at sf0.1). Every fused call
-    site carries the full percentage array (Catalyst dedupes identical
-    aggregate expressions within an Aggregate, and a scope that uses a
-    subset merely reads fewer elements of the same one-pass result).
+    """Rewrite ``percentile_cont/percentile_disc(<lit>) WITHIN GROUP
+    (ORDER BY <expr>)`` aggregates into an exact fold over ONE shared
+    ``sort_array(collect_list(<expr>))`` per distinct ascending order
+    expression.
+
+    Spark plans every native percentile/percentile_disc call as its own
+    ObjectHashAggregate value-count map (an OpenHashMap of boxed keys
+    per partition, serialized whole across the exchange, walked per
+    call); the fold replaces the maps with one collect_list + one JVM
+    array sort shared by every call site — Catalyst dedupes the
+    textually identical collect_list aggregate, and subexpression
+    elimination in the aggregate's result projection evaluates the
+    sort_array once (q08's five quantiles of l_extendedprice: 2.8 s ->
+    0.77 s at sf0.1, plan: 5 value-count maps -> 1 collect_list;
+    r13-opt, guide §1.2 per-task work). Memory stays the documented
+    fold posture: 8 bytes/element vs the map's ~36/distinct, with the
+    loud ``_TEMPLATE_GROUP_LIMIT`` raise past 2^25 elements per group.
+    Value semantics replicate ``Percentile.getPercentile`` bit-for-bit
+    (probed on NaN/inf/-0.0/tie/random batteries, tools/fuzz_diff.py
+    campaigns): both spellings return DOUBLE for every input type like
+    the native calls, empty groups give NULL, and collect_list skips
+    NULLs exactly as the native aggregates do.
+
     Occurrences followed by OVER/FILTER, with DESC or NULLS FIRST
-    ordering, multiple sort keys, or a non-literal percentage keep the
-    native spelling."""
-    occ = []  # (start, end_exclusive, p_text, expr_key)
+    ordering, multiple sort keys, or a non-literal/out-of-range
+    percentage keep the native spelling (windowed forms belong to the
+    window machinery; FILTER riders are rare enough to keep the map)."""
+    occ = []  # (start, end_exclusive, p_text, expr_key, emit, is_disc)
     i = 0
     n = len(tokens)
     while i < n:
         t = tokens[i]
-        if not (t.kind == "word" and t.text.lower() == "percentile_cont"):
+        if not (
+            t.kind == "word"
+            and t.text.lower() in ("percentile_cont", "percentile_disc")
+        ):
             i += 1
             continue
+        is_disc = t.text.lower() == "percentile_disc"
         p_open = _next_code(tokens, i)
         if not (
             p_open < n
@@ -853,6 +916,7 @@ def _rewrite_fuse_percentile_cont(tokens: List[Token]) -> List[Token]:
             len(arg) == 1
             and arg[0].kind in ("word", "number")
             and re.fullmatch(r"\d+(?:\.\d+)?", arg[0].text)
+            and 0.0 <= float(arg[0].text) <= 1.0
         ):
             i = p_close + 1
             continue
@@ -921,33 +985,21 @@ def _rewrite_fuse_percentile_cont(tokens: List[Token]) -> List[Token]:
         # to CAST(xASDOUBLE)), so code tokens are re-joined with spaces
         key = "".join(t2.text for t2 in expr)
         emit = " ".join(t2.text for t2 in expr)
-        occ.append((i, g_close + 1, arg[0].text, key, emit))
+        occ.append((i, g_close + 1, arg[0].text, key, emit, is_disc))
         i = g_close + 1
     if not occ:
         return tokens
-    by_key: dict = {}
+    # every site over the same key must emit the IDENTICAL collect_list
+    # text, or Catalyst sees distinct aggregates and dedup is lost
     emit_by_key: dict = {}
-    for _, _, p, key, emit in occ:
-        by_key.setdefault(key, set()).add(p)
+    for _, _, _p, key, emit, _d in occ:
         emit_by_key.setdefault(key, emit)
-    fuse_keys = {
-        k: sorted(ps, key=float) for k, ps in by_key.items() if len(ps) > 1
-    }
-    if not fuse_keys:
-        return tokens
     out: List[Token] = []
     pos = 0
-    for start, end, p, key, _emit in occ:
-        if key not in fuse_keys:
-            continue
-        ps = fuse_keys[key]
-        idx = ps.index(p) + 1
+    for start, end, p, key, _emit, is_disc in occ:
         out.extend(tokens[pos:start])
         out.extend(
-            _toks(
-                f"element_at(percentile(({emit_by_key[key]}), "
-                f"array({', '.join(ps)})), {idx})"
-            )
+            _toks(f"({_pctl_fold_sql(emit_by_key[key], p, is_disc)})")
         )
         pos = end
     out.extend(tokens[pos:])

@@ -188,8 +188,13 @@ class TableStore:
             return
         with self._write_lock(name):
             aligned.write.mode("append").parquet(state.path)
-            self.spark.catalog.refreshByPath(state.path)
-            self._bind_view(state)
+            # refreshByPath invalidates the cached file index; the view
+            # definition is unchanged (same path), so re-binding it was
+            # a redundant ~100 ms CREATE OR REPLACE VIEW round trip per
+            # append (r13-opt; probed: fresh spark.table() resolutions
+            # see appended files after refresh alone — and a STALE
+            # DataFrame handle would miss them under either spelling,
+            # the executor always re-resolves per statement)
 
     def commit_stream_batch(self, name: str, df: DataFrame, batch_id: int) -> None:
         """Idempotent micro-batch commit for streaming ingest: batch
@@ -215,7 +220,12 @@ class TableStore:
             os.path.join(state.path, f"{_BATCH_COL}={int(batch_id)}")
         )
         self.spark.catalog.refreshByPath(state.path)
-        self._bind_view(state)
+        if created:
+            # later batches only add ingest_batch=N partition dirs under
+            # the same root: refreshByPath invalidates the file index
+            # and re-resolution rediscovers partitions — the per-batch
+            # view re-bind was redundant (r13-opt)
+            self._bind_view(state)
 
     def rewrite(self, name: str, df: DataFrame) -> None:
         """Copy-on-write: write a new version, re-bind the view."""
@@ -1721,10 +1731,14 @@ class SparkStatementExecutor:
             self.store.warehouse_dir, "__seq_mat", f"m{self._seq_mat_counter}"
         )
         try:
-            self.spark.sql(translate(mat_sql)).write.mode(
-                "overwrite"
-            ).parquet(path)
-            self.spark.read.parquet(path).createOrReplaceTempView(view)
+            mat_df = self.spark.sql(translate(mat_sql))
+            mat_df.write.mode("overwrite").parquet(path)
+            # pass the known schema: skips the driver-side parquet
+            # schema-inference job on the read-back (~0.15 s per
+            # sequence statement, r13-opt)
+            self.spark.read.schema(mat_df.schema).parquet(
+                path
+            ).createOrReplaceTempView(view)
         except Exception:  # noqa: BLE001 — any failure keeps the fallback
             return None
         outer = "SELECT " + ", ".join(outer_items) + f" FROM {_bt(view)}"

@@ -94,21 +94,35 @@ def test_negative_scale_round_fuzz_sample(spark):
 
 
 def test_percentile_cont_fusion_rewrite():
-    """>= 2 percentile_cont over the same ascending order expr fuse
-    into one shared percentile(expr, array(...)) call; DESC, OVER,
-    FILTER, and single-p spellings keep the native form."""
+    """percentile_cont/percentile_disc WITHIN GROUP over an ascending
+    order expr fold onto ONE shared sort_array(collect_list(expr))
+    (r13-opt: replaces both the native value-count maps AND the old
+    percentile(expr, array(...)) fusion — one collected array, one JVM
+    sort, exact Percentile.getPercentile arithmetic per site); DESC,
+    OVER, and FILTER spellings keep the native form."""
     t = translate(
         "SELECT g, percentile_cont(0.25) WITHIN GROUP (ORDER BY x) AS a,"
         " percentile_cont(0.75) WITHIN GROUP (ORDER BY x) AS b"
         " FROM t GROUP BY g"
     )
     assert "percentile_cont" not in t
-    assert "array(0.25, 0.75)" in t and "element_at(percentile((x)" in t
-    # single percentage: nothing to fuse
+    # both sites share the IDENTICAL collected-array text (Catalyst
+    # dedup + subexpression elimination need textual equality)
+    assert t.count("sort_array(collect_list(x))") == 2
+    assert "0.25" in t and "0.75" in t
+    # single percentage folds too (the map path is slower even alone)
     t1 = translate(
         "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x) FROM t"
     )
-    assert "percentile_cont" in t1
+    assert "percentile_cont" not in t1
+    assert "sort_array(collect_list(x))" in t1
+    # percentile_disc folds onto the same shared array as cont sites
+    t1d = translate(
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS a,"
+        " percentile_disc(0.9) WITHIN GROUP (ORDER BY x) AS b FROM t"
+    )
+    assert "percentile_disc" not in t1d
+    assert t1d.count("sort_array(collect_list(x))") == 2
     # DESC ordering keeps native
     t2 = translate(
         "SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY x DESC) AS a,"
@@ -120,7 +134,13 @@ def test_percentile_cont_fusion_rewrite():
         "SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY x) OVER () AS a,"
         " percentile_cont(0.75) WITHIN GROUP (ORDER BY x) OVER () AS b FROM t"
     )
-    assert "element_at(percentile((x)" not in t3
+    assert "collect_list" not in t3
+    # FILTER rider keeps native
+    t4 = translate(
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x)"
+        " FILTER (WHERE y > 0) FROM t"
+    )
+    assert "collect_list" not in t4 and "percentile_cont" in t4
 
 
 def test_percentile_cont_fusion_semantics(spark):
@@ -277,3 +297,47 @@ def test_chain_typing_property_vs_duckdb():
             )
 
     check()
+
+
+def test_percentile_fold_oracle_battery(spark):
+    """r13-opt focused gate: the sorted-array fold behind
+    percentile_cont/percentile_disc WITHIN GROUP is value-identical to
+    DuckDB on adversarial multisets — ties, single element, negatives,
+    duplicates-only, boundary percentages hitting exact integer
+    positions, and grouped inputs with an empty-ish group."""
+    con = duckdb.connect()
+    batteries = [
+        [1.0, 2.0, 3.0, 4.0],
+        [5.0],
+        [2.0, 2.0, 2.0, 7.0],
+        [-3.5, -1.25, 0.0, 0.0, 9.75],
+        [0.1] * 5 + [0.3] * 3,
+        [-1e9, 1e-9, 42.42, 42.42, 7.0, -7.0],
+    ]
+    qs = [0.0, 0.25, 1.0 / 3.0, 0.5, 0.75, 0.9, 1.0]
+    for vals in batteries:
+        lits = ", ".join(f"(CAST({v!r} AS DOUBLE))" for v in vals)
+        for q in qs:
+            sql = (
+                f"SELECT round(percentile_cont({q!r}) WITHIN GROUP "
+                f"(ORDER BY x), 10) AS c, "
+                f"round(percentile_disc({q!r}) WITHIN GROUP "
+                f"(ORDER BY x), 10) AS d "
+                f"FROM (VALUES {lits}) AS t(x)"
+            )
+            want = con.execute(sql).fetchone()
+            t = translate(sql)
+            assert "percentile_cont" not in t and "collect_list" in t
+            got = tuple(spark.sql(t).collect()[0])
+            assert got == tuple(want), (vals, q, got, want)
+    # grouped: group b is filtered empty upstream -> no row (both
+    # engines drop empty groups); group a keeps exact quantiles
+    gsql = (
+        "SELECT g, percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS c "
+        "FROM (VALUES ('a', CAST(1.0 AS DOUBLE)), ('a', CAST(2.0 AS "
+        "DOUBLE)), ('b', CAST(9.0 AS DOUBLE))) AS t(g, x) "
+        "WHERE x < 5 GROUP BY g ORDER BY g"
+    )
+    want = con.execute(gsql).fetchall()
+    got = [tuple(r) for r in spark.sql(translate(gsql)).collect()]
+    assert got == [tuple(w) for w in want], (got, want)

@@ -451,19 +451,23 @@ def test_printf_twins_batch_into_one_arrow_stage(spark):
 
 
 def test_q08_percentiles_fused_single_percentile_agg(spark):
-    """The four percentile_cont quantiles of l_extendedprice fuse into
-    ONE shared percentile(expr, array(...)) aggregate (Catalyst dedupes
-    the identical aggregate expressions) — five separate per-partition
-    value-count maps was q08's 5.5 s pole. percentile_disc stays its
-    own aggregate."""
+    """All five of q08's quantiles (four percentile_cont + one
+    percentile_disc) fold onto ONE shared collect_list aggregate
+    (r13-opt: Catalyst dedupes the textually identical collect_list;
+    subexpression elimination evaluates the shared sort_array once in
+    the result projection) — the five separate per-partition
+    value-count maps were q08's pole twice over (5.5 s in r10, and
+    still 2.8 s sequential as two maps in r13's inherited tree; the
+    fold runs 0.94 s)."""
     import re
 
     plan = _plan(spark, "q08_percentiles")
-    # the aggregate node evaluates exactly 2 functions: the fused
-    # percentile array + percentile_disc (was 5 separate maps)
+    # the aggregate node evaluates exactly 1 function: the shared
+    # collect_list (was 5, then 2, value-count maps)
     counts = {int(n) for n in re.findall(r"Functions \[(\d+)\]", plan)}
-    assert counts == {2}, (counts, plan[:300])
+    assert counts == {1}, (counts, plan[:300])
     assert "percentile_cont" not in plan
+    assert "collect_list" in plan
     # still a partial+final aggregation over one shuffle
     assert plan.count("Exchange") <= 4
 
