@@ -151,11 +151,15 @@ def connected_components(
     e = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    # materialize the DIRECTED list once, THEN symmetrize: a union's
+    # two children are independent subtrees, so symmetrizing first
+    # executed the full upstream pipeline (e.g. the MinHash-LSH verify
+    # feeding x33's pairs) TWICE inside the one truncation (r13-opt,
+    # guide §1.2 — don't compute things twice); the reversed branch is
+    # now a narrow map over the materialized blocks. The union itself
+    # stays un-truncated — every round's join reads the cached blocks.
+    e = _truncate_lineage(e, reliable_checkpoint)
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    # materialize ONCE: the edge list joins into every round, and an
-    # un-checkpointed plan (e.g. a full MinHash-LSH pipeline feeding
-    # the pairs) would otherwise re-execute per round, twice
-    sym = _truncate_lineage(sym, reliable_checkpoint)
 
     n_sym = sym.count() if max_driver_edges else None
     if n_sym == 0:

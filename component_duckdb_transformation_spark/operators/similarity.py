@@ -519,7 +519,13 @@ def semantic_dedup(
         _quantize_col(F.col(vec_col), quantize).alias("qv"),
     ).persist()
     centroids = _kmeans_train(c, n_clusters, n_iters, dim)
-    cf = _kmeans_assign_int(c, centroids, n_probe=1)
+    # the assignment is a Python-boundary mapInPandas pass consumed
+    # THREE times below (both triangle sides + the final keep join);
+    # persist it so the Arrow round trip runs once, and release the
+    # pre-assignment cache it subsumes (r13-opt, guide §4/§1.2)
+    cf = _kmeans_assign_int(c, centroids, n_probe=1).persist()
+    cf.count()
+    c.unpersist()
     blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).cast("int")
     # row with block b: A-side of pairs (b, j >= b), B-side of pairs
     # (i <= b, b) — every unordered pair meets in exactly one
