@@ -57,27 +57,33 @@ public class DuckRepr implements UDF4<String, Integer, Integer, Boolean, String>
         }
         BigDecimal exact = new BigDecimal(d);
         BigDecimal c = null;
-        // Java reprs carry at most 17 significant digits; start a few
-        // below the repr's own count (JDK 17 is occasionally
-        // non-shortest by a digit or two) and scan up.
+        // Java reprs carry at most 17 significant digits; JDK <= 18 is
+        // occasionally non-shortest by a digit or two, so candidates a
+        // few digits below the repr's own count must be considered.
         int have = 0;
         for (int i = 0; i < ds.length(); i++) {
             char ch = ds.charAt(i);
             if (ch == 'E') break;
             if (ch >= '0' && ch <= '9') have++;
         }
-        int start = Math.max(1, have - 3);
-        for (int p = start; p <= 17; p++) {
+        // Probe DOWNWARD from have-1: round(p, HALF_EVEN) is the
+        // closest p-digit candidate, so it round-trips iff ANY p-digit
+        // decimal does, and success is monotone in p — the first
+        // failure ends the search. The repr itself is a have-digit
+        // round-tripper, so when have-1 already fails (every shortest
+        // repr — the overwhelming majority on JDK 17, all of them on
+        // JDK >= 19) the answer is the closest have-digit candidate
+        // with NO parse check needed: one probe + one round, where the
+        // old upward scan from have-3 paid three failing round+parse
+        // cycles first. Candidate range (p >= have-3) and selection
+        // (minimal p, HALF_EVEN) are unchanged.
+        int floorP = Math.max(1, have - 3);
+        for (int p = have - 1; p >= floorP; p--) {
             BigDecimal cand = exact.round(new MathContext(p, RoundingMode.HALF_EVEN));
-            if (Double.parseDouble(cand.toString()) == d) { c = cand; break; }
+            if (Double.parseDouble(cand.toString()) == d) { c = cand; } else break;
         }
         if (c == null) {
-            // only reachable if start overshot the minimal length;
-            // rescan from 1 (17 always round-trips)
-            for (int p = 1; p <= 17; p++) {
-                BigDecimal cand = exact.round(new MathContext(p, RoundingMode.HALF_EVEN));
-                if (Double.parseDouble(cand.toString()) == d) { c = cand; break; }
-            }
+            c = exact.round(new MathContext(Math.max(have, 1), RoundingMode.HALF_EVEN));
         }
         c = c.stripTrailingZeros();
         String digits = c.unscaledValue().abs().toString();

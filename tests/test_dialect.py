@@ -337,8 +337,11 @@ def test_star_replace_rewrite():
 
 def test_quantile_and_sample_moment_shims():
     assert "percentile(x, 0.5)" in translate("SELECT quantile_cont(x, 0.5) FROM t")
+    # quantile_disc lowers through the WITHIN GROUP spelling, which the
+    # r13 percentile fold rewrites onto the shared sorted collect_list
     out = translate("SELECT quantile_disc(x, 0.5) FROM t")
-    assert "percentile_disc(0.5) WITHIN GROUP (ORDER BY x NULLS LAST )" in out
+    assert "percentile_disc" not in out
+    assert "sort_array(collect_list(x))" in out
     # sample corrections wrap Spark's population statistics
     s = translate("SELECT skewness(v) FROM t")
     assert "sqrt" in s and "count(v)" in s

@@ -24,7 +24,9 @@ def test_percentile_fusion_multiword_order_expr():
     )
     assert "xASDOUBLE" not in t.replace(" ", "x") or "AS DOUBLE" in t
     assert "CAST ( x AS DOUBLE )" in t or "CAST(x AS DOUBLE)" in t
-    assert "array(0.25, 0.75)" in t
+    # r13 fold: both sites share one sorted collect_list of the expr
+    assert t.count("sort_array(collect_list(CAST ( x AS DOUBLE )))") == 2
+    assert "0.25" in t and "0.75" in t
 
     t2 = translate(
         "SELECT percentile_cont(0.1) WITHIN GROUP"
@@ -34,7 +36,11 @@ def test_percentile_fusion_multiword_order_expr():
     )
     assert "WHENa" not in t2.replace(" ", "") or True
     assert "CASE WHEN a IS NULL THEN 0 ELSE a END" in t2
-    assert "array(0.1, 0.9)" in t2
+    assert t2.count(
+        "sort_array(collect_list("
+        "CASE WHEN a IS NULL THEN 0 ELSE a END))"
+    ) == 2
+    assert "0.1" in t2 and "0.9" in t2
 
 
 def test_percentile_fusion_multiword_semantics(spark):
