@@ -29,6 +29,12 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+# Hot-shingle keys at or under this count ride back on the regime
+# estimate's collect and apply as an InSet filter over the cached
+# shingle rows; past it (adversarial corpora) the broadcast anti join
+# handles removal without pulling keys to the driver.
+_HOT_KEY_BOUND = 1000
+
 
 def _md5_60(col: Column) -> Column:
     """60-bit hash from the first 15 hex chars of md5 — bit-identical
@@ -185,33 +191,53 @@ def ngram_jaccard_pairs(
         .cache()
     )
     sh.count()
-    if max_shingle_freq is not None:
-        # broadcast ANTI join against only the HOT shingles: the
-        # partial-agg shuffle is docs-distinct counts, and the broadcast
-        # is just the over-cap keys (a handful of stopword shingles by
-        # construction), never the full frequency table
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("_f"))
-            .filter(F.col("_f") > max_shingle_freq)
-            .select("sh")
-        )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    cap = max_shingle_freq
+    freq = sh.groupBy("sh").agg(F.count("*").alias("_f"))
+    # hot-shingle removal + the auto-regime estimate share ONE
+    # partial-agg pass over the cached explode (r13-opt; previously
+    # three separate jobs: hot scan, broadcast-anti re-materialization,
+    # estimate agg — ~4 s of the 7 s x02 paid at sf0.1). The hot keys
+    # (stopword shingles, a handful by construction) come back in the
+    # same collect, bounded at _HOT_KEY_BOUND: within it they apply as
+    # a codegen'd InSet filter on the cached rows (no join, no second
+    # cache); past it the broadcast anti join returns.
+    hot_keys: list = []
+    hot_overflow = False
+    keep = F.lit(True) if cap is None else F.col("_f") <= cap
     if prefix_filter == "auto":
-        if max_shingle_freq is not None:
-            # the anti join rewrote sh into an UNCACHED plan over the
-            # cached explode; the estimate collect below is an action,
-            # so materialize the anti join once or both self-join
-            # sides re-run it afterwards (r12 ADVICE)
-            sh = sh.cache()
-            sh.count()
-        est = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("_f"))
-            .agg(F.sum(F.col("_f") * (F.col("_f") - 1) / 2).alias("c"))
-            .collect()[0]["c"]
-        )
-        prefix_filter = (est or 0) > max_naive_candidates
+        aggs = [
+            F.sum(
+                F.when(keep, F.col("_f") * (F.col("_f") - 1) / 2)
+            ).alias("c")
+        ]
+        if cap is not None:
+            aggs.append(
+                F.slice(
+                    F.collect_list(F.when(~keep, F.col("sh"))),
+                    1,
+                    _HOT_KEY_BOUND + 1,
+                ).alias("hot")
+            )
+        row = freq.agg(*aggs).collect()[0]
+        if cap is not None:
+            hot_keys = list(row["hot"])
+        prefix_filter = (row["c"] or 0) > max_naive_candidates
+    elif cap is not None:
+        hot_keys = [
+            r["sh"]
+            for r in freq.filter(~keep)
+            .select("sh")
+            .limit(_HOT_KEY_BOUND + 1)
+            .collect()
+        ]
+    if len(hot_keys) > _HOT_KEY_BOUND:
+        hot_keys, hot_overflow = [], True
+    if hot_keys:
+        sh = sh.filter(~F.col("sh").isin(hot_keys))
+    elif hot_overflow:
+        hot = freq.filter(~keep).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti").cache()
+        sh.count()
     if prefix_filter:
         # global token order: ascending document frequency (rarest
         # first, ties by hash) — the order that minimizes prefix
@@ -294,13 +320,40 @@ def ngram_jaccard_pairs(
             .select("d1", "d2", "intersection", "union_size", "jaccard")
         )
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("intersection"))
-    )
+    if cap is not None:
+        # the cap bounds every shingle's posting list at ``cap`` docs,
+        # so pairs can be generated from per-shingle sorted doc lists:
+        # ONE exchange of the shingle rows (the groupBy) instead of the
+        # self-join's two, and singleton shingles never reach the pair
+        # stage (r13-opt). Per-row memory stays O(cap): posexplode
+        # streams one (i, d1) row at a time and the slice carries at
+        # most cap - i - 1 partners. Uncapped corpora keep the
+        # self-join below — an unbounded posting list must never
+        # materialize as one array.
+        grouped = (
+            sh.groupBy("sh")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+            .filter(F.size("docs") >= 2)
+        )
+        cand = grouped.select(
+            F.posexplode("docs").alias("i", "d1"), "docs"
+        ).select(
+            "d1",
+            F.explode(
+                F.slice(F.col("docs"), F.col("i") + F.lit(2), F.size("docs"))
+            ).alias("d2"),
+        )
+        inter = cand.groupBy("d1", "d2").agg(
+            F.count("*").alias("intersection")
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .agg(F.count("*").alias("intersection"))
+        )
     c1 = card.select(F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1"))
     c2 = card.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
     return (

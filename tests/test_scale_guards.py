@@ -126,3 +126,32 @@ def test_ngram_jaccard_auto_regime(spark):
         df, threshold=0.9, max_naive_candidates=0
     ).collect()))
     assert lo == hi == [(0, 1, 7, 7, 1.0)]
+
+
+def test_ngram_jaccard_hot_key_overflow_fallback(spark):
+    """When the hot-shingle key list exceeds _HOT_KEY_BOUND the InSet
+    shortcut must fall back to the broadcast anti join with identical
+    results (r13-opt: hot removal + regime estimate share one pass)."""
+    from unittest import mock
+
+    from component_duckdb_transformation_spark.operators import dedup
+
+    # "a b c d e f" shingles are corpus-wide hot (freq 12 > cap 6);
+    # each trio of docs shares a sub-hot tail (freq 3) that survives
+    rows = [
+        (i, f"a b c d e f g{i // 3} h{i // 3} k{i // 3} m{i // 3}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        df, threshold=0.2, max_shingle_freq=6
+    ).collect()))
+    with mock.patch.object(dedup, "_HOT_KEY_BOUND", 0):
+        slow = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            df, threshold=0.2, max_shingle_freq=6
+        ).collect()))
+    assert fast == slow and fast  # hot shingles removed on both paths
+    unfiltered = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        df, threshold=0.2, max_shingle_freq=None
+    ).collect()))
+    assert unfiltered != fast  # the cap really removed hot shingles
