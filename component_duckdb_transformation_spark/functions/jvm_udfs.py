@@ -116,6 +116,13 @@ def _register_nondeterministic(spark, name: str, cls: str, rtype: str):
     loader = jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader()
     inst = loader.loadClass(cls).newInstance()
     jdt = jvm.org.apache.spark.sql.types.DataType.fromDDL(rtype)
+    # py4j overload resolution between udf(UDF5, DataType) and the
+    # untyped udf(AnyRef, DataType) is reflection-order dependent — the
+    # untyped pick throws UNTYPED_SCALA_UDF and kills the session build
+    # nondeterministically (observed live). Every argument of these
+    # cores is a boxed reference type, so the untyped path is
+    # semantically identical (no primitive-null coercion); allow it.
+    spark.conf.set("spark.sql.legacy.allowUntypedScalaUDF", "true")
     judf = jvm.org.apache.spark.sql.functions.udf(inst, jdt)
     spark._jsparkSession.udf().register(name, judf.asNondeterministic())
 

@@ -756,6 +756,44 @@ def yyjson_render_json(txt):
     return render(v)
 
 
+def _memo_map(fn, *cols: pd.Series) -> pd.Series:
+    """Evaluate a pure per-row function once per DISTINCT argument tuple
+    of the batch and fan the results back out (object dtype, None for
+    any-None rows). Repeated-value-heavy inputs (categorical columns,
+    literal arguments, JSON property blobs) collapse the per-row Python
+    cost to O(distinct) — measured 100 distinct over 100k rows on the
+    events.props column (guide §4.2: make the batch work vectorized /
+    sublinear, not the boundary). Worst case (all distinct) adds one
+    dict probe per row."""
+    memo: dict = {}
+    out = []
+    if len(cols) == 1:
+        for v in cols[0]:
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                r = memo[v]
+            except KeyError:
+                r = memo[v] = fn(v)
+            except TypeError:  # unhashable value — evaluate directly
+                r = fn(v)
+            out.append(r)
+    else:
+        for key in zip(*cols):
+            if any(v is None for v in key):
+                out.append(None)
+                continue
+            try:
+                r = memo[key]
+            except KeyError:
+                r = memo[key] = fn(*key)
+            except TypeError:
+                r = fn(*key)
+            out.append(r)
+    return pd.Series(out, dtype="object")
+
+
 def register_text_udfs(spark: SparkSession) -> None:
     """Idempotent per-session registration (called from the session
     factory so every engine session resolves the names in plain SQL)."""
@@ -938,24 +976,18 @@ def register_text_udfs(spark: SparkSession) -> None:
         import json
 
         def one(hv, nv):
-            if hv is None or nv is None:
-                return None
             try:
                 return json_contains(json.loads(hv), json.loads(nv))
             except ValueError as exc:  # mirror DuckDB's invalid-input error
                 raise ValueError(f"json_contains: malformed JSON: {exc}")
 
-        return pd.Series(
-            [one(hv, nv) for hv, nv in zip(h, n)], dtype="object"
-        )
+        return _memo_map(one, h, n)
 
     @pandas_udf("string")
     def _json_structure_udf(j: pd.Series) -> pd.Series:
         import json
 
         def one(v):
-            if v is None:
-                return None
             try:
                 parsed = json.loads(v)
             except ValueError as exc:
@@ -964,7 +996,7 @@ def register_text_udfs(spark: SparkSession) -> None:
                 json_structure(parsed), separators=(",", ":")
             )
 
-        return pd.Series([one(v) for v in j], dtype="object")
+        return _memo_map(one, j)
 
     @pandas_udf("double")
     def _mad_udf(v: pd.Series) -> float:

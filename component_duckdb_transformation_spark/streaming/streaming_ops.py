@@ -280,13 +280,26 @@ def minhash_band_rows(
     max_shingle_pos: int = 200,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fan_out: int | None = None,
 ) -> DataFrame:
     """(doc_id, band, bucket) MinHash band rows computed in ONE Arrow
     map pass per document — no aggregation, so the same function runs
     on a STREAMING frame (per-doc signatures need only the doc's own
     shingles). md5 hash family (``operators.dedup._md5_60`` /
     ``md5_seed`` semantics, shingle positions capped like the x03
-    oracle's generate_series) — bit-identical to the SQL replay."""
+    oracle's generate_series) — bit-identical to the SQL replay.
+
+    ``fan_out`` round-robin-repartitions the documents before the map
+    pass: the per-doc hashing is CPU-heavy opaque Python, and an
+    unsplittable narrow source (a single-row-group parquet file, a
+    single stream batch) would otherwise serialize it on one core
+    (guide §2.5 input skew / §4 boundary sizing). Callers pass the
+    session's parallelism when the source is known to be narrow;
+    shuffling the compact (id, text) rows is far cheaper than the
+    hashing it spreads. Banding output is row-order independent, so
+    results are unchanged."""
+    if fan_out:
+        docs = docs.repartition(fan_out)
     import hashlib
 
     from ..operators.dedup import md5_seed

@@ -2111,16 +2111,24 @@ def _streaming_lsh_dedup_builder(spark: SparkSession, sf: str) -> DataFrame:
     instead of recomputing them."""
     from .streaming import streaming_ops as so
 
+    # the documents source is a narrow scan (single-row-group parquet /
+    # one stream batch): fan the CPU-heavy per-doc hashing out on both
+    # passes. cores/2, scale-adaptive: each banding task pins a Python
+    # worker, and leaving half the cores to the JVM side (shuffle, state
+    # store, memory-sink collect running concurrently with the drain)
+    # measured best (interleaved A/B: fan none 3.9s, 8 2.37s, 16 2.23s,
+    # 32 2.55s median at sf0.1 on 32 cores)
+    fan = max(2, spark.sparkContext.defaultParallelism // 2)
     stream = so.read_documents_stream(spark, sf)
     mins = so.run_stream_to_batch(
-        so.lsh_bucket_min_updates(so.minhash_band_rows(stream)),
+        so.lsh_bucket_min_updates(so.minhash_band_rows(stream, fan_out=fan)),
         output_mode="update",
         state_partitions=8,
     )
     canonical = mins.groupBy("band", "bucket").agg(
         F.min("min_id").alias("min_id")
     )
-    bands_batch = so.minhash_band_rows(spark.table("documents"))
+    bands_batch = so.minhash_band_rows(spark.table("documents"), fan_out=fan)
     rm = (
         bands_batch.join(canonical, ["band", "bucket"])
         .filter(F.col("doc_id") > F.col("min_id"))
