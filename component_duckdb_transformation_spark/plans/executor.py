@@ -103,6 +103,11 @@ class TableState:
     # True for tables fed by streaming ingest: data lives in
     # ingest_batch=<id> partition dirs (idempotent micro-batch commits)
     stream: bool = False
+    # True while the table is KNOWN row-free (bare-DDL create, nothing
+    # inserted yet): the first keyed INSERT's clash probe can skip its
+    # join against current keys — no row can clash (r13-opt). Any
+    # mutation conservatively clears it.
+    empty: bool = False
 
 
 # partition-style directory key for streaming micro-batch commits;
@@ -158,11 +163,18 @@ class TableStore:
         # parquet-backed: file-split scan order is deterministic
         mark_scan_stable(state.name, self.scan_registry)
 
-    def create_table(self, name: str, df: DataFrame, order_by: str | None = None) -> None:
+    def create_table(
+        self,
+        name: str,
+        df: DataFrame,
+        order_by: str | None = None,
+        empty: bool = False,
+    ) -> None:
         with self._lock:
             state = self.tables.get(name) or TableState(name=name)
             state.version += 1
             state.order_by = order_by
+            state.empty = empty
             state.path = os.path.join(self._safe_dir(name), f"v{state.version}")
             self.tables[name] = state
         df.write.mode("overwrite").parquet(state.path)
@@ -186,6 +198,7 @@ class TableStore:
             state.stream = False
             self.rewrite(name, target.unionAll(aligned))
             return
+        state.empty = False
         with self._write_lock(name):
             aligned.write.mode("append").parquet(state.path)
             # refreshByPath invalidates the cached file index; the view
@@ -234,6 +247,7 @@ class TableStore:
             raise UserException(f"UPDATE/DELETE on unknown table '{name}'")
         with self._lock:
             state.version += 1
+            state.empty = False
             new_path = os.path.join(self._safe_dir(name), f"v{state.version}")
         df.write.mode("overwrite").parquet(new_path)
         state.path = new_path
@@ -1401,6 +1415,8 @@ class SparkStatementExecutor:
         sql_toks = tokenize(sql)
         depth = 0
         has_from = False
+        has_row_filter = False
+        has_values = False
         for t in sql_toks:
             if t.kind == "op" and t.text in ("(", "["):
                 depth += 1
@@ -1409,8 +1425,27 @@ class SparkStatementExecutor:
             elif depth == 0 and t.is_kw("FROM"):
                 has_from = True
                 break
+            elif depth == 0 and t.is_kw("WHERE", "QUALIFY", "LIMIT"):
+                has_row_filter = True
+            elif depth == 0 and t.is_kw("VALUES"):
+                has_values = True  # may carry multiple row groups
         rank_sql = None
         mat_view = None
+        # a FROM-less, filter-less, conflict-mode-less INSERT inserts
+        # exactly one row (or raises): the post-execute sequence advance
+        # is statically n=1 — skips the two full-table count() jobs the
+        # general path pays (r13-opt). Conflict modes keep the counted
+        # path: their count-delta semantics (no advance on an ignored /
+        # replaced row) are the shipped, oracle-tested behavior.
+        static_single_row = (
+            not has_from
+            and not has_row_filter
+            and not has_values
+            and re.search(
+                r"(?i)\bOR\s+(REPLACE|IGNORE)\b|\bON\s+CONFLICT\b", sql
+            )
+            is None
+        )
         if not has_from:
             rank_sql = "CAST(1 AS BIGINT)"  # single-row statement
         else:
@@ -1507,9 +1542,13 @@ class SparkStatementExecutor:
             self._execute_statement(new_st)
             n = self.spark.table(_bt(target)).count()
         elif stype == StatementType.INSERT:
-            before = self.spark.table(_bt(target)).count()
-            self._execute_statement(new_st)
-            n = self.spark.table(_bt(target)).count() - before
+            if static_single_row:
+                self._execute_statement(new_st)
+                n = 1  # raised otherwise; no count jobs needed
+            else:
+                before = self.spark.table(_bt(target)).count()
+                self._execute_statement(new_st)
+                n = self.spark.table(_bt(target)).count() - before
         elif stype == StatementType.SELECT:
             n = self.spark.sql(translate(new_sql)).count()
         else:
@@ -3002,7 +3041,12 @@ class SparkStatementExecutor:
                 self.checks[name.lower()] = chk
             else:
                 self._enum_columns.pop(name.lower(), None)
-        self.store.create_table(name, df, order_by=_terminal_order_by(body or ""))
+        self.store.create_table(
+            name,
+            df,
+            order_by=_terminal_order_by(body or ""),
+            empty=body is None,  # bare DDL creates a known-row-free table
+        )
 
     # -- DML --------------------------------------------------------------
     def _insert(self, st: ParsedStatement) -> None:
@@ -3118,7 +3162,14 @@ class SparkStatementExecutor:
             by_lower[c] for c in (nn or []) if by_lower.get(c) is not None
         ]
         chk = list(chk or [])
-        probe_clash = bool(key_cols) and mode is None
+        # a known-row-free target (bare-DDL create, nothing inserted
+        # yet) cannot clash: the probe skips its join against current
+        # keys — one shuffle less on the pipeline-opening INSERT
+        probe_clash = (
+            bool(key_cols)
+            and mode is None
+            and not self.store.tables[name].empty
+        )
         aggs: List = []
         for i, c in enumerate(nn_actual):
             aggs.append(
@@ -3146,6 +3197,13 @@ class SparkStatementExecutor:
             )
         if probe_clash:
             aggs.append(F.max(F.col("__clash")).alias("__clash"))
+        # NOTE (r13-opt, measured): persisting ``aligned`` across the
+        # probe collect and the mutation (each executes the source plan
+        # once) was tried and reverted — the cache materialization cost
+        # exceeded the saved re-scan at bench scale and added a job per
+        # statement. The re-execution is a second scan of the same
+        # pruned parquet source; the COW model re-scans ``current``
+        # every statement anyway, so it is proportionally minor.
         if aggs:
             probe_df = aligned
             if probe_clash:

@@ -616,6 +616,16 @@ def test_primary_key_constraint_inserts(spark, table_store):
     _run(ex, "CREATE TABLE nokey (x INT)")
     with _pytest.raises(UserException, match="no UNIQUE/PRIMARY KEY"):
         _run(ex, "INSERT OR REPLACE INTO nokey VALUES (1)")
+    # within-batch duplicate on the FIRST insert into a fresh PK table:
+    # the known-empty fast path (clash join skipped, r13-opt) must
+    # still run the batch-dup probe
+    _run(ex, "CREATE TABLE pkt0 (a INTEGER PRIMARY KEY, b VARCHAR)")
+    with _pytest.raises(UserException, match="duplicate key"):
+        _run(ex, "INSERT INTO pkt0 VALUES (7, 'a'), (7, 'b')")
+    # ...and after data lands, the clash probe is live again
+    _run(ex, "INSERT INTO pkt0 VALUES (7, 'a')")
+    with _pytest.raises(UserException, match="primary key"):
+        _run(ex, "INSERT INTO pkt0 VALUES (7, 'c')")
     # composite table-level key
     _run(ex, "CREATE TABLE ck (a INT, b INT, c INT, PRIMARY KEY (a, b))")
     _run(ex, "INSERT INTO ck VALUES (1, 1, 9)")
