@@ -65,8 +65,14 @@ def ngram_contamination(
 
     One scan of the corpus: per-doc hashes dedupe map-side, the
     benchmark hash set arrives as a broadcast, and a single
-    partial-aggregable groupBy(doc) produces both counters.
+    partial-aggregable groupBy(doc) produces both counters. The
+    shingling+hash map stage is the whole cost and runs inside the scan
+    stage — a narrow (single-split) corpus is fanned out to the
+    session's cores first (no-op when the scan already parallelizes).
     """
+    from .skew import fan_out_narrow
+
+    train = fan_out_narrow(train)
     train_sh = train.select(
         F.col(id_col),
         F.explode(_doc_shingle_hashes(F.col(text_col), n)).alias("shingle_h"),

@@ -21,6 +21,26 @@ from typing import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 
+def fan_out_narrow(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin-repartition a NARROW input up to ``parts`` (default:
+    the session's core count) before a CPU-heavy map stage.
+
+    A single-row-group parquet file is unsplittable, so every map-side
+    stage above the first exchange runs on ONE core no matter how many
+    are free (guide §2.5 input skew). When the downstream per-row work
+    (Arrow/Python hashing, scoring, shingling) far outweighs shuffling
+    the compact input rows once, fanning out is the right trade at any
+    scale — and when the input already has at least ``parts``
+    partitions (real multi-file tables at cluster scale), this is a
+    no-op, so it never adds a shuffle where the scan already
+    parallelizes. Keyless repartition sorts-before-shuffle
+    (SPARK-23207), so retries are deterministic."""
+    target = parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,

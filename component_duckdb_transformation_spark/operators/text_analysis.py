@@ -364,6 +364,11 @@ def bigram_lm_scores(
     skew, no row explosion). Output: (doc_id, n_bigrams, avg_logp),
     docs with >= 2 words among their first ``max_words``.
     """
+    # NOTE (r13-opt, measured): fan_out_narrow(docs) here made the
+    # whole workload SLOWER (2.6s -> 4.5s at sf0.1): the three consumer
+    # branches each inherit 32-partition shuffles whose task overhead
+    # exceeds the parallelized explode win. Fan-out pays off on
+    # map-only pipelines (decontam, banding), not join-heavy ones.
     w = docs.selectExpr(
         f"{id_col} AS doc_id",
         f"slice(split({text_col}, ' '), 1, {max_words}) AS w",
