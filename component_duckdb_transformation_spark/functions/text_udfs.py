@@ -851,18 +851,13 @@ def register_text_udfs(spark: SparkSession) -> None:
 
     @pandas_udf("string")
     def _strip_accents_udf(x: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                None
-                if v is None
-                else "".join(
-                    c
-                    for c in unicodedata.normalize("NFD", v)
-                    if not unicodedata.combining(c)
-                )
-                for v in x
-            ],
-            dtype="object",
+        return _memo_map(
+            lambda v: "".join(
+                c
+                for c in unicodedata.normalize("NFD", v)
+                if not unicodedata.combining(c)
+            ),
+            x,
         )
 
     @pandas_udf("double")
@@ -879,13 +874,7 @@ def register_text_udfs(spark: SparkSession) -> None:
     @pandas_udf("string")
     def _nfc_normalize_udf(x: pd.Series) -> pd.Series:
         # DuckDB nfc_normalize(): Unicode NFC composition
-        return pd.Series(
-            [
-                None if v is None else unicodedata.normalize("NFC", v)
-                for v in x
-            ],
-            dtype="object",
-        )
+        return _memo_map(lambda v: unicodedata.normalize("NFC", v), x)
 
     @pandas_udf("string")
     def _age_udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -926,10 +915,7 @@ def register_text_udfs(spark: SparkSession) -> None:
 
     @pandas_udf("long")
     def _length_grapheme_udf(s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [None if v is None else len(grapheme_split(v)) for v in s],
-            dtype="object",
-        )
+        return _memo_map(lambda v: len(grapheme_split(v)), s)
 
     def _sided_grapheme(side: str, s: pd.Series, n: pd.Series) -> pd.Series:
         # DuckDB left/right negative-count semantics: left(s, -k) drops
@@ -945,9 +931,7 @@ def register_text_udfs(spark: SparkSession) -> None:
             start = max(len(u) - k, 0) if k >= 0 else min(-k, len(u))
             return "".join(u[start:])
 
-        return pd.Series(
-            [one(v, k) for v, k in zip(s, n)], dtype="object"
-        )
+        return _memo_map(one, s, n)
 
     @pandas_udf("string")
     def _left_grapheme_udf(s: pd.Series, n: pd.Series) -> pd.Series:
@@ -961,14 +945,9 @@ def register_text_udfs(spark: SparkSession) -> None:
     def _substring_grapheme_udf(
         s: pd.Series, start: pd.Series, length: pd.Series
     ) -> pd.Series:
-        return pd.Series(
-            [
-                None
-                if v is None or b is None or l is None
-                else substring_units(grapheme_split(v), int(b), int(l))
-                for v, b, l in zip(s, start, length)
-            ],
-            dtype="object",
+        return _memo_map(
+            lambda v, b, l: substring_units(grapheme_split(v), int(b), int(l)),
+            s, start, length,
         )
 
     @pandas_udf("boolean")
@@ -1046,16 +1025,24 @@ def register_text_udfs(spark: SparkSession) -> None:
 
     @pandas_udf("string")
     def _yyjson_norm_udf(s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [yyjson_render_json(v) for v in s], dtype="object"
-        )
+        return _memo_map(yyjson_render_json, s)
 
     @pandas_udf("string")
     def _duck_render_udf(s: pd.Series, t: pd.Series) -> pd.Series:
-        return pd.Series(
-            [duck_render_varchar(v, ty) for v, ty in zip(s, t)],
-            dtype="object",
-        )
+        # duck_render_varchar(None, ty) is defined (renders NULL), so
+        # pair-memoize only the non-None side manually
+        memo: dict = {}
+        out = []
+        for v, ty in zip(s, t):
+            key = (v, ty)
+            try:
+                r = memo[key]
+            except KeyError:
+                r = memo[key] = duck_render_varchar(v, ty)
+            except TypeError:
+                r = duck_render_varchar(v, ty)
+            out.append(r)
+        return pd.Series(out, dtype="object")
 
     def _spark_double_str(x: float) -> str:
         """A string Spark's CAST(s AS DOUBLE) parses back to exactly
@@ -1085,19 +1072,14 @@ def register_text_udfs(spark: SparkSession) -> None:
         _spark_double_str); the emission casts it back to DOUBLE."""
         from .dialect import _duck_round_double_py
 
-        out = []
-        for v, kk in zip(s, k):
-            if v is None or kk is None or (
-                isinstance(kk, float) and pd.isna(kk)
-            ):
-                out.append(None)
-            else:
-                out.append(
-                    _spark_double_str(
-                        _duck_round_double_py(float(v), int(kk))
-                    )
-                )
-        return pd.Series(out, dtype="object")
+        def one(v, kk):
+            if isinstance(kk, float) and pd.isna(kk):
+                return None
+            return _spark_double_str(
+                _duck_round_double_py(float(v), int(kk))
+            )
+
+        return _memo_map(one, s, k)
 
     @pandas_udf("string")
     def _duck_fint_udf(s: pd.Series, mode: pd.Series) -> pd.Series:
@@ -1109,8 +1091,6 @@ def register_text_udfs(spark: SparkSession) -> None:
         import math
 
         def one(v, m):
-            if v is None:
-                return None
             x = float(v)
             if math.isnan(x) or math.isinf(x) or abs(x) >= 2.0**53:
                 return _spark_double_str(x)
@@ -1124,9 +1104,7 @@ def register_text_udfs(spark: SparkSession) -> None:
                 r = math.copysign(0.0, x)
             return _spark_double_str(r)
 
-        return pd.Series(
-            [one(v, m) for v, m in zip(s, mode)], dtype="object"
-        )
+        return _memo_map(one, s, mode)
 
     @pandas_udf("string")
     def _duck_printf_udf(spec: pd.Series, s: pd.Series) -> pd.Series:
@@ -1134,13 +1112,8 @@ def register_text_udfs(spark: SparkSession) -> None:
         Value transported as its Java string repr (shortest
         round-trip, so float() recovers the exact double) — same
         contract as __duck_round."""
-        return pd.Series(
-            [
-                None if sp is None or v is None
-                else _duck_printf_py(sp, float(v))
-                for sp, v in zip(spec, s)
-            ],
-            dtype="object",
+        return _memo_map(
+            lambda sp, v: _duck_printf_py(sp, float(v)), spec, s
         )
 
     @pandas_udf("string")

@@ -103,6 +103,11 @@ def _driver_union_find(sym_pdf, nodes: Optional[DataFrame], spark, node_type=Non
         )
     if nodes is None:
         return mapdf.select("node", F.col("cluster"))
+    # the label map is consumed TWICE below (union side + broadcast
+    # side) and a createDataFrame-backed local relation re-ships its
+    # Arrow slices to executors on EVERY evaluation (~0.9 s per eval at
+    # 150k labels, measured); materialize it once (r13-opt, guide §1.2)
+    mapdf = _truncate_lineage(mapdf, False)
     all_nodes = (
         nodes.select(F.col(nodes.columns[0]).alias("node"))
         .union(mapdf.select("node"))
