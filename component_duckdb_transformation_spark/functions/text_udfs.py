@@ -794,9 +794,15 @@ def _memo_map(fn, *cols: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object")
 
 
-def register_text_udfs(spark: SparkSession) -> None:
-    """Idempotent per-session registration (called from the session
-    factory so every engine session resolves the names in plain SQL)."""
+def _build_text_udfs() -> dict:
+    """Construct the session-independent pandas UDF objects, once per
+    process (see ``register_text_udfs``): building ~40 wrappers and
+    cloudpickling their closures costs ~1.5 s, which the bench's
+    per-workload ``newSession()`` clones used to pay on every
+    registration. The wrappers hold no session state (the one that
+    does — ``current_setting`` — is built per session), and a pandas
+    UDF's JVM handle is context-scoped, so re-registering the same
+    object on a session clone is a single catalog call."""
 
     @pandas_udf("double")
     def _jaro_udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -891,24 +897,6 @@ def register_text_udfs(spark: SparkSession) -> None:
                 if (x := _norm(x0)) is None or (y := _norm(y0)) is None
                 else age_interval(x, y)
                 for x0, y0 in zip(a, b)
-            ],
-            dtype="object",
-        )
-
-    # engine settings surfaced through DuckDB's current_setting();
-    # values reflect THIS engine's live session, captured at registration
-    _settings = {
-        "timezone": spark.conf.get("spark.sql.session.timeZone", "UTC"),
-        "calendar": "gregorian",
-        "threads": str(spark.sparkContext.defaultParallelism),
-    }
-
-    @pandas_udf("string")
-    def _current_setting_udf(name: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                None if v is None else _settings.get(str(v).lower())
-                for v in name
             ],
             dtype="object",
         )
@@ -1182,34 +1170,75 @@ def register_text_udfs(spark: SparkSession) -> None:
             con.close()
         return out
 
-    spark.udf.register("age", _age_udf)
-    spark.udf.register("__re2_valid", _re2_valid_udf)
-    spark.udf.register("icu_sort_key", _icu_sort_key_udf)
-    spark.udf.register("__yyjson_norm", _yyjson_norm_udf)
-    spark.udf.register("__duck_render", _duck_render_udf)
-    spark.udf.register("__duck_render_yy", _duck_render_yy_udf)
-    spark.udf.register("__duck_round", _duck_round_str_udf)
-    spark.udf.register("__duck_printf", _duck_printf_udf)
-    spark.udf.register("__duck_fint", _duck_fint_udf)
+    return {
+        "age": _age_udf,
+        "__re2_valid": _re2_valid_udf,
+        "icu_sort_key": _icu_sort_key_udf,
+        "__yyjson_norm": _yyjson_norm_udf,
+        "__duck_render": _duck_render_udf,
+        "__duck_render_yy": _duck_render_yy_udf,
+        "__duck_round": _duck_round_str_udf,
+        "__duck_printf": _duck_printf_udf,
+        "__duck_fint": _duck_fint_udf,
+        "mad": _mad_udf,
+        "length_grapheme": _length_grapheme_udf,
+        "left_grapheme": _left_grapheme_udf,
+        "right_grapheme": _right_grapheme_udf,
+        "substring_grapheme": _substring_grapheme_udf,
+        "json_contains": _json_contains_udf,
+        "json_structure": _json_structure_udf,
+        "strip_accents": _strip_accents_udf,
+        "nfc_normalize": _nfc_normalize_udf,
+        "nextafter": _nextafter_udf,
+        "jaro_similarity": _jaro_udf,
+        "jaro_winkler_similarity": _jw_udf,
+        "damerau_levenshtein": _dl_udf,
+        "levenshtein_bytes": _lev_udf,
+        "gcd": _gcd_udf,
+        "lcm": _lcm_udf,
+        "gamma": _gamma_udf,
+        "lgamma": _lgamma_udf,
+    }
+
+
+_SHARED_TEXT_UDFS: tuple | None = None  # (applicationId, {name: udf})
+
+
+def register_text_udfs(spark: SparkSession) -> None:
+    """Idempotent per-session registration (called from the session
+    factory so every engine session resolves the names in plain SQL).
+    The session-independent wrappers are built ONCE per SparkContext
+    and re-registered on session clones (one catalog call each); a
+    wrapper's lazily-built JVM handle is context-scoped, so a NEW
+    context (old one stopped — test suites do this) rebuilds the set.
+    Only ``current_setting`` — which surfaces the live session's conf —
+    is rebuilt per session."""
+    global _SHARED_TEXT_UDFS
+    app_id = spark.sparkContext.applicationId
+    if _SHARED_TEXT_UDFS is None or _SHARED_TEXT_UDFS[0] != app_id:
+        _SHARED_TEXT_UDFS = (app_id, _build_text_udfs())
+    for name, f in _SHARED_TEXT_UDFS[1].items():
+        spark.udf.register(name, f)
+
+    # engine settings surfaced through DuckDB's current_setting();
+    # values reflect THIS engine's live session, captured at registration
+    _settings = {
+        "timezone": spark.conf.get("spark.sql.session.timeZone", "UTC"),
+        "calendar": "gregorian",
+        "threads": str(spark.sparkContext.defaultParallelism),
+    }
+
+    @pandas_udf("string")
+    def _current_setting_udf(name: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if v is None else _settings.get(str(v).lower())
+                for v in name
+            ],
+            dtype="object",
+        )
+
     spark.udf.register("current_setting", _current_setting_udf)
-    spark.udf.register("mad", _mad_udf)
-    spark.udf.register("length_grapheme", _length_grapheme_udf)
-    spark.udf.register("left_grapheme", _left_grapheme_udf)
-    spark.udf.register("right_grapheme", _right_grapheme_udf)
-    spark.udf.register("substring_grapheme", _substring_grapheme_udf)
-    spark.udf.register("json_contains", _json_contains_udf)
-    spark.udf.register("json_structure", _json_structure_udf)
-    spark.udf.register("strip_accents", _strip_accents_udf)
-    spark.udf.register("nfc_normalize", _nfc_normalize_udf)
-    spark.udf.register("nextafter", _nextafter_udf)
-    spark.udf.register("jaro_similarity", _jaro_udf)
-    spark.udf.register("jaro_winkler_similarity", _jw_udf)
-    spark.udf.register("damerau_levenshtein", _dl_udf)
-    spark.udf.register("levenshtein_bytes", _lev_udf)
-    spark.udf.register("gcd", _gcd_udf)
-    spark.udf.register("lcm", _lcm_udf)
-    spark.udf.register("gamma", _gamma_udf)
-    spark.udf.register("lgamma", _lgamma_udf)
 
     from .jvm_udfs import register_jvm_udfs
 
