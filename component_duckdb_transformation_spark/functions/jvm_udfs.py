@@ -119,9 +119,12 @@ def _register_nondeterministic(spark, name: str, cls: str, rtype: str):
     # py4j overload resolution between udf(UDF5, DataType) and the
     # untyped udf(AnyRef, DataType) is reflection-order dependent — the
     # untyped pick throws UNTYPED_SCALA_UDF and kills the session build
-    # nondeterministically (observed live). Every argument of these
-    # cores is a boxed reference type, so the untyped path is
-    # semantically identical (no primitive-null coercion); allow it.
+    # nondeterministically (observed live). Allow it: both cores also
+    # implement scala.Function5 (apply() delegates to call()), so the
+    # untyped ScalaUDF wrapper works identically to the typed one —
+    # every argument is a boxed reference type (no primitive-null
+    # coercion), and inputs convert through the same
+    # CatalystTypeConverters either way (neither path has encoders).
     spark.conf.set("spark.sql.legacy.allowUntypedScalaUDF", "true")
     judf = jvm.org.apache.spark.sql.functions.udf(inst, jdt)
     spark._jsparkSession.udf().register(name, judf.asNondeterministic())

@@ -24,7 +24,20 @@ import java.util.Map;
  * casting the map back to the argument's type.
  */
 public class DuckWinHist
-    implements UDF5<String, Seq<Double>, Long, Long, Long, Map<Double, Long>> {
+    implements UDF5<String, Seq<Double>, Long, Long, Long, Map<Double, Long>>,
+               scala.Function5<String, Seq<Double>, Long, Long, Long,
+                               Map<Double, Long>> {
+
+    /** scala.Function5 view of {@link #call} — see DuckWinOS.apply:
+     *  py4j may register these cores through the untyped
+     *  {@code udf(AnyRef, DataType)} overload, which casts to
+     *  Function5 and invokes apply(). */
+    @Override
+    public Map<Double, Long> apply(
+        String cfg, Seq<Double> vals, Long rn, Long cnt, Long fp
+    ) {
+        return call(cfg, vals, rn, cnt, fp);
+    }
 
     @Override
     @SuppressWarnings("unchecked")

@@ -78,7 +78,25 @@ import java.util.Map;
  * folded into 0.0, NaNs collapsed) — see COVERAGE.md for the
  * (pre-cast-distinct) corner this implies for >2^53 integers.
  */
-public class DuckWinOS implements UDF5<String, Seq<Double>, Long, Long, Long, Double> {
+public class DuckWinOS
+    implements UDF5<String, Seq<Double>, Long, Long, Long, Double>,
+               scala.Function5<String, Seq<Double>, Long, Long, Long, Double> {
+
+    /**
+     * scala.Function5 view of {@link #call}: py4j resolves the
+     * two-argument {@code functions.udf(f, dataType)} overload set in
+     * JVM reflection order, so registration nondeterministically lands
+     * on either the typed {@code udf(UDF5, DataType)} overload (which
+     * invokes {@code call}) or the untyped {@code udf(AnyRef,
+     * DataType)} one (which CASTS to {@code scala.Function5} and
+     * invokes {@code apply}). Implementing both makes either pick
+     * correct — Function5's curried/tupled are interface default
+     * methods since Scala 2.12, so apply() is the only requirement.
+     */
+    @Override
+    public Double apply(String cfg, Seq<Double> vals, Long rn, Long cnt, Long fp) {
+        return call(cfg, vals, rn, cnt, fp);
+    }
 
     // ---- order-statistic treap -------------------------------------
     static final class Node {

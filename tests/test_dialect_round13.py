@@ -383,6 +383,35 @@ def test_win_os_state_machine_via_py4j(spark):
         call("mad_run#t13c#0#0#0#0#gA", 5, 7)
 
 
+def test_win_cores_implement_both_udf5_and_function5(spark):
+    """py4j resolves functions.udf(f, dataType) between the typed
+    udf(UDF5, DataType) overload and the untyped udf(AnyRef, DataType)
+    one in JVM reflection order; the untyped pick CASTS the instance to
+    scala.Function5 (ClassCastException at analysis when absent —
+    observed live, r13-opt). Both cores must implement both interfaces
+    so either overload registers a working UDF, and apply() must
+    delegate to call() (state machine shared)."""
+    from component_duckdb_transformation_spark.functions.jvm_udfs import (
+        register_jvm_udfs,
+    )
+
+    register_jvm_udfs(spark)
+    jvm = spark._jvm
+    loader = jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader()
+    f5 = loader.loadClass("scala.Function5")
+    udf5 = loader.loadClass("org.apache.spark.sql.api.java.UDF5")
+    for cls in ("duckspark.DuckWinOS", "duckspark.DuckWinHist"):
+        inst = loader.loadClass(cls).newInstance()
+        assert f5.isInstance(inst), f"{cls} lost scala.Function5"
+        assert udf5.isInstance(inst), f"{cls} lost UDF5"
+    # apply() drives the same streaming state machine as call()
+    inst = loader.loadClass("duckspark.DuckWinOS").newInstance()
+    L = jvm.java.lang.Long.valueOf
+    inst.apply("mad_run#t13f5#0#0#0#0#gF", None, L(1), L(1), L(3))
+    with pytest.raises(Exception, match="fingerprint"):
+        inst.apply("mad_run#t13f5#0#0#0#0#gF", None, L(2), L(1), L(4))
+
+
 # ---------------------------------------------------------------------------
 # mad(DECIMAL): DuckDB computes the whole mad in truncating
 # unscaled-integer arithmetic and keeps the DECIMAL(w,s) type (the
