@@ -764,7 +764,15 @@ def _memo_map(fn, *cols: pd.Series) -> pd.Series:
     cost to O(distinct) — measured 100 distinct over 100k rows on the
     events.props column (guide §4.2: make the batch work vectorized /
     sublinear, not the boundary). Worst case (all distinct) adds one
-    dict probe per row."""
+    dict probe per row.
+
+    Float keys: -0.0 == 0.0 and they hash alike, so a batch holding
+    both would replay the first-seen rendering for the other and break
+    the engine-exact signed-zero contract — zero float keys carry
+    their copysign in the memo key (r13 ADVICE). NaN keys never hit
+    (NaN != NaN), so NaN rows just evaluate ``fn`` directly."""
+    import math
+
     memo: dict = {}
     out = []
     if len(cols) == 1:
@@ -772,10 +780,15 @@ def _memo_map(fn, *cols: pd.Series) -> pd.Series:
             if v is None:
                 out.append(None)
                 continue
+            k = (
+                (v, math.copysign(1.0, v))
+                if isinstance(v, float) and v == 0.0
+                else v
+            )
             try:
-                r = memo[v]
+                r = memo[k]
             except KeyError:
-                r = memo[v] = fn(v)
+                r = memo[k] = fn(v)
             except TypeError:  # unhashable value — evaluate directly
                 r = fn(v)
             out.append(r)
@@ -784,10 +797,16 @@ def _memo_map(fn, *cols: pd.Series) -> pd.Series:
             if any(v is None for v in key):
                 out.append(None)
                 continue
+            k = tuple(
+                (v, math.copysign(1.0, v))
+                if isinstance(v, float) and v == 0.0
+                else v
+                for v in key
+            )
             try:
-                r = memo[key]
+                r = memo[k]
             except KeyError:
-                r = memo[key] = fn(*key)
+                r = memo[k] = fn(*key)
             except TypeError:
                 r = fn(*key)
             out.append(r)
@@ -1018,11 +1037,19 @@ def _build_text_udfs() -> dict:
     @pandas_udf("string")
     def _duck_render_udf(s: pd.Series, t: pd.Series) -> pd.Series:
         # duck_render_varchar(None, ty) is defined (renders NULL), so
-        # pair-memoize only the non-None side manually
+        # pair-memoize only the non-None side manually. Same signed-
+        # zero key guard as _memo_map (the transport is CAST-to-STRING
+        # today, but a raw float input must never alias -0.0 with 0.0)
+        import math
+
         memo: dict = {}
         out = []
         for v, ty in zip(s, t):
-            key = (v, ty)
+            key = (
+                (v, math.copysign(1.0, v), ty)
+                if isinstance(v, float) and v == 0.0
+                else (v, ty)
+            )
             try:
                 r = memo[key]
             except KeyError:

@@ -1417,6 +1417,7 @@ class SparkStatementExecutor:
         has_from = False
         has_row_filter = False
         has_values = False
+        saw_body = False  # a depth-0 SELECT or VALUES was seen at all
         for t in sql_toks:
             if t.kind == "op" and t.text in ("(", "["):
                 depth += 1
@@ -1429,6 +1430,9 @@ class SparkStatementExecutor:
                 has_row_filter = True
             elif depth == 0 and t.is_kw("VALUES"):
                 has_values = True  # may carry multiple row groups
+                saw_body = True
+            elif depth == 0 and t.is_kw("SELECT"):
+                saw_body = True
         rank_sql = None
         mat_view = None
         # a FROM-less, filter-less, conflict-mode-less INSERT inserts
@@ -1437,10 +1441,20 @@ class SparkStatementExecutor:
         # general path pays (r13-opt). Conflict modes keep the counted
         # path: their count-delta semantics (no advance on an ignored /
         # replaced row) are the shipped, oracle-tested behavior.
+        # Fully parenthesized bodies (``INSERT INTO t (SELECT ... FROM
+        # x)`` — no depth-0 SELECT or VALUES at all) keep the counted
+        # path: their row count is the inner query's, not 1. Depth-0
+        # set operations and OFFSET deliberately STAY static: DuckDB
+        # evaluates the single nextval span exactly once per FROM-less
+        # branch row and advances by 1 even when EXCEPT/OFFSET then
+        # drops the row (differentially pinned in
+        # test_sequence_setop_insert_counted — the r13-ADVICE proposal
+        # to route them to the counted path would diverge).
         static_single_row = (
             not has_from
             and not has_row_filter
             and not has_values
+            and saw_body
             and re.search(
                 r"(?i)\bOR\s+(REPLACE|IGNORE)\b|\bON\s+CONFLICT\b", sql
             )

@@ -34,6 +34,32 @@ def _first_parquet_file(path: str) -> str:
     return path
 
 
+def _listing_stamp(path: str):
+    """Cache stamp covering the WHOLE directory listing — (file count,
+    max mtime) over every parquet part — so adding or replacing any
+    file in a multi-file directory invalidates cached schemas, not just
+    rewrites of the first part (r13 ADVICE). Single files stamp on
+    their own mtime. Raises OSError for paths stat cannot resolve
+    (globs), which callers treat as "don't cache"."""
+    if not os.path.isdir(path):
+        return os.stat(path).st_mtime_ns
+    n = 0
+    newest = 0
+    with os.scandir(path) as it:
+        for entry in it:
+            if entry.name.startswith("_") or not entry.name.endswith(
+                (".parquet", ".parq")
+            ):
+                continue
+            n += 1
+            mt = entry.stat().st_mtime_ns
+            if mt > newest:
+                newest = mt
+    if n == 0:
+        raise OSError(f"no parquet parts under {path}")
+    return (n, newest)
+
+
 _NS_COLS_CACHE: dict = {}
 _SCHEMA_CACHE: dict = {}
 
@@ -44,7 +70,7 @@ def nanos_timestamp_columns(path: str) -> List[str]:
     write-once)."""
     first = _first_parquet_file(path)
     try:
-        key = (path, os.stat(first).st_mtime_ns)
+        key = (path, _listing_stamp(path))
     except OSError:
         key = None
     if key is not None:
@@ -86,9 +112,10 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
-        # mtime in the key guards in-place rewrites of one path (and
-        # glob paths, which stat cannot resolve, skip caching)
-        stamp = os.stat(_first_parquet_file(path)).st_mtime_ns
+        # the listing stamp (file count + max mtime) guards in-place
+        # rewrites AND added/replaced parts of multi-file dirs (glob
+        # paths, which stat cannot resolve, skip caching)
+        stamp = _listing_stamp(path)
         key = (spark.sparkContext.applicationId, path, stamp)
     except OSError:
         key = None

@@ -137,7 +137,10 @@ def _update_user_stats(
         if not m:
             continue
         n += m
-        total += float(pdf["value"].to_numpy().sum())
+        # nansum, not sum: a float64 batch folds NULL values into NaN,
+        # and plain sum would poison the running total permanently —
+        # keep the pandas skipna semantics of the pre-numpy version
+        total += float(np.nansum(pdf["value"].to_numpy()))
         ts = pdf["ts"].to_numpy()
         eid = pdf["event_id"].to_numpy()
         i = int(np.lexsort((eid, ts))[-1])

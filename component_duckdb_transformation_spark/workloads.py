@@ -2117,8 +2117,14 @@ def _streaming_lsh_dedup_builder(spark: SparkSession, sf: str) -> DataFrame:
     # worker, and leaving half the cores to the JVM side (shuffle, state
     # store, memory-sink collect running concurrently with the drain)
     # measured best (interleaved A/B: fan none 3.9s, 8 2.37s, 16 2.23s,
-    # 32 2.55s median at sf0.1 on 32 cores)
-    fan = max(2, spark.sparkContext.defaultParallelism // 2)
+    # 32 2.55s median at sf0.1 on 32 cores). fan_target additionally
+    # divides by concurrent sibling jobs (guide §2.6): under a pooled
+    # driver, per-job fans at the full share oversubscribe the box.
+    from .operators.skew import fan_target
+
+    fan = fan_target(
+        spark.sparkContext, spark.sparkContext.defaultParallelism // 2
+    )
     stream = so.read_documents_stream(spark, sf)
     mins = so.run_stream_to_batch(
         so.lsh_bucket_min_updates(so.minhash_band_rows(stream, fan_out=fan)),

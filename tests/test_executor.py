@@ -1354,3 +1354,70 @@ def test_enum_through_setop_ctas(spark, table_store):
              " UNION ALL SELECT t AS m FROM cc12")
     _run(ex, "CREATE TABLE rx12 AS SELECT CAST(min(m) AS VARCHAR) AS lo FROM ux12")
     assert [tuple(r) for r in spark.table("rx12").collect()] == [("happy",)]
+
+
+def test_sequence_setop_insert_counted(spark, table_store):
+    """r14 (r13 ADVICE corner): FROM-less INSERT bodies with depth-0
+    set operations / OFFSET / filters — the sequence advance must match
+    DuckDB exactly. Differentially pinned: DuckDB evaluates the single
+    nextval span once per FROM-less branch row and advances by 1 even
+    when EXCEPT or OFFSET then drops the row, while LIMIT 0 / WHERE
+    false short-circuit and do NOT advance."""
+    import duckdb
+
+    from component_duckdb_transformation_spark.plans.executor import (
+        SparkStatementExecutor,
+    )
+
+    scripts = [
+        # depth-0 UNION ALL: nextval branch is one row -> advance 1
+        [
+            "CREATE SEQUENCE su START 5 INCREMENT 3",
+            "CREATE TABLE so_out (id BIGINT, x VARCHAR)",
+            "INSERT INTO so_out SELECT nextval('su'), 'a' "
+            "UNION ALL SELECT 99, 'b'",
+            "INSERT INTO so_out SELECT nextval('su'), 'c'",
+            "CREATE TABLE so_cur AS SELECT currval('su') AS c",
+        ],
+        # EXCEPT eliminates the row, the advance still happens
+        [
+            "CREATE SEQUENCE su START 5 INCREMENT 3",
+            "CREATE TABLE so_out (id BIGINT)",
+            "INSERT INTO so_out SELECT nextval('su') EXCEPT SELECT 5",
+            "INSERT INTO so_out SELECT nextval('su')",
+            "CREATE TABLE so_cur AS SELECT currval('su') AS c",
+        ],
+        # OFFSET drops the row, the advance still happens
+        [
+            "CREATE SEQUENCE su START 5 INCREMENT 3",
+            "CREATE TABLE so_out (id BIGINT)",
+            "INSERT INTO so_out SELECT nextval('su') OFFSET 1",
+            "INSERT INTO so_out SELECT nextval('su')",
+            "CREATE TABLE so_cur AS SELECT currval('su') AS c",
+        ],
+        # WHERE false short-circuits: no evaluation, no advance
+        [
+            "CREATE SEQUENCE su START 5 INCREMENT 3",
+            "CREATE TABLE so_out (id BIGINT)",
+            "INSERT INTO so_out SELECT nextval('su') WHERE 1 = 0",
+            "INSERT INTO so_out SELECT nextval('su')",
+            "CREATE TABLE so_cur AS SELECT nextval('su') AS c",
+        ],
+    ]
+    for i, script in enumerate(scripts):
+        ex = SparkStatementExecutor(spark, table_store)
+        con = duckdb.connect()
+        for s in script:
+            _run(ex, s)
+            con.execute(s)
+        want = sorted(
+            tuple(r)
+            for r in con.execute("SELECT * FROM so_out").fetchall()
+        )
+        got = sorted(tuple(r) for r in spark.table("so_out").collect())
+        assert got == want, (i, got, want)
+        assert [tuple(r) for r in spark.table("so_cur").collect()] == [
+            tuple(r) for r in con.execute("SELECT * FROM so_cur").fetchall()
+        ], i
+        _run(ex, "DROP TABLE so_out")
+        _run(ex, "DROP TABLE so_cur")

@@ -230,3 +230,27 @@ def test_printf_twin_randomized_vs_duckdb():
         if got != want:
             bad.append((spec, v, got, want))
     assert not bad, bad[:5]
+
+
+def test_memo_map_keeps_signed_zero_distinct():
+    """r14 (r13 ADVICE): -0.0 == 0.0 and they hash alike, so a naive
+    memo would replay the first-seen rendering for both — the memo key
+    must carry the sign of zero for float inputs."""
+    import pandas as pd
+
+    from component_duckdb_transformation_spark.functions.text_udfs import (
+        _memo_map,
+    )
+
+    s = pd.Series([0.0, -0.0, 0.0, -0.0, None], dtype="object")
+    out = _memo_map(repr, s)
+    assert list(out) == ["0.0", "-0.0", "0.0", "-0.0", None]
+    # float64 dtype path too
+    f = pd.Series([0.0, -0.0, 1.5], dtype="float64")
+    out2 = _memo_map(repr, f)
+    assert list(out2) == ["0.0", "-0.0", "1.5"]
+    # multi-column keys keep the sign as well
+    k = pd.Series([2, 2, 2], dtype="object")
+    out3 = _memo_map(lambda v, n: repr(v) * int(n), pd.Series(
+        [0.0, -0.0, 0.0], dtype="object"), k)
+    assert list(out3) == ["0.00.0", "-0.0-0.0", "0.00.0"]
