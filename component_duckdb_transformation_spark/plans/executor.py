@@ -89,6 +89,30 @@ def _duck_type_name(dt) -> str:
     return _DUCK_TYPE_NAMES.get(s, s.upper())
 
 
+def _as_read_schema(schema):
+    """The written DataFrame's schema, nullability-normalized the way
+    parquet inference reports it (every level nullable) — pinning the
+    writer's nullable=False on the read side would claim a guarantee
+    the file format does not carry."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    def conv(dt):
+        if isinstance(dt, StructType):
+            return StructType(
+                [
+                    StructField(f.name, conv(f.dataType), True, f.metadata)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, ArrayType):
+            return ArrayType(conv(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(conv(dt.keyType), conv(dt.valueType), True)
+        return dt
+
+    return conv(schema)
+
+
 def _bt(name: str) -> str:
     """Backtick-quote a (possibly dotted / dashed) logical table name."""
     return "`" + name.replace("`", "``") + "`"
@@ -108,6 +132,11 @@ class TableState:
     # join against current keys — no row can clash (r13-opt). Any
     # mutation conservatively clears it.
     empty: bool = False
+    # the written Spark schema (nullability normalized the way parquet
+    # inference would): lets the view bind as a schema-pinned DataFrame
+    # read, so per-statement re-resolutions never pay a footer-reading
+    # schema-inference job (r14 driver-floor work, guide §1.2)
+    schema: object = None
 
 
 # partition-style directory key for streaming micro-batch commits;
@@ -153,13 +182,31 @@ class TableStore:
         return os.path.join(self.warehouse_dir, slug)
 
     def _bind_view(self, state: TableState) -> None:
-        projection = (
-            f"* EXCEPT ({_BATCH_COL})" if state.stream else "*"
-        )
-        self.spark.sql(
-            f"CREATE OR REPLACE TEMPORARY VIEW {_bt(state.name)} "
-            f"AS SELECT {projection} FROM parquet.`{state.path}`"
-        )
+        if (
+            state.stream
+            or state.schema is None
+            or not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", state.name)
+        ):
+            # stream tables carry a partition column the schema-pinned
+            # path would have to model; they stay on the re-resolving
+            # text view (appends land as new partition dirs)
+            projection = (
+                f"* EXCEPT ({_BATCH_COL})" if state.stream else "*"
+            )
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {_bt(state.name)} "
+                f"AS SELECT {projection} FROM parquet.`{state.path}`"
+            )
+        else:
+            # schema-pinned DataFrame bind: resolving the view reuses
+            # this analyzed relation, so statements referencing the
+            # table never pay the footer-reading schema-inference job
+            # the text view re-ran on every resolution (~2 driver jobs
+            # per statement on the executor pipelines, r14). The
+            # listing is taken fresh here — every mutation re-binds.
+            self.spark.read.schema(state.schema).parquet(
+                state.path
+            ).createOrReplaceTempView(state.name)
         # parquet-backed: file-split scan order is deterministic
         mark_scan_stable(state.name, self.scan_registry)
 
@@ -178,6 +225,7 @@ class TableStore:
             state.path = os.path.join(self._safe_dir(name), f"v{state.version}")
             self.tables[name] = state
         df.write.mode("overwrite").parquet(state.path)
+        state.schema = _as_read_schema(df.schema)
         self._bind_view(state)
 
     def insert_into(
@@ -201,13 +249,13 @@ class TableStore:
         state.empty = False
         with self._write_lock(name):
             aligned.write.mode("append").parquet(state.path)
-            # refreshByPath invalidates the cached file index; the view
-            # definition is unchanged (same path), so re-binding it was
-            # a redundant ~100 ms CREATE OR REPLACE VIEW round trip per
-            # append (r13-opt; probed: fresh spark.table() resolutions
-            # see appended files after refresh alone — and a STALE
-            # DataFrame handle would miss them under either spelling,
-            # the executor always re-resolves per statement)
+            # the view is a schema-pinned DataFrame whose file listing
+            # was taken at bind time: re-bind so the appended files are
+            # visible. This is ONE py4j call + a driver-side listing —
+            # far cheaper than the schema-inference job every statement
+            # paid to re-resolve the old text view (r14; the r13 note
+            # about refresh-only applied to the text-view spelling)
+            self._bind_view(state)
 
     def commit_stream_batch(self, name: str, df: DataFrame, batch_id: int) -> None:
         """Idempotent micro-batch commit for streaming ingest: batch
@@ -251,6 +299,7 @@ class TableStore:
             new_path = os.path.join(self._safe_dir(name), f"v{state.version}")
         df.write.mode("overwrite").parquet(new_path)
         state.path = new_path
+        state.schema = _as_read_schema(df.schema)
         self._bind_view(state)
 
     def order_by_clause(self, name: str) -> Optional[str]:
