@@ -17,7 +17,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_spark_session(app_name="cdts-plans", threads=None)
     register_tables(spark, sf_dir)
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = WORKLOADS[name].make(spark, sf_dir)
