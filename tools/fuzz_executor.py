@@ -137,10 +137,32 @@ def gen_ops(g: random.Random, n_ops: int) -> list:
             if not has_seq:
                 ops.append("CREATE SEQUENCE sq START 50000 INCREMENT 3")
                 has_seq = True
-            ops.append(
-                "INSERT INTO t1 SELECT nextval('sq'), 'Q', "
-                f"{g.randint(1, 99)}.5"
-            )
+            shape = g.randrange(4)
+            if shape == 1:
+                # r14 (VERDICT r13 #6): FROM-less depth-0 set-op body —
+                # DuckDB evaluates the single nextval once and advances
+                # by 1 even when the set op drops the row
+                ops.append(
+                    "INSERT INTO t1 SELECT nextval('sq'), 'U', "
+                    f"{g.randint(1, 99)}.5 UNION ALL SELECT "
+                    f"{g.randint(200000, 300000)}, 'V', 1.5"
+                )
+            elif shape == 2:
+                ops.append(
+                    "INSERT INTO t1 SELECT nextval('sq'), 'E', 2.5 "
+                    f"EXCEPT SELECT {g.randint(200000, 300000)}, 'E', 2.5"
+                )
+            elif shape == 3:
+                # filtered FROM-less body: no evaluation, no advance
+                ops.append(
+                    "INSERT INTO t1 SELECT nextval('sq'), 'W', 3.5 "
+                    f"WHERE 1 = {g.choice([0, 1])}"
+                )
+            else:
+                ops.append(
+                    "INSERT INTO t1 SELECT nextval('sq'), 'Q', "
+                    f"{g.randint(1, 99)}.5"
+                )
             continue
         if c == 10:
             # ENUM columns: inserts of valid + (sometimes) invalid
